@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * All declared operators live in module registries (graft.operators.*),
+  * each a [[QueryDef]] with a DataFrame builder and a DuckDB oracle SQL.
+  */
 object SparkEntry {
+
+  /** Full inventory, module order preserved. */
+  val registry: Seq[(String, QueryDef)] =
+    Relational.defs ++ StreamParity.defs ++ DedupOps.defs ++
+      SimilarityOps.defs ++ TextOps.defs ++ MultimodalOps.defs
+
+  private val regMap: Map[String, QueryDef] = registry.toMap
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    regMap("q02_agg_pricing").build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (name, d) => name -> d.build }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (name, QueryDef(_, Some(sql), _)) => name -> sql }
+      .toMap
+
+  /** Benchmark subset (Bench.scala). */
+  def headlines: Seq[String] =
+    registry.collect { case (name, d) if d.headline => name }
 }

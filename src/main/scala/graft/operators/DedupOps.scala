@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.StableHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * training-data-pipeline extension surface: exact (hash-groupBy), n-gram
+  * Jaccard, MinHash+LSH banding, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant is a shuffle-on-key pipeline — no pairwise
+  * O(n²) stage ever materializes over the full corpus. Candidate pairs come
+  * from equi-joins on content-derived keys (hash / shared shingle / LSH band
+  * signature / lsh bucket), which Spark executes as ordinary shuffled hash
+  * joins; only within-bucket pairs are scored. That is the 100 TB-safe shape
+  * (the same topology as Spark MLlib's MinHashLSH approxSimilarityJoin, built
+  * here from first principles with oracle-portable hashes).
+  */
+object DedupOps {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Tokenize + word-3-gram shingles, distinct per doc. Guarded to ≥3
+    * tokens (Spark's sequence() would run descending otherwise). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingle", explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)))
+      .select(col("doc_id"), col("lang"), col("shingle"))
+      .distinct()
+
+  /** DuckDB CTEs producing the identical (doc_id, lang, shingle) set. */
+  private val shinglesSql =
+    """toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang, shingle FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(list_transform(range(1, len(w) - 1),
+      |        i -> concat(w[CAST(i AS INT)], ' ', w[CAST(i AS INT) + 1],
+      |          ' ', w[CAST(i AS INT) + 2]))) AS shingle
+      |    FROM toks) u)""".stripMargin
+
+  /** Exact dedup via content-hash groupBy (the canonical-id pattern:
+    * min(doc_id) per normalized-content hash). Map-side partial aggregation
+    * means the shuffle carries one row per distinct hash, not per doc. */
+  private def d01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents
+      .groupBy(md5(lower(col("text"))).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+      .orderBy(col("canonical_id"))
+
+  private val d01Sql =
+    """SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+      |  CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents
+      |GROUP BY md5(lower(text))
+      |ORDER BY canonical_id""".stripMargin
+
+  /** N-gram Jaccard near-dup: candidate pairs from a self-join on shared
+    * shingles (never all-pairs), intersection counted per pair, Jaccard ≥ 1/3
+    * decided in exact integer arithmetic (3·|∩| ≥ |A|+|B| ⇔ J ≥ 1/3).
+    * At scale, hot shingles are the skew risk — the distinct() above bounds a
+    * shingle's row count by corpus doc count; production path adds a
+    * frequency cap filter (drop shingles in > F docs), same as here would be
+    * `.groupBy(shingle).count.filter(n < F)` semi-join. */
+  private def d02(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(t(s, dir).documents).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+      .filter(col("n_inter") * 3 >= col("na") + col("nb"))
+      .select(col("a_id"), col("b_id"),
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter"))
+          .cast("double"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d02Sql =
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+       |  round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE n_inter * 3 >= sa.n_sh + sb.n_sh
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** MinHash + LSH banding: 16 hash functions (seeded md5), 4 bands × 4 rows;
+    * docs sharing any band signature become candidate pairs. The signature
+    * matrix is one groupBy over (doc × 16 seeds); the band join is an
+    * equi-join on (band, signature) — the classic sub-quadratic LSH topology.
+    * Reference has no such operator (SURVEY §2.6); this is the extension
+    * surface's scale path for fuzzy dedup. */
+  private def d03(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val sh = shingles(t(s, dir).documents)
+    val seeds = spark.range(16).select(col("id").as("seed"))
+    val minh = sh.crossJoin(broadcast(seeds))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(StableHash.h60(concat(col("seed").cast("string"), lit(":"),
+        col("shingle")))).as("h"))
+    val sigCols = (0 until 16).map(i =>
+      min(when(col("seed") === i, col("h"))).as(s"m$i"))
+    val sig = minh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        concat_ws("-", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
+          .as("bsig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d03Sql = {
+    val h = StableHash.duckH60("CAST(seed AS VARCHAR) || ':' || shingle")
+    val sigCols = (0 until 16)
+      .map(i => s"min(CASE WHEN seed = $i THEN h END) AS m$i").mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $cat AS bsig FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesSql,
+       |minh AS (
+       |  SELECT doc_id, seed, min($h) AS h
+       |  FROM sh, (SELECT unnest(range(16)) AS seed) seeds
+       |  GROUP BY doc_id, seed),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM minh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT CAST(x.doc_id AS BIGINT) AS a_id,
+       |  CAST(y.doc_id AS BIGINT) AS b_id
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** SimHash (32-bit) per document: per-bit vote over distinct token hashes,
+    * sign-majority per bit, recombined with exact pow-of-two arithmetic.
+    * One explode + two keyed aggregates — linear in corpus size. Near-dup
+    * lookup then hamming-joins on the fingerprint (see SimHashSpec); the
+    * declared query emits the fingerprint itself, which is the per-doc
+    * deterministic artifact. */
+  private def d04(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .withColumn("h", StableHash.h32(col("tok")))
+    val bits = toks.crossJoin(broadcast(
+      s.range(32).select(col("id").as("j"))))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("shiftright(h, CAST(j AS INT)) % 2 = 1"), 1)
+        .otherwise(-1)).as("vote"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0,
+        pow(lit(2.0), col("j").cast("double")).cast("long"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d04Sql = {
+    val h = StableHash.duckH32("tok")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents) u),
+       |th AS (SELECT doc_id, $h AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN (h >> CAST(j AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th, (SELECT unnest(range(32)) AS j) js
+       |  GROUP BY doc_id, j)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+       |    AS BIGINT) AS simhash
+       |FROM bits
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
+    "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
+    "d03_dedup_minhash_lsh" -> QueryDef(d03, Some(d03Sql), headline = true),
+    "d04_dedup_simhash" -> QueryDef(d04, Some(d04Sql), headline = true),
+  )
+}

@@ -1,0 +1,416 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational operator inventory of SURVEY.md §2.6 — absent by design in
+  * the reference (ziggurat is a stateless stream router), declared here as
+  * first-class Spark operators and oracle-checked against DuckDB.
+  *
+  * Every query: deterministic ORDER BY, floats rounded, computed integers
+  * cast to long (DuckDB returns BIGINT for row_number/year/etc.), aliases
+  * identical between the DataFrame plan and the oracle SQL.
+  *
+  * Scale notes per query are in each Scaladoc: what shuffles, what broadcasts,
+  * what pushes down. Verified with .explain("formatted") — see PlanSpec.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Filter + projection, both pushed into the parquet scan (PushedFilters +
+    * ReadSchema prune to 5 of 11 columns). At 100 TB this is the difference
+    * between reading ~45% of the table and all of it. */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp")
+        && col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q01Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** TPC-H Q1-style pricing summary: hash aggregate with map-side partial
+    * aggregation (6 groups → tiny shuffle regardless of input size). */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q02Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: 3-way join. customer is the small
+    * side (1% of lineitem) → explicit broadcast; orders⋈lineitem shuffles on
+    * the order key. Top-10 via TakeOrderedAndProject (no full sort). */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val tb = t(s, dir)
+    val c = tb.customer.filter(col("c_mktsegment") === "BUILDING")
+    val o = tb.orders
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val l = tb.lineitem
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val q03Sql =
+    """SELECT o_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Star-schema rollup: nation and region are tiny dims → broadcast both;
+    * zero shuffles on the fact side until the 25-group aggregate. */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val tb = t(s, dir)
+    tb.customer
+      .join(broadcast(tb.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tb.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q04Sql =
+    """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Left-semi join (EXISTS): customers with at least one big order. The
+    * semi-join only ships the join key of the right side. */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val tb = t(s, dir)
+    val big = tb.orders.filter(col("o_totalprice") > 400000.0)
+    tb.customer
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q05Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no open ('O') order. */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val tb = t(s, dir)
+    val open = tb.orders.filter(col("o_orderstatus") === "O")
+    tb.customer
+      .join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q06Sql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Ranking window: top-3 orders per customer. One shuffle on the partition
+    * key; rank filter is applied before any further stage (Spark pushes
+    * row_number limits into the sort via WindowGroupLimit). */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir).orders
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  private val q07Sql =
+    """SELECT o_custkey, o_orderkey, rk, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) ranked
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Analytic window: running quantity per supplier over ship date. The frame
+    * is rows-based with a total order (shipdate, orderkey, linenumber) so the
+    * running sum is deterministic. */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir).lineitem
+      .filter(col("l_suppkey") <= 5)
+      .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q08Sql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+      |FROM lineitem
+      |WHERE l_suppkey <= 5
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** Top-k: orderBy+limit compiles to TakeOrderedAndProject — each partition
+    * keeps only its local top-25, the driver merges 25×partitions rows. No
+    * global sort at any scale. */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  private val q09Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 25""".stripMargin
+
+  /** Exact relational dedup: DISTINCT = hash aggregate on all columns with
+    * map-side partial dedup before the shuffle. */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+
+  private val q10Sql =
+    """SELECT DISTINCT l_returnflag, l_linestatus,
+      |  CAST(year(l_shipdate) AS BIGINT) AS ship_year
+      |FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus, ship_year""".stripMargin
+
+  /** Set operations: INTERSECT + EXCEPT (both compile to aggregate/join
+    * pairs; Spark plans them as hash-based semi/anti joins). */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val tb = t(s, dir)
+    val withOrders = tb.orders.select(col("o_custkey").as("custkey")).distinct()
+    val positive = tb.customer.filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("custkey"))
+    val auto = tb.customer.filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("custkey"))
+    withOrders.intersect(positive).except(auto).orderBy(col("custkey"))
+  }
+
+  private val q11Sql =
+    """SELECT custkey FROM (
+      |  (SELECT DISTINCT o_custkey AS custkey FROM orders
+      |   INTERSECT
+      |   SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0)
+      |  EXCEPT
+      |  SELECT c_custkey AS custkey FROM customer
+      |  WHERE c_mktsegment = 'AUTOMOBILE') t
+      |ORDER BY custkey""".stripMargin
+
+  /** ROLLUP hierarchy totals (region → nation → grand total). NULL group
+    * keys coalesced to 'ALL' so ordering is engine-independent. */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val tb = t(s, dir)
+    tb.customer
+      .join(broadcast(tb.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tb.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  private val q12Sql =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** CUBE over return flag × line status. */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  private val q13Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+      |  coalesce(l_linestatus, 'ALL') AS lstatus,
+      |  CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rflag, lstatus""".stripMargin
+
+  /** Exact COUNT(DISTINCT) — expands to a two-phase aggregate. The approx
+    * (HLL) variant is in the library (approx_count_distinct) but is not
+    * oracle-comparable bit-for-bit, so the declared query uses the exact op. */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q14Sql =
+    """SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+      |  CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Scalar function library: string/math/date functions — all codegen'd
+    * built-ins, no UDFs (SURVEY §2.6: the reference has no function library;
+    * users write Clojure in handlers — here they are engine primitives). */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).part
+      .select(
+        col("p_partkey"),
+        upper(col("p_type")).as("type_u"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        length(col("p_name")).cast("long").as("name_len"),
+        (col("p_size") % 7).cast("long").as("size_mod"),
+        round(col("p_retailprice") * 1.1, 2).as("price_adj"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        abs(col("p_size") - 25).cast("long").as("size_dist"))
+      .orderBy(col("p_partkey"))
+
+  private val q15Sql =
+    """SELECT p_partkey, upper(p_type) AS type_u, substr(p_name, 1, 8) AS name_pfx,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  CAST(p_size % 7 AS BIGINT) AS size_mod,
+      |  round(p_retailprice * 1.1, 2) AS price_adj,
+      |  concat_ws('-', p_brand, p_type) AS brand_type,
+      |  CAST(abs(p_size - 25) AS BIGINT) AS size_dist
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Conditional aggregation (CASE inside agg) per order year. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        round(sum(when(col("o_totalprice") > 300000.0, col("o_totalprice"))
+          .otherwise(0.0)), 2).as("rev_high"),
+        sum(when(col("o_totalprice") > 300000.0, 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"))
+      .orderBy(col("order_year"))
+
+  private val q16Sql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  round(sum(CASE WHEN o_totalprice > 300000.0 THEN o_totalprice ELSE 0.0 END), 2) AS rev_high,
+      |  CAST(sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+      |FROM orders
+      |GROUP BY year(o_orderdate)
+      |ORDER BY order_year""".stripMargin
+
+  /** GROUP BY ... HAVING (filter over aggregate). */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("total"))
+      .filter(col("n_items") > 550)
+      .orderBy(col("l_suppkey"))
+
+  private val q17Sql =
+    """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |HAVING count(*) > 550
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** TPC-H Q17-style correlated aggregate subquery, decorrelated into an
+    * aggregate + join (what Catalyst does to the SQL form). Quantities are
+    * integral doubles so avg() is bit-exact in both engines. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir).lineitem
+    val avgq = li.groupBy(col("l_partkey").as("ap"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(avgq, col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  private val q18Sql =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem l
+      |JOIN (SELECT l_partkey AS ap, avg(l_quantity) AS avg_qty
+      |      FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.ap
+      |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
+    "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
+    "q03_join_revenue" -> QueryDef(q03, Some(q03Sql), headline = true),
+    "q04_broadcast_star" -> QueryDef(q04, Some(q04Sql)),
+    "q05_semi_join" -> QueryDef(q05, Some(q05Sql)),
+    "q06_anti_join" -> QueryDef(q06, Some(q06Sql)),
+    "q07_window_rank" -> QueryDef(q07, Some(q07Sql), headline = true),
+    "q08_window_running" -> QueryDef(q08, Some(q08Sql)),
+    "q09_topk" -> QueryDef(q09, Some(q09Sql), headline = true),
+    "q10_distinct" -> QueryDef(q10, Some(q10Sql)),
+    "q11_set_ops" -> QueryDef(q11, Some(q11Sql)),
+    "q12_rollup" -> QueryDef(q12, Some(q12Sql)),
+    "q13_cube" -> QueryDef(q13, Some(q13Sql)),
+    "q14_count_distinct" -> QueryDef(q14, Some(q14Sql)),
+    "q15_scalar_funcs" -> QueryDef(q15, Some(q15Sql)),
+    "q16_conditional_agg" -> QueryDef(q16, Some(q16Sql)),
+    "q17_having" -> QueryDef(q17, Some(q17Sql)),
+    "q18_avg_subquery" -> QueryDef(q18, Some(q18Sql), headline = true),
+  )
+}

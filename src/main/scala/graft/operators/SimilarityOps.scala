@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.StableHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, mirroring a production ANN stack:
+  *  - s01: brute-force cosine top-k — the exactness baseline. Queries are a
+  *    tiny broadcast side; candidates stream through; TakeOrdered keeps only
+  *    k rows per query. O(Q·N) but fully distributed and shuffle-light: the
+  *    only shuffle is the final per-query top-k (rows ≤ Q·k after the window
+  *    filter's partial evaluation).
+  *  - s02: random-hyperplane LSH bucketing — the 100 TB path. Signatures are
+  *    computed in one pass (posexplode → broadcast-join the 8×64 plane matrix
+  *    → two keyed aggregates), then candidates come from an equi-join on the
+  *    bucket id instead of a cross join.
+  *
+  * All arithmetic is double, in-array-order folds, results rounded to 4dp so
+  * the DuckDB oracle hash-matches despite FP summation-order differences.
+  */
+object SimilarityOps {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** In-order cosine over two array<double> columns (zip_with + fold — stays
+    * in whole-stage codegen, no UDF). */
+  private def cosineExpr(a: String, b: String): Column =
+    expr(
+      s"""round(
+         |  aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+         |  / (sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v))
+         |     * sqrt(aggregate($b, 0D, (acc, v) -> acc + v * v))), 4)""".stripMargin)
+
+  /** DuckDB twin: same in-order fold semantics via list_transform+list_sum. */
+  private def duckCos(a: String, b: String): String =
+    s"""round(
+       |  list_sum(list_transform(range(1, 65),
+       |    i -> $a[CAST(i AS INT)]::DOUBLE * $b[CAST(i AS INT)]::DOUBLE))
+       |  / (sqrt(list_sum(list_transform($a, v -> v::DOUBLE * v::DOUBLE)))
+       |     * sqrt(list_sum(list_transform($b, v -> v::DOUBLE * v::DOUBLE)))), 4)"""
+      .stripMargin
+
+  /** Brute-force cosine top-3: query set = vec_id < 10 (broadcast),
+    * candidates = the rest. */
+  private def s01(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir).embeddings
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vd").as("cv"))
+    val scored = broadcast(q).join(c, lit(true))
+      .withColumn("cos_sim", cosineExpr("qv", "cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("c_id").as("neighbor_id"),
+        col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val s01Sql =
+    s"""SELECT q_id, rk, neighbor_id, cos_sim FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |    ${duckCos("q.embedding", "c.embedding")} AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCos("q.embedding", "c.embedding")} DESC, c.vec_id)
+       |      AS rk
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10
+       |) ranked
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
+  /** LSH-bucketed ANN: 8 deterministic pseudo-random hyperplanes (weights
+    * derived from md5 so the oracle can rebuild them), bucket = 8-bit sign
+    * signature, then top-1 neighbor within bucket. Sub-quadratic: the
+    * candidate join is an equi-join on bucket. */
+  private def s02(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val planes = spark.range(8).select(col("id").as("p"))
+      .crossJoin(spark.range(64).select(col("id").as("d")))
+      .withColumn("w",
+        (StableHash.h32(concat(col("p").cast("string"), lit(":"),
+          col("d").cast("string"))) % 1001 - 500).cast("double") / 500.0)
+    val comps = t(s, dir).embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val sigs = comps.join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("v") * col("w")).as("dot"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dot") > 0,
+        pow(lit(2.0), col("p").cast("double")).cast("long")).otherwise(0L))
+        .as("bucket"))
+    val emb = t(s, dir).embeddings
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .join(sigs, "vec_id")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("bucket"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vd").as("cv"), col("bucket"))
+    val scored = q.join(c, "bucket")
+      .withColumn("cos_sim", cosineExpr("qv", "cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("bucket"), col("c_id").as("neighbor_id"),
+        col("cos_sim"))
+      .orderBy(col("q_id"))
+  }
+
+  private val s02Sql = {
+    val h = StableHash.duckH32("CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
+    s"""WITH planes AS (
+       |  SELECT p, d, (($h) % 1001 - 500) / 500.0 AS w
+       |  FROM (SELECT unnest(range(8)) AS p) ps,
+       |       (SELECT unnest(range(64)) AS d) ds),
+       |comps AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+       |    unnest(embedding)::DOUBLE AS v
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p, sum(v * w) AS dot
+       |  FROM comps JOIN planes USING (d)
+       |  GROUP BY vec_id, p),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, qs.bucket AS bucket, c.vec_id AS neighbor_id,
+       |    ${duckCos("q.embedding", "c.embedding")} AS cos_sim
+       |  FROM embeddings q
+       |  JOIN sigs qs ON qs.vec_id = q.vec_id
+       |  JOIN sigs cs ON cs.bucket = qs.bucket
+       |  JOIN embeddings c ON c.vec_id = cs.vec_id
+       |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+       |ranked AS (
+       |  SELECT q_id, bucket, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, bucket, neighbor_id, cos_sim FROM ranked
+       |WHERE rk = 1
+       |ORDER BY q_id""".stripMargin
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
+    "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
+  )
+}

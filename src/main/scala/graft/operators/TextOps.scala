@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.StableHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the LLM-pipeline
+  * extension surface (language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting). All pure built-in expressions: whole-stage
+  * codegen end-to-end, no UDFs, embarrassingly parallel at 100 TB (no
+  * shuffle until the per-doc aggregate, which is keyed by doc_id and
+  * pre-aggregated map-side).
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Token counting: whitespace tokens + a word-regex token count (BPE-ish
+    * proxy: alnum runs), plus char stats. */
+  private def t01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(expr("filter(toks, x -> length(x) >= 5)")).cast("long")
+          .as("n_long_tokens"),
+        round((length(col("text")) - size(col("toks")) + 1)
+          / size(col("toks")).cast("double"), 4).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  private val t01Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_m,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> length(x) >= 5)) AS BIGINT)
+      |    AS n_long_tokens,
+      |  round((length(text) - len(string_split(text, ' ')) + 1)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword ratio, short-token ratio, and a rational
+    * (transcendental-free, so bit-portable) composite score. */
+  private def t02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(expr(
+        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
+        .cast("long"))
+      .withColumn("stop_ratio",
+        round(col("n_stop") / col("n_tokens").cast("double"), 4))
+      .withColumn("quality_score",
+        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
+          / col("n_tokens").cast("double"))
+          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        col("stop_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  private val t02Sql =
+    """SELECT doc_id, n_tokens, n_stop,
+      |  round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+      |  round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
+      |    * least(1.0, n_tokens / 100.0), 4) AS quality_score
+      |FROM (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))) AS BIGINT)
+      |      AS n_stop
+      |  FROM documents) d
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID n-gram heuristic: score = marker-substring occurrence
+    * counts; predicted = argmax with a fixed tiebreak order. Occurrence
+    * counting via length-delta (exact in both engines). */
+  private def t03(s: SparkSession, dir: String): DataFrame = {
+    def occ(marker: String): org.apache.spark.sql.Column =
+      ((length(col("text")) - length(replace(col("text"), lit(marker), lit(""))))
+        / marker.length).cast("long")
+    t(s, dir).documents
+      .withColumn("s_table", occ("table"))
+      .withColumn("s_stream", occ("stream"))
+      .withColumn("s_query", occ("query"))
+      .withColumn("predicted",
+        when(col("s_table") >= col("s_stream")
+          && col("s_table") >= col("s_query"), "tabular")
+          .when(col("s_stream") >= col("s_query"), "streaming")
+          .otherwise("analytic"))
+      .select(col("doc_id"), col("lang"), col("s_table"), col("s_stream"),
+        col("s_query"), col("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t03Sql =
+    """SELECT doc_id, lang, s_table, s_stream, s_query,
+      |  CASE WHEN s_table >= s_stream AND s_table >= s_query THEN 'tabular'
+      |       WHEN s_stream >= s_query THEN 'streaming'
+      |       ELSE 'analytic' END AS predicted
+      |FROM (SELECT doc_id, lang,
+      |    CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS BIGINT) AS s_table,
+      |    CAST((length(text) - length(replace(text, 'stream', ''))) / 6 AS BIGINT) AS s_stream,
+      |    CAST((length(text) - length(replace(text, 'query', ''))) / 5 AS BIGINT) AS s_query
+      |  FROM documents) d
+      |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting via char-4-gram rolling shingles: min/max
+    * shingle hash + distinct shingle count (winnowing-style sketch). The
+    * explode is map-side; the per-doc aggregate pre-combines before its
+    * shuffle, so state per doc is 3 longs regardless of doc length. */
+  private def t04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents
+      .filter(length(col("text")) >= 4)
+      .withColumn("gram", explode(expr(
+        "transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))")))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(StableHash.h60(col("gram"))).as("fp_min"),
+        max(StableHash.h60(col("gram"))).as("fp_max"),
+        countDistinct(col("gram")).as("n_grams"))
+      .orderBy(col("doc_id"))
+
+  private val t04Sql =
+    s"""SELECT doc_id,
+       |  min(${StableHash.duckH60("gram")}) AS fp_min,
+       |  max(${StableHash.duckH60("gram")}) AS fp_max,
+       |  CAST(count(DISTINCT gram) AS BIGINT) AS n_grams
+       |FROM (SELECT doc_id,
+       |    unnest(list_transform(range(1, length(text) - 2),
+       |      i -> substr(text, CAST(i AS INT), 4))) AS gram
+       |  FROM documents WHERE length(text) >= 4) g
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
+    "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
+    "t03_lang_id" -> QueryDef(t03, Some(t03Sql)),
+    "t04_fingerprint" -> QueryDef(t04, Some(t04Sql), headline = true),
+  )
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared operator/query in the engine's inventory (SURVEY.md §2).
+  *
+  * @param build   builds the result DataFrame from (session, sfDir). The
+  *                output must be deterministic: explicit orderBy, floats
+  *                rounded, computed ints cast to long (DuckDB BIGINT parity).
+  * @param oracle  equivalent ANSI SQL the driver runs in DuckDB over the same
+  *                parquet tables; None → driver does a rows-only check.
+  * @param headline included in Bench's per-round benchmark set.
+  */
+final case class QueryDef(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+/** Loads the driver-generated TPC-H-ish corpus (TESTDATA.md) for one scale
+  * factor. Plain parquet reads — Catalyst handles filter pushdown and column
+  * pruning, so every query should show PushedFilters/ReadSchema at the scan.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def p(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+  def region: DataFrame = p("region")
+  def nation: DataFrame = p("nation")
+  def customer: DataFrame = p("customer")
+  def supplier: DataFrame = p("supplier")
+  def part: DataFrame = p("part")
+  def orders: DataFrame = p("orders")
+  def lineitem: DataFrame = p("lineitem")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4 refuses
+    * to read natively — read nanos as long and truncate to micros (exactly
+    * what DuckDB does when it loads the same file, so oracles agree). */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    p("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents: DataFrame = p("documents")
+  def embeddings: DataFrame = p("embeddings")
+}
