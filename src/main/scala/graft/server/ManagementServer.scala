@@ -1,0 +1,121 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.streaming.{DeadSet, GraftEngine, MetricsRegistry}
+import org.apache.spark.sql.SparkSession
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Management HTTP server (O1, server.clj:28-48 + server/routes.clj:11-38):
+  *
+  *   GET    /ping                      → pong (health)
+  *   GET    /v1/dead_set?entity=&count= → peek N dead messages (JSON)
+  *   DELETE /v1/dead_set?entity=&count= → drop N
+  *   POST   /v1/dead_set/replay?entity=&count= → re-publish N
+  *   GET    /v1/metrics                → counters/gauges snapshot
+  *   GET    /v1/queries                → running streaming queries + status
+  *
+  * Built on the JDK's HttpServer (no extra deps); driver-side only — every
+  * dead-set operation is a bounded distributed read (DeadSet.scala), never a
+  * driver-side scan of the log.
+  */
+final class ManagementServer(spark: SparkSession, engine: GraftEngine,
+    port: Int) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  private def respond(ex: HttpExchange, status: Int, body: String,
+      ctype: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  server.createContext("/ping", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = respond(ex, 200, "pong", "text/plain")
+  })
+
+  server.createContext("/v1/dead_set", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      val p = params(ex)
+      val entity = p.getOrElse("entity", "")
+      val count = p.getOrElse("count", "10").toInt
+      if (entity.isEmpty) { respond(ex, 400, """{"error":"entity required"}""") }
+      else if (ex.getRequestURI.getPath.endsWith("/replay")
+          && ex.getRequestMethod == "POST") {
+        val n = engine.deadSet.replay(spark, entity, count)
+        respond(ex, 200, s"""{"replayed":$n}""")
+      } else ex.getRequestMethod match {
+        case "GET" =>
+          val rows = engine.deadSet.view(spark, entity, count)
+            .select("topic", "partition", "offset", "timestamp")
+            .collect()
+            .map(r => s"""{"topic":"${jsonEscape(r.getString(0))}","partition":${r.getInt(1)},"offset":${r.getLong(2)},"timestamp":"${r.getTimestamp(3)}"}""")
+          respond(ex, 200, rows.mkString("[", ",", "]"))
+        case "DELETE" =>
+          val n = engine.deadSet.delete(spark, entity, count)
+          respond(ex, 200, s"""{"deleted":$n}""")
+        case m => respond(ex, 405, s"""{"error":"method $m not allowed"}""")
+      }
+    } catch { case e: Throwable =>
+      respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+    }
+  })
+
+  // POST /v1/dead_set/replay shares the /v1/dead_set context via path check
+  server.createContext("/v1/dead_set/replay", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      val p = params(ex)
+      val entity = p.getOrElse("entity", "")
+      val count = p.getOrElse("count", "10").toInt
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST required"}""")
+      else if (entity.isEmpty) respond(ex, 400, """{"error":"entity required"}""")
+      else {
+        val n = engine.deadSet.replay(spark, entity, count)
+        respond(ex, 200, s"""{"replayed":$n}""")
+      }
+    } catch { case e: Throwable =>
+      respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+    }
+  })
+
+  server.createContext("/v1/metrics", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = {
+      val body = engine.metrics.snapshot().toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }
+        .mkString("{", ",", "}")
+      respond(ex, 200, body)
+    }
+  })
+
+  server.createContext("/v1/queries", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = {
+      val body = engine.runningQueries.toSeq.sortBy(_._1)
+        .map { case (name, q) =>
+          s""""${jsonEscape(name)}":{"id":"${q.id}","active":${q.isActive}}"""
+        }.mkString("{", ",", "}")
+      respond(ex, 200, body)
+    }
+  })
+
+  def start(): Unit = { server.setExecutor(null); server.start() }
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+/** Typed route/retry configuration — the Spark mirror of the reference's
+  * config.edn sections (SURVEY.md §1.5; reference config.clj:19-53,
+  * streams.clj:22-32, kafka_consumer/consumer.clj:8-14) with the same
+  * defaulting discipline and boot-time validation (init.clj:202-224).
+  */
+final case class RetryConfig(
+    enabled: Boolean = false,
+    count: Int = 5,
+    backoffType: BackoffType = BackoffType.Linear,
+    queueTimeoutMs: Long = 5000L)
+
+sealed trait BackoffType
+object BackoffType {
+  case object Linear extends BackoffType
+  case object Exponential extends BackoffType
+}
+
+/** One channel (RabbitMQ-worker analogue, doc/CONCEPTS.md:32-43): a named
+  * fan-out target whose parallelism is decoupled from the input partition
+  * count — in Spark, a separate streaming query over the channel topic with
+  * its own `workerCount` → repartition/maxOffsets sizing. */
+final case class ChannelConfig(
+    name: String,
+    workerCount: Int = 4,
+    retry: RetryConfig = RetryConfig())
+
+/** A stream route (stream-router entry, streams.clj:181-190):
+  * `originTopic` is a regex subscription; `oldestProcessedMessageInS` is the
+  * too-old cutoff (streams.clj:26 default 604800 = 7 days);
+  * `threadCount` maps to the per-route parallelism knob
+  * (num.stream.threads ≈ shuffle partitions / maxOffsetsPerTrigger). */
+final case class StreamRouteConfig(
+    topicEntity: String,
+    originTopic: String,
+    oldestProcessedMessageInS: Long = 604800L,
+    threadCount: Int = 1,
+    retry: RetryConfig = RetryConfig(),
+    channels: Map[String, ChannelConfig] = Map.empty)
+
+/** A batch route (kafka_consumer/consumer.clj): polled consumption with
+  * bounded batches — in Spark, Trigger.AvailableNow + maxOffsetsPerTrigger. */
+final case class BatchRouteConfig(
+    topicEntity: String,
+    originTopic: String,
+    maxPollRecords: Int = 500,
+    threadCount: Int = 2,
+    retry: RetryConfig = RetryConfig())
+
+/** Engine modes (init.clj:121-143): which subsystems start. */
+sealed trait Mode
+object Mode {
+  case object StreamWorker extends Mode
+  case object BatchWorker extends Mode
+  case object Worker extends Mode        // retry-topic readers
+  case object ApiServer extends Mode     // management HTTP
+  val all: Set[Mode] = Set(StreamWorker, BatchWorker, Worker, ApiServer)
+}
+
+final case class EngineConfig(
+    streamRoutes: Map[String, StreamRouteConfig] = Map.empty,
+    batchRoutes: Map[String, BatchRouteConfig] = Map.empty,
+    httpPort: Int = 8010,
+    drainTimeoutMs: Long = 5000L)
+
+object EngineConfig {
+  /** Max delay-queue ladder depth — messaging/producer.clj:20. */
+  val MaxExponentialRetries = 25
+
+  /** Boot-time route validation ≡ init.clj:202-224 / the Prismatic schemas
+    * at init.clj:187-200: route keys non-empty, entities unique across
+    * stream+batch, channel names well-formed, retry counts sane. Returns the
+    * list of violations (empty = valid). */
+  def validate(cfg: EngineConfig): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    (cfg.streamRoutes.keySet intersect cfg.batchRoutes.keySet).foreach(e =>
+      errs += s"topic entity '$e' declared as both stream and batch route")
+    cfg.streamRoutes.foreach { case (k, r) =>
+      if (k != r.topicEntity) errs += s"stream route key '$k' != entity '${r.topicEntity}'"
+      if (r.originTopic.isEmpty) errs += s"stream route '$k': empty origin-topic"
+      if (r.retry.count < 0) errs += s"stream route '$k': negative retry count"
+      if (r.retry.count > MaxExponentialRetries
+          && r.retry.backoffType == BackoffType.Exponential)
+        errs += s"stream route '$k': exponential retry count > $MaxExponentialRetries"
+      r.channels.foreach { case (cn, ch) =>
+        if (cn != ch.name) errs += s"channel key '$cn' != name '${ch.name}' in route '$k'"
+        if (ch.workerCount <= 0) errs += s"channel '$cn' in route '$k': worker-count must be > 0"
+      }
+    }
+    cfg.batchRoutes.foreach { case (k, r) =>
+      if (k != r.topicEntity) errs += s"batch route key '$k' != entity '${r.topicEntity}'"
+      if (r.originTopic.isEmpty) errs += s"batch route '$k': empty origin-topic"
+      if (r.maxPollRecords <= 0) errs += s"batch route '$k': max-poll-records must be > 0"
+    }
+    errs.result()
+  }
+
+  /** Retry/DLQ/channel topic naming — the Kafka-topic translation of the
+    * reference's queue topology (messaging/producer.clj:302-378). */
+  def instantTopic(entity: String): String = s"${entity}_instant"
+  def retryTopic(entity: String): String = s"${entity}_retry"
+  def deadLetterTopic(entity: String): String = s"${entity}_dead_letter"
+  def channelTopic(entity: String, channel: String): String =
+    s"${entity}_channel_$channel"
+}

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Handler invocation + result-code dispatch — the heart of the reference
+  * (E1/E2, mapper.clj:28-111), re-expressed for micro-batch execution.
+  *
+  * A [[Handler]] adds a `disposition` column to the batch (declaratively —
+  * a Column expression keeps the hot path in codegen; arbitrary Scala via
+  * typed map is possible but discouraged). The dispatcher then routes
+  * sub-frames:
+  *
+  *   success / skip       → counted (metrics), not persisted
+  *   retry                → RetryEngine.splitRetries → retry topic / DLQ
+  *   dead_letter          → DLQ topic
+  *   channel:<name>       → that channel's topic (D2)
+  *   unknown code         → treated as retry + failure metric, matching the
+  *                          reference's catch-all (mapper.clj:66-69 routes
+  *                          any thrown exception to retry)
+  *
+  * Dispatch runs inside foreachBatch: every sink write for one micro-batch
+  * either completes before the checkpoint commits or replays wholesale —
+  * at-least-once, strictly stronger than the reference's manual ack
+  * (SURVEY §7.3.1). Writes are idempotent per (topic, batch content) on the
+  * Kafka transport via the sink's transactional producer.
+  */
+object Dispatch {
+
+  /** A handler adds `disposition` (see Envelope.Code) to a batch. */
+  trait Handler extends Serializable {
+    def apply(batch: DataFrame): DataFrame
+  }
+
+  /** Declarative handler from a Column expression — the recommended form. */
+  final case class ExprHandler(disposition: Column) extends Handler {
+    def apply(batch: DataFrame): DataFrame =
+      batch.withColumn("disposition", disposition)
+  }
+
+  final case class Counts(success: Long, skip: Long, retried: Long,
+      deadLettered: Long, toChannels: Long)
+
+  /** Dispatch one micro-batch for a route. Returns per-disposition counts
+    * (the metrics the reference emits per message, mapper.clj:33-54). */
+  def dispatch(route: StreamRouteConfig, topics: TopicIO, handler: Handler)(
+      batch: DataFrame): Counts = {
+    import Envelope.Code
+    val entity = route.topicEntity
+    val handled = handler(batch)
+      .withColumn("disposition",
+        when(col("disposition").isin(Code.Success, Code.Skip, Code.DeadLetter)
+          || col("disposition").startsWith("channel:")
+          || col("disposition") === Code.Retry, col("disposition"))
+          .otherwise(lit(Code.Retry)))
+      .cache()
+    try {
+      val success = handled.filter(col("disposition") === Code.Success).count()
+      val skip = handled.filter(col("disposition") === Code.Skip).count()
+
+      val toRetry = handled.filter(col("disposition") === Code.Retry)
+        .drop("disposition")
+      val (retryable, exhausted) =
+        if (route.retry.enabled) RetryEngine.splitRetries(route.retry, toRetry)
+        // retries disabled → straight to the DLQ, count untouched
+        else (toRetry.limit(0), toRetry)
+
+      val dead = handled.filter(col("disposition") === Code.DeadLetter)
+        .drop("disposition")
+      val retried = envCount(retryable)
+      if (retried > 0)
+        topics.append(retryable, EngineConfig.retryTopic(entity))
+      val deadAll = dead.unionByName(exhausted, allowMissingColumns = true)
+      val deadLettered = envCount(deadAll)
+      if (deadLettered > 0)
+        topics.append(deadAll, EngineConfig.deadLetterTopic(entity))
+
+      var toChannels = 0L
+      route.channels.keys.foreach { ch =>
+        val sub = handled.filter(col("disposition") === Code.channel(ch))
+          .drop("disposition")
+        val n = envCount(sub)
+        if (n > 0) topics.append(sub, EngineConfig.channelTopic(entity, ch))
+        toChannels += n
+      }
+      Counts(success, skip, retried, deadLettered, toChannels)
+    } finally handled.unpersist()
+  }
+
+  private def envCount(df: DataFrame): Long = df.count()
+
+  /** E7 batch-route contract (kafka_consumer/consumer_handler.clj:36-73):
+    * the batch handler's output must contain only skip/retry dispositions;
+    * anything else is an invalid return (InvalidReturnTypeException in the
+    * reference). */
+  def dispatchBatchRoute(route: BatchRouteConfig, topics: TopicIO,
+      handler: Handler)(batch: DataFrame): Counts = {
+    import Envelope.Code
+    val handled = handler(batch).cache()
+    try {
+      val invalid = handled
+        .filter(!col("disposition").isin(Code.Skip, Code.Retry)).count()
+      if (invalid > 0)
+        throw new IllegalArgumentException(
+          s"batch handler for '${route.topicEntity}' returned dispositions " +
+            "outside {skip, retry}")
+      val skip = handled.filter(col("disposition") === Code.Skip).count()
+      val toRetry = handled.filter(col("disposition") === Code.Retry)
+        .drop("disposition")
+      val (retryable, exhausted) =
+        if (route.retry.enabled) RetryEngine.splitRetries(route.retry, toRetry)
+        else (toRetry.limit(0), toRetry)
+      val retried = envCount(retryable)
+      if (retried > 0)
+        topics.append(retryable, EngineConfig.retryTopic(route.topicEntity))
+      val deadLettered = envCount(exhausted)
+      if (deadLettered > 0)
+        topics.append(exhausted,
+          EngineConfig.deadLetterTopic(route.topicEntity))
+      Counts(0, skip, retried, deadLettered, 0)
+    } finally handled.unpersist()
+  }
+}

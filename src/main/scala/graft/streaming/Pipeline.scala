@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The per-route record pipeline — the Spark form of the reference's fixed
+  * topology (streams.clj:181-190):
+  *
+  *   source → too-old filter (R2) → metadata enrichment (R3) → read-metrics
+  *   tap (R5) → middleware → handler dispatch (R6/E1)
+  *
+  * Here each stage is a declarative transform over the envelope DataFrame, so
+  * Catalyst fuses the whole chain into one whole-stage-codegen span with the
+  * filter evaluated at the source scan.
+  */
+object Pipeline {
+
+  /** R2 `TimestampTransformer` (timestamp_transformer.clj:21-30): drop
+    * records older than the route's cutoff. `now` defaults to the wall
+    * clock; tests pass a fixed instant for determinism. */
+  def tooOldFilter(oldestS: Long, now: Column = current_timestamp())(
+      df: DataFrame): DataFrame =
+    df.filter(col("timestamp") >= now - expr(s"INTERVAL $oldestS SECONDS"))
+
+  /** R1 `IngestionTimeExtractor` (timestamp_transformer.clj:14-19): negative
+    * / missing timestamps fall back to ingestion wall-clock. */
+  def ingestionTime(df: DataFrame): DataFrame =
+    df.withColumn("timestamp",
+      when(col("timestamp").isNull
+        || col("timestamp") < lit("1970-01-01 00:00:00").cast("timestamp"),
+        current_timestamp()).otherwise(col("timestamp")))
+
+  /** R3 `HeaderTransformer` (header_transformer.clj:5-15): wrap record-level
+    * context into a `metadata` struct the user payload carries. */
+  def enrichMetadata(df: DataFrame): DataFrame =
+    df.withColumn("metadata",
+      struct(col("topic"), col("timestamp"), col("partition"),
+        col("retryCount").as("rabbitmq_retry_count")))
+
+  /** R5 read-metrics tap (streams.clj:45-54) as a Structured Streaming
+    * `observe` — surfaced through StreamingQueryListener, never a side
+    * effect inside a map. Also reports the R2 delay histogram companion
+    * (kafka_delay.clj:5-13) as min/avg/max delay. */
+  def observeReads(name: String)(df: DataFrame): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("message_read_count"),
+      avg(unix_millis(current_timestamp()) - unix_millis(col("timestamp")))
+        .as("delay_ms_avg"),
+      max(unix_millis(current_timestamp()) - unix_millis(col("timestamp")))
+        .as("delay_ms_max"))
+
+  /** Full pre-handler pipeline for a route. */
+  def forRoute(route: StreamRouteConfig,
+      middleware: DataFrame => DataFrame,
+      now: Column = current_timestamp())(df: DataFrame): DataFrame = {
+    val chained = tooOldFilter(route.oldestProcessedMessageInS, now)(df)
+    middleware(enrichMetadata(chained))
+  }
+}

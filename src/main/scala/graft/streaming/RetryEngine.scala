@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retry-count state machine + backoff schedule — the Spark translation of
+  * the reference's RabbitMQ delay-queue machinery (SURVEY.md §2.7 E3-E5).
+  *
+  * Instead of per-message TTL queues, a retried record is written to the
+  * entity's retry topic with `retryCount` decremented and `nextAttemptAt`
+  * stamped; the retry-reader query due-filters each trigger
+  * (`current_timestamp() >= nextAttemptAt`) — retry latency is quantized to
+  * the trigger interval, which is the documented semantic trade
+  * (SURVEY §7.3.2). Everything here is pure Column arithmetic: it runs
+  * inside whole-stage codegen with no per-row JVM calls, and the same
+  * formulas back the oracle query q25_backoff_schedule.
+  */
+object RetryEngine {
+
+  /** Scala-side backoff for tests/property checks — exponential timeout
+    * formula (2^n − 1) × queueTimeoutMs with the exponent derived as
+    * max(1, min(25, count) − remaining) (messaging/producer.clj:175-204). */
+  def exponentialTimeoutMs(cfg: RetryConfig, remainingCount: Int): Long = {
+    val exponent = math.max(1,
+      math.min(EngineConfig.MaxExponentialRetries, cfg.count) - remainingCount)
+    ((math.pow(2, exponent.toDouble) - 1) * cfg.queueTimeoutMs).toLong
+  }
+
+  def timeoutMs(cfg: RetryConfig, remainingCount: Int): Long =
+    cfg.backoffType match {
+      case BackoffType.Linear => cfg.queueTimeoutMs
+      case BackoffType.Exponential => exponentialTimeoutMs(cfg, remainingCount)
+    }
+
+  /** Column form of the remaining-count transition
+    * (messaging/producer.clj:288-293): null → count−1, pos → dec. Records
+    * with remaining 0 must be routed to the DLQ *before* this transition —
+    * see [[splitRetries]]. */
+  def decrementedCount(cfg: RetryConfig, retryCount: Column): Column =
+    when(retryCount.isNull, lit(cfg.count - 1)).otherwise(retryCount - 1)
+
+  /** Column form of the backoff timeout in ms for a record whose (pre-
+    * transition) remaining count is `retryCount` (null = first failure). */
+  def timeoutMsCol(cfg: RetryConfig, retryCount: Column): Column =
+    cfg.backoffType match {
+      case BackoffType.Linear => lit(cfg.queueTimeoutMs)
+      case BackoffType.Exponential =>
+        val remaining = coalesce(retryCount, lit(cfg.count))
+        val exponent = greatest(lit(1),
+          least(lit(EngineConfig.MaxExponentialRetries), lit(cfg.count))
+            - remaining)
+        ((pow(lit(2.0), exponent.cast("double")) - 1.0)
+          * cfg.queueTimeoutMs.toDouble).cast("long")
+    }
+
+  /** Splits a batch of to-retry envelopes into (retryable, exhausted):
+    * exhausted (remaining == 0) go to the DLQ with the count restored to the
+    * configured total (producer.clj:291 restores it so a dead-set replay
+    * starts a fresh retry cycle); retryable get the decremented count and a
+    * `nextAttemptAt` stamp. */
+  def splitRetries(cfg: RetryConfig, batch: DataFrame): (DataFrame, DataFrame) = {
+    val exhausted = batch.filter(col("retryCount") === 0)
+      .withColumn("retryCount", lit(cfg.count))
+      .withColumn("nextAttemptAt", lit(null).cast("timestamp"))
+    val retryable = batch.filter(col("retryCount").isNull || col("retryCount") > 0)
+      .withColumn("nextAttemptAt",
+        timestamp_millis(unix_millis(current_timestamp())
+          + timeoutMsCol(cfg, col("retryCount"))))
+      .withColumn("retryCount", decrementedCount(cfg, col("retryCount")))
+    (retryable, exhausted)
+  }
+
+  /** Due-filter for the retry-reader query (the TTL-expiry analogue): only
+    * records whose backoff has elapsed are released to reprocessing. */
+  def due(batch: DataFrame): DataFrame =
+    batch.filter(col("nextAttemptAt").isNull
+      || col("nextAttemptAt") <= current_timestamp())
+}

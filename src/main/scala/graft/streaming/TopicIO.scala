@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Topic transport abstraction. Production transport is Kafka (the
+  * reference's only source, SURVEY §2.1); tests and this container (no
+  * kafka-sql jar ships with the image) use a parquet-directory transport
+  * with the same envelope schema and append-only, offset-ordered semantics.
+  */
+trait TopicIO extends Serializable {
+  /** Batch-read the full topic as envelope rows. */
+  def read(spark: SparkSession, topic: String): DataFrame
+  /** Streaming read (Structured Streaming source). */
+  def readStream(spark: SparkSession, topic: String): DataFrame
+  /** Append envelope rows. Must assign monotonically increasing offsets. */
+  def append(df: DataFrame, topic: String): Unit
+  /** Largest offset written so far, -1 if empty. */
+  def maxOffset(spark: SparkSession, topic: String): Long
+}
+
+/** Kafka transport: thin option-builders over the built-in kafka source/sink
+  * (format("kafka")). Compiles without the connector jar — it is resolved by
+  * name at runtime — so this container can't execute it; FileTopicIO is the
+  * test transport. On a cluster:
+  * readStream.format("kafka").option("subscribePattern", topic) mirrors the
+  * regex subscription of streams.clj:184, and checkpointed offsets replace
+  * per-message acks (SURVEY §2.1 S1/S4).
+  */
+final class KafkaTopicIO(bootstrapServers: String) extends TopicIO {
+  private def opts(r: org.apache.spark.sql.DataFrameReader, topic: String) = r
+    .format("kafka")
+    .option("kafka.bootstrap.servers", bootstrapServers)
+    .option("subscribePattern", topic)
+    .option("startingOffsets", "earliest")
+
+  def read(spark: SparkSession, topic: String): DataFrame =
+    normalize(opts(spark.read, topic).load(), topic)
+
+  def readStream(spark: SparkSession, topic: String): DataFrame =
+    normalize(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribePattern", topic)
+      .option("startingOffsets", "earliest")
+      .load(), topic)
+
+  /** Kafka source columns → Envelope columns (headers → retry fields are
+    * carried in the value for the Kafka transport). */
+  private def normalize(df: DataFrame, topicEntity: String): DataFrame = df
+    .select(col("key"), col("value"), col("topic"), col("partition"),
+      col("offset"), col("timestamp"),
+      lit(topicEntity).as("topicEntity"),
+      lit(null).cast("int").as("retryCount"),
+      lit(null).cast("timestamp").as("nextAttemptAt"),
+      lit(null).cast("string").as("channel"))
+
+  def append(df: DataFrame, topic: String): Unit = df
+    .select(col("key"), col("value"))
+    .write.format("kafka")
+    .option("kafka.bootstrap.servers", bootstrapServers)
+    .option("topic", topic)
+    .save()
+
+  def maxOffset(spark: SparkSession, topic: String): Long =
+    read(spark, topic).agg(max("offset")).collect()(0) match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+}
+
+/** Parquet-directory transport with envelope schema, used by every spec and
+  * by the in-container engine. Offsets are assigned on append as
+  * (previous max + zipWithIndex-style row_number), giving the same
+  * append-only, offset-ordered log semantics the dead-set marker logic
+  * (DeadSet.scala) relies on.
+  */
+final class FileTopicIO(baseDir: String) extends TopicIO {
+  private def dir(topic: String) = s"$baseDir/$topic"
+
+  private def exists(topic: String): Boolean = {
+    val p = Paths.get(dir(topic))
+    Files.exists(p) && Files.list(p).anyMatch(f =>
+      f.toString.endsWith(".parquet"))
+  }
+
+  def read(spark: SparkSession, topic: String): DataFrame =
+    if (exists(topic)) spark.read.schema(Envelope.schema).parquet(dir(topic))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Envelope.schema)
+
+  def readStream(spark: SparkSession, topic: String): DataFrame = {
+    Files.createDirectories(Paths.get(dir(topic)))
+    spark.readStream.schema(Envelope.schema).parquet(dir(topic))
+  }
+
+  def append(df: DataFrame, topic: String): Unit = {
+    val spark = df.sparkSession
+    val base = maxOffset(spark, topic) + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("topic"), col("partition"), col("offset"), col("timestamp"))
+    df.withColumn("offset", lit(base) + row_number().over(w) - 1)
+      .select(Envelope.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("append").parquet(dir(topic))
+  }
+
+  def maxOffset(spark: SparkSession, topic: String): Long =
+    if (!exists(topic)) -1L
+    else read(spark, topic).agg(max("offset")).collect()(0) match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+}

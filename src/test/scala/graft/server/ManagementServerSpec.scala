@@ -1,0 +1,68 @@
+package graft.server
+
+import graft.SparkSuite
+import graft.streaming._
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URI
+
+/** O1 management HTTP endpoints, driven over a real socket. */
+class ManagementServerSpec extends SparkSuite {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def send(port: Int, method: String, path: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port$path"))
+      .method(method, HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def withServer(f: (Int, FileTopicIO, GraftEngine) => Unit): Unit = {
+    val dir = tmpDir("mgmt")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val engine = new GraftEngine(spark, EngineConfig(), topics, s"$dir/ckpt")
+    val server = new ManagementServer(spark, engine, 0)
+    server.start()
+    try f(server.boundPort, topics, engine) finally server.stop()
+  }
+
+  test("GET /ping answers pong") {
+    withServer { (port, _, _) =>
+      assert(get(port, "/ping") == (200, "pong"))
+    }
+  }
+
+  test("dead_set view / delete / replay endpoints drive DeadSet") {
+    withServer { (port, topics, _) =>
+      topics.append(envelopes("app", (0 until 3).map(i =>
+        (s"k$i", s"v$i", ts(f"2024-01-01 00:00:0$i")))), "app_dead_letter")
+      val (s1, b1) = get(port, "/v1/dead_set?entity=app&count=10")
+      assert(s1 == 200 && b1.count(_ == '{') == 3)
+      val (s2, b2) = send(port, "DELETE", "/v1/dead_set?entity=app&count=1")
+      assert(s2 == 200 && b2 == """{"deleted":1}""")
+      val (s3, b3) = send(port, "POST", "/v1/dead_set/replay?entity=app&count=5")
+      assert(s3 == 200 && b3 == """{"replayed":2}""")
+      assert(topics.read(spark, "app_instant").count() == 2)
+      val (_, b4) = get(port, "/v1/dead_set?entity=app&count=10")
+      assert(b4 == "[]")
+    }
+  }
+
+  test("missing entity is a 400; metrics endpoint serves a snapshot") {
+    withServer { (port, _, engine) =>
+      assert(get(port, "/v1/dead_set")._1 == 400)
+      engine.metrics.increment("app.message.success", 5)
+      val (s, b) = get(port, "/v1/metrics")
+      assert(s == 200 && b.contains(""""app.message.success":5.0"""))
+      assert(get(port, "/v1/queries")._1 == 200)
+    }
+  }
+}

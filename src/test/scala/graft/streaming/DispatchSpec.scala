@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** E1/E2/E3 dispatch semantics over the file transport. */
+class DispatchSpec extends SparkSuite {
+
+  private def route(dir: String) = StreamRouteConfig(
+    topicEntity = "app", originTopic = "app-topic",
+    retry = RetryConfig(enabled = true, count = 3,
+      backoffType = BackoffType.Linear, queueTimeoutMs = 0L),
+    channels = Map("c1" -> ChannelConfig("c1")))
+
+  test("dispatch routes success/skip/retry/dead_letter/channel correctly") {
+    val dir = tmpDir("dispatch")
+    val topics = new FileTopicIO(dir)
+    val batch = envelopes("app", Seq(
+      ("k1", "ok", ts("2024-01-01 00:00:00")),
+      ("k2", "skipme", ts("2024-01-01 00:00:01")),
+      ("k3", "boom", ts("2024-01-01 00:00:02")),
+      ("k4", "dead", ts("2024-01-01 00:00:03")),
+      ("k5", "chan", ts("2024-01-01 00:00:04"))))
+    val handler = Dispatch.ExprHandler(
+      when(col("value").cast("string") === "ok", "success")
+        .when(col("value").cast("string") === "skipme", "skip")
+        .when(col("value").cast("string") === "boom", "retry")
+        .when(col("value").cast("string") === "dead", "dead_letter")
+        .otherwise("channel:c1"))
+    val counts = Dispatch.dispatch(route(dir), topics, handler)(batch)
+    assert(counts == Dispatch.Counts(1, 1, 1, 1, 1))
+
+    val retry = topics.read(spark, "app_retry").collect()
+    assert(retry.length == 1)
+    // first failure: retryCount null → count − 1 (producer.clj:288-293)
+    assert(retry(0).getAs[Int]("retryCount") == 2)
+    assert(retry(0).getAs[java.sql.Timestamp]("nextAttemptAt") != null)
+
+    assert(topics.read(spark, "app_dead_letter").count() == 1)
+    assert(topics.read(spark, "app_channel_c1").count() == 1)
+  }
+
+  test("exhausted retries (remaining=0) dead-letter with count restored") {
+    val dir = tmpDir("dispatch2")
+    val topics = new FileTopicIO(dir)
+    val batch = envelopes("app", Seq(("k", "boom", ts("2024-01-01 00:00:00"))))
+      .withColumn("retryCount", lit(0))
+    val handler = Dispatch.ExprHandler(lit("retry"))
+    val counts = Dispatch.dispatch(route(dir), topics, handler)(batch)
+    assert(counts.retried == 0 && counts.deadLettered == 1)
+    val dead = topics.read(spark, "app_dead_letter").collect()(0)
+    // count restored to configured total for dead-set replay (producer.clj:291)
+    assert(dead.getAs[Int]("retryCount") == 3)
+  }
+
+  test("unknown disposition falls back to retry (mapper.clj:66-69 catch-all)") {
+    val dir = tmpDir("dispatch3")
+    val topics = new FileTopicIO(dir)
+    val batch = envelopes("app", Seq(("k", "x", ts("2024-01-01 00:00:00"))))
+    val counts = Dispatch.dispatch(route(dir), topics,
+      Dispatch.ExprHandler(lit("whatever")))(batch)
+    assert(counts.retried == 1)
+  }
+
+  test("retries disabled → straight to dead letter") {
+    val dir = tmpDir("dispatch4")
+    val topics = new FileTopicIO(dir)
+    val r = route(dir).copy(retry = RetryConfig(enabled = false))
+    val batch = envelopes("app", Seq(("k", "x", ts("2024-01-01 00:00:00"))))
+    val counts = Dispatch.dispatch(r, topics, Dispatch.ExprHandler(lit("retry")))(batch)
+    assert(counts.retried == 0 && counts.deadLettered == 1)
+  }
+
+  test("batch-route contract rejects dispositions outside {skip, retry} (E7)") {
+    val dir = tmpDir("dispatch5")
+    val topics = new FileTopicIO(dir)
+    val br = BatchRouteConfig("app", "app-topic",
+      retry = RetryConfig(enabled = true, count = 2))
+    val batch = envelopes("app", Seq(("k", "x", ts("2024-01-01 00:00:00"))))
+    intercept[IllegalArgumentException] {
+      Dispatch.dispatchBatchRoute(br, topics,
+        Dispatch.ExprHandler(lit("success")))(batch)
+    }
+    val ok = Dispatch.dispatchBatchRoute(br, topics,
+      Dispatch.ExprHandler(lit("retry")))(batch)
+    assert(ok.retried == 1)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class PipelineSpec extends SparkSuite {
+
+  test("too-old filter drops records beyond the cutoff (R2)") {
+    val batch = envelopes("app", Seq(
+      ("fresh", "v1", ts("2024-01-30 00:00:00")),
+      ("stale", "v2", ts("2024-01-01 00:00:00"))))
+    val out = Pipeline.tooOldFilter(7 * 86400,
+      now = lit("2024-01-31 00:00:00").cast("timestamp"))(batch).collect()
+    assert(out.length == 1)
+    assert(new String(out(0).getAs[Array[Byte]]("key")) == "fresh")
+  }
+
+  test("metadata enrichment carries topic/timestamp/partition/retry (R3)") {
+    val batch = envelopes("app", Seq(("k", "v", ts("2024-01-01 00:00:00"))))
+    val row = Pipeline.enrichMetadata(batch).select("metadata.*").collect()(0)
+    assert(row.getAs[String]("topic") == "app")
+    assert(row.getAs[Int]("partition") == 0)
+    assert(row.getAs[java.sql.Timestamp]("timestamp") == ts("2024-01-01 00:00:00"))
+  }
+
+  test("ingestion-time fallback replaces negative/missing timestamps (R1)") {
+    val sess = spark
+    import sess.implicits._
+    val batch = envelopes("app", Seq(("k", "v", ts("2024-01-01 00:00:00"))))
+      .withColumn("timestamp", lit(null).cast("timestamp"))
+    val out = Pipeline.ingestionTime(batch).collect()(0)
+    assert(out.getAs[java.sql.Timestamp]("timestamp") != null)
+  }
+
+  test("json middleware parses value and corrupt rows split to DLQ path (M3/E9)") {
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType)))
+    val batch = envelopes("app", Seq(
+      ("good", """{"id": 7, "name": "x"}""", ts("2024-01-01 00:00:00")),
+      ("bad", "not json at all {", ts("2024-01-01 00:00:01"))))
+    val parsed = Middleware.json(schema)(batch)
+    val (ok, corrupt) = Middleware.splitCorrupt(parsed)
+    assert(ok.count() == 1)
+    assert(ok.select("message.id").collect()(0).getInt(0) == 7)
+    val corruptRows = corrupt.collect()
+    assert(corruptRows.length == 1)
+    // E9: raw bytes preserved for the DLQ
+    assert(new String(corruptRows(0).getAs[Array[Byte]]("value"))
+      .startsWith("not json"))
+  }
+
+  test("proto-stub middleware decodes the framed codec and nulls corrupt (M1)") {
+    val good = Middleware.encodeStub(7, "/photos/h2k3j4h9h23")
+    val sess = spark
+    import sess.implicits._
+    val rows = Seq(
+      Envelope("k1".getBytes, good, "t", 0, 0L, ts("2024-01-01 00:00:00"), "t"),
+      Envelope("k2".getBytes, "junk".getBytes, "t", 0, 1L,
+        ts("2024-01-01 00:00:00"), "t")).toDF()
+    val parsed = Middleware.protoStub(rows)
+    val (ok, corrupt) = Middleware.splitCorrupt(parsed)
+    val m = ok.select("message.id", "message.path").collect()
+    assert(m.length == 1 && m(0).getInt(0) == 7
+      && m(0).getString(1) == "/photos/h2k3j4h9h23")
+    assert(corrupt.count() == 1)
+  }
+}
