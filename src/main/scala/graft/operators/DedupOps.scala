@@ -21,17 +21,24 @@ object DedupOps {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
-  /** Tokenize + word-3-gram shingles, distinct per doc. Guarded to ≥3
-    * tokens (Spark's sequence() would run descending otherwise). */
-  private def shingles(docs: DataFrame): DataFrame =
+  /** Word-3-gram shingle arrays, deduped per doc map-side (array_distinct —
+    * no shuffle; a global `.distinct()` would shuffle every pre-dedup
+    * shingle row). Guarded to ≥3 tokens (Spark's sequence() would run
+    * descending otherwise). Columns: doc_id, lang, sh_arr, n_sh. */
+  private def shingleArrays(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingle", explode(expr(
+      .withColumn("sh_arr", array_distinct(expr(
         """transform(sequence(0, size(toks) - 3),
           |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)))
-      .select(col("doc_id"), col("lang"), col("shingle"))
-      .distinct()
+      .select(col("doc_id"), col("lang"), col("sh_arr"),
+        size(col("sh_arr")).cast("long").as("n_sh"))
+
+  /** Exploded (doc_id, lang, shingle) rows, distinct per doc. */
+  private def shingles(docs: DataFrame): DataFrame =
+    shingleArrays(docs)
+      .select(col("doc_id"), col("lang"), explode(col("sh_arr")).as("shingle"))
 
   /** DuckDB CTEs producing the identical (doc_id, lang, shingle) set. */
   private val shinglesSql =
@@ -50,7 +57,7 @@ object DedupOps {
     * min(doc_id) per normalized-content hash). Map-side partial aggregation
     * means the shuffle carries one row per distinct hash, not per doc. */
   private def d01(s: SparkSession, dir: String): DataFrame =
-    t(s, dir).documents
+    t(s, dir).documentsSpread
       .groupBy(md5(lower(col("text"))).as("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
@@ -67,13 +74,15 @@ object DedupOps {
   /** N-gram Jaccard near-dup: candidate pairs from a self-join on shared
     * shingles (never all-pairs), intersection counted per pair, Jaccard ≥ 1/3
     * decided in exact integer arithmetic (3·|∩| ≥ |A|+|B| ⇔ J ≥ 1/3).
-    * At scale, hot shingles are the skew risk — the distinct() above bounds a
-    * shingle's row count by corpus doc count; production path adds a
-    * frequency cap filter (drop shingles in > F docs), same as here would be
+    * At scale, hot shingles are the skew risk — per-doc array_distinct bounds
+    * a shingle's row count by corpus doc count; the production path adds a
+    * frequency cap (drop shingles in > F docs) via a
     * `.groupBy(shingle).count.filter(n < F)` semi-join. */
   private def d02(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(t(s, dir).documents).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val arr = shingleArrays(t(s, dir).documentsSpread).cache()
+    // per-doc set sizes come free from the arrays — no counting aggregate
+    val sizes = arr.select(col("doc_id"), col("n_sh"))
+    val sh = arr.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
     val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
     val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
@@ -112,21 +121,21 @@ object DedupOps {
     * Reference has no such operator (SURVEY §2.6); this is the extension
     * surface's scale path for fuzzy dedup. */
   private def d03(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    val sh = shingles(t(s, dir).documents)
-    val seeds = spark.range(16).select(col("id").as("seed"))
-    val minh = sh.crossJoin(broadcast(seeds))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(StableHash.h60(concat(col("seed").cast("string"), lit(":"),
-        col("shingle")))).as("h"))
+    val sh = shingles(t(s, dir).documentsSpread)
+    // all 16 min-hashes in ONE aggregation pass: the 16 seeded hashes are
+    // computed per shingle row map-side and partially aggregated before the
+    // shuffle — one row per doc crosses the wire, never a 16× row blowup.
     val sigCols = (0 until 16).map(i =>
-      min(when(col("seed") === i, col("h"))).as(s"m$i"))
-    val sig = minh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      min(StableHash.h60(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // cache: the band table feeds both sides of the self-join; without it
+    // the whole shingle+signature lineage is computed twice.
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         concat_ws("-", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
           .as("bsig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+      .cache()
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
           && col("x.doc_id") < col("y.doc_id"))
@@ -169,19 +178,21 @@ object DedupOps {
     * declared query emits the fingerprint itself, which is the per-doc
     * deterministic artifact. */
   private def d04(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir).documents
+    val toks = t(s, dir).documentsSpread
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
       .withColumn("h", StableHash.h32(col("tok")))
-    val bits = toks.crossJoin(broadcast(
-      s.range(32).select(col("id").as("j"))))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("shiftright(h, CAST(j AS INT)) % 2 = 1"), 1)
-        .otherwise(-1)).as("vote"))
-    bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0,
-        pow(lit(2.0), col("j").cast("double")).cast("long"))
-        .otherwise(0L)).as("simhash"))
+    // all 32 bit-votes in ONE aggregation (map-side partial): per token row
+    // each bit's ±1 contribution is a codegen'd expression; the shuffle
+    // carries 32 longs per doc instead of 32× the token rows.
+    val voteCols = (0 until 32).map(j =>
+      sum(when(expr(s"shiftright(h, $j) % 2 = 1"), 1).otherwise(-1))
+        .as(s"v$j"))
+    val recombine = (0 until 32).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), recombine.as("simhash"))
       .orderBy(col("doc_id"))
   }
 

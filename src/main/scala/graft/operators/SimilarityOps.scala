@@ -47,7 +47,7 @@ object SimilarityOps {
   /** Brute-force cosine top-3: query set = vec_id < 10 (broadcast),
     * candidates = the rest. */
   private def s01(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir).embeddings
+    val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vd").as("qv"))
@@ -87,7 +87,7 @@ object SimilarityOps {
       .withColumn("w",
         (StableHash.h32(concat(col("p").cast("string"), lit(":"),
           col("d").cast("string"))) % 1001 - 500).cast("double") / 500.0)
-    val comps = t(s, dir).embeddings
+    val comps = t(s, dir).embeddingsSpread
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
       .withColumn("v", col("v").cast("double"))
     val sigs = comps.join(broadcast(planes), "d")
@@ -97,7 +97,7 @@ object SimilarityOps {
       .agg(sum(when(col("dot") > 0,
         pow(lit(2.0), col("p").cast("double")).cast("long")).otherwise(0L))
         .as("bucket"))
-    val emb = t(s, dir).embeddings
+    val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .join(sigs, "vec_id")
     val q = emb.filter(col("vec_id") < 10)

@@ -19,7 +19,7 @@ object TextOps {
   /** Token counting: whitespace tokens + a word-regex token count (BPE-ish
     * proxy: alnum runs), plus char stats. */
   private def t01(s: SparkSession, dir: String): DataFrame =
-    t(s, dir).documents
+    t(s, dir).documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -45,7 +45,7 @@ object TextOps {
   /** Quality scoring: stopword ratio, short-token ratio, and a rational
     * (transcendental-free, so bit-portable) composite score. */
   private def t02(s: SparkSession, dir: String): DataFrame =
-    t(s, dir).documents
+    t(s, dir).documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop", size(expr(
@@ -81,7 +81,7 @@ object TextOps {
     def occ(marker: String): org.apache.spark.sql.Column =
       ((length(col("text")) - length(replace(col("text"), lit(marker), lit(""))))
         / marker.length).cast("long")
-    t(s, dir).documents
+    t(s, dir).documentsSpread
       .withColumn("s_table", occ("table"))
       .withColumn("s_stream", occ("stream"))
       .withColumn("s_query", occ("query"))
@@ -108,19 +108,22 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   /** Document fingerprinting via char-4-gram rolling shingles: min/max
-    * shingle hash + distinct shingle count (winnowing-style sketch). The
-    * explode is map-side; the per-doc aggregate pre-combines before its
-    * shuffle, so state per doc is 3 longs regardless of doc length. */
+    * shingle hash + distinct shingle count (winnowing-style sketch).
+    * Entirely per-row array math (array_distinct + transform + array_min/max
+    * inside one codegen stage) — no explode, no shuffle; a groupBy+
+    * countDistinct formulation would shuffle every gram of every doc. */
   private def t04(s: SparkSession, dir: String): DataFrame =
-    t(s, dir).documents
+    t(s, dir).documentsSpread
       .filter(length(col("text")) >= 4)
-      .withColumn("gram", explode(expr(
+      .withColumn("garr", array_distinct(expr(
         "transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))")))
-      .groupBy(col("doc_id"))
-      .agg(
-        min(StableHash.h60(col("gram"))).as("fp_min"),
-        max(StableHash.h60(col("gram"))).as("fp_max"),
-        countDistinct(col("gram")).as("n_grams"))
+      .withColumn("harr", expr(
+        "transform(garr, g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"))
+      .select(
+        col("doc_id"),
+        array_min(col("harr")).as("fp_min"),
+        array_max(col("harr")).as("fp_max"),
+        size(col("garr")).cast("long").as("n_grams"))
       .orderBy(col("doc_id"))
 
   private val t04Sql =

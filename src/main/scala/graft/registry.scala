@@ -41,4 +41,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame = p("documents")
   def embeddings: DataFrame = p("embeddings")
+
+  /** documents/embeddings are small files that scan as one partition
+    * locally, which would serialize the explode/hash-heavy per-row compute
+    * of the dedup/text/similarity operators onto one thread. On a real
+    * cluster the input splits provide the spread; here an explicit
+    * round-robin repartition restores it. Cost: one tiny shuffle of the
+    * source rows (never of the exploded rows). */
+  def documentsSpread: DataFrame =
+    documents.repartition(col("doc_id"))
+  def embeddingsSpread: DataFrame =
+    embeddings.repartition(col("vec_id"))
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
