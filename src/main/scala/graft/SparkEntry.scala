@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** Full inventory, module order preserved. */
   val registry: Seq[(String, QueryDef)] =
-    Relational.defs ++ StreamParity.defs ++ DedupOps.defs ++
+    Relational.defs ++ StreamParity.defs ++ Analytic.defs ++ DedupOps.defs ++
       SimilarityOps.defs ++ TextOps.defs ++ MultimodalOps.defs
 
   private val regMap: Map[String, QueryDef] = registry.toMap

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+
+/** Hamming distance between two 64-bit fingerprints — the SimHash near-dup
+  * join predicate (DedupOps d04 produces the fingerprints; this scores
+  * candidate pairs).
+  *
+  * Implemented as a native Catalyst `Expression` with `doGenCode` (SURVEY
+  * §2.8 preference order: native expression > UDF): whole-stage codegen
+  * emits a single `Long.bitCount(a ^ b)` intrinsic per row — branch-free,
+  * no boxing, no UDF serialization — which is what a hamming-threshold join
+  * over billions of fingerprint pairs needs.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hamming64 requires (BIGINT, BIGINT), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def prettyName: String = "hamming64"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = java.lang.Long.bitCount($l ^ $r);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  /** Column API for [[HammingDistance]]. */
+  def hamming64(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      HammingDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Session extension registering the engine's SQL functions:
+  * `spark.builder.withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — after which
+  * `SELECT hamming64(a, b)` works in plain SQL. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("hamming64"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming64"),
+      (exprs: Seq[Expression]) => HammingDistance(exprs.head, exprs(1))))
+  }
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-window aggregations, sessionization, percentiles, pivot, analytic
+  * functions, grouping sets, and HLL — the streaming-native aggregation
+  * surface (SURVEY §2.6) expressed over `events`/`orders` with DuckDB
+  * oracles. The window()/session_window() forms here are the exact
+  * expressions a `readStream` pipeline uses with `withWatermark`; batch
+  * execution makes them oracle-checkable (see EventsStreamSpec for the
+  * streaming-equivalence proof).
+  */
+object Analytic {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Tumbling 1-day event-time windows (epoch-aligned, matching DuckDB's
+    * date_trunc) — counts and sums per (window, event_type). */
+  private def a01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+
+  private val a01Sql =
+    """SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
+      |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start_ms, event_type""".stripMargin
+
+  /** Sliding windows (1 day every 12 h): every event belongs to exactly two
+    * windows; the oracle reconstructs the window set arithmetically. */
+  private def a02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"), col("n"))
+      .orderBy(col("window_start_ms"))
+
+  private val a02Sql =
+    """SELECT ((epoch_us(ts) // 43200000000) - j) * 43200000 AS window_start_ms,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events, (SELECT unnest(range(2)) AS j) js
+      |GROUP BY 1
+      |ORDER BY window_start_ms""".stripMargin
+
+  /** Session windows (30-minute gap) per user — the
+    * `session_window(ts, gap)` streaming operator; oracle via
+    * gaps-and-islands (lag + cumulative flag sum). */
+  private def a03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+
+  private val a03Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |         > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
+  /** Exact interpolated percentiles per event type (Spark `percentile` ≡
+    * DuckDB `quantile_cont`). The approx (t-digest/HLL-family) variants are
+    * declared in a06 with a rows-only check. */
+  private def a04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+      .orderBy(col("event_type"))
+
+  private val a04Sql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.25), 4) AS p25,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.75), 4) AS p75,
+      |  round(quantile_cont(value, 0.95), 4) AS p95
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Pivot: order revenue by year × status (fixed pivot values → stable
+    * schema; the oracle is the equivalent conditional aggregation). */
+  private def a05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .na.fill(0.0, Seq("F", "O", "P"))
+      .orderBy(col("order_year"))
+
+  private val a05Sql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  coalesce(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS "F",
+      |  coalesce(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS "O",
+      |  coalesce(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0) AS "P"
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY order_year""".stripMargin
+
+  /** HLL cardinality sketch (approx_count_distinct): declared for coverage;
+    * sketch internals are engine-specific so the driver records the weaker
+    * rows-only check (no DuckDB hash parity possible). */
+  private def a06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** Analytic window functions: lag/lead/ntile over a total per-supplier
+    * order. */
+  private def a07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir).lineitem
+      .filter(col("l_suppkey") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        lag(col("l_quantity"), 1, -1.0).over(w).as("prev_qty"),
+        lead(col("l_quantity"), 1, -1.0).over(w).as("next_qty"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val a07Sql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  coalesce(lag(l_quantity, 1) OVER w, -1.0) AS prev_qty,
+      |  coalesce(lead(l_quantity, 1) OVER w, -1.0) AS next_qty,
+      |  ntile(4) OVER w AS quartile
+      |FROM lineitem
+      |WHERE l_suppkey <= 3
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** GROUPING SETS through the SQL API (temp views over the same parquet). */
+  private def a08(s: SparkSession, dir: String): DataFrame = {
+    val tb = t(s, dir)
+    tb.customer.createOrReplaceTempView("gs_customer")
+    tb.nation.createOrReplaceTempView("gs_nation")
+    s.sql(
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(c_mktsegment, 'ALL') AS segment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(c_acctbal), 2) AS sum_bal
+        |FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY nation, segment""".stripMargin)
+  }
+
+  private val a08Sql =
+    """SELECT coalesce(n_name, 'ALL') AS nation,
+      |  coalesce(c_mktsegment, 'ALL') AS segment,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+      |ORDER BY nation, segment""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
+    "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
+    "a03_session_window" -> QueryDef(a03, Some(a03Sql), headline = true),
+    "a04_percentiles" -> QueryDef(a04, Some(a04Sql)),
+    "a05_pivot" -> QueryDef(a05, Some(a05Sql)),
+    "a06_hll_approx" -> QueryDef(a06, None),
+    "a07_lag_lead_ntile" -> QueryDef(a07, Some(a07Sql)),
+    "a08_grouping_sets" -> QueryDef(a08, Some(a08Sql)),
+  )
+}

@@ -89,6 +89,63 @@ final class GraftEngine(
     q
   }
 
+  /** Start a channel worker (D2/E2, mapper.clj:71-111): consumes the
+    * channel's topic with its own handler and channel-scoped retry config —
+    * the RabbitMQ-worker analogue whose parallelism is decoupled from the
+    * origin topic's partitions (workerCount → per-trigger repartition). */
+  def startChannelWorker(route: StreamRouteConfig, channelName: String,
+      middleware: DataFrame => DataFrame,
+      handler: Dispatch.Handler,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val entity = route.topicEntity
+    val ch = route.channels.getOrElse(channelName,
+      throw new IllegalArgumentException(
+        s"route '$entity' has no channel '$channelName'"))
+    // channel-scoped retry cycle: its own retry/DLQ topics
+    val chRoute = route.copy(
+      topicEntity = s"${entity}_channel_$channelName",
+      retry = ch.retry, channels = Map.empty)
+    val src = topics.readStream(spark,
+      EngineConfig.channelTopic(entity, channelName))
+    val q = src.writeStream
+      .queryName(s"channel-$entity-$channelName")
+      .option("checkpointLocation", s"$checkpointDir/channel-$entity-$channelName")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spread = if (ch.workerCount > 1)
+          batch.repartition(ch.workerCount) else batch
+        val counts = Dispatch.dispatch(chRoute, topics, handler)(
+          middleware(Pipeline.enrichMetadata(spread)))
+        metrics.recordDispatch(chRoute.topicEntity, counts)
+      }
+      .start()
+    queries.put(s"channel-$entity-$channelName", q)
+    q
+  }
+
+  /** Start the instant-topic worker: consumes records the dead-set replay
+    * re-published (messaging/consumer.clj:137-148's instant-queue
+    * subscribers) through the same middleware + handler. */
+  def startInstantWorker(route: StreamRouteConfig,
+      middleware: DataFrame => DataFrame,
+      handler: Dispatch.Handler,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val entity = route.topicEntity
+    val src = topics.readStream(spark, EngineConfig.instantTopic(entity))
+    val q = src.writeStream
+      .queryName(s"instant-$entity")
+      .option("checkpointLocation", s"$checkpointDir/instant-$entity")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val counts = Dispatch.dispatch(route, topics, handler)(
+          middleware(Pipeline.enrichMetadata(batch)))
+        metrics.recordDispatch(entity, counts)
+      }
+      .start()
+    queries.put(s"instant-$entity", q)
+    q
+  }
+
   /** O2: stop/restart a single route's query at runtime. */
   def stopRoute(name: String): Boolean =
     Option(queries.remove(name)).map { q => q.stop(); true }.getOrElse(false)

@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSuite {
+
+  test("hamming64 column API computes bit distance (codegen path)") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (0L, 0L, 0), (0L, 1L, 1), (0L, 3L, 2),
+      (0L, -1L, 64), (Long.MaxValue, 0L, 63),
+      (0x5555555555555555L, 0xAAAAAAAAAAAAAAAAL, 64)
+    ).toDF("a", "b", "expected")
+    val got = df.withColumn("d", GraftFunctions.hamming64(col("a"), col("b")))
+      .filter(col("d") =!= col("expected"))
+    assert(got.count() == 0)
+  }
+
+  test("hamming64 null propagation") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((Some(1L), None: Option[Long])).toDF("a", "b")
+    val r = df.select(GraftFunctions.hamming64(col("a"), col("b"))).collect()
+    assert(r(0).isNullAt(0))
+  }
+
+  test("hamming64 is SQL-callable once registered (GraftExtensions path)") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming64", exprs => HammingDistance(exprs.head, exprs(1)), "built-in")
+    val r = spark.sql("SELECT hamming64(CAST(0 AS BIGINT), CAST(7 AS BIGINT))")
+      .collect()(0).getInt(0)
+    assert(r == 3)
+  }
+
+  test("hamming64 rejects non-long inputs at analysis") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(("x", 1L)).toDF("a", "b")
+    intercept[Exception] {
+      df.select(GraftFunctions.hamming64(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("stable hashes match their DuckDB formulas' semantics") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq("abc").toDF("s")
+    // md5('abc') = 900150983cd24fb0... → first 8 hex = 0x90015098
+    assert(df.select(StableHash.h32(col("s"))).collect()(0).getLong(0)
+      == 0x90015098L)
+    assert(df.select(StableHash.h60(col("s"))).collect()(0).getLong(0)
+      == java.lang.Long.parseLong("900150983cd24fb", 16))
+  }
+}

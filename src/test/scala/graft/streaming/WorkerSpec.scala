@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Channel workers (D2/E2) and instant-topic workers through the engine. */
+class WorkerSpec extends SparkSuite {
+
+  test("channel fan-out: dispatch writes channel topic, worker consumes with channel-scoped retry") {
+    val dir = tmpDir("chan")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val route = StreamRouteConfig(
+      topicEntity = "app", originTopic = "app_origin",
+      retry = RetryConfig(enabled = true, count = 3),
+      channels = Map("geo" -> ChannelConfig("geo", workerCount = 2,
+        retry = RetryConfig(enabled = true, count = 1,
+          backoffType = BackoffType.Linear, queueTimeoutMs = 0L))))
+    val cfg = EngineConfig(streamRoutes = Map("app" -> route))
+    val engine = new GraftEngine(spark, cfg, topics, s"$dir/ckpt")
+
+    topics.append(envelopes("app", Seq(
+      ("k1", "to-geo", new java.sql.Timestamp(System.currentTimeMillis)),
+      ("k2", "to-geo", new java.sql.Timestamp(System.currentTimeMillis)))),
+      "app_origin")
+
+    // origin handler fans everything to the geo channel
+    engine.startStreamRoute(route, identity,
+      Dispatch.ExprHandler(lit("channel:geo")), Trigger.AvailableNow())
+      .awaitTermination()
+    assert(topics.read(spark, "app_channel_geo").count() == 2)
+    assert(engine.metrics.count("app.message.channel") == 2)
+
+    // channel worker: one succeeds, one retries into the channel's own cycle
+    val chHandler = Dispatch.ExprHandler(
+      when(col("key").cast("string") === "k1", "success").otherwise("retry"))
+    engine.startChannelWorker(route, "geo", identity, chHandler,
+      Trigger.AvailableNow()).awaitTermination()
+    assert(engine.metrics.count("app_channel_geo.message.success") == 1)
+    assert(engine.metrics.count("app_channel_geo.message.retry") == 1)
+    // channel-scoped retry topic, not the route's
+    assert(topics.read(spark, "app_channel_geo_retry").count() == 1)
+    assert(topics.read(spark, "app_retry").count() == 0)
+    engine.stopAll()
+  }
+
+  test("unknown channel name is rejected") {
+    val dir = tmpDir("chan2")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val route = StreamRouteConfig("app", "app_origin")
+    val engine = new GraftEngine(spark,
+      EngineConfig(streamRoutes = Map("app" -> route)), topics, s"$dir/ckpt")
+    intercept[IllegalArgumentException] {
+      engine.startChannelWorker(route, "nope", identity,
+        Dispatch.ExprHandler(lit("success")))
+    }
+  }
+
+  test("instant worker reprocesses dead-set replays end-to-end (E6 → S4)") {
+    val dir = tmpDir("instant")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val route = StreamRouteConfig("app", "app_origin",
+      retry = RetryConfig(enabled = true, count = 2))
+    val engine = new GraftEngine(spark,
+      EngineConfig(streamRoutes = Map("app" -> route)), topics, s"$dir/ckpt")
+
+    // seed the DLQ directly, replay via the dead-set manager
+    topics.append(envelopes("app", Seq(
+      ("k", "recovered", new java.sql.Timestamp(System.currentTimeMillis)))),
+      "app_dead_letter")
+    assert(engine.deadSet.replay(spark, "app", 5) == 1)
+
+    engine.startInstantWorker(route, identity,
+      Dispatch.ExprHandler(lit("success")), Trigger.AvailableNow())
+      .awaitTermination()
+    assert(engine.metrics.count("app.message.success") == 1)
+    engine.stopAll()
+  }
+}
