@@ -216,10 +216,55 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Embedding-cosine near-dup: candidate pairs blocked on `label` (the
+    * blocking key; at 100 TB compose SimilarityOps' LSH bucketing instead),
+    * scored with an in-order double fold. Norms are precomputed once per
+    * vector — the pair stage then does a single dot-product fold, not three.
+    * Threshold applied to the rounded value so both engines cut identically. */
+  private def d05(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir).embeddingsSpread
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(vd, 0D, (acc, v) -> acc + v * v))"))
+    val a = emb.select(col("vec_id").as("a_id"), col("label"),
+      col("vd").as("av"), col("nrm").as("an"))
+    val b = emb.select(col("vec_id").as("b_id"), col("label"),
+      col("vd").as("bv"), col("nrm").as("bn"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(
+        expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          / (col("an") * col("bn")), 4))
+      .filter(col("cos_sim") > 0.35)
+      .select(col("a_id"), col("b_id"), col("label").cast("long").as("label"),
+        col("cos_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d05Sql =
+    """WITH nv AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE)))
+      |      AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  CAST(a.label AS BIGINT) AS label,
+      |  round(list_sum(list_transform(range(1, 65),
+      |      i -> a.embedding[CAST(i AS INT)]::DOUBLE
+      |           * b.embedding[CAST(i AS INT)]::DOUBLE))
+      |    / (a.nrm * b.nrm), 4) AS cos_sim
+      |FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(range(1, 65),
+      |      i -> a.embedding[CAST(i AS INT)]::DOUBLE
+      |           * b.embedding[CAST(i AS INT)]::DOUBLE))
+      |    / (a.nrm * b.nrm), 4) > 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
     "d03_dedup_minhash_lsh" -> QueryDef(d03, Some(d03Sql), headline = true),
     "d04_dedup_simhash" -> QueryDef(d04, Some(d04Sql), headline = true),
+    "d05_dedup_embedding_cosine" -> QueryDef(d05, Some(d05Sql)),
   )
 }

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Streaming-equivalence proof: the windowed-aggregation expressions the
+  * oracle checks in batch (Analytic a01/a03) produce identical results when
+  * executed as a real Structured Streaming query over the same events file
+  * (readStream → withWatermark → window agg → memory sink, AvailableNow
+  * determinism per SURVEY §5).
+  */
+class EventsStreamSpec extends SparkSuite {
+
+  /** events.parquet has TIMESTAMP(NANOS) → stream-read as long + truncate,
+    * matching graft.Tables.events. */
+  private def streamedEvents(dir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def stageDir(): String = {
+    val d = Files.createTempDirectory("events-stream")
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streamed tumbling-window agg equals the batch/oracle result") {
+    val dir = stageDir()
+    val streamed = streamedEvents(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = s"tumble_${System.nanoTime()}"
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name).orderBy("window_start_ms", "event_type")
+        .collect().map(_.toSeq).toSeq
+      val want = graft.SparkEntry.queries("a01_tumbling_window")(spark, sf0001)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streamed session-window agg equals the batch/oracle result") {
+    val dir = stageDir()
+    val streamed = streamedEvents(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"), col("n_events"))
+    val name = s"sess_${System.nanoTime()}"
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name).orderBy("user_id", "session_start_ms")
+        .collect().map(_.toSeq).toSeq
+      val want = graft.SparkEntry.queries("a03_session_window")(spark, sf0001)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streamed too-old filter + dispatch pipeline over events (R2→E1)") {
+    val dir = stageDir()
+    val base = tmpDir("evdispatch")
+    val topics = new FileTopicIO(s"$base/topics")
+    val route = StreamRouteConfig("ev", "events", oldestProcessedMessageInS = Long.MaxValue / 1000,
+      retry = RetryConfig(enabled = true, count = 1))
+    // adapt raw events into the envelope shape, then run the real pipeline
+    val env = streamedEvents(dir).select(
+      col("event_id").cast("string").cast("binary").as("key"),
+      col("props").cast("binary").as("value"),
+      lit("events").as("topic"),
+      lit(0).as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"),
+      lit("ev").as("topicEntity"),
+      lit(null).cast("int").as("retryCount"),
+      lit(null).cast("timestamp").as("nextAttemptAt"),
+      lit(null).cast("string").as("channel"))
+    val handler = Dispatch.ExprHandler(
+      when(get_json_object(col("value").cast("string"), "$.k").cast("long") % 2
+        === 0, "success").otherwise("skip"))
+    val q = env.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dispatch.dispatch(route, topics, handler)(batch): Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // all 1000 events dispatched to success or skip, none persisted
+    assert(topics.read(spark, "ev_retry").count() == 0)
+  }
+}
