@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.server.ManagementServer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Per-route user wiring: middleware + handler (the route map the user
+  * passes to the reference's init/main, init.clj:244-273). */
+final case class RouteWiring(
+    middleware: DataFrame => DataFrame,
+    handler: Dispatch.Handler)
+
+/** D3/O7 mode-driven lifecycle (init.clj:121-143): `start(modes)` brings up
+  * the subsystems a deployment runs —
+  *
+  *   StreamWorker → one query per stream route (origin topic → dispatch)
+  *   Worker       → retry readers + instant workers + channel workers
+  *   BatchWorker  → one query per batch route
+  *   ApiServer    → the management HTTP server
+  *
+  * `stop()` drains queries then the server (shutdown-hook order,
+  * init.clj:178-183).
+  */
+final class GraftApp(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    topics: TopicIO,
+    checkpointDir: String,
+    streamWiring: Map[String, RouteWiring] = Map.empty,
+    batchWiring: Map[String, RouteWiring] = Map.empty,
+    failurePolicy: FailurePolicy = FailurePolicy.StopQuery,
+    trigger: Trigger = Trigger.AvailableNow()) {
+
+  {
+    // route/wiring cross-validation ≡ init.clj:202-224
+    val missingStream = cfg.streamRoutes.keySet -- streamWiring.keySet
+    val missingBatch = cfg.batchRoutes.keySet -- batchWiring.keySet
+    require(missingStream.isEmpty && missingBatch.isEmpty,
+      s"routes without wiring: stream=$missingStream batch=$missingBatch")
+  }
+
+  val engine = new GraftEngine(spark, cfg, topics, checkpointDir,
+    failurePolicy = failurePolicy)
+  private var server: Option[ManagementServer] = None
+
+  def start(modes: Set[Mode]): Unit = {
+    if (modes.contains(Mode.StreamWorker))
+      cfg.streamRoutes.foreach { case (entity, route) =>
+        val w = streamWiring(entity)
+        engine.startStreamRoute(route, w.middleware, w.handler, trigger)
+      }
+    if (modes.contains(Mode.BatchWorker))
+      cfg.batchRoutes.foreach { case (entity, route) =>
+        val w = batchWiring(entity)
+        engine.startBatchRoute(route, w.middleware, w.handler, trigger)
+      }
+    if (modes.contains(Mode.Worker))
+      cfg.streamRoutes.foreach { case (entity, route) =>
+        val w = streamWiring(entity)
+        engine.startRetryReader(route, w.middleware, w.handler, trigger)
+        engine.startInstantWorker(route, w.middleware, w.handler, trigger)
+        route.channels.keys.foreach(ch =>
+          engine.startChannelWorker(route, ch, w.middleware, w.handler, trigger))
+      }
+    if (modes.contains(Mode.ApiServer)) {
+      val s = new ManagementServer(spark, engine, cfg.httpPort)
+      s.start()
+      server = Some(s)
+    }
+  }
+
+  def httpPort: Option[Int] = server.map(_.boundPort)
+
+  def awaitAll(): Unit = engine.awaitAll()
+
+  def stop(): Unit = {
+    engine.stopAll()
+    server.foreach(_.stop())
+    server = None
+  }
+}

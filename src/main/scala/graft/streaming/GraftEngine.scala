@@ -18,12 +18,26 @@ import scala.jdk.CollectionConverters._
   *  - drain-timeout (E11)        → query.stop() completes the in-flight
   *    micro-batch; stopAll enforces the configured drain window.
   */
+/** E12 uncaught-exception policy (streams.clj:208-214): what to do when a
+  * route's query dies with an error. */
+sealed trait FailurePolicy
+object FailurePolicy {
+  /** Leave the failed query stopped, others keep running (the reference's
+    * :shutdown-client default). */
+  case object StopQuery extends FailurePolicy
+  /** Stop every query (:shutdown-application). */
+  case object StopAll extends FailurePolicy
+  /** Restart the failed route from its checkpoint (:replace-thread). */
+  case object Restart extends FailurePolicy
+}
+
 final class GraftEngine(
     spark: SparkSession,
     cfg: EngineConfig,
     topics: TopicIO,
     checkpointDir: String,
-    val metrics: MetricsRegistry = new MetricsRegistry) {
+    val metrics: MetricsRegistry = new MetricsRegistry,
+    failurePolicy: FailurePolicy = FailurePolicy.StopQuery) {
 
   {
     val errs = EngineConfig.validate(cfg)
@@ -32,7 +46,44 @@ final class GraftEngine(
   }
 
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
+  private val starters =
+    new ConcurrentHashMap[String, () => StreamingQuery]()
+  private val idToName = new ConcurrentHashMap[java.util.UUID, String]()
   val deadSet = new DeadSet(topics, s"$checkpointDir/markers")
+
+  /** Registers a started query for lifecycle tracking + failure policy. */
+  private def track(name: String, start: () => StreamingQuery): StreamingQuery = {
+    val q = start()
+    queries.put(name, q)
+    starters.put(name, start)
+    idToName.put(q.id, name)
+    q
+  }
+
+  // E12: react to abnormal termination per the configured policy
+  spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      if (e.exception.isDefined) {
+        Option(idToName.get(e.id)).foreach { name =>
+          metrics.increment(s"$name.query.failed")
+          failurePolicy match {
+            case FailurePolicy.StopQuery => queries.remove(name)
+            case FailurePolicy.StopAll => stopAll()
+            case FailurePolicy.Restart =>
+              Option(starters.get(name)).foreach { s =>
+                try { val q = s(); queries.put(name, q); idToName.put(q.id, name) }
+                catch { case _: Throwable => queries.remove(name) }
+              }
+          }
+        }
+      }
+    }
+  })
 
   /** Start one stream route: origin-topic stream → Pipeline → foreachBatch
     * dispatch (the driver loop of SURVEY §3.1's Spark equivalent). */
@@ -40,10 +91,11 @@ final class GraftEngine(
       middleware: DataFrame => DataFrame,
       handler: Dispatch.Handler,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    topics.provision(route.topicEntity, route.channels.keys)
     val src = topics.readStream(spark, route.originTopic)
     val piped = Pipeline.observeReads(s"${route.topicEntity}.reads")(
       Pipeline.forRoute(route, middleware)(src))
-    val q = piped.writeStream
+    track(route.topicEntity, () => piped.writeStream
       .queryName(s"route-${route.topicEntity}")
       .option("checkpointLocation", s"$checkpointDir/${route.topicEntity}")
       .trigger(trigger)
@@ -51,9 +103,7 @@ final class GraftEngine(
         val counts = Dispatch.dispatch(route, topics, handler)(batch)
         metrics.recordDispatch(route.topicEntity, counts)
       }
-      .start()
-    queries.put(route.topicEntity, q)
-    q
+      .start())
   }
 
   /** Start the retry-reader query for a route (S4's replacement): stream the
@@ -68,7 +118,7 @@ final class GraftEngine(
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val entity = route.topicEntity
     val src = topics.readStream(spark, EngineConfig.retryTopic(entity))
-    val q = src.writeStream
+    track(s"retry-$entity", () => src.writeStream
       .queryName(s"retry-$entity")
       .option("checkpointLocation", s"$checkpointDir/retry-$entity")
       .trigger(trigger)
@@ -84,9 +134,7 @@ final class GraftEngine(
           metrics.recordDispatch(entity, counts)
         } finally cached.unpersist()
       }
-      .start()
-    queries.put(s"retry-$entity", q)
-    q
+      .start())
   }
 
   /** Start a channel worker (D2/E2, mapper.clj:71-111): consumes the
@@ -107,7 +155,7 @@ final class GraftEngine(
       retry = ch.retry, channels = Map.empty)
     val src = topics.readStream(spark,
       EngineConfig.channelTopic(entity, channelName))
-    val q = src.writeStream
+    track(s"channel-$entity-$channelName", () => src.writeStream
       .queryName(s"channel-$entity-$channelName")
       .option("checkpointLocation", s"$checkpointDir/channel-$entity-$channelName")
       .trigger(trigger)
@@ -118,9 +166,7 @@ final class GraftEngine(
           middleware(Pipeline.enrichMetadata(spread)))
         metrics.recordDispatch(chRoute.topicEntity, counts)
       }
-      .start()
-    queries.put(s"channel-$entity-$channelName", q)
-    q
+      .start())
   }
 
   /** Start the instant-topic worker: consumes records the dead-set replay
@@ -132,7 +178,7 @@ final class GraftEngine(
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val entity = route.topicEntity
     val src = topics.readStream(spark, EngineConfig.instantTopic(entity))
-    val q = src.writeStream
+    track(s"instant-$entity", () => src.writeStream
       .queryName(s"instant-$entity")
       .option("checkpointLocation", s"$checkpointDir/instant-$entity")
       .trigger(trigger)
@@ -141,9 +187,56 @@ final class GraftEngine(
           middleware(Pipeline.enrichMetadata(batch)))
         metrics.recordDispatch(entity, counts)
       }
-      .start()
-    queries.put(s"instant-$entity", q)
-    q
+      .start())
+  }
+
+  /** Start a batch route (S3/E7, kafka_consumer/consumer_handler.clj):
+    * polled bounded batches ≈ AvailableNow with maxFilesPerTrigger; the
+    * handler's output is constrained to {skip, retry} and offsets commit
+    * through the checkpoint only after retry writes land (E8, strictly
+    * stronger than the reference's commitSync-after-process). */
+  def startBatchRoute(route: BatchRouteConfig,
+      middleware: DataFrame => DataFrame,
+      handler: Dispatch.Handler,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val entity = route.topicEntity
+    topics.provision(entity, Nil)
+    val src = topics.readStream(spark, route.originTopic)
+    track(s"batch-$entity", () => src.writeStream
+      .queryName(s"batch-$entity")
+      .option("checkpointLocation", s"$checkpointDir/batch-$entity")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val counts = Dispatch.dispatchBatchRoute(route, topics, handler)(
+          middleware(Pipeline.enrichMetadata(batch)))
+        metrics.recordDispatch(entity, counts)
+      }
+      .start())
+  }
+
+  /** Start a stream-joins route (S2/J1-J4, the reference's alpha
+    * :stream-joins consumer type, streams.clj:163-179): one stream per
+    * input topic, folded pairwise with per-stage windows/types, then the
+    * joined payload flows through the normal dispatch. */
+  def startStreamJoinRoute(route: StreamRouteConfig,
+      inputTopics: Seq[String], joinCfgs: Seq[(Long, String)],
+      key: String, tsCol: String,
+      middleware: DataFrame => DataFrame,
+      handler: Dispatch.Handler,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(inputTopics.size >= 2, "stream-joins route needs >= 2 topics")
+    topics.provision(route.topicEntity, route.channels.keys)
+    val streams = inputTopics.map(tp => topics.readStream(spark, tp))
+    val joined = StreamJoins.joinChain(streams, key, tsCol, joinCfgs)
+    track(s"joinroute-${route.topicEntity}", () => joined.writeStream
+      .queryName(s"joinroute-${route.topicEntity}")
+      .option("checkpointLocation", s"$checkpointDir/join-${route.topicEntity}")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val counts = Dispatch.dispatch(route, topics, handler)(middleware(batch))
+        metrics.recordDispatch(route.topicEntity, counts)
+      }
+      .start())
   }
 
   /** O2: stop/restart a single route's query at runtime. */

@@ -18,6 +18,10 @@ trait TopicIO extends Serializable {
   def append(df: DataFrame, topic: String): Unit
   /** Largest offset written so far, -1 if empty. */
   def maxOffset(spark: SparkSession, topic: String): Long
+  /** K4 topology provisioning (messaging/producer.clj:302-378 → Kafka
+    * AdminClient.createTopics): ensure the retry/DLQ/instant/channel topics
+    * for an entity exist before queries start. */
+  def provision(entity: String, channels: Iterable[String]): Unit = ()
 }
 
 /** Kafka transport: thin option-builders over the built-in kafka source/sink
@@ -111,4 +115,11 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
     }
+
+  override def provision(entity: String, channels: Iterable[String]): Unit = {
+    val topics = Seq(EngineConfig.instantTopic(entity),
+      EngineConfig.retryTopic(entity), EngineConfig.deadLetterTopic(entity)) ++
+      channels.map(EngineConfig.channelTopic(entity, _))
+    topics.foreach(t => Files.createDirectories(Paths.get(dir(t))))
+  }
 }

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URI
+
+/** D3/O7 mode-driven lifecycle + E12 failure policy + S3 batch routes. */
+class AppSpec extends SparkSuite {
+
+  private def now = new java.sql.Timestamp(System.currentTimeMillis)
+
+  test("GraftApp starts all subsystems by mode and processes end-to-end") {
+    val dir = tmpDir("app")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val sroute = StreamRouteConfig("s", "s_origin",
+      retry = RetryConfig(enabled = true, count = 1, queueTimeoutMs = 0L))
+    val broute = BatchRouteConfig("b", "b_origin",
+      retry = RetryConfig(enabled = true, count = 1))
+    val cfg = EngineConfig(
+      streamRoutes = Map("s" -> sroute),
+      batchRoutes = Map("b" -> broute),
+      httpPort = 0)
+    val app = new GraftApp(spark, cfg, topics, s"$dir/ckpt",
+      streamWiring = Map("s" -> RouteWiring(identity,
+        Dispatch.ExprHandler(when(col("value").cast("string") === "bad",
+          "retry").otherwise("success")))),
+      batchWiring = Map("b" -> RouteWiring(identity,
+        Dispatch.ExprHandler(lit("skip")))))
+
+    topics.append(envelopes("s", Seq(("k1", "ok", now), ("k2", "bad", now))),
+      "s_origin")
+    topics.append(envelopes("b", Seq(("k3", "x", now))), "b_origin")
+
+    app.start(Set(Mode.StreamWorker, Mode.BatchWorker, Mode.ApiServer))
+    app.awaitAll()
+    assert(app.engine.metrics.count("s.message.success") == 1)
+    assert(app.engine.metrics.count("s.message.retry") == 1)
+    assert(app.engine.metrics.count("b.message.skip") == 1)
+
+    // Worker mode drains the retry topic (due immediately, timeout 0)
+    app.start(Set(Mode.Worker))
+    app.awaitAll()
+    assert(topics.read(spark, "s_retry").count() == 1) // consumed once; hop recorded
+
+    // HTTP up
+    val port = app.httpPort.get
+    val r = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ping"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200 && r.body() == "pong")
+    app.stop()
+  }
+
+  test("missing wiring for a declared route is rejected") {
+    val dir = tmpDir("app2")
+    val cfg = EngineConfig(streamRoutes =
+      Map("s" -> StreamRouteConfig("s", "s_origin")))
+    intercept[IllegalArgumentException] {
+      new GraftApp(spark, cfg, new FileTopicIO(s"$dir/topics"), s"$dir/ckpt")
+    }
+  }
+
+  test("E12 failure policy: failing route counted and left stopped (StopQuery)") {
+    val dir = tmpDir("app3")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val route = StreamRouteConfig("f", "f_origin")
+    val engine = new GraftEngine(spark,
+      EngineConfig(streamRoutes = Map("f" -> route)), topics, s"$dir/ckpt",
+      failurePolicy = FailurePolicy.StopQuery)
+    topics.append(envelopes("f", Seq(("k", "v", now))), "f_origin")
+    val boom = new Dispatch.Handler {
+      def apply(b: org.apache.spark.sql.DataFrame) =
+        throw new RuntimeException("handler exploded")
+    }
+    val q = engine.startStreamRoute(route, identity, boom)
+    intercept[Exception] { q.awaitTermination() }
+    // listener delivery is async
+    val deadline = System.currentTimeMillis + 10000
+    while (engine.metrics.count("f.query.failed") == 0
+        && System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(engine.metrics.count("f.query.failed") == 1)
+    assert(!engine.runningQueries.contains("f"))
+    engine.stopAll()
+  }
+}
