@@ -260,6 +260,29 @@ object DedupOps {
       |    / (a.nrm * b.nrm), 4) > 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** SimHash near-dup pair join over d04's fingerprints: pigeonhole
+    * blocking — a 32-bit simhash splits into 4 bytes; any pair within
+    * hamming distance ≤ 3 must agree on at least one byte, so candidates
+    * come from an equi-join on (band, byte) and only candidates pay the
+    * [[graft.functions.GraftFunctions.hamming64]] scoring (codegen'd
+    * Long.bitCount). Sub-quadratic for the same reason LSH banding is. */
+  def simhashNearDups(sims: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "pigeonhole blocking with 4 bands covers maxDist <= 3")
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        expr(s"shiftright(simhash, ${8 * b}) & 255").as("bv"))): _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        graft.functions.GraftFunctions
+          .hamming64(col("x.simhash"), col("y.simhash")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),

@@ -393,6 +393,33 @@ object Relational {
       |      FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.ap
       |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin
 
+  /** Array function library over the embedding vectors: size, min/max,
+    * element access, and an in-order fold — the array half of §2.6's scalar
+    * inventory (the string/date/math half is q15). */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        round(array_max(col("embedding")).cast("double"), 4).as("vmax"),
+        round(array_min(col("embedding")).cast("double"), 4).as("vmin"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_v"),
+        round(expr(
+          "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v * v)"),
+          4).as("sq_norm"))
+      .orderBy(col("vec_id"))
+
+  private val q19Sql =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS n_dims,
+      |  round(list_max(embedding)::DOUBLE, 4) AS vmax,
+      |  round(list_min(embedding)::DOUBLE, 4) AS vmin,
+      |  round(embedding[1]::DOUBLE, 4) AS first_v,
+      |  round(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE)), 4)
+      |    AS sq_norm
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -412,5 +439,6 @@ object Relational {
     "q16_conditional_agg" -> QueryDef(q16, Some(q16Sql)),
     "q17_having" -> QueryDef(q17, Some(q17Sql)),
     "q18_avg_subquery" -> QueryDef(q18, Some(q18Sql), headline = true),
+    "q19_array_funcs" -> QueryDef(q19, Some(q19Sql)),
   )
 }

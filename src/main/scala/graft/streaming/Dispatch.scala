@@ -41,9 +41,19 @@ object Dispatch {
   final case class Counts(success: Long, skip: Long, retried: Long,
       deadLettered: Long, toChannels: Long)
 
+  /** Emit through the idempotent path when a replay token is present
+    * (SURVEY §7.3.1: replayed micro-batches must not double-publish). */
+  private def emit(topics: TopicIO, df: DataFrame, topic: String,
+      token: Option[String]): Unit = token match {
+    case Some(t) => topics.appendIdempotent(df, topic, t)
+    case None => topics.append(df, topic)
+  }
+
   /** Dispatch one micro-batch for a route. Returns per-disposition counts
-    * (the metrics the reference emits per message, mapper.clj:33-54). */
-  def dispatch(route: StreamRouteConfig, topics: TopicIO, handler: Handler)(
+    * (the metrics the reference emits per message, mapper.clj:33-54).
+    * `token` = `<query>-<batchId>` makes every sink write replay-safe. */
+  def dispatch(route: StreamRouteConfig, topics: TopicIO, handler: Handler,
+      token: Option[String] = None)(
       batch: DataFrame): Counts = {
     import Envelope.Code
     val entity = route.topicEntity
@@ -69,18 +79,19 @@ object Dispatch {
         .drop("disposition")
       val retried = envCount(retryable)
       if (retried > 0)
-        topics.append(retryable, EngineConfig.retryTopic(entity))
+        emit(topics, retryable, EngineConfig.retryTopic(entity), token)
       val deadAll = dead.unionByName(exhausted, allowMissingColumns = true)
       val deadLettered = envCount(deadAll)
       if (deadLettered > 0)
-        topics.append(deadAll, EngineConfig.deadLetterTopic(entity))
+        emit(topics, deadAll, EngineConfig.deadLetterTopic(entity), token)
 
       var toChannels = 0L
       route.channels.keys.foreach { ch =>
         val sub = handled.filter(col("disposition") === Code.channel(ch))
           .drop("disposition")
         val n = envCount(sub)
-        if (n > 0) topics.append(sub, EngineConfig.channelTopic(entity, ch))
+        if (n > 0)
+          emit(topics, sub, EngineConfig.channelTopic(entity, ch), token)
         toChannels += n
       }
       Counts(success, skip, retried, deadLettered, toChannels)
@@ -94,7 +105,8 @@ object Dispatch {
     * anything else is an invalid return (InvalidReturnTypeException in the
     * reference). */
   def dispatchBatchRoute(route: BatchRouteConfig, topics: TopicIO,
-      handler: Handler)(batch: DataFrame): Counts = {
+      handler: Handler, token: Option[String] = None)(
+      batch: DataFrame): Counts = {
     import Envelope.Code
     val handled = handler(batch).cache()
     try {
@@ -112,11 +124,12 @@ object Dispatch {
         else (toRetry.limit(0), toRetry)
       val retried = envCount(retryable)
       if (retried > 0)
-        topics.append(retryable, EngineConfig.retryTopic(route.topicEntity))
+        emit(topics, retryable,
+          EngineConfig.retryTopic(route.topicEntity), token)
       val deadLettered = envCount(exhausted)
       if (deadLettered > 0)
-        topics.append(exhausted,
-          EngineConfig.deadLetterTopic(route.topicEntity))
+        emit(topics, exhausted,
+          EngineConfig.deadLetterTopic(route.topicEntity), token)
       Counts(0, skip, retried, deadLettered, 0)
     } finally handled.unpersist()
   }

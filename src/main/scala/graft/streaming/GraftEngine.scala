@@ -99,8 +99,9 @@ final class GraftEngine(
       .queryName(s"route-${route.topicEntity}")
       .option("checkpointLocation", s"$checkpointDir/${route.topicEntity}")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val counts = Dispatch.dispatch(route, topics, handler)(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counts = Dispatch.dispatch(route, topics, handler,
+          Some(s"route-${route.topicEntity}-$batchId"))(batch)
         metrics.recordDispatch(route.topicEntity, counts)
       }
       .start())
@@ -206,8 +207,9 @@ final class GraftEngine(
       .queryName(s"batch-$entity")
       .option("checkpointLocation", s"$checkpointDir/batch-$entity")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val counts = Dispatch.dispatchBatchRoute(route, topics, handler)(
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counts = Dispatch.dispatchBatchRoute(route, topics, handler,
+          Some(s"batch-$entity-$batchId"))(
           middleware(Pipeline.enrichMetadata(batch)))
         metrics.recordDispatch(entity, counts)
       }

@@ -22,6 +22,15 @@ trait TopicIO extends Serializable {
     * AdminClient.createTopics): ensure the retry/DLQ/instant/channel topics
     * for an entity exist before queries start. */
   def provision(entity: String, channels: Iterable[String]): Unit = ()
+
+  /** Idempotent append keyed by a replay token (SURVEY §7.3.1: foreachBatch
+    * may replay a micro-batch after failure; sink writes must not double-
+    * publish). The token is `<query>-<batchId>`; an append with an
+    * already-applied token is a no-op. Kafka transport gets this from the
+    * sink's transactional/idempotent producer; the file transport records
+    * applied tokens. Default: non-idempotent passthrough. */
+  def appendIdempotent(df: DataFrame, topic: String, token: String): Unit =
+    append(df, topic)
 }
 
 /** Kafka transport: thin option-builders over the built-in kafka source/sink
@@ -121,5 +130,15 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
       EngineConfig.retryTopic(entity), EngineConfig.deadLetterTopic(entity)) ++
       channels.map(EngineConfig.channelTopic(entity, _))
     topics.foreach(t => Files.createDirectories(Paths.get(dir(t))))
+  }
+
+  override def appendIdempotent(df: DataFrame, topic: String,
+      token: String): Unit = {
+    val marker = Paths.get(s"${dir(topic)}/_applied-$token")
+    if (!Files.exists(marker)) {
+      append(df, topic)
+      Files.createDirectories(marker.getParent)
+      Files.createFile(marker)
+    }
   }
 }

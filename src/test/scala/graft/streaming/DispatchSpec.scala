@@ -71,6 +71,40 @@ class DispatchSpec extends SparkSuite {
     assert(counts.retried == 0 && counts.deadLettered == 1)
   }
 
+  test("replay-token dispatch is idempotent across micro-batch replays (§7.3.1)") {
+    val dir = tmpDir("dispatch6")
+    val topics = new FileTopicIO(dir)
+    val batch = envelopes("app", Seq(("k", "boom", ts("2024-01-01 00:00:00"))))
+    val handler = Dispatch.ExprHandler(lit("retry"))
+    // same batch dispatched twice with the same token (simulated replay)
+    Dispatch.dispatch(route(dir), topics, handler, Some("route-app-42"))(batch)
+    Dispatch.dispatch(route(dir), topics, handler, Some("route-app-42"))(batch)
+    assert(topics.read(spark, "app_retry").count() == 1)
+    // a different batch id appends again
+    Dispatch.dispatch(route(dir), topics, handler, Some("route-app-43"))(batch)
+    assert(topics.read(spark, "app_retry").count() == 2)
+  }
+
+  test("simhash near-dup join matches brute force (pigeonhole blocking + hamming64)") {
+    val sess = spark
+    import sess.implicits._
+    val sims = Seq(
+      (1L, 0x000000FFL), (2L, 0x000000FEL),   // dist 1
+      (3L, 0x0F0F0F0FL), (4L, 0x0F0F0F0BL),   // dist 2
+      (5L, 0xFFFFFFFFL), (6L, 0x00000000L)    // dist 32
+    ).toDF("doc_id", "simhash")
+    val got = graft.operators.DedupOps.simhashNearDups(sims, maxDist = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // brute force over all pairs
+    val rows = sims.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, sa) <- rows; (b, sb) <- rows if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(got == want && want == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("batch-route contract rejects dispositions outside {skip, retry} (E7)") {
     val dir = tmpDir("dispatch5")
     val topics = new FileTopicIO(dir)
