@@ -420,6 +420,59 @@ object Relational {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
+  /** UNION ALL + deduplicating UNION over heterogeneous key sources. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val tb = Tables(s, dir)
+    val a = tb.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val b = tb.orders.filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("custkey"))
+    a.unionAll(b)
+      .groupBy(col("custkey")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("custkey"))
+  }
+
+  private val q34Sql =
+    """SELECT custkey, CAST(count(*) AS BIGINT) AS n_occurrences FROM (
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0) u
+      |GROUP BY custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** Date/time function library over orders (year/month/day, trunc,
+    * datediff, date_add, last_day, day-of-week). */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        unix_millis(date_trunc("month", col("o_orderdate")).cast("timestamp"))
+          .as("month_start_ms"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"),
+        unix_millis((col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .cast("timestamp")).as("plus_30d_ms"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .orderBy(col("o_orderkey"))
+
+  private val q35Sql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  CAST(day(o_orderdate) AS BIGINT) AS d,
+      |  epoch_ms(date_trunc('month', o_orderdate)::TIMESTAMP) AS month_start_ms,
+      |  CAST(date_diff('day', o_orderdate::DATE, DATE '2002-01-01') AS BIGINT)
+      |    AS days_to_2002,
+      |  epoch_ms(o_orderdate + INTERVAL 30 DAY) AS plus_30d_ms,
+      |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+      |FROM orders
+      |WHERE o_orderkey <= 500
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -440,5 +493,7 @@ object Relational {
     "q17_having" -> QueryDef(q17, Some(q17Sql)),
     "q18_avg_subquery" -> QueryDef(q18, Some(q18Sql), headline = true),
     "q19_array_funcs" -> QueryDef(q19, Some(q19Sql)),
+    "q34_union_all" -> QueryDef(q34, Some(q34Sql)),
+    "q35_date_funcs" -> QueryDef(q35, Some(q35Sql)),
   )
 }

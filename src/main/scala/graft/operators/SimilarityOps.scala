@@ -26,16 +26,8 @@ object SimilarityOps {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
-  /** In-order cosine over two array<double> columns (zip_with + fold — stays
-    * in whole-stage codegen, no UDF). */
-  private def cosineExpr(a: String, b: String): Column =
-    expr(
-      s"""round(
-         |  aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
-         |  / (sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v))
-         |     * sqrt(aggregate($b, 0D, (acc, v) -> acc + v * v))), 4)""".stripMargin)
-
-  /** DuckDB twin: same in-order fold semantics via list_transform+list_sum. */
+  /** DuckDB cosine with the same in-order fold semantics as the Spark side's
+    * zip_with+aggregate (codegen'd, no UDF). */
   private def duckCos(a: String, b: String): String =
     s"""round(
        |  list_sum(list_transform(range(1, 65),
@@ -45,16 +37,21 @@ object SimilarityOps {
       .stripMargin
 
   /** Brute-force cosine top-3: query set = vec_id < 10 (broadcast),
-    * candidates = the rest. */
+    * candidates = the rest. Norms precomputed per vector (once, not per
+    * pair): the pair stage pays a single dot fold. */
   private def s01(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(vd, 0D, (acc, v) -> acc + v * v))"))
     val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("vd").as("qv"))
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("nrm").as("qn"))
     val c = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("c_id"), col("vd").as("cv"))
+      .select(col("vec_id").as("c_id"), col("vd").as("cv"), col("nrm").as("cn"))
     val scored = broadcast(q).join(c, lit(true))
-      .withColumn("cos_sim", cosineExpr("qv", "cv"))
+      .withColumn("cos_sim", round(
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -99,13 +96,19 @@ object SimilarityOps {
         .as("bucket"))
     val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(vd, 0D, (acc, v) -> acc + v * v))"))
       .join(sigs, "vec_id")
     val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
     val c = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("c_id"), col("vd").as("cv"), col("bucket"))
+      .select(col("vec_id").as("c_id"), col("vd").as("cv"),
+        col("nrm").as("cn"), col("bucket"))
     val scored = q.join(c, "bucket")
-      .withColumn("cos_sim", cosineExpr("qv", "cv"))
+      .withColumn("cos_sim", round(
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
