@@ -13,7 +13,8 @@ object SparkEntry {
   /** Full inventory, module order preserved. */
   val registry: Seq[(String, QueryDef)] =
     Relational.defs ++ StreamParity.defs ++ Analytic.defs ++ DedupOps.defs ++
-      SimilarityOps.defs ++ TextOps.defs ++ MultimodalOps.defs
+      SimilarityOps.defs ++ TextOps.defs ++ MultimodalOps.defs ++
+      CorpusPipeline.defs
 
   private val regMap: Map[String, QueryDef] = registry.toMap
 

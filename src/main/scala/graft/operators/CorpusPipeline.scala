@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.StableHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship composed operator: an end-to-end training-corpus
+  * construction pipeline over `documents` —
+  *
+  *   1. quality gate (t02's transcendental-free score ≥ 0.3)
+  *   2. exact dedup (canonical = min doc_id per md5(lower(text)))
+  *   3. fuzzy dedup (MinHash-LSH candidate pairs, greedy keep-lowest-id:
+  *      any doc appearing as the higher id of a candidate pair is dropped)
+  *   4. per-doc stats for the surviving corpus
+  *
+  * Every stage is one of the separately-oracle-verified operators (t02,
+  * d01, d03) composed declaratively, so Catalyst plans the whole pipeline
+  * as one DAG — the quality filter prunes before any shingle explode, and
+  * the three dedup structures are keyed joins (no pairwise stage).
+  *
+  * Scale: this is the shape of a real 100 TB curation run — stage order is
+  * chosen so the most selective cheap filter (quality) runs first against
+  * the scan, exact dedup collapses identical bytes before the expensive
+  * shingle work, and the LSH join only sees survivors.
+  */
+object CorpusPipeline {
+
+  private def p01(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(expr(
+        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
+        .cast("long"))
+      .withColumn("quality_score",
+        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
+          / col("n_tokens").cast("double"))
+          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+      .filter(col("quality_score") >= 0.3)
+
+    // exact dedup: survivors are the canonical (min) id per content hash
+    val canonical = docs
+      .groupBy(md5(lower(col("text"))).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // cached: feeds both the shingle/LSH branch and the final anti-join
+    val exactKept = docs.join(canonical, "doc_id").cache()
+
+    // fuzzy dedup: minhash-LSH pairs among exact survivors; greedy drop of
+    // every higher-id member of a candidate pair
+    val sh = exactKept
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh_arr", array_distinct(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)))
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val sigCols = (0 until 16).map(i =>
+      min(StableHash.h60(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        concat_ws("-", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
+          .as("bsig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+      .cache()
+    val dropIds = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("y.doc_id").as("doc_id")).distinct()
+
+    exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p01Sql = {
+    val h = StableHash.duckH60("CAST(seed AS VARCHAR) || ':' || shingle")
+    val sigCols = (0 until 16)
+      .map(i => s"min(CASE WHEN seed = $i THEN h END) AS m$i").mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $cat AS bsig FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))) AS BIGINT)
+       |      AS n_stop
+       |  FROM documents),
+       |quality AS (
+       |  SELECT doc_id, lang, text, n_tokens,
+       |    round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
+       |      * least(1.0, n_tokens / 100.0), 4) AS quality_score
+       |  FROM scored
+       |  WHERE round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
+       |      * least(1.0, n_tokens / 100.0), 4) >= 0.3),
+       |canonical AS (
+       |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(lower(text))),
+       |kept AS (
+       |  SELECT q.* FROM quality q JOIN canonical c ON q.doc_id = c.doc_id),
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM kept
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(w) - 1),
+       |        i -> concat(w[CAST(i AS INT)], ' ', w[CAST(i AS INT) + 1],
+       |          ' ', w[CAST(i AS INT) + 2]))) AS shingle
+       |    FROM toks) u),
+       |minh AS (
+       |  SELECT doc_id, seed, min($h) AS h
+       |  FROM sh, (SELECT unnest(range(16)) AS seed) seeds
+       |  GROUP BY doc_id, seed),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM minh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |drop_ids AS (
+       |  SELECT DISTINCT y.doc_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
+       |SELECT k.doc_id, k.lang, k.n_tokens, k.quality_score
+       |FROM kept k
+       |WHERE NOT EXISTS (SELECT 1 FROM drop_ids d WHERE d.doc_id = k.doc_id)
+       |ORDER BY k.doc_id""".stripMargin
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
+  )
+}
