@@ -473,6 +473,31 @@ object Relational {
       |WHERE o_orderkey <= 500
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Pattern matching: LIKE, regexp match/extract/replace/count over the
+    * events JSON payloads (simple character-class patterns — identical
+    * semantics in Java regex and DuckDB's RE2). */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .select(
+        col("event_id"),
+        col("props").like("%9%").as("has_nine"),
+        col("props").rlike("[0-9]{2}").as("two_digits"),
+        regexp_extract(col("props"), "[0-9]+", 0).as("first_number"),
+        regexp_replace(col("props"), "[0-9]", "#").as("masked"),
+        size(expr("regexp_extract_all(props, '[0-9]', 0)")).cast("long")
+          .as("n_digits"))
+      .orderBy(col("event_id"))
+
+  private val q36Sql =
+    """SELECT event_id,
+      |  props LIKE '%9%' AS has_nine,
+      |  regexp_matches(props, '[0-9]{2}') AS two_digits,
+      |  coalesce(regexp_extract(props, '[0-9]+'), '') AS first_number,
+      |  regexp_replace(props, '[0-9]', '#', 'g') AS masked,
+      |  CAST(len(regexp_extract_all(props, '[0-9]')) AS BIGINT) AS n_digits
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -495,5 +520,6 @@ object Relational {
     "q19_array_funcs" -> QueryDef(q19, Some(q19Sql)),
     "q34_union_all" -> QueryDef(q34, Some(q34Sql)),
     "q35_date_funcs" -> QueryDef(q35, Some(q35Sql)),
+    "q36_string_match" -> QueryDef(q36, Some(q36Sql)),
   )
 }

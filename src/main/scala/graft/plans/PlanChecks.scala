@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SparkPlan, FileSourceScanExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+/** Physical-plan quality assertions — the ".explain and iterate until it's
+  * the plan you'd want" discipline, codified so regressions fail CI instead
+  * of surfacing as 100 TB slowdowns. Used by PlanSpec to pin the plan shape
+  * of the headline queries (pushdown reaches the scan, small dims broadcast,
+  * top-k avoids global sorts, candidate generation never goes Cartesian).
+  */
+object PlanChecks {
+
+  private def collect(plan: SparkPlan): Seq[SparkPlan] = {
+    plan match {
+      case a: AdaptiveSparkPlanExec => collect(a.executedPlan)
+      case q: QueryStageExec => Seq(q) ++ collect(q.plan)
+      case p => Seq(p) ++ p.children.flatMap(collect) ++
+        p.subqueries.flatMap(collect)
+    }
+  }
+
+  def physical(df: DataFrame): Seq[SparkPlan] =
+    collect(df.queryExecution.executedPlan)
+
+  /** Some parquet scan carries pushed-down data filters. */
+  def hasPushedFilters(df: DataFrame): Boolean =
+    physical(df).exists {
+      case s: FileSourceScanExec => s.dataFilters.nonEmpty
+      case _ => false
+    }
+
+  /** Every parquet scan reads at most `maxCols` columns (pruning works). */
+  def maxScanColumns(df: DataFrame): Int =
+    physical(df).collect {
+      case s: FileSourceScanExec => s.output.size
+    }.maxOption.getOrElse(0)
+
+  def usesBroadcastJoin(df: DataFrame): Boolean =
+    physical(df).exists(_.isInstanceOf[BroadcastHashJoinExec])
+
+  def usesCartesianProduct(df: DataFrame): Boolean =
+    physical(df).exists(_.isInstanceOf[CartesianProductExec])
+
+  /** TakeOrderedAndProject present (top-k without a global sort). */
+  def usesTakeOrdered(df: DataFrame): Boolean =
+    physical(df).exists(
+      _.getClass.getSimpleName.startsWith("TakeOrderedAndProject"))
+
+  def countShuffles(df: DataFrame): Int =
+    physical(df).count(_.isInstanceOf[Exchange])
+
+  /** Whole-stage codegen spans present (hot path is compiled). */
+  def hasWholeStageCodegen(df: DataFrame): Boolean =
+    physical(df).exists(
+      _.getClass.getSimpleName.startsWith("WholeStageCodegen"))
+}

@@ -1,0 +1,52 @@
+package graft.plans
+
+import graft.{SparkSuite, SparkEntry}
+
+/** Pins the physical plan shape of representative queries (see PlanChecks).
+  * These run the query (AQE finalizes plans at execution), then assert on
+  * the executed plan. */
+class PlanSpec extends SparkSuite {
+
+  private def run(name: String) = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    // collect() executes THIS dataset's QueryExecution (count() would build
+    // a separate one), finalizing the adaptive plan + codegen stages
+    df.collect()
+    df
+  }
+
+  test("q01: filters and projection are pushed into the parquet scan") {
+    val df = run("q01_filter_project")
+    assert(PlanChecks.hasPushedFilters(df))
+    // 11-column lineitem pruned to the 5 referenced columns
+    assert(PlanChecks.maxScanColumns(df) <= 5)
+  }
+
+  test("q03: dimension side broadcasts; no cartesian product") {
+    val df = run("q03_join_revenue")
+    assert(PlanChecks.usesBroadcastJoin(df))
+    assert(!PlanChecks.usesCartesianProduct(df))
+  }
+
+  test("q09: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(PlanChecks.usesTakeOrdered(run("q09_topk")))
+  }
+
+  test("d03: LSH candidate generation is an equi-join, never cartesian") {
+    assert(!PlanChecks.usesCartesianProduct(run("d03_dedup_minhash_lsh")))
+  }
+
+  test("d02: shingle self-join is an equi-join, never cartesian") {
+    assert(!PlanChecks.usesCartesianProduct(run("d02_dedup_ngram_jaccard")))
+  }
+
+  test("t04: fingerprinting is shuffle-free up to the output sort") {
+    // one shuffle allowed: the documentsSpread repartition; the orderBy
+    // adds a range exchange — everything in between is map-side
+    assert(PlanChecks.countShuffles(run("t04_fingerprint")) <= 2)
+  }
+
+  test("q02: aggregation stays inside whole-stage codegen") {
+    assert(PlanChecks.hasWholeStageCodegen(run("q02_agg_pricing")))
+  }
+}
