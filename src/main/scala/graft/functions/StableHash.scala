@@ -29,6 +29,15 @@ object StableHash {
   def h32(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** JVM-side twin of [[h60]] for typed aggregators / drivers — identical
+    * value for identical input (lowercase md5 hex, first 15 digits). */
+  def h60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** DuckDB SQL fragment equivalent to [[h60]] over expression `e`. */
   def duckH60(e: String): String =
     s"('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 15))::BIGINT"

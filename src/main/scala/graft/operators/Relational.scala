@@ -498,6 +498,31 @@ object Relational {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Map-type columns: construction, key/value access, cardinality — the
+    * map half of the §2.6 type surface (array half is q19). */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).part
+      .withColumn("m", map(lit("brand"), col("p_brand"),
+        lit("type"), col("p_type")))
+      .select(
+        col("p_partkey"),
+        element_at(col("m"), "brand").as("brand_v"),
+        element_at(col("m"), "type").as("type_v"),
+        size(col("m")).cast("long").as("m_size"),
+        array_join(map_keys(col("m")), ",").as("keys_joined"))
+      .orderBy(col("p_partkey"))
+
+  private val q37Sql =
+    """SELECT p_partkey,
+      |  (m['brand'])[1] AS brand_v,
+      |  (m['type'])[1] AS type_v,
+      |  CAST(cardinality(m) AS BIGINT) AS m_size,
+      |  array_to_string(map_keys(m), ',') AS keys_joined
+      |FROM (SELECT p_partkey,
+      |    MAP {'brand': p_brand, 'type': p_type} AS m
+      |  FROM part) t
+      |ORDER BY p_partkey""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -521,5 +546,6 @@ object Relational {
     "q34_union_all" -> QueryDef(q34, Some(q34Sql)),
     "q35_date_funcs" -> QueryDef(q35, Some(q35Sql)),
     "q36_string_match" -> QueryDef(q36, Some(q36Sql)),
+    "q37_map_funcs" -> QueryDef(q37, Some(q37Sql)),
   )
 }

@@ -123,14 +123,15 @@ final class GraftEngine(
       .queryName(s"retry-$entity")
       .option("checkpointLocation", s"$checkpointDir/retry-$entity")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
         try {
           val due = RetryEngine.due(cached)
           val notDue = cached.exceptAll(due)
-          if (!notDue.isEmpty) topics.append(notDue,
-            EngineConfig.retryTopic(entity))
-          val counts = Dispatch.dispatch(route, topics, handler)(
+          if (!notDue.isEmpty) topics.appendIdempotent(notDue,
+            EngineConfig.retryTopic(entity), s"retry-$entity-$batchId-requeue")
+          val counts = Dispatch.dispatch(route, topics, handler,
+            Some(s"retry-$entity-$batchId"))(
             middleware(Pipeline.enrichMetadata(due)))
           metrics.recordDispatch(entity, counts)
         } finally cached.unpersist()

@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** The typed Aggregator sketch must produce bit-identical signatures to the
+  * expression-based pipeline (d03 / oracle). */
+class MinHashAggSpec extends SparkSuite {
+
+  test("typed MinHash aggregator equals the expression-based signature") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Tables(spark, sf0001).documents
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh_arr", array_distinct(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)))
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+      .filter(col("doc_id") < 20)
+
+    // expression-based (the d03 form)
+    val sigCols = (0 until 16).map(i =>
+      min(StableHash.h60(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
+    val exprSig = docs.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 16).map(r.getLong(_)).toVector).toMap
+
+    // typed Aggregator
+    val agg = new MinHashAgg(16)
+    val typedSig = docs.as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("sig"))
+      .collect().map { case (id, sig) => id -> sig.toVector }.toMap
+
+    assert(typedSig.keySet == exprSig.keySet)
+    typedSig.foreach { case (id, sig) => assert(sig == exprSig(id), s"doc $id") }
+  }
+
+  test("h60Jvm matches the SQL h60 expression") {
+    val sess = spark
+    import sess.implicits._
+    val inputs = Seq("abc", "0:the quick fox", "é中文")
+    val fromSql = inputs.toDF("s").select(StableHash.h60(col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromSql == inputs.map(StableHash.h60Jvm))
+  }
+}

@@ -74,6 +74,25 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicates with watermark bounds state") {
+    val dir = stageDir()
+    // duplicate the source file → every event appears twice in the stream
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      Paths.get(s"$dir/events2.parquet"))
+    val deduped = streamedEvents(dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+    val name = s"dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamedCount = spark.table(name).count()
+      val batchDistinct = graft.Tables(spark, sf0001).events.count()
+      assert(streamedCount == batchDistinct)
+    } finally q.stop()
+  }
+
   test("streamed too-old filter + dispatch pipeline over events (R2→E1)") {
     val dir = stageDir()
     val base = tmpDir("evdispatch")
