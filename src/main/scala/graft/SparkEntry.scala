@@ -14,7 +14,7 @@ object SparkEntry {
   val registry: Seq[(String, QueryDef)] =
     Relational.defs ++ StreamParity.defs ++ Analytic.defs ++ DedupOps.defs ++
       SimilarityOps.defs ++ TextOps.defs ++ MultimodalOps.defs ++
-      CorpusPipeline.defs
+      CorpusPipeline.defs ++ Sampling.defs
 
   private val regMap: Map[String, QueryDef] = registry.toMap
 

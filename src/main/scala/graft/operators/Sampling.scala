@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.StableHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sampling + corpus statistics — training-pipeline staples. Sampling is
+  * content-hash based, never `rand()`: reproducible across runs, engines,
+  * and cluster sizes (the property a 100 TB curation run needs for
+  * resumability and audits).
+  */
+object Sampling {
+
+  /** Deterministic ~20% sample: keep docs whose stable content hash lands
+    * in the first 20 of 100 buckets. Pure map-side filter at the scan. */
+  private def x01(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .filter(StableHash.h60(col("text")) % 100 < 20)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val x01Sql =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE (${StableHash.duckH60("text")}) % 100 < 20
+       |ORDER BY doc_id""".stripMargin
+
+  /** Stratified sample: 10 docs per language, ranked by content hash with a
+    * doc_id tiebreak — equal-size strata regardless of class skew. One
+    * shuffle on the stratum key. */
+  private def x02(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(StableHash.h60(col("text")), col("doc_id"))
+    Tables(s, dir).documents
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  private val x02Sql =
+    s"""SELECT lang, doc_id, rn FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${StableHash.duckH60("text")}, doc_id) AS rn
+       |  FROM documents) t
+       |WHERE rn <= 10
+       |ORDER BY lang, rn""".stripMargin
+
+  /** Corpus-level statistics: doc/token totals, vocabulary size, languages,
+    * mean doc length. The vocabulary count is the one shuffle (distinct over
+    * exploded tokens, partially aggregated map-side). */
+  private def x03(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val docs = t.documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).cast("long").as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      round(avg(size(col("toks"))), 4).as("avg_doc_tokens"))
+    val vocab = docs.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab_size"))
+    base.crossJoin(vocab)
+  }
+
+  private val x03Sql =
+    """SELECT
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  round(avg(len(string_split(text, ' '))), 4) AS avg_doc_tokens,
+      |  (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u)
+      |    AS vocab_size
+      |FROM documents""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
+    "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
+    "x03_corpus_stats" -> QueryDef(x03, Some(x03Sql)),
+  )
+}

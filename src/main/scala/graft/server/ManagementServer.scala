@@ -105,6 +105,18 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
     }
   })
 
+  // O2 runtime control (the reference drives this via nREPL,
+  // doc/CONCEPTS.md:74-97; here it is an HTTP verb)
+  server.createContext("/v1/queries/stop", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = {
+      val name = params(ex).getOrElse("name", "")
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST required"}""")
+      else if (name.isEmpty) respond(ex, 400, """{"error":"name required"}""")
+      else respond(ex, 200, s"""{"stopped":${engine.stopRoute(name)}}""")
+    }
+  })
+
   server.createContext("/v1/queries", new HttpHandler {
     def handle(ex: HttpExchange): Unit = {
       val body = engine.runningQueries.toSeq.sortBy(_._1)

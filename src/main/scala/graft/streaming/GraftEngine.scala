@@ -203,12 +203,14 @@ final class GraftEngine(
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val entity = route.topicEntity
     topics.provision(entity, Nil)
-    val src = topics.readStream(spark, route.originTopic)
+    val src = topics.readStream(spark, route.originTopic,
+      topics.paceOptions(route.maxPollRecords))
     track(s"batch-$entity", () => src.writeStream
       .queryName(s"batch-$entity")
       .option("checkpointLocation", s"$checkpointDir/batch-$entity")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        metrics.increment(s"$entity.batches")
         val counts = Dispatch.dispatchBatchRoute(route, topics, handler,
           Some(s"batch-$entity-$batchId"))(
           middleware(Pipeline.enrichMetadata(batch)))

@@ -13,7 +13,15 @@ trait TopicIO extends Serializable {
   /** Batch-read the full topic as envelope rows. */
   def read(spark: SparkSession, topic: String): DataFrame
   /** Streaming read (Structured Streaming source). */
-  def readStream(spark: SparkSession, topic: String): DataFrame
+  def readStream(spark: SparkSession, topic: String): DataFrame =
+    readStream(spark, topic, Map.empty)
+  /** Streaming read with source options (throttling etc.). */
+  def readStream(spark: SparkSession, topic: String,
+      options: Map[String, String]): DataFrame
+  /** Transport-appropriate per-trigger throttle for a polled batch route
+    * (S3 max-poll-records): Kafka → maxOffsetsPerTrigger; file transport →
+    * maxFilesPerTrigger (file granularity is the closest analogue). */
+  def paceOptions(maxPollRecords: Int): Map[String, String] = Map.empty
   /** Append envelope rows. Must assign monotonically increasing offsets. */
   def append(df: DataFrame, topic: String): Unit
   /** Largest offset written so far, -1 if empty. */
@@ -51,13 +59,18 @@ final class KafkaTopicIO(bootstrapServers: String) extends TopicIO {
   def read(spark: SparkSession, topic: String): DataFrame =
     normalize(opts(spark.read, topic).load(), topic)
 
-  def readStream(spark: SparkSession, topic: String): DataFrame =
+  def readStream(spark: SparkSession, topic: String,
+      options: Map[String, String]): DataFrame =
     normalize(spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribePattern", topic)
       .option("startingOffsets", "earliest")
+      .options(options)
       .load(), topic)
+
+  override def paceOptions(maxPollRecords: Int): Map[String, String] =
+    Map("maxOffsetsPerTrigger" -> maxPollRecords.toString)
 
   /** Kafka source columns → Envelope columns (headers → retry fields are
     * carried in the value for the Kafka transport). */
@@ -103,10 +116,15 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Envelope.schema)
 
-  def readStream(spark: SparkSession, topic: String): DataFrame = {
+  def readStream(spark: SparkSession, topic: String,
+      options: Map[String, String]): DataFrame = {
     Files.createDirectories(Paths.get(dir(topic)))
-    spark.readStream.schema(Envelope.schema).parquet(dir(topic))
+    spark.readStream.schema(Envelope.schema).options(options)
+      .parquet(dir(topic))
   }
+
+  override def paceOptions(maxPollRecords: Int): Map[String, String] =
+    Map("maxFilesPerTrigger" -> "1")
 
   def append(df: DataFrame, topic: String): Unit = {
     val spark = df.sparkSession

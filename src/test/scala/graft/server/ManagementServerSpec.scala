@@ -56,6 +56,23 @@ class ManagementServerSpec extends SparkSuite {
     }
   }
 
+  test("POST /v1/queries/stop stops a named route (O2)") {
+    withServer { (port, topics, engine) =>
+      topics.append(envelopes("r1", Seq(("k", "v", ts("2024-01-01 00:00:00")))),
+        "r1_origin")
+      val route = StreamRouteConfig("r1", "r1_origin")
+      engine.startStreamRoute(route, identity,
+        Dispatch.ExprHandler(org.apache.spark.sql.functions.lit("success")),
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(60000))
+      assert(engine.runningQueries.contains("r1"))
+      val (s, b) = send(port, "POST", "/v1/queries/stop?name=r1")
+      assert(s == 200 && b == """{"stopped":true}""")
+      assert(!engine.runningQueries.contains("r1"))
+      val (_, b2) = send(port, "POST", "/v1/queries/stop?name=nope")
+      assert(b2 == """{"stopped":false}""")
+    }
+  }
+
   test("missing entity is a 400; metrics endpoint serves a snapshot") {
     withServer { (port, _, engine) =>
       assert(get(port, "/v1/dead_set")._1 == 400)

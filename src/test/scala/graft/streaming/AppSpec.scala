@@ -30,13 +30,19 @@ class AppSpec extends SparkSuite {
 
     topics.append(envelopes("s", Seq(("k1", "ok", now), ("k2", "bad", now))),
       "s_origin")
+    // three separate appends → ≥3 files; maxFilesPerTrigger=1 paces the
+    // batch route into multiple polls (S3 max-poll-records semantics)
     topics.append(envelopes("b", Seq(("k3", "x", now))), "b_origin")
+    topics.append(envelopes("b", Seq(("k4", "y", now))), "b_origin")
+    topics.append(envelopes("b", Seq(("k5", "z", now))), "b_origin")
 
     app.start(Set(Mode.StreamWorker, Mode.BatchWorker, Mode.ApiServer))
     app.awaitAll()
     assert(app.engine.metrics.count("s.message.success") == 1)
     assert(app.engine.metrics.count("s.message.retry") == 1)
-    assert(app.engine.metrics.count("b.message.skip") == 1)
+    assert(app.engine.metrics.count("b.message.skip") == 3)
+    // pacing: one file per trigger → at least 3 micro-batches
+    assert(app.engine.metrics.count("b.batches") >= 3)
 
     // Worker mode drains the retry topic (due immediately, timeout 0)
     app.start(Set(Mode.Worker))
