@@ -49,15 +49,16 @@ object CorpusPipeline {
 
     // fuzzy dedup: minhash-LSH pairs among exact survivors; greedy drop of
     // every higher-id member of a candidate pair
-    val sh = exactKept
+    val sigCols = (0 until 16).map(i => expr(
+      s"""array_min(transform(sh_arr, sh ->
+         |  CAST(conv(substring(md5(concat('$i:', sh)), 1, 15), 16, 10)
+         |    AS BIGINT)))""".stripMargin).as(s"m$i"))
+    val sig = exactKept
       .filter(size(col("toks")) >= 3)
       .withColumn("sh_arr", array_distinct(expr(
         """transform(sequence(0, size(toks) - 3),
           |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)))
-      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
-    val sigCols = (0 until 16).map(i =>
-      min(StableHash.h60(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .select((col("doc_id") +: sigCols): _*)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         concat_ws("-", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)

@@ -121,13 +121,16 @@ object DedupOps {
     * Reference has no such operator (SURVEY §2.6); this is the extension
     * surface's scale path for fuzzy dedup. */
   private def d03(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(t(s, dir).documentsSpread)
-    // all 16 min-hashes in ONE aggregation pass: the 16 seeded hashes are
-    // computed per shingle row map-side and partially aggregated before the
-    // shuffle — one row per doc crosses the wire, never a 16× row blowup.
-    val sigCols = (0 until 16).map(i =>
-      min(StableHash.h60(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // all 16 min-hashes as pure per-row array math (transform + array_min
+    // over the per-doc shingle array): zero shuffles before the band join —
+    // no explode, no groupBy. Identical values to the oracle's
+    // unnest+min formulation.
+    val sigCols = (0 until 16).map(i => expr(
+      s"""array_min(transform(sh_arr, sh ->
+         |  CAST(conv(substring(md5(concat('$i:', sh)), 1, 15), 16, 10)
+         |    AS BIGINT)))""".stripMargin).as(s"m$i"))
+    val sig = shingleArrays(t(s, dir).documentsSpread)
+      .select((col("doc_id") +: sigCols): _*)
     // cache: the band table feeds both sides of the self-join; without it
     // the whole shingle+signature lineage is computed twice.
     val bands = sig.select(col("doc_id"), explode(array(
