@@ -12,9 +12,9 @@ object SparkEntry {
 
   /** Full inventory, module order preserved. */
   val registry: Seq[(String, QueryDef)] =
-    Relational.defs ++ StreamParity.defs ++ Analytic.defs ++ DedupOps.defs ++
-      SimilarityOps.defs ++ TextOps.defs ++ MultimodalOps.defs ++
-      CorpusPipeline.defs ++ Sampling.defs
+    Relational.defs ++ StreamParity.defs ++ Analytic.defs ++ Temporal.defs ++
+      DedupOps.defs ++ SimilarityOps.defs ++ TextOps.defs ++
+      MultimodalOps.defs ++ CorpusPipeline.defs ++ Sampling.defs
 
   private val regMap: Map[String, QueryDef] = registry.toMap
 

@@ -133,7 +133,65 @@ object CorpusPipeline {
        |ORDER BY k.doc_id""".stripMargin
   }
 
+  /** Token-budget packing (data-mixing stage): per language, admit documents
+    * in quality order until a 5,000-token budget is exhausted — the greedy
+    * knapsack every training-mix pipeline runs after curation. One window
+    * (partitioned by lang, ordered by quality desc with doc_id tiebreak)
+    * computes the running token total; a doc is admitted iff the budget was
+    * not already spent before it. Partitioned by the mixing key, so at
+    * 100 TB each language's scan+sort is independent — no global order. */
+  private def p02(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(expr(
+        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
+        .cast("long"))
+      .withColumn("quality_score",
+        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
+          / col("n_tokens").cast("double"))
+          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+      .filter(col("quality_score") >= 0.3)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < 5000)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_tokens"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p02Sql =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))) AS BIGINT)
+      |      AS n_stop
+      |  FROM documents),
+      |quality AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
+      |      * least(1.0, n_tokens / 100.0), 4) AS quality_score
+      |  FROM scored
+      |  WHERE round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
+      |      * least(1.0, n_tokens / 100.0), 4) >= 0.3),
+      |packed AS (
+      |  SELECT doc_id, lang, n_tokens, quality_score,
+      |    sum(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY quality_score DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM quality)
+      |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  quality_score
+      |FROM packed
+      |WHERE cum_tokens - n_tokens < 5000
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
+    "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
   )
 }

@@ -39,7 +39,40 @@ object MultimodalOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling over the opaque blob: fixed 256-byte frames, keep every
+    * second frame (stride-2 sample), emit the frame offset and its leading
+    * byte — the deterministic stand-in for a video frame-sample stage (the
+    * real decoder slot is [[graft.streaming.MediaPipeline]]'s mapPartitions
+    * stub). Pure per-row explode: embarrassingly parallel, output rows ∝
+    * blob bytes / 512, no shuffle before the final order. */
+  private def m02(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .withColumn("n_bytes", octet_length(col("text").cast("binary")))
+      .select(col("doc_id"), col("text"), col("n_bytes"),
+        explode(expr("sequence(0, CAST(n_bytes div 256 AS INT))"))
+          .as("frame_idx"))
+      .filter(col("frame_idx") % 2 === 0)
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * 256L).as("offset_bytes"),
+        expr("ascii(substring(text, frame_idx * 256 + 1, 1))")
+          .cast("long").as("magic"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val m02Sql =
+    """SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(frame_idx * 256 AS BIGINT) AS offset_bytes,
+      |  CAST(ascii(substr(text, CAST(frame_idx * 256 + 1 AS INT), 1)) AS BIGINT)
+      |    AS magic
+      |FROM (SELECT doc_id, text,
+      |    unnest(range(0, octet_length(encode(text)) // 256 + 1)) AS frame_idx
+      |  FROM documents) f
+      |WHERE frame_idx % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_multimodal_meta" -> QueryDef(m01, Some(m01Sql)),
+    "m02_frame_sample" -> QueryDef(m02, Some(m02Sql)),
   )
 }

@@ -155,8 +155,92 @@ object SimilarityOps {
        |ORDER BY q_id""".stripMargin
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids = every
+    * 125th vector, standing in for k-means output) partitions the corpus
+    * into cells; queries probe only their own cell (nprobe=1) and rank
+    * candidates there. The assignment pass is fact × broadcast(centroids) —
+    * O(N·C) dot products but shuffle-free and codegen'd; the probe join is
+    * an equi-join on cell id. Centroid count grows with corpus size
+    * (C = N/125), so cells stay ~constant-sized as data scales — the IVF
+    * property that keeps per-query work flat at 100 TB. Cosines rounded to
+    * 4dp before the argmax/rank so both engines break ties identically
+    * (on centroid id / neighbor id). */
+  private def s03(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir).embeddingsSpread
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(vd, 0D, (acc, v) -> acc + v * v))"))
+    val cents = emb.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("cent_id"), col("vd").as("cv"),
+        col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc").desc, col("cent_id"))
+    val assigned = emb.join(broadcast(cents), lit(true))
+      .withColumn("cc", round(
+        expr("aggregate(zip_with(vd, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          / (col("nrm") * col("cn")), 4))
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("vd"), col("nrm"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id").between(1, 9))
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val c = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vd").as("cv2"),
+        col("nrm").as("cn2"), col("cell"))
+    val scored = q.join(c, "cell")
+      .withColumn("cos_sim", round(
+        expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          / (col("qn") * col("cn2")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("cell"), col("rk"),
+        col("c_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val s03Sql =
+    s"""WITH nv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE)))
+       |      AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cn
+       |  FROM nv WHERE vec_id % 125 = 0),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, 65),
+       |            i -> n.embedding[CAST(i AS INT)]::DOUBLE
+       |                 * c.cemb[CAST(i AS INT)]::DOUBLE))
+       |          / (n.nrm * c.cn), 4) DESC, c.cent_id) AS ark
+       |    FROM nv n, cents c) a
+       |  WHERE ark = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, qa.cell AS cell, c.vec_id AS neighbor_id,
+       |    ${duckCos("q.embedding", "c.embedding")} AS cos_sim
+       |  FROM nv q
+       |  JOIN assigned qa ON qa.vec_id = q.vec_id
+       |  JOIN assigned ca ON ca.cell = qa.cell
+       |  JOIN nv c ON c.vec_id = ca.vec_id
+       |  WHERE q.vec_id BETWEEN 1 AND 9 AND c.vec_id >= 10),
+       |ranked AS (
+       |  SELECT q_id, cell, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, cell, CAST(rk AS BIGINT) AS rk, neighbor_id, cos_sim
+       |FROM ranked
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
+    "s03_ann_ivf" -> QueryDef(s03, Some(s03Sql)),
   )
 }

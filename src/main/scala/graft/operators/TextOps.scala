@@ -138,10 +138,40 @@ object TextOps {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level n-gram frequency: top-20 word bigrams by occurrence (the
+    * vocabulary/LM-stats building block). Explode → hash aggregate with
+    * map-side partial counts (the shuffle carries one row per distinct
+    * bigram per partition, not per occurrence) → TakeOrderedAndProject
+    * top-k (no global sort). Deterministic tiebreak on the bigram itself. */
+  private def t05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  private val t05Sql =
+    """SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> concat(w[CAST(i AS INT)], ' ', w[CAST(i AS INT) + 1])))
+      |    AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 2) t) u
+      |GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 20""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
     "t03_lang_id" -> QueryDef(t03, Some(t03Sql)),
     "t04_fingerprint" -> QueryDef(t04, Some(t04Sql), headline = true),
+    "t05_top_bigrams" -> QueryDef(t05, Some(t05Sql)),
   )
 }
