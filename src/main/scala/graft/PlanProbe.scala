@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspection utility: prints the formatted physical plan (and timing)
+  * for named queries — the `.explain("formatted")` iteration loop the build
+  * discipline requires (check PushedFilters/ReadSchema at scans, broadcast
+  * vs shuffle joins, WholeStageCodegen spans).
+  *
+  * Usage: runMain graft.PlanProbe <sfDir> <query> [query ...]
+  *        runMain graft.PlanProbe <sfDir> --time <query ...>   (timing only)
+  */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val timeOnly = args.contains("--time")
+    val names = args.drop(1).filterNot(_ == "--time") match {
+      case Array() => SparkEntry.headlines.toArray
+      case xs => xs
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-planprobe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (!timeOnly) df.explain("formatted")
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      println(f"[$n] $rows rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -60,5 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming64"),
       (exprs: Seq[Expression]) => HammingDistance(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotDouble].getName, "dot_f64"),
+      (exprs: Seq[Expression]) => DotDouble(exprs.head, exprs(1))))
   }
 }

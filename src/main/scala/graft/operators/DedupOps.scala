@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.StableHash
+import graft.functions.DotDouble.dotF64
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,10 +83,19 @@ object DedupOps {
     val arr = shingleArrays(t(s, dir).documentsSpread).cache()
     // per-doc set sizes come free from the arrays — no counting aggregate
     val sizes = arr.select(col("doc_id"), col("n_sh"))
+    // join key = 64-bit hash of the shingle, not the ~25-char string: the
+    // self-join shuffles (doc_id, 8-byte key) rows instead of raw text
+    // (collision odds over ~10^6 distinct shingles ≈ 2^-45 — below the FP
+    // noise floor of any float column). shuffle_hash hint: the exploded
+    // side must NEVER broadcast — the pre-explode cache stats look tiny, so
+    // without the hint AQE builds a per-task hash map of every shingle
+    // occurrence (the round-1 plan); partitioning by key is the shape that
+    // survives 100 TB.
     val sh = arr.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
-    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
-    val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh"))
+    val inter = a.hint("shuffle_hash").join(b, Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_inter"))
@@ -228,7 +238,7 @@ object DedupOps {
     val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm",
-        expr("sqrt(aggregate(vd, 0D, (acc, v) -> acc + v * v))"))
+        sqrt(dotF64(col("vd"), col("vd"))))
     val a = emb.select(col("vec_id").as("a_id"), col("label"),
       col("vd").as("av"), col("nrm").as("an"))
     val b = emb.select(col("vec_id").as("b_id"), col("label"),
@@ -236,7 +246,7 @@ object DedupOps {
     a.join(b, Seq("label"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos_sim", round(
-        expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        dotF64(col("av"), col("bv"))
           / (col("an") * col("bn")), 4))
       .filter(col("cos_sim") > 0.35)
       .select(col("a_id"), col("b_id"), col("label").cast("long").as("label"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.StableHash
+import graft.functions.DotDouble.dotF64
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -43,14 +44,14 @@ object SimilarityOps {
     val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm",
-        expr("sqrt(aggregate(vd, 0D, (acc, v) -> acc + v * v))"))
+        sqrt(dotF64(col("vd"), col("vd"))))
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("nrm").as("qn"))
     val c = emb.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("vd").as("cv"), col("nrm").as("cn"))
     val scored = broadcast(q).join(c, lit(true))
       .withColumn("cos_sim", round(
-        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        dotF64(col("qv"), col("cv"))
           / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))
@@ -97,7 +98,7 @@ object SimilarityOps {
     val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm",
-        expr("sqrt(aggregate(vd, 0D, (acc, v) -> acc + v * v))"))
+        sqrt(dotF64(col("vd"), col("vd"))))
       .join(sigs, "vec_id")
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vd").as("qv"),
@@ -107,7 +108,7 @@ object SimilarityOps {
         col("nrm").as("cn"), col("bucket"))
     val scored = q.join(c, "bucket")
       .withColumn("cos_sim", round(
-        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        dotF64(col("qv"), col("cv"))
           / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))
@@ -169,7 +170,7 @@ object SimilarityOps {
     val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm",
-        expr("sqrt(aggregate(vd, 0D, (acc, v) -> acc + v * v))"))
+        sqrt(dotF64(col("vd"), col("vd"))))
     val cents = emb.filter(col("vec_id") % 125 === 0)
       .select(col("vec_id").as("cent_id"), col("vd").as("cv"),
         col("nrm").as("cn"))
@@ -177,7 +178,7 @@ object SimilarityOps {
       .orderBy(col("cc").desc, col("cent_id"))
     val assigned = emb.join(broadcast(cents), lit(true))
       .withColumn("cc", round(
-        expr("aggregate(zip_with(vd, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        dotF64(col("vd"), col("cv"))
           / (col("nrm") * col("cn")), 4))
       .withColumn("ark", row_number().over(wAssign))
       .filter(col("ark") === 1)
@@ -190,7 +191,7 @@ object SimilarityOps {
         col("nrm").as("cn2"), col("cell"))
     val scored = q.join(c, "cell")
       .withColumn("cos_sim", round(
-        expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        dotF64(col("qv"), col("cv2"))
           / (col("qn") * col("cn2")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))

@@ -43,6 +43,37 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("dot_f64 matches the zip_with/aggregate lambda fold bit-for-bit") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2, 0.3), Seq(-0.7, 0.11, 13.0)),
+      (Seq.empty[Double], Seq.empty[Double])
+    ).toDF("a", "b")
+    val cmp = df.select(
+      DotDouble.dotF64(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        .as("lambda"))
+      .collect()
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0))
+        == java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("dot_f64 null propagation and type check") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((Some(Seq(1.0)), None: Option[Seq[Double]])).toDF("a", "b")
+    val r = df.select(DotDouble.dotF64(col("a"), col("b"))).collect()
+    assert(r(0).isNullAt(0))
+    val bad = Seq((Seq(1), Seq(1.0))).toDF("a", "b")
+    intercept[Exception] {
+      bad.select(DotDouble.dotF64(col("a"), col("b"))).collect()
+    }
+  }
+
   test("stable hashes match their DuckDB formulas' semantics") {
     val sess = spark
     import sess.implicits._
