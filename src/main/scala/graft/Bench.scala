@@ -5,8 +5,63 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query is fully executed
   * (count() materializes every row through the final stage).
+  *
+  * Also measures full-route streaming throughput (events/sec through
+  * source → too-old filter → metadata → JSON middleware → handler dispatch
+  * incl. retry/DLQ sink writes) — the reference is a stream processor, so
+  * events/sec is its native throughput metric (its sizing example budgets
+  * 10 msg/s/topic with 200 ms handlers, doc/CONCEPTS.md:38-43; the Spark
+  * pipeline is vectorized, so expect 5-6 orders of magnitude above that).
+  * Reported as an extra "stream" key on the same JSON line.
   */
 object Bench {
+
+  /** Push `n` synthetic JSON envelopes through a full stream route (with
+    * ~1% retries and ~0.5% corrupt records exercising the DLQ path) and
+    * return (seconds, events/sec). */
+  private def streamThroughput(spark: SparkSession, n: Long): (Double, Double) = {
+    import graft.streaming._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+    val topics = new FileTopicIO(s"$base/topics")
+    val route = StreamRouteConfig(
+      topicEntity = "bench", originTopic = "bench_origin",
+      retry = RetryConfig(enabled = true, count = 1,
+        backoffType = BackoffType.Linear, queueTimeoutMs = 0L))
+    val engine = new GraftEngine(spark,
+      EngineConfig(streamRoutes = Map("bench" -> route)), topics, s"$base/ckpt")
+    // seed distributed (never a driver-side Seq): id % 200 == 199 → business
+    // failure (retry); % 200 == 198 → corrupt bytes (deser-failure DLQ, E9)
+    val env = spark.range(n).select(
+      encode(col("id").cast("string"), "UTF-8").as("key"),
+      encode(when(col("id") % 200 === 198, lit("corrupt-not-json"))
+        .otherwise(concat(lit("{\"amount\": "),
+          when(col("id") % 200 === 199, lit(-1)).otherwise(col("id") % 100),
+          lit("}"))), "UTF-8").as("value"),
+      lit("bench_origin").as("topic"),
+      (col("id") % 32).cast("int").as("partition"),
+      col("id").as("offset"),
+      current_timestamp().as("timestamp"),
+      lit("bench").as("topicEntity"),
+      lit(null).cast("int").as("retryCount"),
+      lit(null).cast("timestamp").as("nextAttemptAt"),
+      lit(null).cast("string").as("channel"))
+    topics.append(env, "bench_origin")
+    val schema = StructType(Seq(StructField("amount", IntegerType)))
+    val handler = Dispatch.ExprHandler(
+      when(col("message").isNull, "dead_letter")
+        .when(col("message.amount") < 0, "retry")
+        .otherwise("success"))
+    val t0 = System.nanoTime()
+    engine.startStreamRoute(route, Middleware.json(schema), handler,
+      Trigger.AvailableNow()).awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    engine.stopAll()
+    (sec, n / sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,8 +92,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // full-route streaming throughput (warmup pass, then the measured pass)
+    val streamJson = try {
+      streamThroughput(spark, 20000L)
+      val (sec, eps) = streamThroughput(spark, 500000L)
+      f""","stream":{"events":500000,"sec":$sec%.3f,"events_per_sec":${eps.round}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
+      ""
+    }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$streamJson}""")
     spark.stop()
   }
 }
