@@ -180,6 +180,33 @@ object Analytic {
       |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
       |ORDER BY nation, segment""".stripMargin
 
+  /** Positional analytic functions: first/last/nth value per supplier over
+    * ship-date order (frame = whole partition so last/nth are stable). */
+  private def a09(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir).lineitem
+      .filter(col("l_suppkey") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        first(col("l_quantity")).over(w).as("first_qty"),
+        last(col("l_quantity")).over(w).as("last_qty"),
+        nth_value(col("l_quantity"), 2).over(w).as("second_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val a09Sql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  first_value(l_quantity) OVER w AS first_qty,
+      |  last_value(l_quantity) OVER w AS last_qty,
+      |  nth_value(l_quantity, 2) OVER w AS second_qty
+      |FROM lineitem
+      |WHERE l_suppkey <= 3
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -189,5 +216,6 @@ object Analytic {
     "a06_hll_approx" -> QueryDef(a06, None),
     "a07_lag_lead_ntile" -> QueryDef(a07, Some(a07Sql)),
     "a08_grouping_sets" -> QueryDef(a08, Some(a08Sql)),
+    "a09_positional_window" -> QueryDef(a09, Some(a09Sql)),
   )
 }

@@ -523,6 +523,56 @@ object Relational {
       |  FROM part) t
       |ORDER BY p_partkey""".stripMargin
 
+  /** TPC-H Q4-style correlated EXISTS with aggregation: orders having at
+    * least one late-shipped line (l_shipdate > o_orderdate + 90 days),
+    * counted per priority. Catalyst decorrelates the EXISTS into a
+    * left-semi join on the order key — here declared directly as the
+    * semi-join + aggregate it becomes. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val tb = t(s, dir)
+    val late = tb.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    tb.orders
+      .join(late,
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q38Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Scalar subquery in the projection (global average joined to every
+    * row), exercised through the SQL API so Catalyst's scalar-subquery
+    * planning (ReuseSubquery + broadcast of the 1-row aggregate) is what
+    * runs — no hand decorrelation. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir).orders.createOrReplaceTempView("sq_orders")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice,
+        |  round(o_totalprice - (SELECT avg(o_totalprice) FROM sq_orders), 2)
+        |    AS delta_from_avg
+        |FROM sq_orders
+        |WHERE o_orderkey <= 200
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q39Sql =
+    """SELECT o_orderkey, o_totalprice,
+      |  round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2)
+      |    AS delta_from_avg
+      |FROM orders
+      |WHERE o_orderkey <= 200
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -547,5 +597,7 @@ object Relational {
     "q35_date_funcs" -> QueryDef(q35, Some(q35Sql)),
     "q36_string_match" -> QueryDef(q36, Some(q36Sql)),
     "q37_map_funcs" -> QueryDef(q37, Some(q37Sql)),
+    "q38_exists_agg" -> QueryDef(q38, Some(q38Sql)),
+    "q39_scalar_subquery" -> QueryDef(q39, Some(q39Sql)),
   )
 }

@@ -5,19 +5,22 @@ import org.apache.spark.sql.functions._
 
 class FormatsSpec extends SparkSuite {
 
-  test("documents round-trip identically through parquet, csv, and json") {
+  test("documents round-trip identically through parquet, csv, orc, and json") {
     val docs = Tables(spark, sf0001).documents
     val schema = docs.schema
     val base = tmpDir("formats")
     Formats.writeParquet(docs, s"$base/p")
     Formats.writeCsv(docs, s"$base/c")
     Formats.writeJsonLines(docs, s"$base/j")
+    Formats.writeOrc(docs, s"$base/o")
     val fromP = Formats.readParquet(spark, s"$base/p", schema)
     val fromC = Formats.readCsv(spark, s"$base/c", schema)
     val fromJ = Formats.readJsonLines(spark, s"$base/j", schema)
+    val fromO = Formats.readOrc(spark, s"$base/o", schema)
     assert(fromP.exceptAll(docs).isEmpty && docs.exceptAll(fromP).isEmpty)
     assert(fromC.exceptAll(docs).isEmpty && docs.exceptAll(fromC).isEmpty)
     assert(fromJ.exceptAll(docs).isEmpty && docs.exceptAll(fromJ).isEmpty)
+    assert(fromO.exceptAll(docs).isEmpty && docs.exceptAll(fromO).isEmpty)
   }
 
   test("envelope export/import preserves binary payloads via base64") {
