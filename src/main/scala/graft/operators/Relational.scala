@@ -573,6 +573,30 @@ object Relational {
       |WHERE o_orderkey <= 200
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Null-aware anti join: NOT IN over a subquery — semantically distinct
+    * from NOT EXISTS (one NULL in the subquery empties the result), planned
+    * by Spark as BroadcastHashJoin with isNullAwareAntiJoin (the
+    * single-column null-aware path). Declared through the SQL API so the
+    * null-aware planning itself is what runs. The probe list here is
+    * null-free (keys are PKs), so both engines return the plain anti set —
+    * exercising the operator without the degenerate empty-result case. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val tb = t(s, dir)
+    tb.customer.createOrReplaceTempView("na_customer")
+    tb.orders.createOrReplaceTempView("na_orders")
+    s.sql(
+      """SELECT c_custkey, c_name FROM na_customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM na_orders WHERE o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q40Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -599,5 +623,6 @@ object Relational {
     "q37_map_funcs" -> QueryDef(q37, Some(q37Sql)),
     "q38_exists_agg" -> QueryDef(q38, Some(q38Sql)),
     "q39_scalar_subquery" -> QueryDef(q39, Some(q39Sql)),
+    "q40_not_in_null_aware" -> QueryDef(q40, Some(q40Sql)),
   )
 }

@@ -49,4 +49,29 @@ class PlanSpec extends SparkSuite {
   test("q02: aggregation stays inside whole-stage codegen") {
     assert(PlanChecks.hasWholeStageCodegen(run("q02_agg_pricing")))
   }
+
+  test("q31: as-of join is a single union-scan — no join operator at all") {
+    val df = run("q31_asof_join")
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(!ops.exists(_.contains("Join")),
+      s"as-of must not plan a join (pair blowup at scale); got $ops")
+  }
+
+  test("q32: band range-join broadcasts the band dim (nested-loop is the " +
+      "right physical op for a 5-row non-equi dim)") {
+    val df = run("q32_range_join")
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(ops.exists(_.startsWith("BroadcastNestedLoopJoin")), s"got $ops")
+  }
+
+  test("d02: shingle self-join goes shuffled-hash, never broadcast " +
+      "(exploded side must partition at 100 TB)") {
+    val df = run("d02_dedup_ngram_jaccard")
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(ops.exists(_.startsWith("ShuffledHashJoin")), s"got $ops")
+  }
+
+  test("s01: ANN scoring keeps whole-stage codegen (dot_f64 generates)") {
+    assert(PlanChecks.hasWholeStageCodegen(run("s01_ann_bruteforce")))
+  }
 }
