@@ -130,7 +130,9 @@ object DedupOps {
     * equi-join on (band, signature) — the classic sub-quadratic LSH topology.
     * Reference has no such operator (SURVEY §2.6); this is the extension
     * surface's scale path for fuzzy dedup. */
-  private def d03(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered distinct MinHash-LSH candidate pairs — shared by d03 (the
+    * declared pair query) and d06 (component resolution over the pairs). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // all 16 min-hashes as pure per-row array math (transform + array_min
     // over the per-doc shingle array): zero shuffles before the band join —
     // no explode, no groupBy. Identical values to the oracle's
@@ -154,10 +156,14 @@ object DedupOps {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-      .orderBy(col("a_id"), col("b_id"))
   }
 
-  private val d03Sql = {
+  private def d03(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy(col("a_id"), col("b_id"))
+
+  /** DuckDB CTE preamble ending with `pairs` = the distinct LSH candidate
+    * pairs — shared by the d03 and d06 oracles. */
+  private val minhashPairsCtes = {
     val h = StableHash.duckH60("CAST(seed AS VARCHAR) || ':' || shingle")
     val sigCols = (0 until 16)
       .map(i => s"min(CASE WHEN seed = $i THEN h END) AS m$i").mkString(",\n    ")
@@ -166,7 +172,7 @@ object DedupOps {
         .mkString(" || '-' || ")
       s"SELECT doc_id, $b AS band, $cat AS bsig FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH $shinglesSql,
+    s"""$shinglesSql,
        |minh AS (
        |  SELECT doc_id, seed, min($h) AS h
        |  FROM sh, (SELECT unnest(range(16)) AS seed) seeds
@@ -176,13 +182,19 @@ object DedupOps {
        |    $sigCols
        |  FROM minh GROUP BY doc_id),
        |bands AS (
-       |  $bandRows)
-       |SELECT DISTINCT CAST(x.doc_id AS BIGINT) AS a_id,
-       |  CAST(y.doc_id AS BIGINT) AS b_id
-       |FROM bands x JOIN bands y
-       |  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
-       |ORDER BY a_id, b_id""".stripMargin
+       |  $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)"""
+      .stripMargin
   }
+
+  private val d03Sql =
+    s"""WITH $minhashPairsCtes
+       |SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id
+       |FROM pairs
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** SimHash (32-bit) per document: per-bit vote over distinct token hashes,
     * sign-majority per bit, recombined with exact pow-of-two arithmetic.
@@ -296,11 +308,62 @@ object DedupOps {
       .distinct()
   }
 
+  /** Dedup-cluster resolution: connected components over the LSH candidate
+    * pairs via iterative min-label propagation — near-dup pairs are not a
+    * dedup decision until transitively closed (A~B, B~C ⇒ {A,B,C} is one
+    * cluster with one canonical doc). Each round is two keyed shuffles
+    * (propagate min label across edges, re-aggregate per vertex); rounds
+    * needed = graph diameter ≈ O(log n) for dedup clusters, so at 100 TB
+    * this is a handful of bulk-synchronous passes (the GraphX/Pregel
+    * topology, expressed in plain DataFrame ops). The driver-side loop
+    * only checks a convergence count per round — no data is collected. */
+  private def d06(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      val next = labels.unionAll(prop)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        .cache()
+      changed = next.as("n").join(labels.as("o"), "v")
+        .filter(col("n.lbl") < col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("lbl").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d06Sql =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM pairs),
+       |verts AS (SELECT DISTINCT src AS v FROM edges),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT w.v, e.dst FROM reach w JOIN edges e ON e.src = w.r)
+       |SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+       |FROM reach GROUP BY v
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
     "d03_dedup_minhash_lsh" -> QueryDef(d03, Some(d03Sql), headline = true),
     "d04_dedup_simhash" -> QueryDef(d04, Some(d04Sql), headline = true),
     "d05_dedup_embedding_cosine" -> QueryDef(d05, Some(d05Sql)),
+    "d06_dedup_components" -> QueryDef(d06, Some(d06Sql)),
   )
 }
