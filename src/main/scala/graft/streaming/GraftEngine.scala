@@ -139,6 +139,36 @@ final class GraftEngine(
       .start())
   }
 
+  /** Exact-time retry reader: same contract as [[startRetryReader]] but
+    * releases records via [[RetryTimers.release]] (flatMapGroupsWithState +
+    * processing-time timers) instead of the per-trigger due-filter — no
+    * requeue I/O, release latency decoupled from the trigger interval
+    * (SURVEY §4.2's "exact" option). Needs a running trigger (timers fire
+    * on batch boundaries), so it uses ProcessingTime, not AvailableNow. */
+  def startExactRetryReader(route: StreamRouteConfig,
+      middleware: DataFrame => DataFrame,
+      handler: Dispatch.Handler,
+      triggerMs: Long = 200L): StreamingQuery = {
+    val entity = route.topicEntity
+    implicit val enc = org.apache.spark.sql.Encoders.product[Envelope]
+    val src = topics.readStream(spark, EngineConfig.retryTopic(entity))
+      .select(Envelope.schema.fieldNames.map(
+        org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .as[Envelope]
+    val released = RetryTimers.release(src)
+    track(s"retry-exact-$entity", () => released.toDF().writeStream
+      .queryName(s"retry-exact-$entity")
+      .option("checkpointLocation", s"$checkpointDir/retry-exact-$entity")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counts = Dispatch.dispatch(route, topics, handler,
+          Some(s"retry-exact-$entity-$batchId"))(
+          middleware(Pipeline.enrichMetadata(batch)))
+        metrics.recordDispatch(entity, counts)
+      }
+      .start())
+  }
+
   /** Start a channel worker (D2/E2, mapper.clj:71-111): consumes the
     * channel's topic with its own handler and channel-scoped retry config —
     * the RabbitMQ-worker analogue whose parallelism is decoupled from the
