@@ -76,9 +76,59 @@ object Sampling {
       |    AS vocab_size
       |FROM documents""".stripMargin
 
+  /** Deterministic train/validation/test split (90/5/5 by content hash) +
+    * per-split stats — the reproducible-split primitive every training run
+    * needs (resumable, engine-portable, no rand()). Pure map-side split
+    * expression; one tiny aggregate. */
+  private def x04(s: SparkSession, dir: String): DataFrame = {
+    val bucket = StableHash.h60(col("text")) % 100
+    Tables(s, dir).documentsSpread
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "validation")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .orderBy(col("split"))
+  }
+
+  private val x04Sql = {
+    val b = s"(${StableHash.duckH60("text")}) % 100"
+    s"""SELECT CASE WHEN $b < 90 THEN 'train'
+       |  WHEN $b < 95 THEN 'validation' ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY split""".stripMargin
+  }
+
+  /** Skew-safe salted aggregation, oracle-gated for semantic transparency:
+    * the Spark side runs [[SkewTools.saltedSumCount]] (two-phase partial →
+    * recombine over 16 salts) and must produce EXACTLY the plain GROUP BY
+    * the oracle runs — the proof that salting changes the shuffle layout,
+    * never the result. Quantities are integral doubles, so the re-
+    * association of the sum across salts is bit-exact. */
+  private def x05(s: SparkSession, dir: String): DataFrame =
+    SkewTools.saltedSumCount(
+      Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_quantity")),
+      key = "l_returnflag", valueCol = "l_quantity", saltFactor = 16)
+      .select(col("l_returnflag"),
+        round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val x05Sql =
+    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
     "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
     "x03_corpus_stats" -> QueryDef(x03, Some(x03Sql)),
+    "x04_train_test_split" -> QueryDef(x04, Some(x04Sql)),
+    "x05_salted_agg" -> QueryDef(x05, Some(x05Sql)),
   )
 }

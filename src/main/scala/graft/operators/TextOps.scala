@@ -167,11 +167,47 @@ object TextOps {
       |ORDER BY n DESC, bigram
       |LIMIT 20""".stripMargin
 
+  /** PII scrubbing: redact numeric identifiers and email-shaped tokens from
+    * the event payloads, count what was removed, and flag rows that had any
+    * hit — the pre-training scrub stage. Pure regexp expressions (codegen,
+    * map-side only); the patterns are simple character classes so Java
+    * regex and DuckDB RE2 agree byte-for-byte. */
+  private def t06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .select(
+        col("event_id"),
+        regexp_replace(
+          regexp_replace(col("props"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("scrubbed"),
+        size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long")
+          .as("n_num_redacted"),
+        size(expr(
+          "regexp_extract_all(props, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', 0)"))
+          .cast("long").as("n_email_redacted"),
+        (col("props").rlike("[0-9]")
+          || col("props").rlike("[A-Za-z0-9.]+@[A-Za-z0-9.]+")).as("had_pii"))
+      .orderBy(col("event_id"))
+
+  private val t06Sql =
+    """SELECT event_id,
+      |  regexp_replace(
+      |    regexp_replace(props, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+      |    '[0-9]+', '<NUM>', 'g') AS scrubbed,
+      |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+      |    AS n_num_redacted,
+      |  CAST(len(regexp_extract_all(props, '[A-Za-z0-9.]+@[A-Za-z0-9.]+'))
+      |    AS BIGINT) AS n_email_redacted,
+      |  (regexp_matches(props, '[0-9]')
+      |    OR regexp_matches(props, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS had_pii
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
     "t03_lang_id" -> QueryDef(t03, Some(t03Sql)),
     "t04_fingerprint" -> QueryDef(t04, Some(t04Sql), headline = true),
     "t05_top_bigrams" -> QueryDef(t05, Some(t05Sql)),
+    "t06_pii_scrub" -> QueryDef(t06, Some(t06Sql)),
   )
 }
