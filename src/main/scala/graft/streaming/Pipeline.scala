@@ -49,6 +49,20 @@ object Pipeline {
       max(unix_millis(current_timestamp()) - unix_millis(col("timestamp")))
         .as("delay_ms_max"))
 
+  /** The user-visible payload contract (`create-user-payload`,
+    * mapper.clj:18-26; asserted by the reference's
+    * streams_test.clj:62-68): the handler sees exactly `message`, `key`,
+    * and `metadata` — with `rabbitmq_retry_count` = configured − remaining
+    * (how many retry hops the record has taken) — and the transport fields
+    * (`retryCount`, `topicEntity`, offsets) stripped. */
+  def userPayload(configuredRetryCount: Int)(df: DataFrame): DataFrame =
+    df.withColumn("metadata",
+        struct(col("topic"), col("timestamp"), col("partition"),
+          (lit(configuredRetryCount)
+            - coalesce(col("retryCount"), lit(configuredRetryCount)))
+            .as("rabbitmq_retry_count")))
+      .select(col("message"), col("key"), col("metadata"))
+
   /** Full pre-handler pipeline for a route. */
   def forRoute(route: StreamRouteConfig,
       middleware: DataFrame => DataFrame,

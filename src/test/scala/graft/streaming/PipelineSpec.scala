@@ -24,6 +24,23 @@ class PipelineSpec extends SparkSuite {
     assert(row.getAs[java.sql.Timestamp]("timestamp") == ts("2024-01-01 00:00:00"))
   }
 
+  test("user payload contract: message/key/metadata only, retry hops counted " +
+      "(create-user-payload, streams_test.clj:62-68 twin)") {
+    val batch = envelopes("app", Seq(("k", """{"a":1}""", ts("2024-01-01 00:00:00"))))
+      .withColumn("message", col("value").cast("string"))
+      .withColumn("retryCount", lit(3))          // 2 hops taken of 5
+    val out = Pipeline.userPayload(configuredRetryCount = 5)(batch)
+    assert(out.columns.toSet == Set("message", "key", "metadata"),
+      s"transport fields must be stripped; got ${out.columns.toSet}")
+    val row = out.select("metadata.*").collect()(0)
+    assert(row.getAs[Int]("rabbitmq_retry_count") == 2)
+    // first delivery (retryCount null) → zero hops
+    val fresh = Pipeline.userPayload(5)(
+      batch.withColumn("retryCount", lit(null).cast("int")))
+      .select("metadata.*").collect()(0)
+    assert(fresh.getAs[Int]("rabbitmq_retry_count") == 0)
+  }
+
   test("ingestion-time fallback replaces negative/missing timestamps (R1)") {
     val sess = spark
     import sess.implicits._
