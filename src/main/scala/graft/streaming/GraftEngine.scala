@@ -274,6 +274,45 @@ final class GraftEngine(
       .start())
   }
 
+  /** Start an analytics route: a continuous windowed/stateful aggregation
+    * over the origin topic — the §2.6 relational surface executed as a
+    * streaming query (use `withWatermark` + `window`/`session_window` in
+    * `transform`) — with result rows published to a sink topic as JSON
+    * envelopes. This is the capability step from "stream router"
+    * (the reference's surface) to "streaming analytics engine" (the north
+    * star): same route lifecycle, checkpointing, and idempotent sink
+    * semantics as dispatch routes. */
+  def startAnalyticsRoute(name: String, originTopic: String, sinkTopic: String,
+      aggregation: DataFrame => DataFrame,
+      keyCol: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val agg = aggregation(topics.readStream(spark, originTopic))
+    track(s"analytics-$name", () => agg.writeStream
+      .queryName(s"analytics-$name")
+      .outputMode("update")
+      .option("checkpointLocation", s"$checkpointDir/analytics-$name")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val env = batch.select(
+          keyCol.map(k => col(k).cast("string").cast("binary"))
+            .getOrElse(lit(null).cast("binary")).as("key"),
+          to_json(struct(batch.columns.map(col).toIndexedSeq: _*))
+            .cast("binary").as("value"),
+          lit(sinkTopic).as("topic"),
+          lit(0).as("partition"),
+          lit(0L).as("offset"),
+          current_timestamp().as("timestamp"),
+          lit(name).as("topicEntity"),
+          lit(null).cast("int").as("retryCount"),
+          lit(null).cast("timestamp").as("nextAttemptAt"),
+          lit(null).cast("string").as("channel"))
+        topics.appendIdempotent(env, sinkTopic, s"analytics-$name-$batchId")
+        metrics.increment(s"$name.analytics.batches")
+      }
+      .start())
+  }
+
   /** O2: stop/restart a single route's query at runtime. */
   def stopRoute(name: String): Boolean =
     Option(queries.remove(name)).map { q => q.stop(); true }.getOrElse(false)
