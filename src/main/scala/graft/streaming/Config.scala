@@ -48,6 +48,43 @@ final case class BatchRouteConfig(
     threadCount: Int = 2,
     retry: RetryConfig = RetryConfig())
 
+/** Broker security settings — the Spark translation of the reference's
+  * `:ssl`/`:sasl` config sections (config.clj:233-298: build-ssl-properties
+  * / build-sasl-properties turn kebab-case config into Kafka `ssl.*` /
+  * `sasl.*` properties). Here the same translation produces the `kafka.`-
+  * prefixed source/sink options Spark's Kafka connector forwards to the
+  * client. */
+final case class SecurityConfig(
+    protocol: Option[String] = None,           // SSL | SASL_SSL | SASL_PLAINTEXT
+    sslKeystoreLocation: Option[String] = None,
+    sslKeystorePassword: Option[String] = None,
+    sslKeyPassword: Option[String] = None,
+    sslTruststoreLocation: Option[String] = None,
+    sslTruststorePassword: Option[String] = None,
+    saslMechanism: Option[String] = None,      // PLAIN | SCRAM-SHA-256/512 ...
+    saslJaasConfig: Option[String] = None) {
+
+  /** Options for `spark.read[Stream].format("kafka")` (and the sink). */
+  def kafkaOptions: Map[String, String] = Seq(
+    "kafka.security.protocol" -> protocol,
+    "kafka.ssl.keystore.location" -> sslKeystoreLocation,
+    "kafka.ssl.keystore.password" -> sslKeystorePassword,
+    "kafka.ssl.key.password" -> sslKeyPassword,
+    "kafka.ssl.truststore.location" -> sslTruststoreLocation,
+    "kafka.ssl.truststore.password" -> sslTruststorePassword,
+    "kafka.sasl.mechanism" -> saslMechanism,
+    "kafka.sasl.jaas.config" -> saslJaasConfig,
+  ).collect { case (k, Some(v)) => k -> v }.toMap
+}
+
+object SecurityConfig {
+  /** PLAIN-mechanism JAAS line (the common SASL_SSL + PLAIN setup the
+    * reference's test cluster uses, Makefile:40-50). */
+  def plainJaas(username: String, password: String): String =
+    "org.apache.kafka.common.security.plain.PlainLoginModule required " +
+      s"""username="$username" password="$password";"""
+}
+
 /** Engine modes (init.clj:121-143): which subsystems start. */
 sealed trait Mode
 object Mode {

@@ -49,12 +49,14 @@ trait TopicIO extends Serializable {
   * regex subscription of streams.clj:184, and checkpointed offsets replace
   * per-message acks (SURVEY §2.1 S1/S4).
   */
-final class KafkaTopicIO(bootstrapServers: String) extends TopicIO {
+final class KafkaTopicIO(bootstrapServers: String,
+    security: SecurityConfig = SecurityConfig()) extends TopicIO {
   private def opts(r: org.apache.spark.sql.DataFrameReader, topic: String) = r
     .format("kafka")
     .option("kafka.bootstrap.servers", bootstrapServers)
     .option("subscribePattern", topic)
     .option("startingOffsets", "earliest")
+    .options(security.kafkaOptions)
 
   def read(spark: SparkSession, topic: String): DataFrame =
     normalize(opts(spark.read, topic).load(), topic)
@@ -66,6 +68,7 @@ final class KafkaTopicIO(bootstrapServers: String) extends TopicIO {
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribePattern", topic)
       .option("startingOffsets", "earliest")
+      .options(security.kafkaOptions)
       .options(options)
       .load(), topic)
 
@@ -86,6 +89,7 @@ final class KafkaTopicIO(bootstrapServers: String) extends TopicIO {
     .select(col("key"), col("value"))
     .write.format("kafka")
     .option("kafka.bootstrap.servers", bootstrapServers)
+    .options(security.kafkaOptions)
     .option("topic", topic)
     .save()
 

@@ -44,4 +44,21 @@ class ConfigSpec extends AnyFunSuite {
     assert(EngineConfig.instantTopic("app") == "app_instant")
     assert(EngineConfig.channelTopic("app", "c1") == "app_channel_c1")
   }
+
+  test("security config translates to kafka.* source/sink options (config.clj:233-298 twin)") {
+    val sec = SecurityConfig(
+      protocol = Some("SASL_SSL"),
+      sslTruststoreLocation = Some("/etc/tls/trust.jks"),
+      sslTruststorePassword = Some("ts-secret"),
+      saslMechanism = Some("PLAIN"),
+      saslJaasConfig = Some(SecurityConfig.plainJaas("svc", "pw")))
+    val o = sec.kafkaOptions
+    assert(o("kafka.security.protocol") == "SASL_SSL")
+    assert(o("kafka.ssl.truststore.location") == "/etc/tls/trust.jks")
+    assert(o("kafka.sasl.mechanism") == "PLAIN")
+    assert(o("kafka.sasl.jaas.config").contains("username=\"svc\""))
+    assert(!o.contains("kafka.ssl.keystore.location"),
+      "unset fields must not emit options")
+    assert(SecurityConfig().kafkaOptions.isEmpty)
+  }
 }
