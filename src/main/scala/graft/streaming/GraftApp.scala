@@ -57,7 +57,10 @@ final class GraftApp(
     if (modes.contains(Mode.Worker))
       cfg.streamRoutes.foreach { case (entity, route) =>
         val w = streamWiring(entity)
-        engine.startRetryReader(route, w.middleware, w.handler, trigger)
+        if (route.exactRetryRelease)
+          engine.startExactRetryReader(route, w.middleware, w.handler)
+        else
+          engine.startRetryReader(route, w.middleware, w.handler, trigger)
         engine.startInstantWorker(route, w.middleware, w.handler, trigger)
         route.channels.keys.foreach(ch =>
           engine.startChannelWorker(route, ch, w.middleware, w.handler, trigger))
