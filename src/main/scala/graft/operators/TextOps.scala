@@ -16,8 +16,8 @@ object TextOps {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
-  /** Token counting: whitespace tokens + a word-regex token count (BPE-ish
-    * proxy: alnum runs), plus char stats. */
+  /** Token counting: whitespace tokens AND a BPE-ish regex tokenization
+    * (alnum runs — the subword-merge input units), plus char stats. */
   private def t01(s: SparkSession, dir: String): DataFrame =
     t(s, dir).documentsSpread
       .withColumn("toks", split(col("text"), " "))
@@ -27,6 +27,8 @@ object TextOps {
         length(col("text")).cast("long").as("n_chars_m"),
         size(expr("filter(toks, x -> length(x) >= 5)")).cast("long")
           .as("n_long_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long")
+          .as("n_re_tokens"),
         round((length(col("text")) - size(col("toks")) + 1)
           / size(col("toks")).cast("double"), 4).as("avg_token_len"))
       .orderBy(col("doc_id"))
@@ -37,6 +39,8 @@ object TextOps {
       |  CAST(length(text) AS BIGINT) AS n_chars_m,
       |  CAST(len(list_filter(string_split(text, ' '), x -> length(x) >= 5)) AS BIGINT)
       |    AS n_long_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+      |    AS n_re_tokens,
       |  round((length(text) - len(string_split(text, ' ')) + 1)
       |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
       |FROM documents
