@@ -124,11 +124,40 @@ object Sampling {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Language-mix resampling: per-language keep-rates (‰) applied via the
+    * content hash — the domain up/down-sampling stage of a data-mixing
+    * pipeline (e.g. down-weight the dominant language, keep the rest).
+    * Deterministic (same doc kept at any SF/cluster size), map-side only;
+    * the tiny rate table broadcasts. Output = per-language kept counts so
+    * the oracle checks the realized mix. */
+  private def x06(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val rates = Seq(("en", 400), ("de", 1000), ("es", 1000), ("fr", 1000),
+      ("zh", 700)).toDF("lang", "keep_permille")
+    Tables(s, dir).documents
+      .join(broadcast(rates), Seq("lang"))
+      .filter(StableHash.h60(col("text")) % 1000 < col("keep_permille"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  private val x06Sql =
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+       |FROM documents
+       |JOIN (VALUES ('en', 400), ('de', 1000), ('es', 1000), ('fr', 1000),
+       |  ('zh', 700)) rates(lang, keep_permille) USING (lang)
+       |WHERE (${StableHash.duckH60("text")}) % 1000 < keep_permille
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
     "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
     "x03_corpus_stats" -> QueryDef(x03, Some(x03Sql)),
     "x04_train_test_split" -> QueryDef(x04, Some(x04Sql)),
     "x05_salted_agg" -> QueryDef(x05, Some(x05Sql)),
+    "x06_lang_mix_resample" -> QueryDef(x06, Some(x06Sql)),
   )
 }
