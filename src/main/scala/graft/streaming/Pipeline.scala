@@ -49,6 +49,20 @@ object Pipeline {
       max(unix_millis(current_timestamp()) - unix_millis(col("timestamp")))
         .as("delay_ms_max"))
 
+  /** Streaming exact dedup: drop duplicate records per key within the
+    * watermark horizon (SURVEY §7.1 item 10 — the streaming twin of the
+    * batch content-hash dedup d01). `dropDuplicatesWithinWatermark` keys
+    * the state store and expires entries as the watermark advances, so
+    * state stays bounded by (arrival rate × horizon) at any corpus size —
+    * an unbounded `dropDuplicates` on a stream would grow state forever.
+    * Typical route use: key = md5(value) for content dedup, or `key` for
+    * producer-key dedup. */
+  def dedupWithinWatermark(keyCols: Seq[String],
+      tsCol: String = "timestamp", horizon: String = "10 minutes")(
+      df: DataFrame): DataFrame =
+    df.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** The user-visible payload contract (`create-user-payload`,
     * mapper.clj:18-26; asserted by the reference's
     * streams_test.clj:62-68): the handler sees exactly `message`, `key`,
