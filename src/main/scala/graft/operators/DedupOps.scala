@@ -36,11 +36,6 @@ object DedupOps {
       .select(col("doc_id"), col("lang"), col("sh_arr"),
         size(col("sh_arr")).cast("long").as("n_sh"))
 
-  /** Exploded (doc_id, lang, shingle) rows, distinct per doc. */
-  private def shingles(docs: DataFrame): DataFrame =
-    shingleArrays(docs)
-      .select(col("doc_id"), col("lang"), explode(col("sh_arr")).as("shingle"))
-
   /** DuckDB CTEs producing the identical (doc_id, lang, shingle) set. */
   private val shinglesSql =
     """toks AS (
