@@ -3,7 +3,6 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Relational (oracle-checkable) expressions of the reference's actual
   * operator surface — SURVEY.md §2.3/2.5/2.7: the too-old filter, the kafka
@@ -216,12 +215,15 @@ object StreamParity {
 
   /** S3/E7 batch poll chunking (consumer_handler.clj:98-115, max-poll-records
     * 500): deterministic assignment of the event log into 500-record polls —
-    * the relational view of `maxOffsetsPerTrigger` micro-batching. */
+    * the relational view of `maxOffsetsPerTrigger` micro-batching. Batch ids
+    * are pure id arithmetic against a 1-row broadcast min (the log's ids are
+    * densely assigned, as Kafka offsets are per partition) — no global
+    * row_number window, so the whole table never funnels through one task. */
   private def q29(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("event_id"))
-    t(s, dir).events
-      .withColumn("rn", row_number().over(w))
-      .withColumn("batch_id", expr("(rn - 1) div 500").cast("long"))
+    val ev = t(s, dir).events
+    val minId = ev.agg(min(col("event_id")).as("min_id"))
+    ev.crossJoin(broadcast(minId))
+      .withColumn("batch_id", expr("(event_id - min_id) div 500").cast("long"))
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_id"),
         max(col("event_id")).as("last_id"))
@@ -229,11 +231,11 @@ object StreamParity {
   }
 
   private val q29Sql =
-    """SELECT (rn - 1) // 500 AS batch_id, CAST(count(*) AS BIGINT) AS n,
+    """SELECT (event_id - (SELECT min(event_id) FROM events)) // 500 AS batch_id,
+      |  CAST(count(*) AS BIGINT) AS n,
       |  CAST(min(event_id) AS BIGINT) AS first_id,
       |  CAST(max(event_id) AS BIGINT) AS last_id
-      |FROM (SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn
-      |      FROM events) t
+      |FROM events
       |GROUP BY 1
       |ORDER BY batch_id""".stripMargin
 

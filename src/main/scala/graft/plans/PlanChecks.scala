@@ -57,4 +57,16 @@ object PlanChecks {
   def hasWholeStageCodegen(df: DataFrame): Boolean =
     physical(df).exists(
       _.getClass.getSimpleName.startsWith("WholeStageCodegen"))
+
+  /** Window operators with no PARTITION BY — the "whole table through one
+    * task" shape (`WindowExec: No Partition Defined`). Any occurrence in a
+    * registered query is a scale bug: the window's input serializes through
+    * a single partition regardless of cluster size. */
+  def unpartitionedWindows(df: DataFrame): Seq[String] =
+    physical(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w.windowExpression.mkString(", ")
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => s"group-limit ${w.rankLikeFunction}"
+    }
 }

@@ -65,8 +65,16 @@ object Dispatch {
           .otherwise(lit(Code.Retry)))
       .cache()
     try {
-      val success = handled.filter(col("disposition") === Code.Success).count()
-      val skip = handled.filter(col("disposition") === Code.Skip).count()
+      // Single aggregation job over the cached batch yields every
+      // disposition count plus the retryable/exhausted split — the hot path
+      // of every route runs ONE count job per trigger, not one per
+      // disposition class (five actions at r2; the per-trigger latency
+      // multiplier the round-2 audit flagged).
+      val tallies = dispositionTallies(handled, route.retry.enabled)
+      val success = tallies.total(Code.Success)
+      val skip = tallies.total(Code.Skip)
+      val retried = tallies.live(Code.Retry)
+      val exhaustedN = tallies.exhausted(Code.Retry)
 
       val toRetry = handled.filter(col("disposition") === Code.Retry)
         .drop("disposition")
@@ -75,30 +83,53 @@ object Dispatch {
         // retries disabled → straight to the DLQ, count untouched
         else (toRetry.limit(0), toRetry)
 
-      val dead = handled.filter(col("disposition") === Code.DeadLetter)
-        .drop("disposition")
-      val retried = envCount(retryable)
       if (retried > 0)
         emit(topics, retryable, EngineConfig.retryTopic(entity), token)
-      val deadAll = dead.unionByName(exhausted, allowMissingColumns = true)
-      val deadLettered = envCount(deadAll)
-      if (deadLettered > 0)
-        emit(topics, deadAll, EngineConfig.deadLetterTopic(entity), token)
+      val deadLettered = tallies.total(Code.DeadLetter) + exhaustedN
+      if (deadLettered > 0) {
+        val dead = handled.filter(col("disposition") === Code.DeadLetter)
+          .drop("disposition")
+        emit(topics, dead.unionByName(exhausted, allowMissingColumns = true),
+          EngineConfig.deadLetterTopic(entity), token)
+      }
 
       var toChannels = 0L
       route.channels.keys.foreach { ch =>
-        val sub = handled.filter(col("disposition") === Code.channel(ch))
-          .drop("disposition")
-        val n = envCount(sub)
+        val n = tallies.total(Code.channel(ch))
         if (n > 0)
-          emit(topics, sub, EngineConfig.channelTopic(entity, ch), token)
+          emit(topics, handled.filter(col("disposition") === Code.channel(ch))
+            .drop("disposition"), EngineConfig.channelTopic(entity, ch), token)
         toChannels += n
       }
       Counts(success, skip, retried, deadLettered, toChannels)
     } finally handled.unpersist()
   }
 
-  private def envCount(df: DataFrame): Long = df.count()
+  /** Per-(disposition, exhausted?) counts from one groupBy job. A retry row
+    * is "exhausted" when its remaining count is 0 (RetryEngine.splitRetries'
+    * DLQ criterion), or always when retries are disabled for the route. */
+  private final case class Tallies(m: Map[(String, Boolean), Long]) {
+    def total(code: String): Long =
+      m.collect { case ((c, _), n) if c == code => n }.sum
+    def live(code: String): Long = m.getOrElse((code, false), 0L)
+    def exhausted(code: String): Long = m.getOrElse((code, true), 0L)
+    def invalid(allowed: Set[String]): Long =
+      m.collect { case ((c, _), n) if !allowed.contains(c) => n }.sum
+  }
+
+  private def dispositionTallies(handled: DataFrame,
+      retryEnabled: Boolean): Tallies = {
+    import Envelope.Code
+    val exhaustedFlag =
+      if (retryEnabled)
+        col("disposition") === Code.Retry &&
+          coalesce(col("retryCount") === 0, lit(false))
+      else col("disposition") === Code.Retry
+    Tallies(handled
+      .groupBy(col("disposition"), exhaustedFlag.as("exhausted"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap)
+  }
 
   /** E7 batch-route contract (kafka_consumer/consumer_handler.clj:36-73):
     * the batch handler's output must contain only skip/retry dispositions;
@@ -110,23 +141,23 @@ object Dispatch {
     import Envelope.Code
     val handled = handler(batch).cache()
     try {
-      val invalid = handled
-        .filter(!col("disposition").isin(Code.Skip, Code.Retry)).count()
-      if (invalid > 0)
+      // same single-pass tallies as dispatch: one count job per poll
+      val tallies = dispositionTallies(handled, route.retry.enabled)
+      if (tallies.invalid(Set(Code.Skip, Code.Retry)) > 0)
         throw new IllegalArgumentException(
           s"batch handler for '${route.topicEntity}' returned dispositions " +
             "outside {skip, retry}")
-      val skip = handled.filter(col("disposition") === Code.Skip).count()
+      val skip = tallies.total(Code.Skip)
       val toRetry = handled.filter(col("disposition") === Code.Retry)
         .drop("disposition")
       val (retryable, exhausted) =
         if (route.retry.enabled) RetryEngine.splitRetries(route.retry, toRetry)
         else (toRetry.limit(0), toRetry)
-      val retried = envCount(retryable)
+      val retried = tallies.live(Code.Retry)
       if (retried > 0)
         emit(topics, retryable,
           EngineConfig.retryTopic(route.topicEntity), token)
-      val deadLettered = envCount(exhausted)
+      val deadLettered = tallies.exhausted(Code.Retry)
       if (deadLettered > 0)
         emit(topics, exhausted,
           EngineConfig.deadLetterTopic(route.topicEntity), token)

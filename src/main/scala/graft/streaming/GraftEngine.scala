@@ -126,8 +126,14 @@ final class GraftEngine(
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
         try {
-          val due = RetryEngine.due(cached)
-          val notDue = cached.exceptAll(due)
+          // One pinned `now` per micro-batch: the requeue job and the
+          // dispatch job then see the same due/notDue split even though
+          // they run at different wall-clock times — a record becoming due
+          // between the jobs is processed exactly once (either requeued to
+          // next trigger or dispatched, never both).
+          val now = RetryEngine.pinnedNow()
+          val due = RetryEngine.due(cached, now)
+          val notDue = RetryEngine.notDue(cached, now)
           if (!notDue.isEmpty) topics.appendIdempotent(notDue,
             EngineConfig.retryTopic(entity), s"retry-$entity-$batchId-requeue")
           val counts = Dispatch.dispatch(route, topics, handler,

@@ -71,8 +71,23 @@ object RetryEngine {
   }
 
   /** Due-filter for the retry-reader query (the TTL-expiry analogue): only
-    * records whose backoff has elapsed are released to reprocessing. */
-  def due(batch: DataFrame): DataFrame =
-    batch.filter(col("nextAttemptAt").isNull
-      || col("nextAttemptAt") <= current_timestamp())
+    * records whose backoff has elapsed are released to reprocessing.
+    *
+    * `now` must be a driver-pinned literal evaluated once per micro-batch:
+    * [[due]] and [[notDue]] then partition the batch exactly, however far
+    * apart their Spark jobs actually run. Evaluating `current_timestamp()`
+    * independently in each job opens a race where a record whose
+    * `nextAttemptAt` falls between the two job starts is both requeued and
+    * dispatched (duplicate processing). Both are plain map-side filters —
+    * no shuffle, unlike an `exceptAll` complement. */
+  def due(batch: DataFrame, now: Column): DataFrame =
+    batch.filter(col("nextAttemptAt").isNull || col("nextAttemptAt") <= now)
+
+  /** Exact complement of [[due]] under the same pinned `now`. */
+  def notDue(batch: DataFrame, now: Column): DataFrame =
+    batch.filter(col("nextAttemptAt").isNotNull && col("nextAttemptAt") > now)
+
+  /** A driver-pinned "now" literal for one micro-batch's due/notDue split. */
+  def pinnedNow(): Column =
+    lit(new java.sql.Timestamp(System.currentTimeMillis()))
 }

@@ -133,10 +133,18 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
   def append(df: DataFrame, topic: String): Unit = {
     val spark = df.sparkSession
     val base = maxOffset(spark, topic) + 1
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("topic"), col("partition"), col("offset"), col("timestamp"))
-    df.withColumn("offset", lit(base) + row_number().over(w) - 1)
-      .select(Envelope.schema.fieldNames.map(col).toIndexedSeq: _*)
+    // Contiguous offsets without a single-partition global window:
+    // zipWithIndex computes per-partition counts in one lightweight job,
+    // then every partition stamps its contiguous id range in parallel —
+    // the multi-partition analogue of a log append. (This is the test/
+    // emulation transport; the Kafka sink lets the broker assign offsets.)
+    val fields = Envelope.schema.fieldNames.toIndexedSeq
+    val offsetIdx = fields.indexOf("offset")
+    val indexed = df.select(fields.map(col): _*).rdd.zipWithIndex.map {
+      case (r, i) => org.apache.spark.sql.Row.fromSeq(
+        r.toSeq.updated(offsetIdx, base + i))
+    }
+    spark.createDataFrame(indexed, Envelope.schema)
       .write.mode("append").parquet(dir(topic))
   }
 

@@ -74,4 +74,16 @@ class PlanSpec extends SparkSuite {
   test("s01: ANN scoring keeps whole-stage codegen (dot_f64 generates)") {
     assert(PlanChecks.hasWholeStageCodegen(run("s01_ann_bruteforce")))
   }
+
+  test("no registered query plans an unpartitioned window (the whole-table-" +
+      "through-one-task shape)") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect()
+      val ws = PlanChecks.unpartitionedWindows(df)
+      if (ws.nonEmpty) Seq(s"$name: ${ws.mkString("; ")}") else Nil
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec in:\n  ${offenders.mkString("\n  ")}")
+  }
 }

@@ -63,8 +63,39 @@ class RetryFlowSpec extends SparkSuite {
       Envelope("b".getBytes, "later".getBytes, "app_retry", 0, 1L,
         new java.sql.Timestamp(now), "app", Some(1),
         Some(new java.sql.Timestamp(now + 3600 * 1000)), None)).toDF()
-    val due = RetryEngine.due(rows).collect()
+    val due = RetryEngine.due(rows, RetryEngine.pinnedNow()).collect()
     assert(due.length == 1)
     assert(new String(due(0).getAs[Array[Byte]]("value")) == "due")
+  }
+
+  test("pinned now makes due/notDue an exact partition even when the two " +
+      "jobs run at different wall-clock times (no duplicate release)") {
+    val sess = spark
+    import sess.implicits._
+    val now = System.currentTimeMillis
+    // a record that becomes due 150 ms from now — inside the window between
+    // the requeue job and the dispatch job in the old current_timestamp()
+    // formulation, which processed it twice
+    val rows = Seq(
+      Envelope("a".getBytes, "past".getBytes, "app_retry", 0, 0L,
+        new java.sql.Timestamp(now), "app", Some(1),
+        Some(new java.sql.Timestamp(now - 1000)), None),
+      Envelope("b".getBytes, "imminent".getBytes, "app_retry", 0, 1L,
+        new java.sql.Timestamp(now), "app", Some(1),
+        Some(new java.sql.Timestamp(now + 150)), None),
+      Envelope("c".getBytes, "far".getBytes, "app_retry", 0, 2L,
+        new java.sql.Timestamp(now), "app", Some(1),
+        Some(new java.sql.Timestamp(now + 3600 * 1000)), None)).toDF()
+    val pinned = RetryEngine.pinnedNow()
+    val notDueRows = RetryEngine.notDue(rows, pinned).collect()
+    Thread.sleep(300) // "imminent" is now past due on the wall clock
+    val dueRows = RetryEngine.due(rows, pinned).collect()
+    val dueVals = dueRows.map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+    val notDueVals =
+      notDueRows.map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+    assert(dueVals == Set("past"))
+    assert(notDueVals == Set("imminent", "far"))
+    assert((dueVals & notDueVals).isEmpty)
+    assert(dueRows.length + notDueRows.length == 3)
   }
 }
