@@ -1,6 +1,12 @@
 package graft.streaming
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
+
+/** One Kafka record header (key + raw bytes), as the Kafka source/sink
+  * represent it (`includeHeaders` → `array<struct<key:string,value:binary>>`). */
+final case class Header(key: String, value: Array[Byte])
 
 /** The record envelope — the engine's unit of data, mirroring the Kafka
   * source schema plus the retry-envelope extension (SURVEY.md §1.2; reference
@@ -8,8 +14,13 @@ import org.apache.spark.sql.types._
   * messaging/producer.clj:288-293).
   *
   * On a real cluster this is exactly what `spark.readStream.format("kafka")`
-  * yields; the retry fields are added by the dispatcher when a record is
-  * published to a retry/DLQ topic.
+  * yields (with `includeHeaders`); the retry fields are added by the
+  * dispatcher when a record is published to a retry/DLQ topic. Headers ride
+  * the envelope top-level — the reference's HeaderTransformer shape
+  * (`{:value :headers :metadata :key}`, header_transformer.clj:5-15) — are
+  * propagated through retry/DLQ/channel hops (the AMQP-property copy,
+  * messaging/producer.clj:53-57), and are stripped from the user payload
+  * (mapper.clj:18-26 dissoc's `:headers`).
   */
 final case class Envelope(
     key: Array[Byte],
@@ -21,9 +32,15 @@ final case class Envelope(
     topicEntity: String,
     retryCount: Option[Int] = None,
     nextAttemptAt: Option[java.sql.Timestamp] = None,
-    channel: Option[String] = None)
+    channel: Option[String] = None,
+    headers: Option[Seq[Header]] = None)
 
 object Envelope {
+  /** Kafka `includeHeaders` column type. */
+  val headersType: ArrayType = ArrayType(StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", BinaryType))))
+
   /** Kafka-source-compatible schema (FIXTURES.md §1). */
   val schema: StructType = StructType(Seq(
     StructField("key", BinaryType),
@@ -35,7 +52,22 @@ object Envelope {
     StructField("topicEntity", StringType),
     StructField("retryCount", IntegerType, nullable = true),
     StructField("nextAttemptAt", TimestampType, nullable = true),
-    StructField("channel", StringType, nullable = true)))
+    StructField("channel", StringType, nullable = true),
+    StructField("headers", headersType, nullable = true)))
+
+  /** Names of envelope columns a producer may omit (typed nulls added by
+    * [[withOptionalColumns]]) — everything after the Kafka source fields. */
+  private val optional: Seq[StructField] =
+    schema.fields.filter(_.nullable).toSeq
+
+  /** Adds any missing nullable envelope columns as typed nulls, so frames
+    * built before a column existed (or by minimal producers) still satisfy
+    * the full envelope schema at append time. */
+  def withOptionalColumns(df: DataFrame): DataFrame =
+    optional.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
 
   /** Result codes a handler may return per record — mapper.clj:55-65.
     * (`:block` is unimplemented in the reference, mapper.clj:62 — out of

@@ -56,6 +56,7 @@ final class KafkaTopicIO(bootstrapServers: String,
     .option("kafka.bootstrap.servers", bootstrapServers)
     .option("subscribePattern", topic)
     .option("startingOffsets", "earliest")
+    .option("includeHeaders", "true")
     .options(security.kafkaOptions)
 
   def read(spark: SparkSession, topic: String): DataFrame =
@@ -68,6 +69,7 @@ final class KafkaTopicIO(bootstrapServers: String,
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribePattern", topic)
       .option("startingOffsets", "earliest")
+      .option("includeHeaders", "true")
       .options(security.kafkaOptions)
       .options(options)
       .load(), topic)
@@ -75,23 +77,32 @@ final class KafkaTopicIO(bootstrapServers: String,
   override def paceOptions(maxPollRecords: Int): Map[String, String] =
     Map("maxOffsetsPerTrigger" -> maxPollRecords.toString)
 
-  /** Kafka source columns → Envelope columns (headers → retry fields are
-    * carried in the value for the Kafka transport). */
+  /** Kafka source columns → Envelope columns (record headers are carried
+    * verbatim; retry fields are carried in the value for the Kafka
+    * transport). */
   private def normalize(df: DataFrame, topicEntity: String): DataFrame = df
     .select(col("key"), col("value"), col("topic"), col("partition"),
       col("offset"), col("timestamp"),
       lit(topicEntity).as("topicEntity"),
       lit(null).cast("int").as("retryCount"),
       lit(null).cast("timestamp").as("nextAttemptAt"),
-      lit(null).cast("string").as("channel"))
+      lit(null).cast("string").as("channel"),
+      col("headers"))
 
-  def append(df: DataFrame, topic: String): Unit = df
-    .select(col("key"), col("value"))
-    .write.format("kafka")
-    .option("kafka.bootstrap.servers", bootstrapServers)
-    .options(security.kafkaOptions)
-    .option("topic", topic)
-    .save()
+  /** The Kafka sink writes the optional `headers` column as record headers —
+    * the AMQP-property copy of messaging/producer.clj:53-57, so headers
+    * survive every retry/DLQ/channel hop. */
+  def append(df: DataFrame, topic: String): Unit = {
+    val cols = Seq(col("key"), col("value")) ++
+      (if (df.columns.contains("headers")) Seq(col("headers")) else Nil)
+    // the sink picks the optional `headers` column up by name — no option
+    df.select(cols: _*)
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .options(security.kafkaOptions)
+      .option("topic", topic)
+      .save()
+  }
 
   def maxOffset(spark: SparkSession, topic: String): Long =
     read(spark, topic).agg(max("offset")).collect()(0) match {
@@ -140,7 +151,8 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
     // emulation transport; the Kafka sink lets the broker assign offsets.)
     val fields = Envelope.schema.fieldNames.toIndexedSeq
     val offsetIdx = fields.indexOf("offset")
-    val indexed = df.select(fields.map(col): _*).rdd.zipWithIndex.map {
+    val indexed = Envelope.withOptionalColumns(df)
+      .select(fields.map(col): _*).rdd.zipWithIndex.map {
       case (r, i) => org.apache.spark.sql.Row.fromSeq(
         r.toSeq.updated(offsetIdx, base + i))
     }

@@ -67,6 +67,43 @@ class PipelineSpec extends SparkSuite {
       .startsWith("not json"))
   }
 
+  test("kafka headers survive the retry hop and are stripped from the user " +
+      "payload (K2 header propagation + create-user-payload dissoc)") {
+    val dir = tmpDir("headers")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val route = StreamRouteConfig(topicEntity = "h", originTopic = "h_origin",
+      retry = RetryConfig(enabled = true, count = 2,
+        backoffType = BackoffType.Linear, queueTimeoutMs = 0L))
+    val engine = new GraftEngine(spark,
+      EngineConfig(streamRoutes = Map("h" -> route)), topics, s"$dir/ckpt")
+    val sess = spark
+    import sess.implicits._
+    val env = Seq(Envelope("k".getBytes, "v".getBytes, "h_origin", 0, 0L,
+      new java.sql.Timestamp(System.currentTimeMillis), "h",
+      headers = Some(Seq(Header("trace-id", "t-123".getBytes),
+        Header("origin", "svc-a".getBytes))))).toDF()
+    topics.append(env, "h_origin")
+
+    engine.startStreamRoute(route, identity,
+      Dispatch.ExprHandler(lit("retry")),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).awaitTermination()
+    engine.stopAll()
+
+    val retry = topics.read(spark, "h_retry").collect()
+    assert(retry.length == 1)
+    val hs = retry(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("headers")
+    assert(hs.map(h => (h.getString(0),
+      new String(h.getAs[Array[Byte]](1)))).toSeq ==
+      Seq(("trace-id", "t-123"), ("origin", "svc-a")),
+      "headers must ride the envelope through the retry hop unchanged")
+
+    val payload = Pipeline.userPayload(2)(
+      Pipeline.enrichMetadata(topics.read(spark, "h_retry"))
+        .withColumn("message", col("value")))
+    assert(!payload.columns.contains("headers"),
+      "user payload must not expose transport headers (mapper.clj:18-26)")
+  }
+
   test("proto-stub middleware decodes the framed codec and nulls corrupt (M1)") {
     val good = Middleware.encodeStub(7, "/photos/h2k3j4h9h23")
     val sess = spark
