@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.streaming.Middleware
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -239,6 +240,49 @@ object StreamParity {
       |GROUP BY 1
       |ORDER BY batch_id""".stripMargin
 
+  /** M1 real proto middleware (middleware/default.clj:36-85): every document
+    * is serialized to protobuf wire bytes (graft.functions.ProtoWire — the
+    * public wire format, descriptor-driven) and decoded back through
+    * `Middleware.proto`; rows with deliberately malformed bytes (invalid
+    * wire type 7) take the E9 null/corrupt path. The oracle computes the
+    * same aggregate straight from the source columns, so a hash match
+    * proves decode ∘ encode ≡ id across every row (unicode payloads
+    * included) plus exact corrupt-row routing — all inside whole-stage
+    * codegen (one static codec call per row). */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ProtoWire.{ProtoField, ProtoMessage, PType}
+    import graft.functions.ProtoFunctions.protoEncode
+    val msg = ProtoMessage("document", Seq(
+      ProtoField(1, "doc_id", PType.PInt64),
+      ProtoField(2, "lang", PType.PString),
+      ProtoField(3, "text", PType.PString)))
+    val wire = t(s, dir).documents
+      .withColumn("value",
+        when(col("doc_id") % 97 === 0, lit(Array[Byte](0x0f)))
+          .otherwise(protoEncode(
+            struct(col("doc_id"), col("lang"), col("text")), msg)))
+      .select("value")
+    Middleware.proto(msg)(wire)
+      .withColumn("lang",
+        when(col("message").isNull, "__corrupt__").otherwise(col("message.lang")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("message").isNull, 0L)
+          .otherwise(length(col("message.text")))).as("n_chars"),
+        sum(when(col("message").isNull, 0L)
+          .otherwise(col("message.doc_id"))).as("sum_ids"))
+      .orderBy(col("lang"))
+  }
+
+  private val q41Sql =
+    """SELECT CASE WHEN doc_id % 97 = 0 THEN '__corrupt__' ELSE lang END AS lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE length(text) END) AS BIGINT) AS n_chars,
+      |  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE doc_id END) AS BIGINT) AS sum_ids
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY lang""".stripMargin
+
   /** E6 dead-set view-N (messaging/consumer.clj:84-94): peek the first 20
     * "dead" records (synthetic DLQ = error events) in offset order — the
     * bounded batch read the management HTTP layer performs. */
@@ -267,5 +311,6 @@ object StreamParity {
     "q28_stream_join_outer" -> QueryDef(q28, Some(q28Sql)),
     "q29_batch_chunks" -> QueryDef(q29, Some(q29Sql)),
     "q30_dead_set_view" -> QueryDef(q30, Some(q30Sql)),
+    "q41_proto_middleware" -> QueryDef(q41, Some(q41Sql)),
   )
 }

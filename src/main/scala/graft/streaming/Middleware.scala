@@ -10,11 +10,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * per-message:
   *
   *  - M3 JSON (middleware/json.clj:12-50)          → from_json
-  *  - M1 protobuf (middleware/default.clj:36-85)   → from_protobuf when the
-  *    spark-protobuf module is on the classpath; this container ships
-  *    without it, so [[protoStub]] documents the wiring with a
-  *    deterministic length-prefixed stub codec that exercises the identical
-  *    plumbing (binary value → typed struct column + corrupt-row null path).
+  *  - M1 protobuf (middleware/default.clj:36-85)   → [[proto]], a
+  *    descriptor-driven wire-format decoder (graft.functions.ProtoWire) —
+  *    no protobuf-java dependency; on a cluster with spark-protobuf the
+  *    same slot takes `from_protobuf(col("value"), name, descFile)`.
+  *  - M2 google.protobuf.Struct flatten (default.clj:9-34) →
+  *    [[protoStruct]]: Struct wire bytes → JSON column (Value is
+  *    recursively dynamic, which a static schema cannot hold; JSON is the
+  *    Spark-idiomatic carrier — query via get_json_object/from_json).
   *  - E9 deserialization-failure DLQ: parse failures yield null structs;
   *    [[splitCorrupt]] routes them with the raw bytes preserved.
   */
@@ -36,37 +39,21 @@ object Middleware {
           col("message").dropFields(corruptCol)))
   }
 
-  /** Stub "protobuf" middleware: decodes the deterministic fake codec
-    * `id:int32-BE | pathLen:int32-BE | path:utf8` into struct(id, path) —
-    * the same shape as the reference's golden Example.Photo fixture
-    * (FIXTURES.md §2). On a real cluster replace the decoder expression with
-    * `from_protobuf(col("value"), messageName, descriptorFile)`; everything
-    * downstream (null-on-corrupt, dispatch, retry) is codec-agnostic. */
-  def protoStub(df: DataFrame): DataFrame = {
-    val id = expr(
-      """CASE WHEN length(value) >= 8 THEN
-        |  CAST(conv(hex(substring(value, 1, 4)), 16, 10) AS INT)
-        |END""".stripMargin)
-    val pathLen = expr(
-      """CASE WHEN length(value) >= 8 THEN
-        |  CAST(conv(hex(substring(value, 5, 4)), 16, 10) AS INT)
-        |END""".stripMargin)
+  /** M1 protobuf middleware: value wire bytes → typed struct column
+    * `message` per the descriptor (the reference's proto→map default,
+    * middleware/default.clj:36-85). Malformed bytes → null `message`,
+    * routed by [[splitCorrupt]] with the raw payload preserved (E9). */
+  def proto(msg: graft.functions.ProtoWire.ProtoMessage)(
+      df: DataFrame): DataFrame =
     df.withColumn("message",
-      when(col("value").isNotNull && length(col("value")) >= 8
-          && pathLen === length(col("value")) - 8,
-        struct(id.as("id"),
-          expr("CAST(substring(value, 9, length(value) - 8) AS STRING)")
-            .as("path"))))
-  }
+      graft.functions.ProtoFunctions.protoDecode(col("value"), msg))
 
-  /** Scala-side encoder for the stub codec (used by specs to produce
-    * "proto" payloads). */
-  def encodeStub(id: Int, path: String): Array[Byte] = {
-    val pathBytes = path.getBytes("UTF-8")
-    val bb = java.nio.ByteBuffer.allocate(8 + pathBytes.length)
-    bb.putInt(id).putInt(pathBytes.length).put(pathBytes)
-    bb.array()
-  }
+  /** M2 Struct middleware: `google.protobuf.Struct` value bytes → JSON
+    * string column `message_json` (the proto-Struct flatten,
+    * middleware/default.clj:9-34). */
+  def protoStruct(df: DataFrame): DataFrame =
+    df.withColumn("message_json",
+      graft.functions.ProtoFunctions.protoStructJson(col("value")))
 
   /** E9: split (parsed, corrupt). Corrupt rows keep their raw `value` bytes
     * so the DLQ holds the original payload, exactly like the reference

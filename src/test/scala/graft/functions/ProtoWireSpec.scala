@@ -1,0 +1,140 @@
+package graft.functions
+
+import graft.SparkSuite
+import graft.functions.ProtoWire._
+import graft.functions.ProtoWire.PType._
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pins the codec to golden byte strings hand-derived from the public wire
+  * format spec (protobuf.dev/programming-guides/encoding) — the canonical
+  * `08 96 01` examples — so compatibility is against real protobuf, not
+  * just self-consistency. Roundtrip tests then cover the full type surface
+  * through the codegen'd expressions. */
+class ProtoWireSpec extends SparkSuite {
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  private val test1 = ProtoMessage("Test1", Seq(ProtoField(1, "a", PInt32)))
+
+  test("golden: varint field (spec's Test1 a=150 ⇒ 08 96 01), both ways") {
+    val wire = bytes(0x08, 0x96, 0x01)
+    val row = ProtoWire.decode(wire, test1)
+    assert(row.getInt(0) == 150)
+    val enc = ProtoWire.encode(row, test1)
+    assert(enc.sameElements(wire))
+  }
+
+  test("golden: string field (spec's Test2 b=\"testing\" ⇒ 12 07 …)") {
+    val msg = ProtoMessage("Test2", Seq(ProtoField(2, "b", PString)))
+    val wire = bytes(0x12, 0x07) ++ "testing".getBytes("UTF-8")
+    val row = ProtoWire.decode(wire, msg)
+    assert(row.getUTF8String(0).toString == "testing")
+    assert(ProtoWire.encode(row, msg).sameElements(wire))
+  }
+
+  test("golden: nested message (spec's Test3 c.a=150 ⇒ 1A 03 08 96 01)") {
+    val msg = ProtoMessage("Test3", Seq(ProtoField(3, "c", PMsg(test1))))
+    val wire = bytes(0x1a, 0x03, 0x08, 0x96, 0x01)
+    val row = ProtoWire.decode(wire, msg)
+    assert(row.getStruct(0, 1).getInt(0) == 150)
+    assert(ProtoWire.encode(row, msg).sameElements(wire))
+  }
+
+  test("golden: packed repeated int32 (spec's Test4 [3,270,86942] ⇒ " +
+      "22 06 03 8E 02 9E A7 05)") {
+    val msg = ProtoMessage("Test4",
+      Seq(ProtoField(4, "d", PInt32, repeated = true)))
+    val wire = bytes(0x22, 0x06, 0x03, 0x8e, 0x02, 0x9e, 0xa7, 0x05)
+    val row = ProtoWire.decode(wire, msg)
+    assert(row.getArray(0).toIntArray().toSeq == Seq(3, 270, 86942))
+    assert(ProtoWire.encode(row, msg).sameElements(wire))
+  }
+
+  test("golden: negative int32 is a 10-byte two's-complement varint") {
+    // -2 ⇒ 08 FE FF FF FF FF FF FF FF FF 01
+    val wire = bytes(0x08, 0xfe, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+      0xff, 0x01)
+    val row = ProtoWire.decode(wire, test1)
+    assert(row.getInt(0) == -2)
+    assert(ProtoWire.encode(row, test1).sameElements(wire))
+  }
+
+  test("proto3 defaults: absent scalars decode to 0/\"\"; defaults are " +
+      "omitted on encode; unknown fields are skipped") {
+    val msg = ProtoMessage("M", Seq(
+      ProtoField(1, "a", PInt32), ProtoField(2, "b", PString),
+      ProtoField(3, "ok", PBool), ProtoField(4, "x", PDouble)))
+    val row = ProtoWire.decode(Array.emptyByteArray, msg)
+    assert(row.getInt(0) == 0 && row.getUTF8String(1).toString == ""
+      && !row.getBoolean(2) && row.getDouble(3) == 0.0)
+    assert(ProtoWire.encode(row, msg).isEmpty)
+    // unknown field 9 (varint) + known field 1
+    val wire = bytes(0x48, 0x7f, 0x08, 0x05)
+    assert(ProtoWire.decode(wire, msg).getInt(0) == 5)
+  }
+
+  test("malformed bytes decode to null: invalid wire type, truncated " +
+      "varint, overlong length") {
+    assert(ProtoWire.decode(bytes(0x0f), test1) == null) // wire type 7
+    assert(ProtoWire.decode(bytes(0x08, 0x96), test1) == null) // varint EOF
+    assert(ProtoWire.decode(bytes(0x12, 0x7f, 0x61), // len 127 > remaining
+      ProtoMessage("S", Seq(ProtoField(2, "b", PString)))) == null)
+  }
+
+  test("google.protobuf.Struct wire bytes flatten to JSON (M2)") {
+    // Struct{"a": 1.5, "b": "x"} hand-encoded per struct.proto:
+    //   entry a: key 0A 01 61, value 12 09 (11 + f64le(1.5))
+    //   entry b: key 0A 01 62, value 12 03 (1A 01 78)
+    val oneAndHalf = java.lang.Double.doubleToLongBits(1.5)
+    val f64 = (0 until 8).map(i => ((oneAndHalf >>> (8 * i)) & 0xff).toInt)
+    val entryA = bytes(0x0a, 0x01, 0x61, 0x12, 0x09, 0x11) ++ bytes(f64: _*)
+    val entryB = bytes(0x0a, 0x01, 0x62, 0x12, 0x03, 0x1a, 0x01, 0x78)
+    val wire = bytes(0x0a, entryA.length) ++ entryA ++
+      bytes(0x0a, entryB.length) ++ entryB
+    val json = ProtoWire.decodeStructJson(wire)
+    assert(json.toString == """{"a":1.5,"b":"x"}""")
+    // integral numbers render without a trailing .0; malformed → null
+    assert(ProtoWire.decodeStructJson(bytes(0x0f)) == null)
+  }
+
+  test("expression roundtrip over a DataFrame covers the full type surface " +
+      "inside codegen") {
+    import graft.functions.ProtoFunctions._
+    val msg = ProtoMessage("all", Seq(
+      ProtoField(1, "i32", PInt32), ProtoField(2, "i64", PInt64),
+      ProtoField(3, "flag", PBool), ProtoField(4, "d", PDouble),
+      ProtoField(5, "f", PFloat), ProtoField(6, "s", PString),
+      ProtoField(7, "raw", PBytes),
+      ProtoField(8, "tags", PString, repeated = true),
+      ProtoField(9, "nums", PInt64, repeated = true),
+      ProtoField(10, "sub", PMsg(test1))))
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (7, 1L << 40, true, 2.5, 1.5f, "héllo → 世界", Array[Byte](1, 2),
+        Seq("a", "b"), Seq(-1L, 0L, 300L), 150),
+      (0, 0L, false, 0.0, 0.0f, "", Array.emptyByteArray,
+        Seq.empty[String], Seq.empty[Long], 0),
+      (-3, -9L, true, -0.25, -2f, "x", Array[Byte](-1),
+        Seq(""), Seq(Long.MinValue, Long.MaxValue), -2))
+      .toDF("i32", "i64", "flag", "d", "f", "s", "raw", "tags", "nums", "a")
+    val in = df.select(struct(col("i32"), col("i64"), col("flag"), col("d"),
+      col("f"), col("s"), col("raw"), col("tags"), col("nums"),
+      struct(col("a")).as("sub")).as("m"))
+    val out = in.select(
+      protoDecode(protoEncode(col("m"), msg), msg).as("m2"), col("m"))
+    val rows = out.collect()
+    rows.foreach { r =>
+      val (m2, m) = (r.getStruct(0), r.getStruct(1))
+      assert(m2.getInt(0) == m.getInt(0) && m2.getLong(1) == m.getLong(1))
+      assert(m2.getBoolean(2) == m.getBoolean(2))
+      assert(m2.getDouble(3) == m.getDouble(3) && m2.getFloat(4) == m.getFloat(4))
+      assert(m2.getString(5) == m.getString(5))
+      assert(m2.getAs[Array[Byte]](6).sameElements(m.getAs[Array[Byte]](6)))
+      assert(m2.getSeq[String](7) == m.getSeq[String](7))
+      assert(m2.getSeq[Long](8) == m.getSeq[Long](8))
+      assert(m2.getStruct(9).getInt(0) == m.getStruct(9).getInt(0))
+    }
+  }
+}

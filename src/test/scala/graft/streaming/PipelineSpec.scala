@@ -104,19 +104,30 @@ class PipelineSpec extends SparkSuite {
       "user payload must not expose transport headers (mapper.clj:18-26)")
   }
 
-  test("proto-stub middleware decodes the framed codec and nulls corrupt (M1)") {
-    val good = Middleware.encodeStub(7, "/photos/h2k3j4h9h23")
+  test("proto middleware decodes real wire bytes per the descriptor and " +
+      "nulls corrupt to the DLQ path (M1/E9)") {
+    import graft.functions.ProtoWire.{ProtoField, ProtoMessage, PType}
+    val msg = ProtoMessage("photo", Seq(
+      ProtoField(1, "id", PType.PInt32),
+      ProtoField(2, "path", PType.PString)))
+    // hand-encoded wire bytes (08 07 = id:7; 12 len path), independent of
+    // the codec's own encoder
+    val path = "/photos/h2k3j4h9h23".getBytes("UTF-8")
+    val good = Array[Byte](0x08, 0x07, 0x12, path.length.toByte) ++ path
     val sess = spark
     import sess.implicits._
     val rows = Seq(
       Envelope("k1".getBytes, good, "t", 0, 0L, ts("2024-01-01 00:00:00"), "t"),
-      Envelope("k2".getBytes, "junk".getBytes, "t", 0, 1L,
+      Envelope("k2".getBytes, Array[Byte](0x0f), "t", 0, 1L,
         ts("2024-01-01 00:00:00"), "t")).toDF()
-    val parsed = Middleware.protoStub(rows)
+    val parsed = Middleware.proto(msg)(rows)
     val (ok, corrupt) = Middleware.splitCorrupt(parsed)
     val m = ok.select("message.id", "message.path").collect()
     assert(m.length == 1 && m(0).getInt(0) == 7
       && m(0).getString(1) == "/photos/h2k3j4h9h23")
-    assert(corrupt.count() == 1)
+    // E9: the corrupt row keeps its raw wire bytes for the DLQ
+    val c = corrupt.collect()
+    assert(c.length == 1
+      && c(0).getAs[Array[Byte]]("value").sameElements(Array[Byte](0x0f)))
   }
 }
