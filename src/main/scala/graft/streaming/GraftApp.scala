@@ -82,3 +82,22 @@ final class GraftApp(
     server = None
   }
 }
+
+object GraftApp {
+  /** Boot from a config file + env overrides (the reference's
+    * config.edn/clonfig path, config.clj:76-91): parse, overlay env, build
+    * the typed config — `EngineConfig.validate` then runs inside the
+    * engine's constructor, so an invalid file fails the boot loudly. */
+  def fromConfigFile(
+      spark: SparkSession,
+      configPath: String,
+      topics: TopicIO,
+      checkpointDir: String,
+      streamWiring: Map[String, RouteWiring] = Map.empty,
+      batchWiring: Map[String, RouteWiring] = Map.empty,
+      failurePolicy: FailurePolicy = FailurePolicy.StopQuery,
+      trigger: Trigger = Trigger.AvailableNow(),
+      env: Map[String, String] = sys.env): GraftApp =
+    new GraftApp(spark, ConfigLoader.loadFile(configPath, env), topics,
+      checkpointDir, streamWiring, batchWiring, failurePolicy, trigger)
+}

@@ -10,6 +10,33 @@ class AppSpec extends SparkSuite {
 
   private def now = new java.sql.Timestamp(System.currentTimeMillis)
 
+  test("GraftApp boots from a config file with env overrides and processes " +
+      "end-to-end (config.clj:76-91 path)") {
+    val dir = tmpDir("appconf")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val confPath = s"$dir/graft.conf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(confPath),
+      """graft {
+        |  http-port = 0
+        |  stream-routes {
+        |    cf {
+        |      origin-topic = "cf_origin"
+        |      retry { enabled = true, count = 3, queue-timeout-ms = 0 }
+        |    }
+        |  }
+        |}""".stripMargin.getBytes("UTF-8"))
+    val app = GraftApp.fromConfigFile(spark, confPath, topics, s"$dir/ckpt",
+      streamWiring = Map("cf" -> RouteWiring(identity,
+        Dispatch.ExprHandler(lit("success")))),
+      env = Map("GRAFT_STREAM_ROUTES_CF_RETRY_COUNT" -> "1"))
+    assert(app.engine.metrics != null)
+    topics.append(envelopes("cf", Seq(("k", "v", now))), "cf_origin")
+    app.start(Set(Mode.StreamWorker))
+    app.awaitAll()
+    assert(app.engine.metrics.count("cf.message.success") == 1)
+    app.stop()
+  }
+
   test("GraftApp starts all subsystems by mode and processes end-to-end") {
     val dir = tmpDir("app")
     val topics = new FileTopicIO(s"$dir/topics")

@@ -45,6 +45,78 @@ class ConfigSpec extends AnyFunSuite {
     assert(EngineConfig.channelTopic("app", "c1") == "app_channel_c1")
   }
 
+  private val sampleConf = """
+    |# sample app config (config.edn twin)
+    |graft {
+    |  http-port = 8123
+    |  drain-timeout-ms = 7000
+    |  stream-routes {
+    |    orders {
+    |      origin-topic = "orders-events.*"
+    |      oldest-processed-messages-in-s = 3600
+    |      thread-count = 2
+    |      retry { enabled = true, count = 5, type = exponential,
+    |              queue-timeout-ms = 250 }
+    |      channels {
+    |        geo { worker-count = 8
+    |              retry { enabled = true, count = 2, type = linear } }
+    |      }
+    |      exact-retry-release = true
+    |    }
+    |    clicks.origin-topic = "clicks"   // dotted-key form
+    |  }
+    |  batch-routes {
+    |    nightly { origin-topic = "rollup", max-poll-records = 250 }
+    |  }
+    |}""".stripMargin
+
+  test("config file round-trips into the typed EngineConfig with defaults " +
+      "filled (config.clj:76-91 twin)") {
+    val cfg = ConfigLoader.load(sampleConf, env = Map.empty)
+    assert(cfg.httpPort == 8123 && cfg.drainTimeoutMs == 7000L)
+    val orders = cfg.streamRoutes("orders")
+    assert(orders.originTopic == "orders-events.*")
+    assert(orders.oldestProcessedMessageInS == 3600L)
+    assert(orders.threadCount == 2 && orders.exactRetryRelease)
+    assert(orders.retry == RetryConfig(enabled = true, count = 5,
+      backoffType = BackoffType.Exponential, queueTimeoutMs = 250L))
+    assert(orders.channels("geo").workerCount == 8)
+    assert(orders.channels("geo").retry.count == 2)
+    // dotted-key route picks up every default
+    val clicks = cfg.streamRoutes("clicks")
+    assert(clicks.originTopic == "clicks"
+      && clicks.retry == RetryConfig()
+      && clicks.oldestProcessedMessageInS == 604800L)
+    assert(cfg.batchRoutes("nightly").maxPollRecords == 250)
+    assert(cfg.batchRoutes("nightly").threadCount == 2)
+    assert(EngineConfig.validate(cfg).isEmpty)
+  }
+
+  test("environment variables override file values clonfig-style") {
+    val cfg = ConfigLoader.load(sampleConf, env = Map(
+      "GRAFT_HTTP_PORT" -> "9001",
+      "GRAFT_STREAM_ROUTES_ORDERS_RETRY_COUNT" -> "9",
+      "GRAFT_STREAM_ROUTES_ORDERS_RETRY_TYPE" -> "linear",
+      "GRAFT_BATCH_ROUTES_NIGHTLY_MAX_POLL_RECORDS" -> "100",
+      "GRAFT_STREAM_ROUTES_ORDERS_EXACT_RETRY_RELEASE" -> "false"))
+    assert(cfg.httpPort == 9001)
+    assert(cfg.streamRoutes("orders").retry.count == 9)
+    assert(cfg.streamRoutes("orders").retry.backoffType == BackoffType.Linear)
+    assert(cfg.batchRoutes("nightly").maxPollRecords == 100)
+    assert(!cfg.streamRoutes("orders").exactRetryRelease)
+  }
+
+  test("malformed config fails loudly with an offset") {
+    val err = intercept[ConfigLoader.ParseError](
+      ConfigLoader.parse("graft { http-port = }"))
+    assert(err.getMessage.contains("offset"))
+    intercept[ConfigLoader.ParseError](
+      ConfigLoader.parse("graft { unclosed { a = 1 }"))
+    intercept[ConfigLoader.ParseError](ConfigLoader.load(
+      "graft { stream-routes { r { retry { type = quadratic } } } }",
+      env = Map.empty))
+  }
+
   test("security config translates to kafka.* source/sink options (config.clj:233-298 twin)") {
     val sec = SecurityConfig(
       protocol = Some("SASL_SSL"),
