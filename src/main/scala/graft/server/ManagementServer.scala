@@ -6,21 +6,33 @@ import org.apache.spark.sql.SparkSession
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
+/** A user-mounted HTTP route (the reference's actor-routes,
+  * server/routes.clj:18-23: user routes are concatenated ahead of the
+  * built-ins). `handler(method, params, body)` → (status, responseBody);
+  * content type is JSON unless overridden. */
+final case class UserRoute(
+    path: String,
+    handler: (String, Map[String, String], String) => (Int, String),
+    contentType: String = "application/json")
+
 /** Management HTTP server (O1, server.clj:28-48 + server/routes.clj:11-38):
   *
   *   GET    /ping                      → pong (health)
   *   GET    /v1/dead_set?entity=&count= → peek N dead messages (JSON)
   *   DELETE /v1/dead_set?entity=&count= → drop N
   *   POST   /v1/dead_set/replay?entity=&count= → re-publish N
-  *   GET    /v1/metrics                → counters/gauges snapshot
+  *   GET    /v1/metrics                → counters/gauges snapshot (JSON)
+  *   GET    /metrics                   → Prometheus text exposition (O4,
+  *                                       prometheus_exporter.clj:22-44)
   *   GET    /v1/queries                → running streaming queries + status
+  *   + any [[UserRoute]]s (actor-routes, server/routes.clj:18-23)
   *
   * Built on the JDK's HttpServer (no extra deps); driver-side only — every
   * dead-set operation is a bounded distributed read (DeadSet.scala), never a
   * driver-side scan of the log.
   */
 final class ManagementServer(spark: SparkSession, engine: GraftEngine,
-    port: Int) {
+    port: Int, userRoutes: Seq[UserRoute] = Nil) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -116,6 +128,48 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
       else respond(ex, 200, s"""{"stopped":${engine.stopRoute(name)}}""")
     }
   })
+
+  // O4 Prometheus text exposition (format 0.0.4): counters as
+  // `graft_<name>_total`, gauges as `graft_<name>`, names sanitized to the
+  // metric charset. The standard scrape endpoint the reference serves via
+  // iapetos (prometheus_exporter.clj:35-44).
+  server.createContext("/metrics", new HttpHandler {
+    private def sane(name: String): String =
+      name.map(c => if (c.isLetterOrDigit || c == '_' || c == ':') c else '_')
+        .mkString match {
+        case s if s.nonEmpty && s.head.isDigit => "_" + s
+        case s => s
+      }
+    def handle(ex: HttpExchange): Unit = {
+      val (counters, gauges) = engine.metrics.typedSnapshot()
+      val sb = new StringBuilder
+      counters.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val n = s"graft_${sane(k)}_total"
+        sb.append(s"# TYPE $n counter\n$n $v\n")
+      }
+      gauges.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val n = s"graft_${sane(k)}"
+        sb.append(s"# TYPE $n gauge\n$n $v\n")
+      }
+      respond(ex, 200, sb.toString,
+        "text/plain; version=0.0.4; charset=utf-8")
+    }
+  })
+
+  // actor-routes: user handlers mounted next to the built-ins
+  userRoutes.foreach { r =>
+    server.createContext(r.path, new HttpHandler {
+      def handle(ex: HttpExchange): Unit = try {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        val (status, resp) = r.handler(ex.getRequestMethod, params(ex), body)
+        respond(ex, status, resp, r.contentType)
+      } catch { case e: Throwable =>
+        respond(ex, 500,
+          s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+      }
+    })
+  }
 
   server.createContext("/v1/queries", new HttpHandler {
     def handle(ex: HttpExchange): Unit = {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.server.ManagementServer
+import graft.server.{ManagementServer, UserRoute}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 
@@ -29,7 +29,8 @@ final class GraftApp(
     streamWiring: Map[String, RouteWiring] = Map.empty,
     batchWiring: Map[String, RouteWiring] = Map.empty,
     failurePolicy: FailurePolicy = FailurePolicy.StopQuery,
-    trigger: Trigger = Trigger.AvailableNow()) {
+    trigger: Trigger = Trigger.AvailableNow(),
+    userRoutes: Seq[UserRoute] = Nil) {
 
   {
     // route/wiring cross-validation ≡ init.clj:202-224
@@ -66,7 +67,7 @@ final class GraftApp(
           engine.startChannelWorker(route, ch, w.middleware, w.handler, trigger))
       }
     if (modes.contains(Mode.ApiServer)) {
-      val s = new ManagementServer(spark, engine, cfg.httpPort)
+      val s = new ManagementServer(spark, engine, cfg.httpPort, userRoutes)
       s.start()
       server = Some(s)
     }

@@ -28,6 +28,12 @@ final class MetricsRegistry {
     counters.asScala.map { case (k, v) => k -> v.sum.toDouble }.toMap ++
       gauges.asScala.toMap
 
+  /** (counters, gauges) separately — exporters that distinguish metric
+    * types (Prometheus TYPE lines) need the split. */
+  def typedSnapshot(): (Map[String, Long], Map[String, Double]) =
+    (counters.asScala.map { case (k, v) => k -> v.sum }.toMap,
+      gauges.asScala.toMap)
+
   def recordDispatch(entity: String, c: Dispatch.Counts): Unit = {
     increment(s"$entity.message.success", c.success)
     increment(s"$entity.message.skip", c.skip)

@@ -73,6 +73,45 @@ class ManagementServerSpec extends SparkSuite {
     }
   }
 
+  test("GET /metrics serves parseable Prometheus text exposition (O4)") {
+    withServer { (port, _, engine) =>
+      engine.metrics.increment("app.message.success", 5)
+      engine.metrics.gauge("app.reads.delay_ms_avg", 12.5)
+      val (s, b) = get(port, "/metrics")
+      assert(s == 200)
+      // parse the 0.0.4 text format: TYPE lines + `name value` samples
+      val lines = b.split("\n").toSeq
+      val types = lines.filter(_.startsWith("# TYPE")).map { l =>
+        val Array(_, _, name, kind) = l.split(" "); name -> kind
+      }.toMap
+      val samples = lines.filterNot(_.startsWith("#")).filter(_.nonEmpty)
+        .map { l => val Array(n, v) = l.split(" ", 2); n -> v.toDouble }.toMap
+      assert(types("graft_app_message_success_total") == "counter")
+      assert(samples("graft_app_message_success_total") == 5.0)
+      assert(types("graft_app_reads_delay_ms_avg") == "gauge")
+      assert(samples("graft_app_reads_delay_ms_avg") == 12.5)
+      // every sample has a TYPE line and a valid metric name
+      assert(samples.keys.forall(types.contains))
+      assert(samples.keys.forall(_.matches("[a-zA-Z_:][a-zA-Z0-9_:]*")))
+    }
+  }
+
+  test("user actor-routes mount next to the built-ins (server/routes.clj:18-23)") {
+    val dir = tmpDir("mgmtuser")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val engine = new GraftEngine(spark, EngineConfig(), topics, s"$dir/ckpt")
+    val routes = Seq(UserRoute("/custom/echo", (method, params, body) =>
+      (200, s"""{"method":"$method","who":"${params.getOrElse("who", "?")}"}""")))
+    val server = new ManagementServer(spark, engine, 0, routes)
+    server.start()
+    try {
+      val port = server.boundPort
+      val (s, b) = get(port, "/custom/echo?who=me")
+      assert(s == 200 && b == """{"method":"GET","who":"me"}""")
+      assert(get(port, "/ping") == (200, "pong")) // built-ins still serve
+    } finally server.stop()
+  }
+
   test("missing entity is a 400; metrics endpoint serves a snapshot") {
     withServer { (port, _, engine) =>
       assert(get(port, "/v1/dead_set")._1 == 400)
