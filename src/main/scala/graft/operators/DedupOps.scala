@@ -67,17 +67,25 @@ object DedupOps {
       |GROUP BY md5(lower(text))
       |ORDER BY canonical_id""".stripMargin
 
-  /** N-gram Jaccard near-dup: candidate pairs from a self-join on shared
-    * shingles (never all-pairs), intersection counted per pair, Jaccard ≥ 1/3
-    * decided in exact integer arithmetic (3·|∩| ≥ |A|+|B| ⇔ J ≥ 1/3).
-    * At scale, hot shingles are the skew risk — per-doc array_distinct bounds
-    * a shingle's row count by corpus doc count; the production path adds a
-    * frequency cap (drop shingles in > F docs) via a
-    * `.groupBy(shingle).count.filter(n < F)` semi-join. */
-  private def d02(s: SparkSession, dir: String): DataFrame = {
-    val arr = shingleArrays(t(s, dir).documentsSpread).cache()
-    // per-doc set sizes come free from the arrays — no counting aggregate
-    val sizes = arr.select(col("doc_id"), col("n_sh"))
+  /** Candidate pairs (a_id, b_id, n_inter) for the n-gram Jaccard join —
+    * a self-join on shared shingles (never all-pairs).
+    *
+    * `maxShingleFreq`: the hot-shingle frequency cap. A boilerplate shingle
+    * appearing in k documents contributes k·(k−1)/2 candidate pairs — one
+    * pathological shingle ("all rights reserved …") re-quadratics the whole
+    * topology at corpus scale. With the cap, shingles seen in more than F
+    * docs are dropped before the self-join via a
+    * `groupBy(sh).count.filter(≤F)` left-semi join (one extra keyed
+    * aggregate, no driver round-trip), bounding any shingle's pair
+    * contribution at F². True near-dups keep matching through their rarer
+    * shared shingles; only ubiquitous (hence non-discriminative) shingles
+    * are lost — the standard trade in shingle-based dedup. */
+  private[operators] def ngramCandidates(docs: DataFrame,
+      maxShingleFreq: Option[Int] = None): DataFrame =
+    candidatesFromArrays(shingleArrays(docs), maxShingleFreq)
+
+  private def candidatesFromArrays(arr: DataFrame,
+      maxShingleFreq: Option[Int]): DataFrame = {
     // join key = 64-bit hash of the shingle, not the ~25-char string: the
     // self-join shuffles (doc_id, 8-byte key) rows instead of raw text
     // (collision odds over ~10^6 distinct shingles ≈ 2^-45 — below the FP
@@ -86,15 +94,35 @@ object DedupOps {
     // without the hint AQE builds a per-task hash map of every shingle
     // occurrence (the round-1 plan); partitioning by key is the shape that
     // survives 100 TB.
-    val sh = arr.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val sh0 = arr.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val sh = maxShingleFreq.fold(sh0) { f =>
+      val keep = sh0.groupBy(col("sh"))
+        .agg(count(lit(1)).as("n_docs"))  // rows are per-doc distinct already
+        .filter(col("n_docs") <= f)
+        .select(col("sh"))
+      sh0.hint("shuffle_hash").join(keep, Seq("sh"), "left_semi")
+    }
     val a = sh.select(col("doc_id").as("a_id"), col("sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("sh"))
-    val inter = a.hint("shuffle_hash").join(b, Seq("sh"))
+    a.hint("shuffle_hash").join(b, Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+  }
+
+  /** N-gram Jaccard near-dup over [[ngramCandidates]]: intersection counted
+    * per candidate pair, Jaccard ≥ 1/3 decided in exact integer arithmetic
+    * (3·|∩| ≥ |A|+|B| ⇔ J ≥ 1/3). Per-doc array_distinct bounds a shingle's
+    * row count by corpus doc count; `maxShingleFreq` adds the hot-shingle
+    * cap for production corpora (off in the oracle-checked d02, where the
+    * DuckDB twin computes the uncapped join). */
+  def ngramJaccard(docs: DataFrame,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val arr = shingleArrays(docs).cache()
+    // per-doc set sizes come free from the arrays — no counting aggregate
+    val sizes = arr.select(col("doc_id"), col("n_sh"))
+    candidatesFromArrays(arr, maxShingleFreq)
       .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
       .filter(col("n_inter") * 3 >= col("na") + col("nb"))
@@ -103,6 +131,9 @@ object DedupOps {
           .cast("double"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  private def d02(s: SparkSession, dir: String): DataFrame =
+    ngramJaccard(t(s, dir).documentsSpread)
 
   private val d02Sql =
     s"""WITH $shinglesSql,

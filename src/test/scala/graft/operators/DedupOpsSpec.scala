@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** The hot-shingle frequency cap: one boilerplate shingle shared by every
+  * document must not quadratic-blow the candidate pair count. */
+class DedupOpsSpec extends SparkSuite {
+
+  private def docs = {
+    val sess = spark
+    import sess.implicits._
+    // 6 unrelated docs all ending with the same boilerplate 3-gram tail,
+    // plus one true near-dup pair (100/101) sharing most of their text
+    val boiler = "all rights reserved"
+    val unrelated = (1 to 6).map(i =>
+      (i.toLong, s"unique$i text$i body$i words$i here$i $boiler", "en"))
+    val dupA = (100L, "the quick brown fox jumps over the lazy dog", "en")
+    val dupB = (101L, "the quick brown fox jumps over the lazy cat", "en")
+    (unrelated :+ dupA :+ dupB).toDF("doc_id", "text", "lang")
+  }
+
+  test("uncapped: the boilerplate shingle manufactures cross-doc candidate " +
+      "pairs; capped: only genuinely similar docs remain candidates") {
+    val uncapped = DedupOps.ngramCandidates(docs, None).collect()
+    // 6 boilerplate docs → C(6,2)=15 pairs from one shingle + the dup pair
+    assert(uncapped.length == 16, s"got ${uncapped.length}")
+
+    val capped = DedupOps.ngramCandidates(docs, Some(2)).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)),
+      "cap ≤2 must drop the 6-doc boilerplate shingle and keep the dup pair")
+  }
+
+  test("the Jaccard cut output is unchanged by the cap on this corpus " +
+      "(boilerplate-only pairs never pass the threshold)") {
+    val off = DedupOps.ngramJaccard(docs, None).collect().toSeq
+    val on = DedupOps.ngramJaccard(docs, Some(2)).collect().toSeq
+    assert(off == on)
+    assert(off.map(r => (r.getLong(0), r.getLong(1))) == Seq((100L, 101L)))
+  }
+}
