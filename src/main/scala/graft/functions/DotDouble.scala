@@ -10,16 +10,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 /** In-order dot product of two `ARRAY<DOUBLE>` columns — the cosine/ANN hot
   * path (SimilarityOps s01-s03, DedupOps d05).
   *
-  * Semantically identical to
+  * For equal-length inputs this matches
   * `aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)`
-  * (left-to-right summation, so oracle FP parity is preserved), but where
-  * the lambda form evaluates two higher-order functions with per-element
-  * closure dispatch and an intermediate array allocation, this native
-  * `Expression` codegens to a single primitive loop over the two
-  * `ArrayData` buffers — the difference between ~10 ns and ~100 ns per
-  * 64-dim pair, which at a 10^9-pair ANN probe stage is the stage cost.
-  * Elements must be non-null (produced by a `transform(_, CAST AS DOUBLE)`
-  * projection); length = min(|a|, |b|).
+  * bit-for-bit (left-to-right summation, so oracle FP parity is
+  * preserved). For ragged (unequal-length) inputs the two deliberately
+  * diverge: the lambda form null-pads via zip_with and the fold returns
+  * NULL, while dot_f64 sums over the first min(|a|,|b|) elements — the
+  * useful semantics for truncated/prefix embeddings, pinned by
+  * FunctionsSpec. Where the lambda form evaluates two higher-order
+  * functions with per-element closure dispatch and an intermediate array
+  * allocation, this native `Expression` codegens to a single primitive
+  * loop over the two `ArrayData` buffers — the difference between ~10 ns
+  * and ~100 ns per 64-dim pair, which at a 10^9-pair ANN probe stage is
+  * the stage cost. Elements must be non-null (produced by a
+  * `transform(_, CAST AS DOUBLE)` projection).
   */
 case class DotDouble(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -335,39 +335,62 @@ object DedupOps {
   }
 
   /** Dedup-cluster resolution: connected components over the LSH candidate
-    * pairs via iterative min-label propagation — near-dup pairs are not a
-    * dedup decision until transitively closed (A~B, B~C ⇒ {A,B,C} is one
-    * cluster with one canonical doc). Each round is two keyed shuffles
-    * (propagate min label across edges, re-aggregate per vertex); rounds
-    * needed = graph diameter ≈ O(log n) for dedup clusters, so at 100 TB
-    * this is a handful of bulk-synchronous passes (the GraphX/Pregel
-    * topology, expressed in plain DataFrame ops). The driver-side loop
-    * only checks a convergence count per round — no data is collected. */
-  private def d06(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir)
+    * pairs — near-dup pairs are not a dedup decision until transitively
+    * closed (A~B, B~C ⇒ {A,B,C} is one cluster with one canonical doc).
+    *
+    * Per round: (1) min-label propagation across edges (two keyed shuffles,
+    * the GraphX/Pregel topology in plain DataFrame ops), then (2) a
+    * pointer-doubling shortcut — every vertex adopts its label's own label
+    * (`lbl ← lbl(lbl)`), halving label-chain depth. Plain propagation needs
+    * diameter rounds (a chain-shaped near-dup cluster of depth 10⁶ would
+    * need 10⁶ passes); with the shortcut the round count is
+    * O(log diameter), so even pathological chains converge inside the cap.
+    * The driver-side loop only checks a convergence count per round — no
+    * data is collected — and an unconverged exit throws rather than
+    * silently returning wrong components. */
+  private[operators] def connectedComponents(pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .cache()
+    // localCheckpoint (eager) instead of cache: the shortcut self-join
+    // references the round's frame twice, so without lineage truncation the
+    // logical plan doubles every round — exponential analysis/explain cost.
+    // Checkpointing pins the rows AND cuts the plan back to a leaf, keeping
+    // per-round planning O(1) (the GraphX/MLlib iterative-algorithm rule).
     var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).cache()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < maxRounds) {
       val prop = edges.join(labels, edges("src") === labels("v"))
-        .select(col("dst").as("v"), col("lbl"))
-      val next = labels.unionAll(prop)
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        .cache()
+        .groupBy(col("dst").as("pv")).agg(min(col("lbl")).as("plbl"))
+      val merged = labels.join(prop, col("v") === col("pv"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+      // pointer doubling: lbl(v) ← min(lbl(v), lbl(lbl(v))). The label is
+      // itself a vertex, so the lookup is a self-join on the label key.
+      val next = merged.as("a")
+        .join(merged.select(col("v").as("lv"), col("lbl").as("llbl")),
+          col("a.lbl") === col("lv"), "left")
+        .select(col("a.v").as("v"),
+          least(col("a.lbl"), coalesce(col("llbl"), col("a.lbl"))).as("lbl"))
+        .localCheckpoint(true)
       changed = next.as("n").join(labels.as("o"), "v")
         .filter(col("n.lbl") < col("o.lbl")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          "(raise maxRounds; the component graph is deeper than expected)")
     labels.select(col("v").as("doc_id"), col("lbl").as("component"))
-      .orderBy(col("doc_id"))
   }
+
+  private def d06(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashPairs(s, dir)).orderBy(col("doc_id"))
 
   private val d06Sql =
     s"""WITH RECURSIVE $minhashPairsCtes,

@@ -39,17 +39,24 @@ object MultimodalOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** Frame sampling over the opaque blob: fixed 256-byte frames, keep every
+  /** Frame sampling over the opaque blob: fixed 256-byte frames —
+    * `ceil(n_bytes / 256)` of them, from `sequence(0, (max(n,1)−1) div 256)`
+    * so an exact multiple of 256 does not emit a phantom frame past the end
+    * and an empty blob still yields its single (empty) frame — keep every
     * second frame (stride-2 sample), emit the frame offset and its leading
-    * byte — the deterministic stand-in for a video frame-sample stage (the
-    * real decoder slot is [[graft.streaming.MediaPipeline]]'s mapPartitions
-    * stub). Pure per-row explode: embarrassingly parallel, output rows ∝
-    * blob bytes / 512, no shuffle before the final order. */
+    * byte. Deterministic stand-in for a video frame-sample stage (the real
+    * decoder slot is [[graft.streaming.MediaPipeline]]'s mapPartitions
+    * stub). `magic` reads the character at the frame's byte offset — an
+    * ASCII-only corpus assumption (for multibyte payloads a byte-indexed
+    * reader belongs in the decode stage). Pure per-row explode:
+    * embarrassingly parallel, output rows ∝ blob bytes / 512, no shuffle
+    * before the final order. */
   private def m02(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents
       .withColumn("n_bytes", octet_length(col("text").cast("binary")))
       .select(col("doc_id"), col("text"), col("n_bytes"),
-        explode(expr("sequence(0, CAST(n_bytes div 256 AS INT))"))
+        explode(expr(
+          "sequence(0, CAST((greatest(n_bytes, 1) - 1) div 256 AS INT))"))
           .as("frame_idx"))
       .filter(col("frame_idx") % 2 === 0)
       .select(
@@ -66,7 +73,9 @@ object MultimodalOps {
       |  CAST(ascii(substr(text, CAST(frame_idx * 256 + 1 AS INT), 1)) AS BIGINT)
       |    AS magic
       |FROM (SELECT doc_id, text,
-      |    unnest(range(0, octet_length(encode(text)) // 256 + 1)) AS frame_idx
+      |    unnest(range(0,
+      |      (greatest(octet_length(encode(text)), 1) - 1) // 256 + 1))
+      |      AS frame_idx
       |  FROM documents) f
       |WHERE frame_idx % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin

@@ -555,14 +555,18 @@ object Relational {
     * planning (ReuseSubquery + broadcast of the 1-row aggregate) is what
     * runs — no hand decorrelation. */
   private def q39(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir).orders.createOrReplaceTempView("sq_orders")
+    // per-call unique view name: the query definition stays re-entrant —
+    // concurrent/interleaved runs in one session never see each other's
+    // registration (a fixed global name would cross-contaminate them)
+    val v = s"sq_orders_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    t(s, dir).orders.createOrReplaceTempView(v)
     s.sql(
-      """SELECT o_orderkey, o_totalprice,
-        |  round(o_totalprice - (SELECT avg(o_totalprice) FROM sq_orders), 2)
-        |    AS delta_from_avg
-        |FROM sq_orders
-        |WHERE o_orderkey <= 200
-        |ORDER BY o_orderkey""".stripMargin)
+      s"""SELECT o_orderkey, o_totalprice,
+         |  round(o_totalprice - (SELECT avg(o_totalprice) FROM $v), 2)
+         |    AS delta_from_avg
+         |FROM $v
+         |WHERE o_orderkey <= 200
+         |ORDER BY o_orderkey""".stripMargin)
   }
 
   private val q39Sql =
@@ -582,13 +586,16 @@ object Relational {
     * exercising the operator without the degenerate empty-result case. */
   private def q40(s: SparkSession, dir: String): DataFrame = {
     val tb = t(s, dir)
-    tb.customer.createOrReplaceTempView("na_customer")
-    tb.orders.createOrReplaceTempView("na_orders")
+    // per-call unique view names — same re-entrancy rule as q39
+    val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
+    val (vc, vo) = (s"na_customer_$sfx", s"na_orders_$sfx")
+    tb.customer.createOrReplaceTempView(vc)
+    tb.orders.createOrReplaceTempView(vo)
     s.sql(
-      """SELECT c_custkey, c_name FROM na_customer
-        |WHERE c_custkey NOT IN
-        |  (SELECT o_custkey FROM na_orders WHERE o_totalprice > 450000.0)
-        |ORDER BY c_custkey""".stripMargin)
+      s"""SELECT c_custkey, c_name FROM $vc
+         |WHERE c_custkey NOT IN
+         |  (SELECT o_custkey FROM $vo WHERE o_totalprice > 450000.0)
+         |ORDER BY c_custkey""".stripMargin)
   }
 
   private val q40Sql =

@@ -45,18 +45,23 @@ object RetryTimers {
             Iterator.single(out)
           } else {
             // retry topics are append-only per record identity: at most one
-            // live envelope per key (replays carry the same key and are
-            // idempotent against the parked state)
+            // live envelope per key
             val now = state.getCurrentProcessingTimeMs()
             val (dueNow, parked) = it.partition(e =>
               e.nextAttemptAt.forall(_.getTime <= now))
+            val due = dueNow.toSeq
+            // A source replay of a now-due record must also clear any
+            // recovered parked state for the key: emitting here while the
+            // stale state/timer survives would release the same record a
+            // second time when that timer fires.
+            if (due.nonEmpty && state.exists) state.remove()
             parked.toSeq.lastOption.foreach { e =>
               state.update(e)
               // ProcessingTimeTimeout takes a duration from now
               state.setTimeoutDuration(
                 math.max(1L, e.nextAttemptAt.get.getTime - now))
             }
-            dueNow
+            due.iterator
           }
       }
   }

@@ -62,6 +62,25 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("dot_f64 ragged-length inputs sum over min(|a|,|b|) — the " +
+      "documented divergence from the null-padding lambda fold") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(10.0)),        // prefix: 1*10
+      (Seq(2.0), Seq(5.0, 100.0, 1000.0)),    // prefix: 2*5
+      (Seq(1.0, 2.0), Seq.empty[Double]))     // empty side → 0.0
+      .toDF("a", "b")
+    val rows = df.select(
+      DotDouble.dotF64(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        .as("lambda")).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(10.0, 10.0, 0.0))
+    // the lambda form returns NULL for ragged inputs (zip_with null-pads);
+    // pinning that divergence is the point of this test
+    assert(rows.take(2).forall(_.isNullAt(1)))
+  }
+
   test("dot_f64 null propagation and type check") {
     val sess = spark
     import sess.implicits._

@@ -30,6 +30,23 @@ class DedupOpsSpec extends SparkSuite {
       "cap ≤2 must drop the 6-doc boilerplate shingle and keep the dup pair")
   }
 
+  test("connected components converge on a deep chain in O(log diameter) " +
+      "rounds (pointer doubling), not O(diameter)") {
+    val sess = spark
+    import sess.implicits._
+    // a 61-vertex path: plain min-label propagation needs 60 rounds; with
+    // the shortcut it must finish well inside 12
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comps = DedupOps.connectedComponents(chain, maxRounds = 12).collect()
+    assert(comps.length == 61 && comps.forall(_.getLong(1) == 0L))
+    // and two disjoint chains keep distinct component labels
+    val two = ((0L until 10L).map(i => (i, i + 1)) ++
+      (100L until 110L).map(i => (i, i + 1))).toDF("a_id", "b_id")
+    val byComp = DedupOps.connectedComponents(two, maxRounds = 10).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(byComp == Map(0L -> 11, 100L -> 11))
+  }
+
   test("the Jaccard cut output is unchanged by the cap on this corpus " +
       "(boilerplate-only pairs never pass the threshold)") {
     val off = DedupOps.ngramJaccard(docs, None).collect().toSeq

@@ -49,4 +49,35 @@ class RetryTimersSpec extends SparkSuite {
         s"parked record did not release by its timer; got ${sink()}")
     } finally q.stop()
   }
+
+  test("a now-due replay clears the parked state so the stale timer cannot " +
+      "release the same record a second time") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = sess.sqlContext
+    val in = MemoryStream[Envelope]
+    val q = RetryTimers.release(in.toDS()).writeStream
+      .format("memory").queryName("retry_replay_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      def emitted(): Long = spark.sql(
+        "SELECT count(*) FROM retry_replay_out WHERE offset = 5").collect()(0).getLong(0)
+      // 1) original delivery parks with a ~6 s timer
+      in.addData(env(5, Some(6000L)))
+      Thread.sleep(1500) // let the parking batch commit (100 ms trigger)
+      assert(emitted() == 0L)
+      // 2) source replay of the same record identity, now past due
+      in.addData(env(5, Some(-1000L)))
+      val deadline = System.currentTimeMillis + 10000
+      while (emitted() < 1L && System.currentTimeMillis < deadline)
+        Thread.sleep(200)
+      assert(emitted() == 1L, "replayed due record must release once")
+      // 3) ride past the original timer's fire time: no second release
+      Thread.sleep(8000)
+      assert(emitted() == 1L,
+        "stale timer re-released a record its replay already emitted")
+    } finally q.stop()
+  }
 }
