@@ -55,6 +55,43 @@ object Middleware {
     df.withColumn("message_json",
       graft.functions.ProtoFunctions.protoStructJson(col("value")))
 
+  /** True when the spark-protobuf module is on the classpath (it is an
+    * optional Spark module — `--packages org.apache.spark:spark-protobuf`).
+    * Note: spark-sql-api ships the `functions` FACADE unconditionally; the
+    * decode implementation (ProtobufDataToCatalyst) only arrives with the
+    * module, so that is the class the probe must check. */
+  lazy val hasSparkProtobuf: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.protobuf.ProtobufDataToCatalyst")
+      true
+    } catch { case _: Throwable => false }
+
+  /** M1 native path: `from_protobuf(value, messageName, descFile)` resolved
+    * reflectively so this compiles (and fails with a clear message) without
+    * the optional spark-protobuf module. On clusters that ship it, prefer
+    * this over [[proto]] for full .proto-language coverage (oneof, maps,
+    * sint/fixed variants, well-known types); the downstream contract —
+    * struct column `message`, null on corrupt via PERMISSIVE mode — is
+    * identical, so routes swap decoders without change. */
+  def protoNative(messageName: String, descriptorFilePath: String)(
+      df: DataFrame): DataFrame = {
+    if (!hasSparkProtobuf)
+      throw new IllegalStateException(
+        "spark-protobuf is not on the classpath; add the " +
+          "org.apache.spark:spark-protobuf module or use Middleware.proto " +
+          "(the built-in descriptor-driven wire codec)")
+    val fns = Class.forName("org.apache.spark.sql.protobuf.functions$")
+    val module = fns.getField("MODULE$").get(null)
+    val m = fns.getMethod("from_protobuf",
+      classOf[Column], classOf[String], classOf[String],
+      classOf[java.util.Map[String, String]])
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("mode", "PERMISSIVE") // corrupt → null message, E9 contract
+    val decoded = m.invoke(module, col("value"), messageName,
+      descriptorFilePath, opts).asInstanceOf[Column]
+    df.withColumn("message", decoded)
+  }
+
   /** E9: split (parsed, corrupt). Corrupt rows keep their raw `value` bytes
     * so the DLQ holds the original payload, exactly like the reference
     * publishing the still-serialized payload (messaging/consumer.clj:28-48). */

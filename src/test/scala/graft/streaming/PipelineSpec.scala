@@ -104,6 +104,15 @@ class PipelineSpec extends SparkSuite {
       "user payload must not expose transport headers (mapper.clj:18-26)")
   }
 
+  test("protoNative probes for spark-protobuf and fails with guidance when " +
+      "the optional module is absent (this container has no such jar)") {
+    assert(!Middleware.hasSparkProtobuf)
+    val e = intercept[IllegalStateException](
+      Middleware.protoNative("Photo", "/tmp/desc.bin")(
+        envelopes("app", Seq(("k", "v", ts("2024-01-01 00:00:00"))))))
+    assert(e.getMessage.contains("Middleware.proto"))
+  }
+
   test("proto middleware decodes real wire bytes per the descriptor and " +
       "nulls corrupt to the DLQ path (M1/E9)") {
     import graft.functions.ProtoWire.{ProtoField, ProtoMessage, PType}
