@@ -171,6 +171,25 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
     })
   }
 
+  // O3 runtime scaling: restart a route from its checkpoint with a new
+  // per-trigger record budget (the add/remove-stream-threads analogue)
+  server.createContext("/v1/queries/scale", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      val p = params(ex)
+      val name = p.getOrElse("name", "")
+      val maxPerTrigger = p.getOrElse("max_per_trigger", "0").toInt
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST required"}""")
+      else if (name.isEmpty || maxPerTrigger <= 0)
+        respond(ex, 400, """{"error":"name and max_per_trigger > 0 required"}""")
+      else respond(ex, 200,
+        s"""{"scaled":${engine.scaleRoute(name, maxPerTrigger)}}""")
+    } catch { case e: Throwable =>
+      respond(ex, 500,
+        s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+    }
+  })
+
   server.createContext("/v1/queries", new HttpHandler {
     def handle(ex: HttpExchange): Unit = {
       val body = engine.runningQueries.toSeq.sortBy(_._1)

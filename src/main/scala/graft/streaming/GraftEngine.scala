@@ -13,7 +13,9 @@ import scala.jdk.CollectionConverters._
   *
   * Scale mapping of the reference's knobs:
   *  - stream-threads-count (O3)  → spark.sql.shuffle.partitions +
-  *    maxFilesPerTrigger/maxOffsetsPerTrigger per route; elastic via AQE.
+  *    maxFilesPerTrigger/maxOffsetsPerTrigger per route; elastic via AQE;
+  *    runtime add/remove ≡ [[scaleRoute]] (checkpoint-preserving restart
+  *    with a new per-trigger budget).
   *  - channels (D2)              → channel-topic queries started per channel.
   *  - drain-timeout (E11)        → query.stop() completes the in-flight
   *    micro-batch; stopAll enforces the configured drain window.
@@ -48,6 +50,10 @@ final class GraftEngine(
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
   private val starters =
     new ConcurrentHashMap[String, () => StreamingQuery]()
+  /** O3: per-route restart functions taking a new per-trigger record
+    * budget — registered by startStreamRoute. */
+  private val scalers =
+    new ConcurrentHashMap[String, Int => StreamingQuery]()
   private val idToName = new ConcurrentHashMap[java.util.UUID, String]()
   val deadSet = new DeadSet(topics, s"$checkpointDir/markers")
 
@@ -92,20 +98,50 @@ final class GraftEngine(
       handler: Dispatch.Handler,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     topics.provision(route.topicEntity, route.channels.keys)
-    val src = topics.readStream(spark, route.originTopic)
-    val piped = Pipeline.observeReads(s"${route.topicEntity}.reads")(
-      Pipeline.forRoute(route, middleware)(src))
-    track(route.topicEntity, () => piped.writeStream
-      .queryName(s"route-${route.topicEntity}")
-      .option("checkpointLocation", s"$checkpointDir/${route.topicEntity}")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val counts = Dispatch.dispatch(route, topics, handler,
-          Some(s"route-${route.topicEntity}-$batchId"))(batch)
-        metrics.recordDispatch(route.topicEntity, counts)
-      }
-      .start())
+    def startWith(pace: Map[String, String]): StreamingQuery = {
+      val src = topics.readStream(spark, route.originTopic, pace)
+      val piped = Pipeline.observeReads(s"${route.topicEntity}.reads")(
+        Pipeline.forRoute(route, middleware)(src))
+      piped.writeStream
+        .queryName(s"route-${route.topicEntity}")
+        .option("checkpointLocation", s"$checkpointDir/${route.topicEntity}")
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val counts = Dispatch.dispatch(route, topics, handler,
+            Some(s"route-${route.topicEntity}-$batchId"))(batch)
+          metrics.recordDispatch(route.topicEntity, counts)
+        }
+        .start()
+    }
+    scalers.put(route.topicEntity,
+      n => startWith(topics.paceOptions(n)))
+    track(route.topicEntity, () => startWith(Map.empty))
   }
+
+  /** O3 runtime parallelism scaling — the Spark analogue of the reference's
+    * add/remove stream threads (streams.clj:114-123 via nREPL). KStreams
+    * threads change how many records are in flight per poll; here the same
+    * lever is the per-trigger record budget (maxOffsetsPerTrigger /
+    * maxFilesPerTrigger): the route's query is stopped (completing its
+    * in-flight micro-batch) and restarted FROM ITS CHECKPOINT with the new
+    * budget — no data loss, no reprocessing beyond the replay-idempotent
+    * sink contract. Per-query task parallelism itself is AQE-elastic;
+    * executor count is the cluster manager's dynamic-allocation knob, which
+    * a library correctly leaves alone. */
+  def scaleRoute(name: String, maxPerTrigger: Int): Boolean =
+    Option(scalers.get(name)) match {
+      case Some(scale) =>
+        require(maxPerTrigger > 0, "maxPerTrigger must be > 0")
+        stopRoute(name)
+        val start = () => scale(maxPerTrigger)
+        val q = start()
+        queries.put(name, q)
+        starters.put(name, start)
+        idToName.put(q.id, name)
+        metrics.increment(s"$name.query.rescaled")
+        true
+      case None => false
+    }
 
   /** Start the retry-reader query for a route (S4's replacement): stream the
     * retry topic, release due records, re-apply the route's middleware (the

@@ -112,6 +112,40 @@ class ManagementServerSpec extends SparkSuite {
     } finally server.stop()
   }
 
+  test("POST /v1/queries/scale restarts a route from its checkpoint with a " +
+      "new per-trigger budget (O3 add/remove-threads analogue)") {
+    withServer { (port, topics, engine) =>
+      import org.apache.spark.sql.functions.lit
+      // seed 3 separate appends → ≥3 files; after scaling to 1 file/trigger
+      // the remaining records still process exactly once from the checkpoint
+      val t0 = new java.sql.Timestamp(System.currentTimeMillis)
+      (1 to 3).foreach(i =>
+        topics.append(envelopes("sc", Seq((s"k$i", s"v$i", t0))), "sc_origin"))
+      val route = StreamRouteConfig("sc", "sc_origin")
+      engine.startStreamRoute(route, identity,
+        Dispatch.ExprHandler(lit("success")),
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      engine.runningQueries("sc").awaitTermination()
+      assert(engine.metrics.count("sc.message.success") == 3)
+
+      // new data lands, then the route is rescaled: the restarted query
+      // resumes from the checkpoint and processes it exactly once
+      topics.append(envelopes("sc", Seq(("k4", "v4", t0))), "sc_origin")
+      val (s, b) = send(port, "POST",
+        "/v1/queries/scale?name=sc&max_per_trigger=1")
+      assert(s == 200 && b == """{"scaled":true}""", s"got $s $b")
+      assert(engine.metrics.count("sc.query.rescaled") == 1)
+      val deadline = System.currentTimeMillis + 30000
+      while (engine.metrics.count("sc.message.success") < 4
+          && System.currentTimeMillis < deadline) Thread.sleep(200)
+      assert(engine.metrics.count("sc.message.success") == 4)
+      val (_, b2) = send(port, "POST",
+        "/v1/queries/scale?name=nope&max_per_trigger=5")
+      assert(b2 == """{"scaled":false}""")
+      engine.stopAll()
+    }
+  }
+
   test("missing entity is a 400; metrics endpoint serves a snapshot") {
     withServer { (port, _, engine) =>
       assert(get(port, "/v1/dead_set")._1 == 400)
