@@ -206,6 +206,75 @@ object TextOps {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Repetition-ratio quality signal (the Gopher-rules "fraction of
+    * duplicated n-grams" filter): 1 − distinct/total word bigrams per doc.
+    * Highly repetitive machine-generated or boilerplate text scores high
+    * and gets filtered before training. Pure per-row array math inside
+    * whole-stage codegen — no explode, no shuffle before the output sort. */
+  private def t07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("bg", expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        round(lit(1.0) - size(array_distinct(col("bg")))
+          / size(col("bg")).cast("double"), 4).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val t07Sql =
+    """SELECT doc_id, CAST(len(bl) AS BIGINT) AS n_bigrams,
+      |  round(1.0 - len(list_distinct(bl)) / CAST(len(bl) AS DOUBLE), 4)
+      |    AS rep_ratio
+      |FROM (SELECT doc_id, list_transform(range(1, len(w)),
+      |    i -> concat(w[CAST(i AS INT)], ' ', w[CAST(i AS INT) + 1])) AS bl
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+      |  WHERE len(w) >= 2) b
+      |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination detection: flag corpus documents sharing any
+    * word-5-gram with a held-out probe set (here: the 20 lowest doc_ids,
+    * standing in for an eval benchmark). The canonical pre-training
+    * decontamination pass. Topology: per-doc distinct 5-grams (array math),
+    * equi-join on the 64-bit gram hash against the probe grams — the probe
+    * side is tiny and broadcasts; the corpus side streams through without
+    * ever pairing docs against docs. Scale: cost ∝ corpus grams × 1
+    * broadcast lookup, independent of probe-set pair count. */
+  private def t08(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(toks) - 5),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+          |    toks[i+4]))""".stripMargin))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val probe = grams.filter(col("doc_id") < 20).select(col("g")).distinct()
+    grams.filter(col("doc_id") >= 20)
+      .join(broadcast(probe), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t08Sql =
+    """WITH grams AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+      |      i -> concat(w[CAST(i AS INT)], ' ', w[CAST(i AS INT) + 1], ' ',
+      |        w[CAST(i AS INT) + 2], ' ', w[CAST(i AS INT) + 3], ' ',
+      |        w[CAST(i AS INT) + 4]))) AS gram
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+      |    WHERE len(w) >= 5) u),
+      |probe AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 20)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+      |FROM grams JOIN probe USING (gram)
+      |WHERE doc_id >= 20
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -213,5 +282,7 @@ object TextOps {
     "t04_fingerprint" -> QueryDef(t04, Some(t04Sql), headline = true),
     "t05_top_bigrams" -> QueryDef(t05, Some(t05Sql)),
     "t06_pii_scrub" -> QueryDef(t06, Some(t06Sql)),
+    "t07_repetition_ratio" -> QueryDef(t07, Some(t07Sql)),
+    "t08_contamination" -> QueryDef(t08, Some(t08Sql)),
   )
 }

@@ -75,6 +75,13 @@ class PlanSpec extends SparkSuite {
     assert(PlanChecks.hasWholeStageCodegen(run("s01_ann_bruteforce")))
   }
 
+  test("t08: the contamination probe set broadcasts; the corpus side " +
+      "streams through without a doc-vs-doc pairing") {
+    val df = run("t08_contamination")
+    assert(PlanChecks.usesBroadcastJoin(df))
+    assert(!PlanChecks.usesCartesianProduct(df))
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
