@@ -239,9 +239,60 @@ object SimilarityOps {
        |WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Symmetric int8 quantization of the embedding column — the ANN
+    * memory-reduction step (4× smaller vectors; at 10⁹ × 64-dim float32
+    * that's the difference between 256 GB and 64 GB of index). Per vector:
+    * scale = max|x|/127, q_i = round(x_i/scale) ∈ [−127, 127], plus
+    * saturation count and max reconstruction error. All per-row array math
+    * in whole-stage codegen, no shuffle before the output sort; error
+    * metrics use max (order-independent), never a float sum, so the oracle
+    * agrees bit-for-bit. */
+  private def s04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).embeddingsSpread
+      .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("amax", expr("array_max(transform(vecd, x -> abs(x)))"))
+      .withColumn("scale",
+        expr("CASE WHEN amax = 0.0 THEN 1.0 ELSE amax / 127.0 END"))
+      .withColumn("q",
+        expr("transform(vecd, x -> CAST(round(x / scale) AS INT))"))
+      .select(
+        col("vec_id"),
+        expr("CAST(size(q) AS BIGINT)").as("n_dims"),
+        round(col("scale"), 9).as("quant_scale"),
+        expr("CAST(size(filter(q, v -> abs(v) = 127)) AS BIGINT)")
+          .as("n_saturated"),
+        round(expr(
+          "array_max(transform(vecd, x -> abs(x - round(x / scale) * scale)))"),
+          9).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+
+  private val s04Sql =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, vecd,
+      |    CASE WHEN list_max(list_transform(vecd, x -> abs(x))) = 0.0
+      |      THEN 1.0
+      |      ELSE list_max(list_transform(vecd, x -> abs(x))) / 127.0
+      |    END AS scale
+      |  FROM v)
+      |SELECT vec_id,
+      |  CAST(len(vecd) AS BIGINT) AS n_dims,
+      |  round(scale, 9) AS quant_scale,
+      |  CAST(len(list_filter(
+      |    list_transform(vecd, x -> CAST(round(x / scale) AS INT)),
+      |    q -> abs(q) = 127)) AS BIGINT) AS n_saturated,
+      |  round(list_max(list_transform(vecd,
+      |    x -> abs(x - round(x / scale) * scale))), 9) AS max_abs_err
+      |FROM s
+      |ORDER BY vec_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
     "s03_ann_ivf" -> QueryDef(s03, Some(s03Sql)),
+    "s04_embedding_quantize" -> QueryDef(s04, Some(s04Sql)),
   )
 }
