@@ -273,10 +273,13 @@ object ProtoWire {
       if (v != 0L) { w.writeTag(f.number, 0); w.writeVarint(v) }
     case PBool => if (row.getBoolean(i)) { w.writeTag(f.number, 0); w.writeVarint(1L) }
     case PDouble => val v = row.getDouble(i)
-      if (v != 0.0) { w.writeTag(f.number, 1)
+      // raw-bits zero check (proto3 rule): -0.0 != +0.0 and IS serialized
+      if (java.lang.Double.doubleToRawLongBits(v) != 0L) {
+        w.writeTag(f.number, 1)
         w.writeFixed64(java.lang.Double.doubleToLongBits(v)) }
     case PFloat => val v = row.getFloat(i)
-      if (v != 0.0f) { w.writeTag(f.number, 5)
+      if (java.lang.Float.floatToRawIntBits(v) != 0) {
+        w.writeTag(f.number, 5)
         w.writeFixed32(java.lang.Float.floatToIntBits(v)) }
     case PString => val s = row.getUTF8String(i)
       if (s.numBytes() > 0) { w.writeTag(f.number, 2)

@@ -407,6 +407,58 @@ object DedupOps {
        |FROM reach GROUP BY v
        |ORDER BY doc_id""".stripMargin
 
+  /** Canonical-document selection — the stage after component resolution
+    * that dedup pipelines actually ship: per near-dup cluster, keep the
+    * best copy (longest text, ties to the lowest doc_id) and record the
+    * cluster size. One keyed join (components × doc stats) + a window
+    * partitioned by component — cluster-local work that parallelizes over
+    * components; no global order until the bounded output sort. */
+  private def d07(s: SparkSession, dir: String): DataFrame = {
+    val comps = connectedComponents(minhashPairs(s, dir))
+    val stats = t(s, dir).documents.select(
+      col("doc_id").as("m_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val members = comps.join(stats, col("doc_id") === col("m_id"))
+      .select(col("component"), col("doc_id"), col("n_chars"))
+    val sizes = members.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    members
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(sizes, "component")
+      .select(col("component"), col("doc_id").as("canonical_id"),
+        col("n_members"))
+      .orderBy(col("component"))
+  }
+
+  private val d07Sql =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM pairs),
+       |verts AS (SELECT DISTINCT src AS v FROM edges),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT w.v, e.dst FROM reach w JOIN edges e ON e.src = w.r),
+       |comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+       |members AS (
+       |  SELECT c.component, c.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY c.component
+       |      ORDER BY d.n_chars DESC, c.doc_id) AS rk
+       |  FROM comp c JOIN documents d USING (doc_id)),
+       |sizes AS (SELECT component, count(*) AS n_members
+       |  FROM comp GROUP BY component)
+       |SELECT CAST(m.component AS BIGINT) AS component,
+       |  CAST(m.doc_id AS BIGINT) AS canonical_id,
+       |  CAST(s.n_members AS BIGINT) AS n_members
+       |FROM members m JOIN sizes s USING (component)
+       |WHERE m.rk = 1
+       |ORDER BY component""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -414,5 +466,6 @@ object DedupOps {
     "d04_dedup_simhash" -> QueryDef(d04, Some(d04Sql), headline = true),
     "d05_dedup_embedding_cosine" -> QueryDef(d05, Some(d05Sql)),
     "d06_dedup_components" -> QueryDef(d06, Some(d06Sql)),
+    "d07_canonical_selection" -> QueryDef(d07, Some(d07Sql)),
   )
 }
