@@ -459,6 +459,39 @@ object DedupOps {
        |WHERE m.rk = 1
        |ORDER BY component""".stripMargin
 
+  /** Incremental ingest dedup — the production shape for a corpus that
+    * grows daily: dedupe ONLY the new batch (here: doc_id % 5 == 0 as the
+    * arriving 20%) against the existing corpus's content-hash index plus
+    * itself, without re-clustering the corpus. Within-batch canonicals are
+    * one hash aggregate; the corpus check is a left-anti join against the
+    * (hash-only, 16 bytes/row) index — at 100 TB the index is a fraction of
+    * corpus size and the join shuffles on the hash key; the corpus text is
+    * never re-read. */
+  private def d08(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documentsSpread
+      .withColumn("h", md5(lower(col("text"))))
+    val corpusIndex = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("h")).distinct()
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    batch.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_batch_copies"))
+      .join(corpusIndex, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("n_batch_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d08Sql =
+    """WITH d AS (SELECT doc_id, md5(lower(text)) AS h FROM documents),
+      |canon AS (
+      |  SELECT h, min(doc_id) AS doc_id, count(*) AS n_batch_copies
+      |  FROM d WHERE doc_id % 5 = 0 GROUP BY h)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(n_batch_copies AS BIGINT) AS n_batch_copies
+      |FROM canon
+      |WHERE h NOT IN (SELECT DISTINCT h FROM d WHERE doc_id % 5 != 0)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -467,5 +500,6 @@ object DedupOps {
     "d05_dedup_embedding_cosine" -> QueryDef(d05, Some(d05Sql)),
     "d06_dedup_components" -> QueryDef(d06, Some(d06Sql)),
     "d07_canonical_selection" -> QueryDef(d07, Some(d07Sql)),
+    "d08_incremental_dedup" -> QueryDef(d08, Some(d08Sql)),
   )
 }
