@@ -268,8 +268,8 @@ object DedupOps {
   }
 
   /** Embedding-cosine near-dup: candidate pairs blocked on `label` (the
-    * blocking key; at 100 TB compose SimilarityOps' LSH bucketing instead),
-    * scored with an in-order double fold. Norms are precomputed once per
+    * blocking key; at 100 TB run [[d09]], the declared LSH-bucketed
+    * composition, instead), scored with an in-order double fold. Norms are precomputed once per
     * vector — the pair stage then does a single dot-product fold, not three.
     * Threshold applied to the rounded value so both engines cut identically. */
   private def d05(s: SparkSession, dir: String): DataFrame = {
@@ -492,6 +492,47 @@ object DedupOps {
       |WHERE h NOT IN (SELECT DISTINCT h FROM d WHERE doc_id % 5 != 0)
       |ORDER BY doc_id""".stripMargin
 
+  /** Embedding near-dup at scale — the declared composition d05's Scaladoc
+    * promises: random-hyperplane LSH bucketing ([[SimilarityOps
+    * .hyperplaneBuckets]]) generates candidates, then ONLY within-bucket
+    * pairs pay the cosine fold. Unlike d05 (blocked on `label`, a column
+    * that real corpora don't have), the blocking key here is derived from
+    * the vectors themselves, so this is the path a 100 TB user actually
+    * runs: signature pass is O(N·planes) map-side math, the candidate join
+    * is an equi-join on the 8-bit bucket — never all-pairs. Threshold
+    * applied to the 4dp-rounded value so both engines cut identically. */
+  private def d09(s: SparkSession, dir: String): DataFrame = {
+    val sigs = SimilarityOps.hyperplaneBuckets(s, dir)
+    val emb = t(s, dir).embeddingsSpread
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm",
+        sqrt(dotF64(col("vd"), col("vd"))))
+      .join(sigs, "vec_id")
+    val a = emb.select(col("vec_id").as("a_id"), col("vd").as("av"),
+      col("nrm").as("an"), col("bucket"))
+    val b = emb.select(col("vec_id").as("b_id"), col("vd").as("bv"),
+      col("nrm").as("bn"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(
+        dotF64(col("av"), col("bv"))
+          / (col("an") * col("bn")), 4))
+      .filter(col("cos_sim") > 0.35)
+      .select(col("a_id"), col("b_id"), col("bucket"), col("cos_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d09Sql =
+    s"""WITH ${SimilarityOps.hyperplaneBucketsSql}
+       |SELECT sa.vec_id AS a_id, sb.vec_id AS b_id, sa.bucket AS bucket,
+       |  ${SimilarityOps.duckCosSql("a.embedding", "b.embedding")} AS cos_sim
+       |FROM sigs sa
+       |JOIN sigs sb ON sb.bucket = sa.bucket AND sa.vec_id < sb.vec_id
+       |JOIN embeddings a ON a.vec_id = sa.vec_id
+       |JOIN embeddings b ON b.vec_id = sb.vec_id
+       |WHERE ${SimilarityOps.duckCosSql("a.embedding", "b.embedding")} > 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -501,5 +542,6 @@ object DedupOps {
     "d06_dedup_components" -> QueryDef(d06, Some(d06Sql)),
     "d07_canonical_selection" -> QueryDef(d07, Some(d07Sql)),
     "d08_incremental_dedup" -> QueryDef(d08, Some(d08Sql)),
+    "d09_dedup_embedding_lsh" -> QueryDef(d09, Some(d09Sql)),
   )
 }

@@ -74,27 +74,61 @@ object SimilarityOps {
        |WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
-  /** LSH-bucketed ANN: 8 deterministic pseudo-random hyperplanes (weights
-    * derived from md5 so the oracle can rebuild them), bucket = 8-bit sign
-    * signature, then top-1 neighbor within bucket. Sub-quadratic: the
-    * candidate join is an equi-join on bucket. */
-  private def s02(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    val planes = spark.range(8).select(col("id").as("p"))
-      .crossJoin(spark.range(64).select(col("id").as("d")))
+  /** (vec_id, bucket): 8-bit random-hyperplane LSH signature per vector —
+    * 8 deterministic pseudo-random hyperplanes (weights derived from md5 so
+    * the oracle can rebuild them), bucket = sign bit per plane. Computed in
+    * one pass: posexplode → broadcast-join the 8×64 plane matrix → two keyed
+    * aggregates. Shared by s02 (ANN probe) and DedupOps d09 (embedding
+    * near-dup at scale). */
+  private[operators] def hyperplaneBuckets(s: SparkSession,
+      dir: String): DataFrame = {
+    val planes = s.range(8).select(col("id").as("p"))
+      .crossJoin(s.range(64).select(col("id").as("d")))
       .withColumn("w",
         (StableHash.h32(concat(col("p").cast("string"), lit(":"),
           col("d").cast("string"))) % 1001 - 500).cast("double") / 500.0)
     val comps = t(s, dir).embeddingsSpread
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
       .withColumn("v", col("v").cast("double"))
-    val sigs = comps.join(broadcast(planes), "d")
+    comps.join(broadcast(planes), "d")
       .groupBy(col("vec_id"), col("p"))
       .agg(sum(col("v") * col("w")).as("dot"))
       .groupBy(col("vec_id"))
       .agg(sum(when(col("dot") > 0,
         pow(lit(2.0), col("p").cast("double")).cast("long")).otherwise(0L))
         .as("bucket"))
+  }
+
+  /** DuckDB CTE chain ending in `sigs(vec_id, bucket)` — the oracle twin of
+    * [[hyperplaneBuckets]]. Splice after `WITH `. */
+  private[operators] val hyperplaneBucketsSql: String = {
+    val h = StableHash.duckH32("CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
+    s"""planes AS (
+       |  SELECT p, d, (($h) % 1001 - 500) / 500.0 AS w
+       |  FROM (SELECT unnest(range(8)) AS p) ps,
+       |       (SELECT unnest(range(64)) AS d) ds),
+       |comps AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+       |    unnest(embedding)::DOUBLE AS v
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p, sum(v * w) AS dot
+       |  FROM comps JOIN planes USING (d)
+       |  GROUP BY vec_id, p),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+  }
+
+  /** DuckDB in-order-fold cosine — exported for DedupOps d09's oracle twin. */
+  private[operators] def duckCosSql(a: String, b: String): String = duckCos(a, b)
+
+  /** LSH-bucketed ANN over [[hyperplaneBuckets]]: top-1 neighbor within
+    * bucket. Sub-quadratic: the candidate join is an equi-join on bucket. */
+  private def s02(s: SparkSession, dir: String): DataFrame = {
+    val sigs = hyperplaneBuckets(s, dir)
     val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm",
@@ -120,24 +154,7 @@ object SimilarityOps {
   }
 
   private val s02Sql = {
-    val h = StableHash.duckH32("CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
-    s"""WITH planes AS (
-       |  SELECT p, d, (($h) % 1001 - 500) / 500.0 AS w
-       |  FROM (SELECT unnest(range(8)) AS p) ps,
-       |       (SELECT unnest(range(64)) AS d) ds),
-       |comps AS (
-       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-       |    unnest(embedding)::DOUBLE AS v
-       |  FROM embeddings),
-       |dots AS (
-       |  SELECT vec_id, p, sum(v * w) AS dot
-       |  FROM comps JOIN planes USING (d)
-       |  GROUP BY vec_id, p),
-       |sigs AS (
-       |  SELECT vec_id,
-       |    CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
-       |      AS BIGINT) AS bucket
-       |  FROM dots GROUP BY vec_id),
+    s"""WITH $hyperplaneBucketsSql,
        |scored AS (
        |  SELECT q.vec_id AS q_id, qs.bucket AS bucket, c.vec_id AS neighbor_id,
        |    ${duckCos("q.embedding", "c.embedding")} AS cos_sim
@@ -156,34 +173,52 @@ object SimilarityOps {
        |ORDER BY q_id""".stripMargin
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (centroids = every
-    * 125th vector, standing in for k-means output) partitions the corpus
-    * into cells; queries probe only their own cell (nprobe=1) and rank
-    * candidates there. The assignment pass is fact × broadcast(centroids) —
-    * O(N·C) dot products but shuffle-free and codegen'd; the probe join is
-    * an equi-join on cell id. Centroid count grows with corpus size
-    * (C = N/125), so cells stay ~constant-sized as data scales — the IVF
-    * property that keeps per-query work flat at 100 TB. Cosines rounded to
-    * 4dp before the argmax/rank so both engines break ties identically
+  /** IVF centroid count — FIXED, independent of corpus size. The k-vs-N
+    * contract: k is a constant (or, if tuned, grows at most as √N via a
+    * config change, never automatically), so the centroid broadcast is
+    * constant-size and the assignment pass is O(N·k) — both survive a 100×
+    * scale-up unchanged. (The round-3 shape, centroids = every 125th vector,
+    * made C = N/125: the broadcast grew with the corpus and assignment work
+    * grew ~N²/125.) */
+  private val ivfK = 32
+  /** Queries probe their `nprobe` nearest cells (recall knob); candidates
+    * live in exactly one cell, so probing more cells never duplicates a
+    * (query, candidate) pair. */
+  private val ivfNprobe = 2
+
+  /** IVF-style ANN: a deterministic coarse quantizer partitions the corpus
+    * into [[ivfK]] cells; queries probe their [[ivfNprobe]] nearest cells
+    * and rank candidates there. Centroids are a deterministic fixed-size
+    * sample — the k vectors with the smallest stable hash of their id,
+    * standing in for k-means output (both engines rebuild the same set; a
+    * TakeOrdered top-k, never a global sort). The assignment pass is
+    * fact × broadcast(centroids) — O(N·k) dot products, shuffle-free and
+    * codegen'd; the probe join is an equi-join on cell id. Cosines rounded
+    * to 4dp before the argmax/rank so both engines break ties identically
     * (on centroid id / neighbor id). */
   private def s03(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm",
         sqrt(dotF64(col("vd"), col("vd"))))
-    val cents = emb.filter(col("vec_id") % 125 === 0)
+    val cents = emb
+      .withColumn("hk", StableHash.h60(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(ivfK)
       .select(col("vec_id").as("cent_id"), col("vd").as("cv"),
         col("nrm").as("cn"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cc").desc, col("cent_id"))
-    val assigned = emb.join(broadcast(cents), lit(true))
+    val ranked = emb.join(broadcast(cents), lit(true))
       .withColumn("cc", round(
         dotF64(col("vd"), col("cv"))
           / (col("nrm") * col("cn")), 4))
       .withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") === 1)
+    val assigned = ranked.filter(col("ark") === 1)
       .select(col("vec_id"), col("vd"), col("nrm"), col("cent_id").as("cell"))
-    val q = assigned.filter(col("vec_id").between(1, 9))
+    val probes = ranked.filter(col("ark") <= ivfNprobe)
+      .select(col("vec_id"), col("vd"), col("nrm"), col("cent_id").as("cell"))
+    val q = probes.filter(col("vec_id").between(1, 9))
       .select(col("vec_id").as("q_id"), col("vd").as("qv"),
         col("nrm").as("qn"), col("cell"))
     val c = assigned.filter(col("vec_id") >= 10)
@@ -209,23 +244,28 @@ object SimilarityOps {
        |      AS nrm
        |  FROM embeddings),
        |cents AS (
-       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cn
-       |  FROM nv WHERE vec_id % 125 = 0),
-       |assigned AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT n.vec_id, c.cent_id AS cell,
-       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-       |        round(list_sum(list_transform(range(1, 65),
-       |            i -> n.embedding[CAST(i AS INT)]::DOUBLE
-       |                 * c.cemb[CAST(i AS INT)]::DOUBLE))
-       |          / (n.nrm * c.cn), 4) DESC, c.cent_id) AS ark
-       |    FROM nv n, cents c) a
-       |  WHERE ark = 1),
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cn FROM (
+       |    SELECT vec_id, embedding, nrm,
+       |      row_number() OVER (ORDER BY
+       |        ${StableHash.duckH60("vec_id")}, vec_id) AS hrk
+       |    FROM nv) h
+       |  WHERE hrk <= $ivfK),
+       |ranked_assign AS (
+       |  SELECT n.vec_id, c.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      round(list_sum(list_transform(range(1, 65),
+       |          i -> n.embedding[CAST(i AS INT)]::DOUBLE
+       |               * c.cemb[CAST(i AS INT)]::DOUBLE))
+       |        / (n.nrm * c.cn), 4) DESC, c.cent_id) AS ark
+       |  FROM nv n, cents c),
+       |assigned AS (SELECT vec_id, cell FROM ranked_assign WHERE ark = 1),
+       |probes AS (SELECT vec_id, cell FROM ranked_assign
+       |           WHERE ark <= $ivfNprobe),
        |scored AS (
        |  SELECT q.vec_id AS q_id, qa.cell AS cell, c.vec_id AS neighbor_id,
        |    ${duckCos("q.embedding", "c.embedding")} AS cos_sim
        |  FROM nv q
-       |  JOIN assigned qa ON qa.vec_id = q.vec_id
+       |  JOIN probes qa ON qa.vec_id = q.vec_id
        |  JOIN assigned ca ON ca.cell = qa.cell
        |  JOIN nv c ON c.vec_id = ca.vec_id
        |  WHERE q.vec_id BETWEEN 1 AND 9 AND c.vec_id >= 10),

@@ -75,6 +75,22 @@ class PlanSpec extends SparkSuite {
     assert(PlanChecks.hasWholeStageCodegen(run("s01_ann_bruteforce")))
   }
 
+  test("s03: the fixed-k centroid side broadcasts (constant-size at any " +
+      "corpus scale) and centroid selection is TakeOrdered, not a global " +
+      "sort") {
+    val df = run("s03_ann_ivf")
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(ops.exists(_.startsWith("BroadcastNestedLoopJoin")),
+      s"centroid assignment must broadcast the centroid side; got $ops")
+    assert(PlanChecks.usesTakeOrdered(df),
+      "fixed-k centroid sampling must compile to TakeOrderedAndProject")
+  }
+
+  test("d09: LSH-bucketed embedding near-dup candidates come from an " +
+      "equi-join on bucket, never cartesian") {
+    assert(!PlanChecks.usesCartesianProduct(run("d09_dedup_embedding_lsh")))
+  }
+
   test("t08: the contamination probe set broadcasts; the corpus side " +
       "streams through without a doc-vs-doc pairing") {
     val df = run("t08_contamination")
