@@ -13,10 +13,11 @@ import scala.collection.mutable
   * protobuf.dev/programming-guides/encoding) because neither protobuf-java
   * nor spark-protobuf ships in this container. The descriptor model plays
   * the role of a compiled `Descriptors.Descriptor`: a user ports a message
-  * by listing (field number, name, type), and decode/encode honor varint,
-  * fixed32/64, and length-delimited wire types with proto3 default/omission
-  * semantics, unknown-field skipping, nested messages, and packed or
-  * unpacked repeated scalars.
+  * by listing (field number, name, type), and decode/encode honor varint
+  * (two's-complement and zigzag sint32/64), fixed32/64 (float/double and
+  * signed sfixed32/64), and length-delimited wire types with proto3
+  * default/omission semantics, unknown-field skipping, nested messages,
+  * open enums, map fields, and packed or unpacked repeated scalars.
   *
   * Malformed input returns null (never throws) — the E9 deserialization-
   * failure path, so corrupt records flow to the DLQ with raw bytes intact.
@@ -34,19 +35,69 @@ object ProtoWire {
     case object PInt32 extends PType
     case object PInt64 extends PType
     case object PBool extends PType
+    /** varint, zigzag-coded (`sint32`/`sint64` — negatives stay short). */
+    case object PSInt32 extends PType
+    case object PSInt64 extends PType
+    /** fixed-width signed (`sfixed32` wire 5 / `sfixed64` wire 1). */
+    case object PSFixed32 extends PType
+    case object PSFixed64 extends PType
     /** length-delimited */
     case object PString extends PType
     case object PBytes extends PType
     /** fixed64 / fixed32 */
     case object PDouble extends PType
     case object PFloat extends PType
+    /** Open enum (proto3): decoded to the symbol name as a string column;
+      * unknown numbers keep their decimal rendering (proto3 preserves
+      * unrecognized enum values), so decode∘encode is lossless for them
+      * too. Default (0) follows scalar omission rules. */
+    final case class PEnum(name: String,
+        symbols: Map[Int, String]) extends PType {
+      @transient lazy val byName: Map[String, Int] = symbols.map(_.swap)
+      def symbolOf(n: Int): String = symbols.getOrElse(n, n.toString)
+      /** Number for a symbol; unknown symbols round-trip via their decimal
+        * form, anything else encodes as 0 (omitted). */
+      def numberOf(s: String): Int = byName.getOrElse(s,
+        try s.toInt catch { case _: NumberFormatException => 0 })
+    }
+    /** `map<k,v>` — wire = repeated `{1: key, 2: value}` entries; last
+      * occurrence of a key wins (protobuf merge semantics). Singular only
+      * (maps cannot be `repeated` in proto). */
+    final case class PMap(key: PType, value: PType) extends PType {
+      require(key match {
+        case PInt32 | PInt64 | PSInt32 | PSInt64 | PSFixed32 | PSFixed64 |
+             PBool | PString => true
+        case _ => false
+      }, "proto map keys must be integral, bool, or string")
+      require(value match {
+        case _: PMap => false
+        case _ => true
+      }, "proto map values cannot be maps")
+    }
     /** length-delimited nested message */
     final case class PMsg(msg: ProtoMessage) extends PType
   }
   import PType._
 
+  private def sparkTypeOf(t: PType): DataType = t match {
+    case PInt32 | PSInt32 | PSFixed32 => IntegerType
+    case PInt64 | PSInt64 | PSFixed64 => LongType
+    case PBool => BooleanType
+    case PString => StringType
+    case PBytes => BinaryType
+    case PDouble => DoubleType
+    case PFloat => FloatType
+    case _: PEnum => StringType
+    case PMap(k, v) =>
+      MapType(sparkTypeOf(k), sparkTypeOf(v), valueContainsNull = false)
+    case PMsg(m) => m.sparkType
+  }
+
   final case class ProtoField(number: Int, name: String, ptype: PType,
-      repeated: Boolean = false)
+      repeated: Boolean = false) {
+    require(!(repeated && ptype.isInstanceOf[PMap]),
+      s"map field $name cannot be repeated")
+  }
 
   final case class ProtoMessage(name: String, fields: Seq[ProtoField]) {
     require(fields.map(_.number).distinct.size == fields.size,
@@ -54,16 +105,7 @@ object ProtoWire {
     @transient lazy val byNumber: Map[Int, (ProtoField, Int)] =
       fields.zipWithIndex.map { case (f, i) => f.number -> (f, i) }.toMap
     @transient lazy val sparkType: StructType = StructType(fields.map { f =>
-      val base: DataType = f.ptype match {
-        case PInt32 => IntegerType
-        case PInt64 => LongType
-        case PBool => BooleanType
-        case PString => StringType
-        case PBytes => BinaryType
-        case PDouble => DoubleType
-        case PFloat => FloatType
-        case PMsg(m) => m.sparkType
-      }
+      val base = sparkTypeOf(f.ptype)
       StructField(f.name,
         if (f.repeated) ArrayType(base, containsNull = false) else base)
     })
@@ -121,15 +163,25 @@ object ProtoWire {
     try decodeAt(bytes, 0, bytes.length, msg)
     catch { case _: Malformed => null }
 
+  /** Zigzag decode (shared 32/64-bit shape; callers truncate for 32). */
+  private def unzigzag(z: Long): Long = (z >>> 1) ^ -(z & 1L)
+
   private def scalarOf(r: Reader, buf: Array[Byte], t: PType, wire: Int): Any =
     t match {
       case PInt32 => if (wire != 0) fail() else r.readVarint().toInt
       case PInt64 => if (wire != 0) fail() else r.readVarint()
       case PBool => if (wire != 0) fail() else r.readVarint() != 0L
+      case PSInt32 => if (wire != 0) fail()
+        else unzigzag(r.readVarint()).toInt
+      case PSInt64 => if (wire != 0) fail() else unzigzag(r.readVarint())
+      case PSFixed32 => if (wire != 5) fail() else r.readFixed32()
+      case PSFixed64 => if (wire != 1) fail() else r.readFixed64()
       case PDouble => if (wire != 1) fail()
         else java.lang.Double.longBitsToDouble(r.readFixed64())
       case PFloat => if (wire != 5) fail()
         else java.lang.Float.intBitsToFloat(r.readFixed32())
+      case e: PEnum => if (wire != 0) fail()
+        else UTF8String.fromString(e.symbolOf(r.readVarint().toInt))
       case PString => if (wire != 2) fail() else {
         val (off, len) = r.readSlice()
         UTF8String.fromBytes(buf, off, len)
@@ -142,6 +194,7 @@ object ProtoWire {
         val (off, len) = r.readSlice()
         decodeAt(buf, off, off + len, m)
       }
+      case _: PMap => fail() // map entries are parsed at field level
     }
 
   /** Packed numeric element reader (wire type 2 carrying a scalar run). */
@@ -149,14 +202,55 @@ object ProtoWire {
     case PInt32 => r.readVarint().toInt
     case PInt64 => r.readVarint()
     case PBool => r.readVarint() != 0L
+    case PSInt32 => unzigzag(r.readVarint()).toInt
+    case PSInt64 => unzigzag(r.readVarint())
+    case PSFixed32 => r.readFixed32()
+    case PSFixed64 => r.readFixed64()
     case PDouble => java.lang.Double.longBitsToDouble(r.readFixed64())
     case PFloat => java.lang.Float.intBitsToFloat(r.readFixed32())
+    case e: PEnum => UTF8String.fromString(e.symbolOf(r.readVarint().toInt))
     case _ => fail()
   }
 
   private def isPackable(t: PType): Boolean = t match {
-    case PInt32 | PInt64 | PBool | PDouble | PFloat => true
+    case PInt32 | PInt64 | PBool | PDouble | PFloat |
+         PSInt32 | PSInt64 | PSFixed32 | PSFixed64 | (_: PEnum) => true
     case _ => false
+  }
+
+  /** One `map<k,v>` entry slice → (key, value); absent key/value take the
+    * proto3 default (protobuf-java's map merge behavior). */
+  private def mapEntryOf(buf: Array[Byte], off: Int, end: Int,
+      pm: PMap): (Any, Any) = {
+    val r = new Reader(buf, off, end)
+    var k: Any = null; var v: Any = null
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      val wire = (tag & 7).toInt
+      (tag >>> 3).toInt match {
+        case 1 => k = scalarOf(r, buf, pm.key, wire)
+        case 2 => v = scalarOf(r, buf, pm.value, wire)
+        case _ => r.skip(wire)
+      }
+    }
+    (if (k == null) defaultOf(pm.key) else k,
+      if (v == null) defaultOf(pm.value) else v)
+  }
+
+  private def defaultOf(t: PType): Any = t match {
+    case PInt32 | PSInt32 | PSFixed32 => 0
+    case PInt64 | PSInt64 | PSFixed64 => 0L
+    case PBool => false
+    case PDouble => 0.0
+    case PFloat => 0.0f
+    case PString => UTF8String.EMPTY_UTF8
+    case PBytes => Array.emptyByteArray
+    case e: PEnum => UTF8String.fromString(e.symbolOf(0))
+    case _: PMap => org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      Array.empty[Any], Array.empty[Any])
+    // absent sub-message stays null; a map VALUE sub-message defaults to
+    // the empty message (protobuf-java's default instance)
+    case PMsg(m) => decodeAt(Array.emptyByteArray, 0, 0, m)
   }
 
   private def decodeAt(buf: Array[Byte], off: Int, end: Int,
@@ -164,6 +258,7 @@ object ProtoWire {
     val r = new Reader(buf, off, end)
     val values = new Array[Any](msg.fields.length)
     var repeated: mutable.LongMap[mutable.ArrayBuffer[Any]] = null
+    var maps: mutable.LongMap[mutable.LinkedHashMap[Any, Any]] = null
     while (r.hasMore) {
       val tag = r.readVarint()
       val fieldNo = (tag >>> 3).toInt
@@ -180,9 +275,18 @@ object ProtoWire {
             val pr = new Reader(buf, soff, soff + slen)
             while (pr.hasMore) acc += packedOf(pr, f.ptype)
           } else acc += scalarOf(r, buf, f.ptype, wire)
-        case Some((f, i)) =>
-          // last-one-wins for repeated occurrences of a singular field
-          values(i) = scalarOf(r, buf, f.ptype, wire)
+        case Some((f, i)) => f.ptype match {
+          case pm: PMap =>
+            if (wire != 2) fail()
+            val (eoff, elen) = r.readSlice()
+            if (maps == null) maps = new mutable.LongMap
+            val acc = maps.getOrElseUpdate(i.toLong, new mutable.LinkedHashMap)
+            val (k, v) = mapEntryOf(buf, eoff, eoff + elen, pm)
+            acc.put(k, v) // last entry wins; key keeps first-seen position
+          case _ =>
+            // last-one-wins for repeated occurrences of a singular field
+            values(i) = scalarOf(r, buf, f.ptype, wire)
+        }
       }
     }
     // proto3 defaults for absent fields (what protobuf-java getField yields)
@@ -193,16 +297,17 @@ object ProtoWire {
         val acc = if (repeated == null) None else repeated.get(i.toLong)
         values(i) = new GenericArrayData(
           acc.map(_.toArray).getOrElse(Array.empty[Any]))
+      } else if (f.ptype.isInstanceOf[PMap]) {
+        val acc = if (maps == null) None else maps.get(i.toLong)
+        values(i) = acc match {
+          case Some(m) => org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            m.keys.toArray, m.values.toArray)
+          case None => defaultOf(f.ptype)
+        }
       } else if (values(i) == null) {
         values(i) = f.ptype match {
-          case PInt32 => 0
-          case PInt64 => 0L
-          case PBool => false
-          case PDouble => 0.0
-          case PFloat => 0.0f
-          case PString => UTF8String.EMPTY_UTF8
-          case PBytes => Array.emptyByteArray
-          case PMsg(_) => null // absent sub-message stays null
+          case PMsg(_) => null // absent singular sub-message stays null
+          case t => defaultOf(t)
         }
       }
       i += 1
@@ -259,41 +364,83 @@ object ProtoWire {
         if (f.repeated) {
           val arr = row.getArray(i)
           if (arr.numElements() > 0) encodeRepeated(w, arr, f)
-        } else encodeScalar(w, row, i, f)
+        } else f.ptype match {
+          case pm: PMap => encodeMapEntries(w, f.number, pm, row.getMap(i))
+          case _ => encodeScalar(w, row, i, f.number, f.ptype)
+        }
       }
       i += 1
     }
   }
 
-  private def encodeScalar(w: Writer, row: InternalRow, i: Int,
-      f: ProtoField): Unit = f.ptype match {
-    case PInt32 => val v = row.getInt(i)
-      if (v != 0) { w.writeTag(f.number, 0); w.writeVarint(v.toLong) }
-    case PInt64 => val v = row.getLong(i)
-      if (v != 0L) { w.writeTag(f.number, 0); w.writeVarint(v) }
-    case PBool => if (row.getBoolean(i)) { w.writeTag(f.number, 0); w.writeVarint(1L) }
-    case PDouble => val v = row.getDouble(i)
+  /** Zigzag encode; the 32-bit form masks to an unsigned 32-bit varint
+    * (what protobuf-java's writeSInt32NoTag emits). */
+  private def zigzag64(v: Long): Long = (v << 1) ^ (v >> 63)
+  private def zigzag32(v: Int): Long = ((v << 1) ^ (v >> 31)).toLong & 0xffffffffL
+
+  /** Encode one singular value with proto3 default omission. `g` is either
+    * the enclosing row or a map entry's key/value array (both are
+    * SpecializedGetters, so map entries reuse the scalar rules). */
+  private def encodeScalar(w: Writer,
+      g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters, i: Int,
+      number: Int, t: PType): Unit = t match {
+    case PInt32 => val v = g.getInt(i)
+      if (v != 0) { w.writeTag(number, 0); w.writeVarint(v.toLong) }
+    case PInt64 => val v = g.getLong(i)
+      if (v != 0L) { w.writeTag(number, 0); w.writeVarint(v) }
+    case PBool => if (g.getBoolean(i)) { w.writeTag(number, 0); w.writeVarint(1L) }
+    case PSInt32 => val v = g.getInt(i)
+      if (v != 0) { w.writeTag(number, 0); w.writeVarint(zigzag32(v)) }
+    case PSInt64 => val v = g.getLong(i)
+      if (v != 0L) { w.writeTag(number, 0); w.writeVarint(zigzag64(v)) }
+    case PSFixed32 => val v = g.getInt(i)
+      if (v != 0) { w.writeTag(number, 5); w.writeFixed32(v) }
+    case PSFixed64 => val v = g.getLong(i)
+      if (v != 0L) { w.writeTag(number, 1); w.writeFixed64(v) }
+    case PDouble => val v = g.getDouble(i)
       // raw-bits zero check (proto3 rule): -0.0 != +0.0 and IS serialized
       if (java.lang.Double.doubleToRawLongBits(v) != 0L) {
-        w.writeTag(f.number, 1)
+        w.writeTag(number, 1)
         w.writeFixed64(java.lang.Double.doubleToLongBits(v)) }
-    case PFloat => val v = row.getFloat(i)
+    case PFloat => val v = g.getFloat(i)
       if (java.lang.Float.floatToRawIntBits(v) != 0) {
-        w.writeTag(f.number, 5)
+        w.writeTag(number, 5)
         w.writeFixed32(java.lang.Float.floatToIntBits(v)) }
-    case PString => val s = row.getUTF8String(i)
-      if (s.numBytes() > 0) { w.writeTag(f.number, 2)
+    case e: PEnum => val n = e.numberOf(g.getUTF8String(i).toString)
+      if (n != 0) { w.writeTag(number, 0); w.writeVarint(n.toLong) }
+    case PString => val s = g.getUTF8String(i)
+      if (s.numBytes() > 0) { w.writeTag(number, 2)
         w.writeVarint(s.numBytes().toLong)
         w.writeBytes(s.getBytes, 0, s.numBytes()) }
-    case PBytes => val b = row.getBinary(i)
-      if (b.length > 0) { w.writeTag(f.number, 2)
+    case PBytes => val b = g.getBinary(i)
+      if (b.length > 0) { w.writeTag(number, 2)
         w.writeVarint(b.length.toLong); w.writeBytes(b, 0, b.length) }
     case PMsg(m) =>
       val sub = new Writer
-      encodeInto(sub, row.getStruct(i, m.fields.length), m)
+      encodeInto(sub, g.getStruct(i, m.fields.length), m)
       val b = sub.toArray
-      w.writeTag(f.number, 2); w.writeVarint(b.length.toLong)
+      w.writeTag(number, 2); w.writeVarint(b.length.toLong)
       w.writeBytes(b, 0, b.length)
+    case _: PMap => () // handled by encodeMapEntries at field level
+  }
+
+  /** Each map entry is one length-delimited `{1: key, 2: value}` message;
+    * default-valued keys/values are omitted inside the entry (decode
+    * restores them), matching protobuf-java's proto3 map serialization. */
+  private def encodeMapEntries(w: Writer, number: Int, pm: PMap,
+      map: org.apache.spark.sql.catalyst.util.MapData): Unit = {
+    val ka = map.keyArray()
+    val va = map.valueArray()
+    var j = 0
+    while (j < map.numElements()) {
+      val sub = new Writer
+      encodeScalar(sub, ka, j, 1, pm.key)
+      encodeScalar(sub, va, j, 2, pm.value)
+      val b = sub.toArray
+      w.writeTag(number, 2); w.writeVarint(b.length.toLong)
+      w.writeBytes(b, 0, b.length)
+      j += 1
+    }
   }
 
   private def encodeRepeated(w: Writer, arr: ArrayData, f: ProtoField): Unit = {
@@ -306,10 +453,16 @@ object ProtoWire {
           case PInt32 => sub.writeVarint(arr.getInt(i).toLong)
           case PInt64 => sub.writeVarint(arr.getLong(i))
           case PBool => sub.writeVarint(if (arr.getBoolean(i)) 1L else 0L)
+          case PSInt32 => sub.writeVarint(zigzag32(arr.getInt(i)))
+          case PSInt64 => sub.writeVarint(zigzag64(arr.getLong(i)))
+          case PSFixed32 => sub.writeFixed32(arr.getInt(i))
+          case PSFixed64 => sub.writeFixed64(arr.getLong(i))
           case PDouble =>
             sub.writeFixed64(java.lang.Double.doubleToLongBits(arr.getDouble(i)))
           case PFloat =>
             sub.writeFixed32(java.lang.Float.floatToIntBits(arr.getFloat(i)))
+          case e: PEnum =>
+            sub.writeVarint(e.numberOf(arr.getUTF8String(i).toString).toLong)
           case _ => ()
         }
         i += 1
@@ -447,7 +600,9 @@ object ProtoWire {
   }
 
   private def renderNumber(d: Double): String =
-    if (d == math.rint(d) && !d.isInfinite && math.abs(d) < 9.007199254740992e15)
+    if (d.isNaN) "\"NaN\""
+    else if (d.isInfinite) { if (d > 0) "\"Infinity\"" else "\"-Infinity\"" }
+    else if (d == math.rint(d) && math.abs(d) < 9.007199254740992e15)
       d.toLong.toString
     else d.toString
 

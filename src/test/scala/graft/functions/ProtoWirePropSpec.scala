@@ -72,6 +72,97 @@ class ProtoWirePropSpec extends AnyFunSuite {
     })
   }
 
+  // ---- round 4: zigzag / signed-fixed / enum / map type matrix ----
+
+  private val quality = PEnum("quality",
+    Map(0 -> "UNSPECIFIED", 1 -> "GOOD", 2 -> "BAD", 5 -> "UGLY"))
+
+  private val msg2 = ProtoMessage("prop2", Seq(
+    ProtoField(1, "si32", PSInt32),
+    ProtoField(2, "si64", PSInt64),
+    ProtoField(3, "sf32", PSFixed32),
+    ProtoField(4, "sf64", PSFixed64),
+    ProtoField(5, "q", quality),
+    ProtoField(6, "attrs", PMap(PString, PInt64)),
+    ProtoField(7, "names", PMap(PInt32, PString)),
+    ProtoField(8, "zigs", PSInt64, repeated = true),
+    ProtoField(9, "quals", quality, repeated = true)))
+
+  /** Enum strings that survive name→number→name: known symbols, or decimal
+    * renderings of numbers with no symbol (proto3 open-enum preservation).
+    * "1" or "0" would canonicalize to a name, so they are excluded. */
+  private val genEnumStr = Gen.oneOf(
+    Gen.oneOf("UNSPECIFIED", "GOOD", "BAD", "UGLY"),
+    Gen.oneOf(Gen.choose(6, 10000), Gen.choose(-10000, -1)).map(_.toString))
+
+  private def mapData(pairs: Seq[(Any, Any)]) =
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+
+  private val genRow2 = for {
+    si32 <- Gen.oneOf(Gen.choose(Int.MinValue, Int.MaxValue),
+      Gen.oneOf(0, -1, 1, Int.MinValue, Int.MaxValue))
+    si64 <- Gen.oneOf(Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(0L, -1L, Long.MinValue, Long.MaxValue))
+    sf32 <- Gen.choose(Int.MinValue, Int.MaxValue)
+    sf64 <- Gen.choose(Long.MinValue, Long.MaxValue)
+    q <- genEnumStr
+    attrs <- Gen.mapOf(Gen.zip(Gen.asciiPrintableStr,
+      Gen.choose(Long.MinValue, Long.MaxValue)))
+    names <- Gen.mapOf(Gen.zip(Gen.choose(Int.MinValue, Int.MaxValue),
+      Gen.asciiPrintableStr))
+    zigs <- Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    quals <- Gen.listOf(genEnumStr)
+  } yield new GenericInternalRow(Array[Any](
+    si32, si64, sf32, sf64, UTF8String.fromString(q),
+    mapData(attrs.toSeq.map { case (k, v) =>
+      (UTF8String.fromString(k): Any, v: Any) }),
+    mapData(names.toSeq.map { case (k, v) =>
+      (k: Any, UTF8String.fromString(v): Any) }),
+    new GenericArrayData(zigs.toArray[Any]),
+    new GenericArrayData(quals.map(s =>
+      UTF8String.fromString(s): Any).toArray)))
+
+  private def strLongPairs(m: org.apache.spark.sql.catalyst.util.MapData) =
+    (0 until m.numElements()).map(i =>
+      m.keyArray.getUTF8String(i).toString -> m.valueArray.getLong(i))
+
+  private def intStrPairs(m: org.apache.spark.sql.catalyst.util.MapData) =
+    (0 until m.numElements()).map(i =>
+      m.keyArray.getInt(i) -> m.valueArray.getUTF8String(i).toString)
+
+  test("zigzag/sfixed/enum/map round-trip: decode(encode(row)) reproduces " +
+      "every field exactly") {
+    check(Prop.forAll(genRow2) { row =>
+      val back = ProtoWire.decode(ProtoWire.encode(row, msg2), msg2)
+      back != null &&
+        back.getInt(0) == row.getInt(0) &&
+        back.getLong(1) == row.getLong(1) &&
+        back.getInt(2) == row.getInt(2) &&
+        back.getLong(3) == row.getLong(3) &&
+        back.getUTF8String(4) == row.getUTF8String(4) &&
+        strLongPairs(back.getMap(5)) == strLongPairs(row.getMap(5)) &&
+        intStrPairs(back.getMap(6)) == intStrPairs(row.getMap(6)) &&
+        back.getArray(7).toLongArray().toSeq ==
+          row.getArray(7).toLongArray().toSeq &&
+        (0 until back.getArray(8).numElements()).map(
+          back.getArray(8).getUTF8String) ==
+          (0 until row.getArray(8).numElements()).map(
+            row.getArray(8).getUTF8String)
+    })
+  }
+
+  test("decode never throws on arbitrary byte garbage over the extended " +
+      "type matrix (returns row or null)") {
+    check(Prop.forAll(
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) {
+      bytes =>
+        ProtoWire.decode(bytes, msg2) match {
+          case _ => true
+        }
+    })
+  }
+
   test("decode never throws on arbitrary byte garbage (returns row or null)") {
     check(Prop.forAll(
       Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) {

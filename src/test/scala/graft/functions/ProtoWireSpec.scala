@@ -60,6 +60,72 @@ class ProtoWireSpec extends SparkSuite {
     assert(ProtoWire.encode(row, test1).sameElements(wire))
   }
 
+  test("golden: zigzag sint32/sint64 (spec table: 0⇒0, -1⇒1, 1⇒2, -2⇒3)") {
+    val m32 = ProtoMessage("S32", Seq(ProtoField(1, "v", PSInt32)))
+    val r = ProtoWire.decode(bytes(0x08, 0x01), m32)
+    assert(r.getInt(0) == -1)
+    assert(ProtoWire.encode(r, m32).sameElements(bytes(0x08, 0x01)))
+    assert(ProtoWire.decode(bytes(0x08, 0x02), m32).getInt(0) == 1)
+    val m64 = ProtoMessage("S64", Seq(ProtoField(1, "v", PSInt64)))
+    val r64 = ProtoWire.decode(bytes(0x08, 0x03), m64)
+    assert(r64.getLong(0) == -2L)
+    assert(ProtoWire.encode(r64, m64).sameElements(bytes(0x08, 0x03)))
+  }
+
+  test("golden: sfixed32/sfixed64 are little-endian two's-complement") {
+    val m = ProtoMessage("F", Seq(
+      ProtoField(1, "a", PSFixed32), ProtoField(2, "b", PSFixed64)))
+    val wire = bytes(0x0d, 0xfe, 0xff, 0xff, 0xff,
+      0x11, 0x2a, 0, 0, 0, 0, 0, 0, 0)
+    val row = ProtoWire.decode(wire, m)
+    assert(row.getInt(0) == -2 && row.getLong(1) == 42L)
+    assert(ProtoWire.encode(row, m).sameElements(wire))
+  }
+
+  test("golden: enum decodes to its symbol name; unknown numbers are " +
+      "preserved as decimal strings (proto3 open enums) and re-encode") {
+    val q = PEnum("Q", Map(0 -> "UNSPECIFIED", 1 -> "GOOD", 2 -> "BAD"))
+    val m = ProtoMessage("E", Seq(ProtoField(1, "q", q)))
+    assert(ProtoWire.decode(bytes(0x08, 0x01), m)
+      .getUTF8String(0).toString == "GOOD")
+    assert(ProtoWire.decode(Array.emptyByteArray, m)
+      .getUTF8String(0).toString == "UNSPECIFIED")
+    val unk = ProtoWire.decode(bytes(0x08, 0x07), m)
+    assert(unk.getUTF8String(0).toString == "7")
+    assert(ProtoWire.encode(unk, m).sameElements(bytes(0x08, 0x07)))
+    // default (0) omitted on encode, like every proto3 scalar
+    val good = ProtoWire.decode(bytes(0x08, 0x01), m)
+    assert(ProtoWire.encode(
+      ProtoWire.decode(Array.emptyByteArray, m), m).isEmpty)
+    assert(ProtoWire.encode(good, m).sameElements(bytes(0x08, 0x01)))
+  }
+
+  test("golden: map field = repeated {1:key,2:value} entries; duplicate " +
+      "keys last-win; defaulted key/value omitted in the entry and " +
+      "restored on decode") {
+    val m = ProtoMessage("M", Seq(ProtoField(1, "kv", PMap(PString, PInt32))))
+    val wire = bytes(0x0a, 0x05, 0x0a, 0x01, 0x61, 0x10, 0x01) // {"a": 1}
+    val row = ProtoWire.decode(wire, m)
+    val md = row.getMap(0)
+    assert(md.numElements() == 1)
+    assert(md.keyArray.getUTF8String(0).toString == "a")
+    assert(md.valueArray.getInt(0) == 1)
+    assert(ProtoWire.encode(row, m).sameElements(wire))
+    // second entry for the same key: protobuf merge keeps the last value
+    val dup = wire ++ bytes(0x0a, 0x05, 0x0a, 0x01, 0x61, 0x10, 0x07)
+    val rowDup = ProtoWire.decode(dup, m)
+    assert(rowDup.getMap(0).numElements() == 1)
+    assert(rowDup.getMap(0).valueArray.getInt(0) == 7)
+    // zero-length entry = default key + default value
+    val rowDef = ProtoWire.decode(bytes(0x0a, 0x00), m)
+    assert(rowDef.getMap(0).keyArray.getUTF8String(0).toString == "")
+    assert(rowDef.getMap(0).valueArray.getInt(0) == 0)
+    // absent map field decodes to an empty map, encodes to nothing
+    val rowEmpty = ProtoWire.decode(Array.emptyByteArray, m)
+    assert(rowEmpty.getMap(0).numElements() == 0)
+    assert(ProtoWire.encode(rowEmpty, m).isEmpty)
+  }
+
   test("proto3 defaults: absent scalars decode to 0/\"\"; defaults are " +
       "omitted on encode; unknown fields are skipped") {
     val msg = ProtoMessage("M", Seq(
