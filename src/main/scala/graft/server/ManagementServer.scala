@@ -143,14 +143,21 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
     def handle(ex: HttpExchange): Unit = {
       val (counters, gauges) = engine.metrics.typedSnapshot()
       val sb = new StringBuilder
-      counters.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        val n = s"graft_${sane(k)}_total"
-        sb.append(s"# TYPE $n counter\n$n $v\n")
-      }
-      gauges.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        val n = s"graft_${sane(k)}"
-        sb.append(s"# TYPE $n gauge\n$n $v\n")
-      }
+      // distinct raw keys can sanitize to the same name (`a.b-c` and
+      // `a.b_c` both → graft_a_b_c); Prometheus rejects a scrape with
+      // duplicate TYPE/sample lines, so aggregate per sanitized name —
+      // counters sum (they are monotone totals), gauges keep the value of
+      // the lexicographically last raw key (deterministic)
+      counters.toSeq.groupBy { case (k, _) => s"graft_${sane(k)}_total" }
+        .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+        .foreach { case (n, v) =>
+          sb.append(s"# TYPE $n counter\n$n $v\n")
+        }
+      gauges.toSeq.groupBy { case (k, _) => s"graft_${sane(k)}" }
+        .view.mapValues(_.maxBy(_._1)._2).toSeq.sortBy(_._1)
+        .foreach { case (n, v) =>
+          sb.append(s"# TYPE $n gauge\n$n $v\n")
+        }
       respond(ex, 200, sb.toString,
         "text/plain; version=0.0.4; charset=utf-8")
     }

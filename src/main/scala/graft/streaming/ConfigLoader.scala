@@ -110,9 +110,13 @@ object ConfigLoader {
         case '{' => i += 1; val o = parseObjectBody(closing = true); o
         case '"' => parseQuoted()
         case _ =>
-          // bare scalar: to end of line / comma / brace / comment
+          // bare scalar: to end of line / comma / brace / comment (both
+          // `#` and `//` — skipWs accepts `//`, so a trailing
+          // `port = 8010 // note` must not absorb the comment)
           val start = i
-          while (!eof && !"\n,}#".contains(peek)) i += 1
+          while (!eof && !"\n,}#".contains(peek) &&
+              !(peek == '/' && i + 1 < s.length && s.charAt(i + 1) == '/'))
+            i += 1
           val raw = s.substring(start, i).trim
           if (raw.isEmpty) fail("expected a value")
           scalar(raw)
@@ -238,8 +242,13 @@ object ConfigLoader {
         entity -> StreamRouteConfig(
           topicEntity = entity,
           originTopic = str(o, "origin-topic", ""),
+          // canonical key matches the reference (config.clj:167, singular);
+          // the plural form is accepted as an alias for configs written
+          // against earlier releases of this engine
           oldestProcessedMessageInS =
-            lng(o, "oldest-processed-messages-in-s", d.oldestProcessedMessageInS),
+            lng(o, "oldest-processed-message-in-s",
+              lng(o, "oldest-processed-messages-in-s",
+                d.oldestProcessedMessageInS)),
           threadCount = int(o, "thread-count", d.threadCount),
           retry = o.get("retry").map(r => retryOf(obj(r)))
             .getOrElse(RetryConfig()),
@@ -272,9 +281,65 @@ object ConfigLoader {
       drainTimeoutMs = lng(g, "drain-timeout-ms", EngineConfig().drainTimeoutMs))
   }
 
+  // --------------------------------------------------- unknown-key linting
+
+  private val retryKeys = Set("enabled", "count", "type", "queue-timeout-ms")
+  private val channelKeys = Set("worker-count", "retry")
+  private val streamRouteKeys = Set("origin-topic",
+    "oldest-processed-message-in-s", "oldest-processed-messages-in-s",
+    "thread-count", "retry", "channels", "exact-retry-release")
+  private val batchRouteKeys = Set("origin-topic", "max-poll-records",
+    "thread-count", "retry")
+  private val rootKeys = Set("stream-routes", "batch-routes", "http-port",
+    "drain-timeout-ms")
+
+  /** Key paths the typed mapping will silently ignore — a misspelled route
+    * key (e.g. `oldest-processed-msg-in-s`) otherwise falls back to its
+    * default with no error, changing runtime behavior invisibly.
+    * [[load]]/[[loadFile]] print these to stderr; call directly to gate a
+    * deployment on a clean config. */
+  def unknownKeys(root: Obj): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    def sweep(o: Obj, known: Set[String], prefix: String,
+        nested: PartialFunction[String, (Obj, String) => Unit]): Unit =
+      o.foreach { case (k, v) =>
+        if (!known.contains(k)) out += s"$prefix$k"
+        else (v, nested.lift(k)) match {
+          case (child: Obj, Some(f)) => f(child, s"$prefix$k.")
+          case _ => ()
+        }
+      }
+    def sweepRetry(o: Obj, p: String): Unit =
+      sweep(o, retryKeys, p, PartialFunction.empty)
+    val g = root.get("graft").map(obj).getOrElse(root)
+    sweep(g, rootKeys, if (root.contains("graft")) "graft." else "", {
+      case "stream-routes" => (routes, p) =>
+        routes.foreach { case (entity, v) =>
+          sweep(obj(v), streamRouteKeys, s"$p$entity.", {
+            case "retry" => sweepRetry
+            case "channels" => (chans, cp) =>
+              chans.foreach { case (cn, cv) =>
+                sweep(obj(cv), channelKeys, s"$cp$cn.",
+                  { case "retry" => sweepRetry })
+              }
+          })
+        }
+      case "batch-routes" => (routes, p) =>
+        routes.foreach { case (entity, v) =>
+          sweep(obj(v), batchRouteKeys, s"$p$entity.",
+            { case "retry" => sweepRetry })
+        }
+    })
+    out.toSeq
+  }
+
   /** Text → typed config with env overlay applied. */
-  def load(text: String, env: Map[String, String] = sys.env): EngineConfig =
-    toEngineConfig(overlayEnv(parse(text), env))
+  def load(text: String, env: Map[String, String] = sys.env): EngineConfig = {
+    val root = overlayEnv(parse(text), env)
+    unknownKeys(root).foreach(k =>
+      Console.err.println(s"[graft-config] WARN unknown config key: $k"))
+    toEngineConfig(root)
+  }
 
   /** File → typed config with env overlay applied. */
   def loadFile(path: String, env: Map[String, String] = sys.env): EngineConfig =

@@ -55,10 +55,17 @@ object Envelope {
     StructField("channel", StringType, nullable = true),
     StructField("headers", headersType, nullable = true)))
 
-  /** Names of envelope columns a producer may omit (typed nulls added by
-    * [[withOptionalColumns]]) — everything after the Kafka source fields. */
+  /** Envelope columns a producer may omit (typed nulls added by
+    * [[withOptionalColumns]]) — ONLY the retry-extension fields after the
+    * 7 Kafka-source columns. Listed explicitly rather than derived from
+    * nullability: every Kafka-source field defaults to nullable=true in
+    * the StructType, and treating those as optional would let a frame
+    * missing `value` or `key` through with a typed null instead of
+    * failing fast at append time. */
+  private val optionalNames =
+    Set("retryCount", "nextAttemptAt", "channel", "headers")
   private val optional: Seq[StructField] =
-    schema.fields.filter(_.nullable).toSeq
+    schema.fields.filter(f => optionalNames.contains(f.name)).toSeq
 
   /** Adds any missing nullable envelope columns as typed nulls, so frames
     * built before a column existed (or by minimal producers) still satisfy

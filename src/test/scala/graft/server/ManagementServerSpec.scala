@@ -93,6 +93,16 @@ class ManagementServerSpec extends SparkSuite {
       // every sample has a TYPE line and a valid metric name
       assert(samples.keys.forall(types.contains))
       assert(samples.keys.forall(_.matches("[a-zA-Z_:][a-zA-Z0-9_:]*")))
+      // raw keys that sanitize to the same metric name aggregate into ONE
+      // TYPE + sample line (duplicates make Prometheus reject the scrape)
+      engine.metrics.increment("app.col-a", 2)
+      engine.metrics.increment("app.col_a", 3)
+      val lines2 = get(port, "/metrics")._2.split("\n").toSeq
+      assert(lines2.count(_.startsWith("# TYPE graft_app_col_a_total ")) == 1)
+      assert(lines2.contains("graft_app_col_a_total 5"))
+      val names2 = lines2.filterNot(_.startsWith("#")).filter(_.nonEmpty)
+        .map(_.split(" ")(0))
+      assert(names2.distinct.size == names2.size, "duplicate sample names")
     }
   }
 

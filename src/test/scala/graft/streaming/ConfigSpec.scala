@@ -48,12 +48,12 @@ class ConfigSpec extends AnyFunSuite {
   private val sampleConf = """
     |# sample app config (config.edn twin)
     |graft {
-    |  http-port = 8123
+    |  http-port = 8123 // trailing comment must not join the value
     |  drain-timeout-ms = 7000
     |  stream-routes {
     |    orders {
     |      origin-topic = "orders-events.*"
-    |      oldest-processed-messages-in-s = 3600
+    |      oldest-processed-message-in-s = 3600
     |      thread-count = 2
     |      retry { enabled = true, count = 5, type = exponential,
     |              queue-timeout-ms = 250 }
@@ -104,6 +104,46 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.streamRoutes("orders").retry.backoffType == BackoffType.Linear)
     assert(cfg.batchRoutes("nightly").maxPollRecords == 100)
     assert(!cfg.streamRoutes("orders").exactRetryRelease)
+  }
+
+  test("the plural oldest-processed-messages-in-s is accepted as an alias " +
+      "for the reference's singular key (config.clj:167)") {
+    val cfg = ConfigLoader.load(
+      """graft { stream-routes { r {
+        |  origin-topic = t
+        |  oldest-processed-messages-in-s = 120 } } }""".stripMargin,
+      env = Map.empty)
+    assert(cfg.streamRoutes("r").oldestProcessedMessageInS == 120L)
+    // singular wins when both are present
+    val both = ConfigLoader.load(
+      """graft { stream-routes { r {
+        |  origin-topic = t
+        |  oldest-processed-message-in-s = 60
+        |  oldest-processed-messages-in-s = 120 } } }""".stripMargin,
+      env = Map.empty)
+    assert(both.streamRoutes("r").oldestProcessedMessageInS == 60L)
+  }
+
+  test("unknown keys are reported instead of silently ignored") {
+    val root = ConfigLoader.parse(
+      """graft {
+        |  http-prot = 1
+        |  stream-routes { r {
+        |    origin-topic = t
+        |    oldest-processed-msg-in-s = 9
+        |    retry { enable = true }
+        |    channels { c { workers = 3 } }
+        |  } }
+        |  batch-routes { b { origin-topic = t, max-pol-records = 5 } }
+        |}""".stripMargin)
+    val unknown = ConfigLoader.unknownKeys(root)
+    assert(unknown.contains("graft.http-prot"))
+    assert(unknown.contains("graft.stream-routes.r.oldest-processed-msg-in-s"))
+    assert(unknown.contains("graft.stream-routes.r.retry.enable"))
+    assert(unknown.contains("graft.stream-routes.r.channels.c.workers"))
+    assert(unknown.contains("graft.batch-routes.b.max-pol-records"))
+    assert(unknown.size == 5, s"got $unknown")
+    assert(ConfigLoader.unknownKeys(ConfigLoader.parse(sampleConf)).isEmpty)
   }
 
   test("malformed config fails loudly with an offset") {
