@@ -207,6 +207,9 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
     }
   })
 
+  // serial dispatch (setExecutor(null)) is a simplicity choice only —
+  // dead-set marker correctness is guarded by DeadSet's per-entity locks,
+  // so swapping in a thread-pool executor here is safe
   def start(): Unit = { server.setExecutor(null); server.start() }
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort

@@ -20,6 +20,19 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   */
 final class DeadSet(topics: TopicIO, markerDir: String) {
 
+  /** Per-entity lock serializing the marker read-modify-write in
+    * [[delete]]/[[replay]]. Without it two concurrent replays of the same
+    * N both read the old marker, both publish, and the dead messages are
+    * processed twice. The reference has the same race — its HTTP replay
+    * runs in an async future (resource/dead_set.clj:54,:87) with no
+    * coordination; the management server's serial executor used to mask
+    * it here, but correctness must not depend on the HTTP layer's
+    * threading. */
+  private val entityLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(entity: String): Object =
+    entityLocks.computeIfAbsent(entity, _ => new Object)
+
   private def markerPath(entity: String) =
     Paths.get(s"$markerDir/${entity}_dlq_marker")
 
@@ -45,27 +58,29 @@ final class DeadSet(topics: TopicIO, markerDir: String) {
     live(spark, entity).limit(n)
 
   /** Drop first `n` (DELETE /v1/dead_set): advance the marker only. */
-  def delete(spark: SparkSession, entity: String, n: Int): Long = {
-    val offsets = view(spark, entity, n).select("offset").collect()
-    if (offsets.nonEmpty) {
-      setMarker(entity, offsets.map(_.getLong(0)).max)
+  def delete(spark: SparkSession, entity: String, n: Int): Long =
+    lockFor(entity).synchronized {
+      val offsets = view(spark, entity, n).select("offset").collect()
+      if (offsets.nonEmpty) {
+        setMarker(entity, offsets.map(_.getLong(0)).max)
+      }
+      offsets.length.toLong
     }
-    offsets.length.toLong
-  }
 
   /** Re-publish first `n` to the entity's instant topic for reprocessing,
     * then ack them (POST /v1/dead_set/replay). Replayed records carry a
     * reset retryCount (the DLQ writer restored it — RetryEngine). */
-  def replay(spark: SparkSession, entity: String, n: Int): Long = {
-    val batch = view(spark, entity, n).cache()
-    try {
-      val offsets = batch.select("offset").collect()
-      if (offsets.nonEmpty) {
-        topics.append(batch.withColumn("nextAttemptAt",
-          lit(null).cast("timestamp")), EngineConfig.instantTopic(entity))
-        setMarker(entity, offsets.map(_.getLong(0)).max)
-      }
-      offsets.length.toLong
-    } finally batch.unpersist()
-  }
+  def replay(spark: SparkSession, entity: String, n: Int): Long =
+    lockFor(entity).synchronized {
+      val batch = view(spark, entity, n).cache()
+      try {
+        val offsets = batch.select("offset").collect()
+        if (offsets.nonEmpty) {
+          topics.append(batch.withColumn("nextAttemptAt",
+            lit(null).cast("timestamp")), EngineConfig.instantTopic(entity))
+          setMarker(entity, offsets.map(_.getLong(0)).max)
+        }
+        offsets.length.toLong
+      } finally batch.unpersist()
+    }
 }

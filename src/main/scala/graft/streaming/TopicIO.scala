@@ -51,28 +51,32 @@ trait TopicIO extends Serializable {
   */
 final class KafkaTopicIO(bootstrapServers: String,
     security: SecurityConfig = SecurityConfig()) extends TopicIO {
-  private def opts(r: org.apache.spark.sql.DataFrameReader, topic: String) = r
-    .format("kafka")
-    .option("kafka.bootstrap.servers", bootstrapServers)
-    .option("subscribePattern", topic)
-    .option("startingOffsets", "earliest")
-    .option("includeHeaders", "true")
-    .options(security.kafkaOptions)
+
+  /** Exact option map handed to the Kafka source — exposed (package-
+    * private) so KafkaTopicIOSpec can pin every option name even though
+    * the connector jar isn't in this container. `extra` (per-call stream
+    * options, e.g. pacing) layers last so callers can override. */
+  private[streaming] def readerOptions(topic: String,
+      extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribePattern" -> topic,
+      "startingOffsets" -> "earliest",
+      "includeHeaders" -> "true") ++ security.kafkaOptions ++ extra
+
+  /** Exact option map handed to the Kafka sink. */
+  private[streaming] def writerOptions(topic: String): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> bootstrapServers,
+      "topic" -> topic) ++ security.kafkaOptions
 
   def read(spark: SparkSession, topic: String): DataFrame =
-    normalize(opts(spark.read, topic).load(), topic)
+    normalize(spark.read.format("kafka")
+      .options(readerOptions(topic)).load(), topic)
 
   def readStream(spark: SparkSession, topic: String,
       options: Map[String, String]): DataFrame =
-    normalize(spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribePattern", topic)
-      .option("startingOffsets", "earliest")
-      .option("includeHeaders", "true")
-      .options(security.kafkaOptions)
-      .options(options)
-      .load(), topic)
+    normalize(spark.readStream.format("kafka")
+      .options(readerOptions(topic, options)).load(), topic)
 
   override def paceOptions(maxPollRecords: Int): Map[String, String] =
     Map("maxOffsetsPerTrigger" -> maxPollRecords.toString)
@@ -80,7 +84,8 @@ final class KafkaTopicIO(bootstrapServers: String,
   /** Kafka source columns → Envelope columns (record headers are carried
     * verbatim; retry fields are carried in the value for the Kafka
     * transport). */
-  private def normalize(df: DataFrame, topicEntity: String): DataFrame = df
+  private[streaming] def normalize(df: DataFrame,
+      topicEntity: String): DataFrame = df
     .select(col("key"), col("value"), col("topic"), col("partition"),
       col("offset"), col("timestamp"),
       lit(topicEntity).as("topicEntity"),
@@ -89,20 +94,21 @@ final class KafkaTopicIO(bootstrapServers: String,
       lit(null).cast("string").as("channel"),
       col("headers"))
 
-  /** The Kafka sink writes the optional `headers` column as record headers —
-    * the AMQP-property copy of messaging/producer.clj:53-57, so headers
+  /** Sink projection: key/value plus the optional `headers` column, which
+    * the Kafka sink picks up by name and writes as record headers — the
+    * AMQP-property copy of messaging/producer.clj:53-57, so headers
     * survive every retry/DLQ/channel hop. */
-  def append(df: DataFrame, topic: String): Unit = {
+  private[streaming] def sinkProjection(df: DataFrame): DataFrame = {
     val cols = Seq(col("key"), col("value")) ++
       (if (df.columns.contains("headers")) Seq(col("headers")) else Nil)
-    // the sink picks the optional `headers` column up by name — no option
     df.select(cols: _*)
-      .write.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .options(security.kafkaOptions)
-      .option("topic", topic)
-      .save()
   }
+
+  def append(df: DataFrame, topic: String): Unit =
+    sinkProjection(df)
+      .write.format("kafka")
+      .options(writerOptions(topic))
+      .save()
 
   def maxOffset(spark: SparkSession, topic: String): Long =
     read(spark, topic).agg(max("offset")).collect()(0) match {
@@ -119,6 +125,26 @@ final class KafkaTopicIO(bootstrapServers: String,
   */
 final class FileTopicIO(baseDir: String) extends TopicIO {
   private def dir(topic: String) = s"$baseDir/$topic"
+
+  /** Driver-side last-offset cache: `append` used to re-scan the whole
+    * topic (`maxOffset`) per call, so the emulation's append cost grew
+    * with topic size over a long-running stream — a bench-honesty wart,
+    * not an engine property (the Kafka sink lets the broker assign
+    * offsets). First touch of a topic scans once; after that the cache is
+    * maintained arithmetically. Assumes one writer instance per topic —
+    * the same single-writer assumption the scan-based version already
+    * made (scan+write was never atomic). @transient: appends happen on
+    * the driver's canonical instance; task-serialized copies never write. */
+  @transient private lazy val lastOffset =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Per-topic append lock: concurrent queries appending to DIFFERENT
+    * topics stay parallel; same-topic appends serialize (they must — the
+    * scan-or-cache + write pair is a read-modify-write). */
+  @transient private lazy val topicLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(topic: String): Object =
+    topicLocks.computeIfAbsent(topic, _ => new Object)
 
   private def exists(topic: String): Boolean = {
     val p = Paths.get(dir(topic))
@@ -141,30 +167,46 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
   override def paceOptions(maxPollRecords: Int): Map[String, String] =
     Map("maxFilesPerTrigger" -> "1")
 
-  def append(df: DataFrame, topic: String): Unit = {
-    val spark = df.sparkSession
-    val base = maxOffset(spark, topic) + 1
-    // Contiguous offsets without a single-partition global window:
-    // zipWithIndex computes per-partition counts in one lightweight job,
-    // then every partition stamps its contiguous id range in parallel —
-    // the multi-partition analogue of a log append. (This is the test/
-    // emulation transport; the Kafka sink lets the broker assign offsets.)
-    val fields = Envelope.schema.fieldNames.toIndexedSeq
-    val offsetIdx = fields.indexOf("offset")
-    val indexed = Envelope.withOptionalColumns(df)
-      .select(fields.map(col): _*).rdd.zipWithIndex.map {
-      case (r, i) => org.apache.spark.sql.Row.fromSeq(
-        r.toSeq.updated(offsetIdx, base + i))
+  def append(df: DataFrame, topic: String): Unit =
+    lockFor(topic).synchronized {
+      val spark = df.sparkSession
+      val base = maxOffset(spark, topic) + 1
+      // Contiguous offsets without a single-partition global window: one
+      // lightweight counting job per partition, then every partition
+      // stamps its contiguous id range in parallel — the multi-partition
+      // analogue of a log append (what zipWithIndex does internally, done
+      // by hand so the row count comes back for the cache update).
+      val fields = Envelope.schema.fieldNames.toIndexedSeq
+      val offsetIdx = fields.indexOf("offset")
+      val rows = Envelope.withOptionalColumns(df)
+        .select(fields.map(col): _*).rdd
+      val counts = rows.mapPartitionsWithIndex((pi, it) =>
+        Iterator(pi -> it.size)).collect().sortBy(_._1).map(_._2.toLong)
+      val starts = counts.scanLeft(0L)(_ + _)
+      val total = starts.last
+      val indexed = rows.mapPartitionsWithIndex { (pi, it) =>
+        var o = base + starts(pi)
+        it.map { r =>
+          val row = org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.updated(offsetIdx, o))
+          o += 1; row
+        }
+      }
+      spark.createDataFrame(indexed, Envelope.schema)
+        .write.mode("append").parquet(dir(topic))
+      lastOffset.put(topic, base + total - 1)
     }
-    spark.createDataFrame(indexed, Envelope.schema)
-      .write.mode("append").parquet(dir(topic))
-  }
 
   def maxOffset(spark: SparkSession, topic: String): Long =
-    if (!exists(topic)) -1L
-    else read(spark, topic).agg(max("offset")).collect()(0) match {
-      case r if r.isNullAt(0) => -1L
-      case r => r.getLong(0)
+    Option(lastOffset.get(topic)).map(_.longValue()).getOrElse {
+      val scanned =
+        if (!exists(topic)) -1L
+        else read(spark, topic).agg(max("offset")).collect()(0) match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+      lastOffset.put(topic, scanned)
+      scanned
     }
 
   override def provision(entity: String, channels: Iterable[String]): Unit = {

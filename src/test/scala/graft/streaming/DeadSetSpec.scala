@@ -38,6 +38,36 @@ class DeadSetSpec extends SparkSuite {
     assert(topics.read(spark, "app_instant").count() == 4)
   }
 
+  test("two concurrent replays of the same N publish each dead message " +
+      "exactly once (per-entity lock serializes the marker RMW)") {
+    val dir = tmpDir("deadset4")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val ds = new DeadSet(topics, s"$dir/markers")
+    seed(topics, 6)
+
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val replayed = new java.util.concurrent.atomic.AtomicLong(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (1 to 2).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          gate.await()
+          replayed.addAndGet(ds.replay(spark, "app", 6))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"replay threw: ${errs.peek()}")
+    // one replay wins all 6; the loser sees the advanced marker → 0
+    assert(replayed.get() == 6)
+    assert(topics.read(spark, "app_instant").count() == 6)
+    assert(ds.view(spark, "app", 10).count() == 0)
+  }
+
   test("empty dead set: all operations are no-ops") {
     val dir = tmpDir("deadset3")
     val topics = new FileTopicIO(s"$dir/topics")

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.types._
+
+/** Contract tests for the Kafka transport. The connector jar does not ship
+  * in this container, so the wiring can't execute here — these pin what CAN
+  * be asserted offline: the exact reader/writer option maps (an option-name
+  * typo silently no-ops at runtime), the normalize() projection matching
+  * the Envelope schema, headers passthrough in the sink projection, and the
+  * pacing analogue. The cluster smoke procedure is documented in README.md
+  * ("Kafka cluster smoke test"). */
+class KafkaTopicIOSpec extends SparkSuite {
+
+  private val sec = SecurityConfig(
+    protocol = Some("SASL_SSL"),
+    sslTruststoreLocation = Some("/etc/tls/trust.jks"),
+    sslTruststorePassword = Some("ts-secret"),
+    saslMechanism = Some("SCRAM-SHA-512"),
+    saslJaasConfig = Some(SecurityConfig.plainJaas("svc", "pw")))
+  private val io = new KafkaTopicIO("b1:9092,b2:9092", sec)
+
+  test("reader options: exact map incl. regex subscription, headers, and " +
+      "SASL/SSL passthrough (streams.clj:184 + config.clj:233-298 twins)") {
+    assert(io.readerOptions("orders-events.*") == Map(
+      "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
+      "subscribePattern" -> "orders-events.*",
+      "startingOffsets" -> "earliest",
+      "includeHeaders" -> "true",
+      "kafka.security.protocol" -> "SASL_SSL",
+      "kafka.ssl.truststore.location" -> "/etc/tls/trust.jks",
+      "kafka.ssl.truststore.password" -> "ts-secret",
+      "kafka.sasl.mechanism" -> "SCRAM-SHA-512",
+      "kafka.sasl.jaas.config" -> SecurityConfig.plainJaas("svc", "pw")))
+    // per-call options layer last (e.g. pacing can override earliest)
+    val extra = io.readerOptions("t",
+      Map("maxOffsetsPerTrigger" -> "500", "startingOffsets" -> "latest"))
+    assert(extra("maxOffsetsPerTrigger") == "500")
+    assert(extra("startingOffsets") == "latest")
+    // an unsecured transport emits no security options at all
+    assert(new KafkaTopicIO("b:9092").readerOptions("t") == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "subscribePattern" -> "t",
+      "startingOffsets" -> "earliest",
+      "includeHeaders" -> "true"))
+  }
+
+  test("writer options: exact map; security options ride the sink too") {
+    assert(io.writerOptions("app_retry") == Map(
+      "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
+      "topic" -> "app_retry",
+      "kafka.security.protocol" -> "SASL_SSL",
+      "kafka.ssl.truststore.location" -> "/etc/tls/trust.jks",
+      "kafka.ssl.truststore.password" -> "ts-secret",
+      "kafka.sasl.mechanism" -> "SCRAM-SHA-512",
+      "kafka.sasl.jaas.config" -> SecurityConfig.plainJaas("svc", "pw")))
+  }
+
+  test("pacing: max-poll-records maps to maxOffsetsPerTrigger (S3)") {
+    assert(io.paceOptions(500) == Map("maxOffsetsPerTrigger" -> "500"))
+  }
+
+  /** What `spark.readStream.format("kafka")` yields with includeHeaders. */
+  private val kafkaSourceSchema = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType),
+    StructField("headers", Envelope.headersType)))
+
+  test("normalize(): a kafka-source-shaped frame projects to exactly the " +
+      "Envelope schema (names + types, in order)") {
+    val src = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      kafkaSourceSchema)
+    val norm = io.normalize(src, "orders")
+    assert(norm.schema.fields.map(f => f.name -> f.dataType).toSeq ==
+      Envelope.schema.fields.map(f => f.name -> f.dataType).toSeq)
+  }
+
+  test("sink projection: key/value always; the headers column passes " +
+      "through by name when present (K2 header carry)") {
+    val withHeaders = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Envelope.schema)
+    assert(io.sinkProjection(withHeaders).columns.toSeq ==
+      Seq("key", "value", "headers"))
+    val noHeaders = withHeaders.drop("headers")
+    assert(io.sinkProjection(noHeaders).columns.toSeq == Seq("key", "value"))
+  }
+}
