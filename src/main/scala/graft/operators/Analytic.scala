@@ -121,15 +121,45 @@ object Analytic {
       |GROUP BY 1
       |ORDER BY order_year""".stripMargin
 
-  /** HLL cardinality sketch (approx_count_distinct): declared for coverage;
-    * sketch internals are engine-specific so the driver records the weaker
-    * rows-only check (no DuckDB hash parity possible). */
-  private def a06(s: SparkSession, dir: String): DataFrame =
+  /** HLL cardinality sketch (approx_count_distinct). Sketch values are
+    * engine-specific, so instead of emitting the raw estimates the query
+    * emits the exact distinct counts plus WITHIN-BOUND booleans computed
+    * from the HLL estimate: |approx − exact| ≤ 3·rsd·exact (a ≥3-sigma
+    * envelope for HLL++'s configured relative standard deviation). The
+    * DuckDB oracle asserts the same exact counts and literal TRUE for the
+    * bounds — turning the formerly rows-only sketch query into a full
+    * hash-match gate: if Spark's estimate ever drifts outside the bound,
+    * the boolean flips and the driver flags a mismatch. The estimate is
+    * deterministic per dataset, so the gate is stable. */
+  private def a06(s: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.02
     t(s, dir).lineitem
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= lit(3 * rsd) * col("exact_parts")).as("parts_within_rsd"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= lit(3 * rsd) * col("exact_orders")).as("orders_within_rsd"))
       .orderBy(col("l_returnflag"))
+  }
+
+  private val a06Sql =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  TRUE AS parts_within_rsd,
+      |  TRUE AS orders_within_rsd
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** Analytic window functions: lag/lead/ntile over a total per-supplier
     * order. */
@@ -213,7 +243,7 @@ object Analytic {
     "a03_session_window" -> QueryDef(a03, Some(a03Sql), headline = true),
     "a04_percentiles" -> QueryDef(a04, Some(a04Sql)),
     "a05_pivot" -> QueryDef(a05, Some(a05Sql)),
-    "a06_hll_approx" -> QueryDef(a06, None),
+    "a06_hll_approx" -> QueryDef(a06, Some(a06Sql)),
     "a07_lag_lead_ntile" -> QueryDef(a07, Some(a07Sql)),
     "a08_grouping_sets" -> QueryDef(a08, Some(a08Sql)),
     "a09_positional_window" -> QueryDef(a09, Some(a09Sql)),

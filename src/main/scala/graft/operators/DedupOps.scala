@@ -347,19 +347,36 @@ object DedupOps {
     * O(log diameter), so even pathological chains converge inside the cap.
     * The driver-side loop only checks a convergence count per round — no
     * data is collected — and an unconverged exit throws rather than
-    * silently returning wrong components. */
+    * silently returning wrong components.
+    *
+    * `reliableCheckpointDir`: by default rounds are pinned with eager
+    * `localCheckpoint` — blocks live on executor local storage, which is
+    * the fast path but is lost if an executor dies (on preemptible/spot
+    * clusters a lost block aborts the job). Passing a directory switches
+    * every round to a reliable `checkpoint()` into that (HDFS/object-store)
+    * path, trading per-round write cost for fault tolerance — the same
+    * knob GraphX exposes via the checkpoint interval. Both modes produce
+    * identical labels (DedupOpsSpec proves it). */
   private[operators] def connectedComponents(pairs: DataFrame,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50,
+      reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    reliableCheckpointDir.foreach { d =>
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def pin(df: DataFrame): DataFrame =
+      if (reliableCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .cache()
-    // localCheckpoint (eager) instead of cache: the shortcut self-join
+    // eager checkpoint instead of cache: the shortcut self-join
     // references the round's frame twice, so without lineage truncation the
     // logical plan doubles every round — exponential analysis/explain cost.
     // Checkpointing pins the rows AND cuts the plan back to a leaf, keeping
     // per-round planning O(1) (the GraphX/MLlib iterative-algorithm rule).
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint(true)
+    var labels = pin(edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxRounds) {
@@ -370,12 +387,11 @@ object DedupOps {
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
       // pointer doubling: lbl(v) ← min(lbl(v), lbl(lbl(v))). The label is
       // itself a vertex, so the lookup is a self-join on the label key.
-      val next = merged.as("a")
+      val next = pin(merged.as("a")
         .join(merged.select(col("v").as("lv"), col("lbl").as("llbl")),
           col("a.lbl") === col("lv"), "left")
         .select(col("a.v").as("v"),
-          least(col("a.lbl"), coalesce(col("llbl"), col("a.lbl"))).as("lbl"))
-        .localCheckpoint(true)
+          least(col("a.lbl"), coalesce(col("llbl"), col("a.lbl"))).as("lbl")))
       changed = next.as("n").join(labels.as("o"), "v")
         .filter(col("n.lbl") < col("o.lbl")).count()
       labels = next

@@ -102,7 +102,10 @@ final case class EngineConfig(
     streamRoutes: Map[String, StreamRouteConfig] = Map.empty,
     batchRoutes: Map[String, BatchRouteConfig] = Map.empty,
     httpPort: Int = 8010,
-    drainTimeoutMs: Long = 5000L)
+    drainTimeoutMs: Long = 5000L,
+    /** Push-metrics backend (config.clj's `:statsd` section); when enabled
+      * the engine registers a [[StatsdSink]] on its registry at boot. */
+    statsd: StatsdConfig = StatsdConfig())
 
 object EngineConfig {
   /** Max delay-queue ladder depth — messaging/producer.clj:20. */

@@ -278,7 +278,14 @@ object ConfigLoader {
       streamRoutes = streams,
       batchRoutes = batches,
       httpPort = int(g, "http-port", EngineConfig().httpPort),
-      drainTimeoutMs = lng(g, "drain-timeout-ms", EngineConfig().drainTimeoutMs))
+      drainTimeoutMs = lng(g, "drain-timeout-ms", EngineConfig().drainTimeoutMs),
+      statsd = g.get("statsd").map(obj).map { o =>
+        val d = StatsdConfig()
+        StatsdConfig(
+          host = str(o, "host", d.host),
+          port = int(o, "port", d.port),
+          enabled = bool(o, "enabled", d.enabled))
+      }.getOrElse(StatsdConfig()))
   }
 
   // --------------------------------------------------- unknown-key linting
@@ -290,8 +297,9 @@ object ConfigLoader {
     "thread-count", "retry", "channels", "exact-retry-release")
   private val batchRouteKeys = Set("origin-topic", "max-poll-records",
     "thread-count", "retry")
+  private val statsdKeys = Set("host", "port", "enabled")
   private val rootKeys = Set("stream-routes", "batch-routes", "http-port",
-    "drain-timeout-ms")
+    "drain-timeout-ms", "statsd")
 
   /** Key paths the typed mapping will silently ignore — a misspelled route
     * key (e.g. `oldest-processed-msg-in-s`) otherwise falls back to its
@@ -329,6 +337,8 @@ object ConfigLoader {
           sweep(obj(v), batchRouteKeys, s"$p$entity.",
             { case "retry" => sweepRetry })
         }
+      case "statsd" => (o, p) =>
+        sweep(o, statsdKeys, p, PartialFunction.empty)
     })
     out.toSeq
   }

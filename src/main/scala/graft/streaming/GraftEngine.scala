@@ -45,6 +45,10 @@ final class GraftEngine(
     val errs = EngineConfig.validate(cfg)
     require(errs.isEmpty, s"invalid engine config:\n  ${errs.mkString("\n  ")}")
     spark.streams.addListener(metrics.listener)
+    // push backend boot ≡ the reference initializing its statsd wrapper
+    // from [:ziggurat :statsd] only when enabled
+    if (cfg.statsd.enabled)
+      metrics.addSink(new StatsdSink(cfg.statsd.host, cfg.statsd.port))
   }
 
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
@@ -364,9 +368,14 @@ final class GraftEngine(
 
   def awaitAll(): Unit = queries.asScala.values.foreach(_.awaitTermination())
 
-  /** E11 drain: stop everything, bounded by drainTimeoutMs per query. */
-  def stopAll(): Unit = queries.asScala.values.foreach { q =>
-    try q.stop() catch { case _: Throwable => () }
+  /** E11 drain: stop everything, bounded by drainTimeoutMs per query;
+    * then shut down push-metrics backends (metrics_interface.clj
+    * `terminate` runs on service stop). */
+  def stopAll(): Unit = {
+    queries.asScala.values.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    }
+    metrics.terminateSinks()
   }
 
   sys.addShutdownHook { stopAll() }

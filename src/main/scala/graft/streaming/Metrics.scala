@@ -15,11 +15,58 @@ import scala.jdk.CollectionConverters._
 final class MetricsRegistry {
   private val counters = new ConcurrentHashMap[String, LongAdder]()
   private val gauges = new ConcurrentHashMap[String, Double]()
+  private val sinks =
+    new java.util.concurrent.CopyOnWriteArrayList[MetricsSink]()
 
-  def increment(name: String, delta: Long = 1L): Unit =
+  /** Registers a push backend (statsd, a test fake…); every subsequent
+    * increment/gauge/timing fans out to it. Mirrors the reference's
+    * pluggable `[:ziggurat :metrics]` implementation slot
+    * (metrics.clj:40-64 `get-metrics-implementor`). */
+  def addSink(sink: MetricsSink): Unit = sinks.add(sink)
+
+  /** Clean shutdown of every registered backend (metrics_interface.clj
+    * `terminate`); called from the engine's drain path. */
+  def terminateSinks(): Unit = {
+    sinks.forEach(_.terminate())
+    sinks.clear()
+  }
+
+  /** Dotted name → (namespace, metric) — the split the MetricsProtocol's
+    * update-counter/update-timing signatures expect. */
+  private def split(name: String): (String, String) = {
+    val i = name.lastIndexOf('.')
+    if (i < 0) ("", name) else (name.substring(0, i), name.substring(i + 1))
+  }
+
+  def increment(name: String, delta: Long = 1L,
+      tags: Map[String, String] = Map.empty): Unit = {
     counters.computeIfAbsent(name, _ => new LongAdder).add(delta)
+    if (!sinks.isEmpty) {
+      val (ns, m) = split(name)
+      sinks.forEach(_.updateCounter(ns, m, tags, delta))
+    }
+  }
 
-  def gauge(name: String, value: Double): Unit = gauges.put(name, value)
+  def gauge(name: String, value: Double,
+      tags: Map[String, String] = Map.empty): Unit = {
+    gauges.put(name, value)
+    if (!sinks.isEmpty) {
+      val (ns, m) = split(name)
+      sinks.forEach(_.updateGauge(ns, m, tags, value))
+    }
+  }
+
+  /** Timing (statsd `|ms`) — recorded locally as a last-value gauge so the
+    * JSON/Prometheus snapshots see it, pushed to sinks as a true timing
+    * sample (metrics_interface.clj `update-timing`). */
+  def timing(name: String, valueMs: Long,
+      tags: Map[String, String] = Map.empty): Unit = {
+    gauges.put(name, valueMs.toDouble)
+    if (!sinks.isEmpty) {
+      val (ns, m) = split(name)
+      sinks.forEach(_.updateTiming(ns, m, tags, valueMs))
+    }
+  }
 
   def count(name: String): Long =
     Option(counters.get(name)).map(_.sum).getOrElse(0L)
@@ -35,11 +82,14 @@ final class MetricsRegistry {
       gauges.asScala.toMap)
 
   def recordDispatch(entity: String, c: Dispatch.Counts): Unit = {
-    increment(s"$entity.message.success", c.success)
-    increment(s"$entity.message.skip", c.skip)
-    increment(s"$entity.message.retry", c.retried)
-    increment(s"$entity.message.dead_letter", c.deadLettered)
-    increment(s"$entity.message.channel", c.toChannels)
+    // topic_entity rides as a tag for push backends, matching the
+    // reference's {:topic_entity ..} tag map (metrics.clj:79-96)
+    val tags = Map("topic_entity" -> entity)
+    increment(s"$entity.message.success", c.success, tags)
+    increment(s"$entity.message.skip", c.skip, tags)
+    increment(s"$entity.message.retry", c.retried, tags)
+    increment(s"$entity.message.dead_letter", c.deadLettered, tags)
+    increment(s"$entity.message.channel", c.toChannels, tags)
   }
 
   /** Harvests `observe()` metrics (Pipeline.observeReads) from streaming
@@ -53,6 +103,12 @@ final class MetricsRegistry {
       increment("query.terminated")
     override def onQueryProgress(
         e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      // per-trigger wall time as a timing sample — the engine analogue of
+      // the reference's handler execution timing (metrics.clj timing
+      // around the mapper invocation)
+      val qname = Option(e.progress.name).getOrElse(e.progress.id.toString)
+      Option(e.progress.durationMs.get("triggerExecution"))
+        .foreach(ms => timing(s"$qname.trigger", ms.longValue()))
       e.progress.observedMetrics.asScala.foreach { case (name, row) =>
         row.schema.fieldNames.foreach { f =>
           val v = row.getAs[Any](f)

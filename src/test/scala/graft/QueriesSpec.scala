@@ -31,6 +31,17 @@ class QueriesSpec extends SparkSuite {
       s"unexpected empty results: $empties")
   }
 
+  test("a06 HLL estimates sit inside the 3·rsd envelope (deterministic bound)") {
+    val rows = SparkEntry.queries("a06_hll_approx")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("parts_within_rsd"),
+        s"HLL part-count estimate outside 3·rsd for ${r.get(0)}")
+      assert(r.getAs[Boolean]("orders_within_rsd"),
+        s"HLL order-count estimate outside 3·rsd for ${r.get(0)}")
+    }
+  }
+
   test("headline queries are a subset of the registry") {
     assert(SparkEntry.headlines.toSet.subsetOf(SparkEntry.queries.keySet))
   }

@@ -47,6 +47,30 @@ class DedupOpsSpec extends SparkSuite {
     assert(byComp == Map(0L -> 11, 100L -> 11))
   }
 
+  test("reliable-checkpoint mode produces identical components to " +
+      "localCheckpoint mode (preemptible-cluster path)") {
+    val sess = spark
+    import sess.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    try {
+      val edges = ((0L until 20L).map(i => (i, i + 1)) ++
+        Seq((50L, 51L), (51L, 52L))).toDF("a_id", "b_id")
+      val local = DedupOps.connectedComponents(edges, maxRounds = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val reliable = DedupOps.connectedComponents(edges, maxRounds = 10,
+          reliableCheckpointDir = Some(ckpt.toString))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(local == reliable)
+      // reliable mode actually wrote RDD checkpoint data to the dir
+      val wrote = java.nio.file.Files.walk(ckpt).count() > 1
+      assert(wrote, "no checkpoint data written to the reliable dir")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("the Jaccard cut output is unchanged by the cap on this corpus " +
       "(boilerplate-only pairs never pass the threshold)") {
     val off = DedupOps.ngramJaccard(docs, None).collect().toSeq
