@@ -86,27 +86,35 @@ object DedupOps {
 
   private def candidatesFromArrays(arr: DataFrame,
       maxShingleFreq: Option[Int]): DataFrame = {
-    // join key = 64-bit hash of the shingle, not the ~25-char string: the
-    // self-join shuffles (doc_id, 8-byte key) rows instead of raw text
+    // group key = 64-bit hash of the shingle, not the ~25-char string: the
+    // aggregation shuffles (doc_id, 8-byte key) rows instead of raw text
     // (collision odds over ~10^6 distinct shingles ≈ 2^-45 — below the FP
-    // noise floor of any float column). shuffle_hash hint: the exploded
-    // side must NEVER broadcast — the pre-explode cache stats look tiny, so
-    // without the hint AQE builds a per-task hash map of every shingle
-    // occurrence (the round-1 plan); partitioning by key is the shape that
-    // survives 100 TB.
-    val sh0 = arr.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    // noise floor of any float column).
+    //
+    // Topology: ONE shuffle. Each shingle's doc list is gathered with
+    // collect_list (rows are per-doc distinct already), then the C(k,2)
+    // pairs are expanded with array lambdas — codegen'd, no second pass
+    // over the exploded rows. The earlier self-join formulation shuffled
+    // the exploded rows twice (the aliases differ, so Spark cannot reuse
+    // the exchange) and paid a hash-join build on top; grouping colocates
+    // exactly the same key groups with half the shuffle volume. Skew is
+    // identical in both shapes (a hot shingle's pairs land in one task
+    // either way) and is bounded by `maxShingleFreq`, which here is a
+    // free `size(ids) ≤ F` filter instead of a separate count + semi-join.
+    val sh = arr.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val sh = maxShingleFreq.fold(sh0) { f =>
-      val keep = sh0.groupBy(col("sh"))
-        .agg(count(lit(1)).as("n_docs"))  // rows are per-doc distinct already
-        .filter(col("n_docs") <= f)
-        .select(col("sh"))
-      sh0.hint("shuffle_hash").join(keep, Seq("sh"), "left_semi")
-    }
-    val a = sh.select(col("doc_id").as("a_id"), col("sh"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh"))
-    a.hint("shuffle_hash").join(b, Seq("sh"))
-      .filter(col("a_id") < col("b_id"))
+    val grouped = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val kept = maxShingleFreq.fold(grouped)(f =>
+      grouped.filter(size(col("ids")) <= f))
+    // ids sorted ascending ⇒ emitted pairs already satisfy a_id < b_id
+    kept
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_inter"))
   }

@@ -53,6 +53,12 @@ object PlanChecks {
   def countShuffles(df: DataFrame): Int =
     physical(df).count(_.isInstanceOf[Exchange])
 
+  /** Data shuffles only — broadcast exchanges excluded (a broadcast of a
+    * provably-small side is not the scale risk a repartition is). */
+  def countDataShuffles(df: DataFrame): Int =
+    physical(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+
   /** Whole-stage codegen spans present (hot path is compiled). */
   def hasWholeStageCodegen(df: DataFrame): Boolean =
     physical(df).exists(

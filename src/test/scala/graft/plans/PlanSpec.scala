@@ -64,11 +64,19 @@ class PlanSpec extends SparkSuite {
     assert(ops.exists(_.startsWith("BroadcastNestedLoopJoin")), s"got $ops")
   }
 
-  test("d02: shingle self-join goes shuffled-hash, never broadcast " +
-      "(exploded side must partition at 100 TB)") {
+  test("d02: candidate generation is single-shuffle group-and-expand — " +
+      "the exploded shingle rows shuffle once into the collect_list gather " +
+      "and NO join ever touches them (the old self-join shuffled them twice)") {
     val df = run("d02_dedup_ngram_jaccard")
     val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
-    assert(ops.exists(_.startsWith("ShuffledHashJoin")), s"got $ops")
+    assert(!ops.exists(o => o.startsWith("ShuffledHashJoin")
+        || o.startsWith("SortMergeJoin")),
+      s"exploded-side join crept back in; got $ops")
+    assert(ops.exists(_.startsWith("ObjectHashAggregate")),
+      s"per-shingle collect_list gather missing; got $ops")
+    // base repartition + shingle gather + pair agg + output sort
+    val n = PlanChecks.countDataShuffles(df)
+    assert(n <= 4, s"d02 planned $n data shuffles (expected ≤ 4)")
   }
 
   test("s01: ANN scoring keeps whole-stage codegen (dot_f64 generates)") {
