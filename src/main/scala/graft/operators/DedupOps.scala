@@ -108,16 +108,23 @@ object DedupOps {
       .filter(size(col("ids")) > 1)
     val kept = maxShingleFreq.fold(grouped)(f =>
       grouped.filter(size(col("ids")) <= f))
-    // ids sorted ascending ⇒ emitted pairs already satisfy a_id < b_id
-    kept
+    expandPairs(kept)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+  }
+
+  /** `ids`-array groups → the C(k,2) ordered pairs within each group,
+    * expanded with codegen'd array lambdas. Expects `ids` sorted ascending
+    * (so every emitted pair already satisfies a_id < b_id) — the shared
+    * tail of every group-and-expand candidate generator (n-gram shingles,
+    * MinHash bands, hyperplane buckets). */
+  private[operators] def expandPairs(grouped: DataFrame): DataFrame =
+    grouped
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),
           |    y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
-  }
 
   /** N-gram Jaccard near-dup over [[ngramCandidates]]: intersection counted
     * per candidate pair, Jaccard ≥ 1/3 decided in exact integer arithmetic
@@ -177,18 +184,18 @@ object DedupOps {
          |    AS BIGINT)))""".stripMargin).as(s"m$i"))
     val sig = shingleArrays(t(s, dir).documentsSpread)
       .select((col("doc_id") +: sigCols): _*)
-    // cache: the band table feeds both sides of the self-join; without it
-    // the whole shingle+signature lineage is computed twice.
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         concat_ws("-", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
           .as("bsig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-      .cache()
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    // single-shuffle group-and-expand (see candidatesFromArrays): each
+    // (band, bsig) bucket gathers its doc list once and emits its C(k,2)
+    // pairs in place — the aliased self-join shuffled the band table twice
+    // and needed a cache to avoid recomputing the signature lineage per side
+    expandPairs(bands.groupBy(col("band"), col("bsig"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1))
       .distinct()
   }
 
