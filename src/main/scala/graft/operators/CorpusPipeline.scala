@@ -64,11 +64,15 @@ object CorpusPipeline {
         concat_ws("-", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
           .as("bsig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-      .cache()
-    val dropIds = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("y.doc_id").as("doc_id")).distinct()
+    // greedy drop = every non-minimal id in any (band, bsig) bucket. One
+    // groupBy gathers each bucket's sorted id list and slice() emits all
+    // but the head — the same set the old band self-join produced as the
+    // pairs' b-side, with one shuffle instead of two and no cache.
+    val dropIds = bands.groupBy(col("band"), col("bsig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr("slice(ids, 2, size(ids) - 1)")).as("doc_id"))
+      .distinct()
 
     exactKept.join(dropIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
