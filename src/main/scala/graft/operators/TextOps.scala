@@ -275,6 +275,69 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Boilerplate-segment scrub — the CCNet/RefinedWeb line-dedup pass:
+    * segments repeated across ≥ `minDf` distinct documents (nav bars,
+    * cookie banners, license tails) are removed from every document, and
+    * each document is re-assembled from its surviving segments in order.
+    * Real corpora segment on newline/paragraph breaks; this synthetic
+    * corpus has no line structure, so the splitter groups words into
+    * fixed 8-word chunks — the plumbing (doc-frequency count, broadcast
+    * boilerplate set, ordered reassembly) is identical either way.
+    *
+    * Topology at 100 TB: one shuffle for the per-chunk doc-frequency
+    * (map-side partial agg on the per-doc-distinct rows), then the
+    * boilerplate set — small BY CONSTRUCTION (only chunks crossing the
+    * frequency threshold) — broadcasts into the marking join, and one
+    * keyed shuffle per doc rebuilds the text. No self-join, nothing
+    * quadratic, no driver collect. */
+  private def t09(s: SparkSession, dir: String): DataFrame = {
+    val minDf = 3
+    val chunks = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, (size(toks) - 1) div 8),
+          |  i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))""".stripMargin))
+        .as(Seq("pos", "chunk")))
+    val boiler = chunks.select(col("doc_id"), col("chunk")).distinct()
+      .groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("chunk"), lit(true).as("is_b"))
+    chunks.join(broadcast(boiler), Seq("chunk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("chunk"),
+        coalesce(col("is_b"), lit(false)).as("is_b")))).as("cs"))
+      .select(col("doc_id"),
+        size(col("cs")).cast("long").as("n_chunks"),
+        expr("CAST(size(filter(cs, c -> c.is_b)) AS BIGINT)").as("n_removed"),
+        concat_ws(" ",
+          expr("transform(filter(cs, c -> NOT c.is_b), c -> c.chunk)"))
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t09Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(w[(i * 8 + 1):(i * 8 + 8)], ' ') AS chunk
+      |  FROM toks, LATERAL (SELECT unnest(range((len(w) + 7) // 8)) AS i) r),
+      |boiler AS (
+      |  SELECT chunk FROM (
+      |    SELECT chunk, count(*) AS df
+      |    FROM (SELECT DISTINCT doc_id, chunk FROM chunks) d
+      |    GROUP BY chunk)
+      |  WHERE df >= 3)
+      |SELECT c.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(count(*) FILTER (WHERE b.chunk IS NOT NULL) AS BIGINT)
+      |    AS n_removed,
+      |  coalesce(string_agg(c.chunk, ' ' ORDER BY c.pos)
+      |    FILTER (WHERE b.chunk IS NULL), '') AS clean_text
+      |FROM chunks c LEFT JOIN boiler b ON b.chunk = c.chunk
+      |GROUP BY c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -284,5 +347,6 @@ object TextOps {
     "t06_pii_scrub" -> QueryDef(t06, Some(t06Sql)),
     "t07_repetition_ratio" -> QueryDef(t07, Some(t07Sql)),
     "t08_contamination" -> QueryDef(t08, Some(t08Sql)),
+    "t09_boilerplate_scrub" -> QueryDef(t09, Some(t09Sql)),
   )
 }
