@@ -329,10 +329,116 @@ object SimilarityOps {
       |FROM s
       |ORDER BY vec_id""".stripMargin
 
+  /** Deterministic spherical k-means over the embedding corpus — the
+    * clustering stage SemDeDup-style semantic dedup and cluster-balanced
+    * data mixing are built on, and the principled trainer for [[s03]]'s
+    * coarse quantizer (s03 hash-samples its cells; a real deployment runs
+    * this first and feeds the trained centroids in).
+    *
+    * Determinism contract (same discipline as s03): seeds are the
+    * [[kmeansK]] vectors with the smallest stable id-hash (TakeOrdered,
+    * never a global sort); assignment maximizes the 4dp-rounded cosine
+    * with centroid-id tiebreak; centroid updates round each dimension
+    * mean to 4dp, absorbing float-sum ordering noise, so Spark and the
+    * unrolled-SQL oracle converge to bit-identical centroids.
+    *
+    * Scale shape: each Lloyd iteration is fact × broadcast(k centroids)
+    * — O(N·k) codegen'd dot folds, shuffle-free assignment — plus one
+    * partial-agg shuffle of (cid, dim, v) rows for the means (k·64 groups).
+    * Iteration count is fixed (2), not convergence-driven: on 100 TB you
+    * run Lloyd rounds as separate jobs anyway, and a fixed count keeps
+    * the oracle expressible. No driver-side data movement. */
+  private val kmeansK = 8
+
+  private def s05(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir).embeddingsSpread
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dotF64(col("vd"), col("vd"))))
+      .select(col("vec_id"), col("vd"), col("nrm"))
+      .cache()
+    val cents0 = emb
+      .withColumn("hk", StableHash.h60(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(kmeansK)
+      .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cc").desc, col("cid"))
+      emb.join(broadcast(cents), lit(true))
+        .withColumn("cc", round(dotF64(col("vd"), col("cv"))
+          / (col("nrm") * col("cn")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("vd"), col("nrm"), col("cid"), col("cc"))
+    }
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("vd")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d"))
+        .agg(round(avg(col("v")), 4).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(sort_array(collect_list(struct(d, m))), x -> x.m)")
+          .as("cv"))
+        .withColumn("cn", sqrt(dotF64(col("cv"), col("cv"))))
+
+    val c2 = update(assign(update(assign(cents0))))
+    assign(c2)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        col("cc").as("cos_to_centroid"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val s05Sql = {
+    val dotCv = """list_sum(list_transform(range(1, 65),
+                  |      i -> n.vd[CAST(i AS INT)] * c.cv[CAST(i AS INT)]))"""
+      .stripMargin
+    def assignCte(cents: String, out: String): String =
+      s"""${out}s AS (
+         |  SELECT n.vec_id, n.vd, n.nrm, c.cid,
+         |    round($dotCv / (n.nrm * c.cn), 4) AS cc
+         |  FROM nv n CROSS JOIN $cents c),
+         |$out AS (
+         |  SELECT vec_id, vd, nrm, cid, cc FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cc DESC, cid) AS rk FROM ${out}s) t
+         |  WHERE rk = 1)"""
+        .stripMargin
+    def updateCte(assigned: String, out: String): String =
+      s"""${out}m AS (
+         |  SELECT cid, i AS d, round(avg(vd[CAST(i AS INT)]), 4) AS m
+         |  FROM $assigned, (SELECT unnest(range(1, 65)) AS i) dims
+         |  GROUP BY cid, i),
+         |$out AS (
+         |  SELECT cid, cv,
+         |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+         |  FROM (SELECT cid, list(m ORDER BY d) AS cv FROM ${out}m
+         |        GROUP BY cid) g)"""
+        .stripMargin
+    s"""WITH nv AS (
+       |  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS vd,
+       |    sqrt(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE)))
+       |      AS nrm
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cid, vd AS cv, nrm AS cn FROM nv
+       |  ORDER BY ${StableHash.duckH60("vec_id")}, vec_id LIMIT $kmeansK),
+       |${assignCte("c0", "a0")},
+       |${updateCte("a0", "c1")},
+       |${assignCte("c1", "a1")},
+       |${updateCte("a1", "c2")},
+       |${assignCte("c2", "a2")}
+       |SELECT vec_id, cid AS cluster, cc AS cos_to_centroid
+       |FROM a2
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
     "s03_ann_ivf" -> QueryDef(s03, Some(s03Sql)),
     "s04_embedding_quantize" -> QueryDef(s04, Some(s04Sql)),
+    "s05_kmeans_clusters" -> QueryDef(s05, Some(s05Sql)),
   )
 }

@@ -94,6 +94,17 @@ class PlanSpec extends SparkSuite {
       "fixed-k centroid sampling must compile to TakeOrderedAndProject")
   }
 
+  test("s05: Lloyd assignment passes broadcast the k-centroid side " +
+      "(constant-size at any corpus scale) and seed selection is " +
+      "TakeOrdered, not a global sort") {
+    val df = run("s05_kmeans_clusters")
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(ops.exists(_.startsWith("BroadcastNestedLoopJoin")),
+      s"centroid assignment must broadcast the centroid side; got $ops")
+    assert(PlanChecks.usesTakeOrdered(df),
+      "hash-sampled seed selection must compile to TakeOrderedAndProject")
+  }
+
   test("d09: LSH-bucketed embedding near-dup candidates come from an " +
       "equi-join on bucket, never cartesian") {
     assert(!PlanChecks.usesCartesianProduct(run("d09_dedup_embedding_lsh")))
