@@ -564,6 +564,43 @@ object DedupOps {
        |WHERE ${SimilarityOps.duckCosSql("a.embedding", "b.embedding")} > 0.35
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** SemDeDup — semantic dedup via k-means blocking: cluster the corpus
+    * with [[SimilarityOps.kmeansAssignments]] (deterministic spherical
+    * k-means), then score cosine ONLY within each cluster and keep pairs
+    * above the near-dup threshold. This is the published SemDeDup recipe:
+    * the cluster count k is the knob that bounds pair cost (Σ cellᵢ², not
+    * N²) — at 100 TB you raise k ∝ N so cells stay constant-size, exactly
+    * as with s03's IVF cells. Vectors stream through the cluster equi-join
+    * (same reasoning as d09: per-pair payloads are whole embeddings, which
+    * belong in a join, not a collect_list buffer). */
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    val a = SimilarityOps.kmeansAssignments(s, dir)
+    val x = a.select(col("vec_id").as("a_id"), col("vd").as("av"),
+      col("nrm").as("an"), col("cid"))
+    val y = a.select(col("vec_id").as("b_id"), col("vd").as("bv"),
+      col("nrm").as("bn"), col("cid"))
+    x.join(y, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(
+        dotF64(col("av"), col("bv")) / (col("an") * col("bn")), 4))
+      .filter(col("cos_sim") > 0.35)
+      .select(col("a_id"), col("b_id"), col("cid").as("cluster"),
+        col("cos_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d10Sql =
+    s"""WITH ${SimilarityOps.kmeansCtes}
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cid AS cluster,
+       |  round(list_sum(list_transform(range(1, 65),
+       |    i -> a.vd[CAST(i AS INT)] * b.vd[CAST(i AS INT)]))
+       |    / (a.nrm * b.nrm), 4) AS cos_sim
+       |FROM a2 a JOIN a2 b ON b.cid = a.cid AND a.vec_id < b.vec_id
+       |WHERE round(list_sum(list_transform(range(1, 65),
+       |    i -> a.vd[CAST(i AS INT)] * b.vd[CAST(i AS INT)]))
+       |    / (a.nrm * b.nrm), 4) > 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -574,5 +611,6 @@ object DedupOps {
     "d07_canonical_selection" -> QueryDef(d07, Some(d07Sql)),
     "d08_incremental_dedup" -> QueryDef(d08, Some(d08Sql)),
     "d09_dedup_embedding_lsh" -> QueryDef(d09, Some(d09Sql)),
+    "d10_semantic_dedup" -> QueryDef(d10, Some(d10Sql)),
   )
 }

@@ -350,7 +350,10 @@ object SimilarityOps {
     * the oracle expressible. No driver-side data movement. */
   private val kmeansK = 8
 
-  private def s05(s: SparkSession, dir: String): DataFrame = {
+  /** Final Lloyd-round assignment (vec_id, vd, nrm, cid, cc) — shared by
+    * s05 (the declared clustering query) and DedupOps.d10 (SemDeDup:
+    * within-cluster cosine near-dup). */
+  private[operators] def kmeansAssignments(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(dotF64(col("vd"), col("vd"))))
@@ -385,12 +388,17 @@ object SimilarityOps {
 
     val c2 = update(assign(update(assign(cents0))))
     assign(c2)
+  }
+
+  private def s05(s: SparkSession, dir: String): DataFrame =
+    kmeansAssignments(s, dir)
       .select(col("vec_id"), col("cid").as("cluster"),
         col("cc").as("cos_to_centroid"))
       .orderBy(col("vec_id"))
-  }
 
-  private val s05Sql = {
+  /** DuckDB CTE chain ending at `a2` = the final (vec_id, vd, nrm, cid, cc)
+    * assignment — shared by the s05 and d10 oracle twins. */
+  private[operators] val kmeansCtes = {
     val dotCv = """list_sum(list_transform(range(1, 65),
                   |      i -> n.vd[CAST(i AS INT)] * c.cv[CAST(i AS INT)]))"""
       .stripMargin
@@ -416,7 +424,7 @@ object SimilarityOps {
          |  FROM (SELECT cid, list(m ORDER BY d) AS cv FROM ${out}m
          |        GROUP BY cid) g)"""
         .stripMargin
-    s"""WITH nv AS (
+    s"""nv AS (
        |  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS vd,
        |    sqrt(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE)))
        |      AS nrm
@@ -428,11 +436,14 @@ object SimilarityOps {
        |${updateCte("a0", "c1")},
        |${assignCte("c1", "a1")},
        |${updateCte("a1", "c2")},
-       |${assignCte("c2", "a2")}
+       |${assignCte("c2", "a2")}""".stripMargin
+  }
+
+  private val s05Sql =
+    s"""WITH $kmeansCtes
        |SELECT vec_id, cid AS cluster, cc AS cos_to_centroid
        |FROM a2
        |ORDER BY vec_id""".stripMargin
-  }
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),

@@ -105,6 +105,11 @@ class PlanSpec extends SparkSuite {
       "hash-sampled seed selection must compile to TakeOrderedAndProject")
   }
 
+  test("d10: SemDeDup within-cluster scoring is an equi-join on the " +
+      "cluster id, never cartesian") {
+    assert(!PlanChecks.usesCartesianProduct(run("d10_semantic_dedup")))
+  }
+
   test("d09: LSH-bucketed embedding near-dup candidates come from an " +
       "equi-join on bucket, never cartesian") {
     assert(!PlanChecks.usesCartesianProduct(run("d09_dedup_embedding_lsh")))
