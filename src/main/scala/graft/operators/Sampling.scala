@@ -152,6 +152,37 @@ object Sampling {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** Cluster-balanced sample: cap every k-means cluster at [[clusterCap]]
+    * vectors, chosen in stable-hash order — the embedding-space analogue of
+    * x02's per-language strata and the standard counter to cluster skew in
+    * semantic data mixing (over-represented modes contribute at most `cap`
+    * examples; rare modes survive whole). One window partitioned by the
+    * cluster id: each cluster ranks independently, no global order, and the
+    * hash ranking keeps the selection reproducible across runs and engines
+    * (never `rand()`). Clustering comes from [[SimilarityOps
+    * .kmeansAssignments]] — broadcast Lloyd passes, see s05. */
+  private val clusterCap = 40
+
+  private def x07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(StableHash.h60(col("vec_id")), col("vec_id"))
+    SimilarityOps.kmeansAssignments(s, dir)
+      .select(col("vec_id"), col("cid"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= clusterCap)
+      .select(col("vec_id"), col("cid").as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val x07Sql =
+    s"""WITH ${SimilarityOps.kmeansCtes}
+       |SELECT vec_id, cid AS cluster FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+       |    ORDER BY ${StableHash.duckH60("vec_id")}, vec_id) AS rk
+       |  FROM a2) t
+       |WHERE rk <= $clusterCap
+       |ORDER BY vec_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
     "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
@@ -159,5 +190,6 @@ object Sampling {
     "x04_train_test_split" -> QueryDef(x04, Some(x04Sql)),
     "x05_salted_agg" -> QueryDef(x05, Some(x05Sql)),
     "x06_lang_mix_resample" -> QueryDef(x06, Some(x06Sql)),
+    "x07_cluster_balanced_sample" -> QueryDef(x07, Some(x07Sql)),
   )
 }
