@@ -290,13 +290,14 @@ object TextOps {
     * frequency threshold) — broadcasts into the marking join, and one
     * keyed shuffle per doc rebuilds the text. No self-join, nothing
     * quadratic, no driver collect. */
-  private def t09(s: SparkSession, dir: String): DataFrame = {
-    val minDf = 3
-    val chunks = t(s, dir).documentsSpread
+  def boilerplateScrub(docs: DataFrame, chunkWords: Int = 8,
+      minDf: Int = 3): DataFrame = {
+    val chunks = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, (size(toks) - 1) div 8),
-          |  i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))""".stripMargin))
+        s"""transform(sequence(0, (size(toks) - 1) div $chunkWords),
+           |  i -> concat_ws(' ', slice(toks, i * $chunkWords + 1, $chunkWords)))"""
+          .stripMargin))
         .as(Seq("pos", "chunk")))
     val boiler = chunks.select(col("doc_id"), col("chunk")).distinct()
       .groupBy(col("chunk")).agg(count(lit(1)).as("df"))
@@ -314,6 +315,9 @@ object TextOps {
           .as("clean_text"))
       .orderBy(col("doc_id"))
   }
+
+  private def t09(s: SparkSession, dir: String): DataFrame =
+    boilerplateScrub(t(s, dir).documentsSpread)
 
   private val t09Sql =
     """WITH toks AS (

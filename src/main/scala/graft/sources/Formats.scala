@@ -37,6 +37,25 @@ object Formats {
     spark.read.schema(schema).json(path)
 
   /** Envelope topic log → portable JSON-lines dump (binary → base64). */
+  /** Bucketed managed-table write — the co-located-join lever at 100 TB:
+    * two tables bucketed by the same key into the same bucket count join
+    * with ZERO exchanges (each bucket pair joins in place; BucketingSpec
+    * pins the shuffle-free plan). The same layout makes repeated
+    * aggregations on the bucket key shuffle-free. Bucket count is a
+    * layout-time commitment — pick it for the JOINED size at target scale
+    * (buckets ≈ data size / 128 MB), since both sides must match. `sortBy`
+    * pre-sorts within buckets so sort-merge join skips its sort step. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      key: String, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   def exportEnvelopes(env: DataFrame, path: String): Unit =
     env
       .withColumn("key", base64(col("key")))

@@ -14,6 +14,9 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // bucketed-table specs write managed tables; keep them out of the repo
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 
   def sf0001 = "/root/testdata/sf0.001"
