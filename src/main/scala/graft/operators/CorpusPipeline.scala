@@ -194,8 +194,90 @@ object CorpusPipeline {
       |WHERE cum_tokens - n_tokens < 5000
       |ORDER BY doc_id""".stripMargin
 
+  /** Source-weighted mixture with fractional epoch repeats — the data-mixing
+    * stage that turns a curated corpus into a training mix (reference scope
+    * ends at message processing; this is north-star training-pipeline
+    * surface). Each source carries a weight in permille (2500 = 2.5 epochs):
+    * every doc is emitted `wp div 1000` times, plus one more iff its stable
+    * content hash lands below `wp mod 1000` of 1000 — so a 2.5-epoch source
+    * repeats every doc twice and a deterministic, content-chosen half of it
+    * a third time. Integer permille arithmetic end-to-end: no float
+    * thresholds to drift between engines, and the same doc gets the same
+    * copy count at any SF or cluster size (resumable, auditable).
+    *
+    * Scale shape: the weight table broadcasts (it is a config, O(sources));
+    * copy counts are map-side expressions; the explode multiplies rows by
+    * exactly the intended output epochs — there is no intermediate larger
+    * than the mixture being built. No shuffle until the caller aggregates
+    * or writes. */
+  def mixtureEpochs(docs: DataFrame, weightsPermille: DataFrame,
+      defaultPermille: Int = 1000): DataFrame =
+    docs.join(broadcast(weightsPermille), Seq("source"), "left")
+      .withColumn("wp", coalesce(col("w_permille"), lit(defaultPermille)))
+      .withColumn("n_copies",
+        expr("wp div 1000") +
+          when(StableHash.h60(col("text")) % 1000 < col("wp") % 1000, 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .withColumn("copy",
+        explode(expr("sequence(CAST(1 AS BIGINT), n_copies)")))
+
+  /** Declared mixture query: up-weight src1/src2 (2.5 / 2 epochs),
+    * down-sample src0/src3, leave the rest at 1 epoch; report the realized
+    * per-source mix (docs in/out, tokens out, achieved epochs). */
+  private def p03(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val weights = Seq(("src0", 300), ("src1", 2500), ("src2", 2000),
+      ("src3", 500)).toDF("source", "w_permille")
+    val docs = Tables(s, dir).documentsSpread
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val inCounts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_in"))
+    mixtureEpochs(docs, weights)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_out"),
+        sum(col("n_tokens")).as("n_tokens_out"))
+      .join(inCounts, Seq("source"))
+      .withColumn("realized_epochs",
+        round(col("n_docs_out") / col("n_docs_in").cast("double"), 4))
+      .select(col("source"), col("n_docs_in"), col("n_docs_out"),
+        col("n_tokens_out"), col("realized_epochs"))
+      .orderBy(col("source"))
+  }
+
+  private val p03Sql =
+    s"""WITH spec(source, w_permille) AS (VALUES
+       |  ('src0', 300), ('src1', 2500), ('src2', 2000), ('src3', 500)),
+       |d AS (
+       |  SELECT doc.source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    coalesce(w_permille, 1000) AS wp,
+       |    (${StableHash.duckH60("text")}) % 1000 AS h
+       |  FROM documents doc LEFT JOIN spec USING (source)),
+       |c AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    wp // 1000 + CASE WHEN h < wp % 1000 THEN 1 ELSE 0 END AS n_copies
+       |  FROM d),
+       |mixed AS (
+       |  SELECT source, n_tokens,
+       |    unnest(generate_series(1, n_copies)) AS copy
+       |  FROM c),
+       |outc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_out,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens_out
+       |  FROM mixed GROUP BY source),
+       |inc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_in
+       |  FROM documents GROUP BY source)
+       |SELECT source, n_docs_in, n_docs_out, n_tokens_out,
+       |  round(n_docs_out / CAST(n_docs_in AS DOUBLE), 4) AS realized_epochs
+       |FROM outc JOIN inc USING (source)
+       |ORDER BY source""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
+    "p03_mixture_epochs" -> QueryDef(p03, Some(p03Sql)),
   )
 }

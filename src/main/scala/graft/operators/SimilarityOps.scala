@@ -445,11 +445,152 @@ object SimilarityOps {
        |FROM a2
        |ORDER BY vec_id""".stripMargin
 
+  /** Product-quantization geometry: 64 dims → [[pqM]] subspaces of
+    * [[pqDsub]] dims, each encoded as one of [[pqKs]] codewords — an 8-byte
+    * code per vector instead of 256 bytes of float32 (32×). At 10⁹ vectors
+    * that is an 8 GB index vs 256 GB: the difference between an in-memory
+    * ADC scan per executor and an I/O-bound one. */
+  private val pqM = 8
+  private val pqDsub = 8
+  private val pqKs = 16
+
+  /** PQ-compressed exhaustive ADC scan: the memory-bound ANN shape (and the
+    * within-cell ranker of a full IVF-PQ stack — compose with s03's coarse
+    * cells for the two-level variant).
+    *
+    *  - Codebooks: per subspace, the subvectors of the [[pqKs]] seed vectors
+    *    with the smallest stable id-hash (TakeOrdered, never a global sort;
+    *    codeword id = seed vec_id, so no index-assignment window). A real
+    *    deployment trains per-subspace k-means (s05's trainer restricted to
+    *    a dim slice); the hash-sampled stand-in keeps both engines
+    *    rebuilding the identical codebook.
+    *  - Encoding: argmin-L2 codeword per (vector, subspace) — the L2² is
+    *    the three-fold decomposition |v|² − 2·v·c + |c|² so both engines
+    *    run bit-identical in-order folds; 4dp-rounded with codeword-id
+    *    tiebreak. Corpus × broadcast(128-row codebook), codegen'd, one
+    *    argmin window partitioned by (vec_id, sub).
+    *  - ADC: queries stay full-precision; each candidate is its
+    *    reconstruction (codewords flattened in subspace order) — scoring
+    *    dist(q, decode(c)) is exactly the asymmetric distance Σ_s
+    *    dist(q_s, cw_{s,code}). Broadcast query side streams the candidate
+    *    scan, TakeOrdered top-3 per query.
+    *
+    * Scale: the codebook is M·Ks rows regardless of corpus size; encoding
+    * is O(N·M·Ks) map-side work; the scan is O(Q·N) over 8-byte codes —
+    * the same contract as s01 but on a 32×-smaller operand. */
+  private def s06(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir).embeddingsSpread
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val seeds = emb
+      .withColumn("hk", StableHash.h60(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(pqKs)
+      .select(col("vec_id").as("code"), col("vd"))
+    val codebook = seeds
+      .select(col("code"), posexplode(expr(
+        s"transform(sequence(0, ${pqM - 1}), s -> slice(vd, s * $pqDsub + 1, $pqDsub))"))
+        .as(Seq("sub", "cw")))
+      .withColumn("cwn", dotF64(col("cw"), col("cw")))
+    val subvecs = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${pqM - 1}), s -> slice(vd, s * $pqDsub + 1, $pqDsub))"))
+        .as(Seq("sub", "sv")))
+      .withColumn("svn", dotF64(col("sv"), col("sv")))
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("code"))
+    val codes = subvecs.join(broadcast(codebook), "sub")
+      .withColumn("d2", round(
+        col("svn") - lit(2.0) * dotF64(col("sv"), col("cw")) + col("cwn"), 4))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val decoded = codes
+      .join(broadcast(codebook.select(col("sub"), col("code"), col("cw"))),
+        Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("flatten(transform(sort_array(collect_list(struct(sub, cw))), x -> x.cw))")
+        .as("rv"))
+      .withColumn("rn", sqrt(dotF64(col("rv"), col("rv"))))
+    val q = emb.filter(col("vec_id") < 10)
+      .withColumn("qn", sqrt(dotF64(col("vd"), col("vd"))))
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("qn"))
+    val scored = broadcast(q).join(decoded, lit(true))
+      .withColumn("adc_cos", round(
+        dotF64(col("qv"), col("rv")) / (col("qn") * col("rn")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("adc_cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val s06Sql = {
+    def dot8(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, ${pqDsub + 1}),
+         |      i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]))""".stripMargin
+    val dot64 = """list_sum(list_transform(range(1, 65),
+                  |      i -> q.vd[CAST(i AS INT)] * d.rv[CAST(i AS INT)]))"""
+      .stripMargin
+    s"""WITH nv AS (
+       |  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS vd
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS code, vd FROM nv
+       |  ORDER BY ${StableHash.duckH60("vec_id")}, vec_id LIMIT $pqKs),
+       |codebook AS (
+       |  SELECT code, s AS sub,
+       |    list_transform(range(1, ${pqDsub + 1}),
+       |      i -> vd[CAST(s * $pqDsub + i AS INT)]) AS cw
+       |  FROM seeds, (SELECT unnest(range($pqM)) AS s) subs),
+       |subvecs AS (
+       |  SELECT vec_id, s AS sub,
+       |    list_transform(range(1, ${pqDsub + 1}),
+       |      i -> vd[CAST(s * $pqDsub + i AS INT)]) AS sv
+       |  FROM nv, (SELECT unnest(range($pqM)) AS s) subs
+       |  WHERE vec_id >= 10),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT v.vec_id, v.sub, c.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+       |        round(${dot8("sv", "sv")}
+       |          - 2 * ${dot8("sv", "cw")}
+       |          + ${dot8("cw", "cw")}, 4), c.code) AS rk
+       |    FROM subvecs v JOIN codebook c ON c.sub = v.sub) t
+       |  WHERE rk = 1),
+       |dec AS (
+       |  SELECT vec_id, flatten(list(cw ORDER BY sub)) AS rv
+       |  FROM enc JOIN codebook USING (sub, code)
+       |  GROUP BY vec_id),
+       |decn AS (
+       |  SELECT vec_id, rv,
+       |    sqrt(list_sum(list_transform(rv, x -> x * x))) AS rn
+       |  FROM dec),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, d.vec_id AS neighbor_id,
+       |    round(($dot64)
+       |      / (sqrt(list_sum(list_transform(q.vd, x -> x * x))) * d.rn), 4)
+       |      AS adc_cos
+       |  FROM nv q CROSS JOIN decn d
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, adc_cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_cos DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_cos
+       |FROM ranked
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
     "s03_ann_ivf" -> QueryDef(s03, Some(s03Sql)),
     "s04_embedding_quantize" -> QueryDef(s04, Some(s04Sql)),
     "s05_kmeans_clusters" -> QueryDef(s05, Some(s05Sql)),
+    "s06_ann_pq_adc" -> QueryDef(s06, Some(s06Sql)),
   )
 }

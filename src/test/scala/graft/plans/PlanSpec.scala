@@ -115,6 +115,26 @@ class PlanSpec extends SparkSuite {
     assert(!PlanChecks.usesCartesianProduct(run("d09_dedup_embedding_lsh")))
   }
 
+  test("p03: the mixture weight table broadcasts (config-size side) and " +
+      "no cartesian product appears") {
+    val df = run("p03_mixture_epochs")
+    assert(PlanChecks.usesBroadcastJoin(df),
+      "weight table must broadcast — it is O(sources) config data")
+    assert(!PlanChecks.usesCartesianProduct(df))
+  }
+
+  test("s06: PQ codebook broadcasts (M·Ks rows at any corpus scale), seed " +
+      "selection is TakeOrdered, and the ADC scan broadcasts the query side") {
+    val df = run("s06_ann_pq_adc")
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(PlanChecks.usesBroadcastJoin(df),
+      s"codebook encoding join must broadcast; got $ops")
+    assert(ops.exists(_.startsWith("BroadcastNestedLoopJoin")),
+      s"ADC scan must broadcast the query side; got $ops")
+    assert(PlanChecks.usesTakeOrdered(df),
+      "hash-sampled codebook seeds must compile to TakeOrderedAndProject")
+  }
+
   test("t08: the contamination probe set broadcasts; the corpus side " +
       "streams through without a doc-vs-doc pairing") {
     val df = run("t08_contamination")
