@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.StableHash
+import graft.functions.{MinHashFamily, StableHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,15 +49,23 @@ object CorpusPipeline {
 
     // fuzzy dedup: minhash-LSH pairs among exact survivors; greedy drop of
     // every higher-id member of a candidate pair
+    // one md5 digest per shingle + the shared (a_i·x + b_i) mod p universal
+    // family — see DedupOps.minhashPairs / MinHashFamily for the
+    // construction and overflow bounds
     val sigCols = (0 until 16).map(i => expr(
-      s"""array_min(transform(sh_arr, sh ->
-         |  CAST(conv(substring(md5(concat('$i:', sh)), 1, 15), 16, 10)
-         |    AS BIGINT)))""".stripMargin).as(s"m$i"))
+      s"""array_min(transform(x_arr, x ->
+         |  (${MinHashFamily.a(i)} * x + ${MinHashFamily.b(i)})
+         |    % ${MinHashFamily.p}))""".stripMargin)
+      .as(s"m$i"))
     val sig = exactKept
       .filter(size(col("toks")) >= 3)
       .withColumn("sh_arr", array_distinct(expr(
         """transform(sequence(0, size(toks) - 3),
           |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)))
+      .withColumn("x_arr", expr(
+        """transform(sh_arr, sh ->
+          |  CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT))"""
+          .stripMargin))
       .select((col("doc_id") +: sigCols): _*)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
@@ -81,7 +89,7 @@ object CorpusPipeline {
   }
 
   private val p01Sql = {
-    val h = StableHash.duckH60("CAST(seed AS VARCHAR) || ':' || shingle")
+    val h = s"(a * x + b) % ${MinHashFamily.p}"
     val sigCols = (0 until 16)
       .map(i => s"min(CASE WHEN seed = $i THEN h END) AS m$i").mkString(",\n    ")
     val bandRows = (0 until 4).map { b =>
@@ -117,9 +125,14 @@ object CorpusPipeline {
        |        i -> concat(w[CAST(i AS INT)], ' ', w[CAST(i AS INT) + 1],
        |          ' ', w[CAST(i AS INT) + 2]))) AS shingle
        |    FROM toks) u),
+       |shh AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS x
+       |  FROM sh),
        |minh AS (
        |  SELECT doc_id, seed, min($h) AS h
-       |  FROM sh, (SELECT unnest(range(16)) AS seed) seeds
+       |  FROM shh, (VALUES ${MinHashFamily.duckSeedRows(16)})
+       |    seeds(seed, a, b)
        |  GROUP BY doc_id, seed),
        |sig AS (
        |  SELECT doc_id,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.StableHash
+import graft.functions.{MinHashFamily, StableHash}
 import graft.functions.DotDouble.dotF64
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -176,13 +176,26 @@ object DedupOps {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // all 16 min-hashes as pure per-row array math (transform + array_min
     // over the per-doc shingle array): zero shuffles before the band join —
-    // no explode, no groupBy. Identical values to the oracle's
-    // unnest+min formulation.
+    // no explode, no groupBy. ONE md5 digest per shingle (its dominant
+    // cost), then the 16 hash functions are the classic universal family
+    // h_i(x) = (a_i·x + b_i) mod p over the digest's 28-bit prefix — the
+    // same construction Spark's MinHashLSH ships. Per-seed a_i/b_i are
+    // fixed md5-derived constants (bit-identical in the oracle), and
+    // a_i·x < 2^59 so the arithmetic never overflows int64 in either
+    // engine. A naive h1 + i·h2 rehash of one digest correlates the seeds
+    // (one tiny-h1 shingle wins many argmins) and measurably inflates the
+    // band-collision false-positive rate; the multiplicative family keeps
+    // the seeds' argmins independent.
     val sigCols = (0 until 16).map(i => expr(
-      s"""array_min(transform(sh_arr, sh ->
-         |  CAST(conv(substring(md5(concat('$i:', sh)), 1, 15), 16, 10)
-         |    AS BIGINT)))""".stripMargin).as(s"m$i"))
+      s"""array_min(transform(x_arr, x ->
+         |  (${MinHashFamily.a(i)} * x + ${MinHashFamily.b(i)})
+         |    % ${MinHashFamily.p}))""".stripMargin)
+      .as(s"m$i"))
     val sig = shingleArrays(t(s, dir).documentsSpread)
+      .withColumn("x_arr", expr(
+        """transform(sh_arr, sh ->
+          |  CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT))"""
+          .stripMargin))
       .select((col("doc_id") +: sigCols): _*)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
@@ -205,7 +218,7 @@ object DedupOps {
   /** DuckDB CTE preamble ending with `pairs` = the distinct LSH candidate
     * pairs — shared by the d03 and d06 oracles. */
   private val minhashPairsCtes = {
-    val h = StableHash.duckH60("CAST(seed AS VARCHAR) || ':' || shingle")
+    val h = s"(a * x + b) % ${MinHashFamily.p}"
     val sigCols = (0 until 16)
       .map(i => s"min(CASE WHEN seed = $i THEN h END) AS m$i").mkString(",\n    ")
     val bandRows = (0 until 4).map { b =>
@@ -214,9 +227,14 @@ object DedupOps {
       s"SELECT doc_id, $b AS band, $cat AS bsig FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""$shinglesSql,
+       |shh AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS x
+       |  FROM sh),
        |minh AS (
        |  SELECT doc_id, seed, min($h) AS h
-       |  FROM sh, (SELECT unnest(range(16)) AS seed) seeds
+       |  FROM shh, (VALUES ${MinHashFamily.duckSeedRows(16)})
+       |    seeds(seed, a, b)
        |  GROUP BY doc_id, seed),
        |sig AS (
        |  SELECT doc_id,
