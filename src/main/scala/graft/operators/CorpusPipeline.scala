@@ -288,9 +288,61 @@ object CorpusPipeline {
        |FROM outc JOIN inc USING (source)
        |ORDER BY source""".stripMargin
 
+  /** Deterministic training-shard assignment — the shard-building step
+    * before a webdataset/TFRecord-style export. Docs hash into [[nShards]]
+    * shards (content hash, so the same doc lands in the same shard at any
+    * SF or cluster size) and are ordered within each shard by the
+    * curriculum key (quality desc, id tiebreak) with a within-shard
+    * position. The window partitions by shard: at 100 TB every shard sorts
+    * independently — the physical export is `repartition($"shard")
+    * .sortWithinPartitions(...)` and no global order exists anywhere. */
+  private val nShards = 8
+
+  private def p04(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    Tables(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(expr(
+        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
+        .cast("long"))
+      .withColumn("quality_score",
+        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
+          / col("n_tokens").cast("double"))
+          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+      .withColumn("shard", StableHash.h60(col("text")) % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("n_tokens"),
+        col("quality_score"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private val p04Sql =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))) AS BIGINT)
+       |      AS n_stop,
+       |    (${StableHash.duckH60("text")}) % $nShards AS shard
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, n_tokens, shard,
+       |    round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
+       |      * least(1.0, n_tokens / 100.0), 4) AS quality_score
+       |  FROM scored)
+       |SELECT shard, CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY quality_score DESC, doc_id) AS BIGINT) AS pos,
+       |  doc_id, n_tokens, quality_score
+       |FROM q
+       |ORDER BY shard, pos""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
     "p03_mixture_epochs" -> QueryDef(p03, Some(p03Sql)),
+    "p04_shard_assign" -> QueryDef(p04, Some(p04Sql)),
   )
 }

@@ -173,7 +173,25 @@ object DedupOps {
     * surface's scale path for fuzzy dedup. */
   /** Unordered distinct MinHash-LSH candidate pairs — shared by d03 (the
     * declared pair query) and d06 (component resolution over the pairs). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(t(s, dir).documentsSpread)
+
+  /** MinHash-LSH candidate pairs over any (doc_id, text) frame.
+    *
+    * `maxBandDocs` is the band-bucket analogue of `maxShingleFreq`: a flood
+    * of near-identical documents (mirrored boilerplate, templated spam)
+    * collapses into ONE (band, bsig) bucket of size k, whose C(k,2)
+    * expansion lands in a single task — the only uncapped skew point in the
+    * group-and-expand topology. With the cap, buckets larger than F are
+    * dropped (a free `size(ids) ≤ F` filter on the gathered lists),
+    * bounding any bucket's pair contribution at F². Run exact dedup (d01)
+    * upstream first so byte-identical floods never reach the LSH stage;
+    * what the cap then drops is only the pathological near-identical tail,
+    * which a production pipeline handles by keeping one canonical doc per
+    * capped bucket anyway. Off by default (and in the oracle-checked d03,
+    * whose DuckDB twin computes the uncapped pair set). */
+  def minhashLshPairs(docs: DataFrame,
+      maxBandDocs: Option[Int] = None): DataFrame = {
     // all 16 min-hashes as pure per-row array math (transform + array_min
     // over the per-doc shingle array): zero shuffles before the band join —
     // no explode, no groupBy. ONE md5 digest per shingle (its dominant
@@ -191,7 +209,7 @@ object DedupOps {
          |  (${MinHashFamily.a(i)} * x + ${MinHashFamily.b(i)})
          |    % ${MinHashFamily.p}))""".stripMargin)
       .as(s"m$i"))
-    val sig = shingleArrays(t(s, dir).documentsSpread)
+    val sig = shingleArrays(docs)
       .withColumn("x_arr", expr(
         """transform(sh_arr, sh ->
           |  CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT))"""
@@ -206,10 +224,12 @@ object DedupOps {
     // (band, bsig) bucket gathers its doc list once and emits its C(k,2)
     // pairs in place — the aliased self-join shuffled the band table twice
     // and needed a cache to avoid recomputing the signature lineage per side
-    expandPairs(bands.groupBy(col("band"), col("bsig"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1))
-      .distinct()
+    val grouped = bands.groupBy(col("band"), col("bsig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val kept = maxBandDocs.fold(grouped)(f =>
+      grouped.filter(size(col("ids")) <= f))
+    expandPairs(kept).distinct()
   }
 
   private def d03(s: SparkSession, dir: String): DataFrame =

@@ -342,6 +342,50 @@ object TextOps {
       |GROUP BY c.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  /** Unigram-surprisal quality signal — the perplexity-filter stand-in a
+    * curation pipeline runs when no LM is at hand (docs whose tokens are
+    * uniformly corpus-frequent read as templated boilerplate; rare-token-
+    * dense docs read as noise; both tails get threshold-filtered). True
+    * −log2 p needs a transcendental log whose last-ulp differs across
+    * libms — un-oracle-able — so surprisal is integer floor-log2:
+    * bits(n) = length(bin(n)) − 1, surprisal(tok) ≈ bits(N_total) −
+    * bits(count_tok). Bit-exact in both engines, within 1 bit of the real
+    * value — all a threshold filter needs.
+    *
+    * Scale: token counts are one partial-agg shuffle (rows = vocabulary,
+    * not corpus tokens); the count lookup is an equi-join on the token key
+    * (AQE broadcasts it when the vocab fits); the per-doc mean is a second
+    * keyed aggregate. The 1-row total broadcasts. No pairwise stage. */
+  private def t10(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir).documentsSpread
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("surp", length(expr("bin(n_total)")) - length(expr("bin(c)")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surp")).as("total_bits"),
+        round(avg(col("surp")), 4).as("mean_surprisal_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t10Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM counts),
+      |surp AS (
+      |  SELECT doc_id, len(bin(n_total)) - len(bin(c)) AS s
+      |  FROM toks JOIN counts USING (tok) CROSS JOIN total)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(s) AS BIGINT) AS total_bits,
+      |  round(avg(s), 4) AS mean_surprisal_bits
+      |FROM surp GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -352,5 +396,6 @@ object TextOps {
     "t07_repetition_ratio" -> QueryDef(t07, Some(t07Sql)),
     "t08_contamination" -> QueryDef(t08, Some(t08Sql)),
     "t09_boilerplate_scrub" -> QueryDef(t09, Some(t09Sql)),
+    "t10_unigram_surprisal" -> QueryDef(t10, Some(t10Sql)),
   )
 }

@@ -30,6 +30,26 @@ class DedupOpsSpec extends SparkSuite {
       "cap ≤2 must drop the 6-doc boilerplate shingle and keep the dup pair")
   }
 
+  test("band-bucket cap: a flood of identical documents must not " +
+      "quadratic-blow one LSH bucket's pair expansion") {
+    val sess = spark
+    import sess.implicits._
+    // 30 byte-identical docs (one band bucket of 30 per band) + a true
+    // near-dup pair — the flood alone would emit C(30,2)=435 pairs
+    val flood = (1 to 30).map(i =>
+      (i.toLong, "same exact boilerplate text repeated in every mirror copy",
+        "en"))
+    val dupA = (100L, "the quick brown fox jumps over the lazy dog", "en")
+    val dupB = (101L, "the quick brown fox jumps over the lazy dog", "en")
+    val d = (flood :+ dupA :+ dupB).toDF("doc_id", "text", "lang")
+    val uncapped = DedupOps.minhashLshPairs(d, None).count()
+    assert(uncapped >= 435L, s"got $uncapped")
+    val capped = DedupOps.minhashLshPairs(d, Some(10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      "cap ≤10 must drop the 30-doc bucket and keep the genuine near-dup")
+  }
+
   test("connected components converge on a deep chain in O(log diameter) " +
       "rounds (pointer doubling), not O(diameter)") {
     val sess = spark
