@@ -196,7 +196,11 @@ object SimilarityOps {
     * codegen'd; the probe join is an equi-join on cell id. Cosines rounded
     * to 4dp before the argmax/rank so both engines break ties identically
     * (on centroid id / neighbor id). */
-  private def s03(s: SparkSession, dir: String): DataFrame = {
+  /** (assigned, probes): one-cell assignment for every vector / the
+    * nprobe probe cells per vector, against the fixed-[[ivfK]]
+    * hash-sampled centroid set — shared by s03 (full-precision ranking)
+    * and s07 (IVF-PQ: same cells, PQ-compressed candidates). */
+  private def ivfCells(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm",
@@ -218,6 +222,11 @@ object SimilarityOps {
       .select(col("vec_id"), col("vd"), col("nrm"), col("cent_id").as("cell"))
     val probes = ranked.filter(col("ark") <= ivfNprobe)
       .select(col("vec_id"), col("vd"), col("nrm"), col("cent_id").as("cell"))
+    (assigned, probes)
+  }
+
+  private def s03(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, probes) = ivfCells(s, dir)
     val q = probes.filter(col("vec_id").between(1, 9))
       .select(col("vec_id").as("q_id"), col("vd").as("qv"),
         col("nrm").as("qn"), col("cell"))
@@ -478,7 +487,10 @@ object SimilarityOps {
     * Scale: the codebook is M·Ks rows regardless of corpus size; encoding
     * is O(N·M·Ks) map-side work; the scan is O(Q·N) over 8-byte codes —
     * the same contract as s01 but on a 32×-smaller operand. */
-  private def s06(s: SparkSession, dir: String): DataFrame = {
+  /** PQ reconstruction (vec_id, rv, rn) of every candidate vector
+    * (vec_id ≥ 10) — the decoded 8-byte-code index, shared by s06
+    * (exhaustive ADC scan) and s07 (IVF-PQ: ADC within probed cells). */
+  private def pqDecoded(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
     val seeds = emb
@@ -504,14 +516,20 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(wEnc))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("sub"), col("code"))
-    val decoded = codes
+    codes
       .join(broadcast(codebook.select(col("sub"), col("code"), col("cw"))),
         Seq("sub", "code"))
       .groupBy(col("vec_id"))
       .agg(expr("flatten(transform(sort_array(collect_list(struct(sub, cw))), x -> x.cw))")
         .as("rv"))
       .withColumn("rn", sqrt(dotF64(col("rv"), col("rv"))))
-    val q = emb.filter(col("vec_id") < 10)
+  }
+
+  private def s06(s: SparkSession, dir: String): DataFrame = {
+    val decoded = pqDecoded(s, dir)
+    val q = t(s, dir).embeddingsSpread
+      .filter(col("vec_id") < 10)
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("qn", sqrt(dotF64(col("vd"), col("vd"))))
       .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("qn"))
     val scored = broadcast(q).join(decoded, lit(true))
@@ -585,6 +603,115 @@ object SimilarityOps {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** IVF-PQ — the standard billion-scale ANN layout, composed from the two
+    * pieces already proven separately: s03's coarse cells bound the
+    * candidate set (each query scans only its [[ivfNprobe]] probed cells)
+    * and s06's PQ codes shrink every candidate to 8 bytes (scored
+    * asymmetrically: full-precision query vs PQ reconstruction). Per-query
+    * work is O(ivfK) assignment + ADC over the probed cells' fraction of
+    * the corpus; both support structures (centroids, codebook) are
+    * constant-size broadcasts at any corpus scale, and the probe join is
+    * an equi-join on the cell id — nothing in the plan grows faster than
+    * the corpus itself. */
+  private def s07(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, probes) = ivfCells(s, dir)
+    val decoded = pqDecoded(s, dir)
+    val q = probes.filter(col("vec_id").between(1, 9))
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val c = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("cell"))
+      .join(decoded.withColumnRenamed("vec_id", "c_id"), "c_id")
+    val scored = q.join(c, "cell")
+      .withColumn("adc_cos", round(
+        dotF64(col("qv"), col("rv")) / (col("qn") * col("rn")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("cell"), col("rk"),
+        col("c_id").as("neighbor_id"), col("adc_cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val s07Sql = {
+    def dot8(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, ${pqDsub + 1}),
+         |      i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]))""".stripMargin
+    s"""WITH nv AS (
+       |  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS vd,
+       |    sqrt(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE)))
+       |      AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, vd AS cv, nrm AS cn FROM (
+       |    SELECT vec_id, vd, nrm,
+       |      row_number() OVER (ORDER BY
+       |        ${StableHash.duckH60("vec_id")}, vec_id) AS hrk
+       |    FROM nv) h
+       |  WHERE hrk <= $ivfK),
+       |ranked_assign AS (
+       |  SELECT n.vec_id, c.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      round(list_sum(list_transform(range(1, 65),
+       |          i -> n.vd[CAST(i AS INT)] * c.cv[CAST(i AS INT)]))
+       |        / (n.nrm * c.cn), 4) DESC, c.cent_id) AS ark
+       |  FROM nv n, cents c),
+       |assigned AS (SELECT vec_id, cell FROM ranked_assign WHERE ark = 1),
+       |probes AS (SELECT vec_id, cell FROM ranked_assign
+       |           WHERE ark <= $ivfNprobe),
+       |seeds AS (
+       |  SELECT vec_id AS code, vd FROM nv
+       |  ORDER BY ${StableHash.duckH60("vec_id")}, vec_id LIMIT $pqKs),
+       |codebook AS (
+       |  SELECT code, s AS sub,
+       |    list_transform(range(1, ${pqDsub + 1}),
+       |      i -> vd[CAST(s * $pqDsub + i AS INT)]) AS cw
+       |  FROM seeds, (SELECT unnest(range($pqM)) AS s) subs),
+       |subvecs AS (
+       |  SELECT vec_id, s AS sub,
+       |    list_transform(range(1, ${pqDsub + 1}),
+       |      i -> vd[CAST(s * $pqDsub + i AS INT)]) AS sv
+       |  FROM nv, (SELECT unnest(range($pqM)) AS s) subs
+       |  WHERE vec_id >= 10),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT v.vec_id, v.sub, c.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+       |        round(${dot8("sv", "sv")}
+       |          - 2 * ${dot8("sv", "cw")}
+       |          + ${dot8("cw", "cw")}, 4), c.code) AS rk
+       |    FROM subvecs v JOIN codebook c ON c.sub = v.sub) t
+       |  WHERE rk = 1),
+       |dec AS (
+       |  SELECT vec_id, flatten(list(cw ORDER BY sub)) AS rv
+       |  FROM enc JOIN codebook USING (sub, code)
+       |  GROUP BY vec_id),
+       |decn AS (
+       |  SELECT vec_id, rv,
+       |    sqrt(list_sum(list_transform(rv, x -> x * x))) AS rn
+       |  FROM dec),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, qa.cell AS cell, d.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |        i -> q.vd[CAST(i AS INT)] * d.rv[CAST(i AS INT)]))
+       |      / (q.nrm * d.rn), 4) AS adc_cos
+       |  FROM nv q
+       |  JOIN probes qa ON qa.vec_id = q.vec_id
+       |  JOIN assigned ca ON ca.cell = qa.cell
+       |  JOIN decn d ON d.vec_id = ca.vec_id
+       |  WHERE q.vec_id BETWEEN 1 AND 9 AND d.vec_id >= 10),
+       |ranked AS (
+       |  SELECT q_id, cell, neighbor_id, adc_cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_cos DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, cell, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_cos
+       |FROM ranked
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -592,5 +719,6 @@ object SimilarityOps {
     "s04_embedding_quantize" -> QueryDef(s04, Some(s04Sql)),
     "s05_kmeans_clusters" -> QueryDef(s05, Some(s05Sql)),
     "s06_ann_pq_adc" -> QueryDef(s06, Some(s06Sql)),
+    "s07_ann_ivf_pq" -> QueryDef(s07, Some(s07Sql)),
   )
 }

@@ -135,6 +135,19 @@ class PlanSpec extends SparkSuite {
       "hash-sampled codebook seeds must compile to TakeOrderedAndProject")
   }
 
+  test("s07: IVF-PQ probes candidates via an equi-join on the cell id " +
+      "(never cartesian) with constant-size broadcast support structures") {
+    val df = run("s07_ann_ivf_pq")
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(!PlanChecks.usesCartesianProduct(df))
+    assert(ops.exists(_.startsWith("BroadcastNestedLoopJoin")),
+      s"centroid assignment must broadcast the fixed-k centroid side; got $ops")
+    assert(PlanChecks.usesBroadcastJoin(df),
+      s"PQ codebook joins must broadcast; got $ops")
+    assert(PlanChecks.usesTakeOrdered(df),
+      "centroid/codebook seed sampling must compile to TakeOrderedAndProject")
+  }
+
   test("t08: the contamination probe set broadcasts; the corpus side " +
       "streams through without a doc-vs-doc pairing") {
     val df = run("t08_contamination")
