@@ -63,6 +63,64 @@ object Pipeline {
     df.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming fuzzy (near-duplicate) detection — the streaming twin of the
+    * batch MinHash-LSH dedup (DedupOps d03), sharing the exact same
+    * signature construction ([[graft.functions.MinHashFamily]]: one md5
+    * digest per 3-gram shingle, 16 universal-family minhashes, 4×4
+    * banding). Each document contributes its 4 band keys; the stream is
+    * keyed by band key with `flatMapGroupsWithState` holding ONE value per
+    * bucket — the canonical (first-arrival, min-id tiebreak within a
+    * micro-batch) document id — so state is bounded by (distinct band keys
+    * within the TTL horizon) × 8 bytes, and a later document colliding
+    * with a held bucket emits `(dup_id, canonical_id, bucket)`.
+    *
+    * A pair sharing several bands emits once per shared band (downstream
+    * consumers dropDuplicates on dup_id if they only need the flag).
+    * Processing-time TTL expires idle buckets — the same bounded-state
+    * contract as [[dedupWithinWatermark]], keyed by content signature
+    * instead of exact key. */
+  def streamingNearDup(idCol: String, textCol: String,
+      stateTtl: String = "30 minutes")(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.MinHashFamily
+    val sess = df.sparkSession
+    import sess.implicits._
+    val sigCols = (0 until 16).map(i => expr(
+      s"""array_min(transform(x_arr, x ->
+         |  (${MinHashFamily.a(i)} * x + ${MinHashFamily.b(i)})
+         |    % ${MinHashFamily.p}))""".stripMargin).as(s"m$i"))
+    val banded = df
+      .withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh_arr", array_distinct(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""
+          .stripMargin)))
+      .withColumn("x_arr", expr(
+        """transform(sh_arr, sh ->
+          |  CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT))"""
+          .stripMargin))
+      .select((col(idCol).cast("long").as("id") +: sigCols): _*)
+      .select(col("id"), explode(array((0 until 4).map(bd =>
+        concat_ws("-", (lit(bd) +: (0 until 4).map(r => col(s"m${bd * 4 + r}")))
+          : _*)): _*)).as("bkey"))
+    banded.as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Long, String)](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (bkey: String, rows: Iterator[(Long, String)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ids = rows.map(_._1).toSeq.distinct.sorted
+            val canonical = state.getOption.getOrElse(ids.head)
+            state.update(canonical)
+            state.setTimeoutDuration(stateTtl)
+            ids.filter(_ != canonical).map(i => (i, canonical, bkey)).iterator
+          }
+      }.toDF("dup_id", "canonical_id", "bucket")
+  }
+
   /** The user-visible payload contract (`create-user-payload`,
     * mapper.clj:18-26; asserted by the reference's
     * streams_test.clj:62-68): the handler sees exactly `message`, `key`,

@@ -34,4 +34,44 @@ class DedupStreamSpec extends SparkSuite {
         s"got ${rows.toSeq}")
     } finally q.stop()
   }
+
+  private case class Doc(doc_id: Long, text: String)
+
+  test("streaming near-dup: a later document colliding with a held LSH " +
+      "bucket is flagged against the first arrival; distinct docs are not") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = sess.sqlContext
+    val in = MemoryStream[Doc]
+    val out = Pipeline.streamingNearDup("doc_id", "text")(in.toDF())
+    val name = s"neardup_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // the ProcessingTimeTimeout keeps the stateful query scheduling
+      // batches, so processAllAvailable never settles — poll the sink
+      def flagged() = spark.table(name)
+        .select("dup_id", "canonical_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def awaitBatches(n: Long): Unit = {
+        val deadline = System.currentTimeMillis + 30000
+        while (q.recentProgress.map(_.batchId).distinct.length < n
+            && System.currentTimeMillis < deadline) Thread.sleep(200)
+      }
+      // batch 1: the canonical doc + an unrelated doc
+      in.addData(
+        Doc(1L, "the quick brown fox jumps over the lazy dog tonight"),
+        Doc(9L, "completely different words about spark shuffles and joins"))
+      awaitBatches(1)
+      assert(flagged().isEmpty, "no dups yet")
+      // batch 2: an identical copy (all 4 bands collide) + another new doc
+      in.addData(
+        Doc(2L, "the quick brown fox jumps over the lazy dog tonight"),
+        Doc(7L, "yet another unrelated document with its own vocabulary"))
+      val deadline = System.currentTimeMillis + 30000
+      while (flagged().isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(200)
+      assert(flagged() == Set((2L, 1L)), s"got ${flagged()}")
+    } finally q.stop()
+  }
 }
