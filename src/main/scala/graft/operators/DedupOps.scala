@@ -82,14 +82,38 @@ object DedupOps {
     * are lost — the standard trade in shingle-based dedup. */
   private[operators] def ngramCandidates(docs: DataFrame,
       maxShingleFreq: Option[Int] = None): DataFrame =
-    candidatesFromArrays(shingleArrays(docs), maxShingleFreq)
+    candidatesFromArrays(shingleHashArrays(docs), maxShingleFreq)
+
+  /** (doc_id, shh_arr, n_sh): per-doc distinct 64-bit shingle hashes with
+    * NO shingle string ever materialized — tokens are xxhash64'd once and
+    * each 3-gram hash is a rotate-xor combine of its token hashes. The
+    * combine is position-sensitive (each slot gets a different rotation)
+    * and Spark-side only: it is a grouping key, never an output value (the
+    * oracle intersects shingle STRINGS), so the only parity exposure is an
+    * in-doc collision shrinking `n_sh` — ~10² shingles² / 2^65 ≈ 10⁻¹⁵ per
+    * doc, far below the float-rounding noise floor. Replaces a per-shingle
+    * ~25-char concat_ws allocation + string hash with three long ops. */
+  private def shingleHashArrays(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("shh_arr", array_distinct(expr(
+        """transform(sequence(0, size(th) - 3), i ->
+          |  th[i]
+          |    ^ (shiftleft(th[i+1], 21) | shiftrightunsigned(th[i+1], 43))
+          |    ^ (shiftleft(th[i+2], 42) | shiftrightunsigned(th[i+2], 22)))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("shh_arr"),
+        size(col("shh_arr")).cast("long").as("n_sh"))
 
   private def candidatesFromArrays(arr: DataFrame,
       maxShingleFreq: Option[Int]): DataFrame = {
-    // group key = 64-bit hash of the shingle, not the ~25-char string: the
-    // aggregation shuffles (doc_id, 8-byte key) rows instead of raw text
-    // (collision odds over ~10^6 distinct shingles ≈ 2^-45 — below the FP
-    // noise floor of any float column).
+    // group key = the 64-bit combined shingle hash from shingleHashArrays:
+    // the aggregation shuffles (doc_id, 8-byte key) rows and no shingle
+    // string exists anywhere in the plan (collision odds over ~10^6
+    // distinct shingles ≈ 2^-45 — below the FP noise floor of any float
+    // column).
     //
     // Topology: ONE shuffle. Each shingle's doc list is gathered with
     // collect_list (rows are per-doc distinct already), then the C(k,2)
@@ -101,8 +125,7 @@ object DedupOps {
     // identical in both shapes (a hot shingle's pairs land in one task
     // either way) and is bounded by `maxShingleFreq`, which here is a
     // free `size(ids) ≤ F` filter instead of a separate count + semi-join.
-    val sh = arr.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val sh = arr.select(col("doc_id"), explode(col("shh_arr")).as("sh"))
     val grouped = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -134,7 +157,7 @@ object DedupOps {
     * DuckDB twin computes the uncapped join). */
   def ngramJaccard(docs: DataFrame,
       maxShingleFreq: Option[Int] = None): DataFrame = {
-    val arr = shingleArrays(docs).cache()
+    val arr = shingleHashArrays(docs).cache()
     // per-doc set sizes come free from the arrays — no counting aggregate
     val sizes = arr.select(col("doc_id"), col("n_sh"))
     candidatesFromArrays(arr, maxShingleFreq)
