@@ -183,6 +183,65 @@ object Sampling {
        |WHERE rk <= $clusterCap
        |ORDER BY vec_id""".stripMargin
 
+  /** Quality-temperature resampling: keep-probability ∝ quality², applied
+    * via the content hash — the soft alternative to a hard quality cutoff
+    * (FineWeb/CCNet-style mixing keeps SOME low-quality text for
+    * robustness, just less of it; squaring sharpens toward high quality
+    * while never zeroing a stratum). Deterministic: the 4dp-rounded
+    * quality score is engine-identical, so round(q²·10⁴) is an exact
+    * integer threshold both engines compare the same hash against — the
+    * same doc survives at any SF or cluster size. Map-side only; one tiny
+    * per-decile aggregate reports the realized acceptance curve. */
+  private def x08(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(expr(
+        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
+        .cast("long"))
+      .withColumn("q",
+        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
+          / col("n_tokens").cast("double"))
+          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+    q.withColumn("kept",
+        (StableHash.h60(col("text")) % 10000
+          < round(col("q") * col("q") * 10000).cast("long")).cast("long"))
+      .withColumn("decile",
+        least(floor(col("q") * 10).cast("long"), lit(9L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        round(sum(col("kept")) / count(lit(1)).cast("double"), 4)
+          .as("realized_rate"))
+      .orderBy(col("decile"))
+  }
+
+  private val x08Sql = {
+    val qExpr = """round(greatest(0.0, 1.0 - n_stop * 2.0
+                  |      / CAST(n_tokens AS DOUBLE))
+                  |    * least(1.0, n_tokens / 100.0), 4)""".stripMargin
+    s"""WITH scored AS (
+       |  SELECT text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))) AS BIGINT)
+       |      AS n_stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT text, $qExpr AS q FROM scored),
+       |flagged AS (
+       |  SELECT least(CAST(floor(q * 10) AS BIGINT), 9) AS decile,
+       |    CASE WHEN (${StableHash.duckH60("text")}) % 10000
+       |      < CAST(round(q * q * 10000) AS BIGINT) THEN 1 ELSE 0 END AS kept
+       |  FROM q)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  round(sum(kept) / CAST(count(*) AS DOUBLE), 4) AS realized_rate
+       |FROM flagged
+       |GROUP BY decile
+       |ORDER BY decile""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
     "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
@@ -191,5 +250,6 @@ object Sampling {
     "x05_salted_agg" -> QueryDef(x05, Some(x05Sql)),
     "x06_lang_mix_resample" -> QueryDef(x06, Some(x06Sql)),
     "x07_cluster_balanced_sample" -> QueryDef(x07, Some(x07Sql)),
+    "x08_quality_temperature_sample" -> QueryDef(x08, Some(x08Sql)),
   )
 }
