@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.{MinHashFamily, StableHash}
+import graft.functions.{MinHashFamily, MinHashSig, StableHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,27 +49,18 @@ object CorpusPipeline {
 
     // fuzzy dedup: minhash-LSH pairs among exact survivors; greedy drop of
     // every higher-id member of a candidate pair
-    // one md5 digest per shingle + the shared (a_i·x + b_i) mod p universal
-    // family — see DedupOps.minhashPairs / MinHashFamily for the
-    // construction and overflow bounds
-    val sigCols = (0 until 16).map(i => expr(
-      s"""array_min(transform(x_arr, x ->
-         |  (${MinHashFamily.a(i)} * x + ${MinHashFamily.b(i)})
-         |    % ${MinHashFamily.p}))""".stripMargin)
-      .as(s"m$i"))
+    // all 16 sigs in one native codegen'd pass (MinHashSig: one md5 digest
+    // per shingle + the shared (a_i·x + b_i) mod p universal family) — see
+    // DedupOps.minhashPairs / MinHashFamily for construction and bounds
     val sig = exactKept
       .filter(size(col("toks")) >= 3)
       .withColumn("sh_arr", array_distinct(expr(
         """transform(sequence(0, size(toks) - 3),
           |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)))
-      .withColumn("x_arr", expr(
-        """transform(sh_arr, sh ->
-          |  CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT))"""
-          .stripMargin))
-      .select((col("doc_id") +: sigCols): _*)
+      .withColumn("sigs", MinHashSig.minhashSigs(col("sh_arr")))
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
-        concat_ws("-", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
+        concat_ws("-", (0 until 4).map(r => col("sigs").getItem(b * 4 + r)): _*)
           .as("bsig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     // greedy drop = every non-minimal id in any (band, bsig) bucket. One

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.{MinHashFamily, StableHash}
+import graft.functions.{MinHashFamily, MinHashSig, StableHash}
 import graft.functions.DotDouble.dotF64
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -215,32 +215,20 @@ object DedupOps {
     * whose DuckDB twin computes the uncapped pair set). */
   def minhashLshPairs(docs: DataFrame,
       maxBandDocs: Option[Int] = None): DataFrame = {
-    // all 16 min-hashes as pure per-row array math (transform + array_min
-    // over the per-doc shingle array): zero shuffles before the band join —
-    // no explode, no groupBy. ONE md5 digest per shingle (its dominant
-    // cost), then the 16 hash functions are the classic universal family
+    // all 16 min-hashes in ONE native codegen'd pass per row (MinHashSig:
+    // one md5 digest per shingle, then the classic universal family
     // h_i(x) = (a_i·x + b_i) mod p over the digest's 28-bit prefix — the
-    // same construction Spark's MinHashLSH ships. Per-seed a_i/b_i are
-    // fixed md5-derived constants (bit-identical in the oracle), and
-    // a_i·x < 2^59 so the arithmetic never overflows int64 in either
-    // engine. A naive h1 + i·h2 rehash of one digest correlates the seeds
-    // (one tiny-h1 shingle wins many argmins) and measurably inflates the
-    // band-collision false-positive rate; the multiplicative family keeps
-    // the seeds' argmins independent.
-    val sigCols = (0 until 16).map(i => expr(
-      s"""array_min(transform(x_arr, x ->
-         |  (${MinHashFamily.a(i)} * x + ${MinHashFamily.b(i)})
-         |    % ${MinHashFamily.p}))""".stripMargin)
-      .as(s"m$i"))
+    // same construction Spark's MinHashLSH ships, constants shared with
+    // the oracle via MinHashFamily). Zero shuffles before the band join —
+    // no explode, no groupBy. A naive h1 + i·h2 rehash of one digest
+    // correlates the seeds (one tiny-h1 shingle wins many argmins) and
+    // measurably inflates the band-collision false-positive rate; the
+    // multiplicative family keeps the seeds' argmins independent.
     val sig = shingleArrays(docs)
-      .withColumn("x_arr", expr(
-        """transform(sh_arr, sh ->
-          |  CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT))"""
-          .stripMargin))
-      .select((col("doc_id") +: sigCols): _*)
+      .withColumn("sigs", MinHashSig.minhashSigs(col("sh_arr")))
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
-        concat_ws("-", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
+        concat_ws("-", (0 until 4).map(r => col("sigs").getItem(b * 4 + r)): _*)
           .as("bsig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     // single-shuffle group-and-expand (see candidatesFromArrays): each

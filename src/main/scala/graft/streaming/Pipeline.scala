@@ -82,13 +82,9 @@ object Pipeline {
   def streamingNearDup(idCol: String, textCol: String,
       stateTtl: String = "30 minutes")(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import graft.functions.MinHashFamily
+    import graft.functions.MinHashSig
     val sess = df.sparkSession
     import sess.implicits._
-    val sigCols = (0 until 16).map(i => expr(
-      s"""array_min(transform(x_arr, x ->
-         |  (${MinHashFamily.a(i)} * x + ${MinHashFamily.b(i)})
-         |    % ${MinHashFamily.p}))""".stripMargin).as(s"m$i"))
     val banded = df
       .withColumn("toks", split(col(textCol), " "))
       .filter(size(col("toks")) >= 3)
@@ -96,14 +92,11 @@ object Pipeline {
         """transform(sequence(0, size(toks) - 3),
           |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""
           .stripMargin)))
-      .withColumn("x_arr", expr(
-        """transform(sh_arr, sh ->
-          |  CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT))"""
-          .stripMargin))
-      .select((col(idCol).cast("long").as("id") +: sigCols): _*)
+      .select(col(idCol).cast("long").as("id"),
+        MinHashSig.minhashSigs(col("sh_arr")).as("sigs"))
       .select(col("id"), explode(array((0 until 4).map(bd =>
-        concat_ws("-", (lit(bd) +: (0 until 4).map(r => col(s"m${bd * 4 + r}")))
-          : _*)): _*)).as("bkey"))
+        concat_ws("-", (lit(bd) +: (0 until 4).map(r =>
+          col("sigs").getItem(bd * 4 + r))): _*)): _*)).as("bkey"))
     banded.as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, (Long, Long, String)](

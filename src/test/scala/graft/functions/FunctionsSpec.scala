@@ -18,6 +18,36 @@ class FunctionsSpec extends SparkSuite {
     assert(got.count() == 0)
   }
 
+  test("minhash_sigs matches the lambda formulation bit-for-bit and " +
+      "nulls out on empty arrays") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, Seq("the quick brown", "quick brown fox", "brown fox jumps")),
+      (2L, Seq("a single shingle")),
+      (3L, Seq.empty[String]),
+      (4L, Seq("unicode ñ ü", "tabs\tand spaces", ""))
+    ).toDF("id", "sh_arr")
+    val lambdaSigs = (0 until 16).map(i => expr(
+      s"""array_min(transform(transform(sh_arr, sh ->
+         |    CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)),
+         |  x -> (${MinHashFamily.a(i)} * x + ${MinHashFamily.b(i)})
+         |    % ${MinHashFamily.p}))""".stripMargin).as(s"e$i"))
+    val got = df
+      .withColumn("sigs", MinHashSig.minhashSigs(col("sh_arr")))
+      .select((col("id") +: col("sigs").as("sigs") +: lambdaSigs): _*)
+      .collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      if (id == 3L) assert(r.isNullAt(1), "empty array must yield NULL sigs")
+      else {
+        val native = r.getSeq[Long](1)
+        val lambda = (0 until 16).map(i => r.getLong(2 + i))
+        assert(native == lambda, s"id=$id: $native vs $lambda")
+      }
+    }
+  }
+
   test("hamming64 null propagation") {
     val sess = spark
     import sess.implicits._
