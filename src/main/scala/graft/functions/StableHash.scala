@@ -38,6 +38,14 @@ object StableHash {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
+  /** JVM-side twin of [[h32]] (first 8 md5 hex digits as a long). */
+  def h32Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
   /** DuckDB SQL fragment equivalent to [[h60]] over expression `e`. */
   def duckH60(e: String): String =
     s"('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 15))::BIGINT"

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.StableHash
+import graft.functions.{HyperplaneBucket, StableHash}
 import graft.functions.DotDouble.dotF64
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,9 +16,9 @@ import org.apache.spark.sql.expressions.Window
   *    only shuffle is the final per-query top-k (rows ≤ Q·k after the window
   *    filter's partial evaluation).
   *  - s02: random-hyperplane LSH bucketing — the 100 TB path. Signatures are
-  *    computed in one pass (posexplode → broadcast-join the 8×64 plane matrix
-  *    → two keyed aggregates), then candidates come from an equi-join on the
-  *    bucket id instead of a cross join.
+  *    one native codegen'd expression per row (zero shuffles), then
+  *    candidates come from an equi-join on the bucket id instead of a
+  *    cross join.
   *
   * All arithmetic is double, in-array-order folds, results rounded to 4dp so
   * the DuckDB oracle hash-matches despite FP summation-order differences.
@@ -76,28 +76,18 @@ object SimilarityOps {
 
   /** (vec_id, bucket): 8-bit random-hyperplane LSH signature per vector —
     * 8 deterministic pseudo-random hyperplanes (weights derived from md5 so
-    * the oracle can rebuild them), bucket = sign bit per plane. Computed in
-    * one pass: posexplode → broadcast-join the 8×64 plane matrix → two keyed
-    * aggregates. Shared by s02 (ANN probe) and DedupOps d09 (embedding
-    * near-dup at scale). */
+    * the oracle can rebuild them), bucket = sign bit per plane. One native
+    * codegen'd pass per row ([[graft.functions.HyperplaneBucket]]) — zero
+    * shuffles; the earlier dataframe form (posexplode → broadcast-join the
+    * 8×64 plane matrix → two keyed aggregates) shuffled (vec_id, plane)
+    * partial-sum rows twice to rebuild per-row state. Shared by s02 (ANN
+    * probe) and DedupOps d09 (embedding near-dup at scale). */
   private[operators] def hyperplaneBuckets(s: SparkSession,
-      dir: String): DataFrame = {
-    val planes = s.range(8).select(col("id").as("p"))
-      .crossJoin(s.range(64).select(col("id").as("d")))
-      .withColumn("w",
-        (StableHash.h32(concat(col("p").cast("string"), lit(":"),
-          col("d").cast("string"))) % 1001 - 500).cast("double") / 500.0)
-    val comps = t(s, dir).embeddingsSpread
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .withColumn("v", col("v").cast("double"))
-    comps.join(broadcast(planes), "d")
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("v") * col("w")).as("dot"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("dot") > 0,
-        pow(lit(2.0), col("p").cast("double")).cast("long")).otherwise(0L))
-        .as("bucket"))
-  }
+      dir: String): DataFrame =
+    t(s, dir).embeddingsSpread
+      .select(col("vec_id"),
+        HyperplaneBucket.bucket8(
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("bucket"))
 
   /** DuckDB CTE chain ending in `sigs(vec_id, bucket)` — the oracle twin of
     * [[hyperplaneBuckets]]. Splice after `WITH `. */

@@ -48,6 +48,33 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("hyperplane_bucket matches the join-and-aggregate formulation on " +
+      "the real embeddings table") {
+    val sess = spark
+    import sess.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = spark.range(8).select(col("id").as("p"))
+      .crossJoin(spark.range(64).select(col("id").as("d")))
+      .withColumn("w",
+        (StableHash.h32(concat(col("p").cast("string"), lit(":"),
+          col("d").cast("string"))) % 1001 - 500).cast("double") / 500.0)
+    val viaJoin = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("v") * col("w")).as("dot"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dot") > 0,
+        pow(lit(2.0), col("p").cast("double")).cast("long")).otherwise(0L))
+        .as("bucket"))
+    val native = emb.select(col("vec_id"),
+      HyperplaneBucket.bucket8(
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("bucket"))
+    assert(native.exceptAll(viaJoin).count() == 0
+      && viaJoin.exceptAll(native).count() == 0)
+  }
+
   test("hamming64 null propagation") {
     val sess = spark
     import sess.implicits._
