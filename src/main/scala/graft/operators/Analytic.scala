@@ -237,6 +237,44 @@ object Analytic {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
+  /** Approximate-quantile sketch gate — a04's percentile twin of a06's HLL
+    * gate. Spark's `approx_percentile` (Greenwald-Khanna rank sketch,
+    * accuracy 10⁴ → rank error ≤ 10⁻⁴) has no DuckDB twin, so the query
+    * proves its own error contract: the sketch value must land between the
+    * exact quantiles at p ± 0.02 (a 200× safety margin over the configured
+    * rank error, absorbing partition-merge order effects). The oracle
+    * computes the exact side; the booleans must come out TRUE in both
+    * engines. At 100 TB the sketch is the only viable path — exact
+    * percentile is a per-group global sort; the sketch is one mergeable
+    * partial aggregate — and this row pins the accuracy being traded. */
+  private def a10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("ap95"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95_exact"),
+        expr("percentile(value, 0.48)").as("e48"),
+        expr("percentile(value, 0.52)").as("e52"),
+        expr("percentile(value, 0.93)").as("e93"),
+        expr("percentile(value, 0.97)").as("e97"))
+      .select(
+        col("event_type"), col("p50_exact"), col("p95_exact"),
+        col("ap50").between(col("e48"), col("e52")).as("p50_within"),
+        col("ap95").between(col("e93"), col("e97")).as("p95_within"))
+      .orderBy(col("event_type"))
+
+  private val a10Sql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50_exact,
+      |  round(quantile_cont(value, 0.95), 4) AS p95_exact,
+      |  TRUE AS p50_within,
+      |  TRUE AS p95_within
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -247,5 +285,6 @@ object Analytic {
     "a07_lag_lead_ntile" -> QueryDef(a07, Some(a07Sql)),
     "a08_grouping_sets" -> QueryDef(a08, Some(a08Sql)),
     "a09_positional_window" -> QueryDef(a09, Some(a09Sql)),
+    "a10_approx_quantile" -> QueryDef(a10, Some(a10Sql)),
   )
 }
