@@ -498,13 +498,18 @@ object SimilarityOps {
         s"transform(sequence(0, ${pqM - 1}), s -> slice(vd, s * $pqDsub + 1, $pqDsub))"))
         .as(Seq("sub", "sv")))
       .withColumn("svn", dotF64(col("sv"), col("sv")))
-    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2"), col("code"))
+    // argmin-L2 codeword per (vector, subspace) via min_by on the
+    // (d2, code) struct — lexicographic, so ties break on codeword id
+    // exactly like the oracle's row_number ordering. Unlike a window
+    // (full sort-exchange of all N·M·Ks scored rows), min_by partial-
+    // aggregates map-side: the scored rows for one (vec_id, sub) are
+    // produced contiguously from one source row, so the shuffle carries
+    // one row per (vector, subspace), not one per scored codeword.
     val codes = subvecs.join(broadcast(codebook), "sub")
       .withColumn("d2", round(
         col("svn") - lit(2.0) * dotF64(col("sv"), col("cw")) + col("cwn"), 4))
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
       .select(col("vec_id"), col("sub"), col("code"))
     codes
       .join(broadcast(codebook.select(col("sub"), col("code"), col("cw"))),
