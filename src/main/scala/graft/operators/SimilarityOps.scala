@@ -201,16 +201,24 @@ object SimilarityOps {
       .limit(ivfK)
       .select(col("vec_id").as("cent_id"), col("vd").as("cv"),
         col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cc").desc, col("cent_id"))
-    val ranked = emb.join(broadcast(cents), lit(true))
+    val scored = emb.join(broadcast(cents), lit(true))
       .withColumn("cc", round(
         dotF64(col("vd"), col("cv"))
           / (col("nrm") * col("cn")), 4))
-      .withColumn("ark", row_number().over(wAssign))
-    val assigned = ranked.filter(col("ark") === 1)
-      .select(col("vec_id"), col("vd"), col("nrm"), col("cent_id").as("cell"))
-    val probes = ranked.filter(col("ark") <= ivfNprobe)
+    // corpus assignment (rank 1 only): min_by on the (−cc, cent_id) struct
+    // partial-aggregates map-side, so the shuffle carries one row per
+    // vector instead of one per (vector, centroid). The window form stays
+    // only on the probe side, whose callers filter to the tiny query set —
+    // a partition-key predicate Catalyst pushes below the window.
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(min_by(struct(col("vd"), col("nrm"), col("cent_id")),
+        struct(negate(col("cc")), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.vd").as("vd"), col("m.nrm").as("nrm"),
+        col("m.cent_id").as("cell"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc").desc, col("cent_id"))
+    val probes = scored.withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") <= ivfNprobe)
       .select(col("vec_id"), col("vd"), col("nrm"), col("cent_id").as("cell"))
     (assigned, probes)
   }
@@ -364,16 +372,17 @@ object SimilarityOps {
       .limit(kmeansK)
       .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
 
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cc").desc, col("cid"))
+    // rank-1 assignment via min_by on (−cc, cid): map-side partial agg,
+    // shuffle = one row per vector, not one per (vector, centroid)
+    def assign(cents: DataFrame): DataFrame =
       emb.join(broadcast(cents), lit(true))
         .withColumn("cc", round(dotF64(col("vd"), col("cv"))
           / (col("nrm") * col("cn")), 4))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("vd"), col("nrm"), col("cid"), col("cc"))
-    }
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("vd"), col("nrm"), col("cid"), col("cc")),
+          struct(negate(col("cc")), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.vd").as("vd"), col("m.nrm").as("nrm"),
+          col("m.cid").as("cid"), col("m.cc").as("cc"))
 
     def update(assigned: DataFrame): DataFrame =
       assigned
