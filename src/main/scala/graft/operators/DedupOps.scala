@@ -650,6 +650,64 @@ object DedupOps {
        |    / (a.nrm * b.nrm), 4) > 0.35
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Sketch calibration: the MinHash Jaccard ESTIMATE (matching signature
+    * fraction) next to the exact shingle-set Jaccard for every d03
+    * candidate pair — the measurement that tells an operator what
+    * similarity a 16-signature collision actually witnesses, i.e. where
+    * to set the band/row trade-off before a 100 TB run (at scale you
+    * compute the estimate for every candidate and the exact value for a
+    * sampled audit slice; here the pair set is the audit slice).
+    * Exact-pair scoring joins only the candidate pairs back to their
+    * per-doc shingle arrays — array_intersect on two per-row arrays,
+    * never a corpus-wide pairing. */
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    val arr = shingleArrays(t(s, dir).documentsSpread)
+      .withColumn("sigs", MinHashSig.minhashSigs(col("sh_arr")))
+      .select(col("doc_id"), col("sh_arr"), col("n_sh"), col("sigs"))
+    val pairs = minhashLshPairs(t(s, dir).documentsSpread)
+    pairs
+      .join(arr.select(col("doc_id").as("a_id"), col("sh_arr").as("a_arr"),
+        col("n_sh").as("na"), col("sigs").as("a_sigs")), "a_id")
+      .join(arr.select(col("doc_id").as("b_id"), col("sh_arr").as("b_arr"),
+        col("n_sh").as("nb"), col("sigs").as("b_sigs")), "b_id")
+      .withColumn("matches", expr(
+        "size(filter(zip_with(a_sigs, b_sigs, (x, y) -> x = y), b -> b))"))
+      .withColumn("n_inter",
+        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
+      .select(col("a_id"), col("b_id"),
+        round(col("matches") / 16.0, 4).as("est_jaccard"),
+        round(col("n_inter")
+          / (col("na") + col("nb") - col("n_inter")).cast("double"), 4)
+          .as("true_jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d11Sql = {
+    val matches = (0 until 16)
+      .map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $minhashPairsCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.a_id, p.b_id, count(*) AS n_inter
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.a_id
+       |  JOIN sh b ON b.doc_id = p.b_id AND b.shingle = a.shingle
+       |  GROUP BY p.a_id, p.b_id)
+       |SELECT CAST(p.a_id AS BIGINT) AS a_id, CAST(p.b_id AS BIGINT) AS b_id,
+       |  round(($matches) / 16.0, 4) AS est_jaccard,
+       |  round(coalesce(i.n_inter, 0)
+       |    / CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE), 4)
+       |    AS true_jaccard
+       |FROM pairs p
+       |JOIN sig x ON x.doc_id = p.a_id
+       |JOIN sig y ON y.doc_id = p.b_id
+       |JOIN sizes sa ON sa.doc_id = p.a_id
+       |JOIN sizes sb ON sb.doc_id = p.b_id
+       |LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -661,5 +719,6 @@ object DedupOps {
     "d08_incremental_dedup" -> QueryDef(d08, Some(d08Sql)),
     "d09_dedup_embedding_lsh" -> QueryDef(d09, Some(d09Sql)),
     "d10_semantic_dedup" -> QueryDef(d10, Some(d10Sql)),
+    "d11_jaccard_estimate" -> QueryDef(d11, Some(d11Sql)),
   )
 }
