@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.{MinHashFamily, MinHashSig, StableHash}
+import graft.functions.{MinHashFamily, MinHashSig, SimHash32, StableHash}
 import graft.functions.DotDouble.dotF64
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -287,29 +287,18 @@ object DedupOps {
        |ORDER BY a_id, b_id""".stripMargin
 
   /** SimHash (32-bit) per document: per-bit vote over distinct token hashes,
-    * sign-majority per bit, recombined with exact pow-of-two arithmetic.
-    * One explode + two keyed aggregates — linear in corpus size. Near-dup
-    * lookup then hamming-joins on the fingerprint (see SimHashSpec); the
-    * declared query emits the fingerprint itself, which is the per-doc
-    * deterministic artifact. */
-  private def d04(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir).documentsSpread
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
-      .withColumn("h", StableHash.h32(col("tok")))
-    // all 32 bit-votes in ONE aggregation (map-side partial): per token row
-    // each bit's ±1 contribution is a codegen'd expression; the shuffle
-    // carries 32 longs per doc instead of 32× the token rows.
-    val voteCols = (0 until 32).map(j =>
-      sum(when(expr(s"shiftright(h, $j) % 2 = 1"), 1).otherwise(-1))
-        .as(s"v$j"))
-    val recombine = (0 until 32).map(j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-    toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), recombine.as("simhash"))
+    * sign-majority per bit — ONE native codegen'd pass per row
+    * ([[graft.functions.SimHash32]], zero shuffles before the output sort;
+    * the earlier explode → distinct → 32-vote-aggregate form shuffled the
+    * token rows twice to rebuild per-document state). Near-dup lookup then
+    * hamming-joins on the fingerprint (see SimHashSpec); the declared query
+    * emits the fingerprint itself, which is the per-doc deterministic
+    * artifact. */
+  private def d04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documentsSpread
+      .select(col("doc_id"),
+        SimHash32.simhash32(split(col("text"), " ")).as("simhash"))
       .orderBy(col("doc_id"))
-  }
 
   private val d04Sql = {
     val h = StableHash.duckH32("tok")
