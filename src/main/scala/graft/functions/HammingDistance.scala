@@ -64,5 +64,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotDouble].getName, "dot_f64"),
       (exprs: Seq[Expression]) => DotDouble(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (exprs: Seq[Expression]) => HyperplaneBucket(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
   }
 }

@@ -91,6 +91,29 @@ class FunctionsSpec extends SparkSuite {
     assert(r == 3)
   }
 
+  test("GraftExtensions registers every engine SQL function") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    Seq("hamming64", "dot_f64", "minhash_sigs", "hyperplane_bucket",
+      "simhash32").foreach { name =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, _ match {
+          case Seq(a, b) if name == "hamming64" => HammingDistance(a, b)
+          case Seq(a, b) if name == "dot_f64" => DotDouble(a, b)
+          case Seq(a) if name == "minhash_sigs" => MinHashSig(a)
+          case Seq(a) if name == "hyperplane_bucket" => HyperplaneBucket(a)
+          case Seq(a) => SimHash32(a)
+        }, "built-in")
+    }
+    val r = spark.sql(
+      """SELECT size(minhash_sigs(array('a b c', 'b c d'))) AS n,
+        |  hyperplane_bucket(array_repeat(CAST(0.5 AS DOUBLE), 64)) AS hb,
+        |  simhash32(array('x', 'y', 'x')) AS sh""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 16)
+    assert(r.getLong(1) >= 0L && r.getLong(1) < 256L)
+    assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << 32))
+  }
+
   test("hamming64 rejects non-long inputs at analysis") {
     val sess = spark
     import sess.implicits._
