@@ -571,12 +571,7 @@ object DedupOps {
     * is an equi-join on the 8-bit bucket — never all-pairs. Threshold
     * applied to the 4dp-rounded value so both engines cut identically. */
   private def d09(s: SparkSession, dir: String): DataFrame = {
-    val sigs = SimilarityOps.hyperplaneBuckets(s, dir)
-    val emb = t(s, dir).embeddingsSpread
-      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm",
-        sqrt(dotF64(col("vd"), col("vd"))))
-      .join(sigs, "vec_id")
+    val emb = SimilarityOps.embWithBuckets(s, dir)
     val a = emb.select(col("vec_id").as("a_id"), col("vd").as("av"),
       col("nrm").as("an"), col("bucket"))
     val b = emb.select(col("vec_id").as("b_id"), col("vd").as("bv"),

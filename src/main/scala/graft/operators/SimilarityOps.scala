@@ -84,10 +84,19 @@ object SimilarityOps {
     * probe) and DedupOps d09 (embedding near-dup at scale). */
   private[operators] def hyperplaneBuckets(s: SparkSession,
       dir: String): DataFrame =
+    embWithBuckets(s, dir).select(col("vec_id"), col("bucket"))
+
+  /** (vec_id, vd, nrm, bucket) in ONE map pass — since the bucket is now a
+    * per-row expression, callers (s02, d09) no longer join a separate
+    * signature table back to the vectors; the whole probe input is a
+    * single scan projection. */
+  private[operators] def embWithBuckets(s: SparkSession,
+      dir: String): DataFrame =
     t(s, dir).embeddingsSpread
-      .select(col("vec_id"),
-        HyperplaneBucket.bucket8(
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("bucket"))
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dotF64(col("vd"), col("vd"))))
+      .withColumn("bucket", HyperplaneBucket.bucket8(col("vd")))
+      .select(col("vec_id"), col("vd"), col("nrm"), col("bucket"))
 
   /** DuckDB CTE chain ending in `sigs(vec_id, bucket)` — the oracle twin of
     * [[hyperplaneBuckets]]. Splice after `WITH `. */
@@ -118,12 +127,7 @@ object SimilarityOps {
   /** LSH-bucketed ANN over [[hyperplaneBuckets]]: top-1 neighbor within
     * bucket. Sub-quadratic: the candidate join is an equi-join on bucket. */
   private def s02(s: SparkSession, dir: String): DataFrame = {
-    val sigs = hyperplaneBuckets(s, dir)
-    val emb = t(s, dir).embeddingsSpread
-      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm",
-        sqrt(dotF64(col("vd"), col("vd"))))
-      .join(sigs, "vec_id")
+    val emb = embWithBuckets(s, dir)
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vd").as("qv"),
         col("nrm").as("qn"), col("bucket"))

@@ -79,6 +79,17 @@ class PlanSpec extends SparkSuite {
     assert(n <= 4, s"d02 planned $n data shuffles (expected ≤ 4)")
   }
 
+  test("d04: native simhash32 keeps fingerprinting map-side — only the " +
+      "documentsSpread repartition and the output sort exchange data") {
+    assert(PlanChecks.countDataShuffles(run("d04_dedup_simhash")) <= 2)
+  }
+
+  test("s02: native hyperplane_bucket signatures add no aggregate " +
+      "shuffles — the only exchanges are the spread, the bucket join " +
+      "sides, and the output ordering") {
+    assert(PlanChecks.countDataShuffles(run("s02_ann_lsh_bucketed")) <= 5)
+  }
+
   test("s01: ANN scoring keeps whole-stage codegen (dot_f64 generates)") {
     assert(PlanChecks.hasWholeStageCodegen(run("s01_ann_bruteforce")))
   }
