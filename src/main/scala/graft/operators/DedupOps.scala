@@ -224,24 +224,31 @@ object DedupOps {
     // correlates the seeds (one tiny-h1 shingle wins many argmins) and
     // measurably inflates the band-collision false-positive rate; the
     // multiplicative family keeps the seeds' argmins independent.
-    val sig = shingleArrays(docs)
-      .withColumn("sigs", MinHashSig.minhashSigs(col("sh_arr")))
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map(b => struct(lit(b).as("band"),
-        concat_ws("-", (0 until 4).map(r => col("sigs").getItem(b * 4 + r)): _*)
-          .as("bsig"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     // single-shuffle group-and-expand (see candidatesFromArrays): each
     // (band, bsig) bucket gathers its doc list once and emits its C(k,2)
     // pairs in place — the aliased self-join shuffled the band table twice
     // and needed a cache to avoid recomputing the signature lineage per side
-    val grouped = bands.groupBy(col("band"), col("bsig"))
+    val grouped = minhashBands(docs).groupBy(col("band"), col("bsig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val kept = maxBandDocs.fold(grouped)(f =>
       grouped.filter(size(col("ids")) <= f))
     expandPairs(kept).distinct()
   }
+
+  /** (doc_id, band, bsig): the 4×4 LSH band rows per document — the
+    * hash-only structure an incremental fuzzy-dedup index stores (4 small
+    * rows per doc, no text). Map-side only: native minhash_sigs + an
+    * in-row band explode. */
+  private[operators] def minhashBands(docs: DataFrame): DataFrame =
+    shingleArrays(docs)
+      .withColumn("sigs", MinHashSig.minhashSigs(col("sh_arr")))
+      .select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          concat_ws("-", (0 until 4).map(r => col("sigs").getItem(b * 4 + r)): _*)
+            .as("bsig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.bsig").as("bsig"))
 
   private def d03(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).orderBy(col("a_id"), col("b_id"))
@@ -692,6 +699,45 @@ object DedupOps {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Incremental FUZZY dedup — d08's near-duplicate counterpart. The
+    * standing corpus is represented ONLY by its LSH band index
+    * ([[minhashBands]]: 4 (band, bsig) rows per doc — the corpus text is
+    * never re-read, and the index is a few dozen bytes per document at any
+    * corpus size); an arriving batch (doc_id ≡ 0 mod 5 here) computes its
+    * own bands map-side and drops any document sharing ANY band signature
+    * with the corpus. Two keyed hops: a semi-join on (band, bsig) finds
+    * colliders, an anti-join on doc_id keeps the rest — no pairwise stage,
+    * no window. This is the daily-ingest topology production MinHash dedup
+    * runs: train the index once, then each increment is
+    * O(batch × 4 lookups). */
+  private def d12(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documentsSpread
+    val corpusIndex = minhashBands(docs.filter(col("doc_id") % 5 =!= 0))
+      .select(col("band"), col("bsig")).distinct()
+    val batchBands = minhashBands(docs.filter(col("doc_id") % 5 === 0))
+    val colliding = batchBands
+      .join(corpusIndex, Seq("band", "bsig"), "left_semi")
+      .select(col("doc_id")).distinct()
+    batchBands.select(col("doc_id")).distinct()
+      .join(colliding, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  private val d12Sql =
+    s"""WITH $minhashPairsCtes,
+       |corp_index AS (
+       |  SELECT DISTINCT band, bsig FROM bands WHERE doc_id % 5 <> 0),
+       |batch_bands AS (
+       |  SELECT doc_id, band, bsig FROM bands WHERE doc_id % 5 = 0),
+       |colliding AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM batch_bands b
+       |  JOIN corp_index c ON c.band = b.band AND c.bsig = b.bsig)
+       |SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+       |FROM batch_bands
+       |WHERE doc_id NOT IN (SELECT doc_id FROM colliding)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -704,5 +750,6 @@ object DedupOps {
     "d09_dedup_embedding_lsh" -> QueryDef(d09, Some(d09Sql)),
     "d10_semantic_dedup" -> QueryDef(d10, Some(d10Sql)),
     "d11_jaccard_estimate" -> QueryDef(d11, Some(d11Sql)),
+    "d12_incremental_fuzzy_dedup" -> QueryDef(d12, Some(d12Sql)),
   )
 }
