@@ -126,6 +126,14 @@ class PlanSpec extends SparkSuite {
     assert(!PlanChecks.usesCartesianProduct(run("d09_dedup_embedding_lsh")))
   }
 
+  test("d12: incremental fuzzy dedup is two keyed hops (band semi-join, " +
+      "id anti-join) — no cartesian, no window, no pairwise stage") {
+    val df = run("d12_incremental_fuzzy_dedup")
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(!PlanChecks.usesCartesianProduct(df))
+    assert(!ops.exists(_.startsWith("Window")), s"unexpected window: $ops")
+  }
+
   test("p03: the mixture weight table broadcasts (config-size side) and " +
       "no cartesian product appears") {
     val df = run("p03_mixture_epochs")
