@@ -330,10 +330,57 @@ object CorpusPipeline {
        |FROM q
        |ORDER BY shard, pos""".stripMargin
 
+  /** Decontaminated training corpus — the final gate a corpus passes
+    * before training: the curated p01 output minus (a) the benchmark
+    * documents themselves (doc_id < 20 stand in for the eval set) and
+    * (b) every document sharing ANY 5-gram with them (t08's contamination
+    * criterion). The probe-gram set is benchmark-sized, so it broadcasts;
+    * the corpus side streams through one map-side gram explode and a
+    * broadcast semi-join — decontamination adds no shuffle beyond the
+    * per-doc distinct-gram collapse already inherent to the check. */
+  private def p05(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(toks) - 5),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+          |    toks[i+4]))""".stripMargin))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val probe = grams.filter(col("doc_id") < 20).select(col("g")).distinct()
+    val contaminated = grams.filter(col("doc_id") >= 20)
+      .join(broadcast(probe), Seq("g"))
+      .select(col("doc_id")).distinct()
+    p01(s, dir)
+      .filter(col("doc_id") >= 20)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  private val p05Sql =
+    s"""WITH curated AS ($p01Sql),
+       |gr AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+       |      i -> concat(w[CAST(i AS INT)], ' ', w[CAST(i AS INT) + 1], ' ',
+       |        w[CAST(i AS INT) + 2], ' ', w[CAST(i AS INT) + 3], ' ',
+       |        w[CAST(i AS INT) + 4]))) AS gram
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+       |    WHERE len(w) >= 5) u),
+       |probe AS (SELECT DISTINCT gram FROM gr WHERE doc_id < 20),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM gr JOIN probe USING (gram)
+       |  WHERE doc_id >= 20)
+       |SELECT c.* FROM curated c
+       |WHERE c.doc_id >= 20
+       |  AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |ORDER BY c.doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
     "p03_mixture_epochs" -> QueryDef(p03, Some(p03Sql)),
     "p04_shard_assign" -> QueryDef(p04, Some(p04Sql)),
+    "p05_decontaminated_corpus" -> QueryDef(p05, Some(p05Sql)),
   )
 }
