@@ -255,7 +255,7 @@ object DedupOps {
 
   /** DuckDB CTE preamble ending with `pairs` = the distinct LSH candidate
     * pairs — shared by the d03 and d06 oracles. */
-  private val minhashPairsCtes = {
+  private[operators] val minhashPairsCtes = {
     val h = s"(a * x + b) % ${MinHashFamily.p}"
     val sigCols = (0 until 16)
       .map(i => s"min(CASE WHEN seed = $i THEN h END) AS m$i").mkString(",\n    ")

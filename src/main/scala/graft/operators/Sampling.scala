@@ -242,6 +242,89 @@ object Sampling {
        |ORDER BY decile""".stripMargin
   }
 
+  /** Leakage-safe train/val/test split — x04's eval-integrity upgrade.
+    * A plain per-document hash split leaks: two near-duplicate documents
+    * can land on opposite sides, and the eval set then scores memorized
+    * training text. Here the split unit is the NEAR-DUP GROUP: MinHash-LSH
+    * candidate pairs are resolved to connected components (DedupOps d06's
+    * machinery), every document inherits its component label (singletons
+    * are their own group), and the 90/5/5 hash split is taken on the GROUP
+    * label — so a whole near-dup cluster moves together by construction.
+    * The query also COMPUTES the cross-split candidate-pair count as proof
+    * (must be 0; the oracle recomputes it independently via its recursive-
+    * CTE components). Scale shape: the component resolution is d06's
+    * O(log diameter) label propagation over candidate pairs only; the
+    * split itself is map-side hash arithmetic on the group label. */
+  private def x09(s: SparkSession, dir: String): DataFrame = {
+    val spread = Tables(s, dir).documentsSpread
+    val docs = spread
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"))
+    val pairs = DedupOps.minhashLshPairs(spread)
+    val comps = DedupOps.connectedComponents(pairs)
+    val bucket = StableHash.h60(col("grp")) % 100
+    val assigned = docs.join(comps, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "validation")
+          .otherwise("test"))
+      .select(col("doc_id"), col("n_tokens"), col("grp"), col("split"))
+    val leaks = pairs
+      .join(assigned.select(col("doc_id").as("a_id"), col("split").as("sa")),
+        "a_id")
+      .join(assigned.select(col("doc_id").as("b_id"), col("split").as("sb")),
+        "b_id")
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("cross_split_pairs"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(leaks))
+      .orderBy(col("split"))
+  }
+
+  private val x09Sql = {
+    val b = s"(${StableHash.duckH60("grp")}) % 100"
+    s"""WITH RECURSIVE ${DedupOps.minhashPairsCtes},
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM pairs),
+       |verts AS (SELECT DISTINCT src AS v FROM edges),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT w.v, e.dst FROM reach w JOIN edges e ON e.src = w.r),
+       |comps AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+       |d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |grouped AS (
+       |  SELECT d.doc_id, d.n_tokens,
+       |    coalesce(c.component, d.doc_id) AS grp
+       |  FROM d LEFT JOIN comps c USING (doc_id)),
+       |assigned AS (
+       |  SELECT doc_id, n_tokens, grp,
+       |    CASE WHEN $b < 90 THEN 'train'
+       |      WHEN $b < 95 THEN 'validation' ELSE 'test' END AS split
+       |  FROM grouped),
+       |leaks AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS cross_split_pairs
+       |  FROM pairs p
+       |  JOIN assigned a ON a.doc_id = p.a_id
+       |  JOIN assigned b ON b.doc_id = p.b_id
+       |  WHERE a.split <> b.split)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  (SELECT cross_split_pairs FROM leaks) AS cross_split_pairs
+       |FROM assigned
+       |GROUP BY split
+       |ORDER BY split""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
     "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
@@ -251,5 +334,6 @@ object Sampling {
     "x06_lang_mix_resample" -> QueryDef(x06, Some(x06Sql)),
     "x07_cluster_balanced_sample" -> QueryDef(x07, Some(x07Sql)),
     "x08_quality_temperature_sample" -> QueryDef(x08, Some(x08Sql)),
+    "x09_leakage_safe_split" -> QueryDef(x09, Some(x09Sql)),
   )
 }
