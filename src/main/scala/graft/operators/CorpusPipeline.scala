@@ -376,11 +376,70 @@ object CorpusPipeline {
        |  AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Per-source document cap — the anti-domination stage web-corpus
+    * pipelines run after curation (CommonCrawl-derived sets cap documents
+    * per registered domain so no single crawler-friendly site floods the
+    * mix; `source` stands in for the domain here). Keep the top
+    * [[sourceCap]] documents per source by quality (t02's
+    * transcendental-free score) with a doc_id tiebreak, and report each
+    * kept doc's rank — downstream mixing reads the rank to apply
+    * source-level temperature.
+    *
+    * Scale: ONE window partitioned by the cap key — per-source work is
+    * cluster-local and the shuffle is keyed by source; no global order
+    * until the bounded output sort. Skewed mega-sources are the known
+    * hazard; the mitigation (pre-filter each source's obvious tail with a
+    * per-partition partial top-k before the window) composes in front
+    * without changing this operator's contract. */
+  private val sourceCap = 15
+
+  private def p06(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(expr(
+        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
+        .cast("long"))
+      .withColumn("quality_score",
+        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
+          / col("n_tokens").cast("double"))
+          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= sourceCap)
+      .select(col("source"), col("rk"), col("doc_id"), col("quality_score"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val p06Sql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))) AS BIGINT)
+       |      AS n_stop
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id,
+       |    round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
+       |      * least(1.0, n_tokens / 100.0), 4) AS quality_score
+       |  FROM scored)
+       |SELECT source, rk, doc_id, quality_score FROM (
+       |  SELECT source, doc_id, quality_score,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rk
+       |  FROM ranked) t
+       |WHERE rk <= $sourceCap
+       |ORDER BY source, rk""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
     "p03_mixture_epochs" -> QueryDef(p03, Some(p03Sql)),
     "p04_shard_assign" -> QueryDef(p04, Some(p04Sql)),
     "p05_decontaminated_corpus" -> QueryDef(p05, Some(p05Sql)),
+    "p06_source_cap" -> QueryDef(p06, Some(p06Sql)),
   )
 }

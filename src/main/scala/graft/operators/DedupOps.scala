@@ -738,6 +738,92 @@ object DedupOps {
        |WHERE doc_id NOT IN (SELECT doc_id FROM colliding)
        |ORDER BY doc_id""".stripMargin
 
+  /** Cross-document repeated-span detection — the distributed shape of
+    * exact-substring dedup ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022, which removes ≥50-token substrings
+    * occurring twice in the corpus; suffix arrays don't distribute, so the
+    * production approximation is fixed-width gram matching). A word-6-gram
+    * occurring in ≥2 distinct documents marks its positions as duplicated;
+    * consecutive duplicated positions merge into spans (gaps-and-islands),
+    * and per doc we report the duplicated-gram fraction and the longest
+    * span — the two signals a span-scrub stage thresholds on.
+    *
+    * Topology at 100 TB: explode to (doc, pos, gram-hash) — 8-byte keys,
+    * never gram strings past the hash; doc-frequency is a two-level keyed
+    * aggregate (distinct (gram, doc), then count per gram — both map-side
+    * partial); the dup-position join is an equi-join on the hash; the
+    * islands pass is a window partitioned by doc_id (cluster-local, no
+    * global order). Nothing pairwise, nothing driver-side. */
+  def repeatedSpans(docs: DataFrame, gramWords: Int = 6,
+      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gramIdx = (0 until gramWords).map(j => s"toks[i+$j]").mkString(", ")
+    val base = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= gramWords)
+    val grams = base
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $gramWords),
+           |  i -> concat_ws(' ', $gramIdx))""".stripMargin))
+        .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"))
+    val docFreq = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams.join(docFreq, Seq("g"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("n_dup"), max(col("run")).as("max_run"))
+    base.select(col("doc_id"),
+        (size(col("toks")) - (gramWords - 1)).cast("long").as("n_grams"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"),
+        round(coalesce(col("n_dup"), lit(0L))
+          / col("n_grams").cast("double"), 4).as("dup_fraction"),
+        coalesce(col("max_run"), lit(0L)).as("max_dup_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def d13(s: SparkSession, dir: String): DataFrame =
+    repeatedSpans(t(s, dir).documentsSpread)
+
+  private val d13Sql =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 6),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ',
+      |      w[i+4], ' ', w[i+5]) AS gram
+      |  FROM base, LATERAL (SELECT unnest(range(1, len(w) - 4)) AS i) r),
+      |df AS (
+      |  SELECT gram FROM (
+      |    SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram) f
+      |  WHERE df >= 2),
+      |runs AS (
+      |  SELECT doc_id, grp, count(*) AS run FROM (
+      |    SELECT g.doc_id, g.pos,
+      |      g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+      |        AS grp
+      |    FROM grams g JOIN df USING (gram)) i
+      |  GROUP BY doc_id, grp),
+      |agg AS (
+      |  SELECT doc_id, sum(run) AS n_dup, max(run) AS max_run
+      |  FROM runs GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |  CAST(len(b.w) - 5 AS BIGINT) AS n_grams,
+      |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_grams,
+      |  round(coalesce(a.n_dup, 0) / CAST(len(b.w) - 5 AS DOUBLE), 4)
+      |    AS dup_fraction,
+      |  CAST(coalesce(a.max_run, 0) AS BIGINT) AS max_dup_run
+      |FROM base b LEFT JOIN agg a USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -751,5 +837,6 @@ object DedupOps {
     "d10_semantic_dedup" -> QueryDef(d10, Some(d10Sql)),
     "d11_jaccard_estimate" -> QueryDef(d11, Some(d11Sql)),
     "d12_incremental_fuzzy_dedup" -> QueryDef(d12, Some(d12Sql)),
+    "d13_repeated_spans" -> QueryDef(d13, Some(d13Sql)),
   )
 }

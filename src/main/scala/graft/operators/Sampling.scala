@@ -325,6 +325,83 @@ object Sampling {
        |ORDER BY split""".stripMargin
   }
 
+  /** DSIR-style importance resampling — Data Selection via Importance
+    * Resampling (Xie et al. 2023): score raw-pool documents by how
+    * target-like their hashed-n-gram distribution is, then keep the top
+    * slice. Features are hashed unigrams in [[dsirBuckets]] buckets;
+    * the per-bucket importance weight is the floor-log2 count ratio
+    * len(bin(c_target+1)) − len(bin(c_raw+1)) ≈ log2(p̂_t/p̂_r) + const
+    * (add-1 smoothed; the normalizing const shifts every bucket equally
+    * and cancels in the per-token mean, so ranking is unaffected — and
+    * integer bits keep the oracle bit-exact where a real log cannot be).
+    * Target distribution = the `src0` slice, standing in for the trusted
+    * corpus (Wikipedia in the paper); raw pool = everything else. Keep
+    * the 100 highest-scoring raw docs (mean bits/token, doc_id tiebreak).
+    *
+    * Scale: bucket counts are one partial-agg shuffle each with at most
+    * [[dsirBuckets]] groups; the weight table is ≤[[dsirBuckets]] rows and
+    * broadcasts into the token scan (map-side lookup, no shuffle of token
+    * rows); per-doc scores are one keyed aggregate; top-100 is
+    * TakeOrderedAndProject (never a global sort). Nothing grows with the
+    * corpus except the embarrassingly-parallel scans. */
+  private val dsirBuckets = 256
+
+  private def x10(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir).documentsSpread
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("hb", StableHash.h60(col("tok")) % dsirBuckets)
+    val tgt = toks.filter(col("source") === "src0")
+      .groupBy(col("hb")).agg(count(lit(1)).as("ct"))
+    val raw = toks.filter(col("source") =!= "src0")
+    val weights = raw.groupBy(col("hb")).agg(count(lit(1)).as("cr"))
+      .join(tgt, Seq("hb"), "left")
+      .select(col("hb"),
+        (length(expr("bin(coalesce(ct, 0L) + 1)"))
+          - length(expr("bin(cr + 1)"))).cast("long").as("wbits"))
+    raw.join(broadcast(weights), "hb")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wbits")).as("bits"))
+      .withColumn("dsir_score",
+        round(col("bits") / col("n_tokens").cast("double"), 4))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("dsir_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val x10Sql = {
+    val h = StableHash.duckH60("tok")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |hb AS (
+       |  SELECT doc_id, source, ($h) % $dsirBuckets AS hb FROM toks),
+       |tgt AS (SELECT hb, count(*) AS ct FROM hb
+       |        WHERE source = 'src0' GROUP BY hb),
+       |rawc AS (SELECT hb, count(*) AS cr FROM hb
+       |         WHERE source <> 'src0' GROUP BY hb),
+       |w AS (
+       |  SELECT r.hb,
+       |    len(bin(coalesce(t.ct, 0) + 1)) - len(bin(r.cr + 1)) AS wbits
+       |  FROM rawc r LEFT JOIN tgt t USING (hb)),
+       |scored AS (
+       |  SELECT h.doc_id, h.source, count(*) AS n_tokens,
+       |    sum(w.wbits) AS bits
+       |  FROM hb h JOIN w USING (hb)
+       |  WHERE h.source <> 'src0'
+       |  GROUP BY h.doc_id, h.source),
+       |top AS (
+       |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    round(bits / CAST(n_tokens AS DOUBLE), 4) AS dsir_score
+       |  FROM scored
+       |  ORDER BY round(bits / CAST(n_tokens AS DOUBLE), 4) DESC, doc_id
+       |  LIMIT 100)
+       |SELECT doc_id, source, n_tokens, dsir_score FROM top
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
     "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
@@ -335,5 +412,6 @@ object Sampling {
     "x07_cluster_balanced_sample" -> QueryDef(x07, Some(x07Sql)),
     "x08_quality_temperature_sample" -> QueryDef(x08, Some(x08Sql)),
     "x09_leakage_safe_split" -> QueryDef(x09, Some(x09Sql)),
+    "x10_dsir_resample" -> QueryDef(x10, Some(x10Sql)),
   )
 }

@@ -720,6 +720,67 @@ object SimilarityOps {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** ANN candidate-set recall — the quality gate every approximate index
+    * ships with: what fraction of the TRUE top-k (brute-force cosine,
+    * s01's definition) lands in the same LSH bucket as the query, i.e.
+    * would even be scored by s02? Recall@3 per query plus the bucket
+    * sizes, so a tuner can trade recall against candidate count (more
+    * hyperplanes → smaller buckets → lower recall, and vice versa).
+    *
+    * Scale: ground truth on 100 TB is computed for a SAMPLED query panel
+    * (here: the 10-query probe set) — O(Q·N) with tiny Q, the same
+    * broadcast-streams-the-corpus shape as s01; the bucket lookup joins
+    * the panel's ≤Q·k (query, neighbor) pairs against the per-vector
+    * bucket projection — both sides keyed by vec_id, nothing quadratic. */
+  private def s08(s: SparkSession, dir: String): DataFrame = {
+    val emb = embWithBuckets(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("q_bucket"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vd").as("cv"),
+        col("nrm").as("cn"), col("bucket").as("c_bucket"))
+    val scored = broadcast(q.drop("q_bucket")).join(c, lit(true))
+      .withColumn("cos_sim", round(
+        dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    val gt = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("c_id"))
+    gt.join(q.select(col("q_id"), col("q_bucket")), "q_id")
+      .join(c.select(col("c_id"), col("c_bucket")), "c_id")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_gt"),
+        sum(when(col("q_bucket") === col("c_bucket"), 1L).otherwise(0L))
+          .as("n_in_bucket"))
+      .withColumn("recall_at_3",
+        round(col("n_in_bucket") / col("n_gt").cast("double"), 4))
+      .orderBy(col("q_id"))
+  }
+
+  private val s08Sql =
+    s"""WITH $hyperplaneBucketsSql,
+       |gt AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckCos("q.embedding", "c.embedding")} DESC,
+       |          c.vec_id) AS rk
+       |    FROM embeddings q JOIN embeddings c
+       |      ON q.vec_id < 10 AND c.vec_id >= 10) r
+       |  WHERE rk <= 3)
+       |SELECT g.q_id, CAST(count(*) AS BIGINT) AS n_gt,
+       |  CAST(sum(CASE WHEN qs.bucket = cs.bucket THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_in_bucket,
+       |  round(sum(CASE WHEN qs.bucket = cs.bucket THEN 1 ELSE 0 END)
+       |    / CAST(count(*) AS DOUBLE), 4) AS recall_at_3
+       |FROM gt g
+       |JOIN sigs qs ON qs.vec_id = g.q_id
+       |JOIN sigs cs ON cs.vec_id = g.neighbor_id
+       |GROUP BY g.q_id
+       |ORDER BY g.q_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -728,5 +789,6 @@ object SimilarityOps {
     "s05_kmeans_clusters" -> QueryDef(s05, Some(s05Sql)),
     "s06_ann_pq_adc" -> QueryDef(s06, Some(s06Sql)),
     "s07_ann_ivf_pq" -> QueryDef(s07, Some(s07Sql)),
+    "s08_ann_recall" -> QueryDef(s08, Some(s08Sql)),
   )
 }

@@ -386,6 +386,50 @@ object TextOps {
       |FROM surp GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Character-entropy quality signal — the "is this text or noise" filter:
+    * natural prose sits in a mid-entropy band, while base64 blobs / minified
+    * code score high and repeated-character padding scores low; curation
+    * pipelines threshold both tails. True Shannon −Σ p·log2 p needs a
+    * transcendental log whose last ulp differs across libms (un-oracle-able),
+    * so the score is floor-log2 entropy (same discipline as t10): for each
+    * distinct char with count k in a doc of n chars, contribute
+    * k·(len(bin(n)) − len(bin(k))) ≈ k·log2(n/k) bits; report mean bits per
+    * char. Bit-exact in both engines, within 1 bit of the real value — all a
+    * threshold filter needs.
+    *
+    * Scale: entirely per-row array math (distinct-char table built with
+    * transform/filter inside ONE whole-stage-codegen stage over an ≤37-symbol
+    * alphabet) — no explode, no shuffle before the bounded output sort;
+    * embarrassingly parallel at 100 TB. */
+  private def t11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documentsSpread
+      .withColumn("chars", expr("regexp_extract_all(text, '.', 0)"))
+      .withColumn("n", size(col("chars")).cast("long"))
+      .withColumn("counts", expr(
+        "transform(array_distinct(chars), ch -> size(filter(chars, x -> x = ch)))"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_chars_m"),
+        size(col("counts")).cast("long").as("n_distinct_chars"),
+        round(expr(
+          """aggregate(counts, 0L,
+            |  (acc, k) -> acc + k * CAST(length(bin(n)) - length(bin(k)) AS BIGINT))"""
+            .stripMargin) / col("n").cast("double"), 4)
+          .as("entropy_bits"))
+      .orderBy(col("doc_id"))
+
+  private val t11Sql =
+    """SELECT doc_id,
+      |  CAST(len(chars) AS BIGINT) AS n_chars_m,
+      |  CAST(len(list_distinct(chars)) AS BIGINT) AS n_distinct_chars,
+      |  round(list_sum(list_transform(list_distinct(chars),
+      |      ch -> len(list_filter(chars, x -> x = ch))
+      |            * (len(bin(len(chars))) - len(bin(len(list_filter(chars, x -> x = ch)))))))
+      |    / CAST(len(chars) AS DOUBLE), 4) AS entropy_bits
+      |FROM (SELECT doc_id, regexp_extract_all(text, '.') AS chars
+      |      FROM documents) c
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -397,5 +441,6 @@ object TextOps {
     "t08_contamination" -> QueryDef(t08, Some(t08Sql)),
     "t09_boilerplate_scrub" -> QueryDef(t09, Some(t09Sql)),
     "t10_unigram_surprisal" -> QueryDef(t10, Some(t10Sql)),
+    "t11_char_entropy" -> QueryDef(t11, Some(t11Sql)),
   )
 }

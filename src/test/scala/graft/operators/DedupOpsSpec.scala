@@ -98,4 +98,30 @@ class DedupOpsSpec extends SparkSuite {
     assert(off == on)
     assert(off.map(r => (r.getLong(0), r.getLong(1))) == Seq((100L, 101L)))
   }
+
+  test("repeatedSpans: cross-doc spans merge into runs; within-doc-only " +
+      "repetition and unique text never flag") {
+    val sess = spark
+    import sess.implicits._
+    // docs 1+2 share the 4-word run "red green blue cyan" (two overlapping
+    // 3-grams → one span of length 2); doc 3 repeats its own 3-gram but
+    // shares nothing cross-doc; doc 4 is unique
+    val docs = Seq(
+      (1L, "aa red green blue cyan bb cc"),
+      (2L, "xx yy red green blue cyan zz"),
+      (3L, "one two three one two three"),
+      (4L, "totally unique words only here")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.repeatedSpans(docs, gramWords = 3, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    // doc 1: 5 grams, positions 1,2 duplicated → run of 2
+    assert(out(1L) == ((5L, 2L, 2L)))
+    // doc 2: 5 grams, positions 2,3 duplicated → run of 2
+    assert(out(2L) == ((5L, 2L, 2L)))
+    // doc 3: within-doc repetition only → docFreq counts ONE distinct doc
+    assert(out(3L) == ((4L, 0L, 0L)))
+    assert(out(4L) == ((3L, 0L, 0L)))
+  }
 }

@@ -174,6 +174,29 @@ class PlanSpec extends SparkSuite {
     assert(!PlanChecks.usesCartesianProduct(df))
   }
 
+  test("d13: repeated-span detection joins on the gram hash — keyed " +
+      "equi-joins only, nothing pairwise") {
+    assert(!PlanChecks.usesCartesianProduct(run("d13_repeated_spans")))
+  }
+
+  test("x10: the DSIR weight table broadcasts (≤256 rows at any corpus " +
+      "scale) and the top-100 cut is TakeOrdered, not a global sort") {
+    val df = run("x10_dsir_resample")
+    assert(PlanChecks.usesBroadcastJoin(df))
+    assert(PlanChecks.usesTakeOrdered(df))
+  }
+
+  test("t11: char-entropy is per-row array math — shuffle-free up to the " +
+      "spread repartition and the output sort") {
+    assert(PlanChecks.countShuffles(run("t11_char_entropy")) <= 2)
+  }
+
+  test("s08: recall join is keyed by vec_id on both bucket lookups — " +
+      "only the intended broadcast pairing on the sampled query panel") {
+    val df = run("s08_ann_recall")
+    assert(PlanChecks.usesBroadcastJoin(df))
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
