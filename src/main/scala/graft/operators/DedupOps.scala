@@ -824,6 +824,91 @@ object DedupOps {
       |FROM base b LEFT JOIN agg a USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Content-defined-chunking dedup — the FastCDC/rsync shape: chunk
+    * boundaries come from the CONTENT (positions whose 4-byte rolling
+    * window hashes to 0 mod 32, expected chunk ≈ 32 bytes here), so an
+    * insertion early in a document shifts only the one chunk it lands in
+    * and every later chunk still matches — exactly what fixed-offset
+    * blocking (m03) and whole-doc hashing (d01) cannot do. Chunks shared
+    * by ≥2 distinct documents are "storage duplicates"; per doc we report
+    * the shared-chunk fraction — the partial-overlap signal that catches
+    * quote-heavy and template-derived documents.
+    *
+    * Scale: boundary detection and chunk slicing are per-row array math
+    * (one codegen stage, no explode until chunks leave the row); chunk
+    * doc-frequency is the same two-level keyed aggregate as d13 — distinct
+    * (chunk-hash, doc), then count per hash, both map-side partial; the
+    * shared-chunk join is an equi-join on the 128-bit chunk hash. Cost ∝
+    * corpus bytes; nothing pairwise, no driver work. */
+  private def d14(s: SparkSession, dir: String): DataFrame = {
+    val chunks = t(s, dir).documentsSpread
+      .withColumn("n", length(col("text")))
+      .withColumn("bpos", expr(
+        """CASE WHEN n >= 5 THEN filter(sequence(2, n - 3), i ->
+          |  CAST(conv(substring(md5(substring(text, i, 4)), 1, 8), 16, 10)
+          |    AS BIGINT) % 32 = 0)
+          |ELSE array() END""".stripMargin))
+      .withColumn("starts", expr("concat(array(1), bpos)"))
+      .withColumn("ends", expr("concat(bpos, array(n + 1))"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(starts, ends, (s, e) -> substring(text, s, e - s))"))
+        .as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+    val shared = chunks.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"))
+    val perDoc = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val sharedPerDoc = chunks.join(shared, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    perDoc.join(sharedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_chunks"),
+        round(coalesce(col("n_shared"), lit(0L))
+          / col("n_chunks").cast("double"), 4).as("shared_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d14Sql =
+    """WITH base AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents),
+      |pos AS (
+      |  SELECT doc_id, text, n,
+      |    list_filter(range(2, n - 2), i ->
+      |      ('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 8))::BIGINT
+      |        % 32 = 0) AS bpos
+      |  FROM base),
+      |bounds AS (
+      |  SELECT doc_id, text,
+      |    [1] || bpos AS starts, bpos || [n + 1] AS ends
+      |  FROM pos),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(starts) + 1), j ->
+      |      substr(text, CAST(starts[CAST(j AS INT)] AS INT),
+      |        CAST(ends[CAST(j AS INT)] - starts[CAST(j AS INT)] AS INT))))
+      |      AS chunk
+      |  FROM bounds),
+      |shared AS (
+      |  SELECT chunk FROM (
+      |    SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk)
+      |  WHERE df >= 2),
+      |per_doc AS (
+      |  SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id),
+      |shared_per_doc AS (
+      |  SELECT c.doc_id, count(*) AS n_shared
+      |  FROM chunks c JOIN shared s ON s.chunk = c.chunk
+      |  GROUP BY c.doc_id)
+      |SELECT p.doc_id,
+      |  CAST(p.n_chunks AS BIGINT) AS n_chunks,
+      |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_chunks,
+      |  round(coalesce(s.n_shared, 0) / CAST(p.n_chunks AS DOUBLE), 4)
+      |    AS shared_fraction
+      |FROM per_doc p LEFT JOIN shared_per_doc s USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -838,5 +923,6 @@ object DedupOps {
     "d11_jaccard_estimate" -> QueryDef(d11, Some(d11Sql)),
     "d12_incremental_fuzzy_dedup" -> QueryDef(d12, Some(d12Sql)),
     "d13_repeated_spans" -> QueryDef(d13, Some(d13Sql)),
+    "d14_cdc_chunks" -> QueryDef(d14, Some(d14Sql)),
   )
 }

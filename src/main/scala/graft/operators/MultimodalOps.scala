@@ -80,8 +80,67 @@ object MultimodalOps {
       |WHERE frame_idx % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Blockhash-style perceptual near-dup over the opaque blob — the
+    * image-dedup shape (blockhash.org: split the image into a fixed grid,
+    * set each signature bit by comparing its block's mass against the
+    * global mean) applied to the byte domain: 16 equal byte-slices, bit b
+    * set iff block b's byte-sum exceeds the blob mean (×16 cross-multiplied
+    * so the compare stays in integers — no division to drift between
+    * engines). Re-encoded, resized, or lightly-edited copies of the same
+    * payload keep most blocks' relative mass, so they collide where exact
+    * md5 dedup (d01's shape) cannot. The declared query emits the
+    * collision buckets (signature, copy count, canonical = min doc_id) —
+    * the dedup work-list a media pipeline feeds to a byte-accurate
+    * comparator.
+    *
+    * Scale: the signature is ONE per-row fold inside whole-stage codegen
+    * (no explode — block sums come from slice() inside the fold); the
+    * bucket list is a hash aggregate keyed by the 16-bit signature with
+    * map-side partials. Nothing pairwise: candidate verification joins the
+    * bucket work-list, never doc × doc. Hamming-tolerant lookup composes
+    * via d04's pigeonhole byte-banding over the same signatures. */
+  private def m03(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documentsSpread
+      .withColumn("codes",
+        expr("transform(regexp_extract_all(text, '.', 0), ch -> ascii(ch))"))
+      .withColumn("n", size(col("codes")))
+      .withColumn("total", expr("aggregate(codes, 0L, (a, x) -> a + x)"))
+      .withColumn("blockhash", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, b) -> acc +
+          |  CASE WHEN aggregate(
+          |      slice(codes, (b * n) div 16 + 1,
+          |        ((b + 1) * n) div 16 - (b * n) div 16),
+          |      0L, (a, x) -> a + x) * 16 > total
+          |    THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
+      .groupBy(col("blockhash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_copies") >= 2)
+      .orderBy(col("blockhash"))
+
+  private val m03Sql =
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(16), b ->
+      |      CASE WHEN list_sum(codes[((b * n) // 16 + 1):(((b + 1) * n) // 16)])
+      |          * 16 > total
+      |        THEN (1::BIGINT << b) ELSE 0 END)) AS blockhash
+      |  FROM (
+      |    SELECT doc_id, codes, len(codes) AS n, list_sum(codes) AS total
+      |    FROM (SELECT doc_id,
+      |        list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))
+      |        AS codes
+      |      FROM documents) c) s)
+      |SELECT CAST(blockhash AS BIGINT) AS blockhash,
+      |  CAST(count(*) AS BIGINT) AS n_copies,
+      |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+      |FROM sig
+      |GROUP BY blockhash
+      |HAVING count(*) >= 2
+      |ORDER BY blockhash""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_multimodal_meta" -> QueryDef(m01, Some(m01Sql)),
     "m02_frame_sample" -> QueryDef(m02, Some(m02Sql)),
+    "m03_blockhash_neardup" -> QueryDef(m03, Some(m03Sql)),
   )
 }

@@ -197,6 +197,19 @@ class PlanSpec extends SparkSuite {
     assert(PlanChecks.usesBroadcastJoin(df))
   }
 
+  test("m03: the blockhash signature is one per-row fold — shuffles are " +
+      "only the spread repartition, the bucket aggregate, and the output " +
+      "sort") {
+    val df = run("m03_blockhash_neardup")
+    assert(!PlanChecks.usesCartesianProduct(df))
+    assert(PlanChecks.countShuffles(df) <= 3)
+  }
+
+  test("d14: CDC chunk dedup joins on the chunk hash — keyed equi-joins " +
+      "only, nothing pairwise") {
+    assert(!PlanChecks.usesCartesianProduct(run("d14_cdc_chunks")))
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
