@@ -604,6 +604,40 @@ object Relational {
       |  (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Unpivot / melt — the wide→long reshape (Dataset.unpivot, the inverse
+    * of a05's pivot): per-brand part metrics melt into (brand, metric,
+    * value) rows. Compiles to a single Expand over the aggregate output —
+    * one pass, rows × #metrics, no join and no extra shuffle beyond the
+    * aggregate itself; at 100 TB the reshape adds zero exchanges. Metrics
+    * are cast to one type (double, rounded) as the long format requires. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir).part
+      .groupBy(col("p_brand"))
+      .agg(round(count(lit(1)).cast("double"), 4).as("n_parts"),
+        round(avg(col("p_size")), 4).as("avg_size"),
+        round(avg(col("p_retailprice")), 4).as("avg_retail"))
+    agg.unpivot(
+        Array(col("p_brand")),
+        Array(col("n_parts"), col("avg_size"), col("avg_retail")),
+        "metric", "value")
+      .orderBy(col("p_brand"), col("metric"))
+  }
+
+  private val q42Sql =
+    """WITH a AS (
+      |  SELECT p_brand,
+      |    round(CAST(count(*) AS DOUBLE), 4) AS n_parts,
+      |    round(avg(p_size), 4) AS avg_size,
+      |    round(avg(p_retailprice), 4) AS avg_retail
+      |  FROM part GROUP BY p_brand)
+      |SELECT p_brand, metric, value FROM (
+      |  SELECT p_brand, 'n_parts' AS metric, n_parts AS value FROM a
+      |  UNION ALL
+      |  SELECT p_brand, 'avg_size' AS metric, avg_size AS value FROM a
+      |  UNION ALL
+      |  SELECT p_brand, 'avg_retail' AS metric, avg_retail AS value FROM a) u
+      |ORDER BY p_brand, metric""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -631,5 +665,6 @@ object Relational {
     "q38_exists_agg" -> QueryDef(q38, Some(q38Sql)),
     "q39_scalar_subquery" -> QueryDef(q39, Some(q39Sql)),
     "q40_not_in_null_aware" -> QueryDef(q40, Some(q40Sql)),
+    "q42_unpivot" -> QueryDef(q42, Some(q42Sql)),
   )
 }
