@@ -909,6 +909,59 @@ object DedupOps {
       |FROM per_doc p LEFT JOIN shared_per_doc s USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
 
+  /** LSH tuning gate — the dedup analogue of s08's ANN recall: how much of
+    * the TRUE near-dup pair set (exact shingle Jaccard ≥ 1/3, d02's
+    * definition) does the MinHash-LSH candidate generator (d03's 4×4
+    * banding) recover, and how much of what it emits is real? One summary
+    * row: true/candidate/hit counts plus recall and precision. This is the
+    * number you move when tuning bands × rows against the banding S-curve
+    * (P[candidate] = 1 − (1 − J^r)^b) before committing a corpus-scale run.
+    *
+    * Scale: ground truth costs d02's exact candidate join, so on 100 TB
+    * this gate runs on a SAMPLED slice (compose with x01's hash sample in
+    * front — both stages take any (doc_id, text) frame); the LSH side and
+    * the hit join are the same keyed group-and-expand machinery as
+    * d03/d02. The summary is three 1-row aggregates cross-joined —
+    * broadcast by construction. */
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documentsSpread
+    val truePairs = ngramJaccard(docs).select(col("a_id"), col("b_id"))
+    val cand = minhashLshPairs(docs)
+    val hits = truePairs.join(cand, Seq("a_id", "b_id"))
+    truePairs.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        round(col("n_hits") / col("n_true").cast("double"), 4).as("recall"),
+        round(col("n_hits") / col("n_candidates").cast("double"), 4)
+          .as("candidate_precision"))
+  }
+
+  private val d15Sql =
+    s"""WITH $minhashPairsCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |true_pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE n_inter * 3 >= sa.n_sh + sb.n_sh),
+       |hits AS (
+       |  SELECT t.a_id FROM true_pairs t
+       |  JOIN pairs p ON p.a_id = t.a_id AND p.b_id = t.b_id)
+       |SELECT
+       |  CAST((SELECT count(*) FROM true_pairs) AS BIGINT) AS n_true,
+       |  CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_candidates,
+       |  CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+       |  round((SELECT count(*) FROM hits)
+       |    / CAST((SELECT count(*) FROM true_pairs) AS DOUBLE), 4) AS recall,
+       |  round((SELECT count(*) FROM hits)
+       |    / CAST((SELECT count(*) FROM pairs) AS DOUBLE), 4)
+       |    AS candidate_precision""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -924,5 +977,6 @@ object DedupOps {
     "d12_incremental_fuzzy_dedup" -> QueryDef(d12, Some(d12Sql)),
     "d13_repeated_spans" -> QueryDef(d13, Some(d13Sql)),
     "d14_cdc_chunks" -> QueryDef(d14, Some(d14Sql)),
+    "d15_lsh_recall" -> QueryDef(d15, Some(d15Sql)),
   )
 }
