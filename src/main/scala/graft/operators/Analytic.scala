@@ -275,6 +275,67 @@ object Analytic {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** SAX symbolization + motif buckets — the time-series similarity-search
+    * primitive (Lin et al.'s Symbolic Aggregate approXimation): each user's
+    * first 32 event values (arrival order = event_id) compress to an
+    * 8-segment PAA (piecewise aggregate approximation — segment means),
+    * each mean discretizes to one of 4 symbols at fixed breakpoints
+    * (25/50/100), and the 8-char SAX word is the series' similarity key:
+    * users sharing a word are motif peers (same coarse shape), found with
+    * a hash aggregate instead of any series-vs-series distance scan.
+    *
+    * Scale: the per-user series gather is ONE keyed aggregate (state
+    * bounded at 32 values per user — collect_list then slice, never the
+    * full history); PAA + symbolization are per-row array math; peer
+    * counting is a second tiny aggregate on the word. At 10⁹ users this is
+    * the standard sublinear motif index; the quadratic alternative
+    * (pairwise DTW/Euclidean) never appears. */
+  private def a11(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir).events
+      .groupBy(col("user_id"))
+      .agg(expr(
+        """slice(transform(sort_array(collect_list(struct(event_id, value))),
+          |  e -> e.value), 1, 32)""".stripMargin).as("v"))
+      .filter(size(col("v")) >= 32)
+      .withColumn("paa", expr(
+        """transform(sequence(0, 7), s ->
+          |  round(aggregate(slice(v, s * 4 + 1, 4), 0D, (a, x) -> a + x) / 4,
+          |    4))""".stripMargin))
+      .withColumn("sax_word", expr(
+        """array_join(transform(paa, m ->
+          |  CASE WHEN m < 25 THEN 'a' WHEN m < 50 THEN 'b'
+          |       WHEN m < 100 THEN 'c' ELSE 'd' END), '')""".stripMargin))
+    val buckets = series.groupBy(col("sax_word"))
+      .agg(count(lit(1)).as("n_in_bucket"))
+    series.join(buckets, "sax_word")
+      .select(col("user_id"), col("sax_word"),
+        (col("n_in_bucket") - 1).cast("long").as("n_motif_peers"))
+      .orderBy(col("user_id"))
+  }
+
+  private val a11Sql =
+    """WITH ord AS (
+      |  SELECT user_id, list(value ORDER BY event_id) AS vals
+      |  FROM events GROUP BY user_id),
+      |take AS (
+      |  SELECT user_id, vals[1:32] AS v FROM ord WHERE len(vals) >= 32),
+      |paa AS (
+      |  SELECT user_id, list_transform(range(8), s ->
+      |    round(list_sum(v[CAST(s * 4 + 1 AS INT):CAST(s * 4 + 4 AS INT)]) / 4,
+      |      4)) AS m
+      |  FROM take),
+      |words AS (
+      |  SELECT user_id, array_to_string(list_transform(m, x ->
+      |    CASE WHEN x < 25 THEN 'a' WHEN x < 50 THEN 'b'
+      |         WHEN x < 100 THEN 'c' ELSE 'd' END), '') AS sax_word
+      |  FROM paa),
+      |buckets AS (
+      |  SELECT sax_word, count(*) AS n FROM words GROUP BY sax_word)
+      |SELECT w.user_id, w.sax_word,
+      |  CAST(b.n - 1 AS BIGINT) AS n_motif_peers
+      |FROM words w JOIN buckets b USING (sax_word)
+      |ORDER BY w.user_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -286,5 +347,6 @@ object Analytic {
     "a08_grouping_sets" -> QueryDef(a08, Some(a08Sql)),
     "a09_positional_window" -> QueryDef(a09, Some(a09Sql)),
     "a10_approx_quantile" -> QueryDef(a10, Some(a10Sql)),
+    "a11_sax_motifs" -> QueryDef(a11, Some(a11Sql)),
   )
 }
