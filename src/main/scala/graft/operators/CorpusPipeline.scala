@@ -434,6 +434,56 @@ object CorpusPipeline {
        |WHERE rk <= $sourceCap
        |ORDER BY source, rk""".stripMargin
 
+  /** Dataset-card mix report — the per-(source, language) composition
+    * table every released corpus publishes: doc and token counts at
+    * (source, lang), per-source, and grand-total grains (one Expand via
+    * grouping sets, not three scans), with each row's token share in
+    * integer permille of the grand total (integer arithmetic — no float
+    * division to drift between engines; the 1-row total broadcasts).
+    *
+    * Scale: grouping sets over low-cardinality keys = one partial-agg
+    * shuffle with #sources × #langs × 3 groups; everything else is
+    * map-side. The report over 100 TB costs one corpus scan. */
+  private def p07(s: SparkSession, dir: String): DataFrame = {
+    val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
+    val v = s"mix_docs_$sfx"
+    Tables(s, dir).documentsSpread
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .createOrReplaceTempView(v)
+    s.sql(
+      s"""WITH grains AS (
+         |  SELECT coalesce(source, 'ALL') AS source,
+         |    coalesce(lang, 'ALL') AS lang,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM $v
+         |  GROUP BY GROUPING SETS ((source, lang), (source), ())),
+         |total AS (
+         |  SELECT n_tokens AS total_tokens FROM grains
+         |  WHERE source = 'ALL' AND lang = 'ALL')
+         |SELECT g.source, g.lang, g.n_docs, g.n_tokens,
+         |  CAST(g.n_tokens * 1000 DIV t.total_tokens AS BIGINT)
+         |    AS share_permille
+         |FROM grains g CROSS JOIN total t
+         |ORDER BY g.source, g.lang""".stripMargin)
+  }
+
+  private val p07Sql =
+    """WITH grains AS (
+      |  SELECT coalesce(source, 'ALL') AS source,
+      |    coalesce(lang, 'ALL') AS lang,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |  GROUP BY GROUPING SETS ((source, lang), (source), ())),
+      |total AS (
+      |  SELECT n_tokens AS total_tokens FROM grains
+      |  WHERE source = 'ALL' AND lang = 'ALL')
+      |SELECT g.source, g.lang, g.n_docs, g.n_tokens,
+      |  CAST(g.n_tokens * 1000 // t.total_tokens AS BIGINT) AS share_permille
+      |FROM grains g CROSS JOIN total t
+      |ORDER BY g.source, g.lang""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -441,5 +491,6 @@ object CorpusPipeline {
     "p04_shard_assign" -> QueryDef(p04, Some(p04Sql)),
     "p05_decontaminated_corpus" -> QueryDef(p05, Some(p05Sql)),
     "p06_source_cap" -> QueryDef(p06, Some(p06Sql)),
+    "p07_mix_report" -> QueryDef(p07, Some(p07Sql)),
   )
 }
