@@ -1,0 +1,85 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Membership probe against a pre-built Bloom filter over 64-bit keys.
+  *
+  * Scale rationale: a broadcast-hash semi-join (t08/p05's decontamination
+  * shape) holds the full probe key set in every executor's hash relation.
+  * When the probe side outgrows the broadcast budget (a benchmark-suite
+  * union can reach 10^8+ distinct grams), a Bloom filter at ~10 bits/key is
+  * 1-2 orders of magnitude smaller and keeps the corpus-side prefilter
+  * entirely map-side — no shuffle, no join. False positives are possible
+  * (callers MUST re-confirm survivors exactly — see CorpusPipeline p08);
+  * false negatives are not, so no contaminated document escapes the
+  * prefilter.
+  *
+  * Native `Expression` with `doGenCode` (SURVEY §2.8 preference order):
+  * whole-stage codegen emits one virtual call on a shared deserialized
+  * filter per probe — no UDF boxing, and the serialized bits ride the
+  * expression tree to executors once per task set (at cluster scale prefer
+  * a broadcast variable; the bytes here are task-serialized exactly like a
+  * broadcast-hash relation would be).
+  *
+  * Reference anchor: ziggurat has no analytics surface (SURVEY §2.6 —
+  * absent by design); this is north-star extension surface for the
+  * decontamination pipeline.
+  */
+case class BloomContainsLong(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains requires BIGINT, got ${child.dataType.simpleString}")
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+
+  /** Called from both interpreted eval and generated code. */
+  def contains(v: Long): Boolean = bloom.mightContainLong(v)
+
+  override protected def nullSafeEval(v: Any): Any =
+    contains(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomContains", this, classOf[BloomContainsLong].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.contains($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsLong =
+    copy(child = newChild)
+}
+
+object BloomContains {
+
+  /** Builds a serialized Bloom filter from the distinct long keys of `keys`'
+    * single column. The collect is bounded by design: callers pass the
+    * (comparatively small) probe side, never the corpus — and at 10 bits/key
+    * the driver holds ~1.2 MB per million keys, far below any broadcast a
+    * semi-join of the same set would ship. */
+  def build(keys: org.apache.spark.sql.DataFrame, fpp: Double = 0.01): Array[Byte] = {
+    val longs = keys.distinct().collect().map(_.getLong(0))
+    val bf = BloomFilter.create(math.max(longs.length.toLong, 1L), fpp)
+    longs.foreach(bf.putLong)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Column API for [[BloomContainsLong]]. */
+  def bloomContains(c: Column, bloomBytes: Array[Byte]): Column =
+    ColumnBridge.column(
+      BloomContainsLong(ColumnBridge.expression(c), bloomBytes))
+}

@@ -484,6 +484,77 @@ object CorpusPipeline {
       |FROM grains g CROSS JOIN total t
       |ORDER BY g.source, g.lang""".stripMargin
 
+  /** Bloom-prefiltered benchmark decontamination — p05's semantics at the
+    * probe scale where a broadcast-hash semi-join stops fitting.
+    *
+    * p05/t08 broadcast the probe gram-hash set into an equi-join: exact,
+    * but every executor holds the full probe relation, and a union of
+    * benchmark suites can reach 10^8+ distinct grams. Here the probe set
+    * is compacted to a Bloom filter (~10 bits/key, 1-2 orders smaller)
+    * probed by the native `bloom_contains` expression INSIDE the per-doc
+    * gram array — `exists(gram_hashes, g -> bloom_contains(g))` — so the
+    * corpus-side prefilter is pure map-side codegen: no explode, no
+    * shuffle, no join for the overwhelmingly-clean majority of documents.
+    *
+    * Bloom false positives cannot corrupt the result: every prefilter
+    * survivor is re-confirmed by the exact broadcast semi-join (now over
+    * survivors' grams only — a vanishing fraction of the corpus), and
+    * false negatives are impossible, so output ≡ p05's exact
+    * contamination set. The oracle runs the exact formulation; any bloom
+    * bug that leaked a contaminated doc (or dropped a clean one) breaks
+    * the hash match.
+    *
+    * Output: the clean (non-contaminated) corpus documents with their
+    * distinct-gram counts. */
+  private def p08(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .withColumn("ghashes", expr(
+        """array_distinct(transform(sequence(0, size(toks) - 5),
+          |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+          |    toks[i+3], toks[i+4]))))""".stripMargin))
+    val probeBloom = graft.functions.BloomContains.build(
+      base.filter(col("doc_id") < 20)
+        .select(explode(col("ghashes")).as("g")))
+    val corpus = base.filter(col("doc_id") >= 20)
+    val hits = corpus.filter(exists(col("ghashes"),
+      g => graft.functions.BloomContains.bloomContains(g, probeBloom)))
+    val probeExact = base.filter(col("doc_id") < 20)
+      .select(explode(col("ghashes")).as("g")).distinct()
+    val contaminated = hits
+      .select(col("doc_id"), explode(col("ghashes")).as("g"))
+      .join(broadcast(probeExact), Seq("g"))
+      .select(col("doc_id")).distinct()
+    corpus
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        size(col("ghashes")).cast("long").as("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p08Sql =
+    """WITH gr AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+      |      i -> concat(w[CAST(i AS INT)], ' ', w[CAST(i AS INT) + 1], ' ',
+      |        w[CAST(i AS INT) + 2], ' ', w[CAST(i AS INT) + 3], ' ',
+      |        w[CAST(i AS INT) + 4]))) AS gram
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+      |    WHERE len(w) >= 5) u),
+      |probe AS (SELECT DISTINCT gram FROM gr WHERE doc_id < 20),
+      |contaminated AS (
+      |  SELECT DISTINCT doc_id FROM gr JOIN probe USING (gram)
+      |  WHERE doc_id >= 20)
+      |SELECT d.doc_id, d.lang,
+      |  (SELECT CAST(count(DISTINCT gram) AS BIGINT) FROM gr
+      |   WHERE gr.doc_id = d.doc_id) AS n_grams
+      |FROM documents d
+      |WHERE d.doc_id >= 20
+      |  AND len(string_split(d.text, ' ')) >= 5
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -492,5 +563,6 @@ object CorpusPipeline {
     "p05_decontaminated_corpus" -> QueryDef(p05, Some(p05Sql)),
     "p06_source_cap" -> QueryDef(p06, Some(p06Sql)),
     "p07_mix_report" -> QueryDef(p07, Some(p07Sql)),
+    "p08_bloom_decontaminate" -> QueryDef(p08, Some(p08Sql)),
   )
 }

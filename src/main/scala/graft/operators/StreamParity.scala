@@ -299,6 +299,40 @@ object StreamParity {
       |ORDER BY event_id
       |LIMIT 20""".stripMargin
 
+  /** Stream-static enrichment join: the stream of events enriched against a
+    * slowly-changing dimension (customer → nation), then aggregated — the
+    * join family the reference lacks entirely (its only join is
+    * stream-stream, `streams.clj:149-158`; GlobalKTable-style enrichment is
+    * listed as not-implemented in SURVEY §2.5) and the single most common
+    * production streaming topology.
+    *
+    * Scale design: the dimension broadcasts (stream-static inner join needs
+    * no watermark and no state store — each micro-batch probes the
+    * broadcast hash relation map-side), so the streaming side never
+    * shuffles before the keyed aggregate. EventsStreamSpec proves the
+    * identical operators produce the identical result as a real
+    * `readStream` query. Money as integer cents. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir).customer
+      .select(col("c_custkey"), col("c_nationkey"))
+    t(s, dir).events
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q45Sql =
+    """SELECT c_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q20_too_old_filter" -> QueryDef(q20, Some(q20Sql)),
     "q21_delay_histogram" -> QueryDef(q21, Some(q21Sql)),
@@ -312,5 +346,6 @@ object StreamParity {
     "q29_batch_chunks" -> QueryDef(q29, Some(q29Sql)),
     "q30_dead_set_view" -> QueryDef(q30, Some(q30Sql)),
     "q41_proto_middleware" -> QueryDef(q41, Some(q41Sql)),
+    "q45_stream_static_enrich" -> QueryDef(q45, Some(q45Sql)),
   )
 }

@@ -128,9 +128,125 @@ object Temporal {
       |  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Batch sessionization (gaps-and-islands): per-user sessions delimited by
+    * a 30-minute inactivity gap — the batch twin of a03's streaming
+    * `session_window` (backfills and reprocessing runs need the same
+    * sessions from the batch path, and their outputs must agree).
+    *
+    * Scale design: two window passes partitioned by user_id — the gap flag
+    * (`lag`) and the running session index (`sum`) — then one keyed
+    * aggregate on (user, session). Everything after the single shuffle on
+    * user_id is cluster-local; no self-join, no global sort. Ties at equal
+    * ts are ordered by event_id so both engines see identical lag chains.
+    * Money is summed as integer cents. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir).events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(ord) <= 1800000000L, 0L)
+          .otherwise(1L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q43Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id) <= 1800000000
+      |    THEN 0 ELSE 1 END AS new_sess
+      |  FROM e),
+      |sess AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |  max(ts_us) - min(ts_us) AS duration_us,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Max-concurrency sweep-line: each event occupies the half-open interval
+    * [ts, ts + value seconds); per user, the peak number of simultaneously
+    * open intervals (the classic "peak concurrent sessions / connections"
+    * question, answered without any interval × interval overlap join).
+    *
+    * Scale design: each interval explodes to exactly two delta rows
+    * (+1 open, −1 close); the running sum and max are windows partitioned
+    * by user_id — one shuffle, per-user work cluster-local, O(n log n) in a
+    * user's events. A pairwise `a.start < b.end AND b.start < a.end`
+    * formulation would be quadratic per hot user. Interval ends are exact
+    * integers (cents × 10^4 micros), so both engines sweep identical
+    * boundaries; at equal boundary time closes sort before opens (half-open
+    * semantics), then event_id for full determinism. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val deltas = t(s, dir).events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts"))
+          + round(col("value") * 100, 0).cast("long") * 10000L).as("end_us"))
+      .select(col("event_id"), col("user_id"), explode(array(
+        struct(col("start_us").as("t_us"), lit(1L).as("delta")),
+        struct(col("end_us").as("t_us"), lit(-1L).as("delta")))).as("d"))
+      .select(col("event_id"), col("user_id"),
+        col("d.t_us").as("t_us"), col("d.delta").as("delta"))
+    val sweep = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("open", sum(col("delta")).over(sweep))
+      .groupBy(col("user_id"))
+      .agg(max(col("open")).as("peak_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q44Sql =
+    """WITH iv AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS start_us,
+      |    epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 10000
+      |      AS end_us
+      |  FROM events),
+      |deltas AS (
+      |  SELECT event_id, user_id, start_us AS t_us, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT event_id, user_id, end_us AS t_us, -1 AS delta FROM iv),
+      |swept AS (
+      |  SELECT user_id, CAST(sum(delta) OVER (PARTITION BY user_id
+      |    ORDER BY t_us, delta, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS open
+      |  FROM deltas)
+      |SELECT user_id, max(open) AS peak_concurrent,
+      |  CAST(count(*) / 2 AS BIGINT) AS n_intervals
+      |FROM swept
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q31_asof_join" -> QueryDef(q31, Some(q31Sql), headline = true),
     "q32_range_join" -> QueryDef(q32, Some(q32Sql)),
     "q33_range_frame" -> QueryDef(q33, Some(q33Sql)),
+    "q43_sessionize" -> QueryDef(q43, Some(q43Sql)),
+    "q44_interval_concurrency" -> QueryDef(q44, Some(q44Sql)),
   )
 }

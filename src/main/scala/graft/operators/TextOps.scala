@@ -430,6 +430,69 @@ object TextOps {
       |      FROM documents) c
       |ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF keyword extraction: top-3 terms per document by an
+    * integer-exact tf-idf score — the per-doc keyword/topic signal
+    * curation pipelines use for domain tagging and mixture auditing.
+    *
+    * Determinism: the textbook `tf · ln(N/df)` puts a transcendental in
+    * the score, and engines' libm rounding could flip a rank at a tie
+    * boundary. The rank-equivalent rational form `(tf · 1000 · N) div df`
+    * is exact 64-bit integer arithmetic in both engines (monotone in tf
+    * and 1/df — the same ordering signal, bit-identical everywhere).
+    *
+    * Scale design: term rows shuffle three times, never join — the
+    * (doc, term) tf aggregate (map-side partials soak repeated terms), a
+    * doc-frequency window partitioned by term (vocabulary-keyed,
+    * cluster-local per term), and the per-doc rank window. No
+    * vocabulary × corpus join, no global structure; every stage is keyed
+    * by term or doc_id. */
+  private def t12(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir).documentsSpread
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = Window.partitionBy(col("term"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .withColumn("score_milli", expr("tf * 1000 * n_docs div df"))
+    val rank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_milli").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+        col("df"), col("score_milli"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val t12Sql =
+    """WITH terms AS (
+      |  SELECT doc_id, t AS term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |    FROM documents) u
+      |  WHERE length(t) > 0),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM terms GROUP BY doc_id, term),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf,
+      |    CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      |  FROM tf),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df,
+      |    (tf * 1000 * n.n_docs) // df AS score_milli,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY (tf * 1000 * n.n_docs) // df DESC, term) AS rk
+      |  FROM scored, n)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score_milli
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -442,5 +505,6 @@ object TextOps {
     "t09_boilerplate_scrub" -> QueryDef(t09, Some(t09Sql)),
     "t10_unigram_surprisal" -> QueryDef(t10, Some(t10Sql)),
     "t11_char_entropy" -> QueryDef(t11, Some(t11Sql)),
+    "t12_tfidf_keywords" -> QueryDef(t12, Some(t12Sql)),
   )
 }

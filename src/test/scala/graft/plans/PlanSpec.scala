@@ -210,6 +210,36 @@ class PlanSpec extends SparkSuite {
     assert(!PlanChecks.usesCartesianProduct(run("d14_cdc_chunks")))
   }
 
+  test("q43/q44: sessionize and sweep-line plan no join at all — windows " +
+      "partitioned by user, never a pairwise interval formulation") {
+    Seq("q43_sessionize", "q44_interval_concurrency").foreach { n =>
+      val ops = PlanChecks.physical(run(n)).map(_.getClass.getSimpleName)
+      assert(!ops.exists(_.contains("Join")), s"$n planned a join: $ops")
+    }
+  }
+
+  test("t12: tf-idf is join-free on the term side (df via window, not a " +
+      "vocabulary join) — the only join is the broadcast of the 1-row " +
+      "corpus count") {
+    val df = run("t12_tfidf_keywords")
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(!ops.exists(o => o.startsWith("ShuffledHashJoin")
+        || o.startsWith("SortMergeJoin")), s"vocabulary join crept in: $ops")
+    // the 1-row corpus-count cross join broadcasts as a nested-loop —
+    // the right physical op for a single-row build side
+    assert(ops.exists(_.startsWith("BroadcastNestedLoopJoin")), s"got $ops")
+  }
+
+  test("p08: bloom prefilter runs map-side inside the scan stage; the " +
+      "exact confirm joins survivors only via broadcast") {
+    val df = run("p08_bloom_decontaminate")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_contains"),
+      "bloom_contains prefilter missing from the physical plan")
+    assert(PlanChecks.usesBroadcastJoin(df))
+    assert(!PlanChecks.usesCartesianProduct(df))
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -123,4 +123,30 @@ class EventsStreamSpec extends SparkSuite {
     // all 1000 events dispatched to success or skip, none persisted
     assert(topics.read(spark, "ev_retry").count() == 0)
   }
+
+  test("streamed stream-static enrichment join equals the batch/oracle " +
+      "result (q45 operators over readStream; broadcast dim, no state)") {
+    val dir = stageDir()
+    val dim = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val streamed = streamedEvents(dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+    val name = s"enrich_${System.nanoTime()}"
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select(col("c_nationkey"), col("n_events"), col("sum_cents"))
+        .orderBy("c_nationkey").collect().map(_.toSeq).toSeq
+      val want = graft.SparkEntry.queries("q45_stream_static_enrich")(
+        spark, sf0001)
+        .select(col("c_nationkey"), col("n_events"), col("sum_cents"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
 }
