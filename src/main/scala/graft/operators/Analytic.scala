@@ -336,6 +336,116 @@ object Analytic {
       |FROM words w JOIN buckets b USING (sax_word)
       |ORDER BY w.user_id""".stripMargin
 
+  /** Ordered funnel analysis: how far does each user get through
+    * view → click → purchase, where each stage must happen AFTER the
+    * previous one (a click before any view does not count)? The product-
+    * analytics primitive behind every conversion dashboard.
+    *
+    * Scale design: two running-min window passes partitioned by user_id
+    * (first-view timestamp, then first-qualified-click timestamp — the
+    * nesting encodes the ordering constraint without any self-join or
+    * sequence explode), then one keyed aggregate to each user's deepest
+    * stage and a tiny histogram aggregate. One shuffle on user_id;
+    * per-user work is cluster-local; min/max only, so no tie-break
+    * hazards between engines. */
+  private def a12(s: SparkSession, dir: String): DataFrame = {
+    val run = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // analysis horizon: the first two days (pushed into the scan) — the
+    // funnel question is period-scoped in practice, and the cutoff keeps
+    // stage counts discriminating at every SF
+    val staged = t(s, dir).events
+      .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("sv_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(run))
+      .withColumn("sc_us",
+        min(when(col("event_type") === "click"
+          && col("sv_us").isNotNull, col("ts_us"))).over(run))
+      .withColumn("stage",
+        when(col("event_type") === "purchase"
+          && col("sc_us").isNotNull, 3L)
+          .when(col("event_type") === "click"
+            && col("sv_us").isNotNull, 2L)
+          .when(col("event_type") === "view", 1L)
+          .otherwise(0L))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(max(col("stage")).as("reached"))
+    perUser.groupBy(col("reached"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("reached"))
+  }
+
+  private val a12Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-03'),
+      |sv AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_us
+      |  FROM e),
+      |sc AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click'
+      |      AND sv_us IS NOT NULL THEN ts_us END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc_us
+      |  FROM sv),
+      |staged AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'purchase' AND sc_us IS NOT NULL THEN 3
+      |      WHEN event_type = 'click' AND sv_us IS NOT NULL THEN 2
+      |      WHEN event_type = 'view' THEN 1 ELSE 0 END AS stage
+      |  FROM sc),
+      |per_user AS (
+      |  SELECT user_id, CAST(max(stage) AS BIGINT) AS reached
+      |  FROM staged GROUP BY user_id)
+      |SELECT reached, CAST(count(*) AS BIGINT) AS n_users
+      |FROM per_user
+      |GROUP BY reached
+      |ORDER BY reached""".stripMargin
+
+  /** Retention cohort matrix: users grouped by their first-activity day
+    * (the cohort), counted by how many come back d days later — the
+    * growth-analytics staple.
+    *
+    * Scale design: the cohort day is a per-user running `min` window (one
+    * shuffle on user_id, no self-join back to the event scan), the
+    * day-offset is row-local date math, and the matrix is one hash
+    * aggregate keyed by (cohort_day, offset) with map-side partials —
+    * group count is bounded by days², not events. Pure integer day
+    * arithmetic; `count(DISTINCT user)` per cell is exact. */
+  private def a13(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+    t(s, dir).events
+      .select(col("user_id"),
+        to_date(col("ts")).as("day"))
+      .withColumn("cohort_day", min(col("day")).over(perUser))
+      .withColumn("offset_d", datediff(col("day"), col("cohort_day"))
+        .cast("long"))
+      .filter(col("offset_d") <= 7)
+      .groupBy(col("cohort_day"), col("offset_d"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("offset_d"))
+  }
+
+  private val a13Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (
+      |  SELECT user_id, day,
+      |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM e)
+      |SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS offset_d,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM c
+      |WHERE day - cohort_day <= 7
+      |GROUP BY cohort_day, day - cohort_day
+      |ORDER BY cohort_day, offset_d""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -348,5 +458,7 @@ object Analytic {
     "a09_positional_window" -> QueryDef(a09, Some(a09Sql)),
     "a10_approx_quantile" -> QueryDef(a10, Some(a10Sql)),
     "a11_sax_motifs" -> QueryDef(a11, Some(a11Sql)),
+    "a12_funnel" -> QueryDef(a12, Some(a12Sql)),
+    "a13_retention_cohorts" -> QueryDef(a13, Some(a13Sql)),
   )
 }

@@ -642,7 +642,10 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  private val s07Sql = {
+  /** Shared CTE chain for the IVF-PQ queries (s07/s09): normalized vectors →
+    * sampled centroids → cell assignment/probes → PQ codebook/encode/decode →
+    * ADC-scored candidates → per-query ADC rank (`ranked`). */
+  private val ivfPqCoreSql = {
     def dot8(a: String, b: String): String =
       s"""list_sum(list_transform(range(1, ${pqDsub + 1}),
          |      i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]))""".stripMargin
@@ -713,12 +716,87 @@ object SimilarityOps {
        |  SELECT q_id, cell, neighbor_id, adc_cos,
        |    row_number() OVER (PARTITION BY q_id
        |      ORDER BY adc_cos DESC, neighbor_id) AS rk
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private val s07Sql =
+    s"""$ivfPqCoreSql
        |SELECT q_id, cell, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_cos
        |FROM ranked
        |WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
+
+  /** IVF-PQ with exact re-rank — the final stage of the standard
+    * billion-scale ANN serving layout. s07's ADC scores rank candidates by
+    * their quantized reconstructions; production systems then fetch the RAW
+    * vectors for a short ADC shortlist (here top-10 per query) and re-score
+    * those exactly, repairing quantization error where it matters: the
+    * top of the ranking.
+    *
+    * Scale design: the shortlist cut happens BEFORE any raw vector is
+    * re-read — candidates travel as (q_id, neighbor_id, adc_cos) triples
+    * only, and the raw-vector fetch is an equi-join of the ≤10·Q shortlist
+    * rows against the embedding table by vec_id (at 100 TB: a point-lookup
+    * join against the vector store, never a scan). Re-rank cost is
+    * O(Q·10·d) flops regardless of corpus size. */
+  private def s09(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, probes) = ivfCells(s, dir)
+    val decoded = pqDecoded(s, dir)
+    val q = probes.filter(col("vec_id").between(1, 9))
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val c = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("cell"))
+      .join(decoded.withColumnRenamed("vec_id", "c_id"), "c_id")
+    val scored = q.join(c, "cell")
+      .withColumn("adc_cos", round(
+        dotF64(col("qv"), col("rv")) / (col("qn") * col("rn")), 4))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_cos").desc, col("c_id"))
+    // shortlist travels without any vector payload
+    val cand = scored.withColumn("crk", row_number().over(wAdc))
+      .filter(col("crk") <= 10)
+      .select(col("q_id"), col("c_id"), col("adc_cos"))
+    // fetch raw vectors for the shortlist only (point-lookup joins)
+    val raw = assigned.select(col("vec_id"), col("vd"), col("nrm"))
+    val rr = cand
+      .join(raw.select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn")), "q_id")
+      .join(raw.select(col("vec_id").as("c_id"), col("vd").as("cv"),
+        col("nrm").as("cn")), "c_id")
+      .withColumn("exact_cos", round(
+        dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val wEx = Window.partitionBy(col("q_id"))
+      .orderBy(col("exact_cos").desc, col("c_id"))
+    rr.withColumn("rk", row_number().over(wEx).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("c_id").as("neighbor_id"),
+        col("adc_cos"), col("exact_cos"))
+      .orderBy(col("q_id"), col("rk"))
   }
+
+  private val s09Sql =
+    s"""$ivfPqCoreSql,
+       |cand AS (
+       |  SELECT q_id, neighbor_id, adc_cos FROM ranked WHERE rk <= 10),
+       |rr AS (
+       |  SELECT cand.q_id, cand.neighbor_id, cand.adc_cos,
+       |    round(list_sum(list_transform(range(1, 65),
+       |        i -> q.vd[CAST(i AS INT)] * n.vd[CAST(i AS INT)]))
+       |      / (q.nrm * n.nrm), 4) AS exact_cos
+       |  FROM cand
+       |  JOIN nv q ON q.vec_id = cand.q_id
+       |  JOIN nv n ON n.vec_id = cand.neighbor_id),
+       |rr2 AS (
+       |  SELECT q_id, neighbor_id, adc_cos, exact_cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY exact_cos DESC, neighbor_id) AS rk
+       |  FROM rr)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_cos,
+       |  exact_cos
+       |FROM rr2
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
 
   /** ANN candidate-set recall — the quality gate every approximate index
     * ships with: what fraction of the TRUE top-k (brute-force cosine,
@@ -790,5 +868,6 @@ object SimilarityOps {
     "s06_ann_pq_adc" -> QueryDef(s06, Some(s06Sql)),
     "s07_ann_ivf_pq" -> QueryDef(s07, Some(s07Sql)),
     "s08_ann_recall" -> QueryDef(s08, Some(s08Sql)),
+    "s09_ann_rerank" -> QueryDef(s09, Some(s09Sql)),
   )
 }

@@ -240,6 +240,19 @@ class PlanSpec extends SparkSuite {
     assert(!PlanChecks.usesCartesianProduct(df))
   }
 
+  test("a12/a13: funnel and retention plan no join — ordering constraints " +
+      "and cohort days come from user-partitioned windows, not self-joins") {
+    Seq("a12_funnel", "a13_retention_cohorts").foreach { n =>
+      val ops = PlanChecks.physical(run(n)).map(_.getClass.getSimpleName)
+      assert(!ops.exists(_.contains("Join")), s"$n planned a join: $ops")
+    }
+  }
+
+  test("s09: exact re-rank joins the ADC shortlist back by vec_id — " +
+      "equi-joins only, never cartesian") {
+    assert(!PlanChecks.usesCartesianProduct(run("s09_ann_rerank")))
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
