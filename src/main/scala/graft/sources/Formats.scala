@@ -56,6 +56,20 @@ object Formats {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Hive-style partitioned write — the partition-pruning lever: a query
+    * filtering on the partition column reads ONLY the matching
+    * directories (pruning happens at planning, before any file is
+    * opened — FormatsSpec pins `PartitionFilters` in the scan and the
+    * pruned file count). Partition by low-cardinality routing columns a
+    * 100 TB pipeline filters on constantly (ingest date, language,
+    * source); high-cardinality keys belong in bucketing, not partitions
+    * (a million tiny directories is a metastore DoS, not a layout). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   def exportEnvelopes(env: DataFrame, path: String): Unit =
     env
       .withColumn("key", base64(col("key")))
