@@ -446,6 +446,64 @@ object Analytic {
       |GROUP BY cohort_day, day - cohort_day
       |ORDER BY cohort_day, offset_d""".stripMargin
 
+  /** Z-score anomaly counts per event_type — outlier detection (|z| > 1.5;
+    * the threshold sits inside the data's range so both branches of the
+    * test fire at every SF) with NO floating point anywhere in the
+    * decision: with sum = n·μ and n·sumsq − sum² = n²σ², the inequality
+    * (x−μ)² > 2.25σ² clears to `4·(x·n − sum)² > 9·(n·sumsq − sum²)`
+    * (both sides × 4n²) over integer cents, evaluated
+    * in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact in both engines,
+    * so no boundary event can flip between them the way a float
+    * mean/stddev could.
+    *
+    * Scale design: classic two-pass — a 5-group stats aggregate (map-side
+    * partials) broadcast back into a second scan; the outlier test is
+    * row-local. Group count bounds the broadcast, corpus size only pays
+    * two scans. */
+  private def a14(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir).events
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("sq"))
+    val d = "decimal(38,0)"
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("lhs",
+        lit(4).cast(d)
+          * (col("cents").cast(d) * col("n") - col("s"))
+          * (col("cents").cast(d) * col("n") - col("s")))
+      .withColumn("rhs",
+        lit(9).cast(d)
+          * (col("n").cast(d) * col("sq") - col("s").cast(d) * col("s")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("lhs") > col("rhs"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a14Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(sum(cents * cents) AS BIGINT) AS sq
+      |  FROM e GROUP BY event_type)
+      |SELECT e.event_type, max(st.n) AS n,
+      |  CAST(sum(CASE WHEN
+      |      4 * (CAST(e.cents AS HUGEINT) * st.n - st.s)
+      |        * (CAST(e.cents AS HUGEINT) * st.n - st.s)
+      |      > 9 * (CAST(st.n AS HUGEINT) * st.sq
+      |          - CAST(st.s AS HUGEINT) * st.s)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM e JOIN st USING (event_type)
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -460,5 +518,6 @@ object Analytic {
     "a11_sax_motifs" -> QueryDef(a11, Some(a11Sql)),
     "a12_funnel" -> QueryDef(a12, Some(a12Sql)),
     "a13_retention_cohorts" -> QueryDef(a13, Some(a13Sql)),
+    "a14_anomaly_zscore" -> QueryDef(a14, Some(a14Sql)),
   )
 }
