@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.WindowExpression
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.SparkSession
+
+/** Optimizer-rule guardrail (SURVEY §7.2's `injectOptimizerRule` slot):
+  * fails any plan containing an UNPARTITIONED window — `Window.orderBy(...)`
+  * with no `partitionBy` — when `spark.graft.failUnpartitionedWindows` is
+  * `true`.
+  *
+  * Why a rule and not a review comment: an unpartitioned window funnels the
+  * entire input through ONE task (Spark itself only logs a WARN at runtime,
+  * after the single-task stage is already scheduled). At 100 TB that is not
+  * slow — it is a job that never finishes. The engine's own queries are
+  * swept for this shape by PlanSpec; the rule extends the same guarantee to
+  * USER queries running on a [[graft.GraftSession]], turning a
+  * cluster-killer into an immediate, attributable failure at planning time.
+  *
+  * Semantics-neutral by construction: the rule only inspects and throws —
+  * it never rewrites — and it is opt-in via conf (default off) so
+  * deliberately-global windows over provably tiny frames remain available.
+  */
+class FailUnpartitionedWindows(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val enabled = spark.conf
+      .getOption(ScaleGuards.FailUnpartitionedWindowsKey)
+      .exists(_.equalsIgnoreCase("true"))
+    if (enabled) {
+      plan.foreach {
+        case w: Window if w.partitionSpec.isEmpty
+            && w.windowExpressions.exists(_.exists(
+              _.isInstanceOf[WindowExpression])) =>
+          throw new IllegalStateException(
+            "unpartitioned window function (whole input through one task " +
+              "at scale): add partitionBy, or unset " +
+              s"${ScaleGuards.FailUnpartitionedWindowsKey} if the frame " +
+              "is provably small")
+        case _ => ()
+      }
+    }
+    plan
+  }
+}
+
+object ScaleGuards {
+  val FailUnpartitionedWindowsKey = "spark.graft.failUnpartitionedWindows"
+}
