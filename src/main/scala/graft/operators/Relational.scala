@@ -638,6 +638,70 @@ object Relational {
       |  SELECT p_brand, 'avg_retail' AS metric, avg_retail AS value FROM a) u
       |ORDER BY p_brand, metric""".stripMargin
 
+  /** MERGE / SCD-2 dimension upsert expressed as a relational plan — the
+    * warehouse maintenance pattern (Delta/Iceberg `MERGE INTO`) on plain
+    * DataFrames: a change batch (here: a deterministic slice of customers
+    * with a re-derived segment) merged into the current dimension, emitting
+    * the new dimension version where every row is tagged `kept` /
+    * `updated` / `inserted` and updated rows carry a bumped version.
+    *
+    * Scale design: one keyed equi-join (full outer on the business key)
+    * between the dimension and the (usually far smaller — broadcastable)
+    * change batch; row-status is row-local CASE logic. No global
+    * structure; at 100 TB this is the same one-shuffle (or
+    * broadcast-free) shape MERGE compiles to under Delta, minus the
+    * transactional file rewrite, which is the table format's job, not the
+    * plan's. The streaming twin (UpsertSinkSpec) applies the same
+    * per-batch merge idempotently from `foreachBatch`. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"), lit(1L).as("version"))
+    // change batch: every 7th customer moves to a recomputed segment, and
+    // synthetic new business keys arrive above the current key space
+    val updates = t(s, dir).customer
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        concat(lit("SEG_"), (col("c_custkey") % 3).cast("string"))
+          .as("new_segment"))
+      .unionByName(
+        t(s, dir).customer.filter(col("c_custkey") % 997 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("SEG_NEW").as("new_segment")))
+    dim.join(updates, Seq("c_custkey"), "full_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("new_segment"), col("c_mktsegment")).as("segment"),
+        when(col("new_segment").isNull, lit("kept"))
+          .when(col("c_mktsegment").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("row_status"),
+        when(col("new_segment").isNull, col("version"))
+          .when(col("c_mktsegment").isNull, lit(1L))
+          .otherwise(col("version") + 1L).as("version"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q46Sql =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment, CAST(1 AS BIGINT) AS version
+      |  FROM customer),
+      |upd AS (
+      |  SELECT c_custkey, concat('SEG_', CAST(c_custkey % 3 AS VARCHAR))
+      |    AS new_segment
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS c_custkey, 'SEG_NEW' AS new_segment
+      |  FROM customer WHERE c_custkey % 997 = 0)
+      |SELECT coalesce(dim.c_custkey, upd.c_custkey) AS c_custkey,
+      |  coalesce(upd.new_segment, dim.c_mktsegment) AS segment,
+      |  CASE WHEN upd.new_segment IS NULL THEN 'kept'
+      |    WHEN dim.c_mktsegment IS NULL THEN 'inserted'
+      |    ELSE 'updated' END AS row_status,
+      |  CAST(CASE WHEN upd.new_segment IS NULL THEN dim.version
+      |    WHEN dim.c_mktsegment IS NULL THEN 1
+      |    ELSE dim.version + 1 END AS BIGINT) AS version
+      |FROM dim FULL OUTER JOIN upd ON dim.c_custkey = upd.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -666,5 +730,6 @@ object Relational {
     "q39_scalar_subquery" -> QueryDef(q39, Some(q39Sql)),
     "q40_not_in_null_aware" -> QueryDef(q40, Some(q40Sql)),
     "q42_unpivot" -> QueryDef(q42, Some(q42Sql)),
+    "q46_scd2_upsert" -> QueryDef(q46, Some(q46Sql)),
   )
 }

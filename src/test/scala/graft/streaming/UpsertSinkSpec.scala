@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** UpsertSink: streaming micro-batches merge into a latest-per-key view,
+  * replays are skipped (exactly-once view from at-least-once foreachBatch),
+  * and the pointer flip keeps readers on a complete version. */
+class UpsertSinkSpec extends SparkSuite {
+
+  private def df(rows: Seq[(Long, String, Long)]) = {
+    val sess = spark
+    import sess.implicits._
+    rows.toDF("k", "v", "ord")
+  }
+
+  test("batches merge to latest-per-key; last write wins at equal order") {
+    val sink = new UpsertSink(spark, tmpDir("upsert1"), "k", "ord")
+    assert(sink.apply(df(Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "x", 5L))), 0L))
+    val s0 = sink.current().get.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq
+    assert(s0 == Seq((1L, "b"), (2L, "x")))
+    // batch 1: update k=1 with LOWER ord (loses), k=2 EQUAL ord (batch wins),
+    // k=3 new
+    assert(sink.apply(df(Seq((1L, "stale", 15L), (2L, "y", 5L), (3L, "n", 1L))), 1L))
+    val s1 = sink.current().get.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq
+    assert(s1 == Seq((1L, "b"), (2L, "y"), (3L, "n")))
+  }
+
+  test("replayed batchId is skipped — the view is exactly-once") {
+    val sink = new UpsertSink(spark, tmpDir("upsert2"), "k", "ord")
+    assert(sink.apply(df(Seq((1L, "a", 1L))), 0L))
+    assert(!sink.apply(df(Seq((1L, "DOUBLE-APPLIED", 99L))), 0L))
+    assert(sink.lastBatchId.contains(0L))
+    val got = sink.current().get.collect().map(_.getString(1)).toSeq
+    assert(got == Seq("a"))
+  }
+
+  test("drives from a real streaming query: final view is latest per key") {
+    val base = tmpDir("upsert3")
+    val src = tmpDir("upsert3src")
+    // two files → with maxFilesPerTrigger=1, two micro-batches
+    df(Seq((1L, "b0-k1", 1L), (2L, "b0-k2", 1L)))
+      .coalesce(1).write.parquet(s"$src/f0")
+    df(Seq((1L, "b1-k1", 2L), (3L, "b1-k3", 1L)))
+      .coalesce(1).write.parquet(s"$src/f1")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("ord", LongType)))
+    val sink = new UpsertSink(spark, base, "k", "ord")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.apply(b, id): Unit
+      }.start()
+    try q.awaitTermination() finally q.stop()
+    val fin = sink.current().get.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq
+    assert(fin.map(_._1) == Seq(1L, 2L, 3L))
+    assert(fin.find(_._1 == 1L).get._2 == "b1-k1")
+  }
+}
