@@ -962,6 +962,52 @@ object DedupOps {
        |    / CAST((SELECT count(*) FROM pairs) AS DOUBLE), 4)
        |    AS candidate_precision""".stripMargin
 
+  /** Containment near-dup — the asymmetric cousin of d02's Jaccard:
+    * `n_inter / min(|A|, |B|)`. A 200-word excerpt quoted inside a
+    * 10,000-word page has near-zero Jaccard (the union is huge) but
+    * containment ≈ 1; corpus curation needs this to catch quotes,
+    * syndicated excerpts, and documents embedded in aggregator pages,
+    * which symmetric similarity misses by construction.
+    *
+    * Scale design: identical to d02 — the same single-shuffle
+    * group-and-expand candidate generation on the 64-bit shingle key
+    * (nothing pairwise ever sees the corpus), the same free per-doc set
+    * sizes from the shingle arrays; only the row-local score and
+    * threshold differ. Candidates below 0.8 containment are dropped
+    * after the exact intersection count, so the pair set is exact, not
+    * LSH-approximate. */
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    val arr = shingleHashArrays(t(s, dir).documentsSpread).cache()
+    val sizes = arr.select(col("doc_id"), col("n_sh"))
+    candidatesFromArrays(arr, None)
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+      .withColumn("containment", round(
+        col("n_inter") / least(col("na"), col("nb")).cast("double"), 4))
+      .filter(col("containment") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+        col("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d16Sql =
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+       |  CAST(sa.n_sh AS BIGINT) AS na, CAST(sb.n_sh AS BIGINT) AS nb,
+       |  round(n_inter / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 4)
+       |    AS containment
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE round(n_inter / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 4)
+       |  >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -978,5 +1024,6 @@ object DedupOps {
     "d13_repeated_spans" -> QueryDef(d13, Some(d13Sql)),
     "d14_cdc_chunks" -> QueryDef(d14, Some(d14Sql)),
     "d15_lsh_recall" -> QueryDef(d15, Some(d15Sql)),
+    "d16_containment_neardup" -> QueryDef(d16, Some(d16Sql)),
   )
 }

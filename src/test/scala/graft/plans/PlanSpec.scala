@@ -240,6 +240,15 @@ class PlanSpec extends SparkSuite {
     assert(!PlanChecks.usesCartesianProduct(df))
   }
 
+  test("d16: containment candidates reuse the join-free group-and-expand — " +
+      "no join touches the exploded shingle rows, no cartesian") {
+    val df = run("d16_containment_neardup")
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(!PlanChecks.usesCartesianProduct(df))
+    assert(ops.exists(_.startsWith("ObjectHashAggregate")),
+      s"per-shingle gather missing; got $ops")
+  }
+
   test("a12/a13: funnel and retention plan no join — ordering constraints " +
       "and cohort days come from user-partitioned windows, not self-joins") {
     Seq("a12_funnel", "a13_retention_cohorts").foreach { n =>
