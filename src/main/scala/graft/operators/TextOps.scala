@@ -493,6 +493,60 @@ object TextOps {
       |FROM ranked WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** Bigram conditional surprisal — t10's unigram LM upgraded to a
+    * conditional model: each transition costs
+    * `floor_log2(c(prev·)) − floor_log2(c(prev,cur))` bits
+    * (≈ −log2 P(cur|prev)), so formulaic text (high-count transitions)
+    * scores low and incoherent token soup scores high — a sharper quality
+    * signal than unigram frequency alone, still with zero transcendentals
+    * (floor-log2 is binary-string length, exact in both engines).
+    *
+    * Scale design: no vocabulary join at all — the bigram count and the
+    * prefix count are two window passes over the exploded bigram rows
+    * (partitioned by the bigram and by the prefix token respectively, both
+    * vocabulary-keyed and cluster-local), then one doc-keyed aggregate.
+    * Same three-shuffle shape as t12. */
+  private def t13(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS prev, toks[i+1] AS cur))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val scored = bi
+      .withColumn("cb",
+        count(lit(1)).over(Window.partitionBy(col("prev"), col("cur"))))
+      .withColumn("cp", count(lit(1)).over(Window.partitionBy(col("prev"))))
+      .withColumn("surp",
+        length(expr("bin(cp)")) - length(expr("bin(cb)")))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surp")).as("total_bits"),
+        round(avg(col("surp")), 4).as("mean_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t13Sql =
+    """WITH bi AS (
+      |  SELECT doc_id,
+      |    w[CAST(i AS INT)] AS prev, w[CAST(i AS INT) + 1] AS cur
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+      |    unnest(range(1, len(w))) AS u(i)
+      |  WHERE len(w) >= 2),
+      |scored AS (
+      |  SELECT doc_id,
+      |    len(bin(count(*) OVER (PARTITION BY prev)))
+      |      - len(bin(count(*) OVER (PARTITION BY prev, cur))) AS surp
+      |  FROM bi)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(surp) AS BIGINT) AS total_bits,
+      |  round(avg(surp), 4) AS mean_bits
+      |FROM scored GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -506,5 +560,6 @@ object TextOps {
     "t10_unigram_surprisal" -> QueryDef(t10, Some(t10Sql)),
     "t11_char_entropy" -> QueryDef(t11, Some(t11Sql)),
     "t12_tfidf_keywords" -> QueryDef(t12, Some(t12Sql)),
+    "t13_bigram_surprisal" -> QueryDef(t13, Some(t13Sql)),
   )
 }

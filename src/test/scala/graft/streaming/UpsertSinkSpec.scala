@@ -39,6 +39,29 @@ class UpsertSinkSpec extends SparkSuite {
     assert(got == Seq("a"))
   }
 
+  test("property: sequential batch merges equal one-shot latest-per-key " +
+      "over the concatenated input (seeded random batch splits)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      // random rows: keys 1..6, distinct ord per row so the winner is
+      // unambiguous regardless of batch boundaries
+      val rows = rnd.shuffle((1 to 30).toList).map { i =>
+        (1L + rnd.nextInt(6), s"v$i-t$trial", i.toLong)
+      }
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = rows.grouped(math.max(1, rows.size / nBatches)).toSeq
+      val sink = new UpsertSink(spark, tmpDir(s"upsertp$trial"), "k", "ord")
+      batches.zipWithIndex.foreach { case (b, id) =>
+        assert(sink.apply(df(b), id.toLong))
+      }
+      val got = sink.current().get.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val want = rows.groupBy(_._1).view.mapValues(_.maxBy(_._3)._2)
+        .toSeq.map { case (k, v) => (k, v) }.sortBy(_._1)
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
   test("drives from a real streaming query: final view is latest per key") {
     val base = tmpDir("upsert3")
     val src = tmpDir("upsert3src")
