@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation, Sketch, Sketches, Union, UpdateSketch}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable theta sketch — distinct counting WITH set algebra, the
+  * capability HLL (a06) lacks: two theta sketches intersect and difference,
+  * so "distinct users in segment A ∩ B" costs two sketch columns instead of
+  * a re-scan with a combined predicate. The fourth leg of the sketch
+  * surface (HLL a06, quantiles a10, frequent items FreqItemsAgg).
+  *
+  * Unlike the frequent-items sketch, theta sketches are HASH-characterized:
+  * the retained set is "all hashes < θ", which depends only on the value
+  * multiset, not on arrival order — so estimates are deterministic under
+  * repartitioning (same property that lets a06 be oracle-gated; the spec
+  * asserts it). Set-op results carry the standard 1/√k relative error.
+  *
+  * Aggregation state travels as compact sketch bytes (≤ ~8·k bytes),
+  * constant-size and associatively mergeable — the 100 TB rollup shape:
+  * sketch once per (dimension cell), answer arbitrary unions/intersections
+  * of cells later without touching the data again.
+  */
+final class ThetaSketchAgg(lgK: Int = 12)
+    extends Aggregator[Long, Array[Byte], Array[Byte]] {
+
+  private def empty: UpdateSketch =
+    UpdateSketch.builder().setLogNominalEntries(lgK).build()
+
+  override def zero: Array[Byte] = empty.compact().toByteArray
+
+  override def reduce(buf: Array[Byte], v: Long): Array[Byte] = {
+    // buffers hold compact (immutable) bytes; rebuild the update sketch via
+    // union — the associative path DataSketches documents for streaming in
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(Sketches.wrapCompactSketch(Memory.wrap(buf)))
+    val s = empty
+    s.update(v)
+    u.union(s.compact())
+    u.getResult.toByteArray
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(Sketches.wrapCompactSketch(Memory.wrap(a)))
+    u.union(Sketches.wrapCompactSketch(Memory.wrap(b)))
+    u.getResult.toByteArray
+  }
+
+  override def finish(buf: Array[Byte]): Array[Byte] = buf
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+object ThetaSketchAgg {
+
+  def estimate(bytes: Array[Byte]): Double =
+    Sketches.wrapCompactSketch(Memory.wrap(bytes)).getEstimate
+
+  def union(a: Array[Byte], b: Array[Byte], lgK: Int = 12): Array[Byte] = {
+    val u: Union = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(Sketches.wrapCompactSketch(Memory.wrap(a)))
+    u.union(Sketches.wrapCompactSketch(Memory.wrap(b)))
+    u.getResult.toByteArray
+  }
+
+  def intersect(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val i: Intersection = SetOperation.builder().buildIntersection()
+    i.intersect(Sketches.wrapCompactSketch(Memory.wrap(a)))
+    i.intersect(Sketches.wrapCompactSketch(Memory.wrap(b)))
+    i.getResult.toByteArray
+  }
+
+  /** a \ b (distinct in a, not in b). */
+  def aNotB(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val d = SetOperation.builder().buildANotB()
+    d.aNotB(
+      Sketches.wrapCompactSketch(Memory.wrap(a)),
+      Sketches.wrapCompactSketch(Memory.wrap(b))).toByteArray
+  }
+}

@@ -504,6 +504,66 @@ object Analytic {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** Segment-overlap via theta sketches — the distinct-set algebra HLL
+    * cannot do: |viewers|, |clickers|, and |viewers ∩ clickers| from two
+    * independently-built sketches, gated a06-style against the exact
+    * values computed in the same query. Theta sketches are
+    * hash-characterized (retained set = hashes < θ), so the estimates are
+    * order- and partitioning-independent — ThetaSketchAggSpec proves it —
+    * which is what makes the within-bound booleans deterministic and the
+    * row hash-stable.
+    *
+    * Scale shape: each segment aggregates to ONE ≤8·k-byte sketch
+    * (map-side partials, constant-size buffers); the intersection happens
+    * on the two sketches, never on the data. The exact twin here is one
+    * semi-join at test SF; at 100 TB the sketch path answers arbitrary
+    * segment algebra without re-scanning — "sketch once per cell, slice
+    * later". */
+  private def a15(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketchAgg
+    val ev = t(s, dir).events
+    def userSet(tpe: String) =
+      ev.filter(col("event_type") === tpe).select(col("user_id").as("v"))
+    val agg = new ThetaSketchAgg(12)
+    def sketch(tpe: String): Array[Byte] =
+      userSet(tpe).select(udaf(agg).apply(col("v"))).head()
+        .getAs[Array[Byte]](0)
+    val (sv, sc) = (sketch("view"), sketch("click"))
+    val estV = ThetaSketchAgg.estimate(sv)
+    val estC = ThetaSketchAgg.estimate(sc)
+    val estBoth = ThetaSketchAgg.estimate(ThetaSketchAgg.intersect(sv, sc))
+    val rse = 3.0 / math.sqrt(1 << 12)
+    val exact = userSet("view").distinct()
+      .join(userSet("click").distinct(), "v")
+      .agg(count(lit(1)).as("n_both"))
+      .crossJoin(userSet("view").agg(
+        countDistinct(col("v")).as("n_view")))
+      .crossJoin(userSet("click").agg(
+        countDistinct(col("v")).as("n_click")))
+    exact.select(
+      col("n_view"), col("n_click"), col("n_both"),
+      (abs(lit(estV) - col("n_view")) <= col("n_view") * rse * 2 + 1)
+        .as("view_within_rse"),
+      (abs(lit(estC) - col("n_click")) <= col("n_click") * rse * 2 + 1)
+        .as("click_within_rse"),
+      (abs(lit(estBoth) - col("n_both")) <= col("n_both") * rse * 4 + 1)
+        .as("both_within_rse"))
+  }
+
+  private val a15Sql =
+    """WITH v AS (SELECT DISTINCT user_id FROM events
+      |  WHERE event_type = 'view'),
+      |c AS (SELECT DISTINCT user_id FROM events
+      |  WHERE event_type = 'click')
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM v JOIN c USING (user_id))
+      |    AS n_both,
+      |  true AS view_within_rse,
+      |  true AS click_within_rse,
+      |  true AS both_within_rse""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -519,5 +579,6 @@ object Analytic {
     "a12_funnel" -> QueryDef(a12, Some(a12Sql)),
     "a13_retention_cohorts" -> QueryDef(a13, Some(a13Sql)),
     "a14_anomaly_zscore" -> QueryDef(a14, Some(a14Sql)),
+    "a15_theta_segments" -> QueryDef(a15, Some(a15Sql)),
   )
 }
