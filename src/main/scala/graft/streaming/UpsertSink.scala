@@ -52,6 +52,17 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
 
   def lastBatchId: Option[Long] = currentMeta().map(_._2)
 
+  /** Time travel: the materialized state as of `batchId` (the version that
+    * batch committed). Version directories are retained on write — the
+    * library's retention policy is "keep everything, caller prunes"; a
+    * production deployment vacuums old versions the way table formats do. */
+  def asOf(batchId: Long): Option[DataFrame] = {
+    val dir = java.nio.file.Paths.get(s"$baseDir/v$batchId")
+    if (java.nio.file.Files.exists(dir))
+      Some(spark.read.parquet(dir.toString))
+    else None
+  }
+
   /** Merge one micro-batch into the view. Returns false when the batch was
     * already applied (replay) and was skipped. */
   def apply(batch: DataFrame, batchId: Long): Boolean = {

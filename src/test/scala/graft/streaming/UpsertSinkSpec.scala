@@ -39,6 +39,19 @@ class UpsertSinkSpec extends SparkSuite {
     assert(got == Seq("a"))
   }
 
+  test("asOf time travel: each committed version remains readable and " +
+      "reflects exactly the batches applied up to it") {
+    val sink = new UpsertSink(spark, tmpDir("upsert4"), "k", "ord")
+    assert(sink.apply(df(Seq((1L, "v0", 1L))), 0L))
+    assert(sink.apply(df(Seq((1L, "v1", 2L), (2L, "w", 1L))), 1L))
+    val at0 = sink.asOf(0L).get.collect().map(_.getString(1)).toSeq
+    assert(at0 == Seq("v0"))
+    val at1 = sink.asOf(1L).get.orderBy("k").collect()
+      .map(_.getString(1)).toSeq
+    assert(at1 == Seq("v1", "w"))
+    assert(sink.asOf(7L).isEmpty)
+  }
+
   test("property: sequential batch merges equal one-shot latest-per-key " +
       "over the concatenated input (seeded random batch splits)") {
     val rnd = new scala.util.Random(42)
