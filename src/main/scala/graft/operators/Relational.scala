@@ -702,6 +702,37 @@ object Relational {
       |FROM dim FULL OUTER JOIN upd ON dim.c_custkey = upd.c_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  /** LISTAGG / string_agg — ordered string concatenation per group, the
+    * BI staple (labels, breadcrumbs, error rollups). Determinism demands
+    * an explicit element order: collect_set gathers partition-order-free,
+    * array_sort fixes the order, array_join renders — so the same string
+    * materializes on any partitioning (the DuckDB twin orders inside
+    * string_agg).
+    *
+    * Scale note: group payload is the DISTINCT value set (here ≤5 segment
+    * names per nation) — listagg over high-cardinality payloads belongs
+    * behind a top-k cut (q09's TakeOrdered shape) or it re-creates the
+    * group-blowup problem no engine can save you from. */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).customer
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+
+  private val q47Sql =
+    """SELECT c_nationkey,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+      |    AS segments,
+      |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+      |  CAST(count(*) AS BIGINT) AS n_customers
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -731,5 +762,6 @@ object Relational {
     "q40_not_in_null_aware" -> QueryDef(q40, Some(q40Sql)),
     "q42_unpivot" -> QueryDef(q42, Some(q42Sql)),
     "q46_scd2_upsert" -> QueryDef(q46, Some(q46Sql)),
+    "q47_listagg" -> QueryDef(q47, Some(q47Sql)),
   )
 }
