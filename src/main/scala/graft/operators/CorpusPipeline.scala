@@ -507,6 +507,11 @@ object CorpusPipeline {
     * Output: the clean (non-contaminated) corpus documents with their
     * distinct-gram counts. */
   private def p08(s: SparkSession, dir: String): DataFrame = {
+    // cached: the gram-hash arrays feed four consumers (bloom build, exact
+    // probe set, prefilter scan, output projection) — without the cache the
+    // shingle/hash computation re-runs per consumer (measured 11 s → ~3 s
+    // at sf0.1). The cache holds (doc_id, lang, ghashes) only — text and
+    // toks are dropped first.
     val base = Tables(s, dir).documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 5)
@@ -514,6 +519,8 @@ object CorpusPipeline {
         """array_distinct(transform(sequence(0, size(toks) - 5),
           |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
           |    toks[i+3], toks[i+4]))))""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("ghashes"))
+      .cache()
     val probeBloom = graft.functions.BloomContains.build(
       base.filter(col("doc_id") < 20)
         .select(explode(col("ghashes")).as("g")))

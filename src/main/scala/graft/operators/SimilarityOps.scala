@@ -757,8 +757,14 @@ object SimilarityOps {
     val cand = scored.withColumn("crk", row_number().over(wAdc))
       .filter(col("crk") <= 10)
       .select(col("q_id"), col("c_id"), col("adc_cos"))
-    // fetch raw vectors for the shortlist only (point-lookup joins)
-    val raw = assigned.select(col("vec_id"), col("vd"), col("nrm"))
+    // fetch raw vectors for the shortlist only (point-lookup joins) —
+    // straight from the embedding table: re-reading via `assigned` would
+    // re-run the whole IVF assignment pipeline just to project columns
+    // the scan already has
+    val raw = t(s, dir).embeddingsSpread
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dotF64(col("vd"), col("vd"))))
+      .select(col("vec_id"), col("vd"), col("nrm"))
     val rr = cand
       .join(raw.select(col("vec_id").as("q_id"), col("vd").as("qv"),
         col("nrm").as("qn")), "q_id")
