@@ -347,6 +347,9 @@ object CorpusPipeline {
           |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
           |    toks[i+4]))""".stripMargin))).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      // cached: probe-set build and corpus-side contamination join both
+      // consume the exploded gram hashes (8-byte rows)
+      .cache()
     val probe = grams.filter(col("doc_id") < 20).select(col("g")).distinct()
     val contaminated = grams.filter(col("doc_id") >= 20)
       .join(broadcast(probe), Seq("g"))

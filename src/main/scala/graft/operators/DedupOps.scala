@@ -854,6 +854,10 @@ object DedupOps {
         "zip_with(starts, ends, (s, e) -> substring(text, s, e - s))"))
         .as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("h"))
+      // cached: three consumers (doc-frequency, per-doc totals, shared
+      // counts) would each re-run the per-character rolling-hash boundary
+      // scan — the cache holds only (doc_id, 128-bit hash) rows
+      .cache()
     val shared = chunks.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
