@@ -565,6 +565,56 @@ object CorpusPipeline {
       |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-epoch deterministic reshuffle order — multi-epoch training must
+    * present the corpus in a DIFFERENT order each epoch (epoch-identical
+    * order biases optimization), yet the order must be reproducible for
+    * restarts and for cross-engine parity. Order key =
+    * `h60(doc_id || ':' || epoch)`: content-derived, so epoch 0 and
+    * epoch 1 get independent permutations and any engine re-derives the
+    * same ones.
+    *
+    * Scale design: position assignment is a window partitioned by
+    * (epoch, shard) — every shard × epoch orders independently
+    * (cluster-local), and the export is
+    * `repartition(shard).sortWithinPartitions(pos)`, never a global sort
+    * (p04's discipline applied per epoch). 3 epochs × 4 shards here;
+    * output limited to shard 0 to keep the oracle frame small while
+    * still crossing epochs. */
+  private def p09(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documentsSpread
+      .select(col("doc_id"))
+    val epochs = docs.crossJoin(
+      s.range(0, 3).select(col("id").as("epoch")))
+    val keyed = epochs
+      .withColumn("okey",
+        StableHash.h60(concat(col("doc_id"), lit(":"), col("epoch"))))
+      .withColumn("shard", (col("okey") % 4).cast("long"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("okey"), col("doc_id"))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("shard") === 0)
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  private val p09Sql = {
+    val h = StableHash.duckH60("doc_id || ':' || epoch")
+    s"""WITH e AS (
+       |  SELECT doc_id, epoch FROM documents,
+       |    (SELECT unnest(range(3)) AS epoch) ep),
+       |keyed AS (
+       |  SELECT doc_id, epoch, $h AS okey, ($h) % 4 AS shard FROM e)
+       |SELECT epoch, CAST(shard AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard
+       |    ORDER BY okey, doc_id) AS BIGINT) AS pos,
+       |  doc_id
+       |FROM keyed
+       |WHERE shard = 0
+       |ORDER BY epoch, pos""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -574,5 +624,6 @@ object CorpusPipeline {
     "p06_source_cap" -> QueryDef(p06, Some(p06Sql)),
     "p07_mix_report" -> QueryDef(p07, Some(p07Sql)),
     "p08_bloom_decontaminate" -> QueryDef(p08, Some(p08Sql)),
+    "p09_epoch_shuffle_order" -> QueryDef(p09, Some(p09Sql)),
   )
 }
