@@ -138,9 +138,68 @@ object MultimodalOps {
       |HAVING count(*) >= 2
       |ORDER BY blockhash""".stripMargin
 
+  /** Audio windowing over the opaque blob — the chunking stage every
+    * speech pipeline runs before decode (Whisper-style models take fixed
+    * windows with overlap): treat the blob as 16-bit mono PCM at a
+    * per-row sample rate (doc-derived, deterministic), emit 1-second
+    * windows (rate samples) with a 50% hop, each with its sample offset, byte offset and
+    * span — the (media_id, window) work units that then `repartition`
+    * freely into the mapPartitions decoder slot
+    * ([[graft.streaming.MediaPipeline]]).
+    *
+    * Window count per clip = `floor(n_samples / hop)` minus trailing
+    * windows that would start past `n_samples − hop` (half-open, full
+    * windows only, plus one tail window when a half-hop remainder
+    * exists) — expressed as `sequence` bounds in pure integer math so
+    * both engines enumerate identical windows. Per-row explode only:
+    * embarrassingly parallel, rows ∝ audio seconds, no shuffle before
+    * the output sort. */
+  private def m04(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .withColumn("n_bytes", octet_length(col("text").cast("binary")))
+      // fake but deterministic per-clip rate: 8k or 16k by doc parity
+      .withColumn("rate",
+        when(col("doc_id") % 2 === 0, 64L).otherwise(32L))
+      .withColumn("n_samples", (col("n_bytes") / 2).cast("long"))
+      .withColumn("hop", (col("rate") / 2).cast("long"))
+      .filter(col("n_samples") >= col("hop"))
+      .select(col("doc_id"), col("rate"), col("n_samples"), col("hop"),
+        explode(expr(
+          "sequence(0, CAST((n_samples - hop) div hop AS INT))"))
+          .as("win_idx"))
+      .select(
+        col("doc_id"), col("rate"),
+        col("win_idx").cast("long").as("win_idx"),
+        (col("win_idx") * col("hop")).as("start_sample"),
+        (col("win_idx") * col("hop") * 2).as("start_byte"),
+        least(col("rate"), col("n_samples") - col("win_idx") * col("hop"))
+          .as("win_samples"))
+      .orderBy(col("doc_id"), col("win_idx"))
+
+  private val m04Sql =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 32 END AS rate,
+      |    octet_length(encode(text)) // 2 AS n_samples,
+      |    CASE WHEN doc_id % 2 = 0 THEN 32 ELSE 16 END AS hop
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, rate, n_samples, hop,
+      |    unnest(range(0, (n_samples - hop) // hop + 1)) AS win_idx
+      |  FROM a WHERE n_samples >= hop)
+      |SELECT doc_id, CAST(rate AS BIGINT) AS rate,
+      |  CAST(win_idx AS BIGINT) AS win_idx,
+      |  CAST(win_idx * hop AS BIGINT) AS start_sample,
+      |  CAST(win_idx * hop * 2 AS BIGINT) AS start_byte,
+      |  CAST(least(rate, n_samples - win_idx * hop) AS BIGINT)
+      |    AS win_samples
+      |FROM w
+      |ORDER BY doc_id, win_idx""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_multimodal_meta" -> QueryDef(m01, Some(m01Sql)),
     "m02_frame_sample" -> QueryDef(m02, Some(m02Sql)),
     "m03_blockhash_neardup" -> QueryDef(m03, Some(m03Sql)),
+    "m04_audio_windows" -> QueryDef(m04, Some(m04Sql)),
   )
 }
