@@ -64,15 +64,21 @@ case class BloomContainsLong(child: Expression, bloomBytes: Array[Byte])
 
 object BloomContains {
 
-  /** Builds a serialized Bloom filter from the distinct long keys of `keys`'
-    * single column. The collect is bounded by design: callers pass the
-    * (comparatively small) probe side, never the corpus — and at 10 bits/key
-    * the driver holds ~1.2 MB per million keys, far below any broadcast a
-    * semi-join of the same set would ship. */
+  /** Builds a serialized Bloom filter from the long keys of `keys`' single
+    * column — DISTRIBUTED: Spark's `stat.bloomFilter` aggregates
+    * per-partition filters and merges on the driver, so only the final
+    * ~10-bits/key bit array (≈1.2 MB per million keys) ever reaches the
+    * driver. A collect-then-insert build would materialize every key as a
+    * driver-side Row first — OOM at exactly the 10^8-key probe scale this
+    * expression exists for. The sizing count is one cheap aggregate
+    * (duplicate keys inflate it harmlessly: the filter just gets a lower
+    * effective fpp). */
   def build(keys: org.apache.spark.sql.DataFrame, fpp: Double = 0.01): Array[Byte] = {
-    val longs = keys.distinct().collect().map(_.getLong(0))
-    val bf = BloomFilter.create(math.max(longs.length.toLong, 1L), fpp)
-    longs.foreach(bf.putLong)
+    val keyCol = keys.columns.head
+    val n = keys.select(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.col(keyCol))).head().getLong(0)
+    val bf: BloomFilter =
+      keys.stat.bloomFilter(keyCol, math.max(n, 1L), fpp)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
     out.toByteArray

@@ -31,39 +31,39 @@ import org.apache.spark.sql.expressions.Aggregator
   * constant-size, spill-friendly, portable across executors.
   */
 final class FreqItemsAgg(maxMapSize: Int)
-    extends Aggregator[String, Array[Byte], Map[String, Long]] {
+    extends Aggregator[String, ItemsSketch[String], Map[String, Long]] {
 
-  @transient private lazy val serde = new ArrayOfStringsSerDe
+  // Live sketch object as the buffer (see ThetaSketchAgg): Spark's typed
+  // aggregation keeps buffers as objects between rows, so update cost is
+  // the sketch's own O(1) amortized insert instead of a full
+  // serialize/deserialize round-trip per row.
+  override def zero: ItemsSketch[String] = new ItemsSketch[String](maxMapSize)
 
-  private def load(buf: Array[Byte]): ItemsSketch[String] =
-    ItemsSketch.getInstance(Memory.wrap(buf), serde)
-
-  override def zero: Array[Byte] =
-    new ItemsSketch[String](maxMapSize).toByteArray(serde)
-
-  override def reduce(buf: Array[Byte], item: String): Array[Byte] = {
-    val sk = load(buf)
-    sk.update(item)
-    sk.toByteArray(serde)
+  override def reduce(buf: ItemsSketch[String], item: String)
+      : ItemsSketch[String] = {
+    buf.update(item)
+    buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val sa = load(a)
-    sa.merge(load(b))
-    sa.toByteArray(serde)
-  }
+  override def merge(a: ItemsSketch[String], b: ItemsSketch[String])
+      : ItemsSketch[String] = a.merge(b)
 
   /** item → estimated count, NO_FALSE_NEGATIVES: a superset of every item
     * with true count > maximum error. */
-  override def finish(buf: Array[Byte]): Map[String, Long] =
-    load(buf).getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+  override def finish(buf: ItemsSketch[String]): Map[String, Long] =
+    buf.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
       .map(r => r.getItem -> r.getEstimate).toMap
 
-  /** The sketch's error bound for the same buffer (for candidate-set
-    * threshold checks). */
-  def maximumError(buf: Array[Byte]): Long = load(buf).getMaximumError
+  /** The compact wire form and error bound, for callers persisting the
+    * sketch instead of its answer. */
+  def toBytes(sk: ItemsSketch[String]): Array[Byte] =
+    sk.toByteArray(new ArrayOfStringsSerDe)
+  def fromBytes(buf: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(buf), new ArrayOfStringsSerDe)
+  def maximumError(sk: ItemsSketch[String]): Long = sk.getMaximumError
 
-  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def bufferEncoder: Encoder[ItemsSketch[String]] =
+    Encoders.kryo[ItemsSketch[String]]
   override def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }

@@ -23,33 +23,29 @@ import org.apache.spark.sql.expressions.Aggregator
   * of cells later without touching the data again.
   */
 final class ThetaSketchAgg(lgK: Int = 12)
-    extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    extends Aggregator[Long, Union, Array[Byte]] {
 
-  private def empty: UpdateSketch =
-    UpdateSketch.builder().setLogNominalEntries(lgK).build()
+  // The buffer is the LIVE Union object: Spark's typed-aggregate path
+  // (TypedImperativeAggregate) keeps buffers as objects between rows and
+  // only runs the encoder at shuffle/spill boundaries, so update cost is
+  // the sketch's own O(1) amortized insert — a deserialize/reserialize
+  // round-trip per row (the naive compact-bytes-buffer formulation) would
+  // make serde dominate the scan at scale.
+  override def zero: Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
 
-  override def zero: Array[Byte] = empty.compact().toByteArray
-
-  override def reduce(buf: Array[Byte], v: Long): Array[Byte] = {
-    // buffers hold compact (immutable) bytes; rebuild the update sketch via
-    // union — the associative path DataSketches documents for streaming in
-    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
-    u.union(Sketches.wrapCompactSketch(Memory.wrap(buf)))
-    val s = empty
-    s.update(v)
-    u.union(s.compact())
-    u.getResult.toByteArray
+  override def reduce(buf: Union, v: Long): Union = {
+    buf.update(v)
+    buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
-    u.union(Sketches.wrapCompactSketch(Memory.wrap(a)))
-    u.union(Sketches.wrapCompactSketch(Memory.wrap(b)))
-    u.getResult.toByteArray
+  override def merge(a: Union, b: Union): Union = {
+    a.union(b.getResult)
+    a
   }
 
-  override def finish(buf: Array[Byte]): Array[Byte] = buf
-  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def finish(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def bufferEncoder: Encoder[Union] = Encoders.kryo[Union]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 

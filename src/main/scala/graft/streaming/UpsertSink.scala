@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -17,11 +18,22 @@ import org.apache.spark.sql.expressions.Window
   * file — readers resolve the pointer, so a crash mid-write never exposes a
   * half-written view).
   *
-  * Replay-idempotence: the pointer file records the last applied batchId;
-  * a replayed micro-batch (same id) is skipped, so Structured Streaming's
-  * at-least-once `foreachBatch` contract yields an exactly-once VIEW — the
-  * same (query, batchId) token discipline the topic sinks use
-  * (TopicIO.append), applied to state instead of a log.
+  * Replay-idempotence: the pointer file records the last applied
+  * (queryId, batchId) token — the same discipline the topic sinks use
+  * (TopicIO.append's `<query>-<batchId>`), applied to state instead of a
+  * log. A replayed micro-batch (same query, same id) is skipped, so
+  * Structured Streaming's at-least-once `foreachBatch` contract yields an
+  * exactly-once VIEW; a DIFFERENT queryId (new query over the same view, or
+  * a checkpoint reset that restarts batch numbering at 0) is NOT a replay
+  * and merges normally.
+  *
+  * All pointer I/O goes through the Hadoop filesystem of `baseDir`'s
+  * scheme, so the same code runs against file:, hdfs:, or s3a: state dirs
+  * (the parquet versions already do). The pointer flip uses
+  * FileContext.rename(OVERWRITE) — atomic on HDFS and local; on object
+  * stores the rename is copy+delete of a ~40-byte file, and a crash in the
+  * window leaves the OLD pointer intact (never a half-written one, since
+  * the temp is fully written first).
   *
   * Scale: the merge is one keyed window over state ∪ batch — shuffle cost
   * ∝ state size, the standard cost of a full-compaction upsert view; at
@@ -33,40 +45,52 @@ import org.apache.spark.sql.expressions.Window
   * north-star extension surface.
   */
 final class UpsertSink(spark: SparkSession, baseDir: String,
-    keyCol: String, orderCol: String) {
+    keyCol: String, orderCol: String, queryId: String = "default") {
 
-  private val ptr = java.nio.file.Paths.get(s"$baseDir/CURRENT")
+  private val ptrPath = new Path(s"$baseDir/CURRENT")
+  private def fs = ptrPath.getFileSystem(
+    spark.sessionState.newHadoopConf())
 
-  private def currentMeta(): Option[(String, Long)] =
-    if (java.nio.file.Files.exists(ptr)) {
-      val s = new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8").trim
-      val Array(dir, bid) = s.split(",")
-      Some((dir, bid.toLong))
-    } else None
+  /** (version dir, queryId, batchId) from the pointer, if committed. */
+  private def currentMeta(): Option[(String, String, Long)] = {
+    val f = fs
+    if (!f.exists(ptrPath)) None
+    else {
+      val in = f.open(ptrPath)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s.split(",") match {
+        case Array(dir, qid, bid) => Some((dir, qid, bid.toLong))
+        case Array(dir, bid) => Some((dir, queryId, bid.toLong)) // legacy
+        case _ => None
+      }
+    }
+  }
 
-  /** The current materialized state (empty schema-less read if nothing has
-    * been committed yet — callers get an empty frame via the batch's own
-    * schema in [[apply]]; external readers should check [[isEmpty]]). */
+  /** The current materialized state, if any batch has committed. */
   def current(): Option[DataFrame] =
-    currentMeta().map { case (dir, _) => spark.read.parquet(s"$baseDir/$dir") }
+    currentMeta().map { case (dir, _, _) =>
+      spark.read.parquet(s"$baseDir/$dir")
+    }
 
-  def lastBatchId: Option[Long] = currentMeta().map(_._2)
+  def lastBatchId: Option[Long] = currentMeta().map(_._3)
 
   /** Time travel: the materialized state as of `batchId` (the version that
     * batch committed). Version directories are retained on write — the
     * library's retention policy is "keep everything, caller prunes"; a
     * production deployment vacuums old versions the way table formats do. */
   def asOf(batchId: Long): Option[DataFrame] = {
-    val dir = java.nio.file.Paths.get(s"$baseDir/v$batchId")
-    if (java.nio.file.Files.exists(dir))
-      Some(spark.read.parquet(dir.toString))
-    else None
+    val dir = new Path(s"$baseDir/v$batchId")
+    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
   }
 
   /** Merge one micro-batch into the view. Returns false when the batch was
-    * already applied (replay) and was skipped. */
+    * already applied BY THIS QUERY (replay) and was skipped. */
   def apply(batch: DataFrame, batchId: Long): Boolean = {
-    if (lastBatchId.exists(batchId <= _)) return false
+    val replay = currentMeta().exists { case (_, qid, bid) =>
+      qid == queryId && batchId <= bid
+    }
+    if (replay) return false
     val merged = current() match {
       case None => latestPerKey(batch)
       case Some(state) =>
@@ -77,11 +101,14 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     }
     val next = s"v$batchId"
     merged.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/$next")
-    val tmp = java.nio.file.Paths.get(s"$baseDir/CURRENT.tmp")
-    java.nio.file.Files.write(tmp, s"$next,$batchId".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, ptr,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val f = fs
+    val tmp = new Path(s"$baseDir/CURRENT.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$next,$queryId,$batchId".getBytes("UTF-8"))
+    finally out.close()
+    FileContext.getFileContext(ptrPath.toUri,
+      spark.sessionState.newHadoopConf())
+      .rename(tmp, ptrPath, Options.Rename.OVERWRITE)
     true
   }
 

@@ -12,9 +12,14 @@ class FreqItemsAggSpec extends SparkSuite {
       "(distributed, skewed input, small sketch forcing evictions)") {
     val sess = spark
     import sess.implicits._
-    // skewed counts: item k appears k² times, k = 1..60 → heavy tail of
-    // rare items plus a few dominant ones; 8-entry sketch must evict
-    val rows = (1 to 60).flatMap(k => Seq.fill(k * k)(s"item$k"))
+    // two dominant items that MUST survive (far above 3.5·N/M) plus a
+    // long tail of 200 rare items forcing constant eviction in an
+    // 8-entry sketch. N = 50000 + 30000 + 200·100 = 100000 →
+    // bound = 3.5·N/8 = 43750 < 50000, so "alpha" sits above the bound
+    // and the guarantee is actually exercised (a dropped-merge bug that
+    // lost alpha WOULD fail this test).
+    val rows = Seq.fill(50000)("alpha") ++ Seq.fill(30000)("beta") ++
+      (1 to 200).flatMap(k => Seq.fill(100)(s"tail$k"))
     val ds = spark.createDataset(rows).repartition(8)
     val agg = new FreqItemsAgg(8)
     val sketch = ds.select(udaf(agg).apply(col("value"))).head().getMap[String, Long](0)
@@ -25,14 +30,14 @@ class FreqItemsAggSpec extends SparkSuite {
     // per-partition bounds, still ≤ 3.5·N/M total); anything truly above
     // it must be present
     val loosePublicBound = 3.5 * n / 8
-    val missingHeavy = exact.filter { case (_, c) => c > loosePublicBound }
-      .keySet.diff(sketch.keySet)
+    val heavy = exact.filter { case (_, c) => c > loosePublicBound }.keySet
+    assert(heavy.nonEmpty, "test setup broken: nothing above the bound")
+    val missingHeavy = heavy.diff(sketch.keySet)
     assert(missingHeavy.isEmpty,
       s"items above the error bound missing from sketch: $missingHeavy")
-    // estimates never undershoot by more than the bound, never overshoot
-    // the bound above truth
+    // estimates never deviate from truth by more than the bound
     sketch.foreach { case (item, est) =>
-      val truth = exact(item)
+      val truth = exact.getOrElse(item, 0L)
       assert(est >= truth - loosePublicBound && est <= truth + loosePublicBound,
         s"$item: est $est vs truth $truth exceeds error bound $loosePublicBound")
     }
@@ -45,7 +50,11 @@ class FreqItemsAggSpec extends SparkSuite {
     val rows = (1 to 40).flatMap(k => Seq.fill(k * k * 3)(s"w$k"))
     val ds = spark.createDataset(rows).repartition(4)
     val n = rows.size.toLong
-    val threshold = n / 10
+    // N = 3·Σk² (k≤40) = 66,420; counts are 3k² so the top items (k=34..40
+    // → 3,468..4,800) clear n/20 = 3,321 — the threshold selects a real,
+    // non-empty heavy-hitter set (n/10 selected nothing: max count 4,800
+    // < 6,642, making the old assertion Map() == Map())
+    val threshold = n / 20
     val agg = new FreqItemsAgg(16)
     val candidates = ds.select(udaf(agg).apply(col("value")))
       .head().getMap[String, Long](0).keySet
@@ -56,6 +65,7 @@ class FreqItemsAggSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
       .filter(_._2 >= threshold).toMap
+    assert(exact.nonEmpty, "test setup broken: no exact heavy hitters")
     assert(confirmed == exact,
       s"sketch+confirm diverged from exact: $confirmed vs $exact")
   }

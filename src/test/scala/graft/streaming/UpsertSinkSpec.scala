@@ -39,6 +39,22 @@ class UpsertSinkSpec extends SparkSuite {
     assert(got == Seq("a"))
   }
 
+  test("a different queryId over the same view is NOT a replay: its " +
+      "batch 0 merges instead of being dropped (checkpoint-reset safety)") {
+    val base = tmpDir("upsert5")
+    val q1 = new UpsertSink(spark, base, "k", "ord", queryId = "q1")
+    assert(q1.apply(df(Seq((1L, "from-q1", 5L))), 7L))
+    // a new query (fresh checkpoint) starts numbering at 0 again
+    val q2 = new UpsertSink(spark, base, "k", "ord", queryId = "q2")
+    assert(q2.apply(df(Seq((2L, "from-q2", 1L))), 0L),
+      "new query's batch 0 must not be treated as a replay of q1's 7")
+    val got = q2.current().get.orderBy("k").collect()
+      .map(_.getString(1)).toSeq
+    assert(got == Seq("from-q1", "from-q2"))
+    // but q2's OWN replay of batch 0 is still skipped
+    assert(!q2.apply(df(Seq((9L, "dup", 1L))), 0L))
+  }
+
   test("asOf time travel: each committed version remains readable and " +
       "reflects exactly the batches applied up to it") {
     val sink = new UpsertSink(spark, tmpDir("upsert4"), "k", "ord")
