@@ -62,6 +62,53 @@ object Temporal {
       |WHERE rk = 1
       |ORDER BY click_id""".stripMargin
 
+  /** Forward as-of join — q31's mirror (pandas `merge_asof
+    * direction='forward'`): for every `click`, the EARLIEST `purchase` by
+    * the same user at-or-after it (conversion attribution forward in
+    * time). Same no-join union-scan topology as q31, with the window
+    * frame flipped to currentRow..unboundedFollowing and `first` instead
+    * of `last`; tie rule mirrored (a purchase at exactly the click's
+    * timestamp matches; among equal-ts purchases the LOWEST event_id
+    * wins). One shuffle on user_id, zero pair blowup. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir).events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    // at equal ts the click sorts BEFORE the purchase, so the equal-ts
+    // purchase lands inside the click's following frame (mirrors q31,
+    // where views sort before clicks in the preceding frame)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_type") === "purchase", col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev
+      .withColumn("purchase_id", first(
+        when(col("event_type") === "purchase", col("event_id")),
+        ignoreNulls = true).over(w))
+      .withColumn("purchase_ts_us", first(
+        when(col("event_type") === "purchase", col("ts_us")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click" && col("purchase_id").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("purchase_id"),
+        (col("purchase_ts_us") - col("ts_us")).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
+  private val q48Sql =
+    """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT c.event_id AS click_id, c.user_id AS user_id,
+      |    p.event_id AS purchase_id,
+      |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+      |    row_number() OVER (PARTITION BY c.event_id
+      |      ORDER BY p.ts, p.event_id) AS rk
+      |  FROM c JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts)
+      |SELECT click_id, user_id, purchase_id, gap_us FROM pairs
+      |WHERE rk = 1
+      |ORDER BY click_id""".stripMargin
+
   /** Range join: events banded by `value` against an inline band-boundary
     * dimension via a non-equi predicate. The band table broadcasts
     * (BroadcastNestedLoopJoin) — the right physical plan for a tiny
@@ -248,5 +295,6 @@ object Temporal {
     "q33_range_frame" -> QueryDef(q33, Some(q33Sql)),
     "q43_sessionize" -> QueryDef(q43, Some(q43Sql)),
     "q44_interval_concurrency" -> QueryDef(q44, Some(q44Sql)),
+    "q48_asof_forward" -> QueryDef(q48, Some(q48Sql)),
   )
 }

@@ -50,11 +50,13 @@ class PlanSpec extends SparkSuite {
     assert(PlanChecks.hasWholeStageCodegen(run("q02_agg_pricing")))
   }
 
-  test("q31: as-of join is a single union-scan — no join operator at all") {
-    val df = run("q31_asof_join")
-    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
-    assert(!ops.exists(_.contains("Join")),
-      s"as-of must not plan a join (pair blowup at scale); got $ops")
+  test("q31/q48: as-of joins (both directions) are single union-scans — " +
+      "no join operator at all") {
+    Seq("q31_asof_join", "q48_asof_forward").foreach { n =>
+      val ops = PlanChecks.physical(run(n)).map(_.getClass.getSimpleName)
+      assert(!ops.exists(_.contains("Join")),
+        s"$n must not plan a join (pair blowup at scale); got $ops")
+    }
   }
 
   test("q32: band range-join broadcasts the band dim (nested-loop is the " +
