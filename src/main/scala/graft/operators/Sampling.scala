@@ -402,6 +402,57 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic bootstrap resampling — confidence intervals for corpus
+    * metrics without randomness: each of 16 resamples draws every document
+    * with a Poisson(1)-approximating multiplicity derived from
+    * `h60(doc_id # resample) % 1000` (thresholds 368/736/920/981 ≈ the
+    * Poisson pmf for k = 0,1,2,3,4) — the standard Poisson-ized bootstrap
+    * for distributed data (per-row independent draws, no global resample
+    * index), made reproducible by the content-derived hash so both engines
+    * and any two cluster runs draw IDENTICAL resamples.
+    *
+    * The spread of `mean_chars` across the 16 rows IS the bootstrap CI of
+    * the corpus mean. Scale: no explode — multiplicities weight the sums —
+    * and the aggregate has 16 groups with map-side partials; cost is one
+    * 16× widened scan, shuffle rows = 16. */
+  private def x11(s: SparkSession, dir: String): DataFrame = {
+    val r = s.range(0, 16).select(col("id").as("resample"))
+    Tables(s, dir).documentsSpread
+      .select(col("doc_id"), col("n_chars"))
+      .crossJoin(broadcast(r))
+      .withColumn("h",
+        StableHash.h60(concat(col("doc_id"), lit("#"), col("resample")))
+          % 1000)
+      .withColumn("m",
+        when(col("h") < 368, 0L).when(col("h") < 736, 1L)
+          .when(col("h") < 920, 2L).when(col("h") < 981, 3L)
+          .otherwise(4L))
+      .groupBy(col("resample"))
+      .agg(sum(col("m")).as("n_eff"),
+        sum(col("m") * col("n_chars")).as("sum_chars"))
+      .withColumn("mean_chars",
+        round(col("sum_chars") / col("n_eff").cast("double"), 4))
+      .orderBy(col("resample"))
+  }
+
+  private val x11Sql = {
+    val h = StableHash.duckH60("doc_id || '#' || resample")
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars, resample, ($h) % 1000 AS h
+       |  FROM documents, (SELECT unnest(range(16)) AS resample) r),
+       |m AS (
+       |  SELECT resample, n_chars,
+       |    CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+       |      WHEN h < 920 THEN 2 WHEN h < 981 THEN 3 ELSE 4 END AS m
+       |  FROM d)
+       |SELECT resample, CAST(sum(m) AS BIGINT) AS n_eff,
+       |  CAST(sum(m * n_chars) AS BIGINT) AS sum_chars,
+       |  round(sum(m * n_chars) / CAST(sum(m) AS DOUBLE), 4) AS mean_chars
+       |FROM m
+       |GROUP BY resample
+       |ORDER BY resample""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
     "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
@@ -413,5 +464,6 @@ object Sampling {
     "x08_quality_temperature_sample" -> QueryDef(x08, Some(x08Sql)),
     "x09_leakage_safe_split" -> QueryDef(x09, Some(x09Sql)),
     "x10_dsir_resample" -> QueryDef(x10, Some(x10Sql)),
+    "x11_bootstrap_ci" -> QueryDef(x11, Some(x11Sql)),
   )
 }
