@@ -31,6 +31,19 @@ class QueriesSpec extends SparkSuite {
       s"unexpected empty results: $empties")
   }
 
+  test("q43 batch sessionization agrees with a03's session_window: same " +
+      "sessions, same sizes, same starts (backfill ≡ streaming semantics)") {
+    val q43 = SparkEntry.queries("q43_sessionize")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("start_us") / 1000, r.getAs[Long]("n_events"))).toSet
+    val a03 = SparkEntry.queries("a03_session_window")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_start_ms"), r.getAs[Long]("n_events"))).toSet
+    assert(q43 == a03,
+      s"batch and streaming sessionization diverged: " +
+        s"only-batch=${q43.diff(a03).take(3)} only-stream=${a03.diff(q43).take(3)}")
+  }
+
   test("a06 HLL estimates sit inside the 3·rsd envelope (deterministic bound)") {
     val rows = SparkEntry.queries("a06_hll_approx")(spark, sf0001).collect()
     assert(rows.nonEmpty)
