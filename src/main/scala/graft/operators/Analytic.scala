@@ -564,6 +564,46 @@ object Analytic {
       |  true AS click_within_rse,
       |  true AS both_within_rse""".stripMargin
 
+  /** Rolling 7-day distinct active users (WAU per day) — the rolling
+    * DISTINCT no window frame can express (`count(DISTINCT) OVER RANGE`
+    * is unsupported in both engines, and a per-day self-join re-scans the
+    * fact 7×). The scale-honest form: reduce to distinct (user, day)
+    * pairs first (the only corpus-sized aggregate), then each pair votes
+    * into the 7 calendar days it keeps the user "active" for (a bounded
+    * ×7 explode of the ALREADY-reduced pairs), then one distinct-count
+    * per target day. Cost: corpus scan + ×7 of |user×day|, never fact×7.
+    * Output restricted to days with full 7-day lookback so edge days
+    * don't report partial windows. */
+  private def a16(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    ud
+      .select(col("user_id"), explode(expr(
+        "sequence(day, date_add(day, 6))")).as("wday"))
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("wday") >= expr("date_add(d0, 6)")
+        && col("wday") <= col("d1"))
+      .select(col("wday").as("day"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  private val a16Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+      |votes AS (
+      |  SELECT user_id, day + CAST(o AS INT) AS wday
+      |  FROM ud, (SELECT unnest(range(7)) AS o) off)
+      |SELECT wday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |FROM votes, b
+      |WHERE wday >= b.d0 + 6 AND wday <= b.d1
+      |GROUP BY wday
+      |ORDER BY day""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -580,5 +620,6 @@ object Analytic {
     "a13_retention_cohorts" -> QueryDef(a13, Some(a13Sql)),
     "a14_anomaly_zscore" -> QueryDef(a14, Some(a14Sql)),
     "a15_theta_segments" -> QueryDef(a15, Some(a15Sql)),
+    "a16_rolling_wau" -> QueryDef(a16, Some(a16Sql)),
   )
 }
