@@ -578,7 +578,12 @@ object Analytic {
     val ud = t(s, dir).events
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    // bounds from a single-column scan of the fact (parquet min/max column
+    // statistics make this near-free) — deriving them via `ud` would
+    // re-run the corpus-wide distinct aggregate a second time; the values
+    // are identical (min/max day is invariant under distinct)
+    val bounds = t(s, dir).events
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
     ud
       .select(col("user_id"), explode(expr(
         "sequence(day, date_add(day, 6))")).as("wday"))

@@ -75,17 +75,25 @@ object Temporal {
       .filter(col("event_type").isin("purchase", "click"))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
-    // at equal ts the click sorts BEFORE the purchase, so the equal-ts
-    // purchase lands inside the click's following frame (mirrors q31,
-    // where views sort before clicks in the preceding frame)
+    // DESCENDING time with a GROWING frame (unboundedPreceding..current):
+    // Spark executes growing frames incrementally (O(n) per partition)
+    // but shrinking ones (currentRow..unboundedFollowing) via the
+    // quadratic UnboundedFollowingWindowFunctionFrame — re-aggregating
+    // the remaining partition per row, exactly the hot-user blowup this
+    // topology exists to avoid. Walking time backwards, `last` purchase
+    // seen at-or-before the click in DESC order = earliest at-or-after in
+    // real time. Equal-ts purchases sort before the click (inside its
+    // frame); event_id DESC makes `last` pick the lowest id among
+    // equal-ts purchases — the oracle's ORDER BY p.ts, p.event_id pick.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_type") === "purchase", col("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("ts_us").desc,
+        (col("event_type") === "purchase").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev
-      .withColumn("purchase_id", first(
+      .withColumn("purchase_id", last(
         when(col("event_type") === "purchase", col("event_id")),
         ignoreNulls = true).over(w))
-      .withColumn("purchase_ts_us", first(
+      .withColumn("purchase_ts_us", last(
         when(col("event_type") === "purchase", col("ts_us")),
         ignoreNulls = true).over(w))
       .filter(col("event_type") === "click" && col("purchase_id").isNotNull)
