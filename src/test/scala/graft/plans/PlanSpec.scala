@@ -59,6 +59,14 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q48: the forward as-of frame is the incremental GROWING kind — " +
+      "a shrinking (unbounded-following) frame is quadratic per partition") {
+    val plan = run("q48_asof_forward").queryExecution.executedPlan.toString
+    assert(!plan.contains("UNBOUNDED FOLLOWING"),
+      "quadratic unbounded-following frame crept back into q48")
+    assert(plan.contains("UNBOUNDED PRECEDING"))
+  }
+
   test("q32: band range-join broadcasts the band dim (nested-loop is the " +
       "right physical op for a 5-row non-equi dim)") {
     val df = run("q32_range_join")
