@@ -61,10 +61,11 @@ class PlanSpec extends SparkSuite {
 
   test("q48: the forward as-of frame is the incremental GROWING kind — " +
       "a shrinking (unbounded-following) frame is quadratic per partition") {
-    val plan = run("q48_asof_forward").queryExecution.executedPlan.toString
-    assert(!plan.contains("UNBOUNDED FOLLOWING"),
+    val plan = run("q48_asof_forward").queryExecution.executedPlan
+      .toString.toLowerCase
+    assert(!plan.contains("unboundedfollowing"),
       "quadratic unbounded-following frame crept back into q48")
-    assert(plan.contains("UNBOUNDED PRECEDING"))
+    assert(plan.contains("unboundedpreceding"))
   }
 
   test("q32: band range-join broadcasts the band dim (nested-loop is the " +
