@@ -609,6 +609,58 @@ object Analytic {
       |GROUP BY wday
       |ORDER BY day""".stripMargin
 
+  /** Time-weighted average (TWAP): each event's value holds until the
+    * user's next event; the per-user average weights each value by how
+    * long it was in force — the billing/sensor/price semantics a
+    * row-count mean silently gets wrong when observations are unevenly
+    * spaced. Last event per user carries no duration (half-open
+    * intervals) and is excluded from the weighted mean by construction.
+    *
+    * Determinism: weights are exact micros from `lead`, values are
+    * integer cents; the Σ(cents·µs) accumulator would overflow int64 at
+    * ~10^6 events/user, so both engines sum in DECIMAL(38,0)/HUGEINT and
+    * only the final division rounds. One shuffle on user_id (the lead
+    * window and the aggregate share it). */
+  private def a17(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val d = "decimal(38,0)"
+    t(s, dir).events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("dur_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("span_us"),
+        sum(col("cents").cast(d) * col("dur_us")).as("wsum"))
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        round(col("wsum").cast("double")
+          / col("span_us").cast("double") / 100.0, 4).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  private val a17Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |iv AS (
+      |  SELECT user_id, cents,
+      |    lead(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) - ts_us AS dur_us
+      |  FROM e)
+      |SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_intervals,
+      |  CAST(sum(dur_us) AS BIGINT) AS span_us,
+      |  round(CAST(sum(CAST(cents AS HUGEINT) * dur_us) AS DOUBLE)
+      |    / CAST(sum(dur_us) AS DOUBLE) / 100.0, 4) AS twap
+      |FROM iv
+      |WHERE dur_us IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -626,5 +678,6 @@ object Analytic {
     "a14_anomaly_zscore" -> QueryDef(a14, Some(a14Sql)),
     "a15_theta_segments" -> QueryDef(a15, Some(a15Sql)),
     "a16_rolling_wau" -> QueryDef(a16, Some(a16Sql)),
+    "a17_time_weighted_avg" -> QueryDef(a17, Some(a17Sql)),
   )
 }

@@ -733,6 +733,46 @@ object Relational {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** Relational division ("for all"): users who performed EVERY event type
+    * — the textbook ÷ operator (suppliers-who-supply-all-parts), absent
+    * from SQL as a primitive and routinely mis-written as nested NOT
+    * EXISTS pairs that plan two correlated anti-joins.
+    *
+    * Scale form: one distinct (user, type) reduction, one count aggregate
+    * per user, compared against the global type count (a 1-row broadcast)
+    * — two keyed shuffles, no correlated subquery, no anti-join at all.
+    * Also reports each user's event total so the row is more than a bare
+    * id list. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    // period-scoped (pushed into the scan): over the full month every user
+    // hits every type, making the division vacuous; the first two days
+    // leave a real divide (19 of 150 users at sf0.01)
+    val ev = t(s, dir).events
+      .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+    val nTypes = ev.agg(countDistinct(col("event_type")).as("n_types"))
+    ev.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("types_hit"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(nTypes))
+      .filter(col("types_hit") === col("n_types"))
+      .select(col("user_id"), col("types_hit"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q49Sql =
+    """WITH e AS (
+      |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+      |nt AS (
+      |  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      |  FROM e)
+      |SELECT user_id,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS types_hit,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM e, nt
+      |GROUP BY user_id, nt.n_types
+      |HAVING count(DISTINCT event_type) = nt.n_types
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -763,5 +803,6 @@ object Relational {
     "q42_unpivot" -> QueryDef(q42, Some(q42Sql)),
     "q46_scd2_upsert" -> QueryDef(q46, Some(q46Sql)),
     "q47_listagg" -> QueryDef(q47, Some(q47Sql)),
+    "q49_relational_division" -> QueryDef(q49, Some(q49Sql)),
   )
 }
