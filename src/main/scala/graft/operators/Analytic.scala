@@ -661,6 +661,51 @@ object Analytic {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** OHLC bars: per (user, day) open/high/low/close of `value` — the
+    * time-series bar aggregation (finance candles, sensor rollups).
+    *
+    * Determinism: `first`/`last` are order-undefined inside a hash
+    * aggregate, so open/close come from `min`/`max` over a
+    * `(ts, event_id, cents)` struct — lexicographic struct comparison is
+    * total and identical in both engines, so ties at equal timestamps
+    * resolve identically with no window pass. One hash aggregate with
+    * map-side partials; groups = user×day, not events. */
+  private def a18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("cents"))).as("o"),
+        max(struct(col("ts_us"), col("event_id"), col("cents"))).as("c"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("day"),
+        col("o.cents").as("open_cents"),
+        col("high_cents"), col("low_cents"),
+        col("c.cents").as("close_cents"),
+        col("n_events"))
+      .filter(col("user_id") < 30)
+      .orderBy(col("user_id"), col("day"))
+
+  private val a18Sql =
+    """SELECT user_id, CAST(ts AS DATE) AS day,
+      |  (min(struct_pack(a := epoch_us(ts), b := event_id,
+      |    c := CAST(round(value * 100) AS BIGINT)))).c AS open_cents,
+      |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS high_cents,
+      |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS low_cents,
+      |  (max(struct_pack(a := epoch_us(ts), b := event_id,
+      |    c := CAST(round(value * 100) AS BIGINT)))).c AS close_cents,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events
+      |WHERE user_id < 30
+      |GROUP BY user_id, CAST(ts AS DATE)
+      |ORDER BY user_id, day""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -679,5 +724,6 @@ object Analytic {
     "a15_theta_segments" -> QueryDef(a15, Some(a15Sql)),
     "a16_rolling_wau" -> QueryDef(a16, Some(a16Sql)),
     "a17_time_weighted_avg" -> QueryDef(a17, Some(a17Sql)),
+    "a18_ohlc_bars" -> QueryDef(a18, Some(a18Sql)),
   )
 }
