@@ -745,10 +745,11 @@ object Relational {
     * id list. */
   private def q49(s: SparkSession, dir: String): DataFrame = {
     // period-scoped (pushed into the scan): over the full month every user
-    // hits every type, making the division vacuous; the first two days
-    // leave a real divide (19 of 150 users at sf0.01)
+    // hits every type, making the division vacuous; the first three days
+    // leave a real divide at every SF (3/15 users at sf0.001, 38/150 at
+    // sf0.01, 316/1500 at sf0.1)
     val ev = t(s, dir).events
-      .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      .filter(col("ts") < lit("2024-01-04").cast("timestamp"))
     val nTypes = ev.agg(countDistinct(col("event_type")).as("n_types"))
     ev.groupBy(col("user_id"))
       .agg(countDistinct(col("event_type")).as("types_hit"),
@@ -761,7 +762,7 @@ object Relational {
 
   private val q49Sql =
     """WITH e AS (
-      |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+      |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04'),
       |nt AS (
       |  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
       |  FROM e)
