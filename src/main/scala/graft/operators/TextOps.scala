@@ -547,6 +547,51 @@ object TextOps {
       |FROM scored GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Contamination attribution: for every contaminated corpus document,
+    * WHICH benchmark document it overlaps and by how many distinct
+    * 5-grams — the audit output a decontamination run files alongside the
+    * drop list (t08 reports only per-corpus-doc totals; attribution is
+    * what lets a human distinguish "quotes benchmark question 7" from
+    * "shares a boilerplate header with everything").
+    *
+    * Scale shape: identical to t08 — the probe side (benchmark grams)
+    * broadcasts into an equi-join on the 64-bit gram hash; the pair
+    * aggregate is keyed by (corpus doc, probe doc) with map-side
+    * partials. Output rows ∝ contaminated pairs, never corpus × probe. */
+  private def t14(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(toks) - 5),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+          |    toks[i+4]))""".stripMargin))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val probe = grams.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("probe_id"), col("g"))
+    grams.filter(col("doc_id") >= 20)
+      .join(broadcast(probe), Seq("g"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("doc_id"), col("probe_id"))
+  }
+
+  private val t14Sql =
+    """WITH gr AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+      |      i -> concat(w[CAST(i AS INT)], ' ', w[CAST(i AS INT) + 1], ' ',
+      |        w[CAST(i AS INT) + 2], ' ', w[CAST(i AS INT) + 3], ' ',
+      |        w[CAST(i AS INT) + 4]))) AS gram
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+      |    WHERE len(w) >= 5) u)
+      |SELECT c.doc_id AS doc_id, p.doc_id AS probe_id,
+      |  CAST(count(*) AS BIGINT) AS n_shared_grams
+      |FROM gr c JOIN gr p ON c.gram = p.gram
+      |WHERE c.doc_id >= 20 AND p.doc_id < 20
+      |GROUP BY c.doc_id, p.doc_id
+      |ORDER BY doc_id, probe_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -561,5 +606,6 @@ object TextOps {
     "t11_char_entropy" -> QueryDef(t11, Some(t11Sql)),
     "t12_tfidf_keywords" -> QueryDef(t12, Some(t12Sql)),
     "t13_bigram_surprisal" -> QueryDef(t13, Some(t13Sql)),
+    "t14_contamination_pairs" -> QueryDef(t14, Some(t14Sql)),
   )
 }
