@@ -81,26 +81,55 @@ object Bench {
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // per-query time = min of 2 COLD executions: this host shows ±25%
-    // load-correlated swings between back-to-back runs, and min-of-N is
-    // the standard way to measure the engine rather than the neighbors.
-    // clearCache() between the runs evicts any operator-internal .cache()
-    // so the second execution pays the full pipeline like the first.
-    val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+    // Fixed-work calibration: a constant spark.range aggregation whose cost
+    // is independent of SF and of this repo's code. Any reader can compare
+    // calibration values across rounds to normalize out host load — the r4
+    // artifact recorded a 2.4x "regression" that was entirely a loaded host
+    // (its calibration-equivalent sbt wall time was 2.6x the idle run's).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4000000000L)
+        .selectExpr("sum(id * 3 + 1) as s", "count(if(id % 7 = 0, 1, null)) as c")
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val load0 = loadavg()
+    val calBefore = { calibrate(); calibrate() } // JIT the calibration itself
+    // per-query time = min of 3 COLD executions with the query ORDER ROTATED
+    // between passes: this host shows load-correlated swings (r4's recorded
+    // run was ~4x); min-of-N measures the engine rather than the neighbors,
+    // and rotation keeps a load spike from taxing the same query every pass.
+    // clearCache() between runs evicts operator-internal .cache()s so every
+    // execution pays the full pipeline.
+    val passes = 3
+    val timed = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (p <- 0 until passes) {
+      val shift = p * names.length / passes
+      val order = names.drop(shift) ++ names.take(shift)
+      order.foreach { name =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        timed(name) = ((System.nanoTime() - t0) / 1e9) :: timed(name)
       }
-      name -> times.min
     }
+    val calAfter = calibrate()
+    val load1 = loadavg()
+    val results = names.map(n => n -> timed(n).min)
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val hostJson =
+      f""","calibration_sec":{"before":$calBefore%.3f,"after":$calAfter%.3f}""" +
+        s""","loadavg":{"before":"$load0","after":"$load1"}"""
     // full-route streaming throughput (warmup pass, then the measured pass)
     val streamJson = try {
       streamThroughput(spark, 20000L)
@@ -116,7 +145,7 @@ object Bench {
       ""
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$streamJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$hostJson$streamJson}""")
     spark.stop()
   }
 }
