@@ -14,18 +14,38 @@ import org.apache.spark.sql.expressions.Window
   * (orderCol, then any deterministic tiebreak already in orderCol) wins per
   * key; the batch winners are merged into the standing state (batch beats
   * state at equal orderCol — last write wins); the merged state replaces
-  * the view atomically (write new version directory, then flip a pointer
-  * file — readers resolve the pointer, so a crash mid-write never exposes a
+  * the view atomically (write a new version, then flip a pointer file —
+  * readers resolve the pointer, so a crash mid-write never exposes a
   * half-written view).
   *
-  * Replay-idempotence: the pointer file records the last applied
-  * (queryId, batchId) token — the same discipline the topic sinks use
-  * (TopicIO.append's `<query>-<batchId>`), applied to state instead of a
-  * log. A replayed micro-batch (same query, same id) is skipped, so
-  * Structured Streaming's at-least-once `foreachBatch` contract yields an
-  * exactly-once VIEW; a DIFFERENT queryId (new query over the same view, or
-  * a checkpoint reset that restarts batch numbering at 0) is NOT a replay
-  * and merges normally.
+  * Storage layout — hash-bucketed, partition-pruned merge:
+  * {{{
+  *   baseDir/CURRENT            "ver,queryId,batchId" (atomic pointer)
+  *   baseDir/manifest/<ver>     header "queryId,batchId,buckets";
+  *                              then one "bucket<TAB>relpath" line each
+  *   baseDir/data/<ver>/__bucket=<b>/   parquet for buckets REWRITTEN at <ver>
+  * }}}
+  * State is split into `buckets` hash buckets by `pmod(hash(keyCol), B)`.
+  * A micro-batch only rewrites the buckets its keys land in; every other
+  * bucket is carried forward BY REFERENCE — the new manifest points at the
+  * previous version's bucket directory, whose files are never touched. At
+  * 100 TB this makes per-batch merge cost ∝ (batch keys' buckets), not
+  * ∝ total state, which is the same pruning a MERGE INTO on a partitioned
+  * table relies on; the manifest-plus-pointer discipline is what
+  * Delta/Iceberg commit logs do in library form.
+  *
+  * Versions are numbered by a monotonically increasing counter recorded in
+  * the pointer — NOT by batchId — so a second query over the same view (or
+  * a checkpoint reset that restarts batch numbering at 0) can never collide
+  * with an earlier query's retained versions. `asOf` resolves through the
+  * manifest headers, keyed on (queryId, batchId).
+  *
+  * Replay-idempotence: the pointer records the last applied
+  * (queryId, batchId); a replayed micro-batch (same query, same id) is
+  * skipped, so Structured Streaming's at-least-once `foreachBatch` contract
+  * yields an exactly-once VIEW, while a DIFFERENT queryId merges normally.
+  * Single-writer-per-view is the concurrency contract (the same contract a
+  * streaming query's checkpoint dir implies).
   *
   * All pointer I/O goes through the Hadoop filesystem of `baseDir`'s
   * scheme, so the same code runs against file:, hdfs:, or s3a: state dirs
@@ -35,24 +55,22 @@ import org.apache.spark.sql.expressions.Window
   * window leaves the OLD pointer intact (never a half-written one, since
   * the temp is fully written first).
   *
-  * Scale: the merge is one keyed window over state ∪ batch — shuffle cost
-  * ∝ state size, the standard cost of a full-compaction upsert view; at
-  * 100 TB the same code runs against a partitioned state dir so only
-  * partitions containing batch keys rewrite (partition-pruned union), and
-  * the atomic-pointer discipline is what Delta/Iceberg commit logs do in
-  * library form. Reference anchor: ziggurat has no state sink at all
-  * (handlers push to downstream topics/queues, SURVEY §2.2) — this is
-  * north-star extension surface.
+  * Reference anchor: ziggurat has no state sink at all (handlers push to
+  * downstream topics/queues, SURVEY §2.2) — this is north-star extension
+  * surface.
   */
 final class UpsertSink(spark: SparkSession, baseDir: String,
-    keyCol: String, orderCol: String, queryId: String = "default") {
+    keyCol: String, orderCol: String, queryId: String = "default",
+    buckets: Int = 16) {
+
+  require(buckets > 0, "buckets must be positive")
 
   private val ptrPath = new Path(s"$baseDir/CURRENT")
-  private def fs = ptrPath.getFileSystem(
-    spark.sessionState.newHadoopConf())
+  private def hadoopConf = spark.sessionState.newHadoopConf()
+  private def fs = ptrPath.getFileSystem(hadoopConf)
 
-  /** (version dir, queryId, batchId) from the pointer, if committed. */
-  private def currentMeta(): Option[(String, String, Long)] = {
+  /** (version, queryId, batchId) from the pointer, if committed. */
+  private def currentMeta(): Option[(Long, String, Long)] = {
     val f = fs
     if (!f.exists(ptrPath)) None
     else {
@@ -60,57 +78,178 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
       s.split(",") match {
-        case Array(dir, qid, bid) => Some((dir, qid, bid.toLong))
-        case Array(dir, bid) => Some((dir, queryId, bid.toLong)) // legacy
+        case Array(ver, qid, bid) => Some((ver.toLong, qid, bid.toLong))
         case _ => None
       }
     }
   }
 
-  /** The current materialized state, if any batch has committed. */
+  /** A committed version's manifest: (queryId, batchId, buckets written
+    * with, bucket → path-relative-to-baseDir). */
+  private case class Manifest(qid: String, batchId: Long, nBuckets: Int,
+      dirs: Map[Int, String])
+
+  private def manifestPath(ver: Long) = new Path(s"$baseDir/manifest/$ver")
+
+  private def readManifest(ver: Long): Option[Manifest] = {
+    val f = fs
+    val p = manifestPath(ver)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList
+      finally in.close()
+      val Array(qid, bid, nb) = lines.head.split(",")
+      val dirs = lines.tail.filter(_.nonEmpty).map { l =>
+        val Array(b, d) = l.split("\t")
+        b.toInt -> d
+      }.toMap
+      Some(Manifest(qid, bid.toLong, nb.toInt, dirs))
+    }
+  }
+
+  private def writeManifest(ver: Long, m: Manifest): Unit = {
+    val f = fs
+    val body = (s"${m.qid},${m.batchId},${m.nBuckets}" +:
+      m.dirs.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
+      .mkString("\n")
+    val out = f.create(manifestPath(ver), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readDirs(m: Manifest): Option[DataFrame] =
+    if (m.dirs.isEmpty) None
+    else Some(spark.read.parquet(m.dirs.values.toSeq.sorted
+      .map(d => s"$baseDir/$d"): _*))
+
+  /** The current materialized state, if any non-empty batch has committed. */
   def current(): Option[DataFrame] =
-    currentMeta().map { case (dir, _, _) =>
-      spark.read.parquet(s"$baseDir/$dir")
+    currentMeta().flatMap { case (ver, _, _) =>
+      readManifest(ver).flatMap(readDirs)
     }
 
   def lastBatchId: Option[Long] = currentMeta().map(_._3)
 
-  /** Time travel: the materialized state as of `batchId` (the version that
-    * batch committed). Version directories are retained on write — the
-    * library's retention policy is "keep everything, caller prunes"; a
-    * production deployment vacuums old versions the way table formats do. */
-  def asOf(batchId: Long): Option[DataFrame] = {
-    val dir = new Path(s"$baseDir/v$batchId")
-    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+  /** Bucket → path map of the current version (test/ops introspection:
+    * untouched buckets keep the exact same path across commits). */
+  def currentBucketDirs(): Map[Int, String] =
+    currentMeta().flatMap { case (ver, _, _) => readManifest(ver) }
+      .map(_.dirs).getOrElse(Map.empty)
+
+  /** Time travel: the materialized state as of `batchId` committed by
+    * `forQuery` (this sink's queryId by default). Resolved through the
+    * retained manifests, so it is (queryId, batchId)-keyed — two queries
+    * that both committed a batch 0 never see each other's history. */
+  def asOf(batchId: Long, forQuery: String = queryId): Option[DataFrame] = {
+    val f = fs
+    val mdir = new Path(s"$baseDir/manifest")
+    if (!f.exists(mdir)) return None
+    f.listStatus(mdir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .sorted.reverse
+      .flatMap(readManifest)
+      .find(m => m.qid == forQuery && m.batchId == batchId)
+      .flatMap(readDirs)
   }
 
   /** Merge one micro-batch into the view. Returns false when the batch was
     * already applied BY THIS QUERY (replay) and was skipped. */
   def apply(batch: DataFrame, batchId: Long): Boolean = {
-    val replay = currentMeta().exists { case (_, qid, bid) =>
-      qid == queryId && batchId <= bid
+    val meta = currentMeta()
+    if (meta.exists { case (_, qid, bid) => qid == queryId && batchId <= bid })
+      return false
+    val prev = meta.flatMap { case (ver, _, _) => readManifest(ver) }
+    val ver = meta.map(_._1 + 1).getOrElse(0L)
+
+    val batchW = latestPerKey(batch)
+      .withColumn("__bucket", pmod(hash(col(keyCol)), lit(buckets)))
+    // ≤ `buckets` rows: the prune decision is driver-side by design
+    val touched = batchW.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+
+    val dirs: Map[Int, String] = prev match {
+      case Some(p) if p.nBuckets == buckets =>
+        if (touched.isEmpty) p.dirs
+        else {
+          val statePaths = p.dirs.filter { case (b, _) => touched(b) }
+            .values.toSeq.sorted.map(d => s"$baseDir/$d")
+          val merged =
+            if (statePaths.isEmpty) batchW
+            else latestPerKey(spark.read.parquet(statePaths: _*)
+                .withColumn("__bucket",
+                  pmod(hash(col(keyCol)), lit(buckets)))
+                .withColumn("__src", lit(0))
+                .unionByName(batchW.withColumn("__src", lit(1))))
+              .drop("__src")
+          writeBuckets(merged, ver)
+          p.dirs.filterNot { case (b, _) => touched(b) } ++
+            touched.map(b => b -> s"data/$ver/__bucket=$b")
+        }
+      case Some(p) =>
+        // bucket count changed (or legacy layout): full re-bucketing rewrite
+        val all = readDirs(p).map(st => latestPerKey(
+            st.withColumn("__bucket", pmod(hash(col(keyCol)), lit(buckets)))
+              .withColumn("__src", lit(0))
+              .unionByName(batchW.withColumn("__src", lit(1))))
+            .drop("__src"))
+          .getOrElse(batchW)
+        val allTouched = all.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        writeBuckets(all, ver)
+        allTouched.map(b => b -> s"data/$ver/__bucket=$b").toMap
+      case None =>
+        if (touched.nonEmpty) writeBuckets(batchW, ver)
+        touched.map(b => b -> s"data/$ver/__bucket=$b").toMap
     }
-    if (replay) return false
-    val merged = current() match {
-      case None => latestPerKey(batch)
-      case Some(state) =>
-        // state rows order below batch rows at equal orderCol: last write wins
-        latestPerKey(state.withColumn("__src", lit(0))
-          .unionByName(batch.withColumn("__src", lit(1))))
-          .drop("__src")
-    }
-    val next = s"v$batchId"
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/$next")
+
+    writeManifest(ver, Manifest(queryId, batchId, buckets, dirs))
     val f = fs
     val tmp = new Path(s"$baseDir/CURRENT.tmp")
     val out = f.create(tmp, true)
-    try out.write(s"$next,$queryId,$batchId".getBytes("UTF-8"))
+    try out.write(s"$ver,$queryId,$batchId".getBytes("UTF-8"))
     finally out.close()
-    FileContext.getFileContext(ptrPath.toUri,
-      spark.sessionState.newHadoopConf())
+    FileContext.getFileContext(ptrPath.toUri, hadoopConf)
       .rename(tmp, ptrPath, Options.Rename.OVERWRITE)
     true
   }
+
+  /** Drop all but the newest `keepLast` versions. Manifests of dropped
+    * versions are deleted (their `asOf` returns None afterwards); bucket
+    * data directories are deleted only when NO retained manifest still
+    * references them — a retained version that carries an old bucket
+    * forward keeps that bucket's files alive. `current()` and every
+    * retained `asOf` are unaffected. */
+  def vacuum(keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val f = fs
+    val mdir = new Path(s"$baseDir/manifest")
+    if (!f.exists(mdir)) return
+    val vers = f.listStatus(mdir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .sorted.reverse
+    val (keep, drop) = vers.splitAt(keepLast)
+    if (drop.isEmpty) return
+    val referenced = keep.flatMap(readManifest).flatMap(_.dirs.values).toSet
+    drop.foreach(v => f.delete(manifestPath(v), false))
+    val ddir = new Path(s"$baseDir/data")
+    if (f.exists(ddir)) {
+      f.listStatus(ddir).filter(_.isDirectory).foreach { verDir =>
+        val verName = verDir.getPath.getName
+        f.listStatus(verDir.getPath).filter(_.isDirectory).foreach { bDir =>
+          val rel = s"data/$verName/${bDir.getPath.getName}"
+          if (!referenced(rel)) f.delete(bDir.getPath, true)
+        }
+        // only marker files (_SUCCESS) left → the whole version dir is dead
+        if (f.listStatus(verDir.getPath).forall(!_.isDirectory))
+          f.delete(verDir.getPath, true)
+      }
+    }
+  }
+
+  private def writeBuckets(df: DataFrame, ver: Long): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .parquet(s"$baseDir/data/$ver")
 
   private def latestPerKey(df: DataFrame): DataFrame = {
     val ordCols =

@@ -91,6 +91,99 @@ class UpsertSinkSpec extends SparkSuite {
     }
   }
 
+  /** Which of the sink's hash buckets key `k` lands in. */
+  private def bucketOf(k: Long, b: Int): Int =
+    df(Seq((k, "probe", 1L)))
+      .select(pmod(hash(col("k")), lit(b))).head.getInt(0)
+
+  test("partition-pruned merge: a batch rewrites only the buckets its keys " +
+      "land in; untouched buckets are carried forward BY REFERENCE with " +
+      "byte-identical files") {
+    val b = 8
+    val base = tmpDir("upsert6")
+    val sink = new UpsertSink(spark, base, "k", "ord", buckets = b)
+    // seed state across many buckets
+    assert(sink.apply(df((1L to 50L).map(k => (k, s"v$k", 1L))), 0L))
+    val dirs0 = sink.currentBucketDirs()
+    assert(dirs0.size > 1, s"seed should span several buckets, got $dirs0")
+    // snapshot the physical files of every bucket (path, length, mtime)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"file:$base"), spark.sessionState.newHadoopConf())
+    def filesOf(rel: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$rel"))
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .sortBy(_._1).toSeq
+    val snap0 = dirs0.map { case (bk, rel) => bk -> filesOf(rel) }
+    // second batch touches a single key → a single bucket
+    val hitKey = 7L
+    val hitBucket = bucketOf(hitKey, b)
+    assert(sink.apply(df(Seq((hitKey, "updated", 2L))), 1L))
+    val dirs1 = sink.currentBucketDirs()
+    assert(dirs1(hitBucket) != dirs0(hitBucket),
+      "the hit bucket must point at a freshly written dir")
+    dirs0.keys.filterNot(_ == hitBucket).foreach { bk =>
+      assert(dirs1(bk) == dirs0(bk),
+        s"untouched bucket $bk must keep the SAME path (carried by reference)")
+      assert(filesOf(dirs1(bk)) == snap0(bk),
+        s"untouched bucket $bk files must be byte-identical across the commit")
+    }
+    // and the view still equals the full-compaction result row-for-row
+    val got = sink.current().get.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = (1L to 50L).map(k =>
+      (k, if (k == hitKey) "updated" else s"v$k"))
+    assert(got == want)
+  }
+
+  test("asOf is (queryId, batchId)-keyed: two queries that both commit a " +
+      "batch 0 retain separate histories (no version-dir collision)") {
+    val base = tmpDir("upsert7")
+    val q1 = new UpsertSink(spark, base, "k", "ord", queryId = "q1")
+    assert(q1.apply(df(Seq((1L, "q1-b7", 5L))), 7L))
+    val q2 = new UpsertSink(spark, base, "k", "ord", queryId = "q2")
+    // the CURRENT pointer targets q1's batch-7 version; q2's batch 0 must
+    // neither fail ("overwrite a path being read") nor clobber q1's history
+    assert(q2.apply(df(Seq((2L, "q2-b0", 1L))), 0L))
+    assert(q1.asOf(7L).get.collect().map(_.getString(1)).toSeq == Seq("q1-b7"))
+    assert(q2.asOf(0L).get.orderBy("k").collect()
+      .map(_.getString(1)).toSeq == Seq("q1-b7", "q2-b0"))
+    assert(q1.asOf(0L).isEmpty, "q1 never committed a batch 0")
+    assert(q2.asOf(7L).isEmpty, "q2 never committed a batch 7")
+  }
+
+  test("vacuum(keepLast) drops old versions but keeps every bucket a " +
+      "retained manifest still references; current() and retained asOf " +
+      "are unaffected") {
+    val b = 8
+    val base = tmpDir("upsert8")
+    val sink = new UpsertSink(spark, base, "k", "ord", buckets = b)
+    assert(sink.apply(df((1L to 50L).map(k => (k, s"v$k", 1L))), 0L))
+    assert(sink.apply(df(Seq((7L, "u7", 2L))), 1L))
+    assert(sink.apply(df(Seq((9L, "u9", 3L))), 2L))
+    // version 2's manifest still references bucket dirs written at v0
+    val carried = sink.currentBucketDirs().values.filter(_.contains("data/0"))
+    assert(carried.nonEmpty, "expected v2 to carry v0 buckets forward")
+    sink.vacuum(keepLast = 2)
+    assert(sink.asOf(0L).isEmpty, "dropped version's asOf must be gone")
+    assert(sink.asOf(1L).isDefined && sink.asOf(2L).isDefined)
+    val got = sink.current().get.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = (1L to 50L).map(k => (k,
+      if (k == 7L) "u7" else if (k == 9L) "u9" else s"v$k"))
+    assert(got == want, "current view must survive vacuum")
+    // carried-forward v0 bucket dirs must still exist on disk
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"file:$base"), spark.sessionState.newHadoopConf())
+    carried.foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/$rel")),
+        s"referenced bucket $rel must survive vacuum")
+    }
+    // aggressive vacuum: only the current version's history remains
+    sink.vacuum(keepLast = 1)
+    assert(sink.asOf(1L).isEmpty && sink.asOf(2L).isDefined)
+    assert(sink.current().get.count() == 50)
+  }
+
   test("drives from a real streaming query: final view is latest per key") {
     val base = tmpDir("upsert3")
     val src = tmpDir("upsert3src")
