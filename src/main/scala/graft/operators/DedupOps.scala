@@ -1012,6 +1012,116 @@ object DedupOps {
        |  >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Cross-document repeated-substring detection — the heavyweight
+    * training-corpus op d13 does not cover: d13 scores grams repeated
+    * ACROSS docs but reports per-doc totals; this finds, for every document
+    * PAIR, the maximal shared word spans (verbatim quotes, syndicated
+    * passages, licence blocks) — the substrings "dedup by long repeated
+    * sequence" removes in LLM corpus practice.
+    *
+    * Algorithm: every `gramWords`-gram is a position-sensitive rotate-xor
+    * combine of its token xxhashes (same trick as [[shingleHashArrays]] —
+    * no gram string survives past the tokenizer); occurrences of each gram
+    * hash are gathered with ONE keyed aggregate and expanded to cross-doc
+    * (a, b) position pairs group-and-expand style (d02's topology — never
+    * a self-join, never cartesian). Two grams belong to the same maximal
+    * span iff they sit on the same alignment diagonal (a_pos − b_pos) at
+    * consecutive positions, so spans are islands over (pair, diagonal) —
+    * a window partitioned by (a_id, b_id, diag), cluster-local, no global
+    * order. A run of `r` consecutive matching grams is a shared span of
+    * `r + gramWords − 1` words.
+    *
+    * Scale: explode volume is one 8-byte hash per word position (the same
+    * budget d02 pays); `maxGramFreq` is the hot-gram cap — a boilerplate
+    * gram in k docs expands k·(k−1)/2 pairs, so grams above the cap are
+    * dropped before expansion (a `size(occs) ≤ F` filter on the gathered
+    * list, free). True long spans survive the cap through their many
+    * other, rarer grams — only if a span's EVERY gram is corpus-ubiquitous
+    * is it lost, and such spans are boilerplate by definition. */
+  def crossDocSpans(docs: DataFrame, gramWords: Int = 8,
+      minSpanWords: Int = 12, maxGramFreq: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gramWords >= 2 && minSpanWords >= gramWords)
+    val combine = (0 until gramWords).map { j =>
+      val r = (j * 8) % 64
+      if (r == 0) s"th[i+$j]"
+      else s"(shiftleft(th[i+$j], $r) | shiftrightunsigned(th[i+$j], ${64 - r}))"
+    }.mkString(" ^ ")
+    val grams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= gramWords)
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(th) - $gramWords), i -> $combine)"))
+        .as(Seq("pos", "g")))
+    val grouped = grams.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"))))
+        .as("occs"))
+      .filter(size(col("occs")) > 1)
+    val kept = maxGramFreq.fold(grouped)(f =>
+      grouped.filter(size(col("occs")) <= f))
+    // occs is sorted by (doc_id, pos), so i<j expansion gives a_id ≤ b_id;
+    // the filter drops within-doc pairs (d13's territory), keeping a_id < b_id
+    val matches = kept
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(occs, (x, i) ->
+          |    transform(slice(occs, i + 2, size(occs)),
+          |      y -> struct(x.doc_id AS a_id, x.pos AS a_pos,
+          |                  y.doc_id AS b_id, y.pos AS b_pos)))),
+          |  p -> p.a_id != p.b_id)""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.a_pos").as("a_pos"),
+        col("p.b_id").as("b_id"), col("p.b_pos").as("b_pos"))
+    // within a (pair, diagonal) partition a_pos is unique (b_pos = a_pos −
+    // diag), so pos − row_number islands find exactly the consecutive runs
+    val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("a_pos"))
+    val spans = matches
+      .withColumn("diag", col("a_pos") - col("b_pos"))
+      .withColumn("grp", col("a_pos") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + lit(gramWords - 1)).cast("long").as("span_words"))
+      .filter(col("span_words") >= minSpanWords)
+    spans.groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_words")).as("max_span_words"),
+        sum(col("span_words")).cast("long").as("dup_words"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def d17(s: SparkSession, dir: String): DataFrame =
+    crossDocSpans(t(s, dir).documentsSpread)
+
+  private val d17Sql =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ',
+      |      w[i+4], ' ', w[i+5], ' ', w[i+6], ' ', w[i+7]) AS gram
+      |  FROM base, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) r),
+      |matches AS (
+      |  SELECT a.doc_id AS a_id, a.pos AS a_pos,
+      |    b.doc_id AS b_id, b.pos AS b_pos
+      |  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT a_id, b_id, a_pos,
+      |    a_pos - b_pos AS diag,
+      |    a_pos - row_number() OVER (
+      |      PARTITION BY a_id, b_id, a_pos - b_pos ORDER BY a_pos) AS grp
+      |  FROM matches),
+      |runs AS (
+      |  SELECT a_id, b_id, count(*) + 7 AS span_words
+      |  FROM isl GROUP BY a_id, b_id, diag, grp),
+      |spans AS (SELECT * FROM runs WHERE span_words >= 12)
+      |SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(max(span_words) AS BIGINT) AS max_span_words,
+      |  CAST(sum(span_words) AS BIGINT) AS dup_words
+      |FROM spans GROUP BY a_id, b_id
+      |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -1029,5 +1139,6 @@ object DedupOps {
     "d14_cdc_chunks" -> QueryDef(d14, Some(d14Sql)),
     "d15_lsh_recall" -> QueryDef(d15, Some(d15Sql)),
     "d16_containment_neardup" -> QueryDef(d16, Some(d16Sql)),
+    "d17_crossdoc_spans" -> QueryDef(d17, Some(d17Sql)),
   )
 }

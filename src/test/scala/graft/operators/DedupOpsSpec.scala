@@ -30,6 +30,45 @@ class DedupOpsSpec extends SparkSuite {
       "cap ≤2 must drop the 6-doc boilerplate shingle and keep the dup pair")
   }
 
+  test("crossDocSpans merges consecutive matching grams into maximal " +
+      "spans per (pair, diagonal): two shared passages → two spans with " +
+      "exact word lengths") {
+    val sess = spark
+    import sess.implicits._
+    val span1 = (1 to 15).map(i => s"s$i").mkString(" ")  // 15 shared words
+    val span2 = (1 to 12).map(i => s"u$i").mkString(" ")  // 12 shared words
+    val d = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $span1 a6 a7 a8 a9 a10 $span2 a11", "en"),
+      (2L, s"b1 b2 b3 $span1 b4 $span2 b5 b6 b7 b8", "en"),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "), "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = DedupOps.crossDocSpans(d).collect()
+    assert(got.length == 1, s"expected one pair, got ${got.toSeq}")
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getAs[Long]("n_spans") == 2L, s"got $r")
+    assert(r.getAs[Long]("max_span_words") == 15L, s"got $r")
+    assert(r.getAs[Long]("dup_words") == 27L, s"got $r")
+  }
+
+  test("crossDocSpans hot-gram cap: a boilerplate passage shared by many " +
+      "docs must not quadratic-blow the pair expansion") {
+    val sess = spark
+    import sess.implicits._
+    val boiler = "the same legal boilerplate footer appears verbatim in " +
+      "every mirrored page today"  // 12 words → one maximal span ≥ minSpan
+    val flood = (1 to 10).map(i => (i.toLong, s"f${i}a f${i}b $boiler f${i}c", "en"))
+    val span = (1 to 15).map(i => s"s$i").mkString(" ")
+    val d = (flood ++ Seq((100L, s"x1 x2 $span x3", "en"),
+      (101L, s"y1 $span y2 y3", "en"))).toDF("doc_id", "text", "lang")
+    // uncapped: C(10,2)=45 boilerplate pairs + the genuine pair
+    assert(DedupOps.crossDocSpans(d).count() == 46L)
+    // capped: every boilerplate gram occurs 10× > 4 → dropped pre-expansion
+    val capped = DedupOps.crossDocSpans(d, maxGramFreq = Some(4)).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((100L, 101L)), s"got ${capped.toSeq}")
+  }
+
   test("band-bucket cap: a flood of identical documents must not " +
       "quadratic-blow one LSH bucket's pair expansion") {
     val sess = spark

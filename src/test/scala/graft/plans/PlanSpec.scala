@@ -90,6 +90,19 @@ class PlanSpec extends SparkSuite {
     assert(n <= 4, s"d02 planned $n data shuffles (expected ≤ 4)")
   }
 
+  test("d17: cross-doc span candidates are group-and-expand on the gram " +
+      "hash — no join ever touches the exploded gram rows, never cartesian") {
+    val df = run("d17_crossdoc_spans")
+    assert(!PlanChecks.usesCartesianProduct(df))
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(!ops.exists(o => o.startsWith("ShuffledHashJoin")
+        || o.startsWith("SortMergeJoin") || o.startsWith("BroadcastHashJoin")),
+      s"a join crept into the gram pipeline; got $ops")
+    // spread + gram gather + diagonal window + pair agg + output sort
+    val n = PlanChecks.countDataShuffles(df)
+    assert(n <= 6, s"d17 planned $n data shuffles (expected ≤ 6)")
+  }
+
   test("d04: native simhash32 keeps fingerprinting map-side — only the " +
       "documentsSpread repartition and the output sort exchange data") {
     assert(PlanChecks.countDataShuffles(run("d04_dedup_simhash")) <= 2)
