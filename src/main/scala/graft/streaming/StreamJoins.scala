@@ -22,13 +22,23 @@ object StreamJoins {
     * carry (key, ts) plus payload columns; watermark applied here. Output
     * value mirrors the reference's `{topic-key-1 left, topic-key-2 right}`
     * (streams.clj:151-153) as two structs. */
+  /** withWatermark, unless `tsCol` already carries one (its watermark-delay
+    * metadata survives aliases and joins): re-defining a watermark
+    * DOWNSTREAM of a stateful operator is an error in Spark's
+    * multiple-stateful-operator support, and a chained join's left side is
+    * exactly that. */
+  private def watermarked(df: DataFrame, tsCol: String,
+      delay: String): DataFrame =
+    if (df.schema(tsCol).metadata.contains("spark.watermarkDelayMs")) df
+    else df.withWatermark(tsCol, delay)
+
   def joinWindowed(left: DataFrame, right: DataFrame, key: String,
       tsCol: String, joinWindowMs: Long, joinType: String,
       watermarkDelay: String = "10 seconds"): DataFrame = {
-    val l = left.withWatermark(tsCol, watermarkDelay)
+    val l = watermarked(left, tsCol, watermarkDelay)
       .select(col(key).as("l_key"), col(tsCol).as("l_ts"),
         struct(left.columns.map(col).toIndexedSeq: _*).as("left_value"))
-    val r = right.withWatermark(tsCol, watermarkDelay)
+    val r = watermarked(right, tsCol, watermarkDelay)
       .select(col(key).as("r_key"), col(tsCol).as("r_ts"),
         struct(right.columns.map(col).toIndexedSeq: _*).as("right_value"))
     l.join(r,
@@ -47,9 +57,21 @@ object StreamJoins {
     streams.tail.zip(cfgs).foldLeft(streams.head) {
       case (acc, (next, (windowMs, joinType))) =>
         val joined = joinWindowed(acc, next, key, tsCol, windowMs, joinType)
-        // re-expose key/ts for the next stage, preferring the left side
-        joined.withColumn(key, coalesce(col("l_key"), col("r_key")))
-          .withColumn(tsCol, coalesce(col("l_ts"), col("r_ts")))
+        // re-expose key/ts for the next stage. inner/leftOuter stages keep
+        // the LEFT side's columns verbatim: l_ts is non-null there and an
+        // alias preserves its event-time watermark metadata, which the next
+        // stage needs (a coalesce strips it, and Spark then rejects the
+        // chain for redefining a watermark downstream of a stateful
+        // operator). fullOuter rows can be left-null, so that stage falls
+        // back to coalesce — sound for the batch twin; a STREAMING chain
+        // through a fullOuter stage is a Spark multiple-stateful-operator
+        // limitation either way.
+        val (k2, t2) =
+          if (joinType == "fullOuter")
+            (coalesce(col("l_key"), col("r_key")),
+              coalesce(col("l_ts"), col("r_ts")))
+          else (col("l_key"), col("l_ts"))
+        joined.withColumn(key, k2).withColumn(tsCol, t2)
     }
   }
 

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Bounded-state proof for the long-running stateful streams: drives
+  * joinChain (J4) and dedupWithinWatermark over many micro-batches with
+  * steadily advancing event time and asserts, via
+  * StreamingQueryProgress.stateOperators, that state-store row counts
+  * PLATEAU once the watermark starts passing — the Structured Streaming
+  * equivalent of the reference's bounded RocksDB window stores
+  * (streams.clj:27,149). Without eviction both queries' state would grow
+  * linearly with the batch count; the assertions fail in that world. */
+class StreamStateBoundsSpec extends SparkSuite {
+
+  private case class Ev(k: String, ts: java.sql.Timestamp, v: String)
+
+  private val t0 = ts("2024-01-01 00:00:00").getTime
+
+  /** Per-progress total state rows across all stateful operators. */
+  private def stateSeries(q: StreamingQuery): Seq[Long] =
+    q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+
+  /** The plateau assertion: state peaked by the middle third of the run
+    * and never exceeded that peak afterwards (no growth trend), and the
+    * final footprint is far below the unbounded-accumulation line. */
+  private def assertPlateau(series: Seq[Long], totalIngested: Long,
+      label: String): Unit = {
+    assert(series.size >= 12, s"$label: too few progress points ($series)")
+    val third = series.size / 3
+    val midPeak = series.slice(third, 2 * third).max
+    val latePeak = series.drop(2 * third).max
+    assert(latePeak <= midPeak,
+      s"$label: state still growing after watermark eviction should have " +
+        s"kicked in — mid-run peak $midPeak, late peak $latePeak; $series")
+    assert(series.last < totalIngested / 2,
+      s"$label: final state ${series.last} is not far below the " +
+        s"unbounded line ($totalIngested rows ingested); $series")
+  }
+
+  test("joinChain state plateaus under watermark over a long horizon (J4)") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = sess.sqlContext
+    val s1 = MemoryStream[Ev]; val s2 = MemoryStream[Ev]; val s3 = MemoryStream[Ev]
+    val chained = StreamJoins.joinChain(
+      Seq(s1.toDF(), s2.toDF(), s3.toDF()), "k", "ts",
+      Seq((5000L, "inner"), (5000L, "inner")))
+    val q = chained.writeStream.format("noop").outputMode("append").start()
+    val batches = 24
+    val perBatch = 40
+    try {
+      for (b <- 0 until batches) {
+        // event time advances 60 s per batch; join window 5 s, watermark
+        // delay 10 s → each batch's state is evictable by the next batch
+        val rows = (0 until perBatch).map { i =>
+          Ev(s"k$b-$i", new java.sql.Timestamp(t0 + b * 60000L + i), s"v$i")
+        }
+        s1.addData(rows); s2.addData(rows); s3.addData(rows)
+        q.processAllAvailable()
+      }
+      val series = stateSeries(q)
+      assertPlateau(series, batches.toLong * perBatch * 3, "joinChain")
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark state plateaus over a long horizon") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = sess.sqlContext
+    val src = MemoryStream[Ev]
+    val deduped = Pipeline.dedupWithinWatermark(
+      Seq("k"), "ts", horizon = "10 seconds")(src.toDF())
+    val q = deduped.writeStream.format("noop").outputMode("append").start()
+    val batches = 24
+    val perBatch = 40
+    try {
+      for (b <- 0 until batches) {
+        val rows = (0 until perBatch).flatMap { i =>
+          val e = Ev(s"k$b-$i", new java.sql.Timestamp(t0 + b * 60000L + i), "v")
+          Seq(e, e) // a within-batch duplicate keeps the operator honest
+        }
+        src.addData(rows)
+        q.processAllAvailable()
+      }
+      val series = stateSeries(q)
+      assertPlateau(series, batches.toLong * perBatch, "dedupWithinWatermark")
+    } finally q.stop()
+  }
+}
