@@ -26,6 +26,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several builders cache a multi-consumer intermediate (p08, d02,
+      // d14, …); each build creates fresh lineage, so without eviction a
+      // full dump accumulates a cached copy per query until LRU pressure.
+      // The cache only has value within one query's write — drop it here.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
