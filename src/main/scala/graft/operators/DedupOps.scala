@@ -137,10 +137,19 @@ object DedupOps {
   }
 
   /** `ids`-array groups → the C(k,2) ordered pairs within each group,
-    * expanded with codegen'd array lambdas. Expects `ids` sorted ascending
+    * expanded with array lambdas. Expects `ids` sorted ascending
     * (so every emitted pair already satisfies a_id < b_id) — the shared
     * tail of every group-and-expand candidate generator (n-gram shingles,
-    * MinHash bands, hyperplane buckets). */
+    * MinHash bands, hyperplane buckets).
+    *
+    * Skew headroom (measured, DedupOpsSpec "headroom" test): Spark HOFs
+    * run interpreted and `slice` copies per element, so one group does
+    * O(k²) array allocations — at the worst single group a production
+    * hot-key cap admits (k=2000 → 1,999,000 pairs in ONE task) the warm
+    * expansion measures ~0.97 s ≈ 0.5 µs/pair on this host. That is far
+    * off any critical path (groups at the cap are rare by construction),
+    * so the escape hatch — a native `Generator` expression — stays
+    * unbuilt until a profile shows this hot. */
   private[operators] def expandPairs(grouped: DataFrame): DataFrame =
     grouped
       .select(explode(expr(

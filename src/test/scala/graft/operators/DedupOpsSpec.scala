@@ -30,6 +30,26 @@ class DedupOpsSpec extends SparkSuite {
       "cap ≤2 must drop the 6-doc boilerplate shingle and keep the dup pair")
   }
 
+  test("expandPairs headroom at the hot-shingle cap: a single k=2000 group " +
+      "(the pathological pre-cap skew shape) expands C(k,2) ≈ 2M pairs " +
+      "through the interpreted HOF path in bounded time") {
+    import org.apache.spark.sql.functions._
+    // one group whose ids array is at a production-scale cap — the worst
+    // single-task unit the maxShingleFreq cap admits
+    val grouped = spark.range(1).select(expr("sequence(0L, 1999L)").as("ids"))
+    val cold0 = System.nanoTime()
+    val n = DedupOps.expandPairs(grouped).count()
+    val cold = (System.nanoTime() - cold0) / 1e9
+    val warm0 = System.nanoTime()
+    DedupOps.expandPairs(grouped).count()
+    val sec = (System.nanoTime() - warm0) / 1e9
+    assert(n == 2000L * 1999 / 2, s"got $n")
+    info(f"expandPairs k=2000 (1,999,000 pairs): cold $cold%.2f s, warm $sec%.2f s")
+    // loose wall bound: catches an accidental O(k^3) or per-pair JVM-object
+    // regression, not a tuning target
+    assert(sec < 60.0, f"expandPairs took $sec%.1f s for one k=2000 group")
+  }
+
   test("crossDocSpans merges consecutive matching grams into maximal " +
       "spans per (pair, diagonal): two shared passages → two spans with " +
       "exact word lengths") {
