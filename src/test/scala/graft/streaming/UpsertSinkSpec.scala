@@ -184,6 +184,50 @@ class UpsertSinkSpec extends SparkSuite {
     assert(sink.current().get.count() == 50)
   }
 
+  test("streaming upsert end-to-end: a dimension stream (base load, then " +
+      "q46's change batch) leaves the view equal to the q46 batch SCD-2 " +
+      "merge's current rows — streaming sink ≡ oracle-checked batch twin") {
+    import graft.Tables
+    val base = tmpDir("upsert9")
+    val src = tmpDir("upsert9src")
+    val cust = Tables(spark, sf0001).customer
+    // micro-batch 0: the standing dimension; micro-batch 1: q46's change
+    // batch (same expressions as Relational.q46) — ord makes last-write-win
+    // deterministic regardless of file-source batch order
+    cust.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("segment"), lit(0L).as("ord"))
+      .coalesce(1).write.parquet(s"$src/f0")
+    cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("k"),
+        concat(lit("SEG_"), (col("c_custkey") % 3).cast("string")).as("segment"))
+      .unionByName(cust.filter(col("c_custkey") % 997 === 0)
+        .select((col("c_custkey") + 1000000L).as("k"),
+          lit("SEG_NEW").as("segment")))
+      .withColumn("ord", lit(1L))
+      .coalesce(1).write.parquet(s"$src/f1")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("segment", StringType), StructField("ord", LongType)))
+    val sink = new UpsertSink(spark, base, "k", "ord")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.apply(b, id): Unit
+      }.start()
+    try q.awaitTermination() finally q.stop()
+    val got = sink.current().get.select("k", "segment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = graft.SparkEntry.queries("q46_scd2_upsert")(spark, sf0001)
+      .select(col("c_custkey"), col("segment")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want,
+      s"streaming view diverged from the batch merge: only-view=" +
+        s"${got.diff(want).take(3)} only-batch=${want.diff(got).take(3)}")
+  }
+
   test("drives from a real streaming query: final view is latest per key") {
     val base = tmpDir("upsert3")
     val src = tmpDir("upsert3src")
