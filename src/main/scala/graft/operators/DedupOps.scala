@@ -1048,9 +1048,22 @@ object DedupOps {
     * other, rarer grams — only if a span's EVERY gram is corpus-ubiquitous
     * is it lost, and such spans are boilerplate by definition. */
   def crossDocSpans(docs: DataFrame, gramWords: Int = 8,
-      minSpanWords: Int = 12, maxGramFreq: Option[Int] = None): DataFrame = {
+      minSpanWords: Int = 12, maxGramFreq: Option[Int] = None): DataFrame =
+    spanRuns(docs, gramWords, maxGramFreq)
+      .filter(col("span_words") >= minSpanWords)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_words")).as("max_span_words"),
+        sum(col("span_words")).cast("long").as("dup_words"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Shared maximal-run computation for [[crossDocSpans]] (reporting) and
+    * [[scrubCrossDocSpans]] (removal): one row per maximal aligned run —
+    * (a_id, b_id, a_start, b_start, span_words). */
+  private def spanRuns(docs: DataFrame, gramWords: Int,
+      maxGramFreq: Option[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(gramWords >= 2 && minSpanWords >= gramWords)
+    require(gramWords >= 2)
     val combine = (0 until gramWords).map { j =>
       val r = (j * 8) % 64
       if (r == 0) s"th[i+$j]"
@@ -1085,18 +1098,104 @@ object DedupOps {
     // diag), so pos − row_number islands find exactly the consecutive runs
     val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
       .orderBy(col("a_pos"))
-    val spans = matches
+    matches
       .withColumn("diag", col("a_pos") - col("b_pos"))
       .withColumn("grp", col("a_pos") - row_number().over(w))
       .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
-      .agg((count(lit(1)) + lit(gramWords - 1)).cast("long").as("span_words"))
-      .filter(col("span_words") >= minSpanWords)
-    spans.groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        max(col("span_words")).as("max_span_words"),
-        sum(col("span_words")).cast("long").as("dup_words"))
-      .orderBy(col("a_id"), col("b_id"))
+      .agg(min(col("a_pos")).as("a_start"), min(col("b_pos")).as("b_start"),
+        (count(lit(1)) + lit(gramWords - 1)).cast("long").as("span_words"))
+      .drop("diag", "grp")
   }
+
+  /** Cross-document repeated-substring REMOVAL — the apply step to
+    * [[crossDocSpans]]'s report, and the operation LLM corpus curation
+    * actually ships ("dedup by long repeated substring": drop verbatim
+    * passages that already appear in an earlier document, keeping the
+    * first occurrence). For every maximal shared span, the occurrence in
+    * the HIGHER doc_id (the b-side) is scrubbed: its word positions are
+    * dropped and the surviving words are re-joined. Emits one row per doc
+    * with the retained text's md5 (cheap to compare/oracle), word counts,
+    * and removed-word count.
+    *
+    * Scale: [[spanRuns]]'s topology (group-and-expand, no joins on
+    * exploded rows) plus ONE keyed aggregate collecting each doc's covered
+    * ranges (few per doc) and one equi-join of docs to ranges; the
+    * per-row scrub is array lambdas over the doc's own words. */
+  def scrubCrossDocSpans(docs: DataFrame, gramWords: Int = 8,
+      minSpanWords: Int = 12, maxGramFreq: Option[Int] = None): DataFrame = {
+    val ranges = spanRuns(docs, gramWords, maxGramFreq)
+      .filter(col("span_words") >= minSpanWords)
+      .select(col("b_id").as("doc_id"),
+        struct(col("b_start").as("lo"),
+          (col("b_start") + col("span_words") - 1).as("hi")).as("rng"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("rng")).as("ranges"))
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .join(ranges, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """filter(ws, (x, i) -> ranges IS NULL
+          |  OR NOT exists(ranges, r -> i >= r.lo AND i <= r.hi))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        (size(col("ws")) - size(col("kept"))).cast("long")
+          .as("n_removed_words"),
+        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def d18(s: SparkSession, dir: String): DataFrame =
+    scrubCrossDocSpans(t(s, dir).documentsSpread)
+
+  private val d18Sql =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ',
+      |      w[i+4], ' ', w[i+5], ' ', w[i+6], ' ', w[i+7]) AS gram
+      |  FROM base, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) r),
+      |matches AS (
+      |  SELECT a.doc_id AS a_id, a.pos AS a_pos,
+      |    b.doc_id AS b_id, b.pos AS b_pos
+      |  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT a_id, b_id, a_pos, b_pos,
+      |    a_pos - b_pos AS diag,
+      |    a_pos - row_number() OVER (
+      |      PARTITION BY a_id, b_id, a_pos - b_pos ORDER BY a_pos) AS grp
+      |  FROM matches),
+      |runs AS (
+      |  SELECT b_id, min(b_pos) AS b_start, count(*) + 7 AS span_words
+      |  FROM isl GROUP BY a_id, b_id, diag, grp),
+      |covered AS (
+      |  SELECT DISTINCT b_id AS doc_id, b_start + o AS pos
+      |  FROM runs, LATERAL (SELECT unnest(range(0, span_words)) AS o) x
+      |  WHERE span_words >= 12),
+      |words AS (
+      |  SELECT doc_id, i - 1 AS pos, w[i] AS word
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+      |    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r),
+      |kept AS (
+      |  SELECT wo.doc_id,
+      |    count(*) AS n_kept,
+      |    string_agg(wo.word, ' ' ORDER BY wo.pos) AS clean_text
+      |  FROM words wo LEFT JOIN covered c
+      |    ON c.doc_id = wo.doc_id AND c.pos = wo.pos
+      |  WHERE c.pos IS NULL
+      |  GROUP BY wo.doc_id),
+      |totals AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_words
+      |  FROM documents)
+      |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+      |  CAST(t.n_words AS BIGINT) AS n_words,
+      |  CAST(t.n_words - coalesce(k.n_kept, 0) AS BIGINT)
+      |    AS n_removed_words,
+      |  md5(coalesce(k.clean_text, '')) AS clean_md5
+      |FROM totals t LEFT JOIN kept k ON k.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   private def d17(s: SparkSession, dir: String): DataFrame =
     crossDocSpans(t(s, dir).documentsSpread)
@@ -1149,5 +1248,6 @@ object DedupOps {
     "d15_lsh_recall" -> QueryDef(d15, Some(d15Sql)),
     "d16_containment_neardup" -> QueryDef(d16, Some(d16Sql)),
     "d17_crossdoc_spans" -> QueryDef(d17, Some(d17Sql)),
+    "d18_span_scrub" -> QueryDef(d18, Some(d18Sql)),
   )
 }

@@ -71,6 +71,29 @@ class DedupOpsSpec extends SparkSuite {
     assert(r.getAs[Long]("dup_words") == 27L, s"got $r")
   }
 
+  test("scrubCrossDocSpans removes the LATER doc's copy of a shared span " +
+      "and keeps the first occurrence intact (exact positions, exact md5)") {
+    val sess = spark
+    import sess.implicits._
+    val span = (1 to 15).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"a1 a2 a3 $span a4 a5", "en"),
+      (2L, s"b1 b2 $span b3", "en"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = DedupOps.scrubCrossDocSpans(d).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_removed_words"), r.getAs[String]("clean_md5")))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 is the first occurrence → untouched; doc 2 loses exactly the
+    // 15 span words; doc 3 never matched → untouched
+    assert(got.toSeq == Seq(
+      (1L, 20L, 0L, md5(s"a1 a2 a3 $span a4 a5")),
+      (2L, 18L, 15L, md5("b1 b2 b3")),
+      (3L, 9L, 0L, md5("c1 c2 c3 c4 c5 c6 c7 c8 c9"))), s"got ${got.toSeq}")
+  }
+
   test("crossDocSpans hot-gram cap: a boilerplate passage shared by many " +
       "docs must not quadratic-blow the pair expansion") {
     val sess = spark
