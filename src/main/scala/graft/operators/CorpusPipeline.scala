@@ -615,6 +615,76 @@ object CorpusPipeline {
        |ORDER BY epoch, pos""".stripMargin
   }
 
+  /** Sequence packing — concat-and-chop into fixed context-length training
+    * examples (the step between a curated corpus and a token loader: docs
+    * are concatenated in a deterministic shuffled order and sliced into
+    * `ctxLen`-token windows; a doc may straddle a window boundary). Per doc
+    * we emit its shard, pack position, first sequence id, offset inside
+    * that sequence, and how many boundaries it straddles — everything a
+    * loader needs to locate any document inside the packed stream, and
+    * everything an auditor needs to re-derive the packing.
+    *
+    * Scale design: a GLOBAL concatenation order is inherently sequential
+    * (one running sum), so packing is per shard — the same discipline real
+    * pipelines use (each writer packs its own output shard). The shard key
+    * is the stable content hash (p04's), the intra-shard order is an
+    * epoch-shuffle hash (p09's), and the running token sum is a window
+    * partitioned by shard — cluster-local, no global order anywhere.
+    * Waste is bounded: at most `ctxLen − 1` tokens of the final partial
+    * sequence per shard. */
+  private val p10CtxLen = 512
+  private val p10Shards = 8
+  private def p10(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables(s, dir).documentsSpread
+      .withColumn("n_tokens",
+        size(split(col("text"), " ")).cast("long"))
+      .withColumn("okey",
+        StableHash.h60(concat(col("doc_id"), lit(":pack"))))
+      .withColumn("shard", (col("okey") % p10Shards).cast("long"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("okey"), col("doc_id"))
+    val cum = Window.partitionBy(col("shard"))
+      .orderBy(col("okey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+      .withColumn("prev_tokens", col("cum_tokens") - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        expr(s"prev_tokens div $p10CtxLen").as("start_seq"),
+        (col("prev_tokens") % p10CtxLen).cast("long").as("offset_in_seq"),
+        expr(s"(cum_tokens - 1) div $p10CtxLen " +
+          s"- prev_tokens div $p10CtxLen").as("n_boundary_crossings"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p10Sql = {
+    val h = StableHash.duckH60("doc_id || ':pack'")
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    $h AS okey, ($h) % $p10Shards AS shard
+       |  FROM documents),
+       |packed AS (
+       |  SELECT doc_id, shard, n_tokens, okey,
+       |    row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+       |      AS pos,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY okey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM keyed)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST(pos AS BIGINT) AS pos, n_tokens,
+       |  CAST((cum_tokens - n_tokens) // $p10CtxLen AS BIGINT) AS start_seq,
+       |  CAST((cum_tokens - n_tokens) % $p10CtxLen AS BIGINT)
+       |    AS offset_in_seq,
+       |  CAST((cum_tokens - 1) // $p10CtxLen
+       |    - (cum_tokens - n_tokens) // $p10CtxLen AS BIGINT)
+       |    AS n_boundary_crossings
+       |FROM packed
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -625,5 +695,6 @@ object CorpusPipeline {
     "p07_mix_report" -> QueryDef(p07, Some(p07Sql)),
     "p08_bloom_decontaminate" -> QueryDef(p08, Some(p08Sql)),
     "p09_epoch_shuffle_order" -> QueryDef(p09, Some(p09Sql)),
+    "p10_sequence_pack" -> QueryDef(p10, Some(p10Sql)),
   )
 }
