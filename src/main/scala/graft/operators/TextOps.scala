@@ -592,6 +592,64 @@ object TextOps {
       |GROUP BY c.doc_id, p.doc_id
       |ORDER BY doc_id, probe_id""".stripMargin
 
+  /** Corpus-level gram novelty — the diversity/memorization-risk signal
+    * corpus audits report next to surprisal: per doc, the fraction of its
+    * distinct 5-grams that appear in NO other document. High-novelty docs
+    * carry unique content; near-zero novelty marks templated or syndicated
+    * text even when no single pair passes a dedup threshold (t07 measures
+    * repetition WITHIN a doc; this measures it ACROSS the corpus).
+    *
+    * Scale: per-doc distinct gram hashes are one array expression (the
+    * gram string dies inside xxhash64 — only 8-byte keys shuffle); doc
+    * frequency is one keyed aggregate, and because a df=1 gram has exactly
+    * one owner, `min(doc_id)` recovers that owner in the SAME aggregate —
+    * no join back to the exploded rows. */
+  private def t15(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .withColumn("ghs", array_distinct(expr(
+        """transform(sequence(0, size(toks) - 5),
+          |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+          |    toks[i+3], toks[i+4])))""".stripMargin)))
+      .cache()
+    val sizes = base.select(col("doc_id"),
+      size(col("ghs")).cast("long").as("n_grams"))
+    val novel = base.select(col("doc_id"), explode(col("ghs")).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    sizes.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L))
+          / col("n_grams").cast("double"), 4).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t15Sql =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4])
+      |      AS gram
+      |  FROM base, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) r),
+      |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+      |owners AS (
+      |  SELECT min(doc_id) AS doc_id FROM grams
+      |  GROUP BY gram HAVING count(*) = 1),
+      |nv AS (SELECT doc_id, count(*) AS n_novel FROM owners GROUP BY doc_id)
+      |SELECT s.doc_id, CAST(s.n_grams AS BIGINT) AS n_grams,
+      |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+      |  round(coalesce(nv.n_novel, 0) / CAST(s.n_grams AS DOUBLE), 4)
+      |    AS novelty
+      |FROM sizes s LEFT JOIN nv ON nv.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -607,5 +665,6 @@ object TextOps {
     "t12_tfidf_keywords" -> QueryDef(t12, Some(t12Sql)),
     "t13_bigram_surprisal" -> QueryDef(t13, Some(t13Sql)),
     "t14_contamination_pairs" -> QueryDef(t14, Some(t14Sql)),
+    "t15_gram_novelty" -> QueryDef(t15, Some(t15Sql)),
   )
 }
