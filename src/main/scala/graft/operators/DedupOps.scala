@@ -125,6 +125,14 @@ object DedupOps {
     // identical in both shapes (a hot shingle's pairs land in one task
     // either way) and is bounded by `maxShingleFreq`, which here is a
     // free `size(ids) ≤ F` filter instead of a separate count + semi-join.
+    //
+    // Measured dead end (round 5, do not retry): carrying n_sh through the
+    // gather as collect_list(struct(doc_id, n_sh)) to spare the scorers
+    // their two joins back to the sizes frame made warm d02 ~8x SLOWER at
+    // sf0.1 (1.1 s → 9.4 s): sort_array over structs pays a per-element
+    // comparator and the interpreted slice copies whole structs, swamping
+    // what two broadcast joins against a 5000-row sizes frame cost. Bare
+    // long arrays + joins is the winning shape.
     val sh = arr.select(col("doc_id"), explode(col("shh_arr")).as("sh"))
     val grouped = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
