@@ -56,9 +56,11 @@ object GraftFunctions {
   * `SELECT hamming64(a, b)` works in plain SQL. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // scale guardrail (opt-in by conf — see ScaleGuards)
+    // scale guardrails (opt-in by conf — see ScaleGuards)
     ext.injectOptimizerRule(spark =>
       new graft.plans.FailUnpartitionedWindows(spark))
+    ext.injectOptimizerRule(spark =>
+      new graft.plans.FailCartesianProducts(spark))
     ext.injectFunction((
       new FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming64"),

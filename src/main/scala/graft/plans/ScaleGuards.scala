@@ -45,6 +45,42 @@ class FailUnpartitionedWindows(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** Companion guardrail: fails any plan containing a CONDITION-LESS inner
+  * join — `a.crossJoin(b)` or `a.join(b)` with no usable predicate — when
+  * `spark.graft.failCartesianProducts` is `true`.
+  *
+  * Runs in the user-rule batch, i.e. AFTER predicate pushdown, so an inner
+  * join whose equality lives in a Filter above it has already had the
+  * condition pushed in — what is condition-less here is a real |L|·|R|
+  * cartesian at execution. Like the window guard it is inspect-and-throw,
+  * opt-in, and default-off: a deliberate cross join against a provably
+  * tiny constant frame (an epoch sequence, a parameter grid) is sometimes
+  * exactly right — unset the conf around it. */
+class FailCartesianProducts(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+  import org.apache.spark.sql.catalyst.plans.logical.Join
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val enabled = spark.conf
+      .getOption(ScaleGuards.FailCartesianProductsKey)
+      .exists(_.equalsIgnoreCase("true"))
+    if (enabled) {
+      plan.foreach {
+        case j: Join if j.condition.isEmpty
+            && (j.joinType == Inner || j.joinType == Cross) =>
+          throw new IllegalStateException(
+            "condition-less (cartesian) inner join: |left|·|right| rows " +
+              "at scale. Add a join condition, or unset " +
+              s"${ScaleGuards.FailCartesianProductsKey} if one side is " +
+              "provably tiny and the product is intended")
+        case _ => ()
+      }
+    }
+    plan
+  }
+}
+
 object ScaleGuards {
   val FailUnpartitionedWindowsKey = "spark.graft.failUnpartitionedWindows"
+  val FailCartesianProductsKey = "spark.graft.failCartesianProducts"
 }

@@ -184,6 +184,31 @@ class UpsertSinkSpec extends SparkSuite {
     assert(sink.current().get.count() == 50)
   }
 
+  test("crash safety: a half-committed version (data + manifest written, " +
+      "pointer never flipped) is invisible to readers and is cleanly " +
+      "overwritten by the next commit") {
+    val base = tmpDir("upsert10")
+    val sink = new UpsertSink(spark, base, "k", "ord")
+    assert(sink.apply(df(Seq((1L, "a", 1L))), 0L))
+    // simulate a writer that died between the version write and the
+    // pointer flip: orphan manifest + data for the NEXT version number
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"file:$base"), spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/manifest/1"), true)
+    out.write("crashq,9,16\n0\tdata/1/__bucket=0".getBytes("UTF-8"))
+    out.close()
+    // readers still resolve through the pointer: version 0 only
+    assert(sink.current().get.collect().map(_.getString(1)).toSeq == Seq("a"))
+    assert(sink.lastBatchId.contains(0L))
+    // the next commit re-derives version 1 from the pointer and overwrites
+    // the orphan wholesale — no collision, no stale buckets
+    assert(sink.apply(df(Seq((2L, "b", 1L))), 1L))
+    assert(sink.current().get.orderBy("k").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b"))
+    assert(sink.asOf(9L, forQuery = "crashq").isEmpty,
+      "the orphaned half-commit must not survive as history")
+  }
+
   test("streaming upsert end-to-end: a dimension stream (base load, then " +
       "q46's change batch) leaves the view equal to the q46 batch SCD-2 " +
       "merge's current rows — streaming sink ≡ oracle-checked batch twin") {
