@@ -122,6 +122,46 @@ final class GraftEngine(
     track(route.topicEntity, () => startWith(Map.empty))
   }
 
+  /** Serving-state route: the stream route whose output is a materialized
+    * latest-per-key VIEW instead of downstream topics. The reference's
+    * handlers can only push to queues/topics (SURVEY §2.2) — this is the
+    * north-star serving extension: same source, too-old filter, metadata
+    * enrichment, and middleware as [[startStreamRoute]], then each
+    * micro-batch upserts into `sink` ([[UpsertSink]]'s bucket-pruned,
+    * replay-idempotent merge), so at-least-once foreachBatch yields an
+    * exactly-once view across restarts, rescale, and checkpoint replays.
+    * `project` maps the piped frame (envelope columns + `message`) to the
+    * view's (key, order, value…) columns. The sink's queryId must be the
+    * route's view name so a checkpoint replay is recognized as one. */
+  def startViewRoute(route: StreamRouteConfig,
+      middleware: DataFrame => DataFrame,
+      sink: UpsertSink,
+      project: DataFrame => DataFrame,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    topics.provision(route.topicEntity, route.channels.keys)
+    val name = s"view-${route.topicEntity}"
+    require(sink.queryId == name,
+      s"sink queryId '${sink.queryId}' must equal the view route name " +
+        s"'$name' (replay detection is keyed on it)")
+    def startWith(pace: Map[String, String]): StreamingQuery = {
+      val src = topics.readStream(spark, route.originTopic, pace)
+      val piped = Pipeline.observeReads(s"$name.reads")(
+        Pipeline.forRoute(route, middleware)(src))
+      piped.writeStream
+        .queryName(name)
+        .option("checkpointLocation", s"$checkpointDir/$name")
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (sink.apply(project(batch), batchId))
+            metrics.increment(s"$name.commits")
+          else metrics.increment(s"$name.replays_skipped")
+        }
+        .start()
+    }
+    scalers.put(name, n => startWith(topics.paceOptions(n)))
+    track(name, () => startWith(Map.empty))
+  }
+
   /** O3 runtime parallelism scaling — the Spark analogue of the reference's
     * add/remove stream threads (streams.clj:114-123 via nREPL). KStreams
     * threads change how many records are in flight per poll; here the same

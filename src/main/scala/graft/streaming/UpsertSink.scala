@@ -60,7 +60,7 @@ import org.apache.spark.sql.expressions.Window
   * surface.
   */
 final class UpsertSink(spark: SparkSession, baseDir: String,
-    keyCol: String, orderCol: String, queryId: String = "default",
+    keyCol: String, orderCol: String, val queryId: String = "default",
     buckets: Int = 16) {
 
   require(buckets > 0, "buckets must be positive")
