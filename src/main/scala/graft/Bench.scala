@@ -88,9 +88,13 @@ object Bench {
     // (its calibration-equivalent sbt wall time was 2.6x the idle run's).
     def calibrate(): Double = {
       val t0 = System.nanoTime()
-      spark.range(4000000000L)
+      // collect() (not count()) so the per-row arithmetic is the RESULT and
+      // cannot be pruned — count() over the aggregate lets the optimizer
+      // drop both expressions and time an empty range scan instead
+      val r = spark.range(2000000000L)
         .selectExpr("sum(id * 3 + 1) as s", "count(if(id % 7 = 0, 1, null)) as c")
-        .count()
+        .collect()
+      require(r.nonEmpty && !r(0).isNullAt(0))
       (System.nanoTime() - t0) / 1e9
     }
     def loadavg(): String =

@@ -1071,9 +1071,13 @@ object DedupOps {
   private def spanRuns(docs: DataFrame, gramWords: Int,
       maxGramFreq: Option[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(gramWords >= 2)
+    // rotation step 13 is coprime with 64, so all positions j < 64 get
+    // DISTINCT rotations — a step of 8 cycles with period 8, making the
+    // hash invariant under swapping tokens 8 slots apart for gramWords > 8
+    require(gramWords >= 2 && gramWords <= 64,
+      "gramWords must be in [2, 64] (position rotations repeat past 64)")
     val combine = (0 until gramWords).map { j =>
-      val r = (j * 8) % 64
+      val r = (j * 13) % 64
       if (r == 0) s"th[i+$j]"
       else s"(shiftleft(th[i+$j], $r) | shiftrightunsigned(th[i+$j], ${64 - r}))"
     }.mkString(" ^ ")

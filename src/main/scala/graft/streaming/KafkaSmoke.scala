@@ -29,9 +29,10 @@ import org.apache.spark.sql.types._
   *  3. run the real stream route (source → too-old filter → middleware →
   *     handler dispatch) with retry enabled, then one retry-reader hop to
   *     drain the retry topic into success/DLQ.
-  *  4. assert counts: dispatch tallies must add up to the produced counts
-  *     per class (success / retried-then-success / corrupt → DLQ), read
-  *     back THROUGH the Kafka batch source.
+  *  4. assert counts: the success tally must equal the clean-message
+  *     count, the DLQ (read back THROUGH the Kafka batch source) must
+  *     hold exactly the corrupt + retry-exhausted messages, and the proto
+  *     tranche must decode in full.
   *
   * Prints `SMOKE_OK` and exits 0 on success; prints the first mismatch and
   * exits 1 on failure.
@@ -163,7 +164,9 @@ object KafkaSmoke {
         System.err.println(s"[smoke] FAIL $label: got $got want $want")
       } else println(s"[smoke] ok $label = $got")
     // corrupt rows DLQ at the first hop; retry rows exhaust (count 1) on
-    // the retry hop and land in the DLQ too
+    // the retry hop and land in the DLQ too; everything else succeeds
+    check("success", engine.metrics.count(s"$entity.message.success"),
+      n - nCorrupt - nRetry)
     check("dlq", dlq, nCorrupt + nRetry)
     check("proto_decoded", protoOk, nProto)
     println(s"METRICS=${engine.metrics.snapshot().toSeq.sortBy(_._1)}")

@@ -62,15 +62,17 @@ object StreamJoins {
         // alias preserves its event-time watermark metadata, which the next
         // stage needs (a coalesce strips it, and Spark then rejects the
         // chain for redefining a watermark downstream of a stateful
-        // operator). fullOuter rows can be left-null, so that stage falls
-        // back to coalesce — sound for the batch twin; a STREAMING chain
-        // through a fullOuter stage is a Spark multiple-stateful-operator
-        // limitation either way.
+        // operator). Any join type that can leave the left side null
+        // (fullOuter, rightOuter, …) falls back to coalesce — sound for
+        // the batch twin; a STREAMING chain through such a stage is a
+        // Spark multiple-stateful-operator limitation either way.
+        val leftAlwaysPresent =
+          joinType == "inner" || joinType == "leftOuter" ||
+            joinType == "left_outer" || joinType == "left"
         val (k2, t2) =
-          if (joinType == "fullOuter")
-            (coalesce(col("l_key"), col("r_key")),
-              coalesce(col("l_ts"), col("r_ts")))
-          else (col("l_key"), col("l_ts"))
+          if (leftAlwaysPresent) (col("l_key"), col("l_ts"))
+          else (coalesce(col("l_key"), col("r_key")),
+            coalesce(col("l_ts"), col("r_ts")))
         joined.withColumn(key, k2).withColumn(tsCol, t2)
     }
   }

@@ -20,7 +20,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * Storage layout — hash-bucketed, partition-pruned merge:
   * {{{
-  *   baseDir/CURRENT            "ver,queryId,batchId" (atomic pointer)
+  *   baseDir/CURRENT            "ver,qid1,bid1[,qid2,bid2...]" — atomic
+  *                              pointer: current version + EVERY writer's
+  *                              replay high-water mark (first pair = most
+  *                              recent writer)
   *   baseDir/manifest/<ver>     header "queryId,batchId,buckets";
   *                              then one "bucket<TAB>relpath" line each
   *   baseDir/data/<ver>/__bucket=<b>/   parquet for buckets REWRITTEN at <ver>
@@ -69,8 +72,23 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
   private def hadoopConf = spark.sessionState.newHadoopConf()
   private def fs = ptrPath.getFileSystem(hadoopConf)
 
-  /** (version, queryId, batchId) from the pointer, if committed. */
-  private def currentMeta(): Option[(Long, String, Long)] = {
+  /** Committed-state pointer: the current version plus EVERY writer's
+    * high-water batchId. Carrying all queries' marks (not just the last
+    * writer's) is what makes the replay guard sound under the multi-query
+    * pattern the cross-query tests pin — with only the last writer
+    * recorded, q1's replayed batch arriving after q2's commit would
+    * re-merge and could revert a key at equal orderCol. */
+  private case class Meta(ver: Long, marks: Map[String, Long],
+      legacy: Boolean)
+
+  /** Parse the pointer. Formats:
+    *  - current: `<ver>,<qid1>,<bid1>[,<qid2>,<bid2>...]` (first pair is
+    *    the most recent writer)
+    *  - legacy (pre-manifest layout): `v<batchId>,<qid>,<bid>` — version
+    *    dirs were `v<batchId>` flat parquet; surfaced as `legacy = true`
+    *    so the next merge re-buckets it into the manifest layout instead
+    *    of crashing on the non-numeric version field. */
+  private def currentMeta(): Option[Meta] = {
     val f = fs
     if (!f.exists(ptrPath)) None
     else {
@@ -78,7 +96,12 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
       s.split(",") match {
-        case Array(ver, qid, bid) => Some((ver.toLong, qid, bid.toLong))
+        case Array(v, qid, bid) if v.startsWith("v") =>
+          Some(Meta(v.drop(1).toLong, Map(qid -> bid.toLong), legacy = true))
+        case arr if arr.length >= 3 && arr.length % 2 == 1 =>
+          val marks = arr.tail.grouped(2)
+            .map { case Array(q, b) => q -> b.toLong }.toMap
+          Some(Meta(arr.head.toLong, marks, legacy = false))
         case _ => None
       }
     }
@@ -123,19 +146,30 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     else Some(spark.read.parquet(m.dirs.values.toSeq.sorted
       .map(d => s"$baseDir/$d"): _*))
 
+  /** The committed version's manifest — legacy pointers synthesize one
+    * pointing at the old flat `v<batchId>` dir (nBuckets = -1 forces the
+    * full re-bucketing rewrite on the next merge). */
+  private def manifestFor(meta: Meta): Option[Manifest] =
+    if (meta.legacy) {
+      val (qid, bid) = meta.marks.head
+      val dir = s"v${meta.ver}"
+      if (fs.exists(new Path(s"$baseDir/$dir")))
+        Some(Manifest(qid, bid, -1, Map(0 -> dir)))
+      else None
+    } else readManifest(meta.ver)
+
   /** The current materialized state, if any non-empty batch has committed. */
   def current(): Option[DataFrame] =
-    currentMeta().flatMap { case (ver, _, _) =>
-      readManifest(ver).flatMap(readDirs)
-    }
+    currentMeta().flatMap(manifestFor).flatMap(readDirs)
 
-  def lastBatchId: Option[Long] = currentMeta().map(_._3)
+  /** Last batchId applied BY THIS QUERY (its replay high-water mark). */
+  def lastBatchId: Option[Long] =
+    currentMeta().flatMap(_.marks.get(queryId))
 
   /** Bucket → path map of the current version (test/ops introspection:
     * untouched buckets keep the exact same path across commits). */
   def currentBucketDirs(): Map[Int, String] =
-    currentMeta().flatMap { case (ver, _, _) => readManifest(ver) }
-      .map(_.dirs).getOrElse(Map.empty)
+    currentMeta().flatMap(manifestFor).map(_.dirs).getOrElse(Map.empty)
 
   /** Time travel: the materialized state as of `batchId` committed by
     * `forQuery` (this sink's queryId by default). Resolved through the
@@ -145,8 +179,13 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     val f = fs
     val mdir = new Path(s"$baseDir/manifest")
     if (!f.exists(mdir)) return None
+    // only COMMITTED versions (≤ the pointer) are history: an orphaned
+    // manifest from a crash between the version write and the pointer flip
+    // must stay invisible to time travel, matching current()'s contract
+    val ptrVer = currentMeta().map(_.ver).getOrElse(return None)
     f.listStatus(mdir).toSeq
       .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .filter(_ <= ptrVer)
       .sorted.reverse
       .flatMap(readManifest)
       .find(m => m.qid == forQuery && m.batchId == batchId)
@@ -157,78 +196,99 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     * already applied BY THIS QUERY (replay) and was skipped. */
   def apply(batch: DataFrame, batchId: Long): Boolean = {
     val meta = currentMeta()
-    if (meta.exists { case (_, qid, bid) => qid == queryId && batchId <= bid })
+    if (meta.exists(_.marks.get(queryId).exists(batchId <= _)))
       return false
-    val prev = meta.flatMap { case (ver, _, _) => readManifest(ver) }
-    val ver = meta.map(_._1 + 1).getOrElse(0L)
+    val prev = meta.flatMap(manifestFor)
+    val ver = meta.map(_.ver + 1).getOrElse(0L)
 
     val batchW = latestPerKey(batch)
       .withColumn("__bucket", pmod(hash(col(keyCol)), lit(buckets)))
-    // ≤ `buckets` rows: the prune decision is driver-side by design
-    val touched = batchW.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+      .persist()
+    try {
+      // ≤ `buckets` rows: the prune decision is driver-side by design; the
+      // persist keeps the touched-collect from recomputing the batch dedup
+      // a second time inside the bucket write
+      val touched = batchW.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
 
-    val dirs: Map[Int, String] = prev match {
-      case Some(p) if p.nBuckets == buckets =>
-        if (touched.isEmpty) p.dirs
-        else {
-          val statePaths = p.dirs.filter { case (b, _) => touched(b) }
-            .values.toSeq.sorted.map(d => s"$baseDir/$d")
-          val merged =
-            if (statePaths.isEmpty) batchW
-            else latestPerKey(spark.read.parquet(statePaths: _*)
-                .withColumn("__bucket",
-                  pmod(hash(col(keyCol)), lit(buckets)))
+      val dirs: Map[Int, String] = prev match {
+        case Some(p) if p.nBuckets == buckets =>
+          if (touched.isEmpty) p.dirs
+          else {
+            val statePaths = p.dirs.filter { case (b, _) => touched(b) }
+              .values.toSeq.sorted.map(d => s"$baseDir/$d")
+            val merged =
+              if (statePaths.isEmpty) batchW
+              else latestPerKey(spark.read.parquet(statePaths: _*)
+                  .withColumn("__bucket",
+                    pmod(hash(col(keyCol)), lit(buckets)))
+                  .withColumn("__src", lit(0))
+                  .unionByName(batchW.withColumn("__src", lit(1))))
+                .drop("__src")
+            writeBuckets(merged, ver)
+            p.dirs.filterNot { case (b, _) => touched(b) } ++
+              touched.map(b => b -> s"data/$ver/__bucket=$b")
+          }
+        case Some(p) =>
+          // bucket count changed (or legacy layout): full re-bucketing
+          // rewrite; persisted so the touched-collect and the write share
+          // the one state scan + window
+          val all = readDirs(p).map(st => latestPerKey(
+              st.withColumn("__bucket", pmod(hash(col(keyCol)), lit(buckets)))
                 .withColumn("__src", lit(0))
                 .unionByName(batchW.withColumn("__src", lit(1))))
-              .drop("__src")
-          writeBuckets(merged, ver)
-          p.dirs.filterNot { case (b, _) => touched(b) } ++
-            touched.map(b => b -> s"data/$ver/__bucket=$b")
-        }
-      case Some(p) =>
-        // bucket count changed (or legacy layout): full re-bucketing rewrite
-        val all = readDirs(p).map(st => latestPerKey(
-            st.withColumn("__bucket", pmod(hash(col(keyCol)), lit(buckets)))
-              .withColumn("__src", lit(0))
-              .unionByName(batchW.withColumn("__src", lit(1))))
-            .drop("__src"))
-          .getOrElse(batchW)
-        val allTouched = all.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toSet
-        writeBuckets(all, ver)
-        allTouched.map(b => b -> s"data/$ver/__bucket=$b").toMap
-      case None =>
-        if (touched.nonEmpty) writeBuckets(batchW, ver)
-        touched.map(b => b -> s"data/$ver/__bucket=$b").toMap
-    }
+              .drop("__src"))
+            .getOrElse(batchW)
+            .persist()
+          try {
+            val allTouched = all.select("__bucket").distinct()
+              .collect().map(_.getInt(0)).toSet
+            writeBuckets(all, ver)
+            allTouched.map(b => b -> s"data/$ver/__bucket=$b").toMap
+          } finally all.unpersist()
+        case None =>
+          if (touched.nonEmpty) writeBuckets(batchW, ver)
+          touched.map(b => b -> s"data/$ver/__bucket=$b").toMap
+      }
 
-    writeManifest(ver, Manifest(queryId, batchId, buckets, dirs))
-    val f = fs
-    val tmp = new Path(s"$baseDir/CURRENT.tmp")
-    val out = f.create(tmp, true)
-    try out.write(s"$ver,$queryId,$batchId".getBytes("UTF-8"))
-    finally out.close()
-    FileContext.getFileContext(ptrPath.toUri, hadoopConf)
-      .rename(tmp, ptrPath, Options.Rename.OVERWRITE)
-    true
+      writeManifest(ver, Manifest(queryId, batchId, buckets, dirs))
+      val marks = meta.map(_.marks).getOrElse(Map.empty) + (queryId -> batchId)
+      val others = (marks - queryId).toSeq.sortBy(_._1)
+        .map { case (q, b) => s",$q,$b" }.mkString
+      val f = fs
+      val tmp = new Path(s"$baseDir/CURRENT.tmp")
+      val out = f.create(tmp, true)
+      try out.write(s"$ver,$queryId,$batchId$others".getBytes("UTF-8"))
+      finally out.close()
+      FileContext.getFileContext(ptrPath.toUri, hadoopConf)
+        .rename(tmp, ptrPath, Options.Rename.OVERWRITE)
+      true
+    } finally batchW.unpersist()
   }
 
-  /** Drop all but the newest `keepLast` versions. Manifests of dropped
-    * versions are deleted (their `asOf` returns None afterwards); bucket
-    * data directories are deleted only when NO retained manifest still
-    * references them — a retained version that carries an old bucket
-    * forward keeps that bucket's files alive. `current()` and every
-    * retained `asOf` are unaffected. */
+  /** Drop all but the newest `keepLast` COMMITTED versions. Manifests of
+    * dropped versions are deleted (their `asOf` returns None afterwards);
+    * bucket data directories are deleted only when NO retained manifest
+    * still references them — a retained version that carries an old bucket
+    * forward keeps that bucket's files alive. The pointer's version is
+    * always retained and orphaned manifests ABOVE the pointer (a crashed
+    * half-commit) are swept as garbage, never counted against `keepLast` —
+    * counting them would let vacuum(1) delete the live version.
+    * `current()` and every retained `asOf` are unaffected. */
   def vacuum(keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
     val f = fs
     val mdir = new Path(s"$baseDir/manifest")
     if (!f.exists(mdir)) return
+    val ptrVer = currentMeta() match {
+      case Some(m) if !m.legacy => m.ver
+      case _ => return // nothing committed in this layout — nothing to drop
+    }
     val vers = f.listStatus(mdir).toSeq
       .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
-      .sorted.reverse
-    val (keep, drop) = vers.splitAt(keepLast)
+    val committed = vers.filter(_ <= ptrVer).sorted.reverse
+    val keep = committed.take(keepLast)
+    val drop = committed.drop(keepLast) ++ vers.filter(_ > ptrVer)
     if (drop.isEmpty) return
     val referenced = keep.flatMap(readManifest).flatMap(_.dirs.values).toSet
     drop.foreach(v => f.delete(manifestPath(v), false))

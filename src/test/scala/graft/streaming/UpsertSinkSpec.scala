@@ -184,6 +184,45 @@ class UpsertSinkSpec extends SparkSuite {
     assert(sink.current().get.count() == 50)
   }
 
+  test("multi-writer replay guard: q1's replayed batch arriving AFTER q2's " +
+      "commit is still skipped (per-query high-water marks in the pointer)") {
+    val base = tmpDir("upsert11")
+    val q1 = new UpsertSink(spark, base, "k", "ord", queryId = "q1")
+    assert(q1.apply(df(Seq((1L, "X", 10L))), 5L))
+    val q2 = new UpsertSink(spark, base, "k", "ord", queryId = "q2")
+    assert(q2.apply(df(Seq((1L, "Y", 10L))), 0L)) // beats X at equal ord
+    assert(q2.current().get.collect().map(_.getString(1)).toSeq == Seq("Y"))
+    // q1's checkpoint replays batch 5: with only the last writer recorded
+    // this would re-merge and revert k=1 to X; the marks map must skip it
+    assert(!q1.apply(df(Seq((1L, "X", 10L))), 5L),
+      "q1's replay after q2's commit must be recognized")
+    assert(q1.current().get.collect().map(_.getString(1)).toSeq == Seq("Y"),
+      "the replay must not revert the newer write")
+    assert(q1.lastBatchId.contains(5L) && q2.lastBatchId.contains(0L))
+  }
+
+  test("vacuum with an orphaned half-commit above the pointer keeps the " +
+      "LIVE version and sweeps the orphan as garbage") {
+    val base = tmpDir("upsert12")
+    val sink = new UpsertSink(spark, base, "k", "ord")
+    assert(sink.apply(df(Seq((1L, "a", 1L))), 0L))
+    assert(sink.apply(df(Seq((2L, "b", 1L))), 1L))
+    // orphan manifest for a version ABOVE the pointer (crash before flip)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"file:$base"), spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/manifest/5"), true)
+    out.write("crashq,9,16\n0\tdata/5/__bucket=0".getBytes("UTF-8"))
+    out.close()
+    // counting the orphan against keepLast would drop the live version
+    sink.vacuum(keepLast = 1)
+    assert(sink.current().isDefined, "live version must survive vacuum")
+    assert(sink.current().get.orderBy("k").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/manifest/5")),
+      "the orphan manifest must be swept")
+    assert(sink.asOf(1L).isDefined && sink.asOf(0L).isEmpty)
+  }
+
   test("crash safety: a half-committed version (data + manifest written, " +
       "pointer never flipped) is invisible to readers and is cleanly " +
       "overwritten by the next commit") {
