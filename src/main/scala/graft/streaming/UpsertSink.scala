@@ -67,6 +67,8 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     buckets: Int = 16) {
 
   require(buckets > 0, "buckets must be positive")
+  require(!queryId.exists(c => c == ',' || c == '\n' || c == '\r'),
+    s"queryId '$queryId' must not contain ',' or newlines (pointer format)")
 
   private val ptrPath = new Path(s"$baseDir/CURRENT")
   private def hadoopConf = spark.sessionState.newHadoopConf()
