@@ -1068,9 +1068,9 @@ object DedupOps {
   /** Shared maximal-run computation for [[crossDocSpans]] (reporting) and
     * [[scrubCrossDocSpans]] (removal): one row per maximal aligned run —
     * (a_id, b_id, a_start, b_start, span_words). */
-  private def spanRuns(docs: DataFrame, gramWords: Int,
-      maxGramFreq: Option[Int]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (doc_id, pos, g): the position-sensitive 64-bit hash of every
+    * `gramWords`-gram — the shared front end of the span family. */
+  private def gramHashes(docs: DataFrame, gramWords: Int): DataFrame = {
     // rotation step 13 is coprime with 64, so all positions j < 64 get
     // DISTINCT rotations — a step of 8 cycles with period 8, making the
     // hash invariant under swapping tokens 8 slots apart for gramWords > 8
@@ -1081,13 +1081,19 @@ object DedupOps {
       if (r == 0) s"th[i+$j]"
       else s"(shiftleft(th[i+$j], $r) | shiftrightunsigned(th[i+$j], ${64 - r}))"
     }.mkString(" ^ ")
-    val grams = docs
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= gramWords)
       .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(th) - $gramWords), i -> $combine)"))
         .as(Seq("pos", "g")))
+  }
+
+  private def spanRuns(docs: DataFrame, gramWords: Int,
+      maxGramFreq: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramHashes(docs, gramWords)
     val grouped = grams.groupBy(col("g"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"))))
         .as("occs"))
@@ -1134,12 +1140,20 @@ object DedupOps {
     * ranges (few per doc) and one equi-join of docs to ranges; the
     * per-row scrub is array lambdas over the doc's own words. */
   def scrubCrossDocSpans(docs: DataFrame, gramWords: Int = 8,
-      minSpanWords: Int = 12, maxGramFreq: Option[Int] = None): DataFrame = {
-    val ranges = spanRuns(docs, gramWords, maxGramFreq)
-      .filter(col("span_words") >= minSpanWords)
-      .select(col("b_id").as("doc_id"),
-        struct(col("b_start").as("lo"),
-          (col("b_start") + col("span_words") - 1).as("hi")).as("rng"))
+      minSpanWords: Int = 12, maxGramFreq: Option[Int] = None): DataFrame =
+    applyScrub(docs,
+      spanRuns(docs, gramWords, maxGramFreq)
+        .filter(col("span_words") >= minSpanWords)
+        .select(col("b_id").as("doc_id"), col("b_start").as("lo"),
+          (col("b_start") + col("span_words") - 1).as("hi")))
+
+  /** Shared scrub tail: drop each doc's covered word positions and emit
+    * (doc_id, n_words, n_removed_words, clean_md5). `spans` carries one
+    * (doc_id, lo, hi) row per covered range. */
+  private def applyScrub(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val ranges = spans
+      .select(col("doc_id"),
+        struct(col("lo"), col("hi")).as("rng"))
       .groupBy(col("doc_id"))
       .agg(collect_list(col("rng")).as("ranges"))
     docs
@@ -1156,6 +1170,113 @@ object DedupOps {
         md5(concat_ws(" ", col("kept"))).as("clean_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** Incremental cross-doc span scrub — the INGEST-time twin of
+    * [[scrubCrossDocSpans]]: scrub an incoming batch against a STANDING
+    * corpus without ever re-pairing the corpus with itself. This is the
+    * shape a 100 TB pipeline actually runs after the initial backfill —
+    * per-batch cost is proportional to the batch, not the corpus.
+    *
+    * Topology: the corpus's gram index (8-byte hash, position) is an
+    * equi-join target; the incoming batch's grams probe it (AQE broadcasts
+    * whichever side is small — for steady-state ingest that is the batch).
+    * Matches fall onto alignment diagonals exactly as in [[spanRuns]];
+    * runs ≥ `minSpanWords` become covered ranges on the INCOMING side
+    * only, and the batch is scrubbed with the same array-lambda tail as
+    * d18. Batch-internal duplication is deliberately out of scope here —
+    * that is d01/d08/d18's job.
+    *
+    * `maxGramFreq` caps the CORPUS-side frequency of a gram (count +
+    * left-semi join, the join-topology analogue of d02's gather-side
+    * filter): a boilerplate gram in k corpus docs would multiply every
+    * probing occurrence by k. */
+  def incrementalSpanScrub(corpus: DataFrame, incoming: DataFrame,
+      gramWords: Int = 8, minSpanWords: Int = 12,
+      maxGramFreq: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cgAll = gramHashes(corpus, gramWords)
+      .select(col("doc_id").as("c_id"), col("pos").as("c_pos"), col("g"))
+    val cg = maxGramFreq.fold(cgAll) { f =>
+      cgAll.join(
+        cgAll.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") <= f).select(col("g")),
+        Seq("g"), "left_semi")
+    }
+    val ng = gramHashes(incoming, gramWords)
+      .select(col("doc_id").as("n_id"), col("pos").as("n_pos"), col("g"))
+    val w = Window.partitionBy(col("n_id"), col("c_id"), col("diag"))
+      .orderBy(col("n_pos"))
+    val spans = ng.join(cg, Seq("g"))
+      .withColumn("diag", col("n_pos") - col("c_pos"))
+      .withColumn("grp", col("n_pos") - row_number().over(w))
+      .groupBy(col("n_id"), col("c_id"), col("diag"), col("grp"))
+      .agg(min(col("n_pos")).as("n_start"),
+        (count(lit(1)) + lit(gramWords - 1)).cast("long").as("span_words"))
+      .filter(col("span_words") >= minSpanWords)
+      .select(col("n_id").as("doc_id"), col("n_start").as("lo"),
+        (col("n_start") + col("span_words") - 1).as("hi"))
+    applyScrub(incoming, spans)
+  }
+
+  private def d19(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documentsSpread
+    incrementalSpanScrub(
+      corpus = docs.filter(col("doc_id") % 5 =!= 0),
+      incoming = docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  private val d19Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE doc_id % 5 <> 0 AND len(string_split(text, ' ')) >= 8),
+      |batch AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 8),
+      |grams_c AS (
+      |  SELECT doc_id AS c_id, i - 1 AS c_pos,
+      |    concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ',
+      |      w[i+4], ' ', w[i+5], ' ', w[i+6], ' ', w[i+7]) AS gram
+      |  FROM corpus, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) r),
+      |grams_n AS (
+      |  SELECT doc_id AS n_id, i - 1 AS n_pos,
+      |    concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ',
+      |      w[i+4], ' ', w[i+5], ' ', w[i+6], ' ', w[i+7]) AS gram
+      |  FROM batch, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) r),
+      |isl AS (
+      |  SELECT n_id, c_id, n_pos,
+      |    n_pos - c_pos AS diag,
+      |    n_pos - row_number() OVER (
+      |      PARTITION BY n_id, c_id, n_pos - c_pos ORDER BY n_pos) AS grp
+      |  FROM grams_n JOIN grams_c USING (gram)),
+      |runs AS (
+      |  SELECT n_id, min(n_pos) AS n_start, count(*) + 7 AS span_words
+      |  FROM isl GROUP BY n_id, c_id, diag, grp),
+      |covered AS (
+      |  SELECT DISTINCT n_id AS doc_id, n_start + o AS pos
+      |  FROM runs, LATERAL (SELECT unnest(range(0, span_words)) AS o) x
+      |  WHERE span_words >= 12),
+      |words AS (
+      |  SELECT doc_id, i - 1 AS pos, w[i] AS word
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE doc_id % 5 = 0) d,
+      |    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r),
+      |kept AS (
+      |  SELECT wo.doc_id, count(*) AS n_kept,
+      |    string_agg(wo.word, ' ' ORDER BY wo.pos) AS clean_text
+      |  FROM words wo LEFT JOIN covered c
+      |    ON c.doc_id = wo.doc_id AND c.pos = wo.pos
+      |  WHERE c.pos IS NULL
+      |  GROUP BY wo.doc_id),
+      |totals AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_words
+      |  FROM documents WHERE doc_id % 5 = 0)
+      |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+      |  CAST(t.n_words AS BIGINT) AS n_words,
+      |  CAST(t.n_words - coalesce(k.n_kept, 0) AS BIGINT)
+      |    AS n_removed_words,
+      |  md5(coalesce(k.clean_text, '')) AS clean_md5
+      |FROM totals t LEFT JOIN kept k ON k.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   private def d18(s: SparkSession, dir: String): DataFrame =
     scrubCrossDocSpans(t(s, dir).documentsSpread)
@@ -1261,5 +1382,6 @@ object DedupOps {
     "d16_containment_neardup" -> QueryDef(d16, Some(d16Sql)),
     "d17_crossdoc_spans" -> QueryDef(d17, Some(d17Sql)),
     "d18_span_scrub" -> QueryDef(d18, Some(d18Sql)),
+    "d19_incremental_span_scrub" -> QueryDef(d19, Some(d19Sql)),
   )
 }

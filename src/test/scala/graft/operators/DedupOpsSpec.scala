@@ -94,6 +94,33 @@ class DedupOpsSpec extends SparkSuite {
       (3L, 9L, 0L, md5("c1 c2 c3 c4 c5 c6 c7 c8 c9"))), s"got ${got.toSeq}")
   }
 
+  test("incrementalSpanScrub scrubs incoming docs against the corpus only: " +
+      "corpus text is untouched, batch-internal duplication is ignored") {
+    val sess = spark
+    import sess.implicits._
+    val span = (1 to 15).map(i => s"s$i").mkString(" ")
+    val dup = (1 to 15).map(i => s"d$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"a1 a2 $span a3", "en"),
+      (2L, (1 to 20).map(i => s"b$i").mkString(" "), "en")
+    ).toDF("doc_id", "text", "lang")
+    // docs 10/11 share `dup` with EACH OTHER (not the corpus): must be kept
+    val incoming = Seq(
+      (10L, s"x1 $span x2 $dup x3", "en"),
+      (11L, s"y1 y2 $dup y3", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = DedupOps.incrementalSpanScrub(corpus, incoming).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_removed_words"), r.getAs[String]("clean_md5")))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq(
+      // doc 10 loses exactly the corpus span; its batch-internal dup stays
+      (10L, 33L, 15L, md5(s"x1 x2 $dup x3")),
+      // doc 11 matches nothing in the corpus → untouched
+      (11L, 18L, 0L, md5(s"y1 y2 $dup y3"))), s"got ${got.toSeq}")
+  }
+
   test("crossDocSpans hot-gram cap: a boilerplate passage shared by many " +
       "docs must not quadratic-blow the pair expansion") {
     val sess = spark

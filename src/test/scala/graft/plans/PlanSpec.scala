@@ -103,6 +103,12 @@ class PlanSpec extends SparkSuite {
     assert(n <= 6, s"d17 planned $n data shuffles (expected ≤ 6)")
   }
 
+  test("d19: incremental span scrub probes the corpus gram index with an " +
+      "equi-join on the 8-byte hash — never cartesian, batch-proportional") {
+    val df = run("d19_incremental_span_scrub")
+    assert(!PlanChecks.usesCartesianProduct(df))
+  }
+
   test("d04: native simhash32 keeps fingerprinting map-side — only the " +
       "documentsSpread repartition and the output sort exchange data") {
     assert(PlanChecks.countDataShuffles(run("d04_dedup_simhash")) <= 2)
