@@ -14,7 +14,8 @@ object SparkEntry {
   val registry: Seq[(String, QueryDef)] =
     Relational.defs ++ StreamParity.defs ++ Analytic.defs ++ Temporal.defs ++
       DedupOps.defs ++ SimilarityOps.defs ++ TextOps.defs ++
-      MultimodalOps.defs ++ CorpusPipeline.defs ++ Sampling.defs
+      MultimodalOps.defs ++ CorpusPipeline.defs ++ Sampling.defs ++
+      LayoutOps.defs
 
   private val regMap: Map[String, QueryDef] = registry.toMap
 

@@ -297,6 +297,71 @@ object Temporal {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Large×large interval-overlap join, binned: every (view, click) pair by
+    * the same user whose occupancy intervals [ts, ts + value min) overlap —
+    * per-user pair counts and overlap mass (ad-attribution / co-occurrence
+    * style questions where BOTH interval sets are fact-sized).
+    *
+    * Scale design: a plain `a.s < b.e AND b.s < a.e` join on user_id alone
+    * degrades to per-user quadratic work for hot users (SortMergeJoin on
+    * user, then the range predicate filters the cross product row by row).
+    * Instead each interval explodes into the fixed-width time bins it
+    * covers (`sequence(s div W, (e-1) div W)` — map-side, no shuffle) and
+    * the join is a pure equi-join on (user_id, bin): candidates are bounded
+    * by per-bin occupancy, never per-user event count. Each overlapping
+    * pair shares every bin covering its overlap, so it is emitted exactly
+    * once at its FIRST common bin — the bin containing `greatest(a.s, b.s)`
+    * (that instant lies inside both half-open intervals) — a join-side
+    * predicate, so no post-join dedup shuffle exists. W trades explode
+    * factor against bin occupancy; 1 h covers these minute-scale
+    * intervals with ≤ ~10 bins each (at 100 TB, set W ≈ median interval
+    * length). Interval ends are exact integers (cents × 6·10^5 micros =
+    * value minutes) and value=0 rows (empty intervals) are dropped on
+    * both engines. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val W = 3600000000L // 1 h bins, in micros
+    def iv(tpe: String, p: String) = t(s, dir).events
+      .filter(col("event_type") === tpe)
+      .select(col("event_id").as(s"${p}_id"),
+        col("user_id").as(s"${p}_user"),
+        unix_micros(col("ts")).as(s"${p}_s"),
+        (unix_micros(col("ts"))
+          + round(col("value") * 100, 0).cast("long") * 600000L).as(s"${p}_e"))
+      .filter(col(s"${p}_e") > col(s"${p}_s"))
+      .withColumn(s"${p}_bin",
+        explode(sequence(expr(s"${p}_s div $W"), expr(s"(${p}_e - 1) div $W"))))
+    val a = iv("view", "a")
+    val b = iv("click", "b")
+    a.join(b,
+        col("a_user") === col("b_user") && col("a_bin") === col("b_bin") &&
+        col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+        col("a_bin") === expr(s"greatest(a_s, b_s) div $W"))
+      .groupBy(col("a_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("a_e"), col("b_e"))
+          - greatest(col("a_s"), col("b_s"))).as("sum_overlap_us"),
+        max(least(col("a_e"), col("b_e"))
+          - greatest(col("a_s"), col("b_s"))).as("max_overlap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q50Sql =
+    """WITH iv AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS s,
+      |    epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 600000 AS e
+      |  FROM events),
+      |a AS (SELECT * FROM iv WHERE event_type = 'view' AND e > s),
+      |b AS (SELECT * FROM iv WHERE event_type = 'click' AND e > s)
+      |SELECT a.user_id AS user_id,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+      |    AS sum_overlap_us,
+      |  CAST(max(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+      |    AS max_overlap_us
+      |FROM a JOIN b ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+      |GROUP BY a.user_id
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q31_asof_join" -> QueryDef(q31, Some(q31Sql), headline = true),
     "q32_range_join" -> QueryDef(q32, Some(q32Sql)),
@@ -304,5 +369,6 @@ object Temporal {
     "q43_sessionize" -> QueryDef(q43, Some(q43Sql)),
     "q44_interval_concurrency" -> QueryDef(q44, Some(q44Sql)),
     "q48_asof_forward" -> QueryDef(q48, Some(q48Sql)),
+    "q50_interval_join" -> QueryDef(q50, Some(q50Sql), headline = true),
   )
 }

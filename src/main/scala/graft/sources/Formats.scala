@@ -70,6 +70,71 @@ object Formats {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Z-order (Morton-curve) layout — the MULTI-column data-skipping lever.
+    * Partitioning prunes on one directory column and bucketing co-locates
+    * one join key; a 100 TB scan filtered on TWO ranged columns (e.g.
+    * user × time, language × quality) needs rows close in both dimensions
+    * to be close in the file layout, so min/max stats (parquet row-group
+    * footers; file-level stats in table formats) exclude most of the data.
+    *
+    * Each column is quantile-binned into 2^bits ranks (boundaries from one
+    * `approxQuantile` pass — quantile, not uniform, so skew can't collapse
+    * the curve), the ranks' bits are interleaved into a Morton key, and the
+    * rows are range-partitioned + sorted by it. Every step after the
+    * boundary pass is per-row expression math; the only data movement is
+    * the final range repartition the layout exists to impose. `outFiles`
+    * plays the role file-size targets play at scale (files ≈ size/128 MB).
+    *
+    * FormatsSpec pins the payoff: a 2-D range predicate touches a small
+    * fraction of z-ordered files but nearly all single-column-sorted ones. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+      bits: Int = 4, outFiles: Int = 32): Unit = {
+    require(cols.nonEmpty && bits >= 1 && bits <= 8)
+    val n = 1 << bits
+    val bins: Seq[org.apache.spark.sql.Column] = cols.map { c =>
+      val probs = (1 until n).map(_.toDouble / n).toArray
+      val bounds = df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(c).cast("double") > b, 1).otherwise(0)
+      }
+    }
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      bins.zipWithIndex.foldLeft(acc) { case (a, (bin, j)) =>
+        a + (shiftright(bin.cast("long"), i).bitwiseAND(1L)
+          * (1L << (i.toLong * cols.length + j)))
+      }
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(outFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Small-file compaction — the operational answer to streaming sinks and
+    * fine-grained partitions fragmenting a table into metadata-bound scans
+    * (at 100 TB, a million 1 MB files costs more in listing + task launch
+    * than the I/O itself). Sums the current part-file bytes, computes the
+    * file count that hits `targetFileBytes`, and rewrites into `outPath`
+    * (never in place — the swap is the caller's atomic rename/pointer
+    * flip, same discipline as UpsertSink's versioned dirs). Returns
+    * (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    (parts.length, after)
+  }
+
   def exportEnvelopes(env: DataFrame, path: String): Unit =
     env
       .withColumn("key", base64(col("key")))

@@ -75,6 +75,19 @@ class PlanSpec extends SparkSuite {
     assert(ops.exists(_.startsWith("BroadcastNestedLoopJoin")), s"got $ops")
   }
 
+  test("q50: large-large interval join is a pure equi-join on (user, bin) " +
+      "— no cartesian, no nested-loop, no post-join dedup shuffle") {
+    val df = run("q50_interval_join")
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(!PlanChecks.usesCartesianProduct(df), s"got $ops")
+    assert(!ops.exists(_.startsWith("BroadcastNestedLoopJoin")), s"got $ops")
+    // two join-input exchanges + per-user aggregate (+ AQE may keep the
+    // output sort's exchange); the first-common-bin emit predicate means
+    // no distinct/dedup stage exists between join and aggregate
+    assert(PlanChecks.countDataShuffles(df) <= 5,
+      s"shuffles = ${PlanChecks.countDataShuffles(df)}")
+  }
+
   test("d02: candidate generation is single-shuffle group-and-expand — " +
       "the exploded shingle rows shuffle once into the collect_list gather " +
       "and NO join ever touches them (the old self-join shuffled them twice)") {

@@ -37,6 +37,54 @@ class FormatsSpec extends SparkSuite {
     assert(back.schema == graft.streaming.Envelope.schema)
   }
 
+  test("z-order layout keeps BOTH filter dimensions file-local; a " +
+      "single-column sort is defeated by the other dimension's probe") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val base = tmpDir("zorder")
+    Formats.writeZOrdered(ev, s"$base/z", Seq("user_id", "value"),
+      bits = 4, outFiles = 16)
+    ev.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.parquet(s"$base/byuser")
+    // quantile probes so the test tracks the data, not fixed constants:
+    // ~12% of users / ~10% of values (2 of 16 z-bins each)
+    val Array(uHi) = ev.stat.approxQuantile("user_id", Array(0.12), 0.0)
+    val Array(vLo, vHi) =
+      ev.stat.approxQuantile("value", Array(0.50, 0.60), 0.0)
+    def filesTouched(path: String, cond: org.apache.spark.sql.Column) =
+      spark.read.parquet(path).filter(cond)
+        .select(input_file_name()).distinct().count()
+    val zTotal = spark.read.parquet(s"$base/z").inputFiles.length.toLong
+    val uTotal = spark.read.parquet(s"$base/byuser").inputFiles.length.toLong
+    val userProbe = col("user_id") <= uHi
+    val valueProbe = col("value").between(vLo, vHi)
+    // Morton top bits alternate dimensions, so a 2-bin 1-D probe matches
+    // ≤ 8 of 16 4-bit prefixes — every probe dimension skips files
+    assert(filesTouched(s"$base/z", userProbe) <= zTotal * 10 / 16,
+      "z-layout: user probe should skip files")
+    assert(filesTouched(s"$base/z", valueProbe) <= zTotal * 10 / 16,
+      "z-layout: value probe should skip files")
+    // the single-column layout spreads every value band across all files
+    assert(filesTouched(s"$base/byuser", valueProbe) >= uTotal * 14 / 16,
+      "user-sorted layout should be defeated by the value probe")
+    // layout never changes content
+    val z = spark.read.parquet(s"$base/z")
+    assert(z.exceptAll(ev).isEmpty && ev.exceptAll(z).isEmpty)
+  }
+
+  test("compaction rewrites small-file debris to the byte-target count, " +
+      "content-identical") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val base = tmpDir("compact")
+    ev.repartition(48).write.parquet(s"$base/frag")
+    val (before, after) =
+      Formats.compact(spark, s"$base/frag", s"$base/out", 1L << 30)
+    assert(before == 48, s"fragmented layout should have 48 files, got $before")
+    assert(after == 1, s"1 GiB target should compact to one file, got $after")
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+  }
+
   test("partitioned layout prunes at planning: a lang filter reads only " +
       "that partition's files") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
