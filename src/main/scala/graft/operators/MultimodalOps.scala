@@ -196,10 +196,77 @@ object MultimodalOps {
       |FROM w
       |ORDER BY doc_id, win_idx""".stripMargin
 
+  /** Video/clip near-dup via shared frame fingerprints — the standard
+    * "same footage, different container" detector: fingerprint every
+    * sampled frame, invert to a fingerprint → clips index, and flag clip
+    * pairs sharing ≥ 2 fingerprints with a containment-style similarity
+    * (shared / min(frames)). Re-encodes and trims keep most frame bytes,
+    * so they collide where whole-file hashing (d01's shape) cannot.
+    * Frames here are m02's 256-byte blob slices, fingerprinted by md5 —
+    * the decode-stage swap point for a real perceptual per-frame hash
+    * (m03's blockhash) is documented in MediaPipeline.
+    *
+    * Scale: per-clip fingerprint arrays are built map-side
+    * (`array_distinct(transform(...))` — no explode-then-distinct
+    * shuffle), per-clip frame counts are `size(hs)` (free), and
+    * candidates come from d02's group-and-expand on the fingerprint key
+    * with the same hot-bucket cap — Σ bucket² cost, never clip × clip.
+    * The two joins back for frame counts are keyed by doc id (broadcast-
+    * able summaries at any scale). */
+  private def m05(s: SparkSession, dir: String): DataFrame = {
+    val hs = Tables(s, dir).documentsSpread
+      .withColumn("n_bytes", octet_length(col("text").cast("binary")))
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+          |  sequence(0, CAST((greatest(n_bytes, 1) - 1) div 256 AS INT)),
+          |  fi -> md5(cast(substring(text, fi * 256 + 1, 256) as binary))))"""
+          .stripMargin).as("hs"))
+    val perDoc = hs.select(col("doc_id"), size(col("hs")).as("n_frames"))
+    val buckets = hs
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+    DedupOps.expandPairs(buckets)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(perDoc.select(col("doc_id").as("a_id"), col("n_frames").as("fa")),
+        "a_id")
+      .join(perDoc.select(col("doc_id").as("b_id"), col("n_frames").as("fb")),
+        "b_id")
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        col("n_shared"),
+        expr("n_shared * 1000 div least(fa, fb)").as("sim_permille"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val m05Sql =
+    """WITH hs AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |      range(0, (greatest(octet_length(encode(text)), 1) - 1) // 256 + 1),
+      |      fi -> md5(substr(text, CAST(fi * 256 + 1 AS INT), 256)))) AS hs
+      |  FROM documents),
+      |f AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+      |nf AS (SELECT doc_id, len(hs) AS n_frames FROM hs),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT doc_a, doc_b, n_shared,
+      |  CAST(n_shared * 1000 // least(fa.n_frames, fb.n_frames) AS BIGINT)
+      |    AS sim_permille
+      |FROM shared
+      |JOIN nf fa ON fa.doc_id = doc_a
+      |JOIN nf fb ON fb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_multimodal_meta" -> QueryDef(m01, Some(m01Sql)),
     "m02_frame_sample" -> QueryDef(m02, Some(m02Sql)),
     "m03_blockhash_neardup" -> QueryDef(m03, Some(m03Sql)),
     "m04_audio_windows" -> QueryDef(m04, Some(m04Sql)),
+    "m05_video_neardup" -> QueryDef(m05, Some(m05Sql)),
   )
 }
