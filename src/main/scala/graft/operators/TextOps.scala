@@ -650,6 +650,56 @@ object TextOps {
       |FROM sizes s LEFT JOIN nv ON nv.doc_id = s.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Model-based quality scoring — the hashed-bag-of-words linear
+    * classifier stage (fastText/CCNet-style) that follows t02's heuristic
+    * gates in real corpus pipelines: each token hashes into one of 64
+    * feature buckets, the document's logit is the bucket-weight mean, and
+    * `keep` is the classifier verdict. The weight vector here is a
+    * deterministic stand-in (integer weights in [-500, 500] from a
+    * multiplicative hash of the bucket id) — swapping in trained weights
+    * is replacing one 64-element literal; at 2^18+ buckets ship the
+    * weights as a broadcast-joined table instead of a literal array.
+    *
+    * Scale: scoring is ONE per-row array expression — token → bucket →
+    * weight lookup → integer fold, all inside whole-stage codegen; no
+    * explode, no join, no shuffle before the output sort. Integer logits
+    * (permille, truncation identical in both engines) keep the verdict
+    * bit-portable. */
+  private def t16(s: SparkSession, dir: String): DataFrame = {
+    val w: Seq[Long] = (0 until 64).map(b => (b * 2654435761L) % 1001L - 500L)
+    t(s, dir).documentsSpread
+      .withColumn("ws", expr(
+        s"""transform(split(text, ' '), tok ->
+           |  element_at(array(${w.mkString("L,")}L),
+           |    CAST(CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)
+           |      % 64 + 1 AS INT)))""".stripMargin))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("logit_sum",
+        expr("aggregate(ws, 0L, (a, x) -> a + x)"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("logit_sum * 1000 div n_tokens").as("logit_permille"),
+        (expr("logit_sum * 1000 div n_tokens") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t16Sql = {
+    val w: Seq[Long] = (0 until 64).map(b => (b * 2654435761L) % 1001L - 500L)
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    sum(([${w.mkString(",")}])[
+       |      CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 + 1 AS INT)])
+       |      AS logit_sum
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(logit_sum * 1000 // n_tokens AS BIGINT) AS logit_permille,
+       |  (logit_sum * 1000 // n_tokens) > 0 AS keep
+       |FROM sc
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -666,5 +716,6 @@ object TextOps {
     "t13_bigram_surprisal" -> QueryDef(t13, Some(t13Sql)),
     "t14_contamination_pairs" -> QueryDef(t14, Some(t14Sql)),
     "t15_gram_novelty" -> QueryDef(t15, Some(t15Sql)),
+    "t16_quality_classifier" -> QueryDef(t16, Some(t16Sql)),
   )
 }
