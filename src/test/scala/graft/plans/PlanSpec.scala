@@ -75,6 +75,39 @@ class PlanSpec extends SparkSuite {
     assert(ops.exists(_.startsWith("BroadcastNestedLoopJoin")), s"got $ops")
   }
 
+  test("runtime bloom filter injects into a selective fact-fact shuffle " +
+      "join (row-level runtime filtering is live for 100 TB shapes)") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // local SFs sit under the production thresholds (10 MB creation /
+      // 10 GB application scan) — force them down so the rule fires here;
+      // a real cluster hits the defaults naturally at fact-table scale
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // broadcast-able dims don't need runtime filters; model the
+      // fact-fact case where both sides shuffle
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val t = graft.Tables(spark, sf0001)
+      val sellers = t.lineitem.filter(col("l_discount") >= 0.09)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val df = t.orders.join(sellers, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter in plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q50: large-large interval join is a pure equi-join on (user, bin) " +
       "— no cartesian, no nested-loop, no post-join dedup shuffle") {
     val df = run("q50_interval_join")
