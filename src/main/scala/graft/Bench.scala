@@ -148,8 +148,11 @@ object Bench {
       System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
       ""
     }
+    // n_queries makes headline-set growth explicit: cross-round TOTAL
+    // comparisons are only meaningful at equal query counts — new rounds
+    // add headline queries, so compare per-query times (or equal subsets)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$hostJson$streamJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.length},"queries":$qs,"sf":"$sfDir"$hostJson$streamJson}""")
     spark.stop()
   }
 }

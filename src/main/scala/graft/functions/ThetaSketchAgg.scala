@@ -49,6 +49,34 @@ final class ThetaSketchAgg(lgK: Int = 12)
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** Second-stage rollup: unions ALREADY-BUILT compact sketches. The
+  * pre-aggregated cube shape at 100 TB — sketch once per fine cell (day,
+  * segment, shard), then answer any coarser window/rollup by merging the
+  * cells' sketch bytes without touching raw data again (a19 merges each
+  * day's sketch into the 7 sliding windows it serves). Buffer is the live
+  * Union object, same rationale as [[ThetaSketchAgg]]. */
+final class ThetaUnionAgg(lgK: Int = 12)
+    extends Aggregator[Array[Byte], Union, Array[Byte]] {
+
+  override def zero: Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def reduce(buf: Union, bytes: Array[Byte]): Union = {
+    if (bytes != null && bytes.nonEmpty)
+      buf.union(Sketches.wrapCompactSketch(Memory.wrap(bytes)))
+    buf
+  }
+
+  override def merge(a: Union, b: Union): Union = {
+    a.union(b.getResult)
+    a
+  }
+
+  override def finish(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def bufferEncoder: Encoder[Union] = Encoders.kryo[Union]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 object ThetaSketchAgg {
 
   def estimate(bytes: Array[Byte]): Double =

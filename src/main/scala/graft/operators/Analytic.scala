@@ -706,6 +706,64 @@ object Analytic {
       |GROUP BY user_id, CAST(ts AS DATE)
       |ORDER BY user_id, day""".stripMargin
 
+  /** Sliding-window distinct via mergeable sketches — a16's WAU answered
+    * the way a 100 TB rollup must: ONE theta sketch per calendar day
+    * (the only corpus-sized aggregate), then each day's ~8 KB sketch
+    * bytes merge into the 7 sliding windows they serve
+    * ([[graft.functions.ThetaUnionAgg]]). The second stage costs
+    * days × 7 sketch rows — independent of corpus size — where a16's
+    * exact vote-explode shuffles |user×day| × 7 rows; the exact form
+    * stays the oracle here, with the estimate gated inside the
+    * 2·rse + 1 envelope per day (a06/a15 pattern; at test SFs daily
+    * cardinalities sit below the 2^12 nominal entries, so sketches are
+    * in exact mode and the gate is deterministic). The driver collect is
+    * bounded: one row per calendar day, never data. */
+  private def a19(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{ThetaSketchAgg, ThetaUnionAgg}
+    val ev = t(s, dir).events
+    val daily = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(udaf(new ThetaSketchAgg(12)).apply(col("user_id")).as("sk"))
+    val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+    val est: Map[java.sql.Date, Double] = daily
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("wday"),
+        col("sk"))
+      .groupBy(col("wday"))
+      .agg(udaf(new ThetaUnionAgg(12)).apply(col("sk")).as("sk7"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("wday") >= expr("date_add(d0, 6)")
+        && col("wday") <= col("d1"))
+      .select(col("wday"), col("sk7"))
+      .collect()
+      .map(r => r.getDate(0) ->
+        ThetaSketchAgg.estimate(r.getAs[Array[Byte]](1)))
+      .toMap
+    val rse = 3.0 / math.sqrt(1 << 12)
+    val spark = s
+    import spark.implicits._
+    val estDf = est.toSeq.toDF("day", "est")
+    a16(s, dir).join(estDf, "day")
+      .select(col("day"), col("wau"),
+        (abs(col("est") - col("wau")) <= col("wau") * rse * 2 + 1)
+          .as("within_rse"))
+      .orderBy(col("day"))
+  }
+
+  private val a19Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+      |votes AS (
+      |  SELECT user_id, day + CAST(o AS INT) AS wday
+      |  FROM ud, (SELECT unnest(range(7)) AS o) off)
+      |SELECT wday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+      |  true AS within_rse
+      |FROM votes, b
+      |WHERE wday >= b.d0 + 6 AND wday <= b.d1
+      |GROUP BY wday
+      |ORDER BY day""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -725,5 +783,6 @@ object Analytic {
     "a16_rolling_wau" -> QueryDef(a16, Some(a16Sql)),
     "a17_time_weighted_avg" -> QueryDef(a17, Some(a17Sql)),
     "a18_ohlc_bars" -> QueryDef(a18, Some(a18Sql)),
+    "a19_sliding_sketch_wau" -> QueryDef(a19, Some(a19Sql)),
   )
 }

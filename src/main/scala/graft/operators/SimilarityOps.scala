@@ -865,6 +865,58 @@ object SimilarityOps {
        |GROUP BY g.q_id
        |ORDER BY g.q_id""".stripMargin
 
+  /** Attribute-filtered ANN (constrained vector search): top-3 cosine per
+    * query among candidates sharing the query's `label` — the serving
+    * pattern behind "similar items IN THIS category / language / tenant".
+    *
+    * Scale design: the constraint is pushed INTO candidate generation, not
+    * applied after — post-filtering an unconstrained shortlist returns
+    * fewer than k results whenever the constraint is selective (the
+    * classic filtered-ANN failure). Because the constraint is equality on
+    * an attribute, it becomes the JOIN KEY: the scoring join is a label
+    * equi-join (never a cross join), so each query scores only its
+    * label's candidates — cost ∝ Σ label-partition sizes, and Catalyst
+    * plans it as an ordinary keyed join (broadcast here: the query panel
+    * is tiny). Composes with s03's IVF for the big-corpus case: assign
+    * cells per label-slice, or append the label to the cell id. Range
+    * constraints use q50's binning instead. */
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir).embeddingsSpread
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dotF64(col("vd"), col("vd"))))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("vd").as("qv"), col("nrm").as("qn"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("vd").as("cv"), col("nrm").as("cn"))
+    val scored = broadcast(q).join(c, col("q_label") === col("c_label"))
+      .withColumn("cos_sim", round(
+        dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("q_label").cast("long").as("label"),
+        col("rk"), col("c_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val s10Sql =
+    s"""SELECT q_id, label, rk, neighbor_id, cos_sim FROM (
+       |  SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS label,
+       |    c.vec_id AS neighbor_id,
+       |    ${duckCos("q.embedding", "c.embedding")} AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCos("q.embedding", "c.embedding")} DESC, c.vec_id)
+       |      AS rk
+       |  FROM embeddings q
+       |  JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10
+       |    AND q.label = c.label
+       |) ranked
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -875,5 +927,6 @@ object SimilarityOps {
     "s07_ann_ivf_pq" -> QueryDef(s07, Some(s07Sql)),
     "s08_ann_recall" -> QueryDef(s08, Some(s08Sql)),
     "s09_ann_rerank" -> QueryDef(s09, Some(s09Sql)),
+    "s10_ann_filtered" -> QueryDef(s10, Some(s10Sql)),
   )
 }
