@@ -121,6 +121,22 @@ class PlanSpec extends SparkSuite {
       s"shuffles = ${PlanChecks.countDataShuffles(df)}")
   }
 
+  test("m05: video near-dup candidates are group-and-expand on the frame " +
+      "fingerprint — no cartesian; frame-count joins stay keyed") {
+    val df = run("m05_video_neardup")
+    assert(!PlanChecks.usesCartesianProduct(df))
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(!ops.exists(_.startsWith("BroadcastNestedLoopJoin")), s"got $ops")
+  }
+
+  test("s10: filtered ANN scores via the label equi-join (constraint IS " +
+      "the join key — never a cross join + post-filter)") {
+    val df = run("s10_ann_filtered")
+    assert(!PlanChecks.usesCartesianProduct(df))
+    assert(PlanChecks.usesBroadcastJoin(df),
+      "query panel should broadcast into the label-keyed join")
+  }
+
   test("d02: candidate generation is single-shuffle group-and-expand — " +
       "the exploded shingle rows shuffle once into the collect_list gather " +
       "and NO join ever touches them (the old self-join shuffled them twice)") {
