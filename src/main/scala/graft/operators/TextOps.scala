@@ -700,6 +700,54 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Overlapping token-window chunking — the RAG/embedding-prep stage:
+    * every document splits into 64-token chunks on a 48-token stride
+    * (16-token overlap so no boundary sentence is lost to retrieval),
+    * each chunk carrying its offset, length, and a 60-bit content
+    * fingerprint for chunk-level dedup (shared boilerplate chunks
+    * collapse before the embedding model ever sees them — embedding
+    * compute, not storage, is the expensive side at corpus scale).
+    *
+    * Scale: pure per-row integer enumeration + array slices inside one
+    * codegen stage (the m04 shape in the token domain) — rows ∝ corpus
+    * tokens / stride, no shuffle before the output sort. Chunk starts
+    * are every multiple of the stride below the token count, so the
+    * enumeration is exact integer math both engines reproduce. */
+  private def t17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr("sequence(0, (greatest(n, 1) - 1) div 48)"))
+          .as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * 48L).as("start_tok"),
+        least(lit(64L), col("n") - col("chunk_idx") * 48L).as("n_toks"),
+        expr("""CAST(conv(substring(
+          |  md5(concat_ws(' ', slice(toks, chunk_idx * 48 + 1, 64))),
+          |  1, 15), 16, 10) AS BIGINT)""".stripMargin).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val t17Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(range(0, (greatest(n, 1) - 1) // 48 + 1)) AS chunk_idx
+       |  FROM d)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+       |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_toks,
+       |  ${StableHash.duckH60(
+            "array_to_string(toks[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ')")}
+       |    AS chunk_fp
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -717,5 +765,6 @@ object TextOps {
     "t14_contamination_pairs" -> QueryDef(t14, Some(t14Sql)),
     "t15_gram_novelty" -> QueryDef(t15, Some(t15Sql)),
     "t16_quality_classifier" -> QueryDef(t16, Some(t16Sql)),
+    "t17_rag_chunking" -> QueryDef(t17, Some(t17Sql)),
   )
 }
