@@ -685,6 +685,88 @@ object CorpusPipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Water-filling token-budget allocation across sources: given a corpus
+    * budget B (60% of total tokens here), find the unique level L with
+    * Σ_s min(T_s, L) = B and give every source min(T_s, L) tokens — the
+    * max-min-fair mixture balancer (small sources keep everything, big
+    * sources are clipped to a common ceiling instead of pro-rata-starving
+    * the tail). p06's fixed per-source cap is the special case where L is
+    * chosen by hand; this computes the budget-exact level.
+    *
+    * Scale: per-source token totals are ONE map-side-combined aggregate
+    * over the corpus (shuffle rows = |sources|); the level solve then
+    * runs on a single row holding the sorted |sources|-element array —
+    * one fold: at each boundary k the candidate level
+    * (B − prefix_{k−1})/(n − k + 1) is valid iff it lands between
+    * T_{k−1} and T_k, and monotonicity makes exactly one boundary valid.
+    * No iteration, no driver loop, and no unpartitioned window (the
+    * whole-table-through-one-task shape the ScaleGuards rule exists to
+    * kill): the only single-task frame is the |sources|-sized array,
+    * which is tiny by construction at any corpus scale. All comparisons
+    * happen on exact integer counts and the single IEEE division both
+    * engines compute identically. */
+  private def p11(s: SparkSession, dir: String): DataFrame = {
+    val tot = Tables(s, dir).documentsSpread
+      .select(col("source"), size(split(col("text"), " ")).cast("long")
+        .as("n_toks"))
+      .groupBy(col("source")).agg(sum(col("n_toks")).as("toks"))
+    val solved = tot
+      .agg(sort_array(collect_list(struct(col("toks"), col("source"))))
+          .as("ts"),
+        sum(col("toks")).as("tot_toks"), count(lit(1)).as("n"))
+      .withColumn("b", floor(col("tot_toks") * 0.6d).cast("long"))
+      .withColumn("level", expr(
+        """aggregate(sequence(1, CAST(n AS INT)),
+          |  named_struct('pfx', 0L, 'prev', 0L,
+          |    'lvl', CAST(NULL AS DOUBLE)),
+          |  (acc, k) -> named_struct(
+          |    'pfx', acc.pfx + ts[k - 1].toks,
+          |    'prev', ts[k - 1].toks,
+          |    'lvl', CASE WHEN acc.lvl IS NULL
+          |        AND CAST(acc.prev AS DOUBLE)
+          |          <= (b - acc.pfx) / CAST(n - k + 1 AS DOUBLE)
+          |        AND (b - acc.pfx) / CAST(n - k + 1 AS DOUBLE)
+          |          <= CAST(ts[k - 1].toks AS DOUBLE)
+          |      THEN (b - acc.pfx) / CAST(n - k + 1 AS DOUBLE)
+          |      ELSE acc.lvl END),
+          |  acc -> acc.lvl)""".stripMargin))
+      .select(col("level"))
+    tot.join(broadcast(solved), lit(true))
+      .select(col("source"), col("toks").as("tokens"),
+        round(least(col("toks").cast("double"), col("level")), 4)
+          .as("alloc_tokens"),
+        (col("toks").cast("double") > col("level")).as("capped"))
+      .orderBy(col("source"))
+  }
+
+  private val p11Sql =
+    """WITH tot AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY source),
+      |budget AS (
+      |  SELECT CAST(floor(sum(toks) * 0.6) AS BIGINT) AS b,
+      |    count(*) AS n FROM tot),
+      |ranked AS (
+      |  SELECT source, toks, b, n,
+      |    row_number() OVER (ORDER BY toks ASC, source ASC) AS k,
+      |    sum(toks) OVER (ORDER BY toks ASC, source ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+      |    lag(toks, 1, 0) OVER (ORDER BY toks ASC, source ASC) AS prev_t
+      |  FROM tot CROSS JOIN budget),
+      |lvl AS (
+      |  SELECT min((b - (pfx - toks)) / CAST(n - k + 1 AS DOUBLE)) AS level
+      |  FROM ranked
+      |  WHERE CAST(prev_t AS DOUBLE)
+      |      <= (b - (pfx - toks)) / CAST(n - k + 1 AS DOUBLE)
+      |    AND (b - (pfx - toks)) / CAST(n - k + 1 AS DOUBLE)
+      |      <= CAST(toks AS DOUBLE))
+      |SELECT source, toks AS tokens,
+      |  round(least(CAST(toks AS DOUBLE), level), 4) AS alloc_tokens,
+      |  CAST(toks AS DOUBLE) > level AS capped
+      |FROM tot CROSS JOIN lvl
+      |ORDER BY source""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -696,5 +778,6 @@ object CorpusPipeline {
     "p08_bloom_decontaminate" -> QueryDef(p08, Some(p08Sql)),
     "p09_epoch_shuffle_order" -> QueryDef(p09, Some(p09Sql)),
     "p10_sequence_pack" -> QueryDef(p10, Some(p10Sql)),
+    "p11_waterfill_budget" -> QueryDef(p11, Some(p11Sql)),
   )
 }

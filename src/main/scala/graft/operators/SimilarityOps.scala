@@ -917,6 +917,107 @@ object SimilarityOps {
        |WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Binary-code ANN: 1-bit sign quantization packed into two 32-bit words
+    * per vector, Hamming-distance shortlist, exact-cosine rerank — the
+    * memory-bound retrieval path (binary embeddings / sign-LSH codes).
+    *
+    * Scale design: the shortlist stage touches ONLY the 16-byte code per
+    * candidate — a 16× scan compression over the 256-byte float vector —
+    * and its distance is two XOR+popcount ops (`bit_count`, codegen'd to
+    * Long.bitCount, SIMD-friendly), so the O(Q·N) sweep is bandwidth-cheap
+    * and stays in one WholeStageCodegen span. Full vectors are read again
+    * only for the Q·R shortlist rows (R=12 here): the rerank joins the
+    * tiny shortlist back to the vector table as a broadcast probe, so the
+    * expensive float math runs on a constant-size frame. Codes are packed
+    * with a bit-OR fold into bits 0..31 of two BIGINT words — no 2^63
+    * sign-bit overflow to trip ANSI mode, and the two-word layout is the
+    * general shape for dims > 64. Ties (equal Hamming / equal rounded
+    * cosine) break on candidate id so a 20,000-task run hash-matches.
+    * Reference anchor: ziggurat has no similarity surface (SURVEY §2.6);
+    * this is north-star extension work alongside s01-s10. */
+  private def s11(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir).embeddingsSpread
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dotF64(col("vd"), col("vd"))))
+      .withColumn("code_lo", expr(
+        """aggregate(sequence(0, 31), 0L,
+          |  (acc, i) -> IF(vd[i] > 0D, acc | shiftleft(1L, i), acc))"""
+          .stripMargin))
+      .withColumn("code_hi", expr(
+        """aggregate(sequence(32, 63), 0L,
+          |  (acc, i) -> IF(vd[i] > 0D, acc | shiftleft(1L, i - 32), acc))"""
+          .stripMargin))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("code_lo").as("ql"),
+        col("code_hi").as("qh"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("code_lo").as("cl"),
+        col("code_hi").as("ch"))
+    val wh = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("c_id"))
+    val shortlist = broadcast(q).join(c, lit(true))
+      .withColumn("hamming",
+        expr("CAST(bit_count(ql ^ cl) + bit_count(qh ^ ch) AS BIGINT)"))
+      .withColumn("hrk", row_number().over(wh))
+      .filter(col("hrk") <= 12)
+      .select(col("q_id"), col("c_id"), col("hamming"))
+    val vecs = emb.select(col("vec_id"), col("vd"), col("nrm"))
+    val cands = vecs.join(broadcast(shortlist), col("vec_id") === col("c_id"))
+      .select(col("q_id"), col("c_id"), col("hamming"),
+        col("vd").as("cv"), col("nrm").as("cn"))
+    val qv = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("jq"), col("vd").as("qv"), col("nrm").as("qn"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    cands.join(broadcast(qv), col("q_id") === col("jq"))
+      .withColumn("cos_sim", round(
+        dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("c_id").as("neighbor_id"),
+        col("hamming"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val s11Sql =
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(0, 32), i ->
+       |      CASE WHEN embedding[CAST(i AS INT) + 1]::DOUBLE > 0
+       |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)
+       |      AS code_lo,
+       |    CAST(list_sum(list_transform(range(32, 64), i ->
+       |      CASE WHEN embedding[CAST(i AS INT) + 1]::DOUBLE > 0
+       |        THEN (1::BIGINT << (CAST(i AS INT) - 32)) ELSE 0 END))
+       |      AS BIGINT) AS code_hi
+       |  FROM embeddings),
+       |ham AS (
+       |  SELECT qc.vec_id AS q_id, cc.vec_id AS c_id,
+       |    CAST(bit_count(xor(qc.code_lo, cc.code_lo))
+       |       + bit_count(xor(qc.code_hi, cc.code_hi)) AS BIGINT) AS hamming
+       |  FROM codes qc JOIN codes cc
+       |    ON qc.vec_id < 10 AND cc.vec_id >= 10),
+       |short AS (
+       |  SELECT q_id, c_id, hamming FROM (
+       |    SELECT q_id, c_id, hamming,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY hamming ASC, c_id) AS hrk
+       |    FROM ham) h
+       |  WHERE hrk <= 12),
+       |scored AS (
+       |  SELECT s.q_id, s.c_id, s.hamming,
+       |    ${duckCos("q.embedding", "c.embedding")} AS cos_sim
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings c ON c.vec_id = s.c_id)
+       |SELECT q_id, rk, c_id AS neighbor_id, hamming, cos_sim FROM (
+       |  SELECT q_id, c_id, hamming, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rk
+       |  FROM scored) r
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -928,5 +1029,6 @@ object SimilarityOps {
     "s08_ann_recall" -> QueryDef(s08, Some(s08Sql)),
     "s09_ann_rerank" -> QueryDef(s09, Some(s09Sql)),
     "s10_ann_filtered" -> QueryDef(s10, Some(s10Sql)),
+    "s11_ann_binary" -> QueryDef(s11, Some(s11Sql)),
   )
 }

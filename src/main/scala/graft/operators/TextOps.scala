@@ -748,6 +748,64 @@ object TextOps {
        |FROM c
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Per-source distribution-shift audit: KL divergence of each source's
+    * unigram distribution from the corpus-wide distribution — the standard
+    * "is this slice of the crawl drifting from the mixture" gate before a
+    * source is admitted to (or re-weighted in) a training mix, and the
+    * detector for collapsed/templated sources (low-entropy slices score
+    * high KL).
+    *
+    * Scale: one (source, token) hash aggregate over the exploded corpus —
+    * map-side combined, so shuffle rows = |sources| × |vocab|, not corpus
+    * tokens — then everything downstream (source totals, global totals,
+    * the KL join) runs on vocabulary-bounded frames; the global
+    * distribution side broadcasts. Every source token appears in the
+    * global distribution by construction, so no log(0) guard is needed.
+    * The KL sum adds |vocab| doubles ≥1e-6 apart in magnitude; rounding
+    * to 4dp sits ~12 orders above summation-order noise, so any partition
+    * count hash-matches the oracle. */
+  private def t18(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir).documentsSpread
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val st = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val glob = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val globTot = glob.agg(sum(col("c_t")).as("n_g"))
+    st.join(srcTot, "source")
+      .join(broadcast(glob), "tok")
+      .join(broadcast(globTot), lit(true))
+      .withColumn("term",
+        (col("c_st") / col("n_s"))
+          * log((col("c_st") / col("n_s")) / (col("c_t") / col("n_g"))))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(sum(col("term")), 4).as("kl_divergence"))
+      .orderBy(col("source"))
+  }
+
+  private val t18Sql =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, tok, count(*) AS c_st
+      |  FROM toks WHERE length(tok) > 0
+      |  GROUP BY source, tok),
+      |src_tot AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY source),
+      |gdist AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY tok),
+      |gtot AS (SELECT sum(c_t) AS n_g FROM gdist)
+      |SELECT st.source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+      |  round(sum((c_st / n_s) * ln((c_st / n_s) / (c_t / n_g))), 4)
+      |    AS kl_divergence
+      |FROM st
+      |JOIN src_tot ON st.source = src_tot.source
+      |JOIN gdist ON st.tok = gdist.tok
+      |CROSS JOIN gtot
+      |GROUP BY st.source
+      |ORDER BY st.source""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -766,5 +824,6 @@ object TextOps {
     "t15_gram_novelty" -> QueryDef(t15, Some(t15Sql)),
     "t16_quality_classifier" -> QueryDef(t16, Some(t16Sql)),
     "t17_rag_chunking" -> QueryDef(t17, Some(t17Sql)),
+    "t18_source_divergence" -> QueryDef(t18, Some(t18Sql)),
   )
 }

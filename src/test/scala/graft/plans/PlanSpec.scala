@@ -354,6 +354,20 @@ class PlanSpec extends SparkSuite {
     assert(!PlanChecks.usesCartesianProduct(run("s09_ann_rerank")))
   }
 
+  test("s11: binary-code rerank joins the Hamming shortlist back as " +
+      "broadcast equi-joins — the float math never sees a cartesian") {
+    val df = run("s11_ann_binary")
+    assert(PlanChecks.usesBroadcastJoin(df))
+    assert(!PlanChecks.usesCartesianProduct(df))
+  }
+
+  test("t18: the global token distribution broadcasts into the per-source " +
+      "KL join — vocabulary-bounded frames, no cartesian blowup") {
+    val df = run("t18_source_divergence")
+    assert(PlanChecks.usesBroadcastJoin(df))
+    assert(!PlanChecks.usesCartesianProduct(df))
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
