@@ -764,6 +764,64 @@ object Analytic {
       |GROUP BY wday
       |ORDER BY day""".stripMargin
 
+  /** Recency-weighted smoothing: per-user EWMA over the trailing 8 events
+    * (weights 2^j, newest heaviest) plus a spike flag when the new value
+    * sits far off the smoothed line — the streaming anomaly primitive
+    * (a14's z-score is the global two-pass twin; EWMA reacts to drift
+    * because old history decays instead of polluting the mean forever).
+    *
+    * Determinism by exact dyadic arithmetic: values become integer cents,
+    * weights are powers of two, so the weighted numerator and denominator
+    * are exact BIGINTs (num ≤ 8·maxCents·128 — no overflow), the EWMA is
+    * ONE correctly-rounded IEEE division, and the spike test compares
+    * |cents·den − num| > threshold·den in pure integers — bit-identical
+    * on any engine, any partitioning. The trailing window gathers ≤8
+    * values per row via collect_list over a bounded frame: state is
+    * constant per row, and the single shuffle is the per-user window
+    * partition (cluster-local per user at any scale). */
+  private def a20(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, Window.currentRow)
+    t(s, dir).events
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("lst", collect_list(col("cents")).over(w))
+      .withColumn("num", expr(
+        """aggregate(sequence(0, size(lst) - 1), 0L,
+          |  (acc, i) -> acc + lst[i] * shiftleft(1L, i))""".stripMargin))
+      .withColumn("den",
+        expr("shiftleft(1L, size(lst)) - 1L"))
+      .select(col("user_id"), col("event_id"),
+        round(col("cents") / lit(100.0), 2).as("value_r"),
+        round(col("num") / (col("den") * 100.0), 4).as("ewma"),
+        (abs(col("cents") * col("den") - col("num"))
+          > lit(9000L) * col("den")).as("spike"))
+      .orderBy(col("event_id"))
+  }
+
+  private val a20Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |    list(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lst
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, cents, lst,
+      |    list_sum(list_transform(range(0, len(lst)),
+      |      i -> lst[CAST(i AS INT) + 1] * (1::BIGINT << CAST(i AS INT))))
+      |      AS num,
+      |    (1::BIGINT << len(lst)) - 1 AS den
+      |  FROM e)
+      |SELECT user_id, event_id,
+      |  round(cents / 100.0, 2) AS value_r,
+      |  round(num / (den * 100.0), 4) AS ewma,
+      |  abs(cents * den - num) > 9000 * den AS spike
+      |FROM f
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -784,5 +842,6 @@ object Analytic {
     "a17_time_weighted_avg" -> QueryDef(a17, Some(a17Sql)),
     "a18_ohlc_bars" -> QueryDef(a18, Some(a18Sql)),
     "a19_sliding_sketch_wau" -> QueryDef(a19, Some(a19Sql)),
+    "a20_ewma_smoothing" -> QueryDef(a20, Some(a20Sql)),
   )
 }

@@ -453,6 +453,51 @@ object Sampling {
        |ORDER BY resample""".stripMargin
   }
 
+  /** Weighted sampling without replacement via sequential Poisson sampling
+    * (Ohlsson): priority = hash(doc) / weight, keep the k smallest — each
+    * doc's inclusion odds scale with its weight (token count here: longer
+    * docs carry more training signal per selection slot), and the fixed-k
+    * "race" never needs replacement bookkeeping. The survey-statistics
+    * standard for probability-proportional-to-size panels, and the
+    * weighted complement to x01's uniform hash sample.
+    *
+    * Determinism without transcendentals (the x08 discipline): the
+    * classic Efraimidis-Spirakis key u^(1/w) needs pow/ln whose last-ulp
+    * behavior differs across engines; the sequential-Poisson key is ONE
+    * IEEE division of a 32-bit integer hash by an integer weight — both
+    * exactly representable as doubles — and correctly-rounded division is
+    * bit-identical everywhere, so the selected set is too (ties broken on
+    * doc_id).
+    *
+    * Scale: priorities are map-side expressions; selection is a global
+    * top-k = TakeOrderedAndProject (per-partition k, driver merges P·k
+    * rows) — no sort, no window, no shuffle of the corpus. */
+  private def x12(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documentsSpread
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("priority",
+        round(StableHash.h32(col("text")).cast("double")
+          / col("n_tokens"), 4))
+      .orderBy(StableHash.h32(col("text")).cast("double") / col("n_tokens"),
+        col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("priority"))
+      .orderBy(col("doc_id"))
+
+  private val x12Sql = {
+    val h = StableHash.duckH32("text")
+    s"""SELECT doc_id, source, n_tokens, priority FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    round(CAST($h AS DOUBLE) / n_tokens, 4) AS priority
+       |  FROM (
+       |    SELECT doc_id, source, text,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |    FROM documents) d
+       |  ORDER BY CAST($h AS DOUBLE) / n_tokens, doc_id
+       |  LIMIT 100) sampled
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
     "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
@@ -465,5 +510,6 @@ object Sampling {
     "x09_leakage_safe_split" -> QueryDef(x09, Some(x09Sql)),
     "x10_dsir_resample" -> QueryDef(x10, Some(x10Sql)),
     "x11_bootstrap_ci" -> QueryDef(x11, Some(x11Sql)),
+    "x12_weighted_sample" -> QueryDef(x12, Some(x12Sql)),
   )
 }

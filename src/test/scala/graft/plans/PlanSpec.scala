@@ -368,6 +368,11 @@ class PlanSpec extends SparkSuite {
     assert(!PlanChecks.usesCartesianProduct(df))
   }
 
+  test("x12: weighted sample selection is TakeOrderedAndProject — " +
+      "per-partition k, no global sort, no window") {
+    assert(PlanChecks.usesTakeOrdered(run("x12_weighted_sample")))
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
