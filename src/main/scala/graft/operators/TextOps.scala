@@ -806,6 +806,80 @@ object TextOps {
       |GROUP BY st.source
       |ORDER BY st.source""".stripMargin
 
+  /** Vocabulary-growth (Heaps'-law) audit: per source, the distinct-token
+    * count after the first 25/50/75/100% of its documents (by doc_id
+    * order). Healthy natural-language slices grow sublinearly but keep
+    * growing; a templated/collapsed source plateaus early — the curve
+    * shape is the audit signal, complementing t18's endpoint KL number.
+    *
+    * Scale: "cumulative distinct" never materializes per-prefix sets —
+    * each (source, token) reduces to its FIRST occurrence rank (min of
+    * the per-source doc rank, map-side combined), the quartile where
+    * each token first appears is integer math, and the growth curve is a
+    * cumulative sum over the |sources|×4 frame. Doc ranks come from a
+    * per-source window (cluster-local per source); the token aggregate is
+    * the only corpus-sized shuffle. All boundaries use truncating integer
+    * division on positive counts, identical in both engines. */
+  private def t19(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = t(s, dir).documentsSpread
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+    val srcM = ranked.groupBy(col("source")).agg(count(lit(1)).as("m"))
+    val firstR = ranked
+      .select(col("source"), col("r"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(min(col("r")).as("first_r"))
+    val newPerQ = firstR.join(broadcast(srcM), "source")
+      .withColumn("qf", expr("(4 * first_r + m - 1) div m"))
+      .groupBy(col("source"), col("qf")).agg(count(lit(1)).as("n_new"))
+    val frame = srcM.select(col("source"), col("m"),
+      explode(expr("sequence(1L, 4L)")).as("quartile"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("quartile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame.join(newPerQ,
+        frame("source") === newPerQ("source")
+          && col("quartile") === col("qf"), "left")
+      .select(frame("source"), col("quartile"), col("m"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("vocab_size", sum(col("n_new")).over(cum))
+      .select(col("source"), col("quartile"),
+        expr("(m * quartile + 3) div 4").as("n_docs"),
+        col("vocab_size"))
+      .orderBy(col("source"), col("quartile"))
+  }
+
+  private val t19Sql =
+    """WITH ranked AS (
+      |  SELECT source, text,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS BIGINT) AS r
+      |  FROM documents),
+      |srcm AS (SELECT source, count(*) AS m FROM ranked GROUP BY source),
+      |first_r AS (
+      |  SELECT source, tok, min(r) AS first_r FROM (
+      |    SELECT source, r, unnest(string_split(text, ' ')) AS tok
+      |    FROM ranked) e
+      |  WHERE length(tok) > 0
+      |  GROUP BY source, tok),
+      |new_per_q AS (
+      |  SELECT f.source, (4 * first_r + m - 1) // m AS qf,
+      |    count(*) AS n_new
+      |  FROM first_r f JOIN srcm USING (source)
+      |  GROUP BY f.source, (4 * first_r + m - 1) // m),
+      |frame AS (
+      |  SELECT source, m, unnest(range(1, 5)) AS quartile FROM srcm)
+      |SELECT f.source, CAST(f.quartile AS BIGINT) AS quartile,
+      |  CAST((m * quartile + 3) // 4 AS BIGINT) AS n_docs,
+      |  CAST(sum(coalesce(n_new, 0)) OVER (PARTITION BY f.source
+      |    ORDER BY f.quartile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS vocab_size
+      |FROM frame f
+      |LEFT JOIN new_per_q n ON f.source = n.source AND f.quartile = n.qf
+      |ORDER BY f.source, f.quartile""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -825,5 +899,6 @@ object TextOps {
     "t16_quality_classifier" -> QueryDef(t16, Some(t16Sql)),
     "t17_rag_chunking" -> QueryDef(t17, Some(t17Sql)),
     "t18_source_divergence" -> QueryDef(t18, Some(t18Sql)),
+    "t19_vocab_growth" -> QueryDef(t19, Some(t19Sql)),
   )
 }
