@@ -880,6 +880,46 @@ object TextOps {
       |LEFT JOIN new_per_q n ON f.source = n.source AND f.quartile = n.qf
       |ORDER BY f.source, f.quartile""".stripMargin
 
+  /** BPE merge-candidate counting — the inner loop of tokenizer training:
+    * count adjacent character pairs over the corpus, weighted by word
+    * frequency (the top pair is what the first BPE merge would fuse).
+    * Overlapping occurrences count ("aaa" contributes "aa" twice),
+    * matching the standard algorithm.
+    *
+    * Scale: the corpus collapses to its word-frequency table first (ONE
+    * map-side-combined aggregate — the only corpus-sized shuffle); pair
+    * expansion then runs over the distinct vocabulary only, so the
+    * explode factor applies to |vocab| rows, not corpus tokens, and the
+    * pair aggregate plus TakeOrdered top-k are vocabulary-bounded. This
+    * is why BPE training at 100 TB is feasible at all — and the same
+    * word-freq-first shape serves every subsequent merge iteration. */
+  private def t20(s: SparkSession, dir: String): DataFrame = {
+    val wordFreq = t(s, dir).documentsSpread
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    wordFreq
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+  }
+
+  private val t20Sql =
+    """SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+      |  SELECT freq, unnest(list_transform(range(1, length(word)),
+      |    i -> substr(word, CAST(i AS INT), 2))) AS pair
+      |  FROM (
+      |    SELECT word, count(*) AS freq FROM (
+      |      SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+      |    WHERE length(word) >= 2
+      |    GROUP BY word) wf) p
+      |GROUP BY pair
+      |ORDER BY n DESC, pair
+      |LIMIT 30""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -900,5 +940,6 @@ object TextOps {
     "t17_rag_chunking" -> QueryDef(t17, Some(t17Sql)),
     "t18_source_divergence" -> QueryDef(t18, Some(t18Sql)),
     "t19_vocab_growth" -> QueryDef(t19, Some(t19Sql)),
+    "t20_bpe_pairs" -> QueryDef(t20, Some(t20Sql)),
   )
 }
