@@ -767,6 +767,85 @@ object CorpusPipeline {
       |FROM tot CROSS JOIN lvl
       |ORDER BY source""".stripMargin
 
+  /** Per-source dataset card: the summary table a curation run publishes
+    * with its output — volume (docs/tokens), duplication exposure (share
+    * of docs whose exact hash repeats ANYWHERE in the corpus, so
+    * cross-source mirrors are charged to both sides), mean quality
+    * (t02's rational score), and language composition. One row per
+    * source; p07's mix report covers the post-selection mixture, this
+    * audits the raw inventory.
+    *
+    * Scale: one pass computes every per-doc signal map-side (quality,
+    * token count, lang flag, content hash); duplication needs the only
+    * extra structure — a corpus-wide hash→count aggregate (map-side
+    * combined, output = distinct hashes) broadcast-joined back by hash.
+    * The final per-source aggregate is |sources| rows. No windows, no
+    * pairwise anything. */
+  private def p12(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(expr(
+        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
+        .cast("long"))
+      .withColumn("q",
+        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
+          / col("n_tokens").cast("double"))
+          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+      .withColumn("q4", round(col("q") * 10000).cast("long"))
+      .withColumn("h", md5(lower(col("text"))))
+    val hashCounts = docs.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    docs.join(broadcast(hashCounts), "h")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("n_tokens")) / count(lit(1)).cast("double"), 4)
+          .as("avg_doc_tokens"),
+        round(sum(when(col("n_copies") > 1, 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 4).as("pct_dup_exposed"),
+        round(sum(col("q4")) / (count(lit(1)) * 10000.0d), 4)
+          .as("mean_quality"),
+        round(sum(when(col("lang") === "en", 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 4).as("pct_en"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("source"))
+  }
+
+  private val p12Sql =
+    """WITH d AS (
+      |  SELECT source, lang, md5(lower(text)) AS h,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    round(greatest(0.0, 1.0
+      |        - CAST(len(list_filter(string_split(text, ' '),
+      |            x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow')))
+      |          AS BIGINT) * 2.0
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |      * least(1.0, len(string_split(text, ' ')) / 100.0), 4) AS q,
+      |    CAST(round(round(greatest(0.0, 1.0
+      |        - CAST(len(list_filter(string_split(text, ' '),
+      |            x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow')))
+      |          AS BIGINT) * 2.0
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |      * least(1.0, len(string_split(text, ' ')) / 100.0), 4) * 10000)
+      |      AS BIGINT) AS q4
+      |  FROM documents),
+      |hc AS (SELECT h, count(*) AS n_copies FROM d GROUP BY h)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  round(sum(n_tokens) / CAST(count(*) AS DOUBLE), 4)
+      |    AS avg_doc_tokens,
+      |  round(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+      |    / CAST(count(*) AS DOUBLE), 4) AS pct_dup_exposed,
+      |  round(sum(q4) / (count(*) * 10000.0), 4) AS mean_quality,
+      |  round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+      |    / CAST(count(*) AS DOUBLE), 4) AS pct_en,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM d JOIN hc USING (h)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -779,5 +858,6 @@ object CorpusPipeline {
     "p09_epoch_shuffle_order" -> QueryDef(p09, Some(p09Sql)),
     "p10_sequence_pack" -> QueryDef(p10, Some(p10Sql)),
     "p11_waterfill_budget" -> QueryDef(p11, Some(p11Sql)),
+    "p12_dataset_card" -> QueryDef(p12, Some(p12Sql)),
   )
 }
