@@ -84,8 +84,43 @@ object LayoutOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Targeted key deletion: events laid out key-bucketed by user_id, a
+    * small user set deleted via [[Formats.deleteKeys]] (only the buckets
+    * those users hash into rewrite — TargetedDeleteSpec pins the
+    * byte-identical untouched buckets), then the surviving table
+    * aggregated. The oracle proves the delete removed exactly the
+    * requested keys and nothing else — the correctness half of the
+    * right-to-be-forgotten contract whose I/O half lives in the spec. */
+  private def l03(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${scratch("graft-l03")}/events_b"
+    val ev = t(s, dir).events
+    Formats.writeKeyBucketed(ev, path, "user_id", buckets = 8)
+    val delKeys = ev.filter(col("user_id") < 3)
+      .select(col("user_id")).distinct()
+    Formats.deleteKeys(s, path, "user_id", delKeys, buckets = 8)
+    s.read.parquet(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .orderBy(col("event_type"))
+  }
+
+  private val l03Sql =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  min(event_id) AS min_event,
+      |  max(event_id) AS max_event
+      |FROM events
+      |WHERE user_id >= 3
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "l01_zorder_scan" -> QueryDef(l01, Some(l01Sql)),
     "l02_compaction_scan" -> QueryDef(l02, Some(l02Sql)),
+    "l03_targeted_delete" -> QueryDef(l03, Some(l03Sql)),
   )
 }

@@ -135,6 +135,58 @@ object Formats {
     (parts.length, after)
   }
 
+  /** Key-hash-bucketed directory layout (`__bucket=N/` partition dirs,
+    * bucket = pmod(murmur3(key), buckets)) — the layout that makes
+    * TARGETED point deletes and point lookups touch a constant fraction
+    * of a 100 TB table instead of all of it. Same discipline as
+    * UpsertSink's bucketed state, for plain at-rest tables. */
+  def writeKeyBucketed(df: DataFrame, path: String, key: String,
+      buckets: Int): Unit =
+    df.withColumn("__bucket", pmod(hash(col(key)), lit(buckets)))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+  /** Targeted key deletion (the right-to-be-forgotten primitive): remove
+    * every row whose `key` appears in `keys`, rewriting ONLY the bucket
+    * directories those keys hash into — untouched buckets keep their
+    * files byte-identical (TargetedDeleteSpec pins this), so a delete of
+    * k keys costs O(k/buckets · table) I/O, not O(table).
+    *
+    * Mechanics: the delete set (small — broadcast) maps to its bucket ids
+    * (driver sees only the id list); affected buckets are anti-joined and
+    * rewritten via dynamic partition overwrite. A bucket whose every row
+    * is deleted produces no output partition, so its directory is removed
+    * explicitly. The cleaned frame is localCheckpoint-ed first — Spark
+    * refuses to overwrite a path an active plan still reads from.
+    * Returns the number of rows deleted. */
+  def deleteKeys(spark: SparkSession, path: String, key: String,
+      keys: DataFrame, buckets: Int): Long = {
+    val keyed = keys.select(col(key)).distinct()
+      .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)))
+      .cache()
+    val hit = keyed.select(col("__bucket")).distinct().collect()
+      .map(_.getInt(0))
+    if (hit.isEmpty) { keyed.unpersist(); return 0L }
+    val affected = spark.read.parquet(path)
+      .filter(col("__bucket").isin(hit.map(Int.box).toIndexedSeq: _*))
+    val before = affected.count()
+    val cleaned = affected
+      .join(broadcast(keyed.select(col(key))), Seq(key), "left_anti")
+      .localCheckpoint(true)
+    val after = cleaned.count()
+    cleaned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(path)
+    val remaining = cleaned.select(col("__bucket")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hit.filterNot(remaining).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/__bucket=$b"), true)
+    }
+    keyed.unpersist()
+    before - after
+  }
+
   def exportEnvelopes(env: DataFrame, path: String): Unit =
     env
       .withColumn("key", base64(col("key")))
