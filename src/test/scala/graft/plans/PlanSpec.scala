@@ -373,6 +373,25 @@ class PlanSpec extends SparkSuite {
     assert(PlanChecks.usesTakeOrdered(run("x12_weighted_sample")))
   }
 
+  test("t20: BPE pair top-k is TakeOrderedAndProject over the " +
+      "vocabulary-bounded pair aggregate") {
+    assert(PlanChecks.usesTakeOrdered(run("t20_bpe_pairs")))
+  }
+
+  test("t19/p12: vocabulary-growth and dataset card plan keyed joins " +
+      "only — no cartesian anywhere") {
+    Seq("t19_vocab_growth", "p12_dataset_card").foreach { n =>
+      assert(!PlanChecks.usesCartesianProduct(run(n)), s"$n planned cartesian")
+    }
+  }
+
+  test("a20: EWMA gathers the trailing frame in ONE user-partitioned " +
+      "window — no join, no self-join on the series") {
+    val ops = PlanChecks.physical(run("a20_ewma_smoothing"))
+      .map(_.getClass.getSimpleName)
+    assert(!ops.exists(_.contains("Join")), s"a20 planned a join: $ops")
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
