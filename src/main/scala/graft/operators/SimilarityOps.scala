@@ -1018,6 +1018,91 @@ object SimilarityOps {
        |WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Prefix-dimension (Matryoshka-style) ANN: shortlist with the FIRST 16
+    * of 64 dimensions, exact-rerank the shortlist with all 64 — the
+    * dimension-truncation compression axis, completing the family's three
+    * independent levers (s11 cuts bits per dim, s06 cuts dims to
+    * codewords, s12 cuts dims outright; production stacks compose them).
+    * With embeddings trained front-loaded (nested/Matryoshka objectives),
+    * a dim-prefix preserves ranking well enough that a small
+    * rerank-multiple recovers exact top-k.
+    *
+    * Scale: the shortlist sweep reads 64 bytes/candidate instead of 256
+    * (4× scan compression; same broadcast-queries shape as s01) and
+    * quarter-cost dot products; the full-width math runs only on the Q·R
+    * shortlist via the s09/s11 broadcast-joinback discipline. Prefix
+    * ordering uses the same in-array-order fold on both engines, so the
+    * shortlist is deterministic without rounding. */
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir).embeddingsSpread
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dotF64(col("vd"), col("vd"))))
+      .withColumn("pv", expr("slice(vd, 1, 16)"))
+      .withColumn("pn", sqrt(dotF64(col("pv"), col("pv"))))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("pv").as("qpv"),
+        col("pn").as("qpn"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("pv").as("cpv"),
+        col("pn").as("cpn"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("c_id"))
+    val shortlist = broadcast(q).join(c, lit(true))
+      .withColumn("pcos",
+        dotF64(col("qpv"), col("cpv")) / (col("qpn") * col("cpn")))
+      .withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= 12)
+      .select(col("q_id"), col("c_id"))
+    val vecs = emb.select(col("vec_id"), col("vd"), col("nrm"))
+    val cands = vecs.join(broadcast(shortlist), col("vec_id") === col("c_id"))
+      .select(col("q_id"), col("c_id"), col("vd").as("cv"),
+        col("nrm").as("cn"))
+    val qv = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("jq"), col("vd").as("qv"), col("nrm").as("qn"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    cands.join(broadcast(qv), col("q_id") === col("jq"))
+      .withColumn("cos_sim", round(
+        dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("c_id").as("neighbor_id"),
+        col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val s12Sql = {
+    val pcos =
+      """(list_sum(list_transform(range(1, 17),
+        |    i -> q.embedding[CAST(i AS INT)]::DOUBLE
+        |      * c.embedding[CAST(i AS INT)]::DOUBLE))
+        |  / (sqrt(list_sum(list_transform(q.embedding[1:16],
+        |       v -> v::DOUBLE * v::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(c.embedding[1:16],
+        |       v -> v::DOUBLE * v::DOUBLE)))))""".stripMargin
+    s"""WITH short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $pcos DESC, c.vec_id) AS prk
+       |    FROM embeddings q JOIN embeddings c
+       |      ON q.vec_id < 10 AND c.vec_id >= 10) h
+       |  WHERE prk <= 12),
+       |scored AS (
+       |  SELECT s.q_id, s.c_id,
+       |    ${duckCos("q.embedding", "c.embedding")} AS cos_sim
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings c ON c.vec_id = s.c_id)
+       |SELECT q_id, rk, c_id AS neighbor_id, cos_sim FROM (
+       |  SELECT q_id, c_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rk
+       |  FROM scored) r
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -1030,5 +1115,6 @@ object SimilarityOps {
     "s09_ann_rerank" -> QueryDef(s09, Some(s09Sql)),
     "s10_ann_filtered" -> QueryDef(s10, Some(s10Sql)),
     "s11_ann_binary" -> QueryDef(s11, Some(s11Sql)),
+    "s12_ann_prefix_dims" -> QueryDef(s12, Some(s12Sql)),
   )
 }

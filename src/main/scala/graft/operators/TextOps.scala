@@ -920,6 +920,71 @@ object TextOps {
       |ORDER BY n DESC, pair
       |LIMIT 30""".stripMargin
 
+  /** Source-to-source similarity matrix via source-level MinHash: estimate
+    * the token-set Jaccard between every pair of sources from 16-component
+    * signatures — the mirror/overlap detector between corpus slices (two
+    * crawls of the same site, re-hosted dumps) that runs without ever
+    * comparing documents pairwise. Uses the same universal hash family as
+    * the document-level MinHash ops ([[graft.functions.MinHashFamily]]).
+    *
+    * Scale: the corpus reduces to its distinct (source, token) set (one
+    * map-side-combined aggregate, vocab-bounded); signatures are a
+    * (source, seed) min-aggregate over that set × a broadcast 16-row seed
+    * table; the pair stage compares |sources|² × 16 signature components —
+    * independent of corpus size. Pure int64 arithmetic end to end. */
+  private def t21(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHashFamily
+    val seedArr = (0 until 16)
+      .map(i => s"named_struct('seed', ${i}L, 'a', ${MinHashFamily.a(i)}L, " +
+        s"'b', ${MinHashFamily.b(i)}L)")
+      .mkString("array(", ", ", ")")
+    val sigs = t(s, dir).documentsSpread
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .withColumn("x",
+        expr("CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT)"))
+      .select(col("source"), col("x"), explode(expr(seedArr)).as("sd"))
+      .groupBy(col("source"), col("sd.seed").as("seed"))
+      .agg(min((col("sd.a") * col("x") + col("sd.b")) % MinHashFamily.p)
+        .as("mh"))
+    val l = sigs.select(col("source").as("src_a"), col("seed"),
+      col("mh").as("mh_a"))
+    val r = sigs.select(col("source").as("src_b"), col("seed"),
+      col("mh").as("mh_b"))
+    l.join(r, Seq("seed")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+        .as("n_match"))
+      .withColumn("est_jaccard", round(col("n_match") / 16.0, 4))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val t21Sql = {
+    import graft.functions.MinHashFamily
+    s"""WITH st AS (
+       |  SELECT DISTINCT source, tok FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents) e
+       |  WHERE length(tok) > 0),
+       |xs AS (
+       |  SELECT source,
+       |    ('0x' || substr(md5(tok), 1, 7))::BIGINT AS x
+       |  FROM st),
+       |sigs AS (
+       |  SELECT source, seed, min((a * x + b) % ${MinHashFamily.p}) AS mh
+       |  FROM xs, (VALUES ${MinHashFamily.duckSeedRows(16)}) seeds(seed, a, b)
+       |  GROUP BY source, seed)
+       |SELECT l.source AS src_a, r.source AS src_b,
+       |  CAST(sum(CASE WHEN l.mh = r.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_match,
+       |  round(sum(CASE WHEN l.mh = r.mh THEN 1 ELSE 0 END) / 16.0, 4)
+       |    AS est_jaccard
+       |FROM sigs l JOIN sigs r ON l.seed = r.seed AND l.source < r.source
+       |GROUP BY l.source, r.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -941,5 +1006,6 @@ object TextOps {
     "t18_source_divergence" -> QueryDef(t18, Some(t18Sql)),
     "t19_vocab_growth" -> QueryDef(t19, Some(t19Sql)),
     "t20_bpe_pairs" -> QueryDef(t20, Some(t20Sql)),
+    "t21_source_similarity" -> QueryDef(t21, Some(t21Sql)),
   )
 }

@@ -378,6 +378,13 @@ class PlanSpec extends SparkSuite {
     assert(PlanChecks.usesTakeOrdered(run("t20_bpe_pairs")))
   }
 
+  test("s12/t21: prefix-dim rerank and source-similarity pairs are keyed " +
+      "joins — no cartesian") {
+    Seq("s12_ann_prefix_dims", "t21_source_similarity").foreach { n =>
+      assert(!PlanChecks.usesCartesianProduct(run(n)), s"$n planned cartesian")
+    }
+  }
+
   test("t19/p12: vocabulary-growth and dataset card plan keyed joins " +
       "only — no cartesian anywhere") {
     Seq("t19_vocab_growth", "p12_dataset_card").foreach { n =>
