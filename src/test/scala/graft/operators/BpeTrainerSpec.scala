@@ -77,6 +77,29 @@ class BpeTrainerSpec extends SparkSuite {
     out.toSeq
   }
 
+  test("property: trainer matches the naive reference on random vocabularies") {
+    // scalacheck engine directly (no scalatestplus bridge in this build) —
+    // random small vocabularies over a 4-letter alphabet provoke the nasty
+    // cases (overlapping pairs "aaa", multi-occurrence words, ties).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val wordGen = for {
+      len <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    val vocabGen = for {
+      n <- Gen.choose(2, 10)
+      ws <- Gen.listOfN(n, wordGen)
+      fs <- Gen.listOfN(n, Gen.choose(1L, 9L))
+    } yield ws.zip(fs).groupMapReduce(_._1)(_._2)(_ + _)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12),
+      Prop.forAll(vocabGen) { vocab =>
+        val wf = vocabDf(vocab.toSeq)
+        BpeTrainer.train(wf, 5) == naiveBpe(vocab, 5)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("differential vs naive in-memory BPE on real corpus words") {
     val docs = graft.Tables(spark, sf0001).documents.limit(40)
     val wf = BpeTrainer.wordFrequencies(docs)
