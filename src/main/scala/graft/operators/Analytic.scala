@@ -822,6 +822,70 @@ object Analytic {
       |FROM f
       |ORDER BY event_id""".stripMargin
 
+  /** Robust outlier detection via median absolute deviation: per
+    * event_type, med = median(value), MAD = median(|value − med|), outlier
+    * iff |value − med| > 5·MAD — the heavy-tail-safe complement to a14's
+    * z-scores (one wild value inflates a stddev but barely moves a
+    * median, so MAD keeps flagging what z-scores drown).
+    *
+    * Determinism: values are integer cents; an exact interpolated median
+    * of integers is integer-or-half-integer — exact dyadic doubles both
+    * engines produce bit-identically — and the outlier test compares
+    * exact dyadics scaled by integers. No rounding enters any decision.
+    *
+    * Scale: exact grouped medians gather each group's values (sort-based
+    * aggregate) — the right tool when the grouping key is bounded (5
+    * event types here; per-type rows stream through one sorted gather).
+    * For high-cardinality keys the family's approx path (a10's KLL-style
+    * quantiles) replaces the exact gather; this query is the
+    * bounded-cardinality exact member. Two grouped passes (med, then
+    * MAD over deviations), each broadcast back — corpus scanned twice,
+    * shuffled never beyond group gathers. */
+  private def a21(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir).events
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5D)").as("med_cents"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5D)").as("mad_cents"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med_cents")) / 100.0, 4).as("median_value"),
+        round(max(col("mad_cents")) / 100.0, 4).as("mad_value"),
+        sum(when(col("dev") > lit(5.0) * col("mad_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a21Sql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+      |  FROM e GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, cents, abs(cents - med_cents) AS dev,
+      |    med_cents
+      |  FROM e JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(dev, 0.5) AS mad_cents
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(max(med_cents) / 100.0, 4) AS median_value,
+      |  round(max(mad_cents) / 100.0, 4) AS mad_value,
+      |  CAST(sum(CASE WHEN dev > 5.0 * mad_cents THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -843,5 +907,6 @@ object Analytic {
     "a18_ohlc_bars" -> QueryDef(a18, Some(a18Sql)),
     "a19_sliding_sketch_wau" -> QueryDef(a19, Some(a19Sql)),
     "a20_ewma_smoothing" -> QueryDef(a20, Some(a20Sql)),
+    "a21_mad_outliers" -> QueryDef(a21, Some(a21Sql)),
   )
 }
