@@ -886,6 +886,77 @@ object Analytic {
       |GROUP BY d.event_type
       |ORDER BY d.event_type""".stripMargin
 
+  /** CUSUM drift detection per series: the sequential change-point
+    * statistic cusum⁺_t = max(0, cusum⁺_{t−1} + (x_t − target)) — flags
+    * sustained upward drift that point tests (a14 z-scores, a21 MAD) miss
+    * because no single value is extreme. The recursion is rewritten as
+    * the classic non-recursive identity cusum⁺_t = S_t − min(S_0..S_t)
+    * (S = running sum of x − target), so two stacked windows express it:
+    * a cumulative sum and a running minimum.
+    *
+    * Determinism: all in integer cents — target is the per-series
+    * truncating-division mean (both engines truncate toward zero), S and
+    * its prefix minima are exact BIGINTs, the drift threshold is an
+    * integer compare. No floats anywhere until display rounding.
+    *
+    * Scale: one shuffle partitions by series; each series' cumsum +
+    * running-min is a linear per-partition pass (both frames GROWING —
+    * the incremental O(n) frame shape, never the quadratic shrinking
+    * one). Series cardinality provides the parallelism, the standard
+    * contract for sequential statistics. */
+  private def a22(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = t(s, dir).events
+      .select(col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val target = ev.groupBy(col("event_type"))
+      .agg(expr("sum(cents) div count(1)").as("target"))
+    ev.join(broadcast(target), "event_type")
+      .withColumn("srun", sum(col("cents") - col("target")).over(ord))
+      .withColumn("cusum", col("srun") - min(col("srun")).over(ord))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("cusum")) / 100.0, 4).as("max_cusum"),
+        sum(when(col("cusum") > 5000L, 1L).otherwise(0L))
+          .as("n_drift_points"),
+        min(when(col("cusum") > 5000L, col("event_id")))
+          .as("first_drift_event"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a22Sql =
+    """WITH e AS (
+      |  SELECT event_type, ts, event_id,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |tgt AS (
+      |  SELECT event_type, sum(cents) // count(*) AS target
+      |  FROM e GROUP BY event_type),
+      |runs AS (
+      |  SELECT e.event_type, ts, event_id,
+      |    sum(cents - target) OVER (PARTITION BY e.event_type
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srun
+      |  FROM e JOIN tgt USING (event_type)),
+      |cus AS (
+      |  SELECT event_type, event_id,
+      |    srun - min(srun) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |  FROM runs)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(max(cusum) / 100.0, 4) AS max_cusum,
+      |  CAST(sum(CASE WHEN cusum > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_drift_points,
+      |  min(CASE WHEN cusum > 5000 THEN event_id END) AS first_drift_event
+      |FROM cus
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -908,5 +979,6 @@ object Analytic {
     "a19_sliding_sketch_wau" -> QueryDef(a19, Some(a19Sql)),
     "a20_ewma_smoothing" -> QueryDef(a20, Some(a20Sql)),
     "a21_mad_outliers" -> QueryDef(a21, Some(a21Sql)),
+    "a22_cusum_drift" -> QueryDef(a22, Some(a22Sql)),
   )
 }
