@@ -957,6 +957,51 @@ object Analytic {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Seasonal baseline + residual outliers: per (event_type, hour-of-day),
+    * the integer-mean baseline and the count of events far off it — the
+    * seasonality-aware monitoring primitive (a 3am spike is normal at
+    * 3pm; a14/a21/a22 all compare against season-blind references, this
+    * compares each event to ITS hour's norm).
+    *
+    * Determinism: baselines are truncating integer division of exact
+    * cent sums (both engines truncate toward zero on positives); the
+    * residual test is a pure integer compare. Scale: one (type, hour)
+    * aggregate — 24×|types| groups, map-side combined — broadcast back
+    * into a second scan; the outlier test is row-local. The classic
+    * two-pass a14 shape with a seasonal key. */
+  private def a23(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir).events
+      .select(col("event_type"), hour(col("ts")).as("hr"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val base = ev.groupBy(col("event_type"), col("hr"))
+      .agg(expr("sum(cents) div count(1)").as("baseline_cents"))
+    ev.join(broadcast(base), Seq("event_type", "hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("baseline_cents")) / 100.0, 4).as("baseline_value"),
+        sum(when(abs(col("cents") - col("baseline_cents")) > 10000L, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("hr", col("hr").cast("long"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  private val a23Sql =
+    """WITH e AS (
+      |  SELECT event_type, hour(ts) AS hr,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |base AS (
+      |  SELECT event_type, hr, sum(cents) // count(*) AS baseline_cents
+      |  FROM e GROUP BY event_type, hr)
+      |SELECT e.event_type, CAST(e.hr AS BIGINT) AS hr,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(max(baseline_cents) / 100.0, 4) AS baseline_value,
+      |  CAST(sum(CASE WHEN abs(cents - baseline_cents) > 10000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM e JOIN base USING (event_type, hr)
+      |GROUP BY e.event_type, e.hr
+      |ORDER BY e.event_type, hr""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -980,5 +1025,6 @@ object Analytic {
     "a20_ewma_smoothing" -> QueryDef(a20, Some(a20Sql)),
     "a21_mad_outliers" -> QueryDef(a21, Some(a21Sql)),
     "a22_cusum_drift" -> QueryDef(a22, Some(a22Sql)),
+    "a23_seasonal_baseline" -> QueryDef(a23, Some(a23Sql)),
   )
 }

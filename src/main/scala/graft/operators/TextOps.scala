@@ -985,6 +985,62 @@ object TextOps {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  /** Zipf-law fit per source: least-squares slope of log-frequency vs
+    * log-rank over the source's token distribution. Natural text slopes
+    * near −1; templated/synthetic slices bend the curve, so the (slope,
+    * fit-error) pair is a cheap generated-text / collapsed-source
+    * detector — the rank-structure complement to t18's KL endpoint and
+    * t19's growth curve.
+    *
+    * Scale: one (source, token) count aggregate (map-side combined,
+    * vocab-bounded — the only corpus-sized pass), ranks from a window
+    * partitioned BY SOURCE over vocab rows, and the closed-form slope
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) from one tiny per-source
+    * aggregate — regression without any iterative fitting. The ln sums
+    * add |vocab| well-separated doubles; 4dp rounding sits ~12 orders
+    * above summation-order noise (the t18 determinism argument). */
+  private def t22(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("tok"))
+    val counted = t(s, dir).documentsSpread
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("x", log(row_number().over(w).cast("double")))
+      .withColumn("y", log(col("c").cast("double")))
+    counted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_vocab"),
+        round((col("n_vocab") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_vocab") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  private val t22Sql =
+    """WITH st AS (
+      |  SELECT source, tok, count(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) e
+      |  WHERE length(tok) > 0
+      |  GROUP BY source, tok),
+      |pts AS (
+      |  SELECT source,
+      |    ln(CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+      |    ln(CAST(c AS DOUBLE)) AS y
+      |  FROM st)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+      |  round((count(*) * sum(x * y) - sum(x) * sum(y))
+      |    / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope
+      |FROM pts
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -1007,5 +1063,6 @@ object TextOps {
     "t19_vocab_growth" -> QueryDef(t19, Some(t19Sql)),
     "t20_bpe_pairs" -> QueryDef(t20, Some(t20Sql)),
     "t21_source_similarity" -> QueryDef(t21, Some(t21Sql)),
+    "t22_zipf_slope" -> QueryDef(t22, Some(t22Sql)),
   )
 }
