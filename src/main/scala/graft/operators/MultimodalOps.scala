@@ -262,11 +262,95 @@ object MultimodalOps {
       |JOIN nf fb ON fb.doc_id = doc_b
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Audio perceptual fingerprint (Chromaprint/landmark-style, on m04's
+    * window grid): per clip, window energies over the PCM stand-in bytes,
+    * then ONE bit per consecutive-window energy DELTA (rising=1) packed
+    * into an 8-bit fingerprint — deltas survive gain changes that raw
+    * energies don't, which is the whole trick behind audio matching.
+    * Output is each clip's fingerprint plus its collision-bucket size:
+    * the bucket join (m03's shape in the audio domain) is where near-dup
+    * candidates come from at corpus scale.
+    *
+    * Scale: energies, deltas, and the packed fingerprint are ONE nested
+    * per-row fold — no explode, no shuffle until the 256-bucket count
+    * aggregate (map-side combined, constant output). The real decoder
+    * slot stays MediaPipeline's documented stub; everything Spark-side
+    * (window grid, delta bits, bucket join) is the production shape. */
+  private def m06(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).documentsSpread
+      .withColumn("n_bytes", octet_length(col("text").cast("binary")))
+      .withColumn("rate",
+        when(col("doc_id") % 2 === 0, 64L).otherwise(32L))
+      .withColumn("n_samples", (col("n_bytes") / 2).cast("long"))
+      .withColumn("hop", (col("rate") / 2).cast("long"))
+      .filter(col("n_samples") >= col("hop"))
+      .withColumn("n_win",
+        (expr("(n_samples - hop) div hop") + 1).cast("int"))
+      // per-window byte-energy over the 2-byte samples (decode stand-in)
+      .withColumn("energies", expr(
+        """transform(sequence(0, n_win - 1), w ->
+          |  aggregate(
+          |    sequence(w * hop * 2 + 1,
+          |      least(n_bytes, (w * hop + least(rate, n_samples - w * hop)) * 2)),
+          |    0L, (acc, i) -> acc + ascii(substring(text, CAST(i AS INT), 1))))"""
+          .stripMargin))
+      .withColumn("fingerprint", expr(
+        """IF(n_win < 2, 0L,
+          |  aggregate(sequence(0, least(7, n_win - 2)), 0L,
+          |    (acc, d) -> IF(energies[d + 1] > energies[d],
+          |      acc | shiftleft(1L, d), acc)))""".stripMargin))
+    val buckets = base.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("bucket_size"))
+    base.join(broadcast(buckets), "fingerprint")
+      .select(col("doc_id"), col("fingerprint"),
+        col("n_win").cast("long").as("n_windows"), col("bucket_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m06Sql =
+    """WITH a AS (
+      |  SELECT doc_id, text,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 32 END AS rate,
+      |    octet_length(encode(text)) // 2 AS n_samples,
+      |    CASE WHEN doc_id % 2 = 0 THEN 32 ELSE 16 END AS hop
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, text, n_bytes, rate, n_samples, hop,
+      |    CAST((n_samples - hop) // hop + 1 AS INT) AS n_win
+      |  FROM a WHERE n_samples >= hop),
+      |e AS (
+      |  SELECT doc_id, n_win,
+      |    list_transform(range(0, n_win), w ->
+      |      list_sum(list_transform(
+      |        range(w * hop * 2 + 1,
+      |          least(n_bytes,
+      |            (w * hop + least(rate, n_samples - w * hop)) * 2) + 1),
+      |        i -> ascii(substr(text, CAST(i AS INT), 1))))) AS energies
+      |  FROM w),
+      |fp AS (
+      |  SELECT doc_id, n_win,
+      |    CAST(coalesce(list_sum(list_transform(
+      |      range(0, least(8, n_win - 1)), d ->
+      |      CASE WHEN energies[CAST(d AS INT) + 2]
+      |          > energies[CAST(d AS INT) + 1]
+      |        THEN (1::BIGINT << CAST(d AS INT)) ELSE 0 END)), 0) AS BIGINT)
+      |      AS fingerprint
+      |  FROM e),
+      |bk AS (SELECT fingerprint, count(*) AS bucket_size FROM fp
+      |  GROUP BY fingerprint)
+      |SELECT doc_id, fp.fingerprint,
+      |  CAST(n_win AS BIGINT) AS n_windows,
+      |  CAST(bucket_size AS BIGINT) AS bucket_size
+      |FROM fp JOIN bk USING (fingerprint)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_multimodal_meta" -> QueryDef(m01, Some(m01Sql)),
     "m02_frame_sample" -> QueryDef(m02, Some(m02Sql)),
     "m03_blockhash_neardup" -> QueryDef(m03, Some(m03Sql)),
     "m04_audio_windows" -> QueryDef(m04, Some(m04Sql)),
     "m05_video_neardup" -> QueryDef(m05, Some(m05Sql)),
+    "m06_audio_fingerprint" -> QueryDef(m06, Some(m06Sql)),
   )
 }
