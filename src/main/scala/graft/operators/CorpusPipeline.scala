@@ -846,6 +846,49 @@ object CorpusPipeline {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Reproducibility manifest: per training shard (p04's hash assignment),
+    * doc/token counts plus an ORDER-FREE content checksum (bit-XOR of
+    * per-doc 60-bit content hashes) — the artifact two independent
+    * pipeline runs compare to prove they produced identical shards, and
+    * the fastest possible divergence locator when they didn't (only
+    * mismatched shards need re-inspection). Published beside the shard
+    * files; the dataset-card (p12) describes the corpus, this fingerprints
+    * it.
+    *
+    * Scale: one map-side pass computes each doc's hash and shard; the
+    * manifest is a |shards|-row aggregate whose XOR/sum combiners are
+    * commutative — any partitioning, any cluster size, same manifest.
+    * That commutativity is the point: a content checksum that required an
+    * ordered fold would force a global sort just to fingerprint. */
+  private def p13(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documentsSpread
+      .withColumn("h", StableHash.h60(col("text")))
+      .withColumn("shard", pmod(col("h"), lit(8)).cast("long"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(h)").as("content_xor"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
+  private val p13Sql = {
+    val h = StableHash.duckH60("text")
+    s"""SELECT shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(bit_xor(h) AS BIGINT) AS content_xor,
+       |  min(doc_id) AS min_doc,
+       |  max(doc_id) AS max_doc
+       |FROM (
+       |  SELECT doc_id, $h AS h, ($h) % 8 AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents) d
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -859,5 +902,6 @@ object CorpusPipeline {
     "p10_sequence_pack" -> QueryDef(p10, Some(p10Sql)),
     "p11_waterfill_budget" -> QueryDef(p11, Some(p11Sql)),
     "p12_dataset_card" -> QueryDef(p12, Some(p12Sql)),
+    "p13_shard_manifest" -> QueryDef(p13, Some(p13Sql)),
   )
 }
