@@ -112,25 +112,38 @@ object Bench {
     val passes = 3
     val timed = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // A query that throws in ANY pass is a FAILURE, not a fast run: its
+    // elapsed time is the time-to-crash (analysis errors abort in ms), so
+    // recording it would deflate the headline total — exactly the round-5
+    // defect where five broken events queries "ran" at 0.06 s each. Failed
+    // queries are excluded from queries/total and reported in `failed`.
+    val failedWhy = scala.collection.mutable.Map.empty[String, String]
     for (p <- 0 until passes) {
       val shift = p * names.length / passes
       val order = names.drop(shift) ++ names.take(shift)
       order.foreach { name =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          timed(name) = ((System.nanoTime() - t0) / 1e9) :: timed(name)
+        } catch { case e: Throwable =>
+          failedWhy(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[bench] $name FAILED: ${failedWhy(name)}")
         }
-        timed(name) = ((System.nanoTime() - t0) / 1e9) :: timed(name)
       }
     }
     val calAfter = calibrate()
     val load1 = loadavg()
-    val results = names.map(n => n -> timed(n).min)
+    val ok = names.filterNot(failedWhy.contains)
+    val results = ok.map(n => n -> timed(n).min)
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson =
+      if (failedWhy.isEmpty) ""
+      else names.filter(failedWhy.contains)
+        .map(n => "\"" + n + "\"").mkString(""","failed":[""", ",", "]")
     val hostJson =
       f""","calibration_sec":{"before":$calBefore%.3f,"after":$calAfter%.3f}""" +
         s""","loadavg":{"before":"$load0","after":"$load1"}"""
@@ -150,9 +163,12 @@ object Bench {
     }
     // n_queries makes headline-set growth explicit: cross-round TOTAL
     // comparisons are only meaningful at equal query counts — new rounds
-    // add headline queries, so compare per-query times (or equal subsets)
+    // add headline queries, so compare per-query times (or equal subsets).
+    // n_queries counts only SUCCESSFUL queries; n_failed + failed name any
+    // that crashed, and a nonzero exit marks the artifact as incomplete.
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.length},"queries":$qs,"sf":"$sfDir"$hostJson$streamJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.length},"n_failed":${failedWhy.size},"queries":$qs,"sf":"$sfDir"$failedJson$hostJson$streamJson}""")
     spark.stop()
+    if (failedWhy.nonEmpty) sys.exit(1)
   }
 }

@@ -18,13 +18,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must SURFACE in the correctness report, not vanish:
+    // round 5's events-schema break was masked because failures here left
+    // no trace in the dump dir. Record each failure (a) in errors.json and
+    // (b) as an _ERROR marker inside the query's otherwise-empty dump dir,
+    // so a driver that globs <name>/*.parquet reads nothing and reports
+    // err != null instead of silently dropping the query.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg.linesIterator.take(3).mkString(" ").take(500)
+        System.err.println(s"[verify] $name FAILED: ${errors(name)}")
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), errors(name))
       }
       // several builders cache a multi-consumer intermediate (p08, d02,
       // d14, …); each build creates fresh lineage, so without eviction a
@@ -47,6 +59,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // exit 0 even with failures: the driver must still run the DuckDB
+    // compare over the successful dumps — the markers carry the bad news.
     spark.stop()
   }
 }

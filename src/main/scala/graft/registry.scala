@@ -30,14 +30,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = p("part")
   def orders: DataFrame = p("orders")
   def lineitem: DataFrame = p("lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read natively — read nanos as long and truncate to micros (exactly
-    * what DuckDB does when it loads the same file, so oracles agree). */
+  /** events.parquet has shipped `ts` as TIMESTAMP(NANOS) in some testdata
+    * generations and timestamp[us] in others, so branch on the SCANNED
+    * schema rather than assuming either:
+    *   - int64 nanos (via nanosAsLong, which Spark 4 needs to read NANOS
+    *     at all) → truncate to micros, exactly what DuckDB does on load;
+    *   - timestamp[us] without UTC flag → Spark reads TIMESTAMP_NTZ; cast
+    *     to session-zoned TimestampType (session TZ is pinned UTC in
+    *     Verify/Bench, so the cast is value-preserving and keeps every
+    *     downstream window/watermark op on the same type as before). */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = p("events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", df("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents: DataFrame = p("documents")
   def embeddings: DataFrame = p("embeddings")

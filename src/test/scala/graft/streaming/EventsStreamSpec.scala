@@ -13,16 +13,18 @@ import java.nio.file.{Files, Paths}
   */
 class EventsStreamSpec extends SparkSuite {
 
-  /** events.parquet has TIMESTAMP(NANOS) → stream-read as long + truncate,
-    * matching graft.Tables.events. */
+  /** events.parquet has shipped `ts` as either TIMESTAMP(NANOS) or
+    * timestamp[us] across testdata generations — probe the batch-scanned
+    * schema and normalize to TimestampType, matching graft.Tables.events. */
   private def streamedEvents(dir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val scanned = spark.read.parquet(dir).schema
+    val df = spark.readStream.schema(scanned).parquet(dir)
+    scanned("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   private def stageDir(): String = {
