@@ -1002,6 +1002,55 @@ object Analytic {
       |GROUP BY e.event_type, e.hr
       |ORDER BY e.event_type, hr""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current event type) with transition counts — the
+    * behavioral-model primitive behind next-action prediction, anomaly
+    * scoring ("this session's transitions are improbable"), and funnel
+    * discovery (a12 checks a FIXED path; this learns which paths exist).
+    *
+    * Scale design: one shuffle on user_id for the `lead` window (sequence
+    * order is per-user, so the sort is partition-local), then a hash
+    * aggregate keyed by (from, to) — at most |types|² groups, map-side
+    * combined, so the second shuffle moves a constant-size frame no matter
+    * the event count. Probabilities divide exact BIGINT counts inside each
+    * from-row (a tiny broadcast-back via a windowed sum over |types|²
+    * rows); ties impossible, counts exact, so the hash gate is safe. */
+  private def a24(s: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val pairs = t(s, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(seq))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p", round(col("n") / sum(col("n")).over(byFrom), 4))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val a24Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS to_type
+      |  FROM e),
+      |counts AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL
+      |  GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4)
+      |    AS p
+      |FROM counts
+      |ORDER BY from_type, to_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -1026,5 +1075,6 @@ object Analytic {
     "a21_mad_outliers" -> QueryDef(a21, Some(a21Sql)),
     "a22_cusum_drift" -> QueryDef(a22, Some(a22Sql)),
     "a23_seasonal_baseline" -> QueryDef(a23, Some(a23Sql)),
+    "a24_markov_transitions" -> QueryDef(a24, Some(a24Sql)),
   )
 }

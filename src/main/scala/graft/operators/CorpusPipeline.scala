@@ -889,6 +889,67 @@ object CorpusPipeline {
        |ORDER BY shard""".stripMargin
   }
 
+  /** Quality-annealed curriculum order — schedule each source's documents
+    * cleanest-first: phase 1 = that source's top quality tercile, phase 3
+    * its noisiest, with a deterministic content-hash shuffle INSIDE each
+    * phase (annealed ≠ sorted: feeding docs in strict quality order
+    * correlates adjacent batches; the hash shuffle decorrelates them while
+    * the phase boundary preserves the easy→hard ramp). Complements p09:
+    * that reshuffles uniformly per epoch, this biases the order by a
+    * per-doc quality signal (vocabulary richness — distinct/total token
+    * ratio, the cheap lexical-diversity proxy).
+    *
+    * Scale design: terciles are PER SOURCE via ntile over a window
+    * partitioned by source — a global ntile would be a global sort of the
+    * corpus (the one shape the layout rules here forbid); per-source
+    * banding is also the curriculum practice (each source ramps on its own
+    * quality scale, so a uniformly-noisy source still spreads across
+    * phases). Both windows are source-partitioned (cluster-local sorts);
+    * the export order is lexicographic (source, phase, pos) — a loader
+    * streams phase files in name order, no global sort ever materializes.
+    * Ties (equal rounded quality) break on doc_id in both engines. */
+  private def p14(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("quality", round(
+        size(array_distinct(col("toks")))
+          / size(col("toks")).cast("double"), 4))
+    val byQ = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val phased = docs
+      .withColumn("phase", ntile(3).over(byQ).cast("long"))
+      .withColumn("okey", StableHash.h60(concat(col("doc_id"), lit(":cur"))))
+    val w = Window.partitionBy(col("source"), col("phase"))
+      .orderBy(col("okey"), col("doc_id"))
+    phased
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("source"), col("phase"), col("pos"), col("doc_id"),
+        col("quality"))
+      .orderBy(col("source"), col("phase"), col("pos"))
+  }
+
+  private val p14Sql = {
+    val h = StableHash.duckH60("doc_id || ':cur'")
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |    round(len(list_distinct(string_split(text, ' ')))
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS quality
+       |  FROM documents),
+       |phased AS (
+       |  SELECT doc_id, source, quality,
+       |    CAST(ntile(3) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id) AS BIGINT) AS phase,
+       |    $h AS okey
+       |  FROM q)
+       |SELECT source, phase,
+       |  CAST(row_number() OVER (PARTITION BY source, phase
+       |    ORDER BY okey, doc_id) AS BIGINT) AS pos,
+       |  doc_id, quality
+       |FROM phased
+       |ORDER BY source, phase, pos""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -903,5 +964,6 @@ object CorpusPipeline {
     "p11_waterfill_budget" -> QueryDef(p11, Some(p11Sql)),
     "p12_dataset_card" -> QueryDef(p12, Some(p12Sql)),
     "p13_shard_manifest" -> QueryDef(p13, Some(p13Sql)),
+    "p14_curriculum_order" -> QueryDef(p14, Some(p14Sql)),
   )
 }

@@ -1103,6 +1103,94 @@ object SimilarityOps {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** Ranking-quality gate: NDCG@3 of the LSH-bucketed retrieval (s02's
+    * candidate generation) against brute-force ground truth. s08's recall
+    * asks "did the true neighbors land in the bucket at all?"; NDCG asks
+    * the sharper serving question "does the index return them in the right
+    * ORDER, weighted so rank-1 mistakes cost most?" — the standard offline
+    * metric an ANN index publishes alongside recall.
+    *
+    * Graded relevance: the true top-3 (exact cosine, s01's definition)
+    * score rel = 4 − true_rank (3/2/1), everything else 0. The retrieved
+    * list is the bucket-restricted cosine top-3; DCG discounts each
+    * position by log2(rank+1); IDCG is the fixed ideal (3/log2(2) +
+    * 2/log2(3) + 1/log2(4)), so a query whose bucket misses neighbors is
+    * penalized rather than dropped.
+    *
+    * Scale design: ground truth is computed for the sampled query panel
+    * only (broadcast-streams-the-corpus, like s01/s08); the retrieved list
+    * is the bucket equi-join (never cross); the relevance lookup joins two
+    * ≤Q·k frames on (q_id, c_id). All tie-breaks on candidate id, counts
+    * exact, one round(4) at the end — hash-gate safe. */
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    val emb = embWithBuckets(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vd").as("cv"),
+        col("nrm").as("cn"), col("bucket").as("c_bucket"))
+    def cos = round(dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
+    // ground truth: exact top-3 over the full candidate set → graded rel
+    val wAll = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    val gt = broadcast(q.drop("bucket")).join(c, lit(true))
+      .withColumn("cos_sim", cos)
+      .withColumn("trk", row_number().over(wAll))
+      .filter(col("trk") <= 3)
+      .select(col("q_id"), col("c_id"), (lit(4) - col("trk")).cast("double")
+        .as("rel"))
+    // retrieved: bucket-restricted top-3 (s02's candidate generation)
+    val retrieved = q.join(c, col("bucket") === col("c_bucket"))
+      .withColumn("cos_sim", cos)
+      .withColumn("rk", row_number().over(wAll))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("c_id"), col("rk"))
+    val idcg = lit(3.0) / log2(lit(2.0)) + lit(2.0) / log2(lit(3.0)) +
+      lit(1.0) / log2(lit(4.0))
+    retrieved
+      .join(gt, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(coalesce(col("rel"), lit(0.0)) / log2(col("rk") + 1))
+          .as("dcg"))
+      .select(col("q_id"), col("n_retrieved"),
+        round(col("dcg") / idcg, 4).as("ndcg_at_3"))
+      .orderBy(col("q_id"))
+  }
+
+  private val s13Sql =
+    s"""WITH $hyperplaneBucketsSql,
+       |gt AS (
+       |  SELECT q_id, c_id, CAST(4 - trk AS DOUBLE) AS rel FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckCos("q.embedding", "c.embedding")} DESC,
+       |          c.vec_id) AS trk
+       |    FROM embeddings q JOIN embeddings c
+       |      ON q.vec_id < 10 AND c.vec_id >= 10) r
+       |  WHERE trk <= 3),
+       |retrieved AS (
+       |  SELECT q_id, c_id, rk FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckCos("q.embedding", "c.embedding")} DESC,
+       |          c.vec_id) AS rk
+       |    FROM embeddings q
+       |    JOIN sigs qs ON qs.vec_id = q.vec_id
+       |    JOIN sigs cs ON cs.bucket = qs.bucket
+       |    JOIN embeddings c ON c.vec_id = cs.vec_id
+       |    WHERE q.vec_id < 10 AND c.vec_id >= 10) r
+       |  WHERE rk <= 3)
+       |SELECT r.q_id, CAST(count(*) AS BIGINT) AS n_retrieved,
+       |  round(sum(coalesce(g.rel, 0.0) / log2(r.rk + 1)) /
+       |    (3.0 / log2(2.0) + 2.0 / log2(3.0) + 1.0 / log2(4.0)), 4)
+       |    AS ndcg_at_3
+       |FROM retrieved r
+       |LEFT JOIN gt g ON g.q_id = r.q_id AND g.c_id = r.c_id
+       |GROUP BY r.q_id
+       |ORDER BY r.q_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -1116,5 +1204,6 @@ object SimilarityOps {
     "s10_ann_filtered" -> QueryDef(s10, Some(s10Sql)),
     "s11_ann_binary" -> QueryDef(s11, Some(s11Sql)),
     "s12_ann_prefix_dims" -> QueryDef(s12, Some(s12Sql)),
+    "s13_ann_ndcg" -> QueryDef(s13, Some(s13Sql)),
   )
 }
