@@ -11,6 +11,12 @@ import java.nio.file.{Files, Paths}
   * (readStream → withWatermark → window agg → memory sink, AvailableNow
   * determinism per SURVEY §5).
   */
+/** Input row / carried state for the streaming transition extractor (the
+  * a24 twin) — top-level so Spark derives product encoders. */
+case class TransEv(user_id: Long, ts_us: Long, event_id: Long,
+    event_type: String)
+case class TransSt(ts_us: Long, event_id: Long, event_type: String)
+
 class EventsStreamSpec extends SparkSuite {
 
   /** events.parquet has shipped `ts` as either TIMESTAMP(NANOS) or
@@ -124,6 +130,56 @@ class EventsStreamSpec extends SparkSuite {
     try q.processAllAvailable() finally q.stop()
     // all 1000 events dispatched to success or skip, none persisted
     assert(topics.read(spark, "ev_retry").count() == 0)
+  }
+
+  test("streamed per-user transition extraction (mapGroupsWithState " +
+      "keeping each user's last event) reproduces a24's Markov counts") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val dir = stageDir()
+    val sess = spark
+    import sess.implicits._
+    val evs = streamedEvents(dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type")).as[TransEv]
+    // Stateful streaming form of a24's lead-window: state = the user's
+    // latest event; each batch sorts ITS slice of the user's events,
+    // stitches the carried last event in front, and emits consecutive
+    // pairs. Event-time-ordered arrival per user (one file → one batch
+    // here) is the ingest contract a log compaction provides at scale.
+    val transitions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransSt, (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val carried = state.getOption
+            .map(s => TransEv(-1L, s.ts_us, s.event_id, s.event_type))
+            .toSeq
+          if (sorted.nonEmpty) {
+            val last = sorted.last
+            state.update(TransSt(last.ts_us, last.event_id, last.event_type))
+          }
+          (carried ++ sorted).sliding(2).collect {
+            case Seq(a, b) => (a.event_type, b.event_type)
+          }
+      }.toDF("from_type", "to_type")
+    val name = s"trans_${System.nanoTime()}"
+    val q = transitions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n"))
+        .toMap
+      val want = graft.SparkEntry.queries("a24_markov_transitions")(
+        spark, sf0001).collect()
+        .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+          -> r.getAs[Long]("n")).toMap
+      assert(got == want,
+        s"diverged: only-stream=${(got.toSet -- want.toSet).take(3)} " +
+          s"only-batch=${(want.toSet -- got.toSet).take(3)}")
+    } finally q.stop()
   }
 
   test("streamed stream-static enrichment join equals the batch/oracle " +
