@@ -17,6 +17,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, only)
+    // exit 0 even with failures: the driver must still run the DuckDB
+    // compare over the successful dumps — the markers carry the bad news.
+    spark.stop()
+  }
+
+  /** The dump pass, session-owned-by-caller (VerifyMarkersSpec drives the
+    * failure path against the shared test session). */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Set[String]): Unit = {
     new java.io.File(outDir).mkdirs()
     // A failed query must SURFACE in the correctness report, not vanish:
     // round 5's events-schema break was masked because failures here left
@@ -62,8 +72,5 @@ object Verify {
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    // exit 0 even with failures: the driver must still run the DuckDB
-    // compare over the successful dumps — the markers carry the bad news.
-    spark.stop()
   }
 }
