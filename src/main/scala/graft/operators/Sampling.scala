@@ -498,6 +498,40 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Source-grouped k-fold assignment — cross-validation folds where the
+    * GROUP (here: provenance source) is the unit, so every document of a
+    * source lands in the same fold and fold-held-out evaluation never sees
+    * training provenance (the grouped complement of x04's per-doc split
+    * and x09's near-dup-cluster split: x09 guards content leakage, this
+    * guards provenance leakage — same-source stylistic twins). Fold =
+    * stable hash of the source mod k: deterministic at any SF and cluster
+    * size, no shuffle to assign (map-side expression), and a new source
+    * joins a fold without re-dealing existing ones.
+    *
+    * Scale design: the report is one hash aggregate keyed by fold (k
+    * groups, map-side combined); distinct-source counts are exact (the
+    * source cardinality is tiny relative to docs at any scale). */
+  private def x13(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documentsSpread
+      .withColumn("fold",
+        pmod(StableHash.h60(col("source")), lit(5)).cast("long"))
+      .groupBy(col("fold"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .orderBy(col("fold"))
+
+  private val x13Sql = {
+    val h = StableHash.duckH60("source")
+    s"""SELECT ($h) % 5 AS fold,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY fold""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
     "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
@@ -511,5 +545,6 @@ object Sampling {
     "x10_dsir_resample" -> QueryDef(x10, Some(x10Sql)),
     "x11_bootstrap_ci" -> QueryDef(x11, Some(x11Sql)),
     "x12_weighted_sample" -> QueryDef(x12, Some(x12Sql)),
+    "x13_group_kfold" -> QueryDef(x13, Some(x13Sql)),
   )
 }

@@ -194,7 +194,8 @@ object SimilarityOps {
     * nprobe probe cells per vector, against the fixed-[[ivfK]]
     * hash-sampled centroid set — shared by s03 (full-precision ranking)
     * and s07 (IVF-PQ: same cells, PQ-compressed candidates). */
-  private def ivfCells(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def ivfCells(s: SparkSession, dir: String,
+      nprobe: Int = ivfNprobe): (DataFrame, DataFrame) = {
     val emb = t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm",
@@ -222,8 +223,9 @@ object SimilarityOps {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cc").desc, col("cent_id"))
     val probes = scored.withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") <= ivfNprobe)
-      .select(col("vec_id"), col("vd"), col("nrm"), col("cent_id").as("cell"))
+      .filter(col("ark") <= nprobe)
+      .select(col("vec_id"), col("vd"), col("nrm"),
+        col("cent_id").as("cell"), col("ark"))
     (assigned, probes)
   }
 
@@ -1191,6 +1193,116 @@ object SimilarityOps {
        |GROUP BY r.q_id
        |ORDER BY r.q_id""".stripMargin
 
+  /** IVF nprobe tuning sweep — the recall-vs-cost curve an IVF deployment
+    * is tuned from: for nprobe ∈ {1, 2, 4}, recall@3 against brute-force
+    * ground truth alongside the number of candidate pairs the probe would
+    * score (the cost axis). One run answers "how many cells must queries
+    * probe before recall plateaus, and what does each step pay?" —
+    * complementing s08 (LSH recall at a fixed setting) and s13 (ranking
+    * quality) with the tuning dimension itself.
+    *
+    * Scale design: candidates are computed ONCE at the deepest setting
+    * with the probe depth (`ark`) that first reaches each (query,
+    * candidate) pair; the per-level numbers are then group-bys over that
+    * one frame crossed with the constant 3-row level table — the sweep
+    * never re-joins the corpus per level. Ground truth stays panel-sized
+    * (broadcast-streams-the-corpus). Counts exact; the only float is the
+    * final recall average of 0/1 hits, rounded once. */
+  private def s14(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, probes) = ivfCells(s, dir, nprobe = 4)
+    val q = probes.filter(col("vec_id").between(1, 9))
+      .select(col("vec_id").as("q_id"), col("cell"), col("ark"))
+    val c = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("cell"))
+    val cand = q.join(c, "cell")
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(min(col("ark")).as("min_ark"))
+    val emb = t(s, dir).embeddingsSpread
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dotF64(col("vd"), col("vd"))))
+    val qv = emb.filter(col("vec_id").between(1, 9))
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn"))
+    val cv = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vd").as("cv"),
+        col("nrm").as("cn"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    val gt = broadcast(qv).join(cv, lit(true))
+      .withColumn("cos_sim", round(
+        dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("trk", row_number().over(wq))
+      .filter(col("trk") <= 3)
+      .select(col("q_id"), col("c_id"))
+    val gtArk = gt.join(cand, Seq("q_id", "c_id"), "left")
+    val levels = s.range(0, 3)
+      .select(expr("shiftleft(1L, CAST(id AS INT))").as("nprobe"))
+    val recall = broadcast(levels).join(gtArk, lit(true))
+      .groupBy(col("nprobe"))
+      .agg(round(avg(when(col("min_ark") <= col("nprobe"), 1.0)
+        .otherwise(0.0)), 4).as("recall_at_3"))
+    val scanned = broadcast(levels).join(cand, lit(true))
+      .groupBy(col("nprobe"))
+      .agg(sum(when(col("min_ark") <= col("nprobe"), 1L).otherwise(0L))
+        .as("n_scored"))
+    recall.join(scanned, "nprobe").orderBy(col("nprobe"))
+  }
+
+  private val s14Sql =
+    s"""WITH nv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE)))
+       |      AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cn FROM (
+       |    SELECT vec_id, embedding, nrm,
+       |      row_number() OVER (ORDER BY
+       |        ${StableHash.duckH60("vec_id")}, vec_id) AS hrk
+       |    FROM nv) h
+       |  WHERE hrk <= $ivfK),
+       |ranked_assign AS (
+       |  SELECT n.vec_id, c.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      round(list_sum(list_transform(range(1, 65),
+       |          i -> n.embedding[CAST(i AS INT)]::DOUBLE
+       |               * c.cemb[CAST(i AS INT)]::DOUBLE))
+       |        / (n.nrm * c.cn), 4) DESC, c.cent_id) AS ark
+       |  FROM nv n, cents c),
+       |assigned AS (SELECT vec_id, cell FROM ranked_assign WHERE ark = 1),
+       |probes AS (SELECT vec_id, cell, ark FROM ranked_assign WHERE ark <= 4),
+       |cand AS (
+       |  SELECT p.vec_id AS q_id, a.vec_id AS c_id,
+       |    min(p.ark) AS min_ark
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE p.vec_id BETWEEN 1 AND 9 AND a.vec_id >= 10
+       |  GROUP BY 1, 2),
+       |gt AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckCos("q.embedding", "c.embedding")} DESC,
+       |          c.vec_id) AS trk
+       |    FROM embeddings q JOIN embeddings c
+       |      ON q.vec_id BETWEEN 1 AND 9 AND c.vec_id >= 10) r
+       |  WHERE trk <= 3),
+       |levels AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+       |gta AS (
+       |  SELECT g.q_id, g.c_id, cand.min_ark
+       |  FROM gt g LEFT JOIN cand ON cand.q_id = g.q_id
+       |    AND cand.c_id = g.c_id)
+       |SELECT r.nprobe, r.recall_at_3, sc.n_scored FROM (
+       |  SELECT nprobe,
+       |    round(avg(CASE WHEN min_ark <= nprobe THEN 1.0 ELSE 0.0 END), 4)
+       |      AS recall_at_3
+       |  FROM levels, gta GROUP BY nprobe) r
+       |JOIN (
+       |  SELECT nprobe,
+       |    CAST(sum(CASE WHEN min_ark <= nprobe THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_scored
+       |  FROM levels, cand GROUP BY nprobe) sc USING (nprobe)
+       |ORDER BY nprobe""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -1205,5 +1317,6 @@ object SimilarityOps {
     "s11_ann_binary" -> QueryDef(s11, Some(s11Sql)),
     "s12_ann_prefix_dims" -> QueryDef(s12, Some(s12Sql)),
     "s13_ann_ndcg" -> QueryDef(s13, Some(s13Sql)),
+    "s14_ivf_probe_sweep" -> QueryDef(s14, Some(s14Sql)),
   )
 }
