@@ -135,15 +135,6 @@ object Bench {
     }
     val calAfter = calibrate()
     val load1 = loadavg()
-    val ok = names.filterNot(failedWhy.contains)
-    val results = ok.map(n => n -> timed(n).min)
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val failedJson =
-      if (failedWhy.isEmpty) ""
-      else names.filter(failedWhy.contains)
-        .map(n => "\"" + n + "\"").mkString(""","failed":[""", ",", "]")
     val hostJson =
       f""","calibration_sec":{"before":$calBefore%.3f,"after":$calAfter%.3f}""" +
         s""","loadavg":{"before":"$load0","after":"$load1"}"""
@@ -161,14 +152,32 @@ object Bench {
       System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
       ""
     }
-    // n_queries makes headline-set growth explicit: cross-round TOTAL
-    // comparisons are only meaningful at equal query counts — new rounds
-    // add headline queries, so compare per-query times (or equal subsets).
-    // n_queries counts only SUCCESSFUL queries; n_failed + failed name any
-    // that crashed, and a nonzero exit marks the artifact as incomplete.
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.length},"n_failed":${failedWhy.size},"queries":$qs,"sf":"$sfDir"$failedJson$hostJson$streamJson}""")
+    println(resultJson(names, timed.toMap, failedWhy.toMap, sfDir,
+      hostJson, streamJson))
     spark.stop()
     if (failedWhy.nonEmpty) sys.exit(1)
+  }
+
+  /** Assemble the one-line bench JSON. n_queries makes headline-set growth
+    * explicit: cross-round TOTAL comparisons are only meaningful at equal
+    * query counts — new rounds add headline queries, so compare per-query
+    * times (or equal subsets). n_queries counts only SUCCESSFUL queries;
+    * a crashed query contributes NOTHING to queries/total (its elapsed
+    * time is time-to-crash — the round-5 artifact counted five analysis
+    * errors as 0.06 s "results") and is named in `failed` + n_failed.
+    * Pure — BenchJsonSpec pins the accounting. */
+  def resultJson(names: Seq[String], timed: Map[String, List[Double]],
+      failedWhy: Map[String, String], sfDir: String,
+      hostJson: String = "", streamJson: String = ""): String = {
+    val ok = names.filterNot(failedWhy.contains)
+    val results = ok.map(n => n -> timed(n).min)
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val failedJson =
+      if (failedWhy.isEmpty) ""
+      else names.filter(failedWhy.contains)
+        .map(n => "\"" + n + "\"").mkString(""","failed":[""", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.length},"n_failed":${failedWhy.size},"queries":$qs,"sf":"$sfDir"$failedJson$hostJson$streamJson}"""
   }
 }

