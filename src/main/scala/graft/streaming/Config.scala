@@ -105,7 +105,13 @@ final case class EngineConfig(
     drainTimeoutMs: Long = 5000L,
     /** Push-metrics backend (config.clj's `:statsd` section); when enabled
       * the engine registers a [[StatsdSink]] on its registry at boot. */
-    statsd: StatsdConfig = StatsdConfig())
+    statsd: StatsdConfig = StatsdConfig(),
+    /** Stateful-operator state store: "memory" (Spark's default in-heap
+      * HDFS-backed provider) or "rocksdb" (embedded RocksDB + changelog
+      * checkpointing — the reference's RocksDB-store architecture,
+      * streams.clj:27). Applied to the session by [[GraftApp]] at boot via
+      * [[graft.GraftSession.rocksdbConfs]]. */
+    stateStore: String = "memory")
 
 object EngineConfig {
   /** Max delay-queue ladder depth — messaging/producer.clj:20. */
@@ -136,6 +142,8 @@ object EngineConfig {
       if (r.originTopic.isEmpty) errs += s"batch route '$k': empty origin-topic"
       if (r.maxPollRecords <= 0) errs += s"batch route '$k': max-poll-records must be > 0"
     }
+    if (!Set("memory", "rocksdb").contains(cfg.stateStore))
+      errs += s"state-store '${cfg.stateStore}' is not one of: memory, rocksdb"
     errs.result()
   }
 

@@ -285,7 +285,8 @@ object ConfigLoader {
           host = str(o, "host", d.host),
           port = int(o, "port", d.port),
           enabled = bool(o, "enabled", d.enabled))
-      }.getOrElse(StatsdConfig()))
+      }.getOrElse(StatsdConfig()),
+      stateStore = str(g, "state-store", EngineConfig().stateStore))
   }
 
   // --------------------------------------------------- unknown-key linting
@@ -299,7 +300,7 @@ object ConfigLoader {
     "thread-count", "retry")
   private val statsdKeys = Set("host", "port", "enabled")
   private val rootKeys = Set("stream-routes", "batch-routes", "http-port",
-    "drain-timeout-ms", "statsd")
+    "drain-timeout-ms", "statsd", "state-store")
 
   /** Key paths the typed mapping will silently ignore — a misspelled route
     * key (e.g. `oldest-processed-msg-in-s`) otherwise falls back to its

@@ -38,6 +38,13 @@ final class GraftApp(
     val missingBatch = cfg.batchRoutes.keySet -- batchWiring.keySet
     require(missingStream.isEmpty && missingBatch.isEmpty,
       s"routes without wiring: stream=$missingStream batch=$missingBatch")
+    // config-driven state-store selection: SQL confs are settable at
+    // runtime and read per-query at stream start, so applying here covers
+    // every route this app starts
+    if (cfg.stateStore == "rocksdb")
+      graft.GraftSession.rocksdbConfs.foreach { case (k, v) =>
+        spark.conf.set(k, v)
+      }
   }
 
   val engine = new GraftEngine(spark, cfg, topics, checkpointDir,

@@ -116,4 +116,27 @@ class AppSpec extends SparkSuite {
     assert(!engine.runningQueries.contains("f"))
     engine.stopAll()
   }
+
+  test("state-store = rocksdb in the engine config applies the RocksDB " +
+      "provider confs to the session at app construction") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = graft.GraftSession.rocksdbConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      val dir = tmpDir("app4")
+      val cfg = EngineConfig(
+        streamRoutes = Map("s" -> StreamRouteConfig("s", "s_origin")),
+        stateStore = "rocksdb")
+      new GraftApp(spark, cfg, new FileTopicIO(s"$dir/topics"), s"$dir/ckpt",
+        streamWiring = Map("s" -> RouteWiring(identity,
+          Dispatch.ExprHandler(lit("success")))))
+      assert(spark.conf.get(providerKey) ==
+        graft.GraftSession.RocksDbProvider)
+      graft.GraftSession.rocksdbConfs.keys.foreach(k =>
+        assert(spark.conf.getOption(k).isDefined))
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -157,6 +157,23 @@ class ConfigSpec extends AnyFunSuite {
       env = Map.empty))
   }
 
+  test("state-store key loads, validates, and rejects unknown providers") {
+    val cfg = ConfigLoader.load(
+      """graft {
+        |  state-store = rocksdb
+        |  stream-routes { r { origin-topic = t } } }""".stripMargin,
+      env = Map.empty)
+    assert(cfg.stateStore == "rocksdb")
+    assert(EngineConfig.validate(cfg).isEmpty)
+    assert(EngineConfig().stateStore == "memory")
+    val bad = EngineConfig(stateStore = "levelsdb")
+    assert(EngineConfig.validate(bad)
+      .exists(_.contains("not one of: memory, rocksdb")))
+    // still lint-clean: state-store is a known root key
+    assert(ConfigLoader.unknownKeys(ConfigLoader.parse(
+      "graft { state-store = rocksdb }")).isEmpty)
+  }
+
   test("security config translates to kafka.* source/sink options (config.clj:233-298 twin)") {
     val sec = SecurityConfig(
       protocol = Some("SASL_SSL"),
