@@ -1051,6 +1051,71 @@ object Analytic {
       |FROM counts
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Histogram-derived quantiles over fixed integer bins — the MERGEABLE
+    * quantile path. a04's exact percentiles sort per group; a10's
+    * approx_percentile builds a sketch whose state isn't re-aggregatable
+    * across cells from SQL. A fixed-bin histogram IS its own mergeable
+    * state: histograms add, so at 100 TB you aggregate (type, bin) counts
+    * once per fine cell (day, shard, …) and answer any coarser rollup's
+    * quantiles later by summing bins — never re-touching raw data — with
+    * error deterministically ≤ one bin width (here $10 on a $0-$N value
+    * scale), not probabilistic like a sketch.
+    *
+    * Determinism: pure integer arithmetic end-to-end — cents, integer
+    * bin ids, exact cumulative counts, quantile = min bin with
+    * cum·100 ≥ total·p. No floats anywhere, so the hash gate is exact.
+    * Shape: one (type, bin)-keyed aggregate (map-side combined, rows =
+    * occupied bins), two type-partitioned windows over the tiny histogram
+    * frame, one final per-type aggregate. */
+  private def a25(s: SparkSession, dir: String): DataFrame = {
+    val binW = 1000L // cents per bin ($10)
+    val ev = t(s, dir).events
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("bin", expr(s"cents div $binW"))
+    val hist = ev.groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(run))
+      .withColumn("total", sum(col("n")).over(whole))
+    def qlo(p: Int) =
+      (min(when(col("cum") * 100 >= col("total") * p, col("bin"))) * binW)
+        .as(s"p${p}_lo_cents")
+    cum.groupBy(col("event_type"))
+      .agg(max(col("total")).as("n"), count(lit(1)).as("n_bins"),
+        qlo(50), qlo(90), qlo(99))
+      .orderBy(col("event_type"))
+  }
+
+  private val a25Sql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100, 0) AS BIGINT) // 1000 AS bin
+      |  FROM events),
+      |hist AS (
+      |  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+      |  FROM e GROUP BY event_type, bin),
+      |cum AS (
+      |  SELECT event_type, bin, n,
+      |    sum(n) OVER (PARTITION BY event_type ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(n) OVER (PARTITION BY event_type) AS total
+      |  FROM hist)
+      |SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_bins,
+      |  CAST(min(CASE WHEN cum * 100 >= total * 50 THEN bin END) * 1000
+      |    AS BIGINT) AS p50_lo_cents,
+      |  CAST(min(CASE WHEN cum * 100 >= total * 90 THEN bin END) * 1000
+      |    AS BIGINT) AS p90_lo_cents,
+      |  CAST(min(CASE WHEN cum * 100 >= total * 99 THEN bin END) * 1000
+      |    AS BIGINT) AS p99_lo_cents
+      |FROM cum
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -1076,5 +1141,6 @@ object Analytic {
     "a22_cusum_drift" -> QueryDef(a22, Some(a22Sql)),
     "a23_seasonal_baseline" -> QueryDef(a23, Some(a23Sql)),
     "a24_markov_transitions" -> QueryDef(a24, Some(a24Sql)),
+    "a25_histogram_quantiles" -> QueryDef(a25, Some(a25Sql)),
   )
 }
