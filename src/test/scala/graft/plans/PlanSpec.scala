@@ -289,6 +289,18 @@ class PlanSpec extends SparkSuite {
     assert(PlanChecks.usesBroadcastJoin(df))
   }
 
+  test("s14: the nprobe sweep's candidate pass is a cell equi-join and " +
+      "per-level numbers come from the tiny level-table broadcast — the " +
+      "only pairing is the intended panel ground truth") {
+    val df = run("s14_ivf_probe_sweep")
+    assert(PlanChecks.usesBroadcastJoin(df))
+  }
+
+  test("d20: SimHash gate candidates come from the (band, byte) equi-join " +
+      "and truth from the shingle group-and-expand — never cartesian") {
+    assert(!PlanChecks.usesCartesianProduct(run("d20_simhash_recall")))
+  }
+
   test("m03: the blockhash signature is one per-row fold — shuffles are " +
       "only the spread repartition, the bucket aggregate, and the output " +
       "sort") {
