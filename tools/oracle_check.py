@@ -23,12 +23,23 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    # Verify records builder crashes here (round-5 contract): report them
+    # as failures up front so a broken query can never pass by omission.
+    errors = {}
+    err_path = os.path.join(out_dir, "errors.json")
+    if os.path.exists(err_path):
+        with open(err_path) as f:
+            errors = json.load(f)
     n_pass = n_fail = 0
     for name in sorted(oracles):
         if only and name not in only:
             continue
         sql = oracles[name]
         pdir = os.path.join(out_dir, name)
+        if name in errors:
+            print(f"FAIL {name}: builder error: {errors[name][:200]}")
+            n_fail += 1
+            continue
         if not glob.glob(os.path.join(pdir, "*.parquet")):
             print(f"FAIL {name}: no spark output at {pdir}")
             n_fail += 1
