@@ -950,6 +950,75 @@ object CorpusPipeline {
        |ORDER BY source, phase, pos""".stripMargin
   }
 
+  /** Corpus snapshot diff — the audit a versioned corpus publishes with
+    * every release: which documents were added, removed, or changed (and
+    * how much content moved) between snapshot v1 and v2. Run before
+    * training on a refreshed corpus, this is what catches a silently
+    * truncated source or an upstream re-crawl that rewrote half a domain.
+    * The two snapshots here are deterministic slices of `documents`:
+    * v1 = doc_id % 13 ≠ 5 (some docs not yet crawled), v2 = doc_id % 11 ≠ 3
+    * (some docs dropped since) with every doc_id % 7 = 2 text revised —
+    * so all four statuses appear at any SF.
+    *
+    * Scale design: each side collapses to (doc_id, source, content hash,
+    * size) AT THE SCAN — the text never shuffles, only its md5 does. The
+    * diff is ONE full-outer equi-join on doc_id (co-partitioned by the
+    * join key; at 100 TB both snapshots would be bucketed by doc_id on
+    * disk, making this join shuffle-free), statuses are a map-side CASE,
+    * and the report is a keyed aggregate over (status, source) with
+    * map-side partials. No window, no pairwise stage; cost is O(corpus)
+    * with one shuffle each side. */
+  private def p15(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documentsSpread
+    def snap(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("source"), md5(col("text")).as("h"),
+      length(col("text")).cast("long").as("n"))
+    val v1 = snap(docs.filter(col("doc_id") % 13 =!= 5))
+    val v2 = snap(
+      docs.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text", when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))))
+    v1.select(col("doc_id"), col("source").as("s1"), col("h").as("h1"),
+        col("n").as("n1"))
+      .join(v2.select(col("doc_id"), col("source").as("s2"),
+        col("h").as("h2"), col("n").as("n2")), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged"))
+      .withColumn("source", coalesce(col("s2"), col("s1")))
+      .groupBy(col("status"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n2"), lit(0L)) - coalesce(col("n1"), lit(0L)))
+          .as("chars_delta"))
+      .orderBy(col("status"), col("source"))
+  }
+
+  private val p15Sql =
+    """WITH v1 AS (
+      |  SELECT doc_id, source, md5(text) AS h, length(text) AS n
+      |  FROM documents WHERE doc_id % 13 <> 5),
+      |v2 AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 7 = 2 THEN text || ' [rev2]' ELSE text END)
+      |      AS h,
+      |    length(CASE WHEN doc_id % 7 = 2 THEN text || ' [rev2]' ELSE text
+      |      END) AS n
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |diff AS (
+      |  SELECT coalesce(v2.source, v1.source) AS source,
+      |    CASE WHEN v1.h IS NULL THEN 'added'
+      |         WHEN v2.h IS NULL THEN 'removed'
+      |         WHEN v1.h <> v2.h THEN 'changed'
+      |         ELSE 'unchanged' END AS status,
+      |    coalesce(v2.n, 0) - coalesce(v1.n, 0) AS delta
+      |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+      |SELECT status, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(delta) AS BIGINT) AS chars_delta
+      |FROM diff GROUP BY status, source
+      |ORDER BY status, source""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -965,5 +1034,6 @@ object CorpusPipeline {
     "p12_dataset_card" -> QueryDef(p12, Some(p12Sql)),
     "p13_shard_manifest" -> QueryDef(p13, Some(p13Sql)),
     "p14_curriculum_order" -> QueryDef(p14, Some(p14Sql)),
+    "p15_corpus_diff" -> QueryDef(p15, Some(p15Sql)),
   )
 }

@@ -1069,6 +1069,80 @@ object DedupOps {
        |    AS candidate_precision""".stripMargin
   }
 
+  /** b-bit MinHash calibration (Li & König, WWW 2010): store only the
+    * lowest b = 2 bits of each of the 16 signature components — 4 bytes of
+    * index per document instead of 64 — and recover Jaccard from the
+    * matched-bit fraction with the collision correction
+    * Ĵ = (M − C)/(1 − C), where C = 2^-b is the chance two UNRELATED
+    * components agree on their low bits. With b = 2 that is exactly
+    * (m − 4)/12 over the 16 components — integer-rational, bit-identical
+    * in both engines. At 100 TB the signature store is often the binding
+    * memory (a trillion docs × 64 B is 64 TB of index); b-bit storage cuts
+    * it 16× while this query measures what the truncation costs: each d03
+    * candidate pair carries the full-precision estimate, the 2-bit
+    * estimate, and the exact shingle Jaccard, so an operator reads the
+    * estimator spread directly before committing the cheaper index.
+    *
+    * Scale shape: identical to d11 — signatures are one codegen'd map pass,
+    * pairs come from the banded LSH join, and the exact-Jaccard audit
+    * touches only the candidate pairs' own shingle arrays. The 2-bit
+    * truncation is a per-row mask on an in-row array: zero extra shuffles
+    * over d11. */
+  private def d21(s: SparkSession, dir: String): DataFrame = {
+    val arr = shingleArrays(t(s, dir).documentsSpread)
+      .withColumn("sigs", MinHashSig.minhashSigs(col("sh_arr")))
+      .select(col("doc_id"), col("sh_arr"), col("n_sh"), col("sigs"))
+    val pairs = minhashLshPairs(t(s, dir).documentsSpread)
+    pairs
+      .join(arr.select(col("doc_id").as("a_id"), col("sh_arr").as("a_arr"),
+        col("n_sh").as("na"), col("sigs").as("a_sigs")), "a_id")
+      .join(arr.select(col("doc_id").as("b_id"), col("sh_arr").as("b_arr"),
+        col("n_sh").as("nb"), col("sigs").as("b_sigs")), "b_id")
+      .withColumn("m_full", expr(
+        "size(filter(zip_with(a_sigs, b_sigs, (x, y) -> x = y), v -> v))"))
+      .withColumn("m_bbit", expr(
+        "size(filter(zip_with(a_sigs, b_sigs, (x, y) -> x % 4 = y % 4), v -> v))"))
+      .withColumn("n_inter",
+        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
+      .select(col("a_id"), col("b_id"),
+        round(col("m_full") / 16.0, 4).as("est_full"),
+        round((col("m_bbit") - 4) / 12.0, 4).as("est_bbit"),
+        round(col("n_inter")
+          / (col("na") + col("nb") - col("n_inter")).cast("double"), 4)
+          .as("true_jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d21Sql = {
+    val mFull = (0 until 16)
+      .map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val mBbit = (0 until 16)
+      .map(i => s"CASE WHEN x.m$i % 4 = y.m$i % 4 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $minhashPairsCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.a_id, p.b_id, count(*) AS n_inter
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.a_id
+       |  JOIN sh b ON b.doc_id = p.b_id AND b.shingle = a.shingle
+       |  GROUP BY p.a_id, p.b_id)
+       |SELECT CAST(p.a_id AS BIGINT) AS a_id, CAST(p.b_id AS BIGINT) AS b_id,
+       |  round(($mFull) / 16.0, 4) AS est_full,
+       |  round((($mBbit) - 4) / 12.0, 4) AS est_bbit,
+       |  round(coalesce(i.n_inter, 0)
+       |    / CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE), 4)
+       |    AS true_jaccard
+       |FROM pairs p
+       |JOIN sig x ON x.doc_id = p.a_id
+       |JOIN sig y ON y.doc_id = p.b_id
+       |JOIN sizes sa ON sa.doc_id = p.a_id
+       |JOIN sizes sb ON sb.doc_id = p.b_id
+       |LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Containment near-dup — the asymmetric cousin of d02's Jaccard:
     * `n_inter / min(|A|, |B|)`. A 200-word excerpt quoted inside a
     * 10,000-word page has near-zero Jaccard (the union is huge) but
@@ -1470,5 +1544,6 @@ object DedupOps {
     "d18_span_scrub" -> QueryDef(d18, Some(d18Sql)),
     "d19_incremental_span_scrub" -> QueryDef(d19, Some(d19Sql)),
     "d20_simhash_recall" -> QueryDef(d20, Some(d20Sql)),
+    "d21_bbit_minhash" -> QueryDef(d21, Some(d21Sql)),
   )
 }

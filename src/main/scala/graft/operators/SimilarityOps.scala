@@ -1303,6 +1303,72 @@ object SimilarityOps {
        |  FROM levels, cand GROUP BY nprobe) sc USING (nprobe)
        |ORDER BY nprobe""".stripMargin
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB 2007): instead of buying recall
+    * with more hash tables (each a full copy of the bucket index), each
+    * query also probes the buckets one Hamming step away — its own bucket
+    * plus the 8 one-bit-flip perturbations. Same single [[embWithBuckets]]
+    * index as s02, ~9× the candidate reach; this is the LSH family's
+    * recall knob, the analogue of s14's `nprobe` axis for IVF.
+    *
+    * Scale design: the probe table is queries × 9 rows — the perturbation
+    * explode happens on the panel-sized query side only, the corpus side
+    * keeps exactly one bucket row per vector. Candidates come from an
+    * equi-join on the probed bucket (never a cartesian); a candidate's
+    * single home bucket can match at most one probe of a given query, so
+    * the join emits no duplicate pairs and needs no dedup shuffle. Top-3
+    * via the per-query rank window over ≤ candidate rows. */
+  private def s15(s: SparkSession, dir: String): DataFrame = {
+    val emb = embWithBuckets(s, dir)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(expr("sequence(-1, 7)")).as("f"), col("bucket"))
+      .withColumn("pb", expr(
+        "CASE WHEN f = -1 THEN bucket ELSE bucket ^ shiftleft(1L, f) END"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vd").as("cv"),
+        col("nrm").as("cn"), col("bucket").as("pb"))
+    val scored = probes.join(c, "pb")
+      .withColumn("cos_sim", round(
+        dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("c_id").as("neighbor_id"),
+        col("f").cast("long").as("probe_bit"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val s15Sql =
+    s"""WITH $hyperplaneBucketsSql,
+       |probes AS (
+       |  SELECT s.vec_id AS q_id, f,
+       |    CASE WHEN f = -1 THEN s.bucket
+       |         ELSE xor(s.bucket, CAST(pow(2, f) AS BIGINT)) END AS pb
+       |  FROM sigs s, (SELECT unnest(range(-1, 8)) AS f) fs
+       |  WHERE s.vec_id < 10),
+       |pairs AS (
+       |  SELECT p.q_id, cs.vec_id AS c_id, p.f
+       |  FROM probes p JOIN sigs cs ON cs.bucket = p.pb
+       |  WHERE cs.vec_id >= 10),
+       |scored AS (
+       |  SELECT pr.q_id, pr.c_id, pr.f,
+       |    ${duckCos("q.embedding", "c.embedding")} AS cos_sim
+       |  FROM pairs pr
+       |  JOIN embeddings q ON q.vec_id = pr.q_id
+       |  JOIN embeddings c ON c.vec_id = pr.c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, f, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, c_id AS neighbor_id,
+       |  CAST(f AS BIGINT) AS probe_bit, cos_sim
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -1318,5 +1384,6 @@ object SimilarityOps {
     "s12_ann_prefix_dims" -> QueryDef(s12, Some(s12Sql)),
     "s13_ann_ndcg" -> QueryDef(s13, Some(s13Sql)),
     "s14_ivf_probe_sweep" -> QueryDef(s14, Some(s14Sql)),
+    "s15_ann_multiprobe" -> QueryDef(s15, Some(s15Sql)),
   )
 }

@@ -411,6 +411,27 @@ class PlanSpec extends SparkSuite {
     assert(!ops.exists(_.contains("Join")), s"a20 planned a join: $ops")
   }
 
+  test("s15: multi-probe candidates come from the bucket equi-join — the " +
+      "probe explode stays on the panel-sized query side, never cartesian") {
+    assert(!PlanChecks.usesCartesianProduct(run("s15_ann_multiprobe")))
+  }
+
+  test("d21: b-bit calibration keeps d11's keyed topology — banded pair " +
+      "generation plus per-pair array math, no cartesian") {
+    assert(!PlanChecks.usesCartesianProduct(run("d21_bbit_minhash")))
+  }
+
+  test("p15: snapshot diff is ONE keyed full-outer join over (id, hash) " +
+      "projections — no cartesian, text collapsed to md5 before the join") {
+    val df = run("p15_corpus_diff")
+    assert(!PlanChecks.usesCartesianProduct(df))
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(ops.count(_.contains("SortMergeJoin")) +
+      ops.count(_.contains("ShuffledHashJoin")) +
+      ops.count(_.contains("BroadcastHashJoin")) == 1,
+      s"p15 should plan exactly one join: $ops")
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
