@@ -114,6 +114,35 @@ object Pipeline {
       }.toDF("dup_id", "canonical_id", "bucket")
   }
 
+  /** Streaming heavy hitters — the streaming twin of the mergeable
+    * frequent-items sketch ([[graft.functions.FreqItemsAgg]]): per group,
+    * ONE Misra-Gries sketch accumulates across micro-batches in the state
+    * store, so finding the hot keys of an unbounded stream costs
+    * `maxMapSize` entries of state per group — never one state row per
+    * distinct key, which is what an exact streaming `groupBy(key).count`
+    * would hold (ruinous for, say, per-URL counts with billions of
+    * distinct URLs in flight).
+    *
+    * Same containment guarantee as the batch sketch, now cumulative over
+    * the stream's lifetime: every key whose true count exceeds the
+    * sketch's maximum error is present in the latest emitted map (eviction
+    * makes the *estimates* run-dependent; production use is sketch →
+    * candidate set → exact confirm, p08's discipline). Run with
+    * Update/Complete output — each trigger re-emits the groups the batch
+    * touched. */
+  def streamingHeavyHitters(keyCol: String, groupCol: String,
+      maxMapSize: Int = 1024)(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    val agg = new graft.functions.FreqItemsAgg(maxMapSize)
+    df.select(col(groupCol).cast("string"), col(keyCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("freq"))
+      .toDF("group", "freq")
+  }
+
   /** The user-visible payload contract (`create-user-payload`,
     * mapper.clj:18-26; asserted by the reference's
     * streams_test.clj:62-68): the handler sees exactly `message`, `key`,
