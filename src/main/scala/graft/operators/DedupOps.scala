@@ -1069,6 +1069,76 @@ object DedupOps {
        |    AS candidate_precision""".stripMargin
   }
 
+  /** Jaccard threshold sweep — the dedup family's tuning curve (s14's
+    * `nprobe` sweep transposed to near-dup): for cutoff τ ∈ {0.3, 0.5,
+    * 0.7}, how many candidate pairs pass and how many documents a
+    * drop-the-larger-id policy would remove. One run answers "how much of
+    * the corpus does each aggressiveness level cost?" BEFORE committing a
+    * 100 TB dedup pass — the difference between τ = 0.5 and τ = 0.7 is
+    * routinely several percent of the training budget.
+    *
+    * Scale design: the candidate pair frame is computed ONCE (d02's
+    * single-shuffle group-and-expand on 64-bit shingle hashes); the sweep
+    * is the 3-row level table broadcast across it with per-level
+    * aggregates — never a re-scan per threshold. The pass decision is the
+    * integer inequality i·(1000+τ‰) ≥ τ‰·(|A|+|B|)  ⟺  J ≥ τ — no float
+    * in the decision, bit-identical in both engines. */
+  private def d22(s: SparkSession, dir: String): DataFrame = {
+    val arr = shingleHashArrays(t(s, dir).documentsSpread).cache()
+    val sizes = arr.select(col("doc_id"), col("n_sh"))
+    val pairs = candidatesFromArrays(arr, None)
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")),
+        "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")),
+        "b_id")
+    val levels = s.range(3)
+      .select((col("id") * 200 + 300).as("tau_permille"))
+    val perLevel = broadcast(levels).join(pairs, lit(true))
+      .withColumn("pass",
+        col("n_inter") * (lit(1000) + col("tau_permille"))
+          >= col("tau_permille") * (col("na") + col("nb")))
+      .groupBy(col("tau_permille"))
+      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("n_pairs"),
+        countDistinct(when(col("pass"), col("b_id"))).as("n_docs_dropped"))
+    // fill from the level table (3-row join): the sweep report keeps its
+    // 3 rows (n_pairs = 0) even when the corpus has no candidate pairs at
+    // all (tiny SFs) — an empty report reads as "sweep didn't run"
+    levels.join(perLevel, Seq("tau_permille"), "left")
+      .select(col("tau_permille"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
+      .orderBy(col("tau_permille"))
+  }
+
+  private val d22Sql =
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |levels AS (
+       |  SELECT CAST(unnest([300, 500, 700]) AS BIGINT) AS tau_permille),
+       |j AS (
+       |  SELECT l.tau_permille, i.b_id,
+       |    CASE WHEN i.n_inter * (1000 + l.tau_permille)
+       |           >= l.tau_permille * (sa.n_sh + sb.n_sh)
+       |      THEN 1 ELSE 0 END AS pass
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.a_id
+       |  JOIN sizes sb ON sb.doc_id = i.b_id
+       |  CROSS JOIN levels l),
+       |per_level AS (
+       |  SELECT tau_permille, CAST(sum(pass) AS BIGINT) AS n_pairs,
+       |    CAST(count(DISTINCT CASE WHEN pass = 1 THEN b_id END) AS BIGINT)
+       |      AS n_docs_dropped
+       |  FROM j GROUP BY tau_permille)
+       |SELECT l.tau_permille,
+       |  coalesce(p.n_pairs, 0) AS n_pairs,
+       |  coalesce(p.n_docs_dropped, 0) AS n_docs_dropped
+       |FROM levels l LEFT JOIN per_level p USING (tau_permille)
+       |ORDER BY tau_permille""".stripMargin
+
   /** b-bit MinHash calibration (Li & König, WWW 2010): store only the
     * lowest b = 2 bits of each of the 16 signature components — 4 bytes of
     * index per document instead of 64 — and recover Jaccard from the
@@ -1545,5 +1615,6 @@ object DedupOps {
     "d19_incremental_span_scrub" -> QueryDef(d19, Some(d19Sql)),
     "d20_simhash_recall" -> QueryDef(d20, Some(d20Sql)),
     "d21_bbit_minhash" -> QueryDef(d21, Some(d21Sql)),
+    "d22_jaccard_threshold_sweep" -> QueryDef(d22, Some(d22Sql)),
   )
 }

@@ -774,6 +774,42 @@ object Relational {
       |HAVING count(DISTINCT event_type) = nt.n_types
       |ORDER BY user_id""".stripMargin
 
+  /** Join-key skew profile — the audit a 100 TB deployment runs BEFORE a
+    * fact-fact join to pick its strategy: the multiplicity distribution of
+    * the join key, as a floor-log2 histogram (bucket b holds keys matched
+    * by [2^b, 2^(b+1)) fact rows) plus each bucket's row mass and worst
+    * key. Read it as: all mass in buckets 0-3 → plain shuffle join; a
+    * long tail → AQE skew split; a few catastrophic keys → salt exactly
+    * those ([[SkewTools.saltedJoin]]) or route them to a broadcast
+    * side-channel. The profile itself is two keyed aggregates — per-key
+    * count with map-side partials, then the constant-size bucket rollup —
+    * O(corpus) with one shuffle, so it is cheap enough to run as a
+    * pre-flight on every large join.
+    *
+    * floor-log2 via `length(bin(c)) - 1` — exact in both engines (the
+    * same discipline as t10/t11's surprisal bits). */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bucket", (length(expr("bin(c)")) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_multiplicity"))
+      .orderBy(col("bucket"))
+
+  private val q51Sql =
+    """WITH k AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT CAST(len(bin(c)) - 1 AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(c) AS BIGINT) AS n_rows,
+      |  CAST(max(c) AS BIGINT) AS max_multiplicity
+      |FROM k GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -805,5 +841,6 @@ object Relational {
     "q46_scd2_upsert" -> QueryDef(q46, Some(q46Sql)),
     "q47_listagg" -> QueryDef(q47, Some(q47Sql)),
     "q49_relational_division" -> QueryDef(q49, Some(q49Sql)),
+    "q51_join_skew_profile" -> QueryDef(q51, Some(q51Sql)),
   )
 }

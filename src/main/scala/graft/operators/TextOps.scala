@@ -1041,6 +1041,60 @@ object TextOps {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Inverted-index shard build — the retrieval-side structure a RAG/search
+    * deployment materializes next to t17's chunks: per (term, document),
+    * the term frequency and the sorted 1-based position list (positions are
+    * what phrase and proximity queries consume). Scoped to the 5 most
+    * frequent terms so the declared artifact stays panel-sized; the
+    * library shape is identical for the full vocabulary — every stage is
+    * keyed by term or (term, doc), so shards scale horizontally with the
+    * term-hash partitioning.
+    *
+    * Scale design: positions come from ONE posexplode pass (no window —
+    * the token index is the generator's own ordinal); the panel is a
+    * TakeOrdered top-5 broadcast into the probe join; the posting-list
+    * gather is a keyed aggregate whose map-side partials collapse each
+    * (term, doc) to one row before the shuffle. */
+  private def t23(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir).documentsSpread
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), col("tok"), (col("pos") + 1).cast("long").as("pos"))
+    val panel = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(5)
+      .select(col("tok"))
+    toks.join(broadcast(panel), "tok")
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("parr"))
+      // CSV-serialized so the oracle hash-compares it (the driver's
+      // column hasher can't digest list cells); consumers wanting the
+      // array read `parr` from the library form
+      .select(col("tok"), col("doc_id"), col("tf"),
+        expr("array_join(transform(parr, x -> CAST(x AS STRING)), ',')")
+          .as("positions"))
+      .orderBy(col("tok"), col("doc_id"))
+  }
+
+  private val t23Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, tok, CAST(pos AS BIGINT) AS pos FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |      generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents) u
+      |  WHERE length(tok) > 0),
+      |panel AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+      |    FROM toks GROUP BY tok) r
+      |  WHERE rk <= 5)
+      |SELECT t.tok, t.doc_id, CAST(count(*) AS BIGINT) AS tf,
+      |  array_to_string(list_sort(list(t.pos)), ',') AS positions
+      |FROM toks t JOIN panel p ON p.tok = t.tok
+      |GROUP BY t.tok, t.doc_id
+      |ORDER BY t.tok, t.doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -1064,5 +1118,6 @@ object TextOps {
     "t20_bpe_pairs" -> QueryDef(t20, Some(t20Sql)),
     "t21_source_similarity" -> QueryDef(t21, Some(t21Sql)),
     "t22_zipf_slope" -> QueryDef(t22, Some(t22Sql)),
+    "t23_posting_lists" -> QueryDef(t23, Some(t23Sql)),
   )
 }

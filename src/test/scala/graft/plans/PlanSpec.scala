@@ -432,6 +432,21 @@ class PlanSpec extends SparkSuite {
       s"p15 should plan exactly one join: $ops")
   }
 
+  test("q51: the skew profile is two keyed aggregates — no join anywhere " +
+      "(the pre-flight must be cheaper than the join it advises)") {
+    val ops = PlanChecks.physical(run("q51_join_skew_profile"))
+      .map(_.getClass.getSimpleName)
+    assert(!ops.exists(_.contains("Join")), s"q51 planned a join: $ops")
+  }
+
+  test("d22/t23: threshold sweep and posting lists keep keyed topologies — " +
+      "no cartesian; t23's panel probe broadcasts") {
+    assert(!PlanChecks.usesCartesianProduct(run("d22_jaccard_threshold_sweep")))
+    val df = run("t23_posting_lists")
+    assert(!PlanChecks.usesCartesianProduct(df))
+    assert(PlanChecks.usesBroadcastJoin(df))
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
