@@ -1116,6 +1116,80 @@ object Analytic {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Time-series regularization: per-user hourly grid with
+    * last-observation-carried-forward fill — the resampling step that turns
+    * an irregular event stream into the fixed-step series a forecasting /
+    * training pipeline consumes (gaps become explicit `n_obs = 0` rows
+    * carrying the standing value, instead of silently missing timestamps).
+    * Panel-scoped (users < 40, first week) like q49 so the declared
+    * artifact stays bounded; the library shape is per-user and unchanged
+    * at any user count.
+    *
+    * Determinism: the carried value is integer cents picked by
+    * `max_by(cents, (ts, event_id))` — a total order, so same-timestamp
+    * ties cannot flip runs. Scale design: the hour grid is generated
+    * per user from its OWN [min, max] hour (sequence explode, bounded by
+    * the horizon — never a global calendar cross join); the fill is one
+    * user-partitioned GROWING window (incremental, q48's frame
+    * discipline); everything is keyed by user_id — embarrassingly
+    * horizontal at 100 TB. */
+  private def a26(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir).events
+      .filter(col("user_id") < 40 &&
+        col("ts") < lit("2024-01-08").cast("timestamp"))
+      .select(col("user_id"), col("event_id"),
+        date_trunc("hour", col("ts")).as("hr"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val hourly = ev.groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n_obs"),
+        max_by(col("cents"), struct(col("ts"), col("event_id")))
+          .as("last_cents"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("locf_cents",
+        last(col("last_cents"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("locf_cents"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  private val a26Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, date_trunc('hour', ts) AS hr, ts,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE user_id < 40 AND ts < TIMESTAMP '2024-01-08'),
+      |hourly AS (
+      |  SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM ev GROUP BY user_id, hr),
+      |last_obs AS (
+      |  SELECT user_id, hr, cents FROM (
+      |    SELECT user_id, hr, cents,
+      |      row_number() OVER (PARTITION BY user_id, hr
+      |        ORDER BY ts DESC, event_id DESC) AS rk
+      |    FROM ev) r
+      |  WHERE rk = 1),
+      |bounds AS (
+      |  SELECT user_id, min(hr) AS h0, max(hr) AS h1
+      |  FROM hourly GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      |  FROM bounds)
+      |SELECT g.user_id, g.hr, coalesce(h.n_obs, 0) AS n_obs,
+      |  last_value(l.cents IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents
+      |FROM grid g
+      |LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr
+      |LEFT JOIN last_obs l ON l.user_id = g.user_id AND l.hr = g.hr
+      |ORDER BY g.user_id, g.hr""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -1142,5 +1216,6 @@ object Analytic {
     "a23_seasonal_baseline" -> QueryDef(a23, Some(a23Sql)),
     "a24_markov_transitions" -> QueryDef(a24, Some(a24Sql)),
     "a25_histogram_quantiles" -> QueryDef(a25, Some(a25Sql)),
+    "a26_resample_locf" -> QueryDef(a26, Some(a26Sql)),
   )
 }
