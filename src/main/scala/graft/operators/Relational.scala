@@ -810,6 +810,44 @@ object Relational {
       |FROM k GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** Join-cardinality pre-flight — q51's companion: the EXACT output size
+    * a key-equi-join would produce, computed WITHOUT running the join.
+    * |A ⋈ B| = Σ_k cA(k)·cB(k), so two per-key count aggregates plus a
+    * count-table join (rows = distinct keys, not fact rows) price the
+    * join at a fraction of its cost — the "will this explode" check a
+    * 100 TB deployment runs before committing a fact-fact join, with the
+    * worst key named (the salting target if its share is pathological).
+    * All counts exact integers; deterministic worst key via the
+    * (contribution, key) total order. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir).lineitem
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+    val o = t(s, dir).orders
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+    l.join(o, "k")
+      .select(col("k"), (col("ca") * col("cb")).as("contrib"))
+      .agg(count(lit(1)).as("n_common_keys"),
+        sum(col("contrib")).as("est_join_rows"),
+        max(col("contrib")).as("max_key_rows"),
+        max_by(col("k"), struct(col("contrib"), col("k"))).as("worst_key"))
+  }
+
+  private val q52Sql =
+    """WITH a AS (
+      |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+      |  FROM lineitem GROUP BY 1),
+      |b AS (
+      |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT a.k, ca * cb AS contrib FROM a JOIN b ON b.k = a.k)
+      |SELECT CAST(count(*) AS BIGINT) AS n_common_keys,
+      |  CAST(sum(contrib) AS BIGINT) AS est_join_rows,
+      |  CAST(max(contrib) AS BIGINT) AS max_key_rows,
+      |  (SELECT k FROM c ORDER BY contrib DESC, k DESC LIMIT 1)
+      |    AS worst_key
+      |FROM c""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -842,5 +880,6 @@ object Relational {
     "q47_listagg" -> QueryDef(q47, Some(q47Sql)),
     "q49_relational_division" -> QueryDef(q49, Some(q49Sql)),
     "q51_join_skew_profile" -> QueryDef(q51, Some(q51Sql)),
+    "q52_join_cardinality_preflight" -> QueryDef(q52, Some(q52Sql)),
   )
 }

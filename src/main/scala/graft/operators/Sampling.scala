@@ -532,6 +532,48 @@ object Sampling {
        |ORDER BY fold""".stripMargin
   }
 
+  /** Rolling-origin (forward-chaining) time-series splits — the temporal
+    * axis of the split family: x04 splits per-doc, x09 per-near-dup
+    * cluster, x13 per-source group; time-dependent models need train
+    * strictly BEFORE test, re-evaluated at several origins. Three weekly
+    * origins over the events month; each split reports its train mass
+    * (everything before the origin) and test mass (the following week) —
+    * leakage-impossible by construction, no record assignment to store.
+    *
+    * Scale design: the 3-row origin table broadcasts across the fact scan
+    * (map-side flags, conditional aggregates with partials) — one pass
+    * over the corpus for ALL origins, one tiny shuffle of 3×partitions
+    * partial rows. */
+  private def x14(s: SparkSession, dir: String): DataFrame = {
+    val origins = s.range(3).select(col("id").as("split"),
+      expr("cast(date_add(date'2024-01-08', cast(id * 7 as int)) as timestamp)")
+        .as("origin"))
+    val ev = Tables(s, dir).events.select(col("ts"))
+    ev.join(broadcast(origins), lit(true))
+      .groupBy(col("split"), col("origin"))
+      .agg(
+        sum(when(col("ts") < col("origin"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("ts") >= col("origin") &&
+          col("ts") < col("origin") + expr("interval 7 days"), 1L)
+          .otherwise(0L)).as("n_test"))
+      .orderBy(col("split"))
+  }
+
+  private val x14Sql =
+    """WITH origins AS (
+      |  SELECT CAST(i AS BIGINT) AS split,
+      |    TIMESTAMP '2024-01-08' + CAST(i AS INT) * INTERVAL 7 DAY AS origin
+      |  FROM (SELECT unnest(range(3)) AS i) s)
+      |SELECT o.split, o.origin,
+      |  CAST(sum(CASE WHEN e.ts < o.origin THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_train,
+      |  CAST(sum(CASE WHEN e.ts >= o.origin
+      |    AND e.ts < o.origin + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_test
+      |FROM events e CROSS JOIN origins o
+      |GROUP BY o.split, o.origin
+      |ORDER BY o.split""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
     "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
@@ -546,5 +588,6 @@ object Sampling {
     "x11_bootstrap_ci" -> QueryDef(x11, Some(x11Sql)),
     "x12_weighted_sample" -> QueryDef(x12, Some(x12Sql)),
     "x13_group_kfold" -> QueryDef(x13, Some(x13Sql)),
+    "x14_rolling_origin_split" -> QueryDef(x14, Some(x14Sql)),
   )
 }

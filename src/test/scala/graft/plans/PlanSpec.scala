@@ -447,6 +447,16 @@ class PlanSpec extends SparkSuite {
     assert(PlanChecks.usesBroadcastJoin(df))
   }
 
+  test("q52/x14: the cardinality pre-flight joins count tables (never the " +
+      "facts) and the rolling-origin table broadcasts — no cartesian") {
+    assert(!PlanChecks.usesCartesianProduct(run("q52_join_cardinality_preflight")))
+    val ops = PlanChecks.physical(run("x14_rolling_origin_split"))
+      .map(_.getClass.getSimpleName)
+    assert(!ops.contains("CartesianProductExec") &&
+      ops.exists(_.startsWith("Broadcast")),
+      s"x14 should broadcast the origin table: $ops")
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
