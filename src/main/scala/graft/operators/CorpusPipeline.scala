@@ -1019,6 +1019,48 @@ object CorpusPipeline {
       |FROM diff GROUP BY status, source
       |ORDER BY status, source""".stripMargin
 
+  /** Length-bucketed batching audit — the padding-efficiency report for
+    * the OTHER packing regime beside p10's concat-and-split: when examples
+    * must stay whole (SFT, contrastive pairs), batches pad every sequence
+    * to a bucket capacity, and wasted-token share is the metric that
+    * decides the bucket boundaries. Buckets are powers of two (floor 32):
+    * capacity(n) = 2^ceil(log2 n) via binary-string length — integer-exact
+    * in both engines (t10's floor-log2 discipline). Per bucket: docs,
+    * real tokens, padding tokens, and the waste share in permille.
+    *
+    * Scale: capacity is per-row integer math at the scan; the report is
+    * ONE hash aggregate over ≤ ~20 buckets — map-side partials collapse
+    * each partition to the bucket count first. */
+  private def p16(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documentsSpread
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cap", greatest(lit(32L),
+        expr("shiftleft(1L, length(bin(n_tokens - 1)))")))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("cap") - col("n_tokens")).as("pad_tokens"))
+      .withColumn("waste_permille",
+        expr("pad_tokens * 1000 div (n_docs * cap)"))
+      .orderBy(col("cap"))
+
+  private val p16Sql =
+    """WITH d AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT n_tokens,
+      |    greatest(32, CAST(pow(2, len(bin(n_tokens - 1))) AS BIGINT))
+      |      AS cap
+      |  FROM d)
+      |SELECT cap, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(cap - n_tokens) AS BIGINT) AS pad_tokens,
+      |  CAST(sum(cap - n_tokens) * 1000 // (count(*) * cap) AS BIGINT)
+      |    AS waste_permille
+      |FROM c GROUP BY cap
+      |ORDER BY cap""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -1035,5 +1077,6 @@ object CorpusPipeline {
     "p13_shard_manifest" -> QueryDef(p13, Some(p13Sql)),
     "p14_curriculum_order" -> QueryDef(p14, Some(p14Sql)),
     "p15_corpus_diff" -> QueryDef(p15, Some(p15Sql)),
+    "p16_length_buckets" -> QueryDef(p16, Some(p16Sql)),
   )
 }
