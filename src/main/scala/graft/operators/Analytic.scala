@@ -1216,6 +1216,6 @@ object Analytic {
     "a23_seasonal_baseline" -> QueryDef(a23, Some(a23Sql)),
     "a24_markov_transitions" -> QueryDef(a24, Some(a24Sql)),
     "a25_histogram_quantiles" -> QueryDef(a25, Some(a25Sql)),
-    "a26_resample_locf" -> QueryDef(a26, Some(a26Sql)),
+    "a26_resample_locf" -> QueryDef(a26, Some(a26Sql), headline = true),
   )
 }

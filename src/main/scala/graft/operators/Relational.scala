@@ -880,6 +880,6 @@ object Relational {
     "q47_listagg" -> QueryDef(q47, Some(q47Sql)),
     "q49_relational_division" -> QueryDef(q49, Some(q49Sql)),
     "q51_join_skew_profile" -> QueryDef(q51, Some(q51Sql)),
-    "q52_join_cardinality_preflight" -> QueryDef(q52, Some(q52Sql)),
+    "q52_join_cardinality_preflight" -> QueryDef(q52, Some(q52Sql), headline = true),
   )
 }

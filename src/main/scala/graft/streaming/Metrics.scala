@@ -118,6 +118,19 @@ final class MetricsRegistry {
           }
         }
       }
+      // State-store health per stateful operator — the gauges an operator
+      // watches to see that watermarks are actually bounding state (the
+      // production complement to the specs' plateau assertions) and how
+      // much late data the watermark is dropping. Keyed by operator name
+      // so a join chain's stages are distinguishable.
+      e.progress.stateOperators.foreach { so =>
+        val op = Option(so.operatorName).getOrElse("state")
+        gauge(s"$qname.state.$op.rows_total", so.numRowsTotal.toDouble)
+        gauge(s"$qname.state.$op.rows_updated", so.numRowsUpdated.toDouble)
+        gauge(s"$qname.state.$op.dropped_late",
+          so.numRowsDroppedByWatermark.toDouble)
+        gauge(s"$qname.state.$op.memory_bytes", so.memoryUsedBytes.toDouble)
+      }
     }
   }
 }

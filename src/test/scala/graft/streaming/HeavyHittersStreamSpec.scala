@@ -54,4 +54,38 @@ class HeavyHittersStreamSpec extends SparkSuite {
       assert(stateRows <= 2, s"state rows $stateRows — expected one per group")
     } finally q.stop()
   }
+
+  test("state-store health gauges (rows/updated/dropped-late/memory) " +
+      "surface through the metrics listener per stateful operator") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = sess.sqlContext
+    val reg = new MetricsRegistry
+    sess.streams.addListener(reg.listener)
+    val in = MemoryStream[Ev]
+    val name = s"hhm_${System.nanoTime()}"
+    val q = Pipeline.streamingHeavyHitters("key", "group", maxMapSize = 8)(
+      in.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      in.addData(Ev("g", "a"), Ev("g", "b"), Ev("h", "a"))
+      q.processAllAvailable()
+      // progress events are delivered asynchronously — poll the registry
+      val deadline = System.currentTimeMillis + 30000
+      def stateGauges() = reg.snapshot().filter(_._1.contains(".state."))
+      while (stateGauges().isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      val gs = stateGauges()
+      assert(gs.keys.exists(_.endsWith("rows_total")), s"got ${gs.keys}")
+      assert(gs.collect {
+        case (k, v) if k.endsWith("rows_total") => v }.sum >= 2.0,
+        s"expected ≥2 state rows (groups g, h): $gs")
+      assert(gs.keys.exists(_.endsWith("dropped_late")) &&
+        gs.keys.exists(_.endsWith("memory_bytes")), s"got ${gs.keys}")
+    } finally {
+      q.stop()
+      sess.streams.removeListener(reg.listener)
+    }
+  }
 }
