@@ -1369,6 +1369,62 @@ object SimilarityOps {
        |FROM ranked WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Incremental ANN index maintenance — d08/d12's daily-ingest topology
+    * transposed to similarity search: the standing corpus is represented
+    * ONLY by its (vec_id, bucket) LSH index (8 bytes of key per vector —
+    * the raw vectors stay in cold storage keyed by id); an arriving batch
+    * (vec_id ≡ 0 mod 5) computes its own buckets map-side and probes the
+    * index by bucket equi-join, ranking only the collided candidates after
+    * a point-lookup join pulls their vectors back by id. Each increment
+    * costs O(batch + collisions) — the index is never rebuilt and the
+    * corpus is never re-scanned, which is the property that makes
+    * similarity serving sustainable under continuous ingest at 100 TB. */
+  private def s16(s: SparkSession, dir: String): DataFrame = {
+    val emb = embWithBuckets(s, dir)
+    val corpusIndex = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("c_id"), col("bucket"))
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val corpusVecs = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("c_id"), col("vd").as("cv"),
+        col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    batch.join(corpusIndex, "bucket")
+      .join(corpusVecs, "c_id")
+      .withColumn("cos_sim", round(
+        dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("c_id").as("nearest_indexed"), col("cos_sim"))
+      .orderBy(col("q_id"))
+  }
+
+  private val s16Sql =
+    s"""WITH $hyperplaneBucketsSql,
+       |corpus_index AS (
+       |  SELECT vec_id AS c_id, bucket FROM sigs WHERE vec_id % 5 <> 0),
+       |batch AS (
+       |  SELECT vec_id AS q_id, bucket FROM sigs
+       |  WHERE vec_id % 5 = 0 AND vec_id < 50),
+       |scored AS (
+       |  SELECT b.q_id, i.c_id,
+       |    ${duckCos("q.embedding", "c.embedding")} AS cos_sim
+       |  FROM batch b
+       |  JOIN corpus_index i ON i.bucket = b.bucket
+       |  JOIN embeddings q ON q.vec_id = b.q_id
+       |  JOIN embeddings c ON c.vec_id = i.c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, c_id AS nearest_indexed, cos_sim
+       |FROM ranked WHERE rk = 1
+       |ORDER BY q_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -1385,5 +1441,6 @@ object SimilarityOps {
     "s13_ann_ndcg" -> QueryDef(s13, Some(s13Sql)),
     "s14_ivf_probe_sweep" -> QueryDef(s14, Some(s14Sql)),
     "s15_ann_multiprobe" -> QueryDef(s15, Some(s15Sql)),
+    "s16_ann_incremental" -> QueryDef(s16, Some(s16Sql)),
   )
 }
