@@ -1593,6 +1593,58 @@ object DedupOps {
       |FROM spans GROUP BY a_id, b_id
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Dedup survivorship report — the headline numbers a dedup run ships:
+    * the duplicate-cluster size distribution and how many documents a
+    * keep-one-per-cluster policy removes at each size (plus the singleton
+    * row, so the size column's doc mass sums to the corpus and the report
+    * is self-auditing). Cluster size tails are how operators spot
+    * mirror-flood pathologies BEFORE committing the removal.
+    *
+    * Scale shape: d06's pointer-doubling components (O(log d) rounds over
+    * keyed joins), then two constant-size aggregates — sizes per
+    * component, clusters per size. The singleton row costs two 1-row
+    * aggregates. Nothing here adds shuffle structure beyond d06 itself. */
+  private def d23(s: SparkSession, dir: String): DataFrame = {
+    val comps = connectedComponents(minhashPairs(s, dir))
+    val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("k"))
+    val multi = sizes.groupBy(col("k").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removable"))
+    val singles = t(s, dir).documents.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(comps.agg(count(lit(1)).as("n_members")))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_docs") - col("n_members")).as("n_clusters"),
+        lit(0L).as("docs_removable"))
+    singles.unionByName(multi).orderBy(col("cluster_size"))
+  }
+
+  private val d23Sql =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM pairs),
+       |verts AS (SELECT DISTINCT src AS v FROM edges),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT w.v, e.dst FROM reach w JOIN edges e ON e.src = w.r),
+       |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+       |csize AS (SELECT component, count(*) AS k FROM comp GROUP BY component),
+       |multi AS (
+       |  SELECT CAST(k AS BIGINT) AS cluster_size,
+       |    CAST(count(*) AS BIGINT) AS n_clusters,
+       |    CAST((k - 1) * count(*) AS BIGINT) AS docs_removable
+       |  FROM csize GROUP BY k)
+       |SELECT CAST(1 AS BIGINT) AS cluster_size,
+       |  CAST((SELECT count(*) FROM documents)
+       |    - (SELECT count(*) FROM comp) AS BIGINT) AS n_clusters,
+       |  CAST(0 AS BIGINT) AS docs_removable
+       |UNION ALL
+       |SELECT cluster_size, n_clusters, docs_removable FROM multi
+       |ORDER BY cluster_size""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -1616,5 +1668,8 @@ object DedupOps {
     "d20_simhash_recall" -> QueryDef(d20, Some(d20Sql)),
     "d21_bbit_minhash" -> QueryDef(d21, Some(d21Sql)),
     "d22_jaccard_threshold_sweep" -> QueryDef(d22, Some(d22Sql)),
+    "d23_cluster_size_report" -> QueryDef(d23, Some(d23Sql)),
   )
+
+
 }
