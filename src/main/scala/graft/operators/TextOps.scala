@@ -1095,6 +1095,31 @@ object TextOps {
       |GROUP BY t.tok, t.doc_id
       |ORDER BY t.tok, t.doc_id""".stripMargin
 
+  /** Declared surface for the distributed BPE trainer: the first 10 merge
+    * rules learned from the corpus word-frequency table, in merge order
+    * with their winning pair counts. Deterministic end-to-end (max-count
+    * with lexicographic tie-breaks — BpeTrainerSpec proves the sequence
+    * equals a naive in-memory BPE), but the iterated merge loop is not
+    * expressible as one SQL query, so this entry carries the driver's
+    * rows-only check and the ScalaTest differential gate does the
+    * semantic work (a06's sketch-gate discipline, transposed).
+    *
+    * Scale: the corpus is touched ONCE (word-freq aggregate, rows =
+    * vocabulary); every merge round works on the vocabulary-bounded word
+    * table with map-side re-segment folds and lineage checkpoints
+    * (BpeTrainer Scaladoc). The 10-row result is driver-held by design —
+    * a tokenizer vocabulary IS a driver artifact. */
+  private def t24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = t(s, dir).documentsSpread
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    BpeTrainer.train(wf, nMerges = 10).zipWithIndex
+      .map { case (m, i) => (i.toLong + 1L, m.left, m.right, m.count) }
+      .toDF("merge_rank", "left", "right", "pair_count")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -1119,5 +1144,6 @@ object TextOps {
     "t21_source_similarity" -> QueryDef(t21, Some(t21Sql)),
     "t22_zipf_slope" -> QueryDef(t22, Some(t22Sql)),
     "t23_posting_lists" -> QueryDef(t23, Some(t23Sql)),
+    "t24_bpe_vocab" -> QueryDef(t24, None),
   )
 }
