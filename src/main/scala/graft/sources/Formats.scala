@@ -3,7 +3,7 @@ package graft.sources
 import graft.streaming.Envelope
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Batch source/sink formats beyond the Kafka/parquet transports: CSV and
   * JSON-lines with explicit schemas (schema-on-read discipline — never
@@ -35,6 +35,34 @@ object Formats {
     df.write.mode("overwrite").json(path)
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** JSONL ingest with corrupt-line quarantine — the raw-corpus intake
+    * discipline (LLM corpora ship as JSONL): a malformed line must neither
+    * kill the 100 TB read nor silently vanish. Returns (good, quarantine):
+    * good rows carry the schema's columns; quarantined rows keep the raw
+    * line verbatim for audit/repair (E9's deser-failure DLQ contract,
+    * transposed to batch files). Same split shape as
+    * `Middleware.splitCorrupt`: read as text, `from_json` map-side, route
+    * on parse-null — no caching restriction, both sides pure scans.
+    * A line of valid JSON with missing fields parses to nulls (kept,
+    * like any sparse record); only unparseable lines quarantine. */
+  def readJsonLinesQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import scala.jdk.CollectionConverters._
+    // from_json yields an all-null row (not a null struct) for malformed
+    // input, so routing keys off an explicit corrupt-record slot in the
+    // parse schema — set exactly when the line failed to parse
+    val cr = "_graft_corrupt"
+    val withCr = StructType(schema.fields :+ StructField(cr, StringType))
+    val parsed = spark.read.text(path)
+      .withColumn("j", from_json(col("value"), withCr,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> cr).asJava))
+    (parsed.filter(col(s"j.$cr").isNull)
+       .select(schema.fieldNames.map(f => col(s"j.$f")): _*),
+      parsed.filter(col(s"j.$cr").isNotNull)
+        .select(col("value").as("raw_line")))
+  }
 
   /** Envelope topic log → portable JSON-lines dump (binary → base64). */
   /** Bucketed managed-table write — the co-located-join lever at 100 TB:

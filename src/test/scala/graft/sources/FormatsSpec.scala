@@ -23,6 +23,27 @@ class FormatsSpec extends SparkSuite {
     assert(fromO.exceptAll(docs).isEmpty && docs.exceptAll(fromO).isEmpty)
   }
 
+  test("JSONL quarantine: malformed lines route to the quarantine side " +
+      "with the raw line verbatim; sparse-but-valid JSON stays good") {
+    import org.apache.spark.sql.types._
+    val base = tmpDir("jsonl-quarantine")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/corpus.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": 2}
+        |this line is not json at all
+        |{"doc_id": 3, "text": "gamma"}""".stripMargin)
+    val (good, bad) = Formats.readJsonLinesQuarantine(
+      spark, s"$base/corpus.jsonl", schema)
+    val g = good.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(g == Set((1L, Some("alpha")), (2L, None), (3L, Some("gamma"))))
+    assert(bad.collect().map(_.getString(0)).toSeq ==
+      Seq("this line is not json at all"))
+  }
+
   test("envelope export/import preserves binary payloads via base64") {
     val env = envelopes("app", Seq(
       ("k1", "payload-1", ts("2024-01-01 00:00:00")),
