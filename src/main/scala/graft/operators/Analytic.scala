@@ -1190,6 +1190,63 @@ object Analytic {
       |LEFT JOIN last_obs l ON l.user_id = g.user_id AND l.hr = g.hr
       |ORDER BY g.user_id, g.hr""".stripMargin
 
+  /** Mergeable KLL quantile rollup — a25's fixed bins answer one grain
+    * exactly; KLL answers EVERY grain approximately from the same state.
+    * Stage 1 sketches each (event_type, day) cell (the only corpus-sized
+    * aggregate — one scan, mergeable ≤5 KB state per cell); stage 2 merges
+    * cell bytes to the event_type grain ([[graft.functions.KllMergeAgg]]),
+    * exactly how a 100 TB store answers "p90 this quarter" from daily cell
+    * sketches without re-touching data. The merged estimate must land
+    * inside the exact quantiles at p ± 0.03 (k=200 → ~1.65% normalized
+    * rank error at 99% confidence; bounds hold under arbitrary merge
+    * order, so the gate is partitioning-stable — a06/a10/a15 pattern).
+    * Driver collect is one row per event_type, never data. */
+  private def a27(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{KllMergeAgg, KllQuantilesAgg}
+    val ev = t(s, dir).events
+    val cells = ev
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(udaf(new KllQuantilesAgg(200)).apply(col("value")).as("sk"))
+    val est: Map[String, (Double, Double)] = cells
+      .groupBy(col("event_type"))
+      .agg(udaf(new KllMergeAgg(200)).apply(col("sk")).as("skAll"))
+      .collect()
+      .map { r =>
+        val b = r.getAs[Array[Byte]](1)
+        r.getString(0) ->
+          (KllQuantilesAgg.quantile(b, 0.5), KllQuantilesAgg.quantile(b, 0.9))
+      }
+      .toMap
+    val spark = s
+    import spark.implicits._
+    val estDf = est.toSeq.map { case (k, (p50, p90)) => (k, p50, p90) }
+      .toDF("event_type", "kll50", "kll90")
+    ev.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90_exact"),
+        expr("percentile(value, 0.47)").as("e47"),
+        expr("percentile(value, 0.53)").as("e53"),
+        expr("percentile(value, 0.87)").as("e87"),
+        expr("percentile(value, 0.93)").as("e93"))
+      .join(broadcast(estDf), "event_type")
+      .select(col("event_type"), col("p50_exact"), col("p90_exact"),
+        col("kll50").between(col("e47"), col("e53")).as("p50_within"),
+        col("kll90").between(col("e87"), col("e93")).as("p90_within"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a27Sql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50_exact,
+      |  round(quantile_cont(value, 0.9), 4) AS p90_exact,
+      |  TRUE AS p50_within,
+      |  TRUE AS p90_within
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -1217,5 +1274,6 @@ object Analytic {
     "a24_markov_transitions" -> QueryDef(a24, Some(a24Sql)),
     "a25_histogram_quantiles" -> QueryDef(a25, Some(a25Sql)),
     "a26_resample_locf" -> QueryDef(a26, Some(a26Sql), headline = true),
+    "a27_kll_quantiles" -> QueryDef(a27, Some(a27Sql)),
   )
 }
