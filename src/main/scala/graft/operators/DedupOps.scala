@@ -1645,6 +1645,55 @@ object DedupOps {
        |SELECT cluster_size, n_clusters, docs_removable FROM multi
        |ORDER BY cluster_size""".stripMargin
 
+  /** Edit-distance-verified near-dup — the third verify metric for the LSH
+    * candidate stage (d02 verifies exact shingle Jaccard, d11 calibrates
+    * the signature estimate; edit distance catches in-place edits — typo
+    * fixes, entity swaps, template fills — that shingle overlap scores the
+    * same as genuine divergence). Candidates come from the SAME d03 band
+    * index; the verify pass computes banded Levenshtein with a per-pair
+    * budget of ⌊maxlen/5⌋ (normalized distance ≤ 0.2 ⇔ dup). The
+    * threshold is the scale lever: Spark's three-arg `levenshtein` runs
+    * the banded O(len·thr) algorithm and answers −1 the moment the band
+    * is exceeded, so a divergent pair costs ~len·len/5 cell visits, never
+    * the full len² matrix — and the stage stays candidates-bounded (a
+    * keyed join back to text, no pairwise corpus scan). */
+  private def d24(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documentsSpread
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    minhashLshPairs(t(s, dir).documentsSpread)
+      .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+        col("len").as("a_len")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+        col("len").as("b_len")), "b_id")
+      .withColumn("max_len",
+        greatest(col("a_len"), col("b_len")).cast("long"))
+      .withColumn("thr", expr("max_len div 5"))
+      .withColumn("d",
+        expr("levenshtein(a_text, b_text, cast(thr as int))").cast("long"))
+      .select(col("a_id"), col("b_id"), col("max_len"), col("thr"),
+        (col("d") >= 0L).as("is_dup"),
+        when(col("d") >= 0L, col("d")).as("edit_dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d24Sql =
+    s"""WITH $minhashPairsCtes,
+       |txt AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |scored AS (
+       |  SELECT p.a_id, p.b_id,
+       |    CAST(greatest(a.len, b.len) AS BIGINT) AS max_len,
+       |    greatest(a.len, b.len) // 5 AS thr,
+       |    levenshtein(a.text, b.text) AS lev
+       |  FROM pairs p
+       |  JOIN txt a ON a.doc_id = p.a_id
+       |  JOIN txt b ON b.doc_id = p.b_id)
+       |SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+       |  max_len, CAST(thr AS BIGINT) AS thr,
+       |  lev <= thr AS is_dup,
+       |  CASE WHEN lev <= thr THEN CAST(lev AS BIGINT) END AS edit_dist
+       |FROM scored
+       |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -1669,6 +1718,7 @@ object DedupOps {
     "d21_bbit_minhash" -> QueryDef(d21, Some(d21Sql)),
     "d22_jaccard_threshold_sweep" -> QueryDef(d22, Some(d22Sql)),
     "d23_cluster_size_report" -> QueryDef(d23, Some(d23Sql)),
+    "d24_edit_distance_verify" -> QueryDef(d24, Some(d24Sql)),
   )
 
 
