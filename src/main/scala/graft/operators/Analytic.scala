@@ -1247,6 +1247,52 @@ object Analytic {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Benford first-digit audit — the classic forensic data-quality signal
+    * (naturally-generated multiplicative quantities follow P(d) =
+    * log10(1+1/d); fabricated, truncated, or unit-mangled feeds don't).
+    * One 9-row hash aggregate over the corpus: the first significant digit
+    * comes from the INTEGER cents rendering (substring of a BIGINT's
+    * decimal string — exact in any engine; float log10-of-value would hang
+    * the digit on cross-engine double formatting), shares are one division
+    * each, and the flag marks digits whose observed share strays > 0.05
+    * from Benford. This corpus is uniform-valued, so the audit correctly
+    * flags it — the report proves detection, not conformance. Scale: one
+    * map-side-combined aggregate to 9 rows + a broadcast of the 1-row
+    * total; nothing else. */
+  private def a28(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir).events
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .filter(col("cents") > 0L)
+    val digits = ev
+      .withColumn("digit",
+        expr("cast(substring(cast(cents as string), 1, 1) as int)"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total").cast("double"), 4).as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("exp_share"))
+      .withColumn("flagged",
+        abs(col("obs_share") - col("exp_share")) > 0.05)
+      .orderBy(col("digit"))
+  }
+
+  private val a28Sql =
+    """WITH c AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+      |  WHERE CAST(round(value * 100) AS BIGINT) > 0),
+      |d AS (
+      |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM c GROUP BY 1)
+      |SELECT digit, n,
+      |  round(n / CAST((SELECT sum(n) FROM d) AS DOUBLE), 4) AS obs_share,
+      |  round(log10(1.0 + 1.0 / digit), 4) AS exp_share,
+      |  abs(round(n / CAST((SELECT sum(n) FROM d) AS DOUBLE), 4)
+      |    - round(log10(1.0 + 1.0 / digit), 4)) > 0.05 AS flagged
+      |FROM d
+      |ORDER BY digit""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -1275,5 +1321,6 @@ object Analytic {
     "a25_histogram_quantiles" -> QueryDef(a25, Some(a25Sql)),
     "a26_resample_locf" -> QueryDef(a26, Some(a26Sql), headline = true),
     "a27_kll_quantiles" -> QueryDef(a27, Some(a27Sql)),
+    "a28_benford_audit" -> QueryDef(a28, Some(a28Sql)),
   )
 }

@@ -1120,6 +1120,69 @@ object TextOps {
       .toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** Flesch reading-ease readability — the classic shallow quality signal
+    * beside t02's ratio score and t10/t13's surprisal bits (readability
+    * grades prose complexity; training-mix reports bucket corpora by it).
+    * All three inputs are regex-group counts on the raw text — words
+    * ([A-Za-z]+ runs), sentences ([.!?]+ runs, floored at 1), syllables
+    * (vowel-group runs, the standard heuristic) — each a single
+    * codegen'd regexp_extract_all + size, identical across engines
+    * (character classes only — no Java/RE2 dialect divergence). English
+    * docs only (the formula is English-calibrated). One map-side pass,
+    * no shuffle until the output sort; score and grade cut are exact
+    * integer milli-points (see below), so the result is engine-stable. */
+  private def t25(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documentsSpread
+      .filter(col("lang") === "en")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
+          .cast("long").as("words"),
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+          .as("sentences"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("syllables"))
+      .filter(col("words") > 0L)
+      // exact milli-points: F·1000 = (206835·S·W − 1015·W² − 84600·Sy·S)
+      // / (S·W); integer truncating division is identical across engines
+      // (skill-verified), so no float ever enters the score or the grade
+      // cut — the a14/a20 determinism discipline.
+      .withColumn("flesch_milli", expr(
+        """(206835L * sentences * words - 1015L * words * words
+          |  - 84600L * syllables * sentences) div (sentences * words)"""
+          .stripMargin))
+      .withColumn("grade",
+        when(col("flesch_milli") >= 70000L, "easy")
+          .when(col("flesch_milli") >= 50000L, "standard")
+          .otherwise("difficult"))
+      .orderBy(col("doc_id"))
+
+  private val t25Sql =
+    """SELECT doc_id, words, sentences, syllables,
+      |  (206835 * sentences * words - 1015 * words * words
+      |    - 84600 * syllables * sentences) // (sentences * words)
+      |    AS flesch_milli,
+      |  CASE
+      |    WHEN (206835 * sentences * words - 1015 * words * words
+      |      - 84600 * syllables * sentences) // (sentences * words) >= 70000
+      |      THEN 'easy'
+      |    WHEN (206835 * sentences * words - 1015 * words * words
+      |      - 84600 * syllables * sentences) // (sentences * words) >= 50000
+      |      THEN 'standard'
+      |    ELSE 'difficult' END AS grade
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+      |      AS words,
+      |    greatest(CAST(1 AS BIGINT),
+      |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+      |      AS sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |      AS syllables
+      |  FROM documents WHERE lang = 'en')
+      |WHERE words > 0
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -1145,5 +1208,6 @@ object TextOps {
     "t22_zipf_slope" -> QueryDef(t22, Some(t22Sql)),
     "t23_posting_lists" -> QueryDef(t23, Some(t23Sql)),
     "t24_bpe_vocab" -> QueryDef(t24, None),
+    "t25_flesch_readability" -> QueryDef(t25, Some(t25Sql)),
   )
 }
