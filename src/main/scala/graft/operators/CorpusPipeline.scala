@@ -1178,6 +1178,46 @@ object CorpusPipeline {
       |    r_nonneg FROM e)
       |ORDER BY tbl, rule""".stripMargin
 
+  /** Row-level contract quarantine — p17 scores the FEED, this routes the
+    * ROWS: every record is evaluated against the rule set map-side and
+    * violators land in a quarantine frame carrying the names of ALL rules
+    * they failed (the triage key: a spike of `value_above_400` is a unit
+    * bug upstream, `error_event` is semantic filtering). The batch twin
+    * of E9's deser-DLQ contract — bad rows are never dropped, they're
+    * routed with a reason. Pure per-row codegen (conditions + concat_ws,
+    * which skips nulls identically in both engines), no shuffle until the
+    * output sort; the survivors' path is the same scan with the predicate
+    * negated, so Catalyst shares the read. */
+  private def p18(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .withColumn("failed_rules", concat_ws(",",
+        when(col("value") > 400, "value_above_400"),
+        when(col("value") < 1, "value_below_1"),
+        when(col("event_type") === "error", "error_event")))
+      .withColumn("n_failed",
+        (when(col("value") > 400, 1).otherwise(0)
+          + when(col("value") < 1, 1).otherwise(0)
+          + when(col("event_type") === "error", 1).otherwise(0))
+          .cast("long"))
+      .filter(col("n_failed") > 0L)
+      .select(col("event_id"), col("failed_rules"), col("n_failed"))
+      .orderBy(col("event_id"))
+
+  private val p18Sql =
+    """SELECT event_id,
+      |  concat_ws(',',
+      |    CASE WHEN value > 400 THEN 'value_above_400' END,
+      |    CASE WHEN value < 1 THEN 'value_below_1' END,
+      |    CASE WHEN event_type = 'error' THEN 'error_event' END)
+      |    AS failed_rules,
+      |  CAST((CASE WHEN value > 400 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN value < 1 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_failed
+      |FROM events
+      |WHERE value > 400 OR value < 1 OR event_type = 'error'
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -1196,5 +1236,6 @@ object CorpusPipeline {
     "p15_corpus_diff" -> QueryDef(p15, Some(p15Sql)),
     "p16_length_buckets" -> QueryDef(p16, Some(p16Sql)),
     "p17_contract_audit" -> QueryDef(p17, Some(p17Sql)),
+    "p18_row_quarantine" -> QueryDef(p18, Some(p18Sql)),
   )
 }
