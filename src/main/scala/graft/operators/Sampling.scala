@@ -574,6 +574,106 @@ object Sampling {
       |GROUP BY o.split, o.origin
       |ORDER BY o.split""".stripMargin
 
+  /** Neyman-allocation stratified sampling — x02 gives every stratum the
+    * same quota; Neyman (optimal allocation) sizes each stratum's draw
+    * ∝ N_h·σ_h, putting budget where the variance is, the
+    * minimum-variance design for a fixed total n (the survey-sampling
+    * classic; for corpus work: audit-sample big erratic sources heavily,
+    * skip uniform boilerplate farms).
+    *
+    * The whole allocation is INTEGER-exact. The Neyman weight collapses
+    * to one integer square root: N_h·σ_h = √(N_h·Σx² − (Σx)²), and
+    * floor(√K) of an integer K is engine-stable (K ≠ m² sits ≥ ~1/2m
+    * from any integer — far beyond sqrt's half-ulp; perfect squares are
+    * exact), so weights, the largest-remainder seat distribution
+    * (base = n·w div W, +1 to the biggest n·w mod W, source-name
+    * tiebreak), and the final per-stratum quotas are bit-identical
+    * everywhere. Draws are stable-hash-ranked within each stratum
+    * (reproducible, not rand()).
+    *
+    * Scale: one keyed moment aggregate over the corpus, a ~|sources|²
+    * broadcast self-join for ranking (20 rows here; at 10⁶ strata use a
+    * two-level remainder bucket sort), one per-stratum window for the
+    * draw. Moments at 100 TB want DECIMAL(38) (Σx² overflows BIGINT
+    * near 10¹⁸ — here max ~10¹⁴, and doubles represent integers exactly
+    * to 2⁵³ so the sqrt input is exact). */
+  private def x15(s: SparkSession, dir: String): DataFrame = {
+    val budget = 200L
+    val docs = Tables(s, dir).documentsSpread
+    val stats = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_h"),
+      sum(col("n_chars")).as("s1"),
+      sum(col("n_chars") * col("n_chars")).as("s2"))
+      .withColumn("w", floor(sqrt(
+        (col("n_h") * col("s2") - col("s1") * col("s1")).cast("double")))
+        .cast("long"))
+    val totals = stats.agg(sum(col("w")).as("big_w"))
+    val seats = stats.crossJoin(broadcast(totals))
+      .withColumn("base", expr(s"($budget * w) div big_w"))
+      .withColumn("rem", expr(s"($budget * w) % big_w"))
+      .select(col("source"), col("n_h"), col("w"), col("base"), col("rem"))
+    val leftover = seats
+      .agg((lit(budget) - sum(col("base"))).as("leftover"))
+    // rank strata by (rem desc, source asc) without an unpartitioned
+    // window: a broadcast self-join count over the |sources|-row frame
+    val ranked = seats.as("a")
+      .join(broadcast(seats.select(col("source").as("b_source"),
+        col("rem").as("b_rem"))),
+        (col("b_rem") > col("rem")) ||
+          (col("b_rem") === col("rem") && col("b_source") < col("source")),
+        "left")
+      .groupBy(col("source"), col("base"), col("rem"))
+      .agg(count(col("b_source")).as("rank"))
+    val alloc = ranked.crossJoin(broadcast(leftover))
+      .withColumn("alloc",
+        col("base") + when(col("rank") < col("leftover"), 1L).otherwise(0L))
+      .select(col("source").as("a_source"), col("alloc"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(StableHash.h60(col("text")), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(alloc), col("source") === col("a_source"))
+      .filter(col("rn") <= col("alloc"))
+      .select(col("source"), col("doc_id"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  private val x15Sql =
+    s"""WITH stats AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+       |    CAST(sum(n_chars) AS BIGINT) AS s1,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+       |  FROM documents GROUP BY source),
+       |wt AS (
+       |  SELECT source,
+       |    CAST(floor(sqrt(CAST(n_h * s2 - s1 * s1 AS DOUBLE))) AS BIGINT)
+       |      AS w
+       |  FROM stats),
+       |seats AS (
+       |  SELECT source, w,
+       |    (200 * w) // (SELECT sum(w) FROM wt) AS base,
+       |    (200 * w) % (SELECT sum(w) FROM wt) AS rem
+       |  FROM wt),
+       |ranked AS (
+       |  SELECT a.source, a.base,
+       |    (SELECT count(*) FROM seats b
+       |     WHERE b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source))
+       |      AS rnk
+       |  FROM seats a),
+       |alloc AS (
+       |  SELECT source,
+       |    base + CASE WHEN rnk < 200 - (SELECT sum(base) FROM seats)
+       |      THEN 1 ELSE 0 END AS alloc
+       |  FROM ranked),
+       |drawn AS (
+       |  SELECT source, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY ${StableHash.duckH60("text")}, doc_id) AS BIGINT) AS rn
+       |  FROM documents)
+       |SELECT d.source, d.doc_id, d.rn
+       |FROM drawn d JOIN alloc a ON a.source = d.source
+       |WHERE d.rn <= a.alloc
+       |ORDER BY d.source, d.rn""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
     "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
@@ -589,5 +689,6 @@ object Sampling {
     "x12_weighted_sample" -> QueryDef(x12, Some(x12Sql)),
     "x13_group_kfold" -> QueryDef(x13, Some(x13Sql)),
     "x14_rolling_origin_split" -> QueryDef(x14, Some(x14Sql)),
+    "x15_neyman_allocation" -> QueryDef(x15, Some(x15Sql)),
   )
 }
