@@ -143,6 +143,60 @@ object Pipeline {
       .toDF("group", "freq")
   }
 
+  /** Streaming as-of enrichment — the streaming twin of q31's batch as-of
+    * join: each probe-side event picks up the LATEST reference-side value
+    * for its key at-or-before its event time, via one keyed state cell
+    * (the reference's newest (ts, value)) instead of a windowed
+    * stream-stream join. This is the canonical latest-value topology
+    * (quote-attach, config-attach, feature-freshness): state is O(1) per
+    * key forever — a windowed join holds every row in the window on BOTH
+    * sides; latest-value needs exactly one.
+    *
+    * Input: a union frame `(key, ts, side['ref'|'probe'], value)` (one
+    * source per side upstream, per-key event-order within each — Kafka's
+    * per-partition ordering when keys partition consistently; rows are
+    * re-sorted by event time WITHIN each micro-batch so intra-batch
+    * interleavings are handled exactly). Output per probe row: its value,
+    * the attached ref value/ts (null before the first ref), and the
+    * staleness lag in ms — the same columns q31 materializes, so a batch
+    * replay through q31's union-scan is the oracle (EventsStreamSpec
+    * drives the cross-batch equivalence). TTL expires idle keys. */
+  def streamingAsOf(stateTtl: String = "30 minutes")(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.select(col("key").cast("long"), col("ts").cast("timestamp"),
+        col("side").cast("string"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double),
+        (Long, java.sql.Timestamp, Double, Option[Double], Option[Long], Option[Long])](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: Long,
+            rows: Iterator[(Long, java.sql.Timestamp, String, Double)],
+            state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // event-time walk within the batch: refs update the cell,
+            // probes read it — exact for any intra-batch interleaving
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            var cur = state.getOption
+            val out = sorted.flatMap {
+              case (_, ts, "ref", v) =>
+                if (cur.forall(_._1 <= ts.getTime)) cur = Some((ts.getTime, v))
+                None
+              case (_, ts, _, v) =>
+                Some((key, ts, v, cur.map(_._2), cur.map(_._1),
+                  cur.map(c => ts.getTime - c._1)))
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(stateTtl)
+            out.iterator
+          }
+      }
+      .toDF("key", "ts", "value", "ref_value", "ref_ts_ms", "lag_ms")
+  }
+
   /** The user-visible payload contract (`create-user-payload`,
     * mapper.clj:18-26; asserted by the reference's
     * streams_test.clj:62-68): the handler sees exactly `message`, `key`,

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Input row for the streaming as-of enrichment — top-level so Spark
+  * derives a product encoder. */
+case class AsOfEv(key: Long, ts: Timestamp, side: String, value: Double)
+
+/** Pipeline.streamingAsOf: each probe event attaches the latest ref value
+  * at-or-before its event time; one state cell per key carries across
+  * micro-batches; intra-batch interleavings resolve in event-time order;
+  * probes before any ref emit null. MemoryStream-driven (static frames
+  * never exercise the state path). Timer-based state queries keep
+  * scheduling batches, so the sink is POLLED with a deadline rather than
+  * processAllAvailable (skill gotcha). */
+class AsOfStreamSpec extends SparkSuite {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("latest-value attach: exact within a batch, state carries across " +
+      "batches, pre-ref probes get null") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[AsOfEv]
+    val out = Pipeline.streamingAsOf()(in.toDF())
+    val name = s"asof_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def await(nRows: Int): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table(name).count() < nRows
+          && System.currentTimeMillis < deadline) Thread.sleep(200)
+    }
+    try {
+      // batch 1: probe BEFORE any ref (null), ref v=1.0, probe after
+      // (attaches 1.0 even though the ref arrived in the same batch),
+      // plus an independent key's ref
+      in.addData(
+        AsOfEv(7L, t("2026-01-01 10:00:00"), "probe", 100.0),
+        AsOfEv(7L, t("2026-01-01 10:00:30"), "ref", 1.0),
+        AsOfEv(7L, t("2026-01-01 10:01:00"), "probe", 101.0),
+        AsOfEv(8L, t("2026-01-01 10:00:00"), "ref", 9.0))
+      await(2)
+      // batch 2: probe with NO ref this batch → still 1.0 (state),
+      // newer ref v=2.0, probe after it → 2.0; key 8 probe → 9.0
+      in.addData(
+        AsOfEv(7L, t("2026-01-01 10:02:00"), "probe", 102.0),
+        AsOfEv(7L, t("2026-01-01 10:03:00"), "ref", 2.0),
+        AsOfEv(7L, t("2026-01-01 10:04:00"), "probe", 103.0),
+        AsOfEv(8L, t("2026-01-01 10:05:00"), "probe", 800.0))
+      await(5)
+      val rows = spark.table(name)
+        .orderBy("key", "ts")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(19),
+          r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          if (r.isNullAt(5)) null else r.getLong(5)))
+        .toSeq
+      assert(rows == Seq(
+        (7L, "2026-01-01 10:00:00", 100.0, null, null),
+        (7L, "2026-01-01 10:01:00", 101.0, 1.0, 30000L),
+        (7L, "2026-01-01 10:02:00", 102.0, 1.0, 90000L),
+        (7L, "2026-01-01 10:04:00", 103.0, 2.0, 60000L),
+        (8L, "2026-01-01 10:05:00", 800.0, 9.0, 300000L)),
+        rows.mkString("\n"))
+    } finally q.stop()
+  }
+
+  test("state is one cell per key: a flood of refs leaves a single state " +
+      "row and the newest value serves the probe") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[AsOfEv]
+    val out = Pipeline.streamingAsOf()(in.toDF())
+    val name = s"asof2_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData((1 to 500).map(i =>
+        AsOfEv(5L, t(f"2026-01-01 10:00:${i % 60}%02d"), "ref",
+          i.toDouble)): _*)
+      in.addData(AsOfEv(5L, t("2026-01-01 11:00:00"), "probe", 0.0))
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table(name).count() < 1
+          && System.currentTimeMillis < deadline) Thread.sleep(200)
+      val got = spark.table(name).collect()
+      assert(got.length == 1, s"got ${got.length} rows")
+      assert(!got(0).isNullAt(3), "probe should see a ref value")
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        assert(p.stateOperators(0).numRowsTotal == 1L,
+          s"expected 1 state row, got ${p.stateOperators(0).numRowsTotal}")
+    } finally q.stop()
+  }
+}
