@@ -345,6 +345,68 @@ object MultimodalOps {
       |FROM fp JOIN bk USING (fingerprint)
       |ORDER BY doc_id""".stripMargin
 
+  /** Scene-change (shot-boundary) detection — the clip-segmentation
+    * primitive a video curation pipeline runs before sampling training
+    * frames (sample per SCENE, not per fixed stride, or a 10-minute
+    * static shot dominates the clip's frames): per clip, m05's 256-byte
+    * frame grid reduces to one integer byte-mass per frame, and a cut is
+    * declared where consecutive masses jump by more than 25% (integer
+    * inequality |Δ|·4 > prev — no float, no threshold tuning in the
+    * decision). One nested per-row fold (O(bytes) per clip, the decoder
+    * stand-in shape of m04/m06), zero shuffles before the output sort;
+    * each clip's cut list rides along as a compact string. */
+  private def m07(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documentsSpread
+      .withColumn("n_bytes", octet_length(col("text").cast("binary")))
+      .withColumn("n_frames",
+        (expr("(greatest(n_bytes, 1) - 1) div 256") + 1).cast("int"))
+      .withColumn("masses", expr(
+        """transform(sequence(0, n_frames - 1), fi ->
+          |  aggregate(sequence(fi * 256 + 1, least(n_bytes, (fi + 1) * 256)),
+          |    0L, (acc, i) -> acc + ascii(substring(text, CAST(i AS INT), 1))))"""
+          .stripMargin))
+      // sequence(1, 0) counts DOWN in Spark — guard the 1-frame clip
+      .withColumn("cuts", expr(
+        """IF(n_frames < 2, array(),
+          |  filter(sequence(1, n_frames - 1),
+          |    i -> abs(masses[i] - masses[i - 1]) * 4 > masses[i - 1]))"""
+          .stripMargin))
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        size(col("cuts")).cast("long").as("n_cuts"),
+        concat_ws(",", expr("transform(cuts, c -> cast(c as string))"))
+          .as("cut_frames"))
+      .orderBy(col("doc_id"))
+
+  private val m07Sql =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    (greatest(octet_length(encode(text)), 1) - 1) // 256 + 1
+      |      AS n_frames,
+      |    text
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, n_frames,
+      |    list_transform(range(0, n_frames), fi ->
+      |      list_sum(list_transform(
+      |        range(fi * 256 + 1, least(n_bytes, (fi + 1) * 256) + 1),
+      |        i -> ascii(substr(text, CAST(i AS INT), 1))))) AS masses
+      |  FROM a),
+      |c AS (
+      |  SELECT doc_id, n_frames,
+      |    list_transform(
+      |      list_filter(range(2, n_frames + 1),
+      |        i -> abs(masses[i] - masses[i - 1]) * 4 > masses[i - 1]),
+      |      i -> i - 1) AS cuts
+      |  FROM m)
+      |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(len(cuts) AS BIGINT) AS n_cuts,
+      |  coalesce(
+      |    array_to_string(list_transform(cuts, c -> CAST(c AS VARCHAR)), ','),
+      |    '') AS cut_frames
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_multimodal_meta" -> QueryDef(m01, Some(m01Sql)),
     "m02_frame_sample" -> QueryDef(m02, Some(m02Sql)),
@@ -352,5 +414,6 @@ object MultimodalOps {
     "m04_audio_windows" -> QueryDef(m04, Some(m04Sql)),
     "m05_video_neardup" -> QueryDef(m05, Some(m05Sql)),
     "m06_audio_fingerprint" -> QueryDef(m06, Some(m06Sql)),
+    "m07_scene_cuts" -> QueryDef(m07, Some(m07Sql)),
   )
 }

@@ -1183,6 +1183,59 @@ object TextOps {
       |WHERE words > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Unicode-script mixing audit — the multilingual-corpus hygiene check:
+    * per-doc codepoint counts by script class (Latin letters, CJK unified
+    * ideographs, ASCII digits), the dominant share in permille, and a
+    * mixed-script flag (two scripts each above 10%) — the signature of
+    * encoding corruption, spam keyword-stuffing, or mislabeled language
+    * fields (a `lang='en'` doc that is 40% CJK is a labeling bug). Counts
+    * are length-difference after class deletion — one regexp_replace per
+    * class, every decision integer-exact. The char-class semantics are
+    * identical across engines; only the escape SPELLING differs (Java
+    * `\uXXXX` vs RE2 `\x{XXXX}`). Map-side only, shuffle-free to the
+    * output sort. */
+  private def t26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documentsSpread
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_u"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          lit("[A-Za-z]"), lit("")))).cast("long").as("latin"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          lit("[一-鿿]"), lit("")))).cast("long").as("cjk"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          lit("[0-9]"), lit("")))).cast("long").as("digits"))
+      .filter(col("n_chars_u") > 0L)
+      .withColumn("dominant_permille",
+        expr("greatest(latin, cjk) * 1000 div n_chars_u"))
+      .withColumn("mixed_script",
+        col("latin") * 10 > col("n_chars_u")
+          && col("cjk") * 10 > col("n_chars_u"))
+      .orderBy(col("doc_id"))
+
+  private val t26Sql =
+    """SELECT doc_id, lang,
+      |  CAST(length(text) AS BIGINT) AS n_chars_u,
+      |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+      |    AS BIGINT) AS latin,
+      |  CAST(length(text)
+      |    - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g'))
+      |    AS BIGINT) AS cjk,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |    AS BIGINT) AS digits,
+      |  greatest(
+      |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')),
+      |    length(text)
+      |      - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')))
+      |    * 1000 // length(text) AS dominant_permille,
+      |  (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+      |    * 10 > length(text)
+      |  AND (length(text)
+      |    - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')))
+      |    * 10 > length(text) AS mixed_script
+      |FROM documents
+      |WHERE length(text) > 0
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -1209,5 +1262,6 @@ object TextOps {
     "t23_posting_lists" -> QueryDef(t23, Some(t23Sql)),
     "t24_bpe_vocab" -> QueryDef(t24, None),
     "t25_flesch_readability" -> QueryDef(t25, Some(t25Sql)),
+    "t26_script_mixing" -> QueryDef(t26, Some(t26Sql)),
   )
 }
