@@ -1293,6 +1293,74 @@ object Analytic {
       |FROM d
       |ORDER BY digit""".stripMargin
 
+  /** Hourly cross-metric Pearson correlation — the metric-relationship
+    * discovery query (do views drive clicks? is error volume coupled to
+    * purchase volume?): align two event types on an hourly grid
+    * (conditional aggregation, one pass — no self-join of the fact
+    * table), then correlate the two series. Every moment (n, Σx, Σy,
+    * Σxy, Σx², Σy²) is an EXACT integer over cents, the cross terms run
+    * in DECIMAL(38) (DuckDB HUGEINT) so nothing overflows or reorders —
+    * a14's discipline — and floats appear only in the final two
+    * correctly-rounded ops (one sqrt, one division), identical in any
+    * engine. Never Spark's `corr()`: a float sum's value depends on
+    * partition merge order, so the last digits would flap under AQE.
+    * Scale: hours-grain intermediate (8,760 rows/year regardless of
+    * corpus size), then a single-row reduce. */
+  private def a29(s: SparkSession, dir: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val hourly = t(s, dir).events
+      .filter(col("event_type").isin("view", "click"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        sum(when(col("event_type") === "view",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "click",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("y"))
+    hourly
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(d) * col("y")).as("sxy"),
+        sum(col("x").cast(d) * col("x")).as("sxx"),
+        sum(col("y").cast(d) * col("y")).as("syy"))
+      .select(col("n"),
+        (col("n").cast(d) * col("sxy") - col("sx").cast(d) * col("sy"))
+          .as("num"),
+        (col("n").cast(d) * col("sxx") - col("sx").cast(d) * col("sx"))
+          .as("dx"),
+        (col("n").cast(d) * col("syy") - col("sy").cast(d) * col("sy"))
+          .as("dy"))
+      .select(col("n"),
+        round(col("num").cast("double")
+          / sqrt(col("dx").cast("double") * col("dy").cast("double")), 4)
+          .as("r_view_click"),
+        round(col("num").cast("double") / col("dx").cast("double"), 4)
+          .as("beta_click_per_view"))
+  }
+
+  private val a29Sql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h,
+      |    sum(CASE WHEN event_type = 'view'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+      |    sum(CASE WHEN event_type = 'click'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+      |  FROM events WHERE event_type IN ('view', 'click')
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |  FROM hourly)
+      |SELECT n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |      * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS r_view_click,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS beta_click_per_view
+      |FROM m""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -1322,5 +1390,6 @@ object Analytic {
     "a26_resample_locf" -> QueryDef(a26, Some(a26Sql), headline = true),
     "a27_kll_quantiles" -> QueryDef(a27, Some(a27Sql)),
     "a28_benford_audit" -> QueryDef(a28, Some(a28Sql)),
+    "a29_hourly_correlation" -> QueryDef(a29, Some(a29Sql)),
   )
 }
