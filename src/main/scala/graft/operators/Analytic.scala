@@ -1361,6 +1361,60 @@ object Analytic {
       |    / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS beta_click_per_view
       |FROM m""".stripMargin
 
+  /** Feed-outage / gap detection — the data-completeness monitor beside
+    * p17's value contracts: materialize the corpus's own [min, max]
+    * minute calendar (one 2-value reduce, then a sequence explode of
+    * ~minutes rows — never a per-row calendar cross), anti-join the
+    * minutes that DID arrive, and collapse the silent minutes to OUTAGE
+    * RUNS (gaps-and-islands over the missing set — "7 missing minutes"
+    * may be one 7-minute outage, the difference between a blip and an
+    * incident): one row per run with start + length. The grid is
+    * calendar-sized (43 k rows/month) whatever the corpus size; the only
+    * corpus-sized work is the distinct-minute aggregate. The run window
+    * partitions on a constant over the missing set only — bounded by the
+    * grid, not the corpus. */
+  private def a30(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir).events
+    val observed = ev
+      .select(date_trunc("minute", col("ts")).as("m")).distinct()
+    val grid = ev
+      .agg(date_trunc("minute", min(col("ts"))).as("m0"),
+        date_trunc("minute", max(col("ts"))).as("m1"))
+      .select(explode(expr(
+        "sequence(m0, m1, interval 1 minute)")).as("m"))
+    val missing = grid.join(observed, Seq("m"), "left_anti")
+      .select(unix_millis(col("m")).as("mms"))
+    // consecutive missing minutes share (minuteIndex − rank)
+    val w = Window.partitionBy(lit(1)).orderBy(col("mms"))
+    missing
+      .withColumn("grp", expr("mms div 60000") - row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(min(col("mms")).as("gap_start_ms"),
+        count(lit(1)).as("gap_minutes"))
+      .select(col("gap_start_ms"), col("gap_minutes"))
+      .orderBy(col("gap_start_ms"))
+  }
+
+  private val a30Sql =
+    """WITH b AS (
+      |  SELECT date_trunc('minute', min(ts)) AS m0,
+      |    date_trunc('minute', max(ts)) AS m1 FROM events),
+      |grid AS (
+      |  SELECT unnest(generate_series(m0, m1, INTERVAL 1 MINUTE)) AS m
+      |  FROM b),
+      |obs AS (SELECT DISTINCT date_trunc('minute', ts) AS m FROM events),
+      |miss AS (
+      |  SELECT epoch_ms(g.m) AS mms FROM grid g
+      |  WHERE g.m NOT IN (SELECT m FROM obs)),
+      |runs AS (
+      |  SELECT mms, mms // 60000 - row_number() OVER (ORDER BY mms) AS grp
+      |  FROM miss)
+      |SELECT min(mms) AS gap_start_ms,
+      |  CAST(count(*) AS BIGINT) AS gap_minutes
+      |FROM runs
+      |GROUP BY grp
+      |ORDER BY gap_start_ms""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -1391,5 +1445,6 @@ object Analytic {
     "a27_kll_quantiles" -> QueryDef(a27, Some(a27Sql)),
     "a28_benford_audit" -> QueryDef(a28, Some(a28Sql)),
     "a29_hourly_correlation" -> QueryDef(a29, Some(a29Sql)),
+    "a30_outage_gaps" -> QueryDef(a30, Some(a30Sql)),
   )
 }

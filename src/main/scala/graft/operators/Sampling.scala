@@ -674,6 +674,66 @@ object Sampling {
        |WHERE d.rn <= a.alloc
        |ORDER BY d.source, d.rn""".stripMargin
 
+  /** A/B experiment assignment + readout + sample-ratio-mismatch guard —
+    * the experimentation primitives on the engine's determinism
+    * discipline: units (users) are assigned to arms by CONTENT HASH
+    * permille (x01's reproducible-not-rand() rule — the same user lands
+    * in the same arm on any engine, any rerun, any partitioning), the
+    * readout is exact per-arm conversion (a user converts if they have
+    * ≥1 purchase event), and the SRM guard — the #1 silent
+    * experiment-invalidator in practice — flags a 50/50 split whose
+    * realized counts drift beyond chance: χ² = (n₁−n₂)²/N > 3.841
+    * (p < 0.05, 1 df), tested as the pure-integer inequality
+    * (n₁−n₂)²·1000 > 3841·N. Scale: one distinct-user aggregate (the
+    * only corpus-sized shuffle), then 2-row arithmetic. */
+  private def x16(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables(s, dir).events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("variant",
+        when(StableHash.h60(col("user_id")) % 1000 < 500, "control")
+          .otherwise("treatment"))
+    val arms = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+    val srm = arms.agg(
+      sum(col("n_users")).as("n_total"),
+      (max(col("n_users")) - min(col("n_users"))).as("diff"))
+      .select(((col("diff") * col("diff") * 1000) > (col("n_total") * 3841))
+        .as("srm_flagged"))
+    arms.crossJoin(broadcast(srm))
+      .select(col("variant"), col("n_users"),
+        col("n_converted").cast("long").as("n_converted"),
+        expr("n_converted * 1000 div n_users").as("conv_permille"),
+        col("srm_flagged"))
+      .orderBy(col("variant"))
+  }
+
+  private val x16Sql =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS converted
+       |  FROM events GROUP BY user_id),
+       |assigned AS (
+       |  SELECT user_id, converted,
+       |    CASE WHEN (${StableHash.duckH60("user_id")}) % 1000 < 500
+       |      THEN 'control' ELSE 'treatment' END AS variant
+       |  FROM u),
+       |arms AS (
+       |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(converted) AS BIGINT) AS n_converted
+       |  FROM assigned GROUP BY variant),
+       |srm AS (
+       |  SELECT (max(n_users) - min(n_users)) * (max(n_users) - min(n_users))
+       |    * 1000 > sum(n_users) * 3841 AS srm_flagged
+       |  FROM arms)
+       |SELECT variant, n_users, n_converted,
+       |  n_converted * 1000 // n_users AS conv_permille,
+       |  srm_flagged
+       |FROM arms, srm
+       |ORDER BY variant""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "x01_hash_sample" -> QueryDef(x01, Some(x01Sql)),
     "x02_stratified_sample" -> QueryDef(x02, Some(x02Sql)),
@@ -690,5 +750,6 @@ object Sampling {
     "x13_group_kfold" -> QueryDef(x13, Some(x13Sql)),
     "x14_rolling_origin_split" -> QueryDef(x14, Some(x14Sql)),
     "x15_neyman_allocation" -> QueryDef(x15, Some(x15Sql)),
+    "x16_ab_assignment_srm" -> QueryDef(x16, Some(x16Sql)),
   )
 }
