@@ -31,6 +31,27 @@ object Formats {
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Schema-evolution read across mixed parquet generations — the
+    * lakehouse drift path (a long-lived dataset accumulates files written
+    * under successive schemas; the round-5 events ts-encoding switch is
+    * exactly this failure class). `mergeSchema` unions every file's
+    * footer schema at planning time: columns absent in old generations
+    * read as null (additive evolution — the only kind this engine
+    * accepts; type CHANGES of an existing column are rejected by the
+    * merge, loudly, which is the correct contract). Cost model: schema
+    * merge reads footers only, not data — but it is one footer per file,
+    * so at 100 TB pair it with compaction (`compact`) or pass
+    * `pinnedSchema` (the production default: evolve the schema in the
+    * catalog, read with it explicitly — zero footer sweep, still
+    * null-backfills). Filter pushdown and column pruning survive either
+    * way (FormatsSpec pins PushedFilters on a merged read). */
+  def readEvolved(spark: SparkSession, path: String,
+      pinnedSchema: Option[StructType] = None): DataFrame =
+    pinnedSchema match {
+      case Some(sc) => spark.read.schema(sc).parquet(path)
+      case None => spark.read.option("mergeSchema", "true").parquet(path)
+    }
+
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =

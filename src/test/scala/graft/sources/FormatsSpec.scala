@@ -23,6 +23,34 @@ class FormatsSpec extends SparkSuite {
     assert(fromO.exceptAll(docs).isEmpty && docs.exceptAll(fromO).isEmpty)
   }
 
+  test("schema evolution: merged read over two parquet generations " +
+      "null-backfills the old files, pinned-schema read agrees, and " +
+      "pushdown survives the merge") {
+    val base = tmpDir("evolve")
+    val docs = Tables(spark, sf0001).documents
+    // generation 1: three columns; generation 2: adds quality
+    docs.select("doc_id", "lang", "n_chars")
+      .write.parquet(s"$base/d/gen=1")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars") % 100).as("quality"))
+      .write.parquet(s"$base/d/gen=2")
+    val merged = Formats.readEvolved(spark, s"$base/d")
+    assert(merged.columns.contains("quality"))
+    val n = docs.count()
+    assert(merged.count() == 2 * n)
+    assert(merged.filter(col("quality").isNull).count() == n,
+      "gen-1 rows must null-backfill the evolved column")
+    // pinned-schema read (no footer sweep) sees the same frame
+    val pinned = Formats.readEvolved(spark, s"$base/d",
+      Some(merged.schema))
+    assert(pinned.exceptAll(merged).isEmpty && merged.exceptAll(pinned).isEmpty)
+    // pushdown survives the merged read
+    val plan = merged.filter(col("n_chars") > 500)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), " +
+      "GreaterThan(n_chars,500)]"), s"pushdown missing:\n$plan")
+  }
+
   test("JSONL quarantine: malformed lines route to the quarantine side " +
       "with the raw line verbatim; sparse-but-valid JSON stays good") {
     import org.apache.spark.sql.types._
