@@ -1236,6 +1236,80 @@ object TextOps {
       |WHERE length(text) > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** PMI collocation extraction — the association-strength ranking t05's
+    * raw bigram counts can't give (frequent pairs of frequent words score
+    * LOW; "san francisco"-style bound pairs score HIGH): pointwise mutual
+    * information log2(N·c(ab)/(c(a)·c(b))), in t10's integer floor-log2
+    * discipline. For a rational q = num/den ≥ 1, floor(log2 q) =
+    * bits(num div den) (provable: the integer part of q shares q's
+    * leading power of two), so the score is two BIGINT products, one
+    * truncating division, and a binary-string length — bit-exact in any
+    * engine, within 1 bit of true PMI, which is all a collocation ranker
+    * needs. Negative-PMI pairs (num < den) are dropped — standard
+    * positive-PMI practice, and it keeps the log in integer range.
+    *
+    * Scale: unigram and bigram counts are each ONE map-side-combined
+    * aggregate (rows = vocabulary / bigram-vocabulary, not corpus); the
+    * two count lookups are vocabulary-keyed equi-joins (broadcast when
+    * the vocab fits); min-count 5 prunes the bigram tail before any
+    * join. Top-20 is TakeOrderedAndProject. No pairwise stage. */
+  private def t27(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+    val uni = docs
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_total"))
+    val bi = docs
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] as w1, toks[i+1] as w2))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    bi.join(uni.select(col("w").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("num", col("cab") * col("n_total"))
+      .withColumn("den", col("ca") * col("cb"))
+      .filter(col("num") >= col("den"))
+      .withColumn("pmi_bits",
+        (length(expr("bin(num div den)")) - 1).cast("long"))
+      .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+        col("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("cab").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val t27Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(toks) AS w FROM docs) GROUP BY w),
+      |total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+      |bi AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab FROM (
+      |    SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      |    FROM docs, unnest(range(1, len(toks))) AS t(i)
+      |    WHERE len(toks) >= 2)
+      |  GROUP BY w1, w2 HAVING count(*) >= 5),
+      |scored AS (
+      |  SELECT b.w1, b.w2, b.cab, ua.c AS ca, ub.c AS cb,
+      |    b.cab * t.n_total AS num, ua.c * ub.c AS den
+      |  FROM bi b
+      |  JOIN uni ua ON ua.w = b.w1
+      |  JOIN uni ub ON ub.w = b.w2
+      |  CROSS JOIN total t)
+      |SELECT w1, w2, cab, ca, cb,
+      |  CAST(length(bin(num // den)) - 1 AS BIGINT) AS pmi_bits
+      |FROM scored
+      |WHERE num >= den
+      |ORDER BY pmi_bits DESC, cab DESC, w1, w2
+      |LIMIT 20""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -1263,5 +1337,6 @@ object TextOps {
     "t24_bpe_vocab" -> QueryDef(t24, None),
     "t25_flesch_readability" -> QueryDef(t25, Some(t25Sql)),
     "t26_script_mixing" -> QueryDef(t26, Some(t26Sql)),
+    "t27_pmi_collocations" -> QueryDef(t27, Some(t27Sql)),
   )
 }
