@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new graft.plans.FailUnpartitionedWindows(spark))
     ext.injectOptimizerRule(spark =>
       new graft.plans.FailCartesianProducts(spark))
+    // exact pigeonhole rewrite: hamming64 ≤ k theta-join → union of k+1
+    // block equi-joins (default ON — see HammingBlockJoinRewrite)
+    ext.injectOptimizerRule(spark =>
+      new graft.plans.HammingBlockJoinRewrite(spark))
     ext.injectFunction((
       new FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming64"),

@@ -1694,6 +1694,88 @@ object DedupOps {
        |FROM scored
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Hamming-rewrite exactness gate — the oracle-level proof of
+    * [[graft.plans.HammingBlockJoinRewrite]]: the Spark side is written
+    * as the NAIVE theta join (crossJoin + `hamming64 ≤ 12` filter over a
+    * 64-bit fingerprint = unigram simhash ∥ bigram simhash), which the
+    * session rule rewrites into the union of 13 block equi-joins; DuckDB
+    * evaluates the naive quadratic join literally. Hash-matching rows
+    * therefore certify the rewrite is a strict semantic identity on real
+    * data — the same certification style every other operator gets, now
+    * applied to an optimizer RULE. (The composed 64-bit code also makes
+    * the fingerprint family two-channel: unigram bits catch token-set
+    * drift, bigram bits catch reorderings unigrams can't see.) */
+  private def d25(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.hamming64
+    val fp = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("bi", expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin))
+      .select(col("doc_id"),
+        (shiftleft(SimHash32.simhash32(col("toks")), 32)
+          .bitwiseOR(SimHash32.simhash32(col("bi")))).as("sh"))
+    val a = fp.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = fp.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id")
+        && hamming64(col("a_sh"), col("b_sh")) <= 12)
+      .select(col("a_id"), col("b_id"),
+        hamming64(col("a_sh"), col("b_sh")).cast("long").as("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d25Sql = {
+    val h = StableHash.duckH32("tok")
+    val hb = StableHash.duckH32("bitok")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |uni AS (SELECT DISTINCT doc_id, tok FROM (
+       |  SELECT doc_id, unnest(toks) AS tok FROM w)),
+       |uh AS (SELECT doc_id, $h AS h FROM uni),
+       |ubits AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN (h >> CAST(j AS INT)) % 2 = 1 THEN 1 ELSE -1 END)
+       |      AS vote
+       |  FROM uh, (SELECT unnest(range(32)) AS j) js GROUP BY doc_id, j),
+       |us AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS sh
+       |  FROM ubits GROUP BY doc_id),
+       |bg AS (SELECT DISTINCT doc_id, bitok FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> concat(toks[CAST(i AS INT)], ' ', toks[CAST(i AS INT) + 1])))
+       |    AS bitok
+       |  FROM w)),
+       |bh AS (SELECT doc_id, $hb AS h FROM bg),
+       |bbits AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN (h >> CAST(j AS INT)) % 2 = 1 THEN 1 ELSE -1 END)
+       |      AS vote
+       |  FROM bh, (SELECT unnest(range(32)) AS j) js GROUP BY doc_id, j),
+       |bs AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS sh
+       |  FROM bbits GROUP BY doc_id),
+       |fp AS (
+       |  -- two's-complement compose (DuckDB << errors on overflow;
+       |  -- this equals Spark's wrapping shiftleft | or)
+       |  SELECT us.doc_id,
+       |    (us.sh - CASE WHEN us.sh >= 2147483648 THEN 4294967296
+       |      ELSE 0 END) * 4294967296 + bs.sh AS sh
+       |  FROM us JOIN bs USING (doc_id))
+       |SELECT CAST(a.doc_id AS BIGINT) AS a_id,
+       |  CAST(b.doc_id AS BIGINT) AS b_id,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+       |FROM fp a JOIN fp b
+       |  ON a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 12
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -1719,6 +1801,7 @@ object DedupOps {
     "d22_jaccard_threshold_sweep" -> QueryDef(d22, Some(d22Sql)),
     "d23_cluster_size_report" -> QueryDef(d23, Some(d23Sql)),
     "d24_edit_distance_verify" -> QueryDef(d24, Some(d24Sql)),
+    "d25_hamming_block_join" -> QueryDef(d25, Some(d25Sql)),
   )
 
 

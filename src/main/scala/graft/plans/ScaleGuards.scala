@@ -83,4 +83,5 @@ class FailCartesianProducts(spark: SparkSession) extends Rule[LogicalPlan] {
 object ScaleGuards {
   val FailUnpartitionedWindowsKey = "spark.graft.failUnpartitionedWindows"
   val FailCartesianProductsKey = "spark.graft.failCartesianProducts"
+  val HammingBlockJoinRewriteKey = "spark.graft.hammingBlockJoinRewrite"
 }

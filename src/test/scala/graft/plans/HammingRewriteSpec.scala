@@ -1,0 +1,83 @@
+package graft.plans
+
+import graft.SparkSuite
+import graft.functions.GraftFunctions.hamming64
+import org.apache.spark.sql.functions._
+
+/** HammingBlockJoinRewrite: a naive cross join filtered on
+  * hamming64(a,b) ≤ k plans as a union of k+1 block equi-joins (no
+  * nested-loop/cartesian), produces EXACTLY the rows of the naive
+  * evaluation (JVM-side ground truth), preserves duplicate-row
+  * multiplicity, and stands down when disabled or when an equi-join
+  * already links the sides. */
+class HammingRewriteSpec extends SparkSuite {
+
+  private def codes(seed: Long, n: Int) = {
+    val sess = spark
+    import sess.implicits._
+    // deterministic pseudo-random 64-bit codes (splitmix64 finalizer)
+    (0 until n).map { i =>
+      var z = seed + 0x9E3779B97F4A7C15L * (i + 1)
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (i.toLong, z ^ (z >>> 31))
+    }
+  }
+
+  test("rewrite fires: no nested-loop join in the plan, result multiset " +
+      "identical to JVM ground truth, duplicates preserved") {
+    val sess = spark
+    import sess.implicits._
+    val k = 3
+    val base = codes(42L, 120)
+    // plant near-dups: for every 10th code, a copy with 2 bits flipped
+    // (within k) and one with 8 bits flipped (outside k); plus one exact
+    // DUPLICATE left row to prove multiplicity survives
+    val left = (base ++ Seq(base.head)).toDF("lid", "lcode")
+    val rightRows = base.filter(_._1 % 10 == 0).flatMap { case (i, c) =>
+      Seq((i + 1000L, c ^ 5L), (i + 2000L, c ^ 0xFF00000000L))
+    }
+    val right = rightRows.toDF("rid", "rcode")
+    val joined = left.crossJoin(right)
+      .filter(hamming64(col("lcode"), col("rcode")) <= k)
+      .select("lid", "rid")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"rewrite did not fire:\n$plan")
+    assert(plan.contains("Union"), s"expected union of block joins:\n$plan")
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    val want = (for {
+      (li, lc) <- base ++ Seq(base.head)
+      (ri, rc) <- rightRows
+      if java.lang.Long.bitCount(lc ^ rc) <= k
+    } yield (li, ri)).sorted
+    assert(want.nonEmpty, "fixture must produce matches")
+    assert(got == want, s"rows differ: got ${got.size}, want ${want.size}")
+    // the duplicated left row must appear twice
+    val dupMatches = want.count(_._1 == base.head._1)
+    assert(got.count(_._1 == base.head._1) == dupMatches)
+  }
+
+  test("rewrite stands down when disabled by conf and when an equi-join " +
+      "already links the sides") {
+    val sess = spark
+    import sess.implicits._
+    val left = codes(7L, 30).toDF("lid", "lcode")
+    val right = codes(7L, 30).map { case (i, c) => (i, c ^ 1L) }
+      .toDF("rid", "rcode")
+    spark.conf.set(ScaleGuards.HammingBlockJoinRewriteKey, "false")
+    try {
+      val off = left.crossJoin(right)
+        .filter(hamming64(col("lcode"), col("rcode")) <= 2)
+      assert(!off.queryExecution.executedPlan.toString.contains("Union"))
+      // rows still correct without the rewrite (30 pairs differ by 1 bit)
+      assert(off.count() == 30)
+    } finally spark.conf.unset(ScaleGuards.HammingBlockJoinRewriteKey)
+    // equi-join already present → no rewrite, plan is the plain equi-join
+    val equi = left.join(right, col("lid") === col("rid")
+      && hamming64(col("lcode"), col("rcode")) <= 2)
+    assert(!equi.queryExecution.executedPlan.toString.contains("Union"))
+    assert(equi.count() == 30)
+  }
+}
