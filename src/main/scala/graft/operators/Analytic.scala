@@ -1370,9 +1370,12 @@ object Analytic {
     * may be one 7-minute outage, the difference between a blip and an
     * incident): one row per run with start + length. The grid is
     * calendar-sized (43 k rows/month) whatever the corpus size; the only
-    * corpus-sized work is the distinct-minute aggregate. The run window
-    * partitions on a constant over the missing set only — bounded by the
-    * grid, not the corpus. */
+    * corpus-sized work is the distinct-minute aggregate. Runs are scoped
+    * WITHIN a calendar month (the islands window partitions by month —
+    * bounded partitions, parallel across months, and the monthly scope
+    * matches how completeness reports are consumed; a run touching
+    * midnight of the 1st reports as two rows, identically in both
+    * engines). */
   private def a30(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir).events
     val observed = ev
@@ -1383,12 +1386,13 @@ object Analytic {
       .select(explode(expr(
         "sequence(m0, m1, interval 1 minute)")).as("m"))
     val missing = grid.join(observed, Seq("m"), "left_anti")
-      .select(unix_millis(col("m")).as("mms"))
-    // consecutive missing minutes share (minuteIndex − rank)
-    val w = Window.partitionBy(lit(1)).orderBy(col("mms"))
+      .select(unix_millis(col("m")).as("mms"),
+        date_trunc("month", col("m")).as("mon"))
+    // consecutive missing minutes share (minuteIndex − within-month rank)
+    val w = Window.partitionBy(col("mon")).orderBy(col("mms"))
     missing
       .withColumn("grp", expr("mms div 60000") - row_number().over(w))
-      .groupBy(col("grp"))
+      .groupBy(col("mon"), col("grp"))
       .agg(min(col("mms")).as("gap_start_ms"),
         count(lit(1)).as("gap_minutes"))
       .select(col("gap_start_ms"), col("gap_minutes"))
@@ -1404,15 +1408,18 @@ object Analytic {
       |  FROM b),
       |obs AS (SELECT DISTINCT date_trunc('minute', ts) AS m FROM events),
       |miss AS (
-      |  SELECT epoch_ms(g.m) AS mms FROM grid g
+      |  SELECT epoch_ms(g.m) AS mms, date_trunc('month', g.m) AS mon
+      |  FROM grid g
       |  WHERE g.m NOT IN (SELECT m FROM obs)),
       |runs AS (
-      |  SELECT mms, mms // 60000 - row_number() OVER (ORDER BY mms) AS grp
+      |  SELECT mms, mon,
+      |    mms // 60000
+      |      - row_number() OVER (PARTITION BY mon ORDER BY mms) AS grp
       |  FROM miss)
       |SELECT min(mms) AS gap_start_ms,
       |  CAST(count(*) AS BIGINT) AS gap_minutes
       |FROM runs
-      |GROUP BY grp
+      |GROUP BY mon, grp
       |ORDER BY gap_start_ms""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
