@@ -1422,6 +1422,83 @@ object Analytic {
       |GROUP BY mon, grp
       |ORDER BY gap_start_ms""".stripMargin
 
+  /** Session entry-path analysis — the sequence-mining readout on top of
+    * q43's sessionization (a24 asks "which single transitions are
+    * likely"; this asks "how do sessions OPEN" — the landing-flow
+    * distribution that drives funnel design): each session's first three
+    * event types, in order, form its entry path; paths are counted and
+    * the top-10 reported with session share in permille. Ordered firsts
+    * come from conditional `max(case rn=k)` legs — never an unordered
+    * collect_list (whose order is partition-dependent). Every window
+    * partitions by user; the path aggregate is |distinct paths| ≤
+    * |types|³ rows; top-10 is TakeOrderedAndProject. */
+  private def a31(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val withPaths = t(s, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(ord) <= 1800000000L, 0L)
+          .otherwise(1L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .withColumn("rn", row_number().over(sess))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">",
+        max(when(col("rn") === 1, col("event_type"))),
+        max(when(col("rn") === 2, col("event_type"))),
+        max(when(col("rn") === 3, col("event_type")))).as("path"))
+    val counts = withPaths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val total = counts.agg(sum(col("n_sessions")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("path"), col("n_sessions"),
+        expr("n_sessions * 1000 div total").as("share_permille"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
+  private val a31Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id) <= 1800000000
+      |    THEN 0 ELSE 1 END AS new_sess
+      |  FROM e),
+      |sid AS (
+      |  SELECT *, sum(new_sess) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id
+      |       ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM s),
+      |rn AS (
+      |  SELECT *, row_number() OVER
+      |      (PARTITION BY user_id, session_id ORDER BY ts_us, event_id)
+      |      AS rn
+      |  FROM sid),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |    concat_ws('>',
+      |      max(CASE WHEN rn = 1 THEN event_type END),
+      |      max(CASE WHEN rn = 2 THEN event_type END),
+      |      max(CASE WHEN rn = 3 THEN event_type END)) AS path
+      |  FROM rn WHERE rn <= 3
+      |  GROUP BY user_id, session_id),
+      |counts AS (
+      |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |  FROM paths GROUP BY path)
+      |SELECT path, n_sessions,
+      |  n_sessions * 1000 // (SELECT sum(n_sessions) FROM counts)
+      |    AS share_permille
+      |FROM counts
+      |ORDER BY n_sessions DESC, path
+      |LIMIT 10""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -1453,5 +1530,6 @@ object Analytic {
     "a28_benford_audit" -> QueryDef(a28, Some(a28Sql)),
     "a29_hourly_correlation" -> QueryDef(a29, Some(a29Sql)),
     "a30_outage_gaps" -> QueryDef(a30, Some(a30Sql)),
+    "a31_session_paths" -> QueryDef(a31, Some(a31Sql)),
   )
 }
