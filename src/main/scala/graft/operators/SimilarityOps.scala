@@ -1425,6 +1425,162 @@ object SimilarityOps {
        |FROM ranked WHERE rk = 1
        |ORDER BY q_id""".stripMargin
 
+  /** MMR diversity re-rank — the retrieval-quality axis every other s-op
+    * ignores: pure top-k returns near-clones of the best hit (a panel of
+    * 3 paraphrases answers no better than 1); Maximal Marginal Relevance
+    * (Carbonell & Goldstein 1998 — the default diversity pass in RAG
+    * retrievers) greedily picks argmax λ·sim(q,c) − (1−λ)·max sim(c,
+    * already-picked), trading relevance against redundancy (λ = 0.5).
+    *
+    * The greedy loop is unrolled to 3 picks RELATIONALLY: pick-1 is the
+    * shortlist head; each later pick is one keyed join to the previous
+    * picks' candidate-candidate sims + a per-query argmax window. All
+    * scores are integer BASIS POINTS (round-4 cosine × 10⁴ → BIGINT), so
+    * every argmax and tie-break (candidate id) is integer-exact — the
+    * oracle replays the identical greedy trace. Scale: the expensive part
+    * is the shortlist (any s-family generator); MMR itself touches only
+    * shortlist×shortlist pairs per query (≤64 rows here) — per-query
+    * constant, embarrassingly parallel, independent of corpus size. */
+  private def s17(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir).embeddingsSpread
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dotF64(col("vd"), col("vd"))))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vd").as("cv"),
+        col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("simq").desc, col("c_id"))
+    val short = broadcast(q).join(c, lit(true))
+      .withColumn("simq",
+        round(dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select(col("q_id"), col("c_id"), col("cv"), col("cn"),
+        expr("cast(round(simq * 10000) as bigint)").as("simq_bp"),
+        col("rk"))
+    val pairs = short
+      .select(col("q_id"), col("c_id").as("a_id"), col("cv").as("av"),
+        col("cn").as("an"))
+      .join(short.select(col("q_id"), col("c_id").as("b_id"),
+        col("cv").as("bv"), col("cn").as("bn")), Seq("q_id"))
+      .withColumn("cc",
+        round(dotF64(col("av"), col("bv")) / (col("an") * col("bn")), 4))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        expr("cast(round(cc * 10000) as bigint)").as("cc_bp"))
+    val p1 = short.filter(col("rk") === 1)
+      .select(col("q_id"), col("c_id").as("p1_id"),
+        col("simq_bp").as("p1_simq"), col("simq_bp").as("p1_score"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("score2").desc, col("c_id"))
+    val c2k = short.join(p1, "q_id")
+      .filter(col("c_id") =!= col("p1_id"))
+      .join(pairs.withColumnRenamed("cc_bp", "cc1"),
+        Seq("q_id"))
+      .filter(col("a_id") === col("c_id") && col("b_id") === col("p1_id"))
+      .withColumn("score2", col("simq_bp") - col("cc1"))
+      .withColumn("rn", row_number().over(w2))
+    val p2 = c2k.filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("p2_id"),
+        col("simq_bp").as("p2_simq"), col("score2").as("p2_score"))
+    val w3 = Window.partitionBy(col("q_id"))
+      .orderBy(col("score3").desc, col("c_id"))
+    val c3 = short.join(p1.select(col("q_id"), col("p1_id")), "q_id")
+      .join(p2.select(col("q_id"), col("p2_id")), "q_id")
+      .filter(col("c_id") =!= col("p1_id") && col("c_id") =!= col("p2_id"))
+      .join(pairs.select(col("q_id"), col("a_id").as("a1"),
+        col("b_id").as("b1"), col("cc_bp").as("cc1")), Seq("q_id"))
+      .filter(col("a1") === col("c_id") && col("b1") === col("p1_id"))
+      .join(pairs.select(col("q_id"), col("a_id").as("a2"),
+        col("b_id").as("b2"), col("cc_bp").as("cc2")), Seq("q_id"))
+      .filter(col("a2") === col("c_id") && col("b2") === col("p2_id"))
+      .withColumn("score3",
+        col("simq_bp") - greatest(col("cc1"), col("cc2")))
+      .withColumn("rn", row_number().over(w3))
+    val p3 = c3.filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("p3_id"),
+        col("simq_bp").as("p3_simq"), col("score3").as("p3_score"))
+    val out = p1.select(col("q_id"), lit(1L).as("pick"),
+        col("p1_id").as("vec_id"), col("p1_simq").as("bp"),
+        col("p1_score").as("sbp"))
+      .unionAll(p2.select(col("q_id"), lit(2L).as("pick"),
+        col("p2_id").as("vec_id"), col("p2_simq").as("bp"),
+        col("p2_score").as("sbp")))
+      .unionAll(p3.select(col("q_id"), lit(3L).as("pick"),
+        col("p3_id").as("vec_id"), col("p3_simq").as("bp"),
+        col("p3_score").as("sbp")))
+    out.select(col("q_id"), col("pick"), col("vec_id"),
+        round(col("bp") / 10000.0, 4).as("relevance"),
+        round(col("sbp") / 10000.0, 4).as("mmr_score"))
+      .orderBy(col("q_id"), col("pick"))
+  }
+
+  private val s17Sql = {
+    val cosQC = duckCos("q.embedding", "c.embedding")
+    val cosAB = duckCos("e1.embedding", "e2.embedding")
+    s"""WITH sc AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    CAST(round($cosQC * 10000) AS BIGINT) AS simq_bp,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $cosQC DESC, c.vec_id) AS rk
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 10 AND c.vec_id >= 10),
+       |short AS (SELECT * FROM sc WHERE rk <= 8),
+       |pairs AS (
+       |  SELECT s1.q_id, s1.c_id AS a_id, s2.c_id AS b_id,
+       |    CAST(round($cosAB * 10000) AS BIGINT) AS cc_bp
+       |  FROM short s1
+       |  JOIN short s2 ON s2.q_id = s1.q_id
+       |  JOIN embeddings e1 ON e1.vec_id = s1.c_id
+       |  JOIN embeddings e2 ON e2.vec_id = s2.c_id),
+       |p1 AS (
+       |  SELECT q_id, c_id AS p1_id, simq_bp AS p1_simq,
+       |    simq_bp AS p1_score
+       |  FROM short WHERE rk = 1),
+       |c2 AS (
+       |  SELECT s.q_id, s.c_id, s.simq_bp,
+       |    s.simq_bp - pr.cc_bp AS score2,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY s.simq_bp - pr.cc_bp DESC, s.c_id) AS rn
+       |  FROM short s
+       |  JOIN p1 ON p1.q_id = s.q_id AND s.c_id <> p1.p1_id
+       |  JOIN pairs pr ON pr.q_id = s.q_id AND pr.a_id = s.c_id
+       |    AND pr.b_id = p1.p1_id),
+       |p2 AS (
+       |  SELECT q_id, c_id AS p2_id, simq_bp AS p2_simq,
+       |    score2 AS p2_score
+       |  FROM c2 WHERE rn = 1),
+       |c3 AS (
+       |  SELECT s.q_id, s.c_id, s.simq_bp,
+       |    s.simq_bp - greatest(pa.cc_bp, pb.cc_bp) AS score3,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY s.simq_bp - greatest(pa.cc_bp, pb.cc_bp) DESC,
+       |        s.c_id) AS rn
+       |  FROM short s
+       |  JOIN p1 ON p1.q_id = s.q_id AND s.c_id <> p1.p1_id
+       |  JOIN p2 ON p2.q_id = s.q_id AND s.c_id <> p2.p2_id
+       |  JOIN pairs pa ON pa.q_id = s.q_id AND pa.a_id = s.c_id
+       |    AND pa.b_id = p1.p1_id
+       |  JOIN pairs pb ON pb.q_id = s.q_id AND pb.a_id = s.c_id
+       |    AND pb.b_id = p2.p2_id),
+       |p3 AS (
+       |  SELECT q_id, c_id AS p3_id, simq_bp AS p3_simq,
+       |    score3 AS p3_score
+       |  FROM c3 WHERE rn = 1),
+       |allp AS (
+       |  SELECT q_id, 1 AS pick, p1_id AS vec_id, p1_simq AS bp,
+       |    p1_score AS sbp FROM p1
+       |  UNION ALL SELECT q_id, 2, p2_id, p2_simq, p2_score FROM p2
+       |  UNION ALL SELECT q_id, 3, p3_id, p3_simq, p3_score FROM p3)
+       |SELECT q_id, CAST(pick AS BIGINT) AS pick, vec_id,
+       |  round(bp / 10000.0, 4) AS relevance,
+       |  round(sbp / 10000.0, 4) AS mmr_score
+       |FROM allp
+       |ORDER BY q_id, pick""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -1442,5 +1598,6 @@ object SimilarityOps {
     "s14_ivf_probe_sweep" -> QueryDef(s14, Some(s14Sql)),
     "s15_ann_multiprobe" -> QueryDef(s15, Some(s15Sql)),
     "s16_ann_incremental" -> QueryDef(s16, Some(s16Sql)),
+    "s17_mmr_rerank" -> QueryDef(s17, Some(s17Sql)),
   )
 }
