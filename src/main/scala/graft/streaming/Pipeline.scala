@@ -143,6 +143,43 @@ object Pipeline {
       .toDF("group", "freq")
   }
 
+  /** Streaming per-group quantiles — the streaming twin of a27's KLL
+    * rollup, completing the symmetry streamingHeavyHitters has with the
+    * batch frequent-items sketch: each group keeps ONE KLL sketch
+    * (serialized bytes, ≤ ~5 KB regardless of stream length) in the
+    * state store, merged cumulatively across micro-batches; each trigger
+    * re-emits the touched groups' current p50/p90/p99. An exact
+    * streaming percentile would have to retain every value per group in
+    * state — unbounded; the sketch caps state at the KLL guarantee and
+    * inherits its merge-order-independent rank-error bound, so emitted
+    * quantiles are within ~1.65% rank of the truth over ALL data seen so
+    * far (QuantilesStreamSpec proves the cross-batch bound). */
+  def streamingQuantiles(keyCol: String, valueCol: String,
+      k: Int = 200)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte],
+        (String, Long, Double, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)],
+            state: GroupState[Array[Byte]]) =>
+          val sk = state.getOption
+            .map(b => KllDoublesSketch.heapify(Memory.wrap(b)))
+            .getOrElse(KllDoublesSketch.newHeapInstance(k))
+          rows.foreach(r => sk.update(r._2))
+          state.update(sk.toByteArray)
+          Iterator((key, sk.getN,
+            sk.getQuantile(0.5), sk.getQuantile(0.9), sk.getQuantile(0.99)))
+      }
+      .toDF("group", "n_seen", "p50", "p90", "p99")
+  }
+
   /** Streaming as-of enrichment — the streaming twin of q31's batch as-of
     * join: each probe-side event picks up the LATEST reference-side value
     * for its key at-or-before its event time, via one keyed state cell
