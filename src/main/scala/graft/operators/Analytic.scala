@@ -1493,8 +1493,8 @@ object Analytic {
       |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
       |  FROM paths GROUP BY path)
       |SELECT path, n_sessions,
-      |  n_sessions * 1000 // (SELECT sum(n_sessions) FROM counts)
-      |    AS share_permille
+      |  CAST(n_sessions * 1000 // (SELECT sum(n_sessions) FROM counts)
+      |    AS BIGINT) AS share_permille
       |FROM counts
       |ORDER BY n_sessions DESC, path
       |LIMIT 10""".stripMargin

@@ -1218,6 +1218,63 @@ object CorpusPipeline {
       |WHERE value > 400 OR value < 1 OR event_type = 'error'
       |ORDER BY event_id""".stripMargin
 
+  /** Context-length ablation report — the "pick max_seq_len" decision
+    * table (p16 audits padding for the length-bucketed regime; this
+    * audits TRUNCATION for the fixed-window regime): for each candidate
+    * context length L ∈ {16, 32, 64, 128} (levels sized to this corpus's
+    * 10-99-token docs; production levels are 512-8192), how many docs overflow,
+    * what fraction of corpus tokens the window keeps (min(len, L) per
+    * doc), and the kept share in permille — the curve whose knee picks
+    * L. ONE corpus pass: every L-level is a conditional-aggregation leg
+    * of the same hash aggregate (s14's sweep discipline — never one scan
+    * per level), then 4 constant rows unpivot via stack. */
+  private def p19(s: SparkSession, dir: String): DataFrame = {
+    val lens = Seq(16L, 32L, 64L, 128L)
+    val aggs = lens.flatMap { l =>
+      Seq(
+        sum(when(col("n_tokens") > l, 1L).otherwise(0L)).as(s"over_$l"),
+        sum(least(col("n_tokens"), lit(l))).as(s"kept_$l"))
+    }
+    val stackExpr = lens
+      .map(l => s"${l}L, over_$l, kept_$l")
+      .mkString("stack(4, ", ", ", ") AS (max_len, docs_truncated, tokens_kept)")
+    Tables(s, dir).documentsSpread
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_tokens")).as("total_tokens") +: aggs): _*)
+      .selectExpr("n_docs", "total_tokens", stackExpr)
+      .select(col("max_len"), col("n_docs"), col("docs_truncated"),
+        col("tokens_kept"),
+        expr("tokens_kept * 1000 div total_tokens").as("kept_permille"))
+      .orderBy(col("max_len"))
+  }
+
+  private val p19Sql =
+    """WITH d AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(count(*) FILTER (WHERE n_tokens > 16) AS BIGINT) AS o16,
+      |    CAST(sum(least(n_tokens, 16)) AS BIGINT) AS k16,
+      |    CAST(count(*) FILTER (WHERE n_tokens > 32) AS BIGINT) AS o32,
+      |    CAST(sum(least(n_tokens, 32)) AS BIGINT) AS k32,
+      |    CAST(count(*) FILTER (WHERE n_tokens > 64) AS BIGINT) AS o64,
+      |    CAST(sum(least(n_tokens, 64)) AS BIGINT) AS k64,
+      |    CAST(count(*) FILTER (WHERE n_tokens > 128) AS BIGINT) AS o128,
+      |    CAST(sum(least(n_tokens, 128)) AS BIGINT) AS k128
+      |  FROM d)
+      |SELECT v.max_len, m.n_docs, v.docs_truncated, v.tokens_kept,
+      |  v.tokens_kept * 1000 // m.total_tokens AS kept_permille
+      |FROM m, (
+      |  SELECT CAST(16 AS BIGINT) AS max_len, o16 AS docs_truncated,
+      |    k16 AS tokens_kept FROM m
+      |  UNION ALL SELECT 32, o32, k32 FROM m
+      |  UNION ALL SELECT 64, o64, k64 FROM m
+      |  UNION ALL SELECT 128, o128, k128 FROM m) v
+      |ORDER BY v.max_len""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -1237,5 +1294,6 @@ object CorpusPipeline {
     "p16_length_buckets" -> QueryDef(p16, Some(p16Sql)),
     "p17_contract_audit" -> QueryDef(p17, Some(p17Sql)),
     "p18_row_quarantine" -> QueryDef(p18, Some(p18Sql)),
+    "p19_length_ablation" -> QueryDef(p19, Some(p19Sql)),
   )
 }

@@ -1310,6 +1310,53 @@ object TextOps {
       |ORDER BY pmi_bits DESC, cab DESC, w1, w2
       |LIMIT 20""".stripMargin
 
+  /** Tokenizer-fertility audit by language — the multilingual-efficiency
+    * report (fertility = subword tokens per word; a tokenizer trained on
+    * English typically fragments other scripts into 2-3× the tokens,
+    * silently taxing their context budget and training share — this
+    * table is how that tax is measured and the mixture re-weighted):
+    * per language, words (whitespace), subword-proxy tokens (t01's
+    * alnum-run regex, the BPE-input units), chars, and the two ratios
+    * in exact integer permille. One map-side-combined aggregate to
+    * |languages| rows; every ratio a truncating division. */
+  private def t28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documentsSpread
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("words"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long")
+          .as("subtoks"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("words"),
+        sum(col("subtoks")).as("subword_tokens"),
+        sum(col("chars")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("words"),
+        col("subword_tokens"), col("chars"),
+        expr("subword_tokens * 1000 div words").as("fertility_permille"),
+        expr("chars * 1000 div greatest(subword_tokens, 1)")
+          .as("chars_per_token_permille"))
+      .orderBy(col("lang"))
+
+  private val t28Sql =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+      |      AS subtoks,
+      |    CAST(length(text) AS BIGINT) AS chars
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(words) AS BIGINT) AS words,
+      |  CAST(sum(subtoks) AS BIGINT) AS subword_tokens,
+      |  CAST(sum(chars) AS BIGINT) AS chars,
+      |  CAST(sum(subtoks) * 1000 // sum(words) AS BIGINT)
+      |    AS fertility_permille,
+      |  CAST(sum(chars) * 1000 // greatest(sum(subtoks), 1) AS BIGINT)
+      |    AS chars_per_token_permille
+      |FROM d GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -1338,5 +1385,6 @@ object TextOps {
     "t25_flesch_readability" -> QueryDef(t25, Some(t25Sql)),
     "t26_script_mixing" -> QueryDef(t26, Some(t26Sql)),
     "t27_pmi_collocations" -> QueryDef(t27, Some(t27Sql)),
+    "t28_tokenizer_fertility" -> QueryDef(t28, Some(t28Sql)),
   )
 }
