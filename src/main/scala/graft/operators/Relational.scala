@@ -848,6 +848,74 @@ object Relational {
       |    AS worst_key
       |FROM c""".stripMargin
 
+  /** Referential-integrity audit — p17's contract discipline applied to
+    * the JOIN GRAPH: for every foreign-key edge of the star schema, the
+    * count of child rows whose key has no parent (orphans) plus the
+    * child's row count — the pre-join health check that explains
+    * downstream row-count drops before anyone debugs a 20-way join at
+    * 100 TB. Each edge is one left-anti-style aggregate: the child
+    * aggregates to its DISTINCT key set first where keys repeat heavily
+    * (lineitem), so the anti probe joins |keys| rows, not |child| rows;
+    * parents broadcast (dimension-sized). Orphan rows (not just keys)
+    * come from weighting each missing key by its multiplicity. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val tb = t(s, dir)
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val keyCounts = child.groupBy(col(childKey).as("k"))
+        .agg(count(lit(1)).as("n"))
+      val orphans = keyCounts
+        .join(broadcast(parent.select(col(parentKey).as("pk")).distinct()),
+          col("k") === col("pk"), "left_anti")
+      val totals = keyCounts.agg(sum(col("n")).as("n_child"))
+      orphans.agg(coalesce(sum(col("n")), lit(0L)).as("orphan_rows"),
+          count(lit(1)).as("orphan_keys"))
+        .crossJoin(broadcast(totals))
+        .select(lit(name).as("fk_edge"), col("n_child"),
+          col("orphan_keys"), col("orphan_rows"),
+          (col("orphan_rows") === 0L).as("intact"))
+    }
+    edge("customer->nation", tb.customer, "c_nationkey", tb.nation,
+        "n_nationkey")
+      .unionAll(edge("lineitem->orders", tb.lineitem, "l_orderkey",
+        tb.orders, "o_orderkey"))
+      .unionAll(edge("lineitem->part", tb.lineitem, "l_partkey",
+        tb.part, "p_partkey"))
+      .unionAll(edge("nation->region", tb.nation, "n_regionkey",
+        tb.region, "r_regionkey"))
+      .unionAll(edge("orders->customer", tb.orders, "o_custkey",
+        tb.customer, "c_custkey"))
+      .unionAll(edge("supplier->nation", tb.supplier, "s_nationkey",
+        tb.nation, "n_nationkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  private val q53Sql = {
+    def edge(name: String, child: String, ck: String,
+        parent: String, pk: String): String =
+      s"""SELECT '$name' AS fk_edge,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+         |  CAST(count(*) AS BIGINT) AS orphan_keys,
+         |  CAST(coalesce(sum(n), 0) AS BIGINT) AS orphan_rows,
+         |  coalesce(sum(n), 0) = 0 AS intact
+         |FROM (
+         |  SELECT $ck AS k, count(*) AS n FROM $child GROUP BY $ck) kc
+         |WHERE k NOT IN (SELECT $pk FROM $parent)""".stripMargin
+    Seq(
+      edge("customer->nation", "customer", "c_nationkey", "nation",
+        "n_nationkey"),
+      edge("lineitem->orders", "lineitem", "l_orderkey", "orders",
+        "o_orderkey"),
+      edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("nation->region", "nation", "n_regionkey", "region",
+        "r_regionkey"),
+      edge("orders->customer", "orders", "o_custkey", "customer",
+        "c_custkey"),
+      edge("supplier->nation", "supplier", "s_nationkey", "nation",
+        "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_filter_project" -> QueryDef(q01, Some(q01Sql)),
     "q02_agg_pricing" -> QueryDef(q02, Some(q02Sql), headline = true),
@@ -881,5 +949,6 @@ object Relational {
     "q49_relational_division" -> QueryDef(q49, Some(q49Sql)),
     "q51_join_skew_profile" -> QueryDef(q51, Some(q51Sql)),
     "q52_join_cardinality_preflight" -> QueryDef(q52, Some(q52Sql), headline = true),
+    "q53_fk_orphans" -> QueryDef(q53, Some(q53Sql)),
   )
 }
