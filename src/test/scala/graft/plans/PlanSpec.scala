@@ -457,6 +457,26 @@ class PlanSpec extends SparkSuite {
       s"x14 should broadcast the origin table: $ops")
   }
 
+  test("round-6 topologies stay keyed: d24's edit-distance verify is " +
+      "candidates-bounded (no cartesian), d25's naive hamming predicate " +
+      "plans as the block equi-join union, q53 broadcasts parents, s17's " +
+      "MMR stages never go cartesian past the panel probe") {
+    assert(!PlanChecks.usesCartesianProduct(run("d24_edit_distance_verify")))
+    val d25 = run("d25_hamming_block_join")
+    assert(!PlanChecks.usesCartesianProduct(d25),
+      "rewrite must remove the cartesian")
+    assert(d25.queryExecution.executedPlan.toString.contains("Union"),
+      "expected the pigeonhole block-join union")
+    val q53 = run("q53_fk_orphans")
+    assert(!PlanChecks.usesCartesianProduct(q53))
+    assert(PlanChecks.usesBroadcastJoin(q53), "parents should broadcast")
+    // s17: the panel×corpus score is an intentional broadcast probe (s01's
+    // shape); everything AFTER the shortlist must be keyed — no
+    // CartesianProductExec anywhere (broadcast nested loop on the tiny
+    // panel is the allowed form)
+    assert(!PlanChecks.usesCartesianProduct(run("s17_mmr_rerank")))
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
