@@ -1499,6 +1499,92 @@ object Analytic {
       |ORDER BY n_sessions DESC, path
       |LIMIT 10""".stripMargin
 
+  /** Cohort LTV accumulation curves — a13's retention matrix priced: per
+    * acquisition cohort (user's first-event day) and day offset 0-7, the
+    * day's purchase revenue, CUMULATIVE revenue, and cumulative payers —
+    * the payback-period readout ("day-N LTV by cohort") that decides
+    * acquisition spend. Dense grid: cohorts × explode(sequence(0,7))
+    * (cohort-count-sized, never per-row), zero-filled by left joins, so
+    * flat days appear as plateaus instead of holes. Cumulative payers
+    * avoids windowed COUNT DISTINCT (quadratic state) by reducing each
+    * payer to their FIRST purchase offset, then running-summing the
+    * per-offset new-payer counts. All money in integer cents; both
+    * running sums use the growing frame (incremental O(n), per-cohort
+    * partitions). */
+  private def a32(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+    val base = t(s, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("cohort_day", min(col("day")).over(perUser))
+      .withColumn("offset_d",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("offset_d") <= 7)
+    val daily = base.filter(col("event_type") === "purchase")
+      .groupBy(col("cohort_day"), col("offset_d"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val newPayers = base.filter(col("event_type") === "purchase")
+      .groupBy(col("cohort_day"), col("user_id"))
+      .agg(min(col("offset_d")).as("offset_d"))
+      .groupBy(col("cohort_day"), col("offset_d"))
+      .agg(count(lit(1)).as("new_payers"))
+    val grid = base.select(col("cohort_day")).distinct()
+      .select(col("cohort_day"),
+        explode(expr("sequence(0L, 7L)")).as("offset_d"))
+    val wcum = Window.partitionBy(col("cohort_day")).orderBy(col("offset_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(daily, Seq("cohort_day", "offset_d"), "left")
+      .join(newPayers, Seq("cohort_day", "offset_d"), "left")
+      .withColumn("rev_cents", coalesce(col("rev_cents"), lit(0L)))
+      .withColumn("new_payers", coalesce(col("new_payers"), lit(0L)))
+      .select(col("cohort_day"), col("offset_d"), col("rev_cents"),
+        sum(col("rev_cents")).over(wcum).as("cum_rev_cents"),
+        sum(col("new_payers")).over(wcum).as("cum_payers"))
+      .orderBy(col("cohort_day"), col("offset_d"))
+  }
+
+  private val a32Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (
+      |  SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM e),
+      |b AS (
+      |  SELECT *, CAST(day - cohort_day AS BIGINT) AS offset_d FROM c
+      |  WHERE day - cohort_day <= 7),
+      |daily AS (
+      |  SELECT cohort_day, offset_d, CAST(sum(cents) AS BIGINT) AS rev_cents
+      |  FROM b WHERE event_type = 'purchase'
+      |  GROUP BY cohort_day, offset_d),
+      |np AS (
+      |  SELECT cohort_day, offset_d, CAST(count(*) AS BIGINT) AS new_payers
+      |  FROM (
+      |    SELECT cohort_day, user_id, min(offset_d) AS offset_d
+      |    FROM b WHERE event_type = 'purchase'
+      |    GROUP BY cohort_day, user_id)
+      |  GROUP BY cohort_day, offset_d),
+      |grid AS (
+      |  SELECT cohort_day, CAST(unnest(range(8)) AS BIGINT) AS offset_d
+      |  FROM (SELECT DISTINCT cohort_day FROM b))
+      |SELECT g.cohort_day, g.offset_d,
+      |  coalesce(d.rev_cents, 0) AS rev_cents,
+      |  CAST(sum(coalesce(d.rev_cents, 0)) OVER
+      |    (PARTITION BY g.cohort_day ORDER BY g.offset_d
+      |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents,
+      |  CAST(sum(coalesce(n.new_payers, 0)) OVER
+      |    (PARTITION BY g.cohort_day ORDER BY g.offset_d
+      |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_payers
+      |FROM grid g
+      |LEFT JOIN daily d
+      |  ON d.cohort_day = g.cohort_day AND d.offset_d = g.offset_d
+      |LEFT JOIN np n
+      |  ON n.cohort_day = g.cohort_day AND n.offset_d = g.offset_d
+      |ORDER BY g.cohort_day, g.offset_d""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -1531,5 +1617,6 @@ object Analytic {
     "a29_hourly_correlation" -> QueryDef(a29, Some(a29Sql)),
     "a30_outage_gaps" -> QueryDef(a30, Some(a30Sql)),
     "a31_session_paths" -> QueryDef(a31, Some(a31Sql)),
+    "a32_cohort_ltv" -> QueryDef(a32, Some(a32Sql)),
   )
 }
