@@ -180,6 +180,45 @@ object Pipeline {
       .toDF("group", "n_seen", "p50", "p90", "p99")
   }
 
+  /** Streaming funnel progression — a12's batch funnel as live state:
+    * each user carries ONE integer (current stage depth) in the state
+    * store; an arriving event advances the depth exactly when it is the
+    * NEXT stage in order (the ordered-funnel contract — a purchase
+    * before any view advances nothing, matching a12's nested
+    * running-min semantics), and each advance emits (user, new depth,
+    * event time) — the row a live funnel dashboard increments on.
+    * Events are walked in event-time order within each micro-batch;
+    * cross-batch progress resumes from state. State is O(1) per user
+    * forever — the batch query re-scans history per run; this pays one
+    * integer per user instead. */
+  def streamingFunnel(stages: Seq[String])(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_type").cast("string"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (Long, Int, java.sql.Timestamp)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+            state: GroupState[Int]) =>
+          var depth = state.getOption.getOrElse(0)
+          val out = scala.collection.mutable.ListBuffer
+            .empty[(Long, Int, java.sql.Timestamp)]
+          rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
+            case (_, ts, tpe) =>
+              if (depth < stages.length && tpe == stages(depth)) {
+                depth += 1
+                out += ((key, depth, ts))
+              }
+          }
+          state.update(depth)
+          out.iterator
+      }
+      .toDF("user_id", "stage_depth", "reached_at")
+  }
+
   /** Streaming as-of enrichment — the streaming twin of q31's batch as-of
     * join: each probe-side event picks up the LATEST reference-side value
     * for its key at-or-before its event time, via one keyed state cell

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Input row for the streaming funnel — top-level for encoder derivation. */
+case class FunEv(user_id: Long, ts: Timestamp, event_type: String)
+
+/** Pipeline.streamingFunnel: stage depth advances only on the NEXT stage
+  * in order (a12's ordered-funnel contract), resumes across micro-batches
+  * from one integer of state per user, and intra-batch out-of-order
+  * events resolve in event-time order. */
+class FunnelStreamSpec extends SparkSuite {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("ordered advance, out-of-order intra-batch resolution, cross-batch " +
+      "resume, and no skip-ahead") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[FunEv]
+    val out = Pipeline.streamingFunnel(Seq("view", "click", "purchase"))(
+      in.toDF())
+    val name = s"funnel_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // user 1: click arrives FIRST in the batch but view has the earlier
+      // event time — the event-time walk must advance view then click.
+      // user 2: purchase before any view — no advance at all (no
+      // skip-ahead).
+      in.addData(
+        FunEv(1L, t("2026-01-01 10:01:00"), "click"),
+        FunEv(1L, t("2026-01-01 10:00:00"), "view"),
+        FunEv(2L, t("2026-01-01 10:00:00"), "purchase"))
+      q.processAllAvailable()
+      // batch 2: user 1 completes with purchase (depth 3 from state);
+      // user 2 starts properly with a view (depth 1)
+      in.addData(
+        FunEv(1L, t("2026-01-01 10:05:00"), "purchase"),
+        FunEv(2L, t("2026-01-01 10:06:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .orderBy("user_id", "stage_depth")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getTimestamp(2).toString.take(19)))
+        .toSeq
+      assert(rows == Seq(
+        (1L, 1, "2026-01-01 10:00:00"),
+        (1L, 2, "2026-01-01 10:01:00"),
+        (1L, 3, "2026-01-01 10:05:00"),
+        (2L, 1, "2026-01-01 10:06:00")),
+        rows.mkString("\n"))
+      val p = q.lastProgress
+      assert(p.stateOperators(0).numRowsTotal == 2L,
+        "one depth integer per user")
+    } finally q.stop()
+  }
+}
