@@ -407,6 +407,51 @@ object MultimodalOps {
       |FROM c
       |ORDER BY doc_id""".stripMargin
 
+  /** ViT patch-grid enumeration — the image-side work-unit calculation a
+    * vision-transformer ingest runs from METADATA ALONE (no decode): per
+    * image, the 16×16 patch grid (ceil-divided per axis), total patch
+    * count, the token sequence length it implies (patches + CLS — the
+    * number that decides whether the image fits the context budget or
+    * needs downscaling), and the center patch's flattened index (the
+    * standard crop-anchor). Dimensions clamp to ≥16 so degenerate
+    * metadata still yields one patch. m02/m04 enumerate 1-D frame/window
+    * grids; this is the 2-D member of the family. Pure per-row integer
+    * codegen, shuffle-free to the output sort. */
+  private def m08(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .withColumn("blob", col("text").cast("binary"))
+      .select(col("doc_id"),
+        greatest(lit(16L), (octet_length(col("blob")) % 640).cast("long"))
+          .as("width"),
+        greatest(lit(16L),
+          ((octet_length(col("blob")) * 7) % 480).cast("long"))
+          .as("height"))
+      .withColumn("patches_x", expr("(width + 15) div 16"))
+      .withColumn("patches_y", expr("(height + 15) div 16"))
+      .withColumn("n_patches", col("patches_x") * col("patches_y"))
+      .withColumn("seq_len", col("n_patches") + 1L)
+      .withColumn("center_idx",
+        expr("(patches_y div 2) * patches_x + (patches_x div 2)"))
+      .orderBy(col("doc_id"))
+
+  private val m08Sql =
+    """SELECT doc_id, width, height,
+      |  (width + 15) // 16 AS patches_x,
+      |  (height + 15) // 16 AS patches_y,
+      |  ((width + 15) // 16) * ((height + 15) // 16) AS n_patches,
+      |  ((width + 15) // 16) * ((height + 15) // 16) + 1 AS seq_len,
+      |  (((height + 15) // 16) // 2) * ((width + 15) // 16)
+      |    + (((width + 15) // 16) // 2) AS center_idx
+      |FROM (
+      |  SELECT doc_id,
+      |    greatest(16, CAST(octet_length(encode(text)) % 640 AS BIGINT))
+      |      AS width,
+      |    greatest(16,
+      |      CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT))
+      |      AS height
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_multimodal_meta" -> QueryDef(m01, Some(m01Sql)),
     "m02_frame_sample" -> QueryDef(m02, Some(m02Sql)),
@@ -415,5 +460,6 @@ object MultimodalOps {
     "m05_video_neardup" -> QueryDef(m05, Some(m05Sql)),
     "m06_audio_fingerprint" -> QueryDef(m06, Some(m06Sql)),
     "m07_scene_cuts" -> QueryDef(m07, Some(m07Sql)),
+    "m08_vit_patch_grid" -> QueryDef(m08, Some(m08Sql)),
   )
 }
