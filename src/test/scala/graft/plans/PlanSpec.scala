@@ -478,14 +478,18 @@ class PlanSpec extends SparkSuite {
   }
 
   test("no registered query plans an unpartitioned window (the whole-table-" +
-      "through-one-task shape)") {
+      "through-one-task shape) or a CartesianProductExec (|L|·|R| without " +
+      "even a broadcast bound)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       df.collect()
       val ws = PlanChecks.unpartitionedWindows(df)
-      if (ws.nonEmpty) Seq(s"$name: ${ws.mkString("; ")}") else Nil
+        .map(w => s"$name [window]: $w") ++
+        (if (PlanChecks.usesCartesianProduct(df))
+          Seq(s"$name [cartesian]") else Nil)
+      ws
     }
     assert(offenders.isEmpty,
-      s"unpartitioned WindowExec in:\n  ${offenders.mkString("\n  ")}")
+      s"scale-hostile operators in:\n  ${offenders.mkString("\n  ")}")
   }
 }
