@@ -1705,9 +1705,10 @@ object DedupOps {
     * applied to an optimizer RULE. (The composed 64-bit code also makes
     * the fingerprint family two-channel: unigram bits catch token-set
     * drift, bigram bits catch reorderings unigrams can't see.) */
-  private def d25(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.hamming64
-    val fp = t(s, dir).documentsSpread
+  /** (doc_id, sh): the two-channel 64-bit fingerprint — unigram simhash
+    * in the high word, bigram simhash in the low (shared by d25/d26). */
+  private def simhash64(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .withColumn("bi", expr(
@@ -1716,6 +1717,10 @@ object DedupOps {
       .select(col("doc_id"),
         (shiftleft(SimHash32.simhash32(col("toks")), 32)
           .bitwiseOR(SimHash32.simhash32(col("bi")))).as("sh"))
+
+  private def d25(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.hamming64
+    val fp = simhash64(t(s, dir).documentsSpread)
     val a = fp.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = fp.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     a.crossJoin(b)
@@ -1726,10 +1731,12 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  private val d25Sql = {
+  /** DuckDB CTE block ending in `fp(doc_id, sh)` — the simhash64 twin
+    * (shared by d25/d26; CTE names chosen to avoid minhashPairsCtes's). */
+  private val simhash64Ctes = {
     val h = StableHash.duckH32("tok")
     val hb = StableHash.duckH32("bitok")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |  WHERE len(string_split(text, ' ')) >= 2),
        |uni AS (SELECT DISTINCT doc_id, tok FROM (
@@ -1767,14 +1774,106 @@ object DedupOps {
        |  SELECT us.doc_id,
        |    (us.sh - CASE WHEN us.sh >= 2147483648 THEN 4294967296
        |      ELSE 0 END) * 4294967296 + bs.sh AS sh
-       |  FROM us JOIN bs USING (doc_id))
+       |  FROM us JOIN bs USING (doc_id))""".stripMargin
+  }
+
+  private val d25Sql =
+    s"""WITH $simhash64Ctes
        |SELECT CAST(a.doc_id AS BIGINT) AS a_id,
        |  CAST(b.doc_id AS BIGINT) AS b_id,
        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
        |FROM fp a JOIN fp b
        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 12
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** Verifier-ensemble consensus — the dedup capstone: every d03 LSH
+    * candidate pair is judged by all three verify families at once —
+    * exact shingle Jaccard (d02's τ = 1/3 rule), banded edit distance
+    * (d24's ⌊maxlen/5⌋ budget), and simhash64 Hamming (d25's ≤ 12) — and
+    * a pair is a duplicate when AT LEAST TWO families agree. The
+    * families fail differently (Jaccard misses in-place edits, edit
+    * distance misses reorderings, simhash blurs short docs), so majority
+    * vote kills each family's characteristic false positives without the
+    * recall loss of requiring unanimity — the adversarial-verification
+    * pattern expressed inside the engine. Cost: three candidates-bounded
+    * keyed joins over the SAME pair set; nothing pairwise beyond the LSH
+    * stage. */
+  private def d26(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.hamming64
+    val docs = t(s, dir).documentsSpread
+    val arr = shingleArrays(docs)
+      .select(col("doc_id"), col("sh_arr"), col("n_sh"))
+    val txt = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val fp = simhash64(docs)
+    minhashLshPairs(docs)
+      .join(arr.select(col("doc_id").as("a_id"), col("sh_arr").as("a_arr"),
+        col("n_sh").as("na")), "a_id")
+      .join(arr.select(col("doc_id").as("b_id"), col("sh_arr").as("b_arr"),
+        col("n_sh").as("nb")), "b_id")
+      .join(txt.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+        col("len").as("a_len")), "a_id")
+      .join(txt.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+        col("len").as("b_len")), "b_id")
+      .join(fp.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(fp.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("n_inter",
+        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
+      .withColumn("v_jaccard", col("n_inter") * 3 >= col("na") + col("nb"))
+      .withColumn("thr", expr("greatest(a_len, b_len) div 5"))
+      .withColumn("v_edit",
+        expr("levenshtein(a_text, b_text, cast(thr as int))") >= 0)
+      .withColumn("v_simhash", hamming64(col("a_sh"), col("b_sh")) <= 12)
+      .withColumn("n_votes",
+        (when(col("v_jaccard"), 1L).otherwise(0L)
+          + when(col("v_edit"), 1L).otherwise(0L)
+          + when(col("v_simhash"), 1L).otherwise(0L)))
+      .select(col("a_id"), col("b_id"), col("v_jaccard"), col("v_edit"),
+        col("v_simhash"), col("n_votes"),
+        (col("n_votes") >= 2L).as("consensus_dup"))
+      .orderBy(col("a_id"), col("b_id"))
   }
+
+  private val d26Sql =
+    s"""WITH $minhashPairsCtes,
+       |$simhash64Ctes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.a_id, p.b_id, count(*) AS n_inter
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.a_id
+       |  JOIN sh b ON b.doc_id = p.b_id AND b.shingle = a.shingle
+       |  GROUP BY p.a_id, p.b_id),
+       |txt AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |scored AS (
+       |  SELECT p.a_id, p.b_id,
+       |    CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       |    sa.n_sh AS na, sb.n_sh AS nb,
+       |    greatest(ta.len, tb.len) // 5 AS thr,
+       |    levenshtein(ta.text, tb.text) AS lev,
+       |    bit_count(xor(fa.sh, fb.sh)) AS hdist
+       |  FROM pairs p
+       |  LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+       |  JOIN sizes sa ON sa.doc_id = p.a_id
+       |  JOIN sizes sb ON sb.doc_id = p.b_id
+       |  JOIN txt ta ON ta.doc_id = p.a_id
+       |  JOIN txt tb ON tb.doc_id = p.b_id
+       |  JOIN fp fa ON fa.doc_id = p.a_id
+       |  JOIN fp fb ON fb.doc_id = p.b_id)
+       |SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+       |  n_inter * 3 >= na + nb AS v_jaccard,
+       |  lev <= thr AS v_edit,
+       |  hdist <= 12 AS v_simhash,
+       |  CAST((CASE WHEN n_inter * 3 >= na + nb THEN 1 ELSE 0 END)
+       |    + (CASE WHEN lev <= thr THEN 1 ELSE 0 END)
+       |    + (CASE WHEN hdist <= 12 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_votes,
+       |  (CASE WHEN n_inter * 3 >= na + nb THEN 1 ELSE 0 END)
+       |    + (CASE WHEN lev <= thr THEN 1 ELSE 0 END)
+       |    + (CASE WHEN hdist <= 12 THEN 1 ELSE 0 END) >= 2
+       |    AS consensus_dup
+       |FROM scored
+       |ORDER BY a_id, b_id""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
@@ -1802,6 +1901,7 @@ object DedupOps {
     "d23_cluster_size_report" -> QueryDef(d23, Some(d23Sql)),
     "d24_edit_distance_verify" -> QueryDef(d24, Some(d24Sql)),
     "d25_hamming_block_join" -> QueryDef(d25, Some(d25Sql)),
+    "d26_verifier_consensus" -> QueryDef(d26, Some(d26Sql)),
   )
 
 

@@ -24,11 +24,11 @@ class QueriesSpec extends SparkSuite {
     val empties = SparkEntry.registry.filter { case (name, d) =>
       d.build(spark, sf0001).count() == 0
     }.map(_._1)
-    // d02/d03/d05/d24/d25: near-dup pairs can legitimately be absent at
-    // tiny SF — all other queries must be non-empty
+    // d02/d03/d05/d24/d25/d26: near-dup pairs can legitimately be absent
+    // at tiny SF — all other queries must be non-empty
     assert(empties.forall(n =>
       n.startsWith("d02") || n.startsWith("d03") || n.startsWith("d05") ||
-        n.startsWith("d24") || n.startsWith("d25")),
+        n.startsWith("d24") || n.startsWith("d25") || n.startsWith("d26")),
       s"unexpected empty results: $empties")
   }
 
