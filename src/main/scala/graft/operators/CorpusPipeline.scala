@@ -1275,6 +1275,84 @@ object CorpusPipeline {
       |  UNION ALL SELECT 128, o128, k128 FROM m) v
       |ORDER BY v.max_len""".stripMargin
 
+  /** Shard-to-worker balancing (serpentine LPT) — the straggler control
+    * for the training-data loader: p04's shards differ in token mass, and
+    * naive round-robin by shard ID can load one worker with the heavy
+    * tail (the slowest worker sets epoch wall-clock — the data-parallel
+    * straggler problem). Serpentine longest-first (rank shards by size,
+    * deal passes alternating direction: 0,1,2,3,3,2,1,0,…) is the
+    * deterministic, relational form of LPT greedy — within ~one shard of
+    * its balance in practice, with zero iterative state. Ranking uses a
+    * broadcast self-join count over the |shards|-row frame (x15's
+    * pattern — no global window; at 10⁶ shards switch to a two-level
+    * bucket rank). Output: each shard's worker plus the worker's total
+    * load and share — the table whose max/min spread IS the predicted
+    * straggler margin. All integer. */
+  private def p20(s: SparkSession, dir: String): DataFrame = {
+    val nWorkers = 4
+    val shards = Tables(s, dir).documentsSpread
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("shard", StableHash.h60(col("text")) % nShards)
+      .groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+    val ranked = shards.as("a")
+      .join(broadcast(shards.select(col("shard").as("b_shard"),
+        col("shard_tokens").as("b_tokens"))),
+        (col("b_tokens") > col("shard_tokens")) ||
+          (col("b_tokens") === col("shard_tokens")
+            && col("b_shard") < col("shard")),
+        "left")
+      .groupBy(col("shard"), col("shard_tokens"))
+      .agg(count(col("b_shard")).as("size_rank"))
+      .withColumn("pass", expr(s"size_rank div $nWorkers"))
+      .withColumn("pos", expr(s"size_rank % $nWorkers"))
+      .withColumn("worker",
+        when(col("pass") % 2 === 0, col("pos"))
+          .otherwise(lit(nWorkers - 1L) - col("pos")))
+    val loads = ranked.groupBy(col("worker"))
+      .agg(sum(col("shard_tokens")).as("worker_tokens"))
+    val total = shards.agg(sum(col("shard_tokens")).as("total"))
+    ranked.join(broadcast(loads), "worker")
+      .crossJoin(broadcast(total))
+      .select(col("shard"), col("size_rank"), col("worker"),
+        col("shard_tokens"), col("worker_tokens"),
+        expr("worker_tokens * 1000 div total").as("worker_share_permille"))
+      .orderBy(col("shard"))
+  }
+
+  private val p20Sql =
+    s"""WITH sh AS (
+       |  SELECT (${StableHash.duckH60("text")}) % $nShards AS shard,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+       |      AS shard_tokens
+       |  FROM documents
+       |  GROUP BY 1),
+       |agg AS (
+       |  SELECT shard, CAST(sum(shard_tokens) AS BIGINT) AS shard_tokens
+       |  FROM sh GROUP BY shard),
+       |rk AS (
+       |  SELECT a.shard, a.shard_tokens,
+       |    (SELECT count(*) FROM agg b
+       |     WHERE b.shard_tokens > a.shard_tokens
+       |       OR (b.shard_tokens = a.shard_tokens AND b.shard < a.shard))
+       |      AS size_rank
+       |  FROM agg a),
+       |asn AS (
+       |  SELECT *, CASE WHEN (size_rank // 4) % 2 = 0 THEN size_rank % 4
+       |    ELSE 3 - (size_rank % 4) END AS worker
+       |  FROM rk),
+       |loads AS (
+       |  SELECT worker, CAST(sum(shard_tokens) AS BIGINT) AS worker_tokens
+       |  FROM asn GROUP BY worker)
+       |SELECT a.shard, CAST(a.size_rank AS BIGINT) AS size_rank,
+       |  CAST(a.worker AS BIGINT) AS worker, a.shard_tokens,
+       |  l.worker_tokens,
+       |  CAST(l.worker_tokens * 1000
+       |    // (SELECT sum(shard_tokens) FROM agg) AS BIGINT)
+       |    AS worker_share_permille
+       |FROM asn a JOIN loads l ON l.worker = a.worker
+       |ORDER BY a.shard""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -1295,5 +1373,6 @@ object CorpusPipeline {
     "p17_contract_audit" -> QueryDef(p17, Some(p17Sql)),
     "p18_row_quarantine" -> QueryDef(p18, Some(p18Sql)),
     "p19_length_ablation" -> QueryDef(p19, Some(p19Sql)),
+    "p20_shard_balance" -> QueryDef(p20, Some(p20Sql)),
   )
 }
