@@ -27,7 +27,12 @@ class DeterminismSpec extends SparkSuite {
     "p09_epoch_shuffle_order", // permutation positions
     "p15_corpus_diff",       // full-outer join statuses
     "p16_length_buckets",    // integer bucket math
-    "x14_rolling_origin_split")
+    "x14_rolling_origin_split",
+    "s17_mmr_rerank",        // unrolled greedy argmax in basis points
+    "x15_neyman_allocation", // isqrt weights + largest-remainder seats
+    "a32_cohort_ltv",        // zero-filled grid + running sums
+    "t27_pmi_collocations",  // floor-log2 rational + top-k ties
+    "p20_shard_balance")     // serpentine rank assignment
 
   private def multiset(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
