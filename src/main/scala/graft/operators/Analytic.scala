@@ -1585,6 +1585,88 @@ object Analytic {
       |  ON n.cohort_day = g.cohort_day AND n.offset_d = g.offset_d
       |ORDER BY g.cohort_day, g.offset_d""".stripMargin
 
+  /** Holt-style trend forecast + miss flags — the FORECASTING member of
+    * the anomaly family (a20's EWMA tracks level only, so a steady ramp
+    * reads as perpetual "spike"; Holt's second smoother tracks the ramp
+    * itself): level = a20's trailing-8 dyadic EWMA of values, trend =
+    * the same smoother over FIRST DIFFERENCES, one-step-ahead forecast =
+    * level + trend, and an event is flagged when the realized value
+    * misses the forecast by > $30. Exact dyadic arithmetic throughout:
+    * integer cents, power-of-two weights, the two EWMAs emitted in
+    * milli-dollars by one truncating division each, and the miss test in
+    * pure integers — bit-identical anywhere (a20's discipline, extended
+    * to the two-smoother recursion's windowed approximation). Per-user
+    * bounded frames (≤8 values of state per row), user-partitioned
+    * windows only. */
+  private def a33(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val w8 = ord.rowsBetween(-7, Window.currentRow)
+    def dyadic(c: String, lstName: String, numName: String,
+        denName: String)(df: DataFrame): DataFrame =
+      df.withColumn(lstName, collect_list(col(c)).over(w8))
+        .withColumn(numName, expr(
+          s"""aggregate(sequence(0, size($lstName) - 1), 0L,
+             |  (acc, i) -> acc + $lstName[i] * shiftleft(1L, i))"""
+            .stripMargin))
+        .withColumn(denName, expr(s"shiftleft(1L, size($lstName)) - 1L"))
+    val base = t(s, dir).events
+      .filter(col("user_id") < 30)
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("d",
+        col("cents") - lag(col("cents"), 1).over(ord))
+      .filter(col("d").isNotNull)
+    val smoothed = dyadic("cents", "lv", "numL", "denL")(
+      dyadic("d", "tv", "numT", "denT")(base))
+      .withColumn("level_milli", expr("(numL * 10) div denL"))
+      .withColumn("trend_milli", expr("(numT * 10) div denT"))
+      .withColumn("forecast_milli", col("level_milli") + col("trend_milli"))
+      .withColumn("next_milli", lead(col("cents"), 1).over(ord) * 10L)
+      .filter(col("next_milli").isNotNull)
+    smoothed.select(col("user_id"), col("event_id"),
+        col("forecast_milli"), col("next_milli"),
+        abs(col("next_milli") - col("forecast_milli")).as("abs_err_milli"),
+        (abs(col("next_milli") - col("forecast_milli")) > 30000L)
+          .as("missed"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val a33Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |    CAST(round(value * 100, 0) AS BIGINT)
+      |      - lag(CAST(round(value * 100, 0) AS BIGINT)) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      |  FROM events WHERE user_id < 30),
+      |f AS (
+      |  SELECT user_id, event_id, ts, cents, d,
+      |    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lv,
+      |    list(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS tv,
+      |    lead(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      * 10 AS next_milli
+      |  FROM e WHERE d IS NOT NULL),
+      |g AS (
+      |  SELECT user_id, event_id, next_milli,
+      |    (list_sum(list_transform(range(0, len(lv)),
+      |      i -> lv[CAST(i AS INT) + 1] * (1::BIGINT << CAST(i AS INT))))
+      |      * 10) // ((1::BIGINT << len(lv)) - 1) AS level_milli,
+      |    (list_sum(list_transform(range(0, len(tv)),
+      |      i -> tv[CAST(i AS INT) + 1] * (1::BIGINT << CAST(i AS INT))))
+      |      * 10) // ((1::BIGINT << len(tv)) - 1) AS trend_milli
+      |  FROM f)
+      |SELECT user_id, event_id,
+      |  CAST(level_milli + trend_milli AS BIGINT) AS forecast_milli,
+      |  CAST(next_milli AS BIGINT) AS next_milli,
+      |  CAST(abs(next_milli - level_milli - trend_milli) AS BIGINT)
+      |    AS abs_err_milli,
+      |  abs(next_milli - level_milli - trend_milli) > 30000 AS missed
+      |FROM g
+      |WHERE next_milli IS NOT NULL
+      |ORDER BY user_id, event_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_tumbling_window" -> QueryDef(a01, Some(a01Sql), headline = true),
     "a02_sliding_window" -> QueryDef(a02, Some(a02Sql)),
@@ -1618,5 +1700,6 @@ object Analytic {
     "a30_outage_gaps" -> QueryDef(a30, Some(a30Sql)),
     "a31_session_paths" -> QueryDef(a31, Some(a31Sql)),
     "a32_cohort_ltv" -> QueryDef(a32, Some(a32Sql)),
+    "a33_holt_forecast" -> QueryDef(a33, Some(a33Sql)),
   )
 }
