@@ -103,7 +103,7 @@ object Bench {
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
     val load0 = loadavg()
-    val calBefore = { calibrate(); calibrate() } // JIT the calibration itself
+    var calBefore = { calibrate(); calibrate() } // JIT the calibration itself
     // per-query time = min of 3 COLD executions with the query ORDER ROTATED
     // between passes: this host shows load-correlated swings (r4's recorded
     // run was ~4x); min-of-N measures the engine rather than the neighbors,
@@ -119,7 +119,7 @@ object Bench {
     // defect where five broken events queries "ran" at 0.06 s each. Failed
     // queries are excluded from queries/total and reported in `failed`.
     val failedWhy = scala.collection.mutable.Map.empty[String, String]
-    for (p <- 0 until passes) {
+    def runPasses(): Unit = for (p <- 0 until passes) {
       val shift = p * names.length / passes
       val order = names.drop(shift) ++ names.take(shift)
       order.foreach { name =>
@@ -134,10 +134,30 @@ object Bench {
         }
       }
     }
-    val calAfter = calibrate()
+    runPasses()
+    var calAfter = calibrate()
+    // Self-defense against a loaded host (this bench recorded load-polluted
+    // totals in r4 and r6 and only post-hoc adjudication caught it): the
+    // fixed-work calibration drifting >1.3x across the run means a neighbor
+    // was taxing the box, so the run measured the neighbor, not the engine.
+    // Sleep once, re-calibrate, and re-run the rotated passes — min-of-N
+    // then picks the quiet passes. If calibration STILL drifts, flag the
+    // artifact itself as load_suspect so no reader trusts the totals.
+    var loadReruns = 0
+    while (calAfter / calBefore > 1.3 && loadReruns < 1) {
+      System.err.println(f"[bench] calibration drifted ${calBefore}%.3f -> " +
+        f"${calAfter}%.3f (host load); sleeping 30s and re-running passes")
+      Thread.sleep(30000)
+      loadReruns += 1
+      calBefore = calibrate()
+      runPasses()
+      calAfter = calibrate()
+    }
+    val loadSuspect = calAfter / calBefore > 1.3
     val load1 = loadavg()
     val hostJson =
       f""","calibration_sec":{"before":$calBefore%.3f,"after":$calAfter%.3f}""" +
+        s""","load_suspect":$loadSuspect,"load_reruns":$loadReruns""" +
         s""","loadavg":{"before":"$load0","after":"$load1"}"""
     // full-route streaming throughput (warmup pass, then the measured pass)
     val streamJson = try {

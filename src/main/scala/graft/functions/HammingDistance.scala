@@ -61,10 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new graft.plans.FailUnpartitionedWindows(spark))
     ext.injectOptimizerRule(spark =>
       new graft.plans.FailCartesianProducts(spark))
-    // exact pigeonhole rewrite: hamming64 ≤ k theta-join → union of k+1
-    // block equi-joins (default ON — see HammingBlockJoinRewrite)
+    // exact pigeonhole rewrite: hamming64 ≤ k theta-join → posexplode
+    // block equi-join (default ON — see HammingBlockJoinRewrite)
     ext.injectOptimizerRule(spark =>
       new graft.plans.HammingBlockJoinRewrite(spark))
+    // exact explode rewrite: arrays_overlap theta-join → element
+    // equi-join (default ON — see SetOverlapJoinRewrite)
+    ext.injectOptimizerRule(spark =>
+      new graft.plans.SetOverlapJoinRewrite(spark))
     ext.injectFunction((
       new FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming64"),

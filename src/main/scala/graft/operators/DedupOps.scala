@@ -1720,12 +1720,11 @@ object DedupOps {
 
   private def d25(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.hamming64
-    // cache: the rewrite expands this join into k+1 block equi-join
-    // branches, and each branch would otherwise recompute the fingerprint
-    // scan per side (cache substitution runs before the optimizer, so
-    // every branch reads ONE InMemoryRelation instead — measured 5.2 s →
-    // ~2 s at sf0.1). Verify/Bench clear the cache between queries.
-    val fp = simhash64(t(s, dir).documentsSpread).cache()
+    // no cache needed: the rewrite's posexplode form (round 7) scans and
+    // fingerprints each side ONCE — the naive query below is exactly
+    // what a user would write, and the rule alone makes it scale
+    // (HammingRewriteSpec pins single-scan-per-side).
+    val fp = simhash64(t(s, dir).documentsSpread)
     val a = fp.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = fp.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     a.crossJoin(b)
@@ -1880,6 +1879,55 @@ object DedupOps {
        |FROM scored
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Overlap-rewrite exactness gate — the oracle-level proof of
+    * [[graft.plans.SetOverlapJoinRewrite]], d25's certification style
+    * transposed to the second rewrite rule: the Spark side is written as
+    * the NAIVE theta join (`arrays_overlap` over 4-gram shingle sets +
+    * an id ordering), which the session rule rewrites into the exploded
+    * element equi-join; DuckDB computes the same relation through an
+    * unnest/equi-join (its own scalable form — 1.25M `list_has_any`
+    * calls would be needlessly slow and prove nothing extra).
+    * Hash-matching rows certify the rewrite is a strict semantic
+    * identity on real text. Scale: post-rewrite this is d02's
+    * group-and-expand shape — one shuffle on the shingle hash; a
+    * production corpus would add d02's hot-shingle cap upstream (the
+    * rewrite preserves whatever the input arrays contain). */
+  private def d27(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 4),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+          |    toks[i+3])))""".stripMargin).as("shingles"))
+    val a = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    a.join(b, arrays_overlap(col("a_sh"), col("b_sh"))
+        && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long")
+          .as("n_shared"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d27Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |shl AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(toks) - 3),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))
+      |    AS shingles
+      |  FROM w WHERE len(toks) >= 4),
+      |l AS (SELECT doc_id AS a_id, unnest(shingles) AS s FROM shl
+      |  WHERE doc_id % 20 = 0),
+      |r AS (SELECT doc_id AS b_id, unnest(shingles) AS s FROM shl)
+      |SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM l JOIN r USING (s) WHERE a_id < b_id
+      |GROUP BY a_id, b_id
+      |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -1905,8 +1953,13 @@ object DedupOps {
     "d22_jaccard_threshold_sweep" -> QueryDef(d22, Some(d22Sql)),
     "d23_cluster_size_report" -> QueryDef(d23, Some(d23Sql)),
     "d24_edit_distance_verify" -> QueryDef(d24, Some(d24Sql)),
-    "d25_hamming_block_join" -> QueryDef(d25, Some(d25Sql)),
+    // d25/d27 are headlines since round 7: each gates a default-on
+    // Catalyst rewrite rule, so their per-round bench rows track the
+    // rules' performance directly (d25 also lost its caller-side cache
+    // this round — the single-scan rewrite carries it alone now)
+    "d25_hamming_block_join" -> QueryDef(d25, Some(d25Sql), headline = true),
     "d26_verifier_consensus" -> QueryDef(d26, Some(d26Sql)),
+    "d27_overlap_join_rewrite" -> QueryDef(d27, Some(d27Sql), headline = true),
   )
 
 

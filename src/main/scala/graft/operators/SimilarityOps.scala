@@ -1451,16 +1451,20 @@ object SimilarityOps {
     val c = emb.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("vd").as("cv"),
         col("nrm").as("cn"))
+    // rank by the INTEGER basis points (not the rounded double, not the
+    // raw cosine) so shortlist order is bit-exact against the oracle,
+    // which ranks by the same integer — the discipline the later MMR
+    // stages already use
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("simq").desc, col("c_id"))
+      .orderBy(col("simq_bp").desc, col("c_id"))
     val short = broadcast(q).join(c, lit(true))
       .withColumn("simq",
         round(dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("simq_bp", expr("cast(round(simq * 10000) as bigint)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 8)
       .select(col("q_id"), col("c_id"), col("cv"), col("cn"),
-        expr("cast(round(simq * 10000) as bigint)").as("simq_bp"),
-        col("rk"))
+        col("simq_bp"), col("rk"))
     val pairs = short
       .select(col("q_id"), col("c_id").as("a_id"), col("cv").as("av"),
         col("cn").as("an"))
@@ -1524,7 +1528,8 @@ object SimilarityOps {
        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
        |    CAST(round($cosQC * 10000) AS BIGINT) AS simq_bp,
        |    row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY $cosQC DESC, c.vec_id) AS rk
+       |      ORDER BY CAST(round($cosQC * 10000) AS BIGINT) DESC,
+       |        c.vec_id) AS rk
        |  FROM embeddings q JOIN embeddings c
        |    ON q.vec_id < 10 AND c.vec_id >= 10),
        |short AS (SELECT * FROM sc WHERE rk <= 8),

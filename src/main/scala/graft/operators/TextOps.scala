@@ -1099,10 +1099,9 @@ object TextOps {
     * rules learned from the corpus word-frequency table, in merge order
     * with their winning pair counts. Deterministic end-to-end (max-count
     * with lexicographic tie-breaks — BpeTrainerSpec proves the sequence
-    * equals a naive in-memory BPE), but the iterated merge loop is not
-    * expressible as one SQL query, so this entry carries the driver's
-    * rows-only check and the ScalaTest differential gate does the
-    * semantic work (a06's sketch-gate discipline, transposed).
+    * equals a naive in-memory BPE), and oracle-checkable: the 10-merge
+    * loop unrolls into 10 CTE stages over the word-frequency table (see
+    * [[t24Sql]]), so the driver hash-gates the full merge sequence.
     *
     * Scale: the corpus is touched ONCE (word-freq aggregate, rows =
     * vocabulary); every merge round works on the vocabulary-bounded word
@@ -1118,6 +1117,52 @@ object TextOps {
     BpeTrainer.train(wf, nMerges = 10).zipWithIndex
       .map { case (m, i) => (i.toLong + 1L, m.left, m.right, m.count) }
       .toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** DuckDB twin of the 10-merge BPE training loop, fully unrolled: each
+    * stage argmaxes the weighted pair count (ties by (l, r), matching the
+    * trainer) and re-segments by a single `replace`. Words are encoded as
+    * strings with every symbol wrapped in chr(31) markers
+    * (`␟sym␟␟sym␟…`): chr(31) is below the corpus alphabet (lowercase +
+    * space, and symbols never contain the space we split on), so the
+    * wrapped encoding makes `replace(w, ␟l␟␟r␟, ␟lr␟)` EXACTLY the BPE
+    * within-iteration rule — replace scans left-to-right over
+    * non-overlapping occurrences, and per-symbol wrappers mean adjacent
+    * matches never share boundary bytes. Validated against a naive
+    * in-memory BPE at sf0.001/0.01/0.1 before wiring. */
+  private val t24Sql: String = {
+    val S = "chr(31)"
+    def stage(k: Int): String =
+      s"""pairs$k AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS n
+         |  FROM (SELECT string_split(trim(w, chr(31)), $S || $S) AS syms,
+         |      freq,
+         |      unnest(generate_series(1,
+         |        len(string_split(trim(w, chr(31)), $S || $S)) - 1)) AS i
+         |    FROM words${k - 1}) px
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, n FROM pairs$k ORDER BY n DESC, l, r LIMIT 1),
+         |words$k AS (
+         |  SELECT replace(s.w, $S || m.l || $S || $S || m.r || $S,
+         |    $S || m.l || m.r || $S) AS w, s.freq
+         |  FROM words${k - 1} s, m$k m)""".stripMargin
+    val head =
+      """WITH wf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents) u
+        |  WHERE length(word) > 0 GROUP BY word),
+        |words0 AS (
+        |  SELECT array_to_string(list_transform(
+        |    generate_series(1, length(word)),
+        |    i -> chr(31) || substr(word, i, 1) || chr(31)), '') AS w, freq
+        |  FROM wf),""".stripMargin
+    val picks = (1 to 10).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS merge_rank, l AS "left",""" +
+        s""" r AS "right", CAST(n AS BIGINT) AS pair_count FROM m$k""")
+      .mkString("\nUNION ALL\n")
+    head + "\n" + (1 to 10).map(stage).mkString(",\n") +
+      s"\nSELECT * FROM (\n$picks\n) ORDER BY merge_rank"
   }
 
   /** Flesch reading-ease readability — the classic shallow quality signal
@@ -1381,7 +1426,7 @@ object TextOps {
     "t21_source_similarity" -> QueryDef(t21, Some(t21Sql)),
     "t22_zipf_slope" -> QueryDef(t22, Some(t22Sql)),
     "t23_posting_lists" -> QueryDef(t23, Some(t23Sql)),
-    "t24_bpe_vocab" -> QueryDef(t24, None),
+    "t24_bpe_vocab" -> QueryDef(t24, Some(t24Sql)),
     "t25_flesch_readability" -> QueryDef(t25, Some(t25Sql)),
     "t26_script_mixing" -> QueryDef(t26, Some(t26Sql)),
     "t27_pmi_collocations" -> QueryDef(t27, Some(t27Sql)),

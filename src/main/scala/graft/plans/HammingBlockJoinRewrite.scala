@@ -4,7 +4,7 @@ import graft.functions.HammingDistance
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -15,14 +15,24 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * |L|·|R| fingerprint comparisons, the shape that never finishes at
   * 100 TB. But if two 64-bit codes differ in ≤ k bits, then splitting
   * the code into k+1 disjoint blocks forces AT LEAST ONE block to be
-  * bit-identical (pigeonhole), so the join is EXACTLY equivalent to a
-  * union of k+1 EQUI-joins on block values — each a plain shuffled hash
-  * join costing O(block collisions) — with the original predicate
-  * re-applied. Every qualifying pair is emitted exactly once: branch i
-  * additionally requires blocks 0..i−1 to DIFFER, so a pair surfaces
-  * only from its first matching block (no dedup aggregate, so row
-  * multiplicities are preserved verbatim — the rewrite is a strict
-  * plan-level identity, HammingRewriteSpec proves result equality).
+  * bit-identical (pigeonhole), so the join is EXACTLY equivalent to an
+  * equi-join on block values — each side posexplodes its k+1 (index,
+  * block) rows and the join keys on (index, block), a plain shuffled
+  * hash join costing O(block collisions). Every qualifying pair is
+  * emitted exactly once: the match at index i additionally requires
+  * blocks 0..i−1 to DIFFER, so a pair surfaces only from its first
+  * matching block (no dedup aggregate, so row multiplicities are
+  * preserved verbatim — the rewrite is a strict plan-level identity,
+  * HammingRewriteSpec proves result equality).
+  *
+  * SELF-CONTAINED single-scan shape (round 7; was a Union of k+1
+  * two-sided joins before): the union form re-planned the same children
+  * under every branch, so each input was scanned — and its fingerprint
+  * expressions recomputed — k+1 times unless the caller happened to
+  * `.cache()` first. The posexplode form reads each input ONCE,
+  * replicates rows (k+1)× inside the exchange, and runs ONE join — no
+  * caching contract leaks to the user, and AQE sees a single join to
+  * skew-split. HammingRewriteSpec pins single-scan-per-side.
   *
   * This automates the d04 `simhashNearDups` topology for ANY user query
   * on a [[graft.functions.GraftExtensions]] session — write the naive
@@ -31,15 +41,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * spans the two sides with k ≤ 15 (beyond that, 4-bit blocks collide
   * too often to help), and no equi-conjunct already links the sides
   * (an existing equi-join is already O(collisions); this also makes
-  * the rewrite a fixed point — its own output carries block equalities).
+  * the rewrite a fixed point — its own output joins on block equality).
   * Default ON; disable with `spark.graft.hammingBlockJoinRewrite=false`.
   */
 class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
-
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case x => Seq(x)
-  }
 
   /** The `hamming64(a,b) ≤ k` conjunct, in any comparison spelling. */
   private def hammingBound(cs: Seq[Expression])
@@ -53,29 +58,6 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         (a, b, k)
       case GreaterThan(Literal(k: Int, IntegerType), HammingDistance(a, b)) =>
         (a, b, k - 1)
-    }
-
-  /** Orient (a, b) as (left-side, right-side) expressions, if they split. */
-  private def oriented(a: Expression, b: Expression,
-      l: LogicalPlan, r: LogicalPlan): Option[(Expression, Expression)] =
-    if (a.references.nonEmpty && b.references.nonEmpty
-        && a.references.subsetOf(l.outputSet)
-        && b.references.subsetOf(r.outputSet)) Some((a, b))
-    else if (a.references.nonEmpty && b.references.nonEmpty
-        && b.references.subsetOf(l.outputSet)
-        && a.references.subsetOf(r.outputSet)) Some((b, a))
-    else None
-
-  private def hasEquiBetween(cs: Seq[Expression],
-      l: LogicalPlan, r: LogicalPlan): Boolean =
-    cs.exists {
-      case EqualTo(x, y) =>
-        x.references.nonEmpty && y.references.nonEmpty &&
-          ((x.references.subsetOf(l.outputSet)
-              && y.references.subsetOf(r.outputSet)) ||
-            (y.references.subsetOf(l.outputSet)
-              && x.references.subsetOf(r.outputSet)))
-      case _ => false
     }
 
   private def blockOf(x: Expression, offset: Int, width: Int): Expression = {
@@ -93,12 +75,13 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformUp {
       case j @ Join(l, r, jt, Some(cond), hint)
           if (jt == Inner || jt == Cross) && j.resolved =>
-        val cs = conjuncts(cond)
+        val cs = RewriteSupport.conjuncts(cond)
         hammingBound(cs) match {
           case Some((ax, bx, k))
               if k >= 0 && k <= 15 && ax.dataType == LongType
-                && bx.dataType == LongType && !hasEquiBetween(cs, l, r) =>
-            oriented(ax, bx, l, r) match {
+                && bx.dataType == LongType
+                && !RewriteSupport.hasEquiBetween(cs, l, r) =>
+            RewriteSupport.oriented(ax, bx, l, r) match {
               case Some((a, b)) =>
                 val n = k + 1
                 val base = 64 / n
@@ -106,21 +89,64 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 val widths = (0 until n).map(i =>
                   base + (if (i < rem) 1 else 0))
                 val offsets = widths.scanLeft(0)(_ + _)
-                val branches = (0 until n).map { i =>
-                  val eqI = EqualTo(blockOf(a, offsets(i), widths(i)),
-                    blockOf(b, offsets(i), widths(i)))
-                  val neBefore = (0 until i).map(p =>
+                def blocksArr(x: Expression) = CreateArray(
+                  (0 until n).map(i => blockOf(x, offsets(i), widths(i))))
+                val posL = AttributeReference("graft_bidx_l", IntegerType,
+                  nullable = false)()
+                val valL = AttributeReference("graft_bval_l", LongType)()
+                val posR = AttributeReference("graft_bidx_r", IntegerType,
+                  nullable = false)()
+                val valR = AttributeReference("graft_bval_r", LongType)()
+                val genL = Generate(PosExplode(blocksArr(a)), Nil,
+                  outer = false, None, Seq(posL, valL), l)
+                val genR = Generate(PosExplode(blocksArr(b)), Nil,
+                  outer = false, None, Seq(posR, valR), r)
+                // first-match-only: blocks before the matched index differ
+                // (for p ≥ index the conjunct is vacuously true)
+                val priorDiffer = (0 until n - 1).map(p =>
+                  Or(GreaterThanOrEqual(Literal(p), posL),
                     Not(EqualTo(blockOf(a, offsets(p), widths(p)),
-                      blockOf(b, offsets(p), widths(p)))))
-                  val full = (Seq(eqI) ++ neBefore :+ cond).reduce(And)
-                  Join(l, r, Inner, Some(full), hint)
-                }
-                if (branches.size == 1) branches.head
-                else Union(branches.toIndexedSeq)
+                      blockOf(b, offsets(p), widths(p))))))
+                val full = (Seq(EqualTo(posL, posR), EqualTo(valL, valR))
+                  ++ priorDiffer :+ cond).reduce(And)
+                Project(j.output,
+                  Join(genL, genR, Inner, Some(full), hint))
               case None => j
             }
           case _ => j
         }
     }
   }
+}
+
+/** Shared pattern helpers for the theta-join rewrite rules. */
+private[plans] object RewriteSupport {
+
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Orient (a, b) as (left-side, right-side) expressions, if they split. */
+  def oriented(a: Expression, b: Expression,
+      l: LogicalPlan, r: LogicalPlan): Option[(Expression, Expression)] =
+    if (a.references.nonEmpty && b.references.nonEmpty
+        && a.references.subsetOf(l.outputSet)
+        && b.references.subsetOf(r.outputSet)) Some((a, b))
+    else if (a.references.nonEmpty && b.references.nonEmpty
+        && b.references.subsetOf(l.outputSet)
+        && a.references.subsetOf(r.outputSet)) Some((b, a))
+    else None
+
+  def hasEquiBetween(cs: Seq[Expression],
+      l: LogicalPlan, r: LogicalPlan): Boolean =
+    cs.exists {
+      case EqualTo(x, y) =>
+        x.references.nonEmpty && y.references.nonEmpty &&
+          ((x.references.subsetOf(l.outputSet)
+              && y.references.subsetOf(r.outputSet)) ||
+            (y.references.subsetOf(l.outputSet)
+              && x.references.subsetOf(r.outputSet)))
+      case _ => false
+    }
 }

@@ -39,6 +39,12 @@ object PlanChecks {
       case s: FileSourceScanExec => s.output.size
     }.maxOption.getOrElse(0)
 
+  /** Number of parquet scan nodes in the EXECUTED (post-AQE) plan — the
+    * single-scan-per-input pin for the theta-join rewrites (string
+    * counting over toString would double-count AQE's Initial Plan). */
+  def countParquetScans(df: DataFrame): Int =
+    physical(df).count(_.isInstanceOf[FileSourceScanExec])
+
   def usesBroadcastJoin(df: DataFrame): Boolean =
     physical(df).exists(_.isInstanceOf[BroadcastHashJoinExec])
 

@@ -84,4 +84,5 @@ object ScaleGuards {
   val FailUnpartitionedWindowsKey = "spark.graft.failUnpartitionedWindows"
   val FailCartesianProductsKey = "spark.graft.failCartesianProducts"
   val HammingBlockJoinRewriteKey = "spark.graft.hammingBlockJoinRewrite"
+  val OverlapJoinRewriteKey = "spark.graft.overlapJoinRewrite"
 }

@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, IntegerType, MapType, StructType}
+
+/** Exact explode rewrite for set-overlap theta joins — the companion of
+  * [[HammingBlockJoinRewrite]], automating d02's group-and-expand
+  * topology for naive user queries: an inner join whose only cross-side
+  * predicate is `arrays_overlap(a, b)` (or an intersect-size threshold,
+  * see below) plans as a nested-loop cartesian — |L|·|R| array
+  * comparisons. But any qualifying pair shares at least one element
+  * (the same pigeonhole identity as the Hamming blocks), so the join is
+  * EXACTLY equivalent to exploding the distinct elements of each side
+  * and equi-joining on the element — a plain shuffled hash join costing
+  * O(element collisions).
+  *
+  * Every qualifying pair is emitted exactly once: the match is
+  * additionally pinned to the pair's MINIMUM non-null common element
+  * (`ea = array_min(array_intersect(a, b))` — array_min skips nulls),
+  * so of the possibly-many shared elements exactly one produces the
+  * row, with no dedup aggregate — row multiplicities are preserved
+  * verbatim and the rewrite is a strict plan-level identity
+  * (OverlapRewriteSpec proves result equality, nulls and duplicate
+  * elements included). Null exactness mirrors `arrays_overlap`'s own
+  * contract: it returns TRUE only when a non-null common element
+  * exists (null-only overlap yields NULL → the pair is rejected), and
+  * the exploded equi-join likewise never matches null elements.
+  *
+  * Accepted conjunct spellings:
+  *  - `arrays_overlap(a, b)` — exact for any atomic element type,
+  *    nullable elements included (per the argument above);
+  *  - `size(array_intersect(a, b)) >= k` with k ≥ 1 (and the >, and
+  *    reversed-literal, spellings) — here `size` COUNTS a shared null,
+  *    so this form fires only when the array types are statically
+  *    null-free (`containsNull = false`); the full threshold predicate
+  *    is re-applied after the equi-join.
+  *
+  * Fires only when the join is inner/cross, the overlap conjunct spans
+  * the two sides, the element type is atomic (orderable + joinable),
+  * and no equi-conjunct already links the sides (an existing equi-join
+  * is already O(collisions); this also makes the rewrite a fixed
+  * point — its own output joins on element equality). Default ON;
+  * disable with `spark.graft.overlapJoinRewrite=false`.
+  */
+class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** The overlap conjunct: (a, b, re-check-needed). `arrays_overlap`
+    * itself is implied by the equi-match only when no threshold is
+    * involved, but the original conjunct is always re-applied anyway
+    * (it is cheap and keeps the rewrite obviously sound). */
+  private def overlapConjunct(cs: Seq[Expression])
+      : Option[(Expression, Expression)] = {
+    def nullFree(e: Expression): Boolean = e.dataType match {
+      case ArrayType(_, containsNull) => !containsNull
+      case _ => false
+    }
+    cs.collectFirst {
+      case ArraysOverlap(a, b) => (a, b)
+      case GreaterThanOrEqual(Size(ArrayIntersect(a, b), _),
+            Literal(k: Int, IntegerType))
+          if k >= 1 && nullFree(a) && nullFree(b) => (a, b)
+      case GreaterThan(Size(ArrayIntersect(a, b), _),
+            Literal(k: Int, IntegerType))
+          if k >= 0 && nullFree(a) && nullFree(b) => (a, b)
+      case LessThanOrEqual(Literal(k: Int, IntegerType),
+            Size(ArrayIntersect(a, b), _))
+          if k >= 1 && nullFree(a) && nullFree(b) => (a, b)
+      case LessThan(Literal(k: Int, IntegerType),
+            Size(ArrayIntersect(a, b), _))
+          if k >= 0 && nullFree(a) && nullFree(b) => (a, b)
+    }
+  }
+
+  /** Scalar (non-nested) orderable element — what both the equi-join
+    * keys and the `array_min` dedup pin require. */
+  private def atomicElem(e: Expression): Boolean = e.dataType match {
+    case ArrayType(et, _) => et match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case other => RowOrdering.isOrderable(other)
+    }
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val enabled = spark.conf
+      .getOption(ScaleGuards.OverlapJoinRewriteKey)
+      .forall(!_.equalsIgnoreCase("false"))
+    if (!enabled) return plan
+    plan.transformUp {
+      case j @ Join(l, r, jt, Some(cond), hint)
+          if (jt == Inner || jt == Cross) && j.resolved =>
+        val cs = RewriteSupport.conjuncts(cond)
+        overlapConjunct(cs) match {
+          case Some((ax, bx))
+              if atomicElem(ax) && atomicElem(bx)
+                && ax.dataType.asInstanceOf[ArrayType].elementType ==
+                  bx.dataType.asInstanceOf[ArrayType].elementType
+                && !RewriteSupport.hasEquiBetween(cs, l, r) =>
+            RewriteSupport.oriented(ax, bx, l, r) match {
+              case Some((a, b)) =>
+                val elemType =
+                  a.dataType.asInstanceOf[ArrayType].elementType
+                val ea = AttributeReference("graft_elem_l", elemType)()
+                val eb = AttributeReference("graft_elem_r", elemType)()
+                val genL = Generate(Explode(ArrayDistinct(a)), Nil,
+                  outer = false, None, Seq(ea), l)
+                val genR = Generate(Explode(ArrayDistinct(b)), Nil,
+                  outer = false, None, Seq(eb), r)
+                val firstCommon = ArrayMin(ArrayIntersect(a, b))
+                val full = (Seq(EqualTo(ea, eb),
+                  EqualTo(ea, firstCommon)) :+ cond).reduce(And)
+                Project(j.output,
+                  Join(genL, genR, Inner, Some(full), hint))
+              case None => j
+            }
+          case _ => j
+        }
+    }
+  }
+}

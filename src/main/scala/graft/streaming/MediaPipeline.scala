@@ -41,12 +41,105 @@ object MediaPipeline {
 
   /** Partition-wise decode: one decoder instance per partition (the
     * expensive init — codec contexts, model weights — amortizes across the
-    * partition's rows, the same reason PySpark uses mapInPandas batches). */
-  def decodeAll(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    * partition's rows, the same reason PySpark uses mapInPandas batches).
+    * The decoder is the SLOT: default is the stub; [[PpmDecoder.decode]]
+    * is a real, dependency-free codec proving the slot carries genuine
+    * pixel decoding with no topology change (MediaDecodeSpec). */
+  def decodeAll(media: Dataset[MediaRecord],
+      decoder: MediaRecord => DecodedMedia = StubDecoder.decode)
+      : Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real impl: open codec context here, close on iterator exhaustion
-      rows.map(StubDecoder.decode)
+      rows.map(decoder)
+    }
+  }
+
+  /** REAL decoder for binary PPM (P6) — a complete image codec in pure
+    * byte math, no library: ASCII header (`P6`, optional `#` comments,
+    * width, height, maxval ≤ 255, one whitespace) followed by
+    * width×height packed RGB bytes. Exists to prove the decoder slot
+    * end-to-end: same signature and error-row channel as the stub, but
+    * width/height/pixels come from actually parsing the container. */
+  object PpmDecoder {
+
+    /** Parse a P6 blob → (width, height, RGB bytes), or an error. */
+    def parse(blob: Array[Byte]): Either[String, (Int, Int, Array[Byte])] = {
+      if (blob == null || blob.length < 2) return Left("empty blob")
+      if (blob(0) != 'P' || blob(1) != '6') return Left("not a P6 ppm")
+      var i = 2
+      def skipSpace(): Unit = {
+        var in = true
+        while (in && i < blob.length) {
+          val c = blob(i)
+          if (c == '#') { while (i < blob.length && blob(i) != '\n') i += 1 }
+          else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+          else in = false
+        }
+      }
+      def readInt(): Int = {
+        skipSpace()
+        var v = 0
+        var any = false
+        while (i < blob.length && blob(i) >= '0' && blob(i) <= '9') {
+          v = v * 10 + (blob(i) - '0'); i += 1; any = true
+        }
+        if (!any) -1 else v
+      }
+      val w = readInt(); val h = readInt(); val maxval = readInt()
+      if (w <= 0 || h <= 0) Left("bad dimensions")
+      else if (maxval <= 0 || maxval > 255) Left("unsupported maxval")
+      else {
+        i += 1 // exactly one whitespace byte after maxval
+        val need = w * h * 3
+        if (blob.length - i < need) Left("truncated pixel data")
+        else Right((w, h, java.util.Arrays.copyOfRange(blob, i, i + need)))
+      }
+    }
+
+    def decode(r: MediaRecord): DecodedMedia = parse(r.blob) match {
+      case Left(err) =>
+        DecodedMedia(r.media_id, r.kind,
+          if (r.blob == null) 0L else r.blob.length.toLong,
+          0, 0, 0, ok = false, err)
+      case Right((w, h, _)) =>
+        DecodedMedia(r.media_id, r.kind, r.blob.length.toLong,
+          w, h, n_frames = 1, ok = true, error = null)
+    }
+
+    /** Integer luma plane ((77R + 150G + 29B) >> 8 — the BT.601 integer
+      * approximation) from decoded pixels; the input m03's blockhash fold
+      * runs over when the slot is plugged in (MediaDecodeSpec). Failed
+      * decodes yield an empty plane (the ok=false error row carries the
+      * cause). */
+    def lumaPlane(blob: Array[Byte]): Array[Long] = parse(blob) match {
+      case Left(_) => Array.empty[Long]
+      case Right((w, h, px)) =>
+        val out = new Array[Long](w * h)
+        var p = 0
+        while (p < w * h) {
+          val r = px(p * 3) & 0xFF
+          val g = px(p * 3 + 1) & 0xFF
+          val b = px(p * 3 + 2) & 0xFF
+          out(p) = ((77 * r + 150 * g + 29 * b) >> 8).toLong
+          p += 1
+        }
+        out
+    }
+  }
+
+  /** Decode media → per-pixel luma plane rows `(media_id, ok, lumas)`,
+    * partition-wise like [[decodeAll]]. Downstream, m03's 16-block
+    * signature fold applies to `lumas` unchanged — the pixel-domain form
+    * of the byte-domain declared query. */
+  def decodeLuma(media: Dataset[MediaRecord])
+      : Dataset[(Long, Boolean, Array[Long])] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val lum = PpmDecoder.lumaPlane(r.blob)
+        (r.media_id, lum.nonEmpty, lum)
+      }
     }
   }
 

@@ -187,34 +187,48 @@ object Pipeline {
     * before any view advances nothing, matching a12's nested
     * running-min semantics), and each advance emits (user, new depth,
     * event time) — the row a live funnel dashboard increments on.
-    * Events are walked in event-time order within each micro-batch;
-    * cross-batch progress resumes from state. State is O(1) per user
-    * forever — the batch query re-scans history per run; this pays one
-    * integer per user instead. */
-  def streamingFunnel(stages: Seq[String])(df: DataFrame): DataFrame = {
+    * Events are walked in event-time order within each micro-batch
+    * (equal timestamps tiebreak by funnel-stage index, so an
+    * earlier-stage event at the same instant is consumed first — the
+    * monotone walk a12's ordered contract implies); cross-batch progress
+    * resumes from state. State is O(1) per user — and, like
+    * [[streamingAsOf]], an optional processing-time `stateTtl` expires
+    * users idle past the horizon so abandoned funnels don't pin a state
+    * row forever (`None` keeps the cumulative-forever behavior for
+    * bounded user populations). */
+  def streamingFunnel(stages: Seq[String],
+      stateTtl: Option[String] = None)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val sess = df.sparkSession
     import sess.implicits._
+    val timeout = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     df.select(col("user_id").cast("long"), col("ts").cast("timestamp"),
         col("event_type").cast("string"))
       .as[(Long, java.sql.Timestamp, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Int, (Long, Int, java.sql.Timestamp)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (key: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
             state: GroupState[Int]) =>
-          var depth = state.getOption.getOrElse(0)
-          val out = scala.collection.mutable.ListBuffer
-            .empty[(Long, Int, java.sql.Timestamp)]
-          rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
-            case (_, ts, tpe) =>
-              if (depth < stages.length && tpe == stages(depth)) {
-                depth += 1
-                out += ((key, depth, ts))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var depth = state.getOption.getOrElse(0)
+            val out = scala.collection.mutable.ListBuffer
+              .empty[(Long, Int, java.sql.Timestamp)]
+            rows.toSeq
+              .sortBy(r => (r._2.getTime, stages.indexOf(r._3)))
+              .foreach {
+                case (_, ts, tpe) =>
+                  if (depth < stages.length && tpe == stages(depth)) {
+                    depth += 1
+                    out += ((key, depth, ts))
+                  }
               }
+            state.update(depth)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(depth)
-          out.iterator
       }
       .toDF("user_id", "stage_depth", "reached_at")
   }
@@ -235,7 +249,7 @@ object Pipeline {
     * interleavings are handled exactly). Output per probe row: its value,
     * the attached ref value/ts (null before the first ref), and the
     * staleness lag in ms — the same columns q31 materializes, so a batch
-    * replay through q31's union-scan is the oracle (EventsStreamSpec
+    * replay through q31's union-scan is the oracle (AsOfStreamSpec
     * drives the cross-batch equivalence). TTL expires idle keys. */
   def streamingAsOf(stateTtl: String = "30 minutes")(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -254,8 +268,13 @@ object Pipeline {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // event-time walk within the batch: refs update the cell,
-            // probes read it — exact for any intra-batch interleaving
-            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            // probes read it — exact for any intra-batch interleaving.
+            // At equal event time a ref must be applied BEFORE the probe
+            // reads (at-or-before attaches a ref at exactly the probe's
+            // ts, matching q31's tie rule and the cross-batch behavior
+            // where the same ref arrives in an earlier batch).
+            val sorted = rows.toSeq
+              .sortBy(r => (r._2.getTime, if (r._3 == "ref") 0 else 1))
             var cur = state.getOption
             val out = sorted.flatMap {
               case (_, ts, "ref", v) =>

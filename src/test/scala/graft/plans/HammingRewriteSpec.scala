@@ -5,11 +5,11 @@ import graft.functions.GraftFunctions.hamming64
 import org.apache.spark.sql.functions._
 
 /** HammingBlockJoinRewrite: a naive cross join filtered on
-  * hamming64(a,b) ≤ k plans as a union of k+1 block equi-joins (no
-  * nested-loop/cartesian), produces EXACTLY the rows of the naive
-  * evaluation (JVM-side ground truth), preserves duplicate-row
-  * multiplicity, and stands down when disabled or when an equi-join
-  * already links the sides. */
+  * hamming64(a,b) ≤ k plans as ONE posexplode block equi-join (no
+  * nested-loop/cartesian, no union, each input scanned once), produces
+  * EXACTLY the rows of the naive evaluation (JVM-side ground truth),
+  * preserves duplicate-row multiplicity, and stands down when disabled
+  * or when an equi-join already links the sides. */
 class HammingRewriteSpec extends SparkSuite {
 
   private def codes(seed: Long, n: Int) = {
@@ -44,7 +44,12 @@ class HammingRewriteSpec extends SparkSuite {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"rewrite did not fire:\n$plan")
-    assert(plan.contains("Union"), s"expected union of block joins:\n$plan")
+    // self-contained single-join shape: no union of branches, one
+    // posexplode per side, each input scanned exactly once
+    assert(!plan.contains("Union"), s"expected single block join:\n$plan")
+    assert(plan.contains("graft_bidx"), s"expected posexplode blocks:\n$plan")
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 2, s"each side must be scanned once, saw $scans:\n$plan")
     val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSeq.sorted
     val want = (for {
@@ -70,14 +75,14 @@ class HammingRewriteSpec extends SparkSuite {
     try {
       val off = left.crossJoin(right)
         .filter(hamming64(col("lcode"), col("rcode")) <= 2)
-      assert(!off.queryExecution.executedPlan.toString.contains("Union"))
+      assert(!off.queryExecution.executedPlan.toString.contains("graft_bidx"))
       // rows still correct without the rewrite (30 pairs differ by 1 bit)
       assert(off.count() == 30)
     } finally spark.conf.unset(ScaleGuards.HammingBlockJoinRewriteKey)
     // equi-join already present → no rewrite, plan is the plain equi-join
     val equi = left.join(right, col("lid") === col("rid")
       && hamming64(col("lcode"), col("rcode")) <= 2)
-    assert(!equi.queryExecution.executedPlan.toString.contains("Union"))
+    assert(!equi.queryExecution.executedPlan.toString.contains("graft_bidx"))
     assert(equi.count() == 30)
   }
 }

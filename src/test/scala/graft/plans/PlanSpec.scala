@@ -459,14 +459,22 @@ class PlanSpec extends SparkSuite {
 
   test("round-6 topologies stay keyed: d24's edit-distance verify is " +
       "candidates-bounded (no cartesian), d25's naive hamming predicate " +
-      "plans as the block equi-join union, q53 broadcasts parents, s17's " +
-      "MMR stages never go cartesian past the panel probe") {
+      "plans as ONE posexplode block equi-join with a single scan per " +
+      "side, q53 broadcasts parents, s17's MMR stages never go cartesian " +
+      "past the panel probe") {
     assert(!PlanChecks.usesCartesianProduct(run("d24_edit_distance_verify")))
     val d25 = run("d25_hamming_block_join")
     assert(!PlanChecks.usesCartesianProduct(d25),
       "rewrite must remove the cartesian")
-    assert(d25.queryExecution.executedPlan.toString.contains("Union"),
-      "expected the pigeonhole block-join union")
+    val d25Plan = d25.queryExecution.executedPlan.toString
+    assert(!d25Plan.contains("Union"),
+      "round-7 rewrite: single join, not a branch union")
+    assert(d25Plan.contains("graft_bidx"),
+      "expected the pigeonhole posexplode blocks")
+    // self-contained: each side reads the documents scan ONCE, with no
+    // caller-side cache (was the r6 design-note gap)
+    val d25Scans = PlanChecks.countParquetScans(d25)
+    assert(d25Scans <= 2, s"expected ≤2 parquet scans, saw $d25Scans")
     val q53 = run("q53_fk_orphans")
     assert(!PlanChecks.usesCartesianProduct(q53))
     assert(PlanChecks.usesBroadcastJoin(q53), "parents should broadcast")
@@ -475,6 +483,20 @@ class PlanSpec extends SparkSuite {
     // CartesianProductExec anywhere (broadcast nested loop on the tiny
     // panel is the allowed form)
     assert(!PlanChecks.usesCartesianProduct(run("s17_mmr_rerank")))
+  }
+
+  test("d27: the naive arrays_overlap theta join plans as the exploded " +
+      "element equi-join (SetOverlapJoinRewrite) — no cartesian, no " +
+      "nested loop, single scan per side") {
+    val d27 = run("d27_overlap_join_rewrite")
+    assert(!PlanChecks.usesCartesianProduct(d27))
+    val plan = d27.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_elem"),
+      s"overlap rewrite must fire:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"no |L|·|R| array comparisons:\n$plan")
+    val scans = PlanChecks.countParquetScans(d27)
+    assert(scans <= 2, s"expected ≤2 parquet scans, saw $scans")
   }
 
   test("no registered query plans an unpartitioned window (the whole-table-" +

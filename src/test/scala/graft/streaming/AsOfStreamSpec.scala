@@ -70,6 +70,34 @@ class AsOfStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("equal event time: a ref at exactly the probe's ts attaches (refs " +
+      "order before probes within a batch — same result as if the ref had " +
+      "arrived one batch earlier)") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[AsOfEv]
+    val out = Pipeline.streamingAsOf()(in.toDF())
+    val name = s"asof3_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // probe listed FIRST in the batch, ref at the identical ts: the
+      // at-or-before contract (q31's tie rule) attaches the ref, lag 0
+      in.addData(
+        AsOfEv(3L, t("2026-01-01 12:00:00"), "probe", 55.0),
+        AsOfEv(3L, t("2026-01-01 12:00:00"), "ref", 4.0))
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table(name).count() < 1
+          && System.currentTimeMillis < deadline) Thread.sleep(200)
+      val got = spark.table(name).collect()
+      assert(got.length == 1, s"got ${got.length} rows")
+      assert(!got(0).isNullAt(3) && got(0).getDouble(3) == 4.0,
+        s"equal-ts ref must attach: ${got(0)}")
+      assert(got(0).getLong(5) == 0L, "lag at equal ts is 0 ms")
+    } finally q.stop()
+  }
+
   test("state is one cell per key: a flood of refs leaves a single state " +
       "row and the newest value serves the probe") {
     val sess = spark

@@ -59,4 +59,61 @@ class FunnelStreamSpec extends SparkSuite {
         "one depth integer per user")
     } finally q.stop()
   }
+
+  test("equal timestamps tiebreak by stage index: a view and click at the " +
+      "same instant advance view-then-click (depth reaches 2), not the " +
+      "alphabetical walk that would consume the view and miss the click") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[FunEv]
+    val out = Pipeline.streamingFunnel(Seq("view", "click", "purchase"))(
+      in.toDF())
+    val name = s"funnel_tie_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(
+        FunEv(9L, t("2026-01-01 10:00:00"), "click"),
+        FunEv(9L, t("2026-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      val depths = spark.table(name).collect().map(_.getInt(1)).sorted.toSeq
+      assert(depths == Seq(1, 2), s"expected view+click both advance: $depths")
+    } finally q.stop()
+  }
+
+  test("stateTtl expires idle users: state-row count drops to 0 after the " +
+      "TTL while results already emitted stand") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[FunEv]
+    val out = Pipeline.streamingFunnel(Seq("view", "click"),
+      stateTtl = Some("2 seconds"))(in.toDF())
+    val name = s"funnel_ttl_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(
+        FunEv(1L, t("2026-01-01 10:00:00"), "view"),
+        FunEv(2L, t("2026-01-01 10:00:00"), "view"))
+      // timer-driven query: poll the progress with a deadline (skill
+      // gotcha — processAllAvailable never settles on timeout batches)
+      var deadline = System.currentTimeMillis + 60000
+      while (spark.table(name).count() < 2
+          && System.currentTimeMillis < deadline) Thread.sleep(200)
+      assert(spark.table(name).count() == 2, "both views advance")
+      def stateRows: Long = {
+        val p = q.lastProgress
+        if (p == null || p.stateOperators.isEmpty) -1L
+        else p.stateOperators(0).numRowsTotal
+      }
+      deadline = System.currentTimeMillis + 60000
+      while (stateRows != 0L && System.currentTimeMillis < deadline)
+        Thread.sleep(500)
+      assert(stateRows == 0L,
+        s"idle users must expire after the TTL, still holding $stateRows")
+      assert(spark.table(name).count() == 2, "emitted rows are untouched")
+    } finally q.stop()
+  }
 }

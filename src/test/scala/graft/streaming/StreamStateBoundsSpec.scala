@@ -11,7 +11,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * PLATEAU once the watermark starts passing — the Structured Streaming
   * equivalent of the reference's bounded RocksDB window stores
   * (streams.clj:27,149). Without eviction both queries' state would grow
-  * linearly with the batch count; the assertions fail in that world. */
+  * linearly with the batch count; the assertions fail in that world.
+  *
+  * Each scenario runs TWICE: on the default in-heap provider and on the
+  * RocksDB provider (GraftSession.rocksdbConfs — the production
+  * configuration matching the reference's RocksDB stores), asserting the
+  * SAME plateau and that RocksDB really engaged (rocksdb* custom
+  * metrics). Eviction is a property of the watermark contract, not of
+  * the store — this pins that it holds on the deployment-grade store. */
 class StreamStateBoundsSpec extends SparkSuite {
 
   private case class Ev(k: String, ts: java.sql.Timestamp, v: String)
@@ -41,7 +48,31 @@ class StreamStateBoundsSpec extends SparkSuite {
         s"unbounded line ($totalIngested rows ingested); $series")
   }
 
-  test("joinChain state plateaus under watermark over a long horizon (J4)") {
+  /** Apply GraftSession's RocksDB conf set, run `body`, restore —
+    * the same pairs GraftSession.build(rocksdbStateStore = true) sets. */
+  private def withRocksdb[A](body: => A): A = {
+    val prior = graft.GraftSession.rocksdbConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    graft.GraftSession.rocksdbConfs.foreach { case (k, v) =>
+      spark.conf.set(k, v)
+    }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** RocksDB engagement proof: rocksdb-prefixed custom state metrics. */
+  private def assertRocksdbEngaged(q: StreamingQuery): Unit = {
+    val keys = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      .flatMap(_.customMetrics.keySet.toArray).toSet
+    assert(keys.exists(_.toString.startsWith("rocksdb")),
+      s"expected rocksdb custom metrics, saw $keys")
+  }
+
+  private def driveJoinChain(label: String,
+      check: StreamingQuery => Unit = _ => ()): Unit = {
     val sess = spark
     import sess.implicits._
     implicit val ctx = sess.sqlContext
@@ -63,11 +94,13 @@ class StreamStateBoundsSpec extends SparkSuite {
         q.processAllAvailable()
       }
       val series = stateSeries(q)
-      assertPlateau(series, batches.toLong * perBatch * 3, "joinChain")
+      assertPlateau(series, batches.toLong * perBatch * 3, label)
+      check(q)
     } finally q.stop()
   }
 
-  test("dedupWithinWatermark state plateaus over a long horizon") {
+  private def driveDedup(label: String,
+      check: StreamingQuery => Unit = _ => ()): Unit = {
     val sess = spark
     import sess.implicits._
     implicit val ctx = sess.sqlContext
@@ -87,7 +120,29 @@ class StreamStateBoundsSpec extends SparkSuite {
         q.processAllAvailable()
       }
       val series = stateSeries(q)
-      assertPlateau(series, batches.toLong * perBatch, "dedupWithinWatermark")
+      assertPlateau(series, batches.toLong * perBatch, label)
+      check(q)
     } finally q.stop()
+  }
+
+  test("joinChain state plateaus under watermark over a long horizon (J4)") {
+    driveJoinChain("joinChain")
+  }
+
+  test("dedupWithinWatermark state plateaus over a long horizon") {
+    driveDedup("dedupWithinWatermark")
+  }
+
+  test("joinChain state plateaus on the ROCKSDB store over the same long " +
+      "horizon (the reference's RocksDB window-store configuration)") {
+    withRocksdb {
+      driveJoinChain("joinChain/rocksdb", assertRocksdbEngaged)
+    }
+  }
+
+  test("dedupWithinWatermark state plateaus on the ROCKSDB store") {
+    withRocksdb {
+      driveDedup("dedupWithinWatermark/rocksdb", assertRocksdbEngaged)
+    }
   }
 }
