@@ -48,30 +48,34 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, MapType, StructType}
   */
 class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  /** The overlap conjunct: (a, b, re-check-needed). `arrays_overlap`
-    * itself is implied by the equi-match only when no threshold is
-    * involved, but the original conjunct is always re-applied anyway
-    * (it is cheap and keeps the rewrite obviously sound). */
+  /** The overlap conjunct: (a, b, implied). `implied = true` marks the
+    * plain `arrays_overlap` spelling, which the element equi-match plus
+    * the min-element pin make REDUNDANT (a matched non-null shared
+    * element IS the overlap witness) — the rewrite then drops it from
+    * the re-applied condition, saving one O(|a|+|b|) set evaluation per
+    * candidate match (the pin already pays one; this halves the
+    * per-match array work). Threshold spellings are NOT implied and are
+    * always re-applied. */
   private def overlapConjunct(cs: Seq[Expression])
-      : Option[(Expression, Expression)] = {
+      : Option[(Expression, Expression, Boolean)] = {
     def nullFree(e: Expression): Boolean = e.dataType match {
       case ArrayType(_, containsNull) => !containsNull
       case _ => false
     }
     cs.collectFirst {
-      case ArraysOverlap(a, b) => (a, b)
+      case ArraysOverlap(a, b) => (a, b, true)
       case GreaterThanOrEqual(Size(ArrayIntersect(a, b), _),
             Literal(k: Int, IntegerType))
-          if k >= 1 && nullFree(a) && nullFree(b) => (a, b)
+          if k >= 1 && nullFree(a) && nullFree(b) => (a, b, false)
       case GreaterThan(Size(ArrayIntersect(a, b), _),
             Literal(k: Int, IntegerType))
-          if k >= 0 && nullFree(a) && nullFree(b) => (a, b)
+          if k >= 0 && nullFree(a) && nullFree(b) => (a, b, false)
       case LessThanOrEqual(Literal(k: Int, IntegerType),
             Size(ArrayIntersect(a, b), _))
-          if k >= 1 && nullFree(a) && nullFree(b) => (a, b)
+          if k >= 1 && nullFree(a) && nullFree(b) => (a, b, false)
       case LessThan(Literal(k: Int, IntegerType),
             Size(ArrayIntersect(a, b), _))
-          if k >= 0 && nullFree(a) && nullFree(b) => (a, b)
+          if k >= 0 && nullFree(a) && nullFree(b) => (a, b, false)
     }
   }
 
@@ -95,7 +99,7 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if (jt == Inner || jt == Cross) && j.resolved =>
         val cs = RewriteSupport.conjuncts(cond)
         overlapConjunct(cs) match {
-          case Some((ax, bx))
+          case Some((ax, bx, implied))
               if atomicElem(ax) && atomicElem(bx)
                 && ax.dataType.asInstanceOf[ArrayType].elementType ==
                   bx.dataType.asInstanceOf[ArrayType].elementType
@@ -111,10 +115,21 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 val genR = Generate(Explode(ArrayDistinct(b)), Nil,
                   outer = false, None, Seq(eb), r)
                 val firstCommon = ArrayMin(ArrayIntersect(a, b))
+                // re-apply the original conjuncts, minus the overlap
+                // predicate itself when the equi-match implies it
+                val reapplied =
+                  if (implied)
+                    cs.filterNot {
+                      case ArraysOverlap(x, y) =>
+                        (x == ax && y == bx) || (x == bx && y == ax)
+                      case _ => false
+                    }
+                  else cs
                 val full = (Seq(EqualTo(ea, eb),
-                  EqualTo(ea, firstCommon)) :+ cond).reduce(And)
+                  EqualTo(ea, firstCommon)) ++ reapplied).reduce(And)
                 Project(j.output,
-                  Join(genL, genR, Inner, Some(full), hint))
+                  Join(genL, genR, Inner, Some(full),
+                    RewriteSupport.selfJoinHint(l, r, hint)))
               case None => j
             }
           case _ => j

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+/** Datadog HTTP series sink — the [[MetricsSink]] twin of the reference's
+  * vendored push reporter (src/com/gojek/metrics/datadog/DatadogReporter
+  * .java + transport/HttpTransport.java, which POSTs dropwizard metrics to
+  * the public Datadog v1 series API). The StatsD sink already covers the
+  * agent-ingest path (DogStatsD tags); this covers the agent-less direct
+  * HTTP path, completing the parity pair.
+  *
+  * Wire format is the PUBLIC Datadog API (docs.datadoghq.com/api/):
+  * `POST <endpoint>/series?api_key=<key>` with body
+  * `{"series":[{"metric":"p.ns.m","points":[[<epoch_s>,<v>]],
+  * "type":"count"|"gauge","tags":["k:v",...]}]}` — counters map to
+  * `count`, timings to a `gauge` of milliseconds, gauges to `gauge`
+  * (the same mapping the reference's DatadogCounter/DatadogGauge pair
+  * produces).
+  *
+  * Buffering is deterministic, not timer-driven: points accumulate and
+  * flush when `batchSize` is reached, on [[flush]], and on [[terminate]]
+  * (a production deploy calls flush from its reporting scheduler — the
+  * reference's ScheduledReporter cadence). The hot path never throws:
+  * HTTP failures drop the batch (metrics loss must not kill a stream),
+  * matching the sink contract. `endpoint` is injectable so tests run
+  * against a local server (and nothing in this container needs egress).
+  */
+final class DatadogHttpSink(
+    endpoint: String,
+    apiKey: String,
+    prefix: String = "graft",
+    batchSize: Int = 64,
+    clockEpochS: () => Long = () => System.currentTimeMillis() / 1000L)
+    extends MetricsSink {
+
+  private val buf = new scala.collection.mutable.ArrayBuffer[String]()
+
+  private def name(namespace: String, metric: String): String =
+    Seq(prefix, namespace, metric).filter(_.nonEmpty).mkString(".")
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def tagsJson(tags: Map[String, String]): String =
+    tags.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + esc(s"$k:$v") + "\"" }
+      .mkString("[", ",", "]")
+
+  private def seriesJson(metric: String, value: Double, tpe: String,
+      tags: Map[String, String]): String = {
+    val v =
+      if (value == value.toLong.toDouble) value.toLong.toString
+      else BigDecimal(value).bigDecimal.toPlainString
+    s"""{"metric":"${esc(metric)}","points":[[${clockEpochS()},$v]],""" +
+      s""""type":"$tpe","tags":${tagsJson(tags)}}"""
+  }
+
+  private def add(json: String): Unit = {
+    val toSend = buf.synchronized {
+      buf += json
+      if (buf.length >= batchSize) { val b = buf.toList; buf.clear(); b }
+      else Nil
+    }
+    if (toSend.nonEmpty) post(toSend)
+  }
+
+  /** Push any buffered points now. */
+  def flush(): Unit = {
+    val toSend = buf.synchronized { val b = buf.toList; buf.clear(); b }
+    if (toSend.nonEmpty) post(toSend)
+  }
+
+  private def post(series: List[String]): Unit =
+    try {
+      val url = java.net.URI
+        .create(s"$endpoint/series?api_key=$apiKey").toURL
+      val conn = url.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(5000)
+      conn.setDoOutput(true)
+      val body = series.mkString("""{"series":[""", ",", "]}")
+        .getBytes(StandardCharsets.UTF_8)
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      conn.getResponseCode // drive the request; status ignored by design
+      conn.disconnect()
+    } catch { case _: java.io.IOException => () }
+
+  override def updateCounter(
+      namespace: String, metric: String,
+      tags: Map[String, String], signedVal: Long): Unit =
+    add(seriesJson(name(namespace, metric), signedVal.toDouble, "count", tags))
+
+  override def updateTiming(
+      namespace: String, metric: String,
+      tags: Map[String, String], valueMs: Long): Unit =
+    add(seriesJson(name(namespace, metric), valueMs.toDouble, "gauge", tags))
+
+  override def updateGauge(
+      namespace: String, metric: String,
+      tags: Map[String, String], value: Double): Unit =
+    add(seriesJson(name(namespace, metric), value, "gauge", tags))
+
+  override def terminate(): Unit = flush()
+}
