@@ -1928,6 +1928,62 @@ object DedupOps {
       |GROUP BY a_id, b_id
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Membership-rewrite exactness gate — the third certified rewrite
+    * ([[graft.plans.SetOverlapJoinRewrite]]'s `array_contains` path):
+    * the Spark side is the NAIVE tag-lookup theta join — every document
+    * whose bigram set contains each of 500 mid-frequency probe bigrams
+    * (the unigram vocab is only 31 here; bigrams give a ~916-term
+    * space) — which the rule rewrites to explode-the-array-side +
+    * element equi-join. Even when the probe side is broadcastable, the
+    * naive plan evaluates |panel| `array_contains` scans per document
+    * (O(|panel|·|bigrams|) per doc); the rewrite pays O(|bigrams|) per
+    * doc into a hash join — the shape that holds when both sides are
+    * large. DuckDB computes the same relation by unnest/equi-join. */
+  private def d28(s: SparkSession, dir: String): DataFrame = {
+    def bigrams = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin)
+        .as("bgs"))
+    val docs = bigrams
+      .select(col("doc_id"), expr("array_distinct(bgs)").as("bgs"))
+    // global top-520 minus the 20 head bigrams — offset/limit over a
+    // bounded vocab sort (no global window; PlanSpec's sweep bans those)
+    val panel = bigrams
+      .select(explode(col("bgs")).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg"))
+      .offset(20).limit(500)
+      .select(col("bg"))
+    docs.join(panel, array_contains(col("bgs"), col("bg")))
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bg"))
+  }
+
+  private val d28Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bgrams AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 1),
+      |    i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg
+      |  FROM w),
+      |tf AS (SELECT bg, count(*) AS c FROM bgrams GROUP BY bg),
+      |panel AS (
+      |  SELECT bg FROM (
+      |    SELECT bg, row_number() OVER (ORDER BY c DESC, bg) AS rk
+      |    FROM tf) r
+      |  WHERE rk > 20 AND rk <= 520),
+      |dbg AS (SELECT DISTINCT doc_id, bg FROM bgrams)
+      |SELECT p.bg, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM dbg d JOIN panel p ON d.bg = p.bg
+      |GROUP BY p.bg
+      |ORDER BY p.bg""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -1960,6 +2016,7 @@ object DedupOps {
     "d25_hamming_block_join" -> QueryDef(d25, Some(d25Sql), headline = true),
     "d26_verifier_consensus" -> QueryDef(d26, Some(d26Sql)),
     "d27_overlap_join_rewrite" -> QueryDef(d27, Some(d27Sql), headline = true),
+    "d28_membership_join" -> QueryDef(d28, Some(d28Sql)),
   )
 
 

@@ -38,6 +38,9 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, MapType, StructType}
   *    so this form fires only when the array types are statically
   *    null-free (`containsNull = false`); the full threshold predicate
   *    is re-applied after the equi-join.
+  *  - `array_contains(a, x)` with `a` and `x` on opposite sides (the
+  *    tag-lookup membership join) — only the array side explodes and
+  *    no dedup pin is needed (see [[rewriteMembership]]).
   *
   * Fires only when the join is inner/cross, the overlap conjunct spans
   * the two sides, the element type is atomic (orderable + joinable),
@@ -98,42 +101,93 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case j @ Join(l, r, jt, Some(cond), hint)
           if (jt == Inner || jt == Cross) && j.resolved =>
         val cs = RewriteSupport.conjuncts(cond)
-        overlapConjunct(cs) match {
-          case Some((ax, bx, implied))
-              if atomicElem(ax) && atomicElem(bx)
-                && ax.dataType.asInstanceOf[ArrayType].elementType ==
-                  bx.dataType.asInstanceOf[ArrayType].elementType
-                && !RewriteSupport.hasEquiBetween(cs, l, r) =>
-            RewriteSupport.oriented(ax, bx, l, r) match {
-              case Some((a, b)) =>
-                val elemType =
-                  a.dataType.asInstanceOf[ArrayType].elementType
-                val ea = AttributeReference("graft_elem_l", elemType)()
-                val eb = AttributeReference("graft_elem_r", elemType)()
-                val genL = Generate(Explode(ArrayDistinct(a)), Nil,
-                  outer = false, None, Seq(ea), l)
-                val genR = Generate(Explode(ArrayDistinct(b)), Nil,
-                  outer = false, None, Seq(eb), r)
-                val firstCommon = ArrayMin(ArrayIntersect(a, b))
-                // re-apply the original conjuncts, minus the overlap
-                // predicate itself when the equi-match implies it
-                val reapplied =
-                  if (implied)
-                    cs.filterNot {
-                      case ArraysOverlap(x, y) =>
-                        (x == ax && y == bx) || (x == bx && y == ax)
-                      case _ => false
-                    }
-                  else cs
-                val full = (Seq(EqualTo(ea, eb),
-                  EqualTo(ea, firstCommon)) ++ reapplied).reduce(And)
-                Project(j.output,
-                  Join(genL, genR, Inner, Some(full),
-                    RewriteSupport.selfJoinHint(l, r, hint)))
-              case None => j
-            }
-          case _ => j
+        if (RewriteSupport.hasEquiBetween(cs, l, r)) j
+        else rewriteOverlap(j, cs)
+          .orElse(rewriteMembership(j, cs))
+          .getOrElse(j)
+    }
+  }
+
+  /** `arrays_overlap(a, b)` / intersect-size threshold → explode both
+    * sides, equi-join on the element, pin to the minimum non-null
+    * common element (exactly-once per qualifying pair). */
+  private def rewriteOverlap(j: Join, cs: Seq[Expression])
+      : Option[LogicalPlan] = {
+    val Join(l, r, _, Some(cond), hint) = (j: @unchecked)
+    overlapConjunct(cs) match {
+      case Some((ax, bx, implied))
+          if atomicElem(ax) && atomicElem(bx)
+            && ax.dataType.asInstanceOf[ArrayType].elementType ==
+              bx.dataType.asInstanceOf[ArrayType].elementType =>
+        RewriteSupport.oriented(ax, bx, l, r).map { case (a, b) =>
+          val elemType = a.dataType.asInstanceOf[ArrayType].elementType
+          val ea = AttributeReference("graft_elem_l", elemType)()
+          val eb = AttributeReference("graft_elem_r", elemType)()
+          val genL = Generate(Explode(ArrayDistinct(a)), Nil,
+            outer = false, None, Seq(ea), l)
+          val genR = Generate(Explode(ArrayDistinct(b)), Nil,
+            outer = false, None, Seq(eb), r)
+          val firstCommon = ArrayMin(ArrayIntersect(a, b))
+          // re-apply the original conjuncts, minus the overlap
+          // predicate itself when the equi-match implies it
+          val reapplied =
+            if (implied)
+              cs.filterNot {
+                case ArraysOverlap(x, y) =>
+                  (x == ax && y == bx) || (x == bx && y == ax)
+                case _ => false
+              }
+            else cs
+          val full = (Seq(EqualTo(ea, eb),
+            EqualTo(ea, firstCommon)) ++ reapplied).reduce(And)
+          Project(j.output,
+            Join(genL, genR, Inner, Some(full),
+              RewriteSupport.selfJoinHint(l, r, hint)))
         }
+      case _ => None
+    }
+  }
+
+  /** `array_contains(a, x)` with `a` and `x` on opposite sides — the
+    * tag-lookup membership join — → explode the ARRAY side's distinct
+    * elements and equi-join the element against the scalar. No pin
+    * needed: at most one distinct element equals `x`, so each
+    * qualifying pair emits exactly once by construction. Null-exact:
+    * `array_contains` is TRUE iff a non-null element equals a non-null
+    * `x`, which is precisely what the equi-join matches (the implied
+    * conjunct is dropped; other conjuncts re-applied). */
+  private def rewriteMembership(j: Join, cs: Seq[Expression])
+      : Option[LogicalPlan] = {
+    val Join(l, r, _, Some(_), hint) = (j: @unchecked)
+    val found = cs.collectFirst {
+      case c @ ArrayContains(arr, x)
+          if atomicElem(arr)
+            && x.dataType ==
+              arr.dataType.asInstanceOf[ArrayType].elementType
+            && arr.references.nonEmpty && x.references.nonEmpty =>
+        (c, arr, x)
+    }
+    found.flatMap { case (c, arr, x) =>
+      val rest = cs.filterNot(_ eq c)
+      val elemType = arr.dataType.asInstanceOf[ArrayType].elementType
+      def build(arrayOnLeft: Boolean): LogicalPlan = {
+        val ea = AttributeReference("graft_member_elem", elemType)()
+        val newJoin =
+          if (arrayOnLeft)
+            Join(Generate(Explode(ArrayDistinct(arr)), Nil,
+              outer = false, None, Seq(ea), l), r, Inner,
+              Some((EqualTo(ea, x) +: rest).reduce(And)), hint)
+          else
+            Join(l, Generate(Explode(ArrayDistinct(arr)), Nil,
+              outer = false, None, Seq(ea), r), Inner,
+              Some((EqualTo(ea, x) +: rest).reduce(And)), hint)
+        Project(j.output, newJoin)
+      }
+      if (arr.references.subsetOf(l.outputSet)
+          && x.references.subsetOf(r.outputSet)) Some(build(true))
+      else if (arr.references.subsetOf(r.outputSet)
+          && x.references.subsetOf(l.outputSet)) Some(build(false))
+      else None
     }
   }
 }

@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Randomized identity sweep for SetOverlapJoinRewrite: across seeded
+  * random tables — small element pools (forcing heavy collisions),
+  * array lengths 0..6, ~15% null elements, duplicate elements and
+  * duplicate rows — the rewritten plans must reproduce the naive JVM
+  * evaluation's multiset EXACTLY, for all three spellings (overlap,
+  * membership, intersect-size threshold). Fixed seeds keep the sweep
+  * deterministic; the pools are tiny on purpose (collision-rich inputs
+  * are where a dedup-pin bug would show). */
+class OverlapRewritePropSpec extends SparkSuite {
+
+  private val pool = Vector("a", "b", "c", "d", "e")
+
+  private def randArr(rnd: scala.util.Random): Seq[String] =
+    Seq.fill(rnd.nextInt(7))(
+      if (rnd.nextInt(100) < 15) null else pool(rnd.nextInt(pool.size)))
+
+  test("overlap spelling: 10 seeded random rounds match the naive " +
+      "evaluation exactly") {
+    val sess = spark
+    import sess.implicits._
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val l = Seq.fill(20)((rnd.nextInt(6).toLong, randArr(rnd)))
+      val r = Seq.fill(15)((rnd.nextInt(6).toLong, randArr(rnd)))
+      val got = l.toDF("lid", "la")
+        .join(r.toDF("rid", "ra"), arrays_overlap(col("la"), col("ra")))
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      val want = (for {
+        (li, la) <- l; (ri, ra) <- r
+        if la.exists(x => x != null && ra.contains(x))
+      } yield (li, ri)).sorted
+      assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("membership spelling: 10 seeded random rounds match the naive " +
+      "evaluation exactly") {
+    val sess = spark
+    import sess.implicits._
+    for (seed <- 11 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val l = Seq.fill(20)((rnd.nextInt(6).toLong, randArr(rnd)))
+      val r = Seq.fill(12)((rnd.nextInt(6).toLong,
+        if (rnd.nextInt(100) < 20) null else pool(rnd.nextInt(pool.size))))
+      val got = l.toDF("lid", "tags")
+        .join(r.toDF("rid", "tag"), array_contains(col("tags"), col("tag")))
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      val want = (for {
+        (li, la) <- l; (ri, tg) <- r
+        if tg != null && la.exists(x => x != null && x == tg)
+      } yield (li, ri)).sorted
+      assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("threshold spelling over null-free long arrays: 10 seeded rounds " +
+      "match the naive evaluation exactly") {
+    val sess = spark
+    import sess.implicits._
+    for (seed <- 21 to 30) {
+      val rnd = new scala.util.Random(seed)
+      def arr() = Seq.fill(rnd.nextInt(7))(rnd.nextInt(8).toLong)
+      val k = 1 + rnd.nextInt(3)
+      val l = Seq.fill(20)((rnd.nextInt(6).toLong, arr()))
+      val r = Seq.fill(15)((rnd.nextInt(6).toLong, arr()))
+      val got = l.toDF("lid", "la")
+        .join(r.toDF("rid", "ra"),
+          size(array_intersect(col("la"), col("ra"))) >= k)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      val want = (for {
+        (li, la) <- l; (ri, ra) <- r
+        if la.distinct.count(ra.contains) >= k
+      } yield (li, ri)).sorted
+      assert(got == want,
+        s"seed $seed k=$k: got ${got.size}, want ${want.size}")
+    }
+  }
+}

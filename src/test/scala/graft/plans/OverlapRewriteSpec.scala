@@ -89,6 +89,48 @@ class OverlapRewriteSpec extends SparkSuite {
       == Seq((1L, 7L)))
   }
 
+  test("membership spelling: array_contains(a, x) across sides explodes " +
+      "only the array side, matches the naive evaluation with nulls and " +
+      "duplicate elements, and emits each pair once") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq(
+      (1L, Seq[String]("red", "blue", "blue")), // duplicate element
+      (2L, Seq[String](null, "green")), // null before the match
+      (3L, Seq[String]()),
+      (4L, Seq[String]("red")),
+      (1L, Seq[String]("red", "blue", "blue"))) // duplicated row
+      .toDF("lid", "tags")
+    val right = Seq((10L, "blue"), (11L, "green"), (12L, null: String),
+      (13L, "absent")).toDF("rid", "tag")
+    val joined = left.join(right, array_contains(col("tags"), col("tag")))
+      .select("lid", "rid")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"membership rewrite did not fire:\n$plan")
+    assert(plan.contains("graft_member_elem"), s"expected explode:\n$plan")
+    val got = joined.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSeq.sorted
+    // ground truth: pairs where a non-null tag equals a non-null probe
+    val want = Seq((1L, 10L), (1L, 10L), (2L, 11L)).sorted
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("membership spelling with the scalar on the LEFT side explodes " +
+      "the right-side array") {
+    val sess = spark
+    import sess.implicits._
+    val probes = Seq((1L, "b"), (2L, "z")).toDF("pid", "p")
+    val arrs = Seq((10L, Seq("a", "b")), (11L, Seq("b", "c")))
+      .toDF("aid", "arr")
+    val joined = probes.join(arrs, array_contains(col("arr"), col("p")))
+      .select("pid", "aid")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_member_elem") && !plan.contains("NestedLoop"))
+    assert(joined.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      .sorted == Seq((1L, 10L), (1L, 11L)))
+  }
+
   test("stands down when disabled by conf, when an equi-join already " +
       "links the sides, and for left joins") {
     val sess = spark

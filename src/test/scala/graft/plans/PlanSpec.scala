@@ -499,6 +499,17 @@ class PlanSpec extends SparkSuite {
     assert(scans <= 2, s"expected ≤2 parquet scans, saw $scans")
   }
 
+  test("d28: the naive array_contains tag-lookup join plans as the " +
+      "exploded membership equi-join — no nested loop over the panel") {
+    val d28 = run("d28_membership_join")
+    assert(!PlanChecks.usesCartesianProduct(d28))
+    val plan = d28.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_member_elem"),
+      s"membership rewrite must fire:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"no per-document panel scans:\n$plan")
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape) or a CartesianProductExec (|L|·|R| without " +
       "even a broadcast bound)") {

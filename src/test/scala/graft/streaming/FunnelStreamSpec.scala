@@ -116,4 +116,45 @@ class FunnelStreamSpec extends SparkSuite {
       assert(spark.table(name).count() == 2, "emitted rows are untouched")
     } finally q.stop()
   }
+
+  test("under churn (a stream of ever-new users) the TTL keeps funnel " +
+      "state at a plateau far below the total user population") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[FunEv]
+    val out = Pipeline.streamingFunnel(Seq("view", "click"),
+      stateTtl = Some("1 second"))(in.toDF())
+    val name = s"funnel_churn_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val batches = 12
+    val perBatch = 50
+    try {
+      for (b <- 0 until batches) {
+        in.addData((0 until perBatch).map(i =>
+          FunEv(b * 1000L + i, t("2026-01-01 10:00:00"), "view")))
+        // poll the sink, never processAllAvailable — timer-driven
+        // queries keep scheduling batches forever (skill gotcha)
+        val want = (b + 1).toLong * perBatch
+        val dl = System.currentTimeMillis + 30000
+        while (spark.table(name).count() < want
+            && System.currentTimeMillis < dl) Thread.sleep(100)
+        Thread.sleep(1200) // past the TTL: prior cohorts become evictable
+      }
+      val total = batches.toLong * perBatch
+      // timer batches keep firing; poll until expiry catches up
+      def stateRows: Long = {
+        val p = q.lastProgress
+        if (p == null || p.stateOperators.isEmpty) Long.MaxValue
+        else p.stateOperators.map(_.numRowsTotal).sum
+      }
+      val deadline = System.currentTimeMillis + 60000
+      while (stateRows > total / 3 && System.currentTimeMillis < deadline)
+        Thread.sleep(500)
+      assert(stateRows <= total / 3,
+        s"state must plateau near one cohort, not $stateRows of $total")
+      assert(spark.table(name).count() == total, "every view advanced once")
+    } finally q.stop()
+  }
 }
