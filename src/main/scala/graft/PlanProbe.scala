@@ -18,7 +18,7 @@ object PlanProbe {
       case Array() => SparkEntry.headlines.toArray
       case xs => xs
     }
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-planprobe")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -26,7 +26,13 @@ object PlanProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf overrides for plan experiments, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.autoBroadcastJoinThreshold=-1"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";;").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"\n===== $n =====")

@@ -3,8 +3,8 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 
 /** Datadog HTTP series sink — the [[MetricsSink]] twin of the reference's
-  * vendored push reporter (src/com/gojek/metrics/datadog/DatadogReporter
-  * .java + transport/HttpTransport.java, which POSTs dropwizard metrics to
+  * vendored push reporter (its metrics/datadog/DatadogReporter.java +
+  * transport/HttpTransport.java, which POST dropwizard metrics to
   * the public Datadog v1 series API). The StatsD sink already covers the
   * agent-ingest path (DogStatsD tags); this covers the agent-less direct
   * HTTP path, completing the parity pair.
