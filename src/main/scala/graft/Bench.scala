@@ -144,7 +144,7 @@ object Bench {
     // then picks the quiet passes. If calibration STILL drifts, flag the
     // artifact itself as load_suspect so no reader trusts the totals.
     var loadReruns = 0
-    while (calAfter / calBefore > 1.3 && loadReruns < 1) {
+    while (loadRerunNeeded(calBefore, calAfter) && loadReruns < 1) {
       System.err.println(f"[bench] calibration drifted ${calBefore}%.3f -> " +
         f"${calAfter}%.3f (host load); sleeping 30s and re-running passes")
       Thread.sleep(30000)
@@ -153,7 +153,7 @@ object Bench {
       runPasses()
       calAfter = calibrate()
     }
-    val loadSuspect = calAfter / calBefore > 1.3
+    val loadSuspect = loadRerunNeeded(calBefore, calAfter)
     val load1 = loadavg()
     val hostJson =
       f""","calibration_sec":{"before":$calBefore%.3f,"after":$calAfter%.3f}""" +
@@ -178,6 +178,13 @@ object Bench {
     spark.stop()
     if (failedWhy.nonEmpty) sys.exit(1)
   }
+
+  /** Load-guard decision: the fixed-work calibration drifting >1.3x
+    * across the run means a neighbor was taxing the host mid-run — the
+    * query times measured the neighbor, not the engine (burned r4 and
+    * r6). Pure — BenchJsonSpec pins the threshold. */
+  def loadRerunNeeded(calBefore: Double, calAfter: Double): Boolean =
+    calAfter / calBefore > 1.3
 
   /** Assemble the one-line bench JSON. n_queries makes headline-set growth
     * explicit: cross-round TOTAL comparisons are only meaningful at equal

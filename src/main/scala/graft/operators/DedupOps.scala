@@ -1698,7 +1698,7 @@ object DedupOps {
     * [[graft.plans.HammingBlockJoinRewrite]]: the Spark side is written
     * as the NAIVE theta join (crossJoin + `hamming64 ≤ 12` filter over a
     * 64-bit fingerprint = unigram simhash ∥ bigram simhash), which the
-    * session rule rewrites into the union of 13 block equi-joins; DuckDB
+    * session rule rewrites into one 13-block posexplode equi-join; DuckDB
     * evaluates the naive quadratic join literally. Hash-matching rows
     * therefore certify the rewrite is a strict semantic identity on real
     * data — the same certification style every other operator gets, now

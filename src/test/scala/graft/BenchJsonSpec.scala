@@ -48,6 +48,14 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(parsed.contains("calibration_sec") && parsed.contains("stream"))
   }
 
+  test("load guard: >1.3x calibration drift demands a re-run; stable and " +
+      "IMPROVING calibrations do not") {
+    assert(Bench.loadRerunNeeded(0.5, 0.7), "0.5 -> 0.7 is a loaded host")
+    assert(!Bench.loadRerunNeeded(0.5, 0.6), "within-noise drift passes")
+    assert(!Bench.loadRerunNeeded(0.9, 0.5),
+      "a host that got QUIETER mid-run needs no re-run")
+  }
+
   // minimal structural check without a JSON dependency: braces balance and
   // the string survives a round-trip through Spark's JSON reader
   private def ujson(s: String): String = {
