@@ -33,7 +33,8 @@ class DeterminismSpec extends SparkSuite {
     "a32_cohort_ltv",        // zero-filled grid + running sums
     "t27_pmi_collocations",  // floor-log2 rational + top-k ties
     "p20_shard_balance",     // serpentine rank assignment
-    "d27_overlap_join_rewrite") // overlap rewrite's exploded equi-join
+    "d27_overlap_join_rewrite", // overlap rewrite's exploded equi-join
+    "d28_membership_join")   // membership rewrite + offset/limit panel
 
   private def multiset(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
