@@ -153,10 +153,16 @@ object Bench {
       runPasses()
       calAfter = calibrate()
     }
-    val loadSuspect = loadRerunNeeded(calBefore, calAfter)
+    // two triggers: drift across the run (a neighbor arrived mid-run) OR
+    // the run's best calibration sitting >1.3x above the idle floor
+    // (the neighbor was there the whole time — drift alone misses it)
+    val idleRef = calibrationIdleRef
+    val loadSuspect = loadRerunNeeded(calBefore, calAfter) ||
+      loadSuspectAbsolute(math.min(calBefore, calAfter), idleRef)
     val load1 = loadavg()
     val hostJson =
       f""","calibration_sec":{"before":$calBefore%.3f,"after":$calAfter%.3f}""" +
+        f""","calibration_idle_ref":$idleRef%.3f""" +
         s""","load_suspect":$loadSuspect,"load_reruns":$loadReruns""" +
         s""","loadavg":{"before":"$load0","after":"$load1"}"""
     // full-route streaming throughput (warmup pass, then the measured pass)
@@ -185,6 +191,25 @@ object Bench {
     * r6). Pure — BenchJsonSpec pins the threshold. */
   def loadRerunNeeded(calBefore: Double, calAfter: Double): Boolean =
     calAfter / calBefore > 1.3
+
+  /** Idle-host calibration floor (seconds) for the ABSOLUTE load guard:
+    * drift-only detection reads a host that is uniformly loaded for the
+    * entire run (calBefore ≈ calAfter, both high) as clean — the round-7
+    * gap. Measured as the min of repeated calibrate() runs on this
+    * build host at rest; override with SPARK_GRAFT_CAL_IDLE when the
+    * bench moves to different hardware (the artifact records whichever
+    * reference was used as `calibration_idle_ref`). */
+  val CalibrationIdleRefDefault = 0.54
+
+  def calibrationIdleRef: Double =
+    sys.env.get("SPARK_GRAFT_CAL_IDLE").map(_.toDouble)
+      .getOrElse(CalibrationIdleRefDefault)
+
+  /** Absolute trigger: even the BEST calibration of the run exceeding
+    * the idle floor by >1.3x means the whole run was elevated. Pure —
+    * BenchJsonSpec pins the threshold. */
+  def loadSuspectAbsolute(bestCal: Double, idleRef: Double): Boolean =
+    bestCal / idleRef > 1.3
 
   /** Assemble the one-line bench JSON. n_queries makes headline-set growth
     * explicit: cross-round TOTAL comparisons are only meaningful at equal

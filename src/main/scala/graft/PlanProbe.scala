@@ -29,11 +29,33 @@ object PlanProbe {
     // ad-hoc conf overrides for plan experiments, e.g.
     // SPARK_GRAFT_CONF="spark.sql.autoBroadcastJoinThreshold=-1"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";;").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k, v)
+        case _ if kv.trim.isEmpty => () // tolerate trailing/double ';;'
+        case _ => System.err.println(
+          s"PlanProbe: ignoring malformed SPARK_GRAFT_CONF entry '$kv' " +
+            "(expected key=value)")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // --overlap-preflight: price the overlap rewrite's pair-probe over
+    // the corpus shingle relation BEFORE running it (SkewTools
+    // .overlapJoinPreflight) — a hot element prints as a diagnosed WARN,
+    // not a mystery straggler. Conf overrides (SPARK_GRAFT_CONF) apply
+    // to this probe like any other.
+    if (args.contains("--overlap-preflight")) {
+      val report = SparkEntry.queries("d31_overlap_preflight")(spark, sfDir)
+        .collect()(0)
+      println(s"overlap-preflight: $report")
+      val diagnosis = report.getAs[String]("diagnosis")
+      if (diagnosis != "ok")
+        println(s"WARN overlap-preflight: $diagnosis " +
+          s"(worst=${report.getAs[String]("worst_element")}, " +
+          s"share_bp=${report.getAs[Long]("max_share_bp")})")
+      spark.stop()
+      return
+    }
     names.foreach { n =>
       println(s"\n===== $n =====")
       val df = SparkEntry.queries(n)(spark, sfDir)

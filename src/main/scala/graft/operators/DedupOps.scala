@@ -1984,6 +1984,129 @@ object DedupOps {
       |GROUP BY p.bg
       |ORDER BY p.bg""".stripMargin
 
+  /** Semi-overlap gate — oracle-level proof of
+    * [[graft.plans.SetOverlapJoinRewrite]]'s round-8 LeftSemi path, the
+    * decontamination report shape: the Spark side is the NAIVE spelling
+    * (`corpus ⋉ banned ON arrays_overlap(grams, banned_grams)` over
+    * 3-gram shingles, banned = every 50th document's gram set), which
+    * the session rule rewrites into the slim rowid pair-probe +
+    * back-semi (two-phase fires at sf0.01: the estimated size clears
+    * the floor and the repartition admits a pushed-down stable rowid).
+    * DuckDB computes the same relation via EXISTS/list_intersect.
+    * Scale: the left payload crosses the wire once per row, never per
+    * gram — the shape that holds when the corpus is 100 TB and the
+    * banned list is millions of documents. */
+  private def d29(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
+        .stripMargin).as("grams"))
+    val banned = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("b_id"), col("grams").as("banned_grams"))
+    grams.join(banned,
+        arrays_overlap(col("grams"), col("banned_grams")), "left_semi")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d29Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(toks) - 2),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+      |  FROM w WHERE len(toks) >= 3),
+      |b AS (SELECT doc_id AS b_id, grams AS bg FROM g WHERE doc_id % 50 = 0)
+      |SELECT CAST(g.doc_id AS BIGINT) AS doc_id FROM g
+      |WHERE EXISTS (
+      |  SELECT 1 FROM b WHERE len(list_intersect(g.grams, b.bg)) > 0)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Anti-hamming gate — oracle-level proof of
+    * [[graft.plans.HammingBlockJoinRewrite]]'s round-8 LeftAnti path,
+    * the fingerprint-decontamination KEEP shape: the Spark side is the
+    * NAIVE spelling (`corpus anti-join banned ON hamming64(sh, bsh) ≤ 6`
+    * over the d25 two-channel fingerprints, banned = every 40th
+    * document's fingerprint), which the rule rewrites into the slim
+    * posexplode block probe + back-anti on the stable rowid (anti has
+    * no in-place fallback — without the rowid the naive plan stays).
+    * DuckDB computes the same relation via NOT EXISTS/bit_count. */
+  private def d30(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.hamming64
+    val fp = simhash64(t(s, dir).documentsSpread)
+    val banned = simhash64(t(s, dir).documentsSpread)
+      .filter(col("doc_id") % 40 === 0)
+      .select(col("sh").as("bsh"))
+    fp.join(banned, hamming64(col("sh"), col("bsh")) <= 6, "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d30Sql =
+    s"""WITH $simhash64Ctes,
+       |banned AS (SELECT sh AS bsh FROM fp WHERE doc_id % 40 = 0)
+       |SELECT CAST(fp.doc_id AS BIGINT) AS doc_id FROM fp
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM banned WHERE bit_count(xor(fp.sh, banned.bsh)) <= 6)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Hot-element pre-flight report over d27's own shingle relation —
+    * the declared gate for [[SkewTools.overlapJoinPreflight]]: exact
+    * Σ fL·fR candidate volume of the overlap rewrite's pair-probe, the
+    * worst element named, its share in integer basis points, and the
+    * diagnosis string. Runs as two keyed aggregates + a count-table
+    * join (rows = distinct shingles, never documents), so a 100 TB
+    * deployment prices the rewrite for a fraction of its cost before
+    * committing to it (q52's discipline, transposed). PlanProbe's
+    * `--overlap-preflight` mode prints this same report with a WARN
+    * line when the diagnosis fires. */
+  private def d31(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 4),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+          |    toks[i+3])))""".stripMargin).as("shingles"))
+    SkewTools.overlapJoinPreflight(
+      sh.filter(col("doc_id") % 20 === 0), col("shingles"),
+      sh, col("shingles"))
+  }
+
+  private val d31Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |shl AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(toks) - 3),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))
+      |    AS shingles
+      |  FROM w WHERE len(toks) >= 4),
+      |fl AS (SELECT s AS e, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(shingles) AS s FROM shl WHERE doc_id % 20 = 0)
+      |  GROUP BY 1),
+      |fr AS (SELECT s AS e, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(shingles) AS s FROM shl) GROUP BY 1),
+      |c AS (SELECT fl.e, fl.f * fr.f AS contrib
+      |  FROM fl JOIN fr ON fl.e = fr.e)
+      |SELECT CAST(count(*) AS BIGINT) AS n_common_elements,
+      |  CAST(sum(contrib) AS BIGINT) AS est_candidate_rows,
+      |  CAST(max(contrib) AS BIGINT) AS max_element_rows,
+      |  (SELECT e FROM c ORDER BY contrib DESC, e DESC LIMIT 1)
+      |    AS worst_element,
+      |  CAST(max(contrib) * 10000 // sum(contrib) AS BIGINT)
+      |    AS max_share_bp,
+      |  CASE WHEN max(contrib) * 10000 // sum(contrib) >= 1000
+      |    THEN 'hot-element: cap its frequency upstream (d02''s """
+      .stripMargin +
+      """maxShingleFreq) or salt it before the overlap join'
+      |    ELSE 'ok' END AS diagnosis
+      |FROM c""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -2017,6 +2140,12 @@ object DedupOps {
     "d26_verifier_consensus" -> QueryDef(d26, Some(d26Sql)),
     "d27_overlap_join_rewrite" -> QueryDef(d27, Some(d27Sql), headline = true),
     "d28_membership_join" -> QueryDef(d28, Some(d28Sql)),
+    // round-8 gates: the LeftSemi/LeftAnti decontamination paths of the
+    // two rewrite rules (d29 is a headline so the bench tracks the semi
+    // pair-probe's cost round over round)
+    "d29_semi_overlap_decontam" -> QueryDef(d29, Some(d29Sql), headline = true),
+    "d30_anti_hamming_decontam" -> QueryDef(d30, Some(d30Sql)),
+    "d31_overlap_preflight" -> QueryDef(d31, Some(d31Sql)),
   )
 
 

@@ -452,6 +452,76 @@ object MultimodalOps {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Pixel-domain blockhash through the REAL container decoder — the
+    * round-8 closure of the media loop: each document's character codes
+    * (mod 256) are tiled into a genuine 16×12 binary-P6 PPM blob
+    * ([[graft.streaming.MediaPipeline.PpmEncoder]]), the blob goes
+    * through the production decode slot ([[graft.streaming.MediaPipeline
+    * .decodeLuma]] → PpmDecoder's header parse + BT.601 integer luma),
+    * and m03's 16-block signature fold runs over the DECODED pixels.
+    * The DuckDB oracle computes the expected signature from first
+    * principles (text codes → modular tiling → luma formula → fold)
+    * WITHOUT ever seeing the container — a hash match therefore
+    * certifies the whole bytes→pixels→signature path, not just the
+    * fold. Scale: encode+decode are per-row map stages in one
+    * mapPartitions pass (the decoder-slot shape); the only shuffles are
+    * the spread repartition and the output sort. */
+  private def m09(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.MediaPipeline
+    val sess = s
+    import sess.implicits._
+    val media = Tables(s, dir).documentsSpread
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val src = text.toCharArray.map(c => (c.toInt & 0xFF).toByte)
+        MediaPipeline.MediaRecord(id, "image",
+          MediaPipeline.PpmEncoder.encode(16, 12, src),
+          "image/x-portable-pixmap")
+      }
+    MediaPipeline.decodeLuma(media).toDF("media_id", "ok", "lumas")
+      .filter(col("ok"))
+      .withColumn("n", size(col("lumas")))
+      .withColumn("total", expr("aggregate(lumas, 0L, (a, x) -> a + x)"))
+      .withColumn("pixel_blockhash", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, b) -> acc +
+          |  CASE WHEN aggregate(
+          |      slice(lumas, (b * n) div 16 + 1,
+          |        ((b + 1) * n) div 16 - (b * n) div 16),
+          |      0L, (a, x) -> a + x) * 16 > total
+          |    THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
+      .select(col("media_id").cast("long").as("doc_id"),
+        col("pixel_blockhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m09Sql =
+    """WITH c AS (
+      |  SELECT doc_id, list_transform(regexp_extract_all(text, '.'),
+      |    ch -> ascii(ch) % 256) AS codes
+      |  FROM documents),
+      |px AS (SELECT doc_id, codes, len(codes) AS nc FROM c),
+      |lum AS (
+      |  SELECT doc_id, list_transform(range(192), p ->
+      |    (77 * (CASE WHEN nc = 0 THEN 0
+      |             ELSE codes[CAST((3 * p) % nc AS INT) + 1] END)
+      |     + 150 * (CASE WHEN nc = 0 THEN 0
+      |             ELSE codes[CAST((3 * p + 1) % nc AS INT) + 1] END)
+      |     + 29 * (CASE WHEN nc = 0 THEN 0
+      |             ELSE codes[CAST((3 * p + 2) % nc AS INT) + 1] END))
+      |    // 256) AS lumas
+      |  FROM px),
+      |sig AS (SELECT doc_id, 192 AS n, list_sum(lumas) AS total, lumas
+      |  FROM lum)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(list_sum(list_transform(range(16), b ->
+      |    CASE WHEN
+      |        list_sum(lumas[CAST((b * n) // 16 AS INT) + 1
+      |          :CAST(((b + 1) * n) // 16 AS INT)]) * 16 > total
+      |      THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+      |    AS pixel_blockhash
+      |FROM sig
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_multimodal_meta" -> QueryDef(m01, Some(m01Sql)),
     "m02_frame_sample" -> QueryDef(m02, Some(m02Sql)),
@@ -461,5 +531,6 @@ object MultimodalOps {
     "m06_audio_fingerprint" -> QueryDef(m06, Some(m06Sql)),
     "m07_scene_cuts" -> QueryDef(m07, Some(m07Sql)),
     "m08_vit_patch_grid" -> QueryDef(m08, Some(m08Sql)),
+    "m09_ppm_pixel_blockhash" -> QueryDef(m09, Some(m09Sql)),
   )
 }

@@ -44,4 +44,44 @@ object SkewTools {
       .groupBy(col(key))
       .agg(sum(col("_psum")).as(s"sum_$valueCol"),
         sum(col("_pcnt")).as("n"))
+
+  /** Hot-element pre-flight for the overlap-rewrite family — q52's
+    * cardinality audit transposed to set-overlap joins: the exploded
+    * candidate volume of [[graft.plans.SetOverlapJoinRewrite]]'s
+    * pair-probe is EXACTLY Σ_e fL(e)·fR(e) over per-side distinct-
+    * element document frequencies, so two keyed count aggregates plus a
+    * count-table join (rows = distinct elements, never documents) price
+    * the rewrite before it runs. d02 caps hot shingles by hand
+    * (`maxShingleFreq`); naive rewritten queries have no such cap, and a
+    * stop-word element (f_L·f_R ≈ |L|·|R|) turns the pair-probe back
+    * into a near-cartesian — this report makes that a DIAGNOSED warning
+    * (worst element named = the cap/salt target) instead of a mystery
+    * straggler task. One row: common-element count, exact candidate-row
+    * total, the worst element's contribution/share (integer basis
+    * points), and a diagnosis string; `warnShareBp` sets the warning
+    * threshold (default 10%). Nulls are dropped per arrays_overlap's
+    * non-null-witness contract, mirroring the rewrite. */
+  def overlapJoinPreflight(left: DataFrame, leftArr: Column,
+      right: DataFrame, rightArr: Column,
+      warnShareBp: Long = 1000L): DataFrame = {
+    def freqs(df: DataFrame, arr: Column, name: String) =
+      df.select(explode(array_distinct(filter(arr,
+          e => e.isNotNull))).as("e"))
+        .groupBy(col("e")).agg(count(lit(1)).as(name))
+    freqs(left, leftArr, "fl").join(freqs(right, rightArr, "fr"), "e")
+      .select(col("e"), (col("fl") * col("fr")).as("contrib"))
+      .agg(
+        count(lit(1)).as("n_common_elements"),
+        sum(col("contrib")).as("est_candidate_rows"),
+        max(col("contrib")).as("max_element_rows"),
+        max_by(col("e"), struct(col("contrib"), col("e")))
+          .as("worst_element"))
+      .withColumn("max_share_bp",
+        expr("max_element_rows * 10000L div est_candidate_rows"))
+      .withColumn("diagnosis",
+        when(col("max_share_bp") >= warnShareBp,
+          lit("hot-element: cap its frequency upstream (d02's " +
+            "maxShingleFreq) or salt it before the overlap join"))
+          .otherwise(lit("ok")))
+  }
 }

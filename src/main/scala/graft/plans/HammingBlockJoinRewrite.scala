@@ -3,10 +3,10 @@ package graft.plans
 import graft.functions.HammingDistance
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, MapType}
 
 /** Exact pigeonhole rewrite for Hamming-threshold joins (SURVEY §7.2's
   * "custom Rule" tier, the whole-operator optimization beside the
@@ -34,31 +34,62 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * caching contract leaks to the user, and AQE sees a single join to
   * skew-split. HammingRewriteSpec pins single-scan-per-side.
   *
+  * LEFT SEMI joins — `corpus.join(banned, hamming64(fp, bfp) <= k,
+  * "left_semi")`, the fingerprint-decontamination shape — are also
+  * rewritten (round 8). Semi needs NO first-match pin (∃-semantics
+  * dedup partners for free); it needs each left row back exactly once:
+  *  - two-phase (stable rowid on the left, large input, remaining
+  *    conjuncts scalar — see [[RewriteSupport.withStableRowId]]):
+  *    posexplode only `(rowid, fingerprint, block)` slim rows, LeftSemi
+  *    on (index, block) with the Hamming bound verified on the carried
+  *    8-byte fingerprints (exact in the slim join — nothing re-checked
+  *    later), collapse to distinct rowids, LeftSemi the tagged left
+  *    side against them: the left payload crosses the wire once per
+  *    row, never once per block;
+  *  - in-place otherwise: tag left rows with a plain unique id (single
+  *    instantiation — no order-stability needed), posexplode over the
+  *    full rows, LeftSemi with the original predicate, group back on
+  *    (id, row); unavailable when the left row carries a map column
+  *    (maps don't group).
+  *
   * This automates the d04 `simhashNearDups` topology for ANY user query
   * on a [[graft.functions.GraftExtensions]] session — write the naive
-  * predicate, get the scalable plan. Fires only when: the join is
-  * inner/cross, a `hamming64 ≤ k` conjunct (any comparison spelling)
-  * spans the two sides with k ≤ 15 (beyond that, 4-bit blocks collide
-  * too often to help), and no equi-conjunct already links the sides
-  * (an existing equi-join is already O(collisions); this also makes
-  * the rewrite a fixed point — its own output joins on block equality).
+  * predicate, get the scalable plan. Fires only when: a `hamming64 ≤ k`
+  * conjunct (any comparison spelling) spans the two sides with k ≤ 15
+  * (beyond that, 4-bit blocks collide too often to help), and no
+  * equi-conjunct already links the sides (an existing equi-join is
+  * already O(collisions); this also makes the rewrite a fixed point —
+  * its own output joins on block equality).
   * Default ON; disable with `spark.graft.hammingBlockJoinRewrite=false`.
   */
 class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  import RewriteSupport._
 
-  /** The `hamming64(a,b) ≤ k` conjunct, in any comparison spelling. */
-  private def hammingBound(cs: Seq[Expression])
-      : Option[(Expression, Expression, Int)] =
-    cs.collectFirst {
-      case LessThanOrEqual(HammingDistance(a, b), Literal(k: Int, IntegerType)) =>
-        (a, b, k)
-      case LessThan(HammingDistance(a, b), Literal(k: Int, IntegerType)) =>
-        (a, b, k - 1)
-      case GreaterThanOrEqual(Literal(k: Int, IntegerType), HammingDistance(a, b)) =>
-        (a, b, k)
-      case GreaterThan(Literal(k: Int, IntegerType), HammingDistance(a, b)) =>
-        (a, b, k - 1)
-    }
+  /** The first `hamming64(a,b) ≤ k` conjunct (any comparison spelling)
+    * that ORIENTS across the two sides — a same-side conjunct ahead of
+    * the real cross-side one no longer defeats the rewrite. Returns
+    * (conjunct, a = left side, b = right side, k). */
+  private def hammingBound(cs: Seq[Expression],
+      l: LogicalPlan, r: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Int)] =
+    cs.iterator.flatMap { c =>
+      val parsed = c match {
+        case LessThanOrEqual(HammingDistance(a, b), Literal(k: Int, IntegerType)) =>
+          Some((a, b, k))
+        case LessThan(HammingDistance(a, b), Literal(k: Int, IntegerType)) =>
+          Some((a, b, k - 1))
+        case GreaterThanOrEqual(Literal(k: Int, IntegerType), HammingDistance(a, b)) =>
+          Some((a, b, k))
+        case GreaterThan(Literal(k: Int, IntegerType), HammingDistance(a, b)) =>
+          Some((a, b, k - 1))
+        case _ => None
+      }
+      parsed.filter { case (a, b, k) =>
+        k >= 0 && k <= 15 && a.dataType == LongType && b.dataType == LongType
+      }.flatMap { case (a, b, k) =>
+        oriented(a, b, l, r).map { case (ao, bo) => (c, ao, bo, k) }
+      }
+    }.nextOption()
 
   private def blockOf(x: Expression, offset: Int, width: Int): Expression = {
     val shifted =
@@ -67,106 +98,171 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     else BitwiseAnd(shifted, Literal((1L << width) - 1L))
   }
 
+  /** Disjoint k+1 block layout over the 64 bits. */
+  private def layout(k: Int): (Int, IndexedSeq[Int], IndexedSeq[Int]) = {
+    val n = k + 1
+    val base = 64 / n
+    val rem = 64 % n
+    val widths = (0 until n).map(i => base + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (n, widths, offsets)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val enabled = spark.conf
       .getOption(ScaleGuards.HammingBlockJoinRewriteKey)
       .forall(!_.equalsIgnoreCase("false"))
     if (!enabled) return plan
     plan.transformUp {
-      case j @ Join(l, r, jt, Some(cond), hint)
+      case j @ Join(l, r, jt, Some(cond), _)
           if (jt == Inner || jt == Cross) && j.resolved =>
-        val cs = RewriteSupport.conjuncts(cond)
-        hammingBound(cs) match {
-          case Some((ax, bx, k))
-              if k >= 0 && k <= 15 && ax.dataType == LongType
-                && bx.dataType == LongType
-                && !RewriteSupport.hasEquiBetween(cs, l, r) =>
-            RewriteSupport.oriented(ax, bx, l, r) match {
-              case Some((a, b)) =>
-                val n = k + 1
-                val base = 64 / n
-                val rem = 64 % n
-                val widths = (0 until n).map(i =>
-                  base + (if (i < rem) 1 else 0))
-                val offsets = widths.scanLeft(0)(_ + _)
-                def blocksArr(x: Expression) = CreateArray(
-                  (0 until n).map(i => blockOf(x, offsets(i), widths(i))))
-                val posL = AttributeReference("graft_bidx_l", IntegerType,
-                  nullable = false)()
-                val valL = AttributeReference("graft_bval_l", LongType)()
-                val posR = AttributeReference("graft_bidx_r", IntegerType,
-                  nullable = false)()
-                val valR = AttributeReference("graft_bval_r", LongType)()
-                val genL = Generate(PosExplode(blocksArr(a)), Nil,
-                  outer = false, None, Seq(posL, valL), l)
-                val genR = Generate(PosExplode(blocksArr(b)), Nil,
-                  outer = false, None, Seq(posR, valR), r)
-                // first-match-only: blocks before the matched index differ
-                // (for p ≥ index the conjunct is vacuously true)
-                val priorDiffer = (0 until n - 1).map(p =>
-                  Or(GreaterThanOrEqual(Literal(p), posL),
-                    Not(EqualTo(blockOf(a, offsets(p), widths(p)),
-                      blockOf(b, offsets(p), widths(p))))))
-                val full = (Seq(EqualTo(posL, posR), EqualTo(valL, valR))
-                  ++ priorDiffer :+ cond).reduce(And)
-                Project(j.output,
-                  Join(genL, genR, Inner, Some(full),
-                    RewriteSupport.selfJoinHint(l, r, hint)))
-              case None => j
-            }
-          case _ => j
+        val cs = conjuncts(cond)
+        if (hasEquiBetween(cs, l, r)) j
+        else hammingBound(cs, l, r) match {
+          case Some((_, a, b, k)) => rewriteInner(j, cond, a, b, k)
+          case None => j
+        }
+      case j @ Join(l, r, jt, Some(cond), _)
+          if (jt == LeftSemi || jt == LeftAnti) && j.resolved =>
+        val cs = conjuncts(cond)
+        if (hasEquiBetween(cs, l, r)) j
+        else hammingBound(cs, l, r) match {
+          case Some((chosen, a, b, k)) =>
+            rewriteSemi(j, cs, chosen, a, b, k).getOrElse(j)
+          case None => j
         }
     }
   }
-}
 
-/** Shared pattern helpers for the theta-join rewrite rules. */
-private[plans] object RewriteSupport {
-  import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, JoinHint, SHUFFLE_HASH}
-
-  def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case x => Seq(x)
+  private def rewriteInner(j: Join, cond: Expression,
+      a: Expression, b: Expression, k: Int): LogicalPlan = {
+    val Join(l, r, _, _, hint) = (j: @unchecked)
+    val (n, widths, offsets) = layout(k)
+    def blocksArr(x: Expression) = CreateArray(
+      (0 until n).map(i => blockOf(x, offsets(i), widths(i))))
+    val posL = AttributeReference("graft_bidx_l", IntegerType,
+      nullable = false)()
+    val valL = AttributeReference("graft_bval_l", LongType)()
+    val posR = AttributeReference("graft_bidx_r", IntegerType,
+      nullable = false)()
+    val valR = AttributeReference("graft_bval_r", LongType)()
+    val genL = Generate(PosExplode(blocksArr(a)), Nil,
+      outer = false, None, Seq(posL, valL), l)
+    val genR = Generate(PosExplode(blocksArr(b)), Nil,
+      outer = false, None, Seq(posR, valR), r)
+    // first-match-only: blocks before the matched index differ
+    // (for p ≥ index the conjunct is vacuously true)
+    val priorDiffer = (0 until n - 1).map(p =>
+      Or(GreaterThanOrEqual(Literal(p), posL),
+        Not(EqualTo(blockOf(a, offsets(p), widths(p)),
+          blockOf(b, offsets(p), widths(p))))))
+    val full = (Seq(EqualTo(posL, posR), EqualTo(valL, valR))
+      ++ priorDiffer :+ cond).reduce(And)
+    Project(j.output,
+      Join(genL, genR, Inner, Some(full), selfJoinHint(l, r, hint)))
   }
 
-  /** SELF-joins (canonically identical children — d25's fingerprint
-    * self-join is the archetype) get a SHUFFLE_HASH hint: both exploded
-    * sides then plan the SAME hash exchange, which exchange/stage reuse
-    * deduplicates — the expensive upstream pipeline (fingerprinting,
-    * shingling) runs ONCE and its shuffle output is read twice. A
-    * broadcast join would instead re-execute the pipeline to build the
-    * broadcast side (measured on d25 at sf0.1: 4.9 s broadcast vs 2.0 s
-    * warm with the reused exchange — the r6 cached-union number, now
-    * with no cache and no caller contract). Distinct
-    * children keep the planner's choice — broadcasting a genuinely
-    * small side is still right. */
-  def selfJoinHint(l: LogicalPlan, r: LogicalPlan,
-      hint: JoinHint): JoinHint =
-    if (l.canonicalized == r.canonicalized)
-      JoinHint(Some(HintInfo(Some(SHUFFLE_HASH))),
-        Some(HintInfo(Some(SHUFFLE_HASH))))
-    else hint
+  private def twoPhaseMinBytes: BigInt = BigInt(
+    spark.conf.getOption(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+      .map(_.toLong).getOrElse(ScaleGuards.OverlapTwoPhaseMinBytesDefault))
 
-  /** Orient (a, b) as (left-side, right-side) expressions, if they split. */
-  def oriented(a: Expression, b: Expression,
-      l: LogicalPlan, r: LogicalPlan): Option[(Expression, Expression)] =
-    if (a.references.nonEmpty && b.references.nonEmpty
-        && a.references.subsetOf(l.outputSet)
-        && b.references.subsetOf(r.outputSet)) Some((a, b))
-    else if (a.references.nonEmpty && b.references.nonEmpty
-        && b.references.subsetOf(l.outputSet)
-        && a.references.subsetOf(r.outputSet)) Some((b, a))
-    else None
+  /** Semi = "report the contaminated rows", anti = "keep the clean
+    * corpus": both reduce to the same matching-rowid set, the back
+    * join's type decides which side survives. LeftAnti has no in-place
+    * fallback (its collapse is not a group-by over survivors), so
+    * without a stable rowid the rule stands down. */
+  private def rewriteSemi(j: Join, cs: Seq[Expression], chosen: Expression,
+      a: Expression, b: Expression, k: Int): Option[LogicalPlan] = {
+    val Join(l, r, jt, _, _) = (j: @unchecked)
+    val rest = cs.filterNot(_ eq chosen)
+    val restCheap = rest.forall(c =>
+      c.deterministic && c.references.forall(at => scalarType(at.dataType)))
+    val twoPhase =
+      if (restCheap && !l.isStreaming && !r.isStreaming
+          && (jt == LeftAnti
+            || l.stats.sizeInBytes.max(r.stats.sizeInBytes) >= twoPhaseMinBytes))
+        twoPhaseSemi(j, rest, a, b, k)
+      else None
+    twoPhase.orElse(if (jt == LeftSemi) inPlaceSemi(j, cs, a, b, k) else None)
+  }
 
-  def hasEquiBetween(cs: Seq[Expression],
-      l: LogicalPlan, r: LogicalPlan): Boolean =
-    cs.exists {
-      case EqualTo(x, y) =>
-        x.references.nonEmpty && y.references.nonEmpty &&
-          ((x.references.subsetOf(l.outputSet)
-              && y.references.subsetOf(r.outputSet)) ||
-            (y.references.subsetOf(l.outputSet)
-              && x.references.subsetOf(r.outputSet)))
-      case _ => false
+  /** Slim semi probe: `(rowid, fingerprint, cheap cols, index, block)`
+    * rows on the left, `(fingerprint, cheap cols, index, block)` on the
+    * right; the Hamming bound is verified inside the slim join on the
+    * carried 8-byte fingerprints, so nothing is re-checked later. */
+  private def twoPhaseSemi(j: Join, rest: Seq[Expression],
+      a: Expression, b: Expression, k: Int): Option[LogicalPlan] = {
+    val Join(l, r, jt, _, hint) = (j: @unchecked)
+    for {
+      (lBack, ridL) <- withStableRowId(l, "graft_rid_l")
+      (lNarrow, pridL) <- withStableRowId(l, "graft_prid_l")
+    } yield {
+      val (n, widths, offsets) = layout(k)
+      def narrow(base: LogicalPlan, keep: Seq[Attribute], fp: Expression,
+          side: LogicalPlan, tag: String)
+          : (LogicalPlan, Attribute, Attribute, Attribute,
+            Map[Attribute, Attribute]) = {
+        val needed = rest.flatMap(_.references).distinct
+          .filter(side.outputSet.contains)
+        val aliased = needed.map(at => at -> Alias(at, at.name)())
+        val fpA = Alias(fp, s"graft_fp_$tag")()
+        val proj = Project(keep ++ aliased.map(_._2) :+ fpA, base)
+        val pos = AttributeReference(s"graft_bidx_$tag", IntegerType,
+          nullable = false)()
+        val bval = AttributeReference(s"graft_bval_$tag", LongType)()
+        val blocks = CreateArray((0 until n).map(i =>
+          blockOf(fpA.toAttribute, offsets(i), widths(i))))
+        val gen = Generate(PosExplode(blocks), Nil,
+          outer = false, None, Seq(pos, bval), proj)
+        (gen, fpA.toAttribute, pos, bval,
+          aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
+      }
+      val (nL, fpL, posL, valL, mapL) = narrow(lNarrow, Seq(pridL), a, l, "l")
+      val (nR, fpR, posR, valR, mapR) = narrow(r, Nil, b, r, "r")
+      val subst = mapL ++ mapR
+      val restSub = rest.map(_.transform {
+        case at: Attribute if subst.contains(at) => subst(at)
+      })
+      val bound = LessThanOrEqual(HammingDistance(fpL, fpR), Literal(k))
+      val semiCand = Join(nL, nR, LeftSemi,
+        Some((Seq(EqualTo(posL, posR), EqualTo(valL, valR), bound)
+          ++ restSub).reduce(And)),
+        selfJoinHint(l, r, hint))
+      val rids = Aggregate(Seq(pridL), Seq(pridL), semiCand)
+      val back = Join(lBack, rids, jt,
+        Some(EqualTo(ridL, pridL)), JoinHint.NONE)
+      Project(j.output, back)
     }
+  }
+
+  /** Single-instantiation semi: tag, posexplode over the full rows,
+    * LeftSemi with the original predicate (no first-match pin — semi's
+    * ∃-semantics make duplicates free), group back on (id, row). */
+  private def inPlaceSemi(j: Join, cs: Seq[Expression],
+      a: Expression, b: Expression, k: Int): Option[LogicalPlan] = {
+    val Join(l, r, _, _, hint) = (j: @unchecked)
+    if (l.output.exists(at => containsMap(at.dataType))) None
+    else {
+      val (n, widths, offsets) = layout(k)
+      def blocksArr(x: Expression) = CreateArray(
+        (0 until n).map(i => blockOf(x, offsets(i), widths(i))))
+      val srid = Alias(MonotonicallyIncreasingID(), "graft_srid")()
+      val tagged = Project(l.output :+ srid, l)
+      val posL = AttributeReference("graft_bidx_l", IntegerType,
+        nullable = false)()
+      val valL = AttributeReference("graft_bval_l", LongType)()
+      val posR = AttributeReference("graft_bidx_r", IntegerType,
+        nullable = false)()
+      val valR = AttributeReference("graft_bval_r", LongType)()
+      val genL = Generate(PosExplode(blocksArr(a)), Nil,
+        outer = false, None, Seq(posL, valL), tagged)
+      val genR = Generate(PosExplode(blocksArr(b)), Nil,
+        outer = false, None, Seq(posR, valR), r)
+      val semi = Join(genL, genR, LeftSemi,
+        Some((Seq(EqualTo(posL, posR), EqualTo(valL, valR)) ++ cs).reduce(And)),
+        selfJoinHint(l, r, hint))
+      val collapsed = Aggregate(srid.toAttribute +: l.output, l.output, semi)
+      Some(Project(j.output, collapsed))
+    }
+  }
 }

@@ -1,0 +1,168 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+/** Shared pattern helpers for the theta-join rewrite rules
+  * ([[HammingBlockJoinRewrite]], [[SetOverlapJoinRewrite]]). */
+private[plans] object RewriteSupport {
+
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** SELF-joins (canonically identical children — d25's fingerprint
+    * self-join is the archetype) get a SHUFFLE_HASH hint: both exploded
+    * sides then plan the SAME hash exchange, which exchange/stage reuse
+    * deduplicates — the expensive upstream pipeline (fingerprinting,
+    * shingling) runs ONCE and its shuffle output is read twice. A
+    * broadcast join would instead re-execute the pipeline to build the
+    * broadcast side (measured on d25 at sf0.1: 4.9 s broadcast vs 2.0 s
+    * warm with the reused exchange — the r6 cached-union number, now
+    * with no cache and no caller contract). Distinct
+    * children keep the planner's choice — broadcasting a genuinely
+    * small side is still right. */
+  def selfJoinHint(l: LogicalPlan, r: LogicalPlan,
+      hint: JoinHint): JoinHint =
+    if (l.canonicalized == r.canonicalized)
+      JoinHint(Some(HintInfo(Some(SHUFFLE_HASH))),
+        Some(HintInfo(Some(SHUFFLE_HASH))))
+    else hint
+
+  /** Orient (a, b) as (left-side, right-side) expressions, if they split. */
+  def oriented(a: Expression, b: Expression,
+      l: LogicalPlan, r: LogicalPlan): Option[(Expression, Expression)] =
+    if (a.references.nonEmpty && b.references.nonEmpty
+        && a.references.subsetOf(l.outputSet)
+        && b.references.subsetOf(r.outputSet)) Some((a, b))
+    else if (a.references.nonEmpty && b.references.nonEmpty
+        && b.references.subsetOf(l.outputSet)
+        && a.references.subsetOf(r.outputSet)) Some((b, a))
+    else None
+
+  def hasEquiBetween(cs: Seq[Expression],
+      l: LogicalPlan, r: LogicalPlan): Boolean =
+    cs.exists {
+      case EqualTo(x, y) =>
+        x.references.nonEmpty && y.references.nonEmpty &&
+          ((x.references.subsetOf(l.outputSet)
+              && y.references.subsetOf(r.outputSet)) ||
+            (y.references.subsetOf(l.outputSet)
+              && x.references.subsetOf(r.outputSet)))
+      case _ => false
+    }
+
+  /** Non-container type — what the two-phase topologies allow in the
+    * slim candidate exchange (a handful of fixed-width or short scalar
+    * columns, never an array/map/struct payload). */
+  def scalarType(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+
+  /** Row ORDER of this subtree is reproducible across two physical
+    * instantiations of the same logical subplan: file-relation leaves
+    * (split planning and in-split order are functions of the files
+    * alone), local/range leaves, and deterministic narrow operators
+    * above them. Anything that fetches shuffle blocks (whose arrival
+    * order is racy) breaks it. */
+  def orderStable(p: LogicalPlan): Boolean = p match {
+    case lr: LogicalRelation => lr.relation.isInstanceOf[HadoopFsRelation]
+    case _: LocalRelation | _: Range | _: OneRowRelation => true
+    case Project(es, c) => es.forall(_.deterministic) && orderStable(c)
+    case Filter(cond, c) => cond.deterministic && orderStable(c)
+    case g: Generate => g.generator.deterministic && orderStable(g.child)
+    case s: SubqueryAlias => orderStable(s.child)
+    case _ => false
+  }
+
+  /** Tag every row of `p` with a unique id that is REPRODUCIBLE across
+    * two physical instantiations of the returned plan — the handle the
+    * two-phase rewrites join their slim candidate pair-lists back on.
+    *
+    * `monotonically_increasing_id` is (partition id << 33) + row index,
+    * so it reproduces exactly when partition layout and in-partition
+    * row order do — true at an [[orderStable]] subtree, false above any
+    * shuffle. When `p` itself sits above a shuffle (a repartition, say),
+    * the id Project is pushed BELOW it, through operators that neither
+    * create nor select rows order-dependently — deterministic
+    * Project/Filter, repartitions (per-row hash routing; round-robin
+    * only moves the already-tagged rows), Sort — and the tag column is
+    * threaded back up. Limits/samples/aggregates/joins block the push:
+    * a limit over racy order KEEPS different rows per instantiation, so
+    * no tag below it can help; callers fall back to their single-
+    * instantiation shape.
+    *
+    * Returns the re-built plan (output = p.output :+ rid) and the rid
+    * attribute, or None when no stable insertion point exists. */
+  def withStableRowId(p: LogicalPlan, name: String)
+      : Option[(LogicalPlan, Attribute)] = {
+    if (orderStable(p)) {
+      val rid = Alias(MonotonicallyIncreasingID(), name)()
+      Some((Project(p.output :+ rid, p), rid.toAttribute))
+    } else p match {
+      case Project(list, c) if list.forall(_.deterministic) =>
+        withStableRowId(c, name).map { case (c2, rid) =>
+          (Project(list :+ rid, c2), rid)
+        }
+      case f @ Filter(cond, _) if cond.deterministic =>
+        withStableRowId(f.child, name).map { case (c2, rid) =>
+          (f.withNewChildren(Seq(c2)), rid)
+        }
+      case rp: RepartitionOperation =>
+        withStableRowId(rp.child, name).map { case (c2, rid) =>
+          (rp.withNewChildren(Seq(c2)), rid)
+        }
+      case s: Sort =>
+        withStableRowId(s.child, name).map { case (c2, rid) =>
+          (s.withNewChildren(Seq(c2)), rid)
+        }
+      case sa: SubqueryAlias =>
+        withStableRowId(sa.child, name).map { case (c2, rid) =>
+          (sa.withNewChildren(Seq(c2)), rid)
+        }
+      case _ => None
+    }
+  }
+
+  /** `array_distinct(transform(<non-null elements of arr>, xxhash64))` —
+    * the 8-byte element keys the two-phase overlap topology explodes.
+    * Nulls are dropped FIRST (xxhash64 would otherwise map them to the
+    * seed, a joinable non-null long — but a shared null is never an
+    * overlap witness), and distinct runs on the hashes so each key
+    * explodes at most once per row. */
+  def hashedElems(arr: Expression): Expression = {
+    val ArrayType(et, containsNull) = (arr.dataType: @unchecked)
+    val base = if (containsNull) {
+      val v = NamedLambdaVariable("graft_nn", et, nullable = true)
+      ArrayFilter(arr, LambdaFunction(IsNotNull(v), Seq(v)))
+    } else arr
+    val h = NamedLambdaVariable("graft_hx", et, nullable = containsNull)
+    ArrayDistinct(ArrayTransform(base,
+      LambdaFunction(XxHash64(Seq(h), 42L), Seq(h))))
+  }
+
+  /** The type contains a MapType anywhere — maps don't group, so the
+    * semi collapse aggregates gate on this. */
+  def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case ArrayType(et, _) => containsMap(et)
+    case StructType(fields) => fields.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
+  /** `array_distinct(<non-null elements of arr>)` — the raw-element twin
+    * of [[hashedElems]] for the semi paths, whose witness equality must
+    * be exact without a later re-check. */
+  def distinctElems(arr: Expression): Expression = {
+    val ArrayType(et, containsNull) = (arr.dataType: @unchecked)
+    val base = if (containsNull) {
+      val v = NamedLambdaVariable("graft_nn", et, nullable = true)
+      ArrayFilter(arr, LambdaFunction(IsNotNull(v), Seq(v)))
+    } else arr
+    ArrayDistinct(base)
+  }
+}

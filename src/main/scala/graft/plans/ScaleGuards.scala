@@ -85,4 +85,11 @@ object ScaleGuards {
   val FailCartesianProductsKey = "spark.graft.failCartesianProducts"
   val HammingBlockJoinRewriteKey = "spark.graft.hammingBlockJoinRewrite"
   val OverlapJoinRewriteKey = "spark.graft.overlapJoinRewrite"
+
+  /** Estimated-size floor (bytes, per larger join side) above which the
+    * overlap rewrite plans its two-phase pair-list topology instead of
+    * the in-place exploded join. Below it the in-place form's wide
+    * exchange is cheaper than three extra tiny shuffles. */
+  val OverlapTwoPhaseMinBytesKey = "spark.graft.overlapJoinRewrite.twoPhaseMinBytes"
+  val OverlapTwoPhaseMinBytesDefault = 8L * 1024
 }

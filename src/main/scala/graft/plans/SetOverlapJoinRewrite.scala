@@ -2,14 +2,14 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, IntegerType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, MapType, StructType}
 
 /** Exact explode rewrite for set-overlap theta joins — the companion of
   * [[HammingBlockJoinRewrite]], automating d02's group-and-expand
-  * topology for naive user queries: an inner join whose only cross-side
+  * topology for naive user queries: a join whose only cross-side
   * predicate is `arrays_overlap(a, b)` (or an intersect-size threshold,
   * see below) plans as a nested-loop cartesian — |L|·|R| array
   * comparisons. But any qualifying pair shares at least one element
@@ -18,17 +18,47 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, MapType, StructType}
   * and equi-joining on the element — a plain shuffled hash join costing
   * O(element collisions).
   *
-  * Every qualifying pair is emitted exactly once: the match is
-  * additionally pinned to the pair's MINIMUM non-null common element
-  * (`ea = array_min(array_intersect(a, b))` — array_min skips nulls),
-  * so of the possibly-many shared elements exactly one produces the
-  * row, with no dedup aggregate — row multiplicities are preserved
-  * verbatim and the rewrite is a strict plan-level identity
-  * (OverlapRewriteSpec proves result equality, nulls and duplicate
-  * elements included). Null exactness mirrors `arrays_overlap`'s own
-  * contract: it returns TRUE only when a non-null common element
-  * exists (null-only overlap yields NULL → the pair is rejected), and
-  * the exploded equi-join likewise never matches null elements.
+  * TWO topologies, chosen by estimated input size:
+  *
+  * IN-PLACE (small inputs): explode both sides' distinct elements over
+  * the full rows and equi-join on the element. Every qualifying pair is
+  * emitted exactly once: the match is additionally pinned to the pair's
+  * MINIMUM non-null common element (`ea = array_min(array_intersect(a,
+  * b))`), so of the possibly-many shared elements exactly one produces
+  * the row — no dedup aggregate, row multiplicities preserved verbatim.
+  * The exchange carries each row's full payload (arrays included) once
+  * PER ELEMENT — O(|arr|²) bytes per row — which is fine below the
+  * [[ScaleGuards.OverlapTwoPhaseMinBytesKey]] floor and ruinous above
+  * it.
+  *
+  * TWO-PHASE (large inputs — the 100 TB shape, d02's own topology):
+  *  1. tag each side's rows with a reproducible rowid
+  *     ([[RewriteSupport.withStableRowId]]);
+  *  2. explode ONLY `(rowid, xxhash64(element))` — 16-byte candidate
+  *     rows, plus any scalar columns that cross-side non-array
+  *     conjuncts need (so e.g. an `a_id < b_id` dedup-ordering prunes
+  *     candidates before they cost anything);
+  *  3. equi-join the hashes, apply those scalar conjuncts, and collapse
+  *     to DISTINCT `(rowid_l, rowid_r)` pairs (partial aggregation
+  *     dedups map-side);
+  *  4. join the pair-list back to each tagged side on its rowid (the
+  *     full payloads now cross the wire ONCE per matching pair, not
+  *     once per element), and re-apply the ORIGINAL predicate raw.
+  * The raw re-application makes the topology exact — not
+  * probabilistic: hash collisions only ever ADD candidate pairs, and
+  * the final `arrays_overlap`/threshold evaluation removes them. Each
+  * qualifying pair appears exactly once (rowids are unique, the
+  * pair-list is distinct), so multiplicities are preserved verbatim.
+  * Falls back to IN-PLACE when no order-stable rowid insertion point
+  * exists (see [[RewriteSupport.withStableRowId]]), when a side is
+  * streaming, or for float/double elements (hash/equality disagree on
+  * NaN families).
+  *
+  * Null exactness (both topologies) mirrors `arrays_overlap`'s own
+  * contract: TRUE only when a non-null common element exists (null-only
+  * overlap yields NULL → the pair is rejected); exploded equi-joins
+  * never match null elements, and the two-phase hash explode drops
+  * nulls before hashing.
   *
   * Accepted conjunct spellings:
   *  - `arrays_overlap(a, b)` — exact for any atomic element type,
@@ -42,43 +72,63 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, MapType, StructType}
   *    tag-lookup membership join) — only the array side explodes and
   *    no dedup pin is needed (see [[rewriteMembership]]).
   *
-  * Fires only when the join is inner/cross, the overlap conjunct spans
-  * the two sides, the element type is atomic (orderable + joinable),
-  * and no equi-conjunct already links the sides (an existing equi-join
-  * is already O(collisions); this also makes the rewrite a fixed
-  * point — its own output joins on element equality). Default ON;
-  * disable with `spark.graft.overlapJoinRewrite=false`.
+  * LEFT SEMI joins — the decontamination shape
+  * (`corpus.join(banned, arrays_overlap(toks, banned_toks),
+  * "left_semi")`) — are also rewritten. Semi needs no multiplicity pin
+  * at all (∃-semantics dedup partners for free); what it needs is to
+  * collapse a row's surviving exploded copies back to one row:
+  *  - two-phase (stable rowid available, large input, remaining
+  *    conjuncts scalar): explode `(rowid, element)` slim rows, LeftSemi
+  *    against the partner side's exploded elements (raw witness
+  *    equality — exact by construction), collapse to distinct rowids,
+  *    LeftSemi the tagged left side against them;
+  *  - in-place otherwise: tag rows with a plain unique id (a single
+  *    instantiation, so no order-stability needed), explode, LeftSemi
+  *    with the full original predicate re-applied raw, then group back
+  *    on (id, row) — unavailable when the left row carries a MapType
+  *    column (maps don't group).
+  *  - membership with the array on the RIGHT (`probe ⋉ tags`) needs
+  *    none of that: the left side stays unexploded, so the semi's own
+  *    semantics already emit each row once.
+  *
+  * Fires only when the overlap conjunct spans the two sides, the
+  * element type is atomic (orderable + joinable), and no equi-conjunct
+  * already links the sides (an existing equi-join is already
+  * O(collisions); this also makes the rewrite a fixed point — every
+  * join it emits is an equi-join). Default ON; disable with
+  * `spark.graft.overlapJoinRewrite=false`.
   */
 class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  import RewriteSupport._
 
-  /** The overlap conjunct: (a, b, implied). `implied = true` marks the
-    * plain `arrays_overlap` spelling, which the element equi-match plus
-    * the min-element pin make REDUNDANT (a matched non-null shared
-    * element IS the overlap witness) — the rewrite then drops it from
-    * the re-applied condition, saving one O(|a|+|b|) set evaluation per
-    * candidate match (the pin already pays one; this halves the
-    * per-match array work). Threshold spellings are NOT implied and are
-    * always re-applied. */
-  private def overlapConjunct(cs: Seq[Expression])
-      : Option[(Expression, Expression, Boolean)] = {
+  /** All overlap conjuncts: (conjunct, a, b, implied). `implied = true`
+    * marks the plain `arrays_overlap` spelling, whose re-application
+    * the in-place pin makes redundant (a matched non-null shared
+    * element IS the overlap witness). Threshold spellings are NOT
+    * implied and are always re-applied. Returned as a list — the first
+    * candidate that ORIENTS across the two sides wins, so a same-side
+    * `arrays_overlap(a1, a2)` conjunct ahead of the real cross-side one
+    * no longer defeats the rewrite. */
+  private def overlapConjuncts(cs: Seq[Expression])
+      : Seq[(Expression, Expression, Expression, Boolean)] = {
     def nullFree(e: Expression): Boolean = e.dataType match {
       case ArrayType(_, containsNull) => !containsNull
       case _ => false
     }
-    cs.collectFirst {
-      case ArraysOverlap(a, b) => (a, b, true)
-      case GreaterThanOrEqual(Size(ArrayIntersect(a, b), _),
+    cs.collect {
+      case c @ ArraysOverlap(a, b) => (c, a, b, true)
+      case c @ GreaterThanOrEqual(Size(ArrayIntersect(a, b), _),
             Literal(k: Int, IntegerType))
-          if k >= 1 && nullFree(a) && nullFree(b) => (a, b, false)
-      case GreaterThan(Size(ArrayIntersect(a, b), _),
+          if k >= 1 && nullFree(a) && nullFree(b) => (c, a, b, false)
+      case c @ GreaterThan(Size(ArrayIntersect(a, b), _),
             Literal(k: Int, IntegerType))
-          if k >= 0 && nullFree(a) && nullFree(b) => (a, b, false)
-      case LessThanOrEqual(Literal(k: Int, IntegerType),
+          if k >= 0 && nullFree(a) && nullFree(b) => (c, a, b, false)
+      case c @ LessThanOrEqual(Literal(k: Int, IntegerType),
             Size(ArrayIntersect(a, b), _))
-          if k >= 1 && nullFree(a) && nullFree(b) => (a, b, false)
-      case LessThan(Literal(k: Int, IntegerType),
+          if k >= 1 && nullFree(a) && nullFree(b) => (c, a, b, false)
+      case c @ LessThan(Literal(k: Int, IntegerType),
             Size(ArrayIntersect(a, b), _))
-          if k >= 0 && nullFree(a) && nullFree(b) => (a, b, false)
+          if k >= 0 && nullFree(a) && nullFree(b) => (c, a, b, false)
     }
   }
 
@@ -92,59 +142,186 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def sameElemType(a: Expression, b: Expression): Boolean =
+    a.dataType.asInstanceOf[ArrayType].elementType ==
+      b.dataType.asInstanceOf[ArrayType].elementType
+
+  private def twoPhaseMinBytes: BigInt = BigInt(
+    spark.conf.getOption(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+      .map(_.toLong).getOrElse(ScaleGuards.OverlapTwoPhaseMinBytesDefault))
+
+  private def bigEnoughForTwoPhase(l: LogicalPlan, r: LogicalPlan): Boolean =
+    l.stats.sizeInBytes.max(r.stats.sizeInBytes) >= twoPhaseMinBytes
+
+  /** xxhash64 and SQL equality agree (x = y ⇒ hash(x) = hash(y)) for
+    * every atomic type except float/double, whose NaN families and
+    * signed zeros compare equal without sharing bits. */
+  private def hashSafeElem(a: Expression): Boolean =
+    a.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType | DoubleType => false
+      case _ => true
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val enabled = spark.conf
       .getOption(ScaleGuards.OverlapJoinRewriteKey)
       .forall(!_.equalsIgnoreCase("false"))
     if (!enabled) return plan
     plan.transformUp {
-      case j @ Join(l, r, jt, Some(cond), hint)
+      case j @ Join(l, r, jt, Some(cond), _)
           if (jt == Inner || jt == Cross) && j.resolved =>
-        val cs = RewriteSupport.conjuncts(cond)
-        if (RewriteSupport.hasEquiBetween(cs, l, r)) j
+        val cs = conjuncts(cond)
+        if (hasEquiBetween(cs, l, r)) j
         else rewriteOverlap(j, cs)
           .orElse(rewriteMembership(j, cs))
+          .getOrElse(j)
+      case j @ Join(l, r, jt, Some(cond), _)
+          if (jt == LeftSemi || jt == LeftAnti) && j.resolved =>
+        val cs = conjuncts(cond)
+        if (hasEquiBetween(cs, l, r)) j
+        else rewriteSemiOverlap(j, cs)
+          .orElse(rewriteSemiMembership(j, cs))
           .getOrElse(j)
     }
   }
 
-  /** `arrays_overlap(a, b)` / intersect-size threshold → explode both
-    * sides, equi-join on the element, pin to the minimum non-null
-    * common element (exactly-once per qualifying pair). */
+  /** First overlap conjunct that orients across the two sides, with
+    * oriented (a = left side, b = right side) array expressions. */
+  private def orientedOverlap(cs: Seq[Expression],
+      l: LogicalPlan, r: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Boolean)] =
+    overlapConjuncts(cs).iterator.flatMap { case (c, ax, bx, implied) =>
+      if (atomicElem(ax) && atomicElem(bx) && sameElemType(ax, bx))
+        oriented(ax, bx, l, r).map { case (a, b) => (c, a, b, implied) }
+      else None
+    }.nextOption()
+
+  /** `arrays_overlap(a, b)` / intersect-size threshold, inner/cross. */
   private def rewriteOverlap(j: Join, cs: Seq[Expression])
       : Option[LogicalPlan] = {
-    val Join(l, r, _, Some(cond), hint) = (j: @unchecked)
-    overlapConjunct(cs) match {
-      case Some((ax, bx, implied))
-          if atomicElem(ax) && atomicElem(bx)
-            && ax.dataType.asInstanceOf[ArrayType].elementType ==
-              bx.dataType.asInstanceOf[ArrayType].elementType =>
-        RewriteSupport.oriented(ax, bx, l, r).map { case (a, b) =>
-          val elemType = a.dataType.asInstanceOf[ArrayType].elementType
-          val ea = AttributeReference("graft_elem_l", elemType)()
-          val eb = AttributeReference("graft_elem_r", elemType)()
-          val genL = Generate(Explode(ArrayDistinct(a)), Nil,
-            outer = false, None, Seq(ea), l)
-          val genR = Generate(Explode(ArrayDistinct(b)), Nil,
-            outer = false, None, Seq(eb), r)
-          val firstCommon = ArrayMin(ArrayIntersect(a, b))
-          // re-apply the original conjuncts, minus the overlap
-          // predicate itself when the equi-match implies it
-          val reapplied =
-            if (implied)
-              cs.filterNot {
-                case ArraysOverlap(x, y) =>
-                  (x == ax && y == bx) || (x == bx && y == ax)
-                case _ => false
-              }
-            else cs
-          val full = (Seq(EqualTo(ea, eb),
-            EqualTo(ea, firstCommon)) ++ reapplied).reduce(And)
-          Project(j.output,
-            Join(genL, genR, Inner, Some(full),
-              RewriteSupport.selfJoinHint(l, r, hint)))
+    val Join(l, r, _, _, _) = (j: @unchecked)
+    orientedOverlap(cs, l, r).map { case (chosen, a, b, implied) =>
+      val twoPhase =
+        if (!l.isStreaming && !r.isStreaming && hashSafeElem(a)
+            && bigEnoughForTwoPhase(l, r))
+          twoPhaseInner(j, cs, chosen, a, b, implied)
+        else None
+      twoPhase.getOrElse(inPlaceInner(j, cs, a, b, implied))
+    }
+  }
+
+  /** IN-PLACE topology: explode both sides, equi-join on the element,
+    * pin to the minimum non-null common element (exactly-once per
+    * qualifying pair). */
+  private def inPlaceInner(j: Join, cs: Seq[Expression],
+      a: Expression, b: Expression, implied: Boolean): LogicalPlan = {
+    val Join(l, r, _, _, hint) = (j: @unchecked)
+    val elemType = a.dataType.asInstanceOf[ArrayType].elementType
+    val ea = AttributeReference("graft_elem_l", elemType)()
+    val eb = AttributeReference("graft_elem_r", elemType)()
+    val genL = Generate(Explode(ArrayDistinct(a)), Nil,
+      outer = false, None, Seq(ea), l)
+    val genR = Generate(Explode(ArrayDistinct(b)), Nil,
+      outer = false, None, Seq(eb), r)
+    val firstCommon = ArrayMin(ArrayIntersect(a, b))
+    // re-apply the original conjuncts, minus the overlap predicate
+    // itself when the equi-match implies it
+    val reapplied =
+      if (implied)
+        cs.filterNot {
+          case ArraysOverlap(x, y) =>
+            (x == a && y == b) || (x == b && y == a)
+          case _ => false
         }
-      case _ => None
+      else cs
+    val full = (Seq(EqualTo(ea, eb),
+      EqualTo(ea, firstCommon)) ++ reapplied).reduce(And)
+    Project(j.output,
+      Join(genL, genR, Inner, Some(full), selfJoinHint(l, r, hint)))
+  }
+
+  /** Exact, fast evaluation twin of `arrays_overlap(a, b)` for the
+    * re-check slot: `size(array_intersect(<non-null a>, b)) >= 1`.
+    * Identical three-valued semantics — null elements are filtered off
+    * `a` first so a shared null never counts (arrays_overlap's
+    * non-null-witness contract), and a null array yields a null size,
+    * which the Filter rejects exactly as it rejects arrays_overlap's
+    * NULL. Why not re-apply arrays_overlap itself: its non-primitive
+    * path is pairwise O(n·m) comparison (measured ~2.2 ms per 297×51
+    * string-array pair), while array_intersect builds a hash set
+    * (~4× faster on the same inputs). */
+  private def fastOverlapCheck(a: Expression, b: Expression): Expression = {
+    val aNonNull = a.dataType match {
+      case ArrayType(et, true) =>
+        val v = NamedLambdaVariable("graft_nn", et, nullable = true)
+        ArrayFilter(a, LambdaFunction(IsNotNull(v), Seq(v)))
+      case _ => a
+    }
+    GreaterThanOrEqual(
+      Size(ArrayIntersect(aNonNull, b), legacySizeOfNull = false),
+      Literal(1))
+  }
+
+  /** TWO-PHASE topology: slim hashed candidate pair generation +
+    * distinct + rowid back-joins + raw predicate re-application. */
+  private def twoPhaseInner(j: Join, cs: Seq[Expression],
+      chosen: Expression, a: Expression, b: Expression, implied: Boolean)
+      : Option[LogicalPlan] = {
+    val Join(l, r, _, _, hint) = (j: @unchecked)
+    for {
+      (lBack, ridL) <- withStableRowId(l, "graft_rid_l")
+      (rBack, ridR) <- withStableRowId(r, "graft_rid_r")
+      (lNarrow, pridL) <- withStableRowId(l, "graft_prid_l")
+      (rNarrow, pridR) <- withStableRowId(r, "graft_prid_r")
+    } yield {
+      val rest = cs.filterNot(_ eq chosen)
+      // scalar-only conjuncts prune candidates inside the slim join;
+      // everything else (the overlap itself included) re-applies raw
+      // after the back-joins, which is what makes hashing exact
+      val (cheap, heavy) = rest.partition(c =>
+        c.deterministic && c.references.forall(at => scalarType(at.dataType)))
+      // The hashed-elements expression feeds Explode INLINE, never
+      // through an alias: InferFiltersFromGenerate only infers
+      // size/isnotnull filters over Attribute generator inputs
+      // (SPARK-36715), and predicate pushdown would substitute an alias
+      // into those filters and re-evaluate the whole shingling
+      // expression per row below the explode — measured as 4× the
+      // entire query's runtime on d27 before this shape.
+      def narrowSide(base: LogicalPlan, prid: Attribute, arr: Expression,
+          side: LogicalPlan, elemName: String)
+          : (LogicalPlan, Attribute, Map[Attribute, Attribute]) = {
+        val needed = cheap.flatMap(_.references).distinct
+          .filter(side.outputSet.contains)
+        val aliased = needed.map(at => at -> Alias(at, at.name)())
+        val arrRefs = arr.references.toSeq
+        val keep = Seq(prid) ++ aliased.map(_._2)
+        val proj = Project(keep ++ arrRefs, base)
+        val eh = AttributeReference(elemName, LongType, nullable = false)()
+        val gen = Generate(Explode(hashedElems(arr)),
+          unrequiredChildIndex = keep.size until proj.output.size,
+          outer = false, None, Seq(eh), proj)
+        (gen, eh, aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
+      }
+      val (nL, ehL, mapL) = narrowSide(lNarrow, pridL, a, l, "graft_elem_l")
+      val (nR, ehR, mapR) = narrowSide(rNarrow, pridR, b, r, "graft_elem_r")
+      val subst = mapL ++ mapR
+      val cheapSub = cheap.map(_.transform {
+        case at: Attribute if subst.contains(at) => subst(at)
+      })
+      val cand = Join(nL, nR, Inner,
+        Some((EqualTo(ehL, ehR) +: cheapSub).reduce(And)),
+        selfJoinHint(l, r, hint))
+      val pairs = Aggregate(Seq(pridL, pridR), Seq(pridL, pridR), cand)
+      val back1 = Join(lBack, pairs, Inner,
+        Some(EqualTo(ridL, pridL)), JoinHint.NONE)
+      val back2 = Join(back1, rBack, Inner,
+        Some(EqualTo(pridR, ridR)), JoinHint.NONE)
+      // the plain arrays_overlap spelling re-checks through the exact
+      // intersect twin (hash-set path); threshold spellings re-apply
+      // their own predicate raw, which subsumes the overlap witness
+      val recheck = if (implied) fastOverlapCheck(a, b) else chosen
+      val post = (recheck +: heavy).reduce(And)
+      Project(j.output, Filter(post, back2))
     }
   }
 
@@ -155,39 +332,185 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * qualifying pair emits exactly once by construction. Null-exact:
     * `array_contains` is TRUE iff a non-null element equals a non-null
     * `x`, which is precisely what the equi-join matches (the implied
-    * conjunct is dropped; other conjuncts re-applied). */
-  private def rewriteMembership(j: Join, cs: Seq[Expression])
-      : Option[LogicalPlan] = {
-    val Join(l, r, _, Some(_), hint) = (j: @unchecked)
-    val found = cs.collectFirst {
+    * conjunct is dropped; other conjuncts re-applied). The first
+    * candidate conjunct that orients across the sides wins. */
+  private def membershipConjunct(cs: Seq[Expression],
+      l: LogicalPlan, r: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Boolean)] =
+    cs.iterator.flatMap {
       case c @ ArrayContains(arr, x)
           if atomicElem(arr)
             && x.dataType ==
               arr.dataType.asInstanceOf[ArrayType].elementType
             && arr.references.nonEmpty && x.references.nonEmpty =>
-        (c, arr, x)
-    }
-    found.flatMap { case (c, arr, x) =>
+        if (arr.references.subsetOf(l.outputSet)
+            && x.references.subsetOf(r.outputSet))
+          Some((c, arr, x, true)) // array on the left
+        else if (arr.references.subsetOf(r.outputSet)
+            && x.references.subsetOf(l.outputSet))
+          Some((c, arr, x, false)) // array on the right
+        else None
+      case _ => None
+    }.nextOption()
+
+  private def rewriteMembership(j: Join, cs: Seq[Expression])
+      : Option[LogicalPlan] = {
+    val Join(l, r, _, _, hint) = (j: @unchecked)
+    membershipConjunct(cs, l, r).map { case (c, arr, x, arrayOnLeft) =>
       val rest = cs.filterNot(_ eq c)
       val elemType = arr.dataType.asInstanceOf[ArrayType].elementType
-      def build(arrayOnLeft: Boolean): LogicalPlan = {
-        val ea = AttributeReference("graft_member_elem", elemType)()
-        val newJoin =
-          if (arrayOnLeft)
-            Join(Generate(Explode(ArrayDistinct(arr)), Nil,
-              outer = false, None, Seq(ea), l), r, Inner,
-              Some((EqualTo(ea, x) +: rest).reduce(And)), hint)
-          else
-            Join(l, Generate(Explode(ArrayDistinct(arr)), Nil,
-              outer = false, None, Seq(ea), r), Inner,
-              Some((EqualTo(ea, x) +: rest).reduce(And)), hint)
-        Project(j.output, newJoin)
+      val ea = AttributeReference("graft_member_elem", elemType)()
+      val newJoin =
+        if (arrayOnLeft)
+          Join(Generate(Explode(ArrayDistinct(arr)), Nil,
+            outer = false, None, Seq(ea), l), r, Inner,
+            Some((EqualTo(ea, x) +: rest).reduce(And)), hint)
+        else
+          Join(l, Generate(Explode(ArrayDistinct(arr)), Nil,
+            outer = false, None, Seq(ea), r), Inner,
+            Some((EqualTo(ea, x) +: rest).reduce(And)), hint)
+      Project(j.output, newJoin)
+    }
+  }
+
+  // ---------------------------------------------------------------- semi
+
+  /** LeftSemi/LeftAnti overlap/threshold: the decontamination shapes
+    * (semi = "report the contaminated rows", anti = "keep the clean
+    * corpus"). Both reduce to the same matching-rowid set; the back
+    * join's type decides which side of it survives. LeftAnti has no
+    * in-place fallback: its collapse cannot be expressed as a group-by
+    * over survivors, so without a stable rowid the rule stands down
+    * (the naive plan stays, correct but unscalable). */
+  private def rewriteSemiOverlap(j: Join, cs: Seq[Expression])
+      : Option[LogicalPlan] = {
+    val Join(l, r, jt, _, _) = (j: @unchecked)
+    orientedOverlap(cs, l, r).flatMap { case (chosen, a, b, implied) =>
+      val rest = cs.filterNot(_ eq chosen)
+      val restCheap = rest.forall(c =>
+        c.deterministic && c.references.forall(at => scalarType(at.dataType)))
+      val twoPhase =
+        if (implied && restCheap && !l.isStreaming && !r.isStreaming
+            && (jt == LeftAnti || bigEnoughForTwoPhase(l, r)))
+          twoPhaseSemi(j, rest, a, b)
+        else None
+      twoPhase.orElse(
+        if (jt == LeftSemi) inPlaceSemi(j, cs, chosen, a, b, implied)
+        else None)
+    }
+  }
+
+  /** Slim semi pair-probe: explode `(rowid, element)` on the left and
+    * `element` (+ scalar conjunct columns) on the right, LeftSemi on
+    * RAW element equality — a matched non-null element IS the overlap
+    * witness, so this is exact with no re-check — collapse to distinct
+    * rowids, LeftSemi the tagged left side against them. The left
+    * payload crosses the wire once per row, never per element. */
+  private def twoPhaseSemi(j: Join, rest: Seq[Expression],
+      a: Expression, b: Expression): Option[LogicalPlan] = {
+    val Join(l, r, jt, _, hint) = (j: @unchecked)
+    for {
+      (lBack, ridL) <- withStableRowId(l, "graft_rid_l")
+      (lNarrow, pridL) <- withStableRowId(l, "graft_prid_l")
+    } yield {
+      val elemType = a.dataType.asInstanceOf[ArrayType].elementType
+      // inline generator input — same InferFiltersFromGenerate/pushdown
+      // trap as twoPhaseInner's narrowSide, see the note there
+      def narrow(base: LogicalPlan, keep: Seq[Attribute], arr: Expression,
+          side: LogicalPlan, elemName: String)
+          : (LogicalPlan, Attribute, Map[Attribute, Attribute]) = {
+        val needed = rest.flatMap(_.references).distinct
+          .filter(side.outputSet.contains)
+        val aliased = needed.map(at => at -> Alias(at, at.name)())
+        val arrRefs = arr.references.toSeq
+        val kept = keep ++ aliased.map(_._2)
+        val proj = Project(kept ++ arrRefs, base)
+        val ea = AttributeReference(elemName, elemType)()
+        val gen = Generate(Explode(distinctElems(arr)),
+          unrequiredChildIndex = kept.size until proj.output.size,
+          outer = false, None, Seq(ea), proj)
+        (gen, ea, aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
       }
-      if (arr.references.subsetOf(l.outputSet)
-          && x.references.subsetOf(r.outputSet)) Some(build(true))
-      else if (arr.references.subsetOf(r.outputSet)
-          && x.references.subsetOf(l.outputSet)) Some(build(false))
-      else None
+      val (nL, eaL, mapL) = narrow(lNarrow, Seq(pridL), a, l, "graft_elem_l")
+      val (nR, eaR, mapR) = narrow(r, Nil, b, r, "graft_elem_r")
+      val subst = mapL ++ mapR
+      val restSub = rest.map(_.transform {
+        case at: Attribute if subst.contains(at) => subst(at)
+      })
+      val semiCand = Join(nL, nR, LeftSemi,
+        Some((EqualTo(eaL, eaR) +: restSub).reduce(And)),
+        selfJoinHint(l, r, hint))
+      val rids = Aggregate(Seq(pridL), Seq(pridL), semiCand)
+      // semi keeps the matching rowids, anti keeps their complement —
+      // the rid set itself is identical
+      val back = Join(lBack, rids, jt,
+        Some(EqualTo(ridL, pridL)), JoinHint.NONE)
+      Project(j.output, back)
+    }
+  }
+
+  /** Single-instantiation semi: tag left rows with a plain unique id
+    * (no order-stability needed — the tagged plan is evaluated once),
+    * explode, LeftSemi with the full predicate (threshold spellings
+    * re-applied raw), then collapse each row's surviving copies via
+    * group-on-(id, row). Unavailable when the left row carries a map
+    * column (maps don't group). */
+  private def inPlaceSemi(j: Join, cs: Seq[Expression], chosen: Expression,
+      a: Expression, b: Expression, implied: Boolean)
+      : Option[LogicalPlan] = {
+    val Join(l, r, _, _, hint) = (j: @unchecked)
+    if (l.output.exists(at => containsMap(at.dataType))) None
+    else {
+      val elemType = a.dataType.asInstanceOf[ArrayType].elementType
+      val srid = Alias(MonotonicallyIncreasingID(), "graft_srid")()
+      val tagged = Project(l.output :+ srid, l)
+      val ea = AttributeReference("graft_elem_l", elemType)()
+      val eb = AttributeReference("graft_elem_r", elemType)()
+      val genL = Generate(Explode(ArrayDistinct(a)), Nil,
+        outer = false, None, Seq(ea), tagged)
+      val genR = Generate(Explode(ArrayDistinct(b)), Nil,
+        outer = false, None, Seq(eb), r)
+      val reapplied = if (implied) cs.filterNot(_ eq chosen) else cs
+      val semi = Join(genL, genR, LeftSemi,
+        Some((EqualTo(ea, eb) +: reapplied).reduce(And)),
+        selfJoinHint(l, r, hint))
+      val collapsed = Aggregate(srid.toAttribute +: l.output, l.output, semi)
+      Some(Project(j.output, collapsed))
+    }
+  }
+
+  /** LeftSemi membership. Array on the RIGHT (`probe ⋉ tags`): the left
+    * side stays unexploded — explode the right side's distinct elements
+    * and LeftSemi on element = probe; semi semantics already emit each
+    * left row once, so no tagging or collapse at all. Array on the
+    * LEFT: explode-tag-collapse, as the overlap semi. */
+  private def rewriteSemiMembership(j: Join, cs: Seq[Expression])
+      : Option[LogicalPlan] = {
+    val Join(l, r, jt, _, hint) = (j: @unchecked)
+    membershipConjunct(cs, l, r).flatMap { case (c, arr, x, arrayOnLeft) =>
+      val rest = cs.filterNot(_ eq c)
+      val elemType = arr.dataType.asInstanceOf[ArrayType].elementType
+      val ea = AttributeReference("graft_member_elem", elemType)()
+      if (!arrayOnLeft) {
+        // probe side stays unexploded: semi AND anti both exact (a null
+        // probe or null-only tags never equi-match, exactly the rows
+        // array_contains never passes TRUE for)
+        val genR = Generate(Explode(ArrayDistinct(arr)), Nil,
+          outer = false, None, Seq(ea), r)
+        Some(Project(j.output, Join(l, genR, jt,
+          Some((EqualTo(x, ea) +: rest).reduce(And)), hint)))
+      } else if (jt == LeftAnti
+          || l.output.exists(at => containsMap(at.dataType))) None
+      else {
+        val srid = Alias(MonotonicallyIncreasingID(), "graft_srid")()
+        val tagged = Project(l.output :+ srid, l)
+        val genL = Generate(Explode(ArrayDistinct(arr)), Nil,
+          outer = false, None, Seq(ea), tagged)
+        val semi = Join(genL, r, LeftSemi,
+          Some((EqualTo(ea, x) +: rest).reduce(And)), hint)
+        val collapsed = Aggregate(srid.toAttribute +: l.output, l.output, semi)
+        Some(Project(j.output, collapsed))
+      }
     }
   }
 }

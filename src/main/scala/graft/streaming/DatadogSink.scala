@@ -10,7 +10,8 @@ import java.nio.charset.StandardCharsets
   * HTTP path, completing the parity pair.
   *
   * Wire format is the PUBLIC Datadog API (docs.datadoghq.com/api/):
-  * `POST <endpoint>/series?api_key=<key>` with body
+  * `POST <endpoint>/series` with the key in the `DD-API-KEY` header
+  * (never the URL — query params leak into access logs) and body
   * `{"series":[{"metric":"p.ns.m","points":[[<epoch_s>,<v>]],
   * "type":"count"|"gauge","tags":["k:v",...]}]}` — counters map to
   * `count`, timings to a `gauge` of milliseconds, gauges to `gauge`
@@ -72,12 +73,15 @@ final class DatadogHttpSink(
 
   private def post(series: List[String]): Unit =
     try {
-      val url = java.net.URI
-        .create(s"$endpoint/series?api_key=$apiKey").toURL
+      // key travels in the DD-API-KEY header (the current Datadog API
+      // form), never in the URL — query params leak credentials into
+      // server/proxy access logs
+      val url = java.net.URI.create(s"$endpoint/series").toURL
       val conn = url.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       conn.setRequestMethod("POST")
       conn.setRequestProperty("Content-Type", "application/json")
+      conn.setRequestProperty("DD-API-KEY", apiKey)
       conn.setConnectTimeout(5000)
       conn.setReadTimeout(5000)
       conn.setDoOutput(true)
@@ -87,7 +91,12 @@ final class DatadogHttpSink(
       try os.write(body) finally os.close()
       conn.getResponseCode // drive the request; status ignored by design
       conn.disconnect()
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      // the hot path never throws: a malformed endpoint raises
+      // IllegalArgumentException from URI.create, not IOException, and
+      // must drop the batch just like a network failure does
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   override def updateCounter(
       namespace: String, metric: String,

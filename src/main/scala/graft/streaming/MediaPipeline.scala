@@ -87,13 +87,19 @@ object MediaPipeline {
         if (!any) -1 else v
       }
       val w = readInt(); val h = readInt(); val maxval = readInt()
-      if (w <= 0 || h <= 0) Left("bad dimensions")
+      // pixel byte count in Long arithmetic: a crafted header like
+      // "P6 46341 46341 255" overflows Int (negative need would pass the
+      // length check and copyOfRange would throw, escaping the error-row
+      // channel), and 65536×65536 wraps to 0 (bogus ok=true). Any real
+      // frame is bounded by the blob length anyway.
+      val need = if (w > 0 && h > 0) w.toLong * h * 3 else -1L
+      if (w <= 0 || h <= 0 || need > Int.MaxValue) Left("bad dimensions")
       else if (maxval <= 0 || maxval > 255) Left("unsupported maxval")
       else {
         i += 1 // exactly one whitespace byte after maxval
-        val need = w * h * 3
-        if (blob.length - i < need) Left("truncated pixel data")
-        else Right((w, h, java.util.Arrays.copyOfRange(blob, i, i + need)))
+        if ((blob.length - i).toLong < need) Left("truncated pixel data")
+        else Right((w, h,
+          java.util.Arrays.copyOfRange(blob, i, i + need.toInt)))
       }
     }
 
@@ -125,6 +131,24 @@ object MediaPipeline {
           p += 1
         }
         out
+    }
+  }
+
+  /** Minimal P6 writer — the fixture twin of [[PpmDecoder]]: tile `src`
+    * bytes into a w×h RGB raster by modular indexing (empty input →
+    * all-zero raster). Deterministic, so an oracle can compute what the
+    * decoder must recover without ever parsing the container — m06 uses
+    * exactly that to gate the full bytes→pixels→signature loop. */
+  object PpmEncoder {
+    def encode(w: Int, h: Int, src: Array[Byte]): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val px = new Array[Byte](w * h * 3)
+      if (src.nonEmpty) {
+        var j = 0
+        while (j < px.length) { px(j) = src(j % src.length); j += 1 }
+      }
+      header ++ px
     }
   }
 

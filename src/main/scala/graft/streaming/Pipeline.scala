@@ -250,21 +250,33 @@ object Pipeline {
     * the attached ref value/ts (null before the first ref), and the
     * staleness lag in ms — the same columns q31 materializes, so a batch
     * replay through q31's union-scan is the oracle (AsOfStreamSpec
-    * drives the cross-batch equivalence). TTL expires idle keys. */
+    * drives the cross-batch equivalence). TTL expires idle keys.
+    *
+    * REF TIES (round 8): when the frame carries an optional `event_id`
+    * column, two refs at the same (key, ts) resolve to the HIGHEST
+    * event_id — exactly q31's oracle pick (`ORDER BY v.ts DESC,
+    * v.event_id DESC`) — and the winner is invariant to how the refs
+    * split across micro-batches (AsOfStreamSpec pins both orders and
+    * both batchings). Without the column the legacy last-arrival rule
+    * applies, which is only deterministic for distinct-ts refs. */
   def streamingAsOf(stateTtl: String = "30 minutes")(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val sess = df.sparkSession
     import sess.implicits._
+    val eid =
+      if (df.columns.contains("event_id")) col("event_id").cast("long")
+      else lit(0L)
     df.select(col("key").cast("long"), col("ts").cast("timestamp"),
-        col("side").cast("string"), col("value").cast("double"))
-      .as[(Long, java.sql.Timestamp, String, Double)]
+        col("side").cast("string"), col("value").cast("double"),
+        eid.as("event_id"))
+      .as[(Long, java.sql.Timestamp, String, Double, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Double),
+      .flatMapGroupsWithState[(Long, Double, Long),
         (Long, java.sql.Timestamp, Double, Option[Double], Option[Long], Option[Long])](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (key: Long,
-            rows: Iterator[(Long, java.sql.Timestamp, String, Double)],
-            state: GroupState[(Long, Double)]) =>
+            rows: Iterator[(Long, java.sql.Timestamp, String, Double, Long)],
+            state: GroupState[(Long, Double, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // event-time walk within the batch: refs update the cell,
@@ -272,15 +284,21 @@ object Pipeline {
             // At equal event time a ref must be applied BEFORE the probe
             // reads (at-or-before attaches a ref at exactly the probe's
             // ts, matching q31's tie rule and the cross-batch behavior
-            // where the same ref arrives in an earlier batch).
+            // where the same ref arrives in an earlier batch). Equal-ts
+            // refs apply in event_id order, and the state cell only
+            // yields to an equal-ts ref with a >= event_id — so the
+            // highest event_id wins whether the contender arrived in
+            // this batch, an earlier one, or a later one.
             val sorted = rows.toSeq
-              .sortBy(r => (r._2.getTime, if (r._3 == "ref") 0 else 1))
-            var cur = state.getOption
+              .sortBy(r => (r._2.getTime, if (r._3 == "ref") 0 else 1, r._5))
+            var cur = state.getOption // (tsMs, value, event_id)
             val out = sorted.flatMap {
-              case (_, ts, "ref", v) =>
-                if (cur.forall(_._1 <= ts.getTime)) cur = Some((ts.getTime, v))
+              case (_, ts, "ref", v, id) =>
+                if (cur.forall(c => c._1 < ts.getTime
+                    || (c._1 == ts.getTime && c._3 <= id)))
+                  cur = Some((ts.getTime, v, id))
                 None
-              case (_, ts, _, v) =>
+              case (_, ts, _, v, _) =>
                 Some((key, ts, v, cur.map(_._2), cur.map(_._1),
                   cur.map(c => ts.getTime - c._1)))
             }

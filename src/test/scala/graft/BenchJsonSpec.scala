@@ -56,6 +56,22 @@ class BenchJsonSpec extends AnyFunSuite {
       "a host that got QUIETER mid-run needs no re-run")
   }
 
+  test("absolute load guard: a run whose BEST calibration sits >1.3x " +
+      "above the idle floor is load_suspect even with zero drift (the " +
+      "uniformly-loaded-host gap); at or near the floor it is clean") {
+    val idle = Bench.CalibrationIdleRefDefault
+    assert(Bench.loadSuspectAbsolute(idle * 1.4, idle),
+      "uniformly elevated run must be flagged")
+    assert(!Bench.loadSuspectAbsolute(idle * 1.2, idle),
+      "within-noise elevation passes")
+    assert(!Bench.loadSuspectAbsolute(idle * 0.9, idle),
+      "a faster-than-reference host is never suspect")
+    // both triggers feed the same flag: drifting AND uniformly-elevated
+    // runs are each suspect on their own
+    assert(Bench.loadRerunNeeded(idle, idle * 1.4) ||
+      Bench.loadSuspectAbsolute(idle, idle))
+  }
+
   // minimal structural check without a JSON dependency: braces balance and
   // the string survives a round-trip through Spark's JSON reader
   private def ujson(s: String): String = {

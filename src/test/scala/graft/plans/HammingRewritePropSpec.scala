@@ -71,4 +71,31 @@ class HammingRewritePropSpec extends SparkSuite {
       assert(got == want, s"seed $seed k=$k: got ${got.size}, want ${want.size}")
     }
   }
+
+  test("LEFT SEMI hamming: 8 seeded rounds with random k (both in-place " +
+      "and forced two-phase) match the naive semi evaluation exactly") {
+    val sess = spark
+    import sess.implicits._
+    for (forced <- Seq(false, true); seed <- 60 to 63) {
+      if (forced) spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+      try {
+        val rnd = new scala.util.Random(seed)
+        val k = rnd.nextInt(16)
+        def code() = rnd.nextLong() & 0xFFFFL // narrow range: dense matches
+        val l = Seq.fill(30)((rnd.nextInt(10).toLong, code()))
+        val r = Seq.fill(15)((rnd.nextInt(10).toLong, code()))
+        val got = l.toDF("lid", "lc")
+          .join(r.toDF("rid", "rc"),
+            graft.functions.GraftFunctions.hamming64(col("lc"), col("rc")) <= k,
+            "left_semi")
+          .select("lid").collect().map(_.getLong(0)).toSeq.sorted
+        val want = l.collect { case (li, lc)
+            if r.exists { case (_, rc) =>
+              java.lang.Long.bitCount(lc ^ rc) <= k } => li }.sorted
+        assert(got == want,
+          s"forced=$forced seed $seed k=$k: got ${got.size}, want ${want.size}")
+      } finally
+        if (forced) spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    }
+  }
 }

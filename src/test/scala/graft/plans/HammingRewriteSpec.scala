@@ -85,4 +85,42 @@ class HammingRewriteSpec extends SparkSuite {
     assert(!equi.queryExecution.executedPlan.toString.contains("graft_bidx"))
     assert(equi.count() == 30)
   }
+
+  test("LEFT SEMI hamming: the fingerprint-decontamination shape fires " +
+      "(no nested loop), matches the naive semi evaluation, preserves " +
+      "duplicate left rows, in BOTH the in-place and forced two-phase " +
+      "topologies") {
+    val sess = spark
+    import sess.implicits._
+    val k = 3
+    val base = codes(11L, 100)
+    // duplicate left row to prove multiplicity; banned = some codes
+    // within k of every 7th left code, some far away
+    val leftRows = base ++ Seq(base.head)
+    val left = leftRows.toDF("lid", "lcode")
+    val bannedRows = base.filter(_._1 % 7 == 0).flatMap { case (i, c) =>
+      Seq((i + 500L, c ^ 3L), (i + 900L, c ^ 0xF0F0F0F0L))
+    }
+    val banned = bannedRows.toDF("bid", "bcode")
+    val want = leftRows.collect {
+      case (li, lc) if bannedRows.exists { case (_, bc) =>
+        java.lang.Long.bitCount(lc ^ bc) <= k } => li
+    }.sorted
+    assert(want.nonEmpty && want.count(_ == 0L) == 2, "fixture self-check")
+    for (forced <- Seq(false, true)) {
+      if (forced) spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+      try {
+        val semi = left.join(banned,
+          hamming64(col("lcode"), col("bcode")) <= k, "left_semi")
+        val plan = semi.queryExecution.executedPlan.toString
+        assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          s"semi rewrite did not fire (forced=$forced):\n$plan")
+        assert(plan.contains("graft_bidx"),
+          s"expected posexplode blocks (forced=$forced):\n$plan")
+        val got = semi.select("lid").collect().map(_.getLong(0)).toSeq.sorted
+        assert(got == want, s"forced=$forced: got=${got.size} want=${want.size}")
+      } finally
+        if (forced) spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    }
+  }
 }

@@ -83,4 +83,51 @@ class OverlapRewritePropSpec extends SparkSuite {
         s"seed $seed k=$k: got ${got.size}, want ${want.size}")
     }
   }
+
+  test("overlap spelling under FORCED two-phase: 10 seeded rounds match " +
+      "the naive evaluation exactly (collision-rich pools)") {
+    val sess = spark
+    import sess.implicits._
+    spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+    try {
+      for (seed <- 31 to 40) {
+        val rnd = new scala.util.Random(seed)
+        val l = Seq.fill(20)((rnd.nextInt(6).toLong, randArr(rnd)))
+        val r = Seq.fill(15)((rnd.nextInt(6).toLong, randArr(rnd)))
+        val got = l.toDF("lid", "la")
+          .join(r.toDF("rid", "ra"), arrays_overlap(col("la"), col("ra")))
+          .select("lid", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+        val want = (for {
+          (li, la) <- l; (ri, ra) <- r
+          if la.exists(x => x != null && ra.contains(x))
+        } yield (li, ri)).sorted
+        assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+      }
+    } finally spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+  }
+
+  test("LEFT SEMI overlap: 10 seeded rounds (both in-place and forced " +
+      "two-phase) match the naive semi evaluation exactly") {
+    val sess = spark
+    import sess.implicits._
+    for (forced <- Seq(false, true); seed <- 41 to 45) {
+      if (forced) spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+      try {
+        val rnd = new scala.util.Random(seed)
+        val l = Seq.fill(25)((rnd.nextInt(8).toLong, randArr(rnd)))
+        val r = Seq.fill(12)((rnd.nextInt(8).toLong, randArr(rnd)))
+        val got = l.toDF("lid", "la")
+          .join(r.toDF("rid", "ra"),
+            arrays_overlap(col("la"), col("ra")), "left_semi")
+          .select("lid").collect().map(_.getLong(0)).toSeq.sorted
+        val want = l.collect { case (li, la)
+            if r.exists { case (_, ra) =>
+              la.exists(x => x != null && ra.contains(x)) } => li }.sorted
+        assert(got == want,
+          s"forced=$forced seed $seed: got ${got.size}, want ${want.size}")
+      } finally
+        if (forced) spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    }
+  }
 }

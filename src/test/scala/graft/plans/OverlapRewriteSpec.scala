@@ -131,6 +131,107 @@ class OverlapRewriteSpec extends SparkSuite {
       .sorted == Seq((1L, 10L), (1L, 11L)))
   }
 
+  test("TWO-PHASE topology (forced via twoPhaseMinBytes=0): identical " +
+      "multiset to ground truth on the null/duplicate/empty fixture, " +
+      "pair-list shape in the plan, and the threshold spelling still " +
+      "re-applies its predicate raw") {
+    val sess = spark
+    import sess.implicits._
+    spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+    try {
+      val (l, r) = fixtures
+      val joined = l.toDF("lid", "la")
+        .join(r.toDF("rid", "ra"), arrays_overlap(col("la"), col("ra")))
+        .select("lid", "rid")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_prid"),
+        s"two-phase pair-list shape must fire when forced:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+      val got = joined.collect().map(x => (x.getLong(0), x.getLong(1)))
+        .toSeq.sorted
+      assert(got == naive(l, r), s"two-phase identity broke: got=$got")
+      assert(got.count(_ == (1L, 10L)) == 2, "duplicate-row multiplicity")
+      // threshold spelling under two-phase: raw re-application exact
+      val lt = Seq((1L, Seq(10L, 20L, 30L)), (2L, Seq(10L, 99L)))
+        .toDF("lid", "la")
+      val rt = Seq((7L, Seq(20L, 30L, 40L)), (8L, Seq(10L, 50L)))
+        .toDF("rid", "ra")
+      val th = lt.join(rt, size(array_intersect(col("la"), col("ra"))) >= 2)
+        .select("lid", "rid")
+      assert(th.queryExecution.executedPlan.toString.contains("graft_prid"))
+      assert(th.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+        == Seq((1L, 7L)))
+    } finally spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+  }
+
+  /** JVM ground truth of the LeftSemi overlap join. */
+  private def naiveSemi(left: Seq[(Long, Seq[String])],
+      right: Seq[(Long, Seq[String])]): Seq[Long] =
+    left.collect {
+      case (li, la)
+          if right.exists { case (_, ra) =>
+            la.exists(x => x != null && ra.contains(x)) } => li
+    }.sorted
+
+  test("LEFT SEMI overlap: rewrite fires (no nested loop), matches the " +
+      "naive semi evaluation with nulls/duplicates/empties, preserves " +
+      "duplicate left rows, in BOTH the in-place and forced two-phase " +
+      "topologies") {
+    val sess = spark
+    import sess.implicits._
+    val (l, r) = fixtures
+    val left = l.toDF("lid", "la")
+    val right = r.toDF("rid", "ra")
+    val want = naiveSemi(l, r)
+    assert(want.count(_ == 1L) == 2, "duplicated lid 1 must survive twice")
+    for (forced <- Seq(false, true)) {
+      if (forced) spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+      try {
+        val semi = left.join(right,
+          arrays_overlap(col("la"), col("ra")), "left_semi")
+        val plan = semi.queryExecution.executedPlan.toString
+        assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          s"semi rewrite did not fire (forced=$forced):\n$plan")
+        assert(plan.contains("graft_"),
+          s"expected rewrite artifacts (forced=$forced):\n$plan")
+        val got = semi.select("lid").collect().map(_.getLong(0)).toSeq.sorted
+        assert(got == want, s"forced=$forced: got=$got want=$want")
+      } finally
+        if (forced) spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    }
+  }
+
+  test("LEFT SEMI membership: array on the right keeps the probe side " +
+      "unexploded; array on the left collapses back to one row per " +
+      "input row — both match naive semi semantics") {
+    val sess = spark
+    import sess.implicits._
+    // array on the RIGHT: probe ⋉ tag-sets
+    val probes = Seq((1L, "b"), (2L, "z"), (3L, null: String), (1L, "b"))
+      .toDF("pid", "p")
+    val arrs = Seq((10L, Seq("a", "b")), (11L, Seq("b", "c")))
+      .toDF("aid", "arr")
+    val semiR = probes.join(arrs, array_contains(col("arr"), col("p")),
+      "left_semi")
+    val planR = semiR.queryExecution.executedPlan.toString
+    assert(planR.contains("graft_member_elem") && !planR.contains("NestedLoop"))
+    assert(semiR.select("pid").collect().map(_.getLong(0)).toSeq.sorted
+      == Seq(1L, 1L), "duplicate probe rows preserved, null probe dropped")
+    // array on the LEFT: docs ⋉ banned tokens
+    val docs = Seq(
+      (1L, Seq[String]("red", "blue", "blue")),
+      (2L, Seq[String](null, "green")),
+      (3L, Seq[String]()),
+      (1L, Seq[String]("red", "blue", "blue"))).toDF("did", "tags")
+    val banned = Seq(Tuple1("blue"), Tuple1("absent")).toDF("tag")
+    val semiL = docs.join(banned, array_contains(col("tags"), col("tag")),
+      "left_semi")
+    val planL = semiL.queryExecution.executedPlan.toString
+    assert(planL.contains("graft_member_elem") && !planL.contains("NestedLoop"))
+    assert(semiL.select("did").collect().map(_.getLong(0)).toSeq.sorted
+      == Seq(1L, 1L))
+  }
+
   test("stands down when disabled by conf, when an equi-join already " +
       "links the sides, and for left joins") {
     val sess = spark

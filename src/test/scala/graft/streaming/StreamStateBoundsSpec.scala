@@ -21,8 +21,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the store — this pins that it holds on the deployment-grade store. */
 class StreamStateBoundsSpec extends SparkSuite {
 
-  private case class Ev(k: String, ts: java.sql.Timestamp, v: String)
-
   private val t0 = ts("2024-01-01 00:00:00").getTime
 
   /** Per-progress total state rows across all stateful operators. */
@@ -76,7 +74,7 @@ class StreamStateBoundsSpec extends SparkSuite {
     val sess = spark
     import sess.implicits._
     implicit val ctx = sess.sqlContext
-    val s1 = MemoryStream[Ev]; val s2 = MemoryStream[Ev]; val s3 = MemoryStream[Ev]
+    val s1 = MemoryStream[PlateauEv]; val s2 = MemoryStream[PlateauEv]; val s3 = MemoryStream[PlateauEv]
     val chained = StreamJoins.joinChain(
       Seq(s1.toDF(), s2.toDF(), s3.toDF()), "k", "ts",
       Seq((5000L, "inner"), (5000L, "inner")))
@@ -88,7 +86,7 @@ class StreamStateBoundsSpec extends SparkSuite {
         // event time advances 60 s per batch; join window 5 s, watermark
         // delay 10 s → each batch's state is evictable by the next batch
         val rows = (0 until perBatch).map { i =>
-          Ev(s"k$b-$i", new java.sql.Timestamp(t0 + b * 60000L + i), s"v$i")
+          PlateauEv(s"k$b-$i", new java.sql.Timestamp(t0 + b * 60000L + i), s"v$i")
         }
         s1.addData(rows); s2.addData(rows); s3.addData(rows)
         q.processAllAvailable()
@@ -104,7 +102,7 @@ class StreamStateBoundsSpec extends SparkSuite {
     val sess = spark
     import sess.implicits._
     implicit val ctx = sess.sqlContext
-    val src = MemoryStream[Ev]
+    val src = MemoryStream[PlateauEv]
     val deduped = Pipeline.dedupWithinWatermark(
       Seq("k"), "ts", horizon = "10 seconds")(src.toDF())
     val q = deduped.writeStream.format("noop").outputMode("append").start()
@@ -113,7 +111,7 @@ class StreamStateBoundsSpec extends SparkSuite {
     try {
       for (b <- 0 until batches) {
         val rows = (0 until perBatch).flatMap { i =>
-          val e = Ev(s"k$b-$i", new java.sql.Timestamp(t0 + b * 60000L + i), "v")
+          val e = PlateauEv(s"k$b-$i", new java.sql.Timestamp(t0 + b * 60000L + i), "v")
           Seq(e, e) // a within-batch duplicate keeps the operator honest
         }
         src.addData(rows)
@@ -146,3 +144,10 @@ class StreamStateBoundsSpec extends SparkSuite {
     }
   }
 }
+
+/** Top level, not nested in the suite: a nested case class's encoder
+  * closes over the suite instance, which breaks expression codegen
+  * ("Expr codegen error" → interpreted fallback) — the plateau scenarios
+  * would then certify the interpreted state path instead of the
+  * codegen'd one the engine runs in production. */
+case class PlateauEv(k: String, ts: java.sql.Timestamp, v: String)
