@@ -2107,6 +2107,115 @@ object DedupOps {
       |    ELSE 'ok' END AS diagnosis
       |FROM c""".stripMargin
 
+  /** Prefix-filter gate — oracle-level proof of the round-8 SSJoin
+    * prefix slice inside [[graft.plans.SetOverlapJoinRewrite]]: the
+    * Spark side is the NAIVE intersect-threshold theta join
+    * (`size(array_intersect) >= 3` over d27's 4-gram shingle sets +
+    * an id ordering), which the rule rewrites into the exploded
+    * element equi-join over each row's (size − 2)-element sorted
+    * prefix ONLY — the c-th-largest-common-element lemma makes the
+    * slice exact, and the re-applied raw threshold screens the
+    * candidates. DuckDB computes the same relation by unnest/equi-join
+    * + HAVING. Scale: at threshold c a row of n distinct elements
+    * explodes n − c + 1 keys instead of n, and candidate pairs fall
+    * roughly quadratically with c — the shape that matters when the
+    * threshold is doing the real selectivity work. */
+  private def d32(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 4),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+          |    toks[i+3])))""".stripMargin).as("shingles"))
+    val a = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    a.join(b, size(array_intersect(col("a_sh"), col("b_sh"))) >= 3
+        && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long")
+          .as("n_shared"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d32Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |shl AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(toks) - 3),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))
+      |    AS shingles
+      |  FROM w WHERE len(toks) >= 4),
+      |l AS (SELECT doc_id AS a_id, unnest(shingles) AS s FROM shl
+      |  WHERE doc_id % 20 = 0),
+      |r AS (SELECT doc_id AS b_id, unnest(shingles) AS s FROM shl)
+      |SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM l JOIN r USING (s) WHERE a_id < b_id
+      |GROUP BY a_id, b_id
+      |HAVING count(*) >= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Strict-Jaccard spelling gate — d02's NAIVE spelling, rescued: the
+    * Spark side is the all-pairs theta self-join a user actually
+    * writes (`size(array_intersect) > 0.25 · size(array_union)` +
+    * id ordering over 4-gram shingle sets — no candidate topology, no
+    * hand-built group-and-expand), which
+    * [[graft.plans.SetOverlapJoinRewrite]] recognizes as a
+    * strict-Jaccard threshold and rewrites into the hashed-element
+    * equi-join over each row's DYNAMIC prefix (size − floor(τ·size)),
+    * with the raw predicate re-applied on the back-joined pairs.
+    * DuckDB computes the same relation through unnest/equi-join +
+    * per-pair size arithmetic. Scale: this is d02's certified
+    * single-shuffle topology conferred on the naive query — the
+    * headline benchmark tracks the rewrite's cost directly against
+    * d02's hand-rolled twin on the same relation. */
+  private def d33(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 4),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+          |    toks[i+3])))""".stripMargin).as("shingles"))
+    val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    a.join(b, inter > lit(0.25)
+          * size(array_union(col("a_sh"), col("b_sh")))
+        && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(inter.cast("double")
+          / (size(col("a_sh")) + size(col("b_sh")) - inter), 4)
+          .as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d33Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |shl AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(toks) - 3),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))
+      |    AS shingles
+      |  FROM w WHERE len(toks) >= 4),
+      |sizes AS (SELECT doc_id, len(shingles) AS n FROM shl),
+      |pairs AS (
+      |  SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS i
+      |  FROM (SELECT doc_id AS a_id, unnest(shingles) AS s FROM shl) l
+      |  JOIN (SELECT doc_id AS b_id, unnest(shingles) AS s FROM shl) r
+      |    USING (s)
+      |  WHERE a_id < b_id GROUP BY a_id, b_id)
+      |SELECT a_id, b_id,
+      |  round(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = a_id
+      |JOIN sizes sb ON sb.doc_id = b_id
+      |WHERE i > 0.25 * (sa.n + sb.n - i)
+      |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -2146,6 +2255,13 @@ object DedupOps {
     "d29_semi_overlap_decontam" -> QueryDef(d29, Some(d29Sql), headline = true),
     "d30_anti_hamming_decontam" -> QueryDef(d30, Some(d30Sql)),
     "d31_overlap_preflight" -> QueryDef(d31, Some(d31Sql)),
+    // round-8 prefix-filter gates: d32 pins the constant-threshold
+    // SSJoin slice, d33 (headline — benched against d02's hand-rolled
+    // twin on the same relation) pins the strict-Jaccard spelling with
+    // the dynamic per-row prefix
+    "d32_overlap_threshold_prefix" -> QueryDef(d32, Some(d32Sql)),
+    "d33_jaccard_theta_rewrite" -> QueryDef(d33, Some(d33Sql),
+      headline = true),
   )
 
 

@@ -34,6 +34,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType, MapType}
   * caching contract leaks to the user, and AQE sees a single join to
   * skew-split. HammingRewriteSpec pins single-scan-per-side.
   *
+  * WIDE-PAYLOAD inner joins (round 8) take a TWO-PHASE pair-list
+  * instead: when a child exposes any variable-width column (string /
+  * binary / container), the (k+1)× replication would ship it through
+  * the exchange once per block — so the rule explodes only `(rowid,
+  * fingerprint, block)` slim rows, verifies the Hamming bound on the
+  * carried 8-byte fingerprints inside the slim join (the distinct
+  * rowid pairs are then already exact — no first-match pin at all),
+  * and back-joins payloads once per matching pair, exactly
+  * [[SetOverlapJoinRewrite]]'s topology. All-fixed-width rows (d25's
+  * id+fingerprint) keep the in-place form, whose exploded rows are
+  * already minimal.
+  *
   * LEFT SEMI joins — `corpus.join(banned, hamming64(fp, bfp) <= k,
   * "left_semi")`, the fingerprint-decontamination shape — are also
   * rewritten (round 8). Semi needs NO first-match pin (∃-semantics
@@ -119,7 +131,8 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val cs = conjuncts(cond)
         if (hasEquiBetween(cs, l, r)) j
         else hammingBound(cs, l, r) match {
-          case Some((_, a, b, k)) => rewriteInner(j, cond, a, b, k)
+          case Some((chosen, a, b, k)) =>
+            rewriteInnerDispatch(j, cs, cond, chosen, a, b, k)
           case None => j
         }
       case j @ Join(l, r, jt, Some(cond), _)
@@ -131,6 +144,93 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             rewriteSemi(j, cs, chosen, a, b, k).getOrElse(j)
           case None => j
         }
+    }
+  }
+
+  /** A type whose in-row width is unbounded — when the join's children
+    * expose any of these, the in-place posexplode replicates it (k+1)×
+    * through the exchange and the two-phase pair-list is the scale
+    * shape; all-fixed-width rows (d25's id+fingerprint) stay in-place,
+    * where the explode rows are already minimal and two-phase would
+    * only add the pair-distinct and back-join stages. */
+  private def wideType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.StringType
+        | org.apache.spark.sql.types.BinaryType => true
+      case _ => !scalarType(dt)
+    }
+
+  private def rewriteInnerDispatch(j: Join, cs: Seq[Expression],
+      cond: Expression, chosen: Expression,
+      a: Expression, b: Expression, k: Int): LogicalPlan = {
+    val Join(l, r, _, _, _) = (j: @unchecked)
+    val widePayload = (l.output ++ r.output).exists(at => wideType(at.dataType))
+    val twoPhase =
+      if (widePayload && !l.isStreaming && !r.isStreaming
+          && l.stats.sizeInBytes.max(r.stats.sizeInBytes) >= twoPhaseMinBytes)
+        twoPhaseInner(j, cs, chosen, a, b, k)
+      else None
+    twoPhase.getOrElse(rewriteInner(j, cond, a, b, k))
+  }
+
+  /** TWO-PHASE inner (round 8): slim `(rowid, fingerprint, cheap cols,
+    * index, block)` candidate rows — the Hamming bound verifies inside
+    * the slim join on the carried 8-byte fingerprints, so the distinct
+    * rowid pairs are already exact (no first-match pin, no post
+    * re-check of the bound) — then payloads back-join once per matching
+    * pair. Chosen only when a child exposes variable-width columns: the
+    * in-place form would replicate them (k+1)× through the exchange. */
+  private def twoPhaseInner(j: Join, cs: Seq[Expression], chosen: Expression,
+      a: Expression, b: Expression, k: Int): Option[LogicalPlan] = {
+    val Join(l, r, _, _, hint) = (j: @unchecked)
+    val rest = cs.filterNot(_ eq chosen)
+    val (cheap, heavy) = rest.partition(c =>
+      c.deterministic && c.references.forall(at => scalarType(at.dataType)))
+    for {
+      (lBack, ridL) <- withStableRowId(l, "graft_rid_l")
+      (rBack, ridR) <- withStableRowId(r, "graft_rid_r")
+      (lNarrow, pridL) <- withStableRowId(l, "graft_prid_l")
+      (rNarrow, pridR) <- withStableRowId(r, "graft_prid_r")
+    } yield {
+      val (n, widths, offsets) = layout(k)
+      def narrow(base: LogicalPlan, prid: Attribute, fp: Expression,
+          side: LogicalPlan, tag: String)
+          : (LogicalPlan, Attribute, Attribute, Attribute,
+            Map[Attribute, Attribute]) = {
+        val needed = cheap.flatMap(_.references).distinct
+          .filter(side.outputSet.contains)
+        val aliased = needed.map(at => at -> Alias(at, at.name)())
+        val fpA = Alias(fp, s"graft_fp_$tag")()
+        val proj = Project(Seq(prid) ++ aliased.map(_._2) :+ fpA, base)
+        val pos = AttributeReference(s"graft_bidx_$tag", IntegerType,
+          nullable = false)()
+        val bval = AttributeReference(s"graft_bval_$tag", LongType)()
+        val blocks = CreateArray((0 until n).map(i =>
+          blockOf(fpA.toAttribute, offsets(i), widths(i))))
+        val gen = Generate(PosExplode(blocks), Nil,
+          outer = false, None, Seq(pos, bval), proj)
+        (gen, fpA.toAttribute, pos, bval,
+          aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
+      }
+      val (nL, fpL, posL, valL, mapL) = narrow(lNarrow, pridL, a, l, "l")
+      val (nR, fpR, posR, valR, mapR) = narrow(rNarrow, pridR, b, r, "r")
+      val subst = mapL ++ mapR
+      val cheapSub = cheap.map(_.transform {
+        case at: Attribute if subst.contains(at) => subst(at)
+      })
+      val bound = LessThanOrEqual(HammingDistance(fpL, fpR), Literal(k))
+      val cand = Join(nL, nR, Inner,
+        Some((Seq(EqualTo(posL, posR), EqualTo(valL, valR), bound)
+          ++ cheapSub).reduce(And)),
+        selfJoinHint(l, r, hint))
+      val pairs = Aggregate(Seq(pridL, pridR), Seq(pridL, pridR), cand)
+      val back1 = Join(lBack, pairs, Inner,
+        Some(EqualTo(ridL, pridL)), JoinHint.NONE)
+      val back2 = Join(back1, rBack, Inner,
+        Some(EqualTo(pridR, ridR)), JoinHint.NONE)
+      val out = heavy.reduceOption(And)
+        .map(h => Filter(h, back2)).getOrElse(back2)
+      Project(j.output, out)
     }
   }
 

@@ -145,6 +145,40 @@ private[plans] object RewriteSupport {
       LambdaFunction(XxHash64(Seq(h), 42L), Seq(h))))
   }
 
+  /** SSJoin prefix filter (the All-Pairs/PPJoin candidate bound from
+    * the public similarity-join literature): if |set(A) ∩ set(B)| ≥ c,
+    * the ascending-sorted distinct arrays share an element within the
+    * first (size − c + 1) positions of EACH side — take the c-th
+    * LARGEST common element x: at least c−1 common elements exceed x,
+    * so x is not among either side's top c−1 elements, i.e. x lies in
+    * both prefixes. The same argument puts the pair's MINIMUM common
+    * element in both prefixes (all other common elements exceed it),
+    * which is what lets the in-place pin
+    * (`array_min(array_intersect(a, b))`) keep matching on
+    * prefix-sliced explodes. `len` maps the per-row distinct size to
+    * the prefix length (clamped at 0 — a row whose prefix is empty can
+    * never reach its threshold, so exploding nothing is exact AND
+    * free). Callers must hold the threshold spellings' static
+    * null-free gate: null elements would occupy prefix slots and push
+    * real witnesses out. */
+  def prefixElems(arr: Expression, len: Expression => Expression): Expression = {
+    val sorted = SortArray(distinctElems(arr), Literal(true))
+    Slice(sorted, Literal(1),
+      Greatest(Seq(len(Size(sorted, legacySizeOfNull = false)), Literal(0))))
+  }
+
+  /** [[prefixElems]] mapped through xxhash64 — the 8-byte keys the
+    * two-phase topology explodes. Hash collisions only ever ADD
+    * candidate pairs (the raw predicate re-applies after the
+    * back-joins), so prefix completeness is unaffected. */
+  def hashedPrefixElems(arr: Expression,
+      len: Expression => Expression): Expression = {
+    val et = arr.dataType.asInstanceOf[ArrayType].elementType
+    val h = NamedLambdaVariable("graft_hx", et, nullable = false)
+    ArrayTransform(prefixElems(arr, len),
+      LambdaFunction(XxHash64(Seq(h), 42L), Seq(h)))
+  }
+
   /** The type contains a MapType anywhere — maps don't group, so the
     * semi collapse aggregates gate on this. */
   def containsMap(dt: DataType): Boolean = dt match {

@@ -67,7 +67,22 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
   *    reversed-literal, spellings) — here `size` COUNTS a shared null,
   *    so this form fires only when the array types are statically
   *    null-free (`containsNull = false`); the full threshold predicate
-  *    is re-applied after the equi-join.
+  *    is re-applied after the equi-join. For k ≥ 2 both sides explode
+  *    only their SSJoin PREFIX — the smallest (size − k + 1) distinct
+  *    elements in ascending order ([[RewriteSupport.prefixElems]]'s
+  *    c-th-largest-common-element lemma guarantees a shared prefix
+  *    element for every qualifying pair) — cutting exploded rows and
+  *    candidate pairs roughly quadratically as k grows.
+  *  - `size(array_intersect(a, b)) > τ · size(array_union(a, b))` with
+  *    a literal τ ≥ 0 — the naive STRICT-Jaccard near-dup spelling
+  *    (operand order, comparison direction, and the analyzer's casts
+  *    all normalized). Strict `>` excludes the empty-empty pair (0 > 0
+  *    fails), so a qualifying pair always has a non-null witness; the
+  *    `>=` spelling would admit witness-less empty-empty pairs and
+  *    therefore stands down. Prefix bound per row:
+  *    |∩| > τ·|∪| ≥ τ·|A| ⇒ |∩| ≥ floor(τ·|A|) + 1, evaluated in the
+  *    predicate's own double arithmetic (multiplication is monotone in
+  *    |∪| ≥ |A|, so the bound is exact, not approximate).
   *  - `array_contains(a, x)` with `a` and `x` on opposite sides (the
   *    tag-lookup membership join) — only the array side explodes and
   *    no dedup pin is needed (see [[rewriteMembership]]).
@@ -101,34 +116,117 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
 class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   import RewriteSupport._
 
-  /** All overlap conjuncts: (conjunct, a, b, implied). `implied = true`
-    * marks the plain `arrays_overlap` spelling, whose re-application
-    * the in-place pin makes redundant (a matched non-null shared
-    * element IS the overlap witness). Threshold spellings are NOT
-    * implied and are always re-applied. Returned as a list — the first
-    * candidate that ORIENTS across the two sides wins, so a same-side
+  import SetOverlapJoinRewrite.OverlapPred
+
+  private def nullFree(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => !containsNull
+    case _ => false
+  }
+
+  private def uncast(e: Expression): Expression = e match {
+    case c: Cast => uncast(c.child)
+    case _ => e
+  }
+
+  /** `size(array_intersect(a, b)) > τ · size(array_union(a', b'))` —
+    * the naive STRICT-Jaccard near-dup spelling (modulo the analyzer's
+    * numeric casts, multiplication operand order, and comparison
+    * direction), with {a, b} ≡ {a', b'}. Strict `>` with τ ≥ 0 implies
+    * a non-null shared element exists — 0 > 0 fails, so the empty-empty
+    * pair (which `>=` WOULD admit with no witness, breaking candidate
+    * completeness; that spelling therefore stands down) never
+    * qualifies. Returns (a, b, τ). */
+  private def jaccardConj(c: Expression)
+      : Option[(Expression, Expression, Double)] = {
+    def interSides(e: Expression): Option[(Expression, Expression)] =
+      uncast(e) match {
+        case Size(ArrayIntersect(a, b), _) => Some((a, b))
+        case _ => None
+      }
+    def tauUnion(e: Expression): Option[(Double, Expression, Expression)] =
+      e match {
+        case Multiply(m1, m2, _) =>
+          def lit(x: Expression): Option[Double] = uncast(x) match {
+            case Literal(d: Double, DoubleType) => Some(d)
+            case _ => None
+          }
+          def union(x: Expression): Option[(Expression, Expression)] =
+            uncast(x) match {
+              case Size(ArrayUnion(u, v), _) => Some((u, v))
+              case _ => None
+            }
+          (for (t <- lit(m1); (u, v) <- union(m2)) yield (t, u, v))
+            .orElse(for (t <- lit(m2); (u, v) <- union(m1)) yield (t, u, v))
+        case _ => None
+      }
+    val parts = c match {
+      case GreaterThan(x, y) => interSides(x).zip(tauUnion(y))
+      case LessThan(y, x) => interSides(x).zip(tauUnion(y))
+      case _ => None
+    }
+    parts.collect {
+      case ((a, b), (tau, u, v))
+          if tau >= 0.0 && nullFree(a) && nullFree(b)
+            && ((a.semanticEquals(u) && b.semanticEquals(v))
+              || (a.semanticEquals(v) && b.semanticEquals(u))) =>
+        (a, b, tau)
+    }
+  }
+
+  /** All overlap-family conjuncts, in order — the first candidate that
+    * ORIENTS across the two sides wins, so a same-side
     * `arrays_overlap(a1, a2)` conjunct ahead of the real cross-side one
     * no longer defeats the rewrite. */
-  private def overlapConjuncts(cs: Seq[Expression])
-      : Seq[(Expression, Expression, Expression, Boolean)] = {
-    def nullFree(e: Expression): Boolean = e.dataType match {
-      case ArrayType(_, containsNull) => !containsNull
-      case _ => false
+  private def overlapConjuncts(cs: Seq[Expression]): Seq[OverlapPred] =
+    cs.flatMap { c =>
+      val base = c match {
+        case ArraysOverlap(a, b) =>
+          Some(OverlapPred(c, a, b, implied = true, 1, None))
+        case GreaterThanOrEqual(Size(ArrayIntersect(a, b), _),
+              Literal(k: Int, IntegerType))
+            if k >= 1 && nullFree(a) && nullFree(b) =>
+          Some(OverlapPred(c, a, b, implied = false, k, None))
+        case GreaterThan(Size(ArrayIntersect(a, b), _),
+              Literal(k: Int, IntegerType))
+            if k >= 0 && nullFree(a) && nullFree(b) =>
+          Some(OverlapPred(c, a, b, implied = false, k + 1, None))
+        case LessThanOrEqual(Literal(k: Int, IntegerType),
+              Size(ArrayIntersect(a, b), _))
+            if k >= 1 && nullFree(a) && nullFree(b) =>
+          Some(OverlapPred(c, a, b, implied = false, k, None))
+        case LessThan(Literal(k: Int, IntegerType),
+              Size(ArrayIntersect(a, b), _))
+            if k >= 0 && nullFree(a) && nullFree(b) =>
+          Some(OverlapPred(c, a, b, implied = false, k + 1, None))
+        case _ => None
+      }
+      base.orElse(jaccardConj(c).map { case (a, b, tau) =>
+        OverlapPred(c, a, b, implied = false, 1, Some(tau))
+      })
     }
-    cs.collect {
-      case c @ ArraysOverlap(a, b) => (c, a, b, true)
-      case c @ GreaterThanOrEqual(Size(ArrayIntersect(a, b), _),
-            Literal(k: Int, IntegerType))
-          if k >= 1 && nullFree(a) && nullFree(b) => (c, a, b, false)
-      case c @ GreaterThan(Size(ArrayIntersect(a, b), _),
-            Literal(k: Int, IntegerType))
-          if k >= 0 && nullFree(a) && nullFree(b) => (c, a, b, false)
-      case c @ LessThanOrEqual(Literal(k: Int, IntegerType),
-            Size(ArrayIntersect(a, b), _))
-          if k >= 1 && nullFree(a) && nullFree(b) => (c, a, b, false)
-      case c @ LessThan(Literal(k: Int, IntegerType),
-            Size(ArrayIntersect(a, b), _))
-          if k >= 0 && nullFree(a) && nullFree(b) => (c, a, b, false)
+
+  /** The candidate-generation element keys for one side under `p`'s
+    * prefix bound — hashed 8-byte keys for the two-phase slim explode,
+    * raw elements for the in-place/semi paths. Constant thresholds
+    * c ≥ 2 slice to (size − c + 1); strict Jaccard τ slices to
+    * (size − floor(τ·size)): a qualifying pair has |∩| > τ·|∪| ≥ τ·|A|
+    * in the predicate's own double arithmetic (double multiplication is
+    * monotone in |∪| ≥ |A|), so |∩| ≥ floor(τ·|A|) + 1 = c_row. */
+  private def candidateElems(arr: Expression, p: OverlapPred,
+      hashed: Boolean): Expression = {
+    val len: Option[Expression => Expression] = p.jaccardTau match {
+      case Some(tau) => Some(s => Subtract(s,
+        Cast(Floor(Multiply(Literal(tau), Cast(s, DoubleType))),
+          IntegerType)))
+      case None if p.minOverlap >= 2 =>
+        Some(s => Subtract(s, Literal(p.minOverlap - 1)))
+      case None => None
+    }
+    (len, hashed) match {
+      case (Some(f), true) => hashedPrefixElems(arr, f)
+      case (Some(f), false) => prefixElems(arr, f)
+      case (None, true) => hashedElems(arr)
+      case (None, false) => ArrayDistinct(arr)
     }
   }
 
@@ -186,48 +284,53 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** First overlap conjunct that orients across the two sides, with
-    * oriented (a = left side, b = right side) array expressions. */
+    * oriented (a = left side, b = right side) array expressions — the
+    * prefix bounds are symmetric, so orientation swap is free. */
   private def orientedOverlap(cs: Seq[Expression],
-      l: LogicalPlan, r: LogicalPlan)
-      : Option[(Expression, Expression, Expression, Boolean)] =
-    overlapConjuncts(cs).iterator.flatMap { case (c, ax, bx, implied) =>
-      if (atomicElem(ax) && atomicElem(bx) && sameElemType(ax, bx))
-        oriented(ax, bx, l, r).map { case (a, b) => (c, a, b, implied) }
+      l: LogicalPlan, r: LogicalPlan): Option[OverlapPred] =
+    overlapConjuncts(cs).iterator.flatMap { p =>
+      if (atomicElem(p.a) && atomicElem(p.b) && sameElemType(p.a, p.b))
+        oriented(p.a, p.b, l, r).map { case (a, b) => p.copy(a = a, b = b) }
       else None
     }.nextOption()
 
-  /** `arrays_overlap(a, b)` / intersect-size threshold, inner/cross. */
+  /** `arrays_overlap(a, b)` / intersect-size threshold / strict
+    * Jaccard, inner/cross. */
   private def rewriteOverlap(j: Join, cs: Seq[Expression])
       : Option[LogicalPlan] = {
     val Join(l, r, _, _, _) = (j: @unchecked)
-    orientedOverlap(cs, l, r).map { case (chosen, a, b, implied) =>
+    orientedOverlap(cs, l, r).map { p =>
       val twoPhase =
-        if (!l.isStreaming && !r.isStreaming && hashSafeElem(a)
+        if (!l.isStreaming && !r.isStreaming && hashSafeElem(p.a)
             && bigEnoughForTwoPhase(l, r))
-          twoPhaseInner(j, cs, chosen, a, b, implied)
+          twoPhaseInner(j, cs, p)
         else None
-      twoPhase.getOrElse(inPlaceInner(j, cs, a, b, implied))
+      twoPhase.getOrElse(inPlaceInner(j, cs, p))
     }
   }
 
-  /** IN-PLACE topology: explode both sides, equi-join on the element,
-    * pin to the minimum non-null common element (exactly-once per
-    * qualifying pair). */
+  /** IN-PLACE topology: explode both sides (prefix-sliced when the
+    * threshold admits it — the pin element, being the MINIMUM common
+    * element, is always inside both prefixes, see
+    * [[RewriteSupport.prefixElems]]), equi-join on the element, pin to
+    * the minimum non-null common element (exactly-once per qualifying
+    * pair). */
   private def inPlaceInner(j: Join, cs: Seq[Expression],
-      a: Expression, b: Expression, implied: Boolean): LogicalPlan = {
+      p: OverlapPred): LogicalPlan = {
     val Join(l, r, _, _, hint) = (j: @unchecked)
+    val (a, b) = (p.a, p.b)
     val elemType = a.dataType.asInstanceOf[ArrayType].elementType
     val ea = AttributeReference("graft_elem_l", elemType)()
     val eb = AttributeReference("graft_elem_r", elemType)()
-    val genL = Generate(Explode(ArrayDistinct(a)), Nil,
+    val genL = Generate(Explode(candidateElems(a, p, hashed = false)), Nil,
       outer = false, None, Seq(ea), l)
-    val genR = Generate(Explode(ArrayDistinct(b)), Nil,
+    val genR = Generate(Explode(candidateElems(b, p, hashed = false)), Nil,
       outer = false, None, Seq(eb), r)
     val firstCommon = ArrayMin(ArrayIntersect(a, b))
     // re-apply the original conjuncts, minus the overlap predicate
     // itself when the equi-match implies it
     val reapplied =
-      if (implied)
+      if (p.implied)
         cs.filterNot {
           case ArraysOverlap(x, y) =>
             (x == a && y == b) || (x == b && y == a)
@@ -262,12 +365,13 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Literal(1))
   }
 
-  /** TWO-PHASE topology: slim hashed candidate pair generation +
-    * distinct + rowid back-joins + raw predicate re-application. */
+  /** TWO-PHASE topology: slim hashed candidate pair generation
+    * (prefix-sliced when the threshold admits it) + distinct + rowid
+    * back-joins + raw predicate re-application. */
   private def twoPhaseInner(j: Join, cs: Seq[Expression],
-      chosen: Expression, a: Expression, b: Expression, implied: Boolean)
-      : Option[LogicalPlan] = {
+      p: OverlapPred): Option[LogicalPlan] = {
     val Join(l, r, _, _, hint) = (j: @unchecked)
+    val (chosen, a, b, implied) = (p.conj, p.a, p.b, p.implied)
     for {
       (lBack, ridL) <- withStableRowId(l, "graft_rid_l")
       (rBack, ridR) <- withStableRowId(r, "graft_rid_r")
@@ -297,7 +401,7 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val keep = Seq(prid) ++ aliased.map(_._2)
         val proj = Project(keep ++ arrRefs, base)
         val eh = AttributeReference(elemName, LongType, nullable = false)()
-        val gen = Generate(Explode(hashedElems(arr)),
+        val gen = Generate(Explode(candidateElems(arr, p, hashed = true)),
           unrequiredChildIndex = keep.size until proj.output.size,
           outer = false, None, Seq(eh), proj)
         (gen, eh, aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
@@ -385,18 +489,17 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteSemiOverlap(j: Join, cs: Seq[Expression])
       : Option[LogicalPlan] = {
     val Join(l, r, jt, _, _) = (j: @unchecked)
-    orientedOverlap(cs, l, r).flatMap { case (chosen, a, b, implied) =>
-      val rest = cs.filterNot(_ eq chosen)
+    orientedOverlap(cs, l, r).flatMap { p =>
+      val rest = cs.filterNot(_ eq p.conj)
       val restCheap = rest.forall(c =>
         c.deterministic && c.references.forall(at => scalarType(at.dataType)))
       val twoPhase =
-        if (implied && restCheap && !l.isStreaming && !r.isStreaming
+        if (p.implied && restCheap && !l.isStreaming && !r.isStreaming
             && (jt == LeftAnti || bigEnoughForTwoPhase(l, r)))
-          twoPhaseSemi(j, rest, a, b)
+          twoPhaseSemi(j, rest, p.a, p.b)
         else None
       twoPhase.orElse(
-        if (jt == LeftSemi) inPlaceSemi(j, cs, chosen, a, b, implied)
-        else None)
+        if (jt == LeftSemi) inPlaceSemi(j, cs, p) else None)
     }
   }
 
@@ -455,10 +558,10 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * re-applied raw), then collapse each row's surviving copies via
     * group-on-(id, row). Unavailable when the left row carries a map
     * column (maps don't group). */
-  private def inPlaceSemi(j: Join, cs: Seq[Expression], chosen: Expression,
-      a: Expression, b: Expression, implied: Boolean)
-      : Option[LogicalPlan] = {
+  private def inPlaceSemi(j: Join, cs: Seq[Expression],
+      p: OverlapPred): Option[LogicalPlan] = {
     val Join(l, r, _, _, hint) = (j: @unchecked)
+    val (a, b) = (p.a, p.b)
     if (l.output.exists(at => containsMap(at.dataType))) None
     else {
       val elemType = a.dataType.asInstanceOf[ArrayType].elementType
@@ -466,11 +569,11 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val tagged = Project(l.output :+ srid, l)
       val ea = AttributeReference("graft_elem_l", elemType)()
       val eb = AttributeReference("graft_elem_r", elemType)()
-      val genL = Generate(Explode(ArrayDistinct(a)), Nil,
+      val genL = Generate(Explode(candidateElems(a, p, hashed = false)), Nil,
         outer = false, None, Seq(ea), tagged)
-      val genR = Generate(Explode(ArrayDistinct(b)), Nil,
+      val genR = Generate(Explode(candidateElems(b, p, hashed = false)), Nil,
         outer = false, None, Seq(eb), r)
-      val reapplied = if (implied) cs.filterNot(_ eq chosen) else cs
+      val reapplied = if (p.implied) cs.filterNot(_ eq p.conj) else cs
       val semi = Join(genL, genR, LeftSemi,
         Some((EqualTo(ea, eb) +: reapplied).reduce(And)),
         selfJoinHint(l, r, hint))
@@ -513,4 +616,19 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
   }
+}
+
+private[plans] object SetOverlapJoinRewrite {
+  /** A recognized overlap-family conjunct. `implied = true` marks the
+    * plain `arrays_overlap` spelling, whose re-application the in-place
+    * pin makes redundant (a matched non-null shared element IS the
+    * overlap witness); threshold/Jaccard spellings are NOT implied and
+    * are always re-applied raw. `minOverlap` is the statically-known
+    * lower bound c on |set(a) ∩ set(b)| for qualifying pairs — the
+    * SSJoin prefix filter explodes only (size − c + 1) elements per row
+    * when c ≥ 2. `jaccardTau` carries the strict-Jaccard threshold,
+    * whose per-row bound is dynamic (c_row = floor(τ·size) + 1). */
+  private[plans] final case class OverlapPred(conj: Expression,
+      a: Expression, b: Expression, implied: Boolean, minOverlap: Int,
+      jaccardTau: Option[Double])
 }

@@ -72,6 +72,40 @@ class HammingRewritePropSpec extends SparkSuite {
     }
   }
 
+  test("INNER two-phase (wide payload): 8 seeded rounds with random k, " +
+      "duplicate rows and an extra scalar conjunct match the naive " +
+      "evaluation exactly under the forced floor and without it") {
+    val sess = spark
+    import sess.implicits._
+    for (forced <- Seq(false, true); seed <- 70 to 73) {
+      if (forced) spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+      try {
+        val rnd = new scala.util.Random(seed)
+        val k = rnd.nextInt(16)
+        def code() = rnd.nextLong() & 0xFFFFL // narrow range: dense matches
+        // duplicates on both sides exercise the multiplicity contract
+        val l0 = Seq.fill(25)((rnd.nextInt(8).toLong, code()))
+        val l = (l0 ++ l0.take(3)).map { case (g, c) =>
+          (g, c, s"text-$g-$c") }
+        val r0 = Seq.fill(15)((rnd.nextInt(8).toLong, code()))
+        val r = r0 ++ r0.take(2)
+        val got = l.toDF("lg", "lc", "ltext")
+          .join(r.toDF("rg", "rc"),
+            hamming64(col("lc"), col("rc")) <= k && col("lg") =!= col("rg"))
+          .select("lg", "lc", "rg", "rc").collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+          .toSeq.sorted
+        val want = (for {
+          (lg, lc, _) <- l; (rg, rc) <- r
+          if java.lang.Long.bitCount(lc ^ rc) <= k && lg != rg
+        } yield (lg, lc, rg, rc)).sorted
+        assert(got == want,
+          s"forced=$forced seed $seed k=$k: got ${got.size}, want ${want.size}")
+      } finally
+        if (forced) spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    }
+  }
+
   test("LEFT SEMI hamming: 8 seeded rounds with random k (both in-place " +
       "and forced two-phase) match the naive semi evaluation exactly") {
     val sess = spark

@@ -123,4 +123,52 @@ class HammingRewriteSpec extends SparkSuite {
         if (forced) spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
     }
   }
+
+  test("INNER two-phase (wide payload + forced floor): a string column " +
+      "in the join output routes the rewrite through the slim pair-list " +
+      "(graft_prid in the plan) and the result multiset is identical to " +
+      "ground truth, duplicates preserved; all-fixed-width payloads " +
+      "keep the in-place posexplode shape") {
+    val sess = spark
+    import sess.implicits._
+    val k = 2
+    val base = codes(99L, 80)
+    val leftRows = (base ++ Seq(base.head))
+      .map { case (i, c) => (i, c, s"payload-$i") }
+    val left = leftRows.toDF("lid", "lcode", "ltext")
+    val rightRows = base.filter(_._1 % 5 == 0)
+      .map { case (i, c) => (i + 700L, c ^ 3L) }
+    val right = rightRows.toDF("rid", "rcode")
+    val want = (for {
+      (li, lc, _) <- leftRows
+      (ri, rc) <- rightRows
+      if java.lang.Long.bitCount(lc ^ rc) <= k
+    } yield (li, ri)).sorted
+    assert(want.nonEmpty, "fixture must produce matches")
+    spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+    try {
+      val joined = left.join(right,
+          graft.functions.GraftFunctions.hamming64(
+            col("lcode"), col("rcode")) <= k)
+        .select("lid", "rid", "ltext")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+      assert(plan.contains("graft_prid"),
+        s"wide payload must take the two-phase pair-list:\n$plan")
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      assert(got == want, s"two-phase inner identity broke: " +
+        s"got=${got.size} want=${want.size}")
+      // all-fixed-width payload (drop the string): in-place shape stays
+      val slim = left.select("lid", "lcode").join(right,
+          graft.functions.GraftFunctions.hamming64(
+            col("lcode"), col("rcode")) <= k)
+        .select("lid", "rid")
+      val slimPlan = slim.queryExecution.executedPlan.toString
+      assert(!slimPlan.contains("graft_prid"),
+        s"fixed-width rows must keep the in-place posexplode:\n$slimPlan")
+      assert(slim.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted == want)
+    } finally spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+  }
 }

