@@ -2216,6 +2216,103 @@ object DedupOps {
       |WHERE i > 0.25 * (sa.n + sb.n - i)
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Anti-threshold scrub gate — oracle-level proof of the round-8
+    * pair-verify two-phase semi/anti path
+    * ([[graft.plans.SetOverlapJoinRewrite]]): the Spark side is the
+    * NAIVE keep-the-clean-corpus spelling (`corpus anti-join banned ON
+    * size(array_intersect) >= 3` over 3-gram shingle sets, banned =
+    * every 50th document — which scrubs those documents themselves,
+    * since each shares all its grams with itself), previously a
+    * nested-loop cartesian with no rewrite at all. The rule explodes
+    * hashed 2-of-3 prefixes, verifies candidate pairs against the raw
+    * threshold on back-joined rows, and anti-joins the matched rowid
+    * set. DuckDB computes the same relation via NOT EXISTS. */
+  private def d34(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
+        .stripMargin).as("grams"))
+    val banned = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("b_id"), col("grams").as("banned_grams"))
+    grams.join(banned,
+        size(array_intersect(col("grams"), col("banned_grams"))) >= 3,
+        "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d34Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(toks) - 2),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+      |  FROM w WHERE len(toks) >= 3),
+      |b AS (SELECT doc_id AS b_id, grams AS bg FROM g WHERE doc_id % 50 = 0)
+      |SELECT CAST(g.doc_id AS BIGINT) AS doc_id FROM g
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM b WHERE len(list_intersect(g.grams, b.bg)) >= 3)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Anti-membership quarantine gate — the round-8 two-phase membership
+    * path with the array on the LEFT
+    * ([[graft.plans.SetOverlapJoinRewrite]]): the Spark side is the
+    * NAIVE "keep documents containing none of the flagged bigrams"
+    * spelling (`docs anti-join panel ON array_contains(bgs, bg)`, panel
+    * = 200 mid-tail bigrams by global frequency), previously a
+    * nested-loop that evaluated |panel| `array_contains` scans per
+    * document. The rule explodes each document's distinct bigrams once,
+    * semi-probes the panel, and anti-joins the matched rowid set —
+    * O(|bigrams|) per document into a hash join. DuckDB computes the
+    * same relation via NOT EXISTS over the unnested bigrams. */
+  private def d35(s: SparkSession, dir: String): DataFrame = {
+    def bigrams = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin)
+        .as("bgs"))
+    val docs = bigrams
+      .select(col("doc_id"), expr("array_distinct(bgs)").as("bgs"))
+    val panel = bigrams
+      .select(explode(col("bgs")).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg"))
+      .offset(520).limit(200)
+      .select(col("bg"))
+    docs.join(panel, array_contains(col("bgs"), col("bg")), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d35Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bgrams AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 1),
+      |    i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg
+      |  FROM w),
+      |tf AS (SELECT bg, count(*) AS c FROM bgrams GROUP BY bg),
+      |panel AS (
+      |  SELECT bg FROM (
+      |    SELECT bg, row_number() OVER (ORDER BY c DESC, bg) AS rk
+      |    FROM tf) r
+      |  WHERE rk > 520 AND rk <= 720),
+      |dbg AS (SELECT DISTINCT doc_id, bg FROM bgrams)
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+      |FROM (SELECT DISTINCT doc_id FROM bgrams) d
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM dbg JOIN panel p ON dbg.bg = p.bg
+      |  WHERE dbg.doc_id = d.doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -2262,6 +2359,11 @@ object DedupOps {
     "d32_overlap_threshold_prefix" -> QueryDef(d32, Some(d32Sql)),
     "d33_jaccard_theta_rewrite" -> QueryDef(d33, Some(d33Sql),
       headline = true),
+    // round-8 anti gates: d34 pins the pair-verify two-phase (threshold
+    // anti previously stood down to a nested loop), d35 the left-array
+    // membership anti
+    "d34_anti_threshold_scrub" -> QueryDef(d34, Some(d34Sql)),
+    "d35_anti_membership_quarantine" -> QueryDef(d35, Some(d35Sql)),
   )
 
 

@@ -497,9 +497,71 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (p.implied && restCheap && !l.isStreaming && !r.isStreaming
             && (jt == LeftAnti || bigEnoughForTwoPhase(l, r)))
           twoPhaseSemi(j, rest, p.a, p.b)
+        else if (!p.implied && restCheap && !l.isStreaming && !r.isStreaming
+            && hashSafeElem(p.a)
+            && (jt == LeftAnti || bigEnoughForTwoPhase(l, r)))
+          twoPhaseSemiVerify(j, rest, p)
         else None
       twoPhase.orElse(
         if (jt == LeftSemi) inPlaceSemi(j, cs, p) else None)
+    }
+  }
+
+  /** Two-phase semi/anti for the NON-implied spellings (intersect-size
+    * threshold, strict Jaccard) — the keep-the-clean-corpus shape
+    * `corpus.join(banned, size(array_intersect(g, bg)) >= c,
+    * "left_anti")`, which previously stood down entirely for anti (the
+    * naive plan is a nested-loop cartesian). A shared element is only a
+    * WITNESS here, not a verdict, so candidate pairs from the slim
+    * hashed-prefix join are re-verified by the raw predicate on
+    * back-joined full rows, then collapsed to the matched left-rowid
+    * set; the final join's type (semi keeps it, anti keeps its
+    * complement) decides survival. Payloads cross the wire once per
+    * row into the verify join — never once per element. */
+  private def twoPhaseSemiVerify(j: Join, rest: Seq[Expression],
+      p: OverlapPred): Option[LogicalPlan] = {
+    val Join(l, r, jt, _, hint) = (j: @unchecked)
+    for {
+      (lBack, ridL) <- withStableRowId(l, "graft_rid_l")
+      (lNarrow, pridL) <- withStableRowId(l, "graft_prid_l")
+      (rNarrow, pridR) <- withStableRowId(r, "graft_prid_r")
+      (lVer, vridL) <- withStableRowId(l, "graft_vrid_l")
+      (rVer, vridR) <- withStableRowId(r, "graft_vrid_r")
+    } yield {
+      def narrowSide(base: LogicalPlan, prid: Attribute, arr: Expression,
+          side: LogicalPlan, elemName: String)
+          : (LogicalPlan, Attribute, Map[Attribute, Attribute]) = {
+        val needed = rest.flatMap(_.references).distinct
+          .filter(side.outputSet.contains)
+        val aliased = needed.map(at => at -> Alias(at, at.name)())
+        val arrRefs = arr.references.toSeq
+        val keep = Seq(prid) ++ aliased.map(_._2)
+        val proj = Project(keep ++ arrRefs, base)
+        val eh = AttributeReference(elemName, LongType, nullable = false)()
+        val gen = Generate(Explode(candidateElems(arr, p, hashed = true)),
+          unrequiredChildIndex = keep.size until proj.output.size,
+          outer = false, None, Seq(eh), proj)
+        (gen, eh, aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
+      }
+      val (nL, ehL, mapL) = narrowSide(lNarrow, pridL, p.a, l, "graft_elem_l")
+      val (nR, ehR, mapR) = narrowSide(rNarrow, pridR, p.b, r, "graft_elem_r")
+      val subst = mapL ++ mapR
+      val restSub = rest.map(_.transform {
+        case at: Attribute if subst.contains(at) => subst(at)
+      })
+      val cand = Join(nL, nR, Inner,
+        Some((EqualTo(ehL, ehR) +: restSub).reduce(And)),
+        selfJoinHint(l, r, hint))
+      val pairs = Aggregate(Seq(pridL, pridR), Seq(pridL, pridR), cand)
+      val withL = Join(pairs, lVer, Inner,
+        Some(EqualTo(pridL, vridL)), JoinHint.NONE)
+      val withLR = Join(withL, rVer, Inner,
+        Some(EqualTo(pridR, vridR)), JoinHint.NONE)
+      val verified = Filter(p.conj, withLR)
+      val matched = Aggregate(Seq(pridL), Seq(pridL), verified)
+      val back = Join(lBack, matched, jt,
+        Some(EqualTo(ridL, pridL)), JoinHint.NONE)
+      Project(j.output, back)
     }
   }
 
@@ -602,18 +664,75 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           outer = false, None, Seq(ea), r)
         Some(Project(j.output, Join(l, genR, jt,
           Some((EqualTo(x, ea) +: rest).reduce(And)), hint)))
-      } else if (jt == LeftAnti
-          || l.output.exists(at => containsMap(at.dataType))) None
-      else {
-        val srid = Alias(MonotonicallyIncreasingID(), "graft_srid")()
-        val tagged = Project(l.output :+ srid, l)
-        val genL = Generate(Explode(ArrayDistinct(arr)), Nil,
-          outer = false, None, Seq(ea), tagged)
-        val semi = Join(genL, r, LeftSemi,
-          Some((EqualTo(ea, x) +: rest).reduce(And)), hint)
-        val collapsed = Aggregate(srid.toAttribute +: l.output, l.output, semi)
-        Some(Project(j.output, collapsed))
+      } else {
+        val twoPhase =
+          if (!l.isStreaming && !r.isStreaming
+              && (jt == LeftAnti || bigEnoughForTwoPhase(l, r)))
+            twoPhaseSemiMembership(j, rest, arr, x)
+          else None
+        twoPhase.orElse {
+          if (jt == LeftAnti
+              || l.output.exists(at => containsMap(at.dataType))) None
+          else {
+            val srid = Alias(MonotonicallyIncreasingID(), "graft_srid")()
+            val tagged = Project(l.output :+ srid, l)
+            val genL = Generate(Explode(ArrayDistinct(arr)), Nil,
+              outer = false, None, Seq(ea), tagged)
+            val semi = Join(genL, r, LeftSemi,
+              Some((EqualTo(ea, x) +: rest).reduce(And)), hint)
+            val collapsed =
+              Aggregate(srid.toAttribute +: l.output, l.output, semi)
+            Some(Project(j.output, collapsed))
+          }
+        }
       }
+    }
+  }
+
+  /** Two-phase semi/anti MEMBERSHIP with the array on the left — the
+    * quarantine shapes `docs ⋉ banned_tags ON array_contains(tags, t)`
+    * and its anti twin "keep the docs with NO banned tag" (which
+    * previously stood down entirely). Membership witness equality IS
+    * the verdict (`array_contains` is TRUE iff some non-null element
+    * equals the non-null probe), so no re-verification is needed:
+    * explode `(rowid, element)` slim rows, LeftSemi against the intact
+    * probe side on element = probe (+ remaining conjuncts — their
+    * left-side references must be scalar to ride the narrow
+    * projection; the probe side is fully present), collapse to
+    * distinct rowids, and semi/anti the tagged left side against them.
+    * The left payload crosses the wire once per row, never per tag. */
+  private def twoPhaseSemiMembership(j: Join, rest: Seq[Expression],
+      arr: Expression, x: Expression): Option[LogicalPlan] = {
+    val Join(l, r, jt, _, hint) = (j: @unchecked)
+    val lRefsScalar = rest.forall(c => c.deterministic
+      && c.references.filter(l.outputSet.contains)
+        .forall(at => scalarType(at.dataType)))
+    if (!lRefsScalar) None
+    else for {
+      (lBack, ridL) <- withStableRowId(l, "graft_rid_l")
+      (lNarrow, pridL) <- withStableRowId(l, "graft_prid_l")
+    } yield {
+      val elemType = arr.dataType.asInstanceOf[ArrayType].elementType
+      val needed = rest.flatMap(_.references).distinct
+        .filter(l.outputSet.contains)
+      val aliased = needed.map(at => at -> Alias(at, at.name)())
+      val arrRefs = arr.references.toSeq
+      val keep = Seq(pridL) ++ aliased.map(_._2)
+      val proj = Project(keep ++ arrRefs, lNarrow)
+      val ea = AttributeReference("graft_member_elem", elemType)()
+      val gen = Generate(Explode(distinctElems(arr)),
+        unrequiredChildIndex = keep.size until proj.output.size,
+        outer = false, None, Seq(ea), proj)
+      val subst = aliased.map { case (at, al) => at -> al.toAttribute }.toMap
+      val restSub = rest.map(_.transform {
+        case at: Attribute if subst.contains(at) => subst(at)
+      })
+      val semiCand = Join(gen, r, LeftSemi,
+        Some((EqualTo(ea, x) +: restSub).reduce(And)), hint)
+      val rids = Aggregate(Seq(pridL), Seq(pridL), semiCand)
+      val back = Join(lBack, rids, jt,
+        Some(EqualTo(ridL, pridL)), JoinHint.NONE)
+      Project(j.output, back)
     }
   }
 }

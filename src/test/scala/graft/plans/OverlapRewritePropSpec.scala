@@ -227,4 +227,61 @@ class OverlapRewritePropSpec extends SparkSuite {
         s"jac=$jac seed $seed: got ${got.size}, want ${want.size}")
     }
   }
+
+  test("LEFT ANTI threshold and strict-Jaccard spellings (the " +
+      "pair-verify two-phase): 12 seeded rounds match the naive anti " +
+      "evaluation exactly") {
+    val sess = spark
+    import sess.implicits._
+    for (seed <- 90 to 95; jac <- Seq(false, true)) {
+      val rnd = new scala.util.Random(seed)
+      def arr() = Seq.fill(rnd.nextInt(9))(rnd.nextInt(10).toLong)
+      val l = Seq.fill(22)((rnd.nextInt(8).toLong, arr()))
+      val r = Seq.fill(14)((rnd.nextInt(8).toLong, arr()))
+      val (cond, holds) = if (jac) {
+        val tau = rnd.nextInt(7) / 10.0
+        (size(array_intersect(col("la"), col("ra")))
+            > lit(tau) * size(array_union(col("la"), col("ra"))),
+          (la: Seq[Long], ra: Seq[Long]) => {
+            val i = la.distinct.count(ra.distinct.contains)
+            val u = (la ++ ra).distinct.size
+            i.toDouble > tau * u.toDouble
+          })
+      } else {
+        val k = 1 + rnd.nextInt(4)
+        (size(array_intersect(col("la"), col("ra"))) >= k,
+          (la: Seq[Long], ra: Seq[Long]) =>
+            la.distinct.count(ra.contains) >= k)
+      }
+      val got = l.toDF("lid", "la")
+        .join(r.toDF("rid", "ra"), cond, "left_anti")
+        .select("lid").collect().map(_.getLong(0)).toSeq.sorted
+      val want = l.collect { case (li, la)
+          if !r.exists { case (_, ra) => holds(la, ra) } => li }.sorted
+      assert(got == want,
+        s"jac=$jac seed $seed: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("LEFT ANTI membership with the array on the left: 10 seeded " +
+      "rounds (nulls, empties, duplicate rows) match the naive anti " +
+      "evaluation exactly") {
+    val sess = spark
+    import sess.implicits._
+    for (seed <- 100 to 109) {
+      val rnd = new scala.util.Random(seed)
+      val l = Seq.fill(22)((rnd.nextInt(8).toLong, randArr(rnd)))
+      val r = Seq.fill(10)((rnd.nextInt(8).toLong,
+        if (rnd.nextInt(100) < 20) null else pool(rnd.nextInt(pool.size))))
+      val got = l.toDF("lid", "tags")
+        .join(r.toDF("rid", "tag"),
+          array_contains(col("tags"), col("tag")), "left_anti")
+        .select("lid").collect().map(_.getLong(0)).toSeq.sorted
+      val want = l.collect { case (li, la)
+          if !r.exists { case (_, tg) =>
+            tg != null && la.exists(e => e != null && e == tg) } => li }
+        .sorted
+      assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+    }
+  }
 }

@@ -307,6 +307,97 @@ class OverlapRewriteSpec extends SparkSuite {
       == Seq((1L, 8L)))
   }
 
+  test("LEFT ANTI threshold and strict-Jaccard spellings (the " +
+      "pair-verify two-phase): keep-the-clean-corpus fires with no " +
+      "nested loop and matches the naive anti evaluation, duplicate " +
+      "left rows preserved; semi twin matches too") {
+    val sess = spark
+    import sess.implicits._
+    val l = Seq((1L, Seq(10L, 20L, 30L, 40L)), (2L, Seq(10L, 99L)),
+      (3L, Seq(7L, 8L)), (4L, Seq[Long]()),
+      (1L, Seq(10L, 20L, 30L, 40L))) // duplicated row
+    val r = Seq((7L, Seq(20L, 30L, 40L)), (8L, Seq(10L, 50L)))
+    def naiveMatches(la: Seq[Long]): Boolean =
+      r.exists { case (_, ra) => la.distinct.count(ra.contains) >= 3 }
+    val wantAnti = l.collect {
+      case (li, la) if !naiveMatches(la) => li }.sorted
+    val wantSemi = l.collect {
+      case (li, la) if naiveMatches(la) => li }.sorted
+    assert(wantSemi == Seq(1L, 1L) && wantAnti == Seq(2L, 3L, 4L),
+      "fixture self-check")
+    for (jt <- Seq("left_anti", "left_semi")) {
+      val joined = l.toDF("lid", "la").join(r.toDF("rid", "ra"),
+          size(array_intersect(col("la"), col("ra"))) >= 3, jt)
+        .select("lid")
+      val plan = joined.queryExecution.executedPlan.toString
+      if (jt == "left_anti") {
+        // anti always two-phases (no in-place form exists)
+        assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          s"anti threshold must not stay a nested loop:\n$plan")
+        assert(plan.contains("graft_prid"), s"pair-verify shape:\n$plan")
+      }
+      val got = joined.collect().map(_.getLong(0)).toSeq.sorted
+      val want = if (jt == "left_anti") wantAnti else wantSemi
+      assert(got == want, s"$jt: got=$got want=$want")
+    }
+    // strict-Jaccard anti under the forced floor
+    spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+    try {
+      val jac = l.toDF("lid", "la").join(r.toDF("rid", "ra"),
+          size(array_intersect(col("la"), col("ra")))
+            > lit(0.5) * size(array_union(col("la"), col("ra"))),
+          "left_anti")
+        .select("lid")
+      val plan = jac.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"jaccard anti must two-phase:\n$plan")
+      def jacMatch(la: Seq[Long]): Boolean = r.exists { case (_, ra) =>
+        val i = la.distinct.count(ra.distinct.contains)
+        val u = (la ++ ra).distinct.size
+        i.toDouble > 0.5 * u.toDouble
+      }
+      val want = l.collect { case (li, la) if !jacMatch(la) => li }.sorted
+      assert(jac.collect().map(_.getLong(0)).toSeq.sorted == want)
+    } finally spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+  }
+
+  test("LEFT ANTI membership with the array on the LEFT (keep docs " +
+      "with no banned tag): two-phases with no nested loop, matches " +
+      "naive anti semantics with nulls/duplicates/empties") {
+    val sess = spark
+    import sess.implicits._
+    val l = Seq(
+      (1L, Seq[String]("red", "blue", "blue")),
+      (2L, Seq[String](null, "green")),
+      (3L, Seq[String]()), // no tags: never contains → survives anti
+      (4L, Seq[String]("red")),
+      (1L, Seq[String]("red", "blue", "blue"))) // duplicated row
+    val r = Seq((10L, "blue"), (12L, null: String))
+    val joined = l.toDF("lid", "tags")
+      .join(r.toDF("rid", "tag"),
+        array_contains(col("tags"), col("tag")), "left_anti")
+      .select("lid")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"anti membership must not stay a nested loop:\n$plan")
+    assert(plan.contains("graft_member_elem"), s"explode shape:\n$plan")
+    val want = l.collect { case (li, la)
+        if !r.exists { case (_, tg) =>
+          tg != null && la.exists(e => e != null && e == tg) } => li }.sorted
+    assert(want == Seq(2L, 3L, 4L), "fixture self-check")
+    assert(joined.collect().map(_.getLong(0)).toSeq.sorted == want)
+    // semi twin under the forced floor takes the same two-phase path
+    spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+    try {
+      val semi = l.toDF("lid", "tags")
+        .join(r.toDF("rid", "tag"),
+          array_contains(col("tags"), col("tag")), "left_semi")
+        .select("lid")
+      assert(semi.queryExecution.executedPlan.toString.contains("graft_prid"))
+      assert(semi.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 1L))
+    } finally spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+  }
+
   test("stands down when disabled by conf, when an equi-join already " +
       "links the sides, and for left joins") {
     val sess = spark
