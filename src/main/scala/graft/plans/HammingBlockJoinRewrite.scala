@@ -283,7 +283,12 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             || l.stats.sizeInBytes.max(r.stats.sizeInBytes) >= twoPhaseMinBytes))
         twoPhaseSemi(j, rest, a, b, k)
       else None
-    twoPhase.orElse(if (jt == LeftSemi) inPlaceSemi(j, cs, a, b, k) else None)
+    // the in-place collapse is a group-by over the exploded left side —
+    // on a streaming plan that would smuggle a stateful aggregate into
+    // a stateless semi join, so it stands down there
+    twoPhase.orElse(
+      if (jt == LeftSemi && !j.isStreaming) inPlaceSemi(j, cs, a, b, k)
+      else None)
   }
 
   /** Slim semi probe: `(rowid, fingerprint, cheap cols, index, block)`

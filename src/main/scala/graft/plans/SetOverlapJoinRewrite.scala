@@ -106,6 +106,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
   *    none of that: the left side stays unexploded, so the semi's own
   *    semantics already emit each row once.
   *
+  * LEFT ANTI joins — "keep the clean corpus" — reduce to the SAME
+  * matching-rowid sets with the back join flipped to anti: the implied
+  * spelling through [[twoPhaseSemi]], threshold/Jaccard spellings
+  * through the pair-verify [[twoPhaseSemiVerify]] (candidates from the
+  * hashed-prefix join, raw predicate re-checked on back-joined rows),
+  * and left-array membership through [[twoPhaseSemiMembership]]. Anti
+  * has no in-place form (its collapse is not a group-by over
+  * survivors), so it requires a stable rowid and stands down otherwise.
+  *
   * Fires only when the overlap conjunct spans the two sides, the
   * element type is atomic (orderable + joinable), and no equi-conjunct
   * already links the sides (an existing equi-join is already
@@ -479,13 +488,17 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   // ---------------------------------------------------------------- semi
 
-  /** LeftSemi/LeftAnti overlap/threshold: the decontamination shapes
-    * (semi = "report the contaminated rows", anti = "keep the clean
-    * corpus"). Both reduce to the same matching-rowid set; the back
-    * join's type decides which side of it survives. LeftAnti has no
-    * in-place fallback: its collapse cannot be expressed as a group-by
-    * over survivors, so without a stable rowid the rule stands down
-    * (the naive plan stays, correct but unscalable). */
+  /** LeftSemi/LeftAnti overlap/threshold/Jaccard: the decontamination
+    * shapes (semi = "report the contaminated rows", anti = "keep the
+    * clean corpus"). Both reduce to the same matching-rowid set; the
+    * back join's type decides which side of it survives. The implied
+    * spelling probes witness equality directly ([[twoPhaseSemi]]);
+    * threshold/Jaccard spellings re-verify candidate pairs against the
+    * raw predicate first ([[twoPhaseSemiVerify]] — a shared element is
+    * only a witness there, not a verdict). LeftAnti has no in-place
+    * fallback: its collapse cannot be expressed as a group-by over
+    * survivors, so without a stable rowid the rule stands down (the
+    * naive plan stays, correct but unscalable). */
   private def rewriteSemiOverlap(j: Join, cs: Seq[Expression])
       : Option[LogicalPlan] = {
     val Join(l, r, jt, _, _) = (j: @unchecked)
@@ -502,8 +515,14 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             && (jt == LeftAnti || bigEnoughForTwoPhase(l, r)))
           twoPhaseSemiVerify(j, rest, p)
         else None
+      // the in-place collapse is a group-by over the exploded left
+      // side — on a streaming plan that would smuggle a stateful
+      // aggregate into a stateless semi join, so it stands down there
+      // (the naive stream-static nested-loop semi stays, which is the
+      // supported shape)
       twoPhase.orElse(
-        if (jt == LeftSemi) inPlaceSemi(j, cs, p) else None)
+        if (jt == LeftSemi && !j.isStreaming) inPlaceSemi(j, cs, p)
+        else None)
     }
   }
 
@@ -671,7 +690,9 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             twoPhaseSemiMembership(j, rest, arr, x)
           else None
         twoPhase.orElse {
-          if (jt == LeftAnti
+          // same streaming stand-down as inPlaceSemi: the collapse is
+          // a group-by over the exploded left side
+          if (jt == LeftAnti || j.isStreaming
               || l.output.exists(at => containsMap(at.dataType))) None
           else {
             val srid = Alias(MonotonicallyIncreasingID(), "graft_srid")()

@@ -398,6 +398,35 @@ class OverlapRewriteSpec extends SparkSuite {
     } finally spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
   }
 
+  test("STREAMING stand-down: a stream-static arrays_overlap LeftSemi " +
+      "keeps the naive (supported) plan — no smuggled streaming " +
+      "aggregate — and emits exactly the naive semi rows per batch") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val banned = Seq((10L, Seq("bad", "worse")), (11L, Seq("evil")))
+      .toDF("bid", "btoks")
+    val src = MemoryStream[StreamDoc]
+    val q = src.toDF()
+      .join(banned, arrays_overlap(col("toks"), col("btoks")), "left_semi")
+      .select("did")
+      .writeStream.format("memory").queryName("overlap_semi_standdown")
+      .outputMode("append").start()
+    try {
+      src.addData(StreamDoc(1L, Seq("ok", "bad")), StreamDoc(2L, Seq("ok")),
+        StreamDoc(3L, Seq("evil", "x")), StreamDoc(1L, Seq("ok", "bad")))
+      q.processAllAvailable()
+      val got = spark.table("overlap_semi_standdown")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(got == Seq(1L, 1L, 3L),
+        s"stream-static semi must keep naive semantics: $got")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS overlap_semi_standdown")
+    }
+  }
+
   test("stands down when disabled by conf, when an equi-join already " +
       "links the sides, and for left joins") {
     val sess = spark
@@ -424,3 +453,7 @@ class OverlapRewriteSpec extends SparkSuite {
     assert(louter.count() >= left.count())
   }
 }
+
+/** Top-level so Spark's encoder codegen works (nested suite case
+  * classes fall back to interpreted projections). */
+case class StreamDoc(did: Long, toks: Seq[String])
