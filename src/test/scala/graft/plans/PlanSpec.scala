@@ -542,6 +542,38 @@ class PlanSpec extends SparkSuite {
     assert(!d31.queryExecution.executedPlan.toString.contains("NestedLoop"))
   }
 
+  test("d32-d35: the round-8 prefix/Jaccard/anti gating queries keep the " +
+      "rewritten shapes — no cartesian, no nested loop; d33's naive " +
+      "all-pairs Jaccard self-join follows d27's ≤2-scans-per-side " +
+      "discipline; the anti gates end in the rowid back-anti") {
+    val d32 = run("d32_overlap_threshold_prefix")
+    assert(!PlanChecks.usesCartesianProduct(d32))
+    val p32 = d32.queryExecution.executedPlan.toString
+    assert(!p32.contains("NestedLoop"), s"threshold rewrite must fire:\n$p32")
+    assert(p32.contains("graft_elem"), s"exploded prefix keys:\n$p32")
+    val d33 = run("d33_jaccard_theta_rewrite")
+    assert(!PlanChecks.usesCartesianProduct(d33))
+    val p33 = d33.queryExecution.executedPlan.toString
+    assert(!p33.contains("NestedLoop"),
+      s"jaccard rewrite must fire (naive is |docs|² array compares):\n$p33")
+    assert(p33.contains("graft_prid"),
+      s"two-phase pair-list shape expected at this size:\n$p33")
+    val d33Scans = PlanChecks.countParquetScans(d33)
+    assert(d33Scans <= 4, s"expected ≤4 parquet scans, saw $d33Scans")
+    val d34 = run("d34_anti_threshold_scrub")
+    assert(!PlanChecks.usesCartesianProduct(d34))
+    val p34 = d34.queryExecution.executedPlan.toString
+    assert(!p34.contains("NestedLoop"),
+      s"anti threshold rewrite must fire:\n$p34")
+    assert(p34.contains("graft_prid"), s"pair-verify shape:\n$p34")
+    val d35 = run("d35_anti_membership_quarantine")
+    assert(!PlanChecks.usesCartesianProduct(d35))
+    val p35 = d35.queryExecution.executedPlan.toString
+    assert(!p35.contains("NestedLoop"),
+      s"anti membership rewrite must fire:\n$p35")
+    assert(p35.contains("graft_member_elem"), s"explode shape:\n$p35")
+  }
+
   test("no registered query plans an unpartitioned window (the whole-table-" +
       "through-one-task shape) or a CartesianProductExec (|L|·|R| without " +
       "even a broadcast bound)") {
