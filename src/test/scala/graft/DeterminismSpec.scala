@@ -34,7 +34,9 @@ class DeterminismSpec extends SparkSuite {
     "t27_pmi_collocations",  // floor-log2 rational + top-k ties
     "p20_shard_balance",     // serpentine rank assignment
     "d27_overlap_join_rewrite", // overlap rewrite's exploded equi-join
-    "d28_membership_join")   // membership rewrite + offset/limit panel
+    "d28_membership_join",   // membership rewrite + offset/limit panel
+    "d33_jaccard_theta_rewrite", // dynamic-prefix two-phase + stable rowids
+    "d34_anti_threshold_scrub")  // pair-verify anti over stable rowids
 
   private def multiset(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
