@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+
+/** EXACT membership probe against a sorted immutable 64-bit key set —
+  * the confirm stage [[BloomContainsLong]]'s contract demands, packaged
+  * as the same kind of native codegen expression so the whole
+  * decontamination decision (bloom prefilter AND exact confirm) can run
+  * map-side inside one `exists()` over a document's gram hashes: no
+  * explode, no shuffle, no join, per-probe cost one binary search
+  * (~log2 n long compares over a primitive array — no boxing, cache-
+  * friendly).
+  *
+  * Scale rationale: a broadcast-hash semi-join re-confirms survivors
+  * exactly but needs the explode + join topology (p05/p08); this
+  * expression removes the join entirely WHEN the probe key set fits
+  * executor memory as a primitive array (8 bytes/key — 10^7 keys =
+  * 80 MB, the same budget a broadcast-hash relation of those keys would
+  * multiply several-fold with hashmap overhead). Beyond that, fall back
+  * to p08's explode + broadcast-confirm shape. [[ExactSetContains.build]]
+  * enforces the cap loudly.
+  *
+  * The sorted array rides the expression tree to executors once per
+  * task set, exactly like [[BloomContainsLong]]'s filter bytes (at
+  * cluster scale prefer wrapping in a broadcast variable).
+  *
+  * Reference anchor: ziggurat has no analytics surface (SURVEY §2.6 —
+  * absent by design); north-star extension surface for the
+  * decontamination pipeline.
+  */
+case class SortedLongSetContains(child: Expression, sortedKeys: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "sorted_set_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_set_contains requires BIGINT, got ${child.dataType.simpleString}")
+
+  /** Called from both interpreted eval and generated code. */
+  def contains(v: Long): Boolean =
+    java.util.Arrays.binarySearch(sortedKeys, v) >= 0
+
+  override protected def nullSafeEval(v: Any): Any =
+    contains(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedSetContains", this,
+      classOf[SortedLongSetContains].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.contains($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortedLongSetContains =
+    copy(child = newChild)
+}
+
+object ExactSetContains {
+
+  /** Collects the DISTINCT long keys of `keys`' single column into a
+    * sorted primitive array. Distinct + sort run DISTRIBUTED; only the
+    * final deduplicated keys reach the driver (8 bytes each). `maxKeys`
+    * is a loud guard, not a truncation: silently dropping probe keys
+    * would let contaminated documents through, so an oversized set
+    * throws with the p08 fallback named. */
+  def build(keys: org.apache.spark.sql.DataFrame,
+      maxKeys: Long = 20L * 1000 * 1000): Array[Long] = {
+    import org.apache.spark.sql.functions.{col, count_distinct}
+    val keyCol = keys.columns.head
+    val n = keys.select(count_distinct(col(keyCol))).head().getLong(0)
+    require(n <= maxKeys,
+      s"exact probe set has $n distinct keys (> $maxKeys): too large for " +
+        "a driver-collected confirm array — use the explode + broadcast " +
+        "semi-join confirm (CorpusPipeline p08's shape) instead")
+    val rows = keys.select(col(keyCol).cast("long"))
+      .where(col(keyCol).isNotNull)
+      .distinct().sort(col(keyCol))
+      .collect()
+    val out = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) { out(i) = rows(i).getLong(0); i += 1 }
+    out
+  }
+
+  /** Column API for [[SortedLongSetContains]]. */
+  def sortedSetContains(c: Column, sortedKeys: Array[Long]): Column =
+    ColumnBridge.column(
+      SortedLongSetContains(ColumnBridge.expression(c), sortedKeys))
+}

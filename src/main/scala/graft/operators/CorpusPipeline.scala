@@ -1353,6 +1353,66 @@ object CorpusPipeline {
        |FROM asn a JOIN loads l ON l.worker = a.worker
        |ORDER BY a.shard""".stripMargin
 
+  /** Fully MAP-SIDE decontamination — p08's semantics with the exact
+    * confirm stage also inside the per-document `exists()`: bloom
+    * prefilter short-circuits the overwhelmingly-clean majority, and
+    * [[graft.functions.ExactSetContains]]'s sorted-array binary search
+    * (native codegen expression, 8 bytes/key) settles survivors — so
+    * the contamination DECISION costs no explode, no shuffle, and no
+    * join at all; the only exchange left is the output sort. This is
+    * the best 100 TB shape whenever the probe set fits executor memory
+    * as a primitive array (~10^7 keys = 80 MB); beyond that, p08's
+    * explode + broadcast-confirm remains the fallback (the builder
+    * throws past its cap rather than silently truncating). The oracle
+    * runs the exact formulation, so a bloom false positive that leaked
+    * through the confirm — or a binary-search bug that dropped a clean
+    * document — breaks the hash match. */
+  private def p21(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .withColumn("ghashes", expr(
+        """array_distinct(transform(sequence(0, size(toks) - 5),
+          |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+          |    toks[i+3], toks[i+4]))))""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("ghashes"))
+      .cache()
+    val probe = base.filter(col("doc_id") < 20)
+      .select(explode(col("ghashes")).as("g"))
+    val probeBloom = graft.functions.BloomContains.build(probe)
+    val probeExact = graft.functions.ExactSetContains.build(probe)
+    base.filter(col("doc_id") >= 20)
+      .filter(!exists(col("ghashes"), g =>
+        graft.functions.BloomContains.bloomContains(g, probeBloom)
+          && graft.functions.ExactSetContains
+            .sortedSetContains(g, probeExact)))
+      .select(col("doc_id"), col("lang"),
+        size(col("ghashes")).cast("long").as("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p21Sql =
+    """WITH gr AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+      |      i -> concat(w[CAST(i AS INT)], ' ', w[CAST(i AS INT) + 1], ' ',
+      |        w[CAST(i AS INT) + 2], ' ', w[CAST(i AS INT) + 3], ' ',
+      |        w[CAST(i AS INT) + 4]))) AS gram
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+      |    WHERE len(w) >= 5) u),
+      |probe AS (SELECT DISTINCT gram FROM gr WHERE doc_id < 20),
+      |contaminated AS (
+      |  SELECT DISTINCT doc_id FROM gr JOIN probe USING (gram)
+      |  WHERE doc_id >= 20)
+      |SELECT d.doc_id, d.lang,
+      |  (SELECT CAST(count(DISTINCT gram) AS BIGINT) FROM gr
+      |   WHERE gr.doc_id = d.doc_id) AS n_grams
+      |FROM documents d
+      |WHERE d.doc_id >= 20
+      |  AND len(string_split(d.text, ' ')) >= 5
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "p01_training_corpus" -> QueryDef(p01, Some(p01Sql), headline = true),
     "p02_token_budget" -> QueryDef(p02, Some(p02Sql)),
@@ -1374,5 +1434,8 @@ object CorpusPipeline {
     "p18_row_quarantine" -> QueryDef(p18, Some(p18Sql)),
     "p19_length_ablation" -> QueryDef(p19, Some(p19Sql)),
     "p20_shard_balance" -> QueryDef(p20, Some(p20Sql)),
+    // round-8: fully map-side decontamination (bloom prefilter + exact
+    // sorted-set confirm inside one exists() — no explode, no join)
+    "p21_exact_set_decontaminate" -> QueryDef(p21, Some(p21Sql)),
   )
 }

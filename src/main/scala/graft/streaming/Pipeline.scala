@@ -63,6 +63,34 @@ object Pipeline {
     df.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming benchmark decontamination — the streaming twin of the
+    * batch bloom + exact-confirm pipeline (CorpusPipeline p08/p21): marks
+    * each arriving document whose 5-gram hash array shares ANY gram with
+    * the static banned corpus. The whole decision is ONE stateless
+    * map-side predicate — `exists(ghashes, g -> bloom_contains(g) AND
+    * sorted_set_contains(g))` — so it composes with any downstream
+    * stateful operator, adds zero state of its own, and never joins:
+    * exactly what a 100 TB ingest route needs (a stream-static
+    * theta/semi join here would either nested-loop the banned side per
+    * row or smuggle a per-batch collapse aggregate into the stream —
+    * see SetOverlapJoinRewrite's streaming stand-down). The bloom
+    * prefilter short-circuits the overwhelmingly-clean majority at ~10
+    * bits/key; the exact sorted-array confirm
+    * ([[graft.functions.ExactSetContains]]) makes the mark EXACT — a
+    * bloom false positive cannot mark a clean document
+    * (StreamDecontaminateSpec drives a deliberately high-fpp filter to
+    * prove it). `banned` is a static one-column BIGINT gram-hash
+    * relation; both support structures are built once, distributed, at
+    * plan time and ride to executors like broadcast-hash relations. */
+  def streamingDecontaminate(gramsCol: String, banned: DataFrame,
+      markCol: String = "contaminated")(df: DataFrame): DataFrame = {
+    val bloom = graft.functions.BloomContains.build(banned)
+    val exact = graft.functions.ExactSetContains.build(banned)
+    df.withColumn(markCol, exists(col(gramsCol), g =>
+      graft.functions.BloomContains.bloomContains(g, bloom)
+        && graft.functions.ExactSetContains.sortedSetContains(g, exact)))
+  }
+
   /** Streaming fuzzy (near-duplicate) detection — the streaming twin of the
     * batch MinHash-LSH dedup (DedupOps d03), sharing the exact same
     * signature construction ([[graft.functions.MinHashFamily]]: one md5

@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** SortedLongSetContains + ExactSetContains.build: exact membership
+  * (binary search over the driver-collected sorted distinct keys),
+  * null propagation, codegen path, and the loud over-cap guard. */
+class ExactSetSpec extends SparkSuite {
+
+  test("membership is exact over random key sets — including boundary " +
+      "keys, misses between neighbors, and Long.Min/Max") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(7)
+    val keys = (Seq.fill(500)(rnd.nextLong())
+      ++ Seq(Long.MinValue, Long.MaxValue, 0L)).distinct
+    val arr = ExactSetContains.build(keys.toDF("k"))
+    assert(arr.length == keys.size && arr.sameElements(arr.sorted))
+    val probes = keys.take(50) ++ Seq.fill(50)(rnd.nextLong())
+    val got = probes.toDF("p")
+      .select(col("p"),
+        ExactSetContains.sortedSetContains(col("p"), arr).as("m"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    probes.foreach { p =>
+      assert(got(p) == keys.contains(p), s"probe $p")
+    }
+  }
+
+  test("null probes stay null; the builder drops null keys and " +
+      "deduplicates") {
+    val sess = spark
+    import sess.implicits._
+    val arr = ExactSetContains.build(
+      Seq[java.lang.Long](5L, 5L, null, 9L).toDF("k"))
+    assert(arr.toSeq == Seq(5L, 9L))
+    val out = Seq[java.lang.Long](5L, null, 6L).toDF("p")
+      .select(ExactSetContains.sortedSetContains(col("p"), arr).as("m"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+    assert(out.toSeq == Seq(Some(true), None, Some(false)))
+  }
+
+  test("the over-cap guard throws loudly (no silent truncation) and " +
+      "names the fallback") {
+    val sess = spark
+    import sess.implicits._
+    val e = intercept[IllegalArgumentException] {
+      ExactSetContains.build((1L to 100L).toDF("k"), maxKeys = 10)
+    }
+    assert(e.getMessage.contains("p08"), e.getMessage)
+  }
+
+  test("composes inside exists() over a gram-hash array with " +
+      "whole-stage codegen (the p21/streaming-decontaminate shape)") {
+    val sess = spark
+    import sess.implicits._
+    val arr = ExactSetContains.build(Seq(100L, 200L).toDF("k"))
+    val df = Seq(
+      (1L, Seq(1L, 100L)), (2L, Seq(2L, 3L)), (3L, Seq[Long]()))
+      .toDF("id", "gh")
+      .select(col("id"), exists(col("gh"),
+        g => ExactSetContains.sortedSetContains(g, arr)).as("hit"))
+    assert(df.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      .sortBy(_._1) == Seq((1L, true), (2L, false), (3L, false)))
+  }
+}
