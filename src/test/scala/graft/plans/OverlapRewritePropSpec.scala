@@ -253,13 +253,19 @@ class OverlapRewritePropSpec extends SparkSuite {
           (la: Seq[Long], ra: Seq[Long]) =>
             la.distinct.count(ra.contains) >= k)
       }
+      // half the rounds add a cross-side scalar conjunct, exercising
+      // the slim join's substituted cheap-conjunct path
+      val extra = seed % 2 == 0
+      val fullCond = if (extra) cond && col("lid") =!= col("rid") else cond
       val got = l.toDF("lid", "la")
-        .join(r.toDF("rid", "ra"), cond, "left_anti")
+        .join(r.toDF("rid", "ra"), fullCond, "left_anti")
         .select("lid").collect().map(_.getLong(0)).toSeq.sorted
       val want = l.collect { case (li, la)
-          if !r.exists { case (_, ra) => holds(la, ra) } => li }.sorted
+          if !r.exists { case (ri, ra) =>
+            holds(la, ra) && (!extra || li != ri) } => li }.sorted
       assert(got == want,
-        s"jac=$jac seed $seed: got ${got.size}, want ${want.size}")
+        s"jac=$jac seed $seed extra=$extra: " +
+          s"got ${got.size}, want ${want.size}")
     }
   }
 
