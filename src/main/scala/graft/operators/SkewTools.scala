@@ -60,13 +60,27 @@ object SkewTools {
     * total, the worst element's contribution/share (integer basis
     * points), and a diagnosis string; `warnShareBp` sets the warning
     * threshold (default 10%). Nulls are dropped per arrays_overlap's
-    * non-null-witness contract, mirroring the rewrite. */
+    * non-null-witness contract, mirroring the rewrite.
+    *
+    * `minOverlap` prices the threshold spellings: for
+    * `size(array_intersect) >= c` with c ≥ 2 the rewrite explodes only
+    * each row's ascending-sorted (size − c + 1)-element prefix
+    * ([[graft.plans.RewriteSupport.prefixElems]]), so the preflight
+    * counts frequencies over exactly those prefixes — the default c = 1
+    * reproduces the full-explode estimate (and d31's oracle). */
   def overlapJoinPreflight(left: DataFrame, leftArr: Column,
       right: DataFrame, rightArr: Column,
-      warnShareBp: Long = 1000L): DataFrame = {
+      warnShareBp: Long = 1000L, minOverlap: Int = 1): DataFrame = {
+    def prefix(arr: Column): Column = {
+      val d = array_distinct(filter(arr, e => e.isNotNull))
+      if (minOverlap <= 1) d
+      else {
+        val s = sort_array(d)
+        slice(s, lit(1), greatest(size(s) - lit(minOverlap - 1), lit(0)))
+      }
+    }
     def freqs(df: DataFrame, arr: Column, name: String) =
-      df.select(explode(array_distinct(filter(arr,
-          e => e.isNotNull))).as("e"))
+      df.select(explode(prefix(arr)).as("e"))
         .groupBy(col("e")).agg(count(lit(1)).as(name))
     freqs(left, leftArr, "fl").join(freqs(right, rightArr, "fr"), "e")
       .select(col("e"), (col("fl") * col("fr")).as("contrib"))

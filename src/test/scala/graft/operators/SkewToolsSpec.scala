@@ -24,6 +24,39 @@ class SkewToolsSpec extends SparkSuite {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("overlapJoinPreflight prices the prefix-sliced explode at " +
+      "minOverlap c >= 2: candidate estimate equals the JVM-computed " +
+      "sum of fL(e)*fR(e) over each row's (size - c + 1) smallest " +
+      "distinct elements, and c = 1 reproduces the full estimate") {
+    val sess = spark
+    import sess.implicits._
+    val l = Seq((1L, Seq(3L, 1L, 2L, 9L)), (2L, Seq(1L, 5L)),
+      (3L, Seq(9L, 8L, 7L)))
+    val r = Seq((7L, Seq(1L, 2L, 9L)), (8L, Seq(7L, 8L, 9L, 1L)))
+    def jvmEstimate(c: Int): Long = {
+      def pfx(a: Seq[Long]): Seq[Long] = {
+        val d = a.distinct.sorted
+        d.take(math.max(d.size - (c - 1), 0))
+      }
+      val fl = l.flatMap(x => pfx(x._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val fr = r.flatMap(x => pfx(x._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      fl.keySet.intersect(fr.keySet).toSeq
+        .map(e => fl(e) * fr(e)).sum
+    }
+    for (c <- Seq(1, 2, 3)) {
+      val row = SkewTools.overlapJoinPreflight(
+        l.toDF("lid", "la"), col("la"),
+        r.toDF("rid", "ra"), col("ra"), minOverlap = c).head()
+      assert(row.getAs[Long]("est_candidate_rows") == jvmEstimate(c),
+        s"c=$c: ${row.getAs[Long]("est_candidate_rows")} vs " +
+          s"${jvmEstimate(c)}")
+    }
+    assert(jvmEstimate(1) > jvmEstimate(2), "fixture self-check: the " +
+      "prefix must actually shrink the estimate")
+  }
+
   test("GraftSession builder exposes the hamming64 extension in SQL") {
     // the shared test session may predate the extension; build verifies conf
     val s = graft.GraftSession.build("graft-skew-test", "local[2]", 2)
