@@ -2313,6 +2313,55 @@ object DedupOps {
       |  WHERE dbg.doc_id = d.doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Wide-payload hamming gate — oracle-level proof of the round-8
+    * TWO-PHASE path inside [[graft.plans.HammingBlockJoinRewrite]]: the
+    * Spark side is d25's naive spelling with the raw `text` column
+    * KEPT on both sides (the variable-width payload that would ride
+    * the posexplode exchange (k+1)× in the in-place form), so the rule
+    * routes through the slim `(rowid, fingerprint, block)` pair-list —
+    * the Hamming bound verified on the carried 8-byte fingerprints,
+    * distinct rowid pairs, payloads back-joined once per matching
+    * pair. The output consumes the wide columns (summed text lengths),
+    * so a back-join bug that paired the wrong payload rows breaks the
+    * hash match. DuckDB computes the same relation naively. */
+  private def d36(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.hamming64
+    val fp = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("bi", expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin))
+      .select(col("doc_id"), col("text"),
+        (shiftleft(graft.functions.SimHash32.simhash32(col("toks")), 32)
+          .bitwiseOR(graft.functions.SimHash32.simhash32(col("bi"))))
+          .as("sh"))
+    val a = fp.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("text").as("a_text"))
+    val b = fp.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("text").as("b_text"))
+    a.join(b, hamming64(col("a_sh"), col("b_sh")) <= 12
+        && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hamming64(col("a_sh"), col("b_sh")).cast("long").as("dist"),
+        (length(col("a_text")) + length(col("b_text"))).cast("long")
+          .as("tlen"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d36Sql =
+    s"""WITH $simhash64Ctes,
+       |wide AS (
+       |  SELECT fp.doc_id, fp.sh, d.text FROM fp
+       |  JOIN documents d ON d.doc_id = fp.doc_id)
+       |SELECT CAST(a.doc_id AS BIGINT) AS a_id,
+       |  CAST(b.doc_id AS BIGINT) AS b_id,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist,
+       |  CAST(length(a.text) + length(b.text) AS BIGINT) AS tlen
+       |FROM wide a JOIN wide b
+       |  ON a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 12
+       |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -2364,6 +2413,9 @@ object DedupOps {
     // membership anti
     "d34_anti_threshold_scrub" -> QueryDef(d34, Some(d34Sql)),
     "d35_anti_membership_quarantine" -> QueryDef(d35, Some(d35Sql)),
+    // round-8: wide-payload hamming two-phase gate (text carried on
+    // both sides; back-joined payloads consumed in the output)
+    "d36_hamming_wide_payload" -> QueryDef(d36, Some(d36Sql)),
   )
 
 

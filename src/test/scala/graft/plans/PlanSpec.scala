@@ -572,6 +572,15 @@ class PlanSpec extends SparkSuite {
     assert(!p35.contains("NestedLoop"),
       s"anti membership rewrite must fire:\n$p35")
     assert(p35.contains("graft_member_elem"), s"explode shape:\n$p35")
+    // d36: the wide text payload must route hamming through the slim
+    // pair-list (never (k+1)x-replicated through the block exchange)
+    val d36 = run("d36_hamming_wide_payload")
+    assert(!PlanChecks.usesCartesianProduct(d36))
+    val p36 = d36.queryExecution.executedPlan.toString
+    assert(!p36.contains("NestedLoop"), s"hamming rewrite must fire:\n$p36")
+    assert(p36.contains("graft_prid"),
+      s"wide payload must take the two-phase pair-list:\n$p36")
+    assert(p36.contains("graft_bidx"), s"posexplode blocks expected:\n$p36")
   }
 
   test("no registered query plans an unpartitioned window (the whole-table-" +
