@@ -77,6 +77,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType, MapType}
 class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   import RewriteSupport._
 
+  /** `hamming64(a, b)` — or its builtin pure-SQL twin
+    * `bit_count(a ^ b)`, so the rewrite rescues queries written with no
+    * graft import at all. Identical semantics for BIGINT inputs
+    * (null-propagating popcount of the XOR). */
+  private object Hamm {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case HammingDistance(a, b) => Some((a, b))
+      case BitwiseCount(BitwiseXor(a, b)) => Some((a, b))
+      case _ => None
+    }
+  }
+
   /** The first `hamming64(a,b) ≤ k` conjunct (any comparison spelling)
     * that ORIENTS across the two sides — a same-side conjunct ahead of
     * the real cross-side one no longer defeats the rewrite. Returns
@@ -86,13 +98,13 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       : Option[(Expression, Expression, Expression, Int)] =
     cs.iterator.flatMap { c =>
       val parsed = c match {
-        case LessThanOrEqual(HammingDistance(a, b), Literal(k: Int, IntegerType)) =>
+        case LessThanOrEqual(Hamm(a, b), Literal(k: Int, IntegerType)) =>
           Some((a, b, k))
-        case LessThan(HammingDistance(a, b), Literal(k: Int, IntegerType)) =>
+        case LessThan(Hamm(a, b), Literal(k: Int, IntegerType)) =>
           Some((a, b, k - 1))
-        case GreaterThanOrEqual(Literal(k: Int, IntegerType), HammingDistance(a, b)) =>
+        case GreaterThanOrEqual(Literal(k: Int, IntegerType), Hamm(a, b)) =>
           Some((a, b, k))
-        case GreaterThan(Literal(k: Int, IntegerType), HammingDistance(a, b)) =>
+        case GreaterThan(Literal(k: Int, IntegerType), Hamm(a, b)) =>
           Some((a, b, k - 1))
         case _ => None
       }

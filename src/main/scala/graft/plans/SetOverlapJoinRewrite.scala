@@ -191,6 +191,17 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val base = c match {
         case ArraysOverlap(a, b) =>
           Some(OverlapPred(c, a, b, implied = true, 1, None))
+        // the HOF spelling of the same intent:
+        // `exists(a, e -> array_contains(b, e))` — TRUE iff a non-null
+        // element of `a` has a non-null match in `b` (a null element
+        // makes array_contains NULL, never TRUE), i.e. exactly
+        // arrays_overlap's witness contract under either three-valued
+        // setting, so it is `implied` too
+        case ArrayExists(a,
+            LambdaFunction(ArrayContains(b, ev: NamedLambdaVariable),
+              Seq(lv: NamedLambdaVariable), _), _)
+            if ev.exprId == lv.exprId =>
+          Some(OverlapPred(c, a, b, implied = true, 1, None))
         case GreaterThanOrEqual(Size(ArrayIntersect(a, b), _),
               Literal(k: Int, IntegerType))
             if k >= 1 && nullFree(a) && nullFree(b) =>
@@ -337,13 +348,16 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       outer = false, None, Seq(eb), r)
     val firstCommon = ArrayMin(ArrayIntersect(a, b))
     // re-apply the original conjuncts, minus the overlap predicate
-    // itself when the equi-match implies it
+    // itself when the equi-match implies it (the chosen conjunct, plus
+    // any duplicate arrays_overlap spelling of the same pair)
     val reapplied =
       if (p.implied)
-        cs.filterNot {
-          case ArraysOverlap(x, y) =>
-            (x == a && y == b) || (x == b && y == a)
-          case _ => false
+        cs.filterNot { x =>
+          (x eq p.conj) || (x match {
+            case ArraysOverlap(q, w) =>
+              (q == a && w == b) || (q == b && w == a)
+            case _ => false
+          })
         }
       else cs
     val full = (Seq(EqualTo(ea, eb),

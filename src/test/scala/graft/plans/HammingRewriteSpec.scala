@@ -124,6 +124,48 @@ class HammingRewriteSpec extends SparkSuite {
     }
   }
 
+  test("builtin bit_count(a ^ b) spelling — a pure-SQL query with no " +
+      "graft import — fires the rewrite and matches ground truth for " +
+      "inner, semi, and anti") {
+    val sess = spark
+    import sess.implicits._
+    val k = 3
+    val base = codes(55L, 60)
+    val left = base.toDF("lid", "lcode")
+    val right = base.filter(_._1 % 4 == 0)
+      .map { case (i, c) => (i + 900L, c ^ 5L) }.toDF("rid", "rcode")
+    val rightRows = base.filter(_._1 % 4 == 0)
+      .map { case (i, c) => (i + 900L, c ^ 5L) }
+    val inner = left.join(right,
+        expr(s"bit_count(lcode ^ rcode) <= $k"))
+      .select("lid", "rid")
+    val planI = inner.queryExecution.executedPlan.toString
+    assert(!planI.contains("NestedLoop") && !planI.contains("Cartesian"),
+      s"builtin spelling must fire:\n$planI")
+    assert(planI.contains("graft_bidx"), s"posexplode blocks:\n$planI")
+    val wantI = (for {
+      (li, lc) <- base; (ri, rc) <- rightRows
+      if java.lang.Long.bitCount(lc ^ rc) <= k
+    } yield (li, ri)).sorted
+    assert(wantI.nonEmpty, "fixture must produce matches")
+    assert(inner.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSeq.sorted == wantI)
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val j = left.join(right, expr(s"bit_count(lcode ^ rcode) <= $k"), jt)
+        .select("lid")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"$jt builtin spelling must fire:\n$p")
+      val matches = base.collect { case (li, lc)
+          if rightRows.exists { case (_, rc) =>
+            java.lang.Long.bitCount(lc ^ rc) <= k } => li }.sorted
+      val want = if (jt == "left_semi") matches
+        else base.map(_._1).sorted.diff(matches)
+      assert(j.collect().map(_.getLong(0)).toSeq.sorted == want,
+        s"$jt ground truth")
+    }
+  }
+
   test("INNER two-phase (wide payload + forced floor): a string column " +
       "in the join output routes the rewrite through the slim pair-list " +
       "(graft_prid in the plan) and the result multiset is identical to " +

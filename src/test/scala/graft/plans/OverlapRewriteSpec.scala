@@ -398,6 +398,34 @@ class OverlapRewriteSpec extends SparkSuite {
     } finally spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
   }
 
+  test("HOF spelling `exists(a, e -> array_contains(b, e))` — the " +
+      "pure-SQL phrasing of overlap — fires the rewrite and matches " +
+      "the naive evaluation for inner, semi, and anti, nulls and " +
+      "duplicates included") {
+    val sess = spark
+    import sess.implicits._
+    val (l, r) = fixtures
+    val left = l.toDF("lid", "la")
+    val right = r.toDF("rid", "ra")
+    val cond = expr("exists(la, e -> array_contains(ra, e))")
+    val inner = left.join(right, cond).select("lid", "rid")
+    val planI = inner.queryExecution.executedPlan.toString
+    assert(!planI.contains("NestedLoop") && !planI.contains("Cartesian"),
+      s"exists spelling must fire:\n$planI")
+    assert(planI.contains("graft_elem"), s"exploded elements:\n$planI")
+    assert(inner.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSeq.sorted == naive(l, r))
+    val semi = left.join(right, cond, "left_semi").select("lid")
+    assert(!semi.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    assert(semi.collect().map(_.getLong(0)).toSeq.sorted == naiveSemi(l, r))
+    val anti = left.join(right, cond, "left_anti").select("lid")
+    assert(!anti.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    // multiset diff: duplicate left rows stay duplicated on whichever
+    // side of the semi/anti split they fall
+    val wantAnti = l.map(_._1).sorted.diff(naiveSemi(l, r))
+    assert(anti.collect().map(_.getLong(0)).toSeq.sorted == wantAnti)
+  }
+
   test("STREAMING stand-down: a stream-static arrays_overlap LeftSemi " +
       "keeps the naive (supported) plan — no smuggled streaming " +
       "aggregate — and emits exactly the naive semi rows per batch") {
