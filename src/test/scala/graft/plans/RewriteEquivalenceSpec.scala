@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSuite}
+
+/** End-to-end identity of the rewrite RULES against Spark itself: every
+  * rewrite-gated declared query re-executed with BOTH rules disabled —
+  * so Spark plans the naive nested-loop/cartesian form — must produce
+  * the exact same row multiset as the default rules-on run. This
+  * complements the DuckDB oracle (cross-engine) and the JVM ground
+  * truths in the unit specs (hand-evaluated fixtures) with the third
+  * leg: same engine, same query, optimized-vs-naive plan. Feasible only
+  * at sf0.001, where the naive |L|·|R| evaluations still finish. */
+class RewriteEquivalenceSpec extends SparkSuite {
+
+  private val gated = Seq(
+    "d25_hamming_block_join",
+    "d27_overlap_join_rewrite",
+    "d28_membership_join",
+    "d29_semi_overlap_decontam",
+    "d30_anti_hamming_decontam",
+    "d32_overlap_threshold_prefix",
+    "d33_jaccard_theta_rewrite",
+    "d34_anti_threshold_scrub",
+    "d35_anti_membership_quarantine",
+    "d36_hamming_wide_payload")
+
+  test("every rewrite-gated query returns an identical row multiset " +
+      "with both rules disabled (the naive plan is ground truth)") {
+    def multiset(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf0001)
+        .collect().map(_.toString).toSeq.sorted
+    for (name <- gated) {
+      val on = multiset(name)
+      assert(on.nonEmpty, s"$name must be non-empty at sf0.001")
+      spark.conf.set(ScaleGuards.HammingBlockJoinRewriteKey, "false")
+      spark.conf.set(ScaleGuards.OverlapJoinRewriteKey, "false")
+      val off =
+        try multiset(name)
+        finally {
+          spark.conf.unset(ScaleGuards.HammingBlockJoinRewriteKey)
+          spark.conf.unset(ScaleGuards.OverlapJoinRewriteKey)
+        }
+      assert(on == off,
+        s"$name: rules-on ${on.size} rows != naive ${off.size} rows; " +
+          s"first diff on=${on.diff(off).headOption} " +
+          s"off=${off.diff(on).headOption}")
+    }
+  }
+}
