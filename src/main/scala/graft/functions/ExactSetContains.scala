@@ -79,14 +79,15 @@ object ExactSetContains {
       s"exact probe set has $n distinct keys (> $maxKeys): too large for " +
         "a driver-collected confirm array — use the explode + broadcast " +
         "semi-join confirm (CorpusPipeline p08's shape) instead")
-    val rows = keys.select(col(keyCol).cast("long"))
+    // collect through the primitive Long encoder — Array[Long] lands
+    // unboxed on the driver (8 bytes/key, as documented); a Row
+    // collect would transiently hold ~20M boxed rows at the cap
+    val sess = keys.sparkSession
+    import sess.implicits._
+    keys.select(col(keyCol).cast("long"))
       .where(col(keyCol).isNotNull)
       .distinct().sort(col(keyCol))
-      .collect()
-    val out = new Array[Long](rows.length)
-    var i = 0
-    while (i < rows.length) { out(i) = rows(i).getLong(0); i += 1 }
-    out
+      .as[Long].collect()
   }
 
   /** Column API for [[SortedLongSetContains]]. */

@@ -185,6 +185,33 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     twoPhase.getOrElse(rewriteInner(j, cond, a, b, k))
   }
 
+  /** Slim posexplode side shared by the two-phase hamming topologies:
+    * project (keep ++ aliased scalar-conjunct columns ++ fingerprint
+    * alias), posexplode the k+1 (index, block) rows, return (plan,
+    * fingerprint attr, index attr, block attr, original→alias
+    * substitution map for the carried conjuncts). */
+  private def slimBlockSide(base: LogicalPlan, keep: Seq[Attribute],
+      fp: Expression, side: LogicalPlan, tag: String,
+      carried: Seq[Expression], k: Int)
+      : (LogicalPlan, Attribute, Attribute, Attribute,
+        Map[Attribute, Attribute]) = {
+    val (n, widths, offsets) = layout(k)
+    val needed = carried.flatMap(_.references).distinct
+      .filter(side.outputSet.contains)
+    val aliased = needed.map(at => at -> Alias(at, at.name)())
+    val fpA = Alias(fp, s"graft_fp_$tag")()
+    val proj = Project(keep ++ aliased.map(_._2) :+ fpA, base)
+    val pos = AttributeReference(s"graft_bidx_$tag", IntegerType,
+      nullable = false)()
+    val bval = AttributeReference(s"graft_bval_$tag", LongType)()
+    val blocks = CreateArray((0 until n).map(i =>
+      blockOf(fpA.toAttribute, offsets(i), widths(i))))
+    val gen = Generate(PosExplode(blocks), Nil,
+      outer = false, None, Seq(pos, bval), proj)
+    (gen, fpA.toAttribute, pos, bval,
+      aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
+  }
+
   /** TWO-PHASE inner (round 8): slim `(rowid, fingerprint, cheap cols,
     * index, block)` candidate rows — the Hamming bound verifies inside
     * the slim join on the carried 8-byte fingerprints, so the distinct
@@ -204,28 +231,10 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       (lNarrow, pridL) <- withStableRowId(l, "graft_prid_l")
       (rNarrow, pridR) <- withStableRowId(r, "graft_prid_r")
     } yield {
-      val (n, widths, offsets) = layout(k)
-      def narrow(base: LogicalPlan, prid: Attribute, fp: Expression,
-          side: LogicalPlan, tag: String)
-          : (LogicalPlan, Attribute, Attribute, Attribute,
-            Map[Attribute, Attribute]) = {
-        val needed = cheap.flatMap(_.references).distinct
-          .filter(side.outputSet.contains)
-        val aliased = needed.map(at => at -> Alias(at, at.name)())
-        val fpA = Alias(fp, s"graft_fp_$tag")()
-        val proj = Project(Seq(prid) ++ aliased.map(_._2) :+ fpA, base)
-        val pos = AttributeReference(s"graft_bidx_$tag", IntegerType,
-          nullable = false)()
-        val bval = AttributeReference(s"graft_bval_$tag", LongType)()
-        val blocks = CreateArray((0 until n).map(i =>
-          blockOf(fpA.toAttribute, offsets(i), widths(i))))
-        val gen = Generate(PosExplode(blocks), Nil,
-          outer = false, None, Seq(pos, bval), proj)
-        (gen, fpA.toAttribute, pos, bval,
-          aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
-      }
-      val (nL, fpL, posL, valL, mapL) = narrow(lNarrow, pridL, a, l, "l")
-      val (nR, fpR, posR, valR, mapR) = narrow(rNarrow, pridR, b, r, "r")
+      val (nL, fpL, posL, valL, mapL) =
+        slimBlockSide(lNarrow, Seq(pridL), a, l, "l", cheap, k)
+      val (nR, fpR, posR, valR, mapR) =
+        slimBlockSide(rNarrow, Seq(pridR), b, r, "r", cheap, k)
       val subst = mapL ++ mapR
       val cheapSub = cheap.map(_.transform {
         case at: Attribute if subst.contains(at) => subst(at)
@@ -314,28 +323,10 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       (lBack, ridL) <- withStableRowId(l, "graft_rid_l")
       (lNarrow, pridL) <- withStableRowId(l, "graft_prid_l")
     } yield {
-      val (n, widths, offsets) = layout(k)
-      def narrow(base: LogicalPlan, keep: Seq[Attribute], fp: Expression,
-          side: LogicalPlan, tag: String)
-          : (LogicalPlan, Attribute, Attribute, Attribute,
-            Map[Attribute, Attribute]) = {
-        val needed = rest.flatMap(_.references).distinct
-          .filter(side.outputSet.contains)
-        val aliased = needed.map(at => at -> Alias(at, at.name)())
-        val fpA = Alias(fp, s"graft_fp_$tag")()
-        val proj = Project(keep ++ aliased.map(_._2) :+ fpA, base)
-        val pos = AttributeReference(s"graft_bidx_$tag", IntegerType,
-          nullable = false)()
-        val bval = AttributeReference(s"graft_bval_$tag", LongType)()
-        val blocks = CreateArray((0 until n).map(i =>
-          blockOf(fpA.toAttribute, offsets(i), widths(i))))
-        val gen = Generate(PosExplode(blocks), Nil,
-          outer = false, None, Seq(pos, bval), proj)
-        (gen, fpA.toAttribute, pos, bval,
-          aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
-      }
-      val (nL, fpL, posL, valL, mapL) = narrow(lNarrow, Seq(pridL), a, l, "l")
-      val (nR, fpR, posR, valR, mapR) = narrow(r, Nil, b, r, "r")
+      val (nL, fpL, posL, valL, mapL) =
+        slimBlockSide(lNarrow, Seq(pridL), a, l, "l", rest, k)
+      val (nR, fpR, posR, valR, mapR) =
+        slimBlockSide(r, Nil, b, r, "r", rest, k)
       val subst = mapL ++ mapR
       val restSub = rest.map(_.transform {
         case at: Attribute if subst.contains(at) => subst(at)

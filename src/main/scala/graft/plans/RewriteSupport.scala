@@ -162,9 +162,13 @@ private[plans] object RewriteSupport {
     * null-free gate: null elements would occupy prefix slots and push
     * real witnesses out. */
   def prefixElems(arr: Expression, len: Expression => Expression): Expression = {
-    val sorted = SortArray(distinctElems(arr), Literal(true))
-    Slice(sorted, Literal(1),
-      Greatest(Seq(len(Size(sorted, legacySizeOfNull = false)), Literal(0))))
+    val d = distinctElems(arr)
+    // the O(n log n) sort appears ONCE (the slice target); the length
+    // arithmetic reads Size over the UNSORTED distinct array (same
+    // cardinality), so a len function that references its size twice
+    // duplicates only the O(n) distinct, never the sort
+    Slice(SortArray(d, Literal(true)), Literal(1),
+      Greatest(Seq(len(Size(d, legacySizeOfNull = false)), Literal(0))))
   }
 
   /** [[prefixElems]] mapped through xxhash64 — the 8-byte keys the

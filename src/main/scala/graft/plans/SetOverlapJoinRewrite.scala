@@ -132,8 +132,18 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Strip only VALUE-PRESERVING numeric widenings (the casts the
+    * analyzer inserts around `size(...)` in a double comparison:
+    * int→long, int→double, float→double). A user-written NARROWING
+    * cast (`cast(size(...) as tinyint)`) changes the compared value,
+    * so stripping it would make the Jaccard prefix bound unsound —
+    * those spellings stand down instead. */
   private def uncast(e: Expression): Expression = e match {
-    case c: Cast => uncast(c.child)
+    case c: Cast if ((c.child.dataType, c.dataType) match {
+        case (IntegerType, LongType | DoubleType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }) => uncast(c.child)
     case _ => e
   }
 
@@ -196,11 +206,16 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // element of `a` has a non-null match in `b` (a null element
         // makes array_contains NULL, never TRUE), i.e. exactly
         // arrays_overlap's witness contract under either three-valued
-        // setting, so it is `implied` too
+        // setting, so it is `implied` too. `b` must be FREE of lambda
+        // variables: lifting an expression that mentions the bound
+        // element (e.g. `array_contains(concat(ra, array(e)), e)`)
+        // out of its lambda scope would leave the variable unbound in
+        // the rewritten plan, so those shapes stand down.
         case ArrayExists(a,
             LambdaFunction(ArrayContains(b, ev: NamedLambdaVariable),
               Seq(lv: NamedLambdaVariable), _), _)
-            if ev.exprId == lv.exprId =>
+            if ev.exprId == lv.exprId
+              && b.find(_.isInstanceOf[NamedLambdaVariable]).isEmpty =>
           Some(OverlapPred(c, a, b, implied = true, 1, None))
         case GreaterThanOrEqual(Size(ArrayIntersect(a, b), _),
               Literal(k: Int, IntegerType))
@@ -388,6 +403,35 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Literal(1))
   }
 
+  /** Slim candidate side shared by the two-phase topologies: project
+    * (rowid, aliased scalar-conjunct columns, array refs), explode the
+    * hashed candidate keys, return (plan, element attr, original→alias
+    * substitution map for the carried conjuncts).
+    *
+    * The hashed-elements expression feeds Explode INLINE, never
+    * through an alias: InferFiltersFromGenerate only infers size /
+    * isnotnull filters over Attribute generator inputs (SPARK-36715),
+    * and predicate pushdown would substitute an alias into those
+    * filters and re-evaluate the whole shingling expression per row
+    * below the explode — measured as 4× the entire query's runtime on
+    * d27 before this shape. */
+  private def slimHashedSide(base: LogicalPlan, prid: Attribute,
+      arr: Expression, side: LogicalPlan, elemName: String,
+      carried: Seq[Expression], p: OverlapPred)
+      : (LogicalPlan, Attribute, Map[Attribute, Attribute]) = {
+    val needed = carried.flatMap(_.references).distinct
+      .filter(side.outputSet.contains)
+    val aliased = needed.map(at => at -> Alias(at, at.name)())
+    val arrRefs = arr.references.toSeq
+    val keep = Seq(prid) ++ aliased.map(_._2)
+    val proj = Project(keep ++ arrRefs, base)
+    val eh = AttributeReference(elemName, LongType, nullable = false)()
+    val gen = Generate(Explode(candidateElems(arr, p, hashed = true)),
+      unrequiredChildIndex = keep.size until proj.output.size,
+      outer = false, None, Seq(eh), proj)
+    (gen, eh, aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
+  }
+
   /** TWO-PHASE topology: slim hashed candidate pair generation
     * (prefix-sliced when the threshold admits it) + distinct + rowid
     * back-joins + raw predicate re-application. */
@@ -407,30 +451,10 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // after the back-joins, which is what makes hashing exact
       val (cheap, heavy) = rest.partition(c =>
         c.deterministic && c.references.forall(at => scalarType(at.dataType)))
-      // The hashed-elements expression feeds Explode INLINE, never
-      // through an alias: InferFiltersFromGenerate only infers
-      // size/isnotnull filters over Attribute generator inputs
-      // (SPARK-36715), and predicate pushdown would substitute an alias
-      // into those filters and re-evaluate the whole shingling
-      // expression per row below the explode — measured as 4× the
-      // entire query's runtime on d27 before this shape.
-      def narrowSide(base: LogicalPlan, prid: Attribute, arr: Expression,
-          side: LogicalPlan, elemName: String)
-          : (LogicalPlan, Attribute, Map[Attribute, Attribute]) = {
-        val needed = cheap.flatMap(_.references).distinct
-          .filter(side.outputSet.contains)
-        val aliased = needed.map(at => at -> Alias(at, at.name)())
-        val arrRefs = arr.references.toSeq
-        val keep = Seq(prid) ++ aliased.map(_._2)
-        val proj = Project(keep ++ arrRefs, base)
-        val eh = AttributeReference(elemName, LongType, nullable = false)()
-        val gen = Generate(Explode(candidateElems(arr, p, hashed = true)),
-          unrequiredChildIndex = keep.size until proj.output.size,
-          outer = false, None, Seq(eh), proj)
-        (gen, eh, aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
-      }
-      val (nL, ehL, mapL) = narrowSide(lNarrow, pridL, a, l, "graft_elem_l")
-      val (nR, ehR, mapR) = narrowSide(rNarrow, pridR, b, r, "graft_elem_r")
+      val (nL, ehL, mapL) =
+        slimHashedSide(lNarrow, pridL, a, l, "graft_elem_l", cheap, p)
+      val (nR, ehR, mapR) =
+        slimHashedSide(rNarrow, pridR, b, r, "graft_elem_r", cheap, p)
       val subst = mapL ++ mapR
       val cheapSub = cheap.map(_.transform {
         case at: Attribute if subst.contains(at) => subst(at)
@@ -561,23 +585,10 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       (lVer, vridL) <- withStableRowId(l, "graft_vrid_l")
       (rVer, vridR) <- withStableRowId(r, "graft_vrid_r")
     } yield {
-      def narrowSide(base: LogicalPlan, prid: Attribute, arr: Expression,
-          side: LogicalPlan, elemName: String)
-          : (LogicalPlan, Attribute, Map[Attribute, Attribute]) = {
-        val needed = rest.flatMap(_.references).distinct
-          .filter(side.outputSet.contains)
-        val aliased = needed.map(at => at -> Alias(at, at.name)())
-        val arrRefs = arr.references.toSeq
-        val keep = Seq(prid) ++ aliased.map(_._2)
-        val proj = Project(keep ++ arrRefs, base)
-        val eh = AttributeReference(elemName, LongType, nullable = false)()
-        val gen = Generate(Explode(candidateElems(arr, p, hashed = true)),
-          unrequiredChildIndex = keep.size until proj.output.size,
-          outer = false, None, Seq(eh), proj)
-        (gen, eh, aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
-      }
-      val (nL, ehL, mapL) = narrowSide(lNarrow, pridL, p.a, l, "graft_elem_l")
-      val (nR, ehR, mapR) = narrowSide(rNarrow, pridR, p.b, r, "graft_elem_r")
+      val (nL, ehL, mapL) =
+        slimHashedSide(lNarrow, pridL, p.a, l, "graft_elem_l", rest, p)
+      val (nR, ehR, mapR) =
+        slimHashedSide(rNarrow, pridR, p.b, r, "graft_elem_r", rest, p)
       val subst = mapL ++ mapR
       val restSub = rest.map(_.transform {
         case at: Attribute if subst.contains(at) => subst(at)

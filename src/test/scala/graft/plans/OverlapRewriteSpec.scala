@@ -455,6 +455,38 @@ class OverlapRewriteSpec extends SparkSuite {
     }
   }
 
+  test("stands down for unsound spellings: an exists-HOF whose inner " +
+      "array mentions the lambda variable (lifting it would unbind it) " +
+      "and a Jaccard multiply with a user-written NARROWING cast " +
+      "(stripping it would change the compared value)") {
+    val sess = spark
+    import sess.implicits._
+    val l = Seq((1L, Seq[String]("a", "b")), (2L, Seq[String]()),
+      (3L, Seq[String](null))).toDF("lid", "la")
+    val r = Seq((10L, Seq[String]("c"))).toDF("rid", "ra")
+    // concat(ra, array(e)) always contains e, so the naive predicate is
+    // TRUE whenever la has a non-null element — a rewrite that lifted
+    // the lambda-bound `e` out of scope would evaluate garbage instead
+    val esc = l.join(r,
+      expr("exists(la, e -> array_contains(concat(ra, array(e)), e))"))
+    assert(!esc.queryExecution.executedPlan.toString.contains("graft_elem"),
+      "lambda-variable-referencing inner array must stand down")
+    assert(esc.select("lid").collect().map(_.getLong(0)).toSeq.sorted
+      == Seq(1L), "naive evaluation is ground truth")
+    val lt = Seq((1L, Seq(10L, 20L, 30L))).toDF("lid", "la")
+    val rt = Seq((7L, Seq(20L, 30L, 40L))).toDF("rid", "ra")
+    val narrowed = lt.join(rt,
+      expr("size(array_intersect(la, ra)) " +
+        "> 0.5 * cast(size(array_union(la, ra)) as tinyint)"))
+    assert(!narrowed.queryExecution.executedPlan.toString
+      .contains("graft_elem"),
+      "value-changing cast around the union size must stand down")
+    // naive evaluation still answers: intersect=2, 0.5*cast(4)=2.0,
+    // 2 > 2.0 is false → no rows (the cast only bites at |union|>127,
+    // but the rule must not assume that)
+    assert(narrowed.count() == 0)
+  }
+
   test("stands down when disabled by conf, when an equi-join already " +
       "links the sides, and for left joins") {
     val sess = spark
