@@ -1402,6 +1402,70 @@ object TextOps {
       |FROM d GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** BPE ENCODE — the loop closure t24 leaves open: t24 certifies the
+    * TRAINING picks; this query certifies APPLYING the trained
+    * tokenizer to the corpus (the "tokenize 100 TB with the learned
+    * merges" production step, [[BpeTrainer.segment]]). Train the same
+    * 10 merges, then segment every vocabulary word map-side (one
+    * codegen'd fold per merge per word — no shuffle beyond the word
+    * frequency aggregate and the output sort) and emit each word's
+    * token count and segmentation. The DuckDB twin re-derives the
+    * merges itself through t24's unrolled CTE stages (word column
+    * carried through) — so a trainer/segmenter disagreement on ANY
+    * word breaks the hash match. Scale: vocabulary-bounded rows; the
+    * per-document fertility view is a broadcast join of this table
+    * against exploded docs (t28's shape). */
+  private def t29(s: SparkSession, dir: String): DataFrame = {
+    val wf = t(s, dir).documentsSpread
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val merges = BpeTrainer.train(wf, nMerges = 10)
+    BpeTrainer.segment(wf, merges)
+      .select(col("word"), col("freq").cast("long").as("freq"),
+        size(col("syms")).cast("long").as("n_tokens"),
+        concat_ws("|", col("syms")).as("segmented"))
+      .orderBy(col("word"))
+  }
+
+  private val t29Sql: String = {
+    val S = "chr(31)"
+    def stage(k: Int): String =
+      s"""pairs$k AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS n
+         |  FROM (SELECT string_split(trim(w, chr(31)), $S || $S) AS syms,
+         |      freq,
+         |      unnest(generate_series(1,
+         |        len(string_split(trim(w, chr(31)), $S || $S)) - 1)) AS i
+         |    FROM words${k - 1}) px
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, n FROM pairs$k ORDER BY n DESC, l, r LIMIT 1),
+         |words$k AS (
+         |  SELECT s.word, replace(s.w, $S || m.l || $S || $S || m.r || $S,
+         |    $S || m.l || m.r || $S) AS w, s.freq
+         |  FROM words${k - 1} s, m$k m)""".stripMargin
+    val head =
+      """WITH wf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents) u
+        |  WHERE length(word) > 0 GROUP BY word),
+        |words0 AS (
+        |  SELECT word, array_to_string(list_transform(
+        |    generate_series(1, length(word)),
+        |    i -> chr(31) || substr(word, i, 1) || chr(31)), '') AS w, freq
+        |  FROM wf),""".stripMargin
+    head + "\n" + (1 to 10).map(stage).mkString(",\n") +
+      s"""
+         |SELECT word, CAST(freq AS BIGINT) AS freq,
+         |  CAST(len(string_split(trim(w, chr(31)), $S || $S)) AS BIGINT)
+         |    AS n_tokens,
+         |  array_to_string(string_split(trim(w, chr(31)), $S || $S), '|')
+         |    AS segmented
+         |FROM words10
+         |ORDER BY word""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_token_count" -> QueryDef(t01, Some(t01Sql)),
     "t02_quality_score" -> QueryDef(t02, Some(t02Sql), headline = true),
@@ -1431,5 +1495,8 @@ object TextOps {
     "t26_script_mixing" -> QueryDef(t26, Some(t26Sql)),
     "t27_pmi_collocations" -> QueryDef(t27, Some(t27Sql)),
     "t28_tokenizer_fertility" -> QueryDef(t28, Some(t28Sql)),
+    // round-8: BPE ENCODE (apply the trained merges to the vocabulary —
+    // closes t24's train-only loop; oracle re-derives the merges itself)
+    "t29_bpe_encode" -> QueryDef(t29, Some(t29Sql)),
   )
 }
