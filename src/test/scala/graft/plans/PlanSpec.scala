@@ -542,7 +542,7 @@ class PlanSpec extends SparkSuite {
     assert(!d31.queryExecution.executedPlan.toString.contains("NestedLoop"))
   }
 
-  test("d32-d35: the round-8 prefix/Jaccard/anti gating queries keep the " +
+  test("d32-d36: the round-8 prefix/Jaccard/anti/wide gating queries keep the " +
       "rewritten shapes — no cartesian, no nested loop; d33's naive " +
       "all-pairs Jaccard self-join follows d27's ≤2-scans-per-side " +
       "discipline; the anti gates end in the rowid back-anti") {
