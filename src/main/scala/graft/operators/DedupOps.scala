@@ -2098,9 +2098,10 @@ object DedupOps {
       |  CAST(max(contrib) AS BIGINT) AS max_element_rows,
       |  (SELECT e FROM c ORDER BY contrib DESC, e DESC LIMIT 1)
       |    AS worst_element,
-      |  CAST(max(contrib) * 10000 // sum(contrib) AS BIGINT)
-      |    AS max_share_bp,
-      |  CASE WHEN max(contrib) * 10000 // sum(contrib) >= 1000
+      |  CAST(CAST(max(contrib) AS HUGEINT) * 10000 // sum(contrib)
+      |    AS BIGINT) AS max_share_bp,
+      |  CASE WHEN CAST(max(contrib) AS HUGEINT) * 10000 // sum(contrib)
+      |    >= 1000
       |    THEN 'hot-element: cap its frequency upstream (d02''s """
       .stripMargin +
       """maxShingleFreq) or salt it before the overlap join'

@@ -90,8 +90,14 @@ object SkewTools {
         max(col("contrib")).as("max_element_rows"),
         max_by(col("e"), struct(col("contrib"), col("e")))
           .as("worst_element"))
+      // decimal(38) for the ×10000: contrib = fL·fR can reach ~1e18 at
+      // the 100 TB scale this tool prices, so Long×10000 would wrap
+      // negative and the diagnosis would silently read 'ok' exactly when
+      // it matters; decimal keeps the share exact (IntegralDivide on
+      // decimal returns BIGINT)
       .withColumn("max_share_bp",
-        expr("max_element_rows * 10000L div est_candidate_rows"))
+        expr("cast(max_element_rows as decimal(38,0)) * 10000" +
+          " div est_candidate_rows"))
       .withColumn("diagnosis",
         when(col("max_share_bp") >= warnShareBp,
           lit("hot-element: cap its frequency upstream (d02's " +

@@ -68,9 +68,26 @@ private[plans] object RewriteSupport {
     * (split planning and in-split order are functions of the files
     * alone), local/range leaves, and deterministic narrow operators
     * above them. Anything that fetches shuffle blocks (whose arrival
-    * order is racy) breaks it. */
+    * order is racy) breaks it.
+    *
+    * Bucketed file relations are EXCLUDED: DisableUnnecessaryBucketedScan
+    * may keep one twin scan bucketed while disabling the other (the slim
+    * side's parents never need bucket distribution; the back side's may),
+    * giving the two instantiations different partition layouts and
+    * therefore divergent rowids — silently wrong join results. Only
+    * unbucketed HadoopFsRelations qualify.
+    *
+    * CONTRACT: the file set must be static for the duration of the query.
+    * Files appended or compacted between the two physical scans of the
+    * same relation change split planning and break rowid agreement the
+    * same way — the two-phase topologies assume a quiescent table, which
+    * is the normal batch-query premise (a concurrently-compacted table
+    * is unsafe for ANY multi-scan Spark query, not just these). */
   def orderStable(p: LogicalPlan): Boolean = p match {
-    case lr: LogicalRelation => lr.relation.isInstanceOf[HadoopFsRelation]
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.bucketSpec.isEmpty
+      case _ => false
+    }
     case _: LocalRelation | _: Range | _: OneRowRelation => true
     case Project(es, c) => es.forall(_.deterministic) && orderStable(c)
     case Filter(cond, c) => cond.deterministic && orderStable(c)

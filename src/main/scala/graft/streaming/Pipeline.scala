@@ -286,56 +286,99 @@ object Pipeline {
     * v.event_id DESC`) — and the winner is invariant to how the refs
     * split across micro-batches (AsOfStreamSpec pins both orders and
     * both batchings). Without the column the legacy last-arrival rule
-    * applies, which is only deterministic for distinct-ts refs. */
+    * applies, which is only deterministic for distinct-ts refs.
+    *
+    * STATE VERSIONING: the event_id tie rule widened the state cell from
+    * `(tsMs, value)` to `(tsMs, value, event_id)` — an incompatible
+    * encoder schema. The two shapes are therefore keyed off the input:
+    * frames WITHOUT an event_id column run the original two-field state,
+    * so a stream restarted from a pre-event_id checkpoint (necessarily
+    * written without the column) restores cleanly; only frames that opt
+    * into event_id use the three-field state. Adding an event_id column
+    * to an EXISTING checkpointed stream is a state-schema migration —
+    * start a fresh checkpoint. */
   def streamingAsOf(stateTtl: String = "30 minutes")(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val sess = df.sparkSession
     import sess.implicits._
-    val eid =
-      if (df.columns.contains("event_id")) col("event_id").cast("long")
-      else lit(0L)
-    df.select(col("key").cast("long"), col("ts").cast("timestamp"),
-        col("side").cast("string"), col("value").cast("double"),
-        eid.as("event_id"))
-      .as[(Long, java.sql.Timestamp, String, Double, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Double, Long),
-        (Long, java.sql.Timestamp, Double, Option[Double], Option[Long], Option[Long])](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (key: Long,
-            rows: Iterator[(Long, java.sql.Timestamp, String, Double, Long)],
-            state: GroupState[(Long, Double, Long)]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            // event-time walk within the batch: refs update the cell,
-            // probes read it — exact for any intra-batch interleaving.
-            // At equal event time a ref must be applied BEFORE the probe
-            // reads (at-or-before attaches a ref at exactly the probe's
-            // ts, matching q31's tie rule and the cross-batch behavior
-            // where the same ref arrives in an earlier batch). Equal-ts
-            // refs apply in event_id order, and the state cell only
-            // yields to an equal-ts ref with a >= event_id — so the
-            // highest event_id wins whether the contender arrived in
-            // this batch, an earlier one, or a later one.
-            val sorted = rows.toSeq
-              .sortBy(r => (r._2.getTime, if (r._3 == "ref") 0 else 1, r._5))
-            var cur = state.getOption // (tsMs, value, event_id)
-            val out = sorted.flatMap {
-              case (_, ts, "ref", v, id) =>
-                if (cur.forall(c => c._1 < ts.getTime
-                    || (c._1 == ts.getTime && c._3 <= id)))
-                  cur = Some((ts.getTime, v, id))
-                None
-              case (_, ts, _, v, _) =>
-                Some((key, ts, v, cur.map(_._2), cur.map(_._1),
-                  cur.map(c => ts.getTime - c._1)))
+    if (df.columns.contains("event_id")) {
+      df.select(col("key").cast("long"), col("ts").cast("timestamp"),
+          col("side").cast("string"), col("value").cast("double"),
+          col("event_id").cast("long"))
+        .as[(Long, java.sql.Timestamp, String, Double, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double, Long),
+          (Long, java.sql.Timestamp, Double, Option[Double], Option[Long], Option[Long])](
+          OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+          (key: Long,
+              rows: Iterator[(Long, java.sql.Timestamp, String, Double, Long)],
+              state: GroupState[(Long, Double, Long)]) =>
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              // event-time walk within the batch: refs update the cell,
+              // probes read it — exact for any intra-batch interleaving.
+              // At equal event time a ref must be applied BEFORE the probe
+              // reads (at-or-before attaches a ref at exactly the probe's
+              // ts, matching q31's tie rule and the cross-batch behavior
+              // where the same ref arrives in an earlier batch). Equal-ts
+              // refs apply in event_id order, and the state cell only
+              // yields to an equal-ts ref with a >= event_id — so the
+              // highest event_id wins whether the contender arrived in
+              // this batch, an earlier one, or a later one.
+              val sorted = rows.toSeq
+                .sortBy(r => (r._2.getTime, if (r._3 == "ref") 0 else 1, r._5))
+              var cur = state.getOption // (tsMs, value, event_id)
+              val out = sorted.flatMap {
+                case (_, ts, "ref", v, id) =>
+                  if (cur.forall(c => c._1 < ts.getTime
+                      || (c._1 == ts.getTime && c._3 <= id)))
+                    cur = Some((ts.getTime, v, id))
+                  None
+                case (_, ts, _, v, _) =>
+                  Some((key, ts, v, cur.map(_._2), cur.map(_._1),
+                    cur.map(c => ts.getTime - c._1)))
+              }
+              cur.foreach(state.update)
+              state.setTimeoutDuration(stateTtl)
+              out.iterator
             }
-            cur.foreach(state.update)
-            state.setTimeoutDuration(stateTtl)
-            out.iterator
-          }
-      }
-      .toDF("key", "ts", "value", "ref_value", "ref_ts_ms", "lag_ms")
+        }
+        .toDF("key", "ts", "value", "ref_value", "ref_ts_ms", "lag_ms")
+    } else {
+      // legacy shape: two-field state, last-arrival equal-ts tie rule —
+      // byte-compatible with checkpoints written before the event_id
+      // rule existed (see STATE VERSIONING above)
+      df.select(col("key").cast("long"), col("ts").cast("timestamp"),
+          col("side").cast("string"), col("value").cast("double"))
+        .as[(Long, java.sql.Timestamp, String, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double),
+          (Long, java.sql.Timestamp, Double, Option[Double], Option[Long], Option[Long])](
+          OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+          (key: Long,
+              rows: Iterator[(Long, java.sql.Timestamp, String, Double)],
+              state: GroupState[(Long, Double)]) =>
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              val sorted = rows.toSeq
+                .sortBy(r => (r._2.getTime, if (r._3 == "ref") 0 else 1))
+              var cur = state.getOption // (tsMs, value)
+              val out = sorted.flatMap {
+                case (_, ts, "ref", v) =>
+                  if (cur.forall(_._1 <= ts.getTime))
+                    cur = Some((ts.getTime, v))
+                  None
+                case (_, ts, _, v) =>
+                  Some((key, ts, v, cur.map(_._2), cur.map(_._1),
+                    cur.map(c => ts.getTime - c._1)))
+              }
+              cur.foreach(state.update)
+              state.setTimeoutDuration(stateTtl)
+              out.iterator
+            }
+        }
+        .toDF("key", "ts", "value", "ref_value", "ref_ts_ms", "lag_ms")
+    }
   }
 
   /** The user-visible payload contract (`create-user-payload`,

@@ -126,6 +126,57 @@ class AsOfStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("legacy (no event_id) state restores across a checkpointed " +
+      "restart: the two-field state cell written before the stop serves " +
+      "probes after the restart") {
+    // MemoryStream forbids checkpoint recovery, so this test drives a
+    // JSON-file source and collects via foreachBatch — both restartable.
+    import org.apache.spark.sql.Row
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("asof_ckpt_").toString
+    val inDir = java.nio.file.Files
+      .createTempDirectory("asof_in_").toString
+    val schema = "key LONG, ts TIMESTAMP, side STRING, value DOUBLE"
+    def feed(name: String, lines: String*): Unit = {
+      val p = java.nio.file.Paths.get(inDir, name)
+      java.nio.file.Files.write(p, lines.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    def start() = Pipeline.streamingAsOf()(
+        spark.readStream.schema(schema).json(inDir))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(got.add)
+      }.start()
+    def await(nRows: Int): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (got.size < nRows
+          && System.currentTimeMillis < deadline) Thread.sleep(200)
+      assert(got.size >= nRows, s"timed out waiting for $nRows rows")
+    }
+    val q1 = start()
+    try {
+      feed("b1.json",
+        """{"key":4,"ts":"2026-01-01 10:00:00","side":"ref","value":7.5}""",
+        """{"key":4,"ts":"2026-01-01 10:00:30","side":"probe","value":1.0}""")
+      await(1)
+    } finally q1.stop()
+    // restart from the checkpoint: the ref exists only in restored state
+    val q2 = start()
+    try {
+      feed("b2.json",
+        """{"key":4,"ts":"2026-01-01 10:05:00","side":"probe","value":2.0}""")
+      await(2)
+      val post = got.toArray(Array.empty[Row])
+        .filter(_.getDouble(2) == 2.0)
+      assert(post.length == 1, s"post-restart probe missing (${post.length})")
+      assert(!post(0).isNullAt(3) && post(0).getDouble(3) == 7.5,
+        s"restored two-field state must serve the probe: ${post(0)}")
+    } finally q2.stop()
+  }
+
   test("equal-ts ref tie resolves to the HIGHEST event_id (q31's oracle " +
       "pick) and the winner is invariant to batch boundaries and " +
       "arrival order") {
