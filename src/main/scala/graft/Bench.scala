@@ -169,22 +169,27 @@ object Bench {
         f""","calibration_idle_ref":$idleRef%.3f""" +
         s""","load_suspect":$loadSuspect,"load_reruns":$loadReruns""" +
         s""","loadavg":{"before":"$load0","after":"$load1"}"""
-    // full-route streaming throughput (warmup pass, then the measured pass)
-    val streamJson = try {
+    // full-route streaming throughput: warmup pass, then the SAME
+    // min-of-N discipline as queries — the stream number is the single
+    // most load-sensitive value in the artifact (±25% across honest
+    // runs; the r8 driver artifact recorded a 4.7x-low value from one
+    // polluted single pass). Each pass builds a fresh topic/checkpoint
+    // dir, so every run pays the full cold route.
+    val streamJsonStr = try {
       streamThroughput(spark, 20000L)
       // SPARK_GRAFT_STREAM_N: long-horizon override (events/s must hold at
       // 10× the default — guards the emulation's append path against
       // topic-size-dependent cost creeping back in)
       val streamN = sys.env.get("SPARK_GRAFT_STREAM_N").map(_.toLong)
         .getOrElse(500000L)
-      val (sec, eps) = streamThroughput(spark, streamN)
-      f""","stream":{"events":$streamN,"sec":$sec%.3f,"events_per_sec":${eps.round}}"""
+      val runs = (1 to streamPassCount).map(_ => streamThroughput(spark, streamN))
+      streamJson(streamN, runs)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
       ""
     }
     println(resultJson(names, timed.toMap, failedWhy.toMap, sfDir,
-      hostJson, streamJson))
+      hostJson, streamJsonStr))
     spark.stop()
     if (failedWhy.nonEmpty) sys.exit(1)
   }
@@ -214,6 +219,21 @@ object Bench {
     * BenchJsonSpec pins the threshold. */
   def loadSuspectAbsolute(bestCal: Double, idleRef: Double): Boolean =
     bestCal / idleRef > 1.3
+
+  /** Measured stream passes per run (fresh checkpoint/topic dirs each). */
+  val streamPassCount = 3
+
+  /** Assemble the stream fragment from N measured (sec, events/sec)
+    * passes: report the BEST pass (min seconds — the same defense the
+    * query times get) and carry `stream_passes` so a reader knows the
+    * number survived N cold runs, not one. Pure — BenchJsonSpec pins the
+    * multi-pass contract. */
+  def streamJson(events: Long, runs: Seq[(Double, Double)]): String = {
+    require(runs.nonEmpty, "streamJson needs at least one measured pass")
+    val (sec, eps) = runs.minBy(_._1)
+    f""","stream":{"events":$events,"sec":$sec%.3f,""" +
+      f""""events_per_sec":${eps.round},"stream_passes":${runs.size}}"""
+  }
 
   /** Assemble the one-line bench JSON. n_queries makes headline-set growth
     * explicit: cross-round TOTAL comparisons are only meaningful at equal

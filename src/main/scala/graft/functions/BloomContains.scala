@@ -2,7 +2,8 @@ package graft.functions
 
 import java.io.ByteArrayInputStream
 
-import org.apache.spark.sql.Column
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -24,16 +25,18 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Native `Expression` with `doGenCode` (SURVEY §2.8 preference order):
   * whole-stage codegen emits one virtual call on a shared deserialized
-  * filter per probe — no UDF boxing, and the serialized bits ride the
-  * expression tree to executors once per task set (at cluster scale prefer
-  * a broadcast variable; the bytes here are task-serialized exactly like a
-  * broadcast-hash relation would be).
+  * filter per probe — no UDF boxing. The serialized filter bits travel as
+  * a BROADCAST VARIABLE: the expression carries only the handle, so task
+  * binaries stay small and each executor fetches the bits once (the
+  * previous shape task-serialized the bytes via `addReferenceObj`, one
+  * copy per plan reference per task closure).
   *
   * Reference anchor: ziggurat has no analytics surface (SURVEY §2.6 —
   * absent by design); this is north-star extension surface for the
   * decontamination pipeline.
   */
-case class BloomContainsLong(child: Expression, bloomBytes: Array[Byte])
+case class BloomContainsLong(child: Expression,
+    bloomBc: Broadcast[Array[Byte]])
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -44,8 +47,9 @@ case class BloomContainsLong(child: Expression, bloomBytes: Array[Byte])
     else TypeCheckResult.TypeCheckFailure(
       s"bloom_contains requires BIGINT, got ${child.dataType.simpleString}")
 
+  // deserialized once per task from the executor-shared broadcast bytes
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBc.value))
 
   /** Called from both interpreted eval and generated code. */
   def contains(v: Long): Boolean = bloom.mightContainLong(v)
@@ -72,7 +76,9 @@ object BloomContains {
     * driver-side Row first — OOM at exactly the 10^8-key probe scale this
     * expression exists for. The sizing count is one cheap aggregate
     * (duplicate keys inflate it harmlessly: the filter just gets a lower
-    * effective fpp). */
+    * effective fpp). When the key set ALSO fits the exact-confirm cap,
+    * prefer [[ExactSetContains.buildBoth]] — it feeds the bloom from the
+    * same collected keys, saving this second scan. */
   def build(keys: org.apache.spark.sql.DataFrame, fpp: Double = 0.01): Array[Byte] = {
     val keyCol = keys.columns.head
     val n = keys.select(org.apache.spark.sql.functions.count(
@@ -84,8 +90,13 @@ object BloomContains {
     out.toByteArray
   }
 
-  /** Column API for [[BloomContainsLong]]. */
-  def bloomContains(c: Column, bloomBytes: Array[Byte]): Column =
+  /** Column API for [[BloomContainsLong]] over an existing broadcast. */
+  def bloomContains(c: Column, bloomBc: Broadcast[Array[Byte]]): Column =
     ColumnBridge.column(
-      BloomContainsLong(ColumnBridge.expression(c), bloomBytes))
+      BloomContainsLong(ColumnBridge.expression(c), bloomBc))
+
+  /** Column API for [[BloomContainsLong]]; broadcasts `bloomBytes`
+    * (call once per query build — each call creates one broadcast). */
+  def bloomContains(c: Column, bloomBytes: Array[Byte]): Column =
+    bloomContains(c, SparkSession.active.sparkContext.broadcast(bloomBytes))
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -25,15 +26,20 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   * to p08's explode + broadcast-confirm shape. [[ExactSetContains.build]]
   * enforces the cap loudly.
   *
-  * The sorted array rides the expression tree to executors once per
-  * task set, exactly like [[BloomContainsLong]]'s filter bytes (at
-  * cluster scale prefer wrapping in a broadcast variable).
+  * The sorted array travels as a BROADCAST VARIABLE: the expression
+  * carries only the (tiny) broadcast handle, so task binaries stay
+  * small no matter how many plan nodes reference the probe — each
+  * executor fetches the array blocks once and every task on it shares
+  * the one copy. (The previous shape task-serialized the raw array via
+  * `addReferenceObj` — up to 160 MB per stage's task closure at the
+  * cap.)
   *
   * Reference anchor: ziggurat has no analytics surface (SURVEY §2.6 —
   * absent by design); north-star extension surface for the
   * decontamination pipeline.
   */
-case class SortedLongSetContains(child: Expression, sortedKeys: Array[Long])
+case class SortedLongSetContains(child: Expression,
+    keysBc: Broadcast[Array[Long]])
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -43,6 +49,10 @@ case class SortedLongSetContains(child: Expression, sortedKeys: Array[Long])
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"sorted_set_contains requires BIGINT, got ${child.dataType.simpleString}")
+
+  // resolved once per deserialized expression instance (per task); the
+  // underlying fetch happens once per executor
+  @transient private lazy val sortedKeys: Array[Long] = keysBc.value
 
   /** Called from both interpreted eval and generated code. */
   def contains(v: Long): Boolean =
@@ -69,7 +79,9 @@ object ExactSetContains {
     * final deduplicated keys reach the driver (8 bytes each). `maxKeys`
     * is a loud guard, not a truncation: silently dropping probe keys
     * would let contaminated documents through, so an oversized set
-    * throws with the p08 fallback named. */
+    * throws with the p08 fallback named — and it fires from a cheap
+    * count aggregate BEFORE the collect, so the driver never holds an
+    * over-cap array. */
   def build(keys: org.apache.spark.sql.DataFrame,
       maxKeys: Long = 20L * 1000 * 1000): Array[Long] = {
     import org.apache.spark.sql.functions.{col, count_distinct}
@@ -90,8 +102,35 @@ object ExactSetContains {
       .as[Long].collect()
   }
 
-  /** Column API for [[SortedLongSetContains]]. */
-  def sortedSetContains(c: Column, sortedKeys: Array[Long]): Column =
+  /** Builds BOTH decontamination support structures — the exact sorted
+    * confirm array AND the bloom prefilter — from ONE heavy distributed
+    * pass over the probe relation: the distinct keys are collected once
+    * (plus [[build]]'s cheap count-aggregate cap guard), and the bloom
+    * is fed driver-side from the already-collected array (n `putLong`s
+    * into a local bitset — no second scan of the probe). Both return as
+    * broadcast handles ready for [[sortedSetContains]] /
+    * [[BloomContains.bloomContains]]. */
+  def buildBoth(keys: org.apache.spark.sql.DataFrame, fpp: Double = 0.01,
+      maxKeys: Long = 20L * 1000 * 1000)
+      : (Broadcast[Array[Long]], Broadcast[Array[Byte]]) = {
+    val arr = build(keys, maxKeys)
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(arr.length, 1).toLong, fpp)
+    arr.foreach(bf.putLong)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val sc = keys.sparkSession.sparkContext
+    (sc.broadcast(arr), sc.broadcast(out.toByteArray))
+  }
+
+  /** Column API for [[SortedLongSetContains]] over an existing broadcast. */
+  def sortedSetContains(c: Column, keysBc: Broadcast[Array[Long]]): Column =
     ColumnBridge.column(
-      SortedLongSetContains(ColumnBridge.expression(c), sortedKeys))
+      SortedLongSetContains(ColumnBridge.expression(c), keysBc))
+
+  /** Column API for [[SortedLongSetContains]]; broadcasts `sortedKeys`
+    * (call once per query build — each call creates one broadcast). */
+  def sortedSetContains(c: Column, sortedKeys: Array[Long]): Column =
+    sortedSetContains(c,
+      SparkSession.active.sparkContext.broadcast(sortedKeys))
 }

@@ -1368,6 +1368,11 @@ object CorpusPipeline {
     * through the confirm — or a binary-search bug that dropped a clean
     * document — breaks the hash match. */
   private def p21(s: SparkSession, dir: String): DataFrame = {
+    // probe (doc_id < 20) and corpus (doc_id >= 20) are DISJOINT slices,
+    // so nothing is shared between the build pass and the corpus scan —
+    // no cache anywhere: the tiny probe slice is scanned once by
+    // buildBoth (bloom fed driver-side from the same collected keys)
+    // and the 100 TB corpus side STREAMS through the map-side predicate
     val base = Tables(s, dir).documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 5)
@@ -1376,16 +1381,20 @@ object CorpusPipeline {
           |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
           |    toks[i+3], toks[i+4]))))""".stripMargin))
       .select(col("doc_id"), col("lang"), col("ghashes"))
-      .cache()
     val probe = base.filter(col("doc_id") < 20)
       .select(explode(col("ghashes")).as("g"))
-    val probeBloom = graft.functions.BloomContains.build(probe)
-    val probeExact = graft.functions.ExactSetContains.build(probe)
+    val (probeExact, probeBloom) =
+      graft.functions.ExactSetContains.buildBoth(probe)
+    // plan_fence: without it predicate pushdown drags the gram-hash
+    // recompute below documentsSpread's repartition onto the single
+    // pre-shuffle scan task (the testdata file is one row group) —
+    // measured 5.4 s vs ~0.5 s at sf0.1; on a multi-split cluster input
+    // you would drop both the repartition and the fence
     base.filter(col("doc_id") >= 20)
-      .filter(!exists(col("ghashes"), g =>
+      .filter(graft.functions.PlanFence.fence(!exists(col("ghashes"), g =>
         graft.functions.BloomContains.bloomContains(g, probeBloom)
           && graft.functions.ExactSetContains
-            .sortedSetContains(g, probeExact)))
+            .sortedSetContains(g, probeExact))))
       .select(col("doc_id"), col("lang"),
         size(col("ghashes")).cast("long").as("n_grams"))
       .orderBy(col("doc_id"))

@@ -2363,6 +2363,43 @@ object DedupOps {
        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 12
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Pure-SQL-spelling gates (round 9): the two recognizer paths added
+    * late in round 8 — builtin `bit_count(a ^ b) <= k` (Hamming) and the
+    * HOF `exists(a, e -> array_contains(b, e))` (overlap) — were
+    * certified only by unit specs; these twins put them under the DuckDB
+    * oracle. Each is its sibling's exact query with ONLY the predicate
+    * spelling changed (no graft import at all — the spelling any plain
+    * SQL user would write), sharing the sibling's oracle SQL verbatim:
+    * a hash match certifies recognizer + rewrite end-to-end. */
+  private def d37(s: SparkSession, dir: String): DataFrame = {
+    val fp = simhash64(t(s, dir).documentsSpread)
+    val a = fp.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = fp.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id")
+        && expr("bit_count(a_sh ^ b_sh) <= 12"))
+      .select(col("a_id"), col("b_id"),
+        expr("cast(bit_count(a_sh ^ b_sh) as bigint)").as("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def d38(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
+        .stripMargin).as("grams"))
+    val banned = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("b_id"), col("grams").as("banned_grams"))
+    grams.join(banned,
+        expr("exists(grams, e -> array_contains(banned_grams, e))"),
+        "left_semi")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -2417,6 +2454,10 @@ object DedupOps {
     // round-8: wide-payload hamming two-phase gate (text carried on
     // both sides; back-joined payloads consumed in the output)
     "d36_hamming_wide_payload" -> QueryDef(d36, Some(d36Sql)),
+    // round-9 pure-SQL-spelling gates: same queries as d25/d29 with only
+    // the predicate spelling changed — they reuse the twins' oracles
+    "d37_bitcount_spelling_rewrite" -> QueryDef(d37, Some(d25Sql)),
+    "d38_exists_hof_decontam" -> QueryDef(d38, Some(d29Sql)),
   )
 
 

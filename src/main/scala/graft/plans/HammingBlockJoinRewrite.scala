@@ -345,12 +345,12 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Single-instantiation semi: tag, posexplode over the full rows,
     * LeftSemi with the original predicate (no first-match pin — semi's
-    * ∃-semantics make duplicates free), group back on (id, row). */
+    * ∃-semantics make duplicates free), group back on the srid alone
+    * (payloads ride First — see [[RewriteSupport.collapseBySrid]]). */
   private def inPlaceSemi(j: Join, cs: Seq[Expression],
       a: Expression, b: Expression, k: Int): Option[LogicalPlan] = {
     val Join(l, r, _, _, hint) = (j: @unchecked)
-    if (l.output.exists(at => containsMap(at.dataType))) None
-    else {
+    locally {
       val (n, widths, offsets) = layout(k)
       def blocksArr(x: Expression) = CreateArray(
         (0 until n).map(i => blockOf(x, offsets(i), widths(i))))
@@ -369,7 +369,7 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val semi = Join(genL, genR, LeftSemi,
         Some((Seq(EqualTo(posL, posR), EqualTo(valL, valR)) ++ cs).reduce(And)),
         selfJoinHint(l, r, hint))
-      val collapsed = Aggregate(srid.toAttribute +: l.output, l.output, semi)
+      val collapsed = collapseBySrid(srid.toAttribute, l.output, semi)
       Some(Project(j.output, collapsed))
     }
   }

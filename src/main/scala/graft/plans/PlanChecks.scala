@@ -51,6 +51,22 @@ object PlanChecks {
   def usesCartesianProduct(df: DataFrame): Boolean =
     physical(df).exists(_.isInstanceOf[CartesianProductExec])
 
+  /** Join types of every broadcast-hash join in the (post-AQE) plan —
+    * lets a pin assert a specific join (e.g. the two-phase back-anti)
+    * planned as a broadcast. */
+  def broadcastHashJoinTypes(df: DataFrame): Seq[String] =
+    physical(df).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType.toString
+    }
+
+  /** Sort-merge joins in the (post-AQE) plan — a back-join that plans as
+    * one shuffles BOTH sides (payload included), the exact shape the
+    * two-phase topologies exist to avoid. */
+  def countSortMergeJoins(df: DataFrame): Int =
+    physical(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+
   /** TakeOrderedAndProject present (top-k without a global sort). */
   def usesTakeOrdered(df: DataFrame): Boolean =
     physical(df).exists(

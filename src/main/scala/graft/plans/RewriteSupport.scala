@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.First
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types._
@@ -200,14 +201,25 @@ private[plans] object RewriteSupport {
       LambdaFunction(XxHash64(Seq(h), 42L), Seq(h)))
   }
 
-  /** The type contains a MapType anywhere — maps don't group, so the
-    * semi collapse aggregates gate on this. */
-  def containsMap(dt: DataType): Boolean = dt match {
-    case _: MapType => true
-    case ArrayType(et, _) => containsMap(et)
-    case StructType(fields) => fields.exists(f => containsMap(f.dataType))
-    case _ => false
-  }
+  /** Collapse each tagged row's surviving exploded copies back to ONE
+    * row, grouping on the unique srid ALONE. Grouping on the payload
+    * columns (the previous shape) routed float/double payloads through
+    * NormalizeFloatingNumbers — a surviving row carrying -0.0 or a
+    * non-canonical NaN came out with normalized bits, a value change
+    * the original LeftSemi never makes. The srid group is a singleton,
+    * so First over it is exact; aliases reuse the original exprIds so
+    * parents resolve unchanged, and KnownNotNull restores the original
+    * nullability (First widens to nullable, but a singleton group's
+    * First of a non-null column is never null). Map-typed payloads —
+    * which cannot be grouping keys — ride the First too, so semis over
+    * map-carrying rows no longer stand down. */
+  def collapseBySrid(srid: Attribute, payload: Seq[Attribute],
+      child: LogicalPlan): Aggregate =
+    Aggregate(Seq(srid), payload.map { at =>
+      val agg = First(at, ignoreNulls = false).toAggregateExpression()
+      val e = if (at.nullable) agg else KnownNotNull(agg)
+      Alias(e, at.name)(exprId = at.exprId, qualifier = at.qualifier)
+    }, child)
 
   /** `array_distinct(<non-null elements of arr>)` — the raw-element twin
     * of [[hashedElems]] for the semi paths, whose witness equality must

@@ -92,4 +92,12 @@ object ScaleGuards {
     * exchange is cheaper than three extra tiny shuffles. */
   val OverlapTwoPhaseMinBytesKey = "spark.graft.overlapJoinRewrite.twoPhaseMinBytes"
   val OverlapTwoPhaseMinBytesDefault = 8L * 1024
+
+  /** Opt-in hot-element diagnosis at rewrite time: set to `warn` and
+    * every overlap-rewrite fire runs [[graft.operators.SkewTools
+    * .overlapJoinPreflight]] over the join's own children and logs the
+    * Σ fL·fR candidate estimate with the worst element named — the d31
+    * audit, applied automatically. Default off: the preflight is a real
+    * (small — rows = distinct elements) Spark job at planning time. */
+  val OverlapPreflightKey = "spark.graft.overlapJoinRewrite.preflight"
 }

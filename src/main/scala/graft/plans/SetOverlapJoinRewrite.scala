@@ -329,12 +329,43 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else None
     }.nextOption()
 
+  /** [[ScaleGuards.OverlapPreflightKey]] = warn: on rewrite fire, run
+    * the d31 hot-element audit over the join's own children and log the
+    * result — "diagnosed by default" instead of "diagnosable on
+    * request". Best-effort: a preflight failure (unresolvable child,
+    * side job error) logs and never fails the query; streaming children
+    * can't run a side job and are skipped. */
+  private def maybePreflight(l: LogicalPlan, r: LogicalPlan,
+      p: OverlapPred): Unit =
+    if (spark.conf.getOption(ScaleGuards.OverlapPreflightKey)
+        .exists(_.equalsIgnoreCase("warn"))
+        && !l.isStreaming && !r.isStreaming) {
+      try {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        val row = graft.operators.SkewTools.overlapJoinPreflight(
+          ColumnBridge.dataFrame(spark, l), ColumnBridge.column(p.a),
+          ColumnBridge.dataFrame(spark, r), ColumnBridge.column(p.b),
+          minOverlap = if (p.jaccardTau.isDefined) 1 else p.minOverlap)
+          .head()
+        logWarning("overlap-join rewrite preflight: " +
+          s"est_candidate_rows=${row.getAs[Long]("est_candidate_rows")} " +
+          s"worst_element=${row.getAs[Any]("worst_element")} " +
+          s"max_element_rows=${row.getAs[Long]("max_element_rows")} " +
+          s"max_share_bp=${row.getAs[Long]("max_share_bp")} " +
+          s"diagnosis=${row.getAs[String]("diagnosis")}")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"overlap-join rewrite preflight failed: $e")
+      }
+    }
+
   /** `arrays_overlap(a, b)` / intersect-size threshold / strict
     * Jaccard, inner/cross. */
   private def rewriteOverlap(j: Join, cs: Seq[Expression])
       : Option[LogicalPlan] = {
     val Join(l, r, _, _, _) = (j: @unchecked)
     orientedOverlap(cs, l, r).map { p =>
+      maybePreflight(l, r, p)
       val twoPhase =
         if (!l.isStreaming && !r.isStreaming && hashSafeElem(p.a)
             && bigEnoughForTwoPhase(l, r))
@@ -558,9 +589,11 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // aggregate into a stateless semi join, so it stands down there
       // (the naive stream-static nested-loop semi stays, which is the
       // supported shape)
-      twoPhase.orElse(
+      val fired = twoPhase.orElse(
         if (jt == LeftSemi && !j.isStreaming) inPlaceSemi(j, cs, p)
         else None)
+      if (fired.isDefined) maybePreflight(l, r, p)
+      fired
     }
   }
 
@@ -662,30 +695,27 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * (no order-stability needed — the tagged plan is evaluated once),
     * explode, LeftSemi with the full predicate (threshold spellings
     * re-applied raw), then collapse each row's surviving copies via
-    * group-on-(id, row). Unavailable when the left row carries a map
-    * column (maps don't group). */
+    * group-on-srid (payloads ride First — see
+    * [[RewriteSupport.collapseBySrid]]). */
   private def inPlaceSemi(j: Join, cs: Seq[Expression],
       p: OverlapPred): Option[LogicalPlan] = {
     val Join(l, r, _, _, hint) = (j: @unchecked)
     val (a, b) = (p.a, p.b)
-    if (l.output.exists(at => containsMap(at.dataType))) None
-    else {
-      val elemType = a.dataType.asInstanceOf[ArrayType].elementType
-      val srid = Alias(MonotonicallyIncreasingID(), "graft_srid")()
-      val tagged = Project(l.output :+ srid, l)
-      val ea = AttributeReference("graft_elem_l", elemType)()
-      val eb = AttributeReference("graft_elem_r", elemType)()
-      val genL = Generate(Explode(candidateElems(a, p, hashed = false)), Nil,
-        outer = false, None, Seq(ea), tagged)
-      val genR = Generate(Explode(candidateElems(b, p, hashed = false)), Nil,
-        outer = false, None, Seq(eb), r)
-      val reapplied = if (p.implied) cs.filterNot(_ eq p.conj) else cs
-      val semi = Join(genL, genR, LeftSemi,
-        Some((EqualTo(ea, eb) +: reapplied).reduce(And)),
-        selfJoinHint(l, r, hint))
-      val collapsed = Aggregate(srid.toAttribute +: l.output, l.output, semi)
-      Some(Project(j.output, collapsed))
-    }
+    val elemType = a.dataType.asInstanceOf[ArrayType].elementType
+    val srid = Alias(MonotonicallyIncreasingID(), "graft_srid")()
+    val tagged = Project(l.output :+ srid, l)
+    val ea = AttributeReference("graft_elem_l", elemType)()
+    val eb = AttributeReference("graft_elem_r", elemType)()
+    val genL = Generate(Explode(candidateElems(a, p, hashed = false)), Nil,
+      outer = false, None, Seq(ea), tagged)
+    val genR = Generate(Explode(candidateElems(b, p, hashed = false)), Nil,
+      outer = false, None, Seq(eb), r)
+    val reapplied = if (p.implied) cs.filterNot(_ eq p.conj) else cs
+    val semi = Join(genL, genR, LeftSemi,
+      Some((EqualTo(ea, eb) +: reapplied).reduce(And)),
+      selfJoinHint(l, r, hint))
+    val collapsed = collapseBySrid(srid.toAttribute, l.output, semi)
+    Some(Project(j.output, collapsed))
   }
 
   /** LeftSemi membership. Array on the RIGHT (`probe ⋉ tags`): the left
@@ -717,8 +747,7 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         twoPhase.orElse {
           // same streaming stand-down as inPlaceSemi: the collapse is
           // a group-by over the exploded left side
-          if (jt == LeftAnti || j.isStreaming
-              || l.output.exists(at => containsMap(at.dataType))) None
+          if (jt == LeftAnti || j.isStreaming) None
           else {
             val srid = Alias(MonotonicallyIncreasingID(), "graft_srid")()
             val tagged = Project(l.output :+ srid, l)
@@ -726,8 +755,7 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               outer = false, None, Seq(ea), tagged)
             val semi = Join(genL, r, LeftSemi,
               Some((EqualTo(ea, x) +: rest).reduce(And)), hint)
-            val collapsed =
-              Aggregate(srid.toAttribute +: l.output, l.output, semi)
+            val collapsed = collapseBySrid(srid.toAttribute, l.output, semi)
             Some(Project(j.output, collapsed))
           }
         }

@@ -58,10 +58,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     * of the dedup/text/similarity operators onto one thread. On a real
     * cluster the input splits provide the spread; here an explicit
     * round-robin repartition restores it. Cost: one tiny shuffle of the
-    * source rows (never of the exploded rows). */
+    * source rows (never of the exploded rows).
+    *
+    * The partition count is EXPLICIT (defaultParallelism = the session's
+    * cores): a bare `repartition(col)` is advisory to AQE, which sizes
+    * post-shuffle partitions by BYTES and coalesces a few-MB corpus back
+    * to one partition — re-serializing exactly the compute-heavy stage
+    * the spread exists for (p21's decontamination predicate measured 10×
+    * slower under the coalesce). Compute-bound stages must be sized by
+    * CPU, not bytes; the explicit count pins that. */
   def documentsSpread: DataFrame =
-    documents.repartition(col("doc_id"))
+    documents.repartition(spark.sparkContext.defaultParallelism,
+      col("doc_id"))
   def embeddingsSpread: DataFrame =
-    embeddings.repartition(col("vec_id"))
+    embeddings.repartition(spark.sparkContext.defaultParallelism,
+      col("vec_id"))
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

@@ -80,12 +80,12 @@ object Pipeline {
     * bloom false positive cannot mark a clean document
     * (StreamDecontaminateSpec drives a deliberately high-fpp filter to
     * prove it). `banned` is a static one-column BIGINT gram-hash
-    * relation; both support structures are built once, distributed, at
-    * plan time and ride to executors like broadcast-hash relations. */
+    * relation; both support structures are built once at plan time (ONE
+    * distributed pass — the bloom is fed from the same collected keys)
+    * and ship to executors as broadcast variables. */
   def streamingDecontaminate(gramsCol: String, banned: DataFrame,
       markCol: String = "contaminated")(df: DataFrame): DataFrame = {
-    val bloom = graft.functions.BloomContains.build(banned)
-    val exact = graft.functions.ExactSetContains.build(banned)
+    val (exact, bloom) = graft.functions.ExactSetContains.buildBoth(banned)
     df.withColumn(markCol, exists(col(gramsCol), g =>
       graft.functions.BloomContains.bloomContains(g, bloom)
         && graft.functions.ExactSetContains.sortedSetContains(g, exact)))

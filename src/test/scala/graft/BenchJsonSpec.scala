@@ -48,6 +48,21 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(parsed.contains("calibration_sec") && parsed.contains("stream"))
   }
 
+  test("stream fragment: BEST of the measured passes is reported (min " +
+      "seconds), stream_passes carries the pass count, and the main runs " +
+      "the pinned multi-pass count") {
+    val j = Bench.streamJson(500000L, Seq(
+      (4.0, 125000.0), (3.2, 156250.0), (5.1, 98039.0)))
+    assert(j.contains("\"sec\":3.200"), j)
+    assert(j.contains("\"events_per_sec\":156250"), j)
+    assert(j.contains("\"stream_passes\":3"), j)
+    // the measured-pass count the main loops over — min-of-1 is exactly
+    // the round-8 defect (one polluted pass rode the artifact)
+    assert(Bench.streamPassCount >= 3,
+      "the stream number needs the same min-of-N defense as queries")
+    intercept[IllegalArgumentException] { Bench.streamJson(1L, Nil) }
+  }
+
   test("load guard: >1.3x calibration drift demands a re-run; stable and " +
       "IMPROVING calibrations do not") {
     assert(Bench.loadRerunNeeded(0.5, 0.7), "0.5 -> 0.7 is a loaded host")

@@ -34,8 +34,8 @@ class BloomContainsSpec extends SparkSuite {
   }
 
   test("interpreted eval agrees with codegen") {
-    val bloom = BloomContains.build(
-      spark.range(0, 100).select(col("id").as("k")))
+    val bloom = spark.sparkContext.broadcast(BloomContains.build(
+      spark.range(0, 100).select(col("id").as("k"))))
     val e = BloomContainsLong(
       org.apache.spark.sql.catalyst.expressions.Literal(42L), bloom)
     assert(e.eval(null) == true)
@@ -46,8 +46,8 @@ class BloomContainsSpec extends SparkSuite {
   }
 
   test("null key probes null, not false") {
-    val bloom = BloomContains.build(
-      spark.range(0, 10).select(col("id").as("k")))
+    val bloom = spark.sparkContext.broadcast(BloomContains.build(
+      spark.range(0, 10).select(col("id").as("k"))))
     val e = BloomContainsLong(
       org.apache.spark.sql.catalyst.expressions.Literal(
         null, org.apache.spark.sql.types.LongType), bloom)

@@ -50,6 +50,52 @@ class ExactSetSpec extends SparkSuite {
     assert(e.getMessage.contains("p08"), e.getMessage)
   }
 
+  test("the expression serializes WITHOUT the key array — only the " +
+      "broadcast handle rides the task binary (same for the bloom bytes)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def serializedSize(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close()
+      bos.size()
+    }
+    // 1M keys = 8 MB raw; the serialized expression must stay tiny
+    val keys = (1L to 1000000L).toArray
+    val kBc = spark.sparkContext.broadcast(keys)
+    val e = SortedLongSetContains(Literal(5L), kBc)
+    val n = serializedSize(e)
+    assert(n < 64 * 1024,
+      s"expression serialized to $n bytes — the key array is riding " +
+        "the task binary instead of the broadcast")
+    // bloom twin: 1 MB of filter bytes must not be embedded either
+    val bBc = spark.sparkContext.broadcast(Array.fill[Byte](1 << 20)(1))
+    val b = BloomContainsLong(Literal(5L), bBc)
+    val nb = serializedSize(b)
+    assert(nb < 64 * 1024, s"bloom expression serialized to $nb bytes")
+    // and the broadcast value still evaluates correctly end-to-end
+    val sess = spark
+    import sess.implicits._
+    val got = Seq(5L, -1L).toDF("p")
+      .select(ExactSetContains.sortedSetContains(col("p"), kBc).as("m"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false))
+    kBc.destroy(); bBc.destroy()
+  }
+
+  test("buildBoth returns both structures from the same collected keys: " +
+      "exact array matches build(), bloom has no false negatives") {
+    val sess = spark
+    import sess.implicits._
+    val keys = Seq(3L, 1L, 2L, 3L)
+    val (exactBc, bloomBc) = ExactSetContains.buildBoth(keys.toDF("k"))
+    assert(exactBc.value.toSeq == Seq(1L, 2L, 3L))
+    val marked = Seq(1L, 2L, 3L).toDF("p")
+      .select(BloomContains.bloomContains(col("p"), bloomBc).as("m"))
+      .collect().map(_.getBoolean(0))
+    assert(marked.forall(identity), "bloom must contain every built key")
+    exactBc.destroy(); bloomBc.destroy()
+  }
+
   test("composes inside exists() over a gram-hash array with " +
       "whole-stage codegen (the p21/streaming-decontaminate shape)") {
     val sess = spark

@@ -124,6 +124,29 @@ class HammingRewriteSpec extends SparkSuite {
     }
   }
 
+  test("in-place semi collapse preserves payload float bits (-0.0 stays " +
+      "-0.0) and accepts map-typed payload columns") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq(
+      (1L, 0x0FL, -0.0, Map("m" -> 1)),
+      (2L, 0xFF00FF00L, 2.5, Map("m" -> 2)))
+      .toDF("lid", "lcode", "score", "meta")
+    val banned = Seq((9L, 0x0EL)).toDF("bid", "bcode")
+    val semi = left.join(banned,
+      hamming64(col("lcode"), col("bcode")) <= 2, "left_semi")
+    val plan = semi.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"map payload must no longer stand down:\n$plan")
+    assert(plan.contains("graft_bidx"), plan)
+    val rows = semi.collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L, rows.mkString(","))
+    assert(java.lang.Double.doubleToRawLongBits(rows(0).getDouble(2))
+      == java.lang.Double.doubleToRawLongBits(-0.0),
+      "payload -0.0 must survive the collapse bit-exact")
+    assert(rows(0).getMap[String, Int](3).toMap == Map("m" -> 1))
+  }
+
   test("builtin bit_count(a ^ b) spelling — a pure-SQL query with no " +
       "graft import — fires the rewrite and matches ground truth for " +
       "inner, semi, and anti") {

@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.logging.log4j.{Level, LogManager}
+import org.apache.logging.log4j.core.LogEvent
+import org.apache.logging.log4j.core.appender.AbstractAppender
+import org.apache.spark.sql.functions._
+
+/** The opt-in preflight hook (`spark.graft.overlapJoinRewrite.preflight
+  * = warn`): on rewrite fire it runs the d31 hot-element audit over the
+  * join's children and logs estimate + worst element; with the conf
+  * unset it stays silent (no side job, no log line). */
+class OverlapPreflightSpec extends SparkSuite {
+
+  /** Collects the rewrite rule's log lines while `body` runs. */
+  private def capturing(body: => Unit): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val appender = new AbstractAppender(
+        s"graft-preflight-capture-${System.nanoTime()}",
+        null, null, false, null) {
+      override def append(e: LogEvent): Unit = buf.synchronized {
+        buf += e.getMessage.getFormattedMessage
+      }
+    }
+    appender.start()
+    val logger = LogManager.getLogger(classOf[SetOverlapJoinRewrite].getName)
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    val prior = logger.getLevel
+    logger.addAppender(appender)
+    logger.setLevel(Level.WARN)
+    try body finally {
+      logger.removeAppender(appender)
+      logger.setLevel(prior)
+      appender.stop()
+    }
+    buf.toSeq
+  }
+
+  private def hotJoinCount(): Long = {
+    val sess = spark
+    import sess.implicits._
+    // element 1L appears in EVERY row of both sides — a 100% hot element
+    val left = (1L to 30L).map(i => (i, Seq(1L, i + 100))).toDF("lid", "la")
+    val right = (1L to 30L).map(i => (i, Seq(1L, i + 900))).toDF("rid", "ra")
+    left.join(right, arrays_overlap(col("la"), col("ra"))).count()
+  }
+
+  test("preflight=warn logs the candidate estimate with the hot element " +
+      "named and the hot-element diagnosis") {
+    spark.conf.set(ScaleGuards.OverlapPreflightKey, "warn")
+    try {
+      val lines = capturing { assert(hotJoinCount() >= 900L) }
+      val pf = lines.filter(_.contains("overlap-join rewrite preflight:"))
+      assert(pf.nonEmpty, s"expected a preflight line, got: $lines")
+      val line = pf.head
+      assert(line.contains("worst_element=1"), line)
+      assert(line.contains("est_candidate_rows=900"), line)
+      assert(line.contains("hot-element"), line)
+    } finally spark.conf.unset(ScaleGuards.OverlapPreflightKey)
+  }
+
+  test("without the conf the hook stays silent") {
+    val lines = capturing { assert(hotJoinCount() >= 900L) }
+    assert(!lines.exists(_.contains("overlap-join rewrite preflight")),
+      s"preflight must not run unasked: $lines")
+  }
+}

@@ -232,6 +232,44 @@ class OverlapRewriteSpec extends SparkSuite {
       == Seq(1L, 1L))
   }
 
+  test("in-place semi collapse preserves payload float bits (-0.0 stays " +
+      "-0.0 — the srid-only group keeps payloads off the normalized " +
+      "grouping keys) and accepts map-typed payload columns") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq(
+      (1L, -0.0, Map("k" -> 1), Seq("a", "b")),
+      (2L, 1.5, Map("k" -> 2), Seq("zz")))
+      .toDF("lid", "score", "meta", "la")
+    val right = Seq((10L, Seq("b"))).toDF("rid", "ra")
+    // overlap spelling (inPlaceSemi)
+    val semi = left.join(right,
+      arrays_overlap(col("la"), col("ra")), "left_semi")
+    val plan = semi.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"map payload must no longer stand down:\n$plan")
+    assert(plan.contains("graft_"), plan)
+    val rows = semi.collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L, rows.mkString(","))
+    val bits = java.lang.Double.doubleToRawLongBits(rows(0).getDouble(1))
+    assert(bits == java.lang.Double.doubleToRawLongBits(-0.0),
+      s"payload -0.0 must survive the collapse bit-exact, got bits=$bits")
+    assert(rows(0).getMap[String, Int](2).toMap == Map("k" -> 1))
+    // membership spelling, array on the left (its own in-place collapse)
+    val banned = Seq(Tuple1("a")).toDF("tag")
+    val semiM = left.join(banned,
+      array_contains(col("la"), col("tag")), "left_semi")
+    val planM = semiM.queryExecution.executedPlan.toString
+    assert(planM.contains("graft_member_elem")
+      && !planM.contains("NestedLoop"), planM)
+    val rowsM = semiM.collect()
+    assert(rowsM.length == 1 && rowsM(0).getLong(0) == 1L)
+    assert(java.lang.Double.doubleToRawLongBits(rowsM(0).getDouble(1))
+      == java.lang.Double.doubleToRawLongBits(-0.0),
+      "membership collapse must also keep -0.0 bit-exact")
+    assert(rowsM(0).getMap[String, Int](2).toMap == Map("k" -> 1))
+  }
+
   test("strict-Jaccard spelling: size(intersect) > tau * size(union) " +
       "fires (both topologies), applies the exact double-arithmetic " +
       "boundary, preserves duplicate-row multiplicity; the >= spelling " +

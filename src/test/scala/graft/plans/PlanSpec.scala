@@ -344,6 +344,49 @@ class PlanSpec extends SparkSuite {
     assert(!PlanChecks.usesCartesianProduct(df))
   }
 
+  test("p21: the decontamination decision is map-side (no join at all) " +
+      "and the plan_fence keeps it ABOVE the spreading repartition — " +
+      "pushed below, the whole per-doc gram recompute serializes onto " +
+      "the single pre-shuffle scan task (measured 10x)") {
+    val df = run("p21_exact_set_decontaminate")
+    val nodes = PlanChecks.physical(df)
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Join")),
+      "p21 must not join — the decision is one map-side predicate")
+    val fenced = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("plan_fence") => f
+    }
+    assert(fenced.nonEmpty, "the fenced decontamination filter is gone")
+    // structural check: the fenced filter's subtree must contain the
+    // spreading exchange — or a cached relation (built post-repartition,
+    // so an InMemoryTableScan preserves the spread; another spec's p08
+    // cache canonically matches p21's base and legitimately serves it).
+    // What must NEVER appear directly under the fence is the bare
+    // single-split file scan.
+    def subtreeHasSpread(p: org.apache.spark.sql.execution.SparkPlan)
+        : Boolean = {
+      def walk(x: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        x match {
+          // a shuffle stage (fresh or REUSED from an earlier query over
+          // the same subtree) IS the repartition exchange
+          case _: org.apache.spark.sql.execution.adaptive
+              .ShuffleQueryStageExec => true
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case e if e.isInstanceOf[
+              org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] =>
+            true
+          case e if e.getClass.getSimpleName
+              .startsWith("InMemoryTableScan") => true
+          case e => e.children.exists(walk)
+        }
+      p.children.exists(walk)
+    }
+    assert(fenced.forall(subtreeHasSpread),
+      "the fenced filter was pushed below the repartition exchange:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
   test("d16: containment candidates reuse the join-free group-and-expand — " +
       "no join touches the exploded shingle rows, no cartesian") {
     val df = run("d16_containment_neardup")
@@ -581,6 +624,36 @@ class PlanSpec extends SparkSuite {
     assert(p36.contains("graft_prid"),
       s"wide payload must take the two-phase pair-list:\n$p36")
     assert(p36.contains("graft_bidx"), s"posexplode blocks expected:\n$p36")
+  }
+
+  test("two-phase back-joins finalize as BROADCAST hash joins — never a " +
+      "sort-merge that shuffles the payload side with the tiny pair/rowid " +
+      "set (the 100 TB property the pair-list topology leans on; AQE " +
+      "must convert once the aggregate's true size is known)") {
+    // d36: two payload back-joins onto the pair-list; d34: two verify
+    // back-joins plus the final rowid back-anti; d29: the rowid back-semi
+    val wanted = Seq(
+      ("d36_hamming_wide_payload", 2),
+      ("d34_anti_threshold_scrub", 3),
+      ("d29_semi_overlap_decontam", 1))
+    for ((name, minBroadcasts) <- wanted) {
+      val df = run(name)
+      val smj = PlanChecks.countSortMergeJoins(df)
+      assert(smj == 0,
+        s"$name: $smj sort-merge join(s) survived AQE — a back-join is " +
+          s"shuffling both sides:\n${df.queryExecution.executedPlan}")
+      val bhj = PlanChecks.broadcastHashJoinTypes(df)
+      assert(bhj.size >= minBroadcasts,
+        s"$name: expected >= $minBroadcasts broadcast back-joins, " +
+          s"saw $bhj:\n${df.queryExecution.executedPlan}")
+    }
+    // the anti/semi back-join specifically must be the broadcast one
+    assert(PlanChecks.broadcastHashJoinTypes(
+        run("d34_anti_threshold_scrub")).contains("LeftAnti"),
+      "d34's final rowid back-anti must plan as a broadcast")
+    assert(PlanChecks.broadcastHashJoinTypes(
+        run("d29_semi_overlap_decontam")).contains("LeftSemi"),
+      "d29's rowid back-semi must plan as a broadcast")
   }
 
   test("no registered query plans an unpartitioned window (the whole-table-" +

@@ -22,7 +22,9 @@ class RewriteEquivalenceSpec extends SparkSuite {
     "d33_jaccard_theta_rewrite",
     "d34_anti_threshold_scrub",
     "d35_anti_membership_quarantine",
-    "d36_hamming_wide_payload")
+    "d36_hamming_wide_payload",
+    "d37_bitcount_spelling_rewrite",
+    "d38_exists_hof_decontam")
 
   test("every rewrite-gated query returns an identical row multiset " +
       "with both rules disabled (the naive plan is ground truth)") {

@@ -9,18 +9,16 @@ import org.apache.spark.sql.functions._
   * (bounded memory — the property batch dropDuplicates lacks on streams). */
 class DedupStreamSpec extends SparkSuite {
 
-  private case class Rec(k: String, ts: java.sql.Timestamp, v: String)
-
   test("duplicate keys within the horizon collapse to the first arrival") {
     val sess = spark
     import sess.implicits._
     implicit val ctx = sess.sqlContext
-    val in = MemoryStream[Rec]
+    val in = MemoryStream[DedupRec]
     in.addData(
-      Rec("a", ts("2024-01-01 00:00:00"), "first"),
-      Rec("a", ts("2024-01-01 00:03:00"), "dup-within-horizon"),
-      Rec("b", ts("2024-01-01 00:04:00"), "other-key"),
-      Rec("a", ts("2024-01-01 00:05:00"), "another-dup"))
+      DedupRec("a", ts("2024-01-01 00:00:00"), "first"),
+      DedupRec("a", ts("2024-01-01 00:03:00"), "dup-within-horizon"),
+      DedupRec("b", ts("2024-01-01 00:04:00"), "other-key"),
+      DedupRec("a", ts("2024-01-01 00:05:00"), "another-dup"))
     val out = Pipeline.dedupWithinWatermark(Seq("k"), tsCol = "ts",
       horizon = "10 minutes")(in.toDF())
     val name = s"dedup_${System.nanoTime()}"
@@ -35,14 +33,12 @@ class DedupStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  private case class Doc(doc_id: Long, text: String)
-
   test("streaming near-dup: a later document colliding with a held LSH " +
       "bucket is flagged against the first arrival; distinct docs are not") {
     val sess = spark
     import sess.implicits._
     implicit val ctx = sess.sqlContext
-    val in = MemoryStream[Doc]
+    val in = MemoryStream[DedupDoc]
     val out = Pipeline.streamingNearDup("doc_id", "text")(in.toDF())
     val name = s"neardup_${System.nanoTime()}"
     val q = out.writeStream.format("memory").queryName(name)
@@ -60,14 +56,14 @@ class DedupStreamSpec extends SparkSuite {
       }
       // batch 1: the canonical doc + an unrelated doc
       in.addData(
-        Doc(1L, "the quick brown fox jumps over the lazy dog tonight"),
-        Doc(9L, "completely different words about spark shuffles and joins"))
+        DedupDoc(1L, "the quick brown fox jumps over the lazy dog tonight"),
+        DedupDoc(9L, "completely different words about spark shuffles and joins"))
       awaitBatches(1)
       assert(flagged().isEmpty, "no dups yet")
       // batch 2: an identical copy (all 4 bands collide) + another new doc
       in.addData(
-        Doc(2L, "the quick brown fox jumps over the lazy dog tonight"),
-        Doc(7L, "yet another unrelated document with its own vocabulary"))
+        DedupDoc(2L, "the quick brown fox jumps over the lazy dog tonight"),
+        DedupDoc(7L, "yet another unrelated document with its own vocabulary"))
       val deadline = System.currentTimeMillis + 30000
       while (flagged().isEmpty && System.currentTimeMillis < deadline)
         Thread.sleep(200)
@@ -75,3 +71,13 @@ class DedupStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 }
+
+/** Top-level so Spark derives a clean product encoder: a spec-nested case
+  * class closes over the suite instance, which breaks expression codegen
+  * ("Expr codegen error" -> interpreted fallback) and would certify the
+  * interpreted state path instead of the codegen'd one (same hoist as
+  * PlateauEv in StreamStateBoundsSpec). */
+case class DedupRec(k: String, ts: java.sql.Timestamp, v: String)
+
+/** Top-level for codegen'd encoders — see [[DedupRec]]. */
+case class DedupDoc(doc_id: Long, text: String)

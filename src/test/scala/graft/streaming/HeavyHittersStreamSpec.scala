@@ -11,14 +11,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * distinct-key universe is far larger than `maxMapSize`. */
 class HeavyHittersStreamSpec extends SparkSuite {
 
-  private case class Ev(group: String, key: String)
-
   test("a key heavy only ACROSS batches survives eviction pressure from " +
       "thousands of distinct light keys, with sketch-bounded state") {
     val sess = spark
     import sess.implicits._
     implicit val ctx = sess.sqlContext
-    val in = MemoryStream[Ev]
+    val in = MemoryStream[HhEv]
     val out = Pipeline.streamingHeavyHitters("key", "group",
       maxMapSize = 64)(in.toDF())
     val name = s"hh_${System.nanoTime()}"
@@ -31,8 +29,8 @@ class HeavyHittersStreamSpec extends SparkSuite {
       // for a 64-entry Misra-Gries over N=3600 is well under 600, so the
       // guarantee requires hot to be present in the final map.
       for (b <- 0 until 3) {
-        in.addData((0 until 200).map(_ => Ev("g", "hot")) ++
-          (0 until 1000).map(i => Ev("g", s"light-$b-$i")): _*)
+        in.addData((0 until 200).map(_ => HhEv("g", "hot")) ++
+          (0 until 1000).map(i => HhEv("g", s"light-$b-$i")): _*)
         q.processAllAvailable()
       }
       val rows = spark.table(name).filter($"group" === "g")
@@ -62,14 +60,14 @@ class HeavyHittersStreamSpec extends SparkSuite {
     implicit val ctx = sess.sqlContext
     val reg = new MetricsRegistry
     sess.streams.addListener(reg.listener)
-    val in = MemoryStream[Ev]
+    val in = MemoryStream[HhEv]
     val name = s"hhm_${System.nanoTime()}"
     val q = Pipeline.streamingHeavyHitters("key", "group", maxMapSize = 8)(
       in.toDF())
       .writeStream.format("memory").queryName(name)
       .outputMode("update").start()
     try {
-      in.addData(Ev("g", "a"), Ev("g", "b"), Ev("h", "a"))
+      in.addData(HhEv("g", "a"), HhEv("g", "b"), HhEv("h", "a"))
       q.processAllAvailable()
       // progress events are delivered asynchronously — poll the registry
       val deadline = System.currentTimeMillis + 30000
@@ -89,3 +87,8 @@ class HeavyHittersStreamSpec extends SparkSuite {
     }
   }
 }
+
+/** Top-level for codegen'd encoders — a spec-nested case class closes over
+  * the suite instance and breaks expression codegen (same hoist as
+  * PlateauEv in StreamStateBoundsSpec). */
+case class HhEv(group: String, key: String)
