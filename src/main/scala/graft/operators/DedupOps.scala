@@ -2091,7 +2091,7 @@ object DedupOps {
       |  GROUP BY 1),
       |fr AS (SELECT s AS e, CAST(count(*) AS BIGINT) AS f
       |  FROM (SELECT unnest(shingles) AS s FROM shl) GROUP BY 1),
-      |c AS (SELECT fl.e, fl.f * fr.f AS contrib
+      |c AS (SELECT fl.e, CAST(fl.f AS HUGEINT) * fr.f AS contrib
       |  FROM fl JOIN fr ON fl.e = fr.e)
       |SELECT CAST(count(*) AS BIGINT) AS n_common_elements,
       |  CAST(sum(contrib) AS BIGINT) AS est_candidate_rows,

@@ -82,26 +82,32 @@ object SkewTools {
     def freqs(df: DataFrame, arr: Column, name: String) =
       df.select(explode(prefix(arr)).as("e"))
         .groupBy(col("e")).agg(count(lit(1)).as(name))
+    // decimal(38) from the FIRST multiply: contrib = fL·fR alone can
+    // pass Long.Max at the 100 TB scale this tool prices (fL = fR = 4e9
+    // → 1.6e19), where Long arithmetic would throw under ANSI or wrap
+    // negative and silently read 'ok' under legacy — exactly when the
+    // diagnosis matters. Every step (contrib, sum, max, the ×10000)
+    // stays exact in decimal to 1e38; the BIGINT report columns degrade
+    // to NULL via try_cast past 9.2e18 (the diagnosis string survives).
     freqs(left, leftArr, "fl").join(freqs(right, rightArr, "fr"), "e")
-      .select(col("e"), (col("fl") * col("fr")).as("contrib"))
+      .select(col("e"),
+        (col("fl").cast("decimal(38,0)") * col("fr")).as("contrib"))
       .agg(
         count(lit(1)).as("n_common_elements"),
-        sum(col("contrib")).as("est_candidate_rows"),
-        max(col("contrib")).as("max_element_rows"),
+        sum(col("contrib")).as("est_dec"),
+        max(col("contrib")).as("max_dec"),
         max_by(col("e"), struct(col("contrib"), col("e")))
           .as("worst_element"))
-      // decimal(38) for the ×10000: contrib = fL·fR can reach ~1e18 at
-      // the 100 TB scale this tool prices, so Long×10000 would wrap
-      // negative and the diagnosis would silently read 'ok' exactly when
-      // it matters; decimal keeps the share exact (IntegralDivide on
-      // decimal returns BIGINT)
-      .withColumn("max_share_bp",
-        expr("cast(max_element_rows as decimal(38,0)) * 10000" +
-          " div est_candidate_rows"))
+      // IntegralDivide on decimals returns BIGINT; the share is ≤ 10000
+      .withColumn("max_share_bp", expr("max_dec * 10000 div est_dec"))
       .withColumn("diagnosis",
         when(col("max_share_bp") >= warnShareBp,
           lit("hot-element: cap its frequency upstream (d02's " +
             "maxShingleFreq) or salt it before the overlap join"))
           .otherwise(lit("ok")))
+      .select(col("n_common_elements"),
+        expr("try_cast(est_dec as bigint)").as("est_candidate_rows"),
+        expr("try_cast(max_dec as bigint)").as("max_element_rows"),
+        col("worst_element"), col("max_share_bp"), col("diagnosis"))
   }
 }

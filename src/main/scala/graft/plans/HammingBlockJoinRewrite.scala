@@ -350,27 +350,25 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def inPlaceSemi(j: Join, cs: Seq[Expression],
       a: Expression, b: Expression, k: Int): Option[LogicalPlan] = {
     val Join(l, r, _, _, hint) = (j: @unchecked)
-    locally {
-      val (n, widths, offsets) = layout(k)
-      def blocksArr(x: Expression) = CreateArray(
-        (0 until n).map(i => blockOf(x, offsets(i), widths(i))))
-      val srid = Alias(MonotonicallyIncreasingID(), "graft_srid")()
-      val tagged = Project(l.output :+ srid, l)
-      val posL = AttributeReference("graft_bidx_l", IntegerType,
-        nullable = false)()
-      val valL = AttributeReference("graft_bval_l", LongType)()
-      val posR = AttributeReference("graft_bidx_r", IntegerType,
-        nullable = false)()
-      val valR = AttributeReference("graft_bval_r", LongType)()
-      val genL = Generate(PosExplode(blocksArr(a)), Nil,
-        outer = false, None, Seq(posL, valL), tagged)
-      val genR = Generate(PosExplode(blocksArr(b)), Nil,
-        outer = false, None, Seq(posR, valR), r)
-      val semi = Join(genL, genR, LeftSemi,
-        Some((Seq(EqualTo(posL, posR), EqualTo(valL, valR)) ++ cs).reduce(And)),
-        selfJoinHint(l, r, hint))
-      val collapsed = collapseBySrid(srid.toAttribute, l.output, semi)
-      Some(Project(j.output, collapsed))
-    }
+    val (n, widths, offsets) = layout(k)
+    def blocksArr(x: Expression) = CreateArray(
+      (0 until n).map(i => blockOf(x, offsets(i), widths(i))))
+    val srid = Alias(MonotonicallyIncreasingID(), "graft_srid")()
+    val tagged = Project(l.output :+ srid, l)
+    val posL = AttributeReference("graft_bidx_l", IntegerType,
+      nullable = false)()
+    val valL = AttributeReference("graft_bval_l", LongType)()
+    val posR = AttributeReference("graft_bidx_r", IntegerType,
+      nullable = false)()
+    val valR = AttributeReference("graft_bval_r", LongType)()
+    val genL = Generate(PosExplode(blocksArr(a)), Nil,
+      outer = false, None, Seq(posL, valL), tagged)
+    val genR = Generate(PosExplode(blocksArr(b)), Nil,
+      outer = false, None, Seq(posR, valR), r)
+    val semi = Join(genL, genR, LeftSemi,
+      Some((Seq(EqualTo(posL, posR), EqualTo(valL, valR)) ++ cs).reduce(And)),
+      selfJoinHint(l, r, hint))
+    val collapsed = collapseBySrid(srid.toAttribute, l.output, semi)
+    Some(Project(j.output, collapsed))
   }
 }

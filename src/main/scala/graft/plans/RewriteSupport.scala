@@ -84,14 +84,26 @@ private[plans] object RewriteSupport {
     * same way — the two-phase topologies assume a quiescent table, which
     * is the normal batch-query premise (a concurrently-compacted table
     * is unsafe for ANY multi-scan Spark query, not just these). */
+  /** Determinism check that sees through [[graft.functions.PlanFence]]:
+    * the fence is a pure identity whose non-deterministic flag exists
+    * only to stop RELOCATION rules — it selects and orders rows exactly
+    * like its child, so treating a fenced filter as order-racy would
+    * wrongly stand the two-phase rewrites down on any fenced plan (a
+    * user following the fence guidance would silently lose the anti
+    * rewrite, which has no fallback). */
+  private def orderDeterministic(e: Expression): Boolean =
+    e.transform {
+      case graft.functions.PlanFence(child) => child
+    }.deterministic
+
   def orderStable(p: LogicalPlan): Boolean = p match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.bucketSpec.isEmpty
       case _ => false
     }
     case _: LocalRelation | _: Range | _: OneRowRelation => true
-    case Project(es, c) => es.forall(_.deterministic) && orderStable(c)
-    case Filter(cond, c) => cond.deterministic && orderStable(c)
+    case Project(es, c) => es.forall(orderDeterministic) && orderStable(c)
+    case Filter(cond, c) => orderDeterministic(cond) && orderStable(c)
     case g: Generate => g.generator.deterministic && orderStable(g.child)
     case s: SubqueryAlias => orderStable(s.child)
     case _ => false
@@ -122,11 +134,11 @@ private[plans] object RewriteSupport {
       val rid = Alias(MonotonicallyIncreasingID(), name)()
       Some((Project(p.output :+ rid, p), rid.toAttribute))
     } else p match {
-      case Project(list, c) if list.forall(_.deterministic) =>
+      case Project(list, c) if list.forall(orderDeterministic) =>
         withStableRowId(c, name).map { case (c2, rid) =>
           (Project(list :+ rid, c2), rid)
         }
-      case f @ Filter(cond, _) if cond.deterministic =>
+      case f @ Filter(cond, _) if orderDeterministic(cond) =>
         withStableRowId(f.child, name).map { case (c2, rid) =>
           (f.withNewChildren(Seq(c2)), rid)
         }

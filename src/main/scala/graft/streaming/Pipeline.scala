@@ -296,7 +296,11 @@ object Pipeline {
     * written without the column) restores cleanly; only frames that opt
     * into event_id use the three-field state. Adding an event_id column
     * to an EXISTING checkpointed stream is a state-schema migration —
-    * start a fresh checkpoint. */
+    * start a fresh checkpoint. One interim revision briefly ran ALL
+    * frames (event_id or not) through the three-field state; a
+    * no-event_id checkpoint written by THAT revision also needs a fresh
+    * checkpoint (or a literal `0L` event_id column to keep selecting
+    * the three-field branch, which reproduces its tie rule exactly). */
   def streamingAsOf(stateTtl: String = "30 minutes")(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val sess = df.sparkSession

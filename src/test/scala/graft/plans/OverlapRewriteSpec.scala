@@ -232,6 +232,29 @@ class OverlapRewriteSpec extends SparkSuite {
       == Seq(1L, 1L))
   }
 
+  test("a plan_fence'd filter under the join does NOT stand the two-phase " +
+      "rewrites down: the fence is a pure identity, so the rowid stays " +
+      "order-stable (anti has no fallback — a stand-down here would run " +
+      "the naive nested-loop at scale)") {
+    val sess = spark
+    import sess.implicits._
+    import graft.functions.PlanFence.fence
+    val left = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq("x")))
+      .toDF("lid", "la")
+      .filter(fence(size(col("la")) >= 1))
+    val right = Seq((10L, Seq("a")), (11L, Seq("c"))).toDF("rid", "ra")
+    val anti = left.join(right,
+      arrays_overlap(col("la"), col("ra")), "left_anti")
+    val plan = anti.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"anti rewrite must fire through the fence:\n$plan")
+    assert(plan.contains("graft_rid"),
+      s"two-phase stable-rowid shape expected:\n$plan")
+    assert(anti.select("lid").collect().map(_.getLong(0)).toSeq.sorted
+      == Seq(3L))
+  }
+
   test("in-place semi collapse preserves payload float bits (-0.0 stays " +
       "-0.0 — the srid-only group keeps payloads off the normalized " +
       "grouping keys) and accepts map-typed payload columns") {

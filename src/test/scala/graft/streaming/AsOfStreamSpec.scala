@@ -138,9 +138,14 @@ class AsOfStreamSpec extends SparkSuite {
       .createTempDirectory("asof_in_").toString
     val schema = "key LONG, ts TIMESTAMP, side STRING, value DOUBLE"
     def feed(name: String, lines: String*): Unit = {
-      val p = java.nio.file.Paths.get(inDir, name)
-      java.nio.file.Files.write(p, lines.mkString("\n")
+      // write outside the watched dir, then ATOMIC_MOVE in: a direct
+      // write races the source's directory listing (a half-written file
+      // parses as a corrupt record and the row silently drops)
+      val tmp = java.nio.file.Files.createTempFile("asof_feed_", ".json")
+      java.nio.file.Files.write(tmp, lines.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(inDir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     val got = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
     def start() = Pipeline.streamingAsOf()(
