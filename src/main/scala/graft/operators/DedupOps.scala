@@ -2400,6 +2400,45 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** `>=`-Jaccard gate (round 9): the LAST Jaccard spelling that stood
+    * down — `size(∩) >= τ·size(∪)` admits witness-less EMPTY-EMPTY
+    * pairs (0 >= τ·0 for every τ), so the rewrite is (witnessed
+    * two-phase) UNION (broadcast cross of the two empty-array
+    * subsets). The relation: each doc's distinct rare tokens (length
+    * ≥ 8 — ~20% of docs have NONE, so both branches are populated),
+    * sliced to doc_id < 200 to bound the required empty×empty output.
+    * DuckDB evaluates the naive quadratic join literally; the hash
+    * match certifies witnessed completeness, the per-row ceil prefix
+    * bound, AND the empty-branch union in one gate. */
+  private def d39(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir).documentsSpread
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), expr(
+        "array_distinct(filter(split(text, ' '), t -> length(t) >= 8))")
+        .as("grams"))
+    val a = g.select(col("doc_id").as("a_id"), col("grams").as("a_g"))
+    val b = g.select(col("doc_id").as("b_id"), col("grams").as("b_g"))
+    val inter = size(array_intersect(col("a_g"), col("b_g")))
+    a.join(b, col("a_id") < col("b_id")
+        && inter >= lit(0.5) * size(array_union(col("a_g"), col("b_g"))))
+      .select(col("a_id"), col("b_id"), inter.cast("long").as("n_inter"),
+        size(array_union(col("a_g"), col("b_g"))).cast("long").as("n_union"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val d39Sql =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '),
+      |    t -> len(t) >= 8)) AS grams
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
+      |  CAST(len(list_distinct(a.grams || b.grams)) AS BIGINT) AS n_union
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.grams, b.grams))
+      |      >= 0.5 * len(list_distinct(a.grams || b.grams))
+      |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -2458,6 +2497,8 @@ object DedupOps {
     // the predicate spelling changed — they reuse the twins' oracles
     "d37_bitcount_spelling_rewrite" -> QueryDef(d37, Some(d25Sql)),
     "d38_exists_hof_decontam" -> QueryDef(d38, Some(d29Sql)),
+    // round-9: the >=-Jaccard spelling (witnessed ∪ empty-empty union)
+    "d39_jaccard_orequal_rewrite" -> QueryDef(d39, Some(d39Sql)),
   )
 
 

@@ -77,12 +77,21 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
   *    a literal τ ≥ 0 — the naive STRICT-Jaccard near-dup spelling
   *    (operand order, comparison direction, and the analyzer's casts
   *    all normalized). Strict `>` excludes the empty-empty pair (0 > 0
-  *    fails), so a qualifying pair always has a non-null witness; the
-  *    `>=` spelling would admit witness-less empty-empty pairs and
-  *    therefore stands down. Prefix bound per row:
+  *    fails), so a qualifying pair always has a non-null witness.
+  *    Prefix bound per row:
   *    |∩| > τ·|∪| ≥ τ·|A| ⇒ |∩| ≥ floor(τ·|A|) + 1, evaluated in the
   *    predicate's own double arithmetic (multiplication is monotone in
   *    |∪| ≥ |A|, so the bound is exact, not approximate).
+  *  - the `>=` spelling with a literal τ > 0 (inner/cross only): its
+  *    qualifying pairs split EXACTLY into witnessed pairs (|∩| ≥ 1 —
+  *    per-row bound c_row = max(ceil(τ·|A|), 1), same double-monotone
+  *    argument) and the witness-less empty-empty pairs (0 >= τ·0 is
+  *    TRUE for every τ). The rewrite is the witnessed two-phase UNION
+  *    a broadcast-hinted cross of the two (tiny, size-0-filtered)
+  *    empty-array subsets — see [[withEmptyEmptyBranch]]. τ = 0 with
+  *    `>=` is TRUE for every pair (a genuine full cross) and stands
+  *    down, as do its semi/anti forms (the collapse would need a
+  *    rowid-set union/except).
   *  - `array_contains(a, x)` with `a` and `x` on opposite sides (the
   *    tag-lookup membership join) — only the array side explodes and
   *    no dedup pin is needed (see [[rewriteMembership]]).
@@ -147,16 +156,19 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => e
   }
 
-  /** `size(array_intersect(a, b)) > τ · size(array_union(a', b'))` —
-    * the naive STRICT-Jaccard near-dup spelling (modulo the analyzer's
+  /** `size(array_intersect(a, b)) {>|>=} τ · size(array_union(a', b'))`
+    * — the naive Jaccard near-dup spellings (modulo the analyzer's
     * numeric casts, multiplication operand order, and comparison
     * direction), with {a, b} ≡ {a', b'}. Strict `>` with τ ≥ 0 implies
-    * a non-null shared element exists — 0 > 0 fails, so the empty-empty
-    * pair (which `>=` WOULD admit with no witness, breaking candidate
-    * completeness; that spelling therefore stands down) never
-    * qualifies. Returns (a, b, τ). */
+    * a non-null shared element exists — 0 > 0 fails, so every
+    * qualifying pair has a witness. The `>=` spelling ALSO admits the
+    * witness-less empty-empty pairs (0 >= τ·0 holds for every τ), so
+    * its rewrite is the witnessed two-phase UNION a guarded cross of
+    * the two empty-array subsets; it requires τ > 0 (τ = 0 with `>=`
+    * is TRUE for every pair — a genuine full cross, nothing to
+    * rewrite, stands down). Returns (a, b, τ, orEqual). */
   private def jaccardConj(c: Expression)
-      : Option[(Expression, Expression, Double)] = {
+      : Option[(Expression, Expression, Double, Boolean)] = {
     def interSides(e: Expression): Option[(Expression, Expression)] =
       uncast(e) match {
         case Size(ArrayIntersect(a, b), _) => Some((a, b))
@@ -179,16 +191,23 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     val parts = c match {
-      case GreaterThan(x, y) => interSides(x).zip(tauUnion(y))
-      case LessThan(y, x) => interSides(x).zip(tauUnion(y))
+      case GreaterThan(x, y) =>
+        interSides(x).zip(tauUnion(y)).map((_, false))
+      case LessThan(y, x) =>
+        interSides(x).zip(tauUnion(y)).map((_, false))
+      case GreaterThanOrEqual(x, y) =>
+        interSides(x).zip(tauUnion(y)).map((_, true))
+      case LessThanOrEqual(y, x) =>
+        interSides(x).zip(tauUnion(y)).map((_, true))
       case _ => None
     }
     parts.collect {
-      case ((a, b), (tau, u, v))
-          if tau >= 0.0 && nullFree(a) && nullFree(b)
+      case (((a, b), (tau, u, v)), orEqual)
+          if (if (orEqual) tau > 0.0 else tau >= 0.0)
+            && nullFree(a) && nullFree(b)
             && ((a.semanticEquals(u) && b.semanticEquals(v))
               || (a.semanticEquals(v) && b.semanticEquals(u))) =>
-        (a, b, tau)
+        (a, b, tau, orEqual)
     }
   }
 
@@ -235,8 +254,8 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Some(OverlapPred(c, a, b, implied = false, k + 1, None))
         case _ => None
       }
-      base.orElse(jaccardConj(c).map { case (a, b, tau) =>
-        OverlapPred(c, a, b, implied = false, 1, Some(tau))
+      base.orElse(jaccardConj(c).map { case (a, b, tau, orEqual) =>
+        OverlapPred(c, a, b, implied = false, 1, Some(tau), orEqual)
       })
     }
 
@@ -250,6 +269,15 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def candidateElems(arr: Expression, p: OverlapPred,
       hashed: Boolean): Expression = {
     val len: Option[Expression => Expression] = p.jaccardTau match {
+      // `>=`: a WITNESSED qualifying pair has |∩| ≥ τ·|∪| ≥ τ·|A| in the
+      // predicate's own double arithmetic, and |∩| is an integer, so
+      // |∩| ≥ ceil(τ·|A|); witnessed also means |∩| ≥ 1 — c_row =
+      // max(ceil(τ·size), 1), prefix length size − c_row + 1
+      case Some(tau) if p.jaccardOrEqual => Some(s => Add(
+        Subtract(s, Cast(Greatest(Seq(
+          Ceil(Multiply(Literal(tau), Cast(s, DoubleType))),
+          Literal(1L))), IntegerType)),
+        Literal(1)))
       case Some(tau) => Some(s => Subtract(s,
         Cast(Floor(Multiply(Literal(tau), Cast(s, DoubleType))),
           IntegerType)))
@@ -359,8 +387,8 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-  /** `arrays_overlap(a, b)` / intersect-size threshold / strict
-    * Jaccard, inner/cross. */
+  /** `arrays_overlap(a, b)` / intersect-size threshold / Jaccard
+    * (strict and `>=`), inner/cross. */
   private def rewriteOverlap(j: Join, cs: Seq[Expression])
       : Option[LogicalPlan] = {
     val Join(l, r, _, _, _) = (j: @unchecked)
@@ -371,8 +399,40 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             && bigEnoughForTwoPhase(l, r))
           twoPhaseInner(j, cs, p)
         else None
-      twoPhase.getOrElse(inPlaceInner(j, cs, p))
+      val witnessed = twoPhase.getOrElse(inPlaceInner(j, cs, p))
+      if (p.jaccardOrEqual) withEmptyEmptyBranch(j, cs, p, witnessed)
+      else witnessed
     }
+  }
+
+  /** The `>=` Jaccard spelling's second branch: 0 >= τ·0 holds for
+    * every τ, so EVERY empty-array × empty-array pair qualifies with
+    * no shared-element witness — the reason this spelling used to
+    * stand down entirely (the witnessed topology cannot find them).
+    * The full result is therefore (witnessed two-phase) UNION (cross
+    * of the two empty-array subsets). The cross is semantically
+    * REQUIRED output — |E_l|·|E_r| rows exist in the naive answer —
+    * and E is tiny in any real corpus (documents with an empty
+    * element set); the BROADCAST hint keeps it a
+    * BroadcastNestedLoopJoin rather than a CartesianProductExec. The
+    * Jaccard conjunct itself is implied TRUE by the two size-0 filters
+    * and is DROPPED from the cross's condition (also what keeps this
+    * rule a fixed point — without an overlap-family conjunct the new
+    * join never re-fires it); every other conjunct re-applies. */
+  private def withEmptyEmptyBranch(j: Join, cs: Seq[Expression],
+      p: OverlapPred, witnessed: LogicalPlan): LogicalPlan = {
+    val Join(l, r, _, _, _) = (j: @unchecked)
+    def empties(side: LogicalPlan, arr: Expression) =
+      Filter(EqualTo(Size(arr, legacySizeOfNull = false), Literal(0)), side)
+    val rest = cs.filterNot(_ eq p.conj)
+    val cross = Join(empties(l, p.a), empties(r, p.b), Inner,
+      rest.reduceOption(And),
+      JoinHint(Some(HintInfo(Some(BROADCAST))), None))
+    // fresh exprIds on the second branch so the union's children stay
+    // distinguishable to downstream rules
+    val fresh = Project(
+      j.output.map(at => Alias(at, at.name)()), cross)
+    Union(Seq(witnessed, fresh))
   }
 
   /** IN-PLACE topology: explode both sides (prefix-sliced when the
@@ -571,7 +631,14 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteSemiOverlap(j: Join, cs: Seq[Expression])
       : Option[LogicalPlan] = {
     val Join(l, r, jt, _, _) = (j: @unchecked)
-    orientedOverlap(cs, l, r).flatMap { p =>
+    // the `>=` Jaccard spelling admits witness-less empty-empty
+    // partners: a semi/anti built from witnessed matches alone would
+    // drop (semi) or wrongly keep (anti) every empty left row when the
+    // right side contains any empty array. The inner path unions the
+    // empty-cross branch in; the semi/anti collapse would need a
+    // rowid-set union/except — not built, so this spelling stands down
+    // here (the naive plan stays, which is correct).
+    orientedOverlap(cs, l, r).filterNot(_.jaccardOrEqual).flatMap { p =>
       val rest = cs.filterNot(_ eq p.conj)
       val restCheap = rest.forall(c =>
         c.deterministic && c.references.forall(at => scalarType(at.dataType)))
@@ -820,8 +887,12 @@ private[plans] object SetOverlapJoinRewrite {
     * lower bound c on |set(a) ∩ set(b)| for qualifying pairs — the
     * SSJoin prefix filter explodes only (size − c + 1) elements per row
     * when c ≥ 2. `jaccardTau` carries the strict-Jaccard threshold,
-    * whose per-row bound is dynamic (c_row = floor(τ·size) + 1). */
+    * whose per-row bound is dynamic (c_row = floor(τ·size) + 1 for the
+    * strict spelling, max(ceil(τ·size), 1) when `jaccardOrEqual` — the
+    * `>=` spelling, whose WITNESSED pairs this bound covers while the
+    * empty-empty pairs it also admits come from a separate union
+    * branch, see [[rewriteOverlap]]). */
   private[plans] final case class OverlapPred(conj: Expression,
       a: Expression, b: Expression, implied: Boolean, minOverlap: Int,
-      jaccardTau: Option[Double])
+      jaccardTau: Option[Double], jaccardOrEqual: Boolean = false)
 }

@@ -169,6 +169,44 @@ class OverlapRewritePropSpec extends SparkSuite {
     }
   }
 
+  test(">= Jaccard spelling with random tau > 0 (witnessed union " +
+      "empty-cross): 12 seeded rounds, both topologies, match the naive " +
+      "double-arithmetic evaluation exactly — empty arrays are FREQUENT " +
+      "in these pools, so the union branch carries real weight") {
+    val sess = spark
+    import sess.implicits._
+    for (forced <- Seq(false, true); seed <- 60 to 65) {
+      if (forced) spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+      try {
+        val rnd = new scala.util.Random(seed)
+        // nextInt(5): ~20% empty arrays — both branches exercised
+        def arr() = Seq.fill(rnd.nextInt(5))(rnd.nextInt(10).toLong)
+        val tau = (1 + rnd.nextInt(7)) / 10.0 // 0.1 .. 0.7, never 0
+        val l = Seq.fill(22)((rnd.nextInt(8).toLong, arr()))
+        val r = Seq.fill(16)((rnd.nextInt(8).toLong, arr()))
+        val joined = l.toDF("lid", "la")
+          .join(r.toDF("rid", "ra"),
+            size(array_intersect(col("la"), col("ra")))
+              >= lit(tau) * size(array_union(col("la"), col("ra"))))
+          .select("lid", "rid")
+        assert(joined.queryExecution.executedPlan.toString
+          .contains("graft_elem"), s"must fire (forced=$forced seed=$seed)")
+        val got = joined.collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+        val want = (for {
+          (li, la) <- l; (ri, ra) <- r
+          i = la.distinct.count(ra.distinct.contains)
+          u = (la ++ ra).distinct.size
+          if i.toDouble >= tau * u.toDouble
+        } yield (li, ri)).sorted
+        assert(got == want,
+          s"forced=$forced seed $seed tau=$tau: " +
+            s"got ${got.size}, want ${want.size}")
+      } finally
+        if (forced) spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    }
+  }
+
   test("LEFT SEMI overlap: 10 seeded rounds (both in-place and forced " +
       "two-phase) match the naive semi evaluation exactly") {
     val sess = spark

@@ -295,8 +295,7 @@ class OverlapRewriteSpec extends SparkSuite {
 
   test("strict-Jaccard spelling: size(intersect) > tau * size(union) " +
       "fires (both topologies), applies the exact double-arithmetic " +
-      "boundary, preserves duplicate-row multiplicity; the >= spelling " +
-      "stands down (empty-empty pairs would have no witness)") {
+      "boundary, preserves duplicate-row multiplicity") {
     val sess = spark
     import sess.implicits._
     // J(1,7) = 2/4 = 0.5; J(2,8) = 1/3; J(3,9) = 3/3 = 1.0; (4,_) empty
@@ -331,12 +330,67 @@ class OverlapRewriteSpec extends SparkSuite {
     }
     // tau = 0.5: J(1,7) = 0.5 exactly — strict > must EXCLUDE it
     assert(!naiveJac(0.5).contains((1L, 7L)), "boundary self-check")
-    // the >= spelling must stand down (no graft explode in the plan)
-    val ge = l.toDF("lid", "la").join(r.toDF("rid", "ra"),
+  }
+
+  test(">= Jaccard spelling: fires as witnessed-union-empty-cross " +
+      "(both topologies) — the empty-empty pairs strict > never emits " +
+      "ARE in the result, the >= boundary includes the exact-tau pair, " +
+      "duplicate rows preserved; tau = 0 stands down (TRUE for every " +
+      "pair); semi stands down") {
+    val sess = spark
+    import sess.implicits._
+    val l = Seq((1L, Seq(10L, 20L, 30L)), (2L, Seq(10L, 99L)),
+      (3L, Seq(7L, 8L, 9L)), (4L, Seq[Long]()),
+      (3L, Seq(7L, 8L, 9L)), (6L, Seq[Long]())) // two empty left rows
+    val r = Seq((7L, Seq(20L, 30L, 40L)), (8L, Seq(10L, 50L)),
+      (9L, Seq(7L, 8L, 9L)), (5L, Seq[Long]()))
+    def naiveGe(tau: Double): Seq[(Long, Long)] = (for {
+      (li, la) <- l; (ri, ra) <- r
+      i = la.distinct.count(ra.distinct.contains)
+      u = (la ++ ra).distinct.size
+      if i.toDouble >= tau * u.toDouble
+    } yield (li, ri)).sorted
+    for (forced <- Seq(false, true); tau <- Seq(0.3, 0.5)) {
+      if (forced) spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+      try {
+        val joined = l.toDF("lid", "la").join(r.toDF("rid", "ra"),
+            size(array_intersect(col("la"), col("ra")))
+              >= lit(tau) * size(array_union(col("la"), col("ra"))))
+          .select("lid", "rid")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("graft_elem"),
+          s"witnessed branch must fire (forced=$forced tau=$tau):\n$plan")
+        assert(!plan.contains("CartesianProduct"),
+          s"empty cross must broadcast, never cartesian:\n$plan")
+        val got = joined.collect().map(x => (x.getLong(0), x.getLong(1)))
+          .toSeq.sorted
+        val want = naiveGe(tau)
+        // the fixture exercises both branches: empty-empty pairs
+        // (4,5)/(6,5) and the exact-boundary witnessed pair (1,7)
+        assert(want.contains((4L, 5L)) && want.contains((6L, 5L))
+          && want.contains((1L, 7L)), "fixture self-check")
+        assert(got == want,
+          s"forced=$forced tau=$tau: got=$got want=$want")
+      } finally
+        if (forced) spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    }
+    // tau = 0: >= is TRUE for every pair — a genuine cross, stands down
+    val ge0 = l.toDF("lid", "la").join(r.toDF("rid", "ra"),
       size(array_intersect(col("la"), col("ra")))
-        >= lit(0.3) * size(array_union(col("la"), col("ra"))))
-    assert(!ge.queryExecution.executedPlan.toString.contains("graft_elem"),
-      ">= jaccard spelling must stand down")
+        >= lit(0.0) * size(array_union(col("la"), col("ra"))))
+    assert(!ge0.queryExecution.executedPlan.toString.contains("graft_elem"),
+      ">= with tau = 0 must stand down")
+    assert(ge0.count() == l.size.toLong * r.size, "and still answer")
+    // semi: witnessed-only matches would drop empty left rows — stands down
+    val geSemi = l.toDF("lid", "la").join(r.toDF("rid", "ra"),
+      size(array_intersect(col("la"), col("ra")))
+        >= lit(0.3) * size(array_union(col("la"), col("ra"))), "left_semi")
+    assert(!geSemi.queryExecution.executedPlan.toString.contains("graft_elem"),
+      ">= semi must stand down")
+    assert(geSemi.select("lid").collect().map(_.getLong(0)).toSeq.sorted
+      == naiveGe(0.3).map(_._1).distinct.sorted.flatMap(id =>
+        Seq.fill(l.count(_._1 == id))(id)).sorted,
+      "naive semi answer intact")
   }
 
   test("prefix slice at threshold c >= 2: the exploded element count " +
