@@ -48,6 +48,11 @@ object GraftFunctions {
   def hamming64(a: Column, b: Column): Column =
     ColumnBridge.column(
       HammingDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[SortedPairs]] — a generator column: selecting it
+    * yields the two output columns `(a_id, b_id)` directly. */
+  def sorted_pairs(ids: Column): Column =
+    ColumnBridge.column(SortedPairs(ColumnBridge.expression(ids)))
 }
 
 /** Session extension registering the engine's SQL functions:
@@ -89,5 +94,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_pairs"),
+      new ExpressionInfo(classOf[SortedPairs].getName, "sorted_pairs"),
+      (exprs: Seq[Expression]) => SortedPairs(exprs.head)))
   }
 }

@@ -144,27 +144,25 @@ object DedupOps {
       .agg(count(lit(1)).as("n_inter"))
   }
 
-  /** `ids`-array groups → the C(k,2) ordered pairs within each group,
-    * expanded with array lambdas. Expects `ids` sorted ascending
-    * (so every emitted pair already satisfies a_id < b_id) — the shared
-    * tail of every group-and-expand candidate generator (n-gram shingles,
-    * MinHash bands, hyperplane buckets).
+  /** `ids`-array groups → the C(k,2) ordered pairs within each group.
+    * Expects `ids` sorted ascending (so every emitted pair already
+    * satisfies a_id < b_id) — the shared tail of every group-and-expand
+    * candidate generator (n-gram shingles, MinHash bands, hyperplane
+    * buckets).
     *
-    * Skew headroom (measured, DedupOpsSpec "headroom" test): Spark HOFs
-    * run interpreted and `slice` copies per element, so one group does
-    * O(k²) array allocations — at the worst single group a production
-    * hot-key cap admits (k=2000 → 1,999,000 pairs in ONE task) the warm
-    * expansion measures ~0.97 s ≈ 0.5 µs/pair on this host. That is far
-    * off any critical path (groups at the cap are rare by construction),
-    * so the escape hatch — a native `Generator` expression — stays
-    * unbuilt until a profile shows this hot. */
+    * Native [[graft.functions.SortedPairs]] generator (round 9): the
+    * earlier HOF spelling (`explode(flatten(transform(..., slice ...)))`)
+    * ran interpreted with an O(k) `slice` copy per element and a boxed
+    * struct per pair — profiled at 0.6 s of d02's ~1.5 s warm time at
+    * sf0.1, concentrated on the 4 post-shuffle tasks AQE's byte-based
+    * coalesce leaves for the gathered (byte-small, compute-heavy) group
+    * lists. The generator walks the array with two cursors at tens of
+    * ns/pair, which also makes pair cost roughly byte-proportional —
+    * exactly the assumption AQE's coalescing prices partitions by — and
+    * shrinks the worst capped group (k=2000 → 1,999,000 pairs in ONE
+    * task) from ~1 s to milliseconds (DedupOpsSpec "headroom" test). */
   private[operators] def expandPairs(grouped: DataFrame): DataFrame =
-    grouped
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |    y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    grouped.select(graft.functions.GraftFunctions.sorted_pairs(col("ids")))
 
   /** N-gram Jaccard near-dup over [[ngramCandidates]]: intersection counted
     * per candidate pair, Jaccard ≥ 1/3 decided in exact integer arithmetic

@@ -32,7 +32,7 @@ class DedupOpsSpec extends SparkSuite {
 
   test("expandPairs headroom at the hot-shingle cap: a single k=2000 group " +
       "(the pathological pre-cap skew shape) expands C(k,2) ≈ 2M pairs " +
-      "through the interpreted HOF path in bounded time") {
+      "through the native sorted_pairs generator in bounded time") {
     import org.apache.spark.sql.functions._
     // one group whose ids array is at a production-scale cap — the worst
     // single-task unit the maxShingleFreq cap admits
@@ -46,8 +46,45 @@ class DedupOpsSpec extends SparkSuite {
     assert(n == 2000L * 1999 / 2, s"got $n")
     info(f"expandPairs k=2000 (1,999,000 pairs): cold $cold%.2f s, warm $sec%.2f s")
     // loose wall bound: catches an accidental O(k^3) or per-pair JVM-object
-    // regression, not a tuning target
+    // regression, not a tuning target (the interpreted HOF predecessor
+    // measured ~1 s warm here; the generator is far under)
     assert(sec < 60.0, f"expandPairs took $sec%.1f s for one k=2000 group")
+  }
+
+  test("sorted_pairs ≡ the HOF pair expansion it replaced: identical row " +
+      "multisets on seeded random groups incl. empty, singleton, and " +
+      "duplicate-id arrays; SQL registration works") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(90210)
+    val groups = (1 to 200).map { _ =>
+      val k = rnd.nextInt(8) // 0..7, empties and singletons frequent
+      val base = Seq.fill(k)(rnd.nextInt(10).toLong).sorted
+      // inject occasional duplicate ids — the HOF emitted (x, x) pairs for
+      // them and the generator must match that multiset exactly
+      base
+    }
+    val sess = spark
+    import sess.implicits._
+    val df = groups.toDF("ids")
+    val hof = df
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val gen = DedupOps.expandPairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(gen.toSeq == hof.toSeq,
+      s"generator emitted ${gen.length} pairs, HOF ${hof.length}")
+    // null array emits nothing, like the HOF's explode-of-null
+    val withNull = spark.sql("SELECT sorted_pairs(CAST(NULL AS ARRAY<BIGINT>))")
+    assert(withNull.count() == 0)
+    // SQL-registered entry point agrees on a literal group
+    val sqlRows = spark.sql(
+      "SELECT * FROM (SELECT sorted_pairs(array(1L, 2L, 3L)))")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(sqlRows.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
   test("crossDocSpans merges consecutive matching grams into maximal " +
