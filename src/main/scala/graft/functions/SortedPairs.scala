@@ -25,11 +25,14 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
   * production hot-key cap admits (k = 2000 → 1,999,000 pairs in ONE
   * task) costs milliseconds, not the ~1 s the HOF path measured.
   *
-  * Contract: elements are non-null (collect_list output — it skips
-  * nulls); a strictly ascending input yields pairs with a_id < b_id.
-  * A null array, like the HOF spelling's, emits nothing. Lazy iterator:
-  * the O(k²) pair set is never materialized as one array (the HOF path
-  * built the full flattened array per row before exploding it).
+  * Contract: null ELEMENTS are skipped (the engine's inputs are
+  * collect_list output, which never contains them; a direct SQL caller
+  * passing one gets the pairs of the non-null elements rather than a
+  * silent 0 read through the primitive accessor); a strictly ascending
+  * input yields pairs with a_id < b_id. A null array, like the HOF
+  * spelling's, emits nothing. Lazy iterator: the O(k²) pair set is
+  * never materialized as one array (the HOF path built the full
+  * flattened array per row before exploding it).
   */
 case class SortedPairs(child: Expression)
     extends UnaryExpression with Generator with CodegenFallback {
@@ -50,7 +53,20 @@ case class SortedPairs(child: Expression)
     if (value == null) Iterator.empty
     else {
       val arr = value.asInstanceOf[ArrayData]
-      val n = arr.numElements()
+      val total = arr.numElements()
+      // compact away null elements once (collect_list inputs have none;
+      // the scan is O(k) against the O(k²) expansion it protects)
+      var nulls = 0
+      var c = 0
+      while (c < total) { if (arr.isNullAt(c)) nulls += 1; c += 1 }
+      val vals = new Array[Long](total - nulls)
+      var s = 0
+      c = 0
+      while (c < total) {
+        if (!arr.isNullAt(c)) { vals(s) = arr.getLong(c); s += 1 }
+        c += 1
+      }
+      val n = vals.length
       if (n < 2) Iterator.empty
       else new Iterator[InternalRow] {
         private var i = 0
@@ -58,7 +74,7 @@ case class SortedPairs(child: Expression)
         override def hasNext: Boolean = i < n - 1
         override def next(): InternalRow = {
           val row = new GenericInternalRow(
-            Array[Any](arr.getLong(i), arr.getLong(j)))
+            Array[Any](vals(i), vals(j)))
           j += 1
           if (j == n) { i += 1; j = i + 1 }
           row

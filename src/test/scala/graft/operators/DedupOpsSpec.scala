@@ -80,6 +80,12 @@ class DedupOpsSpec extends SparkSuite {
     // null array emits nothing, like the HOF's explode-of-null
     val withNull = spark.sql("SELECT sorted_pairs(CAST(NULL AS ARRAY<BIGINT>))")
     assert(withNull.count() == 0)
+    // null ELEMENTS are skipped (documented contract for direct SQL
+    // callers — never a silent 0 read through the primitive accessor)
+    val nullElems = spark.sql(
+      "SELECT * FROM (SELECT sorted_pairs(array(1L, NULL, 3L, NULL, 7L)))")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(nullElems.toSeq == Seq((1L, 3L), (1L, 7L), (3L, 7L)))
     // SQL-registered entry point agrees on a literal group
     val sqlRows = spark.sql(
       "SELECT * FROM (SELECT sorted_pairs(array(1L, 2L, 3L)))")
