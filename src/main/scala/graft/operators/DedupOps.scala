@@ -1716,21 +1716,30 @@ object DedupOps {
         (shiftleft(SimHash32.simhash32(col("toks")), 32)
           .bitwiseOR(SimHash32.simhash32(col("bi")))).as("sh"))
 
+  /** Shared naive fingerprint-pair scaffold for d25 and its pure-SQL
+    * spelling twin d37 — ONLY the predicate/distance spelling may
+    * differ between the two gates (that difference IS what d37
+    * certifies), so the input derivation lives once here. */
+  private def simhashPairs(s: SparkSession, dir: String)(
+      pred: Column, dist: Column): DataFrame = {
+    val fp = simhash64(t(s, dir).documentsSpread)
+    val a = fp.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = fp.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id") && pred)
+      .select(col("a_id"), col("b_id"), dist.as("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   private def d25(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.hamming64
     // no cache needed: the rewrite's posexplode form (round 7) scans and
     // fingerprints each side ONCE — the naive query below is exactly
     // what a user would write, and the rule alone makes it scale
     // (HammingRewriteSpec pins single-scan-per-side).
-    val fp = simhash64(t(s, dir).documentsSpread)
-    val a = fp.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = fp.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.crossJoin(b)
-      .filter(col("a_id") < col("b_id")
-        && hamming64(col("a_sh"), col("b_sh")) <= 12)
-      .select(col("a_id"), col("b_id"),
-        hamming64(col("a_sh"), col("b_sh")).cast("long").as("dist"))
-      .orderBy(col("a_id"), col("b_id"))
+    simhashPairs(s, dir)(
+      hamming64(col("a_sh"), col("b_sh")) <= 12,
+      hamming64(col("a_sh"), col("b_sh")).cast("long"))
   }
 
   /** DuckDB CTE block ending in `fp(doc_id, sh)` — the simhash64 twin
@@ -1994,7 +2003,13 @@ object DedupOps {
     * Scale: the left payload crosses the wire once per row, never per
     * gram — the shape that holds when the corpus is 100 TB and the
     * banned list is millions of documents. */
-  private def d29(s: SparkSession, dir: String): DataFrame = {
+  /** Shared 3-gram corpus + banned-subset derivation for d29 and its
+    * pure-SQL spelling twin d38 — ONLY the semi-join predicate spelling
+    * may differ between the two gates (that difference IS what d38
+    * certifies, and both hash-match d29Sql verbatim), so the input
+    * derivation lives once here. */
+  private def triGramBanned(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val grams = t(s, dir).documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
@@ -2004,6 +2019,11 @@ object DedupOps {
         .stripMargin).as("grams"))
     val banned = grams.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("b_id"), col("grams").as("banned_grams"))
+    (grams, banned)
+  }
+
+  private def d29(s: SparkSession, dir: String): DataFrame = {
+    val (grams, banned) = triGramBanned(s, dir)
     grams.join(banned,
         arrays_overlap(col("grams"), col("banned_grams")), "left_semi")
       .select(col("doc_id"))
@@ -2369,28 +2389,13 @@ object DedupOps {
     * spelling changed (no graft import at all — the spelling any plain
     * SQL user would write), sharing the sibling's oracle SQL verbatim:
     * a hash match certifies recognizer + rewrite end-to-end. */
-  private def d37(s: SparkSession, dir: String): DataFrame = {
-    val fp = simhash64(t(s, dir).documentsSpread)
-    val a = fp.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = fp.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.crossJoin(b)
-      .filter(col("a_id") < col("b_id")
-        && expr("bit_count(a_sh ^ b_sh) <= 12"))
-      .select(col("a_id"), col("b_id"),
-        expr("cast(bit_count(a_sh ^ b_sh) as bigint)").as("dist"))
-      .orderBy(col("a_id"), col("b_id"))
-  }
+  private def d37(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, dir)(
+      expr("bit_count(a_sh ^ b_sh) <= 12"),
+      expr("cast(bit_count(a_sh ^ b_sh) as bigint)"))
 
   private def d38(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(toks) - 3),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
-        .stripMargin).as("grams"))
-    val banned = grams.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("b_id"), col("grams").as("banned_grams"))
+    val (grams, banned) = triGramBanned(s, dir)
     grams.join(banned,
         expr("exists(grams, e -> array_contains(banned_grams, e))"),
         "left_semi")

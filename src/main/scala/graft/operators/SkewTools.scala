@@ -68,6 +68,21 @@ object SkewTools {
     * ([[graft.plans.RewriteSupport.prefixElems]]), so the preflight
     * counts frequencies over exactly those prefixes — the default c = 1
     * reproduces the full-explode estimate (and d31's oracle). */
+  /** `floor(10000 · max_dec / est_dec)` over decimal(38,0) columns of
+    * those names, with max_dec ≤ est_dec — exact integer arithmetic
+    * while est_dec ≤ Long.Max (the product then ≤ 9.2e22 ≪ 1e38; every
+    * test SF and any DuckDB-oracle run lands here), a truncated double
+    * ratio past that: a decimal ×10000 above ~1e34 would overflow 38
+    * digits to NULL and `when(NULL >= bound)` would flip the diagnosis
+    * to 'ok' at exactly the hottest extreme. The share is a ≤10000
+    * report value, so the double path's ~1e-15 relative error is
+    * immaterial. */
+  private[operators] def shareBp: Column =
+    when(col("est_dec") <= lit(Long.MaxValue).cast("decimal(38,0)"),
+      expr("max_dec * 10000 div est_dec"))
+      .otherwise(expr("cast(floor(cast(max_dec as double) " +
+        "/ cast(est_dec as double) * 10000.0) as bigint)"))
+
   def overlapJoinPreflight(left: DataFrame, leftArr: Column,
       right: DataFrame, rightArr: Column,
       warnShareBp: Long = 1000L, minOverlap: Int = 1): DataFrame = {
@@ -86,9 +101,14 @@ object SkewTools {
     // pass Long.Max at the 100 TB scale this tool prices (fL = fR = 4e9
     // → 1.6e19), where Long arithmetic would throw under ANSI or wrap
     // negative and silently read 'ok' under legacy — exactly when the
-    // diagnosis matters. Every step (contrib, sum, max, the ×10000)
-    // stays exact in decimal to 1e38; the BIGINT report columns degrade
-    // to NULL via try_cast past 9.2e18 (the diagnosis string survives).
+    // diagnosis matters. contrib, sum, and max stay exact in decimal to
+    // 1e38; the ×10000 share is exact while est_dec ≤ Long.Max (max_dec
+    // ≤ est_dec, so the product ≤ 9.2e22 ≪ 1e38 — every test SF and any
+    // oracle run lands here) and degrades to a truncated double ratio
+    // past that (a decimal ×10000 above ~1e34 would overflow 38 digits
+    // to NULL and flip the diagnosis to 'ok' at the hottest extreme);
+    // the BIGINT report columns degrade to NULL via try_cast past
+    // 9.2e18 (the diagnosis string survives).
     freqs(left, leftArr, "fl").join(freqs(right, rightArr, "fr"), "e")
       .select(col("e"),
         (col("fl").cast("decimal(38,0)") * col("fr")).as("contrib"))
@@ -99,7 +119,7 @@ object SkewTools {
         max_by(col("e"), struct(col("contrib"), col("e")))
           .as("worst_element"))
       // IntegralDivide on decimals returns BIGINT; the share is ≤ 10000
-      .withColumn("max_share_bp", expr("max_dec * 10000 div est_dec"))
+      .withColumn("max_share_bp", shareBp)
       .withColumn("diagnosis",
         when(col("max_share_bp") >= warnShareBp,
           lit("hot-element: cap its frequency upstream (d02's " +

@@ -64,6 +64,18 @@ private[plans] object RewriteSupport {
     case _ => true
   }
 
+  /** Determinism check that sees through [[graft.functions.PlanFence]]:
+    * the fence is a pure identity whose non-deterministic flag exists
+    * only to stop RELOCATION rules — it selects and orders rows exactly
+    * like its child, so treating a fenced filter as order-racy would
+    * wrongly stand the two-phase rewrites down on any fenced plan (a
+    * user following the fence guidance would silently lose the anti
+    * rewrite, which has no fallback). */
+  private def orderDeterministic(e: Expression): Boolean =
+    e.transform {
+      case graft.functions.PlanFence(child) => child
+    }.deterministic
+
   /** Row ORDER of this subtree is reproducible across two physical
     * instantiations of the same logical subplan: file-relation leaves
     * (split planning and in-split order are functions of the files
@@ -84,18 +96,6 @@ private[plans] object RewriteSupport {
     * same way — the two-phase topologies assume a quiescent table, which
     * is the normal batch-query premise (a concurrently-compacted table
     * is unsafe for ANY multi-scan Spark query, not just these). */
-  /** Determinism check that sees through [[graft.functions.PlanFence]]:
-    * the fence is a pure identity whose non-deterministic flag exists
-    * only to stop RELOCATION rules — it selects and orders rows exactly
-    * like its child, so treating a fenced filter as order-racy would
-    * wrongly stand the two-phase rewrites down on any fenced plan (a
-    * user following the fence guidance would silently lose the anti
-    * rewrite, which has no fallback). */
-  private def orderDeterministic(e: Expression): Boolean =
-    e.transform {
-      case graft.functions.PlanFence(child) => child
-    }.deterministic
-
   def orderStable(p: LogicalPlan): Boolean = p match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.bucketSpec.isEmpty

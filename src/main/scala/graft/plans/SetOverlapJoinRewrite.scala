@@ -169,9 +169,15 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * rewrite, stands down). Returns (a, b, τ, orEqual). */
   private def jaccardConj(c: Expression)
       : Option[(Expression, Expression, Double, Boolean)] = {
+    // legacySizeOfNull=true Size nodes stand down HERE (unlike the
+    // intersect-size thresholds below, where legacy's size(NULL) = -1
+    // never reaches a >= 1 bound and both modes drop the row): with
+    // both sides negative, -1 {>|>=} tau * -1 is TRUE for tau > 1
+    // (resp. tau >= 1), so the legacy naive plan emits NULL-array
+    // pairs this rewrite cannot reproduce.
     def interSides(e: Expression): Option[(Expression, Expression)] =
       uncast(e) match {
-        case Size(ArrayIntersect(a, b), _) => Some((a, b))
+        case Size(ArrayIntersect(a, b), false) => Some((a, b))
         case _ => None
       }
     def tauUnion(e: Expression): Option[(Double, Expression, Expression)] =
@@ -183,7 +189,7 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           def union(x: Expression): Option[(Expression, Expression)] =
             uncast(x) match {
-              case Size(ArrayUnion(u, v), _) => Some((u, v))
+              case Size(ArrayUnion(u, v), false) => Some((u, v))
               case _ => None
             }
           (for (t <- lit(m1); (u, v) <- union(m2)) yield (t, u, v))

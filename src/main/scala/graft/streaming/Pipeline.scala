@@ -301,6 +301,46 @@ object Pipeline {
     * no-event_id checkpoint written by THAT revision also needs a fresh
     * checkpoint (or a literal `0L` event_id column to keep selecting
     * the three-field branch, which reproduces its tie rule exactly). */
+  /** The shared per-key micro-batch walk of [[streamingAsOf]] — ONE
+    * implementation for both state shapes, so the tie/TTL/at-or-before
+    * semantics cannot silently diverge between them.
+    *
+    * Event-time walk within the batch: refs update the cell, probes
+    * read it — exact for any intra-batch interleaving. At equal event
+    * time a ref must be applied BEFORE the probe reads (at-or-before
+    * attaches a ref at exactly the probe's ts, matching q31's tie rule
+    * and the cross-batch behavior where the same ref arrives in an
+    * earlier batch). Equal-ts refs apply in event_id order, and the
+    * state cell only yields to an equal-ts ref with a >= event_id — so
+    * the highest event_id wins whether the contender arrived in this
+    * batch, an earlier one, or a later one. The LEGACY (no event_id)
+    * branch is exactly this walk with every event_id = 0: equal-ts
+    * refs keep their stable batch-arrival order and 0 <= 0 always
+    * yields, i.e. the original last-arrival rule — only the state
+    * ENCODER differs (the adapters at the flatMapGroupsWithState
+    * boundary keep its two-field schema byte-compatible). */
+  private def asOfBatchWalk(key: Long,
+      rows: Seq[(Long, java.sql.Timestamp, String, Double, Long)],
+      cur0: Option[(Long, Double, Long)])
+      : (Option[(Long, Double, Long)],
+         Seq[(Long, java.sql.Timestamp, Double,
+              Option[Double], Option[Long], Option[Long])]) = {
+    val sorted = rows
+      .sortBy(r => (r._2.getTime, if (r._3 == "ref") 0 else 1, r._5))
+    var cur = cur0 // (tsMs, value, event_id)
+    val out = sorted.flatMap {
+      case (_, ts, "ref", v, id) =>
+        if (cur.forall(c => c._1 < ts.getTime
+            || (c._1 == ts.getTime && c._3 <= id)))
+          cur = Some((ts.getTime, v, id))
+        None
+      case (_, ts, _, v, _) =>
+        Some((key, ts, v, cur.map(_._2), cur.map(_._1),
+          cur.map(c => ts.getTime - c._1)))
+    }
+    (cur, out)
+  }
+
   def streamingAsOf(stateTtl: String = "30 minutes")(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val sess = df.sparkSession
@@ -319,29 +359,7 @@ object Pipeline {
               state: GroupState[(Long, Double, Long)]) =>
             if (state.hasTimedOut) { state.remove(); Iterator.empty }
             else {
-              // event-time walk within the batch: refs update the cell,
-              // probes read it — exact for any intra-batch interleaving.
-              // At equal event time a ref must be applied BEFORE the probe
-              // reads (at-or-before attaches a ref at exactly the probe's
-              // ts, matching q31's tie rule and the cross-batch behavior
-              // where the same ref arrives in an earlier batch). Equal-ts
-              // refs apply in event_id order, and the state cell only
-              // yields to an equal-ts ref with a >= event_id — so the
-              // highest event_id wins whether the contender arrived in
-              // this batch, an earlier one, or a later one.
-              val sorted = rows.toSeq
-                .sortBy(r => (r._2.getTime, if (r._3 == "ref") 0 else 1, r._5))
-              var cur = state.getOption // (tsMs, value, event_id)
-              val out = sorted.flatMap {
-                case (_, ts, "ref", v, id) =>
-                  if (cur.forall(c => c._1 < ts.getTime
-                      || (c._1 == ts.getTime && c._3 <= id)))
-                    cur = Some((ts.getTime, v, id))
-                  None
-                case (_, ts, _, v, _) =>
-                  Some((key, ts, v, cur.map(_._2), cur.map(_._1),
-                    cur.map(c => ts.getTime - c._1)))
-              }
+              val (cur, out) = asOfBatchWalk(key, rows.toSeq, state.getOption)
               cur.foreach(state.update)
               state.setTimeoutDuration(stateTtl)
               out.iterator
@@ -351,7 +369,9 @@ object Pipeline {
     } else {
       // legacy shape: two-field state, last-arrival equal-ts tie rule —
       // byte-compatible with checkpoints written before the event_id
-      // rule existed (see STATE VERSIONING above)
+      // rule existed (see STATE VERSIONING above). Same walk, every
+      // event_id pinned 0 (see asOfBatchWalk's doc for why that IS the
+      // legacy rule); only the state encoder stays two-field.
       df.select(col("key").cast("long"), col("ts").cast("timestamp"),
           col("side").cast("string"), col("value").cast("double"))
         .as[(Long, java.sql.Timestamp, String, Double)]
@@ -364,19 +384,10 @@ object Pipeline {
               state: GroupState[(Long, Double)]) =>
             if (state.hasTimedOut) { state.remove(); Iterator.empty }
             else {
-              val sorted = rows.toSeq
-                .sortBy(r => (r._2.getTime, if (r._3 == "ref") 0 else 1))
-              var cur = state.getOption // (tsMs, value)
-              val out = sorted.flatMap {
-                case (_, ts, "ref", v) =>
-                  if (cur.forall(_._1 <= ts.getTime))
-                    cur = Some((ts.getTime, v))
-                  None
-                case (_, ts, _, v) =>
-                  Some((key, ts, v, cur.map(_._2), cur.map(_._1),
-                    cur.map(c => ts.getTime - c._1)))
-              }
-              cur.foreach(state.update)
+              val (cur, out) = asOfBatchWalk(key,
+                rows.toSeq.map(r => (r._1, r._2, r._3, r._4, 0L)),
+                state.getOption.map(c => (c._1, c._2, 0L)))
+              cur.foreach(c => state.update((c._1, c._2)))
               state.setTimeoutDuration(stateTtl)
               out.iterator
             }

@@ -57,6 +57,28 @@ class SkewToolsSpec extends SparkSuite {
       "prefix must actually shrink the estimate")
   }
 
+  test("shareBp stays exact through the BIGINT range and survives the " +
+      "decimal-overflow extreme (est > Long.Max) where a plain decimal " +
+      "x10000 would go NULL and mask the hot-element diagnosis") {
+    import org.apache.spark.sql.functions._
+    def share(maxS: String, estS: String): Long =
+      spark.sql(s"SELECT cast('$maxS' as decimal(38,0)) as max_dec, " +
+          s"cast('$estS' as decimal(38,0)) as est_dec")
+        .select(SkewTools.shareBp.as("bp"))
+        .head().getAs[Long]("bp")
+    // exact branch: floor(10000*3/7) = 4285
+    assert(share("3", "7") == 4285L)
+    // exact at the top of the BIGINT range (max = est = Long.Max -> 10000)
+    assert(share("9223372036854775807", "9223372036854775807") == 10000L)
+    // overflow extreme: est ~ 8.5e37 (fL = fR = 9.2e18 squared); a
+    // decimal x10000 would exceed 38 digits -> NULL -> 'ok'. The double
+    // path reports the ~50% share.
+    val bp = share("42535295865117307932921825928971026432",
+      "85070591730234615865843651857942052864")
+    assert(bp == 5000L || bp == 4999L, s"got $bp")
+    assert(bp >= 1000L, "the diagnosis bound must still see a hot share")
+  }
+
   test("GraftSession builder exposes the hamming64 extension in SQL") {
     // the shared test session may predate the extension; build verifies conf
     val s = graft.GraftSession.build("graft-skew-test", "local[2]", 2)
