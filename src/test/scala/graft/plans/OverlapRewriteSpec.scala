@@ -627,6 +627,44 @@ class OverlapRewriteSpec extends SparkSuite {
       .contains("graft_elem"))
     assert(louter.count() >= left.count())
   }
+
+  test("Jaccard recognizer stands down under spark.sql.legacy.sizeOfNull: " +
+      "size(NULL) = -1 makes -1 >= tau*(-1) TRUE for tau >= 1 — NULL-array " +
+      "pairs the witnessed rewrite cannot emit; naive answer intact") {
+    val sess = spark
+    import sess.implicits._
+    val l = Seq((1L, Option(Seq(10L, 20L))), (2L, Option.empty[Seq[Long]]))
+      .toDF("lid", "la")
+    val r = Seq((7L, Option(Seq(10L, 20L))), (8L, Option.empty[Seq[Long]]))
+      .toDF("rid", "ra")
+    // ANSI mode (the session default) forces legacySizeOfNull=false and
+    // the conf is inert — the hole only opens with BOTH ansi off and the
+    // legacy conf on, so that is the configuration pinned here
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try {
+      val j = l.join(r,
+          size(array_intersect(col("la"), col("ra")))
+            >= lit(1.0) * size(array_union(col("la"), col("ra"))))
+        .select("lid", "rid")
+      assert(!j.queryExecution.executedPlan.toString.contains("graft_elem"),
+        "legacy-size Jaccard must stand down:\n"
+          + j.queryExecution.executedPlan)
+      // legacy naive semantics: every pair with a NULL side qualifies
+      // (-1 >= -1), plus the genuinely identical (1,7) pair
+      assert(j.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+        == Seq((1L, 7L), (1L, 8L), (2L, 7L), (2L, 8L)))
+    } finally {
+      spark.conf.unset("spark.sql.legacy.sizeOfNull")
+      spark.conf.unset("spark.sql.ansi.enabled")
+    }
+    // and with the conf back off the same spelling fires again
+    val fired = l.join(r,
+      size(array_intersect(col("la"), col("ra")))
+        >= lit(1.0) * size(array_union(col("la"), col("ra"))))
+    assert(fired.queryExecution.executedPlan.toString.contains("graft_elem"),
+      "non-legacy spelling must still rewrite")
+  }
 }
 
 /** Top-level so Spark's encoder codegen works (nested suite case
