@@ -117,8 +117,9 @@ object DedupOps {
     //
     // Topology: ONE shuffle. Each shingle's doc list is gathered with
     // collect_list (rows are per-doc distinct already), then the C(k,2)
-    // pairs are expanded with array lambdas — codegen'd, no second pass
-    // over the exploded rows. The earlier self-join formulation shuffled
+    // pairs are expanded with the native sorted_pairs generator — lazy,
+    // tens of ns/pair, no second pass over the exploded rows. The
+    // earlier self-join formulation shuffled
     // the exploded rows twice (the aliases differ, so Spark cannot reuse
     // the exchange) and paid a hash-join build on top; grouping colocates
     // exactly the same key groups with half the shuffle volume. Skew is

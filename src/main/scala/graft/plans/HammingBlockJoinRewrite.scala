@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType, MapType}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Exact pigeonhole rewrite for Hamming-threshold joins (SURVEY §7.2's
   * "custom Rule" tier, the whole-operator optimization beside the
@@ -60,9 +60,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, MapType}
   *    row, never once per block;
   *  - in-place otherwise: tag left rows with a plain unique id (single
   *    instantiation — no order-stability needed), posexplode over the
-  *    full rows, LeftSemi with the original predicate, group back on
-  *    (id, row); unavailable when the left row carries a map column
-  *    (maps don't group).
+  *    full rows, LeftSemi with the original predicate, collapse
+  *    grouping on the id ALONE with payloads riding `first()`
+  *    ([[RewriteSupport.collapseBySrid]] — map-typed payloads group
+  *    fine this way, float payloads keep their exact bits).
   *
   * This automates the d04 `simhashNearDups` topology for ANY user query
   * on a [[graft.functions.GraftExtensions]] session — write the naive

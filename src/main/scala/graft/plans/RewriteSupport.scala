@@ -45,16 +45,22 @@ private[plans] object RewriteSupport {
     else None
 
   def hasEquiBetween(cs: Seq[Expression],
-      l: LogicalPlan, r: LogicalPlan): Boolean =
+      l: LogicalPlan, r: LogicalPlan): Boolean = {
+    // <=> counts: ExtractEquiJoinKeys plans EqualNullSafe as an
+    // O(collisions) hash join just like =, so a join already linked by
+    // either is better left alone than exploded
+    def cross(x: Expression, y: Expression): Boolean =
+      x.references.nonEmpty && y.references.nonEmpty &&
+        ((x.references.subsetOf(l.outputSet)
+            && y.references.subsetOf(r.outputSet)) ||
+          (y.references.subsetOf(l.outputSet)
+            && x.references.subsetOf(r.outputSet)))
     cs.exists {
-      case EqualTo(x, y) =>
-        x.references.nonEmpty && y.references.nonEmpty &&
-          ((x.references.subsetOf(l.outputSet)
-              && y.references.subsetOf(r.outputSet)) ||
-            (y.references.subsetOf(l.outputSet)
-              && x.references.subsetOf(r.outputSet)))
+      case EqualTo(x, y) => cross(x, y)
+      case EqualNullSafe(x, y) => cross(x, y)
       case _ => false
     }
+  }
 
   /** Non-container type — what the two-phase topologies allow in the
     * slim candidate exchange (a handful of fixed-width or short scalar

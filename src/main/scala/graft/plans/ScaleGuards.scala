@@ -59,6 +59,7 @@ class FailUnpartitionedWindows(spark: SparkSession) extends Rule[LogicalPlan] {
 class FailCartesianProducts(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
   import org.apache.spark.sql.catalyst.plans.logical.Join
+  import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val enabled = spark.conf
@@ -66,13 +67,26 @@ class FailCartesianProducts(spark: SparkSession) extends Rule[LogicalPlan] {
       .exists(_.equalsIgnoreCase("true"))
     if (enabled) {
       plan.foreach {
+        // a BROADCAST hint on either side is an explicit tiny-side
+        // declaration — the guard's own "deliberate cross against a
+        // provably tiny frame" carve-out, spelled in the plan instead
+        // of by unsetting the conf. It also exempts the >=-Jaccard
+        // rewrite's empty-empty branch (SetOverlapJoinRewrite
+        // .withEmptyEmptyBranch), whose broadcast cross of the two
+        // size-0-filtered subsets is semantically REQUIRED output and
+        // runs in this same fixed-point batch. (A Literal(true)
+        // condition would not survive as an exemption: predicate
+        // pushdown strips it back to condition-less.)
         case j: Join if j.condition.isEmpty
-            && (j.joinType == Inner || j.joinType == Cross) =>
+            && (j.joinType == Inner || j.joinType == Cross)
+            && !j.hint.leftHint.exists(_.strategy.contains(BROADCAST))
+            && !j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) =>
           throw new IllegalStateException(
             "condition-less (cartesian) inner join: |left|·|right| rows " +
-              "at scale. Add a join condition, or unset " +
-              s"${ScaleGuards.FailCartesianProductsKey} if one side is " +
-              "provably tiny and the product is intended")
+              "at scale. Add a join condition, broadcast() the side that " +
+              "is provably tiny, or unset " +
+              s"${ScaleGuards.FailCartesianProductsKey} if the product " +
+              "is intended")
         case _ => ()
       }
     }
@@ -87,9 +101,15 @@ object ScaleGuards {
   val OverlapJoinRewriteKey = "spark.graft.overlapJoinRewrite"
 
   /** Estimated-size floor (bytes, per larger join side) above which the
-    * overlap rewrite plans its two-phase pair-list topology instead of
-    * the in-place exploded join. Below it the in-place form's wide
-    * exchange is cheaper than three extra tiny shuffles. */
+    * two-phase pair-list topology replaces the in-place exploded join.
+    * Below it the in-place form's wide exchange is cheaper than three
+    * extra tiny shuffles. SHARED by BOTH rewrite rules — the overlap
+    * rule (whose name the key carries, historically) and the Hamming
+    * block rule dispatch their wide-payload two-phase off this same
+    * threshold, so raising it to force in-place overlap joins also
+    * forces in-place Hamming joins. One knob on purpose: the policy it
+    * encodes ("when is a side big enough that payload width matters")
+    * is topology-independent. */
   val OverlapTwoPhaseMinBytesKey = "spark.graft.overlapJoinRewrite.twoPhaseMinBytes"
   val OverlapTwoPhaseMinBytesDefault = 8L * 1024
 

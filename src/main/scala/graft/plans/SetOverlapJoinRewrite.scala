@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, StringType, StructType}
 
 /** Exact explode rewrite for set-overlap theta joins — the companion of
   * [[HammingBlockJoinRewrite]], automating d02's group-and-expand
@@ -108,9 +108,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
   *    LeftSemi the tagged left side against them;
   *  - in-place otherwise: tag rows with a plain unique id (a single
   *    instantiation, so no order-stability needed), explode, LeftSemi
-  *    with the full original predicate re-applied raw, then group back
-  *    on (id, row) — unavailable when the left row carries a MapType
-  *    column (maps don't group).
+  *    with the full original predicate re-applied raw, then collapse
+  *    grouping on the id ALONE with payloads riding `first()` over the
+  *    singleton group ([[RewriteSupport.collapseBySrid]] — map-typed
+  *    payloads group fine this way, and float payloads keep their
+  *    exact bits instead of passing through NormalizeFloatingNumbers).
   *  - membership with the array on the RIGHT (`probe ⋉ tags`) needs
   *    none of that: the left side stays unexploded, so the semi's own
   *    semantics already emit each row once.
@@ -151,6 +153,12 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case c: Cast if ((c.child.dataType, c.dataType) match {
         case (IntegerType, LongType | DoubleType) => true
         case (FloatType, DoubleType) => true
+        // the analyzer's decimal promotions around size() in a
+        // decimal-literal comparison (`> 0.8 * size(...)` in SQL casts
+        // one side to decimal(10,0) and the other to decimal(12,1)) —
+        // value-preserving for every int when p − s ≥ 10
+        case (IntegerType, dt: DecimalType) =>
+          dt.precision - dt.scale >= 10
         case _ => false
       }) => uncast(c.child)
     case _ => e
@@ -168,7 +176,7 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * is TRUE for every pair — a genuine full cross, nothing to
     * rewrite, stands down). Returns (a, b, τ, orEqual). */
   private def jaccardConj(c: Expression)
-      : Option[(Expression, Expression, Double, Boolean)] = {
+      : Option[(Expression, Expression, Double, Boolean, Boolean)] = {
     // legacySizeOfNull=true Size nodes stand down HERE (unlike the
     // intersect-size thresholds below, where legacy's size(NULL) = -1
     // never reaches a >= 1 bound and both modes drop the row): with
@@ -180,20 +188,31 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case Size(ArrayIntersect(a, b), false) => Some((a, b))
         case _ => None
       }
-    def tauUnion(e: Expression): Option[(Double, Expression, Expression)] =
+    // (tau-as-double, slop, union sides): a DOUBLE τ literal runs the
+    // bound in the predicate's own arithmetic (slop = false); a DECIMAL
+    // τ literal (the pure-SQL `0.8` spelling — exact decimal predicate
+    // arithmetic) carries slop = true so the double-computed bound
+    // subtracts one element (see OverlapPred.jaccardSlop)
+    def tauUnion(e: Expression)
+        : Option[(Double, Boolean, Expression, Expression)] =
       e match {
         case Multiply(m1, m2, _) =>
-          def lit(x: Expression): Option[Double] = uncast(x) match {
-            case Literal(d: Double, DoubleType) => Some(d)
-            case _ => None
-          }
+          def lit(x: Expression): Option[(Double, Boolean)] =
+            uncast(x) match {
+              case Literal(d: Double, DoubleType) => Some((d, false))
+              case Literal(d: Decimal, _: DecimalType) if d != null =>
+                Some((d.toDouble, true))
+              case _ => None
+            }
           def union(x: Expression): Option[(Expression, Expression)] =
             uncast(x) match {
               case Size(ArrayUnion(u, v), false) => Some((u, v))
               case _ => None
             }
-          (for (t <- lit(m1); (u, v) <- union(m2)) yield (t, u, v))
-            .orElse(for (t <- lit(m2); (u, v) <- union(m1)) yield (t, u, v))
+          (for ((t, sl) <- lit(m1); (u, v) <- union(m2))
+            yield (t, sl, u, v))
+            .orElse(for ((t, sl) <- lit(m2); (u, v) <- union(m1))
+              yield (t, sl, u, v))
         case _ => None
       }
     val parts = c match {
@@ -208,12 +227,12 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     parts.collect {
-      case (((a, b), (tau, u, v)), orEqual)
+      case (((a, b), (tau, slop, u, v)), orEqual)
           if (if (orEqual) tau > 0.0 else tau >= 0.0)
             && nullFree(a) && nullFree(b)
             && ((a.semanticEquals(u) && b.semanticEquals(v))
               || (a.semanticEquals(v) && b.semanticEquals(u))) =>
-        (a, b, tau, orEqual)
+        (a, b, tau, orEqual, slop)
     }
   }
 
@@ -260,8 +279,9 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Some(OverlapPred(c, a, b, implied = false, k + 1, None))
         case _ => None
       }
-      base.orElse(jaccardConj(c).map { case (a, b, tau, orEqual) =>
-        OverlapPred(c, a, b, implied = false, 1, Some(tau), orEqual)
+      base.orElse(jaccardConj(c).map { case (a, b, tau, orEqual, slop) =>
+        OverlapPred(c, a, b, implied = false, 1, Some(tau), orEqual,
+          jaccardSlop = slop)
       })
     }
 
@@ -272,6 +292,13 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * (size − floor(τ·size)): a qualifying pair has |∩| > τ·|∪| ≥ τ·|A|
     * in the predicate's own double arithmetic (double multiplication is
     * monotone in |∪| ≥ |A|), so |∩| ≥ floor(τ·|A|) + 1 = c_row. */
+  /** One extra prefix element for decimal-τ spellings, whose predicate
+    * arithmetic is exact while this bound runs in double: in the regime
+    * where the prefix can be non-empty (c_row ≤ size + 1, so τ·size ≤
+    * 2³¹ + 1) the double product's total error is ≪ 1, so ceil/floor
+    * overshoot the exact value by at most 1 — the slop absorbs it. */
+  private def slopOf(p: OverlapPred): Long = if (p.jaccardSlop) 1L else 0L
+
   private def candidateElems(arr: Expression, p: OverlapPred,
       hashed: Boolean): Expression = {
     val len: Option[Expression => Expression] = p.jaccardTau match {
@@ -279,14 +306,35 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // predicate's own double arithmetic, and |∩| is an integer, so
       // |∩| ≥ ceil(τ·|A|); witnessed also means |∩| ≥ 1 — c_row =
       // max(ceil(τ·size), 1), prefix length size − c_row + 1
-      case Some(tau) if p.jaccardOrEqual => Some(s => Add(
-        Subtract(s, Cast(Greatest(Seq(
-          Ceil(Multiply(Literal(tau), Cast(s, DoubleType))),
-          Literal(1L))), IntegerType)),
-        Literal(1)))
-      case Some(tau) => Some(s => Subtract(s,
-        Cast(Floor(Multiply(Literal(tau), Cast(s, DoubleType))),
-          IntegerType)))
+      // the length arithmetic runs in LONG with c_row clamped to ≤ s+1
+      // (resp. the floor to ≤ s): the clamp never changes the result —
+      // past it the prefix is empty either way — but it keeps the final
+      // value inside [0, s] so the Int cast cannot overflow. Unclamped,
+      // a large τ (1e9·size fits harmlessly in the predicate's double
+      // arithmetic) would make Cast(ceil AS INT) throw CAST_OVERFLOW
+      // under ANSI — a crash the naive plan never has.
+      case Some(tau) if p.jaccardOrEqual => Some { s =>
+        val sL = Cast(s, LongType)
+        val cRow = Least(Seq(
+          Greatest(Seq(
+            Subtract(
+              Ceil(Multiply(Literal(tau), Cast(s, DoubleType))),
+              Literal(slopOf(p))),
+            Literal(1L))),
+          Add(sL, Literal(1L))))
+        Cast(Add(Subtract(sL, cRow), Literal(1L)), IntegerType)
+      }
+      case Some(tau) => Some { s =>
+        val sL = Cast(s, LongType)
+        val fl = Least(Seq(
+          Greatest(Seq(
+            Subtract(
+              Floor(Multiply(Literal(tau), Cast(s, DoubleType))),
+              Literal(slopOf(p))),
+            Literal(0L))),
+          sL))
+        Cast(Subtract(sL, fl), IntegerType)
+      }
       case None if p.minOverlap >= 2 =>
         Some(s => Subtract(s, Literal(p.minOverlap - 1)))
       case None => None
@@ -304,6 +352,14 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def atomicElem(e: Expression): Boolean = e.dataType match {
     case ArrayType(et, _) => et match {
       case _: ArrayType | _: MapType | _: StructType => false
+      // non-binary collations stand down (every path): SQL equality on
+      // a collated string is collation-aware ('Foo' = 'FOO' under
+      // UTF8_LCASE) while xxhash64 hashes raw bytes — the hashed
+      // two-phase would silently drop qualifying pairs — and the
+      // in-place pin/prefix orderings would each need a
+      // collation-consistency proof of their own
+      case s: StringType =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.binaryEqualityString(s)
       case other => RowOrdering.isOrderable(other)
     }
     case _ => false
@@ -381,10 +437,17 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           ColumnBridge.dataFrame(spark, r), ColumnBridge.column(p.b),
           minOverlap = if (p.jaccardTau.isDefined) 1 else p.minOverlap)
           .head()
+        // the BIGINT report columns are try_cast-degraded to NULL past
+        // ~9.2e18 candidates — read them boxed so the log says so
+        // instead of unboxing NULL to a self-contradictory 0 at
+        // exactly the hottest extreme
+        def big(name: String): String =
+          Option(row.getAs[java.lang.Long](name))
+            .map(_.toString).getOrElse(">Long.Max")
         logWarning("overlap-join rewrite preflight: " +
-          s"est_candidate_rows=${row.getAs[Long]("est_candidate_rows")} " +
+          s"est_candidate_rows=${big("est_candidate_rows")} " +
           s"worst_element=${row.getAs[Any]("worst_element")} " +
-          s"max_element_rows=${row.getAs[Long]("max_element_rows")} " +
+          s"max_element_rows=${big("max_element_rows")} " +
           s"max_share_bp=${row.getAs[Long]("max_share_bp")} " +
           s"diagnosis=${row.getAs[String]("diagnosis")}")
       } catch {
@@ -500,34 +563,47 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Literal(1))
   }
 
-  /** Slim candidate side shared by the two-phase topologies: project
-    * (rowid, aliased scalar-conjunct columns, array refs), explode the
-    * hashed candidate keys, return (plan, element attr, original→alias
-    * substitution map for the carried conjuncts).
+  /** Slim candidate side shared by EVERY two-phase topology (hashed
+    * inner/verify, raw-witness semi, membership): project (keep
+    * columns, aliased scalar-conjunct columns, array refs), explode the
+    * candidate-element expression, return (plan, element attr,
+    * original→alias substitution map for the carried conjuncts).
     *
-    * The hashed-elements expression feeds Explode INLINE, never
-    * through an alias: InferFiltersFromGenerate only infers size /
-    * isnotnull filters over Attribute generator inputs (SPARK-36715),
-    * and predicate pushdown would substitute an alias into those
-    * filters and re-evaluate the whole shingling expression per row
-    * below the explode — measured as 4× the entire query's runtime on
-    * d27 before this shape. */
-  private def slimHashedSide(base: LogicalPlan, prid: Attribute,
-      arr: Expression, side: LogicalPlan, elemName: String,
-      carried: Seq[Expression], p: OverlapPred)
+    * The elements expression feeds Explode INLINE, never through an
+    * alias: InferFiltersFromGenerate only infers size / isnotnull
+    * filters over Attribute generator inputs (SPARK-36715), and
+    * predicate pushdown would substitute an alias into those filters
+    * and re-evaluate the whole shingling expression per row below the
+    * explode — measured as 4× the entire query's runtime on d27 before
+    * this shape. */
+  private def slimSide(base: LogicalPlan, keep: Seq[Attribute],
+      side: LogicalPlan, carried: Seq[Expression], elems: Expression,
+      elemName: String, elemType: DataType, elemNullable: Boolean)
       : (LogicalPlan, Attribute, Map[Attribute, Attribute]) = {
     val needed = carried.flatMap(_.references).distinct
       .filter(side.outputSet.contains)
     val aliased = needed.map(at => at -> Alias(at, at.name)())
-    val arrRefs = arr.references.toSeq
-    val keep = Seq(prid) ++ aliased.map(_._2)
-    val proj = Project(keep ++ arrRefs, base)
-    val eh = AttributeReference(elemName, LongType, nullable = false)()
-    val gen = Generate(Explode(candidateElems(arr, p, hashed = true)),
-      unrequiredChildIndex = keep.size until proj.output.size,
+    val arrRefs = elems.references.toSeq
+    val kept = keep ++ aliased.map(_._2)
+    val proj = Project(kept ++ arrRefs, base)
+    val eh = AttributeReference(elemName, elemType,
+      nullable = elemNullable)()
+    val gen = Generate(Explode(elems),
+      unrequiredChildIndex = kept.size until proj.output.size,
       outer = false, None, Seq(eh), proj)
     (gen, eh, aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
   }
+
+  /** [[slimSide]] with the HASHED candidate keys (8-byte xxhash64
+    * elements, prefix-sliced when the threshold admits it) — the
+    * two-phase inner/verify shape. */
+  private def slimHashedSide(base: LogicalPlan, prid: Attribute,
+      arr: Expression, side: LogicalPlan, elemName: String,
+      carried: Seq[Expression], p: OverlapPred)
+      : (LogicalPlan, Attribute, Map[Attribute, Attribute]) =
+    slimSide(base, Seq(prid), side, carried,
+      candidateElems(arr, p, hashed = true), elemName, LongType,
+      elemNullable = false)
 
   /** TWO-PHASE topology: slim hashed candidate pair generation
     * (prefix-sliced when the threshold admits it) + distinct + rowid
@@ -729,25 +805,12 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       (lNarrow, pridL) <- withStableRowId(l, "graft_prid_l")
     } yield {
       val elemType = a.dataType.asInstanceOf[ArrayType].elementType
-      // inline generator input — same InferFiltersFromGenerate/pushdown
-      // trap as twoPhaseInner's narrowSide, see the note there
-      def narrow(base: LogicalPlan, keep: Seq[Attribute], arr: Expression,
-          side: LogicalPlan, elemName: String)
-          : (LogicalPlan, Attribute, Map[Attribute, Attribute]) = {
-        val needed = rest.flatMap(_.references).distinct
-          .filter(side.outputSet.contains)
-        val aliased = needed.map(at => at -> Alias(at, at.name)())
-        val arrRefs = arr.references.toSeq
-        val kept = keep ++ aliased.map(_._2)
-        val proj = Project(kept ++ arrRefs, base)
-        val ea = AttributeReference(elemName, elemType)()
-        val gen = Generate(Explode(distinctElems(arr)),
-          unrequiredChildIndex = kept.size until proj.output.size,
-          outer = false, None, Seq(ea), proj)
-        (gen, ea, aliased.map { case (at, al) => at -> al.toAttribute }.toMap)
-      }
-      val (nL, eaL, mapL) = narrow(lNarrow, Seq(pridL), a, l, "graft_elem_l")
-      val (nR, eaR, mapR) = narrow(r, Nil, b, r, "graft_elem_r")
+      // raw distinct elements (witness equality must be exact, no
+      // re-check) through the shared slimSide scaffold
+      val (nL, eaL, mapL) = slimSide(lNarrow, Seq(pridL), l, rest,
+        distinctElems(a), "graft_elem_l", elemType, elemNullable = true)
+      val (nR, eaR, mapR) = slimSide(r, Nil, r, rest,
+        distinctElems(b), "graft_elem_r", elemType, elemNullable = true)
       val subst = mapL ++ mapR
       val restSub = rest.map(_.transform {
         case at: Attribute if subst.contains(at) => subst(at)
@@ -860,17 +923,9 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       (lNarrow, pridL) <- withStableRowId(l, "graft_prid_l")
     } yield {
       val elemType = arr.dataType.asInstanceOf[ArrayType].elementType
-      val needed = rest.flatMap(_.references).distinct
-        .filter(l.outputSet.contains)
-      val aliased = needed.map(at => at -> Alias(at, at.name)())
-      val arrRefs = arr.references.toSeq
-      val keep = Seq(pridL) ++ aliased.map(_._2)
-      val proj = Project(keep ++ arrRefs, lNarrow)
-      val ea = AttributeReference("graft_member_elem", elemType)()
-      val gen = Generate(Explode(distinctElems(arr)),
-        unrequiredChildIndex = keep.size until proj.output.size,
-        outer = false, None, Seq(ea), proj)
-      val subst = aliased.map { case (at, al) => at -> al.toAttribute }.toMap
+      val (gen, ea, subst) = slimSide(lNarrow, Seq(pridL), l, rest,
+        distinctElems(arr), "graft_member_elem", elemType,
+        elemNullable = true)
       val restSub = rest.map(_.transform {
         case at: Attribute if subst.contains(at) => subst(at)
       })
@@ -898,7 +953,16 @@ private[plans] object SetOverlapJoinRewrite {
     * `>=` spelling, whose WITNESSED pairs this bound covers while the
     * empty-empty pairs it also admits come from a separate union
     * branch, see [[rewriteOverlap]]). */
+  /** `jaccardSlop` = the τ literal was a DECIMAL (a pure-SQL `0.8`)
+    * whose predicate arithmetic is exact while the bound runs in
+    * double: the bound subtracts one extra element (c_row − 1) so a
+    * one-ulp overshoot of ceil/floor can never shorten a prefix a
+    * qualifying pair needs — the raw predicate re-check keeps the
+    * result exact, the prefix is merely one element longer. Double τ
+    * literals need no slop: the bound runs in the predicate's own
+    * arithmetic. */
   private[plans] final case class OverlapPred(conj: Expression,
       a: Expression, b: Expression, implied: Boolean, minOverlap: Int,
-      jaccardTau: Option[Double], jaccardOrEqual: Boolean = false)
+      jaccardTau: Option[Double], jaccardOrEqual: Boolean = false,
+      jaccardSlop: Boolean = false)
 }

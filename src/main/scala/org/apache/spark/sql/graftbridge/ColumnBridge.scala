@@ -20,4 +20,11 @@ object ColumnBridge {
   def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** `StringType.supportsBinaryEquality` is `private[sql]` — true iff
+    * SQL equality on this string type is plain byte equality (the
+    * UTF8_BINARY collation), the property that makes xxhash64-keyed
+    * join topologies sound on string elements. */
+  def binaryEqualityString(s: org.apache.spark.sql.types.StringType): Boolean =
+    s.supportsBinaryEquality
 }

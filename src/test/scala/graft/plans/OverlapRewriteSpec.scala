@@ -628,6 +628,98 @@ class OverlapRewriteSpec extends SparkSuite {
     assert(louter.count() >= left.count())
   }
 
+  test("pure-SQL DECIMAL tau literals fire the Jaccard rewrite (the " +
+      "parser types 0.5 as DECIMAL, not DOUBLE) — both > and >= " +
+      "spellings, answers identical to the naive decimal-exact " +
+      "evaluation incl. the boundary pair the one-element slop guards") {
+    val sess = spark
+    import sess.implicits._
+    // (1,7): intersect 2 of union 4 — exactly tau = 0.5: IN for >=, OUT
+    // for >; (2,8): intersect 2 of union 3 — IN for both; (4,5): the
+    // empty-empty pair the >= spelling must also emit
+    val l = Seq((1L, Seq(10L, 20L, 30L)), (2L, Seq(10L, 50L)),
+      (4L, Seq[Long]()))
+    val r = Seq((7L, Seq(20L, 30L, 40L)), (8L, Seq(10L, 50L, 60L)),
+      (5L, Seq[Long]()))
+    l.toDF("lid", "la").createOrReplaceTempView("jac_l")
+    r.toDF("rid", "ra").createOrReplaceTempView("jac_r")
+    def naive(orEq: Boolean): Seq[(Long, Long)] = (for {
+      (li, la) <- l; (ri, ra) <- r
+      i = la.distinct.count(ra.distinct.contains)
+      u = (la ++ ra).distinct.size
+      if (if (orEq) i * 2 >= u else i * 2 > u) // exact 0.5 in integers
+    } yield (li, ri)).sorted
+    for (op <- Seq(">", ">=")) {
+      val q = spark.sql(
+        s"""SELECT lid, rid FROM jac_l JOIN jac_r
+           |ON size(array_intersect(la, ra))
+           |   $op 0.5 * size(array_union(la, ra))""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_elem"),
+        s"decimal-tau $op spelling must fire:\n$plan")
+      val got = q.collect().map(x => (x.getLong(0), x.getLong(1)))
+        .toSeq.sorted
+      assert(got == naive(op == ">="), s"$op: got=$got")
+    }
+    // fixture self-check: the boundary pair separates the spellings
+    assert(naive(true).contains((1L, 7L)) && !naive(false).contains((1L, 7L)))
+    assert(naive(true).contains((4L, 5L)), "empty-empty present for >=")
+  }
+
+  test("non-binary collations stand the rewrite down: UTF8_LCASE " +
+      "equality is collation-aware while xxhash64 hashes bytes — the " +
+      "naive plan keeps the collation-correct answer") {
+    spark.sql("DROP VIEW IF EXISTS col_l")
+    spark.sql("DROP VIEW IF EXISTS col_r")
+    spark.sql(
+      """CREATE TEMP VIEW col_l AS SELECT 1L AS lid,
+        |array(cast('Foo' as string collate utf8_lcase)) AS la""".stripMargin)
+    spark.sql(
+      """CREATE TEMP VIEW col_r AS SELECT 7L AS rid,
+        |array(cast('FOO' as string collate utf8_lcase)) AS ra""".stripMargin)
+    val j = spark.sql(
+      "SELECT lid, rid FROM col_l JOIN col_r ON arrays_overlap(la, ra)")
+    assert(!j.queryExecution.executedPlan.toString.contains("graft_elem"),
+      "collated element arrays must stand down:\n"
+        + j.queryExecution.executedPlan)
+    // the collation-aware naive answer: 'Foo' = 'FOO' under UTF8_LCASE
+    assert(j.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      == Seq((1L, 7L)))
+  }
+
+  test("a huge tau is clamped in Long before the Int cast: the naive " +
+      "predicate evaluates harmlessly in double arithmetic, so the " +
+      "rewrite must not introduce an ANSI CAST_OVERFLOW crash") {
+    val sess = spark
+    import sess.implicits._
+    val l = Seq((1L, Seq(10L, 20L))).toDF("lid", "la")
+    val r = Seq((7L, Seq(10L, 30L))).toDF("rid", "ra")
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "fixture premise: ANSI on (the session default)")
+    val strict = l.join(r, size(array_intersect(col("la"), col("ra")))
+      > lit(1e9) * size(array_union(col("la"), col("ra"))))
+    assert(strict.queryExecution.executedPlan.toString.contains("graft_elem"))
+    assert(strict.count() == 0L, "no pair clears tau = 1e9")
+    // >= admits only the (absent) empty-empty pairs at this tau
+    val orEq = l.join(r, size(array_intersect(col("la"), col("ra")))
+      >= lit(1e9) * size(array_union(col("la"), col("ra"))))
+    assert(orEq.count() == 0L)
+  }
+
+  test("an EqualNullSafe (<=>) conjunct already linking the sides " +
+      "stands the rewrite down, like EqualTo — the hash join is " +
+      "already O(collisions), exploding it would be strictly worse") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq((1L, Seq(10L, 20L))).toDF("lid", "la")
+    val right = Seq((1L, Seq(20L, 30L))).toDF("rid", "ra")
+    val j = left.join(right,
+      (col("lid") <=> col("rid")) && arrays_overlap(col("la"), col("ra")))
+    assert(!j.queryExecution.executedPlan.toString.contains("graft_elem"),
+      "null-safe equi-linked join must stand down")
+    assert(j.count() == 1L)
+  }
+
   test("Jaccard recognizer stands down under spark.sql.legacy.sizeOfNull: " +
       "size(NULL) = -1 makes -1 >= tau*(-1) TRUE for tau >= 1 — NULL-array " +
       "pairs the witnessed rewrite cannot emit; naive answer intact") {

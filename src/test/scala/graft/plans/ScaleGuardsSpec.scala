@@ -75,4 +75,30 @@ class ScaleGuardsSpec extends SparkSuite {
     val b = spark.range(10).toDF("y")
     assert(a.crossJoin(b).count() == 100)
   }
+
+  test("cartesian guard ON: a BROADCAST-hinted cross is exempt — the " +
+      "hint is an explicit tiny-side declaration, and the >=-Jaccard " +
+      "rewrite's own empty-empty branch runs under the guard") {
+    import org.apache.spark.sql.functions.{array_intersect, array_union,
+      broadcast, lit, size}
+    val a = spark.range(10).toDF("x")
+    val b = spark.range(10).toDF("y")
+    // user-spelled declared-tiny cross
+    assert(withCartesianGuard(on = true)(
+      a.crossJoin(broadcast(b)).count()) == 100)
+    // the rewrite's own branch: a >=-Jaccard join whose only conjunct
+    // is the Jaccard predicate rewrites to (witnessed) UNION
+    // (broadcast empty-empty cross) in the same rule batch as the
+    // guard — must plan and answer, not throw
+    val sess = spark
+    import sess.implicits._
+    val l = Seq((1L, Seq(10L, 20L)), (4L, Seq[Long]())).toDF("lid", "la")
+    val r = Seq((7L, Seq(10L, 20L)), (5L, Seq[Long]())).toDF("rid", "ra")
+    val got = withCartesianGuard(on = true)(
+      l.join(r, size(array_intersect(col("la"), col("ra")))
+          >= lit(0.5) * size(array_union(col("la"), col("ra"))))
+        .select("lid", "rid")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted)
+    assert(got == Seq((1L, 7L), (4L, 5L)), s"got $got")
+  }
 }
