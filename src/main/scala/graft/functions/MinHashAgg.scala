@@ -7,22 +7,31 @@ import org.apache.spark.sql.expressions.Aggregator
   * face of the sketch surface (SURVEY §2.8: the reference has no UDAFs; the
   * engine exposes Spark's typed aggregate API for custom sketches).
   *
-  * Functionally identical to the expression-based signature in
-  * DedupOps.d03 (verified by MinHashAggSpec): numHashes seeded md5-prefix
-  * hashes, min per seed. Buffers are primitive long arrays — mergeable,
-  * constant size, spill-friendly — which is what a 100 TB groupByKey sketch
-  * needs.
+  * Hash family SHARED with [[MinHashSig]]/DedupOps.d03/the DuckDB oracle:
+  * per shingle, x = the 28-bit md5-prefix base hash
+  * ([[MinHashSig.baseHash]]), per seed min of `(a_i·x + b_i) mod p`
+  * ([[MinHashFamily]]) — so signatures built here band/join correctly
+  * against expression-built ones (MinHashAggSpec pins element-for-element
+  * identity against `MinHashSig.compute` on the same shingle sets).
+  * Buffers are primitive long arrays — mergeable, constant size,
+  * spill-friendly — which is what a 100 TB groupByKey sketch needs.
   */
 final class MinHashAgg(numHashes: Int)
     extends Aggregator[String, Array[Long], Array[Long]] {
 
+  private val A: Array[Long] = Array.tabulate(numHashes)(MinHashFamily.a)
+  private val B: Array[Long] = Array.tabulate(numHashes)(MinHashFamily.b)
+  private val P: Long = MinHashFamily.p
+
   override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    val x = MinHashSig.baseHash(
+      shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var i = 0
     while (i < numHashes) {
-      val h = StableHash.h60Jvm(s"$i:$shingle")
-      if (h < buf(i)) buf(i) = h
+      val v = (A(i) * x + B(i)) % P
+      if (v < buf(i)) buf(i) = v
       i += 1
     }
     buf

@@ -67,29 +67,46 @@ object MinHashSig {
   private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
-  /** (sigs of `shingles`) or null when empty. Exposed for codegen. */
+  /** 28-bit md5-prefix base hash of one shingle's UTF-8 bytes — THE `x`
+    * every member of the family folds through `(a_i·x + b_i) mod p`.
+    * Shared with [[MinHashAgg]] so the typed aggregator's signatures
+    * interoperate with `minhash_sigs`/d03/the DuckDB oracle. */
+  def baseHash(utf8: Array[Byte]): Long = {
+    val digest = md5.get()
+    digest.reset()
+    val d = digest.digest(utf8)
+    // first 7 hex nibbles of the digest = the 28-bit base hash
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >>> 4)
+  }
+
+  /** (sigs of `shingles`) or null when empty. Exposed for codegen.
+    * Null ELEMENTS are skipped, matching the lambda spelling (a null
+    * shingle's md5 is NULL, and array_min ignores NULL entries) —
+    * engine inputs are array_distinct over split() output and carry
+    * none, but the function is SQL-registered. */
   def compute(shingles: ArrayData): GenericArrayData = {
     val m = shingles.numElements()
     if (m == 0) return null
     val mins = Array.fill(n)(Long.MaxValue)
-    val digest = md5.get()
+    var any = false
     var j = 0
     while (j < m) {
-      val s = shingles.getUTF8String(j)
-      digest.reset()
-      val d = digest.digest(s.getBytes)
-      // first 7 hex nibbles of the digest = the 28-bit base hash
-      val x = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-        ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >>> 4)
-      var i = 0
-      while (i < n) {
-        val v = (A(i) * x + B(i)) % P
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      if (!shingles.isNullAt(j)) {
+        any = true
+        val x = baseHash(shingles.getUTF8String(j).getBytes)
+        var i = 0
+        while (i < n) {
+          val v = (A(i) * x + B(i)) % P
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    // all-null input ≡ empty for the lambda form (array_min over an
+    // all-NULL transform is NULL per seed)
+    if (!any) null else new GenericArrayData(mins)
   }
 
   /** Column API: 16-element ARRAY<BIGINT> of minhash signatures. */

@@ -60,6 +60,13 @@ case class ProtoEncode(child: Expression, msg: ProtoMessage)
         f.name == g.name && sameIgnoreNull(f.dataType, g.dataType) }
     case (org.apache.spark.sql.types.ArrayType(x, _),
         org.apache.spark.sql.types.ArrayType(y, _)) => sameIgnoreNull(x, y)
+    // valueContainsNull is ignored like every other nullability flag
+    // (from_json and most map-producing expressions yield true where
+    // the descriptor's sparkType pins false); a runtime null map value
+    // encodes as an omitted value field — proto3's default semantics
+    case (org.apache.spark.sql.types.MapType(xk, xv, _),
+        org.apache.spark.sql.types.MapType(yk, yv, _)) =>
+      sameIgnoreNull(xk, yk) && sameIgnoreNull(xv, yv)
     case _ => a == b
   }
 

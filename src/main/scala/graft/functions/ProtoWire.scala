@@ -261,9 +261,13 @@ object ProtoWire {
     var maps: mutable.LongMap[mutable.LinkedHashMap[Any, Any]] = null
     while (r.hasMore) {
       val tag = r.readVarint()
-      val fieldNo = (tag >>> 3).toInt
+      val fieldNoL = tag >>> 3
       val wire = (tag & 7).toInt
-      if (fieldNo <= 0) fail()
+      // proto field numbers max out at 2^29 − 1; a corrupt tag past
+      // 2^32 would alias onto a small valid number through .toInt and
+      // decode garbage into the wrong column instead of nulling out
+      if (fieldNoL <= 0 || fieldNoL > ((1L << 29) - 1)) fail()
+      val fieldNo = fieldNoL.toInt
       msg.byNumber.get(fieldNo) match {
         case None => r.skip(wire)
         case Some((f, i)) if f.repeated =>
@@ -435,7 +439,11 @@ object ProtoWire {
     while (j < map.numElements()) {
       val sub = new Writer
       encodeScalar(sub, ka, j, 1, pm.key)
-      encodeScalar(sub, va, j, 2, pm.value)
+      // a null map value (valueContainsNull inputs) encodes as an
+      // OMITTED value field — the decoder yields the proto3 default,
+      // the closest wire-representable meaning (proto map values have
+      // no null)
+      if (!va.isNullAt(j)) encodeScalar(sub, va, j, 2, pm.value)
       val b = sub.toArray
       w.writeTag(number, 2); w.writeVarint(b.length.toLong)
       w.writeBytes(b, 0, b.length)
@@ -505,13 +513,23 @@ object ProtoWire {
   def decodeStructJson(bytes: Array[Byte]): UTF8String =
     try {
       val out = new java.lang.StringBuilder
-      structJson(bytes, 0, bytes.length, out)
+      structJson(bytes, 0, bytes.length, out, 0)
       UTF8String.fromString(out.toString)
     } catch { case _: Malformed => null }
 
+  /** Struct nesting cap (protobuf's own default recursion limit):
+    * deeper input is treated as MALFORMED — returns null for the DLQ
+    * like any other corrupt record. Unbounded, a ~100 KB blob encoding
+    * tens of thousands of struct_value levels would recurse to
+    * StackOverflowError, an Error the Malformed catch cannot contain —
+    * killing the task deterministically on every retry instead of
+    * dead-lettering the record. */
+  private val MaxStructDepth = 100
+
   /** Struct { map<string, Value> fields = 1 } — map entry {1:key, 2:value}. */
   private def structJson(buf: Array[Byte], off: Int, end: Int,
-      out: java.lang.StringBuilder): Unit = {
+      out: java.lang.StringBuilder, depth: Int): Unit = {
+    if (depth > MaxStructDepth) fail()
     val r = new Reader(buf, off, end)
     out.append('{')
     var first = true
@@ -521,14 +539,14 @@ object ProtoWire {
         val (eoff, elen) = r.readSlice()
         if (!first) out.append(',')
         first = false
-        entryJson(buf, eoff, eoff + elen, out)
+        entryJson(buf, eoff, eoff + elen, out, depth)
       } else r.skip((tag & 7).toInt)
     }
     out.append('}')
   }
 
   private def entryJson(buf: Array[Byte], off: Int, end: Int,
-      out: java.lang.StringBuilder): Unit = {
+      out: java.lang.StringBuilder, depth: Int): Unit = {
     val r = new Reader(buf, off, end)
     var key: String = ""
     var voff = -1; var vend = -1
@@ -543,13 +561,15 @@ object ProtoWire {
     }
     jsonString(key, out)
     out.append(':')
-    if (voff < 0) out.append("null") else valueJson(buf, voff, vend, out)
+    if (voff < 0) out.append("null")
+    else valueJson(buf, voff, vend, out, depth + 1)
   }
 
   /** Value oneof: 1 null_value, 2 number_value, 3 string_value,
     * 4 bool_value, 5 struct_value, 6 list_value. */
   private def valueJson(buf: Array[Byte], off: Int, end: Int,
-      out: java.lang.StringBuilder): Unit = {
+      out: java.lang.StringBuilder, depth: Int): Unit = {
+    if (depth > MaxStructDepth) fail()
     val r = new Reader(buf, off, end)
     var rendered = "null" // empty Value → null
     var complex: (Int, Int, Boolean) = null // (off, end, isList)
@@ -577,13 +597,15 @@ object ProtoWire {
     }
     if (complex != null) {
       val (o, e, isList) = complex
-      if (isList) listJson(buf, o, e, out) else structJson(buf, o, e, out)
+      if (isList) listJson(buf, o, e, out, depth + 1)
+      else structJson(buf, o, e, out, depth + 1)
     } else out.append(rendered)
   }
 
   /** ListValue { repeated Value values = 1 }. */
   private def listJson(buf: Array[Byte], off: Int, end: Int,
-      out: java.lang.StringBuilder): Unit = {
+      out: java.lang.StringBuilder, depth: Int): Unit = {
+    if (depth > MaxStructDepth) fail()
     val r = new Reader(buf, off, end)
     out.append('[')
     var first = true
@@ -593,7 +615,7 @@ object ProtoWire {
         val (o, l) = r.readSlice()
         if (!first) out.append(',')
         first = false
-        valueJson(buf, o, o + l, out)
+        valueJson(buf, o, o + l, out, depth + 1)
       } else r.skip((tag & 7).toInt)
     }
     out.append(']')

@@ -59,10 +59,14 @@ object SimHash32 {
     val digest = md5.get()
     var j = 0
     while (j < n) {
-      val t = toks.getUTF8String(j)
+      // null TOKENS are skipped (engine inputs are split() output and
+      // carry none, but the function is SQL-registered — the aggregate
+      // spelling this replaces drops nulls at its distinct, and a
+      // silent NPE would kill the task instead)
+      val t = if (toks.isNullAt(j)) null else toks.getUTF8String(j)
       // distinct over token VALUES (toString copies out of any shared
       // UnsafeArrayData buffer before the set holds a reference)
-      if (seen.add(t.toString)) {
+      if (t != null && seen.add(t.toString)) {
         digest.reset()
         val d = digest.digest(t.getBytes)
         // first 8 md5 hex digits = first 4 digest bytes, big-endian (h32)

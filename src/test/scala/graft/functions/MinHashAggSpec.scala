@@ -19,12 +19,16 @@ class MinHashAggSpec extends SparkSuite {
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
       .filter(col("doc_id") < 20)
 
-    // expression-based (the d03 form)
-    val sigCols = (0 until 16).map(i =>
-      min(StableHash.h60(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
-    val exprSig = docs.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      .collect().map(r => r.getLong(0) ->
-        (1 to 16).map(r.getLong(_)).toVector).toMap
+    // expression-based: the ACTUAL d03 form — minhash_sigs
+    // ((a_i·x + b_i) mod p over the 28-bit md5 prefix) on the gathered
+    // shingle set. An earlier revision of this spec compared against a
+    // stale h60("i:"+shingle) spelling d03 no longer uses, which let
+    // the aggregator drift to a hash family whose signatures could
+    // never band-join against d03's.
+    val exprSig = docs.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("sh"))
+      .select(col("doc_id"), MinHashSig.minhashSigs(col("sh")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
 
     // typed Aggregator
     val agg = new MinHashAgg(16)

@@ -164,6 +164,62 @@ class ProtoWireSpec extends SparkSuite {
     assert(ProtoWire.decodeStructJson(bytes(0x0f)) == null)
   }
 
+  test("corrupt tags and pathological nesting are MALFORMED, not crashes: " +
+      "a field number past 2^29-1 nulls out instead of aliasing through " +
+      ".toInt, and a deeply nested Struct nulls out instead of " +
+      "StackOverflowError") {
+    // tag with fieldNo = 2^32 + 1, wire 0: varint of ((2^32+1) << 3 | 0).
+    // Pre-fix, (tag >>> 3).toInt aliased this onto field 1 and decoded
+    // the payload into the wrong column.
+    val tag = ((1L << 32) + 1L) << 3
+    val w = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var v = tag
+    while ((v & ~0x7fL) != 0) { w += ((v & 0x7f) | 0x80).toInt; v >>>= 7 }
+    w += v.toInt
+    w += 0x01 // the varint payload that would have landed in field 1
+    assert(ProtoWire.decode(bytes(w.toSeq: _*), test1) == null,
+      "out-of-range field number must be malformed")
+    // struct_value nesting 300 deep (cap: 100): each level is one map
+    // entry {key "k", value = struct_value{...}} built inside-out
+    var struct = Array.emptyByteArray
+    for (_ <- 0 until 300) {
+      val value = bytes(0x2a, struct.length) ++ struct // 5:struct_value
+      val entry = bytes(0x0a, 0x01, 0x6b, 0x12, value.length) ++ value
+      struct = bytes(0x0a, entry.length) ++ entry
+    }
+    assert(ProtoWire.decodeStructJson(struct) == null,
+      "over-deep Struct must be malformed (DLQ), not a task-killing " +
+        "StackOverflowError")
+    // a legal depth still decodes
+    var ok = Array.emptyByteArray
+    for (_ <- 0 until 5) {
+      val value = bytes(0x2a, ok.length) ++ ok
+      val entry = bytes(0x0a, 0x01, 0x6b, 0x12, value.length) ++ value
+      ok = bytes(0x0a, entry.length) ++ entry
+    }
+    assert(ProtoWire.decodeStructJson(ok) != null)
+  }
+
+  test("a null map VALUE (valueContainsNull inputs pass the type check) " +
+      "encodes as an omitted value field — decodes to the proto3 default") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{MapType, StringType, StructField,
+      StructType}
+    val msg = ProtoMessage("M",
+      Seq(ProtoField(1, "m", PMap(PString, PString))))
+    val schema = StructType(Seq(StructField("m",
+      MapType(StringType, StringType, valueContainsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Map("a" -> "x", "b" -> null))), schema)
+    val out = df.select(
+        ProtoFunctions.protoDecode(
+          ProtoFunctions.protoEncode(struct(col("m")), msg), msg)
+          .as("r"))
+      .selectExpr("r.m as m").head().getMap[String, String](0)
+    assert(out("a") == "x")
+    assert(out("b") == "", "null value must decode as the proto3 default")
+  }
+
   test("expression roundtrip over a DataFrame covers the full type surface " +
       "inside codegen") {
     import graft.functions.ProtoFunctions._
