@@ -36,22 +36,63 @@ final class DeadSet(topics: TopicIO, markerDir: String) {
   private def markerPath(entity: String) =
     Paths.get(s"$markerDir/${entity}_dlq_marker")
 
-  def marker(entity: String): Long =
-    if (Files.exists(markerPath(entity)))
-      new String(Files.readAllBytes(markerPath(entity))).trim.toLong
-    else -1L
+  /** Acked-offset floor PER PARTITION: Kafka offsets are ordered only
+    * within a partition, so one global marker on a multi-partition DLQ
+    * topic would ack records of one partition by an offset observed on
+    * another — hiding unacked records or re-exposing acked ones. The
+    * marker file holds `partition:offset` lines; the `*:offset` line is
+    * the global floor, which is also how a LEGACY single-number file
+    * (written before markers were per-partition) is read — exact for the
+    * file transport, whose offsets were globally assigned. */
+  def markers(entity: String): Map[Int, Long] =
+    if (!Files.exists(markerPath(entity))) Map.empty
+    else {
+      val lines = new String(Files.readAllBytes(markerPath(entity)))
+        .split("\n").map(_.trim).filter(_.nonEmpty)
+      lines.map {
+        case l if l.contains(":") =>
+          val Array(pt, off) = l.split(":", 2)
+          (if (pt == "*") -1 else pt.toInt) -> off.toLong
+        case legacy => -1 -> legacy.toLong
+      }.toMap
+    }
 
-  private def setMarker(entity: String, offset: Long): Unit = {
+  /** The global floor — what the pre-partition-aware marker meant; kept
+    * for operational introspection. */
+  def marker(entity: String): Long = markers(entity).getOrElse(-1, -1L)
+
+  private def writeMarkers(entity: String, m: Map[Int, Long]): Unit = {
     Files.createDirectories(markerPath(entity).getParent)
-    Files.write(markerPath(entity), offset.toString.getBytes,
+    val body = m.toSeq.sortBy(_._1).map { case (pt, off) =>
+      s"${if (pt == -1) "*" else pt.toString}:$off"
+    }.mkString("\n")
+    Files.write(markerPath(entity), body.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
   }
 
-  private def live(spark: SparkSession, entity: String): DataFrame =
+  /** Advance the acked floor of each partition present in `acked`
+    * (monotone: an existing higher floor is kept). */
+  private def advanceMarkers(entity: String,
+      acked: Seq[(Int, Long)]): Unit = {
+    val cur = markers(entity)
+    val next = acked.groupBy(_._1).map { case (pt, xs) =>
+      pt -> math.max(xs.map(_._2).max, cur.getOrElse(pt, -1L))
+    }
+    writeMarkers(entity, cur ++ next)
+  }
+
+  private def live(spark: SparkSession, entity: String): DataFrame = {
+    val ms = markers(entity)
+    val global = ms.getOrElse(-1, -1L)
+    val floor = (ms - (-1)).foldLeft(lit(global)) { case (acc, (pt, off)) =>
+      when(col("partition") === pt, lit(math.max(off, global)))
+        .otherwise(acc)
+    }
     topics.read(spark, EngineConfig.deadLetterTopic(entity))
-      .filter(col("offset") > marker(entity))
-      .orderBy(col("offset"))
+      .filter(col("offset") > floor)
+      .orderBy(col("offset"), col("partition"))
+  }
 
   /** Peek first `n` without acking (GET /v1/dead_set). */
   def view(spark: SparkSession, entity: String, n: Int): DataFrame =
@@ -60,11 +101,11 @@ final class DeadSet(topics: TopicIO, markerDir: String) {
   /** Drop first `n` (DELETE /v1/dead_set): advance the marker only. */
   def delete(spark: SparkSession, entity: String, n: Int): Long =
     lockFor(entity).synchronized {
-      val offsets = view(spark, entity, n).select("offset").collect()
-      if (offsets.nonEmpty) {
-        setMarker(entity, offsets.map(_.getLong(0)).max)
-      }
-      offsets.length.toLong
+      val acked = view(spark, entity, n)
+        .select(col("partition"), col("offset")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      if (acked.nonEmpty) advanceMarkers(entity, acked)
+      acked.length.toLong
     }
 
   /** Re-publish first `n` to the entity's instant topic for reprocessing,
@@ -74,13 +115,14 @@ final class DeadSet(topics: TopicIO, markerDir: String) {
     lockFor(entity).synchronized {
       val batch = view(spark, entity, n).cache()
       try {
-        val offsets = batch.select("offset").collect()
-        if (offsets.nonEmpty) {
+        val acked = batch.select(col("partition"), col("offset")).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSeq
+        if (acked.nonEmpty) {
           topics.append(batch.withColumn("nextAttemptAt",
             lit(null).cast("timestamp")), EngineConfig.instantTopic(entity))
-          setMarker(entity, offsets.map(_.getLong(0)).max)
+          advanceMarkers(entity, acked)
         }
-        offsets.length.toLong
+        acked.length.toLong
       } finally batch.unpersist()
     }
 }

@@ -57,10 +57,18 @@ object Dispatch {
       batch: DataFrame): Counts = {
     import Envelope.Code
     val entity = route.topicEntity
+    // only the route's CONFIGURED channels are recognized dispositions:
+    // the emit loop below writes those and nothing else, so letting an
+    // arbitrary `channel:*` string through normalization would drop the
+    // record silently (written to no topic, counted nowhere). An
+    // unconfigured channel name — a typo, or a handler shared across
+    // differently-configured routes — takes the documented catch-all to
+    // Retry instead (mapper.clj's unrecognized-return contract).
+    val knownChannels = route.channels.keys.map(Code.channel).toSeq
     val handled = handler(batch)
       .withColumn("disposition",
         when(col("disposition").isin(Code.Success, Code.Skip, Code.DeadLetter)
-          || col("disposition").startsWith("channel:")
+          || col("disposition").isin(knownChannels: _*)
           || col("disposition") === Code.Retry, col("disposition"))
           .otherwise(lit(Code.Retry)))
       .cache()
@@ -70,7 +78,8 @@ object Dispatch {
       // of every route runs ONE count job per trigger, not one per
       // disposition class (five actions at r2; the per-trigger latency
       // multiplier the round-2 audit flagged).
-      val tallies = dispositionTallies(handled, route.retry.enabled)
+      val tallies = dispositionTallies(handled,
+        if (route.retry.enabled) Some(route.retry) else None)
       val success = tallies.total(Code.Success)
       val skip = tallies.total(Code.Skip)
       val retried = tallies.live(Code.Retry)
@@ -105,9 +114,11 @@ object Dispatch {
     } finally handled.unpersist()
   }
 
-  /** Per-(disposition, exhausted?) counts from one groupBy job. A retry row
-    * is "exhausted" when its remaining count is 0 (RetryEngine.splitRetries'
-    * DLQ criterion), or always when retries are disabled for the route. */
+  /** Per-(disposition, exhausted?) counts from one groupBy job. A retry
+    * row is "exhausted" per [[RetryEngine.exhaustedCol]] — the SAME
+    * criterion splitRetries routes to the DLQ with, so the counted and
+    * written sets cannot drift — or always when retries are disabled for
+    * the route (retryCfg = None). */
   private final case class Tallies(m: Map[(String, Boolean), Long]) {
     def total(code: String): Long =
       m.collect { case ((c, _), n) if c == code => n }.sum
@@ -118,13 +129,14 @@ object Dispatch {
   }
 
   private def dispositionTallies(handled: DataFrame,
-      retryEnabled: Boolean): Tallies = {
+      retryCfg: Option[RetryConfig]): Tallies = {
     import Envelope.Code
-    val exhaustedFlag =
-      if (retryEnabled)
+    val exhaustedFlag = retryCfg match {
+      case Some(cfg) =>
         col("disposition") === Code.Retry &&
-          coalesce(col("retryCount") === 0, lit(false))
-      else col("disposition") === Code.Retry
+          coalesce(RetryEngine.exhaustedCol(cfg), lit(false))
+      case None => col("disposition") === Code.Retry
+    }
     Tallies(handled
       .groupBy(col("disposition"), exhaustedFlag.as("exhausted"))
       .count().collect()
@@ -142,7 +154,8 @@ object Dispatch {
     val handled = handler(batch).cache()
     try {
       // same single-pass tallies as dispatch: one count job per poll
-      val tallies = dispositionTallies(handled, route.retry.enabled)
+      val tallies = dispositionTallies(handled,
+        if (route.retry.enabled) Some(route.retry) else None)
       if (tallies.invalid(Set(Code.Skip, Code.Retry)) > 0)
         throw new IllegalArgumentException(
           s"batch handler for '${route.topicEntity}' returned dispositions " +

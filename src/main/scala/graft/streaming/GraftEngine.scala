@@ -218,7 +218,7 @@ final class GraftEngine(
             EngineConfig.retryTopic(entity), s"retry-$entity-$batchId-requeue")
           val counts = Dispatch.dispatch(route, topics, handler,
             Some(s"retry-$entity-$batchId"))(
-            middleware(Pipeline.enrichMetadata(due)))
+            middleware(Pipeline.enrichMetadata(due, route.retry.count)))
           metrics.recordDispatch(entity, counts)
         } finally cached.unpersist()
       }
@@ -249,7 +249,7 @@ final class GraftEngine(
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val counts = Dispatch.dispatch(route, topics, handler,
           Some(s"retry-exact-$entity-$batchId"))(
-          middleware(Pipeline.enrichMetadata(batch)))
+          middleware(Pipeline.enrichMetadata(batch, route.retry.count)))
         metrics.recordDispatch(entity, counts)
       }
       .start())
@@ -277,11 +277,12 @@ final class GraftEngine(
       .queryName(s"channel-$entity-$channelName")
       .option("checkpointLocation", s"$checkpointDir/channel-$entity-$channelName")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spread = if (ch.workerCount > 1)
           batch.repartition(ch.workerCount) else batch
-        val counts = Dispatch.dispatch(chRoute, topics, handler)(
-          middleware(Pipeline.enrichMetadata(spread)))
+        val counts = Dispatch.dispatch(chRoute, topics, handler,
+          Some(s"channel-$entity-$channelName-$batchId"))(
+          middleware(Pipeline.enrichMetadata(spread, chRoute.retry.count)))
         metrics.recordDispatch(chRoute.topicEntity, counts)
       }
       .start())
@@ -300,9 +301,10 @@ final class GraftEngine(
       .queryName(s"instant-$entity")
       .option("checkpointLocation", s"$checkpointDir/instant-$entity")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val counts = Dispatch.dispatch(route, topics, handler)(
-          middleware(Pipeline.enrichMetadata(batch)))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counts = Dispatch.dispatch(route, topics, handler,
+          Some(s"instant-$entity-$batchId"))(
+          middleware(Pipeline.enrichMetadata(batch, route.retry.count)))
         metrics.recordDispatch(entity, counts)
       }
       .start())
@@ -329,7 +331,7 @@ final class GraftEngine(
         metrics.increment(s"$entity.batches")
         val counts = Dispatch.dispatchBatchRoute(route, topics, handler,
           Some(s"batch-$entity-$batchId"))(
-          middleware(Pipeline.enrichMetadata(batch)))
+          middleware(Pipeline.enrichMetadata(batch, route.retry.count)))
         metrics.recordDispatch(entity, counts)
       }
       .start())
@@ -353,8 +355,10 @@ final class GraftEngine(
       .queryName(s"joinroute-${route.topicEntity}")
       .option("checkpointLocation", s"$checkpointDir/join-${route.topicEntity}")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val counts = Dispatch.dispatch(route, topics, handler)(middleware(batch))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counts = Dispatch.dispatch(route, topics, handler,
+          Some(s"joinroute-${route.topicEntity}-$batchId"))(
+          middleware(batch))
         metrics.recordDispatch(route.topicEntity, counts)
       }
       .start())
@@ -406,7 +410,31 @@ final class GraftEngine(
   def runningQueries: Map[String, StreamingQuery] =
     queries.asScala.toMap.filter(_._2.isActive)
 
-  def awaitAll(): Unit = queries.asScala.values.foreach(_.awaitTermination())
+  /** Block until every tracked query has terminated. Re-reads the
+    * registry after each wave: under [[FailurePolicy.Restart]] the
+    * listener replaces a failed query with a NEW StreamingQuery object,
+    * so awaiting only the objects captured up front would return while
+    * the replacement is still running — the caller's main would exit and
+    * the shutdown hook would kill the freshly restarted route,
+    * silently degrading Restart to StopAll. */
+  def awaitAll(): Unit = {
+    var wave = queries.asScala.values.toSeq
+    while (wave.nonEmpty) {
+      wave.foreach { q =>
+        try q.awaitTermination()
+        catch {
+          // under Restart the listener already replaced the failed
+          // query (the next wave awaits the replacement); under the
+          // stop policies the failure propagates, as before
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            if (failurePolicy != FailurePolicy.Restart) throw e
+        }
+      }
+      val done = wave.map(_.id).toSet
+      wave = queries.asScala.values.toSeq
+        .filter(q => q.isActive || !done.contains(q.id))
+    }
+  }
 
   /** E11 drain: stop everything, bounded by drainTimeoutMs per query;
     * then shut down push-metrics backends (metrics_interface.clj

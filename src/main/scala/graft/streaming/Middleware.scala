@@ -29,7 +29,12 @@ object Middleware {
     * detected via the standard corrupt-record column and nulled out. */
   def json(schema: StructType, options: Map[String, String] = Map.empty)(
       df: DataFrame): DataFrame = {
-    val corruptCol = "_corrupt_record"
+    // NOT Spark's default "_corrupt_record": the detector field is part
+    // of the parse schema, so a VALID payload that happens to carry a
+    // literal key of the same name would populate it from the data and
+    // be dead-lettered. The graft-prefixed name makes that collision
+    // require a producer deliberately spoofing engine internals.
+    val corruptCol = "_graft_corrupt_record_1f2e"
     val s2 = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
     df.withColumn("message",
         from_json(col("value").cast("string"), s2,

@@ -23,19 +23,28 @@ object Pipeline {
     df.filter(col("timestamp") >= now - expr(s"INTERVAL $oldestS SECONDS"))
 
   /** R1 `IngestionTimeExtractor` (timestamp_transformer.clj:14-19): negative
-    * / missing timestamps fall back to ingestion wall-clock. */
-  def ingestionTime(df: DataFrame): DataFrame =
+    * / missing timestamps fall back to ingestion wall-clock. `now` lets a
+    * caller pin the same instant the too-old filter compares against. */
+  def ingestionTime(df: DataFrame,
+      now: Column = current_timestamp()): DataFrame =
     df.withColumn("timestamp",
       when(col("timestamp").isNull
         || col("timestamp") < lit("1970-01-01 00:00:00").cast("timestamp"),
-        current_timestamp()).otherwise(col("timestamp")))
+        now).otherwise(col("timestamp")))
 
   /** R3 `HeaderTransformer` (header_transformer.clj:5-15): wrap record-level
-    * context into a `metadata` struct the user payload carries. */
-  def enrichMetadata(df: DataFrame): DataFrame =
+    * context into a `metadata` struct the user payload carries.
+    * `rabbitmq_retry_count` counts the retry HOPS TAKEN (configured −
+    * remaining; first delivery = 0), the same contract [[userPayload]]
+    * implements and streams_test.clj:62-68 asserts — an earlier revision
+    * exposed the raw REMAINING count here, inverting the semantics for
+    * every engine route's handler. */
+  def enrichMetadata(df: DataFrame, configuredRetryCount: Int = 0): DataFrame =
     df.withColumn("metadata",
       struct(col("topic"), col("timestamp"), col("partition"),
-        col("retryCount").as("rabbitmq_retry_count")))
+        (lit(configuredRetryCount)
+          - coalesce(col("retryCount"), lit(configuredRetryCount)))
+          .as("rabbitmq_retry_count")))
 
   /** R5 read-metrics tap (streams.clj:45-54) as a Structured Streaming
     * `observe` — surfaced through StreamingQueryListener, never a side
@@ -414,7 +423,12 @@ object Pipeline {
   def forRoute(route: StreamRouteConfig,
       middleware: DataFrame => DataFrame,
       now: Column = current_timestamp())(df: DataFrame): DataFrame = {
-    val chained = tooOldFilter(route.oldestProcessedMessageInS, now)(df)
-    middleware(enrichMetadata(chained))
+    // R1 BEFORE R2, like the reference's transformer chain: a null or
+    // negative timestamp — exactly what R1 exists to rescue — would
+    // otherwise evaluate the too-old predicate to NULL/false and the
+    // record would silently vanish instead of processing at wall-clock
+    val stamped = ingestionTime(df, now)
+    val chained = tooOldFilter(route.oldestProcessedMessageInS, now)(stamped)
+    middleware(enrichMetadata(chained, route.retry.count))
   }
 }

@@ -81,27 +81,59 @@ final class KafkaTopicIO(bootstrapServers: String,
   override def paceOptions(maxPollRecords: Int): Map[String, String] =
     Map("maxOffsetsPerTrigger" -> maxPollRecords.toString)
 
-  /** Kafka source columns → Envelope columns (record headers are carried
-    * verbatim; retry fields are carried in the value for the Kafka
-    * transport). */
+  /** Kafka source columns → Envelope columns. Record headers are carried
+    * verbatim, EXCEPT the engine's own `graft.*` entries, which are the
+    * wire form of the retry state ([[KafkaTopicIO.sinkProjection]] writes
+    * them): retryCount / nextAttemptAt / channel are restored from those
+    * headers — the AMQP x-death-property pattern — and the `graft.*`
+    * entries are stripped from the exposed headers column so user code
+    * sees exactly the headers it published. */
   private[streaming] def normalize(df: DataFrame,
-      topicEntity: String): DataFrame = df
-    .select(col("key"), col("value"), col("topic"), col("partition"),
+      topicEntity: String): DataFrame = {
+    import KafkaTopicIO._
+    // header value by key, null when absent; the when() guard keeps the
+    // element access inside the non-empty branch (ANSI-safe)
+    def hdr(name: String) = {
+      val f = filter(col("headers"),
+        h => h.getField("key") === lit(name))
+      when(size(f) > 0,
+        decode(f.getItem(0).getField("value"), "UTF-8"))
+    }
+    df.select(col("key"), col("value"), col("topic"), col("partition"),
       col("offset"), col("timestamp"),
       lit(topicEntity).as("topicEntity"),
-      lit(null).cast("int").as("retryCount"),
-      lit(null).cast("timestamp").as("nextAttemptAt"),
-      lit(null).cast("string").as("channel"),
-      col("headers"))
+      hdr(RetryCountHeader).cast("int").as("retryCount"),
+      timestamp_micros(hdr(NextAttemptHeader).cast("long"))
+        .as("nextAttemptAt"),
+      hdr(ChannelHeader).as("channel"),
+      filter(col("headers"),
+        h => !h.getField("key").startsWith(HeaderPrefix)).as("headers"))
+  }
 
-  /** Sink projection: key/value plus the optional `headers` column, which
-    * the Kafka sink picks up by name and writes as record headers — the
+  /** Sink projection: key/value plus the `headers` column, which the
+    * Kafka sink picks up by name and writes as record headers — the
     * AMQP-property copy of messaging/producer.clj:53-57, so headers
-    * survive every retry/DLQ/channel hop. */
+    * survive every retry/DLQ/channel hop. The engine's retry state
+    * (retryCount / nextAttemptAt / channel) rides the same headers as
+    * `graft.*` entries; without them the retry reader would see every
+    * record as a first failure forever (no backoff, never exhausting to
+    * the DLQ). Any stale `graft.*` user entries are dropped first. */
   private[streaming] def sinkProjection(df: DataFrame): DataFrame = {
-    val cols = Seq(col("key"), col("value")) ++
-      (if (df.columns.contains("headers")) Seq(col("headers")) else Nil)
-    df.select(cols: _*)
+    import KafkaTopicIO._
+    def entry(name: String, v: org.apache.spark.sql.Column) =
+      when(v.isNotNull, struct(lit(name).as("key"),
+        encode(v.cast("string"), "UTF-8").as("value")))
+    val graft = filter(array(
+      entry(RetryCountHeader, col("retryCount")),
+      entry(NextAttemptHeader, unix_micros(col("nextAttemptAt"))),
+      entry(ChannelHeader, col("channel"))), e => e.isNotNull)
+    val user =
+      if (df.columns.contains("headers"))
+        filter(coalesce(col("headers"), array()),
+          h => !h.getField("key").startsWith(HeaderPrefix))
+      else array().cast("array<struct<key:string,value:binary>>")
+    df.select(col("key"), col("value"),
+      concat(user, graft).as("headers"))
   }
 
   def append(df: DataFrame, topic: String): Unit =
@@ -115,6 +147,15 @@ final class KafkaTopicIO(bootstrapServers: String,
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
     }
+}
+
+object KafkaTopicIO {
+  /** Wire names of the engine's retry state on the Kafka transport —
+    * record headers, mirroring AMQP's x-death properties. */
+  private[streaming] val HeaderPrefix = "graft."
+  private[streaming] val RetryCountHeader = "graft.retryCount"
+  private[streaming] val NextAttemptHeader = "graft.nextAttemptAtMicros"
+  private[streaming] val ChannelHeader = "graft.channel"
 }
 
 /** Parquet-directory transport with envelope schema, used by every spec and
@@ -148,8 +189,13 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
 
   private def exists(topic: String): Boolean = {
     val p = Paths.get(dir(topic))
-    Files.exists(p) && Files.list(p).anyMatch(f =>
-      f.toString.endsWith(".parquet"))
+    Files.exists(p) && {
+      // Files.list holds a directory fd until closed — unclosed, every
+      // dead-set view/maxOffset scan leaks one until GC finalization
+      val s = Files.list(p)
+      try s.anyMatch(f => f.toString.endsWith(".parquet"))
+      finally s.close()
+    }
   }
 
   def read(spark: SparkSession, topic: String): DataFrame =

@@ -76,4 +76,57 @@ class DeadSetSpec extends SparkSuite {
     assert(ds.delete(spark, "nothere", 5) == 0)
     assert(ds.replay(spark, "nothere", 5) == 0)
   }
+
+  test("multi-partition DLQ (Kafka shape): markers advance PER PARTITION — " +
+      "acking rows of one partition never hides unacked offsets of " +
+      "another; legacy single-number marker files still load") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    import org.apache.spark.sql.functions._
+    // Kafka-shaped transport: per-partition offsets (0..4 on p0, 0..2 on
+    // p1 — overlapping numbers, only within-partition order means
+    // anything); appends are recorded, offsets NOT reassigned
+    val appended = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val dlq = envelopes("app", (0 until 5).map(i =>
+        (s"p0-$i", "v", ts(f"2024-01-01 00:00:0$i"))))
+      .unionByName(envelopes("app", (0 until 3).map(i =>
+        (s"p1-$i", "v", ts(f"2024-01-01 00:00:0$i"))))
+        .withColumn("partition", lit(1)))
+    val kafkaish = new TopicIO {
+      def read(s: SparkSession, topic: String): DataFrame =
+        if (topic == "app_dead_letter") dlq
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Envelope.schema)
+      def readStream(s: SparkSession, topic: String,
+          o: Map[String, String]): DataFrame = read(s, topic)
+      def append(df: DataFrame, topic: String): Unit =
+        appended.synchronized { appended += topic -> df.count() }
+      def maxOffset(s: SparkSession, topic: String): Long = -1L
+    }
+    val dir = tmpDir("deadset5")
+    val ds = new DeadSet(kafkaish, s"$dir/markers")
+    assert(ds.view(spark, "app", 100).count() == 8)
+    // first 3 by (offset, partition): (0,p0), (0,p1), (1,p0)
+    assert(ds.delete(spark, "app", 3) == 3)
+    assert(ds.markers("app") == Map(0 -> 1L, 1 -> 0L))
+    val live = ds.view(spark, "app", 100).collect()
+      .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset"))).toSet
+    // a single global marker (= 1) would have hidden p1's unacked
+    // offset 1 forever; per-partition floors keep it live
+    assert(live == Set((0, 2L), (0, 3L), (0, 4L), (1, 1L), (1, 2L)),
+      s"got $live")
+    // replay the rest: all 5 published once, markers at the tails
+    assert(ds.replay(spark, "app", 100) == 5)
+    assert(appended.toSeq == Seq("app_instant" -> 5L))
+    assert(ds.view(spark, "app", 100).count() == 0)
+    assert(ds.markers("app") == Map(0 -> 4L, 1 -> 2L))
+    // legacy single-number marker file = global floor for every partition
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/markers"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/markers/leg_dlq_marker"),
+      "1".getBytes)
+    assert(ds.markers("leg") == Map(-1 -> 1L))
+    assert(ds.marker("leg") == 1L)
+  }
 }

@@ -62,6 +62,37 @@ class DispatchSpec extends SparkSuite {
     assert(counts.retried == 1)
   }
 
+  test("an UNCONFIGURED channel name takes the retry catch-all instead of " +
+      "vanishing: only configured channels have a topic to write to") {
+    val dir = tmpDir("dispatch-chan")
+    val topics = new FileTopicIO(dir)
+    val batch = envelopes("app", Seq(("k", "x", ts("2024-01-01 00:00:00"))))
+    // typo'd channel: route configures c1, the handler says c2
+    val counts = Dispatch.dispatch(route(dir), topics,
+      Dispatch.ExprHandler(lit("channel:c2")))(batch)
+    assert(counts.retried == 1 && counts.toChannels == 0,
+      s"got $counts — the record must be retried, not dropped")
+    assert(topics.read(spark, "app_retry").count() == 1)
+    assert(topics.read(spark, "app_channel_c2").count() == 0)
+  }
+
+  test("retry enabled with count=0 (no budget): the first failure goes " +
+      "straight to the DLQ with the configured count restored — it must " +
+      "not decrement to -1 and vanish from both topics on the next hop") {
+    val dir = tmpDir("dispatch-zero")
+    val topics = new FileTopicIO(dir)
+    val r = route(dir).copy(retry = RetryConfig(enabled = true, count = 0,
+      backoffType = BackoffType.Linear, queueTimeoutMs = 0L))
+    val batch = envelopes("app", Seq(("k", "x", ts("2024-01-01 00:00:00"))))
+    val counts = Dispatch.dispatch(r, topics,
+      Dispatch.ExprHandler(lit("retry")))(batch)
+    assert(counts.retried == 0 && counts.deadLettered == 1, s"got $counts")
+    assert(topics.read(spark, "app_retry").count() == 0)
+    val dead = topics.read(spark, "app_dead_letter").collect()
+    assert(dead.length == 1)
+    assert(dead(0).getAs[Int]("retryCount") == 0)
+  }
+
   test("retries disabled → straight to dead letter") {
     val dir = tmpDir("dispatch4")
     val topics = new FileTopicIO(dir)

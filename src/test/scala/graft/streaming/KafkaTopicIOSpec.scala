@@ -81,13 +81,60 @@ class KafkaTopicIOSpec extends SparkSuite {
       Envelope.schema.fields.map(f => f.name -> f.dataType).toSeq)
   }
 
-  test("sink projection: key/value always; the headers column passes " +
-      "through by name when present (K2 header carry)") {
+  test("sink projection: key/value/headers always — the retry state rides " +
+      "graft.* record headers (K2 header carry + the AMQP x-death " +
+      "pattern); normalize restores it and strips graft.* from the " +
+      "exposed headers") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions._
     val withHeaders = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Envelope.schema)
     assert(io.sinkProjection(withHeaders).columns.toSeq ==
       Seq("key", "value", "headers"))
-    val noHeaders = withHeaders.drop("headers")
-    assert(io.sinkProjection(noHeaders).columns.toSeq == Seq("key", "value"))
+    assert(io.sinkProjection(withHeaders.drop("headers")).columns.toSeq ==
+      Seq("key", "value", "headers"))
+
+    // round trip: envelope with retry state + a user header → sink
+    // projection → (simulated) Kafka source frame → normalize
+    val next = java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456")
+    val env = Seq(1).toDF("i").select(
+      lit("k".getBytes).as("key"), lit("v".getBytes).as("value"),
+      lit("orders_retry").as("topic"), lit(3).as("partition"),
+      lit(7L).as("offset"), current_timestamp().as("timestamp"),
+      lit("orders").as("topicEntity"), lit(2).as("retryCount"),
+      lit(next).as("nextAttemptAt"), lit("geo").as("channel"),
+      array(struct(lit("trace-id").as("key"),
+        lit("t-1".getBytes).as("value"))).as("headers"))
+    val wire = io.sinkProjection(env)
+    val hs = wire.select("headers").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hs.map(_.getString(0)).toSet == Set("trace-id",
+      "graft.retryCount", "graft.nextAttemptAtMicros", "graft.channel"))
+    // what the Kafka source would hand back
+    val sourceFrame = wire.select(col("key"), col("value"),
+      lit("orders_retry").as("topic"), lit(3).as("partition"),
+      lit(7L).as("offset"), current_timestamp().as("timestamp"),
+      col("headers"))
+    val back = io.normalize(sourceFrame, "orders").head()
+    assert(back.getAs[Int]("retryCount") == 2,
+      "a lost retryCount means no backoff and never exhausting to the DLQ")
+    assert(back.getAs[java.sql.Timestamp]("nextAttemptAt") == next)
+    assert(back.getAs[String]("channel") == "geo")
+    val userHs = back.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "headers")
+    assert(userHs.map(_.getString(0)).toSeq == Seq("trace-id"),
+      "graft.* wire headers must not leak into the user-visible headers")
+    // a first-delivery record (no retry state) round-trips nulls
+    val fresh = io.normalize(io.sinkProjection(env
+        .withColumn("retryCount", lit(null).cast("int"))
+        .withColumn("nextAttemptAt", lit(null).cast("timestamp"))
+        .withColumn("channel", lit(null).cast("string")))
+      .select(col("key"), col("value"), lit("t").as("topic"),
+        lit(0).as("partition"), lit(0L).as("offset"),
+        current_timestamp().as("timestamp"), col("headers")), "orders")
+      .head()
+    assert(fresh.isNullAt(fresh.fieldIndex("retryCount"))
+      && fresh.isNullAt(fresh.fieldIndex("nextAttemptAt"))
+      && fresh.isNullAt(fresh.fieldIndex("channel")))
   }
 }

@@ -16,12 +16,45 @@ class PipelineSpec extends SparkSuite {
     assert(new String(out(0).getAs[Array[Byte]]("key")) == "fresh")
   }
 
-  test("metadata enrichment carries topic/timestamp/partition/retry (R3)") {
+  test("metadata enrichment carries topic/timestamp/partition/retry (R3); " +
+      "rabbitmq_retry_count counts HOPS TAKEN (configured − remaining), " +
+      "the same contract userPayload implements") {
     val batch = envelopes("app", Seq(("k", "v", ts("2024-01-01 00:00:00"))))
     val row = Pipeline.enrichMetadata(batch).select("metadata.*").collect()(0)
     assert(row.getAs[String]("topic") == "app")
     assert(row.getAs[Int]("partition") == 0)
     assert(row.getAs[java.sql.Timestamp]("timestamp") == ts("2024-01-01 00:00:00"))
+    // 3 remaining of 5 configured = 2 hops taken; first delivery = 0 —
+    // NOT the raw remaining count (a handler dead-lettering at
+    // rabbitmq_retry_count >= 3 would otherwise fire on the FIRST hop)
+    val hop = Pipeline.enrichMetadata(
+        batch.withColumn("retryCount", lit(3)), configuredRetryCount = 5)
+      .select("metadata.*").collect()(0)
+    assert(hop.getAs[Int]("rabbitmq_retry_count") == 2)
+    val fresh = Pipeline.enrichMetadata(batch, configuredRetryCount = 5)
+      .select("metadata.*").collect()(0)
+    assert(fresh.getAs[Int]("rabbitmq_retry_count") == 0)
+  }
+
+  test("forRoute applies R1 BEFORE the too-old filter: a null/negative " +
+      "timestamp processes at ingestion wall-clock instead of silently " +
+      "failing the R2 predicate") {
+    val route = StreamRouteConfig("app", "app_origin")
+    val batch = envelopes("app", Seq(
+      ("nullts", "v1", ts("2024-01-31 00:00:00")),
+      ("negts", "v2", ts("2024-01-31 00:00:00")),
+      ("stale", "v3", ts("2024-01-01 00:00:00"))))
+      .withColumn("timestamp",
+        when(col("key").cast("string") === "nullts",
+          lit(null).cast("timestamp"))
+          .when(col("key").cast("string") === "negts",
+            lit("1901-01-01 00:00:00").cast("timestamp"))
+          .otherwise(col("timestamp")))
+    val now = lit("2024-01-31 00:00:00").cast("timestamp")
+    val out = Pipeline.forRoute(route, identity, now = now)(batch).collect()
+    val keys = out.map(r => new String(r.getAs[Array[Byte]]("key"))).toSet
+    assert(keys == Set("nullts", "negts"),
+      s"got $keys — R1 must rescue null/negative ts; stale still drops")
   }
 
   test("user payload contract: message/key/metadata only, retry hops counted " +
