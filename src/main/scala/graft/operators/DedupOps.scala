@@ -166,13 +166,23 @@ object DedupOps {
     grouped.select(graft.functions.GraftFunctions.sorted_pairs(col("ids")))
 
   /** N-gram Jaccard near-dup over [[ngramCandidates]]: intersection counted
-    * per candidate pair, Jaccard ≥ 1/3 decided in exact integer arithmetic
-    * (3·|∩| ≥ |A|+|B| ⇔ J ≥ 1/3). Per-doc array_distinct bounds a shingle's
+    * per candidate pair, Jaccard ≥ 1/2 decided in exact integer arithmetic
+    * (3·|∩| ≥ |A|+|B| ⇔ 2·|∩| ≥ |A∪B| ⇔ J ≥ 1/2 — an earlier doc revision
+    * misread this inequality as J ≥ 1/3; the implemented and oracle-matched
+    * cut has always been 1/2, as d22's sweep reports in ‰: τ = 500).
+    * Per-doc array_distinct bounds a shingle's
     * row count by corpus doc count; `maxShingleFreq` adds the hot-shingle
     * cap for production corpora (off in the oracle-checked d02, where the
     * DuckDB twin computes the uncapped join). */
   def ngramJaccard(docs: DataFrame,
       maxShingleFreq: Option[Int] = None): DataFrame = {
+    // cache lifetime note (applies to every operator-internal .cache()
+    // on a RETURNED lineage): the frame is consumed lazily by the
+    // caller, so there is no safe in-operator unpersist point; the
+    // MEMORY_AND_DISK blocks are LRU-evicted under pressure and
+    // reclaimed by the ContextCleaner when the plan is GC'd. Long-lived
+    // sessions running many operators should spark.catalog.clearCache()
+    // between logical jobs (Bench does, for honesty rather than memory).
     val arr = shingleHashArrays(docs).cache()
     // per-doc set sizes come free from the arrays — no counting aggregate
     val sizes = arr.select(col("doc_id"), col("n_sh"))
@@ -930,7 +940,7 @@ object DedupOps {
       |ORDER BY p.doc_id""".stripMargin
 
   /** LSH tuning gate — the dedup analogue of s08's ANN recall: how much of
-    * the TRUE near-dup pair set (exact shingle Jaccard ≥ 1/3, d02's
+    * the TRUE near-dup pair set (exact shingle Jaccard ≥ 1/2, d02's
     * definition) does the MinHash-LSH candidate generator (d03's 4×4
     * banding) recover, and how much of what it emits is real? One summary
     * row: true/candidate/hit counts plus recall and precision. This is the
@@ -952,8 +962,14 @@ object DedupOps {
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
       .select(col("n_true"), col("n_candidates"), col("n_hits"),
-        round(col("n_hits") / col("n_true").cast("double"), 4).as("recall"),
-        round(col("n_hits") / col("n_candidates").cast("double"), 4)
+        // empty denominators (a pre-deduped or tiny sample slice) report
+        // NULL, not NaN — and keep the two engines' divide-by-zero
+        // semantics out of the hash gate
+        when(col("n_true") > 0,
+          round(col("n_hits") / col("n_true").cast("double"), 4))
+          .as("recall"),
+        when(col("n_candidates") > 0,
+          round(col("n_hits") / col("n_candidates").cast("double"), 4))
           .as("candidate_precision"))
   }
 
@@ -976,15 +992,18 @@ object DedupOps {
        |  CAST((SELECT count(*) FROM true_pairs) AS BIGINT) AS n_true,
        |  CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_candidates,
        |  CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
-       |  round((SELECT count(*) FROM hits)
-       |    / CAST((SELECT count(*) FROM true_pairs) AS DOUBLE), 4) AS recall,
-       |  round((SELECT count(*) FROM hits)
-       |    / CAST((SELECT count(*) FROM pairs) AS DOUBLE), 4)
-       |    AS candidate_precision""".stripMargin
+       |  CASE WHEN (SELECT count(*) FROM true_pairs) > 0 THEN
+       |    round((SELECT count(*) FROM hits)
+       |      / CAST((SELECT count(*) FROM true_pairs) AS DOUBLE), 4)
+       |    END AS recall,
+       |  CASE WHEN (SELECT count(*) FROM pairs) > 0 THEN
+       |    round((SELECT count(*) FROM hits)
+       |      / CAST((SELECT count(*) FROM pairs) AS DOUBLE), 4)
+       |    END AS candidate_precision""".stripMargin
 
   /** SimHash tuning gate — d15's twin for the OTHER approximate near-dup
     * family: how much of the true near-dup pair set (exact shingle
-    * Jaccard ≥ 1/3, d02's definition) does d04's 32-bit SimHash with
+    * Jaccard ≥ 1/2, d02's definition) does d04's 32-bit SimHash with
     * pigeonhole banding (hamming ≤ 3) recover, and how precise are its
     * candidates? SimHash and MinHash-LSH trade differently (SimHash
     * fingerprints are 4 bytes/doc and token-weighted; banding recall
@@ -1012,8 +1031,12 @@ object DedupOps {
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
       .select(col("n_true"), col("n_candidates"), col("n_hits"),
-        round(col("n_hits") / col("n_true").cast("double"), 4).as("recall"),
-        round(col("n_hits") / col("n_candidates").cast("double"), 4)
+        // same NULL-not-NaN empty-denominator guard as d15
+        when(col("n_true") > 0,
+          round(col("n_hits") / col("n_true").cast("double"), 4))
+          .as("recall"),
+        when(col("n_candidates") > 0,
+          round(col("n_hits") / col("n_candidates").cast("double"), 4))
           .as("candidate_precision"))
   }
 
@@ -1061,11 +1084,14 @@ object DedupOps {
        |  CAST((SELECT count(*) FROM true_pairs) AS BIGINT) AS n_true,
        |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
        |  CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
-       |  round((SELECT count(*) FROM hits)
-       |    / CAST((SELECT count(*) FROM true_pairs) AS DOUBLE), 4) AS recall,
-       |  round((SELECT count(*) FROM hits)
-       |    / CAST((SELECT count(*) FROM cand) AS DOUBLE), 4)
-       |    AS candidate_precision""".stripMargin
+       |  CASE WHEN (SELECT count(*) FROM true_pairs) > 0 THEN
+       |    round((SELECT count(*) FROM hits)
+       |      / CAST((SELECT count(*) FROM true_pairs) AS DOUBLE), 4)
+       |    END AS recall,
+       |  CASE WHEN (SELECT count(*) FROM cand) > 0 THEN
+       |    round((SELECT count(*) FROM hits)
+       |      / CAST((SELECT count(*) FROM cand) AS DOUBLE), 4)
+       |    END AS candidate_precision""".stripMargin
   }
 
   /** Jaccard threshold sweep — the dedup family's tuning curve (s14's
@@ -1800,7 +1826,7 @@ object DedupOps {
 
   /** Verifier-ensemble consensus — the dedup capstone: every d03 LSH
     * candidate pair is judged by all three verify families at once —
-    * exact shingle Jaccard (d02's τ = 1/3 rule), banded edit distance
+    * exact shingle Jaccard (d02's τ = 1/2 rule), banded edit distance
     * (d24's ⌊maxlen/5⌋ budget), and simhash64 Hamming (d25's ≤ 12) — and
     * a pair is a duplicate when AT LEAST TWO families agree. The
     * families fail differently (Jaccard misses in-place edits, edit
@@ -1900,14 +1926,22 @@ object DedupOps {
     * group-and-expand shape — one shuffle on the shingle hash; a
     * production corpus would add d02's hot-shingle cap upstream (the
     * rewrite preserves whatever the input arrays contain). */
-  private def d27(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir).documentsSpread
+  /** Shared 4-gram shingle relation of the overlap-rewrite gate family
+    * (d27 / d31 / d32 / d33) — d31's preflight prices EXACTLY d27's
+    * shingle relation and d32/d33 vary ONLY the join predicate, so the
+    * derivation lives once (the same single-source rule as
+    * [[simhashPairs]] / [[triGramBanned]]). */
+  private def fourGramShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 4)
       .select(col("doc_id"), expr(
         """array_distinct(transform(sequence(0, size(toks) - 4),
           |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
           |    toks[i+3])))""".stripMargin).as("shingles"))
+
+  private def d27(s: SparkSession, dir: String): DataFrame = {
+    val sh = fourGramShingles(s, dir)
     val a = sh.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
@@ -2084,13 +2118,7 @@ object DedupOps {
     * `--overlap-preflight` mode prints this same report with a WARN
     * line when the diagnosis fires. */
   private def d31(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 4)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(toks) - 4),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
-          |    toks[i+3])))""".stripMargin).as("shingles"))
+    val sh = fourGramShingles(s, dir)
     SkewTools.overlapJoinPreflight(
       sh.filter(col("doc_id") % 20 === 0), col("shingles"),
       sh, col("shingles"))
@@ -2141,13 +2169,7 @@ object DedupOps {
     * roughly quadratically with c — the shape that matters when the
     * threshold is doing the real selectivity work. */
   private def d32(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 4)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(toks) - 4),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
-          |    toks[i+3])))""".stripMargin).as("shingles"))
+    val sh = fourGramShingles(s, dir)
     val a = sh.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
@@ -2192,13 +2214,7 @@ object DedupOps {
     * headline benchmark tracks the rewrite's cost directly against
     * d02's hand-rolled twin on the same relation. */
   private def d33(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 4)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(toks) - 4),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
-          |    toks[i+3])))""".stripMargin).as("shingles"))
+    val sh = fourGramShingles(s, dir)
     val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
     val inter = size(array_intersect(col("a_sh"), col("b_sh")))

@@ -10,20 +10,29 @@ import org.apache.spark.sql.functions._
   * Salting is semantically transparent: both helpers produce exactly the
   * rows of their unsalted equivalents — only the shuffle key cardinality
   * changes (×saltFactor), so a hot key's rows spread over saltFactor
-  * reducers instead of one.
-  */
+  * reducers instead of one. The salt is POSITIONAL
+  * (monotonically_increasing_id mod saltFactor), not content-derived: a
+  * content hash cannot spread BYTE-IDENTICAL rows — mirrored boilerplate,
+  * templated spam, exactly the hot keys these corpora produce — since
+  * every copy hashes to the same salt; position spreads unconditionally.
+  * The salt never reaches the output (dropped before the final shape), so
+  * positional nondeterminism cannot leak into results. */
 object SkewTools {
 
   /** Salted equi-join: the (small) right side is replicated saltFactor ways,
-    * the (large, skewed) left side gets a deterministic salt from its row
-    * content; joining on (key, salt) spreads each hot key. Use when one side
-    * is small-ish but too big to broadcast and the key histogram is heavy-
-    * tailed. */
+    * the (large, skewed) left side gets a positional salt; joining on
+    * (key, salt) spreads each hot key. Use when one side is small-ish but
+    * too big to broadcast and the key histogram is heavy-tailed. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
+    // fail fast: saltFactor 0 would salt the big side NULL (pmod by 0)
+    // while sequence(0, -1) STILL replicates the small side (Spark's
+    // sequence auto-steps downward) — an inner join that silently
+    // returns nothing
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val salted = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)),
-        lit(saltFactor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
+        .cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -35,15 +44,17 @@ object SkewTools {
     * this is for the residual case where a single reducer key still
     * dominates (e.g. high-cardinality partials under memory pressure). */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
-      saltFactor: Int): DataFrame =
+      saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     df.withColumn("_salt",
-        pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
-          lit(saltFactor)).cast("int"))
+        pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
+          .cast("int"))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(key))
       .agg(sum(col("_psum")).as(s"sum_$valueCol"),
         sum(col("_pcnt")).as("n"))
+  }
 
   /** Hot-element pre-flight for the overlap-rewrite family — q52's
     * cardinality audit transposed to set-overlap joins: the exploded
