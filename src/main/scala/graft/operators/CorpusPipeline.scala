@@ -27,16 +27,7 @@ import org.apache.spark.sql.functions._
 object CorpusPipeline {
 
   private def p01(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_stop", size(expr(
-        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
-        .cast("long"))
-      .withColumn("quality_score",
-        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
-          / col("n_tokens").cast("double"))
-          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+    val docs = QualityScore.scored(Tables(s, dir).documentsSpread)
       .filter(col("quality_score") >= 0.3)
 
     // exact dedup: survivors are the canonical (min) id per content hash
@@ -153,16 +144,7 @@ object CorpusPipeline {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality_score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_stop", size(expr(
-        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
-        .cast("long"))
-      .withColumn("quality_score",
-        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
-          / col("n_tokens").cast("double"))
-          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+    QualityScore.scored(Tables(s, dir).documentsSpread)
       .filter(col("quality_score") >= 0.3)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") - col("n_tokens") < 5000)
@@ -293,16 +275,7 @@ object CorpusPipeline {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("quality_score").desc, col("doc_id"))
-    Tables(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_stop", size(expr(
-        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
-        .cast("long"))
-      .withColumn("quality_score",
-        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
-          / col("n_tokens").cast("double"))
-          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+    QualityScore.scored(Tables(s, dir).documentsSpread)
       .withColumn("shard", StableHash.h60(col("text")) % nShards)
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("shard"), col("pos"), col("doc_id"), col("n_tokens"),
@@ -339,14 +312,7 @@ object CorpusPipeline {
     * broadcast semi-join — decontamination adds no shuffle beyond the
     * per-doc distinct-gram collapse already inherent to the check. */
   private def p05(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(0, size(toks) - 5),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
-          |    toks[i+4]))""".stripMargin))).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val grams = ContaminationGrams.exploded(Tables(s, dir).documentsSpread)
       // cached: probe-set build and corpus-side contamination join both
       // consume the exploded gram hashes (8-byte rows)
       .cache()
@@ -398,16 +364,7 @@ object CorpusPipeline {
 
   private def p06(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = Tables(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_stop", size(expr(
-        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
-        .cast("long"))
-      .withColumn("quality_score",
-        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
-          / col("n_tokens").cast("double"))
-          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+    val scored = QualityScore.scored(Tables(s, dir).documentsSpread)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("quality_score").desc, col("doc_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -448,12 +405,15 @@ object CorpusPipeline {
     * shuffle with #sources × #langs × 3 groups; everything else is
     * map-side. The report over 100 TB costs one corpus scan. */
   private def p07(s: SparkSession, dir: String): DataFrame = {
-    val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
-    val v = s"mix_docs_$sfx"
+    // fixed view name + drop after analysis: sql() resolves the plan
+    // eagerly, so the returned frame no longer needs the catalog entry —
+    // a UUID-suffixed view per invocation leaked one catalog entry per
+    // run for the session lifetime
+    val v = "graft_p07_mix_docs"
     Tables(s, dir).documentsSpread
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .createOrReplaceTempView(v)
-    s.sql(
+    try s.sql(
       s"""WITH grains AS (
          |  SELECT coalesce(source, 'ALL') AS source,
          |    coalesce(lang, 'ALL') AS lang,
@@ -469,6 +429,7 @@ object CorpusPipeline {
          |    AS share_permille
          |FROM grains g CROSS JOIN total t
          |ORDER BY g.source, g.lang""".stripMargin)
+    finally s.catalog.dropTempView(v)
   }
 
   private val p07Sql =
@@ -515,14 +476,8 @@ object CorpusPipeline {
     // shingle/hash computation re-runs per consumer (measured 11 s → ~3 s
     // at sf0.1). The cache holds (doc_id, lang, ghashes) only — text and
     // toks are dropped first.
-    val base = Tables(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 5)
-      .withColumn("ghashes", expr(
-        """array_distinct(transform(sequence(0, size(toks) - 5),
-          |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
-          |    toks[i+3], toks[i+4]))))""".stripMargin))
-      .select(col("doc_id"), col("lang"), col("ghashes"))
+    val base = ContaminationGrams.perDoc(Tables(s, dir).documentsSpread,
+      keep = Seq("lang"))
       .cache()
     val probeBloom = graft.functions.BloomContains.build(
       base.filter(col("doc_id") < 20)
@@ -782,20 +737,18 @@ object CorpusPipeline {
     * The final per-source aggregate is |sources| rows. No windows, no
     * pairwise anything. */
   private def p12(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_stop", size(expr(
-        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
-        .cast("long"))
-      .withColumn("q",
-        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
-          / col("n_tokens").cast("double"))
-          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+    val docs = QualityScore.scored(Tables(s, dir).documentsSpread,
+        scoreCol = "q")
       .withColumn("q4", round(col("q") * 10000).cast("long"))
       .withColumn("h", md5(lower(col("text"))))
+    // NO broadcast hint: hashCounts has one row per DISTINCT document —
+    // O(corpus) cardinality, not a dimension table. A forced broadcast
+    // would collect the whole dedup table to the driver and pin a copy
+    // on every executor at 100 TB; the plain shuffle join on the md5
+    // key is the scale shape (t10/t12 use the same pattern for their
+    // count lookups).
     val hashCounts = docs.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
-    docs.join(broadcast(hashCounts), "h")
+    docs.join(hashCounts, "h")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1373,14 +1326,8 @@ object CorpusPipeline {
     // no cache anywhere: the tiny probe slice is scanned once by
     // buildBoth (bloom fed driver-side from the same collected keys)
     // and the 100 TB corpus side STREAMS through the map-side predicate
-    val base = Tables(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 5)
-      .withColumn("ghashes", expr(
-        """array_distinct(transform(sequence(0, size(toks) - 5),
-          |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
-          |    toks[i+3], toks[i+4]))))""".stripMargin))
-      .select(col("doc_id"), col("lang"), col("ghashes"))
+    val base = ContaminationGrams.perDoc(Tables(s, dir).documentsSpread,
+      keep = Seq("lang"))
     val probe = base.filter(col("doc_id") < 20)
       .select(explode(col("ghashes")).as("g"))
     val (probeExact, probeBloom) =

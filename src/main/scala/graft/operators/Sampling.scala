@@ -193,16 +193,7 @@ object Sampling {
     * same doc survives at any SF or cluster size. Map-side only; one tiny
     * per-decile aggregate reports the realized acceptance curve. */
   private def x08(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_stop", size(expr(
-        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
-        .cast("long"))
-      .withColumn("q",
-        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
-          / col("n_tokens").cast("double"))
-          * least(lit(1.0), col("n_tokens") / 100.0), 4))
+    val q = QualityScore.scored(Tables(s, dir).documentsSpread, scoreCol = "q")
     q.withColumn("kept",
         (StableHash.h60(col("text")) % 10000
           < round(col("q") * col("q") * 10000).cast("long")).cast("long"))

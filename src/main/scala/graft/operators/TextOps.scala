@@ -49,18 +49,9 @@ object TextOps {
   /** Quality scoring: stopword ratio, short-token ratio, and a rational
     * (transcendental-free, so bit-portable) composite score. */
   private def t02(s: SparkSession, dir: String): DataFrame =
-    t(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_stop", size(expr(
-        "filter(toks, x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))"))
-        .cast("long"))
+    QualityScore.scored(t(s, dir).documentsSpread)
       .withColumn("stop_ratio",
         round(col("n_stop") / col("n_tokens").cast("double"), 4))
-      .withColumn("quality_score",
-        round(greatest(lit(0.0), lit(1.0) - col("n_stop") * 2.0
-          / col("n_tokens").cast("double"))
-          * least(lit(1.0), col("n_tokens") / 100.0), 4))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"),
         col("stop_ratio"), col("quality_score"))
       .orderBy(col("doc_id"))
@@ -178,12 +169,17 @@ object TextOps {
     * regex and DuckDB RE2 agree byte-for-byte. */
   private def t06(s: SparkSession, dir: String): DataFrame =
     t(s, dir).events
+      // n_num_redacted counts digit runs AFTER the email pass — the
+      // number of <NUM> substitutions actually present in `scrubbed`.
+      // Counting over the raw props would also count digits inside
+      // email addresses the first pass already replaced wholesale as
+      // <EMAIL> ("user123@mail99.com" performs zero <NUM> redactions).
+      .withColumn("deemailed", regexp_replace(col("props"),
+        "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"))
       .select(
         col("event_id"),
-        regexp_replace(
-          regexp_replace(col("props"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
-          "[0-9]+", "<NUM>").as("scrubbed"),
-        size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long")
+        regexp_replace(col("deemailed"), "[0-9]+", "<NUM>").as("scrubbed"),
+        size(expr("regexp_extract_all(deemailed, '[0-9]+', 0)")).cast("long")
           .as("n_num_redacted"),
         size(expr(
           "regexp_extract_all(props, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', 0)"))
@@ -193,17 +189,20 @@ object TextOps {
       .orderBy(col("event_id"))
 
   private val t06Sql =
-    """SELECT event_id,
-      |  regexp_replace(
-      |    regexp_replace(props, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
-      |    '[0-9]+', '<NUM>', 'g') AS scrubbed,
-      |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+    """WITH de AS (
+      |  SELECT event_id, props,
+      |    regexp_replace(props, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>',
+      |      'g') AS deemailed
+      |  FROM events)
+      |SELECT event_id,
+      |  regexp_replace(deemailed, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+      |  CAST(len(regexp_extract_all(deemailed, '[0-9]+')) AS BIGINT)
       |    AS n_num_redacted,
       |  CAST(len(regexp_extract_all(props, '[A-Za-z0-9.]+@[A-Za-z0-9.]+'))
       |    AS BIGINT) AS n_email_redacted,
       |  (regexp_matches(props, '[0-9]')
       |    OR regexp_matches(props, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS had_pii
-      |FROM events
+      |FROM de
       |ORDER BY event_id""".stripMargin
 
   /** Repetition-ratio quality signal (the Gopher-rules "fraction of
@@ -243,14 +242,7 @@ object TextOps {
     * ever pairing docs against docs. Scale: cost ∝ corpus grams × 1
     * broadcast lookup, independent of probe-set pair count. */
   private def t08(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(0, size(toks) - 5),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
-          |    toks[i+4]))""".stripMargin))).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val grams = ContaminationGrams.exploded(t(s, dir).documentsSpread)
     val probe = grams.filter(col("doc_id") < 20).select(col("g")).distinct()
     grams.filter(col("doc_id") >= 20)
       .join(broadcast(probe), Seq("g"))
@@ -559,14 +551,7 @@ object TextOps {
     * aggregate is keyed by (corpus doc, probe doc) with map-side
     * partials. Output rows ∝ contaminated pairs, never corpus × probe. */
   private def t14(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(0, size(toks) - 5),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
-          |    toks[i+4]))""".stripMargin))).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val grams = ContaminationGrams.exploded(t(s, dir).documentsSpread)
     val probe = grams.filter(col("doc_id") < 20)
       .select(col("doc_id").as("probe_id"), col("g"))
     grams.filter(col("doc_id") >= 20)
@@ -605,13 +590,11 @@ object TextOps {
     * one owner, `min(doc_id)` recovers that owner in the SAME aggregate —
     * no join back to the exploded rows. */
   private def t15(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 5)
-      .withColumn("ghs", array_distinct(expr(
-        """transform(sequence(0, size(toks) - 5),
-          |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
-          |    toks[i+3], toks[i+4])))""".stripMargin)))
+    // pruned BEFORE caching: both consumers read only (doc_id, ghashes) —
+    // caching the full row would pin text + the toks array too (p08's
+    // discipline)
+    val base = ContaminationGrams.perDoc(t(s, dir).documentsSpread)
+      .withColumnRenamed("ghashes", "ghs")
       .cache()
     val sizes = base.select(col("doc_id"),
       size(col("ghs")).cast("long").as("n_grams"))
@@ -1130,8 +1113,23 @@ object TextOps {
     * non-overlapping occurrences, and per-symbol wrappers mean adjacent
     * matches never share boundary bytes. Validated against a naive
     * in-memory BPE at sf0.001/0.01/0.1 before wiring. */
-  private val t24Sql: String = {
+  /** Shared unrolled-BPE CTE block for t24Sql (training — merges out)
+    * and t29Sql (encoding — segmented vocabulary out): 10 stages over
+    * the chr(31)-wrapped word table, each argmaxing the weighted pair
+    * count with (l, r) tie-breaks. ONE generator for both oracles so the
+    * training and encoding twins cannot drift ("the oracle re-derives
+    * the merges itself" only certifies anything if both derive them the
+    * same way). Mirrors BpeTrainer.train's STOP rule exactly: `m$$k`
+    * keeps only pairs with n >= minCount (2), and `words$$k` LEFT-joins
+    * the possibly-empty pick so a dried-up vocabulary passes through
+    * unmerged instead of vanishing in a comma-join with an empty CTE —
+    * on a tiny corpus the trainer returns < 10 merges and the unrolled
+    * stages after the stop are all empty, matching. `carryWord` threads
+    * the original word column through for the encoding twin. */
+  private def bpeUnrolledCtes(carryWord: Boolean): String = {
     val S = "chr(31)"
+    val wordSel = if (carryWord) "s.word, " else ""
+    val wordHead = if (carryWord) "word, " else ""
     def stage(k: Int): String =
       s"""pairs$k AS (
          |  SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS n
@@ -1141,27 +1139,33 @@ object TextOps {
          |        len(string_split(trim(w, chr(31)), $S || $S)) - 1)) AS i
          |    FROM words${k - 1}) px
          |  GROUP BY 1, 2),
-         |m$k AS (SELECT l, r, n FROM pairs$k ORDER BY n DESC, l, r LIMIT 1),
+         |m$k AS (SELECT l, r, n FROM pairs$k WHERE n >= 2
+         |  ORDER BY n DESC, l, r LIMIT 1),
          |words$k AS (
-         |  SELECT replace(s.w, $S || m.l || $S || $S || m.r || $S,
-         |    $S || m.l || m.r || $S) AS w, s.freq
-         |  FROM words${k - 1} s, m$k m)""".stripMargin
+         |  SELECT ${wordSel}CASE WHEN m.l IS NULL THEN s.w
+         |    ELSE replace(s.w, $S || m.l || $S || $S || m.r || $S,
+         |      $S || m.l || m.r || $S) END AS w, s.freq
+         |  FROM words${k - 1} s LEFT JOIN m$k m ON TRUE)""".stripMargin
     val head =
-      """WITH wf AS (
-        |  SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS word
-        |    FROM documents) u
-        |  WHERE length(word) > 0 GROUP BY word),
-        |words0 AS (
-        |  SELECT array_to_string(list_transform(
-        |    generate_series(1, length(word)),
-        |    i -> chr(31) || substr(word, i, 1) || chr(31)), '') AS w, freq
-        |  FROM wf),""".stripMargin
+      s"""WITH wf AS (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word
+         |    FROM documents) u
+         |  WHERE length(word) > 0 GROUP BY word),
+         |words0 AS (
+         |  SELECT ${wordHead}array_to_string(list_transform(
+         |    generate_series(1, length(word)),
+         |    i -> chr(31) || substr(word, i, 1) || chr(31)), '') AS w, freq
+         |  FROM wf),""".stripMargin
+    head + "\n" + (1 to 10).map(stage).mkString(",\n")
+  }
+
+  private val t24Sql: String = {
     val picks = (1 to 10).map(k =>
       s"""SELECT CAST($k AS BIGINT) AS merge_rank, l AS "left",""" +
         s""" r AS "right", CAST(n AS BIGINT) AS pair_count FROM m$k""")
       .mkString("\nUNION ALL\n")
-    head + "\n" + (1 to 10).map(stage).mkString(",\n") +
+    bpeUnrolledCtes(carryWord = false) +
       s"\nSELECT * FROM (\n$picks\n) ORDER BY merge_rank"
   }
 
@@ -1430,32 +1434,7 @@ object TextOps {
 
   private val t29Sql: String = {
     val S = "chr(31)"
-    def stage(k: Int): String =
-      s"""pairs$k AS (
-         |  SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS n
-         |  FROM (SELECT string_split(trim(w, chr(31)), $S || $S) AS syms,
-         |      freq,
-         |      unnest(generate_series(1,
-         |        len(string_split(trim(w, chr(31)), $S || $S)) - 1)) AS i
-         |    FROM words${k - 1}) px
-         |  GROUP BY 1, 2),
-         |m$k AS (SELECT l, r, n FROM pairs$k ORDER BY n DESC, l, r LIMIT 1),
-         |words$k AS (
-         |  SELECT s.word, replace(s.w, $S || m.l || $S || $S || m.r || $S,
-         |    $S || m.l || m.r || $S) AS w, s.freq
-         |  FROM words${k - 1} s, m$k m)""".stripMargin
-    val head =
-      """WITH wf AS (
-        |  SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS word
-        |    FROM documents) u
-        |  WHERE length(word) > 0 GROUP BY word),
-        |words0 AS (
-        |  SELECT word, array_to_string(list_transform(
-        |    generate_series(1, length(word)),
-        |    i -> chr(31) || substr(word, i, 1) || chr(31)), '') AS w, freq
-        |  FROM wf),""".stripMargin
-    head + "\n" + (1 to 10).map(stage).mkString(",\n") +
+    bpeUnrolledCtes(carryWord = true) +
       s"""
          |SELECT word, CAST(freq AS BIGINT) AS freq,
          |  CAST(len(string_split(trim(w, chr(31)), $S || $S)) AS BIGINT)
