@@ -186,19 +186,29 @@ object Analytic {
       |  ORDER BY l_shipdate, l_orderkey, l_linenumber)
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
-  /** GROUPING SETS through the SQL API (temp views over the same parquet). */
+  /** GROUPING SETS through the SQL API (temp views over the same parquet).
+    * View names are per-call unique and dropped after the eager sql()
+    * analysis — a fixed global name would cross-contaminate two
+    * interleaved builds over different sf dirs in one session (the q39/
+    * q40 re-entrancy rule, Relational.scala). */
   private def a08(s: SparkSession, dir: String): DataFrame = {
     val tb = t(s, dir)
-    tb.customer.createOrReplaceTempView("gs_customer")
-    tb.nation.createOrReplaceTempView("gs_nation")
-    s.sql(
-      """SELECT coalesce(n_name, 'ALL') AS nation,
-        |  coalesce(c_mktsegment, 'ALL') AS segment,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  round(sum(c_acctbal), 2) AS sum_bal
-        |FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
-        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
-        |ORDER BY nation, segment""".stripMargin)
+    val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
+    val (cv, nv) = (s"gs_customer_$sfx", s"gs_nation_$sfx")
+    tb.customer.createOrReplaceTempView(cv)
+    tb.nation.createOrReplaceTempView(nv)
+    try s.sql(
+      s"""SELECT coalesce(n_name, 'ALL') AS nation,
+         |  coalesce(c_mktsegment, 'ALL') AS segment,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(sum(c_acctbal), 2) AS sum_bal
+         |FROM $cv JOIN $nv ON c_nationkey = n_nationkey
+         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+         |ORDER BY nation, segment""".stripMargin)
+    finally {
+      s.catalog.dropTempView(cv)
+      s.catalog.dropTempView(nv)
+    }
   }
 
   private val a08Sql =
@@ -779,6 +789,22 @@ object Analytic {
     * values per row via collect_list over a bounded frame: state is
     * constant per row, and the single shuffle is the per-user window
     * partition (cluster-local per user at any scale). */
+  /** Trailing-8 dyadic EWMA gather over a bounded window: collect the
+    * frame, fold the power-of-two weighted numerator, 2^n − 1
+    * denominator — all exact BIGINTs (num ≤ 8·maxCents·128, no
+    * overflow). SHARED by a20 (level smoothing) and a33 (level + trend,
+    * documented as "a20's trailing-8 dyadic EWMA") so the smoother
+    * cannot fork between them. */
+  private def dyadicEwma(c: String, lstName: String, numName: String,
+      denName: String, w: org.apache.spark.sql.expressions.WindowSpec)(
+      df: DataFrame): DataFrame =
+    df.withColumn(lstName, collect_list(col(c)).over(w))
+      .withColumn(numName, expr(
+        s"""aggregate(sequence(0, size($lstName) - 1), 0L,
+           |  (acc, i) -> acc + $lstName[i] * shiftleft(1L, i))"""
+          .stripMargin))
+      .withColumn(denName, expr(s"shiftleft(1L, size($lstName)) - 1L"))
+
   private def a20(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
@@ -786,12 +812,7 @@ object Analytic {
       .rowsBetween(-7, Window.currentRow)
     t(s, dir).events
       .withColumn("cents", round(col("value") * 100, 0).cast("long"))
-      .withColumn("lst", collect_list(col("cents")).over(w))
-      .withColumn("num", expr(
-        """aggregate(sequence(0, size(lst) - 1), 0L,
-          |  (acc, i) -> acc + lst[i] * shiftleft(1L, i))""".stripMargin))
-      .withColumn("den",
-        expr("shiftleft(1L, size(lst)) - 1L"))
+      .transform(dyadicEwma("cents", "lst", "num", "den", w))
       .select(col("user_id"), col("event_id"),
         round(col("cents") / lit(100.0), 2).as("value_r"),
         round(col("num") / (col("den") * 100.0), 4).as("ewma"),
@@ -916,7 +937,12 @@ object Analytic {
       .agg(expr("sum(cents) div count(1)").as("target"))
     ev.join(broadcast(target), "event_type")
       .withColumn("srun", sum(col("cents") - col("target")).over(ord))
-      .withColumn("cusum", col("srun") - min(col("srun")).over(ord))
+      // cusum_t = S_t − min(S_0..S_t) WITH the S_0 = 0 anchor: without
+      // least(0, ·) a series drifting UP from its very first events
+      // subtracts a positive prefix minimum — the first row reads 0 and
+      // head-of-series drift is under-reported
+      .withColumn("cusum",
+        col("srun") - least(lit(0L), min(col("srun")).over(ord)))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(max(col("cusum")) / 100.0, 4).as("max_cusum"),
@@ -943,9 +969,9 @@ object Analytic {
       |  FROM e JOIN tgt USING (event_type)),
       |cus AS (
       |  SELECT event_type, event_id,
-      |    srun - min(srun) OVER (PARTITION BY event_type
+      |    srun - least(0, min(srun) OVER (PARTITION BY event_type
       |      ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
       |  FROM runs)
       |SELECT event_type,
       |  CAST(count(*) AS BIGINT) AS n,
@@ -1433,18 +1459,12 @@ object Analytic {
     * partitions by user; the path aggregate is |distinct paths| ≤
     * |types|³ rows; top-10 is TakeOrderedAndProject. */
   private def a31(s: SparkSession, dir: String): DataFrame = {
-    val ord = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sess = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val withPaths = t(s, dir).events
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"))
-      .withColumn("new_sess",
-        when(col("ts_us") - lag(col("ts_us"), 1).over(ord) <= 1800000000L, 0L)
-          .otherwise(1L))
-      .withColumn("session_id", sum(col("new_sess")).over(run))
+    // session boundaries = q43's exact definition (Temporal.sessionized)
+    val withPaths = Temporal.sessionized(t(s, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us")))
       .withColumn("rn", row_number().over(sess))
       .filter(col("rn") <= 3)
       .groupBy(col("user_id"), col("session_id"))
@@ -1602,22 +1622,14 @@ object Analytic {
     val ord = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val w8 = ord.rowsBetween(-7, Window.currentRow)
-    def dyadic(c: String, lstName: String, numName: String,
-        denName: String)(df: DataFrame): DataFrame =
-      df.withColumn(lstName, collect_list(col(c)).over(w8))
-        .withColumn(numName, expr(
-          s"""aggregate(sequence(0, size($lstName) - 1), 0L,
-             |  (acc, i) -> acc + $lstName[i] * shiftleft(1L, i))"""
-            .stripMargin))
-        .withColumn(denName, expr(s"shiftleft(1L, size($lstName)) - 1L"))
     val base = t(s, dir).events
       .filter(col("user_id") < 30)
       .withColumn("cents", round(col("value") * 100, 0).cast("long"))
       .withColumn("d",
         col("cents") - lag(col("cents"), 1).over(ord))
       .filter(col("d").isNotNull)
-    val smoothed = dyadic("cents", "lv", "numL", "denL")(
-      dyadic("d", "tv", "numT", "denT")(base))
+    val smoothed = dyadicEwma("cents", "lv", "numL", "denL", w8)(
+      dyadicEwma("d", "tv", "numT", "denT", w8)(base))
       .withColumn("level_milli", expr("(numL * 10) div denL"))
       .withColumn("trend_milli", expr("(numT * 10) div denT"))
       .withColumn("forecast_milli", col("level_milli") + col("trend_milli"))

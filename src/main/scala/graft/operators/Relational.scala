@@ -560,13 +560,17 @@ object Relational {
     // registration (a fixed global name would cross-contaminate them)
     val v = s"sq_orders_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     t(s, dir).orders.createOrReplaceTempView(v)
-    s.sql(
+    // drop after the eager sql() analysis — the resolved plan no longer
+    // needs the catalog entry, and a per-call UUID view would otherwise
+    // leak one entry per run
+    try s.sql(
       s"""SELECT o_orderkey, o_totalprice,
          |  round(o_totalprice - (SELECT avg(o_totalprice) FROM $v), 2)
          |    AS delta_from_avg
          |FROM $v
          |WHERE o_orderkey <= 200
          |ORDER BY o_orderkey""".stripMargin)
+    finally s.catalog.dropTempView(v)
   }
 
   private val q39Sql =
@@ -591,11 +595,15 @@ object Relational {
     val (vc, vo) = (s"na_customer_$sfx", s"na_orders_$sfx")
     tb.customer.createOrReplaceTempView(vc)
     tb.orders.createOrReplaceTempView(vo)
-    s.sql(
+    try s.sql(
       s"""SELECT c_custkey, c_name FROM $vc
          |WHERE c_custkey NOT IN
          |  (SELECT o_custkey FROM $vo WHERE o_totalprice > 450000.0)
          |ORDER BY c_custkey""".stripMargin)
+    finally {
+      s.catalog.dropTempView(vc)
+      s.catalog.dropTempView(vo)
+    }
   }
 
   private val q40Sql =

@@ -194,18 +194,29 @@ object Temporal {
     * user_id is cluster-local; no self-join, no global sort. Ties at equal
     * ts are ordered by event_id so both engines see identical lag chains.
     * Money is summed as integer cents. */
-  private def q43(s: SparkSession, dir: String): DataFrame = {
+  /** Gaps-and-islands sessionization over an (user_id, ts_us, event_id)
+    * frame: appends `new_sess` (30-min-default inactivity gap, ties at
+    * equal ts ordered by event_id so every engine sees identical lag
+    * chains) and the running `session_id`. SHARED by q43 (the batch
+    * sessionizer) and a31 (session paths), whose docs require identical
+    * session boundaries — one definition so the gap constant and tie
+    * rule cannot fork. */
+  private[operators] def sessionized(df: DataFrame,
+      gapUs: Long = 1800000000L): DataFrame = {
     val ord = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir).events
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        round(col("value") * 100, 0).cast("long").as("cents"))
-      .withColumn("new_sess",
-        when(col("ts_us") - lag(col("ts_us"), 1).over(ord) <= 1800000000L, 0L)
+    df.withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(ord) <= gapUs, 0L)
           .otherwise(1L))
       .withColumn("session_id", sum(col("new_sess")).over(run))
+  }
+
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    sessionized(t(s, dir).events
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100, 0).cast("long").as("cents")))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_us")).as("start_us"),
