@@ -194,12 +194,18 @@ object Bench {
     if (failedWhy.nonEmpty) sys.exit(1)
   }
 
-  /** Load-guard decision: the fixed-work calibration drifting >1.3x
-    * across the run means a neighbor was taxing the host mid-run — the
-    * query times measured the neighbor, not the engine (burned r4 and
-    * r6). Pure — BenchJsonSpec pins the threshold. */
-  def loadRerunNeeded(calBefore: Double, calAfter: Double): Boolean =
-    calAfter / calBefore > 1.3
+  /** Load-guard decision: the fixed-work calibration drifting >1.3x in
+    * EITHER direction across the run means a neighbor was taxing the
+    * host for part of it — the query times measured the neighbor, not
+    * the engine (burned r4 and r6). Symmetric on purpose: a neighbor
+    * that was present from startup through the passes and exited before
+    * calAfter shows calibration getting FASTER (calAfter/calBefore well
+    * below 1), which a one-sided slower-only test read as clean. Pure —
+    * BenchJsonSpec pins the threshold and both directions. */
+  def loadRerunNeeded(calBefore: Double, calAfter: Double): Boolean = {
+    val r = calAfter / calBefore
+    math.max(r, 1.0 / r) > 1.3
+  }
 
   /** Idle-host calibration floor (seconds) for the ABSOLUTE load guard:
     * drift-only detection reads a host that is uniformly loaded for the

@@ -21,8 +21,28 @@ object LayoutOps {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
-  private def scratch(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Per-(prefix, sf-dir) FIXED scratch path, recreated (old contents
+    * deleted) on each invocation: a fresh createTempDirectory per call
+    * leaked a full rewritten copy of events into /tmp per execution —
+    * a bench round (warmup + 3 rotated passes × 3 layout queries, l02
+    * writing two copies) left ~10 copies per run. Steady-state is now
+    * ONE copy per query. Single-writer per query, like every scratch
+    * consumer here (Verify/Bench run queries sequentially); the returned
+    * frame reads the files lazily, so deletion happens at the NEXT
+    * invocation, never under a live reader of the current one. */
+  private def scratch(prefix: String, dir: String): String = {
+    val root = java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft-scratch/" +
+        s"$prefix-${math.abs(dir.hashCode).toString}")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(root)
+    root.toString
+  }
 
   /** Z-order layout rewrite + 2-D range scan: events rewritten along a
     * Morton curve over (user_id, value), then a two-column range predicate
@@ -31,7 +51,7 @@ object LayoutOps {
     * skipping scan (row-group min/max stats exclude files the curve keeps
     * pure); the oracle proves the rewrite is content-preserving. */
   private def l01(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${scratch("graft-l01")}/events_z"
+    val path = s"${scratch("graft-l01", dir)}/events_z"
     Formats.writeZOrdered(t(s, dir).events, path, Seq("user_id", "value"),
       bits = 4, outFiles = 32)
     s.read.parquet(path)
@@ -62,7 +82,7 @@ object LayoutOps {
     * compacted copy. The oracle proves compaction is content-preserving;
     * FormatsSpec pins the file-count contract. */
   private def l02(s: SparkSession, dir: String): DataFrame = {
-    val base = scratch("graft-l02")
+    val base = scratch("graft-l02", dir)
     t(s, dir).events.repartition(48).write.parquet(s"$base/frag")
     Formats.compact(s, s"$base/frag", s"$base/compacted")
     s.read.parquet(s"$base/compacted")
@@ -92,7 +112,7 @@ object LayoutOps {
     * requested keys and nothing else — the correctness half of the
     * right-to-be-forgotten contract whose I/O half lives in the spec. */
   private def l03(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${scratch("graft-l03")}/events_b"
+    val path = s"${scratch("graft-l03", dir)}/events_b"
     val ev = t(s, dir).events
     Formats.writeKeyBucketed(ev, path, "user_id", buckets = 8)
     val delKeys = ev.filter(col("user_id") < 3)

@@ -221,6 +221,9 @@ object MultimodalOps {
           |  sequence(0, CAST((greatest(n_bytes, 1) - 1) div 256 AS INT)),
           |  fi -> md5(cast(substring(text, fi * 256 + 1, 256) as binary))))"""
           .stripMargin).as("hs"))
+      // cached: perDoc and the bucket explode both consume the
+      // md5-per-256-byte-frame transform (the dominant cost)
+      .cache()
     val perDoc = hs.select(col("doc_id"), size(col("hs")).as("n_frames"))
     val buckets = hs
       .select(col("doc_id"), explode(col("hs")).as("h"))
@@ -249,10 +252,17 @@ object MultimodalOps {
       |  FROM documents),
       |f AS (SELECT doc_id, unnest(hs) AS h FROM hs),
       |nf AS (SELECT doc_id, len(hs) AS n_frames FROM hs),
+      |-- mirror the Spark side's bucket bounds (size BETWEEN 2 AND 1000):
+      |-- an unmirrored hot-bucket cap would drop pairs from one engine
+      |-- only the moment any frame hash is shared by > 1000 documents
+      |fb2 AS (
+      |  SELECT f.doc_id, f.h FROM f
+      |  JOIN (SELECT h FROM f GROUP BY h
+      |        HAVING count(*) BETWEEN 2 AND 1000) k ON k.h = f.h),
       |shared AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(count(*) AS BIGINT) AS n_shared
-      |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  FROM fb2 a JOIN fb2 b ON a.h = b.h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2 HAVING count(*) >= 2)
       |SELECT doc_a, doc_b, n_shared,
       |  CAST(n_shared * 1000 // least(fa.n_frames, fb.n_frames) AS BIGINT)
@@ -299,6 +309,11 @@ object MultimodalOps {
           |  aggregate(sequence(0, least(7, n_win - 2)), 0L,
           |    (acc, d) -> IF(energies[d + 1] > energies[d],
           |      acc | shiftleft(1L, d), acc)))""".stripMargin))
+      // pruned + cached: the bucket aggregate AND the join back both
+      // consume the fold output — uncached, the O(bytes) nested
+      // window-energy fold (the query's dominant cost) runs twice
+      .select(col("doc_id"), col("fingerprint"), col("n_win"))
+      .cache()
     val buckets = base.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("bucket_size"))
     base.join(broadcast(buckets), "fingerprint")
@@ -473,7 +488,15 @@ object MultimodalOps {
     val media = Tables(s, dir).documentsSpread
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val src = text.toCharArray.map(c => (c.toInt & 0xFF).toByte)
+        // mirror the oracle's source-byte selection EXACTLY: DuckDB's
+        // regexp_extract_all(text, '.') yields one element per CODE
+        // POINT and skips newlines — toCharArray would include '\n' and
+        // split a non-BMP character into two surrogate units, silently
+        // diverging the pixel stream on such documents (m03 already
+        // uses the regex form on both sides)
+        val src = text.codePoints().toArray
+          .filter(_ != '\n'.toInt)
+          .map(cp => (cp & 0xFF).toByte)
         MediaPipeline.MediaRecord(id, "image",
           MediaPipeline.PpmEncoder.encode(16, 12, src),
           "image/x-portable-pixmap")

@@ -48,8 +48,25 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
   private def params(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
       .filter(_.contains("=")).map { kv =>
-        val Array(k, v) = kv.split("=", 2); k -> v
+        val Array(k, v) = kv.split("=", 2)
+        // percent-decode both sides: a standards-compliant client sends
+        // entity=my%20app, and the undecoded literal would silently look
+        // up a nonexistent entity (empty answer, not an error)
+        java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+          java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
       }.toMap
+
+  /** Client-input integer: a malformed value is the CLIENT's error —
+    * report 400 via IllegalArgumentException (mapped below), never a
+    * NumberFormatException surfacing as a 500 server fault. */
+  private def intParam(p: Map[String, String], name: String,
+      default: Int): Int = {
+    val raw = p.getOrElse(name, default.toString)
+    try raw.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$name must be an integer")
+    }
+  }
 
   private def jsonEscape(s: String): String =
     s.flatMap {
@@ -67,13 +84,14 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
     def handle(ex: HttpExchange): Unit = try {
       val p = params(ex)
       val entity = p.getOrElse("entity", "")
-      val count = p.getOrElse("count", "10").toInt
+      val count = intParam(p, "count", 10)
+      // NOTE: JDK HttpServer routes by longest matching context, so
+      // /v1/dead_set/replay always hits its own context below — no
+      // path-suffix dispatch here (an earlier endsWith("/replay") branch
+      // was unreachable for the real path, yet reachable through
+      // prefix-matched oddities like /v1/dead_set2/replay)
       if (entity.isEmpty) { respond(ex, 400, """{"error":"entity required"}""") }
-      else if (ex.getRequestURI.getPath.endsWith("/replay")
-          && ex.getRequestMethod == "POST") {
-        val n = engine.deadSet.replay(spark, entity, count)
-        respond(ex, 200, s"""{"replayed":$n}""")
-      } else ex.getRequestMethod match {
+      else ex.getRequestMethod match {
         case "GET" =>
           val rows = engine.deadSet.view(spark, entity, count)
             .select("topic", "partition", "offset", "timestamp")
@@ -85,17 +103,19 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
           respond(ex, 200, s"""{"deleted":$n}""")
         case m => respond(ex, 405, s"""{"error":"method $m not allowed"}""")
       }
-    } catch { case e: Throwable =>
-      respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+      case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
     }
   })
 
-  // POST /v1/dead_set/replay shares the /v1/dead_set context via path check
   server.createContext("/v1/dead_set/replay", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
       val p = params(ex)
       val entity = p.getOrElse("entity", "")
-      val count = p.getOrElse("count", "10").toInt
+      val count = intParam(p, "count", 10)
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, """{"error":"POST required"}""")
       else if (entity.isEmpty) respond(ex, 400, """{"error":"entity required"}""")
@@ -103,17 +123,24 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
         val n = engine.deadSet.replay(spark, entity, count)
         respond(ex, 200, s"""{"replayed":$n}""")
       }
-    } catch { case e: Throwable =>
-      respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+      case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
     }
   })
 
   server.createContext("/v1/metrics", new HttpHandler {
-    def handle(ex: HttpExchange): Unit = {
+    def handle(ex: HttpExchange): Unit = try {
       val body = engine.metrics.snapshot().toSeq.sortBy(_._1)
         .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }
         .mkString("{", ",", "}")
       respond(ex, 200, body)
+    } catch { case e: Throwable =>
+      // without a response the client sees a dropped connection, not
+      // the 500 every other handler returns
+      respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
     }
   })
 
@@ -184,26 +211,33 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
     def handle(ex: HttpExchange): Unit = try {
       val p = params(ex)
       val name = p.getOrElse("name", "")
-      val maxPerTrigger = p.getOrElse("max_per_trigger", "0").toInt
+      val maxPerTrigger = intParam(p, "max_per_trigger", 0)
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, """{"error":"POST required"}""")
       else if (name.isEmpty || maxPerTrigger <= 0)
         respond(ex, 400, """{"error":"name and max_per_trigger > 0 required"}""")
       else respond(ex, 200,
         s"""{"scaled":${engine.scaleRoute(name, maxPerTrigger)}}""")
-    } catch { case e: Throwable =>
-      respond(ex, 500,
-        s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400,
+          s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+      case e: Throwable =>
+        respond(ex, 500,
+          s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
     }
   })
 
   server.createContext("/v1/queries", new HttpHandler {
-    def handle(ex: HttpExchange): Unit = {
+    def handle(ex: HttpExchange): Unit = try {
       val body = engine.runningQueries.toSeq.sortBy(_._1)
         .map { case (name, q) =>
           s""""${jsonEscape(name)}":{"id":"${q.id}","active":${q.isActive}}"""
         }.mkString("{", ",", "}")
       respond(ex, 200, body)
+    } catch { case e: Throwable =>
+      respond(ex, 500,
+        s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
     }
   })
 

@@ -140,13 +140,18 @@ object Formats {
       bits: Int = 4, outFiles: Int = 32): Unit = {
     require(cols.nonEmpty && bits >= 1 && bits <= 8)
     val n = 1 << bits
-    val bins: Seq[org.apache.spark.sql.Column] = cols.map { c =>
-      val probs = (1 until n).map(_.toDouble / n).toArray
-      val bounds = df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
-      bounds.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col(c).cast("double") > b, 1).otherwise(0)
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    // ONE quantile job for every z-order column (the multi-column
+    // approxQuantile overload) — the per-column spelling scanned the
+    // input once per column
+    val allBounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val bins: Seq[org.apache.spark.sql.Column] =
+      cols.zip(allBounds.toSeq).map { case (c, raw) =>
+        val bounds = raw.distinct.sorted
+        bounds.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col(c).cast("double") > b, 1).otherwise(0)
+        }
       }
-    }
     val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       bins.zipWithIndex.foldLeft(acc) { case (a, (bin, j)) =>
         a + (shiftright(bin.cast("long"), i).bitwiseAND(1L)

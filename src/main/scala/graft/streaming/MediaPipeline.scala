@@ -95,7 +95,15 @@ object MediaPipeline {
       val need = if (w > 0 && h > 0) w.toLong * h * 3 else -1L
       if (w <= 0 || h <= 0 || need > Int.MaxValue) Left("bad dimensions")
       else if (maxval <= 0 || maxval > 255) Left("unsupported maxval")
-      else {
+      else if (i >= blob.length
+          || !(blob(i) == ' ' || blob(i) == '\n'
+            || blob(i) == '\r' || blob(i) == '\t')) {
+        // the P6 spec requires exactly ONE whitespace byte between
+        // maxval and the raster; consuming whatever byte is there would
+        // shift every pixel by one and return ok=true over a garbage
+        // raster instead of an error row
+        Left("missing whitespace after maxval")
+      } else {
         i += 1 // exactly one whitespace byte after maxval
         if ((blob.length - i).toLong < need) Left("truncated pixel data")
         else Right((w, h,

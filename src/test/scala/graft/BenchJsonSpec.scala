@@ -63,12 +63,16 @@ class BenchJsonSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Bench.streamJson(1L, Nil) }
   }
 
-  test("load guard: >1.3x calibration drift demands a re-run; stable and " +
-      "IMPROVING calibrations do not") {
+  test("load guard: >1.3x calibration drift in EITHER direction demands " +
+      "a re-run; within-noise drift does not") {
     assert(Bench.loadRerunNeeded(0.5, 0.7), "0.5 -> 0.7 is a loaded host")
     assert(!Bench.loadRerunNeeded(0.5, 0.6), "within-noise drift passes")
-    assert(!Bench.loadRerunNeeded(0.9, 0.5),
-      "a host that got QUIETER mid-run needs no re-run")
+    // symmetric: a neighbor present through the PASSES that exits before
+    // calAfter shows calibration getting FASTER — the passes were still
+    // polluted (the one-sided slower-only guard read this as clean)
+    assert(Bench.loadRerunNeeded(0.9, 0.5),
+      "a host that got QUIETER mid-run measured its passes under load")
+    assert(!Bench.loadRerunNeeded(0.6, 0.5), "within-noise improvement passes")
   }
 
   test("absolute load guard: a run whose BEST calibration sits >1.3x " +
