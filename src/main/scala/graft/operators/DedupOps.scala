@@ -2459,6 +2459,30 @@ object DedupOps {
       |      >= 0.5 * len(list_distinct(a.grams || b.grams))
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** DECIMAL-τ spelling gate (round 9): `0.25` through the SQL PARSER is
+    * a DECIMAL(2,2) literal, not the DOUBLE the DataFrame `lit(0.25)`
+    * produces — the spelling every plain-SQL user actually writes, and a
+    * recognizer path (decimal-promotion uncast + jaccardSlop bound)
+    * added by the round-9 hardening sweep after review found those
+    * queries silently staying nested-loop cartesians. d33's EXACT query
+    * with only the predicate spelled via expr() (the SQL parser), so it
+    * hash-matches d33Sql verbatim: the gate certifies recognizer +
+    * slopped prefix bound + rewrite end-to-end under the driver. */
+  private def d40(s: SparkSession, dir: String): DataFrame = {
+    val sh = fourGramShingles(s, dir)
+    val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    a.join(b, expr("size(array_intersect(a_sh, b_sh)) " +
+          "> 0.25 * size(array_union(a_sh, b_sh))")
+        && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(inter.cast("double")
+          / (size(col("a_sh")) + size(col("b_sh")) - inter), 4)
+          .as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -2519,6 +2543,7 @@ object DedupOps {
     "d38_exists_hof_decontam" -> QueryDef(d38, Some(d29Sql)),
     // round-9: the >=-Jaccard spelling (witnessed ∪ empty-empty union)
     "d39_jaccard_orequal_rewrite" -> QueryDef(d39, Some(d39Sql)),
+    "d40_decimal_tau_rewrite" -> QueryDef(d40, Some(d33Sql)),
   )
 
 

@@ -25,7 +25,8 @@ class RewriteEquivalenceSpec extends SparkSuite {
     "d36_hamming_wide_payload",
     "d37_bitcount_spelling_rewrite",
     "d38_exists_hof_decontam",
-    "d39_jaccard_orequal_rewrite")
+    "d39_jaccard_orequal_rewrite",
+    "d40_decimal_tau_rewrite")
 
   test("every rewrite-gated query returns an identical row multiset " +
       "with both rules disabled (the naive plan is ground truth)") {
