@@ -523,7 +523,11 @@ object ProtoWire {
     * tens of thousands of struct_value levels would recurse to
     * StackOverflowError, an Error the Malformed catch cannot contain —
     * killing the task deterministically on every retry instead of
-    * dead-lettering the record. */
+    * dead-lettering the record. Depth counts CONTAINER descents: it is
+    * incremented exactly once per descent into a nested Struct or
+    * ListValue (the valueJson→structJson/listJson edges only), so a
+    * payload with 100 nested container levels below the root decodes
+    * and the 101st descent is malformed (ProtoWireSpec pins the edge). */
   private val MaxStructDepth = 100
 
   /** Struct { map<string, Value> fields = 1 } — map entry {1:key, 2:value}. */
@@ -562,7 +566,7 @@ object ProtoWire {
     jsonString(key, out)
     out.append(':')
     if (voff < 0) out.append("null")
-    else valueJson(buf, voff, vend, out, depth + 1)
+    else valueJson(buf, voff, vend, out, depth)
   }
 
   /** Value oneof: 1 null_value, 2 number_value, 3 string_value,
@@ -615,7 +619,7 @@ object ProtoWire {
         val (o, l) = r.readSlice()
         if (!first) out.append(',')
         first = false
-        valueJson(buf, o, o + l, out, depth + 1)
+        valueJson(buf, o, o + l, out, depth)
       } else r.skip((tag & 7).toInt)
     }
     out.append(']')

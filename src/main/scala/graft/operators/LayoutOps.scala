@@ -29,11 +29,20 @@ object LayoutOps {
     * ONE copy per query. Single-writer per query, like every scratch
     * consumer here (Verify/Bench run queries sequentially); the returned
     * frame reads the files lazily, so deletion happens at the NEXT
-    * invocation, never under a live reader of the current one. */
+    * invocation, never under a live reader of the current one. The path
+    * carries the JVM's pid so two concurrent processes on one host
+    * (e.g. parallel bench + verify runs) never share a scratch root —
+    * the walk-and-delete must not yank files under the OTHER process's
+    * live lazy reader; toHexString (not math.abs, which keeps
+    * Int.MinValue negative) disambiguates the sf-dir hash. Pid-suffixed
+    * roots are bounded the same way as before: one copy per (query,
+    * process), reclaimed by tmp cleanup after the process exits. */
+  private val processTag = ProcessHandle.current().pid().toString
+
   private def scratch(prefix: String, dir: String): String = {
     val root = java.nio.file.Paths.get(
       s"${System.getProperty("java.io.tmpdir")}/graft-scratch/" +
-        s"$prefix-${math.abs(dir.hashCode).toString}")
+        s"$prefix-${java.lang.Integer.toHexString(dir.hashCode)}-p$processTag")
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).sorted(

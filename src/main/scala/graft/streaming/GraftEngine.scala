@@ -418,6 +418,12 @@ final class GraftEngine(
     * the shutdown hook would kill the freshly restarted route,
     * silently degrading Restart to StopAll. */
   def awaitAll(): Unit = {
+    // `done` accumulates across waves: a terminated query that stays in
+    // the registry (terminated normally, not replaced by the Restart
+    // listener) must never re-enter a later wave, or with >=2 routes the
+    // waves alternate between forgetting and re-awaiting it and this
+    // loop busy-spins forever once every query has terminated.
+    var done = Set.empty[java.util.UUID]
     var wave = queries.asScala.values.toSeq
     while (wave.nonEmpty) {
       wave.foreach { q =>
@@ -430,7 +436,7 @@ final class GraftEngine(
             if (failurePolicy != FailurePolicy.Restart) throw e
         }
       }
-      val done = wave.map(_.id).toSet
+      done ++= wave.map(_.id)
       wave = queries.asScala.values.toSeq
         .filter(q => q.isActive || !done.contains(q.id))
     }

@@ -123,10 +123,19 @@ final class KafkaTopicIO(bootstrapServers: String,
     def entry(name: String, v: org.apache.spark.sql.Column) =
       when(v.isNotNull, struct(lit(name).as("key"),
         encode(v.cast("string"), "UTF-8").as("value")))
+    // Producer frames from user code may carry only key/value (the
+    // plain send path) — each retry-state column gets the same
+    // presence guard as `headers`, falling back to a typed null so
+    // entry() drops the header instead of the whole select failing.
+    def stateCol(name: String, tpe: String) =
+      if (df.columns.contains(name)) col(name)
+      else lit(null).cast(tpe)
     val graft = filter(array(
-      entry(RetryCountHeader, col("retryCount")),
-      entry(NextAttemptHeader, unix_micros(col("nextAttemptAt"))),
-      entry(ChannelHeader, col("channel"))), e => e.isNotNull)
+      entry(RetryCountHeader, stateCol("retryCount", "int")),
+      entry(NextAttemptHeader,
+        unix_micros(stateCol("nextAttemptAt", "timestamp"))),
+      entry(ChannelHeader, stateCol("channel", "string"))),
+      e => e.isNotNull)
     val user =
       if (df.columns.contains("headers"))
         filter(coalesce(col("headers"), array()),

@@ -198,6 +198,34 @@ class ProtoWireSpec extends SparkSuite {
       ok = bytes(0x0a, entry.length) ++ entry
     }
     assert(ProtoWire.decodeStructJson(ok) != null)
+
+    // the exact cap edge (varint-correct lengths, since frames past ~18
+    // levels exceed one length byte): depth counts container DESCENTS,
+    // so root + 100 nested structs decodes, one more is malformed —
+    // pre-fix the counter bumped twice per level and cut off at ~50
+    def varint(n: Int): Array[Byte] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var v = n
+      while ((v & ~0x7f) != 0) { b += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+      (b += v.toByte).toArray
+    }
+    def nested(levels: Int): Array[Byte] = {
+      var s = Array.emptyByteArray
+      for (_ <- 0 until levels) {
+        val value = 0x2a.toByte +: (varint(s.length) ++ s)
+        val entry = Array[Byte](0x0a, 0x01, 0x6b, 0x12) ++
+          varint(value.length) ++ value
+        s = 0x0a.toByte +: (varint(entry.length) ++ entry)
+      }
+      s
+    }
+    // nested(n) has n+1 container levels (the innermost empty
+    // struct_value is itself a container): nested(100) is root + 100
+    // descents — protobuf's limit — and nested(101) is one too many
+    assert(ProtoWire.decodeStructJson(nested(100)) != null,
+      "root + 100 nested container levels is within protobuf's limit")
+    assert(ProtoWire.decodeStructJson(nested(101)) == null,
+      "the 101st descent must be malformed")
   }
 
   test("a null map VALUE (valueContainsNull inputs pass the type check) " +

@@ -124,6 +124,15 @@ class KafkaTopicIOSpec extends SparkSuite {
       "headers")
     assert(userHs.map(_.getString(0)).toSeq == Seq("trace-id"),
       "graft.* wire headers must not leak into the user-visible headers")
+    // a key/value-ONLY producer frame (the plain send path, e.g.
+    // KafkaSmoke's publisher) must project cleanly: every retry-state
+    // column is guarded, not just `headers`
+    val plain = Seq(("k1", "v1")).toDF("key", "value")
+    val plainWire = io.sinkProjection(plain)
+    assert(plainWire.columns.toSeq == Seq("key", "value", "headers"))
+    assert(plainWire.head().getSeq[org.apache.spark.sql.Row](2).isEmpty,
+      "no retry state and no user headers → empty wire headers")
+
     // a first-delivery record (no retry state) round-trips nulls
     val fresh = io.normalize(io.sinkProjection(env
         .withColumn("retryCount", lit(null).cast("int"))
