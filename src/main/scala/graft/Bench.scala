@@ -183,7 +183,17 @@ object Bench {
       val streamN = sys.env.get("SPARK_GRAFT_STREAM_N").map(_.toLong)
         .getOrElse(500000L)
       val runs = (1 to streamPassCount).map(_ => streamThroughput(spark, streamN))
-      streamJson(streamN, runs)
+      // ONE long-horizon pass at 10× (override: SPARK_GRAFT_STREAM_LONG_N;
+      // 0 disables): its events/s should hold near the short-horizon
+      // number — degradation here means O(topic-size) cost crept into
+      // the append path and would be invisible to the 500k passes
+      val longN = sys.env.get("SPARK_GRAFT_STREAM_LONG_N").map(_.toLong)
+        .getOrElse(streamN * 10)
+      val longRun =
+        if (longN > 0) Some(streamThroughput(spark, longN))
+          .map { case (s, e) => (longN, s, e) }
+        else None
+      streamJson(streamN, runs, longRun)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
       ""
@@ -232,13 +242,23 @@ object Bench {
   /** Assemble the stream fragment from N measured (sec, events/sec)
     * passes: report the BEST pass (min seconds — the same defense the
     * query times get) and carry `stream_passes` so a reader knows the
-    * number survived N cold runs, not one. Pure — BenchJsonSpec pins the
-    * multi-pass contract. */
-  def streamJson(events: Long, runs: Seq[(Double, Double)]): String = {
+    * number survived N cold runs, not one. `longRun` is the single
+    * long-horizon pass (events, sec, events/sec) reported under its own
+    * `stream_long` key — a 10× horizon in the SAME artifact makes
+    * O(topic-size) cost creep in the file-transport append path visible
+    * round-over-round (short-horizon passes amortize it invisibly).
+    * Pure — BenchJsonSpec pins the multi-pass + long-pass contract. */
+  def streamJson(events: Long, runs: Seq[(Double, Double)],
+      longRun: Option[(Long, Double, Double)] = None): String = {
     require(runs.nonEmpty, "streamJson needs at least one measured pass")
     val (sec, eps) = runs.minBy(_._1)
+    val longStr = longRun.map { case (n, s, e) =>
+      f""","stream_long":{"events":$n,"sec":$s%.3f,""" +
+        f""""events_per_sec":${e.round}}"""
+    }.getOrElse("")
     f""","stream":{"events":$events,"sec":$sec%.3f,""" +
-      f""""events_per_sec":${eps.round},"stream_passes":${runs.size}}"""
+      f""""events_per_sec":${eps.round},"stream_passes":${runs.size}}""" +
+      longStr
   }
 
   /** Assemble the one-line bench JSON. n_queries makes headline-set growth

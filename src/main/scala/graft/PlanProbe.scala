@@ -56,6 +56,22 @@ object PlanProbe {
       spark.stop()
       return
     }
+    // --hamming-preflight: the same discipline for the block equi-join
+    // family (SkewTools.hammingJoinPreflight over d25's fingerprint
+    // relation) — a skewed block value prints as a diagnosed WARN.
+    if (args.contains("--hamming-preflight")) {
+      val report = SparkEntry.queries("d41_hamming_preflight")(spark, sfDir)
+        .collect()(0)
+      println(s"hamming-preflight: $report")
+      val diagnosis = report.getAs[String]("diagnosis")
+      if (diagnosis != "ok")
+        println(s"WARN hamming-preflight: $diagnosis " +
+          s"(worst_block=(${report.getAs[Long]("worst_block_index")}, " +
+          s"${report.getAs[Long]("worst_block_value")}), " +
+          s"share_bp=${report.getAs[Long]("max_share_bp")})")
+      spark.stop()
+      return
+    }
     names.foreach { n =>
       println(s"\n===== $n =====")
       val df = SparkEntry.queries(n)(spark, sfDir)

@@ -2483,6 +2483,117 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Hot-BLOCK pre-flight report over d25's own fingerprint relation —
+    * the declared gate for [[SkewTools.hammingJoinPreflight]], d31's
+    * pattern transposed to the Hamming rewrite family: the block
+    * equi-join of [[graft.plans.HammingBlockJoinRewrite]] keys on
+    * (block-index, block-value) over the k+1-way pigeonhole split, so
+    * its candidate volume is exactly Σ fL·fR over per-side (index,
+    * value) frequencies — two keyed counts + a count-table join price
+    * the d25/d30-style join before it runs, the worst block named (a
+    * zero-heavy simhash block from degenerate docs is the canonical
+    * skew). Left side mirrors d31's probe slice (doc_id % 20) so the
+    * fL ≠ fR asymmetry is exercised; k = 12 = d25's own bound. The
+    * oracle recomputes the 13-block layout (12×5-bit + 1×4-bit)
+    * literally — hash-matching rows certify layout, frequency join, and
+    * share arithmetic. */
+  private def d41(s: SparkSession, dir: String): DataFrame = {
+    val fp = simhash64(t(s, dir).documentsSpread)
+    SkewTools.hammingJoinPreflight(
+      fp.filter(col("doc_id") % 20 === 0), col("sh"),
+      fp, col("sh"), k = 12)
+  }
+
+  private val d41Sql =
+    s"""WITH $simhash64Ctes,
+       |lay(bi, shf, msk) AS (VALUES
+       |  (0, 0, 31), (1, 5, 31), (2, 10, 31), (3, 15, 31), (4, 20, 31),
+       |  (5, 25, 31), (6, 30, 31), (7, 35, 31), (8, 40, 31), (9, 45, 31),
+       |  (10, 50, 31), (11, 55, 31), (12, 60, 15)),
+       |lb AS (SELECT l.bi, (f.sh >> l.shf) & l.msk AS bv,
+       |    CAST(count(*) AS BIGINT) AS f
+       |  FROM fp f, lay l WHERE f.doc_id % 20 = 0 GROUP BY 1, 2),
+       |rb AS (SELECT l.bi, (f.sh >> l.shf) & l.msk AS bv,
+       |    CAST(count(*) AS BIGINT) AS f
+       |  FROM fp f, lay l GROUP BY 1, 2),
+       |c AS (SELECT lb.bi, lb.bv, CAST(lb.f AS HUGEINT) * rb.f AS contrib
+       |  FROM lb JOIN rb ON lb.bi = rb.bi AND lb.bv = rb.bv)
+       |SELECT CAST(count(*) AS BIGINT) AS n_common_blocks,
+       |  CAST(sum(contrib) AS BIGINT) AS est_candidate_rows,
+       |  CAST(max(contrib) AS BIGINT) AS max_block_rows,
+       |  (SELECT CAST(bi AS BIGINT) FROM c
+       |    ORDER BY contrib DESC, bi DESC, bv DESC LIMIT 1)
+       |    AS worst_block_index,
+       |  (SELECT bv FROM c ORDER BY contrib DESC, bi DESC, bv DESC LIMIT 1)
+       |    AS worst_block_value,
+       |  CAST(CAST(max(contrib) AS HUGEINT) * 10000 // sum(contrib)
+       |    AS BIGINT) AS max_share_bp,
+       |  CASE WHEN CAST(max(contrib) AS HUGEINT) * 10000 // sum(contrib)
+       |    >= 1000
+       |    THEN 'hot-block: a skewed block value dominates the equi-join """
+      .stripMargin +
+      """— drop degenerate fingerprints upstream or salt the hot (index, value) key'
+      |    ELSE 'ok' END AS diagnosis
+      |FROM c""".stripMargin
+
+  /** Empty-empty pricing gate — the oracle-level proof of
+    * [[SkewTools.overlapJoinPreflight]]'s `includeEmptyEmpty` report
+    * (round 10): prices EXACTLY d39's own relation (long-token gram
+    * sets over doc_id < 200, where short-token documents yield EMPTY
+    * arrays), with the `>=`-Jaccard union branch's |E_l|·|E_r| required
+    * output priced beside the witnessed Σ fL·fR — the quadratic volume
+    * the round-9 verdict flagged as undiagnosable. DuckDB recomputes
+    * witnessed frequencies, the two empty counts, and both basis-point
+    * shares literally; hash-matching rows certify the arithmetic and
+    * the diagnosis precedence (empty-empty outranks hot-element). */
+  private def d42(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir).documentsSpread
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), expr(
+        "array_distinct(filter(split(text, ' '), t -> length(t) >= 8))")
+        .as("grams"))
+    SkewTools.overlapJoinPreflight(g, col("grams"), g, col("grams"),
+      includeEmptyEmpty = true)
+  }
+
+  private val d42Sql =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '),
+      |    t -> len(t) >= 8)) AS grams
+      |  FROM documents WHERE doc_id < 200),
+      |fq AS (SELECT s AS e, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(grams) AS s FROM g) GROUP BY 1),
+      |c AS (SELECT fl.e, CAST(fl.f AS HUGEINT) * fr.f AS contrib
+      |  FROM fq fl JOIN fq fr ON fl.e = fr.e),
+      |ee AS (SELECT CAST(count(*) AS HUGEINT) AS n
+      |  FROM g WHERE len(grams) = 0),
+      |tot AS (
+      |  SELECT count(*) AS n_common, sum(contrib) AS wit,
+      |    max(contrib) AS mx,
+      |    (SELECT e FROM c ORDER BY contrib DESC, e DESC LIMIT 1) AS we,
+      |    (SELECT n * n FROM ee) AS eesq
+      |  FROM c)
+      |SELECT CAST(n_common AS BIGINT) AS n_common_elements,
+      |  CAST(coalesce(wit, 0) + eesq AS BIGINT) AS est_candidate_rows,
+      |  CAST(eesq AS BIGINT) AS empty_empty_rows,
+      |  CAST(mx AS BIGINT) AS max_element_rows,
+      |  we AS worst_element,
+      |  CAST(mx * 10000 // (coalesce(wit, 0) + eesq) AS BIGINT)
+      |    AS max_share_bp,
+      |  CAST(eesq * 10000 // (coalesce(wit, 0) + eesq) AS BIGINT)
+      |    AS empty_share_bp,
+      |  CASE
+      |    WHEN eesq * 10000 // (coalesce(wit, 0) + eesq) >= 1000
+      |    THEN 'empty-empty: the >= spelling emits every empty x empty """
+      .stripMargin +
+      """array pair — filter empty arrays upstream or use the strict > spelling'
+      |    WHEN mx * 10000 // (coalesce(wit, 0) + eesq) >= 1000
+      |    THEN 'hot-element: cap its frequency upstream (d02''s """
+        .stripMargin +
+      """maxShingleFreq) or salt it before the overlap join'
+      |    ELSE 'ok' END AS diagnosis
+      |FROM tot""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -2544,6 +2655,8 @@ object DedupOps {
     // round-9: the >=-Jaccard spelling (witnessed ∪ empty-empty union)
     "d39_jaccard_orequal_rewrite" -> QueryDef(d39, Some(d39Sql)),
     "d40_decimal_tau_rewrite" -> QueryDef(d40, Some(d33Sql)),
+    "d41_hamming_preflight" -> QueryDef(d41, Some(d41Sql)),
+    "d42_orequal_preflight" -> QueryDef(d42, Some(d42Sql)),
   )
 
 

@@ -35,20 +35,51 @@ object LayoutOps {
     * the walk-and-delete must not yank files under the OTHER process's
     * live lazy reader; toHexString (not math.abs, which keeps
     * Int.MinValue negative) disambiguates the sf-dir hash. Pid-suffixed
-    * roots are bounded the same way as before: one copy per (query,
-    * process), reclaimed by tmp cleanup after the process exits. */
+    * roots would re-accumulate across RUNS (the round-8 leak, one copy
+    * per process instead of per invocation), so each call also reaps
+    * sibling roots whose `-p<pid>` owner is no longer alive — live
+    * processes' roots are never touched. */
   private val processTag = ProcessHandle.current().pid().toString
 
-  private def scratch(prefix: String, dir: String): String = {
-    val root = java.nio.file.Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft-scratch/" +
-        s"$prefix-${java.lang.Integer.toHexString(dir.hashCode)}-p$processTag")
-    if (java.nio.file.Files.exists(root)) {
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).sorted(
+      java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  /** Best-effort reap of scratch roots left by EXITED processes: a root
+    * whose `-p<pid>` suffix names a dead (or unparseable) pid has no
+    * possible live reader. Races with a concurrent reaper are benign
+    * (deleteIfExists); a root owned by a LIVE pid is always skipped. */
+  private def reapDeadRoots(base: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.isDirectory(base)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      val kids = java.nio.file.Files.list(base)
+      try kids.iterator().asScala.foreach { p =>
+        val name = p.getFileName.toString
+        val cut = name.lastIndexOf("-p")
+        // no -p suffix = a legacy fixed-path root from an older build;
+        // nothing current can own it, reap alongside dead-pid roots
+        val tag = if (cut < 0) None else Some(name.substring(cut + 2))
+        if (!tag.contains(processTag)) {
+          val alive = tag.flatMap(_.toLongOption)
+            .exists(pid => ProcessHandle.of(pid)
+              .map[Boolean](_.isAlive).orElse(false))
+          if (!alive)
+            try deleteTree(p)
+            catch { case _: java.io.IOException => () }
+        }
+      } finally kids.close()
     }
+
+  private def scratch(prefix: String, dir: String): String = {
+    val base = java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft-scratch")
+    reapDeadRoots(base)
+    val root = base.resolve(
+      s"$prefix-${java.lang.Integer.toHexString(dir.hashCode)}-p$processTag")
+    if (java.nio.file.Files.exists(root)) deleteTree(root)
     java.nio.file.Files.createDirectories(root)
     root.toString
   }

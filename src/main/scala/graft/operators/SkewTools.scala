@@ -88,15 +88,34 @@ object SkewTools {
     * to 'ok' at exactly the hottest extreme. The share is a ≤10000
     * report value, so the double path's ~1e-15 relative error is
     * immaterial. */
-  private[operators] def shareBp: Column =
+  private[operators] def shareBp: Column = shareBpOf("max_dec")
+
+  /** Same contract for any numerator column ≤ `est_dec` (the
+    * empty-empty share reuses it with `ee_dec`). */
+  private[operators] def shareBpOf(num: String): Column =
     when(col("est_dec") <= lit(Long.MaxValue).cast("decimal(38,0)"),
-      expr("max_dec * 10000 div est_dec"))
-      .otherwise(expr("cast(floor(cast(max_dec as double) " +
+      expr(s"$num * 10000 div est_dec"))
+      .otherwise(expr(s"cast(floor(cast($num as double) " +
         "/ cast(est_dec as double) * 10000.0) as bigint)"))
 
+  /** `includeEmptyEmpty` prices the `>=`-Jaccard spelling's second
+    * branch: 0 ≥ τ·0 holds for every τ, so EVERY empty-array ×
+    * empty-array pair is REQUIRED output of
+    * [[graft.plans.SetOverlapJoinRewrite.withEmptyEmptyBranch]] — a
+    * quadratic volume no witnessed-element count can see (empty arrays
+    * explode zero elements). Two one-row count aggregates
+    * (`size(arr) = 0` per side, the branch's own emptiness filter)
+    * price it exactly: the report gains `empty_empty_rows` +
+    * `empty_share_bp` columns, the volume joins the candidate
+    * estimate, and a dominant share gets its own diagnosis (the fix is
+    * different — filter empty arrays upstream or use the strict `>`
+    * spelling, not capping an element). Default off: the two extra
+    * columns would break consumers pinned to the witnessed-only schema
+    * (d31's oracle), and the strict spellings have no such branch. */
   def overlapJoinPreflight(left: DataFrame, leftArr: Column,
       right: DataFrame, rightArr: Column,
-      warnShareBp: Long = 1000L, minOverlap: Int = 1): DataFrame = {
+      warnShareBp: Long = 1000L, minOverlap: Int = 1,
+      includeEmptyEmpty: Boolean = false): DataFrame = {
     def prefix(arr: Column): Column = {
       val d = array_distinct(filter(arr, e => e.isNotNull))
       if (minOverlap <= 1) d
@@ -120,25 +139,132 @@ object SkewTools {
     // to NULL and flip the diagnosis to 'ok' at the hottest extreme);
     // the BIGINT report columns degrade to NULL via try_cast past
     // 9.2e18 (the diagnosis string survives).
-    freqs(left, leftArr, "fl").join(freqs(right, rightArr, "fr"), "e")
+    val witnessed = freqs(left, leftArr, "fl")
+      .join(freqs(right, rightArr, "fr"), "e")
       .select(col("e"),
         (col("fl").cast("decimal(38,0)") * col("fr")).as("contrib"))
       .agg(
         count(lit(1)).as("n_common_elements"),
-        sum(col("contrib")).as("est_dec"),
+        sum(col("contrib")).as("wit_dec"),
         max(col("contrib")).as("max_dec"),
         max_by(col("e"), struct(col("contrib"), col("e")))
           .as("worst_element"))
-      // IntegralDivide on decimals returns BIGINT; the share is ≤ 10000
+    val hotElementDiag =
+      lit("hot-element: cap its frequency upstream (d02's " +
+        "maxShingleFreq) or salt it before the overlap join")
+    if (!includeEmptyEmpty)
+      witnessed
+        .withColumn("est_dec", col("wit_dec"))
+        // IntegralDivide on decimals returns BIGINT; the share is ≤ 10000
+        .withColumn("max_share_bp", shareBp)
+        .withColumn("diagnosis",
+          when(col("max_share_bp") >= warnShareBp, hotElementDiag)
+            .otherwise(lit("ok")))
+        .select(col("n_common_elements"),
+          expr("try_cast(est_dec as bigint)").as("est_candidate_rows"),
+          expr("try_cast(max_dec as bigint)").as("max_element_rows"),
+          col("worst_element"), col("max_share_bp"), col("diagnosis"))
+    else {
+      // |E_l|·|E_r| — the >=-Jaccard empty-empty branch's exact output
+      // size; size(arr) = 0 mirrors the branch's emptiness filter (a
+      // NULL array sizes NULL, never 0 — it joins to nothing there too)
+      def emptyCount(df: DataFrame, arr: Column, name: String) =
+        df.filter(size(arr) === lit(0))
+          .agg(count(lit(1)).cast("decimal(38,0)").as(name))
+      val ee = emptyCount(left, leftArr, "el")
+        .crossJoin(emptyCount(right, rightArr, "er"))
+        .select((col("el") * col("er")).as("ee_dec"))
+      witnessed.crossJoin(ee)
+        // wit_dec is NULL when the sides share no elements at all — the
+        // empty-empty volume still exists then (coalesce, don't null out)
+        .withColumn("est_dec",
+          coalesce(col("wit_dec"), lit(0).cast("decimal(38,0)"))
+            + col("ee_dec"))
+        // est_dec is exactly 0 when there are no common elements AND no
+        // empties — unlike the witnessed-only path (where an empty agg
+        // leaves est_dec NULL and the shares ride NULL through), the
+        // coalesce makes a literal zero divisor: guard both shares
+        .withColumn("max_share_bp",
+          when(col("est_dec") === 0, lit(0L)).otherwise(shareBp))
+        .withColumn("ee_share_bp",
+          when(col("est_dec") === 0, lit(0L)).otherwise(shareBpOf("ee_dec")))
+        .withColumn("diagnosis",
+          when(col("ee_share_bp") >= warnShareBp,
+            lit("empty-empty: the >= spelling emits every empty x empty " +
+              "array pair — filter empty arrays upstream or use the " +
+              "strict > spelling"))
+            .when(col("max_share_bp") >= warnShareBp, hotElementDiag)
+            .otherwise(lit("ok")))
+        .select(col("n_common_elements"),
+          expr("try_cast(est_dec as bigint)").as("est_candidate_rows"),
+          expr("try_cast(ee_dec as bigint)").as("empty_empty_rows"),
+          expr("try_cast(max_dec as bigint)").as("max_element_rows"),
+          col("worst_element"), col("max_share_bp"),
+          col("ee_share_bp").as("empty_share_bp"), col("diagnosis"))
+    }
+  }
+
+  /** Hot-BLOCK pre-flight for the Hamming-rewrite family — d31's audit
+    * transposed to [[graft.plans.HammingBlockJoinRewrite]]: the block
+    * equi-join keys on (block-index, block-value) over the k+1-way
+    * pigeonhole split of each 64-bit fingerprint
+    * ([[graft.plans.HammingBlockJoinRewrite.layout]] — the SAME layout,
+    * so this prices the join that actually runs), and its exploded
+    * candidate volume is EXACTLY Σ_{(i,v)} fL(i,v)·fR(i,v) over per-side
+    * (index, value) frequencies. A skewed block value — a zero-heavy
+    * simhash block from near-empty documents is the canonical case —
+    * blows up the equi-join the same way a stop-word element blows up
+    * the overlap join; this names the worst (index, value) pair so the
+    * fix (drop degenerate fingerprints upstream, or salt that block's
+    * join keys) targets the right rows. Cost: two keyed counts (rows =
+    * distinct (index, value) pairs, at most 2^width per index) plus a
+    * count-table join — a fraction of the join it prices. Null
+    * fingerprints are dropped: `hamming64` null-propagates, so a null
+    * code never matches anything. Same report contract as the overlap
+    * preflight: decimal(38,0)-exact candidate totals, share in integer
+    * basis points, BIGINT columns try_cast-degraded past Long.Max,
+    * `warnShareBp` the warning threshold (default 10%). */
+  def hammingJoinPreflight(left: DataFrame, leftFp: Column,
+      right: DataFrame, rightFp: Column, k: Int,
+      warnShareBp: Long = 1000L): DataFrame = {
+    require(k >= 0 && k <= 15,
+      s"k must be in [0, 15] (the rewrite's own firing bound), got $k")
+    val (n, widths, offsets) = graft.plans.HammingBlockJoinRewrite.layout(k)
+    def blockCol(fp: Column, i: Int): Column = {
+      val shifted =
+        if (offsets(i) == 0) fp else shiftrightunsigned(fp, offsets(i))
+      if (widths(i) >= 64) shifted
+      else shifted.bitwiseAND(lit((1L << widths(i)) - 1L))
+    }
+    def freqs(df: DataFrame, fp: Column, name: String) =
+      df.filter(fp.isNotNull)
+        .select(posexplode(array((0 until n).map(i =>
+          blockCol(fp, i)): _*)).as(Seq("bi", "bv")))
+        .groupBy(col("bi"), col("bv")).agg(count(lit(1)).as(name))
+    freqs(left, leftFp, "fl")
+      .join(freqs(right, rightFp, "fr"), Seq("bi", "bv"))
+      .select(col("bi"), col("bv"),
+        (col("fl").cast("decimal(38,0)") * col("fr")).as("contrib"))
+      .agg(
+        count(lit(1)).as("n_common_blocks"),
+        sum(col("contrib")).as("est_dec"),
+        max(col("contrib")).as("max_dec"),
+        max_by(col("bi"), struct(col("contrib"), col("bi"), col("bv")))
+          .as("worst_bi"),
+        max_by(col("bv"), struct(col("contrib"), col("bi"), col("bv")))
+          .as("worst_bv"))
       .withColumn("max_share_bp", shareBp)
       .withColumn("diagnosis",
         when(col("max_share_bp") >= warnShareBp,
-          lit("hot-element: cap its frequency upstream (d02's " +
-            "maxShingleFreq) or salt it before the overlap join"))
+          lit("hot-block: a skewed block value dominates the equi-join " +
+            "— drop degenerate fingerprints upstream or salt the hot " +
+            "(index, value) key"))
           .otherwise(lit("ok")))
-      .select(col("n_common_elements"),
+      .select(col("n_common_blocks"),
         expr("try_cast(est_dec as bigint)").as("est_candidate_rows"),
-        expr("try_cast(max_dec as bigint)").as("max_element_rows"),
-        col("worst_element"), col("max_share_bp"), col("diagnosis"))
+        expr("try_cast(max_dec as bigint)").as("max_block_rows"),
+        col("worst_bi").cast("long").as("worst_block_index"),
+        col("worst_bv").as("worst_block_value"),
+        col("max_share_bp"), col("diagnosis"))
   }
 }

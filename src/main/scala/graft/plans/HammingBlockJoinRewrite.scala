@@ -123,15 +123,7 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     else BitwiseAnd(shifted, Literal((1L << width) - 1L))
   }
 
-  /** Disjoint k+1 block layout over the 64 bits. */
-  private def layout(k: Int): (Int, IndexedSeq[Int], IndexedSeq[Int]) = {
-    val n = k + 1
-    val base = 64 / n
-    val rem = 64 % n
-    val widths = (0 until n).map(i => base + (if (i < rem) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    (n, widths, offsets)
-  }
+  private def layout(k: Int) = HammingBlockJoinRewrite.layout(k)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val enabled = spark.conf
@@ -145,6 +137,7 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (hasEquiBetween(cs, l, r)) j
         else hammingBound(cs, l, r) match {
           case Some((chosen, a, b, k)) =>
+            maybePreflight(l, r, a, b, k)
             rewriteInnerDispatch(j, cs, cond, chosen, a, b, k)
           case None => j
         }
@@ -154,11 +147,47 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (hasEquiBetween(cs, l, r)) j
         else hammingBound(cs, l, r) match {
           case Some((chosen, a, b, k)) =>
-            rewriteSemi(j, cs, chosen, a, b, k).getOrElse(j)
+            val fired = rewriteSemi(j, cs, chosen, a, b, k)
+            if (fired.isDefined) maybePreflight(l, r, a, b, k)
+            fired.getOrElse(j)
           case None => j
         }
     }
   }
+
+  /** [[ScaleGuards.HammingPreflightKey]] = warn: on rewrite fire, run
+    * the d41 hot-block audit over the join's own children and log the
+    * result — [[SetOverlapJoinRewrite]]'s maybePreflight, transposed to
+    * (block-index, block-value) frequencies. Best-effort: a preflight
+    * failure (unresolvable child, side job error) logs and never fails
+    * the query; streaming children can't run a side job and are
+    * skipped. */
+  private def maybePreflight(l: LogicalPlan, r: LogicalPlan,
+      a: Expression, b: Expression, k: Int): Unit =
+    if (spark.conf.getOption(ScaleGuards.HammingPreflightKey)
+        .exists(_.equalsIgnoreCase("warn"))
+        && !l.isStreaming && !r.isStreaming) {
+      try {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        val row = graft.operators.SkewTools.hammingJoinPreflight(
+          ColumnBridge.dataFrame(spark, l), ColumnBridge.column(a),
+          ColumnBridge.dataFrame(spark, r), ColumnBridge.column(b), k)
+          .head()
+        def big(name: String): String =
+          Option(row.getAs[java.lang.Long](name))
+            .map(_.toString).getOrElse(">Long.Max")
+        logWarning("hamming-block rewrite preflight: " +
+          s"est_candidate_rows=${big("est_candidate_rows")} " +
+          s"worst_block_index=${row.getAs[Any]("worst_block_index")} " +
+          s"worst_block_value=${row.getAs[Any]("worst_block_value")} " +
+          s"max_block_rows=${big("max_block_rows")} " +
+          s"max_share_bp=${row.getAs[Long]("max_share_bp")} " +
+          s"diagnosis=${row.getAs[String]("diagnosis")}")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"hamming-block rewrite preflight failed: $e")
+      }
+    }
 
   /** A type whose in-row width is unbounded — when the join's children
     * expose any of these, the in-place posexplode replicates it (k+1)×
@@ -371,5 +400,22 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       selfJoinHint(l, r, hint))
     val collapsed = collapseBySrid(srid.toAttribute, l.output, semi)
     Some(Project(j.output, collapsed))
+  }
+}
+
+object HammingBlockJoinRewrite {
+  /** Disjoint k+1 block layout over the 64 bits: `(n, widths, offsets)`
+    * with `widths` summing to exactly 64. The SINGLE source for the
+    * pigeonhole partition — the rule's posexplode sides and
+    * [[graft.operators.SkewTools.hammingJoinPreflight]]'s pricing must
+    * slice identically or the preflight prices a different join than
+    * the one that runs. */
+  def layout(k: Int): (Int, IndexedSeq[Int], IndexedSeq[Int]) = {
+    val n = k + 1
+    val base = 64 / n
+    val rem = 64 % n
+    val widths = (0 until n).map(i => base + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (n, widths, offsets)
   }
 }

@@ -120,4 +120,13 @@ object ScaleGuards {
     * audit, applied automatically. Default off: the preflight is a real
     * (small — rows = distinct elements) Spark job at planning time. */
   val OverlapPreflightKey = "spark.graft.overlapJoinRewrite.preflight"
+
+  /** Same contract for the Hamming block rule: set to `warn` and every
+    * fire runs [[graft.operators.SkewTools.hammingJoinPreflight]] over
+    * the join's children — Σ fL·fR over (block-index, block-value)
+    * frequencies, worst block named (the d41 audit, applied
+    * automatically). Separate key so a skew-priced overlap deployment
+    * can leave the (cheaper, 2^width-bounded) hamming audit off or vice
+    * versa; both accept only `warn`. */
+  val HammingPreflightKey = "spark.graft.hammingBlockJoinRewrite.preflight"
 }

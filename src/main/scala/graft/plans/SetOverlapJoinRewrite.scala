@@ -435,7 +435,10 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val row = graft.operators.SkewTools.overlapJoinPreflight(
           ColumnBridge.dataFrame(spark, l), ColumnBridge.column(p.a),
           ColumnBridge.dataFrame(spark, r), ColumnBridge.column(p.b),
-          minOverlap = if (p.jaccardTau.isDefined) 1 else p.minOverlap)
+          minOverlap = if (p.jaccardTau.isDefined) 1 else p.minOverlap,
+          // >=-Jaccard fires withEmptyEmptyBranch — |E_l|·|E_r| rows of
+          // REQUIRED output the witnessed count cannot see; price them
+          includeEmptyEmpty = p.jaccardOrEqual)
           .head()
         // the BIGINT report columns are try_cast-degraded to NULL past
         // ~9.2e18 candidates — read them boxed so the log says so
@@ -444,8 +447,14 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         def big(name: String): String =
           Option(row.getAs[java.lang.Long](name))
             .map(_.toString).getOrElse(">Long.Max")
+        val eePart =
+          if (p.jaccardOrEqual)
+            s"empty_empty_rows=${big("empty_empty_rows")} " +
+              s"empty_share_bp=${row.getAs[Long]("empty_share_bp")} "
+          else ""
         logWarning("overlap-join rewrite preflight: " +
           s"est_candidate_rows=${big("est_candidate_rows")} " +
+          eePart +
           s"worst_element=${row.getAs[Any]("worst_element")} " +
           s"max_element_rows=${big("max_element_rows")} " +
           s"max_share_bp=${row.getAs[Long]("max_share_bp")} " +

@@ -63,6 +63,23 @@ class BenchJsonSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Bench.streamJson(1L, Nil) }
   }
 
+  test("stream_long fragment: the single long-horizon pass rides its own " +
+      "key beside the min-of-N short passes, and is omitted when disabled") {
+    val withLong = Bench.streamJson(500000L, Seq((3.2, 156250.0)),
+      longRun = Some((5000000L, 33.1, 151057.0)))
+    val parsed = ujson(s"""{"_":0$withLong}""")
+    assert(parsed.contains("stream") && parsed.contains("stream_long"),
+      withLong)
+    assert(withLong.contains(""""stream_long":{"events":5000000"""),
+      withLong)
+    assert(withLong.contains("\"sec\":33.100"), withLong)
+    assert(withLong.contains("\"events_per_sec\":151057"), withLong)
+    // short-horizon fields unchanged by the long pass
+    assert(withLong.contains("\"stream_passes\":1"), withLong)
+    val without = Bench.streamJson(500000L, Seq((3.2, 156250.0)))
+    assert(!without.contains("stream_long"), without)
+  }
+
   test("load guard: >1.3x calibration drift in EITHER direction demands " +
       "a re-run; within-noise drift does not") {
     assert(Bench.loadRerunNeeded(0.5, 0.7), "0.5 -> 0.7 is a loaded host")

@@ -1,0 +1,80 @@
+package graft.plans
+
+import graft.SparkSuite
+import graft.functions.GraftFunctions.hamming64
+import org.apache.logging.log4j.{Level, LogManager}
+import org.apache.logging.log4j.core.LogEvent
+import org.apache.logging.log4j.core.appender.AbstractAppender
+import org.apache.spark.sql.functions._
+
+/** The opt-in Hamming preflight hook
+  * (`spark.graft.hammingBlockJoinRewrite.preflight = warn`): on rewrite
+  * fire it runs the d41 hot-block audit over the join's children and
+  * logs estimate + worst (block-index, block-value); with the conf
+  * unset it stays silent — OverlapPreflightSpec's contract, transposed
+  * to the second rewrite family. */
+class HammingPreflightSpec extends SparkSuite {
+
+  /** Collects the rewrite rule's log lines while `body` runs. */
+  private def capturing(body: => Unit): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val appender = new AbstractAppender(
+        s"graft-hpreflight-capture-${System.nanoTime()}",
+        null, null, false, null) {
+      override def append(e: LogEvent): Unit = buf.synchronized {
+        buf += e.getMessage.getFormattedMessage
+      }
+    }
+    appender.start()
+    val logger = LogManager
+      .getLogger(classOf[HammingBlockJoinRewrite].getName)
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    val prior = logger.getLevel
+    logger.addAppender(appender)
+    logger.setLevel(Level.WARN)
+    try body finally {
+      logger.removeAppender(appender)
+      logger.setLevel(prior)
+      appender.stop()
+    }
+    buf.toSeq
+  }
+
+  /** Golden-ratio-spread high bits with the low 5-bit block CLEARED:
+    * block 0's value 0 appears in every row of both sides (the
+    * zero-heavy-block skew of degenerate fingerprints), contributing
+    * 30·30 = 900 candidate rows through one (index, value) key while
+    * the other twelve blocks stay near-uniform. */
+  private def skewedJoinCount(): Long = {
+    val sess = spark
+    import sess.implicits._
+    val fps = (1L to 30L).map(i => (i * 0x9E3779B97F4A7C15L) & ~31L)
+    val left = fps.zipWithIndex
+      .map { case (f, i) => (i.toLong, f) }.toDF("lid", "lfp")
+    val right = fps.zipWithIndex
+      .map { case (f, i) => (i.toLong, f) }.toDF("rid", "rfp")
+    left.join(right, hamming64(col("lfp"), col("rfp")) <= 12).count()
+  }
+
+  test("preflight=warn logs the candidate estimate with the hot block " +
+      "named and the hot-block diagnosis") {
+    spark.conf.set(ScaleGuards.HammingPreflightKey, "warn")
+    try {
+      // at least the 30 distance-0 diagonal pairs must survive
+      val lines = capturing { assert(skewedJoinCount() >= 30L) }
+      val pf = lines.filter(_.contains("hamming-block rewrite preflight:"))
+      assert(pf.nonEmpty, s"expected a preflight line, got: $lines")
+      val line = pf.head
+      assert(line.contains("worst_block_index=0"), line)
+      assert(line.contains("worst_block_value=0"), line)
+      assert(line.contains("max_block_rows=900"), line)
+      assert(line.contains("hot-block"), line)
+    } finally spark.conf.unset(ScaleGuards.HammingPreflightKey)
+  }
+
+  test("without the conf the hook stays silent") {
+    val lines = capturing { assert(skewedJoinCount() >= 30L) }
+    assert(!lines.exists(_.contains("hamming-block rewrite preflight")),
+      s"preflight must not run unasked: $lines")
+  }
+}

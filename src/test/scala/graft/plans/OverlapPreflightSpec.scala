@@ -59,6 +59,37 @@ class OverlapPreflightSpec extends SparkSuite {
     } finally spark.conf.unset(ScaleGuards.OverlapPreflightKey)
   }
 
+  test("preflight=warn on the >=-Jaccard spelling prices the " +
+      "empty-empty branch: |E_l|*|E_r| required rows named with their " +
+      "own diagnosis") {
+    val sess = spark
+    import sess.implicits._
+    spark.conf.set(ScaleGuards.OverlapPreflightKey, "warn")
+    try {
+      // 20% empty arrays per side (2 of 10): the >= spelling's union
+      // branch MUST emit the 2*2 empty-empty pairs, a volume no
+      // witnessed-element frequency can see; the witnessed part is 8
+      // identical singleton pairs, so the empty-empty share (4 of 12 =
+      // 3333 bp) dominates the warning
+      val left = (1L to 10L).map(i =>
+        (i, if (i <= 2) Seq.empty[Long] else Seq(i + 100))).toDF("lid", "la")
+      val right = (1L to 10L).map(i =>
+        (i, if (i <= 2) Seq.empty[Long] else Seq(i + 100))).toDF("rid", "ra")
+      val lines = capturing {
+        val n = left.join(right,
+          size(array_intersect(col("la"), col("ra"))) >=
+            lit(0.5) * size(array_union(col("la"), col("ra")))).count()
+        assert(n == 12L, "8 witnessed singleton pairs + 4 empty-empty")
+      }
+      val pf = lines.filter(_.contains("overlap-join rewrite preflight:"))
+      assert(pf.nonEmpty, s"expected a preflight line, got: $lines")
+      val line = pf.head
+      assert(line.contains("empty_empty_rows=4"), line)
+      assert(line.contains("est_candidate_rows=12"), line)
+      assert(line.contains("empty-empty"), line)
+    } finally spark.conf.unset(ScaleGuards.OverlapPreflightKey)
+  }
+
   test("without the conf the hook stays silent") {
     val lines = capturing { assert(hotJoinCount() >= 900L) }
     assert(!lines.exists(_.contains("overlap-join rewrite preflight")),

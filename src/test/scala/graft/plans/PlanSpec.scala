@@ -609,6 +609,16 @@ class PlanSpec extends SparkSuite {
     assert(!p34.contains("NestedLoop"),
       s"anti threshold rewrite must fire:\n$p34")
     assert(p34.contains("graft_prid"), s"pair-verify shape:\n$p34")
+    // twoPhaseSemiVerify's documented cost: the source relation is
+    // scanned exactly 3x (slim probe, verify rows, payload back-join —
+    // the banned side rides scan/exchange reuse, every scan is
+    // column-pruned, and the joins the scans feed are broadcast; SCALE.md
+    // quantifies the split at sf0.1). MORE means reuse broke (a 4th scan
+    // at 100 TB is a full extra pass); FEWER means someone introduced a
+    // cache — re-measure before trusting either.
+    val d34Scans = PlanChecks.countParquetScans(d34)
+    assert(d34Scans == 3,
+      s"d34: expected exactly 3 parquet scans, saw $d34Scans:\n$p34")
     val d35 = run("d35_anti_membership_quarantine")
     assert(!PlanChecks.usesCartesianProduct(d35))
     val p35 = d35.queryExecution.executedPlan.toString

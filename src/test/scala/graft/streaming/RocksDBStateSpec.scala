@@ -75,6 +75,77 @@ class RocksDBStateSpec extends SparkSuite {
     }
   }
 
+  test("streamingAsOf's versioned three-field state restores across a " +
+      "checkpointed restart on the RocksDB provider — the ref written " +
+      "before the stop serves probes after it (heap restore is " +
+      "AsOfStreamSpec's; this closes the provider matrix)") {
+    withRocksdb {
+      import org.apache.spark.sql.Row
+      val ckpt = tmpDir("rocks-asof-ckpt")
+      val inDir = tmpDir("rocks-asof-in")
+      val schema =
+        "key LONG, ts TIMESTAMP, side STRING, value DOUBLE, event_id LONG"
+      def feed(name: String, lines: String*): Unit = {
+        // write-then-ATOMIC_MOVE: a direct write races the source's
+        // directory listing (see AsOfStreamSpec)
+        val tmp = java.nio.file.Files.createTempFile("rocks_asof_", ".json")
+        java.nio.file.Files.write(tmp, lines.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(inDir, name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+      def start() = Pipeline.streamingAsOf()(
+          spark.readStream.schema(schema).json(inDir))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(got.add)
+        }.start()
+      def await(nRows: Int): Unit = {
+        // poll with a deadline: processAllAvailable hangs under
+        // ProcessingTimeTimeout's timer batches (the suite gotcha)
+        val deadline = System.currentTimeMillis + 60000
+        while (got.size < nRows
+            && System.currentTimeMillis < deadline) Thread.sleep(200)
+        assert(got.size >= nRows, s"timed out waiting for $nRows rows")
+      }
+      val q1 = start()
+      try {
+        feed("b1.json",
+          """{"key":7,"ts":"2026-01-01 10:00:00","side":"ref",""" +
+            """"value":3.25,"event_id":5}""",
+          """{"key":7,"ts":"2026-01-01 10:00:30","side":"probe",""" +
+            """"value":1.0,"event_id":6}""")
+        await(1)
+        // the provider really was RocksDB, not a silently-defaulted heap
+        // (progress reporting lags foreachBatch — poll, don't read once)
+        val progressDeadline = System.currentTimeMillis + 60000
+        while (q1.lastProgress == null
+            && System.currentTimeMillis < progressDeadline) Thread.sleep(200)
+        assert(q1.lastProgress != null, "no progress report within 60s")
+        val metricKeys = q1.lastProgress.stateOperators
+          .flatMap(_.customMetrics.keySet.toArray).toSet
+        assert(metricKeys.exists(_.toString.startsWith("rocksdb")),
+          s"no rocksdb metrics in $metricKeys")
+      } finally q1.stop()
+      // restart from the checkpoint: the ref exists only in RocksDB state
+      val q2 = start()
+      try {
+        feed("b2.json",
+          """{"key":7,"ts":"2026-01-01 10:05:00","side":"probe",""" +
+            """"value":2.0,"event_id":8}""")
+        await(2)
+        val post = got.toArray(Array.empty[Row])
+          .filter(_.getDouble(2) == 2.0)
+        assert(post.length == 1,
+          s"post-restart probe missing (${post.length})")
+        assert(!post(0).isNullAt(3) && post(0).getDouble(3) == 3.25,
+          s"restored three-field state must serve the probe: ${post(0)}")
+      } finally q2.stop()
+    }
+  }
+
   test("stateful dedup on RocksDB drops the duplicated file exactly") {
     withRocksdb {
       val dir = tmpDir("rocksdb-dedup")

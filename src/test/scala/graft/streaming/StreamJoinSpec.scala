@@ -7,8 +7,7 @@ import org.apache.spark.sql.functions._
 /** J1-J4 windowed stream-stream joins with watermarks, driven through real
   * Structured Streaming via MemoryStream + processAllAvailable. */
 class StreamJoinSpec extends SparkSuite {
-
-  private case class Ev(k: String, ts: java.sql.Timestamp, v: String)
+  import StreamJoinSpec.Ev
 
   private def run(joinType: String): Seq[(String, String, String)] = {
     val sess = spark
@@ -77,4 +76,13 @@ class StreamJoinSpec extends SparkSuite {
       abs(unix_millis(col("l_ts")) - unix_millis(col("r_ts")))).collect()(0).getLong(0)
     assert(diff == 30000L)
   }
+}
+
+/** Top-level (object-hosted) so Spark derives a clean product encoder:
+  * a spec-nested case class needs an outer-instance constructor janino
+  * cannot synthesize, so every encoder over it silently falls back to
+  * interpreter mode ("Expr codegen error" warnings) — same hoist as
+  * [[DedupRec]] / [[HhEv]] / PlateauEv. */
+object StreamJoinSpec {
+  case class Ev(k: String, ts: java.sql.Timestamp, v: String)
 }
