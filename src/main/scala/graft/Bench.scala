@@ -189,9 +189,18 @@ object Bench {
       // the append path and would be invisible to the 500k passes
       val longN = sys.env.get("SPARK_GRAFT_STREAM_LONG_N").map(_.toLong)
         .getOrElse(streamN * 10)
+      // own try: the 10x pass is the run most likely to hit a resource
+      // wall (disk, state size) — its failure must degrade to a missing
+      // stream_long key, never discard the already-measured short passes
       val longRun =
-        if (longN > 0) Some(streamThroughput(spark, longN))
-          .map { case (s, e) => (longN, s, e) }
+        if (longN > 0)
+          try Some((longN, streamThroughput(spark, longN)))
+            .map { case (n, (s, e)) => (n, s, e) }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[bench] long-horizon stream pass failed: ${e.getMessage}")
+            None
+          }
         else None
       streamJson(streamN, runs, longRun)
     } catch { case e: Throwable =>

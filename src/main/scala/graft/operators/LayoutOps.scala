@@ -50,28 +50,36 @@ object LayoutOps {
 
   /** Best-effort reap of scratch roots left by EXITED processes: a root
     * whose `-p<pid>` suffix names a dead (or unparseable) pid has no
-    * possible live reader. Races with a concurrent reaper are benign
-    * (deleteIfExists); a root owned by a LIVE pid is always skipped. */
+    * possible live reader; a root owned by a LIVE pid is always skipped.
+    * Two concurrent reapers can race on the same dead root — the final
+    * per-file deletes are benign (deleteIfExists), but the TRAVERSAL is
+    * not: Files.walk wraps a mid-walk NoSuchFileException in
+    * UncheckedIOException and the directory stream throws
+    * DirectoryIteratorException when a sibling vanishes between list and
+    * next() — both RuntimeExceptions, so the whole reap (listing AND
+    * delete) guards with NonFatal, never IOException alone. */
   private def reapDeadRoots(base: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.isDirectory(base)) {
-      import scala.jdk.CollectionConverters._
-      val kids = java.nio.file.Files.list(base)
-      try kids.iterator().asScala.foreach { p =>
-        val name = p.getFileName.toString
-        val cut = name.lastIndexOf("-p")
-        // no -p suffix = a legacy fixed-path root from an older build;
-        // nothing current can own it, reap alongside dead-pid roots
-        val tag = if (cut < 0) None else Some(name.substring(cut + 2))
-        if (!tag.contains(processTag)) {
-          val alive = tag.flatMap(_.toLongOption)
-            .exists(pid => ProcessHandle.of(pid)
-              .map[Boolean](_.isAlive).orElse(false))
-          if (!alive)
-            try deleteTree(p)
-            catch { case _: java.io.IOException => () }
-        }
-      } finally kids.close()
-    }
+    try {
+      if (java.nio.file.Files.isDirectory(base)) {
+        import scala.jdk.CollectionConverters._
+        val kids = java.nio.file.Files.list(base)
+        try kids.iterator().asScala.foreach { p =>
+          val name = p.getFileName.toString
+          val cut = name.lastIndexOf("-p")
+          // no -p suffix = a legacy fixed-path root from an older build;
+          // nothing current can own it, reap alongside dead-pid roots
+          val tag = if (cut < 0) None else Some(name.substring(cut + 2))
+          if (!tag.contains(processTag)) {
+            val alive = tag.flatMap(_.toLongOption)
+              .exists(pid => ProcessHandle.of(pid)
+                .map[Boolean](_.isAlive).orElse(false))
+            if (!alive)
+              try deleteTree(p)
+              catch { case scala.util.control.NonFatal(_) => () }
+          }
+        } finally kids.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def scratch(prefix: String, dir: String): String = {
     val base = java.nio.file.Paths.get(

@@ -158,35 +158,21 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** [[ScaleGuards.HammingPreflightKey]] = warn: on rewrite fire, run
     * the d41 hot-block audit over the join's own children and log the
     * result — [[SetOverlapJoinRewrite]]'s maybePreflight, transposed to
-    * (block-index, block-value) frequencies. Best-effort: a preflight
-    * failure (unresolvable child, side job error) logs and never fails
-    * the query; streaming children can't run a side job and are
-    * skipped. */
+    * (block-index, block-value) frequencies. Orchestration (conf gate,
+    * streaming skip, boxed BIGINT reads, best-effort catch) is
+    * [[RewriteSupport.logPreflight]], shared with the overlap rule. */
   private def maybePreflight(l: LogicalPlan, r: LogicalPlan,
       a: Expression, b: Expression, k: Int): Unit =
-    if (spark.conf.getOption(ScaleGuards.HammingPreflightKey)
-        .exists(_.equalsIgnoreCase("warn"))
-        && !l.isStreaming && !r.isStreaming) {
-      try {
-        import org.apache.spark.sql.graftbridge.ColumnBridge
-        val row = graft.operators.SkewTools.hammingJoinPreflight(
-          ColumnBridge.dataFrame(spark, l), ColumnBridge.column(a),
-          ColumnBridge.dataFrame(spark, r), ColumnBridge.column(b), k)
-          .head()
-        def big(name: String): String =
-          Option(row.getAs[java.lang.Long](name))
-            .map(_.toString).getOrElse(">Long.Max")
-        logWarning("hamming-block rewrite preflight: " +
-          s"est_candidate_rows=${big("est_candidate_rows")} " +
-          s"worst_block_index=${row.getAs[Any]("worst_block_index")} " +
-          s"worst_block_value=${row.getAs[Any]("worst_block_value")} " +
-          s"max_block_rows=${big("max_block_rows")} " +
-          s"max_share_bp=${row.getAs[Long]("max_share_bp")} " +
-          s"diagnosis=${row.getAs[String]("diagnosis")}")
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          logWarning(s"hamming-block rewrite preflight failed: $e")
-      }
+    RewriteSupport.logPreflight(spark, ScaleGuards.HammingPreflightKey,
+      "hamming-block rewrite", l, r,
+      Seq("est_candidate_rows" -> true, "worst_block_index" -> false,
+        "worst_block_value" -> false, "max_block_rows" -> true,
+        "max_share_bp" -> false, "diagnosis" -> false),
+      logWarning(_)) {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      graft.operators.SkewTools.hammingJoinPreflight(
+        ColumnBridge.dataFrame(spark, l), ColumnBridge.column(a),
+        ColumnBridge.dataFrame(spark, r), ColumnBridge.column(b), k)
     }
 
   /** A type whose in-row width is unbounded — when the join's children

@@ -15,6 +15,36 @@ private[plans] object RewriteSupport {
     case x => Seq(x)
   }
 
+  /** Shared conf-gated preflight hook for both rewrite rules: when
+    * `confKey` = warn and neither child is streaming (a side job cannot
+    * run over a streaming child), evaluate `report` — a one-row skew
+    * audit over the join's own children — and log its columns through
+    * `warn` as `$tag preflight: k=v ...` in `cols` order. Best-effort by
+    * contract: a preflight failure (unresolvable child, side job error)
+    * logs and never fails the query. Columns flagged big are the BIGINT
+    * report columns try_cast-degraded to NULL past ~9.2e18 candidates —
+    * they are read boxed so the log prints >Long.Max instead of unboxing
+    * NULL to a self-contradictory 0 at exactly the hottest extreme. */
+  def logPreflight(spark: org.apache.spark.sql.SparkSession,
+      confKey: String, tag: String, l: LogicalPlan, r: LogicalPlan,
+      cols: Seq[(String, Boolean)], warn: String => Unit)
+      (report: => org.apache.spark.sql.DataFrame): Unit =
+    if (spark.conf.getOption(confKey).exists(_.equalsIgnoreCase("warn"))
+        && !l.isStreaming && !r.isStreaming) {
+      try {
+        val row = report.head()
+        def big(name: String): String =
+          Option(row.getAs[java.lang.Long](name))
+            .map(_.toString).getOrElse(">Long.Max")
+        warn(s"$tag preflight: " + cols.map { case (n, isBig) =>
+          s"$n=${if (isBig) big(n) else String.valueOf(row.getAs[Any](n))}"
+        }.mkString(" "))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          warn(s"$tag preflight failed: $e")
+      }
+    }
+
   /** SELF-joins (canonically identical children — d25's fingerprint
     * self-join is the archetype) get a SHUFFLE_HASH hint: both exploded
     * sides then plan the SAME hash exchange, which exchange/stage reuse

@@ -422,48 +422,31 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** [[ScaleGuards.OverlapPreflightKey]] = warn: on rewrite fire, run
     * the d31 hot-element audit over the join's own children and log the
     * result — "diagnosed by default" instead of "diagnosable on
-    * request". Best-effort: a preflight failure (unresolvable child,
-    * side job error) logs and never fails the query; streaming children
-    * can't run a side job and are skipped. */
+    * request". Orchestration (conf gate, streaming skip, boxed BIGINT
+    * reads, best-effort catch) is [[RewriteSupport.logPreflight]],
+    * shared with the Hamming rule. */
   private def maybePreflight(l: LogicalPlan, r: LogicalPlan,
-      p: OverlapPred): Unit =
-    if (spark.conf.getOption(ScaleGuards.OverlapPreflightKey)
-        .exists(_.equalsIgnoreCase("warn"))
-        && !l.isStreaming && !r.isStreaming) {
-      try {
-        import org.apache.spark.sql.graftbridge.ColumnBridge
-        val row = graft.operators.SkewTools.overlapJoinPreflight(
-          ColumnBridge.dataFrame(spark, l), ColumnBridge.column(p.a),
-          ColumnBridge.dataFrame(spark, r), ColumnBridge.column(p.b),
-          minOverlap = if (p.jaccardTau.isDefined) 1 else p.minOverlap,
-          // >=-Jaccard fires withEmptyEmptyBranch — |E_l|·|E_r| rows of
-          // REQUIRED output the witnessed count cannot see; price them
-          includeEmptyEmpty = p.jaccardOrEqual)
-          .head()
-        // the BIGINT report columns are try_cast-degraded to NULL past
-        // ~9.2e18 candidates — read them boxed so the log says so
-        // instead of unboxing NULL to a self-contradictory 0 at
-        // exactly the hottest extreme
-        def big(name: String): String =
-          Option(row.getAs[java.lang.Long](name))
-            .map(_.toString).getOrElse(">Long.Max")
-        val eePart =
-          if (p.jaccardOrEqual)
-            s"empty_empty_rows=${big("empty_empty_rows")} " +
-              s"empty_share_bp=${row.getAs[Long]("empty_share_bp")} "
-          else ""
-        logWarning("overlap-join rewrite preflight: " +
-          s"est_candidate_rows=${big("est_candidate_rows")} " +
-          eePart +
-          s"worst_element=${row.getAs[Any]("worst_element")} " +
-          s"max_element_rows=${big("max_element_rows")} " +
-          s"max_share_bp=${row.getAs[Long]("max_share_bp")} " +
-          s"diagnosis=${row.getAs[String]("diagnosis")}")
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          logWarning(s"overlap-join rewrite preflight failed: $e")
-      }
+      p: OverlapPred): Unit = {
+    // >=-Jaccard fires withEmptyEmptyBranch — |E_l|·|E_r| rows of
+    // REQUIRED output the witnessed count cannot see; price them
+    val eeCols =
+      if (p.jaccardOrEqual)
+        Seq("empty_empty_rows" -> true, "empty_share_bp" -> false)
+      else Nil
+    RewriteSupport.logPreflight(spark, ScaleGuards.OverlapPreflightKey,
+      "overlap-join rewrite", l, r,
+      Seq("est_candidate_rows" -> true) ++ eeCols ++ Seq(
+        "worst_element" -> false, "max_element_rows" -> true,
+        "max_share_bp" -> false, "diagnosis" -> false),
+      logWarning(_)) {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      graft.operators.SkewTools.overlapJoinPreflight(
+        ColumnBridge.dataFrame(spark, l), ColumnBridge.column(p.a),
+        ColumnBridge.dataFrame(spark, r), ColumnBridge.column(p.b),
+        minOverlap = if (p.jaccardTau.isDefined) 1 else p.minOverlap,
+        includeEmptyEmpty = p.jaccardOrEqual)
     }
+  }
 
   /** `arrays_overlap(a, b)` / intersect-size threshold / Jaccard
     * (strict and `>=`), inner/cross. */

@@ -127,8 +127,13 @@ final class KafkaTopicIO(bootstrapServers: String,
     // plain send path) — each retry-state column gets the same
     // presence guard as `headers`, falling back to a typed null so
     // entry() drops the header instead of the whole select failing.
+    // Presence must match col()'s CASE-INSENSITIVE resolution (Spark's
+    // default): an exact-match contains() would silently null out retry
+    // state carried as e.g. `retrycount`, turning every record into a
+    // first failure forever.
+    def has(name: String) = df.columns.exists(_.equalsIgnoreCase(name))
     def stateCol(name: String, tpe: String) =
-      if (df.columns.contains(name)) col(name)
+      if (has(name)) col(name)
       else lit(null).cast(tpe)
     val graft = filter(array(
       entry(RetryCountHeader, stateCol("retryCount", "int")),
@@ -137,7 +142,7 @@ final class KafkaTopicIO(bootstrapServers: String,
       entry(ChannelHeader, stateCol("channel", "string"))),
       e => e.isNotNull)
     val user =
-      if (df.columns.contains("headers"))
+      if (has("headers"))
         filter(coalesce(col("headers"), array()),
           h => !h.getField("key").startsWith(HeaderPrefix))
       else array().cast("array<struct<key:string,value:binary>>")

@@ -133,6 +133,18 @@ class KafkaTopicIOSpec extends SparkSuite {
     assert(plainWire.head().getSeq[org.apache.spark.sql.Row](2).isEmpty,
       "no retry state and no user headers → empty wire headers")
 
+    // the presence guard must match col()'s CASE-INSENSITIVE resolution:
+    // a frame carrying `retrycount` (lower-cased upstream) still writes
+    // the retry header — an exact-match guard would silently null it and
+    // every record would look like a first failure forever
+    val lowered = Seq(1).toDF("i").select(
+      lit("k".getBytes).as("key"), lit("v".getBytes).as("value"),
+      lit(4).as("retrycount"))
+    val loweredHs = io.sinkProjection(lowered)
+      .select("headers").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(loweredHs.map(_.getString(0)) == Seq("graft.retryCount"),
+      s"case-insensitive retry-state carry, got $loweredHs")
+
     // a first-delivery record (no retry state) round-trips nulls
     val fresh = io.normalize(io.sinkProjection(env
         .withColumn("retryCount", lit(null).cast("int"))
