@@ -9,12 +9,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.PlanProbe <sfDir> <query> [query ...]
   *        runMain graft.PlanProbe <sfDir> --time <query ...>   (timing only)
+  *        runMain graft.PlanProbe <sfDir> --executed <query ...>
+  *          (run fully, then print the POST-AQE executed plan — the only
+  *           view that shows runtime stage reuse, AQE join conversions,
+  *           and skew splits; the static explain shows none of them)
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val timeOnly = args.contains("--time")
-    val names = args.drop(1).filterNot(_ == "--time") match {
+    val executed = args.contains("--executed")
+    val names = args.drop(1)
+      .filterNot(a => a == "--time" || a == "--executed") match {
       case Array() => SparkEntry.headlines.toArray
       case xs => xs
     }
@@ -75,10 +81,14 @@ object PlanProbe {
     names.foreach { n =>
       println(s"\n===== $n =====")
       val df = SparkEntry.queries(n)(spark, sfDir)
-      if (!timeOnly) df.explain("formatted")
+      if (!timeOnly && !executed) df.explain("formatted")
       val t0 = System.nanoTime()
-      val rows = df.count()
+      // --executed must run THIS df's own plan (count() builds a separate
+      // aggregate tree, leaving df's AdaptiveSparkPlan un-finalized — the
+      // print would show the pre-AQE guess, not the real stages)
+      val rows = if (executed) df.collect().length.toLong else df.count()
       println(f"[$n] $rows rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      if (executed) println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

@@ -240,13 +240,46 @@ private[plans] object RewriteSupport {
   /** [[prefixElems]] mapped through xxhash64 — the 8-byte keys the
     * two-phase topology explodes. Hash collisions only ever ADD
     * candidate pairs (the raw predicate re-applies after the
-    * back-joins), so prefix completeness is unaffected. */
+    * back-joins), so prefix completeness is unaffected.
+    *
+    * The prefix lemma holds for ANY total order on elements applied
+    * consistently to both sides — nothing privileges the element type's
+    * natural order. For string/binary elements the natural sort pays an
+    * O(len) byte compare per comparison (4-gram shingles share long
+    * common prefixes, making them near-worst-case), so those sort by
+    * `(xxhash64(e), e)` structs instead: the first field decides in one
+    * long compare, the raw element breaks 2^-64 hash ties so the order
+    * stays a genuine total order on elements (sorting bare hashes would
+    * NOT be one — a cross-side collision could then cost a true pair,
+    * breaking exactness). Both two-phase sides build through this same
+    * function, so the orders agree. Cheap-compare element types keep
+    * the natural sort (the struct wrap would only add per-element
+    * allocation). Measured on d33 (strict-Jaccard over 4-gram string
+    * shingles, sf0.1 warm): the struct sort removes the string-compare
+    * tail from the slim explode. */
   def hashedPrefixElems(arr: Expression,
       len: Expression => Expression): Expression = {
     val et = arr.dataType.asInstanceOf[ArrayType].elementType
-    val h = NamedLambdaVariable("graft_hx", et, nullable = false)
-    ArrayTransform(prefixElems(arr, len),
-      LambdaFunction(XxHash64(Seq(h), 42L), Seq(h)))
+    et match {
+      case StringType | BinaryType =>
+        val d = distinctElems(arr)
+        val e = NamedLambdaVariable("graft_he", et, nullable = false)
+        val tagged = ArrayTransform(d, LambdaFunction(
+          CreateNamedStruct(Seq(
+            Literal("h"), XxHash64(Seq(e), 42L), Literal("v"), e)),
+          Seq(e)))
+        val sliced = Slice(SortArray(tagged, Literal(true)), Literal(1),
+          Greatest(Seq(len(Size(d, legacySizeOfNull = false)), Literal(0))))
+        val s = NamedLambdaVariable("graft_hp",
+          StructType(Seq(StructField("h", LongType, nullable = false),
+            StructField("v", et, nullable = false))), nullable = false)
+        ArrayTransform(sliced,
+          LambdaFunction(GetStructField(s, 0, Some("h")), Seq(s)))
+      case _ =>
+        val h = NamedLambdaVariable("graft_hx", et, nullable = false)
+        ArrayTransform(prefixElems(arr, len),
+          LambdaFunction(XxHash64(Seq(h), 42L), Seq(h)))
+    }
   }
 
   /** Collapse each tagged row's surviving exploded copies back to ONE
