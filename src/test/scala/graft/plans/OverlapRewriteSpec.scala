@@ -422,6 +422,50 @@ class OverlapRewriteSpec extends SparkSuite {
       == Seq((1L, 8L)))
   }
 
+  test("STRING-element prefix slices sort in HASH order (the struct " +
+      "(xxhash64, elem) total order), and the two-phase result still " +
+      "matches the naive evaluation exactly — including pairs whose " +
+      "witness sorts first naturally but last by hash and vice versa") {
+    val sess = spark
+    import sess.implicits._
+    // 40 docs of 6 distinct tokens drawn from a 12-token pool: across
+    // seeds some qualifying pair's witness lands at every position of
+    // the hash order, so a wrong-end slice or a side-inconsistent order
+    // loses pairs (multiset compare catches it)
+    val pool = ('a' to 'l').map(c => s"tok_$c$c$c")
+    val rnd = new scala.util.Random(4242)
+    val docs = (1L to 40L).map(i =>
+      (i, rnd.shuffle(pool).take(6).map(_.toString)))
+    // encoders declare string array elements nullable; the threshold
+    // recognizer's static null-free gate needs containsNull=false, so
+    // rebuild the element type through a never-null transform
+    def nn(df: org.apache.spark.sql.DataFrame, arr: String) =
+      df.withColumn(arr, expr(s"transform($arr, x -> coalesce(x, 'z'))"))
+    val l = nn(docs.toDF("lid", "la"), "la")
+    val r = nn(docs.map { case (i, a) => (i + 100L, a) }.toDF("rid", "ra"),
+      "ra")
+    spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+    try {
+    val joined = l.join(r,
+        size(array_intersect(col("la"), col("ra"))) >= lit(4)
+          && col("lid") =!= col("rid") - 100L)
+      .select("lid", "rid")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_elem"), s"two-phase must fire:\n$plan")
+    assert(plan.contains("named_struct"),
+      "string elements must take the hash-order prefix (struct sort), " +
+        s"not the raw string sort:\n$plan")
+    val got = joined.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSeq.sorted
+    val want = (for {
+      (li, la) <- docs; (ri, ra) <- docs
+      if li != ri && la.count(ra.contains) >= 4
+    } yield (li, ri + 100L)).sorted
+    assert(want.nonEmpty, "fixture self-check: some pairs must qualify")
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    } finally spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+  }
+
   test("LEFT ANTI threshold and strict-Jaccard spellings (the " +
       "pair-verify two-phase): keep-the-clean-corpus fires with no " +
       "nested loop and matches the naive anti evaluation, duplicate " +
