@@ -8,6 +8,14 @@ import org.apache.spark.sql.types._
 
 /** Shared pattern helpers for the theta-join rewrite rules
   * ([[HammingBlockJoinRewrite]], [[SetOverlapJoinRewrite]]). */
+/** Thrown by the rewrite rules' `preflight=fail` mode: a successful skew
+  * audit returned a non-'ok' diagnosis, and the deployment asked for the
+  * join to be refused rather than run — the message carries the full
+  * audit line (estimate, worst key, share, diagnosis) so the fix is in
+  * the error, not a log grep away. Public (not private[plans]): user
+  * code sets the conf and must be able to catch the result. */
+class PreflightAbort(message: String) extends RuntimeException(message)
+
 private[plans] object RewriteSupport {
 
   def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -16,34 +24,50 @@ private[plans] object RewriteSupport {
   }
 
   /** Shared conf-gated preflight hook for both rewrite rules: when
-    * `confKey` = warn and neither child is streaming (a side job cannot
-    * run over a streaming child), evaluate `report` — a one-row skew
-    * audit over the join's own children — and log its columns through
-    * `warn` as `$tag preflight: k=v ...` in `cols` order. Best-effort by
-    * contract: a preflight failure (unresolvable child, side job error)
-    * logs and never fails the query. Columns flagged big are the BIGINT
-    * report columns try_cast-degraded to NULL past ~9.2e18 candidates —
-    * they are read boxed so the log prints >Long.Max instead of unboxing
-    * NULL to a self-contradictory 0 at exactly the hottest extreme. */
+    * `confKey` is set to `warn` or `fail` and neither child is streaming
+    * (a side job cannot run over a streaming child), evaluate `report` —
+    * a one-row skew audit over the join's own children — and log its
+    * columns through `warn` as `$tag preflight: k=v ...` in `cols`
+    * order. Under `fail` a non-'ok' diagnosis additionally ABORTS
+    * planning with [[PreflightAbort]] carrying the same line — the
+    * circuit breaker for the 100 TB deployment where a hot-key join is
+    * cheaper to refuse than to run; 'ok' audits proceed silently-fast
+    * either way. Best-effort for INFRASTRUCTURE errors under both modes:
+    * a preflight that itself fails (unresolvable child, side job error)
+    * logs and never fails the query — only a successful audit with a bad
+    * diagnosis can abort. Columns flagged big are the BIGINT report
+    * columns try_cast-degraded to NULL past ~9.2e18 candidates — they
+    * are read boxed so the log prints >Long.Max instead of unboxing NULL
+    * to a self-contradictory 0 at exactly the hottest extreme. */
   def logPreflight(spark: org.apache.spark.sql.SparkSession,
       confKey: String, tag: String, l: LogicalPlan, r: LogicalPlan,
       cols: Seq[(String, Boolean)], warn: String => Unit)
-      (report: => org.apache.spark.sql.DataFrame): Unit =
-    if (spark.conf.getOption(confKey).exists(_.equalsIgnoreCase("warn"))
-        && !l.isStreaming && !r.isStreaming) {
-      try {
+      (report: => org.apache.spark.sql.DataFrame): Unit = {
+    val mode = spark.conf.getOption(confKey).map(_.toLowerCase)
+      .filter(m => m == "warn" || m == "fail")
+    if (mode.isDefined && !l.isStreaming && !r.isStreaming) {
+      val line = try {
         val row = report.head()
         def big(name: String): String =
           Option(row.getAs[java.lang.Long](name))
             .map(_.toString).getOrElse(">Long.Max")
-        warn(s"$tag preflight: " + cols.map { case (n, isBig) =>
+        val rendered = s"$tag preflight: " + cols.map { case (n, isBig) =>
           s"$n=${if (isBig) big(n) else String.valueOf(row.getAs[Any](n))}"
-        }.mkString(" "))
+        }.mkString(" ")
+        warn(rendered)
+        if (row.getAs[String]("diagnosis") != "ok") Some(rendered)
+        else None
       } catch {
         case scala.util.control.NonFatal(e) =>
           warn(s"$tag preflight failed: $e")
+          None
       }
+      if (mode.contains("fail"))
+        line.foreach(msg => throw new PreflightAbort(
+          s"$msg — refusing to plan the join ($confKey=fail; set it to " +
+            "warn, or fix the diagnosed skew, to proceed)"))
     }
+  }
 
   /** SELF-joins (canonically identical children — d25's fingerprint
     * self-join is the archetype) get a SHUFFLE_HASH hint: both exploded

@@ -117,16 +117,22 @@ object ScaleGuards {
     * every overlap-rewrite fire runs [[graft.operators.SkewTools
     * .overlapJoinPreflight]] over the join's own children and logs the
     * Σ fL·fR candidate estimate with the worst element named — the d31
-    * audit, applied automatically. Default off: the preflight is a real
-    * (small — rows = distinct elements) Spark job at planning time. */
+    * audit, applied automatically. Set to `fail` and a non-'ok'
+    * diagnosis additionally ABORTS planning with
+    * [[graft.plans.PreflightAbort]] carrying the full audit line — the
+    * circuit breaker for deployments where a hot-key join is cheaper to
+    * refuse than to run ('ok' audits proceed; a preflight that itself
+    * errors only warns, under either mode). Default off: the preflight
+    * is a real (small — rows = distinct elements) Spark job at planning
+    * time. */
   val OverlapPreflightKey = "spark.graft.overlapJoinRewrite.preflight"
 
-  /** Same contract for the Hamming block rule: set to `warn` and every
+  /** Same contract (`warn` / `fail`) for the Hamming block rule: every
     * fire runs [[graft.operators.SkewTools.hammingJoinPreflight]] over
     * the join's children — Σ fL·fR over (block-index, block-value)
     * frequencies, worst block named (the d41 audit, applied
     * automatically). Separate key so a skew-priced overlap deployment
     * can leave the (cheaper, 2^width-bounded) hamming audit off or vice
-    * versa; both accept only `warn`. */
+    * versa. */
   val HammingPreflightKey = "spark.graft.hammingBlockJoinRewrite.preflight"
 }

@@ -77,4 +77,14 @@ class HammingPreflightSpec extends SparkSuite {
     assert(!lines.exists(_.contains("hamming-block rewrite preflight")),
       s"preflight must not run unasked: $lines")
   }
+
+  test("preflight=fail refuses to plan the skewed-block join with the " +
+      "audit line in the abort") {
+    spark.conf.set(ScaleGuards.HammingPreflightKey, "fail")
+    try {
+      val ex = intercept[PreflightAbort] { skewedJoinCount() }
+      assert(ex.getMessage.contains("hot-block"), ex.getMessage)
+      assert(ex.getMessage.contains("worst_block_index=0"), ex.getMessage)
+    } finally spark.conf.unset(ScaleGuards.HammingPreflightKey)
+  }
 }

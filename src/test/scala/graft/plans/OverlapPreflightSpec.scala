@@ -59,6 +59,24 @@ class OverlapPreflightSpec extends SparkSuite {
     } finally spark.conf.unset(ScaleGuards.OverlapPreflightKey)
   }
 
+  test("preflight=fail refuses to plan the hot join (PreflightAbort " +
+      "carries the audit line), and lets a clean join through") {
+    spark.conf.set(ScaleGuards.OverlapPreflightKey, "fail")
+    try {
+      val ex = intercept[PreflightAbort] { hotJoinCount() }
+      assert(ex.getMessage.contains("hot-element"), ex.getMessage)
+      assert(ex.getMessage.contains("worst_element=1"), ex.getMessage)
+      assert(ex.getMessage.contains("preflight=fail"), ex.getMessage)
+      // a join whose audit says 'ok' plans and runs under fail mode
+      val sess = spark
+      import sess.implicits._
+      val left = (1L to 30L).map(i => (i, Seq(i + 100))).toDF("lid", "la")
+      val right = (1L to 30L).map(i => (i, Seq(i + 100))).toDF("rid", "ra")
+      assert(left.join(right, arrays_overlap(col("la"), col("ra")))
+        .count() == 30L, "clean join must survive fail mode")
+    } finally spark.conf.unset(ScaleGuards.OverlapPreflightKey)
+  }
+
   test("preflight=warn on the >=-Jaccard spelling prices the " +
       "empty-empty branch: |E_l|*|E_r| required rows named with their " +
       "own diagnosis") {
