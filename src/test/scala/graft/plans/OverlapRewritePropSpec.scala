@@ -169,6 +169,58 @@ class OverlapRewritePropSpec extends SparkSuite {
     }
   }
 
+  test("STRING elements through the hash-ordered prefix (threshold and " +
+      "strict Jaccard, forced two-phase): 12 seeded rounds match the " +
+      "naive evaluation exactly — the (xxhash64, elem) struct order must " +
+      "lose no pair regardless of where witnesses land in it") {
+    val sess = spark
+    import sess.implicits._
+    spark.conf.set(ScaleGuards.OverlapTwoPhaseMinBytesKey, "0")
+    try {
+      // encoders declare string elements nullable; the recognizers' static
+      // null-free gate needs containsNull=false — rebuild via coalesce
+      def nn(df: org.apache.spark.sql.DataFrame, arr: String) =
+        df.withColumn(arr, expr(s"transform($arr, x -> coalesce(x, 'z'))"))
+      for (jaccard <- Seq(false, true); seed <- 70 to 75) {
+        val rnd = new scala.util.Random(seed)
+        val pool = ('a' to 'n').map(c => s"w_$c$c")
+        def arr() = Seq.fill(1 + rnd.nextInt(8))(pool(rnd.nextInt(pool.size)))
+        val l = Seq.fill(24)((rnd.nextInt(9).toLong, arr()))
+        val r = Seq.fill(17)((rnd.nextInt(9).toLong, arr()))
+        val (cond, naive) =
+          if (jaccard) {
+            val tau = (1 + rnd.nextInt(7)) / 10.0
+            (size(array_intersect(col("la"), col("ra")))
+              > lit(tau) * size(array_union(col("la"), col("ra"))),
+              (la: Seq[String], ra: Seq[String]) => {
+                val i = la.distinct.count(ra.distinct.contains)
+                val u = (la ++ ra).distinct.size
+                i.toDouble > tau * u.toDouble
+              })
+          } else {
+            val k = 2 + rnd.nextInt(4)
+            (size(array_intersect(col("la"), col("ra"))) >= k,
+              (la: Seq[String], ra: Seq[String]) =>
+                la.distinct.count(ra.contains) >= k)
+          }
+        val joined = nn(l.toDF("lid", "la"), "la")
+          .join(nn(r.toDF("rid", "ra"), "ra"), cond)
+          .select("lid", "rid")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("named_struct"),
+          s"hash-order prefix expected (jaccard=$jaccard seed=$seed):\n" +
+            plan.linesIterator.take(12).mkString("\n"))
+        val got = joined.collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+        val want = (for {
+          (li, la) <- l; (ri, ra) <- r if naive(la, ra)
+        } yield (li, ri)).sorted
+        assert(got == want,
+          s"jaccard=$jaccard seed=$seed: got ${got.size}, want ${want.size}")
+      }
+    } finally spark.conf.unset(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+  }
+
   test(">= Jaccard spelling with random tau > 0 (witnessed union " +
       "empty-cross): 12 seeded rounds, both topologies, match the naive " +
       "double-arithmetic evaluation exactly — empty arrays are FREQUENT " +
