@@ -187,7 +187,15 @@ object Bench {
       // 0 disables): its events/s should hold near the short-horizon
       // number — degradation here means O(topic-size) cost crept into
       // the append path and would be invisible to the 500k passes
-      val longN = sys.env.get("SPARK_GRAFT_STREAM_LONG_N").map(_.toLong)
+      // toLongOption: a malformed override must degrade like a failed
+      // long pass (warn + default), never reach the outer catch and
+      // discard the short passes already measured above
+      val longN = sys.env.get("SPARK_GRAFT_STREAM_LONG_N")
+        .map(v => v.toLongOption.getOrElse {
+          System.err.println(
+            s"[bench] ignoring malformed SPARK_GRAFT_STREAM_LONG_N='$v'")
+          streamN * 10
+        })
         .getOrElse(streamN * 10)
       // own try: the 10x pass is the run most likely to hit a resource
       // wall (disk, state size) — its failure must degrade to a missing

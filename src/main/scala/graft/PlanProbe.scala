@@ -85,8 +85,16 @@ object PlanProbe {
       val t0 = System.nanoTime()
       // --executed must run THIS df's own plan (count() builds a separate
       // aggregate tree, leaving df's AdaptiveSparkPlan un-finalized — the
-      // print would show the pre-AQE guess, not the real stages)
-      val rows = if (executed) df.collect().length.toLong else df.count()
+      // print would show the pre-AQE guess, not the real stages); iterate
+      // rather than collect so a large probe result never sits whole on
+      // the driver
+      val rows =
+        if (executed) {
+          var n = 0L
+          val it = df.toLocalIterator()
+          while (it.hasNext) { it.next(); n += 1 }
+          n
+        } else df.count()
       println(f"[$n] $rows rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
       if (executed) println(df.queryExecution.executedPlan.toString)
     }

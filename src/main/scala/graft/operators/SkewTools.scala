@@ -75,10 +75,12 @@ object SkewTools {
     *
     * `minOverlap` prices the threshold spellings: for
     * `size(array_intersect) >= c` with c ≥ 2 the rewrite explodes only
-    * each row's ascending-sorted (size − c + 1)-element prefix
-    * ([[graft.plans.RewriteSupport.prefixElems]]), so the preflight
-    * counts frequencies over exactly those prefixes — the default c = 1
-    * reproduces the full-explode estimate (and d31's oracle). */
+    * each row's (size − c + 1)-element prefix in the SAME total order
+    * [[graft.plans.RewriteSupport.hashedPrefixElems]] slices — natural
+    * ascending for cheap-compare element types, (xxhash64, element) for
+    * string/binary — so the preflight counts frequencies over exactly
+    * those prefixes; the default c = 1 reproduces the full-explode
+    * estimate (and d31's oracle). */
   /** `floor(10000 · max_dec / est_dec)` over decimal(38,0) columns of
     * those names, with max_dec ≤ est_dec — exact integer arithmetic
     * while est_dec ≤ Long.Max (the product then ≤ 9.2e22 ≪ 1e38; every
@@ -116,16 +118,34 @@ object SkewTools {
       right: DataFrame, rightArr: Column,
       warnShareBp: Long = 1000L, minOverlap: Int = 1,
       includeEmptyEmpty: Boolean = false): DataFrame = {
-    def prefix(arr: Column): Column = {
+    // the sliced order must MIRROR what the rewrite actually explodes
+    // (RewriteSupport.hashedPrefixElems, round 10): string/binary
+    // elements sort by (xxhash64(e), e) — functions.xxhash64 uses the
+    // same fixed seed 42 — and cheap-compare types by natural order. A
+    // preflight slicing a different order than the join prices the
+    // WRONG explode in both directions, and under preflight=fail that
+    // stale estimate becomes a wrong abort/proceed decision. The report
+    // still carries RAW elements (worst_element must name something the
+    // user can cap or salt).
+    def prefix(df: DataFrame, arr: Column): Column = {
       val d = array_distinct(filter(arr, e => e.isNotNull))
       if (minOverlap <= 1) d
       else {
-        val s = sort_array(d)
-        slice(s, lit(1), greatest(size(s) - lit(minOverlap - 1), lit(0)))
+        val et = df.select(arr.as("_graft_arr")).schema.head.dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        val s = et match {
+          case org.apache.spark.sql.types.StringType
+              | org.apache.spark.sql.types.BinaryType =>
+            val tagged = transform(d,
+              e => struct(xxhash64(e).as("h"), e.as("v")))
+            transform(sort_array(tagged), x => x.getField("v"))
+          case _ => sort_array(d)
+        }
+        slice(s, lit(1), greatest(size(d) - lit(minOverlap - 1), lit(0)))
       }
     }
     def freqs(df: DataFrame, arr: Column, name: String) =
-      df.select(explode(prefix(arr)).as("e"))
+      df.select(explode(prefix(df, arr)).as("e"))
         .groupBy(col("e")).agg(count(lit(1)).as(name))
     // decimal(38) from the FIRST multiply: contrib = fL·fR alone can
     // pass Long.Max at the 100 TB scale this tool prices (fL = fR = 4e9

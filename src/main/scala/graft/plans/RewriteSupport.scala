@@ -43,7 +43,10 @@ private[plans] object RewriteSupport {
       confKey: String, tag: String, l: LogicalPlan, r: LogicalPlan,
       cols: Seq[(String, Boolean)], warn: String => Unit)
       (report: => org.apache.spark.sql.DataFrame): Unit = {
-    val mode = spark.conf.getOption(confKey).map(_.toLowerCase)
+    // Locale.ROOT: a Turkish-locale JVM lowercases "FAIL" to dotless-ı
+    // "faıl", silently disarming the circuit breaker
+    val mode = spark.conf.getOption(confKey)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
       .filter(m => m == "warn" || m == "fail")
     if (mode.isDefined && !l.isStreaming && !r.isStreaming) {
       val line = try {

@@ -130,22 +130,24 @@ final class KafkaTopicIO(bootstrapServers: String,
     // Presence must match col()'s CASE-INSENSITIVE resolution (Spark's
     // default): an exact-match contains() would silently null out retry
     // state carried as e.g. `retrycount`, turning every record into a
-    // first failure forever.
-    def has(name: String) = df.columns.exists(_.equalsIgnoreCase(name))
+    // first failure forever. Resolve through the ACTUALLY-PRESENT name,
+    // not the canonical one — under spark.sql.caseSensitive=true a
+    // col("retryCount") over a `retrycount` frame would fail analysis
+    // where the old code merely degraded to null.
+    def resolve(name: String): Option[org.apache.spark.sql.Column] =
+      df.columns.find(_.equalsIgnoreCase(name)).map(col)
     def stateCol(name: String, tpe: String) =
-      if (has(name)) col(name)
-      else lit(null).cast(tpe)
+      resolve(name).getOrElse(lit(null).cast(tpe))
     val graft = filter(array(
       entry(RetryCountHeader, stateCol("retryCount", "int")),
       entry(NextAttemptHeader,
         unix_micros(stateCol("nextAttemptAt", "timestamp"))),
       entry(ChannelHeader, stateCol("channel", "string"))),
       e => e.isNotNull)
-    val user =
-      if (has("headers"))
-        filter(coalesce(col("headers"), array()),
-          h => !h.getField("key").startsWith(HeaderPrefix))
-      else array().cast("array<struct<key:string,value:binary>>")
+    val user = resolve("headers")
+      .map(h0 => filter(coalesce(h0, array()),
+        h => !h.getField("key").startsWith(HeaderPrefix)))
+      .getOrElse(array().cast("array<struct<key:string,value:binary>>"))
     df.select(col("key"), col("value"),
       concat(user, graft).as("headers"))
   }

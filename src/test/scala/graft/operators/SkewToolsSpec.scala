@@ -57,6 +57,47 @@ class SkewToolsSpec extends SparkSuite {
       "prefix must actually shrink the estimate")
   }
 
+  test("overlapJoinPreflight prices STRING prefixes in the rewrite's " +
+      "own (xxhash64, elem) order — the estimate equals the JVM sum " +
+      "over hash-ordered prefixes, and differs from the raw-order sum " +
+      "on this fixture (a stale raw-order preflight would mis-price " +
+      "the join the fail mode refuses or admits)") {
+    val sess = spark
+    import sess.implicits._
+    val pool = ('a' to 'j').map(c => s"tok_$c$c")
+    val rnd = new scala.util.Random(77)
+    def arr() = rnd.shuffle(pool).take(3 + rnd.nextInt(5)).toSeq
+    val l = (1L to 20L).map(i => (i, arr()))
+    val r = (1L to 15L).map(i => (i, arr()))
+    // hash each pool token through Spark itself — the JVM twin must use
+    // the SAME xxhash64(seed=42) the engine slices by
+    val hashOf = pool.toDF("t")
+      .select(col("t"), xxhash64(col("t")).as("h"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val c = 2
+    def estimate(order: String => (Long, String)): Long = {
+      def pfx(a: Seq[String]): Seq[String] = {
+        val d = a.distinct.sortBy(order)
+        d.take(math.max(d.size - (c - 1), 0))
+      }
+      val fl = l.flatMap(x => pfx(x._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val fr = r.flatMap(x => pfx(x._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      fl.keySet.intersect(fr.keySet).toSeq.map(e => fl(e) * fr(e)).sum
+    }
+    val hashOrdered = estimate(t => (hashOf(t), t))
+    val rawOrdered = estimate(t => (0L, t))
+    assert(hashOrdered != rawOrdered,
+      "fixture self-check: the two orders must price differently here")
+    val row = SkewTools.overlapJoinPreflight(
+      l.toDF("lid", "la"), col("la"),
+      r.toDF("rid", "ra"), col("ra"), minOverlap = c).head()
+    assert(row.getAs[Long]("est_candidate_rows") == hashOrdered,
+      s"${row.getAs[Long]("est_candidate_rows")} vs hash=$hashOrdered " +
+        s"(raw would be $rawOrdered)")
+  }
+
   test("shareBp stays exact through the BIGINT range and survives the " +
       "decimal-overflow extreme (est > Long.Max) where a plain decimal " +
       "x10000 would go NULL and mask the hot-element diagnosis") {
