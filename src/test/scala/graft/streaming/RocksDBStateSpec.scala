@@ -146,6 +146,58 @@ class RocksDBStateSpec extends SparkSuite {
     }
   }
 
+  test("timer-driven funnel (flatMapGroupsWithState + ProcessingTime " +
+      "timeout) on the RocksDB provider: stages advance, rocksdb metrics " +
+      "present, and the TTL timer evicts idle users — the timer path is " +
+      "a distinct state-store surface from aggs/joins/dedup") {
+    withRocksdb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[FunEv]
+      val out = Pipeline.streamingFunnel(Seq("view", "click"),
+        stateTtl = Some("2 seconds"))(in.toDF())
+      val name = s"rocks_funnel_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(
+          FunEv(1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
+            "view"),
+          FunEv(1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:05"),
+            "click"),
+          FunEv(2L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
+            "view"))
+        // timer-driven query: poll the sink with a deadline, never
+        // processAllAvailable (it never settles on timeout batches)
+        var deadline = System.currentTimeMillis + 60000
+        while (spark.table(name).count() < 3
+            && System.currentTimeMillis < deadline) Thread.sleep(200)
+        assert(spark.table(name).count() == 3,
+          "view+click for user 1, view for user 2")
+        def progress = Option(q.lastProgress)
+          .filter(_.stateOperators.nonEmpty)
+        deadline = System.currentTimeMillis + 60000
+        while (progress.isEmpty
+            && System.currentTimeMillis < deadline) Thread.sleep(200)
+        val metricKeys = progress.get.stateOperators
+          .flatMap(_.customMetrics.keySet.toArray).toSet
+        assert(metricKeys.exists(_.toString.startsWith("rocksdb")),
+          s"no rocksdb metrics in $metricKeys")
+        // TTL eviction drives the timer path against RocksDB state
+        def stateRows: Long = progress
+          .map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(Long.MaxValue)
+        deadline = System.currentTimeMillis + 60000
+        while (stateRows != 0L
+            && System.currentTimeMillis < deadline) Thread.sleep(500)
+        assert(stateRows == 0L, "TTL must evict idle users on RocksDB")
+        assert(spark.table(name).count() == 3, "emitted rows stand")
+      } finally q.stop()
+    }
+  }
+
   test("stateful dedup on RocksDB drops the duplicated file exactly") {
     withRocksdb {
       val dir = tmpDir("rocksdb-dedup")
