@@ -2594,6 +2594,75 @@ object DedupOps {
       |    ELSE 'ok' END AS diagnosis
       |FROM tot""".stripMargin
 
+  /** `>=`-Jaccard SEMI decontamination gate (round 10): the rowid-union
+    * topology that ended this spelling's semi/anti stand-down — the
+    * witnessed matched-rowid set unions the rowids of empty corpus rows
+    * that semi-match an empty banned row (0 ≥ τ·0 qualifies them), and
+    * the back join keeps the matched side. The corpus slice (doc_id <
+    * 400) and banned slice (doc_id % 9 = 0) overlap, so self-matches,
+    * witnessed matches, and empty-empty matches all occur; short-token
+    * documents yield EMPTY gram arrays on both sides. DuckDB evaluates
+    * the same EXISTS literally. */
+  private def d43(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir).documentsSpread
+      .select(col("doc_id"), expr(
+        "array_distinct(filter(split(text, ' '), t -> length(t) >= 8))")
+        .as("grams"))
+    val corpus = g.filter(col("doc_id") < 400)
+    val banned = g.filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id").as("b_id"), col("grams").as("b_g"))
+    corpus.join(banned,
+        size(array_intersect(col("grams"), col("b_g")))
+          >= lit(0.5) * size(array_union(col("grams"), col("b_g"))),
+        "left_semi")
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def d43Ctes =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '),
+      |    t -> len(t) >= 8)) AS grams
+      |  FROM documents),
+      |c AS (SELECT * FROM g WHERE doc_id < 400),
+      |b AS (SELECT * FROM g WHERE doc_id % 9 = 0)""".stripMargin
+
+  private val d43Sql =
+    s"""$d43Ctes
+       |SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams
+       |FROM c WHERE EXISTS (SELECT 1 FROM b
+       |  WHERE len(list_intersect(c.grams, b.grams))
+       |    >= 0.5 * len(list_distinct(c.grams || b.grams)))
+       |ORDER BY doc_id""".stripMargin
+
+  /** `>=`-Jaccard ANTI twin of [[d43]] — keep-the-clean-corpus: the
+    * SAME matched-rowid set (witnessed ∪ empty-matched) with the back
+    * join flipped to anti, so empty corpus rows fall OUT when any empty
+    * banned row exists. d43 ∪ d44 partitions the corpus exactly. */
+  private def d44(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir).documentsSpread
+      .select(col("doc_id"), expr(
+        "array_distinct(filter(split(text, ' '), t -> length(t) >= 8))")
+        .as("grams"))
+    val corpus = g.filter(col("doc_id") < 400)
+    val banned = g.filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id").as("b_id"), col("grams").as("b_g"))
+    corpus.join(banned,
+        size(array_intersect(col("grams"), col("b_g")))
+          >= lit(0.5) * size(array_union(col("grams"), col("b_g"))),
+        "left_anti")
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d44Sql =
+    s"""$d43Ctes
+       |SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams
+       |FROM c WHERE NOT EXISTS (SELECT 1 FROM b
+       |  WHERE len(list_intersect(c.grams, b.grams))
+       |    >= 0.5 * len(list_distinct(c.grams || b.grams)))
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -2657,6 +2726,9 @@ object DedupOps {
     "d40_decimal_tau_rewrite" -> QueryDef(d40, Some(d33Sql)),
     "d41_hamming_preflight" -> QueryDef(d41, Some(d41Sql)),
     "d42_orequal_preflight" -> QueryDef(d42, Some(d42Sql)),
+    // round-10: >=-Jaccard semi/anti via the rowid union (stand-down ended)
+    "d43_orequal_semi_decontam" -> QueryDef(d43, Some(d43Sql)),
+    "d44_orequal_anti_scrub" -> QueryDef(d44, Some(d44Sql)),
   )
 
 

@@ -82,16 +82,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, Do
   *    |∩| > τ·|∪| ≥ τ·|A| ⇒ |∩| ≥ floor(τ·|A|) + 1, evaluated in the
   *    predicate's own double arithmetic (multiplication is monotone in
   *    |∪| ≥ |A|, so the bound is exact, not approximate).
-  *  - the `>=` spelling with a literal τ > 0 (inner/cross only): its
-  *    qualifying pairs split EXACTLY into witnessed pairs (|∩| ≥ 1 —
-  *    per-row bound c_row = max(ceil(τ·|A|), 1), same double-monotone
-  *    argument) and the witness-less empty-empty pairs (0 >= τ·0 is
-  *    TRUE for every τ). The rewrite is the witnessed two-phase UNION
-  *    a broadcast-hinted cross of the two (tiny, size-0-filtered)
-  *    empty-array subsets — see [[withEmptyEmptyBranch]]. τ = 0 with
-  *    `>=` is TRUE for every pair (a genuine full cross) and stands
-  *    down, as do its semi/anti forms (the collapse would need a
-  *    rowid-set union/except).
+  *  - the `>=` spelling with a literal τ > 0: its qualifying pairs
+  *    split EXACTLY into witnessed pairs (|∩| ≥ 1 — per-row bound
+  *    c_row = max(ceil(τ·|A|), 1), same double-monotone argument) and
+  *    the witness-less empty-empty pairs (0 >= τ·0 is TRUE for every
+  *    τ). Inner/cross: the witnessed two-phase UNION a
+  *    broadcast-hinted cross of the two (tiny, size-0-filtered)
+  *    empty-array subsets — see [[withEmptyEmptyBranch]]. Semi/anti
+  *    (round 10): the SAME split at the rowid level — the witnessed
+  *    matched-rowid set unions the rowids of empty left rows that
+  *    LeftSemi-match an empty right row, and the back join's type
+  *    decides survival (see [[twoPhaseSemiVerify]]); requires a stable
+  *    rowid like every anti, stands down otherwise. τ = 0 with `>=`
+  *    is TRUE for every pair (a genuine full cross) and stands down
+  *    in every form.
   *  - `array_contains(a, x)` with `a` and `x` on opposite sides (the
   *    tag-lookup membership join) — only the array side explodes and
   *    no dedup pin is needed (see [[rewriteMembership]]).
@@ -708,11 +712,14 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // the `>=` Jaccard spelling admits witness-less empty-empty
     // partners: a semi/anti built from witnessed matches alone would
     // drop (semi) or wrongly keep (anti) every empty left row when the
-    // right side contains any empty array. The inner path unions the
-    // empty-cross branch in; the semi/anti collapse would need a
-    // rowid-set union/except — not built, so this spelling stands down
-    // here (the naive plan stays, which is correct).
-    orientedOverlap(cs, l, r).filterNot(_.jaccardOrEqual).flatMap { p =>
+    // right side contains any qualifying empty array. The rowid
+    // topology handles it — [[twoPhaseSemiVerify]] unions the
+    // empty-matched rowids into the matched set before the back join —
+    // so the spelling fires there (regardless of input size: the
+    // in-place collapse below cannot see empty-empty matches, so there
+    // is no small-input form and the alternative is the naive
+    // nested-loop); without a stable rowid it still stands down.
+    orientedOverlap(cs, l, r).flatMap { p =>
       val rest = cs.filterNot(_ eq p.conj)
       val restCheap = rest.forall(c =>
         c.deterministic && c.references.forall(at => scalarType(at.dataType)))
@@ -722,16 +729,20 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           twoPhaseSemi(j, rest, p.a, p.b)
         else if (!p.implied && restCheap && !l.isStreaming && !r.isStreaming
             && hashSafeElem(p.a)
-            && (jt == LeftAnti || bigEnoughForTwoPhase(l, r)))
+            && (jt == LeftAnti || p.jaccardOrEqual
+              || bigEnoughForTwoPhase(l, r)))
           twoPhaseSemiVerify(j, rest, p)
         else None
       // the in-place collapse is a group-by over the exploded left
       // side — on a streaming plan that would smuggle a stateful
       // aggregate into a stateless semi join, so it stands down there
       // (the naive stream-static nested-loop semi stays, which is the
-      // supported shape)
+      // supported shape); for `>=`-Jaccard it can never fire (empty
+      // arrays explode nothing, so empty-empty matches are invisible
+      // to it)
       val fired = twoPhase.orElse(
-        if (jt == LeftSemi && !j.isStreaming) inPlaceSemi(j, cs, p)
+        if (jt == LeftSemi && !j.isStreaming && !p.jaccardOrEqual)
+          inPlaceSemi(j, cs, p)
         else None)
       if (fired.isDefined) maybePreflight(l, r, p)
       fired
@@ -776,7 +787,32 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val withLR = Join(withL, rVer, Inner,
         Some(EqualTo(pridR, vridR)), JoinHint.NONE)
       val verified = Filter(p.conj, withLR)
-      val matched = Aggregate(Seq(pridL), Seq(pridL), verified)
+      val witnessedIds = Aggregate(Seq(pridL), Seq(pridL), verified)
+      // `>=`-Jaccard admits witness-less empty-empty partners (0 >= τ·0
+      // for every τ): an empty-array left row matches iff SOME
+      // empty-array right row satisfies the remaining conjuncts — a
+      // LeftSemi of the two tiny size-0-filtered subsets (broadcast; a
+      // condition-less one is the FailCartesianProducts-exempt
+      // broadcast shape, as in [[withEmptyEmptyBranch]]). Its rowids
+      // UNION into the matched set; the back join's type then decides
+      // survival for semi and anti alike.
+      val matched =
+        if (!p.jaccardOrEqual) witnessedIds
+        else {
+          val (lEmpty, erid) = withStableRowId(l, "graft_erid_l")
+            .getOrElse(sys.error("unreachable: l yielded a rowid above"))
+          val emptyL = Filter(
+            EqualTo(Size(p.a, legacySizeOfNull = false), Literal(0)), lEmpty)
+          val emptyR = Filter(
+            EqualTo(Size(p.b, legacySizeOfNull = false), Literal(0)), r)
+          val emptySemi = Join(emptyL, emptyR, LeftSemi,
+            rest.reduceOption(And),
+            JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+          val emptyIds = Project(
+            Seq(Alias(erid, "graft_eprid_l")()), emptySemi)
+          Aggregate(Seq(pridL), Seq(pridL),
+            Union(Seq(witnessedIds, emptyIds)))
+        }
       val back = Join(lBack, matched, jt,
         Some(EqualTo(ridL, pridL)), JoinHint.NONE)
       Project(j.output, back)

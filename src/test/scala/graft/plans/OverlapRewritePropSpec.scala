@@ -259,6 +259,38 @@ class OverlapRewritePropSpec extends SparkSuite {
     }
   }
 
+  test(">= Jaccard SEMI and ANTI (the rowid-union topology): 12 seeded " +
+      "rounds with ~20% empty arrays match the naive evaluation exactly " +
+      "— empty left rows survive the semi iff an empty right partner " +
+      "passes, and fall out of the anti, duplicate left ids preserved") {
+    val sess = spark
+    import sess.implicits._
+    for (jt <- Seq("left_semi", "left_anti"); seed <- 80 to 85) {
+      val rnd = new scala.util.Random(seed)
+      def arr() = Seq.fill(rnd.nextInt(5))(rnd.nextInt(10).toLong)
+      val tau = (1 + rnd.nextInt(7)) / 10.0
+      val l = Seq.fill(22)((rnd.nextInt(8).toLong, arr()))
+      val r = Seq.fill(16)((rnd.nextInt(8).toLong, arr()))
+      val joined = l.toDF("lid", "la").join(r.toDF("rid", "ra"),
+        size(array_intersect(col("la"), col("ra")))
+          >= lit(tau) * size(array_union(col("la"), col("ra"))), jt)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_elem") && !plan.contains("Cartesian"),
+        s"$jt seed=$seed must fire:\n$plan")
+      def matches(la: Seq[Long]): Boolean = r.exists { case (_, ra) =>
+        val i = la.distinct.count(ra.distinct.contains)
+        val u = (la ++ ra).distinct.size
+        i.toDouble >= tau * u.toDouble
+      }
+      val keep: Seq[Long] => Boolean =
+        if (jt == "left_semi") matches else (x => !matches(x))
+      val want = l.collect { case (li, la) if keep(la) => li }.sorted
+      val got = joined.select("lid").collect().map(_.getLong(0)).toSeq.sorted
+      assert(got == want,
+        s"$jt seed=$seed tau=$tau: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("LEFT SEMI overlap: 10 seeded rounds (both in-place and forced " +
       "two-phase) match the naive semi evaluation exactly") {
     val sess = spark

@@ -336,7 +336,7 @@ class OverlapRewriteSpec extends SparkSuite {
       "(both topologies) — the empty-empty pairs strict > never emits " +
       "ARE in the result, the >= boundary includes the exact-tau pair, " +
       "duplicate rows preserved; tau = 0 stands down (TRUE for every " +
-      "pair); semi stands down") {
+      "pair); semi and anti fire via the rowid union") {
     val sess = spark
     import sess.implicits._
     val l = Seq((1L, Seq(10L, 20L, 30L)), (2L, Seq(10L, 99L)),
@@ -381,16 +381,30 @@ class OverlapRewriteSpec extends SparkSuite {
     assert(!ge0.queryExecution.executedPlan.toString.contains("graft_elem"),
       ">= with tau = 0 must stand down")
     assert(ge0.count() == l.size.toLong * r.size, "and still answer")
-    // semi: witnessed-only matches would drop empty left rows — stands down
-    val geSemi = l.toDF("lid", "la").join(r.toDF("rid", "ra"),
-      size(array_intersect(col("la"), col("ra")))
-        >= lit(0.3) * size(array_union(col("la"), col("ra"))), "left_semi")
-    assert(!geSemi.queryExecution.executedPlan.toString.contains("graft_elem"),
-      ">= semi must stand down")
-    assert(geSemi.select("lid").collect().map(_.getLong(0)).toSeq.sorted
-      == naiveGe(0.3).map(_._1).distinct.sorted.flatMap(id =>
-        Seq.fill(l.count(_._1 == id))(id)).sorted,
-      "naive semi answer intact")
+    // semi/anti (round 10): the matched-rowid set is witnessed rowids
+    // UNION empty-matched rowids, so empty left rows survive the semi
+    // (they match the empty right row) and fall out of the anti —
+    // exactly the naive answers, duplicate left rows preserved
+    // tau = 0.5: lid 2 matches nothing (1/3 < 0.5) and survives the
+    // anti; empties match the empty right row and survive the semi
+    val matchedIds = naiveGe(0.5).map(_._1).distinct.toSet
+    assert(!matchedIds.contains(2L) && matchedIds.contains(4L),
+      "fixture self-check: anti and empty-semi both non-trivial")
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val ge = l.toDF("lid", "la").join(r.toDF("rid", "ra"),
+        size(array_intersect(col("la"), col("ra")))
+          >= lit(0.5) * size(array_union(col("la"), col("ra"))), jt)
+      val plan = ge.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_elem"),
+        s">= $jt must fire via the rowid union:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+      val keep: Long => Boolean =
+        if (jt == "left_semi") matchedIds.contains else !matchedIds.contains(_)
+      val want = l.map(_._1).filter(keep).sorted
+      assert(want.nonEmpty, s"fixture self-check ($jt)")
+      val got = ge.select("lid").collect().map(_.getLong(0)).toSeq.sorted
+      assert(got == want, s"$jt: got=$got want=$want")
+    }
   }
 
   test("prefix slice at threshold c >= 2: the exploded element count " +

@@ -26,7 +26,9 @@ class RewriteEquivalenceSpec extends SparkSuite {
     "d37_bitcount_spelling_rewrite",
     "d38_exists_hof_decontam",
     "d39_jaccard_orequal_rewrite",
-    "d40_decimal_tau_rewrite")
+    "d40_decimal_tau_rewrite",
+    "d43_orequal_semi_decontam",
+    "d44_orequal_anti_scrub")
 
   test("every rewrite-gated query returns an identical row multiset " +
       "with both rules disabled (the naive plan is ground truth)") {
