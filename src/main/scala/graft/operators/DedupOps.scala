@@ -2594,20 +2594,21 @@ object DedupOps {
       |    ELSE 'ok' END AS diagnosis
       |FROM tot""".stripMargin
 
-  /** `>=`-Jaccard SEMI decontamination gate (round 10): the rowid-union
-    * topology that ended this spelling's semi/anti stand-down — the
-    * witnessed matched-rowid set unions the rowids of empty corpus rows
-    * that semi-match an empty banned row (0 ≥ τ·0 qualifies them), and
-    * the back join keeps the matched side. The corpus slice (doc_id <
-    * 400) and banned slice (doc_id % 9 = 0) overlap, so self-matches,
-    * witnessed matches, and empty-empty matches all occur; short-token
-    * documents yield EMPTY gram arrays on both sides. DuckDB evaluates
-    * the same EXISTS literally. */
+  /** `>=`-Jaccard SEMI decontamination gate (round 10, re-fixtured
+    * round 11): the rowid-union topology that ended this spelling's
+    * semi/anti stand-down — the witnessed matched-rowid set unions the
+    * rowids of empty corpus rows that semi-match an empty banned row
+    * (0 ≥ τ·0 qualifies them), and the back join keeps the matched
+    * side. Gram basis: distinct word 3-grams whose three tokens are ALL
+    * ≥5 chars — documents with no such trigram yield EMPTY arrays on
+    * BOTH the corpus (doc_id < 400) and banned (doc_id % 9 = 0) slices,
+    * and the basis discriminates (the round-10 ≥8-char-token basis
+    * collapsed to {} / {"customer"}, making d43 keep all 400 rows and
+    * d44 none — two vacuous gates). At τ=0.5 this keeps 56-87 of 400
+    * across sf0.001/0.01/0.1, so BOTH gates have non-trivial
+    * complements. DuckDB evaluates the same EXISTS literally. */
   private def d43(s: SparkSession, dir: String): DataFrame = {
-    val g = t(s, dir).documentsSpread
-      .select(col("doc_id"), expr(
-        "array_distinct(filter(split(text, ' '), t -> length(t) >= 8))")
-        .as("grams"))
+    val g = longTrigrams(s, dir)
     val corpus = g.filter(col("doc_id") < 400)
     val banned = g.filter(col("doc_id") % 9 === 0)
       .select(col("doc_id").as("b_id"), col("grams").as("b_g"))
@@ -2619,11 +2620,34 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared d43/d44 gram derivation: distinct "all-tokens-long"
+    * trigrams, empty array (never null) when none qualify. The ≥3-token
+    * guard keeps Spark's sequence() ascending; shorter docs fall into
+    * the empty-array branch, mirroring DuckDB's greatest(). */
+  private def longTrigrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documentsSpread
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        """array_distinct(filter(
+          |  CASE WHEN size(toks) >= 3 THEN
+          |    transform(sequence(0, size(toks) - 3), i ->
+          |      CASE WHEN length(toks[i]) >= 5 AND length(toks[i+1]) >= 5
+          |                AND length(toks[i+2]) >= 5
+          |      THEN concat_ws(' ', toks[i], toks[i+1], toks[i+2]) END)
+          |  ELSE array() END,
+          |  x -> x IS NOT NULL))""".stripMargin).as("grams"))
+
   private def d43Ctes =
-    """WITH g AS (
-      |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '),
-      |    t -> len(t) >= 8)) AS grams
-      |  FROM documents),
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_filter(
+      |    list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+      |      i -> CASE WHEN len(toks[i]) >= 5 AND len(toks[i+1]) >= 5
+      |                     AND len(toks[i+2]) >= 5
+      |           THEN concat_ws(' ', toks[i], toks[i+1], toks[i+2]) END),
+      |    x -> x IS NOT NULL)) AS grams
+      |  FROM w),
       |c AS (SELECT * FROM g WHERE doc_id < 400),
       |b AS (SELECT * FROM g WHERE doc_id % 9 = 0)""".stripMargin
 
@@ -2640,10 +2664,7 @@ object DedupOps {
     * join flipped to anti, so empty corpus rows fall OUT when any empty
     * banned row exists. d43 ∪ d44 partitions the corpus exactly. */
   private def d44(s: SparkSession, dir: String): DataFrame = {
-    val g = t(s, dir).documentsSpread
-      .select(col("doc_id"), expr(
-        "array_distinct(filter(split(text, ' '), t -> length(t) >= 8))")
-        .as("grams"))
+    val g = longTrigrams(s, dir)
     val corpus = g.filter(col("doc_id") < 400)
     val banned = g.filter(col("doc_id") % 9 === 0)
       .select(col("doc_id").as("b_id"), col("grams").as("b_g"))
