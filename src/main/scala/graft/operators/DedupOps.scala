@@ -2623,19 +2623,24 @@ object DedupOps {
   /** Shared d43/d44 gram derivation: distinct "all-tokens-long"
     * trigrams, empty array (never null) when none qualify. The ≥3-token
     * guard keeps Spark's sequence() ascending; shorter docs fall into
-    * the empty-array branch, mirroring DuckDB's greatest(). */
+    * the empty-array branch, mirroring DuckDB's greatest(). Spelling
+    * matters: filter the POSITIONS first, then transform with concat_ws
+    * (non-nullable), so the array type stays containsNull=false — a
+    * transform-then-drop-nulls spelling types containsNull=true and
+    * [[graft.plans.SetOverlapJoinRewrite]] stands down (line 146),
+    * leaving the naive nested-loop plan. */
   private def longTrigrams(s: SparkSession, dir: String): DataFrame =
     t(s, dir).documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), expr(
-        """array_distinct(filter(
+        """array_distinct(
           |  CASE WHEN size(toks) >= 3 THEN
-          |    transform(sequence(0, size(toks) - 3), i ->
-          |      CASE WHEN length(toks[i]) >= 5 AND length(toks[i+1]) >= 5
-          |                AND length(toks[i+2]) >= 5
-          |      THEN concat_ws(' ', toks[i], toks[i+1], toks[i+2]) END)
-          |  ELSE array() END,
-          |  x -> x IS NOT NULL))""".stripMargin).as("grams"))
+          |    transform(
+          |      filter(sequence(0, size(toks) - 3), i ->
+          |        length(toks[i]) >= 5 AND length(toks[i+1]) >= 5
+          |          AND length(toks[i+2]) >= 5),
+          |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+          |  ELSE array() END)""".stripMargin).as("grams"))
 
   private def d43Ctes =
     """WITH w AS (

@@ -636,6 +636,36 @@ class PlanSpec extends SparkSuite {
     assert(p36.contains("graft_bidx"), s"posexplode blocks expected:\n$p36")
   }
 
+  test("d43/d44: the >=-Jaccard semi/anti gates take the rowid-union " +
+      "rewrite (witnessed two-phase ∪ empty-matched rowids) — never the " +
+      "naive nested-loop, and the final rowid back semi/anti finalizes " +
+      "as a broadcast under AQE") {
+    for ((name, joinType) <- Seq(
+        ("d43_orequal_semi_decontam", "LeftSemi"),
+        ("d44_orequal_anti_scrub", "LeftAnti"))) {
+      val df = run(name)
+      assert(!PlanChecks.usesCartesianProduct(df))
+      val p = df.queryExecution.executedPlan.toString
+      // the ONLY nested loop the rewrite leaves is the condition-less
+      // empty×empty broadcast cross (tiny filtered subsets; priced by
+      // the d42 preflight) — a nested loop still carrying the Jaccard
+      // predicate means the rewrite did NOT fire (e.g. a gram spelling
+      // that types containsNull=true) and the plan is |corpus|×|banned|
+      // array compares
+      val nlj = p.linesIterator.filter(_.contains("NestedLoopJoin")).toSeq
+      assert(nlj.forall(!_.contains("array_intersect")),
+        s"$name: the >= rewrite must fire (a nested loop still carries " +
+          s"the naive Jaccard predicate):\n$p")
+      assert(nlj.size <= 1,
+        s"$name: at most the empty-empty cross may nested-loop:\n$p")
+      assert(p.contains("graft_"), s"$name: rewrite artifacts expected:\n$p")
+      assert(PlanChecks.countSortMergeJoins(df) == 0,
+        s"$name: a back-join is shuffling both sides:\n$p")
+      assert(PlanChecks.broadcastHashJoinTypes(df).contains(joinType),
+        s"$name: the final rowid back-join must be a broadcast $joinType:\n$p")
+    }
+  }
+
   test("two-phase back-joins finalize as BROADCAST hash joins — never a " +
       "sort-merge that shuffles the payload side with the tiny pair/rowid " +
       "set (the 100 TB property the pair-list topology leans on; AQE " +
