@@ -108,6 +108,43 @@ class OverlapPreflightSpec extends SparkSuite {
     } finally spark.conf.unset(ScaleGuards.OverlapPreflightKey)
   }
 
+  test("preflight fires on the >=-Jaccard SEMI/ANTI paths too — the " +
+      "decontamination deployments: warn names the empty-empty diagnosis " +
+      "on a semi join, fail refuses to plan the anti join") {
+    val sess = spark
+    import sess.implicits._
+    // 2 empty arrays per side; right matches left only for i=3..6, so
+    // semi keeps 6 (4 witnessed + 2 empty-matched) and anti keeps 4 —
+    // non-trivial both ways. Witnessed candidates = 4 singleton pairs,
+    // empty-empty required rows = 2*2 = 4 → 5000 bp, the dominant share
+    val left = (1L to 10L).map(i =>
+      (i, if (i <= 2) Seq.empty[Long] else Seq(i + 100))).toDF("lid", "la")
+    val right = (1L to 10L).map(i =>
+      (i, if (i <= 2) Seq.empty[Long]
+          else if (i <= 6) Seq(i + 100) else Seq(i + 900))).toDF("rid", "ra")
+    def jaccardGE = size(array_intersect(col("la"), col("ra"))) >=
+      lit(0.5) * size(array_union(col("la"), col("ra")))
+    spark.conf.set(ScaleGuards.OverlapPreflightKey, "warn")
+    try {
+      val lines = capturing {
+        assert(left.join(right, jaccardGE, "left_semi").count() == 6L,
+          "4 witnessed + 2 empty-matched left rows")
+      }
+      val pf = lines.filter(_.contains("overlap-join rewrite preflight:"))
+      assert(pf.nonEmpty, s"expected a preflight line, got: $lines")
+      assert(pf.head.contains("empty_empty_rows=4"), pf.head)
+      assert(pf.head.contains("empty-empty"), pf.head)
+    } finally spark.conf.unset(ScaleGuards.OverlapPreflightKey)
+    spark.conf.set(ScaleGuards.OverlapPreflightKey, "fail")
+    try {
+      val ex = intercept[PreflightAbort] {
+        left.join(right, jaccardGE, "left_anti").count()
+      }
+      assert(ex.getMessage.contains("empty-empty"), ex.getMessage)
+      assert(ex.getMessage.contains("preflight=fail"), ex.getMessage)
+    } finally spark.conf.unset(ScaleGuards.OverlapPreflightKey)
+  }
+
   test("without the conf the hook stays silent") {
     val lines = capturing { assert(hotJoinCount() >= 900L) }
     assert(!lines.exists(_.contains("overlap-join rewrite preflight")),
