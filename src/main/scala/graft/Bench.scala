@@ -197,20 +197,26 @@ object Bench {
           streamN * 10
         })
         .getOrElse(streamN * 10)
-      // own try: the 10x pass is the run most likely to hit a resource
-      // wall (disk, state size) — its failure must degrade to a missing
-      // stream_long key, never discard the already-measured short passes
-      val longRun =
+      // per-pass try: the 10x passes are the runs most likely to hit a
+      // resource wall (disk, state size) — a pass failure must degrade
+      // to fewer recorded passes (all failed → missing stream_long key),
+      // never discard the already-measured short passes. Best-of-N with
+      // fresh topic/checkpoint dirs per pass, same defense as the short
+      // fragment: the r10 artifact recorded a single 766k e/s long pass
+      // where a clean same-box run hit 1.28M — warmup sensitivity a
+      // one-pass number cannot distinguish from O(topic-size) creep.
+      val longRuns =
         if (longN > 0)
-          try Some((longN, streamThroughput(spark, longN)))
-            .map { case (n, (s, e)) => (n, s, e) }
-          catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(
-              s"[bench] long-horizon stream pass failed: ${e.getMessage}")
-            None
+          (1 to longStreamPassCount).flatMap { i =>
+            try Some(streamThroughput(spark, longN))
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[bench] long-horizon stream pass $i failed: ${e.getMessage}")
+              None
+            }
           }
-        else None
-      streamJson(streamN, runs, longRun)
+        else Nil
+      streamJson(streamN, runs, longN, longRuns)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
       ""
@@ -256,23 +262,30 @@ object Bench {
   /** Measured stream passes per run (fresh checkpoint/topic dirs each). */
   val streamPassCount = 3
 
+  /** Long-horizon (10×) passes per run — best-of-2 minimum so a single
+    * cold-path outlier can't ride the artifact as "the" long number
+    * (the r10 artifact's one-pass 766k e/s vs a clean 1.28M same-box). */
+  val longStreamPassCount = 2
+
   /** Assemble the stream fragment from N measured (sec, events/sec)
     * passes: report the BEST pass (min seconds — the same defense the
     * query times get) and carry `stream_passes` so a reader knows the
-    * number survived N cold runs, not one. `longRun` is the single
-    * long-horizon pass (events, sec, events/sec) reported under its own
-    * `stream_long` key — a 10× horizon in the SAME artifact makes
-    * O(topic-size) cost creep in the file-transport append path visible
-    * round-over-round (short-horizon passes amortize it invisibly).
-    * Pure — BenchJsonSpec pins the multi-pass + long-pass contract. */
+    * number survived N cold runs, not one. `longRuns` are the
+    * long-horizon passes (each a fresh cold route at `longN` events)
+    * reported under their own `stream_long` key with a `passes` count —
+    * a 10× horizon in the SAME artifact makes O(topic-size) cost creep
+    * in the file-transport append path visible round-over-round
+    * (short-horizon passes amortize it invisibly). Pure — BenchJsonSpec
+    * pins the multi-pass + long-pass contract. */
   def streamJson(events: Long, runs: Seq[(Double, Double)],
-      longRun: Option[(Long, Double, Double)] = None): String = {
+      longN: Long = 0L, longRuns: Seq[(Double, Double)] = Nil): String = {
     require(runs.nonEmpty, "streamJson needs at least one measured pass")
     val (sec, eps) = runs.minBy(_._1)
-    val longStr = longRun.map { case (n, s, e) =>
-      f""","stream_long":{"events":$n,"sec":$s%.3f,""" +
-        f""""events_per_sec":${e.round}}"""
-    }.getOrElse("")
+    val longStr = if (longRuns.isEmpty) "" else {
+      val (ls, le) = longRuns.minBy(_._1)
+      f""","stream_long":{"events":$longN,"sec":$ls%.3f,""" +
+        f""""events_per_sec":${le.round},"passes":${longRuns.size}}"""
+    }
     f""","stream":{"events":$events,"sec":$sec%.3f,""" +
       f""""events_per_sec":${eps.round},"stream_passes":${runs.size}}""" +
       longStr

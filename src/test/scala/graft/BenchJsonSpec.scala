@@ -63,21 +63,32 @@ class BenchJsonSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Bench.streamJson(1L, Nil) }
   }
 
-  test("stream_long fragment: the single long-horizon pass rides its own " +
-      "key beside the min-of-N short passes, and is omitted when disabled") {
+  test("stream_long fragment: BEST of the long-horizon passes rides its " +
+      "own key with a passes count beside the min-of-N short passes, and " +
+      "is omitted when disabled or when every long pass failed") {
     val withLong = Bench.streamJson(500000L, Seq((3.2, 156250.0)),
-      longRun = Some((5000000L, 33.1, 151057.0)))
+      longN = 5000000L,
+      longRuns = Seq((41.7, 119904.0), (33.1, 151057.0)))
     val parsed = ujson(s"""{"_":0$withLong}""")
     assert(parsed.contains("stream") && parsed.contains("stream_long"),
       withLong)
     assert(withLong.contains(""""stream_long":{"events":5000000"""),
       withLong)
+    // min-seconds pass wins, same defense as the short fragment
     assert(withLong.contains("\"sec\":33.100"), withLong)
     assert(withLong.contains("\"events_per_sec\":151057"), withLong)
-    // short-horizon fields unchanged by the long pass
+    assert(withLong.contains("\"passes\":2"), withLong)
+    // short-horizon fields unchanged by the long passes
     assert(withLong.contains("\"stream_passes\":1"), withLong)
+    // the main loops the pinned count — one-pass long numbers are the
+    // r10 variance defect (766k recorded vs 1.28M clean same-box)
+    assert(Bench.longStreamPassCount >= 2,
+      "stream_long needs best-of-N, not a single cold pass")
     val without = Bench.streamJson(500000L, Seq((3.2, 156250.0)))
     assert(!without.contains("stream_long"), without)
+    val allFailed = Bench.streamJson(500000L, Seq((3.2, 156250.0)),
+      longN = 5000000L, longRuns = Nil)
+    assert(!allFailed.contains("stream_long"), allFailed)
   }
 
   test("load guard: >1.3x calibration drift in EITHER direction demands " +
