@@ -48,9 +48,20 @@ object LayoutOps {
       .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
+  /** Roots must sit untouched this long before they are reap-eligible:
+    * ProcessHandle.of(pid) only sees the CURRENT pid namespace, so a
+    * sibling container sharing the tmpdir mount has LIVE roots whose
+    * pids parse as dead here — liveness alone would delete them under
+    * their lazy readers. An hour bounds that race to abandoned roots
+    * while still reclaiming the round-8 style leak on the next run. */
+  private[operators] val ReapMinAgeMillis = 60L * 60 * 1000
+
   /** Best-effort reap of scratch roots left by EXITED processes: a root
     * whose `-p<pid>` suffix names a dead (or unparseable) pid has no
-    * possible live reader; a root owned by a LIVE pid is always skipped.
+    * possible live reader IN THIS PID NAMESPACE; a root owned by a LIVE
+    * pid is always skipped, and (cross-namespace guard) so is any root
+    * modified within [[ReapMinAgeMillis]] — an unreadable mtime counts
+    * as fresh, never as reap-eligible.
     * Two concurrent reapers can race on the same dead root — the final
     * per-file deletes are benign (deleteIfExists), but the TRAVERSAL is
     * not: Files.walk wraps a mid-walk NoSuchFileException in
@@ -58,7 +69,8 @@ object LayoutOps {
     * DirectoryIteratorException when a sibling vanishes between list and
     * next() — both RuntimeExceptions, so the whole reap (listing AND
     * delete) guards with NonFatal, never IOException alone. */
-  private def reapDeadRoots(base: java.nio.file.Path): Unit =
+  private[operators] def reapDeadRoots(base: java.nio.file.Path,
+      now: Long = System.currentTimeMillis()): Unit =
     try {
       if (java.nio.file.Files.isDirectory(base)) {
         import scala.jdk.CollectionConverters._
@@ -73,7 +85,11 @@ object LayoutOps {
             val alive = tag.flatMap(_.toLongOption)
               .exists(pid => ProcessHandle.of(pid)
                 .map[Boolean](_.isAlive).orElse(false))
-            if (!alive)
+            val abandoned = !alive &&
+              (try java.nio.file.Files.getLastModifiedTime(p).toMillis <=
+                now - ReapMinAgeMillis
+              catch { case scala.util.control.NonFatal(_) => false })
+            if (abandoned)
               try deleteTree(p)
               catch { case scala.util.control.NonFatal(_) => () }
           }

@@ -134,8 +134,22 @@ final class KafkaTopicIO(bootstrapServers: String,
     // not the canonical one — under spark.sql.caseSensitive=true a
     // col("retryCount") over a `retrycount` frame would fail analysis
     // where the old code merely degraded to null.
-    def resolve(name: String): Option[org.apache.spark.sql.Column] =
-      df.columns.find(_.equalsIgnoreCase(name)).map(col)
+    // Exact-case match wins when several columns match case-
+    // insensitively: under spark.sql.caseSensitive=true a frame may
+    // legally carry BOTH `retryCount` and `retrycount`, and binding to
+    // whichever enumerates first could read stale retry state. Genuine
+    // ambiguity (multiple matches, none exact) fails loudly — silently
+    // picking one is the same stale-state bug with a different winner.
+    def resolve(name: String): Option[org.apache.spark.sql.Column] = {
+      val matches = df.columns.filter(_.equalsIgnoreCase(name))
+      matches.find(_ == name).orElse {
+        if (matches.length > 1) throw new IllegalArgumentException(
+          s"ambiguous producer frame: columns ${matches.mkString(", ")} " +
+            s"all match '$name' case-insensitively and none exactly — " +
+            "rename so one canonical column carries the state")
+        else matches.headOption
+      }.map(col)
+    }
     def stateCol(name: String, tpe: String) =
       resolve(name).getOrElse(lit(null).cast(tpe))
     val graft = filter(array(

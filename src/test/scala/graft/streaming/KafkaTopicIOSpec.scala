@@ -145,6 +145,32 @@ class KafkaTopicIOSpec extends SparkSuite {
     assert(loweredHs.map(_.getString(0)) == Seq("graft.retryCount"),
       s"case-insensitive retry-state carry, got $loweredHs")
 
+    // under spark.sql.caseSensitive=true a frame may legally carry BOTH
+    // retryCount and retrycount — the exact-case column must win (first-
+    // enumerated would read whichever stale state happens to come first),
+    // and multiple matches with NO exact winner must fail loudly
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val dual = Seq(1).toDF("i").select(
+        lit("k".getBytes).as("key"), lit("v".getBytes).as("value"),
+        lit(9).as("retrycount"), lit(4).as("retryCount"))
+      val dualHs = io.sinkProjection(dual)
+        .select("headers").head().getSeq[org.apache.spark.sql.Row](0)
+      val rc = dualHs.collectFirst {
+        case r if r.getString(0) == "graft.retryCount" =>
+          new String(r.getAs[Array[Byte]](1), "UTF-8")
+      }
+      assert(rc.contains("4"),
+        s"exact-case retryCount must win over retrycount, got $dualHs")
+      val noExact = Seq(1).toDF("i").select(
+        lit("k".getBytes).as("key"), lit("v".getBytes).as("value"),
+        lit(9).as("RETRYCOUNT"), lit(4).as("retrycount"))
+      val ex = intercept[IllegalArgumentException] {
+        io.sinkProjection(noExact)
+      }
+      assert(ex.getMessage.contains("ambiguous"), ex.getMessage)
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+
     // a first-delivery record (no retry state) round-trips nulls
     val fresh = io.normalize(io.sinkProjection(env
         .withColumn("retryCount", lit(null).cast("int"))

@@ -181,14 +181,19 @@ class RocksDBStateSpec extends SparkSuite {
         deadline = System.currentTimeMillis + 60000
         while (progress.isEmpty
             && System.currentTimeMillis < deadline) Thread.sleep(200)
+        assert(progress.nonEmpty,
+          "no state-operator progress within 60s — the funnel query " +
+            "never completed a stateful batch")
         val metricKeys = progress.get.stateOperators
           .flatMap(_.customMetrics.keySet.toArray).toSet
         assert(metricKeys.exists(_.toString.startsWith("rocksdb")),
           s"no rocksdb metrics in $metricKeys")
-        // TTL eviction drives the timer path against RocksDB state
-        def stateRows: Long = progress
-          .map(_.stateOperators.map(_.numRowsTotal).sum)
-          .getOrElse(Long.MaxValue)
+        // TTL eviction drives the timer path against RocksDB state.
+        // progress is non-empty past the assert above, so a later
+        // timeout reads the true row count — not a MaxValue sentinel
+        // that would mislabel the failure as "rows never evicted"
+        def stateRows: Long =
+          progress.get.stateOperators.map(_.numRowsTotal).sum
         deadline = System.currentTimeMillis + 60000
         while (stateRows != 0L
             && System.currentTimeMillis < deadline) Thread.sleep(500)
