@@ -16,6 +16,36 @@ import org.apache.spark.sql.types._
   * code sets the conf and must be able to catch the result. */
 class PreflightAbort(message: String) extends RuntimeException(message)
 
+/** Bounded in-memory ring of recent preflight audit lines, fed by
+  * [[RewriteSupport.logPreflight]] and served by the management API's
+  * `GET /v1/preflight` — an operator watching the HTTP surface could
+  * not otherwise see warnings for joins that PROCEEDED (warn mode logs
+  * to the driver's log4j only; abort lines at least surface in the
+  * query error). Driver-side, tiny (last [[PreflightLog.Capacity]]
+  * lines), thread-safe: rules can fire from concurrent planning
+  * threads. Public: user monitoring code may read it directly. */
+object PreflightLog {
+  final case class Audit(atMillis: Long, line: String, aborted: Boolean)
+
+  val Capacity = 50
+  private val buf = new java.util.ArrayDeque[Audit](Capacity)
+
+  private[plans] def record(line: String, aborted: Boolean): Unit =
+    buf.synchronized {
+      if (buf.size >= Capacity) buf.removeFirst()
+      buf.addLast(Audit(System.currentTimeMillis(), line, aborted))
+    }
+
+  /** Latest-first snapshot. */
+  def recent(): Seq[Audit] = buf.synchronized {
+    import scala.jdk.CollectionConverters._
+    buf.descendingIterator().asScala.toVector
+  }
+
+  /** Test hook: specs isolate their own fired lines. */
+  private[graft] def clear(): Unit = buf.synchronized(buf.clear())
+}
+
 private[plans] object RewriteSupport {
 
   def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -58,8 +88,10 @@ private[plans] object RewriteSupport {
           s"$n=${if (isBig) big(n) else String.valueOf(row.getAs[Any](n))}"
         }.mkString(" ")
         warn(rendered)
-        if (row.getAs[String]("diagnosis") != "ok") Some(rendered)
-        else None
+        val bad = row.getAs[String]("diagnosis") != "ok"
+        PreflightLog.record(rendered,
+          aborted = bad && mode.contains("fail"))
+        if (bad) Some(rendered) else None
       } catch {
         case scala.util.control.NonFatal(e) =>
           warn(s"$tag preflight failed: $e")

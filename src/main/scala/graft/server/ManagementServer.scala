@@ -22,6 +22,7 @@ final case class UserRoute(
   *   DELETE /v1/dead_set?entity=&count= → drop N
   *   POST   /v1/dead_set/replay?entity=&count= → re-publish N
   *   GET    /v1/metrics                → counters/gauges snapshot (JSON)
+  *   GET    /v1/preflight              → recent skew-preflight audit lines
   *   GET    /metrics                   → Prometheus text exposition (O4,
   *                                       prometheus_exporter.clj:22-44)
   *   GET    /v1/queries                → running streaming queries + status
@@ -140,6 +141,23 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
     } catch { case e: Throwable =>
       // without a response the client sees a dropped connection, not
       // the 500 every other handler returns
+      respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+    }
+  })
+
+  // Skew-preflight visibility: the last N audit lines the rewrite
+  // rules produced (warn mode logs reach only the driver log; an
+  // operator watching this API could not otherwise see warnings for
+  // joins that PROCEEDED). Latest first; `aborted` marks fail-mode
+  // refusals.
+  server.createContext("/v1/preflight", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      val body = graft.plans.PreflightLog.recent().map { a =>
+        s"""{"at":${a.atMillis},"aborted":${a.aborted},""" +
+          s""""line":"${jsonEscape(a.line)}"}"""
+      }.mkString("""{"audits":[""", ",", "]}")
+      respond(ex, 200, body)
+    } catch { case e: Throwable =>
       respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
     }
   })

@@ -56,6 +56,41 @@ class ManagementServerSpec extends SparkSuite {
     }
   }
 
+  test("GET /v1/preflight serves recent skew-preflight audit lines — " +
+      "including warn-mode lines for joins that PROCEEDED, which reach " +
+      "only the driver log otherwise; fail-mode refusals carry aborted") {
+    // no functions._ wildcard: it would shadow this suite's get() helper
+    import org.apache.spark.sql.functions.{arrays_overlap, col}
+    val sess = spark
+    import sess.implicits._
+    graft.plans.PreflightLog.clear()
+    withServer { (port, _, _) =>
+      val (s0, b0) = get(port, "/v1/preflight")
+      assert(s0 == 200 && b0 == """{"audits":[]}""", b0)
+      // element 1L in every row of both sides: 100% hot, diagnosis warns
+      val left = (1L to 20L).map(i => (i, Seq(1L, i + 100))).toDF("lid", "la")
+      val right = (1L to 20L).map(i => (i, Seq(1L, i + 900))).toDF("rid", "ra")
+      spark.conf.set(graft.plans.ScaleGuards.OverlapPreflightKey, "warn")
+      try {
+        assert(left.join(right,
+          arrays_overlap(col("la"), col("ra"))).count() >= 400L)
+        val (s1, b1) = get(port, "/v1/preflight")
+        assert(s1 == 200, b1)
+        assert(b1.contains("overlap-join rewrite preflight:"), b1)
+        assert(b1.contains("hot-element"), b1)
+        assert(b1.contains("\"aborted\":false"), b1)
+        // fail mode: the refusal is recorded with aborted=true
+        spark.conf.set(graft.plans.ScaleGuards.OverlapPreflightKey, "fail")
+        intercept[graft.plans.PreflightAbort] {
+          left.join(right, arrays_overlap(col("la"), col("ra"))).count()
+        }
+        val (_, b2) = get(port, "/v1/preflight")
+        assert(b2.contains("\"aborted\":true"), b2)
+      } finally
+        spark.conf.unset(graft.plans.ScaleGuards.OverlapPreflightKey)
+    }
+  }
+
   test("POST /v1/queries/stop stops a named route (O2)") {
     withServer { (port, topics, engine) =>
       topics.append(envelopes("r1", Seq(("k", "v", ts("2024-01-01 00:00:00")))),
