@@ -389,6 +389,79 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => true
     }
 
+  /** Stand-down diagnostics: when a join's condition LOOKS like the
+    * overlap family but a gate disqualified it, the user is left with a
+    * silent nested-loop plan and only a plan probe reveals why (the
+    * round-11 re-fixture hit exactly this — a transform-then-drop-nulls
+    * gram spelling types containsNull=true and the rule walked away).
+    * Scan the conjuncts for near-miss shapes and name the disqualifier
+    * once per canonicalized condition (WARN + [[PreflightLog]], where
+    * the management API's /v1/preflight serves it). Pure structural
+    * scan — no stats reads, no side jobs. */
+  private def standDownReasons(cs: Seq[Expression], l: LogicalPlan,
+      r: LogicalPlan): Seq[String] = {
+    def crossSides(a: Expression, b: Expression): Boolean = {
+      val (ra, rb) = (a.references, b.references)
+      ra.nonEmpty && rb.nonEmpty &&
+        ((ra.subsetOf(l.outputSet) && rb.subsetOf(r.outputSet)) ||
+          (ra.subsetOf(r.outputSet) && rb.subsetOf(l.outputSet)))
+    }
+    val hits = scala.collection.mutable.LinkedHashSet.empty[String]
+    cs.foreach(_.foreach {
+      case Size(ArrayIntersect(a, b), true) if crossSides(a, b) =>
+        hits += ("spark.sql.legacy.sizeOfNull is on: size(NULL) = -1 " +
+          "admits NULL-array pairs the rewrite cannot reproduce — unset " +
+          "the legacy conf (or its ansi.enabled implication)")
+      case op @ (_: ArrayIntersect | _: ArraysOverlap) =>
+        val (a, b) = (op.children(0), op.children(1))
+        if (crossSides(a, b)) {
+          if (!nullFree(a) || !nullFree(b))
+            hits += ("array elements are NULLABLE (containsNull=true) — " +
+              "respell the derivation so the type is provably null-free " +
+              "(e.g. transform over pre-filtered positions instead of " +
+              "transform-then-drop-nulls)")
+          if (!atomicElem(a) || !atomicElem(b))
+            hits += ("element type is nested or non-binary-collated — " +
+              "hashed witnesses cannot reproduce its equality; project " +
+              "elements to an atomic binary-comparable form first")
+          if (atomicElem(a) && atomicElem(b) && !sameElemType(a, b))
+            hits += "element types differ between the two sides"
+        }
+      case _ => ()
+    })
+    hits.toSeq
+  }
+
+  private def logStandDown(j: Join, reasons: Seq[String]): Unit =
+    if (reasons.nonEmpty
+        && SetOverlapJoinRewrite.firstStandDownLog(j.condition.get)) {
+      val line = s"overlap-join rewrite stand-down (${j.joinType.sql} " +
+        s"join stays a nested loop over |L|x|R| array compares): " +
+        reasons.mkString("; ")
+      logWarning(line)
+      PreflightLog.record(line, aborted = false)
+    }
+
+  /** Semi/anti non-fires whose conjunct gates all PASSED are topological
+    * stand-downs — name the likely cause instead of staying silent. */
+  private def semiStandDownReasons(cs: Seq[Expression], l: LogicalPlan,
+      r: LogicalPlan,
+      jt: org.apache.spark.sql.catalyst.plans.JoinType): Seq[String] =
+    orientedOverlap(cs, l, r).toSeq.map { p =>
+      if (l.isStreaming || r.isStreaming)
+        "a streaming child: the collapse would smuggle a stateful " +
+          "aggregate into a stateless semi join (the naive stream-static " +
+          "shape is the supported one)"
+      else if (!hashSafeElem(p.a))
+        "float/double elements: xxhash64 and SQL equality disagree on " +
+          "NaN families and signed zeros — quantize or bit-cast the " +
+          "elements to integers first"
+      else
+        s"${jt.sql} needs a STABLE rowid (no limits/samples below the " +
+          "join input) and cheap scalar remaining conjuncts; one of " +
+          "those is missing"
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val enabled = spark.conf
       .getOption(ScaleGuards.OverlapJoinRewriteKey)
@@ -401,14 +474,19 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (hasEquiBetween(cs, l, r)) j
         else rewriteOverlap(j, cs)
           .orElse(rewriteMembership(j, cs))
-          .getOrElse(j)
+          .getOrElse { logStandDown(j, standDownReasons(cs, l, r)); j }
       case j @ Join(l, r, jt, Some(cond), _)
           if (jt == LeftSemi || jt == LeftAnti) && j.resolved =>
         val cs = conjuncts(cond)
         if (hasEquiBetween(cs, l, r)) j
         else rewriteSemiOverlap(j, cs)
           .orElse(rewriteSemiMembership(j, cs))
-          .getOrElse(j)
+          .getOrElse {
+            val gate = standDownReasons(cs, l, r)
+            logStandDown(j,
+              if (gate.nonEmpty) gate else semiStandDownReasons(cs, l, r, jt))
+            j
+          }
     }
   }
 
@@ -993,4 +1071,25 @@ private[plans] object SetOverlapJoinRewrite {
       a: Expression, b: Expression, implied: Boolean, minOverlap: Int,
       jaccardTau: Option[Double], jaccardOrEqual: Boolean = false,
       jaccardSlop: Boolean = false)
+
+  /** Once-per-condition memory for stand-down diagnostics: the rule
+    * sits in a fixed-point optimizer batch, so an un-rewritten join
+    * re-matches on every iteration of every query — without dedup one
+    * stand-down would log dozens of identical lines. Keyed by the
+    * CANONICALIZED condition (structural equality), bounded LRU so a
+    * long-lived session cannot grow it unboundedly. Shared across rule
+    * instances on purpose: one session may build several. */
+  private val loggedStandDowns = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Expression, java.lang.Boolean](
+        16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Expression, java.lang.Boolean]): Boolean =
+        size() > 256
+    })
+
+  private[plans] def firstStandDownLog(cond: Expression): Boolean =
+    loggedStandDowns.put(cond.canonicalized, java.lang.Boolean.TRUE) == null
+
+  /** Test hook. */
+  private[graft] def clearStandDownLog(): Unit = loggedStandDowns.clear()
 }

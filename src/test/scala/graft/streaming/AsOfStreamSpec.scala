@@ -155,25 +155,31 @@ class AsOfStreamSpec extends SparkSuite {
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
         df.collect().foreach(got.add)
       }.start()
-    def await(nRows: Int): Unit = {
+    // await a PREDICATE, not a count: a stop between sink write and
+    // commit makes the restart REPLAY the batch through foreachBatch
+    // (at-least-once), so duplicate first-probe rows can satisfy a
+    // count before the new batch was ever processed (flaked exactly so)
+    def await(what: String)(pred: Row => Boolean): Unit = {
+      import scala.jdk.CollectionConverters._
       val deadline = System.currentTimeMillis + 60000
-      while (got.size < nRows
+      while (!got.iterator.asScala.exists(pred)
           && System.currentTimeMillis < deadline) Thread.sleep(200)
-      assert(got.size >= nRows, s"timed out waiting for $nRows rows")
+      assert(got.iterator.asScala.exists(pred),
+        s"timed out waiting for $what (got ${got.size} rows)")
     }
     val q1 = start()
     try {
       feed("b1.json",
         """{"key":4,"ts":"2026-01-01 10:00:00","side":"ref","value":7.5}""",
         """{"key":4,"ts":"2026-01-01 10:00:30","side":"probe","value":1.0}""")
-      await(1)
+      await("the pre-stop probe")(_.getDouble(2) == 1.0)
     } finally q1.stop()
     // restart from the checkpoint: the ref exists only in restored state
     val q2 = start()
     try {
       feed("b2.json",
         """{"key":4,"ts":"2026-01-01 10:05:00","side":"probe","value":2.0}""")
-      await(2)
+      await("the post-restart probe")(_.getDouble(2) == 2.0)
       val post = got.toArray(Array.empty[Row])
         .filter(_.getDouble(2) == 2.0)
       assert(post.length == 1, s"post-restart probe missing (${post.length})")
