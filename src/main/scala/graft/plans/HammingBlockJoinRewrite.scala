@@ -125,6 +125,57 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def layout(k: Int) = HammingBlockJoinRewrite.layout(k)
 
+  /** Stand-down diagnostics, mirroring [[SetOverlapJoinRewrite]]'s: a
+    * join whose condition LOOKS like a hamming bound but fails a gate
+    * (non-BIGINT fingerprints, k outside [0, 15], semi/anti topology)
+    * is left on a silent nested-loop plan — name the disqualifier once
+    * per canonicalized condition (WARN + [[PreflightLog]], served by
+    * /v1/preflight). Pure structural scan. */
+  private def standDownReasons(cs: Seq[Expression], l: LogicalPlan,
+      r: LogicalPlan): Seq[String] = {
+    def crossSides(a: Expression, b: Expression): Boolean = {
+      val (ra, rb) = (a.references, b.references)
+      ra.nonEmpty && rb.nonEmpty &&
+        ((ra.subsetOf(l.outputSet) && rb.subsetOf(r.outputSet)) ||
+          (ra.subsetOf(r.outputSet) && rb.subsetOf(l.outputSet)))
+    }
+    val radiusMsg = (k: Int) =>
+      s"radius k=$k exceeds 15: the block join explodes " +
+        "k+1 copies per row and past 15 the candidate volume " +
+        "defeats the rewrite — tighten the radius or pre-bucket"
+    val hits = scala.collection.mutable.LinkedHashSet.empty[String]
+    cs.foreach(_.foreach {
+      case Hamm(a, b) if crossSides(a, b) =>
+        if (a.dataType != LongType || b.dataType != LongType)
+          hits += (s"fingerprints are ${a.dataType.simpleString}/" +
+            s"${b.dataType.simpleString}, not BIGINT — cast both sides " +
+            "to LONG so the pigeonhole blocks cover all 64 bits")
+      case c @ (_: LessThanOrEqual | _: LessThan | _: GreaterThanOrEqual
+          | _: GreaterThan) =>
+        (c.children(0), c.children(1)) match {
+          case (Hamm(a, b), Literal(k: Int, IntegerType))
+              if k > 15 && crossSides(a, b) =>
+            hits += radiusMsg(k)
+          case (Literal(k: Int, IntegerType), Hamm(a, b))
+              if k > 15 && crossSides(a, b) =>
+            hits += radiusMsg(k)
+          case _ => ()
+        }
+      case _ => ()
+    })
+    hits.toSeq
+  }
+
+  private def logStandDown(j: Join, reasons: Seq[String]): Unit =
+    if (reasons.nonEmpty
+        && RewriteSupport.firstStandDownLog(j.condition.get)) {
+      val line = s"hamming-block rewrite stand-down (${j.joinType.sql} " +
+        s"join stays a nested loop over |L|x|R| popcount compares): " +
+        reasons.mkString("; ")
+      logWarning(line)
+      PreflightLog.record(line, aborted = false)
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val enabled = spark.conf
       .getOption(ScaleGuards.HammingBlockJoinRewriteKey)
@@ -139,7 +190,7 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case Some((chosen, a, b, k)) =>
             maybePreflight(l, r, a, b, k)
             rewriteInnerDispatch(j, cs, cond, chosen, a, b, k)
-          case None => j
+          case None => logStandDown(j, standDownReasons(cs, l, r)); j
         }
       case j @ Join(l, r, jt, Some(cond), _)
           if (jt == LeftSemi || jt == LeftAnti) && j.resolved =>
@@ -149,8 +200,21 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case Some((chosen, a, b, k)) =>
             val fired = rewriteSemi(j, cs, chosen, a, b, k)
             if (fired.isDefined) maybePreflight(l, r, a, b, k)
-            fired.getOrElse(j)
-          case None => j
+            fired.getOrElse {
+              // gates passed, topology refused: anti needs a stable
+              // rowid, streaming children keep the supported
+              // stream-static shape, remaining conjuncts must be scalar
+              logStandDown(j, Seq(
+                if (l.isStreaming || r.isStreaming)
+                  "a streaming child keeps the supported stream-static " +
+                    "nested-loop shape"
+                else
+                  s"${jt.sql} needs a STABLE rowid (no limits/samples " +
+                    "below the join input) and cheap scalar remaining " +
+                    "conjuncts; one of those is missing"))
+              j
+            }
+          case None => logStandDown(j, standDownReasons(cs, l, r)); j
         }
     }
   }

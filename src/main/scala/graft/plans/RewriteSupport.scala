@@ -48,6 +48,28 @@ object PreflightLog {
 
 private[plans] object RewriteSupport {
 
+  /** Once-per-condition memory for stand-down diagnostics (shared by
+    * both rewrite rules): the rules sit in a fixed-point optimizer
+    * batch, so an un-rewritten join re-matches on every iteration of
+    * every query — without dedup one stand-down would log dozens of
+    * identical lines. Keyed by the CANONICALIZED condition (structural
+    * equality), bounded LRU so a long-lived session cannot grow it
+    * unboundedly. Shared across rule instances on purpose: one session
+    * may build several. */
+  private val loggedStandDowns = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Expression, java.lang.Boolean](
+        16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Expression, java.lang.Boolean]): Boolean =
+        size() > 256
+    })
+
+  def firstStandDownLog(cond: Expression): Boolean =
+    loggedStandDowns.put(cond.canonicalized, java.lang.Boolean.TRUE) == null
+
+  /** Test hook. */
+  private[graft] def clearStandDownLog(): Unit = loggedStandDowns.clear()
+
   def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case x => Seq(x)

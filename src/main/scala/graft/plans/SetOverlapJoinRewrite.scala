@@ -434,7 +434,7 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def logStandDown(j: Join, reasons: Seq[String]): Unit =
     if (reasons.nonEmpty
-        && SetOverlapJoinRewrite.firstStandDownLog(j.condition.get)) {
+        && RewriteSupport.firstStandDownLog(j.condition.get)) {
       val line = s"overlap-join rewrite stand-down (${j.joinType.sql} " +
         s"join stays a nested loop over |L|x|R| array compares): " +
         reasons.mkString("; ")
@@ -1072,24 +1072,4 @@ private[plans] object SetOverlapJoinRewrite {
       jaccardTau: Option[Double], jaccardOrEqual: Boolean = false,
       jaccardSlop: Boolean = false)
 
-  /** Once-per-condition memory for stand-down diagnostics: the rule
-    * sits in a fixed-point optimizer batch, so an un-rewritten join
-    * re-matches on every iteration of every query — without dedup one
-    * stand-down would log dozens of identical lines. Keyed by the
-    * CANONICALIZED condition (structural equality), bounded LRU so a
-    * long-lived session cannot grow it unboundedly. Shared across rule
-    * instances on purpose: one session may build several. */
-  private val loggedStandDowns = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[Expression, java.lang.Boolean](
-        16, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Expression, java.lang.Boolean]): Boolean =
-        size() > 256
-    })
-
-  private[plans] def firstStandDownLog(cond: Expression): Boolean =
-    loggedStandDowns.put(cond.canonicalized, java.lang.Boolean.TRUE) == null
-
-  /** Test hook. */
-  private[graft] def clearStandDownLog(): Unit = loggedStandDowns.clear()
 }

@@ -23,28 +23,30 @@ class StandDownSpec extends SparkSuite {
       }
     }
     appender.start()
-    val logger = LogManager.getLogger(classOf[SetOverlapJoinRewrite].getName)
-      .asInstanceOf[org.apache.logging.log4j.core.Logger]
-    val prior = logger.getLevel
-    logger.addAppender(appender)
-    logger.setLevel(Level.WARN)
+    val loggers = Seq(classOf[SetOverlapJoinRewrite],
+        classOf[HammingBlockJoinRewrite]).map(c =>
+      LogManager.getLogger(c.getName)
+        .asInstanceOf[org.apache.logging.log4j.core.Logger])
+    val priors = loggers.map(_.getLevel)
+    loggers.foreach { l => l.addAppender(appender); l.setLevel(Level.WARN) }
     try body finally {
-      logger.removeAppender(appender)
-      logger.setLevel(prior)
+      loggers.zip(priors).foreach { case (l, p) =>
+        l.removeAppender(appender); l.setLevel(p)
+      }
       appender.stop()
     }
     buf.toSeq
   }
 
   private def standDowns(lines: Seq[String]): Seq[String] =
-    lines.filter(_.contains("overlap-join rewrite stand-down"))
+    lines.filter(_.contains("rewrite stand-down"))
 
   test("a containsNull=true gram spelling (transform-then-drop-nulls) is " +
       "diagnosed ONCE per condition — not once per fixed-point iteration " +
       "— naming the null-free respelling, and reaches PreflightLog") {
     val sess = spark
     import sess.implicits._
-    SetOverlapJoinRewrite.clearStandDownLog()
+    RewriteSupport.clearStandDownLog()
     PreflightLog.clear()
     // the exact trap: CASE inside transform makes elements nullable and
     // the trailing is-not-null filter does NOT narrow the TYPE
@@ -72,7 +74,7 @@ class StandDownSpec extends SparkSuite {
       "disqualifier (NaN/signed-zero) instead of silently nested-looping") {
     val sess = spark
     import sess.implicits._
-    SetOverlapJoinRewrite.clearStandDownLog()
+    RewriteSupport.clearStandDownLog()
     val left = Seq((1L, Seq(1.5, 2.5)), (2L, Seq(9.0)))
       .toDF("lid", "la")
     val right = Seq((1L, Seq(1.5))).toDF("rid", "ra")
@@ -86,11 +88,39 @@ class StandDownSpec extends SparkSuite {
     assert(sd.head.contains("float/double"), sd.head)
   }
 
+  test("hamming near-misses are diagnosed too: INT fingerprints name the " +
+      "BIGINT cast, an over-wide radius names the k<=15 bound") {
+    val sess = spark
+    import sess.implicits._
+    RewriteSupport.clearStandDownLog()
+    // INT fingerprints: bit_count(a ^ b) parses but the block layout
+    // assumes 64-bit values — the rule walks away silently otherwise
+    val li = Seq((1, 3), (2, 12)).toDF("lid", "lfp")
+    val ri = Seq((7, 3)).toDF("rid", "rfp")
+    val intLines = capturing {
+      assert(li.join(ri,
+        expr("bit_count(lfp ^ rfp) <= 2")).count() == 1L)
+    }
+    val sdInt = standDowns(intLines)
+    assert(sdInt.nonEmpty, s"expected a diagnosis, got: $intLines")
+    assert(sdInt.head.contains("not BIGINT"), sdInt.head)
+    // radius 20 > 15: candidate volume defeats the block join
+    val ll = Seq((1L, 3L), (2L, 12L)).toDF("lid", "lfp")
+    val rl = Seq((7L, 3L)).toDF("rid", "rfp")
+    val kLines = capturing {
+      assert(ll.join(rl,
+        expr("bit_count(lfp ^ rfp) <= 20")).count() == 2L)
+    }
+    val sdK = standDowns(kLines)
+    assert(sdK.nonEmpty, s"expected a diagnosis, got: $kLines")
+    assert(sdK.head.contains("k=20"), sdK.head)
+  }
+
   test("joins the rewrite FIRES on, equi-joins, and unrelated theta " +
       "joins stay silent") {
     val sess = spark
     import sess.implicits._
-    SetOverlapJoinRewrite.clearStandDownLog()
+    RewriteSupport.clearStandDownLog()
     val left = Seq((1L, Seq(1L, 2L)), (2L, Seq(9L))).toDF("lid", "la")
     val right = Seq((1L, Seq(1L))).toDF("rid", "ra")
     val lines = capturing {
