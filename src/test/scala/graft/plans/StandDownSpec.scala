@@ -116,6 +116,20 @@ class StandDownSpec extends SparkSuite {
     assert(sdK.head.contains("k=20"), sdK.head)
   }
 
+  test("PreflightLog is a bounded latest-first ring: past capacity the " +
+      "oldest lines fall out — a long-lived session cannot grow it") {
+    PreflightLog.clear()
+    (1 to PreflightLog.Capacity + 10).foreach(i =>
+      PreflightLog.record(s"audit line $i", aborted = i % 2 == 0))
+    val r = PreflightLog.recent()
+    assert(r.size == PreflightLog.Capacity, s"ring size ${r.size}")
+    assert(r.head.line == s"audit line ${PreflightLog.Capacity + 10}",
+      s"latest first, got ${r.head}")
+    assert(r.last.line == "audit line 11",
+      s"oldest surviving entry, got ${r.last}")
+    PreflightLog.clear()
+  }
+
   test("joins the rewrite FIRES on, equi-joins, and unrelated theta " +
       "joins stay silent") {
     val sess = spark
