@@ -52,9 +52,18 @@ object LayoutOps {
     * ProcessHandle.of(pid) only sees the CURRENT pid namespace, so a
     * sibling container sharing the tmpdir mount has LIVE roots whose
     * pids parse as dead here — liveness alone would delete them under
-    * their lazy readers. An hour bounds that race to abandoned roots
-    * while still reclaiming the round-8 style leak on the next run. */
-  private[operators] val ReapMinAgeMillis = 60L * 60 * 1000
+    * their lazy readers. The age gate BOUNDS that race, it does not
+    * close it: reads do not touch the root directory's mtime, so a
+    * sibling-namespace invocation still running past the threshold
+    * remains exposed — deployments whose single layout invocation can
+    * exceed an hour on a shared tmpdir must raise
+    * `-Dgraft.scratch.reapAgeMs` (or give each container its own
+    * tmpdir, the actually-safe layout). One hour covers every test-SF
+    * invocation by orders of magnitude while still reclaiming the
+    * round-8 style leak on the next run. */
+  private[operators] val ReapMinAgeMillis: Long =
+    sys.props.get("graft.scratch.reapAgeMs").flatMap(_.toLongOption)
+      .getOrElse(60L * 60 * 1000)
 
   /** Best-effort reap of scratch roots left by EXITED processes: a root
     * whose `-p<pid>` suffix names a dead (or unparseable) pid has no

@@ -133,48 +133,45 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * /v1/preflight). Pure structural scan. */
   private def standDownReasons(cs: Seq[Expression], l: LogicalPlan,
       r: LogicalPlan): Seq[String] = {
-    def crossSides(a: Expression, b: Expression): Boolean = {
-      val (ra, rb) = (a.references, b.references)
-      ra.nonEmpty && rb.nonEmpty &&
-        ((ra.subsetOf(l.outputSet) && rb.subsetOf(r.outputSet)) ||
-          (ra.subsetOf(r.outputSet) && rb.subsetOf(l.outputSet)))
-    }
-    val radiusMsg = (k: Int) =>
-      s"radius k=$k exceeds 15: the block join explodes " +
-        "k+1 copies per row and past 15 the candidate volume " +
-        "defeats the rewrite — tighten the radius or pre-bucket"
+    val crossSides = RewriteSupport.crossSides(l, r) _
     val hits = scala.collection.mutable.LinkedHashSet.empty[String]
-    cs.foreach(_.foreach {
-      case Hamm(a, b) if crossSides(a, b) =>
-        if (a.dataType != LongType || b.dataType != LongType)
-          hits += (s"fingerprints are ${a.dataType.simpleString}/" +
-            s"${b.dataType.simpleString}, not BIGINT — cast both sides " +
-            "to LONG so the pigeonhole blocks cover all 64 bits")
-      case c @ (_: LessThanOrEqual | _: LessThan | _: GreaterThanOrEqual
-          | _: GreaterThan) =>
-        (c.children(0), c.children(1)) match {
-          case (Hamm(a, b), Literal(k: Int, IntegerType))
-              if k > 15 && crossSides(a, b) =>
-            hits += radiusMsg(k)
-          case (Literal(k: Int, IntegerType), Hamm(a, b))
-              if k > 15 && crossSides(a, b) =>
-            hits += radiusMsg(k)
-          case _ => ()
+    cs.foreach(_.foreach { c =>
+      // EXACTLY hammingBound's four UPPER-bound spellings, with the
+      // EFFECTIVE radius (strict spellings bound k−1) — a lower-bound
+      // predicate like bit_count(a^b) >= 20 is a far-pairs query no
+      // spelling of this rewrite can serve, and reporting it as an
+      // over-wide radius would be wrong advice on the observability
+      // surface
+      val upperBound = c match {
+        case LessThanOrEqual(Hamm(a, b), Literal(k: Int, IntegerType)) =>
+          Some((a, b, k))
+        case LessThan(Hamm(a, b), Literal(k: Int, IntegerType)) =>
+          Some((a, b, k - 1))
+        case GreaterThanOrEqual(Literal(k: Int, IntegerType), Hamm(a, b)) =>
+          Some((a, b, k))
+        case GreaterThan(Literal(k: Int, IntegerType), Hamm(a, b)) =>
+          Some((a, b, k - 1))
+        case _ => None
+      }
+      upperBound.filter { case (a, b, _) => crossSides(a, b) }
+        .foreach { case (a, b, k) =>
+          if (a.dataType != LongType || b.dataType != LongType)
+            hits += (s"fingerprints are ${a.dataType.simpleString}/" +
+              s"${b.dataType.simpleString}, not BIGINT — cast both sides " +
+              "to LONG so the pigeonhole blocks cover all 64 bits")
+          else if (k > 15)
+            hits += (s"effective radius k=$k exceeds 15: the block join " +
+              "explodes k+1 copies per row and past 15 the candidate " +
+              "volume defeats the rewrite — tighten the radius or " +
+              "pre-bucket")
         }
-      case _ => ()
     })
     hits.toSeq
   }
 
   private def logStandDown(j: Join, reasons: Seq[String]): Unit =
-    if (reasons.nonEmpty
-        && RewriteSupport.firstStandDownLog(j.condition.get)) {
-      val line = s"hamming-block rewrite stand-down (${j.joinType.sql} " +
-        s"join stays a nested loop over |L|x|R| popcount compares): " +
-        reasons.mkString("; ")
-      logWarning(line)
-      PreflightLog.record(line, aborted = false)
-    }
+    RewriteSupport.logStandDown("hamming-block", j, "popcount compares",
+      reasons, logWarning(_))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val enabled = spark.conf

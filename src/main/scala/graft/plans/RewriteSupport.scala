@@ -48,24 +48,49 @@ object PreflightLog {
 
 private[plans] object RewriteSupport {
 
-  /** Once-per-condition memory for stand-down diagnostics (shared by
-    * both rewrite rules): the rules sit in a fixed-point optimizer
-    * batch, so an un-rewritten join re-matches on every iteration of
-    * every query — without dedup one stand-down would log dozens of
-    * identical lines. Keyed by the CANONICALIZED condition (structural
-    * equality), bounded LRU so a long-lived session cannot grow it
-    * unboundedly. Shared across rule instances on purpose: one session
-    * may build several. */
+  /** Once-per-(rule, condition) memory for stand-down diagnostics
+    * (shared by both rewrite rules): the rules sit in a fixed-point
+    * optimizer batch, so an un-rewritten join re-matches on every
+    * iteration of every query — without dedup one stand-down would log
+    * dozens of identical lines. Keyed by the CANONICALIZED condition
+    * (structural equality) PLUS the rule tag: one condition can carry
+    * near-misses for BOTH rules (nullable gram arrays AND an over-wide
+    * hamming radius in one conjunction), and a condition-only key would
+    * let whichever rule ran first permanently suppress the other's
+    * distinct diagnosis. Bounded LRU so a long-lived session cannot
+    * grow it unboundedly. Shared across rule instances on purpose: one
+    * session may build several. */
   private val loggedStandDowns = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[Expression, java.lang.Boolean](
+    new java.util.LinkedHashMap[(String, Expression), java.lang.Boolean](
         16, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Expression, java.lang.Boolean]): Boolean =
-        size() > 256
+          e: java.util.Map.Entry[(String, Expression), java.lang.Boolean])
+          : Boolean = size() > 256
     })
 
-  def firstStandDownLog(cond: Expression): Boolean =
-    loggedStandDowns.put(cond.canonicalized, java.lang.Boolean.TRUE) == null
+  /** Shared stand-down reporter: WARN through the calling rule's
+    * logger + [[PreflightLog]] (served by /v1/preflight), once per
+    * (rule tag, canonicalized condition). */
+  def logStandDown(tag: String, j: Join, compares: String,
+      reasons: Seq[String], warn: String => Unit): Unit =
+    if (reasons.nonEmpty && loggedStandDowns.put(
+        (tag, j.condition.get.canonicalized), java.lang.Boolean.TRUE)
+        == null) {
+      val line = s"$tag rewrite stand-down (${j.joinType.sql} join stays " +
+        s"a nested loop over |L|x|R| $compares): " + reasons.mkString("; ")
+      warn(line)
+      PreflightLog.record(line, aborted = false)
+    }
+
+  /** Both expressions reference exactly one join side each — the
+    * orientation the rewrites (and their near-miss diagnostics) need. */
+  def crossSides(l: LogicalPlan, r: LogicalPlan)(
+      a: Expression, b: Expression): Boolean = {
+    val (ra, rb) = (a.references, b.references)
+    ra.nonEmpty && rb.nonEmpty &&
+      ((ra.subsetOf(l.outputSet) && rb.subsetOf(r.outputSet)) ||
+        (ra.subsetOf(r.outputSet) && rb.subsetOf(l.outputSet)))
+  }
 
   /** Test hook. */
   private[graft] def clearStandDownLog(): Unit = loggedStandDowns.clear()

@@ -400,12 +400,7 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * scan — no stats reads, no side jobs. */
   private def standDownReasons(cs: Seq[Expression], l: LogicalPlan,
       r: LogicalPlan): Seq[String] = {
-    def crossSides(a: Expression, b: Expression): Boolean = {
-      val (ra, rb) = (a.references, b.references)
-      ra.nonEmpty && rb.nonEmpty &&
-        ((ra.subsetOf(l.outputSet) && rb.subsetOf(r.outputSet)) ||
-          (ra.subsetOf(r.outputSet) && rb.subsetOf(l.outputSet)))
-    }
+    val crossSides = RewriteSupport.crossSides(l, r) _
     val hits = scala.collection.mutable.LinkedHashSet.empty[String]
     cs.foreach(_.foreach {
       case Size(ArrayIntersect(a, b), true) if crossSides(a, b) =>
@@ -433,14 +428,8 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def logStandDown(j: Join, reasons: Seq[String]): Unit =
-    if (reasons.nonEmpty
-        && RewriteSupport.firstStandDownLog(j.condition.get)) {
-      val line = s"overlap-join rewrite stand-down (${j.joinType.sql} " +
-        s"join stays a nested loop over |L|x|R| array compares): " +
-        reasons.mkString("; ")
-      logWarning(line)
-      PreflightLog.record(line, aborted = false)
-    }
+    RewriteSupport.logStandDown("overlap-join", j, "array compares",
+      reasons, logWarning(_))
 
   /** Semi/anti non-fires whose conjunct gates all PASSED are topological
     * stand-downs — name the likely cause instead of staying silent. */

@@ -138,16 +138,23 @@ final class KafkaTopicIO(bootstrapServers: String,
     // insensitively: under spark.sql.caseSensitive=true a frame may
     // legally carry BOTH `retryCount` and `retrycount`, and binding to
     // whichever enumerates first could read stale retry state. Genuine
-    // ambiguity (multiple matches, none exact) fails loudly — silently
-    // picking one is the same stale-state bug with a different winner.
+    // ambiguity fails loudly with a curated message — that is EVERY
+    // multi-match under a case-INsensitive session (col() there
+    // resolves case-insensitively and would throw Spark's opaque
+    // ambiguous-reference error even for the exact-case name), and a
+    // no-exact-winner multi-match under a case-sensitive one (silently
+    // picking one is the stale-state bug with a different winner).
     def resolve(name: String): Option[org.apache.spark.sql.Column] = {
       val matches = df.columns.filter(_.equalsIgnoreCase(name))
+      val caseSensitive =
+        org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis
+      def ambiguous = throw new IllegalArgumentException(
+        s"ambiguous producer frame: columns ${matches.mkString(", ")} " +
+          s"all match '$name' case-insensitively — rename so one " +
+          "canonical column carries the state")
+      if (matches.length > 1 && !caseSensitive) ambiguous
       matches.find(_ == name).orElse {
-        if (matches.length > 1) throw new IllegalArgumentException(
-          s"ambiguous producer frame: columns ${matches.mkString(", ")} " +
-            s"all match '$name' case-insensitively and none exactly — " +
-            "rename so one canonical column carries the state")
-        else matches.headOption
+        if (matches.length > 1) ambiguous else matches.headOption
       }.map(col)
     }
     def stateCol(name: String, tpe: String) =

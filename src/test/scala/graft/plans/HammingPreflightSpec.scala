@@ -2,9 +2,6 @@ package graft.plans
 
 import graft.SparkSuite
 import graft.functions.GraftFunctions.hamming64
-import org.apache.logging.log4j.{Level, LogManager}
-import org.apache.logging.log4j.core.LogEvent
-import org.apache.logging.log4j.core.appender.AbstractAppender
 import org.apache.spark.sql.functions._
 
 /** The opt-in Hamming preflight hook
@@ -16,29 +13,8 @@ import org.apache.spark.sql.functions._
 class HammingPreflightSpec extends SparkSuite {
 
   /** Collects the rewrite rule's log lines while `body` runs. */
-  private def capturing(body: => Unit): Seq[String] = {
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    val appender = new AbstractAppender(
-        s"graft-hpreflight-capture-${System.nanoTime()}",
-        null, null, false, null) {
-      override def append(e: LogEvent): Unit = buf.synchronized {
-        buf += e.getMessage.getFormattedMessage
-      }
-    }
-    appender.start()
-    val logger = LogManager
-      .getLogger(classOf[HammingBlockJoinRewrite].getName)
-      .asInstanceOf[org.apache.logging.log4j.core.Logger]
-    val prior = logger.getLevel
-    logger.addAppender(appender)
-    logger.setLevel(Level.WARN)
-    try body finally {
-      logger.removeAppender(appender)
-      logger.setLevel(prior)
-      appender.stop()
-    }
-    buf.toSeq
-  }
+  private def capturing(body: => Unit): Seq[String] =
+    LogCapture.capturing(classOf[HammingBlockJoinRewrite])(body)
 
   /** Golden-ratio-spread high bits with the low 5-bit block CLEARED:
     * block 0's value 0 appears in every row of both sides (the

@@ -1,9 +1,6 @@
 package graft.plans
 
 import graft.SparkSuite
-import org.apache.logging.log4j.{Level, LogManager}
-import org.apache.logging.log4j.core.LogEvent
-import org.apache.logging.log4j.core.appender.AbstractAppender
 import org.apache.spark.sql.functions._
 
 /** The opt-in preflight hook (`spark.graft.overlapJoinRewrite.preflight
@@ -13,28 +10,8 @@ import org.apache.spark.sql.functions._
 class OverlapPreflightSpec extends SparkSuite {
 
   /** Collects the rewrite rule's log lines while `body` runs. */
-  private def capturing(body: => Unit): Seq[String] = {
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    val appender = new AbstractAppender(
-        s"graft-preflight-capture-${System.nanoTime()}",
-        null, null, false, null) {
-      override def append(e: LogEvent): Unit = buf.synchronized {
-        buf += e.getMessage.getFormattedMessage
-      }
-    }
-    appender.start()
-    val logger = LogManager.getLogger(classOf[SetOverlapJoinRewrite].getName)
-      .asInstanceOf[org.apache.logging.log4j.core.Logger]
-    val prior = logger.getLevel
-    logger.addAppender(appender)
-    logger.setLevel(Level.WARN)
-    try body finally {
-      logger.removeAppender(appender)
-      logger.setLevel(prior)
-      appender.stop()
-    }
-    buf.toSeq
-  }
+  private def capturing(body: => Unit): Seq[String] =
+    LogCapture.capturing(classOf[SetOverlapJoinRewrite])(body)
 
   private def hotJoinCount(): Long = {
     val sess = spark

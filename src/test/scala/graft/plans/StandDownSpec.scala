@@ -1,8 +1,6 @@
 package graft.plans
 
 import graft.SparkSuite
-import org.apache.logging.log4j.{Level, LogManager}
-import org.apache.logging.log4j.core.LogEvent
 import org.apache.spark.sql.functions._
 
 /** Stand-down diagnostics: when a join's condition looks like the
@@ -13,30 +11,9 @@ import org.apache.spark.sql.functions._
   * a plan probe revealed why the rewrite had not fired. */
 class StandDownSpec extends SparkSuite {
 
-  private def capturing(body: => Unit): Seq[String] = {
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
-        s"graft-standdown-capture-${System.nanoTime()}",
-        null, null, false, null) {
-      override def append(e: LogEvent): Unit = buf.synchronized {
-        buf += e.getMessage.getFormattedMessage
-      }
-    }
-    appender.start()
-    val loggers = Seq(classOf[SetOverlapJoinRewrite],
-        classOf[HammingBlockJoinRewrite]).map(c =>
-      LogManager.getLogger(c.getName)
-        .asInstanceOf[org.apache.logging.log4j.core.Logger])
-    val priors = loggers.map(_.getLevel)
-    loggers.foreach { l => l.addAppender(appender); l.setLevel(Level.WARN) }
-    try body finally {
-      loggers.zip(priors).foreach { case (l, p) =>
-        l.removeAppender(appender); l.setLevel(p)
-      }
-      appender.stop()
-    }
-    buf.toSeq
-  }
+  private def capturing(body: => Unit): Seq[String] =
+    LogCapture.capturing(classOf[SetOverlapJoinRewrite],
+      classOf[HammingBlockJoinRewrite])(body)
 
   private def standDowns(lines: Seq[String]): Seq[String] =
     lines.filter(_.contains("rewrite stand-down"))
@@ -114,6 +91,44 @@ class StandDownSpec extends SparkSuite {
     val sdK = standDowns(kLines)
     assert(sdK.nonEmpty, s"expected a diagnosis, got: $kLines")
     assert(sdK.head.contains("k=20"), sdK.head)
+    // a LOWER-bound (far-pairs) predicate is not a near-miss of this
+    // rewrite in any spelling — "tighten the radius" would be wrong
+    // advice, so it must stay silent
+    val farLines = capturing {
+      assert(ll.join(rl,
+        expr("bit_count(lfp ^ rfp) >= 20")).count() == 0L)
+    }
+    assert(standDowns(farLines).isEmpty,
+      s"far-pairs predicates are not near-misses: ${standDowns(farLines)}")
+  }
+
+  test("one condition carrying near-misses for BOTH rules gets BOTH " +
+      "diagnoses — neither rule's dedup may suppress the other's") {
+    val sess = spark
+    import sess.implicits._
+    RewriteSupport.clearStandDownLog()
+    // nullable gram arrays (overlap near-miss) AND k=20 hamming radius
+    // (hamming near-miss) in one conjunction
+    val left = Seq((1L, "aa bb c", 3L)).toDF("lid", "ltext", "lfp")
+      .select(col("lid"), expr(
+        "filter(transform(split(ltext, ' '), x -> " +
+          "CASE WHEN length(x) > 1 THEN x END), x -> x IS NOT NULL)")
+        .as("lg"), col("lfp"))
+    val right = Seq((2L, "bb dd e", 12L)).toDF("rid", "rtext", "rfp")
+      .select(col("rid"), expr(
+        "filter(transform(split(rtext, ' '), x -> " +
+          "CASE WHEN length(x) > 1 THEN x END), x -> x IS NOT NULL)")
+        .as("rg"), col("rfp"))
+    val lines = capturing {
+      assert(left.join(right,
+        size(array_intersect(col("lg"), col("rg"))) >= lit(1)
+          && expr("bit_count(lfp ^ rfp) <= 20")).count() == 1L)
+    }
+    val sd = standDowns(lines)
+    assert(sd.exists(_.contains("containsNull=true")),
+      s"overlap diagnosis missing: $sd")
+    assert(sd.exists(_.contains("k=20")),
+      s"hamming diagnosis missing: $sd")
   }
 
   test("PreflightLog is a bounded latest-first ring: past capacity the " +

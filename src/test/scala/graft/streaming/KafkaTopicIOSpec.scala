@@ -169,6 +169,15 @@ class KafkaTopicIOSpec extends SparkSuite {
         io.sinkProjection(noExact)
       }
       assert(ex.getMessage.contains("ambiguous"), ex.getMessage)
+      // under the DEFAULT case-insensitive session the same dual frame
+      // is ambiguous even with an exact-case name present — col() there
+      // resolves case-insensitively, so the curated error must fire
+      // before Spark's opaque ambiguous-reference AnalysisException
+      spark.conf.set("spark.sql.caseSensitive", "false")
+      val exCi = intercept[IllegalArgumentException] {
+        io.sinkProjection(dual)
+      }
+      assert(exCi.getMessage.contains("ambiguous"), exCi.getMessage)
     } finally spark.conf.set("spark.sql.caseSensitive", "false")
 
     // a first-delivery record (no retry state) round-trips nulls
