@@ -68,8 +68,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new graft.plans.FailCartesianProducts(spark))
     // exact pigeonhole rewrite: hamming64 ≤ k theta-join → posexplode
     // block equi-join (default ON — see HammingBlockJoinRewrite)
-    ext.injectOptimizerRule(spark =>
-      new graft.plans.HammingBlockJoinRewrite(spark))
+    ext.injectOptimizerRule { spark =>
+      // piggyback on the once-per-session factory call (sessionState's
+      // optimizer is a lazy val) to ALSO register the rewrite rules in
+      // the "User Provided Optimizers" batch, which runs AFTER
+      // RewriteSubquery: SQL `WHERE [NOT] EXISTS` decontamination
+      // spellings only BECOME semi/anti joins there, so the
+      // operator-optimization instances injected below never see them
+      // and the query would silently keep a nested-loop plan (round-11
+      // finding). The rules are fixed points (their outputs are
+      // equi-joins, and equi-joined conditions are skipped), so running
+      // them again late is a no-op for everything already rewritten.
+      GraftExtensions.registerPostSubqueryRules(spark)
+      new graft.plans.HammingBlockJoinRewrite(spark)
+    }
     // exact explode rewrite: arrays_overlap theta-join → element
     // equi-join (default ON — see SetOverlapJoinRewrite)
     ext.injectOptimizerRule(spark =>
@@ -98,5 +110,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_pairs"),
       new ExpressionInfo(classOf[SortedPairs].getName, "sorted_pairs"),
       (exprs: Seq[Expression]) => SortedPairs(exprs.head)))
+  }
+}
+
+object GraftExtensions {
+  /** Second registration of the rewrite rules, in
+    * `spark.experimental.extraOptimizations` — SparkOptimizer's "User
+    * Provided Optimizers" fixed-point batch, which runs after the
+    * RewriteSubquery batch that turns `WHERE [NOT] EXISTS` into
+    * semi/anti joins. Without it those SQL spellings keep their
+    * nested-loop plans: the extension-injected instances live inside
+    * operator optimization, BEFORE the subquery rewrite, and never see
+    * the join. `extraOptimizations` is read on every optimizer
+    * execution, so appending here (the once-per-session optimizer
+    * build) is picked up immediately; the contains-check keeps cloned
+    * sessions and repeated builds idempotent. */
+  private[graft] def registerPostSubqueryRules(
+      spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    val have = spark.experimental.extraOptimizations.map(_.getClass)
+    val add = Seq(
+      new graft.plans.HammingBlockJoinRewrite(spark),
+      new graft.plans.SetOverlapJoinRewrite(spark))
+      .filterNot(r => have.contains(r.getClass))
+    if (add.nonEmpty)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ add
   }
 }

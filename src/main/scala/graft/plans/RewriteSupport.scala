@@ -243,7 +243,16 @@ private[plans] object RewriteSupport {
       case fs: HadoopFsRelation => fs.bucketSpec.isEmpty
       case _ => false
     }
-    case _: LocalRelation | _: Range | _: OneRowRelation => true
+    // NOT LocalRelation: a runtime monotonically_increasing_id over a
+    // LocalTableScan is NOT instantiation-stable — the same 3-row
+    // relation measured ids (0,1,2) on one side of a join and
+    // (0, 1<<33, 2<<33) on the other (different partition layouts per
+    // physical instantiation). The early optimizer masked this by
+    // constant-folding the id Project into the LocalRelation
+    // (ConvertToLocalRelation), but the post-subquery batch runs after
+    // that rule's last chance — withStableRowId instead MATERIALIZES
+    // ids into LocalRelation data itself (stable by construction).
+    case _: Range | _: OneRowRelation => true
     case Project(es, c) => es.forall(orderDeterministic) && orderStable(c)
     case Filter(cond, c) => orderDeterministic(cond) && orderStable(c)
     case g: Generate => g.generator.deterministic && orderStable(g.child)
@@ -276,6 +285,19 @@ private[plans] object RewriteSupport {
       val rid = Alias(MonotonicallyIncreasingID(), name)()
       Some((Project(p.output :+ rid, p), rid.toAttribute))
     } else p match {
+      // LocalRelation: materialize 0..n-1 into the DATA — a literal
+      // column is trivially identical across instantiations, where a
+      // runtime monotonically_increasing_id is not (see orderStable's
+      // note). Also what ConvertToLocalRelation would have folded the
+      // id Project into anyway when this runs early.
+      case lr: LocalRelation if !lr.isStreaming =>
+        val rid = AttributeReference(name, LongType, nullable = false)()
+        val tagged = lr.data.zipWithIndex.map { case (row, i) =>
+          org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+            lr.output.indices.map(j => row.get(j, lr.output(j).dataType))
+              :+ i.toLong)
+        }
+        Some((LocalRelation(lr.output :+ rid, tagged, lr.isStreaming), rid))
       case Project(list, c) if list.forall(orderDeterministic) =>
         withStableRowId(c, name).map { case (c2, rid) =>
           (Project(list :+ rid, c2), rid)

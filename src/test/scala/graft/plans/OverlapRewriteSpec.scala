@@ -722,6 +722,32 @@ class OverlapRewriteSpec extends SparkSuite {
     // fixture self-check: the boundary pair separates the spellings
     assert(naive(true).contains((1L, 7L)) && !naive(false).contains((1L, 7L)))
     assert(naive(true).contains((4L, 5L)), "empty-empty present for >=")
+
+    // SQL `WHERE [NOT] EXISTS` spellings become semi/anti joins only in
+    // the late RewriteSubquery batch — AFTER the extension-injected rule
+    // instances have run — so they are served by the second registration
+    // in spark.experimental.extraOptimizations ("User Provided
+    // Optimizers", post-subquery). Pin that the decimal-tau >= semi AND
+    // anti both fire there with the boundary semantics intact (lid 1 is
+    // kept by >= ONLY via the exact-0.5 pair, lid 4 ONLY via
+    // empty-empty; anti is the complement)
+    val semi = spark.sql(
+      """SELECT lid FROM jac_l WHERE EXISTS (SELECT 1 FROM jac_r
+        |WHERE size(array_intersect(la, ra))
+        |      >= 0.5 * size(array_union(la, ra)))""".stripMargin)
+    assert(semi.queryExecution.executedPlan.toString.contains("graft_"),
+      "the EXISTS-spelled decimal-tau >= semi must fire the " +
+        "post-subquery rewrite:\n" + semi.queryExecution.executedPlan)
+    val semiIds = semi.collect().map(_.getLong(0)).toSeq.sorted
+    assert(semiIds == Seq(1L, 2L, 4L), s"semi: $semiIds")
+    val anti = spark.sql(
+      """SELECT lid FROM jac_l WHERE NOT EXISTS (SELECT 1 FROM jac_r
+        |WHERE size(array_intersect(la, ra))
+        |      >= 0.5 * size(array_union(la, ra)))""".stripMargin)
+    assert(anti.queryExecution.executedPlan.toString.contains("graft_"),
+      "the NOT-EXISTS-spelled decimal-tau >= anti must fire the " +
+        "post-subquery rewrite:\n" + anti.queryExecution.executedPlan)
+    assert(anti.collect().isEmpty, "every left row matches here")
   }
 
   test("non-binary collations stand the rewrite down: UTF8_LCASE " +
