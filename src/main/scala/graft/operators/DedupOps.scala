@@ -2689,6 +2689,33 @@ object DedupOps {
        |    >= 0.5 * len(list_distinct(c.grams || b.grams)))
        |ORDER BY doc_id""".stripMargin
 
+  /** EXISTS-subquery spelling twin of [[d43]] (round 11) — certifies
+    * the POST-SUBQUERY rewrite registration end to end over parquet:
+    * `WHERE EXISTS (...)` only becomes a semi join in Spark's late
+    * RewriteSubquery batch, after the extension-injected rule instances
+    * have run, so this spelling exercises the second registration in
+    * spark.experimental.extraOptimizations that round 11 added (without
+    * it, this plan is a silent |corpus|x|banned| nested loop). The SQL
+    * `0.5` literal parses as DECIMAL, so the gate also covers the
+    * decimal-τ slop on the `>=` semi path. Shares d43's oracle
+    * VERBATIM — only the spelling differs, which is what this gate
+    * certifies (the d37/d38 pattern). */
+  private def d45(s: SparkSession, dir: String): DataFrame = {
+    val g = longTrigrams(s, dir)
+    g.filter(col("doc_id") < 400)
+      .createOrReplaceTempView("graft_d45_corpus")
+    g.filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id").as("b_id"), col("grams").as("b_g"))
+      .createOrReplaceTempView("graft_d45_banned")
+    s.sql(
+      """SELECT doc_id, CAST(size(grams) AS BIGINT) AS n_grams
+        |FROM graft_d45_corpus c WHERE EXISTS (
+        |  SELECT 1 FROM graft_d45_banned b
+        |  WHERE size(array_intersect(c.grams, b.b_g))
+        |        >= 0.5 * size(array_union(c.grams, b.b_g)))
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -2755,6 +2782,7 @@ object DedupOps {
     // round-10: >=-Jaccard semi/anti via the rowid union (stand-down ended)
     "d43_orequal_semi_decontam" -> QueryDef(d43, Some(d43Sql)),
     "d44_orequal_anti_scrub" -> QueryDef(d44, Some(d44Sql)),
+    "d45_exists_subquery_decontam" -> QueryDef(d45, Some(d43Sql)),
   )
 
 

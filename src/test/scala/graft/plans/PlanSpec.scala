@@ -640,9 +640,13 @@ class PlanSpec extends SparkSuite {
       "rewrite (witnessed two-phase ∪ empty-matched rowids) — never the " +
       "naive nested-loop, and the final rowid back semi/anti finalizes " +
       "as a broadcast under AQE") {
+    // d45 is d43's EXISTS-subquery spelling: its semi join only EXISTS
+    // after the late RewriteSubquery batch, so its pin certifies the
+    // post-subquery rule registration keeps the same plan shape
     for ((name, joinType) <- Seq(
         ("d43_orequal_semi_decontam", "LeftSemi"),
-        ("d44_orequal_anti_scrub", "LeftAnti"))) {
+        ("d44_orequal_anti_scrub", "LeftAnti"),
+        ("d45_exists_subquery_decontam", "LeftSemi"))) {
       val df = run(name)
       assert(!PlanChecks.usesCartesianProduct(df))
       val p = df.queryExecution.executedPlan.toString
