@@ -2716,6 +2716,26 @@ object DedupOps {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** NOT-EXISTS twin of [[d45]] — the keep-the-clean-corpus spelling
+    * (`WHERE NOT EXISTS`), which the late batch plans as the LeftAnti
+    * rowid-union topology. Shares d44's oracle verbatim; d45 ∪ d46
+    * partitions the corpus exactly, same as d43 ∪ d44. */
+  private def d46(s: SparkSession, dir: String): DataFrame = {
+    val g = longTrigrams(s, dir)
+    g.filter(col("doc_id") < 400)
+      .createOrReplaceTempView("graft_d46_corpus")
+    g.filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id").as("b_id"), col("grams").as("b_g"))
+      .createOrReplaceTempView("graft_d46_banned")
+    s.sql(
+      """SELECT doc_id, CAST(size(grams) AS BIGINT) AS n_grams
+        |FROM graft_d46_corpus c WHERE NOT EXISTS (
+        |  SELECT 1 FROM graft_d46_banned b
+        |  WHERE size(array_intersect(c.grams, b.b_g))
+        |        >= 0.5 * size(array_union(c.grams, b.b_g)))
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_dedup_exact" -> QueryDef(d01, Some(d01Sql)),
     "d02_dedup_ngram_jaccard" -> QueryDef(d02, Some(d02Sql), headline = true),
@@ -2783,6 +2803,7 @@ object DedupOps {
     "d43_orequal_semi_decontam" -> QueryDef(d43, Some(d43Sql)),
     "d44_orequal_anti_scrub" -> QueryDef(d44, Some(d44Sql)),
     "d45_exists_subquery_decontam" -> QueryDef(d45, Some(d43Sql)),
+    "d46_notexists_subquery_scrub" -> QueryDef(d46, Some(d44Sql)),
   )
 
 

@@ -646,7 +646,8 @@ class PlanSpec extends SparkSuite {
     for ((name, joinType) <- Seq(
         ("d43_orequal_semi_decontam", "LeftSemi"),
         ("d44_orequal_anti_scrub", "LeftAnti"),
-        ("d45_exists_subquery_decontam", "LeftSemi"))) {
+        ("d45_exists_subquery_decontam", "LeftSemi"),
+        ("d46_notexists_subquery_scrub", "LeftAnti"))) {
       val df = run(name)
       assert(!PlanChecks.usesCartesianProduct(df))
       val p = df.queryExecution.executedPlan.toString

@@ -29,7 +29,8 @@ class RewriteEquivalenceSpec extends SparkSuite {
     "d40_decimal_tau_rewrite",
     "d43_orequal_semi_decontam",
     "d44_orequal_anti_scrub",
-    "d45_exists_subquery_decontam")
+    "d45_exists_subquery_decontam",
+    "d46_notexists_subquery_scrub")
 
   test("every rewrite-gated query returns an identical row multiset " +
       "with both rules disabled (the naive plan is ground truth)") {
