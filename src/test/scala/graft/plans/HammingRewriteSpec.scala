@@ -124,6 +124,34 @@ class HammingRewriteSpec extends SparkSuite {
     }
   }
 
+  test("SQL NOT EXISTS hamming scrub fires via the post-subquery " +
+      "registration: the anti join only exists after RewriteSubquery, " +
+      "so the late extraOptimizations pass must carry it") {
+    val sess = spark
+    import sess.implicits._
+    val k = 3
+    val base = codes(11L, 60)
+    base.toDF("lid", "lcode").createOrReplaceTempView("hx_corpus")
+    base.filter(_._1 % 7 == 0)
+      .map { case (i, c) => (i + 500L, c ^ 3L) }
+      .toDF("bid", "bcode").createOrReplaceTempView("hx_banned")
+    val q = spark.sql(
+      s"""SELECT lid FROM hx_corpus c WHERE NOT EXISTS (
+         |  SELECT 1 FROM hx_banned b
+         |  WHERE bit_count(c.lcode ^ b.bcode) <= $k)""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"NOT EXISTS anti rewrite did not fire:\n$plan")
+    assert(plan.contains("graft_bidx"), s"posexplode blocks expected:\n$plan")
+    val want = base.collect {
+      case (li, lc) if !base.filter(_._1 % 7 == 0).exists { case (_, c) =>
+        java.lang.Long.bitCount(lc ^ (c ^ 3L)) <= k } => li
+    }.sorted
+    assert(want.nonEmpty && want.size < base.size, "fixture self-check")
+    val got = q.collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
+
   test("in-place semi collapse preserves payload float bits (-0.0 stays " +
       "-0.0) and accepts map-typed payload columns") {
     val sess = spark
