@@ -69,16 +69,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // exact pigeonhole rewrite: hamming64 ≤ k theta-join → posexplode
     // block equi-join (default ON — see HammingBlockJoinRewrite)
     ext.injectOptimizerRule { spark =>
-      // piggyback on the once-per-session factory call (sessionState's
-      // optimizer is a lazy val) to ALSO register the rewrite rules in
-      // the "User Provided Optimizers" batch, which runs AFTER
-      // RewriteSubquery: SQL `WHERE [NOT] EXISTS` decontamination
-      // spellings only BECOME semi/anti joins there, so the
-      // operator-optimization instances injected below never see them
-      // and the query would silently keep a nested-loop plan (round-11
-      // finding). The rules are fixed points (their outputs are
-      // equi-joins, and equi-joined conditions are skipped), so running
-      // them again late is a no-op for everything already rewritten.
+      // piggyback on the factory call (re-invoked per optimizer
+      // execution; the registration fast-path is a free no-op after
+      // the first) to ALSO register the rewrite rules in the "User
+      // Provided Optimizers" batch, which runs AFTER RewriteSubquery:
+      // SQL `WHERE [NOT] EXISTS` decontamination spellings only BECOME
+      // semi/anti joins there, so the operator-optimization instances
+      // injected below never see them and the query would silently
+      // keep a nested-loop plan (round-11 finding). The rules are
+      // fixed points (their outputs are equi-joins, and equi-joined
+      // conditions are skipped), so running them again late is a
+      // no-op for everything already rewritten.
       GraftExtensions.registerPostSubqueryRules(spark)
       new graft.plans.HammingBlockJoinRewrite(spark)
     }
@@ -121,19 +122,32 @@ object GraftExtensions {
     * semi/anti joins. Without it those SQL spellings keep their
     * nested-loop plans: the extension-injected instances live inside
     * operator optimization, BEFORE the subquery rewrite, and never see
-    * the join. `extraOptimizations` is read on every optimizer
-    * execution, so appending here (the once-per-session optimizer
-    * build) is picked up immediately; the contains-check keeps cloned
-    * sessions and repeated builds idempotent. */
+    * the join.
+    *
+    * Called on EVERY optimizer execution (Optimizer.batches is a def
+    * that re-invokes the extension factories per query), so the
+    * already-registered path must be free: no lock, no allocation —
+    * only the slow path (first query of a session whose experimental
+    * list lacks a rule) synchronizes, and it re-checks under the lock.
+    * Cloned sessions inherit the parent's list (ExperimentalMethods
+    * .clone copies it), so the inherited INSTANCES serve the clone —
+    * safe because the rules read all conf through the thread-active
+    * SQLConf ([[graft.plans.RewriteSupport.activeConf]]), never their
+    * captured session. */
   private[graft] def registerPostSubqueryRules(
-      spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
-    val have = spark.experimental.extraOptimizations.map(_.getClass)
-    val add = Seq(
-      new graft.plans.HammingBlockJoinRewrite(spark),
-      new graft.plans.SetOverlapJoinRewrite(spark))
-      .filterNot(r => have.contains(r.getClass))
-    if (add.nonEmpty)
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations ++ add
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    def missing(cur: Seq[_]) =
+      !cur.exists(_.isInstanceOf[graft.plans.HammingBlockJoinRewrite]) ||
+        !cur.exists(_.isInstanceOf[graft.plans.SetOverlapJoinRewrite])
+    if (missing(spark.experimental.extraOptimizations)) synchronized {
+      val cur = spark.experimental.extraOptimizations
+      if (missing(cur)) {
+        val add = Seq(
+          new graft.plans.HammingBlockJoinRewrite(spark),
+          new graft.plans.SetOverlapJoinRewrite(spark))
+          .filterNot(r => cur.exists(_.getClass == r.getClass))
+        spark.experimental.extraOptimizations = cur ++ add
+      }
+    }
   }
 }

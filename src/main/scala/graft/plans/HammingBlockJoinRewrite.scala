@@ -174,8 +174,8 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       reasons, logWarning(_))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val enabled = spark.conf
-      .getOption(ScaleGuards.HammingBlockJoinRewriteKey)
+    val enabled = RewriteSupport
+      .activeConf(ScaleGuards.HammingBlockJoinRewriteKey)
       .forall(!_.equalsIgnoreCase("false"))
     if (!enabled) return plan
     plan.transformUp {
@@ -361,7 +361,7 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def twoPhaseMinBytes: BigInt = BigInt(
-    spark.conf.getOption(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    RewriteSupport.activeConf(ScaleGuards.OverlapTwoPhaseMinBytesKey)
       .map(_.toLong).getOrElse(ScaleGuards.OverlapTwoPhaseMinBytesDefault))
 
   /** Semi = "report the contaminated rows", anti = "keep the clean

@@ -95,6 +95,16 @@ private[plans] object RewriteSupport {
   /** Test hook. */
   private[graft] def clearStandDownLog(): Unit = loggedStandDowns.clear()
 
+  /** Session-conf read through the THREAD-ACTIVE SQLConf, never the
+    * rule's captured session: the extraOptimizations registrations are
+    * inherited by cloned sessions (ExperimentalMethods.clone copies the
+    * list, so the clone reuses the parent's rule INSTANCES), and a
+    * captured-session read would apply the parent's settings — enable
+    * flags, preflight mode, two-phase floor — to the clone's queries. */
+  def activeConf(key: String): Option[String] =
+    Option(org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(key, null))
+
   def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case x => Seq(x)
@@ -121,8 +131,10 @@ private[plans] object RewriteSupport {
       cols: Seq[(String, Boolean)], warn: String => Unit)
       (report: => org.apache.spark.sql.DataFrame): Unit = {
     // Locale.ROOT: a Turkish-locale JVM lowercases "FAIL" to dotless-ı
-    // "faıl", silently disarming the circuit breaker
-    val mode = spark.conf.getOption(confKey)
+    // "faıl", silently disarming the circuit breaker. activeConf, not
+    // spark.conf: cloned sessions inherit the rule instance (see
+    // activeConf's note) and must honor their OWN preflight mode.
+    val mode = activeConf(confKey)
       .map(_.toLowerCase(java.util.Locale.ROOT))
       .filter(m => m == "warn" || m == "fail")
     if (mode.isDefined && !l.isStreaming && !r.isStreaming) {
@@ -279,6 +291,15 @@ private[plans] object RewriteSupport {
     *
     * Returns the re-built plan (output = p.output :+ rid) and the rid
     * attribute, or None when no stable insertion point exists. */
+  /** Weak per-relation-instance cache of rowid-tagged LocalRelation
+    * data (see the LocalRelation case below). Weak keys: fixtures come
+    * and go with their plans; identity keying is enough because the
+    * repeated taggings inside one rewrite all hold the same child
+    * reference. */
+  private val taggedLocalData = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[LocalRelation,
+      Seq[org.apache.spark.sql.catalyst.InternalRow]]())
+
   def withStableRowId(p: LogicalPlan, name: String)
       : Option[(LogicalPlan, Attribute)] = {
     if (orderStable(p)) {
@@ -289,14 +310,20 @@ private[plans] object RewriteSupport {
       // column is trivially identical across instantiations, where a
       // runtime monotonically_increasing_id is not (see orderStable's
       // note). Also what ConvertToLocalRelation would have folded the
-      // id Project into anyway when this runs early.
+      // id Project into anyway when this runs early. The tagged rows
+      // are CACHED per relation instance: one two-phase rewrite tags
+      // the same side up to four times (rid/prid/vrid/erid), and
+      // re-copying the whole dataset into boxed rows per call would
+      // turn planning into an O(4·rows) driver copy — the values are
+      // identical (0..n-1 in data order), only the attribute differs.
       case lr: LocalRelation if !lr.isStreaming =>
         val rid = AttributeReference(name, LongType, nullable = false)()
-        val tagged = lr.data.zipWithIndex.map { case (row, i) =>
-          org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-            lr.output.indices.map(j => row.get(j, lr.output(j).dataType))
-              :+ i.toLong)
-        }
+        val tagged = taggedLocalData.computeIfAbsent(lr,
+          _ => lr.data.zipWithIndex.map { case (row, i) =>
+            org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+              lr.output.indices.map(j => row.get(j, lr.output(j).dataType))
+                :+ i.toLong)
+          })
         Some((LocalRelation(lr.output :+ rid, tagged, lr.isStreaming), rid))
       case Project(list, c) if list.forall(orderDeterministic) =>
         withStableRowId(c, name).map { case (c2, rid) =>

@@ -374,7 +374,7 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       b.dataType.asInstanceOf[ArrayType].elementType
 
   private def twoPhaseMinBytes: BigInt = BigInt(
-    spark.conf.getOption(ScaleGuards.OverlapTwoPhaseMinBytesKey)
+    RewriteSupport.activeConf(ScaleGuards.OverlapTwoPhaseMinBytesKey)
       .map(_.toLong).getOrElse(ScaleGuards.OverlapTwoPhaseMinBytesDefault))
 
   private def bigEnoughForTwoPhase(l: LogicalPlan, r: LogicalPlan): Boolean =
@@ -452,8 +452,8 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val enabled = spark.conf
-      .getOption(ScaleGuards.OverlapJoinRewriteKey)
+    val enabled = RewriteSupport
+      .activeConf(ScaleGuards.OverlapJoinRewriteKey)
       .forall(!_.equalsIgnoreCase("false"))
     if (!enabled) return plan
     plan.transformUp {

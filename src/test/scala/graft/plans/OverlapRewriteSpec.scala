@@ -694,9 +694,12 @@ class OverlapRewriteSpec extends SparkSuite {
     import sess.implicits._
     // (1,7): intersect 2 of union 4 — exactly tau = 0.5: IN for >=, OUT
     // for >; (2,8): intersect 2 of union 3 — IN for both; (4,5): the
-    // empty-empty pair the >= spelling must also emit
+    // empty-empty pair the >= spelling must also emit; 3 matches
+    // NOTHING (non-empty grams, no shared element) so the semi/anti
+    // assertions below are two-sided — an over-matching regression
+    // (predicate dropped, extra rows kept) fails them too
     val l = Seq((1L, Seq(10L, 20L, 30L)), (2L, Seq(10L, 50L)),
-      (4L, Seq[Long]()))
+      (3L, Seq(99L)), (4L, Seq[Long]()))
     val r = Seq((7L, Seq(20L, 30L, 40L)), (8L, Seq(10L, 50L, 60L)),
       (5L, Seq[Long]()))
     l.toDF("lid", "la").createOrReplaceTempView("jac_l")
@@ -747,7 +750,39 @@ class OverlapRewriteSpec extends SparkSuite {
     assert(anti.queryExecution.executedPlan.toString.contains("graft_"),
       "the NOT-EXISTS-spelled decimal-tau >= anti must fire the " +
         "post-subquery rewrite:\n" + anti.queryExecution.executedPlan)
-    assert(anti.collect().isEmpty, "every left row matches here")
+    assert(anti.collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "only the no-shared-element row survives the scrub")
+  }
+
+  test("a cloned session honors its OWN conf through the inherited " +
+      "late-batch rule instances (ExperimentalMethods.clone copies the " +
+      "registrations; conf reads ride the thread-active SQLConf)") {
+    val sess = spark
+    import sess.implicits._
+    Seq((1L, Seq(10L)), (2L, Seq(20L))).toDF("lid", "la")
+      .createOrReplaceTempView("clone_l")
+    Seq((7L, Seq(10L))).toDF("rid", "ra")
+      .createOrReplaceTempView("clone_r")
+    val existsSql =
+      """SELECT lid FROM clone_l c WHERE EXISTS (SELECT 1 FROM clone_r b
+        |WHERE size(array_intersect(c.la, b.ra))
+        |      >= 0.5 * size(array_union(c.la, b.ra)))""".stripMargin
+    // cloneSession is private[sql] (Spark clones internally for
+    // streaming/AQE executions — the scenario this pins); Scala
+    // package-private is public bytecode, so reflection reaches it
+    val clone = spark.getClass.getMethod("cloneSession").invoke(spark)
+      .asInstanceOf[org.apache.spark.sql.SparkSession]
+    clone.conf.set(ScaleGuards.OverlapJoinRewriteKey, "false")
+    val onClone = clone.sql(existsSql)
+    assert(!onClone.queryExecution.executedPlan.toString.contains("graft_"),
+      "the clone disabled the rewrite — its queries must not fire it:\n"
+        + onClone.queryExecution.executedPlan)
+    assert(onClone.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the parent session's conf is untouched: same query still fires
+    val onParent = spark.sql(existsSql)
+    assert(onParent.queryExecution.executedPlan.toString.contains("graft_"),
+      "the parent keeps the rewrite:\n" + onParent.queryExecution.executedPlan)
+    assert(onParent.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("non-binary collations stand the rewrite down: UTF8_LCASE " +
