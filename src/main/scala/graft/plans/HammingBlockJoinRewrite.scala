@@ -90,6 +90,26 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** The four UPPER-bound comparison spellings of `hamming64(a,b) ≤ k`
+    * with the EFFECTIVE radius (strict spellings bound k−1) — the ONE
+    * parser shared by the rewrite matcher and the stand-down
+    * diagnostics, so what fires and what gets diagnosed can never
+    * drift. Gates (radius range, BIGINT types, orientation) are applied
+    * by the callers: the rewrite requires them, the diagnostics REPORT
+    * their violation. */
+  private def upperBoundOf(c: Expression)
+      : Option[(Expression, Expression, Int)] = c match {
+    case LessThanOrEqual(Hamm(a, b), Literal(k: Int, IntegerType)) =>
+      Some((a, b, k))
+    case LessThan(Hamm(a, b), Literal(k: Int, IntegerType)) =>
+      Some((a, b, k - 1))
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), Hamm(a, b)) =>
+      Some((a, b, k))
+    case GreaterThan(Literal(k: Int, IntegerType), Hamm(a, b)) =>
+      Some((a, b, k - 1))
+    case _ => None
+  }
+
   /** The first `hamming64(a,b) ≤ k` conjunct (any comparison spelling)
     * that ORIENTS across the two sides — a same-side conjunct ahead of
     * the real cross-side one no longer defeats the rewrite. Returns
@@ -98,18 +118,7 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       l: LogicalPlan, r: LogicalPlan)
       : Option[(Expression, Expression, Expression, Int)] =
     cs.iterator.flatMap { c =>
-      val parsed = c match {
-        case LessThanOrEqual(Hamm(a, b), Literal(k: Int, IntegerType)) =>
-          Some((a, b, k))
-        case LessThan(Hamm(a, b), Literal(k: Int, IntegerType)) =>
-          Some((a, b, k - 1))
-        case GreaterThanOrEqual(Literal(k: Int, IntegerType), Hamm(a, b)) =>
-          Some((a, b, k))
-        case GreaterThan(Literal(k: Int, IntegerType), Hamm(a, b)) =>
-          Some((a, b, k - 1))
-        case _ => None
-      }
-      parsed.filter { case (a, b, k) =>
+      upperBoundOf(c).filter { case (a, b, k) =>
         k >= 0 && k <= 15 && a.dataType == LongType && b.dataType == LongType
       }.flatMap { case (a, b, k) =>
         oriented(a, b, l, r).map { case (ao, bo) => (c, ao, bo, k) }
@@ -135,25 +144,13 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       r: LogicalPlan): Seq[String] = {
     val crossSides = RewriteSupport.crossSides(l, r) _
     val hits = scala.collection.mutable.LinkedHashSet.empty[String]
-    cs.foreach(_.foreach { c =>
-      // EXACTLY hammingBound's four UPPER-bound spellings, with the
-      // EFFECTIVE radius (strict spellings bound k−1) — a lower-bound
-      // predicate like bit_count(a^b) >= 20 is a far-pairs query no
-      // spelling of this rewrite can serve, and reporting it as an
-      // over-wide radius would be wrong advice on the observability
-      // surface
-      val upperBound = c match {
-        case LessThanOrEqual(Hamm(a, b), Literal(k: Int, IntegerType)) =>
-          Some((a, b, k))
-        case LessThan(Hamm(a, b), Literal(k: Int, IntegerType)) =>
-          Some((a, b, k - 1))
-        case GreaterThanOrEqual(Literal(k: Int, IntegerType), Hamm(a, b)) =>
-          Some((a, b, k))
-        case GreaterThan(Literal(k: Int, IntegerType), Hamm(a, b)) =>
-          Some((a, b, k - 1))
-        case _ => None
-      }
-      upperBound.filter { case (a, b, _) => crossSides(a, b) }
+    // TOP-LEVEL conjuncts only — exactly where hammingBound looks. A
+    // bound nested under OR/NOT/CASE is not a near-miss: no gate fix
+    // can make the rewrite serve it, so advising one would be wrong
+    // (and a lower-bound far-pairs predicate never parses at all —
+    // upperBoundOf is the rewrite's own shared parser)
+    cs.foreach { c =>
+      upperBoundOf(c).filter { case (a, b, _) => crossSides(a, b) }
         .foreach { case (a, b, k) =>
           if (a.dataType != LongType || b.dataType != LongType)
             hits += (s"fingerprints are ${a.dataType.simpleString}/" +
@@ -165,7 +162,7 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               "volume defeats the rewrite — tighten the radius or " +
               "pre-bucket")
         }
-    })
+    }
     hits.toSeq
   }
 

@@ -291,14 +291,33 @@ private[plans] object RewriteSupport {
     *
     * Returns the re-built plan (output = p.output :+ rid) and the rid
     * attribute, or None when no stable insertion point exists. */
-  /** Weak per-relation-instance cache of rowid-tagged LocalRelation
-    * data (see the LocalRelation case below). Weak keys: fixtures come
-    * and go with their plans; identity keying is enough because the
-    * repeated taggings inside one rewrite all hold the same child
-    * reference. */
-  private val taggedLocalData = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[LocalRelation,
-      Seq[org.apache.spark.sql.catalyst.InternalRow]]())
+  /** Tiny reference-keyed cache of rowid-tagged LocalRelation data
+    * (see the LocalRelation case below). Keyed by `eq`, NOT equals —
+    * the repeated taggings inside one rewrite all hold the SAME child
+    * reference, and a hash-keyed map (WeakHashMap keys by equals) would
+    * pay an O(rows) relation hash per probe, most of the copy cost the
+    * cache exists to remove. Bounded to the last 8 relations (one
+    * rewrite touches at most a handful) so fixture data never
+    * accumulates; lock-free with recompute-on-race. */
+  private val taggedLocalData = new java.util.concurrent.atomic
+    .AtomicReference[List[(LocalRelation,
+      Vector[org.apache.spark.sql.catalyst.InternalRow])]](Nil)
+
+  private def taggedDataOf(lr: LocalRelation)
+      : Vector[org.apache.spark.sql.catalyst.InternalRow] = {
+    val cur = taggedLocalData.get()
+    cur.collectFirst { case (k, v) if k eq lr => v }.getOrElse {
+      // toVector: strict — a lazy Seq here would both defer the copy
+      // to executor-serialization time and retain the source relation
+      val t = lr.data.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          lr.output.indices.map(j => row.get(j, lr.output(j).dataType))
+            :+ i.toLong)
+      }.toVector
+      taggedLocalData.set(((lr, t) :: cur).take(8))
+      t
+    }
+  }
 
   def withStableRowId(p: LogicalPlan, name: String)
       : Option[(LogicalPlan, Attribute)] = {
@@ -318,13 +337,8 @@ private[plans] object RewriteSupport {
       // identical (0..n-1 in data order), only the attribute differs.
       case lr: LocalRelation if !lr.isStreaming =>
         val rid = AttributeReference(name, LongType, nullable = false)()
-        val tagged = taggedLocalData.computeIfAbsent(lr,
-          _ => lr.data.zipWithIndex.map { case (row, i) =>
-            org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-              lr.output.indices.map(j => row.get(j, lr.output(j).dataType))
-                :+ i.toLong)
-          })
-        Some((LocalRelation(lr.output :+ rid, tagged, lr.isStreaming), rid))
+        Some((LocalRelation(lr.output :+ rid, taggedDataOf(lr),
+          lr.isStreaming), rid))
       case Project(list, c) if list.forall(orderDeterministic) =>
         withStableRowId(c, name).map { case (c2, rid) =>
           (Project(list :+ rid, c2), rid)

@@ -402,7 +402,7 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       r: LogicalPlan): Seq[String] = {
     val crossSides = RewriteSupport.crossSides(l, r) _
     val hits = scala.collection.mutable.LinkedHashSet.empty[String]
-    cs.foreach(_.foreach {
+    def inspect(node: Expression): Unit = node match {
       case Size(ArrayIntersect(a, b), true) if crossSides(a, b) =>
         hits += ("spark.sql.legacy.sizeOfNull is on: size(NULL) = -1 " +
           "admits NULL-array pairs the rewrite cannot reproduce — unset " +
@@ -423,7 +423,17 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             hits += "element types differ between the two sides"
         }
       case _ => ()
-    })
+    }
+    // TOP-LEVEL conjuncts only — where overlapConjuncts/jaccardConj
+    // look. Descend WITHIN a top-level comparison (the Jaccard
+    // spelling nests intersect/union under casts and multiplies) or a
+    // bare overlap, but never into OR/NOT/CASE wrappers: no gate fix
+    // makes the rewrite serve those shapes, so advising one is wrong.
+    cs.foreach {
+      case c @ (_: ArraysOverlap | _: GreaterThan | _: GreaterThanOrEqual
+          | _: LessThan | _: LessThanOrEqual) => c.foreach(inspect)
+      case _ => ()
+    }
     hits.toSeq
   }
 
@@ -441,7 +451,11 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         "a streaming child: the collapse would smuggle a stateful " +
           "aggregate into a stateless semi join (the naive stream-static " +
           "shape is the supported one)"
-      else if (!hashSafeElem(p.a))
+      // hash safety only gates the NON-implied two-phase (the verify
+      // topology joins HASHED prefixes); the implied arrays_overlap
+      // path joins raw elements, so floats are never its disqualifier
+      // — blaming them would send the user bit-casting to no effect
+      else if (!p.implied && !hashSafeElem(p.a))
         "float/double elements: xxhash64 and SQL equality disagree on " +
           "NaN families and signed zeros — quantize or bit-cast the " +
           "elements to integers first"

@@ -131,6 +131,54 @@ class StandDownSpec extends SparkSuite {
       s"hamming diagnosis missing: $sd")
   }
 
+  test("shapes no gate fix can serve stay silent: an OR-wrapped hamming " +
+      "bound and a negated overlap are not near-misses, and an implied " +
+      "arrays_overlap anti blames the rowid, never float elements") {
+    val sess = spark
+    import sess.implicits._
+    RewriteSupport.clearStandDownLog()
+    val ll = Seq((1L, 3L), (2L, 12L)).toDF("lid", "lfp")
+    val rl = Seq((7L, 3L)).toDF("rid", "rfp")
+    val orLines = capturing {
+      // the OR defeats the rewrite at ANY radius — advising "tighten
+      // k" would send the user in a circle
+      assert(ll.join(rl,
+        expr("bit_count(lfp ^ rfp) <= 20 OR lid = rid")).count() >= 1L)
+    }
+    assert(standDowns(orLines).isEmpty,
+      s"OR-wrapped bounds are not near-misses: ${standDowns(orLines)}")
+    val la = Seq((1L, "aa bb c")).toDF("lid", "ltext").select(col("lid"),
+      expr("filter(transform(split(ltext, ' '), x -> CASE WHEN " +
+        "length(x) > 1 THEN x END), x -> x IS NOT NULL)").as("lg"))
+    val ra = Seq((2L, "bb dd e")).toDF("rid", "rtext").select(col("rid"),
+      expr("filter(transform(split(rtext, ' '), x -> CASE WHEN " +
+        "length(x) > 1 THEN x END), x -> x IS NOT NULL)").as("rg"))
+    val notLines = capturing {
+      assert(la.join(ra, !arrays_overlap(col("lg"), col("rg")))
+        .count() == 0L)
+    }
+    assert(standDowns(notLines).isEmpty,
+      s"a negated overlap is served by no spelling: ${standDowns(notLines)}")
+    // implied arrays_overlap anti over float elements with a SAMPLE
+    // below (a Limit folds into the LocalRelation; Sample survives and
+    // blocks the rowid push): the real blocker is the unstable rowid
+    // (twoPhaseSemi joins RAW elements — floats are fine there);
+    // bit-casting would fix nothing, so the float advice must not
+    // appear
+    val lf = Seq((1L, Seq(1.5, 2.5)), (2L, Seq(9.0))).toDF("lid", "la")
+      .sample(withReplacement = false, 1.0, seed = 42)
+    val rf = Seq((1L, Seq(1.5))).toDF("rid", "ra")
+    val antiLines = capturing {
+      assert(lf.join(rf, arrays_overlap(col("la"), col("ra")), "left_anti")
+        .count() == 1L)
+    }
+    val sd = standDowns(antiLines)
+    assert(sd.nonEmpty, s"expected a topology diagnosis, got: $antiLines")
+    assert(!sd.head.contains("float/double"),
+      s"implied paths never hash — floats are not the blocker: ${sd.head}")
+    assert(sd.head.contains("STABLE rowid"), sd.head)
+  }
+
   test("PreflightLog is a bounded latest-first ring: past capacity the " +
       "oldest lines fall out — a long-lived session cannot grow it") {
     PreflightLog.clear()
