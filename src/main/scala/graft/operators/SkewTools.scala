@@ -114,10 +114,46 @@ object SkewTools {
     * spelling, not capping an element). Default off: the two extra
     * columns would break consumers pinned to the witnessed-only schema
     * (d31's oracle), and the strict spellings have no such branch. */
+  /** `sampleFraction` < 1 makes the audit AFFORDABLE at 100 TB: the
+    * exact audit is a full scan + explode of both join children, which
+    * is unpayable at planning time exactly where the circuit breaker
+    * matters most. Each side is Bernoulli-sampled at the given rate
+    * (fixed, DISTINCT seeds per side — a self-join sampling identical
+    * rows on both sides would bias E[fl·fr] upward by the diagonal
+    * f(1−f)·F term; independent draws keep it unbiased at f²·fL·fR),
+    * frequencies are counted over the sample, and the ABSOLUTE row
+    * estimates (`est_candidate_rows`, `max_element_rows`,
+    * `empty_empty_rows`) are scaled back by 1/f². The SHARES and the
+    * diagnosis need no scaling at all — every contribution carries the
+    * same f² factor, so ratios are scale-invariant: a hot element
+    * dominating the full data dominates the sample. The report then
+    * carries a `sample_fraction` provenance column (appended ONLY when
+    * sampling, so the exact path's schema — d31's oracle — is
+    * unchanged), and `n_common_elements` counts elements OBSERVED in
+    * the sample (an undercount; an element rarer than ~1/f per side is
+    * invisible — which also bounds the miss: too rare to sample is too
+    * rare to dominate). Values outside (0, 1) mean exact. */
   def overlapJoinPreflight(left: DataFrame, leftArr: Column,
       right: DataFrame, rightArr: Column,
       warnShareBp: Long = 1000L, minOverlap: Int = 1,
-      includeEmptyEmpty: Boolean = false): DataFrame = {
+      includeEmptyEmpty: Boolean = false,
+      sampleFraction: Double = 1.0): DataFrame = {
+    val sampled = sampleFraction > 0.0 && sampleFraction < 1.0
+    val (leftS, rightS) =
+      if (sampled) (left.sample(withReplacement = false, sampleFraction, 42L),
+        right.sample(withReplacement = false, sampleFraction, 211L))
+      else (left, right)
+    // 1/f² in double: the scaled outputs are ESTIMATES (the sample
+    // already injected binomial noise far above double rounding), so
+    // the exact path's decimal discipline buys nothing here; try_cast
+    // still degrades past Long.Max instead of wrapping
+    val inv2 = if (sampled) 1.0 / (sampleFraction * sampleFraction) else 1.0
+    def bigOut(name: String): Column =
+      if (!sampled) expr(s"try_cast($name as bigint)")
+      else expr(s"try_cast(cast($name as double) * $inv2 as bigint)")
+    def withProvenance(df: DataFrame): DataFrame =
+      if (!sampled) df
+      else df.withColumn("sample_fraction", lit(sampleFraction))
     // the sliced order must MIRROR what the rewrite actually explodes
     // (RewriteSupport.hashedPrefixElems, round 10): string/binary
     // elements sort by (xxhash64(e), e) — functions.xxhash64 uses the
@@ -159,8 +195,8 @@ object SkewTools {
     // to NULL and flip the diagnosis to 'ok' at the hottest extreme);
     // the BIGINT report columns degrade to NULL via try_cast past
     // 9.2e18 (the diagnosis string survives).
-    val witnessed = freqs(left, leftArr, "fl")
-      .join(freqs(right, rightArr, "fr"), "e")
+    val witnessed = freqs(leftS, leftArr, "fl")
+      .join(freqs(rightS, rightArr, "fr"), "e")
       .select(col("e"),
         (col("fl").cast("decimal(38,0)") * col("fr")).as("contrib"))
       .agg(
@@ -173,7 +209,7 @@ object SkewTools {
       lit("hot-element: cap its frequency upstream (d02's " +
         "maxShingleFreq) or salt it before the overlap join")
     if (!includeEmptyEmpty)
-      witnessed
+      withProvenance(witnessed
         .withColumn("est_dec", col("wit_dec"))
         // IntegralDivide on decimals returns BIGINT; the share is ≤ 10000
         .withColumn("max_share_bp", shareBp)
@@ -181,9 +217,9 @@ object SkewTools {
           when(col("max_share_bp") >= warnShareBp, hotElementDiag)
             .otherwise(lit("ok")))
         .select(col("n_common_elements"),
-          expr("try_cast(est_dec as bigint)").as("est_candidate_rows"),
-          expr("try_cast(max_dec as bigint)").as("max_element_rows"),
-          col("worst_element"), col("max_share_bp"), col("diagnosis"))
+          bigOut("est_dec").as("est_candidate_rows"),
+          bigOut("max_dec").as("max_element_rows"),
+          col("worst_element"), col("max_share_bp"), col("diagnosis")))
     else {
       // |E_l|·|E_r| — the >=-Jaccard empty-empty branch's exact output
       // size; size(arr) = 0 mirrors the branch's emptiness filter (a
@@ -191,10 +227,10 @@ object SkewTools {
       def emptyCount(df: DataFrame, arr: Column, name: String) =
         df.filter(size(arr) === lit(0))
           .agg(count(lit(1)).cast("decimal(38,0)").as(name))
-      val ee = emptyCount(left, leftArr, "el")
-        .crossJoin(emptyCount(right, rightArr, "er"))
+      val ee = emptyCount(leftS, leftArr, "el")
+        .crossJoin(emptyCount(rightS, rightArr, "er"))
         .select((col("el") * col("er")).as("ee_dec"))
-      witnessed.crossJoin(ee)
+      withProvenance(witnessed.crossJoin(ee)
         // wit_dec is NULL when the sides share no elements at all — the
         // empty-empty volume still exists then (coalesce, don't null out)
         .withColumn("est_dec",
@@ -216,11 +252,11 @@ object SkewTools {
             .when(col("max_share_bp") >= warnShareBp, hotElementDiag)
             .otherwise(lit("ok")))
         .select(col("n_common_elements"),
-          expr("try_cast(est_dec as bigint)").as("est_candidate_rows"),
-          expr("try_cast(ee_dec as bigint)").as("empty_empty_rows"),
-          expr("try_cast(max_dec as bigint)").as("max_element_rows"),
+          bigOut("est_dec").as("est_candidate_rows"),
+          bigOut("ee_dec").as("empty_empty_rows"),
+          bigOut("max_dec").as("max_element_rows"),
           col("worst_element"), col("max_share_bp"),
-          col("ee_share_bp").as("empty_share_bp"), col("diagnosis"))
+          col("ee_share_bp").as("empty_share_bp"), col("diagnosis")))
     }
   }
 
@@ -244,11 +280,30 @@ object SkewTools {
     * preflight: decimal(38,0)-exact candidate totals, share in integer
     * basis points, BIGINT columns try_cast-degraded past Long.Max,
     * `warnShareBp` the warning threshold (default 10%). */
+  /** `sampleFraction`: same estimator contract as
+    * [[overlapJoinPreflight]] — Bernoulli per-side samples (distinct
+    * fixed seeds), absolute estimates scaled by 1/f², shares and
+    * diagnosis scale-invariant, `sample_fraction` provenance column
+    * appended only when sampling (d41's oracle pins the exact schema).
+    * Values outside (0, 1) mean exact. */
   def hammingJoinPreflight(left: DataFrame, leftFp: Column,
       right: DataFrame, rightFp: Column, k: Int,
-      warnShareBp: Long = 1000L): DataFrame = {
+      warnShareBp: Long = 1000L,
+      sampleFraction: Double = 1.0): DataFrame = {
     require(k >= 0 && k <= 15,
       s"k must be in [0, 15] (the rewrite's own firing bound), got $k")
+    val sampled = sampleFraction > 0.0 && sampleFraction < 1.0
+    val (leftS, rightS) =
+      if (sampled) (left.sample(withReplacement = false, sampleFraction, 42L),
+        right.sample(withReplacement = false, sampleFraction, 211L))
+      else (left, right)
+    val inv2 = if (sampled) 1.0 / (sampleFraction * sampleFraction) else 1.0
+    def bigOut(name: String): Column =
+      if (!sampled) expr(s"try_cast($name as bigint)")
+      else expr(s"try_cast(cast($name as double) * $inv2 as bigint)")
+    def withProvenance(df: DataFrame): DataFrame =
+      if (!sampled) df
+      else df.withColumn("sample_fraction", lit(sampleFraction))
     val (n, widths, offsets) = graft.plans.HammingBlockJoinRewrite.layout(k)
     def blockCol(fp: Column, i: Int): Column = {
       val shifted =
@@ -261,8 +316,8 @@ object SkewTools {
         .select(posexplode(array((0 until n).map(i =>
           blockCol(fp, i)): _*)).as(Seq("bi", "bv")))
         .groupBy(col("bi"), col("bv")).agg(count(lit(1)).as(name))
-    freqs(left, leftFp, "fl")
-      .join(freqs(right, rightFp, "fr"), Seq("bi", "bv"))
+    withProvenance(freqs(leftS, leftFp, "fl")
+      .join(freqs(rightS, rightFp, "fr"), Seq("bi", "bv"))
       .select(col("bi"), col("bv"),
         (col("fl").cast("decimal(38,0)") * col("fr")).as("contrib"))
       .agg(
@@ -281,10 +336,10 @@ object SkewTools {
             "(index, value) key"))
           .otherwise(lit("ok")))
       .select(col("n_common_blocks"),
-        expr("try_cast(est_dec as bigint)").as("est_candidate_rows"),
-        expr("try_cast(max_dec as bigint)").as("max_block_rows"),
+        bigOut("est_dec").as("est_candidate_rows"),
+        bigOut("max_dec").as("max_block_rows"),
         col("worst_bi").cast("long").as("worst_block_index"),
         col("worst_bv").as("worst_block_value"),
-        col("max_share_bp"), col("diagnosis"))
+        col("max_share_bp"), col("diagnosis")))
   }
 }

@@ -220,18 +220,27 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * streaming skip, boxed BIGINT reads, best-effort catch) is
     * [[RewriteSupport.logPreflight]], shared with the overlap rule. */
   private def maybePreflight(l: LogicalPlan, r: LogicalPlan,
-      a: Expression, b: Expression, k: Int): Unit =
+      a: Expression, b: Expression, k: Int): Unit = {
+    // sampled estimator mode (ScaleGuards.HammingPreflightSampleKey):
+    // sample_fraction=f provenance on the line, same contract as the
+    // overlap rule's
+    val sample = ScaleGuards
+      .preflightSampleFraction(ScaleGuards.HammingPreflightSampleKey)
+    val sampleCols = if (sample.isDefined)
+      Seq("sample_fraction" -> false) else Nil
     RewriteSupport.logPreflight(spark, ScaleGuards.HammingPreflightKey,
       "hamming-block rewrite", l, r,
       Seq("est_candidate_rows" -> true, "worst_block_index" -> false,
         "worst_block_value" -> false, "max_block_rows" -> true,
-        "max_share_bp" -> false, "diagnosis" -> false),
+        "max_share_bp" -> false, "diagnosis" -> false) ++ sampleCols,
       logWarning(_)) {
       import org.apache.spark.sql.graftbridge.ColumnBridge
       graft.operators.SkewTools.hammingJoinPreflight(
         ColumnBridge.dataFrame(spark, l), ColumnBridge.column(a),
-        ColumnBridge.dataFrame(spark, r), ColumnBridge.column(b), k)
+        ColumnBridge.dataFrame(spark, r), ColumnBridge.column(b), k,
+        sampleFraction = sample.getOrElse(1.0))
     }
+  }
 
   /** A type whose in-row width is unbounded — when the join's children
     * expose any of these, the in-place posexplode replicates it (k+1)×

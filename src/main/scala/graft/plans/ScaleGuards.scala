@@ -135,4 +135,31 @@ object ScaleGuards {
     * can leave the (cheaper, 2^width-bounded) hamming audit off or vice
     * versa. */
   val HammingPreflightKey = "spark.graft.hammingBlockJoinRewrite.preflight"
+
+  /** Sampling rate for the preflight audits, per rule family: a value
+    * in (0, 1) Bernoulli-samples both join children at that rate before
+    * counting frequencies (distinct fixed seeds per side), scales the
+    * absolute row estimates back by 1/f², and stamps the audit line
+    * with `sample_fraction=f` provenance. Shares and diagnosis are
+    * scale-invariant (every contribution carries the same f² factor),
+    * so the sampled audit names the SAME worst key and diagnosis as the
+    * exact one whenever the key is frequent enough to be sampled at
+    * all — and a key too rare to sample is too rare to dominate. This
+    * is what makes `preflight=warn` an affordable ALWAYS-ON default at
+    * 100 TB, where the exact audit is itself a full scan + explode of
+    * both children at planning time. Unset, or any value outside
+    * (0, 1), means exact (the conservative default: a sampled abort
+    * under `fail` mode refuses a join on an estimate). */
+  val OverlapPreflightSampleKey =
+    "spark.graft.overlapJoinRewrite.preflight.sampleFraction"
+  val HammingPreflightSampleKey =
+    "spark.graft.hammingBlockJoinRewrite.preflight.sampleFraction"
+
+  /** The (0,1)-validated sampling rate for a preflight family, read
+    * through the thread-active SQLConf like every rewrite conf
+    * ([[RewriteSupport.activeConf]]'s cloned-session note). None =
+    * exact. */
+  private[plans] def preflightSampleFraction(key: String): Option[Double] =
+    RewriteSupport.activeConf(key).flatMap(_.toDoubleOption)
+      .filter(f => f > 0.0 && f < 1.0)
 }

@@ -518,18 +518,26 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (p.jaccardOrEqual)
         Seq("empty_empty_rows" -> true, "empty_share_bp" -> false)
       else Nil
+    // sampled estimator mode (ScaleGuards.OverlapPreflightSampleKey):
+    // the audit line gains sample_fraction=f provenance so a warn/abort
+    // read off an estimate is never mistaken for an exact count
+    val sample = ScaleGuards
+      .preflightSampleFraction(ScaleGuards.OverlapPreflightSampleKey)
+    val sampleCols = if (sample.isDefined)
+      Seq("sample_fraction" -> false) else Nil
     RewriteSupport.logPreflight(spark, ScaleGuards.OverlapPreflightKey,
       "overlap-join rewrite", l, r,
       Seq("est_candidate_rows" -> true) ++ eeCols ++ Seq(
         "worst_element" -> false, "max_element_rows" -> true,
-        "max_share_bp" -> false, "diagnosis" -> false),
+        "max_share_bp" -> false, "diagnosis" -> false) ++ sampleCols,
       logWarning(_)) {
       import org.apache.spark.sql.graftbridge.ColumnBridge
       graft.operators.SkewTools.overlapJoinPreflight(
         ColumnBridge.dataFrame(spark, l), ColumnBridge.column(p.a),
         ColumnBridge.dataFrame(spark, r), ColumnBridge.column(p.b),
         minOverlap = if (p.jaccardTau.isDefined) 1 else p.minOverlap,
-        includeEmptyEmpty = p.jaccardOrEqual)
+        includeEmptyEmpty = p.jaccardOrEqual,
+        sampleFraction = sample.getOrElse(1.0))
     }
   }
 

@@ -98,6 +98,46 @@ class SkewToolsSpec extends SparkSuite {
         s"(raw would be $rawOrdered)")
   }
 
+  test("sampled preflight contract: the exact path's schema is " +
+      "UNCHANGED (d31's oracle pins it), the sampled path appends a " +
+      "sample_fraction column, scales absolutes by 1/f², and keeps " +
+      "shares scale-invariant") {
+    val sess = spark
+    import sess.implicits._
+    // element 1L in every row: the only common element, so the sampled
+    // share must read 10000 bp whatever rows the sample keeps
+    val l = (1L to 40L).map(i => (i, Seq(1L, i + 100))).toDF("lid", "la")
+    val r = (1L to 40L).map(i => (i, Seq(1L, i + 900))).toDF("rid", "ra")
+    val exact = SkewTools.overlapJoinPreflight(l, col("la"), r, col("ra"))
+    assert(!exact.columns.contains("sample_fraction"),
+      exact.columns.mkString(","))
+    assert(exact.head().getAs[Long]("est_candidate_rows") == 1600L)
+    val s = SkewTools.overlapJoinPreflight(l, col("la"), r, col("ra"),
+      sampleFraction = 0.5)
+    val row = s.head()
+    assert(s.columns.contains("sample_fraction"))
+    assert(row.getAs[Double]("sample_fraction") == 0.5)
+    assert(row.getAs[Long]("max_share_bp") == 10000L)
+    val est = row.getAs[Long]("est_candidate_rows")
+    // nl·nr·4 for the sampled row counts: positive, ≤ the all-rows
+    // bound 40·40·4, and divisible by the 1/f² = 4 scale factor
+    assert(est > 0 && est <= 6400L && est % 4 == 0, est.toString)
+    // out-of-range fractions mean exact — same schema, same estimate
+    val ignored = SkewTools.overlapJoinPreflight(l, col("la"), r, col("ra"),
+      sampleFraction = 0.0)
+    assert(!ignored.columns.contains("sample_fraction"))
+    assert(ignored.head().getAs[Long]("est_candidate_rows") == 1600L)
+    // hamming twin: provenance column only when sampled
+    val hl = (1L to 20L).map(i => (i, i * 1024L)).toDF("lid", "lfp")
+    val hExact = SkewTools.hammingJoinPreflight(hl, col("lfp"),
+      hl, col("lfp"), k = 3)
+    assert(!hExact.columns.contains("sample_fraction"))
+    val hS = SkewTools.hammingJoinPreflight(hl, col("lfp"),
+      hl, col("lfp"), k = 3, sampleFraction = 0.5)
+    assert(hS.columns.contains("sample_fraction"))
+    assert(hS.head().getAs[Double]("sample_fraction") == 0.5)
+  }
+
   test("shareBp stays exact through the BIGINT range and survives the " +
       "decimal-overflow extreme (est > Long.Max) where a plain decimal " +
       "x10000 would go NULL and mask the hot-element diagnosis") {

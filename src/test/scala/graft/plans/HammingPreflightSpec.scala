@@ -54,6 +54,32 @@ class HammingPreflightSpec extends SparkSuite {
       s"preflight must not run unasked: $lines")
   }
 
+  test("sampled preflight names the SAME worst block and diagnosis as " +
+      "the exact audit, with sample_fraction provenance on the line") {
+    spark.conf.set(ScaleGuards.HammingPreflightKey, "warn")
+    spark.conf.set(ScaleGuards.HammingPreflightSampleKey, "0.5")
+    try {
+      val lines = capturing { assert(skewedJoinCount() >= 30L) }
+      val pf = lines.filter(_.contains("hamming-block rewrite preflight:"))
+      assert(pf.nonEmpty, s"expected a preflight line, got: $lines")
+      val line = pf.head
+      // block 0's value 0 appears in every row of both sides: any
+      // non-empty sample names the same hot (index, value) key
+      assert(line.contains("worst_block_index=0"), line)
+      assert(line.contains("worst_block_value=0"), line)
+      assert(line.contains("hot-block"), line)
+      assert(line.contains("sample_fraction=0.5"), line)
+      // 1/f²-scaled estimate of the 900-row hot block: bounded above by
+      // the all-rows-sampled 30·30·4 = 3600
+      val hot = "max_block_rows=(\\d+)".r
+        .findFirstMatchIn(line).map(_.group(1).toLong)
+      assert(hot.exists(h => h > 0 && h <= 3600L), line)
+    } finally {
+      spark.conf.unset(ScaleGuards.HammingPreflightKey)
+      spark.conf.unset(ScaleGuards.HammingPreflightSampleKey)
+    }
+  }
+
   test("preflight=fail refuses to plan the skewed-block join with the " +
       "audit line in the abort") {
     spark.conf.set(ScaleGuards.HammingPreflightKey, "fail")

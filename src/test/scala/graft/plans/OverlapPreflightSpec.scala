@@ -36,6 +36,51 @@ class OverlapPreflightSpec extends SparkSuite {
     } finally spark.conf.unset(ScaleGuards.OverlapPreflightKey)
   }
 
+  test("sampled preflight (sampleFraction in (0,1)) names the SAME " +
+      "worst element and diagnosis as the exact audit and stamps the " +
+      "line with sample_fraction provenance") {
+    spark.conf.set(ScaleGuards.OverlapPreflightKey, "warn")
+    spark.conf.set(ScaleGuards.OverlapPreflightSampleKey, "0.5")
+    try {
+      val lines = capturing { assert(hotJoinCount() >= 900L) }
+      val pf = lines.filter(_.contains("overlap-join rewrite preflight:"))
+      assert(pf.nonEmpty, s"expected a preflight line, got: $lines")
+      val line = pf.head
+      // element 1L is in EVERY row of both sides: any non-empty sample
+      // sees it as the only common element — same worst key, same
+      // diagnosis, share still 10000 bp (ratios are scale-invariant)
+      assert(line.contains("worst_element=1"), line)
+      assert(line.contains("max_share_bp=10000"), line)
+      assert(line.contains("hot-element"), line)
+      assert(line.contains("sample_fraction=0.5"), line)
+      // the absolute estimate is scaled by 1/f² = 4: with ~15 rows
+      // sampled per side it lands near the exact 900, and can never
+      // EXCEED the all-rows-sampled 30·30·4 = 3600 bound
+      val est = "est_candidate_rows=(\\d+)".r
+        .findFirstMatchIn(line).map(_.group(1).toLong)
+      assert(est.exists(e => e > 0 && e <= 3600L), line)
+    } finally {
+      spark.conf.unset(ScaleGuards.OverlapPreflightKey)
+      spark.conf.unset(ScaleGuards.OverlapPreflightSampleKey)
+    }
+  }
+
+  test("a sampleFraction outside (0,1) means exact: no provenance " +
+      "column, byte-identical estimate") {
+    spark.conf.set(ScaleGuards.OverlapPreflightKey, "warn")
+    spark.conf.set(ScaleGuards.OverlapPreflightSampleKey, "1.0")
+    try {
+      val lines = capturing { assert(hotJoinCount() >= 900L) }
+      val pf = lines.filter(_.contains("overlap-join rewrite preflight:"))
+      assert(pf.nonEmpty, s"expected a preflight line, got: $lines")
+      assert(pf.head.contains("est_candidate_rows=900"), pf.head)
+      assert(!pf.head.contains("sample_fraction"), pf.head)
+    } finally {
+      spark.conf.unset(ScaleGuards.OverlapPreflightKey)
+      spark.conf.unset(ScaleGuards.OverlapPreflightSampleKey)
+    }
+  }
+
   test("preflight=fail refuses to plan the hot join (PreflightAbort " +
       "carries the audit line), and lets a clean join through") {
     spark.conf.set(ScaleGuards.OverlapPreflightKey, "fail")
