@@ -52,25 +52,97 @@ object LayoutOps {
     * ProcessHandle.of(pid) only sees the CURRENT pid namespace, so a
     * sibling container sharing the tmpdir mount has LIVE roots whose
     * pids parse as dead here — liveness alone would delete them under
-    * their lazy readers. The age gate BOUNDS that race, it does not
-    * close it: reads do not touch the root directory's mtime, so a
-    * sibling-namespace invocation still running past the threshold
-    * remains exposed — deployments whose single layout invocation can
-    * exceed an hour on a shared tmpdir must raise
-    * `-Dgraft.scratch.reapAgeMs` (or give each container its own
-    * tmpdir, the actually-safe layout). One hour covers every test-SF
-    * invocation by orders of magnitude while still reclaiming the
-    * round-8 style leak on the next run. */
+    * their lazy readers. "Untouched" is the NEWEST mtime anywhere in
+    * the tree (not the root directory's, which part-file writes in
+    * subdirectories never refresh), so an actively-WRITING sibling
+    * invocation stays protected for as long as it produces output; an
+    * actively-READING one is protected by the [[HeartbeatName]] file
+    * its owning JVM's daemon re-touches every [[heartbeatPeriodMs]] —
+    * together the gate only opens on a root whose owner has produced
+    * no write, no read heartbeat, and no liveness signal for the full
+    * window. One hour covers every test-SF invocation by orders of
+    * magnitude while still reclaiming the round-8 style leak on the
+    * next run; `-Dgraft.scratch.reapAgeMs` overrides. */
   private[operators] val ReapMinAgeMillis: Long =
     sys.props.get("graft.scratch.reapAgeMs").flatMap(_.toLongOption)
       .getOrElse(60L * 60 * 1000)
+
+  /** The reader-heartbeat file each live owner re-touches inside every
+    * scratch root it created: lazy readers never refresh data-file
+    * mtimes, so without it a sibling-NAMESPACE invocation (whose pid
+    * this namespace cannot see as alive) reading past the age gate
+    * would have its files reaped mid-read. Touch frequency is bounded
+    * (once per [[heartbeatPeriodMs]], a single empty-file write per
+    * root) and the daemon thread dies with the JVM — exactly when the
+    * heartbeat SHOULD stop, letting the age gate reclaim the root. */
+  private[operators] val HeartbeatName = ".graft-heartbeat"
+
+  /** Once a minute, or ReapMinAgeMillis/4 when the gate is tightened
+    * below 4 minutes (a spec-scale override) — always well inside the
+    * reap window. */
+  private[operators] def heartbeatPeriodMs: Long =
+    math.max(1000L, math.min(60L * 1000, ReapMinAgeMillis / 4))
+
+  private val heartbeatRoots =
+    java.util.concurrent.ConcurrentHashMap
+      .newKeySet[java.nio.file.Path]()
+
+  /** Touch the heartbeat in every registered live root; a root that no
+    * longer exists (superseded layout, external cleanup) is dropped so
+    * the set stays bounded by the process's distinct (query, sf-dir)
+    * scratch paths. */
+  private[operators] def touchHeartbeats(): Unit = {
+    import scala.jdk.CollectionConverters._
+    heartbeatRoots.asScala.foreach { root =>
+      try {
+        if (java.nio.file.Files.isDirectory(root))
+          java.nio.file.Files.write(root.resolve(HeartbeatName),
+            Array.empty[Byte])
+        else heartbeatRoots.remove(root)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  private lazy val heartbeatExec = {
+    val ex = java.util.concurrent.Executors
+      .newSingleThreadScheduledExecutor { r =>
+        val t = new Thread(r, "graft-scratch-heartbeat")
+        t.setDaemon(true); t
+      }
+    ex.scheduleWithFixedDelay(() => touchHeartbeats(),
+      heartbeatPeriodMs, heartbeatPeriodMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    ex
+  }
+
+  private[operators] def registerHeartbeat(root: java.nio.file.Path): Unit = {
+    heartbeatRoots.add(root)
+    heartbeatExec // start the daemon on first registration
+    touchHeartbeats() // immediate first beat — don't wait a period
+  }
+
+  /** Newest mtime anywhere under `root` (the root directory itself
+    * included) — the reap gate's freshness signal. Any unreadable
+    * entry or traversal error reads as FRESH (Long.MaxValue): an
+    * uninspectable root must never become reap-eligible by default. */
+  private[operators] def newestMtimeMillis(root: java.nio.file.Path): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.map { p =>
+        try java.nio.file.Files.getLastModifiedTime(p).toMillis
+        catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+      }.foldLeft(Long.MinValue)(math.max)
+      finally walk.close()
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
 
   /** Best-effort reap of scratch roots left by EXITED processes: a root
     * whose `-p<pid>` suffix names a dead (or unparseable) pid has no
     * possible live reader IN THIS PID NAMESPACE; a root owned by a LIVE
     * pid is always skipped, and (cross-namespace guard) so is any root
-    * modified within [[ReapMinAgeMillis]] — an unreadable mtime counts
-    * as fresh, never as reap-eligible.
+    * with ANY entry — data file, subdirectory, or the owner-daemon's
+    * [[HeartbeatName]] — modified within [[ReapMinAgeMillis]]; an
+    * unreadable mtime counts as fresh, never as reap-eligible.
     * Two concurrent reapers can race on the same dead root — the final
     * per-file deletes are benign (deleteIfExists), but the TRAVERSAL is
     * not: Files.walk wraps a mid-walk NoSuchFileException in
@@ -95,9 +167,7 @@ object LayoutOps {
               .exists(pid => ProcessHandle.of(pid)
                 .map[Boolean](_.isAlive).orElse(false))
             val abandoned = !alive &&
-              (try java.nio.file.Files.getLastModifiedTime(p).toMillis <=
-                now - ReapMinAgeMillis
-              catch { case scala.util.control.NonFatal(_) => false })
+              newestMtimeMillis(p) <= now - ReapMinAgeMillis
             if (abandoned)
               try deleteTree(p)
               catch { case scala.util.control.NonFatal(_) => () }
@@ -114,6 +184,7 @@ object LayoutOps {
       s"$prefix-${java.lang.Integer.toHexString(dir.hashCode)}-p$processTag")
     if (java.nio.file.Files.exists(root)) deleteTree(root)
     java.nio.file.Files.createDirectories(root)
+    registerHeartbeat(root)
     root.toString
   }
 

@@ -161,6 +161,15 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               "explodes k+1 copies per row and past 15 the candidate " +
               "volume defeats the rewrite — tighten the radius or " +
               "pre-bucket")
+          else if (k < 0)
+            // a strict `< 0` spelling bounds k = -1: hamming64 is
+            // non-negative, so the predicate is vacuously FALSE and the
+            // nested loop it stays on selects nothing — harmless at any
+            // scale, but almost certainly a spelling mistake worth one
+            // named warning (round-11's no-silent-stand-down doctrine)
+            hits += (s"the bound is vacuously false (effective k=$k): " +
+              "hamming64 is never negative, so the join returns nothing " +
+              "— did you mean <= ?")
         }
     }
     hits.toSeq

@@ -25,15 +25,36 @@ class PreflightAbort(message: String) extends RuntimeException(message)
   * lines), thread-safe: rules can fire from concurrent planning
   * threads. Public: user monitoring code may read it directly. */
 object PreflightLog {
-  final case class Audit(atMillis: Long, line: String, aborted: Boolean)
+  /** One audit event, with the line PARSED into typed fields beside
+    * the raw rendering: a dashboard alerting on `diagnosis != "ok"` or
+    * charting `shareBp` should not have to regex the line (round-11
+    * shipped line-only and that was the first consumer complaint).
+    *
+    *  - `rule`: which family produced it (`overlap-join` /
+    *    `hamming-block`).
+    *  - `kind`: `preflight` (a skew audit over a join that FIRED) or
+    *    `stand-down` (a near-miss condition the rewrite refused, with
+    *    the disqualifier in `diagnosis`).
+    *  - `diagnosis`: `"ok"` or the named problem — the alerting key.
+    *  - `worstKey`: the hot element/block as `name=value` pairs
+    *    (empty for stand-downs, which have no audit row).
+    *  - `shareBp`: the worst key's share in integer basis points
+    *    (None for stand-downs, or when the audit row carried NULL past
+    *    the BIGINT range). */
+  final case class Audit(atMillis: Long, line: String, aborted: Boolean,
+      rule: String, kind: String, diagnosis: String,
+      worstKey: String, shareBp: Option[Long])
 
   val Capacity = 50
   private val buf = new java.util.ArrayDeque[Audit](Capacity)
 
-  private[plans] def record(line: String, aborted: Boolean): Unit =
+  private[plans] def record(line: String, aborted: Boolean,
+      rule: String, kind: String, diagnosis: String,
+      worstKey: String = "", shareBp: Option[Long] = None): Unit =
     buf.synchronized {
       if (buf.size >= Capacity) buf.removeFirst()
-      buf.addLast(Audit(System.currentTimeMillis(), line, aborted))
+      buf.addLast(Audit(System.currentTimeMillis(), line, aborted,
+        rule, kind, diagnosis, worstKey, shareBp))
     }
 
   /** Latest-first snapshot. */
@@ -57,16 +78,30 @@ private[plans] object RewriteSupport {
     * near-misses for BOTH rules (nullable gram arrays AND an over-wide
     * hamming radius in one conjunction), and a condition-only key would
     * let whichever rule ran first permanently suppress the other's
-    * distinct diagnosis. Bounded LRU so a long-lived session cannot
-    * grow it unboundedly. Shared across rule instances on purpose: one
-    * session may build several. */
+    * distinct diagnosis. ALSO keyed by the thread-active session's
+    * identity: the map is a JVM-global singleton shared across every
+    * SparkSession in a multi-tenant driver, and without the session
+    * key one tenant's stand-down would silently suppress an identical
+    * condition's diagnosis for every other tenant — each session's
+    * first near-miss deserves its own warning. Bounded LRU so a
+    * long-lived session cannot grow it unboundedly. Shared across rule
+    * instances on purpose: one session may build several. */
   private val loggedStandDowns = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Expression), java.lang.Boolean](
-        16, 0.75f, false) {
+    new java.util.LinkedHashMap[(Int, String, Expression),
+        java.lang.Boolean](16, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Expression), java.lang.Boolean])
-          : Boolean = size() > 256
+          e: java.util.Map.Entry[(Int, String, Expression),
+            java.lang.Boolean]): Boolean = size() > 256
     })
+
+  /** Identity of the session whose query is being optimized on this
+    * thread (0 when none is active — rule evaluation outside a session
+    * is a test-only situation). Reference identity, not sessionUUID:
+    * the dedup's purpose is per-TENANT warning delivery and a tenant
+    * IS a session object. */
+  private def activeSessionId: Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(System.identityHashCode(_)).getOrElse(0)
 
   /** Shared stand-down reporter: WARN through the calling rule's
     * logger + [[PreflightLog]] (served by /v1/preflight), once per
@@ -74,12 +109,13 @@ private[plans] object RewriteSupport {
   def logStandDown(tag: String, j: Join, compares: String,
       reasons: Seq[String], warn: String => Unit): Unit =
     if (reasons.nonEmpty && loggedStandDowns.put(
-        (tag, j.condition.get.canonicalized), java.lang.Boolean.TRUE)
-        == null) {
+        (activeSessionId, tag, j.condition.get.canonicalized),
+        java.lang.Boolean.TRUE) == null) {
       val line = s"$tag rewrite stand-down (${j.joinType.sql} join stays " +
         s"a nested loop over |L|x|R| $compares): " + reasons.mkString("; ")
       warn(line)
-      PreflightLog.record(line, aborted = false)
+      PreflightLog.record(line, aborted = false, rule = tag,
+        kind = "stand-down", diagnosis = reasons.mkString("; "))
     }
 
   /** Both expressions reference exactly one join side each — the
@@ -143,13 +179,27 @@ private[plans] object RewriteSupport {
         def big(name: String): String =
           Option(row.getAs[java.lang.Long](name))
             .map(_.toString).getOrElse(">Long.Max")
-        val rendered = s"$tag preflight: " + cols.map { case (n, isBig) =>
+        def rendered1(n: String, isBig: Boolean): String =
           s"$n=${if (isBig) big(n) else String.valueOf(row.getAs[Any](n))}"
+        val rendered = s"$tag preflight: " + cols.map { case (n, isBig) =>
+          rendered1(n, isBig)
         }.mkString(" ")
         warn(rendered)
-        val bad = row.getAs[String]("diagnosis") != "ok"
+        val diagnosis = row.getAs[String]("diagnosis")
+        val bad = diagnosis != "ok"
+        // structured twin fields (served by /v1/preflight): the rule
+        // tag minus the " rewrite" suffix matches the stand-down tags,
+        // the worst key is the audit's worst_* columns as rendered,
+        // and the share reads boxed (NULL past the BIGINT range)
         PreflightLog.record(rendered,
-          aborted = bad && mode.contains("fail"))
+          aborted = bad && mode.contains("fail"),
+          rule = tag.stripSuffix(" rewrite"), kind = "preflight",
+          diagnosis = String.valueOf(diagnosis),
+          worstKey = cols.collect {
+            case (n, isBig) if n.startsWith("worst_") => rendered1(n, isBig)
+          }.mkString(" "),
+          shareBp = Option(row.getAs[java.lang.Long]("max_share_bp"))
+            .map(_.longValue))
         if (bad) Some(rendered) else None
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -298,7 +348,11 @@ private[plans] object RewriteSupport {
     * pay an O(rows) relation hash per probe, most of the copy cost the
     * cache exists to remove. Bounded to the last 8 relations (one
     * rewrite touches at most a handful) so fixture data never
-    * accumulates; lock-free with recompute-on-race. */
+    * accumulates; lock-free — concurrent first-taggings of the same
+    * relation may both compute (identical results), but the atomic
+    * prepend-and-trim means neither insertion can DROP the other's
+    * entry (a plain get-then-set raced exactly that way, re-paying the
+    * O(rows) copy on the next probe). */
   private val taggedLocalData = new java.util.concurrent.atomic
     .AtomicReference[List[(LocalRelation,
       Vector[org.apache.spark.sql.catalyst.InternalRow])]](Nil)
@@ -314,7 +368,8 @@ private[plans] object RewriteSupport {
           lr.output.indices.map(j => row.get(j, lr.output(j).dataType))
             :+ i.toLong)
       }.toVector
-      taggedLocalData.set(((lr, t) :: cur).take(8))
+      taggedLocalData.updateAndGet(latest =>
+        ((lr, t) :: latest.filterNot(_._1 eq lr)).take(8))
       t
     }
   }

@@ -145,15 +145,26 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
     }
   })
 
-  // Skew-preflight visibility: the last N audit lines the rewrite
+  // Skew-preflight visibility: the last N audit events the rewrite
   // rules produced (warn mode logs reach only the driver log; an
   // operator watching this API could not otherwise see warnings for
   // joins that PROCEEDED). Latest first; `aborted` marks fail-mode
-  // refusals.
+  // refusals. Each event carries PARSED fields beside the raw line —
+  // `rule` (overlap-join | hamming-block), `kind` (preflight |
+  // stand-down), `diagnosis` ("ok" or the named problem — the alerting
+  // key), `worst` (the hot element/block as name=value pairs, empty
+  // for stand-downs), `share_bp` (integer basis points, null for
+  // stand-downs or past-BIGINT audits) — so a dashboard alerting on
+  // diagnosis != "ok" never has to regex the line.
   server.createContext("/v1/preflight", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
       val body = graft.plans.PreflightLog.recent().map { a =>
         s"""{"at":${a.atMillis},"aborted":${a.aborted},""" +
+          s""""rule":"${jsonEscape(a.rule)}",""" +
+          s""""kind":"${jsonEscape(a.kind)}",""" +
+          s""""diagnosis":"${jsonEscape(a.diagnosis)}",""" +
+          s""""worst":"${jsonEscape(a.worstKey)}",""" +
+          s""""share_bp":${a.shareBp.map(_.toString).getOrElse("null")},""" +
           s""""line":"${jsonEscape(a.line)}"}"""
       }.mkString("""{"audits":[""", ",", "]}")
       respond(ex, 200, body)

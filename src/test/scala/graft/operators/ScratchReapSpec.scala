@@ -47,6 +47,72 @@ class ScratchReapSpec extends AnyFunSuite {
     }
   }
 
+  test("the age gate reads the NEWEST mtime anywhere in the tree: a " +
+      "dead-pid root whose nested part file was written recently " +
+      "survives even when the root directory itself is old") {
+    withBase { base =>
+      val root = mkRoot(base, s"zorder-deep-p$deadPid")
+      val sub = Files.createDirectory(root.resolve("events_z"))
+      val part = Files.writeString(sub.resolve("part-1.parquet"), "y")
+      val future =
+        System.currentTimeMillis() + LayoutOps.ReapMinAgeMillis + 60000
+      // the nested write is fresh on the reap clock; everything else
+      // (root dir, sibling file) is a full window old
+      Files.setLastModifiedTime(part,
+        java.nio.file.attribute.FileTime.fromMillis(future - 1000))
+      LayoutOps.reapDeadRoots(base, now = future)
+      assert(Files.exists(root),
+        "an actively-written tree must survive whatever the root " +
+          "directory's own mtime says")
+      // once the nested write also ages out, the root is reclaimed
+      LayoutOps.reapDeadRoots(base,
+        now = future + LayoutOps.ReapMinAgeMillis + 1000)
+      assert(!Files.exists(root))
+    }
+  }
+
+  test("a fresh reader HEARTBEAT protects a dead-pid root past the age " +
+      "gate (the cross-namespace lazy-reader race); a silent twin is " +
+      "reaped in the same sweep") {
+    withBase { base =>
+      val beating = mkRoot(base, s"zorder-hb-p$deadPid")
+      val silent = mkRoot(base, s"zorder-sil-p$deadPid")
+      val future =
+        System.currentTimeMillis() + LayoutOps.ReapMinAgeMillis + 60000
+      val hb = Files.write(beating.resolve(LayoutOps.HeartbeatName),
+        Array.empty[Byte])
+      Files.setLastModifiedTime(hb,
+        java.nio.file.attribute.FileTime.fromMillis(future - 1000))
+      LayoutOps.reapDeadRoots(base, now = future)
+      assert(Files.exists(beating),
+        "a root whose owner still heartbeats must survive")
+      assert(!Files.exists(silent),
+        "the heartbeat-less twin past the gate must be reclaimed")
+    }
+  }
+
+  test("the owner daemon touches every registered root's heartbeat at " +
+      "a bounded frequency and drops vanished roots from the set") {
+    withBase { base =>
+      val root = Files.createDirectory(base.resolve("hb-owner-p1"))
+      LayoutOps.registerHeartbeat(root)
+      val hb = root.resolve(LayoutOps.HeartbeatName)
+      assert(Files.exists(hb), "registration must write the first beat")
+      val t0 = Files.getLastModifiedTime(hb).toMillis
+      LayoutOps.touchHeartbeats()
+      assert(Files.getLastModifiedTime(hb).toMillis >= t0)
+      assert(LayoutOps.heartbeatPeriodMs <= LayoutOps.ReapMinAgeMillis / 4,
+        "the touch period must sit well inside the reap window")
+      // a vanished root is dropped, and the sweep stays exception-free
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      LayoutOps.touchHeartbeats()
+      assert(!Files.exists(hb))
+    }
+  }
+
   test("a live-pid root is NEVER reaped, at any age; legacy unsuffixed " +
       "roots follow the same age gate") {
     withBase { base =>

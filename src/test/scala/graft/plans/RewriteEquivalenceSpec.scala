@@ -54,4 +54,43 @@ class RewriteEquivalenceSpec extends SparkSuite {
           s"off=${off.diff(on).headOption}")
     }
   }
+
+  test("the post-subquery registration is a NO-OP for plain queries: " +
+      "q02/q03's optimized plans are canonically identical with every " +
+      "registered rule instance active vs disabled, and a SECOND " +
+      "fixed-point application of both rules — exactly what the late " +
+      "experimental batch does — returns the already-optimized plan " +
+      "structurally untouched") {
+    // Why conf-disabled stands in for "experimental list stripped": the
+    // extension factory re-registers the rules on every optimizer
+    // execution by design (GraftExtensions.registerPostSubqueryRules),
+    // so a stripped list cannot STAY stripped through a query on any
+    // extensions-loaded session — but a conf-disabled rule returns its
+    // input unchanged from BOTH batches, which is observationally the
+    // same absence. The second-application check then isolates the late
+    // batch itself: it applies the same rule instances once more over
+    // the full optimizer output, so identity there proves the double
+    // registration cannot perturb a plan the rules don't serve.
+    def optimized(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan
+    for (name <- Seq("q02_agg_pricing", "q03_join_revenue")) {
+      val active = optimized(name)
+      spark.conf.set(ScaleGuards.HammingBlockJoinRewriteKey, "false")
+      spark.conf.set(ScaleGuards.OverlapJoinRewriteKey, "false")
+      val disabled =
+        try optimized(name)
+        finally {
+          spark.conf.unset(ScaleGuards.HammingBlockJoinRewriteKey)
+          spark.conf.unset(ScaleGuards.OverlapJoinRewriteKey)
+        }
+      assert(active.canonicalized == disabled.canonicalized,
+        s"$name: the rewrite rules perturbed a plain plan —\nactive:\n" +
+          s"$active\ndisabled:\n$disabled")
+      val again = new SetOverlapJoinRewrite(spark)(
+        new HammingBlockJoinRewrite(spark)(active))
+      assert(again.fastEquals(active),
+        s"$name: a second rule application over the optimized plan " +
+          s"must be the identity —\nbefore:\n$active\nafter:\n$again")
+    }
+  }
 }

@@ -102,6 +102,24 @@ class StandDownSpec extends SparkSuite {
       s"far-pairs predicates are not near-misses: ${standDowns(farLines)}")
   }
 
+  test("a degenerate always-false bound (hamming64 < 0, effective " +
+      "k=-1) is named — the empty join is harmless, but a vacuous " +
+      "radius is almost certainly a spelling mistake, not a query") {
+    val sess = spark
+    import sess.implicits._
+    RewriteSupport.clearStandDownLog()
+    val ll = Seq((1L, 3L), (2L, 12L)).toDF("lid", "lfp")
+    val rl = Seq((7L, 3L)).toDF("rid", "rfp")
+    val lines = capturing {
+      assert(ll.join(rl,
+        expr("bit_count(lfp ^ rfp) < 0")).count() == 0L)
+    }
+    val sd = standDowns(lines)
+    assert(sd.nonEmpty, s"expected a vacuous-bound diagnosis, got: $lines")
+    assert(sd.head.contains("vacuously false (effective k=-1)"), sd.head)
+    assert(sd.head.contains("did you mean <="), sd.head)
+  }
+
   test("one condition carrying near-misses for BOTH rules gets BOTH " +
       "diagnoses — neither rule's dedup may suppress the other's") {
     val sess = spark
@@ -183,7 +201,8 @@ class StandDownSpec extends SparkSuite {
       "oldest lines fall out — a long-lived session cannot grow it") {
     PreflightLog.clear()
     (1 to PreflightLog.Capacity + 10).foreach(i =>
-      PreflightLog.record(s"audit line $i", aborted = i % 2 == 0))
+      PreflightLog.record(s"audit line $i", aborted = i % 2 == 0,
+        rule = "overlap-join", kind = "preflight", diagnosis = "ok"))
     val r = PreflightLog.recent()
     assert(r.size == PreflightLog.Capacity, s"ring size ${r.size}")
     assert(r.head.line == s"audit line ${PreflightLog.Capacity + 10}",

@@ -91,6 +91,48 @@ class ManagementServerSpec extends SparkSuite {
     }
   }
 
+  test("GET /v1/preflight carries structured fields beside the raw " +
+      "line — rule/kind/diagnosis/worst/share_bp for a warn audit, and " +
+      "a stand-down event with its disqualifier as the diagnosis — so " +
+      "a dashboard alerting on diagnosis != ok never regexes the line") {
+    import org.apache.spark.sql.functions.{arrays_overlap, col}
+    import graft.functions.GraftFunctions.hamming64
+    val sess = spark
+    import sess.implicits._
+    graft.plans.PreflightLog.clear()
+    withServer { (port, _, _) =>
+      // warn audit: element 1L in every row of both sides, 100% hot
+      val left = (1L to 20L).map(i => (i, Seq(1L, i + 100))).toDF("lid", "la")
+      val right = (1L to 20L).map(i => (i, Seq(1L, i + 900))).toDF("rid", "ra")
+      spark.conf.set(graft.plans.ScaleGuards.OverlapPreflightKey, "warn")
+      try assert(left.join(right,
+        arrays_overlap(col("la"), col("ra"))).count() >= 400L)
+      finally spark.conf.unset(graft.plans.ScaleGuards.OverlapPreflightKey)
+      val (s1, b1) = get(port, "/v1/preflight")
+      assert(s1 == 200, b1)
+      assert(b1.contains(""""rule":"overlap-join""""), b1)
+      assert(b1.contains(""""kind":"preflight""""), b1)
+      assert(b1.contains(""""diagnosis":"hot-element"""), b1)
+      assert(b1.contains(""""worst":"worst_element=1""""), b1)
+      assert(b1.contains(""""share_bp":10000"""), b1)
+      // stand-down: an effective radius past the hamming rewrite's
+      // firing bound (k=17 — distinct from other suites' fixtures, so
+      // the once-per-(session, rule, condition) dedup cannot have
+      // already swallowed it)
+      val hl = (1L to 5L).map(i => (i, i * 64L)).toDF("hlid", "hfp")
+      val hr = (1L to 5L).map(i => (i, i * 64L)).toDF("hrid", "hfp2")
+      assert(hl.join(hr,
+        hamming64(col("hfp"), col("hfp2")) <= 17).count() >= 5L)
+      val (s2, b2) = get(port, "/v1/preflight")
+      assert(s2 == 200, b2)
+      assert(b2.contains(""""kind":"stand-down""""), b2)
+      assert(b2.contains(""""rule":"hamming-block""""), b2)
+      assert(b2.contains("k=17 exceeds 15"), b2)
+      // stand-downs have no audit row: worst empty, share null
+      assert(b2.contains(""""share_bp":null"""), b2)
+    }
+  }
+
   test("POST /v1/queries/stop stops a named route (O2)") {
     withServer { (port, topics, engine) =>
       topics.append(envelopes("r1", Seq(("k", "v", ts("2024-01-01 00:00:00")))),
