@@ -18,8 +18,14 @@ object Bench {
 
   /** Push `n` synthetic JSON envelopes through a full stream route (with
     * ~1% retries and ~0.5% corrupt records exercising the DLQ path) and
-    * return (seconds, events/sec). */
-  private def streamThroughput(spark: SparkSession, n: Long): (Double, Double) = {
+    * return (seconds, events/sec). `stateful = true` additionally chains
+    * a keyed `dropDuplicatesWithinWatermark` stage into the route's
+    * middleware slot — every record is a unique key, so the stage drops
+    * nothing and costs exactly ONE state-store put per record: the
+    * backend-throughput probe the stateless base route cannot provide
+    * (a state-provider flip over a stateless route measures nothing). */
+  private def streamThroughput(spark: SparkSession, n: Long,
+      stateful: Boolean = false): (Double, Double) = {
     import graft.streaming._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -54,8 +60,15 @@ object Bench {
       when(col("message").isNull, "dead_letter")
         .when(col("message.amount") < 0, "retry")
         .otherwise("success"))
+    val middleware: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame =
+      if (stateful)
+        (Middleware.json(schema): org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame)
+          .andThen(Pipeline.dedupWithinWatermark(Seq("key")))
+      else Middleware.json(schema)
     val t0 = System.nanoTime()
-    engine.startStreamRoute(route, Middleware.json(schema), handler,
+    engine.startStreamRoute(route, middleware, handler,
       Trigger.AvailableNow()).awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
     engine.stopAll()
@@ -216,7 +229,35 @@ object Bench {
             }
           }
         else Nil
-      streamJson(streamN, runs, longN, longRuns)
+      // RocksDB-backed STATEFUL long passes (stream_long_rocksdb): the
+      // base route is stateless, so a bare provider flip would measure
+      // nothing — these passes chain a keyed dedupe stage (one
+      // state-store put per record) and run it on the RocksDB provider,
+      // the backend the 100 TB story names for bounded state. The
+      // number is self-comparable ROUND-OVER-ROUND (a state-backend
+      // throughput regression shows here first), NOT against
+      // stream_long, whose route has no stateful stage. Same per-pass
+      // degradation contract as the long passes.
+      val rocksLongRuns =
+        if (longN > 0) {
+          val prior = graft.GraftSession.rocksdbConfs.keys
+            .map(k => k -> spark.conf.getOption(k)).toMap
+          graft.GraftSession.rocksdbConfs.foreach { case (k, v) =>
+            spark.conf.set(k, v) }
+          try (1 to longStreamPassCount).flatMap { i =>
+            try Some(streamThroughput(spark, longN, stateful = true))
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[bench] rocksdb stateful stream pass $i failed: " +
+                  e.getMessage)
+              None
+            }
+          } finally prior.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None)    => spark.conf.unset(k)
+          }
+        } else Nil
+      streamJson(streamN, runs, longN, longRuns, rocksLongRuns)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
       ""
@@ -277,18 +318,27 @@ object Bench {
     * in the file-transport append path visible round-over-round
     * (short-horizon passes amortize it invisibly). Pure — BenchJsonSpec
     * pins the multi-pass + long-pass contract. */
+  /** `rocksLongRuns` are the RocksDB-backed STATEFUL long passes —
+    * reported under `stream_long_rocksdb` with the same best-of-N +
+    * `passes` contract. Their route carries an extra per-record
+    * state-store put (see main's note), so the key tracks state-backend
+    * throughput round-over-round and is NOT comparable to
+    * `stream_long`. */
   def streamJson(events: Long, runs: Seq[(Double, Double)],
-      longN: Long = 0L, longRuns: Seq[(Double, Double)] = Nil): String = {
+      longN: Long = 0L, longRuns: Seq[(Double, Double)] = Nil,
+      rocksLongRuns: Seq[(Double, Double)] = Nil): String = {
     require(runs.nonEmpty, "streamJson needs at least one measured pass")
     val (sec, eps) = runs.minBy(_._1)
-    val longStr = if (longRuns.isEmpty) "" else {
-      val (ls, le) = longRuns.minBy(_._1)
-      f""","stream_long":{"events":$longN,"sec":$ls%.3f,""" +
-        f""""events_per_sec":${le.round},"passes":${longRuns.size}}"""
-    }
+    def longFragment(key: String, rs: Seq[(Double, Double)]): String =
+      if (rs.isEmpty) "" else {
+        val (ls, le) = rs.minBy(_._1)
+        f""","$key":{"events":$longN,"sec":$ls%.3f,""" +
+          f""""events_per_sec":${le.round},"passes":${rs.size}}"""
+      }
     f""","stream":{"events":$events,"sec":$sec%.3f,""" +
       f""""events_per_sec":${eps.round},"stream_passes":${runs.size}}""" +
-      longStr
+      longFragment("stream_long", longRuns) +
+      longFragment("stream_long_rocksdb", rocksLongRuns)
   }
 
   /** Assemble the one-line bench JSON. n_queries makes headline-set growth

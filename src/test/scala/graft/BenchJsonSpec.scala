@@ -91,6 +91,26 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!allFailed.contains("stream_long"), allFailed)
   }
 
+  test("stream_long_rocksdb fragment: the RocksDB-backed STATEFUL long " +
+      "passes ride their own best-of-N key with a passes count, and are " +
+      "omitted when disabled or when every pass failed") {
+    val j = Bench.streamJson(500000L, Seq((3.2, 156250.0)),
+      longN = 5000000L,
+      longRuns = Seq((4.0, 1250000.0)),
+      rocksLongRuns = Seq((21.4, 233645.0), (18.2, 274725.0)))
+    val parsed = ujson(s"""{"_":0$j}""")
+    assert(parsed.contains("stream_long_rocksdb"), j)
+    assert(j.contains(""""stream_long_rocksdb":{"events":5000000"""), j)
+    // best (min-seconds) pass wins, same defense as stream_long
+    assert(j.contains("\"sec\":18.200"), j)
+    assert(j.contains("\"events_per_sec\":274725"), j)
+    // both long fragments coexist, each with its own passes count
+    assert(j.contains(""""stream_long":{"events":5000000,"sec":4.000"""), j)
+    val without = Bench.streamJson(500000L, Seq((3.2, 156250.0)),
+      longN = 5000000L, longRuns = Seq((4.0, 1250000.0)))
+    assert(!without.contains("stream_long_rocksdb"), without)
+  }
+
   test("load guard: >1.3x calibration drift in EITHER direction demands " +
       "a re-run; within-noise drift does not") {
     assert(Bench.loadRerunNeeded(0.5, 0.7), "0.5 -> 0.7 is a loaded host")
