@@ -90,18 +90,24 @@ object LayoutOps {
   /** Touch the heartbeat in every registered live root; a root that no
     * longer exists (superseded layout, external cleanup) is dropped so
     * the set stays bounded by the process's distinct (query, sf-dir)
-    * scratch paths. */
-  private[operators] def touchHeartbeats(): Unit = {
-    import scala.jdk.CollectionConverters._
-    heartbeatRoots.asScala.foreach { root =>
-      try {
-        if (java.nio.file.Files.isDirectory(root))
-          java.nio.file.Files.write(root.resolve(HeartbeatName),
-            Array.empty[Byte])
-        else heartbeatRoots.remove(root)
-      } catch { case scala.util.control.NonFatal(_) => () }
+    * scratch paths. Synchronized against [[scratch]]'s own
+    * delete-and-recreate of a registered root: an unsynchronized touch
+    * landing between deleteTree's file walk and its final root-dir
+    * delete would make the delete fail DirectoryNotEmpty and the whole
+    * query with it — the daemon beats once a minute, so the lock is
+    * uncontended in practice and each touch is one empty write. */
+  private[operators] def touchHeartbeats(): Unit =
+    heartbeatRoots.synchronized {
+      import scala.jdk.CollectionConverters._
+      heartbeatRoots.asScala.foreach { root =>
+        try {
+          if (java.nio.file.Files.isDirectory(root))
+            java.nio.file.Files.write(root.resolve(HeartbeatName),
+              Array.empty[Byte])
+          else heartbeatRoots.remove(root)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
-  }
 
   private lazy val heartbeatExec = {
     val ex = java.util.concurrent.Executors
@@ -182,8 +188,15 @@ object LayoutOps {
     reapDeadRoots(base)
     val root = base.resolve(
       s"$prefix-${java.lang.Integer.toHexString(dir.hashCode)}-p$processTag")
-    if (java.nio.file.Files.exists(root)) deleteTree(root)
-    java.nio.file.Files.createDirectories(root)
+    // the recreate-and-first-beat holds the heartbeat lock so the
+    // daemon can never write into the tree mid-deleteTree (see
+    // touchHeartbeats) — reapDeadRoots above needs no such guard: it
+    // only targets OTHER owners' roots stale a full ReapMinAgeMillis,
+    // which a live owner's minute-cadence heartbeat precludes
+    heartbeatRoots.synchronized {
+      if (java.nio.file.Files.exists(root)) deleteTree(root)
+      java.nio.file.Files.createDirectories(root)
+    }
     registerHeartbeat(root)
     root.toString
   }

@@ -23,7 +23,13 @@ class PreflightAbort(message: String) extends RuntimeException(message)
   * to the driver's log4j only; abort lines at least surface in the
   * query error). Driver-side, tiny (last [[PreflightLog.Capacity]]
   * lines), thread-safe: rules can fire from concurrent planning
-  * threads. Public: user monitoring code may read it directly. */
+  * threads. Public: user monitoring code may read it directly.
+  * JVM-global across sessions BY CHOICE — the ring backs a
+  * driver-level operational endpoint, and on a multi-session driver
+  * the operator watching /v1/preflight wants every session's refusals
+  * in one place (the stand-down DEDUP, by contrast, is session-keyed:
+  * suppression must never cross tenants — see
+  * [[RewriteSupport.logStandDown]]). */
 object PreflightLog {
   /** One audit event, with the line PARSED into typed fields beside
     * the raw rendering: a dashboard alerting on `diagnosis != "ok"` or

@@ -65,6 +65,22 @@ class OverlapPreflightSpec extends SparkSuite {
     }
   }
 
+  test("sampled preflight under fail mode refuses the hot join with " +
+      "the sampling provenance carried in the abort — an estimate-based " +
+      "refusal must be readable as one") {
+    spark.conf.set(ScaleGuards.OverlapPreflightKey, "fail")
+    spark.conf.set(ScaleGuards.OverlapPreflightSampleKey, "0.5")
+    try {
+      val ex = intercept[PreflightAbort] { hotJoinCount() }
+      assert(ex.getMessage.contains("hot-element"), ex.getMessage)
+      assert(ex.getMessage.contains("worst_element=1"), ex.getMessage)
+      assert(ex.getMessage.contains("sample_fraction=0.5"), ex.getMessage)
+    } finally {
+      spark.conf.unset(ScaleGuards.OverlapPreflightKey)
+      spark.conf.unset(ScaleGuards.OverlapPreflightSampleKey)
+    }
+  }
+
   test("a sampleFraction outside (0,1) means exact: no provenance " +
       "column, byte-identical estimate") {
     spark.conf.set(ScaleGuards.OverlapPreflightKey, "warn")
