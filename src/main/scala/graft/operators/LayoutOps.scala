@@ -60,9 +60,16 @@ object LayoutOps {
     * its owning JVM's daemon re-touches every [[heartbeatPeriodMs]] —
     * together the gate only opens on a root whose owner has produced
     * no write, no read heartbeat, and no liveness signal for the full
-    * window. One hour covers every test-SF invocation by orders of
-    * magnitude while still reclaiming the round-8 style leak on the
-    * next run; `-Dgraft.scratch.reapAgeMs` overrides. */
+    * window. This is a LEASE, not a lock: an owner whose entire JVM is
+    * suspended past the window (SIGSTOP, cgroup freezer, VM pause) and
+    * then resumed mid-deleteTree is still exposed — the staleness
+    * check and the delete are not atomic, and no mtime-based protocol
+    * can make them so; deployments that suspend JVMs over a shared
+    * tmpdir must raise the window (or give each container its own
+    * tmpdir, the actually-safe layout). One hour covers every test-SF
+    * invocation by orders of magnitude while still reclaiming the
+    * round-8 style leak on the next run; `-Dgraft.scratch.reapAgeMs`
+    * overrides. */
   private[operators] val ReapMinAgeMillis: Long =
     sys.props.get("graft.scratch.reapAgeMs").flatMap(_.toLongOption)
       .getOrElse(60L * 60 * 1000)
@@ -78,10 +85,14 @@ object LayoutOps {
   private[operators] val HeartbeatName = ".graft-heartbeat"
 
   /** Once a minute, or ReapMinAgeMillis/4 when the gate is tightened
-    * below 4 minutes (a spec-scale override) — always well inside the
-    * reap window. */
+    * (a spec-scale override) — always well inside the reap window. The
+    * 50 ms floor only guards a pathological sub-200ms override against
+    * busy-spinning; any override above that keeps ≥4 beats per window
+    * (the earlier 1000 ms floor silently put overrides below 4 s at
+    * ONE beat per window — a live root reap-eligible just before each
+    * beat). */
   private[operators] def heartbeatPeriodMs: Long =
-    math.max(1000L, math.min(60L * 1000, ReapMinAgeMillis / 4))
+    math.max(50L, math.min(60L * 1000, ReapMinAgeMillis / 4))
 
   private val heartbeatRoots =
     java.util.concurrent.ConcurrentHashMap
@@ -127,20 +138,24 @@ object LayoutOps {
     touchHeartbeats() // immediate first beat — don't wait a period
   }
 
-  /** Newest mtime anywhere under `root` (the root directory itself
-    * included) — the reap gate's freshness signal. Any unreadable
-    * entry or traversal error reads as FRESH (Long.MaxValue): an
+  /** True when ANY entry under `root` (the root directory itself
+    * included) was modified after `cutoff` — the reap gate's freshness
+    * signal, SHORT-CIRCUITING on the first fresh entry: the gate never
+    * needs the actual maximum, and a sibling's live root full of part
+    * files would otherwise pay a full-tree stat on every scratch()
+    * call. Any unreadable entry or traversal error reads as FRESH: an
     * uninspectable root must never become reap-eligible by default. */
-  private[operators] def newestMtimeMillis(root: java.nio.file.Path): Long =
+  private[operators] def anyMtimeAfter(root: java.nio.file.Path,
+      cutoff: Long): Boolean =
     try {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(root)
-      try walk.iterator().asScala.map { p =>
-        try java.nio.file.Files.getLastModifiedTime(p).toMillis
-        catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
-      }.foldLeft(Long.MinValue)(math.max)
+      try walk.iterator().asScala.exists { p =>
+        try java.nio.file.Files.getLastModifiedTime(p).toMillis > cutoff
+        catch { case scala.util.control.NonFatal(_) => true }
+      }
       finally walk.close()
-    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    } catch { case scala.util.control.NonFatal(_) => true }
 
   /** Best-effort reap of scratch roots left by EXITED processes: a root
     * whose `-p<pid>` suffix names a dead (or unparseable) pid has no
@@ -173,7 +188,7 @@ object LayoutOps {
               .exists(pid => ProcessHandle.of(pid)
                 .map[Boolean](_.isAlive).orElse(false))
             val abandoned = !alive &&
-              newestMtimeMillis(p) <= now - ReapMinAgeMillis
+              !anyMtimeAfter(p, now - ReapMinAgeMillis)
             if (abandoned)
               try deleteTree(p)
               catch { case scala.util.control.NonFatal(_) => () }

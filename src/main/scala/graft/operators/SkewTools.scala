@@ -92,6 +92,38 @@ object SkewTools {
     * immaterial. */
   private[operators] def shareBp: Column = shareBpOf("max_dec")
 
+  /** The ONE copy of the sampled-estimator plumbing both preflights
+    * share (the first cut duplicated it verbatim — a future seed or
+    * validation fix applied to one family would silently diverge the
+    * other): per-side Bernoulli samples with DISTINCT fixed seeds (a
+    * self-join sampling identical rows on both sides would bias
+    * E[fl·fr] upward by the diagonal f(1−f)·F term; independent draws
+    * keep it unbiased at f²·fL·fR), 1/f² output scaling in double (the
+    * sample already injected binomial noise far above double rounding,
+    * so the exact path's decimal discipline buys nothing here), and
+    * the provenance column appended only when sampling. */
+  private final class SampledAudit(f: Double) {
+    private val sampled = f > 0.0 && f < 1.0
+    private val inv2 = if (sampled) 1.0 / (f * f) else 1.0
+    def left(df: DataFrame): DataFrame =
+      if (sampled) df.sample(withReplacement = false, f, 42L) else df
+    def right(df: DataFrame): DataFrame =
+      if (sampled) df.sample(withReplacement = false, f, 211L) else df
+    /** BIGINT report column: an EMPTY aggregate's NULL means "zero
+      * observed candidates" and must read 0 — under sampling a small
+      * side routinely draws no rows at all, and letting that NULL ride
+      * into the report made logPreflight's boxed reader render it
+      * '>Long.Max' (the string reserved for genuine BIGINT overflow),
+      * reporting a tiny join as catastrophically hot. Only a non-null
+      * value that try_cast degrades (true overflow) stays NULL. */
+    def bigOut(name: String): Column =
+      when(col(name).isNull, lit(0L)).otherwise(
+        if (!sampled) expr(s"try_cast($name as bigint)")
+        else expr(s"try_cast(cast($name as double) * $inv2 as bigint)"))
+    def withProvenance(df: DataFrame): DataFrame =
+      if (!sampled) df else df.withColumn("sample_fraction", lit(f))
+  }
+
   /** Same contract for any numerator column ≤ `est_dec` (the
     * empty-empty share reuses it with `ee_dec`). */
   private[operators] def shareBpOf(num: String): Column =
@@ -138,22 +170,9 @@ object SkewTools {
       warnShareBp: Long = 1000L, minOverlap: Int = 1,
       includeEmptyEmpty: Boolean = false,
       sampleFraction: Double = 1.0): DataFrame = {
-    val sampled = sampleFraction > 0.0 && sampleFraction < 1.0
-    val (leftS, rightS) =
-      if (sampled) (left.sample(withReplacement = false, sampleFraction, 42L),
-        right.sample(withReplacement = false, sampleFraction, 211L))
-      else (left, right)
-    // 1/f² in double: the scaled outputs are ESTIMATES (the sample
-    // already injected binomial noise far above double rounding), so
-    // the exact path's decimal discipline buys nothing here; try_cast
-    // still degrades past Long.Max instead of wrapping
-    val inv2 = if (sampled) 1.0 / (sampleFraction * sampleFraction) else 1.0
-    def bigOut(name: String): Column =
-      if (!sampled) expr(s"try_cast($name as bigint)")
-      else expr(s"try_cast(cast($name as double) * $inv2 as bigint)")
-    def withProvenance(df: DataFrame): DataFrame =
-      if (!sampled) df
-      else df.withColumn("sample_fraction", lit(sampleFraction))
+    val audit = new SampledAudit(sampleFraction)
+    val (leftS, rightS) = (audit.left(left), audit.right(right))
+    import audit.{bigOut, withProvenance}
     // the sliced order must MIRROR what the rewrite actually explodes
     // (RewriteSupport.hashedPrefixElems, round 10): string/binary
     // elements sort by (xxhash64(e), e) — functions.xxhash64 uses the
@@ -292,18 +311,9 @@ object SkewTools {
       sampleFraction: Double = 1.0): DataFrame = {
     require(k >= 0 && k <= 15,
       s"k must be in [0, 15] (the rewrite's own firing bound), got $k")
-    val sampled = sampleFraction > 0.0 && sampleFraction < 1.0
-    val (leftS, rightS) =
-      if (sampled) (left.sample(withReplacement = false, sampleFraction, 42L),
-        right.sample(withReplacement = false, sampleFraction, 211L))
-      else (left, right)
-    val inv2 = if (sampled) 1.0 / (sampleFraction * sampleFraction) else 1.0
-    def bigOut(name: String): Column =
-      if (!sampled) expr(s"try_cast($name as bigint)")
-      else expr(s"try_cast(cast($name as double) * $inv2 as bigint)")
-    def withProvenance(df: DataFrame): DataFrame =
-      if (!sampled) df
-      else df.withColumn("sample_fraction", lit(sampleFraction))
+    val audit = new SampledAudit(sampleFraction)
+    val (leftS, rightS) = (audit.left(left), audit.right(right))
+    import audit.{bigOut, withProvenance}
     val (n, widths, offsets) = graft.plans.HammingBlockJoinRewrite.layout(k)
     def blockCol(fp: Column, i: Int): Column = {
       val shifted =

@@ -161,15 +161,25 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               "explodes k+1 copies per row and past 15 the candidate " +
               "volume defeats the rewrite — tighten the radius or " +
               "pre-bucket")
-          else if (k < 0)
-            // a strict `< 0` spelling bounds k = -1: hamming64 is
-            // non-negative, so the predicate is vacuously FALSE and the
-            // nested loop it stays on selects nothing — harmless at any
-            // scale, but almost certainly a spelling mistake worth one
-            // named warning (round-11's no-silent-stand-down doctrine)
+          else if (k < 0) {
+            // any negative effective radius is vacuously FALSE
+            // (hamming64 is non-negative): the nested loop it stays on
+            // selects nothing — harmless at any scale, but almost
+            // certainly a spelling mistake worth one named warning
+            // (round-11's no-silent-stand-down doctrine). Name the
+            // LIKELY typo precisely: only a strict comparison against
+            // literal 0 (`< 0` / `0 >`, effective k = -1) points at the
+            // operator — a negative literal (`<= -1`, `< -2`) is the
+            // radius itself mistyped, and "did you mean <=" there would
+            // send the user to change the wrong token.
+            val strict = c.isInstanceOf[LessThan] || c.isInstanceOf[GreaterThan]
+            val fix =
+              if (strict && k == -1) "did you mean <= ?"
+              else "the radius literal is negative"
             hits += (s"the bound is vacuously false (effective k=$k): " +
-              "hamming64 is never negative, so the join returns nothing " +
-              "— did you mean <= ?")
+              s"hamming64 is never negative, so the join returns nothing " +
+              s"— $fix")
+          }
         }
     }
     hits.toSeq
@@ -235,8 +245,7 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // overlap rule's
     val sample = ScaleGuards
       .preflightSampleFraction(ScaleGuards.HammingPreflightSampleKey)
-    val sampleCols = if (sample.isDefined)
-      Seq("sample_fraction" -> false) else Nil
+    val sampleCols = ScaleGuards.sampleProvenanceCols(sample)
     RewriteSupport.logPreflight(spark, ScaleGuards.HammingPreflightKey,
       "hamming-block rewrite", l, r,
       Seq("est_candidate_rows" -> true, "worst_block_index" -> false,

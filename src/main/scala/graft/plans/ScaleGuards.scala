@@ -162,4 +162,10 @@ object ScaleGuards {
   private[plans] def preflightSampleFraction(key: String): Option[Double] =
     RewriteSupport.activeConf(key).flatMap(_.toDoubleOption)
       .filter(f => f > 0.0 && f < 1.0)
+
+  /** The provenance column both rules append to their audit-line specs
+    * when (and only when) the sampled estimator is active. */
+  private[plans] def sampleProvenanceCols(
+      sample: Option[Double]): Seq[(String, Boolean)] =
+    if (sample.isDefined) Seq("sample_fraction" -> false) else Nil
 }

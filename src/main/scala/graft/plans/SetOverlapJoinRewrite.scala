@@ -523,8 +523,7 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // read off an estimate is never mistaken for an exact count
     val sample = ScaleGuards
       .preflightSampleFraction(ScaleGuards.OverlapPreflightSampleKey)
-    val sampleCols = if (sample.isDefined)
-      Seq("sample_fraction" -> false) else Nil
+    val sampleCols = ScaleGuards.sampleProvenanceCols(sample)
     RewriteSupport.logPreflight(spark, ScaleGuards.OverlapPreflightKey,
       "overlap-join rewrite", l, r,
       Seq("est_candidate_rows" -> true) ++ eeCols ++ Seq(

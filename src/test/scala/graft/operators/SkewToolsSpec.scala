@@ -138,6 +138,26 @@ class SkewToolsSpec extends SparkSuite {
     assert(hS.head().getAs[Double]("sample_fraction") == 0.5)
   }
 
+  test("an EMPTY frequency aggregate reports 0 candidates, never NULL: " +
+      "a NULL here rendered as '>Long.Max' in the audit line — the " +
+      "string reserved for true BIGINT overflow — reporting a tiny " +
+      "join as catastrophically hot (routine under sampling, where a " +
+      "small side draws no rows)") {
+    val sess = spark
+    import sess.implicits._
+    // disjoint element sets: the count-table join is empty, the one-row
+    // aggregate's sums/maxes are NULL before the output guard
+    val l = (1L to 5L).map(i => (i, Seq(i + 100))).toDF("lid", "la")
+    val r = (1L to 5L).map(i => (i, Seq(i + 900))).toDF("rid", "ra")
+    val row = SkewTools.overlapJoinPreflight(l, col("la"), r, col("ra"))
+      .head()
+    assert(!row.isNullAt(row.fieldIndex("est_candidate_rows")),
+      "empty aggregate must not ride NULL into the report")
+    assert(row.getAs[Long]("est_candidate_rows") == 0L)
+    assert(row.getAs[Long]("max_element_rows") == 0L)
+    assert(row.getAs[Long]("n_common_elements") == 0L)
+  }
+
   test("shareBp stays exact through the BIGINT range and survives the " +
       "decimal-overflow extreme (est > Long.Max) where a plain decimal " +
       "x10000 would go NULL and mask the hot-element diagnosis") {

@@ -118,6 +118,19 @@ class StandDownSpec extends SparkSuite {
     assert(sd.nonEmpty, s"expected a vacuous-bound diagnosis, got: $lines")
     assert(sd.head.contains("vacuously false (effective k=-1)"), sd.head)
     assert(sd.head.contains("did you mean <="), sd.head)
+    // a NEGATIVE LITERAL (<= -2) is the radius mistyped, not the
+    // comparison operator — "did you mean <=" would point at the wrong
+    // token for a user who already wrote <=
+    RewriteSupport.clearStandDownLog()
+    val litLines = capturing {
+      assert(ll.join(rl,
+        expr("bit_count(lfp ^ rfp) <= -2")).count() == 0L)
+    }
+    val sdLit = standDowns(litLines)
+    assert(sdLit.nonEmpty, s"expected a diagnosis, got: $litLines")
+    assert(sdLit.head.contains("vacuously false (effective k=-2)"), sdLit.head)
+    assert(sdLit.head.contains("radius literal is negative"), sdLit.head)
+    assert(!sdLit.head.contains("did you mean"), sdLit.head)
   }
 
   test("one condition carrying near-misses for BOTH rules gets BOTH " +
