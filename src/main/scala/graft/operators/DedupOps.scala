@@ -2141,8 +2141,8 @@ object DedupOps {
       |c AS (SELECT fl.e, CAST(fl.f AS HUGEINT) * fr.f AS contrib
       |  FROM fl JOIN fr ON fl.e = fr.e)
       |SELECT CAST(count(*) AS BIGINT) AS n_common_elements,
-      |  CAST(sum(contrib) AS BIGINT) AS est_candidate_rows,
-      |  CAST(max(contrib) AS BIGINT) AS max_element_rows,
+      |  COALESCE(CAST(sum(contrib) AS BIGINT), 0) AS est_candidate_rows,
+      |  COALESCE(CAST(max(contrib) AS BIGINT), 0) AS max_element_rows,
       |  (SELECT e FROM c ORDER BY contrib DESC, e DESC LIMIT 1)
       |    AS worst_element,
       |  CAST(CAST(max(contrib) AS HUGEINT) * 10000 // sum(contrib)
@@ -2519,8 +2519,8 @@ object DedupOps {
        |c AS (SELECT lb.bi, lb.bv, CAST(lb.f AS HUGEINT) * rb.f AS contrib
        |  FROM lb JOIN rb ON lb.bi = rb.bi AND lb.bv = rb.bv)
        |SELECT CAST(count(*) AS BIGINT) AS n_common_blocks,
-       |  CAST(sum(contrib) AS BIGINT) AS est_candidate_rows,
-       |  CAST(max(contrib) AS BIGINT) AS max_block_rows,
+       |  COALESCE(CAST(sum(contrib) AS BIGINT), 0) AS est_candidate_rows,
+       |  COALESCE(CAST(max(contrib) AS BIGINT), 0) AS max_block_rows,
        |  (SELECT CAST(bi AS BIGINT) FROM c
        |    ORDER BY contrib DESC, bi DESC, bv DESC LIMIT 1)
        |    AS worst_block_index,

@@ -169,13 +169,17 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             // (round-11's no-silent-stand-down doctrine). Name the
             // LIKELY typo precisely: only a strict comparison against
             // literal 0 (`< 0` / `0 >`, effective k = -1) points at the
-            // operator — a negative literal (`<= -1`, `< -2`) is the
-            // radius itself mistyped, and "did you mean <=" there would
-            // send the user to change the wrong token.
-            val strict = c.isInstanceOf[LessThan] || c.isInstanceOf[GreaterThan]
-            val fix =
-              if (strict && k == -1) "did you mean <= ?"
-              else "the radius literal is negative"
+            // operator — and the suggested replacement must match the
+            // operator the user actually WROTE (`<` → `<=`, `>` → `>=`;
+            // suggesting `<=` for a `0 > hamming` spelling names a token
+            // the query does not contain, and following it literally
+            // would build the tautology `0 <= hamming`). A negative
+            // literal (`<= -1`, `< -2`) is the radius itself mistyped.
+            val fix = c match {
+              case _: LessThan if k == -1    => "did you mean <= ?"
+              case _: GreaterThan if k == -1 => "did you mean >= ?"
+              case _ => "the radius literal is negative"
+            }
             hits += (s"the bound is vacuously false (effective k=$k): " +
               s"hamming64 is never negative, so the join returns nothing " +
               s"— $fix")

@@ -42,11 +42,15 @@ object PreflightLog {
     *    `stand-down` (a near-miss condition the rewrite refused, with
     *    the disqualifier in `diagnosis`).
     *  - `diagnosis`: `"ok"` or the named problem — the alerting key.
-    *  - `worstKey`: the hot element/block as `name=value` pairs
-    *    (empty for stand-downs, which have no audit row).
-    *  - `shareBp`: the worst key's share in integer basis points
-    *    (None for stand-downs, or when the audit row carried NULL past
-    *    the BIGINT range). */
+    *  - `worstKey`: the key of the DIAGNOSED problem as `name=value`
+    *    pairs — the hot element/block normally, the
+    *    `empty_empty_rows` volume when the diagnosis is the
+    *    `>=`-Jaccard empty-empty one (empty for stand-downs, which
+    *    have no audit row).
+    *  - `shareBp`: the diagnosed share in integer basis points —
+    *    `empty_share_bp` under the empty-empty diagnosis,
+    *    `max_share_bp` otherwise (None for stand-downs, or when the
+    *    audit row carried NULL past the BIGINT range). */
   final case class Audit(atMillis: Long, line: String, aborted: Boolean,
       rule: String, kind: String, diagnosis: String,
       worstKey: String, shareBp: Option[Long])
@@ -195,17 +199,27 @@ private[plans] object RewriteSupport {
         val bad = diagnosis != "ok"
         // structured twin fields (served by /v1/preflight): the rule
         // tag minus the " rewrite" suffix matches the stand-down tags,
-        // the worst key is the audit's worst_* columns as rendered,
-        // and the share reads boxed (NULL past the BIGINT range)
+        // and worstKey/shareBp must describe the DIAGNOSED problem —
+        // the >=-Jaccard empty-empty diagnosis is keyed off
+        // empty_share_bp, and reporting max_share_bp/worst_element
+        // beside it would send the dashboard operator to cap a harmless
+        // element while understating the alert by the share ratio (the
+        // raw line always carries every column for the full picture)
+        val eeDiag = diagnosis != null && diagnosis.startsWith("empty-empty")
+        def boxedShare(name: String): Option[Long] =
+          Option(row.getAs[java.lang.Long](name)).map(_.longValue)
         PreflightLog.record(rendered,
           aborted = bad && mode.contains("fail"),
           rule = tag.stripSuffix(" rewrite"), kind = "preflight",
           diagnosis = String.valueOf(diagnosis),
-          worstKey = cols.collect {
-            case (n, isBig) if n.startsWith("worst_") => rendered1(n, isBig)
-          }.mkString(" "),
-          shareBp = Option(row.getAs[java.lang.Long]("max_share_bp"))
-            .map(_.longValue))
+          worstKey =
+            if (eeDiag) rendered1("empty_empty_rows", isBig = true)
+            else cols.collect {
+              case (n, isBig) if n.startsWith("worst_") =>
+                rendered1(n, isBig)
+            }.mkString(" "),
+          shareBp = boxedShare(
+            if (eeDiag) "empty_share_bp" else "max_share_bp"))
         if (bad) Some(rendered) else None
       } catch {
         case scala.util.control.NonFatal(e) =>

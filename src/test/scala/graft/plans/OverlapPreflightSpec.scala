@@ -143,6 +143,17 @@ class OverlapPreflightSpec extends SparkSuite {
       assert(line.contains("empty_empty_rows=4"), line)
       assert(line.contains("est_candidate_rows=12"), line)
       assert(line.contains("empty-empty"), line)
+      // the STRUCTURED fields must describe the DIAGNOSED problem: the
+      // empty-empty diagnosis is keyed off empty_share_bp (3333 bp),
+      // and reporting max_share_bp/worst_element beside it would send
+      // a dashboard operator to cap a harmless element
+      val audit = graft.plans.PreflightLog.recent()
+        .find(_.diagnosis.startsWith("empty-empty"))
+      assert(audit.isDefined,
+        s"expected a structured empty-empty audit: " +
+          s"${graft.plans.PreflightLog.recent().map(_.diagnosis)}")
+      assert(audit.get.shareBp.contains(3333L), audit.get.toString)
+      assert(audit.get.worstKey == "empty_empty_rows=4", audit.get.toString)
     } finally spark.conf.unset(ScaleGuards.OverlapPreflightKey)
   }
 

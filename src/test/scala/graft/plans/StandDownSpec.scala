@@ -118,6 +118,18 @@ class StandDownSpec extends SparkSuite {
     assert(sd.nonEmpty, s"expected a vacuous-bound diagnosis, got: $lines")
     assert(sd.head.contains("vacuously false (effective k=-1)"), sd.head)
     assert(sd.head.contains("did you mean <="), sd.head)
+    // the GreaterThan orientation (0 > hamming) must suggest the
+    // operator the user actually wrote: >= — following a "<=" hint
+    // literally would build the tautology 0 <= hamming (a cartesian)
+    RewriteSupport.clearStandDownLog()
+    val gtLines = capturing {
+      assert(ll.join(rl,
+        expr("0 > bit_count(lfp ^ rfp)")).count() == 0L)
+    }
+    val sdGt = standDowns(gtLines)
+    assert(sdGt.nonEmpty, s"expected a diagnosis, got: $gtLines")
+    assert(sdGt.head.contains("vacuously false (effective k=-1)"), sdGt.head)
+    assert(sdGt.head.contains("did you mean >="), sdGt.head)
     // a NEGATIVE LITERAL (<= -2) is the radius mistyped, not the
     // comparison operator — "did you mean <=" would point at the wrong
     // token for a user who already wrote <=
