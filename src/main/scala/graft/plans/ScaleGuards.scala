@@ -147,9 +147,15 @@ object ScaleGuards {
     * all — and a key too rare to sample is too rare to dominate. This
     * is what makes `preflight=warn` an affordable ALWAYS-ON default at
     * 100 TB, where the exact audit is itself a full scan + explode of
-    * both children at planning time. Unset, or any value outside
-    * (0, 1), means exact (the conservative default: a sampled abort
-    * under `fail` mode refuses a join on an estimate). */
+    * both children at planning time. Honest cost accounting: Bernoulli
+    * sampling is a post-scan coin flip, so the audit still READS both
+    * children once (column-pruned to the join keys) — what the sample
+    * removes is the explode, shuffle, and count-table work on 1−f of
+    * the rows, which is where the exact audit's cost concentrates (the
+    * explode multiplies rows by elements/blocks; the scan does not).
+    * Unset, or any value outside (0, 1), means exact (the conservative
+    * default: a sampled abort under `fail` mode refuses a join on an
+    * estimate). */
   val OverlapPreflightSampleKey =
     "spark.graft.overlapJoinRewrite.preflight.sampleFraction"
   val HammingPreflightSampleKey =
