@@ -138,6 +138,43 @@ class SkewToolsSpec extends SparkSuite {
     assert(hS.head().getAs[Double]("sample_fraction") == 0.5)
   }
 
+  test("sampled estimator internal consistency over seeded random " +
+      "fixtures: scaled max never exceeds scaled est, the share stays " +
+      "in [0, 10000], the diagnosis is keyed off exactly the reported " +
+      "share, and provenance rides every sampled report") {
+    val sess = spark
+    import sess.implicits._
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      def side(n: Int): Seq[(Long, Seq[Long])] =
+        (1 to n).map { i =>
+          val len = rnd.nextInt(5) // some empty arrays
+          (i.toLong, Seq.fill(len)(rnd.nextInt(30).toLong))
+        }
+      val l = side(30 + rnd.nextInt(30)).toDF("lid", "la")
+      val r = side(30 + rnd.nextInt(30)).toDF("rid", "ra")
+      val row = SkewTools.overlapJoinPreflight(l, col("la"), r, col("ra"),
+        sampleFraction = 0.5).head()
+      assert(row.getAs[Double]("sample_fraction") == 0.5, s"seed $seed")
+      val est = row.getAs[Long]("est_candidate_rows")
+      val mx = row.getAs[Long]("max_element_rows")
+      assert(est >= 0 && mx >= 0 && mx <= est, s"seed $seed: max=$mx est=$est")
+      val shareIdx = row.fieldIndex("max_share_bp")
+      val diagnosis = row.getAs[String]("diagnosis")
+      if (row.isNullAt(shareIdx)) {
+        // only the empty aggregate leaves the share NULL — est must be
+        // the guarded 0 and the diagnosis must not fire off a NULL
+        assert(est == 0L, s"seed $seed: null share with est=$est")
+        assert(diagnosis == "ok", s"seed $seed: $diagnosis")
+      } else {
+        val share = row.getAs[Long]("max_share_bp")
+        assert(share >= 0 && share <= 10000, s"seed $seed: share=$share")
+        assert((share >= 1000) == (diagnosis != "ok"),
+          s"seed $seed: share=$share but diagnosis '$diagnosis'")
+      }
+    }
+  }
+
   test("an EMPTY frequency aggregate reports 0 candidates, never NULL: " +
       "a NULL here rendered as '>Long.Max' in the audit line — the " +
       "string reserved for true BIGINT overflow — reporting a tiny " +
