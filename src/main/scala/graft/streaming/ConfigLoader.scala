@@ -91,8 +91,13 @@ object ConfigLoader {
     private def parseKeyPath(): Seq[String] = {
       skipWs()
       if (eof) fail("expected a key")
-      val raw = if (peek == '"') parseQuoted() else bareToken("=:{}")
-      raw.split('.').toSeq.map(_.trim).filter(_.nonEmpty)
+      // QUOTED keys are single path segments, never split on dots —
+      // quoting is HOCON's standard escape for exactly this, and
+      // splitting it made any dotted topic entity ("orders.v1")
+      // unrepresentable: it parsed as nested objects orders → v1 and
+      // the boot failed with a misleading empty-origin-topic error
+      if (peek == '"') Seq(parseQuoted()).map(_.trim).filter(_.nonEmpty)
+      else bareToken("=:{}").split('.').toSeq.map(_.trim).filter(_.nonEmpty)
     }
 
     private def scalar(raw: String): Any = raw match {

@@ -111,7 +111,11 @@ final class DatadogHttpSink(
   override def updateGauge(
       namespace: String, metric: String,
       tags: Map[String, String], value: Double): Unit =
-    add(seriesJson(name(namespace, metric), value, "gauge", tags))
+    // NaN/Infinity: drop the point — BigDecimal(NaN) in seriesJson
+    // throws NumberFormatException and the sink must never throw into
+    // the hot path (same guard as StatsdSink.updateGauge)
+    if (java.lang.Double.isFinite(value))
+      add(seriesJson(name(namespace, metric), value, "gauge", tags))
 
   override def terminate(): Unit = flush()
 }

@@ -22,8 +22,14 @@ import org.apache.spark.sql.functions._
   * Dispatch runs inside foreachBatch: every sink write for one micro-batch
   * either completes before the checkpoint commits or replays wholesale —
   * at-least-once, strictly stronger than the reference's manual ack
-  * (SURVEY §7.3.1). Writes are idempotent per (topic, batch content) on the
-  * Kafka transport via the sink's transactional producer.
+  * (SURVEY §7.3.1). Replay idempotence is TRANSPORT-scoped: the emit path
+  * keys every write by a `<query>-<batchId>` token and transports that
+  * implement `appendIdempotent` (the file transport records applied
+  * tokens) make replays exact no-ops; the Kafka sink has no transactional
+  * producer, so there a replayed micro-batch may re-publish — standard
+  * Kafka at-least-once, and safe to reprocess: duplicates carry the same
+  * `graft.*` retry state, so they converge through the same retry/DLQ
+  * cycle rather than compounding.
   */
 object Dispatch {
 
@@ -106,8 +112,17 @@ object Dispatch {
       route.channels.keys.foreach { ch =>
         val n = tallies.total(Code.channel(ch))
         if (n > 0)
+          // channel publication starts a FRESH retry cycle: carrying the
+          // origin route's residual retryCount into the channel topic
+          // made the channel worker's enrichMetadata report phantom
+          // retry hops and splitRetries exhaust the record early (a
+          // record that burned 3 of 5 origin retries arrived with only
+          // 2 of the channel's own budget left)
           emit(topics, handled.filter(col("disposition") === Code.channel(ch))
-            .drop("disposition"), EngineConfig.channelTopic(entity, ch), token)
+            .drop("disposition")
+            .withColumn("retryCount", lit(null).cast("int"))
+            .withColumn("nextAttemptAt", lit(null).cast("timestamp")),
+            EngineConfig.channelTopic(entity, ch), token)
         toChannels += n
       }
       Counts(success, skip, retried, deadLettered, toChannels)
@@ -151,7 +166,15 @@ object Dispatch {
       handler: Handler, token: Option[String] = None)(
       batch: DataFrame): Counts = {
     import Envelope.Code
-    val handled = handler(batch).cache()
+    // a NULL disposition is an invalid return like any other string
+    // outside {skip, retry} — but unnormalized it reached the tallies
+    // as SQL NULL, where the exhausted grouping flag went NULL too and
+    // Row.getBoolean NPE'd before the curated contract error below
+    // could name the route and the violation
+    val handled = handler(batch)
+      .withColumn("disposition",
+        coalesce(col("disposition"), lit("invalid:null")))
+      .cache()
     try {
       // same single-pass tallies as dispatch: one count job per poll
       val tallies = dispositionTallies(handled,

@@ -70,8 +70,14 @@ final class GraftApp(
         else
           engine.startRetryReader(route, w.middleware, w.handler, trigger)
         engine.startInstantWorker(route, w.middleware, w.handler, trigger)
-        route.channels.keys.foreach(ch =>
-          engine.startChannelWorker(route, ch, w.middleware, w.handler, trigger))
+        route.channels.foreach { case (ch, chCfg) =>
+          engine.startChannelWorker(route, ch, w.middleware, w.handler, trigger)
+          // the channel's OWN retry cycle needs its own reader — the
+          // route retry reader consumes only the route's retry topic
+          if (chCfg.retry.enabled)
+            engine.startChannelRetryReader(route, ch,
+              w.middleware, w.handler, trigger)
+        }
       }
     if (modes.contains(Mode.ApiServer)) {
       val s = new ManagementServer(spark, engine, cfg.httpPort, userRoutes)

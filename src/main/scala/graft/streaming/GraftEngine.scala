@@ -59,10 +59,21 @@ final class GraftEngine(
   private val scalers =
     new ConcurrentHashMap[String, Int => StreamingQuery]()
   private val idToName = new ConcurrentHashMap[java.util.UUID, String]()
+  /** Spark queryName → track name, pre-registered BEFORE start(): Spark
+    * delivers QueryStartedEvent synchronously inside start(), so the E12
+    * listener binds id → name from this map before any termination event
+    * for that run can fire — closing the window where a query failing
+    * its very first micro-batch escaped the failure policy because
+    * track()'s post-start puts had not executed yet. */
+  private val queryNameToTrack = new ConcurrentHashMap[String, String]()
   val deadSet = new DeadSet(topics, s"$checkpointDir/markers")
 
-  /** Registers a started query for lifecycle tracking + failure policy. */
-  private def track(name: String, start: () => StreamingQuery): StreamingQuery = {
+  /** Registers a started query for lifecycle tracking + failure policy.
+    * `queryName` is the Spark-side `.queryName(...)` when it differs
+    * from the track name (only the stream route does). */
+  private def track(name: String, start: () => StreamingQuery,
+      queryName: Option[String] = None): StreamingQuery = {
+    queryNameToTrack.put(queryName.getOrElse(name), name)
     val q = start()
     queries.put(name, q)
     starters.put(name, start)
@@ -73,7 +84,10 @@ final class GraftEngine(
   // E12: react to abnormal termination per the configured policy
   spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
     override def onQueryStarted(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+      // synchronous with start() — see queryNameToTrack's note
+      Option(queryNameToTrack.get(e.name))
+        .foreach(n => idToName.put(e.id, n))
     override def onQueryProgress(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
     override def onQueryTerminated(
@@ -119,7 +133,8 @@ final class GraftEngine(
     }
     scalers.put(route.topicEntity,
       n => startWith(topics.paceOptions(n)))
-    track(route.topicEntity, () => startWith(Map.empty))
+    track(route.topicEntity, () => startWith(Map.empty),
+      queryName = Some(s"route-${route.topicEntity}"))
   }
 
   /** Serving-state route: the stream route whose output is a materialized
@@ -264,13 +279,11 @@ final class GraftEngine(
       handler: Dispatch.Handler,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val entity = route.topicEntity
-    val ch = route.channels.getOrElse(channelName,
-      throw new IllegalArgumentException(
-        s"route '$entity' has no channel '$channelName'"))
-    // channel-scoped retry cycle: its own retry/DLQ topics
-    val chRoute = route.copy(
-      topicEntity = s"${entity}_channel_$channelName",
-      retry = ch.retry, channels = Map.empty)
+    val (ch, chRoute) = channelRoute(route, channelName)
+    // the channel entity's OWN retry/instant/DLQ topics must exist
+    // before its worker emits into them (startStreamRoute provisions
+    // only the origin entity's)
+    topics.provision(chRoute.topicEntity, Nil)
     val src = topics.readStream(spark,
       EngineConfig.channelTopic(entity, channelName))
     track(s"channel-$entity-$channelName", () => src.writeStream
@@ -286,6 +299,39 @@ final class GraftEngine(
         metrics.recordDispatch(chRoute.topicEntity, counts)
       }
       .start())
+  }
+
+  /** The channel's derived route: its own topic entity (so Dispatch
+    * emits into channel-scoped retry/DLQ topics) with the
+    * CHANNEL-scoped retry config and no nested channels — the ONE
+    * construction [[startChannelWorker]] and
+    * [[startChannelRetryReader]] must agree on, or the worker would
+    * park retries in a topic the reader never consumes. */
+  private def channelRoute(route: StreamRouteConfig,
+      channelName: String): (ChannelConfig, StreamRouteConfig) = {
+    val ch = route.channels.getOrElse(channelName,
+      throw new IllegalArgumentException(
+        s"route '${route.topicEntity}' has no channel '$channelName'"))
+    (ch, route.copy(
+      topicEntity = s"${route.topicEntity}_channel_$channelName",
+      retry = ch.retry, channels = Map.empty))
+  }
+
+  /** Retry reader for a CHANNEL's own retry cycle: the channel worker
+    * dispatches with the channel-scoped route, so its retryable records
+    * land in `<entity>_channel_<name>_retry` — a topic no route-level
+    * retry reader consumes. Without this reader those records were
+    * parked forever: never retried, never exhausted to the channel's
+    * DLQ, silently lost (the reference's channel workers share the
+    * route's RabbitMQ retry machinery, mapper.clj:71-111 — here the
+    * channel's cycle is its own, so it needs its own reader).
+    * [[GraftApp]] starts one per retry-enabled channel in Worker mode. */
+  def startChannelRetryReader(route: StreamRouteConfig, channelName: String,
+      middleware: DataFrame => DataFrame,
+      handler: Dispatch.Handler,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val (_, chRoute) = channelRoute(route, channelName)
+    startRetryReader(chRoute, middleware, handler, trigger)
   }
 
   /** Start the instant-topic worker: consumes records the dead-set replay
@@ -446,6 +492,13 @@ final class GraftEngine(
     * then shut down push-metrics backends (metrics_interface.clj
     * `terminate` runs on service stop). */
   def stopAll(): Unit = {
+    // E11 bounded drain: cfg.drainTimeoutMs caps how long each stop()
+    // waits for its stream thread (Spark's own stop timeout knob —
+    // previously the config value was parsed and documented but never
+    // read, so the promised drain window was silently Spark's default)
+    try spark.conf.set("spark.sql.streaming.stopTimeout",
+      cfg.drainTimeoutMs.toString)
+    catch { case scala.util.control.NonFatal(_) => () }
     queries.asScala.values.foreach { q =>
       try q.stop() catch { case _: Throwable => () }
     }

@@ -88,13 +88,18 @@ final class StatsdSink(host: String, port: Int, prefix: String = "graft")
 
   override def updateGauge(
       namespace: String, metric: String,
-      tags: Map[String, String], value: Double): Unit = {
-    // statsd gauges have no exponent syntax; render plain decimal
-    val v =
-      if (value == value.toLong.toDouble) value.toLong.toString
-      else BigDecimal(value).bigDecimal.toPlainString
-    send(s"${name(namespace, metric)}:$v|g${tagSuffix(tags)}")
-  }
+      tags: Map[String, String], value: Double): Unit =
+    // NaN/Infinity: drop the point — BigDecimal(NaN) throws
+    // NumberFormatException OUTSIDE send()'s swallowed-IOException try,
+    // and the sink contract is never-throw-into-the-hot-path (a
+    // user-computed 0/0 ratio gauge must not kill the streaming query)
+    if (java.lang.Double.isFinite(value)) {
+      // statsd gauges have no exponent syntax; render plain decimal
+      val v =
+        if (value == value.toLong.toDouble) value.toLong.toString
+        else BigDecimal(value).bigDecimal.toPlainString
+      send(s"${name(namespace, metric)}:$v|g${tagSuffix(tags)}")
+    }
 
   override def terminate(): Unit = socket.close()
 }

@@ -412,11 +412,11 @@ object Pipeline {
     * (how many retry hops the record has taken) — and the transport fields
     * (`retryCount`, `topicEntity`, offsets) stripped. */
   def userPayload(configuredRetryCount: Int)(df: DataFrame): DataFrame =
-    df.withColumn("metadata",
-        struct(col("topic"), col("timestamp"), col("partition"),
-          (lit(configuredRetryCount)
-            - coalesce(col("retryCount"), lit(configuredRetryCount)))
-            .as("rabbitmq_retry_count")))
+    // the metadata struct is enrichMetadata's, REUSED not re-spelled:
+    // the rabbitmq_retry_count formula was already inverted once in an
+    // earlier revision, and two hand-maintained copies of it would let
+    // the next fix land in one site and silently miss the other
+    enrichMetadata(df, configuredRetryCount)
       .select(col("message"), col("key"), col("metadata"))
 
   /** Full pre-handler pipeline for a route. */

@@ -32,11 +32,18 @@ trait TopicIO extends Serializable {
   def provision(entity: String, channels: Iterable[String]): Unit = ()
 
   /** Idempotent append keyed by a replay token (SURVEY §7.3.1: foreachBatch
-    * may replay a micro-batch after failure; sink writes must not double-
-    * publish). The token is `<query>-<batchId>`; an append with an
-    * already-applied token is a no-op. Kafka transport gets this from the
-    * sink's transactional/idempotent producer; the file transport records
-    * applied tokens. Default: non-idempotent passthrough. */
+    * may replay a micro-batch after failure; sink writes should not
+    * double-publish). The token is `<query>-<batchId>`; on a transport
+    * that implements this, an append with an already-applied token is a
+    * no-op (the file transport records applied tokens). Default:
+    * non-idempotent passthrough — which is what the Kafka transport
+    * inherits: Spark's Kafka sink has NO transactional producer, so a
+    * replayed micro-batch there may re-publish (standard Kafka
+    * at-least-once). That is SAFE, not silent corruption: duplicates
+    * carry the same `graft.*` retry state and converge through the same
+    * retry/DLQ cycle — but deployments needing exactly-once emission on
+    * Kafka must dedup downstream (e.g. on (topic, key, graft headers))
+    * or override this with a transactional client. */
   def appendIdempotent(df: DataFrame, topic: String, token: String): Unit =
     append(df, topic)
 }
@@ -263,21 +270,31 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
       val offsetIdx = fields.indexOf("offset")
       val rows = Envelope.withOptionalColumns(df)
         .select(fields.map(col): _*).rdd
-      val counts = rows.mapPartitionsWithIndex((pi, it) =>
-        Iterator(pi -> it.size)).collect().sortBy(_._1).map(_._2.toLong)
-      val starts = counts.scanLeft(0L)(_ + _)
-      val total = starts.last
-      val indexed = rows.mapPartitionsWithIndex { (pi, it) =>
-        var o = base + starts(pi)
-        it.map { r =>
-          val row = org.apache.spark.sql.Row.fromSeq(
-            r.toSeq.updated(offsetIdx, o))
-          o += 1; row
+      // persist across the two jobs: the counting job and the stamping
+      // write must see IDENTICAL partition contents — an unpersisted
+      // RDD recomputes its whole lineage for the second job, paying the
+      // upstream twice AND (for a nondeterministic upstream, or a
+      // lost-executor recompute) risking offset ranges computed from
+      // one materialization applied to a different one, breaking the
+      // monotone-offset invariant the dead-set markers rely on
+      rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = rows.mapPartitionsWithIndex((pi, it) =>
+          Iterator(pi -> it.size)).collect().sortBy(_._1).map(_._2.toLong)
+        val starts = counts.scanLeft(0L)(_ + _)
+        val total = starts.last
+        val indexed = rows.mapPartitionsWithIndex { (pi, it) =>
+          var o = base + starts(pi)
+          it.map { r =>
+            val row = org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.updated(offsetIdx, o))
+            o += 1; row
+          }
         }
-      }
-      spark.createDataFrame(indexed, Envelope.schema)
-        .write.mode("append").parquet(dir(topic))
-      lastOffset.put(topic, base + total - 1)
+        spark.createDataFrame(indexed, Envelope.schema)
+          .write.mode("append").parquet(dir(topic))
+        lastOffset.put(topic, base + total - 1)
+      } finally rows.unpersist(blocking = false)
     }
 
   def maxOffset(spark: SparkSession, topic: String): Long =

@@ -117,6 +117,24 @@ class AppSpec extends SparkSuite {
     engine.stopAll()
   }
 
+  test("stopAll applies the configured drain window (E11): " +
+      "spark.sql.streaming.stopTimeout = drain-timeout-ms — previously " +
+      "the knob was parsed and documented but never read") {
+    val key = "spark.sql.streaming.stopTimeout"
+    val prior = spark.conf.getOption(key)
+    try {
+      val dir = tmpDir("drain")
+      val engine = new GraftEngine(spark,
+        EngineConfig(drainTimeoutMs = 1234L),
+        new FileTopicIO(s"$dir/topics"), s"$dir/ckpt")
+      engine.stopAll()
+      assert(spark.conf.get(key) == "1234")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("state-store = rocksdb in the engine config applies the RocksDB " +
       "provider confs to the session at app construction") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"

@@ -92,6 +92,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(EngineConfig.validate(cfg).isEmpty)
   }
 
+  test("QUOTED keys are single path segments (the HOCON escape): a " +
+      "dotted topic entity is representable instead of exploding into " +
+      "nested objects and failing with a misleading empty-origin error") {
+    val cfg = ConfigLoader.load(
+      """http-port = 8200
+        |stream-routes {
+        |  "orders.v1" {
+        |    origin-topic = "orders-v1-events"
+        |  }
+        |}
+        |""".stripMargin, env = Map.empty)
+    assert(cfg.streamRoutes.contains("orders.v1"),
+      cfg.streamRoutes.keys.mkString(","))
+    assert(cfg.streamRoutes("orders.v1").originTopic == "orders-v1-events")
+  }
+
   test("environment variables override file values clonfig-style") {
     val cfg = ConfigLoader.load(sampleConf, env = Map(
       "GRAFT_HTTP_PORT" -> "9001",

@@ -150,4 +150,23 @@ class DispatchSpec extends SparkSuite {
       Dispatch.ExprHandler(lit("retry")))(batch)
     assert(ok.retried == 1)
   }
+
+  test("a NULL batch disposition is the same curated invalid-return " +
+      "error — not the NPE the unnormalized null used to raise from the " +
+      "tallies' exhausted flag before the contract check could fire") {
+    val dir = tmpDir("dispatch6")
+    val topics = new FileTopicIO(dir)
+    val batch = envelopes("app", Seq(("k", "x", ts("2024-01-01 00:00:00"))))
+    // when() with no otherwise: every non-matching row gets a NULL
+    // disposition — the classic half-written handler
+    val nullHandler = Dispatch.ExprHandler(
+      when(col("key").cast("string") === "never", "skip"))
+    for (retry <- Seq(RetryConfig(enabled = true, count = 2), RetryConfig())) {
+      val br = BatchRouteConfig("app", "app-topic", retry = retry)
+      val ex = intercept[IllegalArgumentException] {
+        Dispatch.dispatchBatchRoute(br, topics, nullHandler)(batch)
+      }
+      assert(ex.getMessage.contains("outside {skip, retry}"), ex.getMessage)
+    }
+  }
 }

@@ -107,6 +107,21 @@ class MetricsSinkSpec extends AnyFunSuite {
     assert(lines.head == "graft.q.rows:10000000|g")
   }
 
+  test("non-finite gauges are DROPPED, never thrown: BigDecimal(NaN) " +
+      "threw NumberFormatException outside the swallowed-IO try, so a " +
+      "user-computed 0/0 ratio gauge killed the streaming query") {
+    val (_, lines) = withUdpServer(1) { port =>
+      val sink = new StatsdSink("127.0.0.1", port)
+      sink.updateGauge("q", "ratio", Map.empty, Double.NaN)
+      sink.updateGauge("q", "inf", Map.empty, Double.PositiveInfinity)
+      sink.updateGauge("q", "ninf", Map.empty, Double.NegativeInfinity)
+      sink.updateGauge("q", "ok", Map.empty, 2.5)
+      sink.terminate()
+    }
+    assert(lines.head == "graft.q.ok:2.5|g",
+      s"only the finite gauge may arrive: ${lines.mkString(";")}")
+  }
+
   test("end-to-end: registry with a StatsdSink pushes dispatch counts over UDP") {
     val (_, lines) = withUdpServer(5) { port =>
       val reg = new MetricsRegistry

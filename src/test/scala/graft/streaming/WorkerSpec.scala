@@ -41,6 +41,59 @@ class WorkerSpec extends SparkSuite {
     // channel-scoped retry topic, not the route's
     assert(topics.read(spark, "app_channel_geo_retry").count() == 1)
     assert(topics.read(spark, "app_retry").count() == 0)
+
+    // the channel's retry cycle COMPLETES: its own retry reader consumes
+    // the channel retry topic (previously no reader existed or was
+    // startable for it — retryable channel records were parked forever,
+    // never retried, never dead-lettered) and the second failure
+    // exhausts the count-1 budget into the channel's OWN dead-letter
+    // topic, where the dead set can see it
+    engine.startChannelRetryReader(route, "geo", identity, chHandler,
+      Trigger.AvailableNow()).awaitTermination()
+    assert(topics.read(spark, "app_channel_geo_dead_letter").count() == 1,
+      "the exhausted channel record must reach the channel DLQ")
+    assert(topics.read(spark, "app_dead_letter").count() == 0,
+      "never the route's DLQ")
+    engine.stopAll()
+  }
+
+  test("channel publication starts a FRESH retry cycle: a record that " +
+      "burned origin retries arrives on the channel topic with NULL " +
+      "retry state, not the origin's residue") {
+    val dir = tmpDir("chanfresh")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val route = StreamRouteConfig(
+      topicEntity = "app", originTopic = "app_origin",
+      retry = RetryConfig(enabled = true, count = 3,
+        backoffType = BackoffType.Linear, queueTimeoutMs = 0L),
+      channels = Map("geo" -> ChannelConfig("geo",
+        retry = RetryConfig(enabled = true, count = 5,
+          backoffType = BackoffType.Linear, queueTimeoutMs = 0L))))
+    val engine = new GraftEngine(spark,
+      EngineConfig(streamRoutes = Map("app" -> route)), topics, s"$dir/ckpt")
+    topics.append(envelopes("app", Seq(
+      ("k1", "v", new java.sql.Timestamp(System.currentTimeMillis)))),
+      "app_origin")
+    // burn one origin retry hop: the retry-topic copy carries
+    // retryCount = 2 (of 3)
+    engine.startStreamRoute(route, identity,
+      Dispatch.ExprHandler(lit("retry")), Trigger.AvailableNow())
+      .awaitTermination()
+    val onRetry = topics.read(spark, "app_retry")
+      .select("retryCount").collect()
+    assert(onRetry.length == 1 && onRetry(0).getInt(0) == 2,
+      s"fixture self-check: ${onRetry.mkString(",")}")
+    // the retry hop routes to the channel: the channel copy must NOT
+    // inherit retryCount=2 — the channel's enrichMetadata would report
+    // phantom hops and its splitRetries would exhaust 2 hops early
+    engine.startRetryReader(route, identity,
+      Dispatch.ExprHandler(lit("channel:geo")), Trigger.AvailableNow())
+      .awaitTermination()
+    val onChannel = topics.read(spark, "app_channel_geo")
+      .select("retryCount", "nextAttemptAt").collect()
+    assert(onChannel.length == 1, onChannel.mkString(","))
+    assert(onChannel(0).isNullAt(0) && onChannel(0).isNullAt(1),
+      s"channel record must start a fresh cycle: ${onChannel(0)}")
     engine.stopAll()
   }
 
