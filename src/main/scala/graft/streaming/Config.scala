@@ -123,6 +123,13 @@ object EngineConfig {
     * list of violations (empty = valid). */
   def validate(cfg: EngineConfig): Seq[String] = {
     val errs = Seq.newBuilder[String]
+    // 0 and negatives are NOT "stop immediately": Spark treats a
+    // non-positive spark.sql.streaming.stopTimeout as wait-indefinitely,
+    // so they'd invert the E11 bounded-drain promise into an unbounded
+    // hang inside stopAll (and the shutdown hook)
+    if (cfg.drainTimeoutMs <= 0)
+      errs += s"drain-timeout-ms must be > 0 (got ${cfg.drainTimeoutMs}; " +
+        "Spark treats a non-positive stop timeout as wait-indefinitely)"
     (cfg.streamRoutes.keySet intersect cfg.batchRoutes.keySet).foreach(e =>
       errs += s"topic entity '$e' declared as both stream and batch route")
     cfg.streamRoutes.foreach { case (k, r) =>

@@ -96,7 +96,15 @@ object ConfigLoader {
       // splitting it made any dotted topic entity ("orders.v1")
       // unrepresentable: it parsed as nested objects orders → v1 and
       // the boot failed with a misleading empty-origin-topic error
-      if (peek == '"') Seq(parseQuoted()).map(_.trim).filter(_.nonEmpty)
+      if (peek == '"') {
+        // LITERAL, never trimmed — quoting exists to preserve the key
+        // exactly. An empty/blank quoted key must fail like an empty
+        // bare token does: trimming it to Seq() made put() a silent
+        // no-op and the whole value vanished without a ParseError.
+        val k = parseQuoted()
+        if (k.trim.isEmpty) fail("empty quoted key")
+        Seq(k)
+      }
       else bareToken("=:{}").split('.').toSeq.map(_.trim).filter(_.nonEmpty)
     }
 

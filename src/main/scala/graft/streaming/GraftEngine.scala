@@ -81,13 +81,25 @@ final class GraftEngine(
     q
   }
 
-  // E12: react to abnormal termination per the configured policy
-  spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+  /** Started-event binding, factored out of the listener so the null-name
+    * contract is directly testable: `queryName` is null for co-resident
+    * queries started without `.queryName()` (every tracked start sets
+    * one), and `CHM.get(null)` throws — the binding must stay silent for
+    * queries that are not ours. */
+  private[streaming] def bindStarted(queryName: String,
+      id: java.util.UUID): Unit =
+    Option(queryName).flatMap(n => Option(queryNameToTrack.get(n)))
+      .foreach(n => idToName.put(id, n))
+
+  // E12: react to abnormal termination per the configured policy.
+  // Held in a field so stopAll can DEREGISTER it: a decommissioned
+  // engine must never bind or act on a later engine's same-named
+  // queries on the shared session.
+  private[streaming] val lifecycleListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
     override def onQueryStarted(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
       // synchronous with start() — see queryNameToTrack's note
-      Option(queryNameToTrack.get(e.name))
-        .foreach(n => idToName.put(e.id, n))
+      bindStarted(e.name, e.id)
     override def onQueryProgress(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
     override def onQueryTerminated(
@@ -107,7 +119,8 @@ final class GraftEngine(
         }
       }
     }
-  })
+  }
+  spark.streams.addListener(lifecycleListener)
 
   /** Start one stream route: origin-topic stream → Pipeline → foreachBatch
     * dispatch (the driver loop of SURVEY §3.1's Spark equivalent). */
@@ -331,7 +344,13 @@ final class GraftEngine(
       handler: Dispatch.Handler,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val (_, chRoute) = channelRoute(route, channelName)
-    startRetryReader(chRoute, middleware, handler, trigger)
+    // honor the route's release mode: a route on exact timer-based
+    // release must not have its channel retries quietly quantized to
+    // the trigger interval — same selection GraftApp makes for the
+    // route's own cycle
+    if (chRoute.exactRetryRelease)
+      startExactRetryReader(chRoute, middleware, handler)
+    else startRetryReader(chRoute, middleware, handler, trigger)
   }
 
   /** Start the instant-topic worker: consumes records the dead-set replay
@@ -449,9 +468,31 @@ final class GraftEngine(
       .start())
   }
 
-  /** O2: stop/restart a single route's query at runtime. */
+  /** O2: stop/restart a single route's query at runtime (same bounded
+    * drain window as [[stopAll]]). */
   def stopRoute(name: String): Boolean =
-    Option(queries.remove(name)).map { q => q.stop(); true }.getOrElse(false)
+    Option(queries.remove(name)).map { q =>
+      withDrainTimeout { q.stop() }; true
+    }.getOrElse(false)
+
+  /** Applies cfg.drainTimeoutMs as Spark's stop-timeout for the duration
+    * of `body`, then RESTORES the session's prior value: the conf is
+    * session-global, and leaking it would change stop() semantics for
+    * co-resident queries and other engines on the shared session (their
+    * expectation is Spark's default — wait indefinitely). */
+  private[streaming] def withDrainTimeout[T](body: => T): T = {
+    val key = "spark.sql.streaming.stopTimeout"
+    val prior =
+      try spark.conf.getOption(key)
+      catch { case scala.util.control.NonFatal(_) => None }
+    try spark.conf.set(key, cfg.drainTimeoutMs.toString)
+    catch { case scala.util.control.NonFatal(_) => () }
+    try body
+    finally {
+      try prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   def runningQueries: Map[String, StreamingQuery] =
     queries.asScala.toMap.filter(_._2.isActive)
@@ -490,17 +531,32 @@ final class GraftEngine(
 
   /** E11 drain: stop everything, bounded by drainTimeoutMs per query;
     * then shut down push-metrics backends (metrics_interface.clj
-    * `terminate` runs on service stop). */
+    * `terminate` runs on service stop). TERMINAL: the engine
+    * deregisters its lifecycle listener and clears its tracking state,
+    * so queries started on this instance afterwards get no failure
+    * policy — build a fresh GraftEngine instead. */
   def stopAll(): Unit = {
+    // decommission FIRST: a stopped engine must never bind or act on a
+    // later engine's same-named queries on the shared session — with the
+    // listener left registered and the name maps populated, a foreign
+    // 'route-<entity>' start would re-enter THIS engine's failure policy
+    // (under Restart it would even resurrect the stopped query against
+    // the live engine's checkpoint). Safe from inside the listener
+    // itself (the StopAll policy path): Spark's listener bus iterates a
+    // copy-on-write list.
+    spark.streams.removeListener(lifecycleListener)
+    queryNameToTrack.clear()
+    idToName.clear()
+    starters.clear()
+    scalers.clear()
     // E11 bounded drain: cfg.drainTimeoutMs caps how long each stop()
     // waits for its stream thread (Spark's own stop timeout knob —
     // previously the config value was parsed and documented but never
     // read, so the promised drain window was silently Spark's default)
-    try spark.conf.set("spark.sql.streaming.stopTimeout",
-      cfg.drainTimeoutMs.toString)
-    catch { case scala.util.control.NonFatal(_) => () }
-    queries.asScala.values.foreach { q =>
-      try q.stop() catch { case _: Throwable => () }
+    withDrainTimeout {
+      queries.asScala.values.foreach { q =>
+        try q.stop() catch { case _: Throwable => () }
+      }
     }
     metrics.terminateSinks()
   }

@@ -117,22 +117,76 @@ class AppSpec extends SparkSuite {
     engine.stopAll()
   }
 
-  test("stopAll applies the configured drain window (E11): " +
-      "spark.sql.streaming.stopTimeout = drain-timeout-ms — previously " +
-      "the knob was parsed and documented but never read") {
+  test("E12 listener ignores co-resident queries started WITHOUT a " +
+      "queryName: QueryStartedEvent.name is null there, and the id→track " +
+      "binding (a CHM that throws on null keys) must stay silent for " +
+      "queries that are not ours") {
+    val dir = tmpDir("unnamed")
+    val engine = new GraftEngine(spark,
+      EngineConfig(), new FileTopicIO(s"$dir/topics"), s"$dir/ckpt",
+      failurePolicy = FailurePolicy.StopAll)
+    // foreign unnamed stream on the SAME session: its started event
+    // reaches the engine's listener with e.name == null
+    val foreign = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .writeStream.format("console")
+      .option("numRows", "0")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    foreign.awaitTermination(30000)
+    foreign.stop()
+    // the engine tracked nothing and the failure policy never fired
+    assert(engine.runningQueries.isEmpty)
+    // the DISCRIMINATING probe (the event path above cannot be: Spark's
+    // listener bus swallows listener exceptions, so even the unguarded
+    // CHM.get(null) NPE would pass it): the binding itself must accept
+    // a null query name silently
+    engine.bindStarted(null, java.util.UUID.randomUUID())
+    assert(engine.runningQueries.isEmpty)
+    engine.stopAll()
+  }
+
+  test("stopAll applies the configured drain window (E11) SCOPED: " +
+      "spark.sql.streaming.stopTimeout = drain-timeout-ms inside the " +
+      "stop loop, then RESTORED — the conf is session-global, and " +
+      "leaking it would change stop() semantics for co-resident queries") {
     val key = "spark.sql.streaming.stopTimeout"
-    val prior = spark.conf.getOption(key)
-    try {
-      val dir = tmpDir("drain")
-      val engine = new GraftEngine(spark,
-        EngineConfig(drainTimeoutMs = 1234L),
-        new FileTopicIO(s"$dir/topics"), s"$dir/ckpt")
-      engine.stopAll()
-      assert(spark.conf.get(key) == "1234")
-    } finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // RuntimeConfig is per-session: an isolated child session keeps the
+    // assertions away from sibling suites' engines racing on the knob
+    val sess = spark.newSession()
+    val prior = sess.conf.getOption(key)
+    val dir = tmpDir("drain")
+    val engine = new GraftEngine(sess,
+      EngineConfig(drainTimeoutMs = 1234L),
+      new FileTopicIO(s"$dir/topics"), s"$dir/ckpt")
+    // applied during the drain...
+    var during: Option[String] = None
+    engine.withDrainTimeout { during = sess.conf.getOption(key) }
+    assert(during.contains("1234"))
+    // ...and restored afterwards, both from an unset prior
+    assert(sess.conf.getOption(key) == prior)
+    // and from a set prior
+    sess.conf.set(key, "9999")
+    engine.stopAll()
+    assert(sess.conf.get(key) == "9999")
+  }
+
+  test("stopAll decommissions the engine: its lifecycle listener is " +
+      "removed from the shared session, so a stale engine can never " +
+      "bind or act on a later engine's same-named queries") {
+    val dir = tmpDir("decomm")
+    val engine = new GraftEngine(spark,
+      EngineConfig(), new FileTopicIO(s"$dir/topics"), s"$dir/ckpt")
+    // identity-based (suites share the session and may run concurrently,
+    // so absolute listener counts would race with sibling engines)
+    def registered = spark.streams.listListeners()
+      .exists(_ eq engine.lifecycleListener)
+    assert(registered)
+    engine.stopAll()
+    assert(!registered)
+    // idempotent: the shutdown hook calls stopAll again
+    engine.stopAll()
+    assert(!registered)
   }
 
   test("state-store = rocksdb in the engine config applies the RocksDB " +

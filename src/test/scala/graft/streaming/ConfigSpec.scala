@@ -108,6 +108,30 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.streamRoutes("orders.v1").originTopic == "orders-v1-events")
   }
 
+  test("quoted keys are LITERAL (never trimmed) and an empty/blank " +
+      "quoted key fails the parse like an empty bare token — before, " +
+      "it trimmed to an empty path and put() silently dropped the value") {
+    // literal: the leading space is part of the key
+    val obj = ConfigLoader.parse("\" orders.v1\" = 1")
+    assert(obj.contains(" orders.v1"), obj.keys.mkString("|"))
+    // empty and whitespace-only quoted keys fail loudly
+    val e1 = intercept[ConfigLoader.ParseError](
+      ConfigLoader.parse("\"\" = 9001"))
+    assert(e1.getMessage.contains("empty quoted key"))
+    intercept[ConfigLoader.ParseError](
+      ConfigLoader.parse("\"  \" { a = 1 }"))
+  }
+
+  test("drain-timeout-ms must be positive: Spark treats a non-positive " +
+      "stop timeout as wait-indefinitely, inverting the E11 bounded " +
+      "drain into an unbounded hang") {
+    for (bad <- Seq(0L, -5L)) {
+      val errs = EngineConfig.validate(EngineConfig(drainTimeoutMs = bad))
+      assert(errs.exists(_.contains("drain-timeout-ms must be > 0")), errs)
+    }
+    assert(EngineConfig.validate(EngineConfig(drainTimeoutMs = 1L)).isEmpty)
+  }
+
   test("environment variables override file values clonfig-style") {
     val cfg = ConfigLoader.load(sampleConf, env = Map(
       "GRAFT_HTTP_PORT" -> "9001",
