@@ -69,13 +69,26 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
     }
   }
 
+  /** Like [[intParam]] but also rejects negatives as client errors: a
+    * negative dead-set count otherwise reaches DataFrame.limit(n<0),
+    * whose AnalysisException would surface as a 500 server fault for
+    * what is plainly bad client input. */
+  private def nonNegIntParam(p: Map[String, String], name: String,
+      default: Int): Int = {
+    val v = intParam(p, name, default)
+    if (v < 0) throw new IllegalArgumentException(s"$name must be >= 0")
+    v
+  }
+
   private def jsonEscape(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    graft.streaming.JsonText.escape(s)
+
+  /** JSON number rendering for gauge Doubles: NaN/Infinity are not JSON
+    * tokens — interpolating them raw made one 0/0 user gauge poison the
+    * WHOLE /v1/metrics snapshot for every standard parser. Non-finite
+    * renders as null (the key stays visible, the value is unusable). */
+  private def jsonNum(v: Double): String =
+    if (java.lang.Double.isFinite(v)) v.toString else "null"
 
   server.createContext("/ping", new HttpHandler {
     def handle(ex: HttpExchange): Unit = respond(ex, 200, "pong", "text/plain")
@@ -85,7 +98,7 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
     def handle(ex: HttpExchange): Unit = try {
       val p = params(ex)
       val entity = p.getOrElse("entity", "")
-      val count = intParam(p, "count", 10)
+      val count = nonNegIntParam(p, "count", 10)
       // NOTE: JDK HttpServer routes by longest matching context, so
       // /v1/dead_set/replay always hits its own context below — no
       // path-suffix dispatch here (an earlier endsWith("/replay") branch
@@ -116,7 +129,7 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
     def handle(ex: HttpExchange): Unit = try {
       val p = params(ex)
       val entity = p.getOrElse("entity", "")
-      val count = intParam(p, "count", 10)
+      val count = nonNegIntParam(p, "count", 10)
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, """{"error":"POST required"}""")
       else if (entity.isEmpty) respond(ex, 400, """{"error":"entity required"}""")
@@ -135,7 +148,7 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
   server.createContext("/v1/metrics", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
       val body = engine.metrics.snapshot().toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }
+        .map { case (k, v) => s""""${jsonEscape(k)}":${jsonNum(v)}""" }
         .mkString("{", ",", "}")
       respond(ex, 200, body)
     } catch { case e: Throwable =>
@@ -176,12 +189,23 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
   // O2 runtime control (the reference drives this via nREPL,
   // doc/CONCEPTS.md:74-97; here it is an HTTP verb)
   server.createContext("/v1/queries/stop", new HttpHandler {
-    def handle(ex: HttpExchange): Unit = {
+    def handle(ex: HttpExchange): Unit = try {
       val name = params(ex).getOrElse("name", "")
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, """{"error":"POST required"}""")
       else if (name.isEmpty) respond(ex, 400, """{"error":"name required"}""")
       else respond(ex, 200, s"""{"stopped":${engine.stopRoute(name)}}""")
+    } catch {
+      // same error mapping as every other mutating handler — without it
+      // a malformed percent-encoding (params' URLDecoder) or a stop()
+      // drain timeout escapes handle() and the client sees a dropped
+      // connection instead of a status
+      case e: IllegalArgumentException =>
+        respond(ex, 400,
+          s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+      case e: Throwable =>
+        respond(ex, 500,
+          s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
     }
   })
 
@@ -212,7 +236,13 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
       gauges.toSeq.groupBy { case (k, _) => s"graft_${sane(k)}" }
         .view.mapValues(_.maxBy(_._1)._2).toSeq.sortBy(_._1)
         .foreach { case (n, v) =>
-          sb.append(s"# TYPE $n gauge\n$n $v\n")
+          // Prometheus exposition spells non-finite values +Inf/-Inf/NaN;
+          // Scala's Double prints "Infinity", which fails the scrape
+          val pv =
+            if (v == Double.PositiveInfinity) "+Inf"
+            else if (v == Double.NegativeInfinity) "-Inf"
+            else v.toString // NaN prints "NaN" — the valid token
+          sb.append(s"# TYPE $n gauge\n$n $pv\n")
         }
       respond(ex, 200, sb.toString,
         "text/plain; version=0.0.4; charset=utf-8")
@@ -270,10 +300,22 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
     }
   })
 
-  // serial dispatch (setExecutor(null)) is a simplicity choice only —
-  // dead-set marker correctness is guarded by DeadSet's per-entity locks,
-  // so swapping in a thread-pool executor here is safe
-  def start(): Unit = { server.setExecutor(null); server.start() }
-  def stop(): Unit = server.stop(0)
+  // small pool instead of serial dispatch: a dead-set view's distributed
+  // collect can take seconds on a large DLQ, and on the single dispatch
+  // thread a concurrent /ping liveness probe queued behind it times out —
+  // the orchestrator then restarts a healthy driver. Marker correctness
+  // is independent of HTTP threading (DeadSet's per-entity locks).
+  // Daemon threads: an abandoned server must not pin JVM exit.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-mgmt-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    })
+  def start(): Unit = { server.setExecutor(pool); server.start() }
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   def boundPort: Int = server.getAddress.getPort
 }

@@ -34,40 +34,57 @@ final class DatadogHttpSink(
     clockEpochS: () => Long = () => System.currentTimeMillis() / 1000L)
     extends MetricsSink {
 
-  private val buf = new scala.collection.mutable.ArrayBuffer[String]()
+  /** Buffered points keyed by (metric, type, rendered tags, epoch-second).
+    * Counters within one key SUM; gauges/timings overwrite (last wins).
+    * Without the merge, every increment became its own series point
+    * stamped at second resolution, and the Datadog v1 API keeps ONE
+    * value per (series, timestamp) — 100 increments/sec of one counter
+    * stored as ~1/sec. The reference's DatadogReporter submits
+    * interval-aggregated values for the same reason. LinkedHashMap keeps
+    * first-seen order so flushes are deterministic. */
+  private val buf = new scala.collection.mutable.LinkedHashMap[
+    (String, String, String, Long), Double]()
 
   private def name(namespace: String, metric: String): String =
     Seq(prefix, namespace, metric).filter(_.nonEmpty).mkString(".")
 
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def esc(s: String): String = JsonText.escape(s)
 
   private def tagsJson(tags: Map[String, String]): String =
     tags.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + esc(s"$k:$v") + "\"" }
       .mkString("[", ",", "]")
 
-  private def seriesJson(metric: String, value: Double, tpe: String,
-      tags: Map[String, String]): String = {
+  private def seriesJson(key: (String, String, String, Long),
+      value: Double): String = {
+    val (metric, tpe, tags, epochS) = key
     val v =
       if (value == value.toLong.toDouble) value.toLong.toString
       else BigDecimal(value).bigDecimal.toPlainString
-    s"""{"metric":"${esc(metric)}","points":[[${clockEpochS()},$v]],""" +
-      s""""type":"$tpe","tags":${tagsJson(tags)}}"""
+    s"""{"metric":"${esc(metric)}","points":[[$epochS,$v]],""" +
+      s""""type":"$tpe","tags":$tags}"""
   }
 
-  private def add(json: String): Unit = {
+  private def add(metric: String, tpe: String, tags: Map[String, String],
+      value: Double, sum: Boolean): Unit = {
+    val key = (metric, tpe, tagsJson(tags), clockEpochS())
     val toSend = buf.synchronized {
-      buf += json
-      if (buf.length >= batchSize) { val b = buf.toList; buf.clear(); b }
-      else Nil
+      buf.update(key,
+        if (sum) buf.getOrElse(key, 0.0) + value else value)
+      if (buf.size >= batchSize) drainLocked() else Nil
     }
     if (toSend.nonEmpty) post(toSend)
   }
 
+  /** Caller must hold buf's monitor. */
+  private def drainLocked(): List[String] = {
+    val b = buf.toList.map { case (k, v) => seriesJson(k, v) }
+    buf.clear(); b
+  }
+
   /** Push any buffered points now. */
   def flush(): Unit = {
-    val toSend = buf.synchronized { val b = buf.toList; buf.clear(); b }
+    val toSend = buf.synchronized { drainLocked() }
     if (toSend.nonEmpty) post(toSend)
   }
 
@@ -101,12 +118,14 @@ final class DatadogHttpSink(
   override def updateCounter(
       namespace: String, metric: String,
       tags: Map[String, String], signedVal: Long): Unit =
-    add(seriesJson(name(namespace, metric), signedVal.toDouble, "count", tags))
+    add(name(namespace, metric), "count", tags, signedVal.toDouble,
+      sum = true)
 
   override def updateTiming(
       namespace: String, metric: String,
       tags: Map[String, String], valueMs: Long): Unit =
-    add(seriesJson(name(namespace, metric), valueMs.toDouble, "gauge", tags))
+    add(name(namespace, metric), "gauge", tags, valueMs.toDouble,
+      sum = false)
 
   override def updateGauge(
       namespace: String, metric: String,
@@ -115,7 +134,7 @@ final class DatadogHttpSink(
     // throws NumberFormatException and the sink must never throw into
     // the hot path (same guard as StatsdSink.updateGauge)
     if (java.lang.Double.isFinite(value))
-      add(seriesJson(name(namespace, metric), value, "gauge", tags))
+      add(name(namespace, metric), "gauge", tags, value, sum = false)
 
   override def terminate(): Unit = flush()
 }

@@ -45,16 +45,21 @@ final class DeadSet(topics: TopicIO, markerDir: String) {
     * (written before markers were per-partition) is read — exact for the
     * file transport, whose offsets were globally assigned. */
   def markers(entity: String): Map[Int, Long] =
-    if (!Files.exists(markerPath(entity))) Map.empty
-    else {
-      val lines = new String(Files.readAllBytes(markerPath(entity)))
-        .split("\n").map(_.trim).filter(_.nonEmpty)
-      lines.map {
-        case l if l.contains(":") =>
-          val Array(pt, off) = l.split(":", 2)
-          (if (pt == "*") -1 else pt.toInt) -> off.toLong
-        case legacy => -1 -> legacy.toLong
-      }.toMap
+    // under the entity lock: writeMarkers' rename is atomic against
+    // crashes, but the lock also orders reads against a concurrent
+    // delete/replay so a view never observes a floor mid-advance
+    lockFor(entity).synchronized {
+      if (!Files.exists(markerPath(entity))) Map.empty
+      else {
+        val lines = new String(Files.readAllBytes(markerPath(entity)))
+          .split("\n").map(_.trim).filter(_.nonEmpty)
+        lines.map {
+          case l if l.contains(":") =>
+            val Array(pt, off) = l.split(":", 2)
+            (if (pt == "*") -1 else pt.toInt) -> off.toLong
+          case legacy => -1 -> legacy.toLong
+        }.toMap
+      }
     }
 
   /** The global floor — what the pre-partition-aware marker meant; kept
@@ -66,9 +71,18 @@ final class DeadSet(topics: TopicIO, markerDir: String) {
     val body = m.toSeq.sortBy(_._1).map { case (pt, off) =>
       s"${if (pt == -1) "*" else pt.toString}:$off"
     }.mkString("\n")
-    Files.write(markerPath(entity), body.getBytes,
+    // never truncate-then-write in place: a crash (or a reader on
+    // another JVM) mid-write would leave/see a torn marker — a partial
+    // line like "3:" poisons every subsequent parse until an operator
+    // hand-edits the file. Write a sibling temp file and rename it in
+    // (atomic on POSIX; the ack floor is either old or new, never torn).
+    val path = markerPath(entity)
+    val tmp = path.resolveSibling(s"${path.getFileName}.tmp")
+    Files.write(tmp, body.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Advance the acked floor of each partition present in `acked`
@@ -109,8 +123,13 @@ final class DeadSet(topics: TopicIO, markerDir: String) {
     }
 
   /** Re-publish first `n` to the entity's instant topic for reprocessing,
-    * then ack them (POST /v1/dead_set/replay). Replayed records carry a
-    * reset retryCount (the DLQ writer restored it — RetryEngine). */
+    * then ack them (POST /v1/dead_set/replay). Replayed records start a
+    * FRESH retry cycle: retryCount is reset here, not trusted from the
+    * DLQ record — the exhausted path restores it (RetryEngine), but a
+    * direct `dead_letter` disposition from a handler writes the record
+    * with its RESIDUAL count (possibly 0), and replaying that residue
+    * would re-dead-letter the record on its first failure instead of
+    * giving it the full budget the replay operator expects. */
   def replay(spark: SparkSession, entity: String, n: Int): Long =
     lockFor(entity).synchronized {
       val batch = view(spark, entity, n).cache()
@@ -118,8 +137,10 @@ final class DeadSet(topics: TopicIO, markerDir: String) {
         val acked = batch.select(col("partition"), col("offset")).collect()
           .map(r => (r.getInt(0), r.getLong(1))).toSeq
         if (acked.nonEmpty) {
-          topics.append(batch.withColumn("nextAttemptAt",
-            lit(null).cast("timestamp")), EngineConfig.instantTopic(entity))
+          topics.append(batch
+            .withColumn("retryCount", lit(null).cast("int"))
+            .withColumn("nextAttemptAt", lit(null).cast("timestamp")),
+            EngineConfig.instantTopic(entity))
           advanceMarkers(entity, acked)
         }
         acked.length.toLong

@@ -17,6 +17,19 @@ import java.nio.charset.StandardCharsets
   * hot path — the registry does not guard calls, so implementations swallow
   * their own IO failures (metrics loss must not kill a stream).
   */
+/** The ONE JSON string escaper (management HTTP + Datadog sink): quote,
+  * backslash, and all control chars < 0x20 — an unescaped newline in a
+  * tag or metric name malforms the WHOLE body it rides in. */
+private[graft] object JsonText {
+  def escape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+}
+
 trait MetricsSink {
   def updateCounter(
       namespace: String, metric: String,
@@ -60,7 +73,13 @@ final class StatsdSink(host: String, port: Int, prefix: String = "graft")
     extends MetricsSink {
 
   private val socket = new DatagramSocket()
-  private val address = InetAddress.getByName(host)
+  /** Resolved lazily INSIDE send()'s swallowed try, cached on success:
+    * resolving in the constructor made a DNS blip for the statsd host
+    * (agent not up yet) throw UnknownHostException out of engine boot —
+    * violating the contract that metrics loss never takes the pipeline
+    * down. Until DNS resolves, sends are silently dropped (statsd is
+    * fire-and-forget); the first success pins the address. */
+  @volatile private var resolved: InetAddress = null
 
   private def name(namespace: String, metric: String): String =
     Seq(prefix, namespace, metric).filter(_.nonEmpty).mkString(".")
@@ -72,6 +91,11 @@ final class StatsdSink(host: String, port: Int, prefix: String = "graft")
 
   private def send(line: String): Unit =
     try {
+      val address = {
+        val a = resolved
+        if (a != null) a
+        else { val r = InetAddress.getByName(host); resolved = r; r }
+      }
       val bytes = line.getBytes(StandardCharsets.UTF_8)
       socket.send(new DatagramPacket(bytes, bytes.length, address, port))
     } catch { case _: java.io.IOException => () }
@@ -98,7 +122,15 @@ final class StatsdSink(host: String, port: Int, prefix: String = "graft")
       val v =
         if (value == value.toLong.toDouble) value.toLong.toString
         else BigDecimal(value).bigDecimal.toPlainString
-      send(s"${name(namespace, metric)}:$v|g${tagSuffix(tags)}")
+      val line = s"${name(namespace, metric)}:$v|g${tagSuffix(tags)}"
+      // a sign-prefixed gauge value is a DELTA in the statsd line
+      // protocol ("name:-5|g" decrements the stored gauge), not an
+      // absolute set — the standard absolute-set spelling for a
+      // negative value is a zero-set followed by the decrement in the
+      // SAME datagram (newline-separated metrics are one payload)
+      if (value < 0)
+        send(s"${name(namespace, metric)}:0|g${tagSuffix(tags)}\n$line")
+      else send(line)
     }
 
   override def terminate(): Unit = socket.close()

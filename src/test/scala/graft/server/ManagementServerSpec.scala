@@ -242,4 +242,66 @@ class ManagementServerSpec extends SparkSuite {
       assert(get(port, "/v1/queries")._1 == 200)
     }
   }
+
+  test("negative dead-set count is a 400 client error, not a 500 from " +
+      "DataFrame.limit(-1)'s AnalysisException") {
+    withServer { (port, _, _) =>
+      val (s1, b1) = get(port, "/v1/dead_set?entity=app&count=-1")
+      assert(s1 == 400 && b1.contains("count must be >= 0"), s"$s1 $b1")
+      val (s2, b2) =
+        send(port, "POST", "/v1/dead_set/replay?entity=app&count=-2")
+      assert(s2 == 400 && b2.contains("count must be >= 0"), s"$s2 $b2")
+    }
+  }
+
+  test("a non-finite gauge renders as JSON null in /v1/metrics instead of " +
+      "poisoning the whole snapshot (NaN is not a JSON token), and the " +
+      "Prometheus exposition spells infinities +Inf/-Inf, not 'Infinity'") {
+    withServer { (port, _, engine) =>
+      engine.metrics.gauge("bad.ratio", Double.NaN)
+      engine.metrics.gauge("worse.lag", Double.PositiveInfinity)
+      engine.metrics.gauge("ok.rows", 2.5)
+      val (s, b) = get(port, "/v1/metrics")
+      assert(s == 200, b)
+      assert(b.contains(""""bad.ratio":null"""), b)
+      assert(b.contains(""""worse.lag":null"""), b)
+      assert(b.contains(""""ok.rows":2.5"""), b)
+      assert(!b.contains("NaN") && !b.contains("Infinity"), b)
+      val (sp, bp) = get(port, "/metrics")
+      assert(sp == 200, bp)
+      assert(bp.contains("graft_worse_lag +Inf"), bp)
+      assert(!bp.contains("Infinity"), bp)
+    }
+  }
+
+  test("/ping stays responsive while a slow handler holds another " +
+      "dispatch thread: with the old serial executor a long dead-set " +
+      "collect starved liveness probes and the orchestrator restarted a " +
+      "healthy driver") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val dir = tmpDir("mgmtslow")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val engine = new GraftEngine(spark, EngineConfig(), topics, s"$dir/ckpt")
+    val gate = new CountDownLatch(1)
+    val entered = new CountDownLatch(1)
+    val routes = Seq(UserRoute("/custom/slow", (_, _, _) => {
+      entered.countDown()
+      gate.await(30, TimeUnit.SECONDS)
+      (200, "{}")
+    }))
+    val server = new ManagementServer(spark, engine, 0, routes)
+    server.start()
+    try {
+      val port = server.boundPort
+      val slow = client.sendAsync(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/custom/slow")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(entered.await(10, TimeUnit.SECONDS), "slow handler not entered")
+      // the discriminating probe: on the serial executor this blocks
+      // behind /custom/slow until the gate opens
+      assert(get(port, "/ping") == (200, "pong"))
+      gate.countDown()
+      assert(slow.get(10, TimeUnit.SECONDS).statusCode() == 200)
+    } finally { server.stop(); engine.stopAll() }
+  }
 }

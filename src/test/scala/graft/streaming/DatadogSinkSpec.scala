@@ -93,6 +93,37 @@ class DatadogSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("same-second increments of one counter MERGE into a single summed " +
+      "point: the Datadog v1 API keeps ONE value per (series, timestamp), " +
+      "so unmerged per-increment points undercount to ~1/sec") {
+    withServer { (endpoint, received) =>
+      val sink = new DatadogHttpSink(endpoint, "k",
+        clockEpochS = () => 1700000000L)
+      sink.updateCounter("m", "c", Map("t" -> "x"), 2L)
+      sink.updateCounter("m", "c", Map("t" -> "x"), 3L)
+      // distinct tags are a distinct series — never merged
+      sink.updateCounter("m", "c", Map("t" -> "y"), 1L)
+      sink.flush()
+      val body = received().head._2
+      assert(body.contains(
+        """{"metric":"graft.m.c","points":[[1700000000,5]],""" +
+          """"type":"count","tags":["t:x"]}"""), body)
+      assert(body.contains(
+        """[[1700000000,1]],"type":"count","tags":["t:y"]"""), body)
+    }
+  }
+
+  test("control characters in tags escape to \\u00XX: one pasted newline " +
+      "must not malform the whole batch body (the POST is all-or-nothing)") {
+    withServer { (endpoint, received) =>
+      val sink = new DatadogHttpSink(endpoint, "k", clockEpochS = () => 1L)
+      sink.updateCounter("m", "c", Map("t" -> "a\nb"), 1L)
+      sink.flush()
+      val body = received().head._2
+      assert(body.contains("t:a\\u000ab"), body)
+    }
+  }
+
   test("a dead endpoint never throws into the hot path") {
     // connect to a closed port: IOException swallowed, batch dropped
     val sink = new DatadogHttpSink("http://127.0.0.1:1/api/v1", "k",

@@ -68,6 +68,44 @@ class DeadSetSpec extends SparkSuite {
     assert(ds.view(spark, "app", 10).count() == 0)
   }
 
+  test("replay resets retryCount: a record dead-lettered by a direct " +
+      "dead_letter disposition carries its RESIDUAL count (possibly 0), " +
+      "and replaying that residue would re-dead-letter the record on its " +
+      "first failure instead of granting the fresh cycle replay promises") {
+    val dir = tmpDir("deadset5")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val ds = new DeadSet(topics, s"$dir/markers")
+    import org.apache.spark.sql.functions.lit
+    topics.append(
+      envelopes("app", Seq(("k0", "v0", ts("2024-01-01 00:00:00"))))
+        .withColumn("retryCount", lit(0)),
+      "app_dead_letter")
+    assert(ds.replay(spark, "app", 5) == 1)
+    val replayed = topics.read(spark, "app_instant").collect()
+    assert(replayed.length == 1)
+    assert(replayed.head.isNullAt(replayed.head.fieldIndex("retryCount")),
+      "residual retryCount must be cleared on replay")
+    assert(replayed.head.isNullAt(replayed.head.fieldIndex("nextAttemptAt")))
+  }
+
+  test("marker writes are atomic renames: the ack floor is either old or " +
+      "new, never torn — no .tmp sibling survives, and a stale .tmp from " +
+      "a crashed writer is replaced harmlessly") {
+    val dir = tmpDir("deadset6")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val ds = new DeadSet(topics, s"$dir/markers")
+    seed(topics, 3)
+    // a crashed writer's leftover temp, with torn content
+    val stale = java.nio.file.Paths.get(s"$dir/markers/app_dlq_marker.tmp")
+    java.nio.file.Files.createDirectories(stale.getParent)
+    java.nio.file.Files.write(stale, "3:".getBytes)
+    assert(ds.delete(spark, "app", 1) == 1)
+    assert(!java.nio.file.Files.exists(stale),
+      "the temp must be renamed in, not left beside the marker")
+    assert(ds.markers("app").get(0).contains(0L))
+    assert(ds.view(spark, "app", 10).count() == 2)
+  }
+
   test("empty dead set: all operations are no-ops") {
     val dir = tmpDir("deadset3")
     val topics = new FileTopicIO(s"$dir/topics")

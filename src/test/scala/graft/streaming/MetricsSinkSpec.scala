@@ -122,6 +122,30 @@ class MetricsSinkSpec extends AnyFunSuite {
       s"only the finite gauge may arrive: ${lines.mkString(";")}")
   }
 
+  test("negative gauges are an absolute SET, not a statsd delta: the " +
+      "line protocol reads a sign-prefixed gauge as an adjustment, so " +
+      "the standard zero-set precedes the value in the SAME datagram") {
+    val (_, lines) = withUdpServer(1) { port =>
+      val sink = new StatsdSink("127.0.0.1", port)
+      sink.updateGauge("q", "drift", Map("h" -> "a"), -5.0)
+      sink.terminate()
+    }
+    assert(lines.head == "graft.q.drift:0|g|#h:a\ngraft.q.drift:-5|g|#h:a",
+      lines.head)
+  }
+
+  test("an unresolvable statsd host never throws: not at construction " +
+      "(engine boot registers the sink — a DNS blip must not kill boot) " +
+      "nor per send; metrics drop silently until resolution succeeds") {
+    // '[' prefix fails InetAddress' literal parse immediately — an
+    // UnknownHostException without a (potentially slow) DNS query
+    val sink = new StatsdSink("[invalid", 8125)
+    sink.updateCounter("a", "b", Map.empty, 1L)
+    sink.updateGauge("a", "g", Map.empty, 1.0)
+    sink.updateTiming("a", "t", Map.empty, 5L)
+    sink.terminate()
+  }
+
   test("end-to-end: registry with a StatsdSink pushes dispatch counts over UDP") {
     val (_, lines) = withUdpServer(5) { port =>
       val reg = new MetricsRegistry
