@@ -816,8 +816,12 @@ object Analytic {
       .select(col("user_id"), col("event_id"),
         round(col("cents") / lit(100.0), 2).as("value_r"),
         round(col("num") / (col("den") * 100.0), 4).as("ewma"),
+        // ONE definition with the streaming twin so the threshold can
+        // never fork (the oracle SQL's literal 9000 is regenerated with
+        // this query — a20Sql below)
         (abs(col("cents") * col("den") - col("num"))
-          > lit(9000L) * col("den")).as("spike"))
+          > lit(graft.streaming.EwmaStream.SpikeCents) * col("den"))
+          .as("spike"))
       .orderBy(col("event_id"))
   }
 

@@ -183,17 +183,6 @@ object Temporal {
       |  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
-  /** Batch sessionization (gaps-and-islands): per-user sessions delimited by
-    * a 30-minute inactivity gap — the batch twin of a03's streaming
-    * `session_window` (backfills and reprocessing runs need the same
-    * sessions from the batch path, and their outputs must agree).
-    *
-    * Scale design: two window passes partitioned by user_id — the gap flag
-    * (`lag`) and the running session index (`sum`) — then one keyed
-    * aggregate on (user, session). Everything after the single shuffle on
-    * user_id is cluster-local; no self-join, no global sort. Ties at equal
-    * ts are ordered by event_id so both engines see identical lag chains.
-    * Money is summed as integer cents. */
   /** Gaps-and-islands sessionization over an (user_id, ts_us, event_id)
     * frame: appends `new_sess` (30-min-default inactivity gap, ties at
     * equal ts ordered by event_id so every engine sees identical lag
@@ -212,6 +201,17 @@ object Temporal {
       .withColumn("session_id", sum(col("new_sess")).over(run))
   }
 
+  /** Batch sessionization (gaps-and-islands): per-user sessions delimited by
+    * a 30-minute inactivity gap — the batch twin of a03's streaming
+    * `session_window` (backfills and reprocessing runs need the same
+    * sessions from the batch path, and their outputs must agree).
+    *
+    * Scale design: two window passes partitioned by user_id — the gap flag
+    * (`lag`) and the running session index (`sum`) — then one keyed
+    * aggregate on (user, session). Everything after the single shuffle on
+    * user_id is cluster-local; no self-join, no global sort. Ties at equal
+    * ts are ordered by event_id so both engines see identical lag chains.
+    * Money is summed as integer cents. */
   private def q43(s: SparkSession, dir: String): DataFrame = {
     sessionized(t(s, dir).events
         .select(col("event_id"), col("user_id"),

@@ -33,6 +33,13 @@ object EwmaStream {
   val SpikeCents = 9000L
 
   def apply(in: Dataset[EwmaIn], lookback: Int = 8): Dataset[EwmaOut] = {
+    // plan-time config, fail construction: lookback=0 makes den=0 →
+    // 0/0.0=NaN → BigDecimal(NaN) throws in the EXECUTOR and kills the
+    // query; lookback>=63 reaches den<=0 the slow way once the window
+    // fills (1L<<63 is negative, shift is mod 64)
+    require(lookback >= 1 && lookback <= 62,
+      s"lookback must be in [1, 62] (got $lookback): the dyadic weights " +
+        "use (1L << size) - 1, which degenerates outside that range")
     implicit val stateEnc = Encoders.product[EwmaState]
     implicit val outEnc = Encoders.product[EwmaOut]
     in.groupByKey(_.userId)(Encoders.scalaLong)

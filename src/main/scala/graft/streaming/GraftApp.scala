@@ -62,13 +62,21 @@ final class GraftApp(
         val w = batchWiring(entity)
         engine.startBatchRoute(route, w.middleware, w.handler, trigger)
       }
-    if (modes.contains(Mode.Worker))
+    if (modes.contains(Mode.Worker)) {
       cfg.streamRoutes.foreach { case (entity, route) =>
         val w = streamWiring(entity)
-        if (route.exactRetryRelease)
-          engine.startExactRetryReader(route, w.middleware, w.handler)
-        else
-          engine.startRetryReader(route, w.middleware, w.handler, trigger)
+        // gated like the channel reader below: with retry disabled the
+        // dispatcher never writes the retry topic (retry dispositions
+        // dead-letter immediately), so a reader would poll an
+        // always-empty topic forever. The instant worker stays
+        // unconditional — the DLQ (and so dead-set replay) is reachable
+        // without retry via direct dead_letter dispositions.
+        if (route.retry.enabled) {
+          if (route.exactRetryRelease)
+            engine.startExactRetryReader(route, w.middleware, w.handler)
+          else
+            engine.startRetryReader(route, w.middleware, w.handler, trigger)
+        }
         engine.startInstantWorker(route, w.middleware, w.handler, trigger)
         route.channels.foreach { case (ch, chCfg) =>
           engine.startChannelWorker(route, ch, w.middleware, w.handler, trigger)
@@ -79,6 +87,19 @@ final class GraftApp(
               w.middleware, w.handler, trigger)
         }
       }
+      // batch entities complete their cycles too: the readers above
+      // consume only stream entities' topics, so a batch handler's
+      // retryable records (and dead-set replays) were parked in topics
+      // nothing consumed
+      cfg.batchRoutes.foreach { case (entity, route) =>
+        val w = batchWiring(entity)
+        if (route.retry.enabled)
+          engine.startBatchRetryReader(route, w.middleware, w.handler,
+            trigger)
+        engine.startBatchInstantWorker(route, w.middleware, w.handler,
+          trigger)
+      }
+    }
     if (modes.contains(Mode.ApiServer)) {
       val s = new ManagementServer(spark, engine, cfg.httpPort, userRoutes)
       s.start()
@@ -111,7 +132,12 @@ object GraftApp {
       batchWiring: Map[String, RouteWiring] = Map.empty,
       failurePolicy: FailurePolicy = FailurePolicy.StopQuery,
       trigger: Trigger = Trigger.AvailableNow(),
-      env: Map[String, String] = sys.env): GraftApp =
+      env: Map[String, String] = sys.env,
+      userRoutes: Seq[UserRoute] = Nil): GraftApp =
+    // userRoutes passes through — without it the config-file boot path
+    // could never mount user HTTP routes on the ApiServer (the two boot
+    // paths silently diverged in capability)
     new GraftApp(spark, ConfigLoader.loadFile(configPath, env), topics,
-      checkpointDir, streamWiring, batchWiring, failurePolicy, trigger)
+      checkpointDir, streamWiring, batchWiring, failurePolicy, trigger,
+      userRoutes)
 }

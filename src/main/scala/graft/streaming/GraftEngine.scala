@@ -375,6 +375,68 @@ final class GraftEngine(
       .start())
   }
 
+  /** Retry reader for a BATCH route: the due-filter cycle of
+    * [[startRetryReader]], re-dispatching through the batch contract
+    * ({skip, retry} — [[Dispatch.dispatchBatchRoute]]). Without it a
+    * batch handler's retryable records were parked in the batch
+    * entity's retry topic forever — Worker mode's readers consumed only
+    * STREAM entities' topics, the same silent-loss class the channel
+    * retry reader closed for channels. */
+  def startBatchRetryReader(route: BatchRouteConfig,
+      middleware: DataFrame => DataFrame,
+      handler: Dispatch.Handler,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val entity = route.topicEntity
+    val src = topics.readStream(spark, EngineConfig.retryTopic(entity))
+    track(s"retry-batch-$entity", () => src.writeStream
+      .queryName(s"retry-batch-$entity")
+      .option("checkpointLocation", s"$checkpointDir/retry-batch-$entity")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.cache()
+        try {
+          // one pinned `now` per micro-batch — same exactly-once
+          // due/notDue split contract as startRetryReader
+          val now = RetryEngine.pinnedNow()
+          val due = RetryEngine.due(cached, now)
+          val notDue = RetryEngine.notDue(cached, now)
+          if (!notDue.isEmpty) topics.appendIdempotent(notDue,
+            EngineConfig.retryTopic(entity),
+            s"retry-batch-$entity-$batchId-requeue")
+          val counts = Dispatch.dispatchBatchRoute(route, topics, handler,
+            Some(s"retry-batch-$entity-$batchId"))(
+            middleware(Pipeline.enrichMetadata(due, route.retry.count)))
+          metrics.recordDispatch(entity, counts)
+        } finally cached.unpersist()
+      }
+      .start())
+  }
+
+  /** Instant-topic worker for a BATCH route: consumes the batch entity's
+    * dead-set replays through the batch contract. Replay appends to
+    * `<entity>_instant` regardless of route kind, and a batch DLQ is
+    * reachable even with retry disabled (every retry disposition
+    * dead-letters immediately then) — so without this worker a batch
+    * entity's replays were re-published into a topic nothing consumed. */
+  def startBatchInstantWorker(route: BatchRouteConfig,
+      middleware: DataFrame => DataFrame,
+      handler: Dispatch.Handler,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val entity = route.topicEntity
+    val src = topics.readStream(spark, EngineConfig.instantTopic(entity))
+    track(s"instant-batch-$entity", () => src.writeStream
+      .queryName(s"instant-batch-$entity")
+      .option("checkpointLocation", s"$checkpointDir/instant-batch-$entity")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counts = Dispatch.dispatchBatchRoute(route, topics, handler,
+          Some(s"instant-batch-$entity-$batchId"))(
+          middleware(Pipeline.enrichMetadata(batch, route.retry.count)))
+        metrics.recordDispatch(entity, counts)
+      }
+      .start())
+  }
+
   /** Start a batch route (S3/E7, kafka_consumer/consumer_handler.clj):
     * polled bounded batches ≈ AvailableNow with maxFilesPerTrigger; the
     * handler's output is constrained to {skip, retry} and offsets commit

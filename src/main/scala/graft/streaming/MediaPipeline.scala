@@ -79,12 +79,17 @@ object MediaPipeline {
       }
       def readInt(): Int = {
         skipSpace()
-        var v = 0
+        // accumulate in Long and clamp: a 10+-digit header number wraps
+        // Int silently (12884901889 ≡ 1 mod 2^32 → bogus ok=true with
+        // w=1), defeating the overflow defense on `need` below — clamp
+        // to an impossible dimension so the bad-dimensions branch fires
+        var v = 0L
         var any = false
         while (i < blob.length && blob(i) >= '0' && blob(i) <= '9') {
-          v = v * 10 + (blob(i) - '0'); i += 1; any = true
+          v = math.min(v * 10 + (blob(i) - '0'), Int.MaxValue.toLong)
+          i += 1; any = true
         }
-        if (!any) -1 else v
+        if (!any) -1 else v.toInt
       }
       val w = readInt(); val h = readInt(); val maxval = readInt()
       // pixel byte count in Long arithmetic: a crafted header like
@@ -179,9 +184,17 @@ object MediaPipeline {
     * to n_frames — pure column math over the decoded metadata, so the frame
     * extraction stage receives (media_id, frame_idx) work units it can
     * repartition freely. */
-  def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
-    decoded.filter(col("ok") && col("kind") === "video")
+  def sampleFrames(decoded: DataFrame, stride: Int): DataFrame = {
+    // stride is plan-time config — fail construction, not the job
+    require(stride > 0, s"stride must be > 0 (got $stride)")
+    // n_frames > 0: sequence(0, -1, stride) THROWS ('Illegal sequence
+    // boundaries'), so one zero-frame container from a decoder would
+    // fail every row of the job instead of being skipped — a zero-frame
+    // video has no frames to sample, which is a filter, not an error
+    decoded.filter(col("ok") && col("kind") === "video"
+        && col("n_frames") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("media_id"), col("frame_idx"))
+  }
 }

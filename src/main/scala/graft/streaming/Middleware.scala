@@ -99,8 +99,14 @@ object Middleware {
 
   /** E9: split (parsed, corrupt). Corrupt rows keep their raw `value` bytes
     * so the DLQ holds the original payload, exactly like the reference
-    * publishing the still-serialized payload (messaging/consumer.clj:28-48). */
-  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) =
-    (df.filter(col("message").isNotNull),
-      df.filter(col("message").isNull).drop("message"))
+    * publishing the still-serialized payload (messaging/consumer.clj:28-48).
+    * `parsedCol` names the decoder's output column: "message" for
+    * [[json]]/[[proto]], "message_json" for [[protoStruct]] (M2) — the
+    * old hard-coded "message" made the documented
+    * `splitCorrupt(protoStruct(df))` composition fail with an
+    * unresolved-column error, leaving M2 corrupt rows no DLQ route. */
+  def splitCorrupt(df: DataFrame,
+      parsedCol: String = "message"): (DataFrame, DataFrame) =
+    (df.filter(col(parsedCol).isNotNull),
+      df.filter(col(parsedCol).isNull).drop(parsedCol))
 }

@@ -85,6 +85,41 @@ class AppSpec extends SparkSuite {
     app.stop()
   }
 
+  test("Worker mode gates the route retry reader on retry.enabled (a " +
+      "disabled route's dispatcher never writes its retry topic, so a " +
+      "reader would poll an always-empty topic forever) and completes " +
+      "BATCH cycles: retry-batch + instant-batch readers per batch route") {
+    val dir = tmpDir("appworker")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val sroute = StreamRouteConfig("sn", "sn_origin") // retry DISABLED
+    val broute = BatchRouteConfig("bn", "bn_origin",
+      retry = RetryConfig(enabled = true, count = 1, queueTimeoutMs = 0L))
+    val cfg = EngineConfig(
+      streamRoutes = Map("sn" -> sroute),
+      batchRoutes = Map("bn" -> broute))
+    val app = new GraftApp(spark, cfg, topics, s"$dir/ckpt",
+      streamWiring = Map("sn" -> RouteWiring(identity,
+        Dispatch.ExprHandler(lit("success")))),
+      batchWiring = Map("bn" -> RouteWiring(identity,
+        Dispatch.ExprHandler(lit("skip")))),
+      // a running trigger keeps the workers active for the assertions
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    topics.provision("sn", Nil)
+    topics.provision("bn", Nil)
+    app.start(Set(Mode.Worker))
+    try {
+      val names = app.engine.runningQueries.keySet
+      assert(!names.contains("retry-sn") && !names.contains("retry-exact-sn"),
+        s"retry-disabled route must get no retry reader: $names")
+      assert(names.contains("instant-sn"),
+        s"instant worker is unconditional (DLQ reachable without retry): $names")
+      assert(names.contains("retry-batch-bn"),
+        s"batch retry cycle needs its reader: $names")
+      assert(names.contains("instant-batch-bn"),
+        s"batch replays need their worker: $names")
+    } finally app.stop()
+  }
+
   test("missing wiring for a declared route is rejected") {
     val dir = tmpDir("app2")
     val cfg = EngineConfig(streamRoutes =

@@ -55,4 +55,17 @@ class EwmaStreamSpec extends SparkSuite {
     assert(diffs.isEmpty,
       s"stream/batch diverged on ${diffs.size} rows, first: ${diffs.take(3)}")
   }
+
+  test("lookback outside [1, 62] fails at plan construction, not as a " +
+      "NaN→BigDecimal NumberFormatException in the executor: den = " +
+      "(1L << size) - 1 is 0 at lookback 0 and degenerates past 62 " +
+      "(Java shifts are mod 64)") {
+    val sess = spark
+    import sess.implicits._
+    val empty = sess.emptyDataset[EwmaIn]
+    intercept[IllegalArgumentException](EwmaStream(empty, lookback = 0))
+    intercept[IllegalArgumentException](EwmaStream(empty, lookback = 63))
+    intercept[IllegalArgumentException](EwmaStream(empty, lookback = -1))
+    EwmaStream(empty, lookback = 62) // boundary constructs fine
+  }
 }

@@ -65,6 +65,38 @@ class MediaDecodeSpec extends SparkSuite {
       "fixture self-check: stub features differ from true dimensions")
   }
 
+  test("a 10+-digit PPM header dimension is an error row, not a " +
+      "wrapped-Int bogus ok=true (12884901889 ≡ 1 mod 2^32 decoded as " +
+      "width=1 before the Long-accumulating readInt)") {
+    val sess = spark
+    import sess.implicits._
+    val crafted = "P6 12884901889 1 255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3)
+    val media = Seq(MediaRecord(1L, "image", crafted,
+      "image/x-portable-pixmap")).toDS()
+    val rows = MediaPipeline.decodeAll(media, PpmDecoder.decode).collect()
+    assert(rows.length == 1 && !rows(0).ok,
+      s"crafted overflow header must fail, got ${rows(0)}")
+    assert(rows(0).error == "bad dimensions", rows(0).error)
+  }
+
+  test("sampleFrames skips zero-frame containers instead of crashing the " +
+      "job (sequence(0,-1,stride) throws), and rejects stride <= 0 at " +
+      "plan construction") {
+    val sess = spark
+    import sess.implicits._
+    val decoded = Seq(
+      (1L, true, "video", 10),
+      (2L, true, "video", 0), // zero-frame container from a real decoder
+      (3L, false, "video", 7) // decode error: never sampled
+    ).toDF("media_id", "ok", "kind", "n_frames")
+    val frames = MediaPipeline.sampleFrames(decoded, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(frames == Set((1L, 0), (1L, 5)), frames)
+    intercept[IllegalArgumentException](
+      MediaPipeline.sampleFrames(decoded, stride = 0))
+  }
+
   test("m03's blockhash fold over genuinely decoded luma planes: a " +
       "brightness-shifted re-encode collides with its original, a " +
       "different image does not") {

@@ -172,4 +172,28 @@ class PipelineSpec extends SparkSuite {
     assert(c.length == 1
       && c(0).getAs[Array[Byte]]("value").sameElements(Array[Byte](0x0f)))
   }
+
+  test("M2 corrupt routing: splitCorrupt over protoStruct's message_json " +
+      "column — the hard-coded 'message' made the documented " +
+      "splitCorrupt(protoStruct(df)) composition fail with an " +
+      "unresolved-column error, leaving M2 corrupt rows no DLQ route") {
+    val sess = spark
+    import sess.implicits._
+    // Struct{"b":"x"} hand-encoded per struct.proto: entry key 0a 01 62,
+    // value 12 03 (string_value 1a 01 78)
+    val entryB = Array[Byte](0x0a, 0x01, 0x62, 0x12, 0x03, 0x1a, 0x01, 0x78)
+    val wire = Array[Byte](0x0a, entryB.length.toByte) ++ entryB
+    val rows = Seq(
+      Envelope("k1".getBytes, wire, "t", 0, 0L,
+        ts("2024-01-01 00:00:00"), "t"),
+      Envelope("k2".getBytes, Array[Byte](0x0f), "t", 0, 1L,
+        ts("2024-01-01 00:00:00"), "t")).toDF()
+    val (ok, corrupt) =
+      Middleware.splitCorrupt(Middleware.protoStruct(rows), "message_json")
+    val m = ok.select("message_json").collect()
+    assert(m.length == 1 && m(0).getString(0) == """{"b":"x"}""", m.toSeq)
+    val c = corrupt.collect()
+    assert(c.length == 1
+      && c(0).getAs[Array[Byte]]("value").sameElements(Array[Byte](0x0f)))
+  }
 }

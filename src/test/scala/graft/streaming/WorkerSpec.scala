@@ -120,6 +120,50 @@ class WorkerSpec extends SparkSuite {
     engine.stopAll()
   }
 
+  test("batch-route retry cycle COMPLETES: the batch retry reader " +
+      "consumes the batch entity's retry topic (previously nothing did — " +
+      "retryable batch records were parked forever, never retried, never " +
+      "dead-lettered) and the batch instant worker reprocesses dead-set " +
+      "replays through the batch contract") {
+    val dir = tmpDir("batchretry")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val route = BatchRouteConfig("bt", "bt_origin",
+      retry = RetryConfig(enabled = true, count = 1,
+        backoffType = BackoffType.Linear, queueTimeoutMs = 0L))
+    val engine = new GraftEngine(spark,
+      EngineConfig(batchRoutes = Map("bt" -> route)), topics, s"$dir/ckpt")
+    topics.append(envelopes("bt", Seq(
+      ("k1", "fine", new java.sql.Timestamp(System.currentTimeMillis)),
+      ("k2", "flaky", new java.sql.Timestamp(System.currentTimeMillis)))),
+      "bt_origin")
+
+    // E7 contract: only {skip, retry}; k2 always retries
+    val handler = Dispatch.ExprHandler(
+      when(col("key").cast("string") === "k1", "skip").otherwise("retry"))
+    engine.startBatchRoute(route, identity, handler, Trigger.AvailableNow())
+      .awaitTermination()
+    assert(engine.metrics.count("bt.message.skip") == 1)
+    assert(topics.read(spark, "bt_retry").count() == 1,
+      "the retryable record lands in the batch entity's retry topic")
+
+    // the reader drains the cycle: second failure exhausts count=1 into
+    // the batch entity's own DLQ
+    engine.startBatchRetryReader(route, identity, handler,
+      Trigger.AvailableNow()).awaitTermination()
+    assert(topics.read(spark, "bt_dead_letter").count() == 1,
+      "the exhausted batch record must reach the batch DLQ")
+
+    // dead-set replay re-publishes to bt_instant; the batch instant
+    // worker reprocesses it (skip this time)
+    assert(engine.deadSet.replay(spark, "bt", 5) == 1)
+    val skipAll = Dispatch.ExprHandler(lit("skip"))
+    engine.startBatchInstantWorker(route, identity, skipAll,
+      Trigger.AvailableNow()).awaitTermination()
+    assert(engine.metrics.count("bt.message.skip") == 2,
+      "the replayed record must flow through the batch contract")
+    engine.stopAll()
+  }
+
   test("unknown channel name is rejected") {
     val dir = tmpDir("chan2")
     val topics = new FileTopicIO(s"$dir/topics")
