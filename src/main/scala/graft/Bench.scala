@@ -67,27 +67,50 @@ object Bench {
           org.apache.spark.sql.DataFrame)
           .andThen(Pipeline.dedupWithinWatermark(Seq("key")))
       else Middleware.json(schema)
-    val t0 = System.nanoTime()
-    engine.startStreamRoute(route, middleware, handler,
-      Trigger.AvailableNow()).awaitTermination()
-    val sec = (System.nanoTime() - t0) / 1e9
-    engine.stopAll()
-    (sec, n / sec)
+    try {
+      val t0 = System.nanoTime()
+      engine.startStreamRoute(route, middleware, handler,
+        Trigger.AvailableNow()).awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, n / sec)
+    } finally {
+      // ALWAYS decommission: a failed pass that skipped stopAll left the
+      // dead engine's lifecycle listener registered with 'route-bench'
+      // still mapped — the next pass's same-named query would bind into
+      // the dead engine's failure policy (the exact stale-engine hazard
+      // stopAll's doc warns about). And drop the pass's topic/checkpoint
+      // tree: ~8 passes × up to 5M-event parquet logs otherwise pile up
+      // multi-GB of /tmp debris per bench round, and on a small tmpfs
+      // the later long passes fail with no-space errors that read as
+      // throughput regressions.
+      try engine.stopAll()
+      catch { case scala.util.control.NonFatal(_) => () }
+      deleteTree(java.nio.file.Paths.get(base))
+    }
   }
+
+  /** Best-effort recursive delete (cleanup must never fail a pass). */
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach { q =>
+            try java.nio.file.Files.delete(q)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        finally walk.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(_.toIntOption).getOrElse(32)
+    // ONE canonical builder (GraftSession) for every main: the
+    // hand-rolled copies had already drifted (Verify ran without AQE,
+    // PlanProbe pinned 32 shuffle partitions under a CPUS-sized master)
+    val spark = GraftSession.build("graft-bench", s"local[$cpus]", cpus)
 
     val names = SparkEntry.headlines
     // one warmup pass on the smallest SF to JIT/codegen before timing
@@ -189,13 +212,33 @@ object Bench {
     // polluted single pass). Each pass builds a fresh topic/checkpoint
     // dir, so every run pays the full cold route.
     val streamJsonStr = try {
-      streamThroughput(spark, 20000L)
-      // SPARK_GRAFT_STREAM_N: long-horizon override (events/s must hold at
-      // 10× the default — guards the emulation's append path against
-      // topic-size-dependent cost creeping back in)
-      val streamN = sys.env.get("SPARK_GRAFT_STREAM_N").map(_.toLong)
+      // warmup: its failure is a warning, not a reason to skip measuring
+      try streamThroughput(spark, 20000L)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] stream warmup failed: ${e.getMessage}")
+      }
+      // SPARK_GRAFT_STREAM_N: short-horizon override. toLongOption: a
+      // malformed value degrades (warn + default) like every other env
+      // knob — bare .toLong threw into the outer catch and shipped an
+      // artifact with NO stream keys for a typo
+      val streamN = sys.env.get("SPARK_GRAFT_STREAM_N")
+        .map(v => v.toLongOption.getOrElse {
+          System.err.println(
+            s"[bench] ignoring malformed SPARK_GRAFT_STREAM_N='$v'")
+          500000L
+        })
         .getOrElse(500000L)
-      val runs = (1 to streamPassCount).map(_ => streamThroughput(spark, streamN))
+      // per-pass try, same degradation contract as the long passes: one
+      // transient pass failure must cost ONE measurement, never discard
+      // the other short passes and skip the long/rocksdb passes entirely
+      val runs = (1 to streamPassCount).flatMap { i =>
+        try Some(streamThroughput(spark, streamN))
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] stream pass $i failed: ${e.getMessage}")
+          None
+        }
+      }
       // ONE long-horizon pass at 10× (override: SPARK_GRAFT_STREAM_LONG_N;
       // 0 disables): its events/s should hold near the short-horizon
       // number — degradation here means O(topic-size) cost crept into
@@ -257,7 +300,11 @@ object Bench {
             case (k, None)    => spark.conf.unset(k)
           }
         } else Nil
-      streamJson(streamN, runs, longN, longRuns, rocksLongRuns)
+      if (runs.isEmpty) {
+        System.err.println(
+          "[bench] every short stream pass failed; no stream keys")
+        ""
+      } else streamJson(streamN, runs, longN, longRuns, rocksLongRuns)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
       ""
@@ -291,7 +338,16 @@ object Bench {
   val CalibrationIdleRefDefault = 0.54
 
   def calibrationIdleRef: Double =
-    sys.env.get("SPARK_GRAFT_CAL_IDLE").map(_.toDouble)
+    // toDoubleOption: this is first read AFTER every query and stream
+    // pass has completed — a bare .toDouble on a typo'd env var crashed
+    // the bench at the finish line, discarding the whole run's
+    // measurements
+    sys.env.get("SPARK_GRAFT_CAL_IDLE")
+      .map(v => v.toDoubleOption.getOrElse {
+        System.err.println(
+          s"[bench] ignoring malformed SPARK_GRAFT_CAL_IDLE='$v'")
+        CalibrationIdleRefDefault
+      })
       .getOrElse(CalibrationIdleRefDefault)
 
   /** Absolute trigger: even the BEST calibration of the run exceeding

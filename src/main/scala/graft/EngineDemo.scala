@@ -17,14 +17,7 @@ import org.apache.spark.sql.types._
 object EngineDemo {
   def main(args: Array[String]): Unit = {
     val hold = args.headOption.map(_.toInt).getOrElse(0)
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build("graft-demo", "local[4]", 4)
 
     val base = java.nio.file.Files.createTempDirectory("graft-demo").toString
     val topics = new FileTopicIO(s"$base/topics")

@@ -37,8 +37,33 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // Spark 4 refuses TIMESTAMP(NANOS) parquet columns without this
+    // legacy flag (they read as LongType; Tables.events then truncates
+    // to micros). Session-global by necessity — the flag has no
+    // per-read form — so it belongs HERE, visible at session build,
+    // not as a hidden side effect of a table accessor.
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (rocksdbStateStore) rocksdbConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
+    // getOrCreate RETURNS an existing session with every builder conf
+    // silently ignored — a caller that requested RocksDB state would
+    // run stateful streams on the in-heap provider while believing
+    // otherwise (an executor-OOM at scale). SQL confs are
+    // runtime-settable, so apply the ones that matter on the reused
+    // session; warn where a reused immutable conf diverges.
+    if (rocksdbStateStore &&
+        !spark.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+          .contains(RocksDbProvider)) {
+      System.err.println("[graft] reusing an existing SparkSession: " +
+        "applying RocksDB state-store confs at runtime")
+      rocksdbConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      System.err.println("[graft] WARNING: reused session timezone is " +
+        s"'${spark.conf.get("spark.sql.session.timeZone")}', not UTC — " +
+        "oracle/cross-engine timestamp parity is not guaranteed " +
+        "(runtime-settable: spark.conf.set(\"spark.sql.session.timeZone\", \"UTC\"))")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -24,27 +24,24 @@ object PlanProbe {
       case Array() => SparkEntry.headlines.toArray
       case xs => xs
     }
-    val builder = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .appName("graft-planprobe")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(_.toIntOption).getOrElse(32)
+    // canonical builder: the hand-rolled copy pinned 32 shuffle
+    // partitions regardless of the CPUS-sized master
+    val spark = GraftSession.build("graft-planprobe", s"local[$cpus]", cpus)
     // ad-hoc conf overrides for plan experiments, e.g.
-    // SPARK_GRAFT_CONF="spark.sql.autoBroadcastJoinThreshold=-1"
+    // SPARK_GRAFT_CONF="spark.sql.autoBroadcastJoinThreshold=-1" —
+    // applied at runtime (SQL confs are runtime-settable; plan
+    // experiments only ever need SQL confs)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";;").foreach { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => builder.config(k, v)
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
         case _ if kv.trim.isEmpty => () // tolerate trailing/double ';;'
         case _ => System.err.println(
           s"PlanProbe: ignoring malformed SPARK_GRAFT_CONF entry '$kv' " +
             "(expected key=value)")
       }
     })
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     // --overlap-preflight: price the overlap rewrite's pair-probe over
     // the corpus shingle relation BEFORE running it (SkewTools
     // .overlapJoinPreflight) — a hot element prints as a diagnosed WARN,

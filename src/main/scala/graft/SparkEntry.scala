@@ -17,6 +17,15 @@ object SparkEntry {
       MultimodalOps.defs ++ CorpusPipeline.defs ++ Sampling.defs ++
       LayoutOps.defs
 
+  // duplicate names would silently last-win in every toMap below: Verify
+  // would dump and oracle-check the WRONG builder under the name while
+  // Bench times the survivor TWICE (headlines keeps both Seq entries) —
+  // no test pins uniqueness, so the guard lives at the source
+  require(registry.map(_._1).distinct.size == registry.size,
+    "duplicate operator names in the registry: " +
+      registry.groupBy(_._1).collect { case (n, ds) if ds.size > 1 => n }
+        .mkString(", "))
+
   private val regMap: Map[String, QueryDef] = registry.toMap
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

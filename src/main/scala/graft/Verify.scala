@@ -9,15 +9,13 @@ object Verify {
     // optional extra args: restrict the dump to the named queries (local
     // iteration); the driver's 2-arg invocation dumps everything.
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(_.toIntOption).getOrElse(4)
+    // canonical builder: the hand-rolled copy here ran WITHOUT AQE, so
+    // correctness dumps executed different physical plans than Bench
+    // timed — results were identical (values, not plans, are compared),
+    // but the drift class is exactly what one builder prevents
+    val spark = GraftSession.build("graft-verify", s"local[$cpus]", cpus)
     run(spark, sfDir, outDir, only)
     // exit 0 even with failures: the driver must still run the DuckDB
     // compare over the successful dumps — the markers carry the bad news.
@@ -46,6 +44,22 @@ object Verify {
         errors(name) = msg.linesIterator.take(3).mkString(" ").take(500)
         System.err.println(s"[verify] $name FAILED: ${errors(name)}")
         val d = new java.io.File(s"$outDir/$name")
+        // clear STALE parquet first: a reused outDir whose previous run
+        // dumped this query successfully would otherwise keep last
+        // run's part-files BESIDE the new _ERROR marker — a driver that
+        // globs <name>/*.parquet then reads stale-but-correct rows and
+        // passes a query that no longer runs (the exact masking this
+        // error path exists to prevent)
+        if (d.isDirectory)
+          Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+            try {
+              if (f.isDirectory) {
+                Option(f.listFiles()).getOrElse(Array.empty)
+                  .foreach(g => g.delete())
+              }
+              f.delete()
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
         d.mkdirs()
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), errors(name))
       }

@@ -42,6 +42,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // SESSION-GLOBAL, deliberately not restored: the flag is read at
+    // scan-planning time (actions run long after this accessor), so a
+    // set-and-restore would plan later executions with it OFF and fail
+    // on nanos files. GraftSession.build sets it at session build —
+    // this set covers sessions built elsewhere. Consequence a caller
+    // must know: any OTHER nanos-timestamp parquet read on this session
+    // also surfaces as LongType from here on (Spark offers no
+    // per-read form of the flag).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = p("events")
     df.schema("ts").dataType match {

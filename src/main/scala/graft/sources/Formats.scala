@@ -139,6 +139,14 @@ object Formats {
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 4, outFiles: Int = 32): Unit = {
     require(cols.nonEmpty && bits >= 1 && bits <= 8)
+    // the Morton key is one Long: shift amounts reach
+    // (bits-1)*cols+bits-ish, and Long shifts are mod 64 — past 64 the
+    // interleave silently WRAPS, colliding bits across dimensions; the
+    // write would succeed and look healthy while the co-location payoff
+    // the layout exists for is destroyed
+    require(bits * cols.length <= 64,
+      s"bits * cols (${bits * cols.length}) must be <= 64: the z-key " +
+        "is a single Long — reduce bits or split the dimensions")
     val n = 1 << bits
     val probs = (1 until n).map(_.toDouble / n).toArray
     // ONE quantile job for every z-order column (the multi-column
@@ -177,7 +185,20 @@ object Formats {
       targetFileBytes: Long = 128L << 20): (Int, Int) = {
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+    // Hive-partitioned layouts (key=value subdirs) must be rejected
+    // loudly, not silently flattened: the non-recursive listing sees no
+    // part- files (totalBytes=0 → ONE output file), and the blind
+    // read+rewrite would funnel the whole table through one task AND
+    // fold the partition columns into data columns, destroying pruning.
+    // Compact each partition directory individually instead.
+    val partitionDirs = entries
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(partitionDirs.isEmpty,
+      s"'$inPath' is Hive-partitioned (${partitionDirs.head.getPath.getName}" +
+        ", ...): compact each partition directory separately — a blind " +
+        "rewrite would collapse the partition layout")
+    val parts = entries
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt

@@ -44,8 +44,13 @@ object Dispatch {
       batch.withColumn("disposition", disposition)
   }
 
+  /** `invalid` counts handler returns outside the recognized codes
+    * (typo'd channels, null, arbitrary strings) — those records ALSO
+    * count under `retried`/`deadLettered` as they flow through the
+    * catch-all retry cycle; the separate count is the failure signal
+    * the contract doc promises. */
   final case class Counts(success: Long, skip: Long, retried: Long,
-      deadLettered: Long, toChannels: Long)
+      deadLettered: Long, toChannels: Long, invalid: Long = 0L)
 
   /** Emit through the idempotent path when a replay token is present
     * (SURVEY §7.3.1: replayed micro-batches must not double-publish). */
@@ -71,13 +76,22 @@ object Dispatch {
     // differently-configured routes — takes the documented catch-all to
     // Retry instead (mapper.clj's unrecognized-return contract).
     val knownChannels = route.channels.keys.map(Code.channel).toSeq
+    val known = Set(Code.Success, Code.Skip, Code.Retry, Code.DeadLetter) ++
+      knownChannels
+    // ORIGINAL dispositions are kept (nulls named) so the tallies can
+    // COUNT the catch-all instead of erasing it: the old normalization
+    // folded unknown codes into Retry before counting, so a typo'd
+    // channel name was operationally indistinguishable from genuine
+    // handler failures — rising retry/DLQ metrics with no signal that
+    // the handler was returning garbage. Unknown codes still take the
+    // documented catch-all to Retry (mapper.clj's unrecognized-return
+    // contract), now surfaced via Counts.invalid → `.message.invalid`.
     val handled = handler(batch)
       .withColumn("disposition",
-        when(col("disposition").isin(Code.Success, Code.Skip, Code.DeadLetter)
-          || col("disposition").isin(knownChannels: _*)
-          || col("disposition") === Code.Retry, col("disposition"))
-          .otherwise(lit(Code.Retry)))
+        coalesce(col("disposition"), lit("invalid:null")))
       .cache()
+    val retryBound = col("disposition") === Code.Retry ||
+      !col("disposition").isin(known.toSeq: _*)
     try {
       // Single aggregation job over the cached batch yields every
       // disposition count plus the retryable/exhausted split — the hot path
@@ -85,14 +99,19 @@ object Dispatch {
       // disposition class (five actions at r2; the per-trigger latency
       // multiplier the round-2 audit flagged).
       val tallies = dispositionTallies(handled,
-        if (route.retry.enabled) Some(route.retry) else None)
+        if (route.retry.enabled) Some(route.retry) else None,
+        retryBound = retryBound)
       val success = tallies.total(Code.Success)
       val skip = tallies.total(Code.Skip)
-      val retried = tallies.live(Code.Retry)
-      val exhaustedN = tallies.exhausted(Code.Retry)
+      val invalidN = tallies.invalid(known)
+      // retried/exhausted include the catch-all rows: the written set
+      // below filters on the same retryBound predicate, so counted and
+      // emitted can never drift
+      val retried = tallies.live(Code.Retry) + tallies.liveOutside(known)
+      val exhaustedN =
+        tallies.exhausted(Code.Retry) + tallies.exhaustedOutside(known)
 
-      val toRetry = handled.filter(col("disposition") === Code.Retry)
-        .drop("disposition")
+      val toRetry = handled.filter(retryBound).drop("disposition")
       val (retryable, exhausted) =
         if (route.retry.enabled) RetryEngine.splitRetries(route.retry, toRetry)
         // retries disabled → straight to the DLQ, count untouched
@@ -125,7 +144,7 @@ object Dispatch {
             EngineConfig.channelTopic(entity, ch), token)
         toChannels += n
       }
-      Counts(success, skip, retried, deadLettered, toChannels)
+      Counts(success, skip, retried, deadLettered, toChannels, invalidN)
     } finally handled.unpersist()
   }
 
@@ -141,16 +160,24 @@ object Dispatch {
     def exhausted(code: String): Long = m.getOrElse((code, true), 0L)
     def invalid(allowed: Set[String]): Long =
       m.collect { case ((c, _), n) if !allowed.contains(c) => n }.sum
+    def liveOutside(allowed: Set[String]): Long =
+      m.collect { case ((c, false), n) if !allowed.contains(c) => n }.sum
+    def exhaustedOutside(allowed: Set[String]): Long =
+      m.collect { case ((c, true), n) if !allowed.contains(c) => n }.sum
   }
 
+  /** `retryBound` names the rows that will flow into the retry cycle —
+    * Retry plus the stream path's unknown-code catch-all — so the
+    * exhausted flag is computed for exactly the rows splitRetries will
+    * split, keeping counted and written sets identical. */
   private def dispositionTallies(handled: DataFrame,
-      retryCfg: Option[RetryConfig]): Tallies = {
-    import Envelope.Code
+      retryCfg: Option[RetryConfig],
+      retryBound: Column = col("disposition") === Envelope.Code.Retry)
+      : Tallies = {
     val exhaustedFlag = retryCfg match {
       case Some(cfg) =>
-        col("disposition") === Code.Retry &&
-          coalesce(RetryEngine.exhaustedCol(cfg), lit(false))
-      case None => col("disposition") === Code.Retry
+        retryBound && coalesce(RetryEngine.exhaustedCol(cfg), lit(false))
+      case None => retryBound
     }
     Tallies(handled
       .groupBy(col("disposition"), exhaustedFlag.as("exhausted"))

@@ -69,10 +69,27 @@ object Envelope {
 
   /** Adds any missing nullable envelope columns as typed nulls, so frames
     * built before a column existed (or by minimal producers) still satisfy
-    * the full envelope schema at append time. */
+    * the full envelope schema at append time. Presence matches the
+    * session's column-resolution rules (the same hardening as
+    * KafkaTopicIO.sinkProjection's resolve): under the default
+    * case-INsensitive analysis, an exact-case contains() would miss a
+    * producer's `retrycount` and withColumn would then REPLACE it with a
+    * typed null — persisting the record with its retry state erased, so
+    * every hop restarted the full budget. Multi-variant frames under a
+    * case-insensitive session are genuinely ambiguous and fail loudly. */
   def withOptionalColumns(df: DataFrame): DataFrame =
     optional.foldLeft(df) { (d, f) =>
-      if (d.columns.contains(f.name)) d
+      val matches = d.columns.filter(_.equalsIgnoreCase(f.name))
+      val caseSensitive = org.apache.spark.sql.internal.SQLConf
+        .get.caseSensitiveAnalysis
+      if (matches.length > 1 && !caseSensitive)
+        throw new IllegalArgumentException(
+          s"ambiguous producer frame: columns ${matches.mkString(", ")} " +
+            s"all match '${f.name}' case-insensitively — rename so one " +
+            "canonical column carries the state")
+      val present =
+        if (caseSensitive) matches.contains(f.name) else matches.nonEmpty
+      if (present) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
 

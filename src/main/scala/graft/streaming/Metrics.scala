@@ -71,9 +71,17 @@ final class MetricsRegistry {
   def count(name: String): Long =
     Option(counters.get(name)).map(_.sum).getOrElse(0L)
 
-  def snapshot(): Map[String, Double] =
-    counters.asScala.map { case (k, v) => k -> v.sum.toDouble }.toMap ++
-      gauges.asScala.toMap
+  def snapshot(): Map[String, Double] = {
+    val cs = counters.asScala.map { case (k, v) => k -> v.sum.toDouble }.toMap
+    // a gauge/timing sharing a counter's name must not SHADOW the
+    // monotonic count in the merged view (the plain `++` dropped the
+    // counter silently, and the two export paths — snapshot vs
+    // typedSnapshot — disagreed for the same name): on collision the
+    // gauge is exported under "<name>.gauge" so both values stay visible
+    cs ++ gauges.asScala.toMap.map { case (k, v) =>
+      (if (cs.contains(k)) s"$k.gauge" else k) -> v
+    }
+  }
 
   /** (counters, gauges) separately — exporters that distinguish metric
     * types (Prometheus TYPE lines) need the split. */
@@ -90,6 +98,12 @@ final class MetricsRegistry {
     increment(s"$entity.message.retry", c.retried, tags)
     increment(s"$entity.message.dead_letter", c.deadLettered, tags)
     increment(s"$entity.message.channel", c.toChannels, tags)
+    // the failure signal for handler returns outside the recognized
+    // codes (typo'd channel, null, garbage) — those records also count
+    // under retry/dead_letter as they take the catch-all cycle, so
+    // without this counter a misbehaving handler was indistinguishable
+    // from genuine processing failures
+    increment(s"$entity.message.invalid", c.invalid, tags)
   }
 
   /** Harvests `observe()` metrics (Pipeline.observeReads) from streaming

@@ -28,8 +28,14 @@ object Pipeline {
   def ingestionTime(df: DataFrame,
       now: Column = current_timestamp()): DataFrame =
     df.withColumn("timestamp",
+      // timestamp_millis(0) is the INSTANT epoch, independent of the
+      // session timezone — a string literal cast is interpreted in
+      // session-local time, so in a UTC+X session negative timestamps
+      // in (-X hours, 0) escaped the rescue and the too-old filter then
+      // silently dropped them (the exact loss R1 exists to prevent),
+      // while in UTC-X legitimate small 1970 timestamps were rewritten
       when(col("timestamp").isNull
-        || col("timestamp") < lit("1970-01-01 00:00:00").cast("timestamp"),
+        || col("timestamp") < timestamp_millis(lit(0L)),
         now).otherwise(col("timestamp")))
 
   /** R3 `HeaderTransformer` (header_transformer.clj:5-15): wrap record-level

@@ -254,8 +254,17 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
       .parquet(dir(topic))
   }
 
+  /** File-transport pacing: the parquet source has no per-record budget,
+    * only maxFilesPerTrigger, and each append is one file ≈ one producer
+    * poll batch. Files-per-trigger scales as records / 500 (Kafka's
+    * default max.poll.records — the size a poll batch approximates), so
+    * budgets <= 500 keep the one-file-per-trigger pacing S3's
+    * max-poll-records semantics pin, while [[GraftEngine.scaleRoute]]'s
+    * per-trigger-budget lever actually moves the throughput (it was a
+    * silent no-op before: every budget mapped to 1 file). */
   override def paceOptions(maxPollRecords: Int): Map[String, String] =
-    Map("maxFilesPerTrigger" -> "1")
+    Map("maxFilesPerTrigger" ->
+      math.max(1, maxPollRecords / 500).toString)
 
   def append(df: DataFrame, topic: String): Unit =
     lockFor(topic).synchronized {

@@ -28,4 +28,22 @@ class VerifyMarkersSpec extends SparkSuite {
     assert(Files.list(Paths.get(s"$outGood/q02_agg_pricing"))
       .anyMatch(p => p.toString.endsWith(".parquet")))
   }
+
+  test("a REUSED outDir cannot mask a newly broken query with last " +
+      "round's parquet: the failure path clears stale part-files before " +
+      "writing _ERROR (a driver globbing <name>/*.parquet would read the " +
+      "stale-but-correct rows and pass a query that no longer runs)") {
+    val out = tmpDir("verify-out-reuse")
+    // round N: the query dumps successfully
+    Verify.run(spark, sf0001, out, Set("q02_agg_pricing"))
+    assert(Files.list(Paths.get(s"$out/q02_agg_pricing"))
+      .anyMatch(p => p.toString.endsWith(".parquet")))
+    // round N+1 reuses the SAME outDir and the query now fails
+    val emptySf = tmpDir("verify-badsf2")
+    Verify.run(spark, emptySf, out, Set("q02_agg_pricing"))
+    assert(Files.exists(Paths.get(s"$out/q02_agg_pricing/_ERROR")))
+    assert(!Files.list(Paths.get(s"$out/q02_agg_pricing"))
+      .anyMatch(p => p.toString.endsWith(".parquet")),
+      "stale parquet must be cleared alongside the _ERROR marker")
+  }
 }

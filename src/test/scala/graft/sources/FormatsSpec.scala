@@ -134,6 +134,39 @@ class FormatsSpec extends SparkSuite {
     assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
   }
 
+  test("compaction REJECTS a Hive-partitioned input loudly: the blind " +
+      "rewrite computed totalBytes=0 (non-recursive listing sees only " +
+      "partition dirs), funneled the whole table into ONE file, and " +
+      "folded the partition columns into data columns — pruning destroyed " +
+      "with a healthy-looking (0, 1) return") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val base = tmpDir("compactpart")
+    Formats.writePartitioned(docs, s"$base/bylang", Seq("lang"))
+    val e = intercept[IllegalArgumentException](
+      Formats.compact(spark, s"$base/bylang", s"$base/out"))
+    assert(e.getMessage.contains("Hive-partitioned"), e.getMessage)
+    // per-partition compaction is the documented path, and still works
+    val one = spark.read.parquet(s"$base/bylang").select("lang")
+      .distinct().head.getString(0)
+    val (_, after) = Formats.compact(spark,
+      s"$base/bylang/lang=$one", s"$base/out1", 1L << 30)
+    assert(after == 1)
+  }
+
+  test("z-order rejects bits × cols > 64 at construction: Long shifts " +
+      "are mod 64, so past it the Morton interleave silently wraps and " +
+      "collides bits across dimensions — the write would look healthy " +
+      "while the co-location payoff is destroyed") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(10)
+    val cols9 = Seq.fill(9)("doc_id")
+    val e = intercept[IllegalArgumentException](
+      Formats.writeZOrdered(docs, tmpDir("zbad"), cols9, bits = 8))
+    assert(e.getMessage.contains("<= 64"), e.getMessage)
+    // the boundary itself is fine: 8 cols × 8 bits = 64
+    Formats.writeZOrdered(docs, s"${tmpDir("zok")}/z",
+      Seq.fill(8)("doc_id"), bits = 8, outFiles = 1)
+  }
+
   test("partitioned layout prunes at planning: a lang filter reads only " +
       "that partition's files") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -60,6 +60,10 @@ class DispatchSpec extends SparkSuite {
     val counts = Dispatch.dispatch(route(dir), topics,
       Dispatch.ExprHandler(lit("whatever")))(batch)
     assert(counts.retried == 1)
+    // ...and is COUNTED as invalid (the promised failure signal): folded
+    // silently into retry, a garbage-returning handler was operationally
+    // indistinguishable from genuine processing failures
+    assert(counts.invalid == 1, counts)
   }
 
   test("an UNCONFIGURED channel name takes the retry catch-all instead of " +
@@ -72,6 +76,8 @@ class DispatchSpec extends SparkSuite {
       Dispatch.ExprHandler(lit("channel:c2")))(batch)
     assert(counts.retried == 1 && counts.toChannels == 0,
       s"got $counts — the record must be retried, not dropped")
+    assert(counts.invalid == 1,
+      s"got $counts — the typo must surface in the invalid count")
     assert(topics.read(spark, "app_retry").count() == 1)
     assert(topics.read(spark, "app_channel_c2").count() == 0)
   }

@@ -56,6 +56,22 @@ class MetricsSinkSpec extends AnyFunSuite {
     assert(reg.snapshot()("route.trigger") == 42.0)
   }
 
+  test("a gauge sharing a counter's name cannot SHADOW the monotonic " +
+      "count in snapshot(): the collision exports the gauge under " +
+      "'<name>.gauge' so both values stay visible and snapshot agrees " +
+      "with typedSnapshot") {
+    val reg = new MetricsRegistry
+    reg.increment("route.trigger", 3)
+    reg.timing("route.trigger", 42L) // last-value gauge, same name
+    val snap = reg.snapshot()
+    assert(snap("route.trigger") == 3.0,
+      s"the counter must win the bare name: $snap")
+    assert(snap("route.trigger.gauge") == 42.0, snap)
+    // no collision → gauge keeps its bare name (existing contract)
+    reg.timing("route.latency", 7L)
+    assert(reg.snapshot()("route.latency") == 7.0)
+  }
+
   test("terminateSinks terminates and detaches every sink") {
     val reg = new MetricsRegistry
     val sink = new FakeSink

@@ -83,6 +83,35 @@ class PipelineSpec extends SparkSuite {
     assert(out.getAs[java.sql.Timestamp]("timestamp") != null)
   }
 
+  test("R1's epoch boundary is the INSTANT epoch, not session-local " +
+      "midnight: in a UTC+9 session a corrupt timestamp in (-9h, 0) " +
+      "escaped the string-literal boundary, then the too-old filter " +
+      "silently dropped the record — the exact loss R1 exists to prevent") {
+    // per-session conf: an isolated child session keeps the TZ change
+    // away from concurrently-running suites
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    import sess.implicits._
+    val batch = Seq(("k", "v")).toDF("k", "v").select(
+      col("k").cast("binary").as("key"),
+      col("v").cast("binary").as("value"),
+      lit("t").as("topic"), lit(0).as("partition"), lit(0L).as("offset"),
+      // one hour BEFORE the epoch instant: negative, must be rescued
+      org.apache.spark.sql.functions.timestamp_millis(lit(-3600000L))
+        .as("timestamp"),
+      lit("e").as("topicEntity"))
+    val now = new java.sql.Timestamp(System.currentTimeMillis)
+    val out = Pipeline.ingestionTime(batch, lit(now)).collect()(0)
+    assert(out.getAs[java.sql.Timestamp]("timestamp") == now,
+      s"negative timestamp must be rewritten to now, got $out")
+    // and a small POSITIVE 1970 timestamp is legitimate — never rewritten
+    val pos = batch.withColumn("timestamp",
+      org.apache.spark.sql.functions.timestamp_millis(lit(3600000L)))
+    val kept = Pipeline.ingestionTime(pos, lit(now)).collect()(0)
+    assert(kept.getAs[java.sql.Timestamp]("timestamp").getTime == 3600000L,
+      s"a positive epoch timestamp must be kept, got $kept")
+  }
+
   test("json middleware parses value and corrupt rows split to DLQ path (M3/E9)") {
     val schema = StructType(Seq(StructField("id", IntegerType),
       StructField("name", StringType)))
