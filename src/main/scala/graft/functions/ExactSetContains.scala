@@ -86,7 +86,14 @@ object ExactSetContains {
       maxKeys: Long = 20L * 1000 * 1000): Array[Long] = {
     import org.apache.spark.sql.functions.{col, count_distinct}
     val keyCol = keys.columns.head
-    val n = keys.select(count_distinct(col(keyCol))).head().getLong(0)
+    // the guard must count the SAME set the collect below builds —
+    // distinct AFTER cast-to-long and null filtering. Counting the raw
+    // column spuriously rejected probe sets whose raw values collapse
+    // under the cast (string keys with duplicates-modulo-parse or
+    // non-numeric entries → null) even though the real array fits.
+    val asLong = keys.select(col(keyCol).cast("long").as(keyCol))
+      .where(col(keyCol).isNotNull)
+    val n = asLong.select(count_distinct(col(keyCol))).head().getLong(0)
     require(n <= maxKeys,
       s"exact probe set has $n distinct keys (> $maxKeys): too large for " +
         "a driver-collected confirm array — use the explode + broadcast " +
@@ -96,10 +103,7 @@ object ExactSetContains {
     // collect would transiently hold ~20M boxed rows at the cap
     val sess = keys.sparkSession
     import sess.implicits._
-    keys.select(col(keyCol).cast("long"))
-      .where(col(keyCol).isNotNull)
-      .distinct().sort(col(keyCol))
-      .as[Long].collect()
+    asLong.distinct().sort(col(keyCol)).as[Long].collect()
   }
 
   /** Builds BOTH decontamination support structures — the exact sorted

@@ -27,8 +27,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * pass → candidate set → exact confirm of candidates only (same
   * bloom-then-confirm discipline as p08).
   *
-  * Buffers travel as the sketch's own compact byte serialization —
-  * constant-size, spill-friendly, portable across executors.
+  * Buffer transport is Kryo over the LIVE sketch object (the practical
+  * choice for a typed Aggregator: per-row compact-serde would pay an
+  * O(sketch) round-trip per update). That means shuffle/spill bytes are
+  * the field-serialized hash map at capacity, NOT the compact
+  * `toByteArray` form — callers persisting a sketch long-term should go
+  * through [[toBytes]]/[[fromBytes]], the compact, version-stable wire
+  * form.
   */
 final class FreqItemsAgg(maxMapSize: Int)
     extends Aggregator[String, ItemsSketch[String], Map[String, Long]] {

@@ -87,30 +87,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // equi-join (default ON — see SetOverlapJoinRewrite)
     ext.injectOptimizerRule(spark =>
       new graft.plans.SetOverlapJoinRewrite(spark))
+    // arity-checked builders: a wrong-arity SQL call otherwise threw a
+    // raw IndexOutOfBoundsException from exprs(1) during resolution —
+    // an opaque internal error with no mention of the signature
+    def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+        : Seq[Expression] => Expression =
+      exprs => {
+        if (exprs.length != n)
+          throw new IllegalArgumentException(
+            s"$name expects $n argument(s), got ${exprs.length}")
+        build(exprs)
+      }
     ext.injectFunction((
       new FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming64"),
-      (exprs: Seq[Expression]) => HammingDistance(exprs.head, exprs(1))))
+      arity("hamming64", 2)(e => HammingDistance(e.head, e(1)))))
     ext.injectFunction((
       new FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotDouble].getName, "dot_f64"),
-      (exprs: Seq[Expression]) => DotDouble(exprs.head, exprs(1))))
+      arity("dot_f64", 2)(e => DotDouble(e.head, e(1)))))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sigs"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+      arity("minhash_sigs", 1)(e => MinHashSig(e.head))))
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
-      (exprs: Seq[Expression]) => HyperplaneBucket(exprs.head)))
+      arity("hyperplane_bucket", 1)(e => HyperplaneBucket(e.head))))
     ext.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+      arity("simhash32", 1)(e => SimHash32(e.head))))
     ext.injectFunction((
       new FunctionIdentifier("sorted_pairs"),
       new ExpressionInfo(classOf[SortedPairs].getName, "sorted_pairs"),
-      (exprs: Seq[Expression]) => SortedPairs(exprs.head)))
+      arity("sorted_pairs", 1)(e => SortedPairs(e.head))))
   }
 }
 

@@ -43,7 +43,15 @@ final class MinHashAgg(numHashes: Int)
     a
   }
 
-  override def finish(buf: Array[Long]): Array[Long] = buf
+  /** NULL for the untouched zero buffer (no rows reduced — only a
+    * global aggregate over an empty/fully-filtered Dataset; grouped
+    * aggregation always has ≥1 row per group): all-MaxValue is a
+    * sentinel no real input can produce (one reduce updates EVERY
+    * slot), and emitting it as a "signature" band-joined two empty
+    * inputs as perfect near-duplicates. Same null-for-empty contract
+    * as [[MinHashSig.compute]]. */
+  override def finish(buf: Array[Long]): Array[Long] =
+    if (buf.forall(_ == Long.MaxValue)) null else buf
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Array[Long]] =

@@ -220,6 +220,18 @@ object ProtoWire {
 
   /** One `map<k,v>` entry slice → (key, value); absent key/value take the
     * proto3 default (protobuf-java's map merge behavior). */
+  /** Field number from a tag, with the aliasing guard: proto field
+    * numbers max out at 2^29 − 1, and a corrupt tag past 2^32 would
+    * alias onto a small valid number through a bare `.toInt` and decode
+    * garbage into the wrong column instead of nulling the record out.
+    * The ONE copy of the check — decodeAt had it and the five other
+    * readers (map entries and the whole Struct-JSON family) did not. */
+  private def fieldOf(tag: Long): Int = {
+    val f = tag >>> 3
+    if (f <= 0 || f > ((1L << 29) - 1)) fail()
+    f.toInt
+  }
+
   private def mapEntryOf(buf: Array[Byte], off: Int, end: Int,
       pm: PMap): (Any, Any) = {
     val r = new Reader(buf, off, end)
@@ -227,7 +239,7 @@ object ProtoWire {
     while (r.hasMore) {
       val tag = r.readVarint()
       val wire = (tag & 7).toInt
-      (tag >>> 3).toInt match {
+      fieldOf(tag) match {
         case 1 => k = scalarOf(r, buf, pm.key, wire)
         case 2 => v = scalarOf(r, buf, pm.value, wire)
         case _ => r.skip(wire)
@@ -261,13 +273,8 @@ object ProtoWire {
     var maps: mutable.LongMap[mutable.LinkedHashMap[Any, Any]] = null
     while (r.hasMore) {
       val tag = r.readVarint()
-      val fieldNoL = tag >>> 3
       val wire = (tag & 7).toInt
-      // proto field numbers max out at 2^29 − 1; a corrupt tag past
-      // 2^32 would alias onto a small valid number through .toInt and
-      // decode garbage into the wrong column instead of nulling out
-      if (fieldNoL <= 0 || fieldNoL > ((1L << 29) - 1)) fail()
-      val fieldNo = fieldNoL.toInt
+      val fieldNo = fieldOf(tag)
       msg.byNumber.get(fieldNo) match {
         case None => r.skip(wire)
         case Some((f, i)) if f.repeated =>
@@ -453,11 +460,16 @@ object ProtoWire {
 
   private def encodeRepeated(w: Writer, arr: ArrayData, f: ProtoField): Unit = {
     val n = arr.numElements()
+    // null elements are OMITTED, the same rule the map-value encoder
+    // applies: ProtoEncode's type check deliberately accepts
+    // containsNull=true arrays (repeated proto fields have no null
+    // notion), and an unchecked slot NPE'd on string/bytes/message
+    // elements while a packed numeric silently encoded a garbage 0
     if (isPackable(f.ptype)) {
       val sub = new Writer
       var i = 0
       while (i < n) {
-        f.ptype match {
+        if (!arr.isNullAt(i)) f.ptype match {
           case PInt32 => sub.writeVarint(arr.getInt(i).toLong)
           case PInt64 => sub.writeVarint(arr.getLong(i))
           case PBool => sub.writeVarint(if (arr.getBoolean(i)) 1L else 0L)
@@ -481,7 +493,7 @@ object ProtoWire {
     } else {
       var i = 0
       while (i < n) {
-        f.ptype match {
+        if (!arr.isNullAt(i)) f.ptype match {
           case PString => val s = arr.getUTF8String(i)
             w.writeTag(f.number, 2); w.writeVarint(s.numBytes().toLong)
             w.writeBytes(s.getBytes, 0, s.numBytes())
@@ -535,38 +547,50 @@ object ProtoWire {
       out: java.lang.StringBuilder, depth: Int): Unit = {
     if (depth > MaxStructDepth) fail()
     val r = new Reader(buf, off, end)
-    out.append('{')
-    var first = true
+    // protobuf map-merge semantics: a repeated key keeps the LAST
+    // entry's value (same rule decodeAt applies via its LinkedHashMap).
+    // Streaming entries straight to the output rendered duplicate JSON
+    // keys — {"a":1,"a":2} — where get_json_object returns the FIRST,
+    // inverting the protobuf answer. Key keeps first-seen position.
+    val entries = new mutable.LinkedHashMap[String, String]
     while (r.hasMore) {
       val tag = r.readVarint()
-      if ((tag >>> 3).toInt == 1 && (tag & 7) == 2) {
+      if (fieldOf(tag) == 1 && (tag & 7) == 2) {
         val (eoff, elen) = r.readSlice()
-        if (!first) out.append(',')
-        first = false
-        entryJson(buf, eoff, eoff + elen, out, depth)
+        val (k, v) = entryRendered(buf, eoff, eoff + elen, depth)
+        entries.put(k, v)
       } else r.skip((tag & 7).toInt)
+    }
+    out.append('{')
+    var first = true
+    entries.foreach { case (k, v) =>
+      if (!first) out.append(',')
+      first = false
+      jsonString(k, out)
+      out.append(':')
+      out.append(v)
     }
     out.append('}')
   }
 
-  private def entryJson(buf: Array[Byte], off: Int, end: Int,
-      out: java.lang.StringBuilder, depth: Int): Unit = {
+  private def entryRendered(buf: Array[Byte], off: Int, end: Int,
+      depth: Int): (String, String) = {
     val r = new Reader(buf, off, end)
     var key: String = ""
     var voff = -1; var vend = -1
     while (r.hasMore) {
       val tag = r.readVarint()
-      ((tag >>> 3).toInt, (tag & 7).toInt) match {
+      (fieldOf(tag), (tag & 7).toInt) match {
         case (1, 2) => val (o, l) = r.readSlice()
           key = new String(buf, o, l, java.nio.charset.StandardCharsets.UTF_8)
         case (2, 2) => val (o, l) = r.readSlice(); voff = o; vend = o + l
         case (_, w) => r.skip(w)
       }
     }
-    jsonString(key, out)
-    out.append(':')
-    if (voff < 0) out.append("null")
-    else valueJson(buf, voff, vend, out, depth)
+    val sb = new java.lang.StringBuilder
+    if (voff < 0) sb.append("null")
+    else valueJson(buf, voff, vend, sb, depth)
+    (key, sb.toString)
   }
 
   /** Value oneof: 1 null_value, 2 number_value, 3 string_value,
@@ -579,7 +603,7 @@ object ProtoWire {
     var complex: (Int, Int, Boolean) = null // (off, end, isList)
     while (r.hasMore) {
       val tag = r.readVarint()
-      ((tag >>> 3).toInt, (tag & 7).toInt) match {
+      (fieldOf(tag), (tag & 7).toInt) match {
         case (1, 0) => r.readVarint(); rendered = "null"; complex = null
         case (2, 1) =>
           val d = java.lang.Double.longBitsToDouble(r.readFixed64())
@@ -615,7 +639,7 @@ object ProtoWire {
     var first = true
     while (r.hasMore) {
       val tag = r.readVarint()
-      if ((tag >>> 3).toInt == 1 && (tag & 7) == 2) {
+      if (fieldOf(tag) == 1 && (tag & 7) == 2) {
         val (o, l) = r.readSlice()
         if (!first) out.append(',')
         first = false

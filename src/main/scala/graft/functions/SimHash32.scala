@@ -37,12 +37,21 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "simhash32"
 
+  /** NULL for an empty / all-null token array, not 0L: the aggregate
+    * spelling this replaces emits NO row for such docs (nothing to
+    * explode), and a shared 0 sentinel would hamming-join every empty
+    * doc with every other at distance 0 — the same null-for-empty
+    * contract as [[MinHashSig.compute]]. */
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     SimHash32.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SimHash32$$.MODULE$$.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long r = graft.functions.SimHash32$$.MODULE$$.compute($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.longValue(); }""")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
@@ -52,7 +61,9 @@ object SimHash32 {
   private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
-  def compute(toks: ArrayData): Long = {
+  /** Boxed on purpose (null = empty/all-null token array — see the
+    * expression's nullable note). */
+  def compute(toks: ArrayData): java.lang.Long = {
     val n = toks.numElements()
     val seen = new java.util.HashSet[String]()
     val votes = new Array[Int](32)
@@ -80,10 +91,13 @@ object SimHash32 {
       }
       j += 1
     }
-    var sig = 0L
-    var b = 0
-    while (b < 32) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
-    sig
+    if (seen.isEmpty) null
+    else {
+      var sig = 0L
+      var b = 0
+      while (b < 32) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+      java.lang.Long.valueOf(sig)
+    }
   }
 
   /** Column API: 32-bit SimHash fingerprint of an ARRAY<STRING>. */

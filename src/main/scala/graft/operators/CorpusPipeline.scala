@@ -82,17 +82,13 @@ object CorpusPipeline {
     s"""WITH scored AS (
        |  SELECT doc_id, lang, text,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    CAST(len(list_filter(string_split(text, ' '),
-       |      x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))) AS BIGINT)
-       |      AS n_stop
+       |    ${QualityScore.duckNStop("string_split(text, ' ')")} AS n_stop
        |  FROM documents),
        |quality AS (
        |  SELECT doc_id, lang, text, n_tokens,
-       |    round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
-       |      * least(1.0, n_tokens / 100.0), 4) AS quality_score
+       |    ${QualityScore.duckScore()} AS quality_score
        |  FROM scored
-       |  WHERE round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
-       |      * least(1.0, n_tokens / 100.0), 4) >= 0.3),
+       |  WHERE ${QualityScore.duckScore()} >= 0.3),
        |canonical AS (
        |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(lower(text))),
        |kept AS (
@@ -154,20 +150,16 @@ object CorpusPipeline {
   }
 
   private val p02Sql =
-    """WITH scored AS (
+    s"""WITH scored AS (
       |  SELECT doc_id, lang,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |    CAST(len(list_filter(string_split(text, ' '),
-      |      x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))) AS BIGINT)
-      |      AS n_stop
+      |    ${QualityScore.duckNStop("string_split(text, ' ')")} AS n_stop
       |  FROM documents),
       |quality AS (
       |  SELECT doc_id, lang, n_tokens,
-      |    round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
-      |      * least(1.0, n_tokens / 100.0), 4) AS quality_score
+      |    ${QualityScore.duckScore()} AS quality_score
       |  FROM scored
-      |  WHERE round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
-      |      * least(1.0, n_tokens / 100.0), 4) >= 0.3),
+      |  WHERE ${QualityScore.duckScore()} >= 0.3),
       |packed AS (
       |  SELECT doc_id, lang, n_tokens, quality_score,
       |    sum(n_tokens) OVER (PARTITION BY lang
@@ -287,15 +279,12 @@ object CorpusPipeline {
     s"""WITH scored AS (
        |  SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    CAST(len(list_filter(string_split(text, ' '),
-       |      x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))) AS BIGINT)
-       |      AS n_stop,
+       |    ${QualityScore.duckNStop("string_split(text, ' ')")} AS n_stop,
        |    (${StableHash.duckH60("text")}) % $nShards AS shard
        |  FROM documents),
        |q AS (
        |  SELECT doc_id, n_tokens, shard,
-       |    round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
-       |      * least(1.0, n_tokens / 100.0), 4) AS quality_score
+       |    ${QualityScore.duckScore()} AS quality_score
        |  FROM scored)
        |SELECT shard, CAST(row_number() OVER (PARTITION BY shard
        |    ORDER BY quality_score DESC, doc_id) AS BIGINT) AS pos,
@@ -377,14 +366,11 @@ object CorpusPipeline {
     s"""WITH scored AS (
        |  SELECT doc_id, source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    CAST(len(list_filter(string_split(text, ' '),
-       |      x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))) AS BIGINT)
-       |      AS n_stop
+       |    ${QualityScore.duckNStop("string_split(text, ' ')")} AS n_stop
        |  FROM documents),
        |ranked AS (
        |  SELECT source, doc_id,
-       |    round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
-       |      * least(1.0, n_tokens / 100.0), 4) AS quality_score
+       |    ${QualityScore.duckScore()} AS quality_score
        |  FROM scored)
        |SELECT source, rk, doc_id, quality_score FROM (
        |  SELECT source, doc_id, quality_score,
@@ -765,23 +751,17 @@ object CorpusPipeline {
       .orderBy(col("source"))
   }
 
-  private val p12Sql =
-    """WITH d AS (
+  private val p12Sql = {
+    // the ONE formula, spelled over direct len() expressions (this CTE
+    // has no n_tokens/n_stop aliases in scope at q's position)
+    val q = QualityScore.duckScore(
+      nStop = QualityScore.duckNStop("string_split(text, ' ')"),
+      nTokens = "len(string_split(text, ' '))")
+    s"""WITH d AS (
       |  SELECT source, lang, md5(lower(text)) AS h,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |    round(greatest(0.0, 1.0
-      |        - CAST(len(list_filter(string_split(text, ' '),
-      |            x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow')))
-      |          AS BIGINT) * 2.0
-      |        / CAST(len(string_split(text, ' ')) AS DOUBLE))
-      |      * least(1.0, len(string_split(text, ' ')) / 100.0), 4) AS q,
-      |    CAST(round(round(greatest(0.0, 1.0
-      |        - CAST(len(list_filter(string_split(text, ' '),
-      |            x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow')))
-      |          AS BIGINT) * 2.0
-      |        / CAST(len(string_split(text, ' ')) AS DOUBLE))
-      |      * least(1.0, len(string_split(text, ' ')) / 100.0), 4) * 10000)
-      |      AS BIGINT) AS q4
+      |    $q AS q,
+      |    CAST(round($q * 10000) AS BIGINT) AS q4
       |  FROM documents),
       |hc AS (SELECT h, count(*) AS n_copies FROM d GROUP BY h)
       |SELECT source,
@@ -798,6 +778,7 @@ object CorpusPipeline {
       |FROM d JOIN hc USING (h)
       |GROUP BY source
       |ORDER BY source""".stripMargin
+  }
 
   /** Reproducibility manifest: per training shard (p04's hash assignment),
     * doc/token counts plus an ORDER-FREE content checksum (bit-XOR of

@@ -74,9 +74,10 @@ object DedupOps {
     * appearing in k documents contributes k·(k−1)/2 candidate pairs — one
     * pathological shingle ("all rights reserved …") re-quadratics the whole
     * topology at corpus scale. With the cap, shingles seen in more than F
-    * docs are dropped before the self-join via a
-    * `groupBy(sh).count.filter(≤F)` left-semi join (one extra keyed
-    * aggregate, no driver round-trip), bounding any shingle's pair
+    * docs are dropped by a FREE `size(ids) <= F` filter on the gathered
+    * per-shingle doc lists (the group-and-expand stage already built
+    * them — no separate count + semi-join; see candidatesFromArrays),
+    * bounding any shingle's pair
     * contribution at F². True near-dups keep matching through their rarer
     * shared shingles; only ubiquitous (hence non-discriminative) shingles
     * are lost — the standard trade in shingle-based dedup. */
@@ -331,6 +332,12 @@ object DedupOps {
     t(s, dir).documentsSpread
       .select(col("doc_id"),
         SimHash32.simhash32(split(col("text"), " ")).as("simhash"))
+      // oracle parity: the SQL's unnest emits NO row for a doc with no
+      // tokens, so a null fingerprint (empty/all-null token array —
+      // unreachable via split(), which yields [""] on empty text, but
+      // reachable through other token producers) must drop, not ride
+      // along as a null row the oracle never has
+      .filter(col("simhash").isNotNull)
       .orderBy(col("doc_id"))
 
   private val d04Sql = {
@@ -596,7 +603,7 @@ object DedupOps {
 
   /** Embedding near-dup at scale — the declared composition d05's Scaladoc
     * promises: random-hyperplane LSH bucketing ([[SimilarityOps
-    * .hyperplaneBuckets]]) generates candidates, then ONLY within-bucket
+    * .embWithBuckets]]) generates candidates, then ONLY within-bucket
     * pairs pay the cosine fold. Unlike d05 (blocked on `label`, a column
     * that real corpora don't have), the blocking key here is derived from
     * the vectors themselves, so this is the path a 100 TB user actually
@@ -678,9 +685,14 @@ object DedupOps {
     * per-doc shingle arrays — array_intersect on two per-row arrays,
     * never a corpus-wide pairing. */
   private def d11(s: SparkSession, dir: String): DataFrame = {
+    // cached: arr feeds BOTH pair-side joins and minhashLshPairs
+    // independently rebuilds the same tokenize/shingle/md5×16 lineage —
+    // uncached, the corpus map pass ran 3× per execution (the
+    // shared-frame caching ngramJaccard/d16/d22 already apply)
     val arr = shingleArrays(t(s, dir).documentsSpread)
       .withColumn("sigs", MinHashSig.minhashSigs(col("sh_arr")))
       .select(col("doc_id"), col("sh_arr"), col("n_sh"), col("sigs"))
+      .cache()
     val pairs = minhashLshPairs(t(s, dir).documentsSpread)
     pairs
       .join(arr.select(col("doc_id").as("a_id"), col("sh_arr").as("a_arr"),
@@ -955,8 +967,12 @@ object DedupOps {
     * broadcast by construction. */
   private def d15(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir).documentsSpread
+    // cached: each frame feeds its own count aggregate AND the hits
+    // join — uncached, Spark re-ran the candidate pipelines inside the
+    // one plan (no plan-internal subtree dedup)
     val truePairs = ngramJaccard(docs).select(col("a_id"), col("b_id"))
-    val cand = minhashLshPairs(docs)
+      .cache()
+    val cand = minhashLshPairs(docs).cache()
     val hits = truePairs.join(cand, Seq("a_id", "b_id"))
     truePairs.agg(count(lit(1)).as("n_true"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
@@ -1022,10 +1038,13 @@ object DedupOps {
     * is committed. */
   private def d20(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir).documentsSpread
+    // same double-consumption caching as d15
     val truePairs = ngramJaccard(docs).select(col("a_id"), col("b_id"))
+      .cache()
     val sims = docs.select(col("doc_id"),
       SimHash32.simhash32(split(col("text"), " ")).as("simhash"))
     val cand = simhashNearDups(sims).select(col("a_id"), col("b_id"))
+      .cache()
     val hits = truePairs.join(cand, Seq("a_id", "b_id"))
     truePairs.agg(count(lit(1)).as("n_true"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
@@ -1184,9 +1203,11 @@ object DedupOps {
     * truncation is a per-row mask on an in-row array: zero extra shuffles
     * over d11. */
   private def d21(s: SparkSession, dir: String): DataFrame = {
+    // cached for the same 3×-lineage reason as d11
     val arr = shingleArrays(t(s, dir).documentsSpread)
       .withColumn("sigs", MinHashSig.minhashSigs(col("sh_arr")))
       .select(col("doc_id"), col("sh_arr"), col("n_sh"), col("sigs"))
+      .cache()
     val pairs = minhashLshPairs(t(s, dir).documentsSpread)
     pairs
       .join(arr.select(col("doc_id").as("a_id"), col("sh_arr").as("a_arr"),
@@ -1730,18 +1751,22 @@ object DedupOps {
     * applied to an optimizer RULE. (The composed 64-bit code also makes
     * the fingerprint family two-channel: unigram bits catch token-set
     * drift, bigram bits catch reorderings unigrams can't see.) */
-  /** (doc_id, sh): the two-channel 64-bit fingerprint — unigram simhash
-    * in the high word, bigram simhash in the low (shared by d25/d26). */
-  private def simhash64(docs: DataFrame): DataFrame =
+  /** (doc_id [, extras], sh): the two-channel 64-bit fingerprint —
+    * unigram simhash in the high word, bigram simhash in the low
+    * (shared by d25/d26/d30/d36/d37/d41; `extras` lets d36 keep its
+    * wide text payload without re-spelling the derivation — the ONE
+    * fingerprint definition, so gate variants cannot drift). */
+  private def simhash64(docs: DataFrame,
+      extras: Seq[Column] = Nil): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .withColumn("bi", expr(
         """transform(sequence(0, size(toks) - 2),
           |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: extras :+
         (shiftleft(SimHash32.simhash32(col("toks")), 32)
-          .bitwiseOR(SimHash32.simhash32(col("bi")))).as("sh"))
+          .bitwiseOR(SimHash32.simhash32(col("bi")))).as("sh"): _*)
 
   /** Shared naive fingerprint-pair scaffold for d25 and its pure-SQL
     * spelling twin d37 — ONLY the predicate/distance spelling may
@@ -2091,8 +2116,9 @@ object DedupOps {
   private def d30(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.hamming64
     val fp = simhash64(t(s, dir).documentsSpread)
-    val banned = simhash64(t(s, dir).documentsSpread)
-      .filter(col("doc_id") % 40 === 0)
+    // derived FROM fp, not a second simhash64 call — one spelling to
+    // maintain (the plans are identical either way)
+    val banned = fp.filter(col("doc_id") % 40 === 0)
       .select(col("sh").as("bsh"))
     fp.join(banned, hamming64(col("sh"), col("bsh")) <= 6, "left_anti")
       .select(col("doc_id"))
@@ -2362,16 +2388,10 @@ object DedupOps {
     * hash match. DuckDB computes the same relation naively. */
   private def d36(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.hamming64
-    val fp = t(s, dir).documentsSpread
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 2)
-      .withColumn("bi", expr(
-        """transform(sequence(0, size(toks) - 2),
-          |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin))
-      .select(col("doc_id"), col("text"),
-        (shiftleft(graft.functions.SimHash32.simhash32(col("toks")), 32)
-          .bitwiseOR(graft.functions.SimHash32.simhash32(col("bi"))))
-          .as("sh"))
+    // the ONE fingerprint derivation (simhash64), with the wide text
+    // payload kept via `extras` — an inline re-spelling here could
+    // silently certify a different fingerprint than the rewrite family
+    val fp = simhash64(t(s, dir).documentsSpread, extras = Seq(col("text")))
     val a = fp.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
       col("text").as("a_text"))
     val b = fp.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),

@@ -101,8 +101,12 @@ object MultimodalOps {
     * via d04's pigeonhole byte-banding over the same signatures. */
   private def m03(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documentsSpread
+      // (?d) = UNIX_LINES: Java's default '.' also excludes \r, \u0085,
+      // \u2028, \u2029, while the oracle's RE2 '.' excludes only \n — a
+      // \r in a document (Windows line endings are plain ASCII) would
+      // silently diverge the byte stream, block boundaries, and hash
       .withColumn("codes",
-        expr("transform(regexp_extract_all(text, '.', 0), ch -> ascii(ch))"))
+        expr("transform(regexp_extract_all(text, '(?d).', 0), ch -> ascii(ch))"))
       .withColumn("n", size(col("codes")))
       .withColumn("total", expr("aggregate(codes, 0L, (a, x) -> a + x)"))
       .withColumn("blockhash", expr(

@@ -208,15 +208,13 @@ object Sampling {
   }
 
   private val x08Sql = {
-    val qExpr = """round(greatest(0.0, 1.0 - n_stop * 2.0
-                  |      / CAST(n_tokens AS DOUBLE))
-                  |    * least(1.0, n_tokens / 100.0), 4)""".stripMargin
+    // the ONE quality formula (QualityScore) — an inline copy here is
+    // the forked-score drift that object exists to prevent
+    val qExpr = QualityScore.duckScore()
     s"""WITH scored AS (
        |  SELECT text,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    CAST(len(list_filter(string_split(text, ' '),
-       |      x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))) AS BIGINT)
-       |      AS n_stop
+       |    ${QualityScore.duckNStop("string_split(text, ' ')")} AS n_stop
        |  FROM documents),
        |q AS (
        |  SELECT text, $qExpr AS q FROM scored),
@@ -251,7 +249,13 @@ object Sampling {
     val docs = spread
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .select(col("doc_id"), col("n_tokens"))
-    val pairs = DedupOps.minhashLshPairs(spread)
+    // pairs is consumed TWICE (component resolution + the leak proof)
+    // and its lineage is the query's dominant cost (per-shingle md5,
+    // 16-seed signatures, band shuffle, pair expansion) — uncached, the
+    // leaks join re-ran the whole sketch pass. assigned likewise fans
+    // out three ways (two leak joins + the final rollup). Same
+    // shared-lineage caching as DedupOps.ngramJaccard/m05/m06.
+    val pairs = DedupOps.minhashLshPairs(spread).cache()
     val comps = DedupOps.connectedComponents(pairs)
     val bucket = StableHash.h60(col("grp")) % 100
     val assigned = docs.join(comps, Seq("doc_id"), "left")
@@ -260,6 +264,7 @@ object Sampling {
         when(bucket < 90, "train").when(bucket < 95, "validation")
           .otherwise("test"))
       .select(col("doc_id"), col("n_tokens"), col("grp"), col("split"))
+      .cache()
     val leaks = pairs
       .join(assigned.select(col("doc_id").as("a_id"), col("split").as("sa")),
         "a_id")
@@ -338,10 +343,14 @@ object Sampling {
   private val dsirBuckets = 256
 
   private def x10(s: SparkSession, dir: String): DataFrame = {
+    // consumed three ways (target counts, raw-side weight counts, final
+    // raw join) — uncached, the corpus-wide token explode + md5 hashing
+    // (the query's dominant cost) ran three times
     val toks = Tables(s, dir).documentsSpread
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("tok"))
       .withColumn("hb", StableHash.h60(col("tok")) % dsirBuckets)
+      .cache()
     val tgt = toks.filter(col("source") === "src0")
       .groupBy(col("hb")).agg(count(lit(1)).as("ct"))
     val raw = toks.filter(col("source") =!= "src0")

@@ -74,22 +74,17 @@ object SimilarityOps {
        |WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
-  /** (vec_id, bucket): 8-bit random-hyperplane LSH signature per vector —
-    * 8 deterministic pseudo-random hyperplanes (weights derived from md5 so
-    * the oracle can rebuild them), bucket = sign bit per plane. One native
-    * codegen'd pass per row ([[graft.functions.HyperplaneBucket]]) — zero
-    * shuffles; the earlier dataframe form (posexplode → broadcast-join the
-    * 8×64 plane matrix → two keyed aggregates) shuffled (vec_id, plane)
-    * partial-sum rows twice to rebuild per-row state. Shared by s02 (ANN
-    * probe) and DedupOps d09 (embedding near-dup at scale). */
-  private[operators] def hyperplaneBuckets(s: SparkSession,
-      dir: String): DataFrame =
-    embWithBuckets(s, dir).select(col("vec_id"), col("bucket"))
-
-  /** (vec_id, vd, nrm, bucket) in ONE map pass — since the bucket is now a
-    * per-row expression, callers (s02, d09) no longer join a separate
-    * signature table back to the vectors; the whole probe input is a
-    * single scan projection. */
+  /** (vec_id, vd, nrm, bucket) in ONE map pass: the 8-bit
+    * random-hyperplane LSH signature (8 deterministic pseudo-random
+    * hyperplanes, weights derived from md5 so the oracle can rebuild
+    * them, bucket = sign bit per plane) is a per-row codegen'd
+    * expression ([[graft.functions.HyperplaneBucket]]) — zero shuffles;
+    * the earlier dataframe form (posexplode → broadcast-join the 8×64
+    * plane matrix → two keyed aggregates) shuffled (vec_id, plane)
+    * partial-sum rows twice to rebuild per-row state. Callers (s02 ANN
+    * probe, DedupOps d09 embedding near-dup) take the whole probe input
+    * from this single scan projection — no separate signature table to
+    * join back. */
   private[operators] def embWithBuckets(s: SparkSession,
       dir: String): DataFrame =
     t(s, dir).embeddingsSpread
@@ -99,7 +94,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("vd"), col("nrm"), col("bucket"))
 
   /** DuckDB CTE chain ending in `sigs(vec_id, bucket)` — the oracle twin of
-    * [[hyperplaneBuckets]]. Splice after `WITH `. */
+    * [[embWithBuckets]]. Splice after `WITH `. */
   private[operators] val hyperplaneBucketsSql: String = {
     val h = StableHash.duckH32("CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
     s"""planes AS (
@@ -124,7 +119,7 @@ object SimilarityOps {
   /** DuckDB in-order-fold cosine — exported for DedupOps d09's oracle twin. */
   private[operators] def duckCosSql(a: String, b: String): String = duckCos(a, b)
 
-  /** LSH-bucketed ANN over [[hyperplaneBuckets]]: top-1 neighbor within
+  /** LSH-bucketed ANN over [[embWithBuckets]]: top-1 neighbor within
     * bucket. Sub-quadratic: the candidate join is an equi-join on bucket. */
   private def s02(s: SparkSession, dir: String): DataFrame = {
     val emb = embWithBuckets(s, dir)
@@ -1515,9 +1510,19 @@ object SimilarityOps {
       .unionAll(p3.select(col("q_id"), lit(3L).as("pick"),
         col("p3_id").as("vec_id"), col("p3_simq").as("bp"),
         col("p3_score").as("sbp")))
+    // mmr_score = 0.5·sim(q,c) − 0.5·max sim(c, picked) — the DOCUMENTED
+    // λ=0.5 value. The internal sbp omits the λ factors (pick ORDER is
+    // invariant under the 0.5 scaling), so the published value divides
+    // by 20000, not 10000: emitting sbp/10000 reported DOUBLE the MMR
+    // (and pick 1 reported raw relevance), mis-cutting any consumer
+    // thresholding against a standard λ=0.5 MMR cutoff. FIVE decimals:
+    // an odd sbp halves to k+0.5 basis points, whose 4-dp rounding sits
+    // exactly on the HALF_UP boundary where the engines' IEEE division
+    // results diverge — at 5 dp the quotient is decimally exact and no
+    // boundary exists.
     out.select(col("q_id"), col("pick"), col("vec_id"),
         round(col("bp") / 10000.0, 4).as("relevance"),
-        round(col("sbp") / 10000.0, 4).as("mmr_score"))
+        round(col("sbp") / 20000.0, 5).as("mmr_score"))
       .orderBy(col("q_id"), col("pick"))
   }
 
@@ -1581,7 +1586,7 @@ object SimilarityOps {
        |  UNION ALL SELECT q_id, 3, p3_id, p3_simq, p3_score FROM p3)
        |SELECT q_id, CAST(pick AS BIGINT) AS pick, vec_id,
        |  round(bp / 10000.0, 4) AS relevance,
-       |  round(sbp / 10000.0, 4) AS mmr_score
+       |  round(sbp / 20000.0, 5) AS mmr_score
        |FROM allp
        |ORDER BY q_id, pick""".stripMargin
   }

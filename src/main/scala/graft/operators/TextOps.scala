@@ -57,15 +57,12 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   private val t02Sql =
-    """SELECT doc_id, n_tokens, n_stop,
+    s"""SELECT doc_id, n_tokens, n_stop,
       |  round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
-      |  round(greatest(0.0, 1.0 - n_stop * 2.0 / CAST(n_tokens AS DOUBLE))
-      |    * least(1.0, n_tokens / 100.0), 4) AS quality_score
+      |  ${QualityScore.duckScore()} AS quality_score
       |FROM (SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |    CAST(len(list_filter(string_split(text, ' '),
-      |      x -> x IN ('the', 'a', 'big', 'small', 'fast', 'slow'))) AS BIGINT)
-      |      AS n_stop
+      |    ${QualityScore.duckNStop("string_split(text, ' ')")} AS n_stop
       |  FROM documents) d
       |ORDER BY doc_id""".stripMargin
 
@@ -395,7 +392,12 @@ object TextOps {
     * embarrassingly parallel at 100 TB. */
   private def t11(s: SparkSession, dir: String): DataFrame =
     t(s, dir).documentsSpread
-      .withColumn("chars", expr("regexp_extract_all(text, '.', 0)"))
+      // (?d) = UNIX_LINES, matching the oracle's RE2 '.': Java's
+      // default '.' also excludes \r and the U+0085/U+2028/U+2029
+      // separators, so a document with a Windows line ending would
+      // silently drop chars from the entropy base on the Spark side
+      // only (same fix as m03)
+      .withColumn("chars", expr("regexp_extract_all(text, '(?d).', 0)"))
       .withColumn("n", size(col("chars")).cast("long"))
       .withColumn("counts", expr(
         "transform(array_distinct(chars), ch -> size(filter(chars, x -> x = ch)))"))

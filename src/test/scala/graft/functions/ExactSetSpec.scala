@@ -50,6 +50,18 @@ class ExactSetSpec extends SparkSuite {
     assert(e.getMessage.contains("p08"), e.getMessage)
   }
 
+  test("the cap guard counts the COLLECTED set, not the raw column: raw " +
+      "values that collapse under cast-to-long (duplicates-modulo-parse, " +
+      "non-numeric → null) must not spuriously reject a probe set whose " +
+      "real array fits") {
+    val sess = spark
+    import sess.implicits._
+    // 5 raw distinct strings → 3 distinct longs ("07" ≡ "7", "009" ≡ "9")
+    val keys = Seq("7", "07", "8", "9", "009").toDF("k")
+    val arr = ExactSetContains.build(keys, maxKeys = 3)
+    assert(arr.toSeq == Seq(7L, 8L, 9L))
+  }
+
   test("the expression serializes WITHOUT the key array — only the " +
       "broadcast handle rides the task binary (same for the bloom bytes)") {
     import org.apache.spark.sql.catalyst.expressions.Literal

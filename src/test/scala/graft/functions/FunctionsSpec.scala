@@ -114,6 +114,35 @@ class FunctionsSpec extends SparkSuite {
     assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << 32))
   }
 
+  test("simhash32 is NULL for empty / all-null token arrays, never the " +
+      "0L sentinel: the aggregate spelling emits NO row there, and a " +
+      "shared 0 would hamming-join every empty doc with every other at " +
+      "distance 0 (MinHashSig's null-for-empty contract)") {
+    val r = spark.sql(
+      """SELECT simhash32(CAST(array() AS ARRAY<STRING>)) AS e,
+        |  simhash32(array(CAST(NULL AS STRING))) AS an,
+        |  simhash32(array('x')) AS ok""".stripMargin).collect()(0)
+    assert(r.isNullAt(0), "empty array must fingerprint to NULL")
+    assert(r.isNullAt(1), "all-null array must fingerprint to NULL")
+    assert(!r.isNullAt(2))
+  }
+
+  test("SQL builders validate arity: a wrong-arity call names the " +
+      "expected signature instead of throwing a raw " +
+      "IndexOutOfBoundsException from exprs(1) during resolution") {
+    // probe through sorted_pairs: the registration test above shadows
+    // hamming64/dot_f64/... with temp-function shims in the shared
+    // session, but not sorted_pairs — its extension-injected builder is
+    // the one resolving here
+    val e = intercept[Exception](
+      spark.sql("SELECT sorted_pairs(array(1L), array(2L))").collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("expects 1 argument"))),
+      s"expected the arity message in the cause chain, got: $e")
+  }
+
   test("hamming64 rejects non-long inputs at analysis") {
     val sess = spark
     import sess.implicits._

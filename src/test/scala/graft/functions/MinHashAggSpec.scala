@@ -42,6 +42,23 @@ class MinHashAggSpec extends SparkSuite {
     typedSig.foreach { case (id, sig) => assert(sig == exprSig(id), s"doc $id") }
   }
 
+  test("a global aggregate over ZERO rows yields NULL, not the " +
+      "all-MaxValue zero buffer: that sentinel is a 'signature' no real " +
+      "input can produce, and two empty inputs band-joined as perfect " +
+      "near-duplicates (MinHashSig's null-for-empty contract)") {
+    val sess = spark
+    import sess.implicits._
+    val agg = new MinHashAgg(16)
+    val empty = sess.emptyDataset[String]
+    val out = empty.select(agg.toColumn.name("sig")).collect()
+    assert(out.length == 1 && out(0) == null,
+      s"empty input must aggregate to null, got ${out.toSeq}")
+    // one row updates EVERY slot, so any non-empty input is non-null
+    val one = Seq("shingle").toDS().select(agg.toColumn.name("sig"))
+      .collect()
+    assert(one(0) != null && one(0).length == 16)
+  }
+
   test("h60Jvm matches the SQL h60 expression") {
     val sess = spark
     import sess.implicits._

@@ -164,6 +164,65 @@ class ProtoWireSpec extends SparkSuite {
     assert(ProtoWire.decodeStructJson(bytes(0x0f)) == null)
   }
 
+  test("duplicate Struct keys follow protobuf map-merge: the LAST entry " +
+      "wins (streaming entries rendered {\"a\":1,\"a\":2}, and " +
+      "get_json_object on duplicate keys returns the FIRST — inverting " +
+      "the protobuf answer)") {
+    // Struct{"a":1.0, "a":2.0} — legal wire, map merge keeps 2
+    def numEntry(d: Double): Array[Byte] = {
+      val b = java.lang.Double.doubleToLongBits(d)
+      val f64 = (0 until 8).map(i => ((b >>> (8 * i)) & 0xff).toInt)
+      bytes(0x0a, 0x01, 0x61, 0x12, 0x09, 0x11) ++ bytes(f64: _*)
+    }
+    val e1 = numEntry(1.0); val e2 = numEntry(2.0)
+    val wire = bytes(0x0a, e1.length) ++ e1 ++ bytes(0x0a, e2.length) ++ e2
+    assert(ProtoWire.decodeStructJson(wire).toString == """{"a":2}""")
+  }
+
+  test("the corrupt-tag aliasing guard covers the Struct-JSON readers " +
+      "too: a tag past 2^32 inside a Struct nulls the decode instead of " +
+      "aliasing onto field 1 and rendering garbage") {
+    // varint of ((2^32+1) << 3 | 2): would alias to (field 1, wire 2) —
+    // the fields entry — through a bare .toInt
+    val tag = (((1L << 32) + 1L) << 3) | 2L
+    val w = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var v = tag
+    while ((v & ~0x7fL) != 0) { w += ((v & 0x7f) | 0x80).toInt; v >>>= 7 }
+    w += v.toInt
+    w += 0x00 // zero-length slice payload
+    assert(ProtoWire.decodeStructJson(bytes(w.toSeq: _*)) == null,
+      "out-of-range field number inside a Struct must be malformed")
+  }
+
+  test("null elements in a repeated field are OMITTED on encode, not an " +
+      "NPE (strings) or a garbage packed 0 (numerics): ProtoEncode " +
+      "deliberately accepts containsNull arrays — repeated proto fields " +
+      "have no null notion") {
+    val sess = spark
+    val msg = ProtoMessage("m", Seq(
+      ProtoField(1, "tags", PString, repeated = true),
+      ProtoField(2, "ns", PInt64, repeated = true)))
+    val df = sess.sql(
+      "SELECT named_struct('tags', array('a', CAST(NULL AS STRING), 'b')," +
+        " 'ns', array(7L, CAST(NULL AS BIGINT), 9L)) AS s")
+    val encoded = df.select(
+      graft.functions.ProtoFunctions.protoEncode(
+        org.apache.spark.sql.functions.col("s"), msg).as("w"))
+      .head.getAs[Array[Byte]]("w")
+    val back = sess.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(encoded)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.BinaryType))))
+      .select(graft.functions.ProtoFunctions.protoDecode(
+        org.apache.spark.sql.functions.col("w"), msg).as("d"))
+      .head.getStruct(0)
+    assert(back.getSeq[String](0) == Seq("a", "b"),
+      s"null string element must be omitted: ${back.getSeq[String](0)}")
+    assert(back.getSeq[Long](1) == Seq(7L, 9L),
+      s"null numeric element must be omitted: ${back.getSeq[Long](1)}")
+  }
+
   test("corrupt tags and pathological nesting are MALFORMED, not crashes: " +
       "a field number past 2^29-1 nulls out instead of aliasing through " +
       ".toInt, and a deeply nested Struct nulls out instead of " +
