@@ -82,6 +82,16 @@ object ThetaSketchAgg {
   def estimate(bytes: Array[Byte]): Double =
     Sketches.wrapCompactSketch(Memory.wrap(bytes)).getEstimate
 
+  /** The sketch's OWN error bounds (exact-mode sketches return the
+    * estimate itself). For set-operation RESULTS these are the only
+    * statistically valid bounds — an intersection's error scales with
+    * the UNION cardinality, not the intersection size, so a hand-rolled
+    * `±k·rse·|A∩B|` gate flips false once sketches leave exact mode. */
+  def lowerBound(bytes: Array[Byte], numStdDev: Int): Double =
+    Sketches.wrapCompactSketch(Memory.wrap(bytes)).getLowerBound(numStdDev)
+  def upperBound(bytes: Array[Byte], numStdDev: Int): Double =
+    Sketches.wrapCompactSketch(Memory.wrap(bytes)).getUpperBound(numStdDev)
+
   def union(a: Array[Byte], b: Array[Byte], lgK: Int = 12): Array[Byte] = {
     val u: Union = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
     u.union(Sketches.wrapCompactSketch(Memory.wrap(a)))

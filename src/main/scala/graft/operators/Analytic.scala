@@ -474,11 +474,16 @@ object Analytic {
     val ev = t(s, dir).events
       .select(col("event_type"),
         round(col("value") * 100, 0).cast("long").as("cents"))
+    val d = "decimal(38,0)"
+    // the SQUARED accumulator must be DECIMAL(38,0) like every other
+    // moment in this expression (a17's guard): cents² is ~4e8 per row,
+    // so a 64-bit sum wraps silently past ~2e10 rows per group — Spark
+    // would emit garbage outlier counts while DuckDB's HUGEINT keeps
+    // going, diverging exactly where this query claims exactness
     val stats = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("cents")).as("s"),
-        sum(col("cents") * col("cents")).as("sq"))
-    val d = "decimal(38,0)"
+        sum(col("cents").cast(d) * col("cents").cast(d)).as("sq"))
     ev.join(broadcast(stats), "event_type")
       .withColumn("lhs",
         lit(4).cast(d)
@@ -501,7 +506,7 @@ object Analytic {
       |st AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(cents) AS BIGINT) AS s,
-      |    CAST(sum(cents * cents) AS BIGINT) AS sq
+      |    sum(cents * cents) AS sq
       |  FROM e GROUP BY event_type)
       |SELECT e.event_type, max(st.n) AS n,
       |  CAST(sum(CASE WHEN
@@ -541,7 +546,16 @@ object Analytic {
     val (sv, sc) = (sketch("view"), sketch("click"))
     val estV = ThetaSketchAgg.estimate(sv)
     val estC = ThetaSketchAgg.estimate(sc)
-    val estBoth = ThetaSketchAgg.estimate(ThetaSketchAgg.intersect(sv, sc))
+    // the INTERSECTION gate uses the sketch library's own bounds: theta
+    // intersection error scales with the union cardinality, so the old
+    // ±4·rse·|A∩B| bound (borrowed from the per-set estimator) flips
+    // false once the sketches leave exact mode — e.g. 100k viewers /
+    // 100k clickers / overlap 500 has σ ≈ 31% of the overlap, far
+    // outside 4·rse. Exact-mode sketches (every test SF) return bounds
+    // equal to the estimate, so the gate stays deterministic.
+    val both = ThetaSketchAgg.intersect(sv, sc)
+    val bothLo = ThetaSketchAgg.lowerBound(both, 3)
+    val bothHi = ThetaSketchAgg.upperBound(both, 3)
     val rse = 3.0 / math.sqrt(1 << 12)
     val exact = userSet("view").distinct()
       .join(userSet("click").distinct(), "v")
@@ -556,7 +570,7 @@ object Analytic {
         .as("view_within_rse"),
       (abs(lit(estC) - col("n_click")) <= col("n_click") * rse * 2 + 1)
         .as("click_within_rse"),
-      (abs(lit(estBoth) - col("n_both")) <= col("n_both") * rse * 4 + 1)
+      (col("n_both") >= lit(bothLo) - 1 && col("n_both") <= lit(bothHi) + 1)
         .as("both_within_rse"))
   }
 
@@ -774,21 +788,6 @@ object Analytic {
       |GROUP BY wday
       |ORDER BY day""".stripMargin
 
-  /** Recency-weighted smoothing: per-user EWMA over the trailing 8 events
-    * (weights 2^j, newest heaviest) plus a spike flag when the new value
-    * sits far off the smoothed line — the streaming anomaly primitive
-    * (a14's z-score is the global two-pass twin; EWMA reacts to drift
-    * because old history decays instead of polluting the mean forever).
-    *
-    * Determinism by exact dyadic arithmetic: values become integer cents,
-    * weights are powers of two, so the weighted numerator and denominator
-    * are exact BIGINTs (num ≤ 8·maxCents·128 — no overflow), the EWMA is
-    * ONE correctly-rounded IEEE division, and the spike test compares
-    * |cents·den − num| > threshold·den in pure integers — bit-identical
-    * on any engine, any partitioning. The trailing window gathers ≤8
-    * values per row via collect_list over a bounded frame: state is
-    * constant per row, and the single shuffle is the per-user window
-    * partition (cluster-local per user at any scale). */
   /** Trailing-8 dyadic EWMA gather over a bounded window: collect the
     * frame, fold the power-of-two weighted numerator, 2^n − 1
     * denominator — all exact BIGINTs (num ≤ 8·maxCents·128, no
@@ -805,6 +804,21 @@ object Analytic {
           .stripMargin))
       .withColumn(denName, expr(s"shiftleft(1L, size($lstName)) - 1L"))
 
+  /** Recency-weighted smoothing: per-user EWMA over the trailing 8 events
+    * (weights 2^j, newest heaviest) plus a spike flag when the new value
+    * sits far off the smoothed line — the streaming anomaly primitive
+    * (a14's z-score is the global two-pass twin; EWMA reacts to drift
+    * because old history decays instead of polluting the mean forever).
+    *
+    * Determinism by exact dyadic arithmetic: values become integer cents,
+    * weights are powers of two, so the weighted numerator and denominator
+    * are exact BIGINTs (num ≤ 8·maxCents·128 — no overflow), the EWMA is
+    * ONE correctly-rounded IEEE division, and the spike test compares
+    * |cents·den − num| > threshold·den in pure integers — bit-identical
+    * on any engine, any partitioning. The trailing window gathers ≤8
+    * values per row via collect_list over a bounded frame: state is
+    * constant per row, and the single shuffle is the per-user window
+    * partition (cluster-local per user at any scale). */
   private def a20(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))

@@ -7,8 +7,12 @@ import org.apache.spark.sql.functions._
   * [[TextOps]]' t20 merge-candidate count (t20 is exactly one iteration of
   * this loop's counting stage).
   *
-  * Semantics: classic BPE over whitespace words without an end-of-word
-  * marker. Each iteration counts adjacent symbol pairs weighted by word
+  * Semantics: classic BPE over SPACE-separated words (the single-space
+  * delimiter the corpus and the unrolled DuckDB oracle CTEs both use —
+  * t24Sql/t29Sql split with string_split(text, ' '), so the trainer
+  * must not tokenize more aggressively than its oracle twin; a corpus
+  * with tab/newline separators needs a matching pre-tokenizer on BOTH
+  * sides) without an end-of-word marker. Each iteration counts adjacent symbol pairs weighted by word
   * frequency, merges the most frequent pair (ties broken lexicographically
   * on (left, right) so training is deterministic), and re-segments every
   * word by fusing that pair's non-overlapping occurrences left-to-right.
@@ -46,6 +50,13 @@ object BpeTrainer {
   def train(wordFreq: DataFrame, nMerges: Int,
       minCount: Long = 2L): Seq[Merge] = {
     var words = wordFreq
+      // empty words must be DROPPED before the symbol expansion:
+      // Spark's sequence(1, 0) counts DOWN to [1, 0] (not empty), so an
+      // empty word became syms = ["", ""] — a phantom ("","") pair that
+      // could win the argmax and corrupt the vocabulary with a bogus
+      // empty-string merge. wordFrequencies filters these, but train()
+      // accepts any (word, freq) frame.
+      .filter(length(col("word")) > 0)
       .select(expr("transform(sequence(1, length(word)), " +
         "i -> substring(word, i, 1))").as("syms"), col("freq"))
       .localCheckpoint(true)
@@ -87,6 +98,9 @@ object BpeTrainer {
     * map-side only; apply merges in training order. */
   def segment(wordFreq: DataFrame, merges: Seq[Merge]): DataFrame = {
     var words = wordFreq
+      // same empty-word guard as train(): sequence(1, 0) = [1, 0], so
+      // an empty word would segment into two fused "" symbols
+      .filter(length(col("word")) > 0)
       .select(col("word"), expr("transform(sequence(1, length(word)), " +
         "i -> substring(word, i, 1))").as("syms"), col("freq"))
     merges.zipWithIndex.foreach { case (m, i) =>

@@ -81,8 +81,8 @@ object CorpusPipeline {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH scored AS (
        |  SELECT doc_id, lang, text,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    ${QualityScore.duckNStop("string_split(text, ' ')")} AS n_stop
+       |    ${QualityScore.duckNTokens} AS n_tokens,
+       |    ${QualityScore.duckNStop(QualityScore.duckToks)} AS n_stop
        |  FROM documents),
        |quality AS (
        |  SELECT doc_id, lang, text, n_tokens,
@@ -152,8 +152,8 @@ object CorpusPipeline {
   private val p02Sql =
     s"""WITH scored AS (
       |  SELECT doc_id, lang,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |    ${QualityScore.duckNStop("string_split(text, ' ')")} AS n_stop
+      |    ${QualityScore.duckNTokens} AS n_tokens,
+      |    ${QualityScore.duckNStop(QualityScore.duckToks)} AS n_stop
       |  FROM documents),
       |quality AS (
       |  SELECT doc_id, lang, n_tokens,
@@ -229,7 +229,7 @@ object CorpusPipeline {
        |  ('src0', 300), ('src1', 2500), ('src2', 2000), ('src3', 500)),
        |d AS (
        |  SELECT doc.source, doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${QualityScore.duckNTokens} AS n_tokens,
        |    coalesce(w_permille, 1000) AS wp,
        |    (${StableHash.duckH60("text")}) % 1000 AS h
        |  FROM documents doc LEFT JOIN spec USING (source)),
@@ -278,8 +278,8 @@ object CorpusPipeline {
   private val p04Sql =
     s"""WITH scored AS (
        |  SELECT doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    ${QualityScore.duckNStop("string_split(text, ' ')")} AS n_stop,
+       |    ${QualityScore.duckNTokens} AS n_tokens,
+       |    ${QualityScore.duckNStop(QualityScore.duckToks)} AS n_stop,
        |    (${StableHash.duckH60("text")}) % $nShards AS shard
        |  FROM documents),
        |q AS (
@@ -365,8 +365,8 @@ object CorpusPipeline {
   private val p06Sql =
     s"""WITH scored AS (
        |  SELECT doc_id, source,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    ${QualityScore.duckNStop("string_split(text, ' ')")} AS n_stop
+       |    ${QualityScore.duckNTokens} AS n_tokens,
+       |    ${QualityScore.duckNStop(QualityScore.duckToks)} AS n_stop
        |  FROM documents),
        |ranked AS (
        |  SELECT source, doc_id,
@@ -604,7 +604,7 @@ object CorpusPipeline {
     val h = StableHash.duckH60("doc_id || ':pack'")
     s"""WITH keyed AS (
        |  SELECT doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${QualityScore.duckNTokens} AS n_tokens,
        |    $h AS okey, ($h) % $p10Shards AS shard
        |  FROM documents),
        |packed AS (
@@ -759,7 +759,7 @@ object CorpusPipeline {
       nTokens = "len(string_split(text, ' '))")
     s"""WITH d AS (
       |  SELECT source, lang, md5(lower(text)) AS h,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    ${QualityScore.duckNTokens} AS n_tokens,
       |    $q AS q,
       |    CAST(round($q * 10000) AS BIGINT) AS q4
       |  FROM documents),
@@ -817,7 +817,7 @@ object CorpusPipeline {
        |  max(doc_id) AS max_doc
        |FROM (
        |  SELECT doc_id, $h AS h, ($h) % 8 AS shard,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |    ${QualityScore.duckNTokens} AS n_tokens
        |  FROM documents) d
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
@@ -979,8 +979,8 @@ object CorpusPipeline {
       .orderBy(col("cap"))
 
   private val p16Sql =
-    """WITH d AS (
-      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    s"""WITH d AS (
+      |  SELECT ${QualityScore.duckNTokens} AS n_tokens
       |  FROM documents),
       |c AS (
       |  SELECT n_tokens,
@@ -1184,8 +1184,8 @@ object CorpusPipeline {
   }
 
   private val p19Sql =
-    """WITH d AS (
-      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    s"""WITH d AS (
+      |  SELECT ${QualityScore.duckNTokens} AS n_tokens
       |  FROM documents),
       |m AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,

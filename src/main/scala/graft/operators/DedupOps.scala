@@ -336,8 +336,11 @@ object DedupOps {
       // tokens, so a null fingerprint (empty/all-null token array —
       // unreachable via split(), which yields [""] on empty text, but
       // reachable through other token producers) must drop, not ride
-      // along as a null row the oracle never has
-      .filter(col("simhash").isNotNull)
+      // along as a null row the oracle never has. FENCED: pushed below
+      // the projection the predicate re-derives simhash32 per row (two
+      // md5 passes instead of one — measured +65% on this query); the
+      // fence keeps the filter reading the projected column.
+      .filter(graft.functions.PlanFence.fence(col("simhash").isNotNull))
       .orderBy(col("doc_id"))
 
   private val d04Sql = {

@@ -27,6 +27,14 @@ object QualityScore {
   /** The demo stopword list (both engines' IN-list syntax). */
   val stopList: String = "('the', 'a', 'big', 'small', 'fast', 'slow')"
 
+  /** DuckDB: the token list — MUST keep [[scored]]'s split delimiter
+    * (a fork here silently diverges every SQL twin from the Spark
+    * ranking, the exact drift this object exists to prevent). */
+  val duckToks: String = "string_split(text, ' ')"
+
+  /** DuckDB: n_tokens over [[duckToks]]. */
+  val duckNTokens: String = s"CAST(len($duckToks) AS BIGINT)"
+
   /** DuckDB: n_stop over a `toks` list expression. */
   def duckNStop(toks: String): String =
     s"CAST(len(list_filter($toks, x -> x IN $stopList)) AS BIGINT)"

@@ -213,8 +213,8 @@ object Sampling {
     val qExpr = QualityScore.duckScore()
     s"""WITH scored AS (
        |  SELECT text,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    ${QualityScore.duckNStop("string_split(text, ' ')")} AS n_stop
+       |    ${QualityScore.duckNTokens} AS n_tokens,
+       |    ${QualityScore.duckNStop(QualityScore.duckToks)} AS n_stop
        |  FROM documents),
        |q AS (
        |  SELECT text, $qExpr AS q FROM scored),
@@ -295,7 +295,7 @@ object Sampling {
        |comps AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
        |d AS (
        |  SELECT doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |    ${QualityScore.duckNTokens} AS n_tokens
        |  FROM documents),
        |grouped AS (
        |  SELECT d.doc_id, d.n_tokens,
@@ -491,7 +491,7 @@ object Sampling {
        |    round(CAST($h AS DOUBLE) / n_tokens, 4) AS priority
        |  FROM (
        |    SELECT doc_id, source, text,
-       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |      ${QualityScore.duckNTokens} AS n_tokens
        |    FROM documents) d
        |  ORDER BY CAST($h AS DOUBLE) / n_tokens, doc_id
        |  LIMIT 100) sampled

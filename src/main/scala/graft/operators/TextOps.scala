@@ -34,8 +34,8 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   private val t01Sql =
-    """SELECT doc_id,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    s"""SELECT doc_id,
+      |  ${QualityScore.duckNTokens} AS n_tokens,
       |  CAST(length(text) AS BIGINT) AS n_chars_m,
       |  CAST(len(list_filter(string_split(text, ' '), x -> length(x) >= 5)) AS BIGINT)
       |    AS n_long_tokens,
@@ -61,8 +61,8 @@ object TextOps {
       |  round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
       |  ${QualityScore.duckScore()} AS quality_score
       |FROM (SELECT doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |    ${QualityScore.duckNStop("string_split(text, ' ')")} AS n_stop
+      |    ${QualityScore.duckNTokens} AS n_tokens,
+      |    ${QualityScore.duckNStop(QualityScore.duckToks)} AS n_stop
       |  FROM documents) d
       |ORDER BY doc_id""".stripMargin
 

@@ -28,6 +28,20 @@ class BpeTrainerSpec extends SparkSuite {
       Merge("lo", "w", 7L)))
   }
 
+  test("an empty word is DROPPED, not expanded to two empty symbols: " +
+      "Spark's sequence(1, 0) counts DOWN to [1, 0], so an unfiltered " +
+      "empty word produced syms = [\"\", \"\"] — a phantom (\"\",\"\") " +
+      "pair whose weight could win the argmax and corrupt the vocabulary") {
+    val wf = vocabDf(Seq("" -> 1000L, "low" -> 5L, "lower" -> 2L))
+    val merges = BpeTrainer.train(wf, 2)
+    assert(merges.forall(m => m.left.nonEmpty && m.right.nonEmpty),
+      s"no empty-string merges allowed: $merges")
+    assert(merges.head == Merge("l", "o", 7L), merges)
+    // segment() applies the same guard — the empty word just disappears
+    val seg = BpeTrainer.segment(wf, merges).collect()
+    assert(!seg.exists(_.getAs[String]("word").isEmpty))
+  }
+
   test("segment applies trained merges in order") {
     val wf = vocabDf(Seq("low" -> 5L, "lower" -> 2L,
       "newest" -> 6L, "widest" -> 3L))
