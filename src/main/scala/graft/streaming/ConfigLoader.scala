@@ -36,6 +36,17 @@ object ConfigLoader {
 
   type Obj = mutable.LinkedHashMap[String, Any]
 
+  /** THE scalar-typing rule — shared by the file parser and the env
+    * overlay so a value can never parse one way from the file and
+    * another from its `GRAFT_*` override. */
+  private def parseScalar(raw: String): Any = raw match {
+    case "true" => true
+    case "false" => false
+    case r if r.matches("[+-]?\\d+") => r.toLong
+    case r if r.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?") => r.toDouble
+    case r => r
+  }
+
   // ------------------------------------------------------------- parsing
 
   final class ParseError(msg: String) extends IllegalArgumentException(msg)
@@ -105,16 +116,19 @@ object ConfigLoader {
         if (k.trim.isEmpty) fail("empty quoted key")
         Seq(k)
       }
-      else bareToken("=:{}").split('.').toSeq.map(_.trim).filter(_.nonEmpty)
+      else {
+        // a dots-only bare key ("." or a trailing-dot typo's empty
+        // segment set) filtered down to Seq() and put() silently
+        // dropped the value — the same no-op hole the quoted branch
+        // fails loudly on
+        val segs = bareToken("=:{}").split('.').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        if (segs.isEmpty) fail("empty key")
+        segs
+      }
     }
 
-    private def scalar(raw: String): Any = raw match {
-      case "true" => true
-      case "false" => false
-      case r if r.matches("[+-]?\\d+") => r.toLong
-      case r if r.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?") => r.toDouble
-      case r => r
-    }
+    private def scalar(raw: String): Any = parseScalar(raw)
 
     private def parseValue(): Any = {
       skipWs()
@@ -186,22 +200,25 @@ object ConfigLoader {
     * `GRAFT_<PATH>` (root `graft` elided, `-`→`_`, upper-case) and
     * replaces its value with the parsed env string when set. */
   def overlayEnv(root: Obj, env: Map[String, String]): Obj = {
-    def envName(path: Seq[String]): String =
-      ("graft" +: path.filter(_ != "graft"))
-        .tail.map(_.replace('-', '_').toUpperCase).mkString("GRAFT_", "_", "")
+    def envName(path: Seq[String]): String = {
+      // drop ONLY a leading root-wrapper segment: the old
+      // filter(_ != "graft") deleted the segment at ANY depth, so an
+      // entity literally named "graft" computed the same variable name
+      // as its parent path — untargetable from the environment, and an
+      // env var meant for another path could silently rewrite it
+      val p = if (path.headOption.contains("graft")) path.tail else path
+      p.map(_.replace('-', '_').toUpperCase).mkString("GRAFT_", "_", "")
+    }
     def walk(obj: Obj, path: Seq[String]): Unit =
       obj.keys.toSeq.foreach { k =>
         val p = path :+ k
         obj(k) match {
           case o: Obj => walk(o, p)
           case _ => env.get(envName(p)).foreach { raw =>
-            obj.update(k, raw match {
-              case "true" => true
-              case "false" => false
-              case r if r.matches("[+-]?\\d+") => r.toLong
-              case r if r.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?") => r.toDouble
-              case r => r
-            })
+            // the ONE scalar-typing rule (shared with the file parser) —
+            // two copies could drift, making a value parse one way from
+            // the file and another from its env override
+            obj.update(k, parseScalar(raw))
           }
         }
       }
@@ -334,6 +351,12 @@ object ConfigLoader {
     def sweepRetry(o: Obj, p: String): Unit =
       sweep(o, retryKeys, p, PartialFunction.empty)
     val g = root.get("graft").map(obj).getOrElse(root)
+    // siblings of the graft wrapper are NEVER read by toEngineConfig —
+    // a statsd block indented outside `graft {}` silently stayed at
+    // defaults with no lint, the exact drift this sweep exists to catch
+    if (root.contains("graft"))
+      root.keys.filterNot(_ == "graft")
+        .foreach(k => out += s"$k (outside the graft block — ignored)")
     sweep(g, rootKeys, if (root.contains("graft")) "graft." else "", {
       case "stream-routes" => (routes, p) =>
         routes.foreach { case (entity, v) =>

@@ -103,7 +103,7 @@ final class DeadSet(topics: TopicIO, markerDir: String) {
       when(col("partition") === pt, lit(math.max(off, global)))
         .otherwise(acc)
     }
-    topics.read(spark, EngineConfig.deadLetterTopic(entity))
+    topics.readExact(spark, EngineConfig.deadLetterTopic(entity))
       .filter(col("offset") > floor)
       .orderBy(col("offset"), col("partition"))
   }

@@ -226,7 +226,7 @@ final class GraftEngine(
       handler: Dispatch.Handler,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val entity = route.topicEntity
-    val src = topics.readStream(spark, EngineConfig.retryTopic(entity))
+    val src = topics.readStreamExact(spark, EngineConfig.retryTopic(entity))
     track(s"retry-$entity", () => src.writeStream
       .queryName(s"retry-$entity")
       .option("checkpointLocation", s"$checkpointDir/retry-$entity")
@@ -265,7 +265,7 @@ final class GraftEngine(
       triggerMs: Long = 200L): StreamingQuery = {
     val entity = route.topicEntity
     implicit val enc = org.apache.spark.sql.Encoders.product[Envelope]
-    val src = topics.readStream(spark, EngineConfig.retryTopic(entity))
+    val src = topics.readStreamExact(spark, EngineConfig.retryTopic(entity))
       .select(Envelope.schema.fieldNames.map(
         org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       .as[Envelope]
@@ -297,7 +297,7 @@ final class GraftEngine(
     // before its worker emits into them (startStreamRoute provisions
     // only the origin entity's)
     topics.provision(chRoute.topicEntity, Nil)
-    val src = topics.readStream(spark,
+    val src = topics.readStreamExact(spark,
       EngineConfig.channelTopic(entity, channelName))
     track(s"channel-$entity-$channelName", () => src.writeStream
       .queryName(s"channel-$entity-$channelName")
@@ -361,7 +361,7 @@ final class GraftEngine(
       handler: Dispatch.Handler,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val entity = route.topicEntity
-    val src = topics.readStream(spark, EngineConfig.instantTopic(entity))
+    val src = topics.readStreamExact(spark, EngineConfig.instantTopic(entity))
     track(s"instant-$entity", () => src.writeStream
       .queryName(s"instant-$entity")
       .option("checkpointLocation", s"$checkpointDir/instant-$entity")
@@ -387,7 +387,7 @@ final class GraftEngine(
       handler: Dispatch.Handler,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val entity = route.topicEntity
-    val src = topics.readStream(spark, EngineConfig.retryTopic(entity))
+    val src = topics.readStreamExact(spark, EngineConfig.retryTopic(entity))
     track(s"retry-batch-$entity", () => src.writeStream
       .queryName(s"retry-batch-$entity")
       .option("checkpointLocation", s"$checkpointDir/retry-batch-$entity")
@@ -423,7 +423,7 @@ final class GraftEngine(
       handler: Dispatch.Handler,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val entity = route.topicEntity
-    val src = topics.readStream(spark, EngineConfig.instantTopic(entity))
+    val src = topics.readStreamExact(spark, EngineConfig.instantTopic(entity))
     track(s"instant-batch-$entity", () => src.writeStream
       .queryName(s"instant-batch-$entity")
       .option("checkpointLocation", s"$checkpointDir/instant-batch-$entity")

@@ -43,32 +43,19 @@ object KafkaSmoke {
     try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
     catch { case _: ClassNotFoundException => false }
 
-  /** Best-effort topic creation through kafka-clients' AdminClient,
-    * resolved reflectively so the class compiles (and no-ops) without the
-    * jar. Brokers with auto-create make this optional anyway. */
+  /** Topic creation via the SHARED provisioner
+    * ([[KafkaTopicIO.createTopics]] — also what the production
+    * transport's provision() runs): per-topic futures are checked, so
+    * an ACL/policy rejection prints the real error instead of a false
+    * "provisioned" success followed by an opaque producer timeout. */
   private def provision(bootstrap: String, topics: Seq[String]): Unit =
     try {
-      val props = new java.util.Properties()
-      props.put("bootstrap.servers", bootstrap)
-      val adminCls = Class.forName("org.apache.kafka.clients.admin.AdminClient")
-      val admin = adminCls.getMethod("create", classOf[java.util.Properties])
-        .invoke(null, props)
-      try {
-        val newTopicCls = Class.forName("org.apache.kafka.clients.admin.NewTopic")
-        val ctor = newTopicCls.getConstructor(classOf[String],
-          classOf[Int], classOf[Short])
-        val list = new java.util.ArrayList[AnyRef]()
-        topics.foreach(t => list.add(
-          ctor.newInstance(t, Int.box(4), Short.box(1.toShort)).asInstanceOf[AnyRef]))
-        adminCls.getMethod("createTopics", classOf[java.util.Collection[_]])
-          .invoke(admin, list)
-        println(s"[smoke] provisioned ${topics.mkString(", ")}")
-      } finally adminCls.getMethod("close").invoke(admin)
+      KafkaTopicIO.createTopics(bootstrap, SecurityConfig(), topics)
+      println(s"[smoke] provisioned ${topics.mkString(", ")}")
     } catch {
-      case _: ClassNotFoundException =>
-        println("[smoke] kafka-clients not on classpath; relying on broker auto-create")
       case e: Throwable =>
-        println(s"[smoke] provision skipped (${e.getMessage}); topics may already exist")
+        println(s"[smoke] provision FAILED (${e.getMessage}); " +
+          "continuing — topics may already exist or auto-create may apply")
     }
 
   def main(args: Array[String]): Unit = {
@@ -96,8 +83,10 @@ object KafkaSmoke {
       EngineConfig.retryTopic(entity), EngineConfig.instantTopic(entity),
       EngineConfig.deadLetterTopic(entity), s"${entity}_proto"))
 
-    // ---- JSON tranche: id % 200 == 199 → business failure (retry, then
-    // succeeds on the hop); % 200 == 198 → corrupt bytes (deser DLQ, E9)
+    // ---- JSON tranche: id % 200 == 199 → business failure (the handler
+    // keeps returning retry for the unchanged negative amount, so these
+    // EXHAUST into the DLQ — the assertions below count them there);
+    // % 200 == 198 → corrupt bytes (deser DLQ, E9)
     val env = spark.range(n).select(
       encode(col("id").cast("string"), "UTF-8").as("key"),
       encode(when(col("id") % 200 === 198, lit("corrupt-not-json"))
@@ -157,7 +146,7 @@ object KafkaSmoke {
     val protoOk = protoDecoded.filter(col("message.source") === "smoke").count()
 
     // ---- assertions, read back through the Kafka batch source
-    val dlq = topics.read(spark, EngineConfig.deadLetterTopic(entity)).count()
+    val dlq = topics.readExact(spark, EngineConfig.deadLetterTopic(entity)).count()
     var failed = false
     def check(label: String, got: Long, want: Long): Unit =
       if (got != want) { failed = true

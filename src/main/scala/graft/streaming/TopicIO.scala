@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Topic transport abstraction. Production transport is Kafka (the
   * reference's only source, SURVEY §2.1); tests and this container (no
@@ -18,6 +18,20 @@ trait TopicIO extends Serializable {
   /** Streaming read with source options (throttling etc.). */
   def readStream(spark: SparkSession, topic: String,
       options: Map[String, String]): DataFrame
+  /** Batch read of a topic by its EXACT name. Origin topics may be
+    * regexes (S1's pattern subscription); engine-derived names
+    * (retry/DLQ/instant/channel) are literal, and a transport whose
+    * plain read treats names as patterns must read exactly here —
+    * "orders.v1_retry" as a pattern also consumes "orders2v1_retry"
+    * (cross-entity message theft; dotted entities are a supported
+    * config shape). Default: same as read (the file transport's topic
+    * dirs are exact already). */
+  def readExact(spark: SparkSession, topic: String): DataFrame =
+    read(spark, topic)
+  /** Streaming read of a topic by its EXACT name — see [[readExact]]. */
+  def readStreamExact(spark: SparkSession, topic: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    readStream(spark, topic, options)
   /** Transport-appropriate per-trigger throttle for a polled batch route
     * (S3 max-poll-records): Kafka → maxOffsetsPerTrigger; file transport →
     * maxFilesPerTrigger (file granularity is the closest analogue). */
@@ -64,10 +78,14 @@ final class KafkaTopicIO(bootstrapServers: String,
     * the connector jar isn't in this container. `extra` (per-call stream
     * options, e.g. pacing) layers last so callers can override. */
   private[streaming] def readerOptions(topic: String,
-      extra: Map[String, String] = Map.empty): Map[String, String] =
+      extra: Map[String, String] = Map.empty,
+      exact: Boolean = false): Map[String, String] =
     Map(
       "kafka.bootstrap.servers" -> bootstrapServers,
-      "subscribePattern" -> topic,
+      // exact=true → literal `subscribe`: derived topic names
+      // (retry/DLQ/instant/channel) are not patterns, and subscribing
+      // "orders.v1_retry" as a pattern also consumes "orders2v1_retry"
+      (if (exact) "subscribe" else "subscribePattern") -> topic,
       "startingOffsets" -> "earliest",
       "includeHeaders" -> "true") ++ security.kafkaOptions ++ extra
 
@@ -84,6 +102,15 @@ final class KafkaTopicIO(bootstrapServers: String,
       options: Map[String, String]): DataFrame =
     normalize(spark.readStream.format("kafka")
       .options(readerOptions(topic, options)).load(), topic)
+
+  override def readExact(spark: SparkSession, topic: String): DataFrame =
+    normalize(spark.read.format("kafka")
+      .options(readerOptions(topic, exact = true)).load(), topic)
+
+  override def readStreamExact(spark: SparkSession, topic: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    normalize(spark.readStream.format("kafka")
+      .options(readerOptions(topic, options, exact = true)).load(), topic)
 
   override def paceOptions(maxPollRecords: Int): Map[String, String] =
     Map("maxOffsetsPerTrigger" -> maxPollRecords.toString)
@@ -191,6 +218,26 @@ final class KafkaTopicIO(bootstrapServers: String,
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
     }
+
+  /** K4 on a real broker: create the entity's derived topics via
+    * kafka-clients' AdminClient. This used to be a silent no-op (the
+    * trait default) while the working provisioner lived only in the
+    * smoke main — with broker auto-create disabled, the engine's own
+    * provisioning did nothing and the first retry/DLQ publish failed
+    * opaquely at runtime. Failures here WARN and continue (topics may
+    * pre-exist under an ACL that denies creation; genuinely missing
+    * topics still fail fast at first publish). */
+  override def provision(entity: String, channels: Iterable[String]): Unit = {
+    val names = Seq(EngineConfig.instantTopic(entity),
+      EngineConfig.retryTopic(entity),
+      EngineConfig.deadLetterTopic(entity)) ++
+      channels.map(EngineConfig.channelTopic(entity, _))
+    try KafkaTopicIO.createTopics(bootstrapServers, security, names)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] provisioning ${names.mkString(", ")} " +
+        s"failed (${e.getMessage}) — continuing; topics may already exist")
+    }
+  }
 }
 
 object KafkaTopicIO {
@@ -200,6 +247,67 @@ object KafkaTopicIO {
   private[streaming] val RetryCountHeader = "graft.retryCount"
   private[streaming] val NextAttemptHeader = "graft.nextAttemptAtMicros"
   private[streaming] val ChannelHeader = "graft.channel"
+
+  /** Reflective AdminClient topic creation — shared by
+    * [[KafkaTopicIO.provision]] and the smoke main; resolved
+    * reflectively so the engine compiles (and WARNs + no-ops) without
+    * kafka-clients on the classpath. Each per-topic future is CHECKED:
+    * createTopics returns normally with failures inside the
+    * KafkaFutures, so an unchecked call reported success under
+    * ACL/policy rejections and the operator learned the truth only from
+    * an opaque producer timeout later. TopicExistsException counts as
+    * success (idempotent re-provision). Throws IllegalStateException on
+    * any other per-topic failure. */
+  private[streaming] def createTopics(bootstrap: String,
+      security: SecurityConfig, names: Seq[String],
+      partitions: Int = 4, replication: Short = 1): Unit = {
+    val adminCls =
+      try Class.forName("org.apache.kafka.clients.admin.AdminClient")
+      catch { case _: ClassNotFoundException =>
+        System.err.println("[graft] kafka-clients not on the classpath; " +
+          "topic provisioning skipped — relying on broker auto-create")
+        return
+      }
+    val props = new java.util.Properties()
+    props.put("bootstrap.servers", bootstrap)
+    // admin-client properties are the UNprefixed forms of the Spark
+    // connector's kafka.* options
+    security.kafkaOptions.foreach { case (k, v) =>
+      props.put(k.stripPrefix("kafka."), v)
+    }
+    val admin = adminCls.getMethod("create", classOf[java.util.Properties])
+      .invoke(null, props)
+    try {
+      val newTopicCls =
+        Class.forName("org.apache.kafka.clients.admin.NewTopic")
+      val ctor = newTopicCls.getConstructor(classOf[String],
+        classOf[Int], classOf[Short])
+      val list = new java.util.ArrayList[AnyRef]()
+      names.foreach(t => list.add(
+        ctor.newInstance(t, Int.box(partitions), Short.box(replication))
+          .asInstanceOf[AnyRef]))
+      val result = adminCls
+        .getMethod("createTopics", classOf[java.util.Collection[_]])
+        .invoke(admin, list)
+      val futures = result.getClass.getMethod("values").invoke(result)
+        .asInstanceOf[java.util.Map[String, AnyRef]]
+      futures.forEach { (topic, fut) =>
+        try fut.getClass.getMethod("get").invoke(fut)
+        catch { case e: java.lang.reflect.InvocationTargetException =>
+          def chain(t: Throwable): Seq[Throwable] =
+            if (t == null) Nil else t +: chain(t.getCause)
+          val tolerated = chain(e).exists(_.getClass.getName ==
+            "org.apache.kafka.common.errors.TopicExistsException")
+          if (!tolerated) {
+            val root = chain(e).last
+            throw new IllegalStateException(
+              s"provisioning topic '$topic' failed: ${root.getMessage}",
+              root)
+          }
+        }
+      }
+    } finally adminCls.getMethod("close").invoke(admin)
+  }
 }
 
 /** Parquet-directory transport with envelope schema, used by every spec and
@@ -326,12 +434,53 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
   }
 
   override def appendIdempotent(df: DataFrame, topic: String,
-      token: String): Unit = {
-    val marker = Paths.get(s"${dir(topic)}/_applied-$token")
-    if (!Files.exists(marker)) {
+      token: String): Unit = lockFor(topic).synchronized {
+    val d = Paths.get(dir(topic))
+    Files.createDirectories(d)
+    val applied = d.resolve(s"_applied-$token")
+    val intent = d.resolve(s"_intent-$token")
+    if (Files.exists(applied)) {
+      // a crash between the applied marker and the intent cleanup just
+      // leaks the intent file — sweep it here
+      Files.deleteIfExists(intent)
+    } else {
+      // CRASH-SAFE two-phase: marker-after-append alone left a window
+      // (append committed, marker not yet created) where a replayed
+      // batch re-appended — duplicated retries/DLQ copies despite the
+      // trait's idempotence promise. The intent file snapshots the
+      // topic's data files BEFORE the append; a replay that finds an
+      // intent without its applied marker deletes everything the
+      // crashed attempt wrote (files not in the snapshot) and re-runs
+      // the append cleanly. Appends are serialized per topic (this
+      // lock), so the snapshot is stable.
+      def dataFiles(): Set[String] = {
+        val s = Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("_")
+              && !n.startsWith("."))
+            .toSet
+        } finally s.close()
+      }
+      if (Files.exists(intent)) {
+        import scala.jdk.CollectionConverters._
+        val snapshot = Files.readAllLines(intent).asScala.toSet
+        dataFiles().diff(snapshot)
+          .foreach(f => Files.deleteIfExists(d.resolve(f)))
+        // the warm last-offset cache may reflect the deleted files —
+        // drop it so the re-append rescans and keeps offsets contiguous
+        lastOffset.remove(topic)
+      } else {
+        Files.write(intent,
+          dataFiles().toSeq.sorted.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+          StandardOpenOption.WRITE)
+      }
       append(df, topic)
-      Files.createDirectories(marker.getParent)
-      Files.createFile(marker)
+      Files.createFile(applied)
+      Files.deleteIfExists(intent)
     }
   }
 }

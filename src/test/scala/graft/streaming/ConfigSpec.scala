@@ -122,6 +122,44 @@ class ConfigSpec extends AnyFunSuite {
       ConfigLoader.parse("\"  \" { a = 1 }"))
   }
 
+  test("a dots-only bare key fails the parse instead of silently " +
+      "dropping its value (the quoted branch's empty-key rule, applied " +
+      "to the bare-token path: '.' filtered to an empty path and put() " +
+      "was a no-op)") {
+    val e = intercept[ConfigLoader.ParseError](
+      ConfigLoader.parse(". = 5"))
+    assert(e.getMessage.contains("empty key"), e.getMessage)
+  }
+
+  test("siblings of the graft wrapper are LINTED, not silently ignored: " +
+      "toEngineConfig reads only the graft block, so a statsd section " +
+      "indented outside it stayed at defaults with no warning") {
+    val root = ConfigLoader.parse(
+      """graft { http-port = 8010 }
+        |statsd { enabled = true }
+        |""".stripMargin)
+    val unknown = ConfigLoader.unknownKeys(root)
+    assert(unknown.exists(_.startsWith("statsd")), unknown.mkString(","))
+    assert(unknown.exists(_.contains("outside the graft block")), unknown)
+  }
+
+  test("env-var names drop ONLY a leading graft wrapper segment: an " +
+      "entity literally named 'graft' keeps its segment (the old " +
+      "any-depth filter collided its variable with the parent path, " +
+      "making the route untargetable — and mistargetable — from the env)") {
+    val root = ConfigLoader.parse(
+      """graft {
+        |  stream-routes { graft { origin-topic = "g-events" } }
+        |}""".stripMargin)
+    ConfigLoader.overlayEnv(root, Map(
+      // the CORRECT name targets the entity...
+      "GRAFT_STREAM_ROUTES_GRAFT_ORIGIN_TOPIC" -> "overridden"))
+    val route = root("graft").asInstanceOf[ConfigLoader.Obj](
+      "stream-routes").asInstanceOf[ConfigLoader.Obj](
+      "graft").asInstanceOf[ConfigLoader.Obj]
+    assert(route("origin-topic") == "overridden", route)
+  }
+
   test("drain-timeout-ms must be positive: Spark treats a non-positive " +
       "stop timeout as wait-indefinitely, inverting the E11 bounded " +
       "drain into an unbounded hang") {

@@ -33,6 +33,46 @@ class FileTopicIOSpec extends SparkSuite {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("appendIdempotent survives a crash BETWEEN the append and the " +
+      "applied marker: the intent snapshot lets the replay delete the " +
+      "crashed attempt's files and re-run cleanly — marker-after-append " +
+      "alone duplicated retries on exactly-that-window replays") {
+    import java.nio.file.{Files, Paths}
+    val base = tmpDir("ftio4")
+    val topics = new FileTopicIO(base)
+    topics.append(envelopes("t", Seq(("seed", "v", ts("2024-01-01 00:00:00")))), "t")
+    val d = Paths.get(s"$base/t")
+    def parts(): Set[String] = {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_")
+            && !n.startsWith(".")).toSet
+      } finally s.close()
+    }
+    val preAppend = parts()
+    val batch = envelopes("t", (0 until 3).map(i =>
+      (s"k$i", s"v$i", ts("2024-01-01 00:00:01"))))
+    topics.appendIdempotent(batch, "t", "tok1")
+    assert(topics.read(spark, "t").count() == 4)
+    // simulate the crash window: data fully written, applied marker not
+    // yet created — the intent (with the pre-append snapshot) remains
+    Files.delete(d.resolve("_applied-tok1"))
+    Files.write(d.resolve("_intent-tok1"),
+      preAppend.toSeq.sorted.mkString("\n").getBytes)
+    // the REPLAY must not duplicate: recovery removes the crashed
+    // attempt's files, then re-appends once
+    topics.appendIdempotent(batch, "t", "tok1")
+    assert(topics.read(spark, "t").count() == 4,
+      "replay after the simulated crash must not duplicate the batch")
+    assert(Files.exists(d.resolve("_applied-tok1")))
+    assert(!Files.exists(d.resolve("_intent-tok1")))
+    // and a plain replay with the applied marker present stays a no-op
+    topics.appendIdempotent(batch, "t", "tok1")
+    assert(topics.read(spark, "t").count() == 4)
+  }
+
   test("concurrent appends to the same topic serialize: offsets are unique " +
       "and contiguous") {
     val topics = new FileTopicIO(tmpDir("ftio3"))

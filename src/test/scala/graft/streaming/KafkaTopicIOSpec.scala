@@ -45,6 +45,19 @@ class KafkaTopicIOSpec extends SparkSuite {
       "includeHeaders" -> "true"))
   }
 
+  test("exact subscription for derived topics: readerOptions(exact=true) " +
+      "uses literal `subscribe`, never subscribePattern — " +
+      "\"orders.v1_retry\" as a PATTERN also consumes \"orders2v1_retry\" " +
+      "(cross-entity theft; dotted entities are a supported config shape)") {
+    val opts = new KafkaTopicIO("b:9092")
+      .readerOptions("orders.v1_retry", exact = true)
+    assert(opts("subscribe") == "orders.v1_retry", opts)
+    assert(!opts.contains("subscribePattern"), opts)
+    // the default path keeps the documented regex subscription (S1)
+    assert(new KafkaTopicIO("b:9092").readerOptions("o.*")
+      .contains("subscribePattern"))
+  }
+
   test("writer options: exact map; security options ride the sink too") {
     assert(io.writerOptions("app_retry") == Map(
       "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
