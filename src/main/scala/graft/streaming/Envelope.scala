@@ -80,8 +80,13 @@ object Envelope {
   def withOptionalColumns(df: DataFrame): DataFrame =
     optional.foldLeft(df) { (d, f) =>
       val matches = d.columns.filter(_.equalsIgnoreCase(f.name))
-      val caseSensitive = org.apache.spark.sql.internal.SQLConf
-        .get.caseSensitiveAnalysis
+      // the FRAME's session conf, not the thread-local SQLConf.get: this
+      // runs on non-Spark threads too (management-server pool → dead-set
+      // replay → append), where no session is active and the thread-local
+      // falls back to a default conf — silently treating a
+      // caseSensitiveAnalysis=true session as case-insensitive
+      val caseSensitive =
+        df.sparkSession.sessionState.conf.caseSensitiveAnalysis
       if (matches.length > 1 && !caseSensitive)
         throw new IllegalArgumentException(
           s"ambiguous producer frame: columns ${matches.mkString(", ")} " +

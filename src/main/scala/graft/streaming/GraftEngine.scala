@@ -537,12 +537,26 @@ final class GraftEngine(
       withDrainTimeout { q.stop() }; true
     }.getOrElse(false)
 
+  /** Guards [[withDrainTimeout]]'s save/set/restore of the session-global
+    * stop-timeout: the ManagementServer serves stop requests from a
+    * 4-thread pool, and two concurrent stopRoute calls interleaving the
+    * save/restore would let one capture the other's TEMPORARY value as
+    * "prior" — leaking drainTimeoutMs into the session (or clobbering a
+    * co-resident session default) after both return. JVM-global, not
+    * per-engine: several engines can share one SparkSession, and the conf
+    * they race on is the session's. */
+  private def drainTimeoutLock = GraftEngine.drainConfLock
+
   /** Applies cfg.drainTimeoutMs as Spark's stop-timeout for the duration
     * of `body`, then RESTORES the session's prior value: the conf is
     * session-global, and leaking it would change stop() semantics for
     * co-resident queries and other engines on the shared session (their
-    * expectation is Spark's default — wait indefinitely). */
-  private[streaming] def withDrainTimeout[T](body: => T): T = {
+    * expectation is Spark's default — wait indefinitely). Serialized on
+    * [[drainTimeoutLock]]; q.stop() inside the lock is bounded by the
+    * very stop-timeout being applied, so the serialization cannot hang
+    * other stop requests indefinitely. */
+  private[streaming] def withDrainTimeout[T](body: => T): T =
+    drainTimeoutLock.synchronized {
     val key = "spark.sql.streaming.stopTimeout"
     val prior =
       try spark.conf.getOption(key)
@@ -624,4 +638,11 @@ final class GraftEngine(
   }
 
   sys.addShutdownHook { stopAll() }
+}
+
+object GraftEngine {
+  /** JVM-global lock for the session-global stop-timeout save/set/restore
+    * (see withDrainTimeout): engines sharing a SparkSession race on one
+    * conf, so the lock must outscope any single engine. */
+  private[streaming] val drainConfLock = new Object
 }

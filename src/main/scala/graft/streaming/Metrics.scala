@@ -77,10 +77,26 @@ final class MetricsRegistry {
     // monotonic count in the merged view (the plain `++` dropped the
     // counter silently, and the two export paths — snapshot vs
     // typedSnapshot — disagreed for the same name): on collision the
-    // gauge is exported under "<name>.gauge" so both values stay visible
-    cs ++ gauges.asScala.toMap.map { case (k, v) =>
-      (if (cs.contains(k)) s"$k.gauge" else k) -> v
+    // gauge is exported under "<name>.gauge". The rename PROBES for a
+    // free key (appending .2, .3, …) instead of assuming "<name>.gauge"
+    // is free — a counter (or another gauge) already registered under
+    // that literal name would otherwise be overwritten, recreating the
+    // silent shadowing one level deeper. Gauges are placed in sorted
+    // name order so the probed layout is deterministic.
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    gauges.asScala.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      def taken(n: String) = cs.contains(n) || out.contains(n)
+      val key =
+        if (!taken(k)) k
+        else {
+          var c = s"$k.gauge"
+          var i = 2
+          while (taken(c)) { c = s"$k.gauge.$i"; i += 1 }
+          c
+        }
+      out(key) = v
     }
+    cs ++ out
   }
 
   /** (counters, gauges) separately — exporters that distinguish metric

@@ -73,13 +73,20 @@ final class StatsdSink(host: String, port: Int, prefix: String = "graft")
     extends MetricsSink {
 
   private val socket = new DatagramSocket()
-  /** Resolved lazily INSIDE send()'s swallowed try, cached on success:
+  /** Resolved lazily INSIDE send()'s swallowed try, cached WITH A TTL:
     * resolving in the constructor made a DNS blip for the statsd host
     * (agent not up yet) throw UnknownHostException out of engine boot —
     * violating the contract that metrics loss never takes the pipeline
     * down. Until DNS resolves, sends are silently dropped (statsd is
-    * fire-and-forget); the first success pins the address. */
-  @volatile private var resolved: InetAddress = null
+    * fire-and-forget). The cache expires after [[resolveTtlMs]] rather
+    * than pinning the first success forever: containerized statsd agents
+    * get rescheduled to new IPs, and a permanent pin would silently send
+    * every later metric to the stale address for the life of the sink.
+    * If a re-resolve fails while a prior answer exists, the stale address
+    * keeps being used (better than dropping) and its stamp is refreshed
+    * so DNS is retried at TTL cadence, not per datagram. */
+  private[streaming] val resolveTtlMs: Long = 5 * 60 * 1000L
+  @volatile private var resolved: (InetAddress, Long) = null
 
   private def name(namespace: String, metric: String): String =
     Seq(prefix, namespace, metric).filter(_.nonEmpty).mkString(".")
@@ -91,11 +98,19 @@ final class StatsdSink(host: String, port: Int, prefix: String = "graft")
 
   private def send(line: String): Unit =
     try {
-      val address = {
-        val a = resolved
-        if (a != null) a
-        else { val r = InetAddress.getByName(host); resolved = r; r }
-      }
+      val now = System.currentTimeMillis()
+      val cached = resolved
+      val address =
+        if (cached != null && now - cached._2 < resolveTtlMs) cached._1
+        else try {
+          val r = InetAddress.getByName(host); resolved = (r, now); r
+        } catch {
+          case e: java.net.UnknownHostException =>
+            if (cached == null) throw e
+            // DNS blip with a prior answer: keep the stale address and
+            // re-stamp so the retry happens at TTL cadence
+            resolved = (cached._1, now); cached._1
+        }
       val bytes = line.getBytes(StandardCharsets.UTF_8)
       socket.send(new DatagramPacket(bytes, bytes.length, address, port))
     } catch { case _: java.io.IOException => () }

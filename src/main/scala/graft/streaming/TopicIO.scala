@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths}
 
 /** Topic transport abstraction. Production transport is Kafka (the
   * reference's only source, SURVEY §2.1); tests and this container (no
@@ -376,43 +376,53 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
 
   def append(df: DataFrame, topic: String): Unit =
     lockFor(topic).synchronized {
-      val spark = df.sparkSession
-      val base = maxOffset(spark, topic) + 1
-      // Contiguous offsets without a single-partition global window: one
-      // lightweight counting job per partition, then every partition
-      // stamps its contiguous id range in parallel — the multi-partition
-      // analogue of a log append (what zipWithIndex does internally, done
-      // by hand so the row count comes back for the cache update).
-      val fields = Envelope.schema.fieldNames.toIndexedSeq
-      val offsetIdx = fields.indexOf("offset")
-      val rows = Envelope.withOptionalColumns(df)
-        .select(fields.map(col): _*).rdd
-      // persist across the two jobs: the counting job and the stamping
-      // write must see IDENTICAL partition contents — an unpersisted
-      // RDD recomputes its whole lineage for the second job, paying the
-      // upstream twice AND (for a nondeterministic upstream, or a
-      // lost-executor recompute) risking offset ranges computed from
-      // one materialization applied to a different one, breaking the
-      // monotone-offset invariant the dead-set markers rely on
-      rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val counts = rows.mapPartitionsWithIndex((pi, it) =>
-          Iterator(pi -> it.size)).collect().sortBy(_._1).map(_._2.toLong)
-        val starts = counts.scanLeft(0L)(_ + _)
-        val total = starts.last
-        val indexed = rows.mapPartitionsWithIndex { (pi, it) =>
-          var o = base + starts(pi)
-          it.map { r =>
-            val row = org.apache.spark.sql.Row.fromSeq(
-              r.toSeq.updated(offsetIdx, o))
-            o += 1; row
-          }
-        }
-        spark.createDataFrame(indexed, Envelope.schema)
-          .write.mode("append").parquet(dir(topic))
-        lastOffset.put(topic, base + total - 1)
-      } finally rows.unpersist(blocking = false)
+      lastOffset.put(topic, writeStamped(df, topic, dir(topic)))
     }
+
+  /** Offset-stamped envelope write into `outDir` (normally the topic dir;
+    * [[appendIdempotent]] targets a token staging subdir). Offsets start at
+    * the topic's current max + 1. Returns the new last offset. Caller must
+    * hold `lockFor(topic)` and update `lastOffset` once the files are
+    * visible in the topic dir. */
+  private def writeStamped(df: DataFrame, topic: String,
+      outDir: String): Long = {
+    val spark = df.sparkSession
+    val base = maxOffset(spark, topic) + 1
+    // Contiguous offsets without a single-partition global window: one
+    // lightweight counting job per partition, then every partition
+    // stamps its contiguous id range in parallel — the multi-partition
+    // analogue of a log append (what zipWithIndex does internally, done
+    // by hand so the row count comes back for the cache update).
+    val fields = Envelope.schema.fieldNames.toIndexedSeq
+    val offsetIdx = fields.indexOf("offset")
+    val rows = Envelope.withOptionalColumns(df)
+      .select(fields.map(col): _*).rdd
+    // persist across the two jobs: the counting job and the stamping
+    // write must see IDENTICAL partition contents — an unpersisted
+    // RDD recomputes its whole lineage for the second job, paying the
+    // upstream twice AND (for a nondeterministic upstream, or a
+    // lost-executor recompute) risking offset ranges computed from
+    // one materialization applied to a different one, breaking the
+    // monotone-offset invariant the dead-set markers rely on
+    rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = rows.mapPartitionsWithIndex((pi, it) =>
+        Iterator(pi -> it.size)).collect().sortBy(_._1).map(_._2.toLong)
+      val starts = counts.scanLeft(0L)(_ + _)
+      val total = starts.last
+      val indexed = rows.mapPartitionsWithIndex { (pi, it) =>
+        var o = base + starts(pi)
+        it.map { r =>
+          val row = org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.updated(offsetIdx, o))
+          o += 1; row
+        }
+      }
+      spark.createDataFrame(indexed, Envelope.schema)
+        .write.mode("append").parquet(outDir)
+      base + total - 1
+    } finally rows.unpersist(blocking = false)
+  }
 
   def maxOffset(spark: SparkSession, topic: String): Long =
     Option(lastOffset.get(topic)).map(_.longValue()).getOrElse {
@@ -433,54 +443,93 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
     topics.foreach(t => Files.createDirectories(Paths.get(dir(t))))
   }
 
+  /** Filesystem-safe, collision-free stamp for a replay token, embedded in
+    * the data-file names an attempt moves into the topic dir. Hashed (not
+    * sanitized) so two distinct tokens can never share a stamp — a shared
+    * stamp would let one token's recovery delete another token's files. */
+  private def tokenStamp(token: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.reverseIterator
+          .foreach(Files.deleteIfExists)
+      } finally s.close()
+    }
+
   override def appendIdempotent(df: DataFrame, topic: String,
       token: String): Unit = lockFor(topic).synchronized {
     val d = Paths.get(dir(topic))
     Files.createDirectories(d)
     val applied = d.resolve(s"_applied-$token")
-    val intent = d.resolve(s"_intent-$token")
+    val staging = d.resolve(s"_staging-$token")
     if (Files.exists(applied)) {
-      // a crash between the applied marker and the intent cleanup just
-      // leaks the intent file — sweep it here
-      Files.deleteIfExists(intent)
+      // a crash between the applied marker and cleanup just leaks the
+      // staging dir (or a pre-rework intent file) — sweep them here
+      deleteRecursively(staging)
+      Files.deleteIfExists(d.resolve(s"_intent-$token"))
     } else {
-      // CRASH-SAFE two-phase: marker-after-append alone left a window
-      // (append committed, marker not yet created) where a replayed
-      // batch re-appended — duplicated retries/DLQ copies despite the
-      // trait's idempotence promise. The intent file snapshots the
-      // topic's data files BEFORE the append; a replay that finds an
-      // intent without its applied marker deletes everything the
-      // crashed attempt wrote (files not in the snapshot) and re-runs
-      // the append cleanly. Appends are serialized per topic (this
-      // lock), so the snapshot is stable.
-      def dataFiles(): Set[String] = {
+      // CRASH-SAFE, TOKEN-SCOPED two-phase: marker-after-append alone left
+      // a window (append committed, marker not yet created) where a
+      // replayed batch re-appended — duplicated retries/DLQ copies despite
+      // the trait's idempotence promise. The attempt writes into a
+      // token-named staging subdir (underscore-prefixed: invisible to
+      // parquet scans), then moves each part file into the topic dir under
+      // a token-stamped name, then creates the applied marker. Recovery
+      // deletes ONLY this token's stamped files plus the staging dir — an
+      // earlier design snapshotted the whole topic's file list and deleted
+      // everything not in the snapshot on replay, which destroyed records
+      // OTHER writers (different tokens: dispatch emit, retry requeue,
+      // dead-set replay share topics) committed between the crash and the
+      // replay. Scoping by token closes that loss window; the offset gap a
+      // reclaimed crashed attempt leaves behind is fine (dead-set markers
+      // rely on monotone offsets, not contiguous ones).
+      val stampSuffix = s"-tok-${tokenStamp(token)}.parquet"
+      def tokenFiles(): Seq[java.nio.file.Path] = {
         val s = Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(stampSuffix))
+            .toSeq
+        } finally s.close()
+      }
+      val stale = tokenFiles()
+      if (stale.nonEmpty || Files.exists(staging)) {
+        stale.foreach(Files.deleteIfExists)
+        deleteRecursively(staging)
+        // the warm last-offset cache may reflect the deleted files —
+        // drop it so the re-append rescans and keeps offsets monotone
+        lastOffset.remove(topic)
+      }
+      // pre-rework recovery marker: superseded by the staging protocol
+      // (its whole-topic snapshot diff is exactly the loss bug fixed here)
+      Files.deleteIfExists(d.resolve(s"_intent-$token"))
+      val newLast = writeStamped(df, topic, staging.toString)
+      val moved = {
+        val s = Files.list(staging)
         try {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala.map(_.getFileName.toString)
             .filter(n => n.endsWith(".parquet") && !n.startsWith("_")
               && !n.startsWith("."))
-            .toSet
+            .toSeq
         } finally s.close()
       }
-      if (Files.exists(intent)) {
-        import scala.jdk.CollectionConverters._
-        val snapshot = Files.readAllLines(intent).asScala.toSet
-        dataFiles().diff(snapshot)
-          .foreach(f => Files.deleteIfExists(d.resolve(f)))
-        // the warm last-offset cache may reflect the deleted files —
-        // drop it so the re-append rescans and keeps offsets contiguous
-        lastOffset.remove(topic)
-      } else {
-        Files.write(intent,
-          dataFiles().toSeq.sorted.mkString("\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-          StandardOpenOption.WRITE)
+      moved.foreach { n =>
+        Files.move(staging.resolve(n),
+          d.resolve(n.stripSuffix(".parquet") + stampSuffix),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
-      append(df, topic)
       Files.createFile(applied)
-      Files.deleteIfExists(intent)
+      deleteRecursively(staging)
+      lastOffset.put(topic, newLast)
     }
   }
 }

@@ -72,6 +72,24 @@ class MetricsSinkSpec extends AnyFunSuite {
     assert(reg.snapshot()("route.latency") == 7.0)
   }
 
+  test("the collision rename PROBES for a free key: a counter already " +
+      "named '<name>.gauge' is not overwritten by the renamed gauge " +
+      "(that recreated the silent shadowing one level deeper)") {
+    val reg = new MetricsRegistry
+    reg.increment("route.trigger", 3)
+    reg.increment("route.trigger.gauge", 9) // literal counter at the
+    reg.timing("route.trigger", 42L)        // rename's landing spot
+    val snap = reg.snapshot()
+    assert(snap("route.trigger") == 3.0, snap)
+    assert(snap("route.trigger.gauge") == 9.0,
+      s"the literal counter must keep its name: $snap")
+    assert(snap("route.trigger.gauge.2") == 42.0,
+      s"the displaced gauge probes to the next free key: $snap")
+    // all three values visible — nothing silently dropped
+    assert(snap.size == reg.typedSnapshot()._1.size
+      + reg.typedSnapshot()._2.size)
+  }
+
   test("terminateSinks terminates and detaches every sink") {
     val reg = new MetricsRegistry
     val sink = new FakeSink
