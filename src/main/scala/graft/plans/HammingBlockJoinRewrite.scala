@@ -244,11 +244,14 @@ class HammingBlockJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * [[RewriteSupport.logPreflight]], shared with the overlap rule. */
   private def maybePreflight(l: LogicalPlan, r: LogicalPlan,
       a: Expression, b: Expression, k: Int): Unit = {
-    // sampled estimator mode (ScaleGuards.HammingPreflightSampleKey):
-    // sample_fraction=f provenance on the line, same contract as the
-    // overlap rule's
-    val sample = ScaleGuards
-      .preflightSampleFraction(ScaleGuards.HammingPreflightSampleKey)
+    // sampled estimator mode: explicit sampleFraction conf wins; unset,
+    // the stats floor auto-engages sampling on big children
+    // (ScaleGuards.effectivePreflightSample — the 100 TB default).
+    // sample_fraction=f provenance on the line either way, same
+    // contract as the overlap rule's
+    val sample = ScaleGuards.effectivePreflightSample(
+      ScaleGuards.HammingPreflightSampleKey,
+      ScaleGuards.HammingPreflightAutoSampleMinBytesKey, l, r)
     val sampleCols = ScaleGuards.sampleProvenanceCols(sample)
     RewriteSupport.logPreflight(spark, ScaleGuards.HammingPreflightKey,
       "hamming-block rewrite", l, r,

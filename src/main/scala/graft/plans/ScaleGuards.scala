@@ -153,21 +153,92 @@ object ScaleGuards {
     * removes is the explode, shuffle, and count-table work on 1−f of
     * the rows, which is where the exact audit's cost concentrates (the
     * explode multiplies rows by elements/blocks; the scan does not).
-    * Unset, or any value outside (0, 1), means exact (the conservative
-    * default: a sampled abort under `fail` mode refuses a join on an
-    * estimate). */
+    * Any EXPLICIT value outside (0, 1) means exact — the operator's
+    * deliberate request (a sampled abort under `fail` mode refuses a
+    * join on an estimate). UNSET, the decision falls to the stats
+    * floor below ([[OverlapPreflightAutoSampleMinBytesKey]]): small
+    * inputs audit exactly, big inputs auto-sample. */
   val OverlapPreflightSampleKey =
     "spark.graft.overlapJoinRewrite.preflight.sampleFraction"
   val HammingPreflightSampleKey =
     "spark.graft.hammingBlockJoinRewrite.preflight.sampleFraction"
 
-  /** The (0,1)-validated sampling rate for a preflight family, read
-    * through the thread-active SQLConf like every rewrite conf
-    * ([[RewriteSupport.activeConf]]'s cloned-session note). None =
-    * exact. */
-  private[plans] def preflightSampleFraction(key: String): Option[Double] =
-    RewriteSupport.activeConf(key).flatMap(_.toDoubleOption)
-      .filter(f => f > 0.0 && f < 1.0)
+  /** Stats floor (bytes, larger join child) above which an UNSET
+    * sampleFraction auto-engages the sampled estimator — the 100 TB
+    * default. Without this gate the always-on `preflight=warn` story
+    * silently priced every large join with the EXACT audit (full
+    * scan + explode of both children at planning time) unless the
+    * operator remembered the sampleFraction conf — and the operator
+    * who most needs the circuit breaker is the least likely to have
+    * set it. Same `sizeInBytes`-floor pattern as
+    * [[OverlapTwoPhaseMinBytesKey]]: LocalRelation/test fixtures
+    * estimate ~KB..MB and stay exact (d31/d41's oracle schemas carry
+    * no provenance column), real big-data relations estimate ≈ file
+    * bytes and sample. Per rule family, like the sample keys. */
+  val OverlapPreflightAutoSampleMinBytesKey =
+    "spark.graft.overlapJoinRewrite.preflight.autoSampleMinBytes"
+  val HammingPreflightAutoSampleMinBytesKey =
+    "spark.graft.hammingBlockJoinRewrite.preflight.autoSampleMinBytes"
+  val PreflightAutoSampleMinBytesDefault: Long = 4L * 1024 * 1024 * 1024
+
+  /** Per-side row budget the auto-picked fraction targets (shared by
+    * both families — the policy "how many rows make a reliable
+    * frequency estimate" is rule-independent). ~1M rows keeps the
+    * audit a sub-second job at any scale while sampling every key
+    * frequent enough to matter (a key that misses a 1M-row sample
+    * entirely cannot dominate Σ fL·fR). */
+  val PreflightAutoSampleTargetRowsKey =
+    "spark.graft.preflight.autoSampleTargetRows"
+  val PreflightAutoSampleTargetRowsDefault: Long = 1000000L
+
+  /** Bytes-per-row guess when plan stats carry no rowCount (no CBO
+    * ANALYZE): deliberately on the small side — underestimating row
+    * width overestimates the row count, which picks a SMALLER
+    * fraction, which errs toward the affordable audit. */
+  private val PreflightAutoSampleEstRowBytes = 64L
+
+  private def estimatedRows(p: LogicalPlan): BigInt =
+    p.stats.rowCount.getOrElse(
+      (p.stats.sizeInBytes / PreflightAutoSampleEstRowBytes).max(BigInt(1)))
+
+  /** The sampling decision a preflight actually uses. Precedence:
+    *  1. An explicitly SET sampleFraction conf wins verbatim — a valid
+    *     (0,1) value samples at that rate; any other explicit value
+    *     (e.g. `1.0`) is the operator's deliberate exact request and
+    *     disables the auto gate too.
+    *  2. Unset, with the larger child's `stats.sizeInBytes` at or
+    *     above the family's autoSampleMinBytes floor: auto-pick
+    *     `targetRows / max(est rows per side)`, so the per-side sample
+    *     is bounded regardless of input scale. Row estimates use CBO
+    *     rowCount when present, else sizeInBytes over a conservative
+    *     row-width guess.
+    *  3. Otherwise exact (None) — small inputs keep the provenance-free
+    *     audit schema the d31/d41 oracles pin. */
+  private[plans] def effectivePreflightSample(sampleKey: String,
+      autoMinBytesKey: String, l: LogicalPlan, r: LogicalPlan)
+      : Option[Double] = {
+    val explicit = RewriteSupport.activeConf(sampleKey)
+    if (explicit.isDefined)
+      explicit.flatMap(_.toDoubleOption).filter(f => f > 0.0 && f < 1.0)
+    else {
+      val minBytes = RewriteSupport.activeConf(autoMinBytesKey)
+        .flatMap(_.toLongOption).filter(_ >= 0L)
+        .getOrElse(PreflightAutoSampleMinBytesDefault)
+      if (l.stats.sizeInBytes.max(r.stats.sizeInBytes) < minBytes) None
+      else {
+        val target = RewriteSupport.activeConf(PreflightAutoSampleTargetRowsKey)
+          .flatMap(_.toLongOption).filter(_ > 0L)
+          .getOrElse(PreflightAutoSampleTargetRowsDefault)
+        val rows = estimatedRows(l).max(estimatedRows(r))
+        val f = target.toDouble / rows.toDouble
+        // a side already within the row budget audits exactly even
+        // above the byte floor; guard the other end against underflow
+        // on absurd row estimates (f=1e-12 still samples ~1e6 rows of
+        // anything that estimate could describe)
+        if (f >= 1.0) None else Some(math.max(f, 1e-12))
+      }
+    }
+  }
 
   /** The provenance column both rules append to their audit-line specs
     * when (and only when) the sampled estimator is active. */

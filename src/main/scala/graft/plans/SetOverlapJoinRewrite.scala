@@ -518,11 +518,15 @@ class SetOverlapJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (p.jaccardOrEqual)
         Seq("empty_empty_rows" -> true, "empty_share_bp" -> false)
       else Nil
-    // sampled estimator mode (ScaleGuards.OverlapPreflightSampleKey):
-    // the audit line gains sample_fraction=f provenance so a warn/abort
-    // read off an estimate is never mistaken for an exact count
-    val sample = ScaleGuards
-      .preflightSampleFraction(ScaleGuards.OverlapPreflightSampleKey)
+    // sampled estimator mode: explicit sampleFraction conf wins; unset,
+    // the stats floor auto-engages sampling on big children
+    // (ScaleGuards.effectivePreflightSample — the 100 TB default). The
+    // audit line gains sample_fraction=f provenance either way, so a
+    // warn/abort read off an estimate is never mistaken for an exact
+    // count
+    val sample = ScaleGuards.effectivePreflightSample(
+      ScaleGuards.OverlapPreflightSampleKey,
+      ScaleGuards.OverlapPreflightAutoSampleMinBytesKey, l, r)
     val sampleCols = ScaleGuards.sampleProvenanceCols(sample)
     RewriteSupport.logPreflight(spark, ScaleGuards.OverlapPreflightKey,
       "overlap-join rewrite", l, r,

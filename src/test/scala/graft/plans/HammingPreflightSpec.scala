@@ -89,4 +89,27 @@ class HammingPreflightSpec extends SparkSuite {
       assert(ex.getMessage.contains("worst_block_index=0"), ex.getMessage)
     } finally spark.conf.unset(ScaleGuards.HammingPreflightKey)
   }
+
+  test("the hamming rule auto-samples BY DEFAULT above its own byte " +
+      "floor (no sampleFraction conf), naming the same worst block with " +
+      "sampling provenance on the line") {
+    spark.conf.set(ScaleGuards.HammingPreflightKey, "warn")
+    spark.conf.set(ScaleGuards.HammingPreflightAutoSampleMinBytesKey, "0")
+    spark.conf.set(ScaleGuards.PreflightAutoSampleTargetRowsKey, "3")
+    try {
+      val lines = capturing { assert(skewedJoinCount() >= 30L) }
+      val pf = lines.filter(_.contains("hamming-block rewrite preflight:"))
+      assert(pf.nonEmpty, s"expected a preflight line, got: $lines")
+      val line = pf.head
+      assert(line.contains("sample_fraction="),
+        s"auto gate must stamp sampling provenance: $line")
+      // block 0's value 0 is in every row: any non-empty sample names it
+      assert(line.contains("worst_block_index=0"), line)
+      assert(line.contains("worst_block_value=0"), line)
+    } finally {
+      spark.conf.unset(ScaleGuards.HammingPreflightKey)
+      spark.conf.unset(ScaleGuards.HammingPreflightAutoSampleMinBytesKey)
+      spark.conf.unset(ScaleGuards.PreflightAutoSampleTargetRowsKey)
+    }
+  }
 }

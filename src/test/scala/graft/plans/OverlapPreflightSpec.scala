@@ -194,6 +194,31 @@ class OverlapPreflightSpec extends SparkSuite {
     } finally spark.conf.unset(ScaleGuards.OverlapPreflightKey)
   }
 
+  test("the rule auto-samples BY DEFAULT when the children's stats cross " +
+      "the (conf-lowered) byte floor — no sampleFraction conf set — and " +
+      "the sampled line still names the same worst element") {
+    spark.conf.set(ScaleGuards.OverlapPreflightKey, "warn")
+    // lower the gate so this spec-sized fixture counts as "big": floor 0
+    // engages the auto path, a 3-row target forces f < 1 at any honest row estimate
+    spark.conf.set(ScaleGuards.OverlapPreflightAutoSampleMinBytesKey, "0")
+    spark.conf.set(ScaleGuards.PreflightAutoSampleTargetRowsKey, "3")
+    try {
+      val lines = capturing { assert(hotJoinCount() >= 900L) }
+      val pf = lines.filter(_.contains("overlap-join rewrite preflight:"))
+      assert(pf.nonEmpty, s"expected a preflight line, got: $lines")
+      val line = pf.head
+      assert(line.contains("sample_fraction="),
+        s"auto gate must stamp sampling provenance: $line")
+      // element 1L rides in every row: any non-empty sample names it
+      assert(line.contains("worst_element=1"), line)
+      assert(line.contains("max_share_bp=10000"), line)
+    } finally {
+      spark.conf.unset(ScaleGuards.OverlapPreflightKey)
+      spark.conf.unset(ScaleGuards.OverlapPreflightAutoSampleMinBytesKey)
+      spark.conf.unset(ScaleGuards.PreflightAutoSampleTargetRowsKey)
+    }
+  }
+
   test("without the conf the hook stays silent") {
     val lines = capturing { assert(hotJoinCount() >= 900L) }
     assert(!lines.exists(_.contains("overlap-join rewrite preflight")),

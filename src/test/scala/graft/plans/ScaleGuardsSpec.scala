@@ -101,4 +101,68 @@ class ScaleGuardsSpec extends SparkSuite {
         .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted)
     assert(got == Seq((1L, 7L), (4L, 5L)), s"got $got")
   }
+
+  // --- stats-gated auto-sampling for the preflight audits -----------------
+
+  private def plan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan
+
+  private def effective(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame): Option[Double] =
+    ScaleGuards.effectivePreflightSample(
+      ScaleGuards.OverlapPreflightSampleKey,
+      ScaleGuards.OverlapPreflightAutoSampleMinBytesKey, plan(l), plan(r))
+
+  test("auto-sampling engages BY DEFAULT (no conf set) when a join " +
+      "child's stats cross the byte floor: the fraction targets the row " +
+      "budget from the larger side's estimated rows") {
+    // Range stats: sizeInBytes = n*8, rowCount = n. 1e9 rows = 8 GB >
+    // the 4 GB default floor; target 1M rows → f = 1e-3
+    val big = spark.range(1000000000L).toDF("id")
+    val small = spark.range(10L).toDF("id")
+    val f = effective(big, small)
+    assert(f.isDefined, "stats-large child must auto-sample by default")
+    assert(math.abs(f.get - 0.001) < 1e-9, s"expected 1e-3, got $f")
+    // symmetric: the large side may be either child
+    assert(effective(small, big) == f)
+  }
+
+  test("auto-sampling stays OFF below the byte floor: small fixtures " +
+      "keep the exact, provenance-free audit (the d31/d41 oracle shape)") {
+    val a = spark.range(100000L).toDF("id") // 800 KB << 4 GB
+    val b = spark.range(50000L).toDF("id")
+    assert(effective(a, b).isEmpty)
+  }
+
+  test("an explicitly SET sampleFraction wins over the auto gate — " +
+      "valid (0,1) values sample at that rate, and an explicit 1.0 is " +
+      "a deliberate exact request even above the floor") {
+    val big = spark.range(1000000000L).toDF("id")
+    val small = spark.range(10L).toDF("id")
+    spark.conf.set(ScaleGuards.OverlapPreflightSampleKey, "0.25")
+    try assert(effective(big, small).contains(0.25))
+    finally spark.conf.unset(ScaleGuards.OverlapPreflightSampleKey)
+    spark.conf.set(ScaleGuards.OverlapPreflightSampleKey, "1.0")
+    try assert(effective(big, small).isEmpty,
+      "explicit 1.0 must disable auto-sampling: the operator asked for exact")
+    finally spark.conf.unset(ScaleGuards.OverlapPreflightSampleKey)
+  }
+
+  test("above the byte floor but within the row budget stays exact, and " +
+      "the floor + target are conf-tunable") {
+    val a = spark.range(500L).toDF("id")
+    val b = spark.range(400L).toDF("id")
+    spark.conf.set(ScaleGuards.OverlapPreflightAutoSampleMinBytesKey, "0")
+    try {
+      // 500 estimated rows < the 1M default target → f >= 1 → exact
+      assert(effective(a, b).isEmpty)
+      spark.conf.set(ScaleGuards.PreflightAutoSampleTargetRowsKey, "100")
+      try {
+        val f = effective(a, b)
+        assert(f.isDefined && math.abs(f.get - 0.2) < 1e-9,
+          s"100 target over 500 rows = 0.2, got $f")
+      } finally spark.conf.unset(ScaleGuards.PreflightAutoSampleTargetRowsKey)
+    } finally
+      spark.conf.unset(ScaleGuards.OverlapPreflightAutoSampleMinBytesKey)
+  }
 }
