@@ -139,6 +139,37 @@ class BenchJsonSpec extends AnyFunSuite {
       Bench.loadSuspectAbsolute(idle, idle))
   }
 
+  test("normalized_total: value divided by the caller's load factor " +
+      "rides beside the raw total; absent when no factor is given " +
+      "(the factor is clamped >= 1 by the caller, so a fast host " +
+      "never flatters the total)") {
+    // total = 1.25 + 0.5 + 2.75 = 4.5; factor 1.5 → 3.0
+    val j = Bench.resultJson(names, timed, Map.empty, "/sf",
+      normalizeBy = Some(1.5))
+    assert(j.contains(""""value":4.500"""), j)
+    assert(j.contains(""""normalized_total":3.000"""), j)
+    val without = Bench.resultJson(names, timed, Map.empty, "/sf")
+    assert(!without.contains("normalized_total"), without)
+    // a degenerate factor is dropped, never a divide-by-zero
+    assert(!Bench.resultJson(names, timed, Map.empty, "/sf",
+      normalizeBy = Some(0.0)).contains("normalized_total"))
+  }
+
+  test("stream fragments are at least best-of-3: best-of-2 let a 3x " +
+      "co-tenant window ride the r12 artifact as 'the' long number " +
+      "(both passes landed inside the same contention window)") {
+    assert(Bench.streamPassCount >= 3)
+    assert(Bench.longStreamPassCount >= 3)
+  }
+
+  test("the multi-core calibration floor is positive and the absolute " +
+      "guard applies to it the same way") {
+    val mcIdle = Bench.CalibrationMcIdleRefDefault
+    assert(mcIdle > 0.0)
+    assert(Bench.loadSuspectAbsolute(mcIdle * 1.4, mcIdle))
+    assert(!Bench.loadSuspectAbsolute(mcIdle * 1.2, mcIdle))
+  }
+
   // minimal structural check without a JSON dependency: braces balance and
   // the string survives a round-trip through Spark's JSON reader
   private def ujson(s: String): String = {
