@@ -197,7 +197,7 @@ object LayoutOps {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  private def scratch(prefix: String, dir: String): String = {
+  private[operators] def scratch(prefix: String, dir: String): String = {
     val base = java.nio.file.Paths.get(
       s"${System.getProperty("java.io.tmpdir")}/graft-scratch")
     reapDeadRoots(base)

@@ -189,18 +189,28 @@ object SimilarityOps {
     * nprobe probe cells per vector, against the fixed-[[ivfK]]
     * hash-sampled centroid set — shared by s03 (full-precision ranking)
     * and s07 (IVF-PQ: same cells, PQ-compressed candidates). */
-  private def ivfCells(s: SparkSession, dir: String,
-      nprobe: Int = ivfNprobe): (DataFrame, DataFrame) = {
-    val emb = t(s, dir).embeddingsSpread
+  /** Normalized corpus view shared by the IVF family: vectors as doubles
+    * plus the precomputed L2 norm. */
+  private def normEmb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).embeddingsSpread
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm",
         sqrt(dotF64(col("vd"), col("vd"))))
-    val cents = emb
-      .withColumn("hk", StableHash.h60(col("vec_id")))
+
+  /** The deterministic fixed-[[ivfK]] coarse quantizer (hash-sampled
+    * centroid set) — shared by [[ivfCells]] and s18's persisted index
+    * build. */
+  private def ivfCentroids(emb: DataFrame): DataFrame =
+    emb.withColumn("hk", StableHash.h60(col("vec_id")))
       .orderBy(col("hk"), col("vec_id"))
       .limit(ivfK)
       .select(col("vec_id").as("cent_id"), col("vd").as("cv"),
         col("nrm").as("cn"))
+
+  private def ivfCells(s: SparkSession, dir: String,
+      nprobe: Int = ivfNprobe): (DataFrame, DataFrame) = {
+    val emb = normEmb(s, dir)
+    val cents = ivfCentroids(emb)
     val scored = emb.join(broadcast(cents), lit(true))
       .withColumn("cc", round(
         dotF64(col("vd"), col("cv"))
@@ -1591,6 +1601,60 @@ object SimilarityOps {
        |ORDER BY q_id, pick""".stripMargin
   }
 
+  /** Persisted-index IVF probe: s03's exact semantics, served from a
+    * PARQUET INDEX ARTIFACT instead of structures rebuilt inside the
+    * query. The build half runs the same one-pass centroid sample +
+    * corpus assignment as s03 and publishes it through [[AnnIndex]]
+    * (versioned dirs, manifest, atomic pointer — the UpsertSink
+    * discipline); the probe half LOADS the committed version and runs
+    * queries against the loaded frames: centroids broadcast (k rows),
+    * postings an equi-join on `cell` over a scan partition-pruned to the
+    * probed cells. At 100 TB the build is a one-time O(N·k) pass and
+    * every probe batch pays only its own cells — the missing half of the
+    * s03/s07 story, which re-derived the index per query. The oracle is
+    * s03's verbatim (the d37/d38 shared-oracle pattern): hash-equality
+    * against the from-scratch derivation certifies that publish → load
+    * round-trips the index exactly. */
+  private def s18(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = s"${LayoutOps.scratch("graft-s18", dir)}/ivf"
+    val emb = normEmb(s, dir)
+    val (assigned, _) = ivfCells(s, dir)
+    AnnIndex.publish(ivfCentroids(emb),
+      assigned.select(col("vec_id"), col("vd"), col("nrm"), col("cell")),
+      indexDir, ivfK)
+    val idx = AnnIndex.load(s, indexDir)
+    // probe: assign the query batch against the LOADED centroids, then
+    // rank full-precision candidates from the LOADED postings — the same
+    // math as s03, reading only persisted structures
+    val scored0 = emb.filter(col("vec_id").between(1, 9))
+      .join(broadcast(idx.centroids), lit(true))
+      .withColumn("cc", round(
+        dotF64(col("vd"), col("cv")) / (col("nrm") * col("cn")), 4))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc").desc, col("cent_id"))
+    val q = scored0.withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") <= ivfNprobe)
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn"), col("cent_id").as("cell"))
+    val c = idx.postings.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vd").as("cv2"),
+        col("nrm").as("cn2"), col("cell"))
+    val scored = q.join(c, "cell")
+      .withColumn("cos_sim", round(
+        dotF64(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("cell"), col("rk"),
+        col("c_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** s18 shares s03's oracle verbatim: the persisted-index probe must be
+    * indistinguishable from the from-scratch derivation. */
+  private val s18Sql = s03Sql
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -1609,5 +1673,6 @@ object SimilarityOps {
     "s15_ann_multiprobe" -> QueryDef(s15, Some(s15Sql)),
     "s16_ann_incremental" -> QueryDef(s16, Some(s16Sql)),
     "s17_mmr_rerank" -> QueryDef(s17, Some(s17Sql)),
+    "s18_ann_persisted_index" -> QueryDef(s18, Some(s18Sql)),
   )
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** The persistent ANN index store's commit discipline: versioned dirs,
+  * manifest-last, atomic pointer flip, orphan-tolerant loads, vacuum.
+  * End-to-end parity of the loaded index with the from-scratch
+  * derivation is certified by s18's oracle (s03Sql verbatim) in the
+  * CORRECTNESS gate; this spec pins the store mechanics that gate can't
+  * see (crash windows never produce a loadable half-index). */
+class AnnIndexSpec extends SparkSuite {
+
+  private def fixture(n: Int, shift: Double = 0.0): (DataFrame, DataFrame) = {
+    val sess = spark
+    import sess.implicits._
+    val cents = (1 to 4).map(i =>
+      (i.toLong, Seq(i.toDouble + shift, 1.0), 1.0)).toDF("cent_id", "cv", "cn")
+    val posts = (1 to n).map(i =>
+      (i.toLong + 100, Seq(i.toDouble, 2.0), 2.0, (i % 4 + 1).toLong))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    (cents, posts)
+  }
+
+  test("publish -> load round-trips both frames exactly, restores the " +
+      "partition column's type, and records the version in the handle") {
+    val dir = tmpDir("annidx")
+    val (cents, posts) = fixture(20)
+    val v = AnnIndex.publish(cents, posts, dir, k = 4)
+    assert(v == "v1")
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.version == "v1" && idx.k == 4)
+    assert(idx.postings.schema("cell").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "partition-column inference must not narrow cell ids")
+    def rows(df: DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rows(idx.centroids, "cent_id", "cv", "cn")
+      == rows(cents, "cent_id", "cv", "cn"))
+    assert(rows(idx.postings, "vec_id", "vd", "nrm", "cell")
+      == rows(posts, "vec_id", "vd", "nrm", "cell"))
+  }
+
+  test("a second publish commits v2 and the pointer flips atomically; " +
+      "the old version stays on disk until vacuum") {
+    val dir = tmpDir("annidx2")
+    val (c1, p1) = fixture(8)
+    AnnIndex.publish(c1, p1, dir, k = 4)
+    val (c2, p2) = fixture(12, shift = 0.5)
+    assert(AnnIndex.publish(c2, p2, dir, k = 4) == "v2")
+    assert(AnnIndex.currentVersion(dir).contains("v2"))
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.version == "v2" && idx.postings.count() == 12)
+    assert(Files.exists(Paths.get(dir, "v1")), "history kept until vacuum")
+    // vacuum keep=0: only the current version survives
+    AnnIndex.vacuum(dir, keep = 0)
+    assert(!Files.exists(Paths.get(dir, "v1")))
+    assert(Files.exists(Paths.get(dir, "v2")))
+    assert(AnnIndex.load(spark, dir).postings.count() == 12)
+  }
+
+  test("a crashed build (version dir without manifest, pointer not " +
+      "flipped) is invisible to readers, never re-entered by the next " +
+      "publish, and reclaimed by vacuum") {
+    val dir = tmpDir("annidx3")
+    val (c1, p1) = fixture(8)
+    AnnIndex.publish(c1, p1, dir, k = 4)
+    // simulate: a publish of v2 died after writing data, before the
+    // manifest and pointer flip
+    Files.createDirectories(Paths.get(dir, "v2", "postings"))
+    assert(AnnIndex.currentVersion(dir).contains("v1"),
+      "pointer must still name the committed version")
+    assert(AnnIndex.load(spark, dir).version == "v1")
+    // the next successful publish must mint v3, not write into the orphan
+    val (c2, p2) = fixture(10)
+    assert(AnnIndex.publish(c2, p2, dir, k = 4) == "v3")
+    assert(AnnIndex.load(spark, dir).version == "v3")
+    // vacuum reclaims the orphan (it is NEWER-numbered dirs above the
+    // pointer that are orphans; v2 here is below v3 and outside keep)
+    AnnIndex.vacuum(dir, keep = 0)
+    assert(!Files.exists(Paths.get(dir, "v2")))
+  }
+
+  test("load fails loudly on an empty dir and on a pointer naming a " +
+      "manifest-less version (a state publish can never produce)") {
+    val dir = tmpDir("annidx4")
+    intercept[IllegalStateException] { AnnIndex.load(spark, dir) }
+    // hand-corrupt: pointer at a version without a manifest
+    Files.createDirectories(Paths.get(dir, "v1", "centroids"))
+    Files.write(Paths.get(dir, "_current"), "v1".getBytes)
+    val e = intercept[IllegalArgumentException] { AnnIndex.load(spark, dir) }
+    assert(e.getMessage.contains("manifest"), e.getMessage)
+  }
+
+  test("load cross-checks the manifest's centroid count against disk") {
+    val dir = tmpDir("annidx5")
+    val (c1, p1) = fixture(8)
+    AnnIndex.publish(c1, p1, dir, k = 4)
+    // corrupt the committed manifest's count
+    val m = Paths.get(dir, "v1", "_manifest.json")
+    Files.write(m, """{"k":4,"centroids":99,"postings":8}""".getBytes)
+    val e = intercept[IllegalArgumentException] { AnnIndex.load(spark, dir) }
+    assert(e.getMessage.contains("corrupt"), e.getMessage)
+  }
+}
