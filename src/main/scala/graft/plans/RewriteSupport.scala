@@ -53,19 +53,31 @@ object PreflightLog {
     *    audit row carried NULL past the BIGINT range). */
   final case class Audit(atMillis: Long, line: String, aborted: Boolean,
       rule: String, kind: String, diagnosis: String,
-      worstKey: String, shareBp: Option[Long])
+      worstKey: String, shareBp: Option[Long], session: String = "")
 
   val Capacity = 50
   private val buf = new java.util.ArrayDeque[Audit](Capacity)
 
-  private[plans] def record(line: String, aborted: Boolean,
+  private[graft] def record(line: String, aborted: Boolean,
       rule: String, kind: String, diagnosis: String,
-      worstKey: String = "", shareBp: Option[Long] = None): Unit =
+      worstKey: String = "", shareBp: Option[Long] = None): Unit = {
+    // tenant attribution for /v1/preflight?session= — the ring itself
+    // stays JVM-global (see the object doc); the field lets a
+    // multi-tenant driver's dashboard slice without forking the ring.
+    // Identity-hash token, the same notion of tenant the stand-down
+    // dedup keys on (a tenant IS a session object); stable for the
+    // session's lifetime, which is exactly the filter's useful horizon
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(s => Integer.toHexString(System.identityHashCode(s)))
+      .getOrElse("")
+    val a = Audit(System.currentTimeMillis(), line, aborted,
+      rule, kind, diagnosis, worstKey, shareBp, session)
     buf.synchronized {
       if (buf.size >= Capacity) buf.removeFirst()
-      buf.addLast(Audit(System.currentTimeMillis(), line, aborted,
-        rule, kind, diagnosis, worstKey, shareBp))
+      buf.addLast(a)
     }
+    appendSpill(a)
+  }
 
   /** Latest-first snapshot. */
   def recent(): Seq[Audit] = buf.synchronized {
@@ -73,8 +85,140 @@ object PreflightLog {
     buf.descendingIterator().asScala.toVector
   }
 
-  /** Test hook: specs isolate their own fired lines. */
+  /** The ONE JSON rendering of an audit event — served verbatim by
+    * `GET /v1/preflight` and written verbatim to the spill file, so a
+    * reloaded audit is indistinguishable from a live one. */
+  def toJson(a: Audit): String = {
+    import graft.streaming.JsonText.{escape => esc}
+    s"""{"at":${a.atMillis},"aborted":${a.aborted},""" +
+      s""""rule":"${esc(a.rule)}",""" +
+      s""""kind":"${esc(a.kind)}",""" +
+      s""""diagnosis":"${esc(a.diagnosis)}",""" +
+      s""""worst":"${esc(a.worstKey)}",""" +
+      s""""share_bp":${a.shareBp.map(_.toString).getOrElse("null")},""" +
+      s""""session":"${esc(a.session)}",""" +
+      s""""line":"${esc(a.line)}"}"""
+  }
+
+  // ----- durable spill (bounded JSONL beside a checkpoint root) ---------
+  //
+  // The 50-event in-memory ring loses fail-mode abort evidence on a
+  // driver crash — exactly the event an operator needs post-mortem.
+  // When an engine registers a spill path, every record() also appends
+  // one JSON line there (append-on-record, size-capped by one `.1`
+  // rotation generation → ≤ 2×maxBytes on disk); on restart the engine
+  // reloads the tail into the ring so /v1/preflight serves pre-crash
+  // audits. Spill I/O is best-effort: telemetry must never fail
+  // planning. One spill path per JVM (last registration wins) — the
+  // ring it mirrors is JVM-global for the same reason.
+
+  private val spillLock = new Object
+  @volatile private var spill: Option[(java.nio.file.Path, Long)] = None
+
+  /** Register the spill file. Returns true when this call CHANGED the
+    * path (callers reload only then — re-registering the same path, e.g.
+    * a second engine on the same checkpoint root, must not re-seed the
+    * ring with lines it already holds). */
+  def spillTo(path: String, maxBytes: Long = 1L << 20): Boolean =
+    spillLock.synchronized {
+      val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      val changed = !spill.map(_._1).contains(p)
+      if (changed) {
+        try Option(p.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        catch { case scala.util.control.NonFatal(_) => () }
+        spill = Some((p, math.max(maxBytes, 4096L)))
+      }
+      changed
+    }
+
+  private def rotated(p: java.nio.file.Path): java.nio.file.Path =
+    p.resolveSibling(p.getFileName.toString + ".1")
+
+  private def appendSpill(a: Audit): Unit =
+    spill.foreach { case (p, max) =>
+      spillLock.synchronized {
+        try {
+          import java.nio.file.{Files, StandardOpenOption => O}
+          if (Files.exists(p) && Files.size(p) >= max)
+            Files.move(p, rotated(p),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Files.write(p, (toJson(a) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            O.CREATE, O.APPEND, O.WRITE)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+
+  private def jsonStr(json: String, field: String): Option[String] = {
+    val m = (s""""$field":"((?:[^"\\\\]|\\\\.)*)"""").r
+      .findFirstMatchIn(json).map(_.group(1))
+    m.map { raw =>
+      val b = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '\\' && i + 1 < raw.length) raw.charAt(i + 1) match {
+          case 'u' if i + 5 < raw.length =>
+            b += Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case o => b += o; i += 2
+        } else { b += c; i += 1 }
+      }
+      b.toString
+    }
+  }
+
+  private def parseAudit(jsonLine: String): Option[Audit] =
+    for {
+      at <- """"at":(\d+)""".r.findFirstMatchIn(jsonLine)
+        .map(_.group(1).toLong)
+      aborted <- """"aborted":(true|false)""".r.findFirstMatchIn(jsonLine)
+        .map(_.group(1).toBoolean)
+      rule <- jsonStr(jsonLine, "rule")
+      kind <- jsonStr(jsonLine, "kind")
+      diagnosis <- jsonStr(jsonLine, "diagnosis")
+      line <- jsonStr(jsonLine, "line")
+    } yield Audit(at, line, aborted, rule, kind, diagnosis,
+      worstKey = jsonStr(jsonLine, "worst").getOrElse(""),
+      shareBp = """"share_bp":(\d+)""".r.findFirstMatchIn(jsonLine)
+        .map(_.group(1).toLong),
+      session = jsonStr(jsonLine, "session").getOrElse(""))
+
+  /** Reload the registered spill file (rotated generation first, so
+    * order is oldest→newest) into the ring; malformed lines are skipped,
+    * only the newest [[Capacity]] survive. Returns how many audits were
+    * seeded. Reloaded entries are NOT re-spilled (the file already holds
+    * them). */
+  def loadSpill(): Int = spillLock.synchronized {
+    spill.map { case (p, _) =>
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      val lines = Seq(rotated(p), p).filter(Files.exists(_)).flatMap { f =>
+        try Files.readAllLines(f,
+          java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+      val audits = lines.flatMap(parseAudit).takeRight(Capacity)
+      buf.synchronized {
+        audits.foreach { a =>
+          if (buf.size >= Capacity) buf.removeFirst()
+          buf.addLast(a)
+        }
+      }
+      audits.size
+    }.getOrElse(0)
+  }
+
+  /** Test hook: specs isolate their own fired lines. Does not touch the
+    * spill file (the ring is the volatile half; the file is the durable
+    * half a reload test clears the ring AROUND). */
   private[graft] def clear(): Unit = buf.synchronized(buf.clear())
+
+  /** Test hook: detach the spill sink (specs must not leak a tmp spill
+    * path into later suites sharing this JVM-global object). */
+  private[graft] def clearSpill(): Unit =
+    spillLock.synchronized { spill = None }
 }
 
 private[plans] object RewriteSupport {

@@ -169,17 +169,17 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
   // for stand-downs), `share_bp` (integer basis points, null for
   // stand-downs or past-BIGINT audits) — so a dashboard alerting on
   // diagnosis != "ok" never has to regex the line.
+  // `?session=<sessionUUID>` filters to one tenant's audits (the `session`
+  // field on every event names the session active when it fired; the ring
+  // stays JVM-global — see PreflightLog's doc); rendering is
+  // PreflightLog.toJson, the same bytes the durable spill writes.
   server.createContext("/v1/preflight", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
-      val body = graft.plans.PreflightLog.recent().map { a =>
-        s"""{"at":${a.atMillis},"aborted":${a.aborted},""" +
-          s""""rule":"${jsonEscape(a.rule)}",""" +
-          s""""kind":"${jsonEscape(a.kind)}",""" +
-          s""""diagnosis":"${jsonEscape(a.diagnosis)}",""" +
-          s""""worst":"${jsonEscape(a.worstKey)}",""" +
-          s""""share_bp":${a.shareBp.map(_.toString).getOrElse("null")},""" +
-          s""""line":"${jsonEscape(a.line)}"}"""
-      }.mkString("""{"audits":[""", ",", "]}")
+      val session = params(ex).get("session").filter(_.nonEmpty)
+      val body = graft.plans.PreflightLog.recent()
+        .filter(a => session.forall(_ == a.session))
+        .map(graft.plans.PreflightLog.toJson)
+        .mkString("""{"audits":[""", ",", "]}")
       respond(ex, 200, body)
     } catch { case e: Throwable =>
       respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")

@@ -49,6 +49,15 @@ final class GraftEngine(
     // from [:ziggurat :statsd] only when enabled
     if (cfg.statsd.enabled)
       metrics.addSink(new StatsdSink(cfg.statsd.host, cfg.statsd.port))
+    // Durable preflight evidence beside the checkpoint root: fail-mode
+    // refusals are exactly the audits an operator needs post-mortem, and
+    // the in-memory ring dies with the driver. spillTo returns true only
+    // when this JVM had not already registered this path — reload ONLY
+    // then, so a second engine on the same checkpoint root can't re-seed
+    // the ring with lines it already holds.
+    if (graft.plans.PreflightLog.spillTo(
+        s"$checkpointDir/_preflight_spill.jsonl"))
+      graft.plans.PreflightLog.loadSpill()
   }
 
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()

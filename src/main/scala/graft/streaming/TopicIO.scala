@@ -522,6 +522,14 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
             .toSeq
         } finally s.close()
       }
+      // invalidate the warm cache BEFORE any file becomes visible: a
+      // move loop failing partway (IO error, not a crash) leaves
+      // stamped files with offsets above the cached max, and a later
+      // append reading the stale cache would mint DUPLICATE offsets.
+      // (Plain append has no such window: Spark's commit protocol only
+      // exposes part files after a successful job.) Re-established only
+      // after the applied marker commits the attempt.
+      lastOffset.remove(topic)
       moved.foreach { n =>
         Files.move(staging.resolve(n),
           d.resolve(n.stripSuffix(".parquet") + stampSuffix),

@@ -208,6 +208,22 @@ class PlanSpec extends SparkSuite {
       "hash-sampled seed selection must compile to TakeOrderedAndProject")
   }
 
+  test("s18: the persisted-index probe broadcasts the loaded k-row " +
+      "centroid frame and joins postings on the cell id — never " +
+      "cartesian, no index-rebuild window over the corpus") {
+    val df = run("s18_ann_persisted_index")
+    val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
+    assert(!PlanChecks.usesCartesianProduct(df))
+    assert(ops.exists(_.startsWith("BroadcastNestedLoopJoin")),
+      s"query assignment must broadcast the loaded centroids; got $ops")
+    // the probe side's window ranks only the tiny query batch; the
+    // corpus-side candidates arrive via the cell equi-join from the
+    // loaded postings, not via any corpus-wide window
+    assert(PlanChecks.usesBroadcastJoin(df) ||
+      ops.exists(_.contains("HashJoin")),
+      s"cell probe must be a keyed join; got $ops")
+  }
+
   test("d10: SemDeDup within-cluster scoring is an equi-join on the " +
       "cluster id, never cartesian") {
     assert(!PlanChecks.usesCartesianProduct(run("d10_semantic_dedup")))

@@ -133,6 +133,73 @@ class ManagementServerSpec extends SparkSuite {
     }
   }
 
+  test("preflight audits survive a simulated driver restart: the engine " +
+      "registers a bounded JSONL spill beside its checkpoint root and a " +
+      "fresh engine on the same root reloads it — fail-mode refusals are " +
+      "exactly the post-mortem evidence a 50-event in-memory ring loses") {
+    import graft.plans.PreflightLog
+    val dir = tmpDir("mgmt-spill")
+    val topics = new FileTopicIO(s"$dir/topics")
+    val marker = "restart-" + System.nanoTime()
+    // engine 1 registers the spill; record an abort-shaped audit, with a
+    // retry in case a concurrently-constructed engine from another suite
+    // re-points the JVM-global spill inside the window
+    var landed = false
+    var attempts = 0
+    while (!landed && attempts < 5) {
+      PreflightLog.clearSpill()
+      val e1 = new GraftEngine(spark, EngineConfig(), topics, s"$dir/ckpt")
+      PreflightLog.record(s"test preflight: worst_element=$marker",
+        aborted = true, rule = "overlap-join", kind = "preflight",
+        diagnosis = "hot-element: test", worstKey = s"worst_element=$marker")
+      e1.stopAll()
+      val f = java.nio.file.Paths.get(s"$dir/ckpt/_preflight_spill.jsonl")
+      landed = java.nio.file.Files.exists(f) &&
+        new String(java.nio.file.Files.readAllBytes(f)).contains(marker)
+      attempts += 1
+    }
+    assert(landed, "audit never reached this test's spill file")
+    // simulated restart: ring and registration die with the JVM
+    PreflightLog.clear()
+    PreflightLog.clearSpill()
+    val engine2 = new GraftEngine(spark, EngineConfig(), topics, s"$dir/ckpt")
+    val server = new ManagementServer(spark, engine2, 0)
+    server.start()
+    try {
+      val (s, b) = get(server.boundPort, "/v1/preflight")
+      assert(s == 200, b)
+      assert(b.contains(marker),
+        s"reloaded audit must be served after restart: $b")
+      assert(b.contains(""""aborted":true"""), b)
+    } finally { server.stop(); engine2.stopAll(); PreflightLog.clearSpill() }
+  }
+
+  test("GET /v1/preflight?session= filters to one tenant's audits; the " +
+      "session token rides on every event (identity of the session " +
+      "active when it fired)") {
+    import org.apache.spark.sql.functions.{arrays_overlap, col}
+    val sess = spark
+    import sess.implicits._
+    graft.plans.PreflightLog.clear()
+    withServer { (port, _, _) =>
+      val left = (1L to 20L).map(i => (i, Seq(7L, i + 100))).toDF("lid", "la")
+      val right = (1L to 20L).map(i => (i, Seq(7L, i + 900))).toDF("rid", "ra")
+      spark.conf.set(graft.plans.ScaleGuards.OverlapPreflightKey, "warn")
+      try assert(left.join(right,
+        arrays_overlap(col("la"), col("ra"))).count() >= 400L)
+      finally spark.conf.unset(graft.plans.ScaleGuards.OverlapPreflightKey)
+      val token = Integer.toHexString(System.identityHashCode(spark))
+      val (s1, b1) = get(port, s"/v1/preflight?session=$token")
+      assert(s1 == 200, b1)
+      assert(b1.contains("worst_element=7"),
+        s"this session's audit must pass its own filter: $b1")
+      assert(b1.contains(s""""session":"$token""""), b1)
+      // a foreign token filters everything of ours out
+      val (s2, b2) = get(port, "/v1/preflight?session=nosuchsession")
+      assert(s2 == 200 && !b2.contains("worst_element=7"), b2)
+    }
+  }
+
   test("POST /v1/queries/stop stops a named route (O2)") {
     withServer { (port, topics, engine) =>
       topics.append(envelopes("r1", Seq(("k", "v", ts("2024-01-01 00:00:00")))),
