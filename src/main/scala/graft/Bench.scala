@@ -91,17 +91,8 @@ object Bench {
 
   /** Best-effort recursive delete (cleanup must never fail a pass). */
   private def deleteTree(p: java.nio.file.Path): Unit =
-    try {
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach { q =>
-            try java.nio.file.Files.delete(q)
-            catch { case scala.util.control.NonFatal(_) => () }
-          }
-        finally walk.close()
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    try FsTree.delete(p, bestEffort = true)
+    catch { case scala.util.control.NonFatal(_) => () }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -176,13 +176,5 @@ object AnnIndex {
     }
 
   private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toSeq.reverseIterator
-          .foreach(q => try Files.deleteIfExists(q)
-            catch { case scala.util.control.NonFatal(_) => () })
-      } finally s.close()
-    }
+    graft.FsTree.delete(p, bestEffort = true)
 }

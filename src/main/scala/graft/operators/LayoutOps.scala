@@ -41,12 +41,8 @@ object LayoutOps {
     * processes' roots are never touched. */
   private val processTag = ProcessHandle.current().pid().toString
 
-  private def deleteTree(root: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(root).sorted(
-      java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    graft.FsTree.delete(root)
 
   /** Roots must sit untouched this long before they are reap-eligible:
     * ProcessHandle.of(pid) only sees the CURRENT pid namespace, so a

@@ -136,8 +136,11 @@ object PreflightLog {
     p.resolveSibling(p.getFileName.toString + ".1")
 
   private def appendSpill(a: Audit): Unit =
-    spill.foreach { case (p, max) =>
-      spillLock.synchronized {
+    // registration read INSIDE the lock: a check-then-act snapshot could
+    // write to a path detached by clearSpill or superseded by a newer
+    // registration in the window
+    spillLock.synchronized {
+      spill.foreach { case (p, max) =>
         try {
           import java.nio.file.{Files, StandardOpenOption => O}
           if (Files.exists(p) && Files.size(p) >= max)
@@ -186,9 +189,19 @@ object PreflightLog {
       session = jsonStr(jsonLine, "session").getOrElse(""))
 
   /** Reload the registered spill file (rotated generation first, so
-    * order is oldest→newest) into the ring; malformed lines are skipped,
-    * only the newest [[Capacity]] survive. Returns how many audits were
-    * seeded. Reloaded entries are NOT re-spilled (the file already holds
+    * order is oldest→newest) and MERGE it with whatever the ring already
+    * holds: reloaded pre-crash audits must never rank ABOVE (or evict)
+    * audits that fired live in this JVM, and a path registered twice
+    * with records in between (A→B→A engines; a record racing the
+    * registration) must not duplicate entries. Merge = dedupe by full
+    * structural equality, order by timestamp (live wins ties — the sort
+    * is stable and loaded entries sort first at equal stamps), keep the
+    * newest [[Capacity]]. Malformed or torn lines are SKIPPED, never
+    * thrown — a kill -9 mid-append leaves a partial line glued to the
+    * next record, and loadSpill runs inside GraftEngine's constructor:
+    * an exception here would crash-loop every restart against the same
+    * corrupt file. Returns how many audits were parsed from disk.
+    * Reloaded entries are NOT re-spilled (the file already holds
     * them). */
   def loadSpill(): Int = spillLock.synchronized {
     spill.map { case (p, _) =>
@@ -199,14 +212,18 @@ object PreflightLog {
           java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
         catch { case scala.util.control.NonFatal(_) => Nil }
       }
-      val audits = lines.flatMap(parseAudit).takeRight(Capacity)
-      buf.synchronized {
-        audits.foreach { a =>
-          if (buf.size >= Capacity) buf.removeFirst()
-          buf.addLast(a)
-        }
+      val loaded = lines.flatMap { l =>
+        try parseAudit(l)
+        catch { case scala.util.control.NonFatal(_) => None }
       }
-      audits.size
+      buf.synchronized {
+        val live = buf.iterator().asScala.toVector
+        val merged = (loaded ++ live).distinct
+          .sortBy(_.atMillis).takeRight(Capacity)
+        buf.clear()
+        merged.foreach(buf.addLast)
+      }
+      loaded.size
     }.getOrElse(0)
   }
 

@@ -53,11 +53,28 @@ final class GraftEngine(
     // refusals are exactly the audits an operator needs post-mortem, and
     // the in-memory ring dies with the driver. spillTo returns true only
     // when this JVM had not already registered this path — reload ONLY
-    // then, so a second engine on the same checkpoint root can't re-seed
-    // the ring with lines it already holds.
-    if (graft.plans.PreflightLog.spillTo(
-        s"$checkpointDir/_preflight_spill.jsonl"))
-      graft.plans.PreflightLog.loadSpill()
+    // then (loadSpill merges+dedupes, so even a re-registration is
+    // harmless). LOCAL filesystems only: checkpointDir may be a Hadoop
+    // FS URI (hdfs://, s3a://) on a cluster, and Paths.get on that
+    // string would silently create a bogus './hdfs:/…' dir in the
+    // container's cwd — "durable" evidence that dies with the pod.
+    // Cluster deployments should point the checkpoint at a mounted
+    // volume to get the spill, or accept ring-only telemetry.
+    val localSpillRoot: Option[String] =
+      try new java.net.URI(checkpointDir).getScheme match {
+        case null => Some(checkpointDir)
+        case "file" =>
+          Some(java.nio.file.Paths.get(
+            new java.net.URI(checkpointDir)).toString)
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) =>
+        // not URI-parseable (spaces, odd chars) = a plain local path
+        Some(checkpointDir)
+      }
+    localSpillRoot.foreach { root =>
+      if (graft.plans.PreflightLog.spillTo(s"$root/_preflight_spill.jsonl"))
+        graft.plans.PreflightLog.loadSpill()
+    }
   }
 
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()

@@ -425,15 +425,23 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
   }
 
   def maxOffset(spark: SparkSession, topic: String): Long =
-    Option(lastOffset.get(topic)).map(_.longValue()).getOrElse {
-      val scanned =
-        if (!exists(topic)) -1L
-        else read(spark, topic).agg(max("offset")).collect()(0) match {
-          case r if r.isNullAt(0) => -1L
-          case r => r.getLong(0)
-        }
-      lastOffset.put(topic, scanned)
-      scanned
+    // under the topic lock: this is public API that RE-POPULATES the
+    // cache on a miss, and an unlocked scan racing appendIdempotent's
+    // move-in window could snapshot a partially-moved state and put a
+    // stale max back right after the append invalidated it — re-opening
+    // the duplicate-offset window the invalidation closes. Reentrant for
+    // the appends themselves (same monitor, same thread).
+    lockFor(topic).synchronized {
+      Option(lastOffset.get(topic)).map(_.longValue()).getOrElse {
+        val scanned =
+          if (!exists(topic)) -1L
+          else read(spark, topic).agg(max("offset")).collect()(0) match {
+            case r if r.isNullAt(0) => -1L
+            case r => r.getLong(0)
+          }
+        lastOffset.put(topic, scanned)
+        scanned
+      }
     }
 
   override def provision(entity: String, channels: Iterable[String]): Unit = {
@@ -453,15 +461,11 @@ final class FileTopicIO(baseDir: String) extends TopicIO {
       .take(8).map(b => f"$b%02x").mkString
   }
 
+  /** Propagating on purpose (graft.FsTree default): an undeletable stale
+    * token file in recovery means the replay would duplicate data if it
+    * proceeded — fail the append instead. */
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toSeq.reverseIterator
-          .foreach(Files.deleteIfExists)
-      } finally s.close()
-    }
+    graft.FsTree.delete(p)
 
   override def appendIdempotent(df: DataFrame, topic: String,
       token: String): Unit = lockFor(topic).synchronized {

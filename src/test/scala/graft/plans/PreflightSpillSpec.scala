@@ -79,6 +79,70 @@ class PreflightSpillSpec extends AnyFunSuite {
     } finally PreflightLog.clearSpill()
   }
 
+  test("a TORN line (kill -9 mid-append glues a partial \\u escape to " +
+      "the next record) is skipped, never thrown: loadSpill runs inside " +
+      "the engine constructor, and an exception here would crash-loop " +
+      "every restart against the same corrupt file") {
+    val dir = tmp("pfspill4")
+    val path = s"$dir/spill.jsonl"
+    val marker = "torn-" + System.nanoTime()
+    val valid = PreflightLog.toJson(PreflightLog.Audit(
+      7L, "ok line", aborted = false, rule = "overlap-join",
+      kind = "preflight", diagnosis = "ok", worstKey = s"k=$marker",
+      shareBp = None, session = ""))
+    // torn fragment ends inside a \u escape, next record glued with no
+    // newline — the "line" regex then swallows into the next record and
+    // unescape hits Integer.parseInt("000{", 16)
+    val torn = """{"at":1,"aborted":false,"rule":"r","kind":"preflight",""" +
+      """"diagnosis":"ok","worst":"w","share_bp":null,"session":"",""" +
+      """"line":"x""" + "\\u000" + valid
+    Files.write(Paths.get(path), s"$torn\n$valid\n".getBytes)
+    try {
+      PreflightLog.clearSpill()
+      PreflightLog.spillTo(path)
+      PreflightLog.clear()
+      val n = PreflightLog.loadSpill() // must not throw
+      assert(n >= 1, "the intact line must still load")
+      assert(PreflightLog.recent().exists(_.worstKey.contains(marker)))
+    } finally PreflightLog.clearSpill()
+  }
+
+  test("reload MERGES with live entries: pre-crash audits never outrank " +
+      "or evict newer live ones, and a repeated registration (A->B->A " +
+      "engines) never duplicates") {
+    val path = s"${tmp("pfspill5")}/spill.jsonl"
+    val a = "mA-" + System.nanoTime()
+    val b = "mB-" + System.nanoTime()
+    try {
+      // re-registering the path before each reload also defends against
+      // a concurrent suite's engine re-pointing the JVM-global spill
+      def reseed(): Unit = {
+        PreflightLog.clearSpill(); PreflightLog.spillTo(path)
+        PreflightLog.loadSpill()
+      }
+      recordWithSpill(path, a)
+      // A->B->A: re-seeding the same file into a ring that already holds
+      // its entries must not duplicate
+      reseed()
+      assert(PreflightLog.recent()
+        .count(_.worstKey.contains(a)) == 1, "duplicate after re-seed")
+      Thread.sleep(5)
+      PreflightLog.record(s"test preflight: worst_element=$b",
+        aborted = false, rule = "overlap-join", kind = "preflight",
+        diagnosis = "ok", worstKey = s"worst_element=$b")
+      reseed()
+      val r = PreflightLog.recent()
+      val ia = r.indexWhere(_.worstKey.contains(a))
+      val ib = r.indexWhere(_.worstKey.contains(b))
+      assert(ia >= 0 && ib >= 0, s"both audits must survive the merge: $r")
+      assert(ib < ia,
+        "recent() is latest-first: the newer live audit must outrank " +
+          "the older reloaded one")
+      assert(r.count(_.worstKey.contains(a)) == 1)
+      assert(r.count(_.worstKey.contains(b)) == 1)
+    } finally PreflightLog.clearSpill()
+  }
+
   test("malformed spill lines are skipped, valid ones load") {
     val dir = tmp("pfspill3")
     val path = s"$dir/spill.jsonl"

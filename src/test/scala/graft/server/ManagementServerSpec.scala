@@ -174,6 +174,27 @@ class ManagementServerSpec extends SparkSuite {
     } finally { server.stop(); engine2.stopAll(); PreflightLog.clearSpill() }
   }
 
+  test("a NON-LOCAL checkpoint root (hdfs://, s3a://) skips spill " +
+      "registration instead of silently creating a bogus './hdfs:/...' " +
+      "dir in the container's cwd") {
+    import graft.plans.PreflightLog
+    PreflightLog.clearSpill()
+    val topics = new FileTopicIO(tmpDir("mgmt-hdfs"))
+    val engine = new GraftEngine(spark, EngineConfig(), topics,
+      "hdfs://namenode:8020/graft/ckpt")
+    try {
+      // no local debris from the URI's parts
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("hdfs:")))
+      // and nothing registered: a recorded audit must not create one
+      PreflightLog.record("test preflight: nonlocal", aborted = false,
+        rule = "overlap-join", kind = "preflight", diagnosis = "ok")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get("hdfs:__namenode:8020")))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        "hdfs://namenode:8020/graft/ckpt/_preflight_spill.jsonl")))
+    } finally { engine.stopAll(); PreflightLog.clearSpill() }
+  }
+
   test("GET /v1/preflight?session= filters to one tenant's audits; the " +
       "session token rides on every event (identity of the session " +
       "active when it fired)") {
