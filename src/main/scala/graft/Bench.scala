@@ -89,10 +89,10 @@ object Bench {
     }
   }
 
-  /** Best-effort recursive delete (cleanup must never fail a pass). */
+  /** Best-effort recursive delete (cleanup must never fail a pass —
+    * bestEffort guards both the walk and the per-entry deletes). */
   private def deleteTree(p: java.nio.file.Path): Unit =
-    try FsTree.delete(p, bestEffort = true)
-    catch { case scala.util.control.NonFatal(_) => () }
+    FsTree.delete(p, bestEffort = true)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -155,7 +155,7 @@ object Bench {
     var calBefore = { calibrate(); Seq.fill(3)(calibrate()).min }
     // the MC probe is ~2 s per run: one warmup + min of two is enough
     // (its long saturated window self-averages JIT tails)
-    val calMcBefore = { calibrateMc(); Seq.fill(2)(calibrateMc()).min }
+    var calMcBefore = { calibrateMc(); Seq.fill(2)(calibrateMc()).min }
     // per-query time = min of 3 COLD executions with the query ORDER ROTATED
     // between passes: this host shows load-correlated swings (r4's recorded
     // run was ~4x); min-of-N measures the engine rather than the neighbors,
@@ -202,6 +202,11 @@ object Bench {
       Thread.sleep(30000)
       loadReruns += 1
       calBefore = calibrate()
+      // refresh the MC baseline too: a stale under-load calMcBefore
+      // against a post-rerun idle calMcAfter reads as >1.3x drift and
+      // would flag the CLEAN rerun load_suspect — defeating exactly the
+      // recovery the rerun provides
+      calMcBefore = calibrateMc()
       runPasses()
       calAfter = calibrate()
     }

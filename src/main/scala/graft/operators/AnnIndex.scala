@@ -150,28 +150,37 @@ object AnnIndex {
   }
 
   /** Drop version dirs that are neither current nor among the `keep`
-    * most recent committed predecessors — including orphans from crashed
-    * builds. Never touches the current version or the pointer. */
+    * most recent COMMITTED predecessors (dirs carrying a manifest below
+    * the pointer — the rollback targets). Orphans from crashed builds —
+    * manifest-less dirs, and anything numbered above the pointer — are
+    * always reclaimed: load can never read them, so "keeping" one is
+    * pure debris. Counting committed versions, not version NUMBERS,
+    * matters under gapped numbering: v1,v2 committed + v3 orphaned + v4
+    * committed must keep v2 (the only rollback target) under keep=1,
+    * not retain the useless v3 while deleting v2. Never touches the
+    * current version or the pointer. */
   def vacuum(indexDir: String, keep: Int = 1): Unit =
     lockFor(indexDir).synchronized {
-      val current = currentVersion(indexDir)
-      val currentNum = current.flatMap(v =>
+      val currentNum = currentVersion(indexDir).flatMap(v =>
         VersionName.findFirstMatchIn(v).map(_.group(1).toLong))
       val d = Paths.get(indexDir)
       if (Files.exists(d) && currentNum.isDefined) {
         val s = Files.list(d)
-        val victims = try {
+        val versions = try {
           import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter { p =>
-            VersionName.findFirstMatchIn(p.getFileName.toString).exists {
-              m =>
-                val n = m.group(1).toLong
-                n != currentNum.get && n < currentNum.get - keep ||
-                  n > currentNum.get // orphans newer than the pointer
-            }
+          s.iterator().asScala.flatMap { p =>
+            VersionName.findFirstMatchIn(p.getFileName.toString)
+              .map(m => m.group(1).toLong -> p)
           }.toSeq
         } finally s.close()
-        victims.foreach(deleteTree)
+        val committedBelow = versions.collect {
+          case (n, p) if n < currentNum.get &&
+            Files.exists(p.resolve("_manifest.json")) => n
+        }.sorted.takeRight(math.max(keep, 0)).toSet
+        versions.foreach { case (n, p) =>
+          if (n != currentNum.get && !committedBelow.contains(n))
+            deleteTree(p)
+        }
       }
     }
 

@@ -138,7 +138,13 @@ object PreflightLog {
   private def appendSpill(a: Audit): Unit =
     // registration read INSIDE the lock: a check-then-act snapshot could
     // write to a path detached by clearSpill or superseded by a newer
-    // registration in the window
+    // registration in the window.
+    // Synchronous by design, not oversight: record() only fires when a
+    // preflight RAN (an entire side Spark job at planning time — the
+    // file append is noise beside it) or for a once-per-(session,
+    // condition) deduped stand-down. An async buffer would add a flush
+    // lifecycle for an event rate of ~one per rewrite fire; revisit only
+    // if a future caller records on a genuinely hot path.
     spillLock.synchronized {
       spill.foreach { case (p, max) =>
         try {

@@ -201,6 +201,20 @@ object ScaleGuards {
     p.stats.rowCount.getOrElse(
       (p.stats.sizeInBytes / PreflightAutoSampleEstRowBytes).max(BigInt(1)))
 
+  /** sizeInBytes at or above this is a SENTINEL, not a measurement:
+    * plans Spark cannot size (LogicalRDD / foreachBatch frames, some
+    * views) report `spark.sql.defaultSizeInBytes` = Long.MaxValue.
+    * Treating that as a real size would clear any byte floor AND
+    * produce a ~1e-12 auto fraction — an empty sample whose audit
+    * reads diagnosis=ok, silently disarming a `preflight=fail` circuit
+    * breaker on exactly the frames whose size nobody knows. Unknown
+    * stats must fall back to the conservative pre-auto behavior:
+    * exact. */
+  private val SentinelBytes = BigInt(Long.MaxValue) >> 1
+
+  private def statsUnknown(p: LogicalPlan): Boolean =
+    p.stats.rowCount.isEmpty && p.stats.sizeInBytes >= SentinelBytes
+
   /** The sampling decision a preflight actually uses. Precedence:
     *  1. An explicitly SET sampleFraction conf wins verbatim — a valid
     *     (0,1) value samples at that rate; any other explicit value
@@ -224,7 +238,10 @@ object ScaleGuards {
       val minBytes = RewriteSupport.activeConf(autoMinBytesKey)
         .flatMap(_.toLongOption).filter(_ >= 0L)
         .getOrElse(PreflightAutoSampleMinBytesDefault)
-      if (l.stats.sizeInBytes.max(r.stats.sizeInBytes) < minBytes) None
+      // a sentinel-sized child (stats unknown) must audit EXACTLY, not
+      // clear the floor with a fake size and then sample ~nothing
+      if (statsUnknown(l) || statsUnknown(r)) None
+      else if (l.stats.sizeInBytes.max(r.stats.sizeInBytes) < minBytes) None
       else {
         val target = RewriteSupport.activeConf(PreflightAutoSampleTargetRowsKey)
           .flatMap(_.toLongOption).filter(_ > 0L)
@@ -232,9 +249,8 @@ object ScaleGuards {
         val rows = estimatedRows(l).max(estimatedRows(r))
         val f = target.toDouble / rows.toDouble
         // a side already within the row budget audits exactly even
-        // above the byte floor; guard the other end against underflow
-        // on absurd row estimates (f=1e-12 still samples ~1e6 rows of
-        // anything that estimate could describe)
+        // above the byte floor; with sentinels screened out above, the
+        // underflow guard is belt-and-braces for absurd CBO rowCounts
         if (f >= 1.0) None else Some(math.max(f, 1e-12))
       }
     }

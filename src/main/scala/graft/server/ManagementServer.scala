@@ -169,9 +169,15 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
   // for stand-downs), `share_bp` (integer basis points, null for
   // stand-downs or past-BIGINT audits) — so a dashboard alerting on
   // diagnosis != "ok" never has to regex the line.
-  // `?session=<sessionUUID>` filters to one tenant's audits (the `session`
-  // field on every event names the session active when it fired; the ring
-  // stays JVM-global — see PreflightLog's doc); rendering is
+  // `?session=<token>` filters to one tenant's audits. The token is the
+  // `session` field on every served event — an identity-hash hex of the
+  // SparkSession active when the event fired, NOT Spark's sessionUUID
+  // (the same tenant notion the stand-down dedup keys on). Operators
+  // discover a tenant's token by reading one unfiltered event of theirs;
+  // tokens are stable for a session's lifetime, which is exactly the
+  // filter's useful horizon (a GC'd session's token may eventually be
+  // reused — don't persist filters across driver restarts). The ring
+  // stays JVM-global — see PreflightLog's doc. Rendering is
   // PreflightLog.toJson, the same bytes the durable spill writes.
   server.createContext("/v1/preflight", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {

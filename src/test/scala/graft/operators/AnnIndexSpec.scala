@@ -84,6 +84,27 @@ class AnnIndexSpec extends SparkSuite {
     assert(!Files.exists(Paths.get(dir, "v2")))
   }
 
+  test("vacuum keeps the most recent COMMITTED predecessors under " +
+      "gapped numbering: an orphan between two committed versions is " +
+      "reclaimed, not counted against the keep window") {
+    val dir = tmpDir("annidx6")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1 committed
+    AnnIndex.publish(c, p, dir, k = 4) // v2 committed
+    // crashed build of v3: data, no manifest, pointer still v2
+    Files.createDirectories(Paths.get(dir, "v3", "postings"))
+    assert(AnnIndex.publish(c, p, dir, k = 4) == "v4") // committed, current
+    AnnIndex.vacuum(dir, keep = 1)
+    assert(Files.exists(Paths.get(dir, "v4")), "current always kept")
+    assert(Files.exists(Paths.get(dir, "v2")),
+      "the most recent committed predecessor is the rollback target — " +
+        "it must not be evicted by an orphan's version NUMBER")
+    assert(!Files.exists(Paths.get(dir, "v3")),
+      "the unreadable orphan is pure debris")
+    assert(!Files.exists(Paths.get(dir, "v1")), "outside the keep window")
+    assert(AnnIndex.load(spark, dir).version == "v4")
+  }
+
   test("load fails loudly on an empty dir and on a pointer naming a " +
       "manifest-less version (a state publish can never produce)") {
     val dir = tmpDir("annidx4")

@@ -148,6 +148,27 @@ class ScaleGuardsSpec extends SparkSuite {
     finally spark.conf.unset(ScaleGuards.OverlapPreflightSampleKey)
   }
 
+  test("SENTINEL stats (LogicalRDD-style unknown size) fall back to the " +
+      "EXACT audit: a Long.MaxValue default size must not clear the " +
+      "floor and then sample ~nothing — an empty sample reads " +
+      "diagnosis=ok and silently disarms a preflight=fail breaker on " +
+      "exactly the frames nobody can size") {
+    // a DataFrame over a raw RDD has no computable stats: sizeInBytes
+    // is the spark.sql.defaultSizeInBytes sentinel, rowCount None
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val rddDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L))),
+      schema)
+    val small = spark.range(10L).toDF("id")
+    assert(plan(rddDf).stats.rowCount.isEmpty,
+      "fixture must actually be statless for this test to mean anything")
+    assert(effective(rddDf, small).isEmpty,
+      "unknown stats must audit exactly (the conservative default)")
+    assert(effective(small, rddDf).isEmpty)
+  }
+
   test("above the byte floor but within the row budget stays exact, and " +
       "the floor + target are conf-tunable") {
     val a = spark.range(500L).toDF("id")
