@@ -84,11 +84,12 @@ object AnnIndex {
     }
   }
 
-  /** Build a new index version from the support frames and commit it.
-    * `centroids` must carry (cent_id, cv, cn); `postings`
+  /** Build a new FULL index version from the support frames and commit
+    * it. `centroids` must carry (cent_id, cv, cn); `postings`
     * (vec_id, vd, nrm, cell). Returns the committed version name. The
-    * manifest records k and both row counts (the centroid count doubles
-    * as the integrity check load applies). */
+    * manifest records k, both row counts (the centroid count doubles as
+    * the integrity check load applies), and the dirs the version reads —
+    * a full publish references only its own. */
   def publish(centroids: DataFrame, postings: DataFrame,
       indexDir: String, k: Int): String = lockFor(indexDir).synchronized {
     require(k > 0, s"centroid count k must be positive, got $k")
@@ -102,56 +103,139 @@ object AnnIndex {
     // metadata-only parquet counts: cheap at any scale
     val nCents = spark.read.parquet(s"$vdir/centroids").count()
     val nPosts = spark.read.parquet(s"$vdir/postings").count()
+    commit(indexDir, version, k, nCents, nPosts,
+      centroidsDir = s"$version/centroids",
+      postingsDirs = Seq(s"$version/postings"))
+    version
+  }
+
+  /** Append a batch of NEW vectors as a DELTA version — the O(batch)
+    * ingest path of a standing index (s16's topology, persisted). The
+    * coarse quantizer is INHERITED: the delta's `postings` must carry
+    * cell assignments computed against the current version's centroids
+    * (standard IVF incremental ingest — re-training centroids is a full
+    * [[publish]]). The new version's dir holds only the delta; its
+    * manifest references the current version's centroid dir and its
+    * FULL postings-dir list plus the delta (flattened at publish, so
+    * references are one-hop complete and a rollback target's manifest
+    * is self-sufficient). Readers resolve the pointer exactly as for a
+    * full version; [[vacuum]] keeps every version whose dirs a kept
+    * manifest references. */
+  def publishDelta(postings: DataFrame, indexDir: String): String =
+    lockFor(indexDir).synchronized {
+      val base = currentVersion(indexDir).getOrElse(throw
+        new IllegalStateException(
+          s"no committed ANN index at $indexDir to delta onto: " +
+            "publish a full version first"))
+      val m = readManifest(indexDir, base)
+      val k = manifestField(m, "k").getOrElse(throw
+        new IllegalStateException(
+          s"ANN index manifest at $indexDir/$base is malformed: $m")).toInt
+      val version = s"v${maxVersionOnDisk(indexDir) + 1}"
+      val vdir = s"$indexDir/$version"
+      postings.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$vdir/postings")
+      val spark = postings.sparkSession
+      val nNew = spark.read.parquet(s"$vdir/postings").count()
+      val prevPosts = manifestField(m, "postings").getOrElse(0L)
+      commit(indexDir, version, k,
+        nCents = manifestField(m, "centroids").getOrElse(0L),
+        nPosts = prevPosts + nNew,
+        centroidsDir = manifestDir(m, "centroids_dir")
+          .getOrElse(s"$base/centroids"),
+        postingsDirs = manifestDirs(m, "postings_dirs")
+          .getOrElse(Seq(s"$base/postings")) :+ s"$version/postings")
+      version
+    }
+
+  /** Manifest-then-pointer commit shared by full and delta publishes:
+    * the manifest is written LAST inside the version, the pointer flip
+    * is tmp + ATOMIC_MOVE — a crash before the move leaves the old
+    * pointer; after it, the new version is complete. */
+  private def commit(indexDir: String, version: String, k: Int,
+      nCents: Long, nPosts: Long, centroidsDir: String,
+      postingsDirs: Seq[String]): Unit = {
+    val dirsJson = postingsDirs.map(d => s""""$d"""").mkString("[", ",", "]")
     val manifest =
-      s"""{"k":$k,"centroids":$nCents,"postings":$nPosts}"""
-    Files.write(Paths.get(vdir, "_manifest.json"),
+      s"""{"k":$k,"centroids":$nCents,"postings":$nPosts,""" +
+        s""""centroids_dir":"$centroidsDir","postings_dirs":$dirsJson}"""
+    Files.write(Paths.get(s"$indexDir/$version", "_manifest.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
-    // atomic pointer flip: write beside, move over — a crash before the
-    // move leaves the old pointer; after it, the new version is complete
-    // (its manifest was written above)
     val tmp = Paths.get(indexDir, s"._current.$version.tmp")
     Files.write(tmp, version.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointerPath(indexDir),
       StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    version
   }
 
   private def manifestField(json: String, field: String): Option[Long] =
     s""""$field"\\s*:\\s*(\\d+)""".r
       .findFirstMatchIn(json).map(_.group(1).toLong)
 
+  /** A single dir-reference string field. Dir names are this object's
+    * own (`v<N>/centroids` shapes) — no escaping to undo. */
+  private def manifestDir(json: String, field: String): Option[String] =
+    (s""""$field"\\s*:\\s*"([^"]+)"""").r
+      .findFirstMatchIn(json).map(_.group(1))
+
+  /** The dir-reference list field. */
+  private def manifestDirs(json: String, field: String)
+      : Option[Seq[String]] =
+    (s""""$field"\\s*:\\s*\\[([^\\]]*)\\]""").r
+      .findFirstMatchIn(json).map(m =>
+        "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+
+  private def readManifest(indexDir: String, version: String): String = {
+    val mPath = Paths.get(s"$indexDir/$version", "_manifest.json")
+    require(Files.exists(mPath),
+      s"ANN index $indexDir/$version has no manifest — the pointer names " +
+        "an incomplete build; republish")
+    new String(Files.readAllBytes(mPath), StandardCharsets.UTF_8)
+  }
+
   /** Load the committed version. Fails loudly when no pointer exists,
     * when the pointed-at version lacks its manifest (a crashed build the
     * pointer should never name), or when the centroid count on disk
-    * disagrees with the manifest. */
+    * disagrees with the manifest. Postings may span several referenced
+    * dirs (delta chain) — read as one multi-root parquet scan, so cell
+    * partition pruning applies per root. Pre-reference manifests
+    * (round-13 initial shape, no dir fields) default to the version's
+    * own dirs. */
   def load(spark: SparkSession, indexDir: String): Handle = {
     val version = currentVersion(indexDir).getOrElse(throw
       new IllegalStateException(
         s"no committed ANN index at $indexDir (missing/invalid _current " +
           "pointer): publish one first"))
-    val vdir = s"$indexDir/$version"
-    val mPath = Paths.get(vdir, "_manifest.json")
-    require(Files.exists(mPath),
-      s"ANN index $indexDir/$version has no manifest — the pointer names " +
-        "an incomplete build; republish")
-    val m = new String(Files.readAllBytes(mPath), StandardCharsets.UTF_8)
+    val m = readManifest(indexDir, version)
     val k = manifestField(m, "k").getOrElse(throw new IllegalStateException(
-      s"ANN index manifest at $vdir is malformed: $m")).toInt
-    val centroids = spark.read.parquet(s"$vdir/centroids")
+      s"ANN index manifest at $indexDir/$version is malformed: $m")).toInt
+    val centroidsDir = manifestDir(m, "centroids_dir")
+      .getOrElse(s"$version/centroids")
+    val postingsDirs = manifestDirs(m, "postings_dirs")
+      .getOrElse(Seq(s"$version/postings"))
+    val centroids = spark.read.parquet(s"$indexDir/$centroidsDir")
     val expected = manifestField(m, "centroids")
     val actual = centroids.count()
     require(expected.forall(_ == actual),
-      s"ANN index $vdir: manifest records ${expected.get} centroids, " +
-        s"disk has $actual — corrupt version; republish")
-    val postings = spark.read.parquet(s"$vdir/postings")
-      .withColumn("cell", col("cell").cast("long"))
+      s"ANN index $indexDir/$version: manifest records ${expected.get} " +
+        s"centroids, disk has $actual — corrupt version; republish")
+    // one read PER ROOT, unioned: a single multi-path read of several
+    // partitioned roots fails partition inference
+    // (CONFLICTING_DIRECTORY_STRUCTURES) — per-root scans keep cell
+    // pruning on each leg and the union is scan-metadata only
+    val postings = postingsDirs.map { d =>
+      spark.read.parquet(s"$indexDir/$d")
+        .withColumn("cell", col("cell").cast("long"))
+    }.reduce(_.unionByName(_))
     Handle(version, k, centroids, postings)
   }
 
-  /** Drop version dirs that are neither current nor among the `keep`
-    * most recent COMMITTED predecessors (dirs carrying a manifest below
-    * the pointer — the rollback targets). Orphans from crashed builds —
+  /** Drop version dirs that are not retained. Retained = the current
+    * version, the `keep` most recent COMMITTED predecessors (dirs
+    * carrying a manifest below the pointer — the rollback targets), and
+    * every version whose dirs a retained manifest REFERENCES (a delta
+    * chain's base data must outlive any manifest that reads it — the
+    * UpsertSink carry-forward rule). Orphans from crashed builds —
     * manifest-less dirs, and anything numbered above the pointer — are
     * always reclaimed: load can never read them, so "keeping" one is
     * pure debris. Counting committed versions, not version NUMBERS,
@@ -177,9 +261,22 @@ object AnnIndex {
           case (n, p) if n < currentNum.get &&
             Files.exists(p.resolve("_manifest.json")) => n
         }.sorted.takeRight(math.max(keep, 0)).toSet
+        val retained = committedBelow + currentNum.get
+        // one hop is complete: every manifest flattens its full dir
+        // list at publish, so a retained manifest names every version
+        // it reads directly
+        val referenced = retained.flatMap { n =>
+          try {
+            val m = readManifest(indexDir, s"v$n")
+            (manifestDir(m, "centroids_dir").toSeq ++
+              manifestDirs(m, "postings_dirs").getOrElse(Nil))
+              .flatMap(dir => VersionName.findFirstMatchIn(
+                dir.takeWhile(_ != '/')).map(_.group(1).toLong))
+          } catch { case scala.util.control.NonFatal(_) => Nil }
+        }
+        val keepSet = retained ++ referenced
         versions.foreach { case (n, p) =>
-          if (n != currentNum.get && !committedBelow.contains(n))
-            deleteTree(p)
+          if (!keepSet.contains(n)) deleteTree(p)
         }
       }
     }

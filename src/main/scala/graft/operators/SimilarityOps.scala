@@ -1622,10 +1622,15 @@ object SimilarityOps {
     AnnIndex.publish(ivfCentroids(emb),
       assigned.select(col("vec_id"), col("vd"), col("nrm"), col("cell")),
       indexDir, ivfK)
-    val idx = AnnIndex.load(s, indexDir)
-    // probe: assign the query batch against the LOADED centroids, then
-    // rank full-precision candidates from the LOADED postings — the same
-    // math as s03, reading only persisted structures
+    probePersisted(emb, AnnIndex.load(s, indexDir))
+  }
+
+  /** The probe half shared by s18 (full publish) and s19 (delta chain):
+    * assign the query batch against the LOADED centroids, then rank
+    * full-precision candidates from the LOADED postings — the same math
+    * as s03, reading only persisted structures. */
+  private def probePersisted(emb: DataFrame,
+      idx: AnnIndex.Handle): DataFrame = {
     val scored0 = emb.filter(col("vec_id").between(1, 9))
       .join(broadcast(idx.centroids), lit(true))
       .withColumn("cc", round(
@@ -1655,6 +1660,30 @@ object SimilarityOps {
     * indistinguishable from the from-scratch derivation. */
   private val s18Sql = s03Sql
 
+  /** Incremental (delta-chained) persisted index: the corpus arrives in
+    * TWO batches — a full publish of the even-id vectors, then a DELTA
+    * publish of the odd-id vectors assigned against the inherited
+    * centroids ([[AnnIndex.publishDelta]] — the persisted twin of s16's
+    * O(batch) standing-index ingest). The probe loads the committed
+    * chain (one multi-root postings scan, partition-pruned per root)
+    * and must be indistinguishable from the from-scratch s03
+    * derivation — the oracle certifies that a delta chain loses, gains,
+    * and shifts NOTHING vs rebuilding the index over the union. */
+  private def s19(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = s"${LayoutOps.scratch("graft-s19", dir)}/ivf"
+    val emb = normEmb(s, dir)
+    val (assigned, _) = ivfCells(s, dir)
+    val posts = assigned.select(
+      col("vec_id"), col("vd"), col("nrm"), col("cell"))
+    AnnIndex.publish(ivfCentroids(emb),
+      posts.filter(col("vec_id") % 2 === 0), indexDir, ivfK)
+    AnnIndex.publishDelta(posts.filter(col("vec_id") % 2 === 1), indexDir)
+    probePersisted(emb, AnnIndex.load(s, indexDir))
+  }
+
+  /** s19 shares s03's oracle verbatim — see [[s19]]. */
+  private val s19Sql = s03Sql
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -1674,5 +1703,6 @@ object SimilarityOps {
     "s16_ann_incremental" -> QueryDef(s16, Some(s16Sql)),
     "s17_mmr_rerank" -> QueryDef(s17, Some(s17Sql)),
     "s18_ann_persisted_index" -> QueryDef(s18, Some(s18Sql)),
+    "s19_ann_delta_index" -> QueryDef(s19, Some(s19Sql)),
   )
 }

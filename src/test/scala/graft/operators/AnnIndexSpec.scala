@@ -105,6 +105,63 @@ class AnnIndexSpec extends SparkSuite {
     assert(AnnIndex.load(spark, dir).version == "v4")
   }
 
+  test("publishDelta appends a batch as a delta version: centroids " +
+      "inherited by reference, loaded postings = base + delta, and a " +
+      "second delta flattens the full dir list (one-hop-complete " +
+      "manifests)") {
+    val dir = tmpDir("annidx7")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4)
+    val sess = spark
+    import sess.implicits._
+    val d1 = (1 to 5).map(i => (i.toLong + 500, Seq(i.toDouble, 3.0),
+      3.0, (i % 4 + 1).toLong)).toDF("vec_id", "vd", "nrm", "cell")
+    assert(AnnIndex.publishDelta(d1, dir) == "v2")
+    val idx2 = AnnIndex.load(spark, dir)
+    assert(idx2.version == "v2" && idx2.postings.count() == 13)
+    assert(idx2.centroids.count() == 4, "centroids inherited from v1")
+    val d2 = (1 to 3).map(i => (i.toLong + 900, Seq(i.toDouble, 4.0),
+      4.0, (i % 4 + 1).toLong)).toDF("vec_id", "vd", "nrm", "cell")
+    assert(AnnIndex.publishDelta(d2, dir) == "v3")
+    val idx3 = AnnIndex.load(spark, dir)
+    assert(idx3.postings.count() == 16)
+    // all three generations visible through one load
+    val ids = idx3.postings.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.exists(_ < 500) && ids.exists(i => i > 500 && i < 900)
+      && ids.exists(_ > 900))
+  }
+
+  test("publishDelta without a committed base fails loudly") {
+    val dir = tmpDir("annidx8")
+    val (_, p) = fixture(4)
+    intercept[IllegalStateException] { AnnIndex.publishDelta(p, dir) }
+  }
+
+  test("vacuum never deletes a version a retained manifest references: " +
+      "a delta chain's base data outlives any manifest that reads it") {
+    val dir = tmpDir("annidx9")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1: base data
+    val sess = spark
+    import sess.implicits._
+    val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    AnnIndex.publishDelta(d1, dir) // v2 references v1
+    AnnIndex.vacuum(dir, keep = 0)
+    assert(Files.exists(Paths.get(dir, "v1")),
+      "v1 holds the current chain's base postings + centroids")
+    assert(AnnIndex.load(spark, dir).postings.count() == 9,
+      "the chain must stay fully readable after vacuum")
+    // a full republish cuts the reference; now v1 and v2 are history
+    val (c2, p2) = fixture(6, shift = 0.25)
+    AnnIndex.publish(c2, p2, dir, k = 4) // v3, self-contained
+    AnnIndex.vacuum(dir, keep = 0)
+    assert(!Files.exists(Paths.get(dir, "v1")))
+    assert(!Files.exists(Paths.get(dir, "v2")))
+    assert(AnnIndex.load(spark, dir).postings.count() == 6)
+  }
+
   test("load fails loudly on an empty dir and on a pointer naming a " +
       "manifest-less version (a state publish can never produce)") {
     val dir = tmpDir("annidx4")
