@@ -128,24 +128,47 @@ object AnnIndex {
           s"no committed ANN index at $indexDir to delta onto: " +
             "publish a full version first"))
       val m = readManifest(indexDir, base)
-      val k = manifestField(m, "k").getOrElse(throw
+      def malformed(what: String): Nothing = throw
         new IllegalStateException(
-          s"ANN index manifest at $indexDir/$base is malformed: $m")).toInt
+          s"ANN index manifest at $indexDir/$base is malformed " +
+            s"(no $what): $m")
+      val k = manifestField(m, "k").getOrElse(malformed("k")).toInt
+      val centroidsDir = manifestDir(m, "centroids_dir")
+        .getOrElse(malformed("centroids_dir"))
+      val prevDirs = manifestDirs(m, "postings_dirs")
+        .filter(_.nonEmpty).getOrElse(malformed("postings_dirs"))
       val version = s"v${maxVersionOnDisk(indexDir) + 1}"
       val vdir = s"$indexDir/$version"
       postings.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$vdir/postings")
       val spark = postings.sparkSession
-      val nNew = spark.read.parquet(s"$vdir/postings").count()
-      val prevPosts = manifestField(m, "postings").getOrElse(0L)
-      commit(indexDir, version, k,
-        nCents = manifestField(m, "centroids").getOrElse(0L),
-        nPosts = prevPosts + nNew,
-        centroidsDir = manifestDir(m, "centroids_dir")
-          .getOrElse(s"$base/centroids"),
-        postingsDirs = manifestDirs(m, "postings_dirs")
-          .getOrElse(Seq(s"$base/postings")) :+ s"$version/postings")
-      version
+      // an EMPTY increment is routine for a scheduled ingest (quiet
+      // interval): commit nothing, reclaim the version number's dir,
+      // report the base unchanged — reading the 0-row dir back would
+      // otherwise throw an unrelated schema-inference error and leave
+      // an orphan. Detected structurally (no part files), not by
+      // pre-counting the input (that would double-run its plan).
+      val hasParts = {
+        val s = Files.walk(Paths.get(s"$vdir/postings"))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.exists(p =>
+            p.getFileName.toString.endsWith(".parquet"))
+        } finally s.close()
+      }
+      if (!hasParts) {
+        graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
+        base
+      } else {
+        val nNew = spark.read.parquet(s"$vdir/postings").count()
+        val prevPosts = manifestField(m, "postings").getOrElse(0L)
+        commit(indexDir, version, k,
+          nCents = manifestField(m, "centroids").getOrElse(0L),
+          nPosts = prevPosts + nNew,
+          centroidsDir = centroidsDir,
+          postingsDirs = prevDirs :+ s"$version/postings")
+        version
+      }
     }
 
   /** Manifest-then-pointer commit shared by full and delta publishes:
@@ -159,8 +182,16 @@ object AnnIndex {
     val manifest =
       s"""{"k":$k,"centroids":$nCents,"postings":$nPosts,""" +
         s""""centroids_dir":"$centroidsDir","postings_dirs":$dirsJson}"""
-    Files.write(Paths.get(s"$indexDir/$version", "_manifest.json"),
-      manifest.getBytes(StandardCharsets.UTF_8))
+    // the manifest gets the SAME tmp + ATOMIC_MOVE discipline as the
+    // pointer: a torn plain write could otherwise leave a file that
+    // parses partially — and a half-parseable manifest is worse than a
+    // missing one (load would serve a wrong subset instead of refusing)
+    val vdir = Paths.get(s"$indexDir/$version")
+    val mTmp = vdir.resolve("._manifest.json.tmp")
+    Files.write(mTmp, manifest.getBytes(StandardCharsets.UTF_8))
+    Files.move(mTmp, vdir.resolve("_manifest.json"),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     val tmp = Paths.get(indexDir, s"._current.$version.tmp")
     Files.write(tmp, version.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointerPath(indexDir),
@@ -197,22 +228,27 @@ object AnnIndex {
     * when the pointed-at version lacks its manifest (a crashed build the
     * pointer should never name), or when the centroid count on disk
     * disagrees with the manifest. Postings may span several referenced
-    * dirs (delta chain) — read as one multi-root parquet scan, so cell
-    * partition pruning applies per root. Pre-reference manifests
-    * (round-13 initial shape, no dir fields) default to the version's
-    * own dirs. */
+    * dirs (delta chain) — one scan per root, unioned, so cell partition
+    * pruning applies per root. The dir-reference fields are REQUIRED:
+    * a manifest missing them is damage, not a dialect. */
   def load(spark: SparkSession, indexDir: String): Handle = {
     val version = currentVersion(indexDir).getOrElse(throw
       new IllegalStateException(
         s"no committed ANN index at $indexDir (missing/invalid _current " +
           "pointer): publish one first"))
     val m = readManifest(indexDir, version)
-    val k = manifestField(m, "k").getOrElse(throw new IllegalStateException(
-      s"ANN index manifest at $indexDir/$version is malformed: $m")).toInt
+    def malformed(what: String): Nothing = throw new IllegalStateException(
+      s"ANN index manifest at $indexDir/$version is malformed " +
+        s"(no $what): $m — refuse to guess which dirs the version " +
+        "reads; republish")
+    val k = manifestField(m, "k").getOrElse(malformed("k")).toInt
+    // dir fields are REQUIRED, never defaulted: a fallback here could
+    // not tell a legacy manifest from a damaged one, and serving a
+    // guessed subset of a delta chain is silent wrong answers
     val centroidsDir = manifestDir(m, "centroids_dir")
-      .getOrElse(s"$version/centroids")
+      .getOrElse(malformed("centroids_dir"))
     val postingsDirs = manifestDirs(m, "postings_dirs")
-      .getOrElse(Seq(s"$version/postings"))
+      .filter(_.nonEmpty).getOrElse(malformed("postings_dirs"))
     val centroids = spark.read.parquet(s"$indexDir/$centroidsDir")
     val expected = manifestField(m, "centroids")
     val actual = centroids.count()
@@ -257,9 +293,18 @@ object AnnIndex {
               .map(m => m.group(1).toLong -> p)
           }.toSeq
         } finally s.close()
+        // "committed" requires a PARSEABLE manifest, not a mere file:
+        // a damaged manifest (hand-edited, pre-atomic-write crash) must
+        // not consume a keep slot and evict the genuine rollback target
+        def committed(n: Long): Boolean =
+          try {
+            val m = readManifest(indexDir, s"v$n")
+            manifestField(m, "k").isDefined &&
+              manifestDir(m, "centroids_dir").isDefined &&
+              manifestDirs(m, "postings_dirs").exists(_.nonEmpty)
+          } catch { case scala.util.control.NonFatal(_) => false }
         val committedBelow = versions.collect {
-          case (n, p) if n < currentNum.get &&
-            Files.exists(p.resolve("_manifest.json")) => n
+          case (n, _) if n < currentNum.get && committed(n) => n
         }.sorted.takeRight(math.max(keep, 0)).toSet
         val retained = committedBelow + currentNum.get
         // one hop is complete: every manifest flattens its full dir

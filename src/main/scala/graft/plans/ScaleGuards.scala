@@ -201,19 +201,29 @@ object ScaleGuards {
     p.stats.rowCount.getOrElse(
       (p.stats.sizeInBytes / PreflightAutoSampleEstRowBytes).max(BigInt(1)))
 
-  /** sizeInBytes at or above this is a SENTINEL, not a measurement:
-    * plans Spark cannot size (LogicalRDD / foreachBatch frames, some
-    * views) report `spark.sql.defaultSizeInBytes` = Long.MaxValue.
-    * Treating that as a real size would clear any byte floor AND
-    * produce a ~1e-12 auto fraction — an empty sample whose audit
-    * reads diagnosis=ok, silently disarming a `preflight=fail` circuit
-    * breaker on exactly the frames whose size nobody knows. Unknown
-    * stats must fall back to the conservative pre-auto behavior:
-    * exact. */
-  private val SentinelBytes = BigInt(Long.MaxValue) >> 1
-
-  private def statsUnknown(p: LogicalPlan): Boolean =
-    p.stats.rowCount.isEmpty && p.stats.sizeInBytes >= SentinelBytes
+  /** Only TRUSTWORTHY stats may drive the auto gate: plans Spark cannot
+    * size (LogicalRDD / foreachBatch frames, some views) report the
+    * `spark.sql.defaultSizeInBytes` sentinel, and treating that as a
+    * real size would clear any byte floor AND produce a ~1e-12 auto
+    * fraction — an empty sample whose audit reads diagnosis=ok,
+    * silently disarming a `preflight=fail` circuit breaker on exactly
+    * the frames whose size nobody knows. A raw threshold on the
+    * sentinel VALUE is not enough: any Project over a statless leaf
+    * scales the sentinel by a row-width ratio to an arbitrary
+    * plausible-looking number (and the sentinel itself is conf-able).
+    * Trust is therefore structural: a CBO rowCount, or every LEAF being
+    * a source whose sizeInBytes is a measurement (file relations ≈
+    * bytes on disk, local/range relations ≈ literal data). Anything
+    * else falls back to the conservative pre-auto behavior: exact. */
+  private def statsTrusted(p: LogicalPlan): Boolean =
+    p.stats.rowCount.isDefined || p.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.datasources
+        .LogicalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical
+        .LocalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+      case _ => false
+    }
 
   /** The sampling decision a preflight actually uses. Precedence:
     *  1. An explicitly SET sampleFraction conf wins verbatim — a valid
@@ -238,9 +248,9 @@ object ScaleGuards {
       val minBytes = RewriteSupport.activeConf(autoMinBytesKey)
         .flatMap(_.toLongOption).filter(_ >= 0L)
         .getOrElse(PreflightAutoSampleMinBytesDefault)
-      // a sentinel-sized child (stats unknown) must audit EXACTLY, not
+      // an unsizeable child (stats untrusted) must audit EXACTLY, not
       // clear the floor with a fake size and then sample ~nothing
-      if (statsUnknown(l) || statsUnknown(r)) None
+      if (!statsTrusted(l) || !statsTrusted(r)) None
       else if (l.stats.sizeInBytes.max(r.stats.sizeInBytes) < minBytes) None
       else {
         val target = RewriteSupport.activeConf(PreflightAutoSampleTargetRowsKey)

@@ -173,14 +173,55 @@ class AnnIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("manifest"), e.getMessage)
   }
 
-  test("load cross-checks the manifest's centroid count against disk") {
+  test("load cross-checks the manifest's centroid count against disk, " +
+      "and REFUSES a manifest missing its dir-reference fields (a " +
+      "fallback could not tell a legacy manifest from a damaged one — " +
+      "serving a guessed subset of a delta chain is silent wrong answers)") {
     val dir = tmpDir("annidx5")
     val (c1, p1) = fixture(8)
     AnnIndex.publish(c1, p1, dir, k = 4)
-    // corrupt the committed manifest's count
     val m = Paths.get(dir, "v1", "_manifest.json")
-    Files.write(m, """{"k":4,"centroids":99,"postings":8}""".getBytes)
+    // corrupt count, dir fields intact → the integrity check fires
+    Files.write(m, ("""{"k":4,"centroids":99,"postings":8,""" +
+      """"centroids_dir":"v1/centroids","postings_dirs":["v1/postings"]}""")
+      .getBytes)
     val e = intercept[IllegalArgumentException] { AnnIndex.load(spark, dir) }
     assert(e.getMessage.contains("corrupt"), e.getMessage)
+    // dir fields TORN off (pre-atomic-write damage shape) → loud refusal,
+    // not a silent delta-only guess
+    Files.write(m, """{"k":4,"centroids":4,"postings":8}""".getBytes)
+    val e2 = intercept[IllegalStateException] { AnnIndex.load(spark, dir) }
+    assert(e2.getMessage.contains("postings_dirs")
+      || e2.getMessage.contains("centroids_dir"), e2.getMessage)
+  }
+
+  test("publishDelta of an EMPTY batch is a committed no-op: base " +
+      "version unchanged, no orphan dir, no schema-inference error — " +
+      "quiet intervals are routine for a scheduled ingest") {
+    val dir = tmpDir("annidx10")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4)
+    val empty = p.filter(col("vec_id") < 0)
+    assert(AnnIndex.publishDelta(empty, dir) == "v1",
+      "empty increment reports the unchanged base version")
+    assert(!Files.exists(Paths.get(dir, "v2")), "no orphan dir left")
+    assert(AnnIndex.load(spark, dir).postings.count() == 8)
+  }
+
+  test("vacuum does not let a DAMAGED manifest consume a keep slot and " +
+      "evict the genuine rollback target") {
+    val dir = tmpDir("annidx11")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1: real rollback target
+    AnnIndex.publish(c, p, dir, k = 4) // v2
+    // v2's manifest torn (damage shape): partial json
+    Files.write(Paths.get(dir, "v2", "_manifest.json"),
+      """{"k":4,"centroids":4,"postings":8,"centroids_dir":"v2/cen""".getBytes)
+    AnnIndex.publish(c, p, dir, k = 4) // v3: current
+    AnnIndex.vacuum(dir, keep = 1)
+    assert(Files.exists(Paths.get(dir, "v1")),
+      "the parseable predecessor is the rollback target")
+    assert(!Files.exists(Paths.get(dir, "v2")),
+      "the damaged version is debris, not a keep-slot occupant")
   }
 }

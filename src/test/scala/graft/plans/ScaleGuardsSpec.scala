@@ -167,6 +167,12 @@ class ScaleGuardsSpec extends SparkSuite {
     assert(effective(rddDf, small).isEmpty,
       "unknown stats must audit exactly (the conservative default)")
     assert(effective(small, rddDf).isEmpty)
+    // a Project over the statless leaf SCALES the sentinel by a
+    // row-width ratio to an arbitrary plausible size — trust must be
+    // structural (leaf types), not a threshold on the sentinel value
+    val projected = rddDf.select("id")
+    assert(effective(projected, small).isEmpty,
+      "a projected statless plan is still unsizeable")
   }
 
   test("above the byte floor but within the row budget stays exact, and " +
