@@ -219,6 +219,32 @@ class OverlapPreflightSpec extends SparkSuite {
     }
   }
 
+  test("seeded sweep: an ACTIVE auto-sampled warn preflight never " +
+      "changes query RESULTS — the audit is observation, and sampling " +
+      "must stay on the observation side of that line") {
+    val sess = spark
+    import sess.implicits._
+    def counts(): Seq[Long] = (1 to 5).map { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val left = (1L to 40L).map(i =>
+        (i, Seq.fill(3)(rnd.nextInt(30).toLong))).toDF("lid", "la")
+      val right = (1L to 40L).map(i =>
+        (i, Seq.fill(3)(rnd.nextInt(30).toLong))).toDF("rid", "ra")
+      left.join(right, arrays_overlap(col("la"), col("ra"))).count()
+    }
+    val baseline = counts()
+    spark.conf.set(ScaleGuards.OverlapPreflightKey, "warn")
+    spark.conf.set(ScaleGuards.OverlapPreflightAutoSampleMinBytesKey, "0")
+    spark.conf.set(ScaleGuards.PreflightAutoSampleTargetRowsKey, "3")
+    try assert(counts() == baseline,
+      "sampled-audit mode must answer identically to no-audit mode")
+    finally {
+      spark.conf.unset(ScaleGuards.OverlapPreflightKey)
+      spark.conf.unset(ScaleGuards.OverlapPreflightAutoSampleMinBytesKey)
+      spark.conf.unset(ScaleGuards.PreflightAutoSampleTargetRowsKey)
+    }
+  }
+
   test("without the conf the hook stays silent") {
     val lines = capturing { assert(hotJoinCount() >= 900L) }
     assert(!lines.exists(_.contains("overlap-join rewrite preflight")),
