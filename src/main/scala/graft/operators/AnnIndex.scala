@@ -127,16 +127,7 @@ object AnnIndex {
         new IllegalStateException(
           s"no committed ANN index at $indexDir to delta onto: " +
             "publish a full version first"))
-      val m = readManifest(indexDir, base)
-      def malformed(what: String): Nothing = throw
-        new IllegalStateException(
-          s"ANN index manifest at $indexDir/$base is malformed " +
-            s"(no $what): $m")
-      val k = manifestField(m, "k").getOrElse(malformed("k")).toInt
-      val centroidsDir = manifestDir(m, "centroids_dir")
-        .getOrElse(malformed("centroids_dir"))
-      val prevDirs = manifestDirs(m, "postings_dirs")
-        .filter(_.nonEmpty).getOrElse(malformed("postings_dirs"))
+      val m = requireManifest(indexDir, base)
       val version = s"v${maxVersionOnDisk(indexDir) + 1}"
       val vdir = s"$indexDir/$version"
       postings.write.mode("overwrite").partitionBy("cell")
@@ -161,12 +152,11 @@ object AnnIndex {
         base
       } else {
         val nNew = spark.read.parquet(s"$vdir/postings").count()
-        val prevPosts = manifestField(m, "postings").getOrElse(0L)
-        commit(indexDir, version, k,
-          nCents = manifestField(m, "centroids").getOrElse(0L),
-          nPosts = prevPosts + nNew,
-          centroidsDir = centroidsDir,
-          postingsDirs = prevDirs :+ s"$version/postings")
+        commit(indexDir, version, m.k,
+          nCents = m.centroids,
+          nPosts = m.postings + nNew,
+          centroidsDir = m.centroidsDir,
+          postingsDirs = m.postingsDirs :+ s"$version/postings")
         version
       }
     }
@@ -216,6 +206,24 @@ object AnnIndex {
       .findFirstMatchIn(json).map(m =>
         "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
 
+  /** A fully-parsed, fully-validated manifest. There is ONE validity
+    * rule — every field present (commit always writes them all), dirs
+    * non-empty — shared by publishDelta, load, and vacuum; a manifest
+    * failing ANY field is damage, and the strict-or-refuse discipline
+    * covers counts as well as dirs (a defaulted count would commit a
+    * version whose own integrity check then refuses to load). */
+  private[operators] final case class Manifest(k: Int, centroids: Long,
+      postings: Long, centroidsDir: String, postingsDirs: Seq[String])
+
+  private def parseManifest(json: String): Option[Manifest] =
+    for {
+      k <- manifestField(json, "k")
+      c <- manifestField(json, "centroids")
+      p <- manifestField(json, "postings")
+      cd <- manifestDir(json, "centroids_dir")
+      pd <- manifestDirs(json, "postings_dirs").filter(_.nonEmpty)
+    } yield Manifest(k.toInt, c, p, cd, pd)
+
   private def readManifest(indexDir: String, version: String): String = {
     val mPath = Paths.get(s"$indexDir/$version", "_manifest.json")
     require(Files.exists(mPath),
@@ -223,6 +231,24 @@ object AnnIndex {
         "an incomplete build; republish")
     new String(Files.readAllBytes(mPath), StandardCharsets.UTF_8)
   }
+
+  /** The version's manifest, parsed strictly; missing file is a loud
+    * IllegalArgumentException (incomplete build), a present-but-invalid
+    * file a loud IllegalStateException naming the content. */
+  private def requireManifest(indexDir: String,
+      version: String): Manifest = {
+    val json = readManifest(indexDir, version)
+    parseManifest(json).getOrElse(throw new IllegalStateException(
+      s"ANN index manifest at $indexDir/$version is malformed: $json — " +
+        "refuse to guess what the version reads; republish"))
+  }
+
+  /** Best-effort parsed manifest: None for missing OR invalid — the
+    * shape vacuum classifies versions with. */
+  private def tryManifest(indexDir: String,
+      version: String): Option[Manifest] =
+    try parseManifest(readManifest(indexDir, version))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Load the committed version. Fails loudly when no pointer exists,
     * when the pointed-at version lacks its manifest (a crashed build the
@@ -236,34 +262,24 @@ object AnnIndex {
       new IllegalStateException(
         s"no committed ANN index at $indexDir (missing/invalid _current " +
           "pointer): publish one first"))
-    val m = readManifest(indexDir, version)
-    def malformed(what: String): Nothing = throw new IllegalStateException(
-      s"ANN index manifest at $indexDir/$version is malformed " +
-        s"(no $what): $m — refuse to guess which dirs the version " +
-        "reads; republish")
-    val k = manifestField(m, "k").getOrElse(malformed("k")).toInt
-    // dir fields are REQUIRED, never defaulted: a fallback here could
-    // not tell a legacy manifest from a damaged one, and serving a
-    // guessed subset of a delta chain is silent wrong answers
-    val centroidsDir = manifestDir(m, "centroids_dir")
-      .getOrElse(malformed("centroids_dir"))
-    val postingsDirs = manifestDirs(m, "postings_dirs")
-      .filter(_.nonEmpty).getOrElse(malformed("postings_dirs"))
-    val centroids = spark.read.parquet(s"$indexDir/$centroidsDir")
-    val expected = manifestField(m, "centroids")
+    // every field REQUIRED, never defaulted: a fallback could not tell
+    // a legacy manifest from a damaged one, and serving a guessed
+    // subset of a delta chain is silent wrong answers
+    val m = requireManifest(indexDir, version)
+    val centroids = spark.read.parquet(s"$indexDir/${m.centroidsDir}")
     val actual = centroids.count()
-    require(expected.forall(_ == actual),
-      s"ANN index $indexDir/$version: manifest records ${expected.get} " +
+    require(m.centroids == actual,
+      s"ANN index $indexDir/$version: manifest records ${m.centroids} " +
         s"centroids, disk has $actual — corrupt version; republish")
     // one read PER ROOT, unioned: a single multi-path read of several
     // partitioned roots fails partition inference
     // (CONFLICTING_DIRECTORY_STRUCTURES) — per-root scans keep cell
     // pruning on each leg and the union is scan-metadata only
-    val postings = postingsDirs.map { d =>
+    val postings = m.postingsDirs.map { d =>
       spark.read.parquet(s"$indexDir/$d")
         .withColumn("cell", col("cell").cast("long"))
     }.reduce(_.unionByName(_))
-    Handle(version, k, centroids, postings)
+    Handle(version, m.k, centroids, postings)
   }
 
   /** Drop version dirs that are not retained. Retained = the current
@@ -293,35 +309,38 @@ object AnnIndex {
               .map(m => m.group(1).toLong -> p)
           }.toSeq
         } finally s.close()
-        // "committed" requires a PARSEABLE manifest, not a mere file:
-        // a damaged manifest (hand-edited, pre-atomic-write crash) must
-        // not consume a keep slot and evict the genuine rollback target
-        def committed(n: Long): Boolean =
-          try {
-            val m = readManifest(indexDir, s"v$n")
-            manifestField(m, "k").isDefined &&
-              manifestDir(m, "centroids_dir").isDefined &&
-              manifestDirs(m, "postings_dirs").exists(_.nonEmpty)
-          } catch { case scala.util.control.NonFatal(_) => false }
+        // ONE parse per version (shared strict rule): "committed"
+        // requires a fully-parseable manifest, so a damaged one
+        // (hand-edited, pre-atomic-write crash) can't consume a keep
+        // slot and evict the genuine rollback target
+        val parsed: Map[Long, Option[Manifest]] =
+          versions.map { case (n, _) =>
+            n -> tryManifest(indexDir, s"v$n")
+          }.toMap
         val committedBelow = versions.collect {
-          case (n, _) if n < currentNum.get && committed(n) => n
+          case (n, _) if n < currentNum.get && parsed(n).isDefined => n
         }.sorted.takeRight(math.max(keep, 0)).toSet
         val retained = committedBelow + currentNum.get
-        // one hop is complete: every manifest flattens its full dir
-        // list at publish, so a retained manifest names every version
-        // it reads directly
-        val referenced = retained.flatMap { n =>
-          try {
-            val m = readManifest(indexDir, s"v$n")
-            (manifestDir(m, "centroids_dir").toSeq ++
-              manifestDirs(m, "postings_dirs").getOrElse(Nil))
+        // a RETAINED version with an unparseable manifest means its
+        // reference list is unknowable — deleting anything could
+        // destroy data its real chain reads (and make hand-repairing
+        // the manifest, the natural recovery, point at deleted data).
+        // Abort the whole vacuum; reclaim nothing until it's repaired
+        // or republished over.
+        if (retained.forall(n => parsed.getOrElse(n, None).isDefined)) {
+          // one hop is complete: every manifest flattens its full dir
+          // list at publish, so a retained manifest names every
+          // version it reads directly
+          val referenced = retained.flatMap { n =>
+            val m = parsed(n).get
+            (m.centroidsDir +: m.postingsDirs)
               .flatMap(dir => VersionName.findFirstMatchIn(
                 dir.takeWhile(_ != '/')).map(_.group(1).toLong))
-          } catch { case scala.util.control.NonFatal(_) => Nil }
-        }
-        val keepSet = retained ++ referenced
-        versions.foreach { case (n, p) =>
-          if (!keepSet.contains(n)) deleteTree(p)
+          }
+          val keepSet = retained ++ referenced
+          versions.foreach { case (n, p) =>
+            if (!keepSet.contains(n)) deleteTree(p)
+          }
         }
       }
     }

@@ -202,28 +202,42 @@ object ScaleGuards {
       (p.stats.sizeInBytes / PreflightAutoSampleEstRowBytes).max(BigInt(1)))
 
   /** Only TRUSTWORTHY stats may drive the auto gate: plans Spark cannot
-    * size (LogicalRDD / foreachBatch frames, some views) report the
+    * size (LogicalRDD / foreachBatch frames, JDBC and other V1
+    * relations that never override sizeInBytes) report the
     * `spark.sql.defaultSizeInBytes` sentinel, and treating that as a
     * real size would clear any byte floor AND produce a ~1e-12 auto
     * fraction — an empty sample whose audit reads diagnosis=ok,
     * silently disarming a `preflight=fail` circuit breaker on exactly
-    * the frames whose size nobody knows. A raw threshold on the
-    * sentinel VALUE is not enough: any Project over a statless leaf
+    * the frames whose size nobody knows. A raw threshold on the TOP
+    * plan's value is not enough: any Project over a statless leaf
     * scales the sentinel by a row-width ratio to an arbitrary
-    * plausible-looking number (and the sentinel itself is conf-able).
-    * Trust is therefore structural: a CBO rowCount, or every LEAF being
-    * a source whose sizeInBytes is a measurement (file relations ≈
-    * bytes on disk, local/range relations ≈ literal data). Anything
-    * else falls back to the conservative pre-auto behavior: exact. */
+    * plausible-looking number. Trust is therefore judged PER LEAF,
+    * where no operator has rescaled anything yet:
+    *  - file relations (HadoopFsRelation), local data, and Range are
+    *    measurements by construction;
+    *  - every other leaf (DataSourceV2 tables, cached frames, JDBC,
+    *    custom sources) is trusted iff it reports a rowCount or a size
+    *    BELOW the sentinel band — a leaf sitting at the conf default
+    *    (or near Long.MaxValue) is a declared unknown, not a 9-EB
+    *    table. Modern table formats that report real statistics pass;
+    *    declared-unknown leaves fall back to the conservative pre-auto
+    *    behavior: exact. */
+  private def leafTrusted(leaf: LogicalPlan): Boolean = leaf match {
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+      if lr.relation.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+      true
+    case _: org.apache.spark.sql.catalyst.plans.logical
+      .LocalRelation => true
+    case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+    case l =>
+      val sentinel = BigInt(org.apache.spark.sql.internal.SQLConf
+        .get.defaultSizeInBytes).min(BigInt(Long.MaxValue) >> 1)
+      l.stats.rowCount.isDefined || l.stats.sizeInBytes < sentinel
+  }
+
   private def statsTrusted(p: LogicalPlan): Boolean =
-    p.stats.rowCount.isDefined || p.collectLeaves().forall {
-      case _: org.apache.spark.sql.execution.datasources
-        .LogicalRelation => true
-      case _: org.apache.spark.sql.catalyst.plans.logical
-        .LocalRelation => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
-      case _ => false
-    }
+    p.stats.rowCount.isDefined || p.collectLeaves().forall(leafTrusted)
 
   /** The sampling decision a preflight actually uses. Precedence:
     *  1. An explicitly SET sampleFraction conf wins verbatim — a valid

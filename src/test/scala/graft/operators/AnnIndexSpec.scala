@@ -191,8 +191,28 @@ class AnnIndexSpec extends SparkSuite {
     // not a silent delta-only guess
     Files.write(m, """{"k":4,"centroids":4,"postings":8}""".getBytes)
     val e2 = intercept[IllegalStateException] { AnnIndex.load(spark, dir) }
-    assert(e2.getMessage.contains("postings_dirs")
-      || e2.getMessage.contains("centroids_dir"), e2.getMessage)
+    assert(e2.getMessage.contains("malformed"), e2.getMessage)
+  }
+
+  test("vacuum ABORTS when a retained manifest is unparseable: the " +
+      "reference list is unknowable, and deleting anything could " +
+      "destroy data the real chain reads (hand-repair must stay " +
+      "possible)") {
+    val dir = tmpDir("annidx12")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val sess = spark
+    import sess.implicits._
+    val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    AnnIndex.publishDelta(d1, dir) // v2, current, references v1
+    // damage the CURRENT manifest
+    Files.write(Paths.get(dir, "v2", "_manifest.json"),
+      """{"k":4,"centroids":4,"postings":9,"centroids_dir":"v""".getBytes)
+    AnnIndex.vacuum(dir, keep = 0)
+    assert(Files.exists(Paths.get(dir, "v1")),
+      "vacuum must reclaim NOTHING while the current manifest is damaged")
+    assert(Files.exists(Paths.get(dir, "v2")))
   }
 
   test("publishDelta of an EMPTY batch is a committed no-op: base " +

@@ -168,11 +168,23 @@ class ScaleGuardsSpec extends SparkSuite {
       "unknown stats must audit exactly (the conservative default)")
     assert(effective(small, rddDf).isEmpty)
     // a Project over the statless leaf SCALES the sentinel by a
-    // row-width ratio to an arbitrary plausible size — trust must be
-    // structural (leaf types), not a threshold on the sentinel value
+    // row-width ratio to an arbitrary plausible size — trust is judged
+    // at the LEAVES, where nothing has rescaled anything yet
     val projected = rddDf.select("id")
     assert(effective(projected, small).isEmpty,
       "a projected statless plan is still unsizeable")
+  }
+
+  test("a non-file leaf that reports REAL statistics (cached frame) is " +
+      "trusted — the declared-unknown screen must not revert modern " +
+      "stat-reporting sources to the exact full-scan audit") {
+    val big = spark.range(1000000000L).toDF("id").cache()
+    try {
+      val small = spark.range(10L).toDF("id")
+      val f = effective(big, small)
+      assert(f.isDefined && f.get < 1.0,
+        s"a stat-bearing cached frame above the floor must auto-sample: $f")
+    } finally big.unpersist(blocking = false)
   }
 
   test("above the byte floor but within the row budget stays exact, and " +
