@@ -1628,23 +1628,45 @@ object SimilarityOps {
   /** The probe half shared by s18 (full publish) and s19 (delta chain):
     * assign the query batch against the LOADED centroids, then rank
     * full-precision candidates from the LOADED postings — the same math
-    * as s03, reading only persisted structures. */
+    * as s03, reading only persisted structures.
+    *
+    * The postings scan is pruned to the PROBED CELLS with a literal
+    * partition predicate: the probed-cell set is bounded by k (the
+    * coarse quantizer's size — never by the query-batch size), so
+    * collecting it is a constant-size driver aggregate at any scale, and
+    * the IN filter prunes EVERY chain root at file-index time. The
+    * tempting alternative — broadcast the probe frame and let dynamic
+    * partition pruning plant a subquery — measurably does NOT hold under
+    * AQE: the result-stage re-planning degraded the planted pruning
+    * expression to `true` and the executed scan read all 32 cell
+    * partitions (numPartitions=32, pruningTime=0). Static pruning is
+    * deterministic, works on every union leg, and is pinned by the
+    * partitions-read metric (PlanSpec s18/s19, AnnIndexSpec). Computing
+    * the cell set re-runs the O(Q·k) assignment once — noise against
+    * the corpus-scan savings it buys. */
   private def probePersisted(emb: DataFrame,
       idx: AnnIndex.Handle): DataFrame = {
-    val scored0 = emb.filter(col("vec_id").between(1, 9))
-      .join(broadcast(idx.centroids), lit(true))
-      .withColumn("cc", round(
-        dotF64(col("vd"), col("cv")) / (col("nrm") * col("cn")), 4))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cc").desc, col("cent_id"))
-    val q = scored0.withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") <= ivfNprobe)
-      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
-        col("nrm").as("qn"), col("cent_id").as("cell"))
-    val c = idx.postings.filter(col("vec_id") >= 10)
+    def assigned: DataFrame = {
+      val scored0 = emb.filter(col("vec_id").between(1, 9))
+        .join(broadcast(idx.centroids), lit(true))
+        .withColumn("cc", round(
+          dotF64(col("vd"), col("cv")) / (col("nrm") * col("cn")), 4))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cc").desc, col("cent_id"))
+      scored0.withColumn("ark", row_number().over(wAssign))
+        .filter(col("ark") <= ivfNprobe)
+        .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+          col("nrm").as("qn"), col("cent_id").as("cell"))
+    }
+    val q = assigned
+    val probedCells = assigned.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val c = idx.postings
+      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("vd").as("cv2"),
         col("nrm").as("cn2"), col("cell"))
-    val scored = q.join(c, "cell")
+    val scored = broadcast(q).join(c, "cell")
       .withColumn("cos_sim", round(
         dotF64(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 4))
     val w = Window.partitionBy(col("q_id"))

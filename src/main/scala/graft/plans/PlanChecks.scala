@@ -81,6 +81,39 @@ object PlanChecks {
     physical(df).count(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
 
+  /** For every PARTITIONED parquet scan in the (post-AQE) plan: true when
+    * its partition filters carry a SELECTIVE predicate — a literal
+    * IN/equality over the partition column (static file-index pruning),
+    * or a genuinely planted DynamicPruningExpression. `isnotnull` alone
+    * and the `true` placeholder an AQE-degraded DPP slot shows do NOT
+    * count. Empty when the plan scans nothing partitioned. The pruning
+    * half of a partitioned-layout pin (s18/s19): a scan without a
+    * selective partition filter reads EVERY partition of the layout at
+    * 100 TB no matter how selective the probe side is. */
+  def partitionedScansPruned(df: DataFrame): Seq[Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      DynamicPruningExpression, IsNotNull, Literal}
+    physical(df).collect {
+      case s: FileSourceScanExec if s.relation.partitionSchema.nonEmpty =>
+        s.partitionFilters.exists {
+          case _: IsNotNull => false
+          case DynamicPruningExpression(child) =>
+            child != Literal.TrueLiteral
+          case _ => true
+        }
+    }
+  }
+
+  /** Sum of the "number of partitions read" metric across partitioned
+    * parquet scans — read AFTER executing the frame (scan materialization
+    * fills it, post-pruning). The scanned-partition-count half of a DPP
+    * pin: assert it equals the probed subset, not the full layout. */
+  def partitionsRead(df: DataFrame): Long =
+    physical(df).collect {
+      case s: FileSourceScanExec if s.relation.partitionSchema.nonEmpty =>
+        s.metrics.get("numPartitions").map(_.value).getOrElse(0L)
+    }.sum
+
   /** Whole-stage codegen spans present (hot path is compiled). */
   def hasWholeStageCodegen(df: DataFrame): Boolean =
     physical(df).exists(

@@ -228,6 +228,40 @@ class AnnIndexSpec extends SparkSuite {
     assert(AnnIndex.load(spark, dir).postings.count() == 8)
   }
 
+  test("a probed-cell IN filter over the loaded chain reads ONLY those " +
+      "cells' partitions on EVERY root (static file-index pruning " +
+      "through the multi-root union — the read-side point of the " +
+      "cell-partitioned layout, the pattern probePersisted serves with)") {
+    val dir = tmpDir("annidx13")
+    val (c, p) = fixture(20) // v1: cells 1..4, five rows each
+    AnnIndex.publish(c, p, dir, k = 4)
+    val sess = spark
+    import sess.implicits._
+    // v2 delta: cells 1 and 2 only — the chain's roots have UNEQUAL
+    // partition layouts, so the per-root pruned counts differ
+    val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L),
+      (502L, Seq(2.0, 3.0), 3.0, 2L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    AnnIndex.publishDelta(d1, dir)
+    val idx = AnnIndex.load(spark, dir)
+    val probe = Seq((9001L, 2L), (9002L, 4L)).toDF("q_id", "cell")
+    val joined = broadcast(probe)
+      .join(idx.postings.filter(col("cell").isin(2L, 4L)), "cell")
+    joined.collect()
+    import graft.plans.PlanChecks
+    val pruned = PlanChecks.partitionedScansPruned(joined)
+    assert(pruned.size == 2 && pruned.forall(identity),
+      s"both chain roots must carry the selective cell filter; " +
+        s"got $pruned")
+    // v1 holds cells {2,4} of the probe (2 partitions), v2 only cell 2
+    // (1 partition): 3 of the layout's 6 partitions read in total
+    assert(PlanChecks.partitionsRead(joined) == 3L,
+      "the probe must read exactly the probed cells' partitions, " +
+        s"not the full layout; read ${PlanChecks.partitionsRead(joined)}")
+    assert(joined.count() == 11L,
+      "cells 2 and 4 hold 5+5 base + 1 delta rows")
+  }
+
   test("vacuum does not let a DAMAGED manifest consume a keep slot and " +
       "evict the genuine rollback target") {
     val dir = tmpDir("annidx11")

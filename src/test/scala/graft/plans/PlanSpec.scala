@@ -222,6 +222,41 @@ class PlanSpec extends SparkSuite {
     assert(PlanChecks.usesBroadcastJoin(df) ||
       ops.exists(_.contains("HashJoin")),
       s"cell probe must be a keyed join; got $ops")
+    // the postings scan must be pruned to the probed cells — the
+    // read-side point of the cell-partitioned layout AnnIndex builds.
+    // probePersisted plants a literal IN over the k-bounded probed-cell
+    // set (measured: relying on broadcast-DPP instead, AQE's
+    // result-stage re-planning degraded the subquery to `true` and the
+    // scan read all 32 partitions)
+    val pruned = PlanChecks.partitionedScansPruned(df)
+    assert(pruned.nonEmpty,
+      "s18 must scan the cell-partitioned postings layout")
+    assert(pruned.forall(identity),
+      "every postings scan must carry a selective cell partition filter")
+    // 9 query vectors × nprobe=2 bounds the probed set at 18 of the 32
+    // cells — an unpruned scan reads all 32
+    val read = PlanChecks.partitionsRead(df)
+    assert(read > 0 && read <= 18,
+      s"postings scan must read only the probed cells' partitions " +
+        s"(<=18 of 32); read $read")
+  }
+
+  test("s19: EVERY leg of the delta-chain postings union is " +
+      "partition-pruned to the probed cells (pruning through the " +
+      "multi-root union, not just its first leg)") {
+    val df = run("s19_ann_delta_index")
+    val pruned = PlanChecks.partitionedScansPruned(df)
+    assert(pruned.size >= 2,
+      s"s19 loads a full+delta chain — expected >=2 partitioned " +
+        s"postings scans, got ${pruned.size}")
+    assert(pruned.forall(identity),
+      "each chain leg's postings scan must carry a selective cell " +
+        "partition filter — an unpruned leg re-scans that root's " +
+        "every cell at 100 TB")
+    val read = PlanChecks.partitionsRead(df)
+    assert(read > 0 && read <= 36,
+      s"the two chain roots must each read only probed cells " +
+        s"(<=18 each of 32); read $read")
   }
 
   test("d10: SemDeDup within-cluster scoring is an equi-join on the " +
