@@ -84,12 +84,33 @@ object AnnIndex {
     }
   }
 
+  /** Any part file under `dir` — the structural emptiness check shared
+    * by publish and publishDelta: reading a 0-row partitioned dir back
+    * would throw an unrelated schema-inference error, so emptiness is
+    * detected from the files the write just produced, never by
+    * pre-counting the input (that would double-run its plan). */
+  private def hasParts(dir: String): Boolean = {
+    val s = Files.walk(Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.exists(p =>
+        p.getFileName.toString.endsWith(".parquet"))
+    } finally s.close()
+  }
+
   /** Build a new FULL index version from the support frames and commit
     * it. `centroids` must carry (cent_id, cv, cn); `postings`
     * (vec_id, vd, nrm, cell). Returns the committed version name. The
     * manifest records k, both row counts (the centroid count doubles as
     * the integrity check load applies), and the dirs the version reads —
-    * a full publish references only its own. */
+    * a full publish references only its own.
+    *
+    * An EMPTY input frame is REFUSED loudly (and the version dir
+    * reclaimed): unlike a delta — where a quiet interval is routine — a
+    * full rebuild that produced zero centroids or zero postings is an
+    * upstream bug, and committing it would brick every later load
+    * (the count-back read of an empty partitioned dir throws a
+    * schema-inference error, not a useful one). */
   def publish(centroids: DataFrame, postings: DataFrame,
       indexDir: String, k: Int): String = lockFor(indexDir).synchronized {
     require(k > 0, s"centroid count k must be positive, got $k")
@@ -99,9 +120,24 @@ object AnnIndex {
     centroids.write.mode("overwrite").parquet(s"$vdir/centroids")
     postings.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$vdir/postings")
+    def refuseEmpty(what: String): Nothing = {
+      graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
+      throw new IllegalArgumentException(
+        s"refusing to publish ANN index version with EMPTY $what at " +
+          s"$indexDir: a full rebuild over zero rows is an upstream " +
+          "bug, not a commit (an empty scheduled increment belongs to " +
+          "publishDelta, which no-ops)")
+    }
+    // the PARTITIONED postings dir must be checked structurally — a
+    // 0-row partitioned write leaves no part files and reading it back
+    // throws schema inference, not a useful error. The unpartitioned
+    // centroids dir always gets a schema-bearing part file, so its
+    // emptiness is the count (computed anyway for the manifest).
+    if (!hasParts(s"$vdir/postings")) refuseEmpty("postings")
     val spark = centroids.sparkSession
     // metadata-only parquet counts: cheap at any scale
     val nCents = spark.read.parquet(s"$vdir/centroids").count()
+    if (nCents == 0L) refuseEmpty("centroids")
     val nPosts = spark.read.parquet(s"$vdir/postings").count()
     commit(indexDir, version, k, nCents, nPosts,
       centroidsDir = s"$version/centroids",
@@ -135,19 +171,9 @@ object AnnIndex {
       val spark = postings.sparkSession
       // an EMPTY increment is routine for a scheduled ingest (quiet
       // interval): commit nothing, reclaim the version number's dir,
-      // report the base unchanged — reading the 0-row dir back would
-      // otherwise throw an unrelated schema-inference error and leave
-      // an orphan. Detected structurally (no part files), not by
-      // pre-counting the input (that would double-run its plan).
-      val hasParts = {
-        val s = Files.walk(Paths.get(s"$vdir/postings"))
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.exists(p =>
-            p.getFileName.toString.endsWith(".parquet"))
-        } finally s.close()
-      }
-      if (!hasParts) {
+      // report the base unchanged — see [[hasParts]] for why emptiness
+      // is structural.
+      if (!hasParts(s"$vdir/postings")) {
         graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
         base
       } else {
@@ -282,6 +308,16 @@ object AnnIndex {
     Handle(version, m.k, centroids, postings)
   }
 
+  /** Orphan (manifest-less) dirs younger than this survive vacuum: a
+    * cross-process vacuum racing another driver's IN-FLIGHT build would
+    * otherwise classify its half-written version dir as debris and
+    * delete it mid-write (the per-dir publish lock only serializes
+    * within one JVM — same exposure class as LayoutOps scratch reap,
+    * same remedy). Override with -Dgraft.annindex.orphanAgeMs. */
+  private[operators] def OrphanMinAgeMillis: Long =
+    sys.props.get("graft.annindex.orphanAgeMs").flatMap(_.toLongOption)
+      .getOrElse(60L * 60 * 1000)
+
   /** Drop version dirs that are not retained. Retained = the current
     * version, the `keep` most recent COMMITTED predecessors (dirs
     * carrying a manifest below the pointer — the rollback targets), and
@@ -289,13 +325,19 @@ object AnnIndex {
     * chain's base data must outlive any manifest that reads it — the
     * UpsertSink carry-forward rule). Orphans from crashed builds —
     * manifest-less dirs, and anything numbered above the pointer — are
-    * always reclaimed: load can never read them, so "keeping" one is
-    * pure debris. Counting committed versions, not version NUMBERS,
-    * matters under gapped numbering: v1,v2 committed + v3 orphaned + v4
-    * committed must keep v2 (the only rollback target) under keep=1,
-    * not retain the useless v3 while deleting v2. Never touches the
-    * current version or the pointer. */
-  def vacuum(indexDir: String, keep: Int = 1): Unit =
+    * reclaimed once STALE: load can never read them, so "keeping" one
+    * is pure debris, BUT a manifest-less dir with any tree mtime inside
+    * [[OrphanMinAgeMillis]] may be another process's build mid-write
+    * (commit order is data → manifest → pointer, so a live build is
+    * manifest-less for its whole write) — age-gate it like the scratch
+    * reap, an unreadable mtime counting as fresh. Counting committed
+    * versions, not version NUMBERS, matters under gapped numbering:
+    * v1,v2 committed + v3 orphaned + v4 committed must keep v2 (the
+    * only rollback target) under keep=1, not retain the useless v3
+    * while deleting v2. Never touches the current version or the
+    * pointer. `now` is injectable for tests. */
+  def vacuum(indexDir: String, keep: Int = 1,
+      now: Long = System.currentTimeMillis()): Unit =
     lockFor(indexDir).synchronized {
       val currentNum = currentVersion(indexDir).flatMap(v =>
         VersionName.findFirstMatchIn(v).map(_.group(1).toLong))
@@ -338,10 +380,43 @@ object AnnIndex {
                 dir.takeWhile(_ != '/')).map(_.group(1).toLong))
           }
           val keepSet = retained ++ referenced
+          val cutoff = now - OrphanMinAgeMillis
           versions.foreach { case (n, p) =>
-            if (!keepSet.contains(n)) deleteTree(p)
+            if (!keepSet.contains(n)) {
+              // manifest-less = possibly another process's live build:
+              // reclaim only when the whole tree has gone quiet
+              val maybeLiveBuild = parsed(n).isEmpty &&
+                LayoutOps.anyMtimeAfter(p, cutoff)
+              if (!maybeLiveBuild) deleteTree(p)
+            }
           }
         }
+      }
+    }
+
+  /** Rewrite the CURRENT delta chain as one self-contained full version
+    * through the normal publish/commit machinery, and return the new
+    * version name. A long-lived ingest chain accumulates one postings
+    * root per delta — load unions one scan per root, so a year of
+    * hourly deltas is thousands of scan legs of small files; compaction
+    * restores the single-root layout (and single-file-size economics)
+    * without changing what a probe sees: the loaded frames round-trip
+    * bit-for-bit through publish, exactly the property s18's oracle
+    * certifies. A single-root current version is already compact —
+    * committed no-op returning it. Old chain versions become ordinary
+    * history: the next [[vacuum]] reclaims them by the usual keep
+    * rules (the new manifest references only its own version). */
+  def compact(spark: SparkSession, indexDir: String): String =
+    lockFor(indexDir).synchronized {
+      val version = currentVersion(indexDir).getOrElse(throw
+        new IllegalStateException(
+          s"no committed ANN index at $indexDir to compact: " +
+            "publish a full version first"))
+      val m = requireManifest(indexDir, version)
+      if (m.postingsDirs.size == 1) version
+      else {
+        val h = load(spark, indexDir)
+        publish(h.centroids, h.postings, indexDir, m.k)
       }
     }
 

@@ -78,11 +78,17 @@ class AnnIndexSpec extends SparkSuite {
     val (c2, p2) = fixture(10)
     assert(AnnIndex.publish(c2, p2, dir, k = 4) == "v3")
     assert(AnnIndex.load(spark, dir).version == "v3")
-    // vacuum reclaims the orphan (it is NEWER-numbered dirs above the
-    // pointer that are orphans; v2 here is below v3 and outside keep)
-    AnnIndex.vacuum(dir, keep = 0)
+    // vacuum reclaims the orphan once STALE (it is NEWER-numbered dirs
+    // above the pointer that are orphans; v2 here is below v3 and
+    // outside keep) — drive the clock past the age gate
+    AnnIndex.vacuum(dir, keep = 0, now = staleClock)
     assert(!Files.exists(Paths.get(dir, "v2")))
   }
+
+  /** A `now` far enough ahead that every just-written file is older
+    * than the orphan age gate. */
+  private def staleClock: Long =
+    System.currentTimeMillis() + AnnIndex.OrphanMinAgeMillis + 60000L
 
   test("vacuum keeps the most recent COMMITTED predecessors under " +
       "gapped numbering: an orphan between two committed versions is " +
@@ -94,7 +100,7 @@ class AnnIndexSpec extends SparkSuite {
     // crashed build of v3: data, no manifest, pointer still v2
     Files.createDirectories(Paths.get(dir, "v3", "postings"))
     assert(AnnIndex.publish(c, p, dir, k = 4) == "v4") // committed, current
-    AnnIndex.vacuum(dir, keep = 1)
+    AnnIndex.vacuum(dir, keep = 1, now = staleClock)
     assert(Files.exists(Paths.get(dir, "v4")), "current always kept")
     assert(Files.exists(Paths.get(dir, "v2")),
       "the most recent committed predecessor is the rollback target — " +
@@ -272,10 +278,91 @@ class AnnIndexSpec extends SparkSuite {
     Files.write(Paths.get(dir, "v2", "_manifest.json"),
       """{"k":4,"centroids":4,"postings":8,"centroids_dir":"v2/cen""".getBytes)
     AnnIndex.publish(c, p, dir, k = 4) // v3: current
-    AnnIndex.vacuum(dir, keep = 1)
+    AnnIndex.vacuum(dir, keep = 1, now = staleClock)
     assert(Files.exists(Paths.get(dir, "v1")),
       "the parseable predecessor is the rollback target")
     assert(!Files.exists(Paths.get(dir, "v2")),
       "the damaged version is debris, not a keep-slot occupant")
+  }
+
+  test("vacuum age-gates orphan reclaim: a FRESH manifest-less dir " +
+      "(another process's possible in-flight build) survives, a stale " +
+      "one is reclaimed, and referenced delta bases are still kept") {
+    val dir = tmpDir("annidx14")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1: base
+    val sess = spark
+    import sess.implicits._
+    val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    AnnIndex.publishDelta(d1, dir) // v2: current, references v1
+    // a cross-process build mid-write: data present, no manifest yet
+    Files.createDirectories(Paths.get(dir, "v3", "postings"))
+    Files.write(Paths.get(dir, "v3", "postings", "part-0.parquet"),
+      Array[Byte](1))
+    AnnIndex.vacuum(dir, keep = 0) // real clock: v3 is seconds old
+    assert(Files.exists(Paths.get(dir, "v3")),
+      "a fresh orphan may be a live build — vacuum must not delete it")
+    assert(Files.exists(Paths.get(dir, "v1")),
+      "the referenced delta base is kept regardless")
+    AnnIndex.vacuum(dir, keep = 0, now = staleClock)
+    assert(!Files.exists(Paths.get(dir, "v3")),
+      "a stale orphan is debris — reclaimed once the tree goes quiet")
+    assert(Files.exists(Paths.get(dir, "v1")) &&
+      Files.exists(Paths.get(dir, "v2")))
+  }
+
+  test("publish REFUSES an empty frame (postings or centroids) loudly, " +
+      "leaves no orphan dir, and the pointer keeps naming the previous " +
+      "good version — a zero-row full rebuild is an upstream bug, not " +
+      "a commit") {
+    val dir = tmpDir("annidx15")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1: good
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.publish(c, p.filter(col("vec_id") < 0), dir, k = 4)
+    }
+    assert(e.getMessage.contains("EMPTY postings"), e.getMessage)
+    assert(!Files.exists(Paths.get(dir, "v2")), "no orphan dir left")
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.publish(c.filter(col("cent_id") < 0), p, dir, k = 4)
+    }
+    assert(e2.getMessage.contains("EMPTY centroids"), e2.getMessage)
+    assert(AnnIndex.currentVersion(dir).contains("v1"))
+    assert(AnnIndex.load(spark, dir).postings.count() == 8,
+      "the refused publishes must not perturb the committed version")
+  }
+
+  test("compact rewrites a delta chain as ONE self-contained version: " +
+      "identical loaded frames, single postings root, old chain " +
+      "versions become vacuumable history; a single-root current " +
+      "version is a committed no-op") {
+    val dir = tmpDir("annidx16")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    assert(AnnIndex.compact(spark, dir) == "v1",
+      "single-root version is already compact — no-op")
+    val sess = spark
+    import sess.implicits._
+    val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L),
+      (502L, Seq(2.0, 3.0), 3.0, 2L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    AnnIndex.publishDelta(d1, dir) // v2: two roots
+    def rows(df: DataFrame) = df
+      .select("vec_id", "vd", "nrm", "cell").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val before = rows(AnnIndex.load(spark, dir).postings)
+    assert(AnnIndex.compact(spark, dir) == "v3")
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.version == "v3")
+    assert(rows(idx.postings) == before,
+      "compaction must not change what a probe sees")
+    assert(idx.centroids.count() == 4)
+    // the new manifest references only its own version: v1/v2 are
+    // plain history now, reclaimed by the usual keep rules
+    AnnIndex.vacuum(dir, keep = 0, now = staleClock)
+    assert(!Files.exists(Paths.get(dir, "v1")) &&
+      !Files.exists(Paths.get(dir, "v2")))
+    assert(rows(AnnIndex.load(spark, dir).postings) == before)
   }
 }
