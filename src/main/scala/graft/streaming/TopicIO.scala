@@ -180,8 +180,14 @@ final class KafkaTopicIO(bootstrapServers: String,
     // picking one is the stale-state bug with a different winner).
     def resolve(name: String): Option[org.apache.spark.sql.Column] = {
       val matches = df.columns.filter(_.equalsIgnoreCase(name))
+      // the FRAME's session conf, not the thread-local SQLConf.get: this
+      // runs on non-Spark threads too (management-server pool → dead-set
+      // replay → append), where no session is active and the thread-local
+      // falls back to a default conf — silently treating a
+      // caseSensitiveAnalysis=true session as case-insensitive (the
+      // Envelope.withOptionalColumns hardening, mirrored)
       val caseSensitive =
-        org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis
+        df.sparkSession.sessionState.conf.caseSensitiveAnalysis
       def ambiguous = throw new IllegalArgumentException(
         s"ambiguous producer frame: columns ${matches.mkString(", ")} " +
           s"all match '$name' case-insensitively — rename so one " +

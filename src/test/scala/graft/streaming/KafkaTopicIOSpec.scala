@@ -69,6 +69,45 @@ class KafkaTopicIOSpec extends SparkSuite {
       "kafka.sasl.jaas.config" -> SecurityConfig.plainJaas("svc", "pw")))
   }
 
+  test("sinkProjection resolves retry-state columns by the FRAME's " +
+      "session conf, not the thread-local SQLConf: on a non-Spark " +
+      "thread (management pool → dead-set replay → append) the " +
+      "thread-local lies about a caseSensitive=true session, and a " +
+      "legal exact-case frame carrying BOTH retryCount and retrycount " +
+      "failed 'ambiguous' instead of resolving (the Envelope." +
+      "withOptionalColumns hardening, completed on the sink path)") {
+    // a case-SENSITIVE child session owns the frame; the test thread's
+    // inherited active session stays the suite's case-insensitive one —
+    // exactly the lie SQLConf.get tells on a server pool thread
+    val cs = spark.newSession()
+    cs.conf.set("spark.sql.caseSensitive", "true")
+    import org.apache.spark.sql.functions._
+    val dual = cs.range(1).select(
+      lit("k".getBytes).as("key"), lit("v".getBytes).as("value"),
+      lit(9).as("retrycount"), lit(4).as("retryCount"))
+    @volatile var result: Either[Throwable, String] = null
+    val t = new Thread(() => {
+      // no session is ACTIVE on a fresh pool thread; pin the suite's
+      // case-insensitive one as active to make the thread-local's lie
+      // deterministic rather than inheritance-dependent
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      result =
+        try {
+          val hs = io.sinkProjection(dual)
+            .select("headers").head().getSeq[org.apache.spark.sql.Row](0)
+          Right(hs.collectFirst {
+            case r if r.getString(0) == "graft.retryCount" =>
+              new String(r.getAs[Array[Byte]](1), "UTF-8")
+          }.getOrElse("missing"))
+        } catch { case e: Throwable => Left(e) }
+    })
+    t.start(); t.join(60000)
+    assert(result != null, "projection thread did not finish")
+    assert(result == Right("4"),
+      s"the frame's case-sensitive session must govern resolution " +
+        s"(exact-case retryCount wins); got $result")
+  }
+
   test("pacing: max-poll-records maps to maxOffsetsPerTrigger (S3)") {
     assert(io.paceOptions(500) == Map("maxOffsetsPerTrigger" -> "500"))
   }
