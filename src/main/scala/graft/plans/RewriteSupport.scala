@@ -111,29 +111,154 @@ object PreflightLog {
   // audits. Spill I/O is best-effort: telemetry must never fail
   // planning. One spill path per JVM (last registration wins) — the
   // ring it mirrors is JVM-global for the same reason.
+  //
+  // Two sink flavors behind one contract: a PLAIN path appends via
+  // java.nio (torn-tolerant O_APPEND — a crash loses at most one line);
+  // a SCHEME-PREFIXED path (hdfs://, s3a://, file://) goes through the
+  // Hadoop FileSystem client Spark ships — real cluster drivers
+  // checkpoint to object storage, which is exactly where post-mortem
+  // evidence matters, and the old nio-only spill silently no-opped
+  // there. Hadoop appends where the FS supports it (HDFS,
+  // RawLocalFileSystem); where it doesn't (S3A, the checksummed
+  // LocalFileSystem) the fallback is read + concat + tmp + rename, so
+  // a crash mid-write leaves the previous file intact.
 
   private val spillLock = new Object
-  @volatile private var spill: Option[(java.nio.file.Path, Long)] = None
+  @volatile private var spill: Option[Sink] = None
 
-  /** Register the spill file. Returns true when this call CHANGED the
-    * path (callers reload only then — re-registering the same path, e.g.
-    * a second engine on the same checkpoint root, must not re-seed the
-    * ring with lines it already holds). */
-  def spillTo(path: String, maxBytes: Long = 1L << 20): Boolean =
-    spillLock.synchronized {
-      val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
-      val changed = !spill.map(_._1).contains(p)
-      if (changed) {
-        try Option(p.getParent)
-          .foreach(java.nio.file.Files.createDirectories(_))
-        catch { case scala.util.control.NonFatal(_) => () }
-        spill = Some((p, math.max(maxBytes, 4096L)))
-      }
-      changed
+  private sealed trait Sink {
+    /** Normalized identity — "same registration" for [[spillTo]]. */
+    def id: String
+    @volatile var maxBytes: Long = 0L
+    /** Create the parent dir (registration time, best-effort). */
+    def prepare(): Unit
+    /** Rotate-if-full then append one record's bytes. */
+    def append(bytes: Array[Byte]): Unit
+    /** All spill lines, oldest generation first. */
+    def readLines(): Seq[String]
+  }
+
+  private final class NioSink(p: java.nio.file.Path) extends Sink {
+    import java.nio.file.{Files, StandardOpenOption => O}
+    def id: String = s"nio:$p"
+    private def rotated = p.resolveSibling(p.getFileName.toString + ".1")
+    def prepare(): Unit =
+      Option(p.getParent).foreach(Files.createDirectories(_))
+    def append(bytes: Array[Byte]): Unit = {
+      if (Files.exists(p) && Files.size(p) >= maxBytes)
+        Files.move(p, rotated,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.write(p, bytes, O.CREATE, O.APPEND, O.WRITE)
     }
+    def readLines(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      Seq(rotated, p).filter(Files.exists(_)).flatMap { f =>
+        try Files.readAllLines(f,
+          java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+    }
+  }
 
-  private def rotated(p: java.nio.file.Path): java.nio.file.Path =
-    p.resolveSibling(p.getFileName.toString + ".1")
+  private final class HadoopSink(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path) extends Sink {
+    import org.apache.hadoop.fs.{Path => HPath}
+    def id: String = s"hadoop:$p"
+    private def rotated = new HPath(p.getParent, p.getName + ".1")
+    def prepare(): Unit = Option(p.getParent).foreach(fs.mkdirs(_))
+    private def writeAll(target: HPath, chunks: Array[Byte]*): Unit = {
+      val o = fs.create(target, true)
+      try chunks.foreach(o.write) finally o.close()
+    }
+    private def readFully(f: HPath): Array[Byte] = {
+      // bounded by the rotation cap (2×maxBytes) — the Int cast is safe
+      val len = fs.getFileStatus(f).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(f)
+      try in.readFully(0, buf) finally in.close()
+      buf
+    }
+    def append(bytes: Array[Byte]): Unit = {
+      if (fs.exists(p) && fs.getFileStatus(p).getLen >= maxBytes) {
+        if (fs.exists(rotated)) fs.delete(rotated, false)
+        fs.rename(p, rotated)
+      }
+      if (!fs.exists(p)) writeAll(p, bytes)
+      else try {
+        val o = fs.append(p)
+        try o.write(bytes) finally o.close()
+      } catch { case scala.util.control.NonFatal(_) =>
+        // no-append FS (S3A, checksummed LocalFileSystem): rewrite via
+        // tmp + rename so the previous generation survives a crash
+        val prev = readFully(p)
+        val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
+        writeAll(tmp, prev, bytes)
+        fs.delete(p, false)
+        fs.rename(tmp, p)
+      }
+    }
+    def readLines(): Seq[String] =
+      Seq(rotated, p).filter(fs.exists(_)).flatMap { f =>
+        try new String(readFully(f),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+  }
+
+  /** Anything a Hadoop FileSystem should resolve: a URI scheme prefix.
+    * (A plain local path — the common local-engine case — stays on the
+    * nio fast path with its torn-tolerant O_APPEND.) */
+  private val SchemePrefix = "^[a-zA-Z][a-zA-Z0-9+.-]*:.*".r
+
+  /** Register the spill file. `path` may be a plain local path or any
+    * Hadoop FileSystem URI (`hdfs://`, `s3a://`, `file://`); remote
+    * filesystems resolve through `hadoopConf` when given, else the
+    * active/default session's hadoopConfiguration, else a bare
+    * `Configuration()`. Returns true when this call CHANGED the path
+    * (callers reload only then — re-registering the same path, e.g. a
+    * second engine on the same checkpoint root, must not re-seed the
+    * ring with lines it already holds); a same-path re-registration
+    * still ADOPTS the new maxBytes (silently keeping the first
+    * registration's cap would ignore the second engine's tighter
+    * bound). An unresolvable path (bad scheme, FS client error) is a
+    * warn-and-refuse false: telemetry must never fail engine
+    * construction. */
+  def spillTo(path: String, maxBytes: Long = 1L << 20,
+      hadoopConf: org.apache.hadoop.conf.Configuration = null): Boolean =
+    spillLock.synchronized {
+      val sinkOpt: Option[Sink] =
+        try {
+          if (SchemePrefix.matches(path)) {
+            val conf = Option(hadoopConf).getOrElse(
+              org.apache.spark.sql.SparkSession.getActiveSession
+                .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+                .map(_.sparkContext.hadoopConfiguration)
+                .getOrElse(new org.apache.hadoop.conf.Configuration()))
+            val hp = new org.apache.hadoop.fs.Path(path)
+            val fs = hp.getFileSystem(conf)
+            Some(new HadoopSink(fs, fs.makeQualified(hp)))
+          } else Some(new NioSink(
+            java.nio.file.Paths.get(path).toAbsolutePath.normalize))
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] preflight spill at '$path' " +
+            s"unresolvable (${e.getClass.getSimpleName}: ${e.getMessage})" +
+            " — continuing with ring-only telemetry")
+          None
+        }
+      sinkOpt match {
+        case None => false
+        case Some(s) =>
+          s.maxBytes = math.max(maxBytes, 4096L)
+          val changed = !spill.map(_.id).contains(s.id)
+          if (changed) {
+            try s.prepare()
+            catch { case scala.util.control.NonFatal(_) => () }
+            spill = Some(s)
+          } else spill.foreach(_.maxBytes = s.maxBytes)
+          changed
+      }
+    }
 
   private def appendSpill(a: Audit): Unit =
     // registration read INSIDE the lock: a check-then-act snapshot could
@@ -146,16 +271,10 @@ object PreflightLog {
     // lifecycle for an event rate of ~one per rewrite fire; revisit only
     // if a future caller records on a genuinely hot path.
     spillLock.synchronized {
-      spill.foreach { case (p, max) =>
-        try {
-          import java.nio.file.{Files, StandardOpenOption => O}
-          if (Files.exists(p) && Files.size(p) >= max)
-            Files.move(p, rotated(p),
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          Files.write(p, (toJson(a) + "\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            O.CREATE, O.APPEND, O.WRITE)
-        } catch { case scala.util.control.NonFatal(_) => () }
+      spill.foreach { s =>
+        try s.append((toJson(a) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
 
@@ -210,14 +329,11 @@ object PreflightLog {
     * Reloaded entries are NOT re-spilled (the file already holds
     * them). */
   def loadSpill(): Int = spillLock.synchronized {
-    spill.map { case (p, _) =>
-      import java.nio.file.Files
+    spill.map { s =>
       import scala.jdk.CollectionConverters._
-      val lines = Seq(rotated(p), p).filter(Files.exists(_)).flatMap { f =>
-        try Files.readAllLines(f,
-          java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+      val lines =
+        try s.readLines()
         catch { case scala.util.control.NonFatal(_) => Nil }
-      }
       val loaded = lines.flatMap { l =>
         try parseAudit(l)
         catch { case scala.util.control.NonFatal(_) => None }

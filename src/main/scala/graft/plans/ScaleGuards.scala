@@ -240,24 +240,35 @@ object ScaleGuards {
     p.stats.rowCount.isDefined || p.collectLeaves().forall(leafTrusted)
 
   /** The sampling decision a preflight actually uses. Precedence:
-    *  1. An explicitly SET sampleFraction conf wins verbatim — a valid
-    *     (0,1) value samples at that rate; any other explicit value
-    *     (e.g. `1.0`) is the operator's deliberate exact request and
-    *     disables the auto gate too.
-    *  2. Unset, with the larger child's `stats.sizeInBytes` at or
-    *     above the family's autoSampleMinBytes floor: auto-pick
-    *     `targetRows / max(est rows per side)`, so the per-side sample
-    *     is bounded regardless of input scale. Row estimates use CBO
-    *     rowCount when present, else sizeInBytes over a conservative
-    *     row-width guess.
+    *  1. An explicitly SET and PARSEABLE sampleFraction conf wins
+    *     verbatim — a valid (0,1) value samples at that rate; any other
+    *     parseable explicit value (e.g. `1.0`) is the operator's
+    *     deliberate exact request and disables the auto gate too. A
+    *     MALFORMED explicit value (`0.5x` typo) warns and falls through
+    *     to the auto gate: the operator was plainly trying to ENABLE
+    *     sampling, and honoring the typo as "deliberate exact" would
+    *     silently disable both the requested sampling and the default —
+    *     the most surprising reading of the mistake (same degrade rule
+    *     as Bench's malformed env knobs).
+    *  2. Unset (or unparseable), with the larger child's
+    *     `stats.sizeInBytes` at or above the family's autoSampleMinBytes
+    *     floor: auto-pick `targetRows / max(est rows per side)`, so the
+    *     per-side sample is bounded regardless of input scale. Row
+    *     estimates use CBO rowCount when present, else sizeInBytes over
+    *     a conservative row-width guess.
     *  3. Otherwise exact (None) — small inputs keep the provenance-free
     *     audit schema the d31/d41 oracles pin. */
   private[plans] def effectivePreflightSample(sampleKey: String,
       autoMinBytesKey: String, l: LogicalPlan, r: LogicalPlan)
       : Option[Double] = {
     val explicit = RewriteSupport.activeConf(sampleKey)
-    if (explicit.isDefined)
-      explicit.flatMap(_.toDoubleOption).filter(f => f > 0.0 && f < 1.0)
+    val parsed = explicit.flatMap(_.toDoubleOption)
+    if (explicit.isDefined && parsed.isEmpty)
+      System.err.println(s"[graft] ignoring malformed $sampleKey=" +
+        s"'${explicit.get}' (not a number) — falling through to the " +
+        "auto-sample gate")
+    if (parsed.isDefined)
+      parsed.filter(f => f > 0.0 && f < 1.0)
     else {
       val minBytes = RewriteSupport.activeConf(autoMinBytesKey)
         .flatMap(_.toLongOption).filter(_ >= 0L)

@@ -54,27 +54,20 @@ final class GraftEngine(
     // the in-memory ring dies with the driver. spillTo returns true only
     // when this JVM had not already registered this path — reload ONLY
     // then (loadSpill merges+dedupes, so even a re-registration is
-    // harmless). LOCAL filesystems only: checkpointDir may be a Hadoop
-    // FS URI (hdfs://, s3a://) on a cluster, and Paths.get on that
-    // string would silently create a bogus './hdfs:/…' dir in the
-    // container's cwd — "durable" evidence that dies with the pod.
-    // Cluster deployments should point the checkpoint at a mounted
-    // volume to get the spill, or accept ring-only telemetry.
-    val localSpillRoot: Option[String] =
-      try new java.net.URI(checkpointDir).getScheme match {
-        case null => Some(checkpointDir)
-        case "file" =>
-          Some(java.nio.file.Paths.get(
-            new java.net.URI(checkpointDir)).toString)
-        case _ => None
-      } catch { case scala.util.control.NonFatal(_) =>
-        // not URI-parseable (spaces, odd chars) = a plain local path
-        Some(checkpointDir)
-      }
-    localSpillRoot.foreach { root =>
-      if (graft.plans.PreflightLog.spillTo(s"$root/_preflight_spill.jsonl"))
-        graft.plans.PreflightLog.loadSpill()
-    }
+    // harmless). The spill writes through the checkpoint root's OWN
+    // filesystem: plain paths via java.nio, scheme-prefixed roots
+    // (file://, hdfs://, s3a://) via the Hadoop FS client the session
+    // already carries — real cluster drivers checkpoint to object
+    // storage, which is exactly where post-mortem evidence matters, and
+    // the pre-round-14 nio-only spill silently no-opped there. spillTo
+    // itself decides flavor by scheme PREFIX (never java.net.URI
+    // parsing, whose failure on a URI-illegal character like a space
+    // once risked a bogus './s3a:…' local dir) and warn-refuses an
+    // unresolvable path — telemetry never fails engine construction.
+    if (graft.plans.PreflightLog.spillTo(
+        s"$checkpointDir/_preflight_spill.jsonl",
+        hadoopConf = spark.sparkContext.hadoopConfiguration))
+      graft.plans.PreflightLog.loadSpill()
   }
 
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()

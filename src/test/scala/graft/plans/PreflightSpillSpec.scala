@@ -143,6 +143,108 @@ class PreflightSpillSpec extends AnyFunSuite {
     } finally PreflightLog.clearSpill()
   }
 
+  test("a scheme-prefixed spill path goes through the Hadoop FileSystem " +
+      "client (RawLocalFileSystem proves the API path): append, " +
+      "rotation, and restart reload all work where a real cluster " +
+      "checkpoints (the nio-only spill silently no-opped there)") {
+    val dir = tmp("pfspill6")
+    val path = s"file:$dir/ckpt/_preflight_spill.jsonl"
+    // Raw (append-capable) local FS; disable the FS cache so the impl
+    // override is honored even after another suite touched file://
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    conf.set("fs.file.impl.disable.cache", "true")
+    val marker = "hd-" + System.nanoTime()
+    try {
+      PreflightLog.clearSpill()
+      assert(PreflightLog.spillTo(path, maxBytes = 4096L,
+        hadoopConf = conf))
+      PreflightLog.record(s"test preflight worst_element=$marker",
+        aborted = true, rule = "overlap-join", kind = "preflight",
+        diagnosis = "hot-element: test", worstKey = s"worst_element=$marker")
+      val onDisk = Paths.get(s"$dir/ckpt/_preflight_spill.jsonl")
+      assert(Files.exists(onDisk) &&
+        new String(Files.readAllBytes(onDisk)).contains(marker),
+        "the Hadoop sink must have appended to the local backing file")
+      // restart: ring dies, reload resurrects through the same FS
+      PreflightLog.clear()
+      assert(PreflightLog.loadSpill() >= 1)
+      assert(PreflightLog.recent().exists(_.worstKey.contains(marker)))
+      // rotation: push past the 4KB cap and expect the .1 generation
+      (1 to 60).foreach { i =>
+        PreflightLog.record(s"test preflight filler $i " + "x" * 150,
+          aborted = false, rule = "overlap-join", kind = "preflight",
+          diagnosis = "ok")
+      }
+      assert(Files.exists(
+        Paths.get(s"$dir/ckpt/_preflight_spill.jsonl.1")),
+        "the Hadoop sink must rotate at the size cap")
+    } finally PreflightLog.clearSpill()
+  }
+
+  test("a no-append filesystem (the checksummed LocalFileSystem — the " +
+      "same refusal shape as S3A) falls back to read+tmp+rename: " +
+      "records accumulate and reload still works") {
+    val dir = tmp("pfspill7")
+    val path = s"file:$dir/spill.jsonl"
+    val m1 = "na1-" + System.nanoTime()
+    val m2 = "na2-" + System.nanoTime()
+    try {
+      PreflightLog.clearSpill()
+      // default file:// = LocalFileSystem, whose append() throws
+      assert(PreflightLog.spillTo(path))
+      PreflightLog.record(s"test preflight worst_element=$m1",
+        aborted = false, rule = "overlap-join", kind = "preflight",
+        diagnosis = "ok", worstKey = s"worst_element=$m1")
+      PreflightLog.record(s"test preflight worst_element=$m2",
+        aborted = false, rule = "overlap-join", kind = "preflight",
+        diagnosis = "ok", worstKey = s"worst_element=$m2")
+      val txt = new String(Files.readAllBytes(Paths.get(s"$dir/spill.jsonl")))
+      assert(txt.contains(m1) && txt.contains(m2),
+        s"both records must survive the rewrite fallback; got:\n$txt")
+      PreflightLog.clear()
+      assert(PreflightLog.loadSpill() >= 2)
+      assert(PreflightLog.recent().exists(_.worstKey.contains(m1)) &&
+        PreflightLog.recent().exists(_.worstKey.contains(m2)))
+    } finally PreflightLog.clearSpill()
+  }
+
+  test("re-registering the SAME path with a different maxBytes adopts " +
+      "the new cap (returns false, so callers don't re-seed) — the old " +
+      "no-op silently kept the first registration's looser bound") {
+    val path = s"${tmp("pfspill8")}/spill.jsonl"
+    try {
+      PreflightLog.clearSpill()
+      assert(PreflightLog.spillTo(path, maxBytes = 1L << 20))
+      // ~6KB of records under the 1MB cap: no rotation
+      (1 to 30).foreach { i =>
+        PreflightLog.record(s"test preflight filler $i " + "x" * 150,
+          aborted = false, rule = "overlap-join", kind = "preflight",
+          diagnosis = "ok")
+      }
+      assert(!Files.exists(Paths.get(path + ".1")))
+      // same path, tighter cap: must return false AND take effect
+      assert(!PreflightLog.spillTo(path, maxBytes = 4096L))
+      PreflightLog.record("test preflight one more",
+        aborted = false, rule = "overlap-join", kind = "preflight",
+        diagnosis = "ok")
+      assert(Files.exists(Paths.get(path + ".1")),
+        "the tighter re-registered cap must govern rotation")
+    } finally PreflightLog.clearSpill()
+  }
+
+  test("an unresolvable spill path (unknown scheme) is a warn-and-" +
+      "refuse false, never a throw: telemetry must not fail engine " +
+      "construction") {
+    try {
+      PreflightLog.clearSpill()
+      assert(!PreflightLog.spillTo("nosuchfs://bucket/spill.jsonl"))
+      // and recording with no sink registered is a no-op, not an error
+      PreflightLog.record("test preflight unsinked", aborted = false,
+        rule = "overlap-join", kind = "preflight", diagnosis = "ok")
+    } finally PreflightLog.clearSpill()
+  }
+
   test("malformed spill lines are skipped, valid ones load") {
     val dir = tmp("pfspill3")
     val path = s"$dir/spill.jsonl"

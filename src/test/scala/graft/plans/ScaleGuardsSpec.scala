@@ -148,6 +148,23 @@ class ScaleGuardsSpec extends SparkSuite {
     finally spark.conf.unset(ScaleGuards.OverlapPreflightSampleKey)
   }
 
+  test("a MALFORMED explicit sampleFraction ('0.5x' typo) warns and " +
+      "falls through to the AUTO gate instead of forcing exact: the " +
+      "operator was trying to ENABLE sampling, and honoring the typo " +
+      "as a deliberate exact request would silently disable both the " +
+      "requested sampling and the default") {
+    val big = spark.range(1000000000L).toDF("id")
+    val small = spark.range(10L).toDF("id")
+    spark.conf.set(ScaleGuards.OverlapPreflightSampleKey, "0.5x")
+    try {
+      val f = effective(big, small)
+      assert(f.isDefined && math.abs(f.get - 0.001) < 1e-9,
+        s"malformed explicit value must degrade to the auto gate; got $f")
+      // below the floor the fall-through lands on exact, same as unset
+      assert(effective(small, small).isEmpty)
+    } finally spark.conf.unset(ScaleGuards.OverlapPreflightSampleKey)
+  }
+
   test("SENTINEL stats (LogicalRDD-style unknown size) fall back to the " +
       "EXACT audit: a Long.MaxValue default size must not clear the " +
       "floor and then sample ~nothing — an empty sample reads " +
