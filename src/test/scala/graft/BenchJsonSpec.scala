@@ -111,6 +111,48 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!without.contains("stream_long_rocksdb"), without)
   }
 
+  test("stream-shaped calibration: when the (before, after) pass times " +
+      "bracket the section, the fragment carries calibration_stream_* " +
+      "keys, a drift-or-absolute stream_load_suspect, and every " +
+      "fragment an events_per_sec_normalized = eps x max(1, ratio); " +
+      "absent calibration keeps the legacy shape") {
+    val runs = Seq((3.2, 156250.0))
+    val longRuns = Seq((4.0, 1000000.0))
+    // clean host: best pass at the idle floor → ratio 1, normalized ≡ raw
+    val clean = Bench.streamJson(500000L, runs, longN = 5000000L,
+      longRuns = longRuns, streamCal = Some((1.0, 1.05)), idleRef = 1.0)
+    ujson(s"""{"_":0$clean}""")
+    assert(clean.contains(
+      """"calibration_stream_sec":{"before":1.000,"after":1.050}"""), clean)
+    assert(clean.contains(""""calibration_stream_ratio":1.000"""), clean)
+    assert(clean.contains(""""stream_load_suspect":false"""), clean)
+    assert(clean.contains(""""events_per_sec":156250,""" +
+      """"events_per_sec_normalized":156250"""), clean)
+    // loaded host: best calibration 2x the floor → fragments normalize
+    // UP by 2x and the absolute trigger flags the section
+    val loaded = Bench.streamJson(500000L, runs, longN = 5000000L,
+      longRuns = longRuns, streamCal = Some((2.0, 2.1)), idleRef = 1.0)
+    assert(loaded.contains(""""calibration_stream_ratio":2.000"""), loaded)
+    assert(loaded.contains(""""stream_load_suspect":true"""), loaded)
+    assert(loaded.contains(""""events_per_sec_normalized":312500"""), loaded)
+    assert(loaded.contains(""""events_per_sec":1000000,""" +
+      """"events_per_sec_normalized":2000000"""), loaded)
+    // drift trigger: before/after >1.3x apart flags even below the floor
+    val drifted = Bench.streamJson(500000L, runs,
+      streamCal = Some((0.5, 0.9)), idleRef = 1.0)
+    assert(drifted.contains(""""stream_load_suspect":true"""), drifted)
+    // a FAST host never flatters: ratio < 1 clamps to 1 for normalization
+    val fast = Bench.streamJson(500000L, runs,
+      streamCal = Some((0.5, 0.5)), idleRef = 1.0)
+    assert(fast.contains(""""events_per_sec":156250,""" +
+      """"events_per_sec_normalized":156250"""), fast)
+    // no calibration → legacy shape, no new keys
+    val legacy = Bench.streamJson(500000L, runs)
+    assert(!legacy.contains("calibration_stream") &&
+      !legacy.contains("events_per_sec_normalized") &&
+      !legacy.contains("stream_load_suspect"), legacy)
+  }
+
   test("load guard: >1.3x calibration drift in EITHER direction demands " +
       "a re-run; within-noise drift does not") {
     assert(Bench.loadRerunNeeded(0.5, 0.7), "0.5 -> 0.7 is a loaded host")
