@@ -1706,6 +1706,32 @@ object SimilarityOps {
   /** s19 shares s03's oracle verbatim — see [[s19]]. */
   private val s19Sql = s03Sql
 
+  /** Compacted-chain probe: s19's full+delta chain, then
+    * [[AnnIndex.compact]] rewrites it as ONE self-contained version
+    * (the maintenance path a long-lived hourly ingest needs — load
+    * unions one scan per chain root, so an uncompacted year is
+    * thousands of small-file scan legs), and the probe serves from the
+    * compacted version. Sharing s03's oracle verbatim certifies that
+    * compaction loses, gains, and shifts NOTHING vs the from-scratch
+    * derivation — the same bit-for-bit round-trip discipline as
+    * s18/s19, now covering build → ingest → compact → serve, the full
+    * index lifecycle. */
+  private def s20(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = s"${LayoutOps.scratch("graft-s20", dir)}/ivf"
+    val emb = normEmb(s, dir)
+    val (assigned, _) = ivfCells(s, dir)
+    val posts = assigned.select(
+      col("vec_id"), col("vd"), col("nrm"), col("cell"))
+    AnnIndex.publish(ivfCentroids(emb),
+      posts.filter(col("vec_id") % 2 === 0), indexDir, ivfK)
+    AnnIndex.publishDelta(posts.filter(col("vec_id") % 2 === 1), indexDir)
+    AnnIndex.compact(s, indexDir)
+    probePersisted(emb, AnnIndex.load(s, indexDir))
+  }
+
+  /** s20 shares s03's oracle verbatim — see [[s20]]. */
+  private val s20Sql = s03Sql
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(s01, Some(s01Sql), headline = true),
     "s02_ann_lsh_bucketed" -> QueryDef(s02, Some(s02Sql)),
@@ -1729,5 +1755,6 @@ object SimilarityOps {
     // totals are only comparable at equal counts)
     "s18_ann_persisted_index" -> QueryDef(s18, Some(s18Sql), headline = true),
     "s19_ann_delta_index" -> QueryDef(s19, Some(s19Sql)),
+    "s20_ann_compacted_index" -> QueryDef(s20, Some(s20Sql)),
   )
 }

@@ -259,6 +259,21 @@ class PlanSpec extends SparkSuite {
         s"(<=18 each of 32); read $read")
   }
 
+  test("s20: the compacted chain serves from ONE postings root (compact " +
+      "restored the single-root layout) and that root's scan is pruned " +
+      "to the probed cells") {
+    val df = run("s20_ann_compacted_index")
+    val pruned = PlanChecks.partitionedScansPruned(df)
+    assert(pruned.size == 1,
+      s"after compact the probe must read a single postings root; " +
+        s"got ${pruned.size} partitioned scans")
+    assert(pruned.forall(identity),
+      "the compacted root's scan must carry a selective cell filter")
+    val read = PlanChecks.partitionsRead(df)
+    assert(read > 0 && read <= 18,
+      s"compacted postings scan must read only probed cells; read $read")
+  }
+
   test("d10: SemDeDup within-cluster scoring is an equi-join on the " +
       "cluster id, never cartesian") {
     assert(!PlanChecks.usesCartesianProduct(run("d10_semantic_dedup")))
