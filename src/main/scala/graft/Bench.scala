@@ -252,17 +252,11 @@ object Bench {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] stream warmup failed: ${e.getMessage}")
       }
-      // SPARK_GRAFT_STREAM_N: short-horizon override. toLongOption: a
-      // malformed value degrades (warn + default) like every other env
-      // knob — bare .toLong threw into the outer catch and shipped an
-      // artifact with NO stream keys for a typo
-      val streamN = sys.env.get("SPARK_GRAFT_STREAM_N")
-        .map(v => v.toLongOption.getOrElse {
-          System.err.println(
-            s"[bench] ignoring malformed SPARK_GRAFT_STREAM_N='$v'")
-          500000L
-        })
-        .getOrElse(500000L)
+      // SPARK_GRAFT_STREAM_N: short-horizon override (envKnob: a
+      // malformed value degrades warn-and-default — bare .toLong threw
+      // into the outer catch and shipped an artifact with NO stream
+      // keys for a typo)
+      val streamN = envKnob("SPARK_GRAFT_STREAM_N", 500000L)(_.toLongOption)
       // STREAM-SHAPED fixed-work calibration: the single-core and MC
       // probes measure raw arithmetic, and r13's triangulation showed a
       // co-tenant cutting stream_long 3x while the MC ratio read only
@@ -294,20 +288,12 @@ object Bench {
           None
         }
       }
-      // ONE long-horizon pass at 10× (override: SPARK_GRAFT_STREAM_LONG_N;
-      // 0 disables): its events/s should hold near the short-horizon
+      // Long-horizon passes at 10× (override: SPARK_GRAFT_STREAM_LONG_N;
+      // 0 disables): their events/s should hold near the short-horizon
       // number — degradation here means O(topic-size) cost crept into
       // the append path and would be invisible to the 500k passes
-      // toLongOption: a malformed override must degrade like a failed
-      // long pass (warn + default), never reach the outer catch and
-      // discard the short passes already measured above
-      val longN = sys.env.get("SPARK_GRAFT_STREAM_LONG_N")
-        .map(v => v.toLongOption.getOrElse {
-          System.err.println(
-            s"[bench] ignoring malformed SPARK_GRAFT_STREAM_LONG_N='$v'")
-          streamN * 10
-        })
-        .getOrElse(streamN * 10)
+      val longN = envKnob("SPARK_GRAFT_STREAM_LONG_N",
+        streamN * 10)(_.toLongOption)
       // per-pass try: the 10x passes are the runs most likely to hit a
       // resource wall (disk, state size) — a pass failure must degrade
       // to fewer recorded passes (all failed → missing stream_long key),
@@ -397,18 +383,21 @@ object Bench {
     * reference was used as `calibration_idle_ref`). */
   val CalibrationIdleRefDefault = 0.54
 
+  /** THE warn-and-default parse for every SPARK_GRAFT_* env knob: a
+    * malformed value degrades to the default with a warning, never a
+    * throw — a bare .toDouble on a typo'd env var once crashed the
+    * bench at the finish line, discarding the whole run's
+    * measurements. One definition; five knobs read through it. */
+  private def envKnob[T](name: String, default: T)(
+      parse: String => Option[T]): T =
+    sys.env.get(name).map(v => parse(v).getOrElse {
+      System.err.println(s"[bench] ignoring malformed $name='$v'")
+      default
+    }).getOrElse(default)
+
   def calibrationIdleRef: Double =
-    // toDoubleOption: this is first read AFTER every query and stream
-    // pass has completed — a bare .toDouble on a typo'd env var crashed
-    // the bench at the finish line, discarding the whole run's
-    // measurements
-    sys.env.get("SPARK_GRAFT_CAL_IDLE")
-      .map(v => v.toDoubleOption.getOrElse {
-        System.err.println(
-          s"[bench] ignoring malformed SPARK_GRAFT_CAL_IDLE='$v'")
-        CalibrationIdleRefDefault
-      })
-      .getOrElse(CalibrationIdleRefDefault)
+    envKnob("SPARK_GRAFT_CAL_IDLE",
+      CalibrationIdleRefDefault)(_.toDoubleOption)
 
   /** Absolute trigger: even the BEST calibration of the run exceeding
     * the idle floor by >1.3x means the whole run was elevated. Pure —
@@ -426,13 +415,8 @@ object Bench {
   val CalibrationMcIdleRefDefault = 1.9
 
   def calibrationMcIdleRef: Double =
-    sys.env.get("SPARK_GRAFT_CAL_MC_IDLE")
-      .map(v => v.toDoubleOption.getOrElse {
-        System.err.println(
-          s"[bench] ignoring malformed SPARK_GRAFT_CAL_MC_IDLE='$v'")
-        CalibrationMcIdleRefDefault
-      })
-      .getOrElse(CalibrationMcIdleRefDefault)
+    envKnob("SPARK_GRAFT_CAL_MC_IDLE",
+      CalibrationMcIdleRefDefault)(_.toDoubleOption)
 
   /** Measured stream passes per run (fresh checkpoint/topic dirs each). */
   val streamPassCount = 3
@@ -478,13 +462,8 @@ object Bench {
   val CalibrationStreamIdleRefDefault = 2.40
 
   def streamCalIdleRef: Double =
-    sys.env.get("SPARK_GRAFT_CAL_STREAM_IDLE")
-      .map(v => v.toDoubleOption.getOrElse {
-        System.err.println(
-          s"[bench] ignoring malformed SPARK_GRAFT_CAL_STREAM_IDLE='$v'")
-        CalibrationStreamIdleRefDefault
-      })
-      .getOrElse(CalibrationStreamIdleRefDefault)
+    envKnob("SPARK_GRAFT_CAL_STREAM_IDLE",
+      CalibrationStreamIdleRefDefault)(_.toDoubleOption)
 
   /** `streamCal`: the stream-shaped calibration pass's (before, after)
     * seconds bracketing the stream section. When present, the fragment

@@ -326,11 +326,13 @@ object AnnIndex {
     * UpsertSink carry-forward rule). Orphans from crashed builds —
     * manifest-less dirs, and anything numbered above the pointer — are
     * reclaimed once STALE: load can never read them, so "keeping" one
-    * is pure debris, BUT a manifest-less dir with any tree mtime inside
-    * [[OrphanMinAgeMillis]] may be another process's build mid-write
-    * (commit order is data → manifest → pointer, so a live build is
-    * manifest-less for its whole write) — age-gate it like the scratch
-    * reap, an unreadable mtime counting as fresh. Counting committed
+    * is pure debris, BUT a dir with any tree mtime inside
+    * [[OrphanMinAgeMillis]] may be another process's build in flight —
+    * manifest-less through its whole data write, and (for an instant)
+    * manifest-complete but un-pointed (commit order is data → manifest
+    * → pointer, and this vacuum's pointer read may be stale) — so BOTH
+    * shapes are age-gated like the scratch reap, an unreadable mtime
+    * counting as fresh. Counting committed
     * versions, not version NUMBERS, matters under gapped numbering:
     * v1,v2 committed + v3 orphaned + v4 committed must keep v2 (the
     * only rollback target) under keep=1, not retain the useless v3
@@ -383,10 +385,19 @@ object AnnIndex {
           val cutoff = now - OrphanMinAgeMillis
           versions.foreach { case (n, p) =>
             if (!keepSet.contains(n)) {
-              // manifest-less = possibly another process's live build:
-              // reclaim only when the whole tree has gone quiet
-              val maybeLiveBuild = parsed(n).isEmpty &&
-                LayoutOps.anyMtimeAfter(p, cutoff)
+              // possibly another process's live build — reclaim only
+              // when the whole tree has gone quiet. Two shapes qualify:
+              // a manifest-LESS dir (any number — data still being
+              // written), and ANY dir numbered ABOVE the pointer this
+              // vacuum read (commit order is data → manifest → pointer,
+              // so a cross-process publish sits manifest-complete but
+              // un-pointed in its final window; deleting it bricks the
+              // index the moment the writer flips the pointer). A
+              // manifest-bearing dir BELOW the pointer is committed
+              // history — deletable at any age.
+              val maybeLiveBuild =
+                (parsed(n).isEmpty || n > currentNum.get) &&
+                  LayoutOps.anyMtimeAfter(p, cutoff)
               if (!maybeLiveBuild) deleteTree(p)
             }
           }

@@ -126,7 +126,7 @@ object PreflightLog {
   private val spillLock = new Object
   @volatile private var spill: Option[Sink] = None
 
-  private sealed trait Sink {
+  private[plans] sealed trait Sink {
     /** Normalized identity — "same registration" for [[spillTo]]. */
     def id: String
     @volatile var maxBytes: Long = 0L
@@ -160,18 +160,20 @@ object PreflightLog {
     }
   }
 
-  private final class HadoopSink(fs: org.apache.hadoop.fs.FileSystem,
+  private[plans] final class HadoopSink(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path) extends Sink {
     import org.apache.hadoop.fs.{Path => HPath}
     def id: String = s"hadoop:$p"
     private def rotated = new HPath(p.getParent, p.getName + ".1")
+    private def bak = new HPath(p.getParent, s".${p.getName}.bak")
     def prepare(): Unit = Option(p.getParent).foreach(fs.mkdirs(_))
     private def writeAll(target: HPath, chunks: Array[Byte]*): Unit = {
       val o = fs.create(target, true)
       try chunks.foreach(o.write) finally o.close()
     }
     private def readFully(f: HPath): Array[Byte] = {
-      // bounded by the rotation cap (2×maxBytes) — the Int cast is safe
+      // bounded by the rotation cap — spillTo clamps maxBytes well
+      // below Int.MaxValue, so the Int cast cannot go negative
       val len = fs.getFileStatus(f).getLen.toInt
       val buf = new Array[Byte](len)
       val in = fs.open(f)
@@ -188,22 +190,33 @@ object PreflightLog {
         val o = fs.append(p)
         try o.write(bytes) finally o.close()
       } catch { case scala.util.control.NonFatal(_) =>
-        // no-append FS (S3A, checksummed LocalFileSystem): rewrite via
-        // tmp + rename so the previous generation survives a crash
-        val prev = readFully(p)
+        // no-append FS (S3A): rewrite, never exposing a window where
+        // the only copy is gone — tmp carries the new content, the
+        // CURRENT generation steps aside to .bak (not delete) until
+        // tmp has taken its place, and readLines falls back to .bak,
+        // so a crash ANYWHERE here loses at most this one record.
+        // rename() reports failure by RETURNING false on several
+        // FSes — each step is checked, and a failed step restores
+        // the original before giving up on this record.
         val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
-        writeAll(tmp, prev, bytes)
-        fs.delete(p, false)
-        fs.rename(tmp, p)
+        writeAll(tmp, readFully(p), bytes)
+        if (fs.exists(bak)) fs.delete(bak, false)
+        if (!fs.rename(p, bak)) fs.delete(tmp, false)
+        else if (!fs.rename(tmp, p)) { fs.rename(bak, p); fs.delete(tmp, false) }
+        else fs.delete(bak, false)
       }
     }
-    def readLines(): Seq[String] =
-      Seq(rotated, p).filter(fs.exists(_)).flatMap { f =>
+    def readLines(): Seq[String] = {
+      // .bak stands in for a current generation lost mid-rewrite
+      val current = if (fs.exists(p)) Some(p)
+        else if (fs.exists(bak)) Some(bak) else None
+      (Seq(rotated).filter(fs.exists(_)) ++ current).flatMap { f =>
         try new String(readFully(f),
           java.nio.charset.StandardCharsets.UTF_8)
           .split("\n").toSeq.filter(_.nonEmpty)
         catch { case scala.util.control.NonFatal(_) => Nil }
       }
+    }
   }
 
   /** Anything a Hadoop FileSystem should resolve: a URI scheme prefix.
@@ -215,29 +228,40 @@ object PreflightLog {
     * Hadoop FileSystem URI (`hdfs://`, `s3a://`, `file://`); remote
     * filesystems resolve through `hadoopConf` when given, else the
     * active/default session's hadoopConfiguration, else a bare
-    * `Configuration()`. Returns true when this call CHANGED the path
-    * (callers reload only then — re-registering the same path, e.g. a
-    * second engine on the same checkpoint root, must not re-seed the
-    * ring with lines it already holds); a same-path re-registration
-    * still ADOPTS the new maxBytes (silently keeping the first
+    * `Configuration()`. `file:` URIs convert to the nio sink — same
+    * disk, and O_APPEND's torn-line tolerance beats the Hadoop
+    * LocalFileSystem's no-append rewrite for both durability and cost.
+    * maxBytes clamps to [4 KiB, 64 MiB]: the spill is bounded
+    * telemetry, and the Hadoop rewrite fallback buffers a generation
+    * in memory. Returns true when this call CHANGED the path (callers
+    * reload only then — re-registering the same path, e.g. a second
+    * engine on the same checkpoint root, must not re-seed the ring
+    * with lines it already holds); a same-path re-registration still
+    * ADOPTS the new maxBytes (silently keeping the first
     * registration's cap would ignore the second engine's tighter
     * bound). An unresolvable path (bad scheme, FS client error) is a
-    * warn-and-refuse false: telemetry must never fail engine
-    * construction. */
+    * warn-and-refuse false that DETACHES any previous sink — audits
+    * must never keep landing in a stale engine's file while the warn
+    * claims ring-only telemetry. */
   def spillTo(path: String, maxBytes: Long = 1L << 20,
       hadoopConf: org.apache.hadoop.conf.Configuration = null): Boolean =
     spillLock.synchronized {
       val sinkOpt: Option[Sink] =
         try {
           if (SchemePrefix.matches(path)) {
-            val conf = Option(hadoopConf).getOrElse(
-              org.apache.spark.sql.SparkSession.getActiveSession
-                .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-                .map(_.sparkContext.hadoopConfiguration)
-                .getOrElse(new org.apache.hadoop.conf.Configuration()))
             val hp = new org.apache.hadoop.fs.Path(path)
-            val fs = hp.getFileSystem(conf)
-            Some(new HadoopSink(fs, fs.makeQualified(hp)))
+            if ("file".equalsIgnoreCase(hp.toUri.getScheme))
+              Some(new NioSink(java.nio.file.Paths
+                .get(hp.toUri.getPath).toAbsolutePath.normalize))
+            else {
+              val conf = Option(hadoopConf).getOrElse(
+                org.apache.spark.sql.SparkSession.getActiveSession
+                  .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+                  .map(_.sparkContext.hadoopConfiguration)
+                  .getOrElse(new org.apache.hadoop.conf.Configuration()))
+              val fs = hp.getFileSystem(conf)
+              Some(new HadoopSink(fs, fs.makeQualified(hp)))
+            }
           } else Some(new NioSink(
             java.nio.file.Paths.get(path).toAbsolutePath.normalize))
         } catch { case scala.util.control.NonFatal(e) =>
@@ -246,18 +270,36 @@ object PreflightLog {
             " — continuing with ring-only telemetry")
           None
         }
-      sinkOpt match {
-        case None => false
-        case Some(s) =>
-          s.maxBytes = math.max(maxBytes, 4096L)
-          val changed = !spill.map(_.id).contains(s.id)
-          if (changed) {
-            try s.prepare()
-            catch { case scala.util.control.NonFatal(_) => () }
-            spill = Some(s)
-          } else spill.foreach(_.maxBytes = s.maxBytes)
-          changed
-      }
+      register(sinkOpt, maxBytes)
+    }
+
+  /** Test seam AND the one registration rule: install a resolved sink
+    * (None detaches). Lets specs drive [[HadoopSink]] against a
+    * directly-constructed FileSystem (RawLocalFileSystem for the
+    * append path, LocalFileSystem for the no-append fallback) without
+    * scheme-mapping tricks — the production `file:` route deliberately
+    * takes the nio sink. */
+  private[plans] def registerHadoopSink(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, maxBytes: Long): Boolean =
+    spillLock.synchronized {
+      register(Some(new HadoopSink(fs, fs.makeQualified(path))), maxBytes)
+    }
+
+  private def register(sinkOpt: Option[Sink], maxBytes: Long): Boolean =
+    sinkOpt match {
+      case None =>
+        spill = None
+        false
+      case Some(s) =>
+        s.maxBytes = math.min(math.max(maxBytes, 4096L), 64L << 20)
+        val changed = !spill.map(_.id).contains(s.id)
+        if (changed) {
+          try s.prepare()
+          catch { case scala.util.control.NonFatal(_) => () }
+          spill = Some(s)
+        } else spill.foreach(_.maxBytes = s.maxBytes)
+        changed
     }
 
   private def appendSpill(a: Audit): Unit =

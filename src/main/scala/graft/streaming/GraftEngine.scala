@@ -55,11 +55,12 @@ final class GraftEngine(
     // when this JVM had not already registered this path — reload ONLY
     // then (loadSpill merges+dedupes, so even a re-registration is
     // harmless). The spill writes through the checkpoint root's OWN
-    // filesystem: plain paths via java.nio, scheme-prefixed roots
-    // (file://, hdfs://, s3a://) via the Hadoop FS client the session
-    // already carries — real cluster drivers checkpoint to object
-    // storage, which is exactly where post-mortem evidence matters, and
-    // the pre-round-14 nio-only spill silently no-opped there. spillTo
+    // filesystem: plain paths and file:// roots via java.nio (torn-
+    // tolerant O_APPEND), remote roots (hdfs://, s3a://) via the Hadoop
+    // FS client the session already carries — real cluster drivers
+    // checkpoint to object storage, which is exactly where post-mortem
+    // evidence matters, and the pre-round-14 nio-only spill silently
+    // no-opped there. spillTo
     // itself decides flavor by scheme PREFIX (never java.net.URI
     // parsing, whose failure on a URI-illegal character like a space
     // once risked a bogus './s3a:…' local dir) and warn-refuses an

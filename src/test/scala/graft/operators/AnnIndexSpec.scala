@@ -312,6 +312,33 @@ class AnnIndexSpec extends SparkSuite {
       Files.exists(Paths.get(dir, "v2")))
   }
 
+  test("vacuum age-gates a MANIFEST-BEARING dir above the pointer too: " +
+      "a cross-process publish sits manifest-complete but un-pointed in " +
+      "its final commit window (and this vacuum's pointer read may be " +
+      "stale) — deleting it would brick the index the moment the writer " +
+      "flips the pointer") {
+    val dir = tmpDir("annidx17")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1: current
+    // another process's publish of v2: data + manifest written, pointer
+    // flip pending
+    val v2 = Paths.get(dir, "v2")
+    Files.createDirectories(v2.resolve("centroids"))
+    Files.createDirectories(v2.resolve("postings"))
+    Files.write(v2.resolve("_manifest.json"),
+      ("""{"k":4,"centroids":4,"postings":8,""" +
+        """"centroids_dir":"v2/centroids","postings_dirs":["v2/postings"]}""")
+        .getBytes)
+    AnnIndex.vacuum(dir, keep = 0) // real clock: v2 is seconds old
+    assert(Files.exists(v2),
+      "a fresh manifest-bearing dir above the pointer may be another " +
+        "process's publish in its commit window — vacuum must not " +
+        "delete it")
+    AnnIndex.vacuum(dir, keep = 0, now = staleClock)
+    assert(!Files.exists(v2),
+      "a stale un-pointed version is an abandoned build — reclaimed")
+  }
+
   test("publish REFUSES an empty frame (postings or centroids) loudly, " +
       "leaves no orphan dir, and the pointer keeps naming the previous " +
       "good version — a zero-row full rebuild is an upstream bug, not " +

@@ -143,26 +143,23 @@ class PreflightSpillSpec extends AnyFunSuite {
     } finally PreflightLog.clearSpill()
   }
 
-  test("a scheme-prefixed spill path goes through the Hadoop FileSystem " +
-      "client (RawLocalFileSystem proves the API path): append, " +
-      "rotation, and restart reload all work where a real cluster " +
-      "checkpoints (the nio-only spill silently no-opped there)") {
+  test("the Hadoop sink (RawLocalFileSystem proves the API path real " +
+      "clusters take): append, rotation, and restart reload all work " +
+      "where the nio-only spill silently no-opped") {
     val dir = tmp("pfspill6")
-    val path = s"file:$dir/ckpt/_preflight_spill.jsonl"
-    // Raw (append-capable) local FS; disable the FS cache so the impl
-    // override is honored even after another suite touched file://
-    val conf = new org.apache.hadoop.conf.Configuration()
-    conf.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
-    conf.set("fs.file.impl.disable.cache", "true")
+    val backing = s"$dir/ckpt/_preflight_spill.jsonl"
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem()
+    raw.initialize(java.net.URI.create("file:///"),
+      new org.apache.hadoop.conf.Configuration())
     val marker = "hd-" + System.nanoTime()
     try {
       PreflightLog.clearSpill()
-      assert(PreflightLog.spillTo(path, maxBytes = 4096L,
-        hadoopConf = conf))
+      assert(PreflightLog.registerHadoopSink(raw,
+        new org.apache.hadoop.fs.Path(backing), maxBytes = 4096L))
       PreflightLog.record(s"test preflight worst_element=$marker",
         aborted = true, rule = "overlap-join", kind = "preflight",
         diagnosis = "hot-element: test", worstKey = s"worst_element=$marker")
-      val onDisk = Paths.get(s"$dir/ckpt/_preflight_spill.jsonl")
+      val onDisk = Paths.get(backing)
       assert(Files.exists(onDisk) &&
         new String(Files.readAllBytes(onDisk)).contains(marker),
         "the Hadoop sink must have appended to the local backing file")
@@ -176,36 +173,88 @@ class PreflightSpillSpec extends AnyFunSuite {
           aborted = false, rule = "overlap-join", kind = "preflight",
           diagnosis = "ok")
       }
-      assert(Files.exists(
-        Paths.get(s"$dir/ckpt/_preflight_spill.jsonl.1")),
+      assert(Files.exists(Paths.get(s"$backing.1")),
         "the Hadoop sink must rotate at the size cap")
     } finally PreflightLog.clearSpill()
   }
 
   test("a no-append filesystem (the checksummed LocalFileSystem — the " +
-      "same refusal shape as S3A) falls back to read+tmp+rename: " +
-      "records accumulate and reload still works") {
+      "same refusal shape as S3A) falls back to the step-aside rewrite: " +
+      "records accumulate, reload works, and a crash BETWEEN the two " +
+      "renames (current generation parked at .bak) still reloads — the " +
+      "window never holds zero copies") {
     val dir = tmp("pfspill7")
-    val path = s"file:$dir/spill.jsonl"
+    val backing = s"$dir/spill.jsonl"
+    val lfs = org.apache.hadoop.fs.FileSystem.newInstance(
+      java.net.URI.create("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    assert(lfs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem])
     val m1 = "na1-" + System.nanoTime()
     val m2 = "na2-" + System.nanoTime()
     try {
       PreflightLog.clearSpill()
-      // default file:// = LocalFileSystem, whose append() throws
-      assert(PreflightLog.spillTo(path))
+      assert(PreflightLog.registerHadoopSink(lfs,
+        new org.apache.hadoop.fs.Path(backing), maxBytes = 1L << 20))
       PreflightLog.record(s"test preflight worst_element=$m1",
         aborted = false, rule = "overlap-join", kind = "preflight",
         diagnosis = "ok", worstKey = s"worst_element=$m1")
       PreflightLog.record(s"test preflight worst_element=$m2",
         aborted = false, rule = "overlap-join", kind = "preflight",
         diagnosis = "ok", worstKey = s"worst_element=$m2")
-      val txt = new String(Files.readAllBytes(Paths.get(s"$dir/spill.jsonl")))
+      val txt = new String(Files.readAllBytes(Paths.get(backing)))
       assert(txt.contains(m1) && txt.contains(m2),
         s"both records must survive the rewrite fallback; got:\n$txt")
       PreflightLog.clear()
       assert(PreflightLog.loadSpill() >= 2)
       assert(PreflightLog.recent().exists(_.worstKey.contains(m1)) &&
         PreflightLog.recent().exists(_.worstKey.contains(m2)))
+      // simulate the crash window: the rewrite parked the current
+      // generation at .bak and died before renaming tmp into place
+      Files.move(Paths.get(backing),
+        Paths.get(s"$dir/.spill.jsonl.bak"))
+      PreflightLog.clear()
+      assert(PreflightLog.loadSpill() >= 2,
+        "reload must fall back to the .bak generation")
+      assert(PreflightLog.recent().exists(_.worstKey.contains(m2)))
+    } finally PreflightLog.clearSpill()
+  }
+
+  test("a file: URI resolves to the SAME nio sink as its plain path — " +
+      "local mounts keep O_APPEND's torn-line durability and cost, and " +
+      "the two spellings of one root never double-register") {
+    val dir = tmp("pfspill9")
+    val plain = s"$dir/spill.jsonl"
+    try {
+      PreflightLog.clearSpill()
+      assert(PreflightLog.spillTo(plain))
+      assert(!PreflightLog.spillTo(s"file:$plain"),
+        "the file: spelling must resolve to the already-registered sink")
+      val marker = "nio-" + System.nanoTime()
+      PreflightLog.record(s"test preflight worst_element=$marker",
+        aborted = false, rule = "overlap-join", kind = "preflight",
+        diagnosis = "ok", worstKey = s"worst_element=$marker")
+      assert(new String(Files.readAllBytes(Paths.get(plain)))
+        .contains(marker))
+    } finally PreflightLog.clearSpill()
+  }
+
+  test("a FAILED re-registration detaches the previous sink: audits " +
+      "must not keep landing in a stale engine's spill file while the " +
+      "warning claims ring-only telemetry") {
+    val dir = tmp("pfspill10")
+    val good = s"$dir/spill.jsonl"
+    try {
+      PreflightLog.clearSpill()
+      assert(PreflightLog.spillTo(good))
+      assert(!PreflightLog.spillTo("nosuchfs://bucket/spill.jsonl"))
+      val marker = "detach-" + System.nanoTime()
+      PreflightLog.record(s"test preflight worst_element=$marker",
+        aborted = false, rule = "overlap-join", kind = "preflight",
+        diagnosis = "ok", worstKey = s"worst_element=$marker")
+      val onDisk = Paths.get(good)
+      assert(!Files.exists(onDisk) ||
+        !new String(Files.readAllBytes(onDisk)).contains(marker),
+        "the stale sink must be detached after a failed registration")
     } finally PreflightLog.clearSpill()
   }
 
