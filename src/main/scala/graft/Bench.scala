@@ -341,7 +341,12 @@ object Bench {
             case (k, None)    => spark.conf.unset(k)
           }
         } else Nil
-      val streamCalAfter = streamCalOnce()
+      // the after pass is only useful when a before pass exists and at
+      // least one fragment was measured — otherwise its ~4 s is paid
+      // for a measurement nothing can use
+      val streamCalAfter =
+        if (streamCalBefore.isDefined && runs.nonEmpty) streamCalOnce()
+        else None
       val streamCal = for (b <- streamCalBefore; a <- streamCalAfter)
         yield (b, a)
       if (runs.isEmpty) {

@@ -323,16 +323,15 @@ object AnnIndex {
     * carrying a manifest below the pointer — the rollback targets), and
     * every version whose dirs a retained manifest REFERENCES (a delta
     * chain's base data must outlive any manifest that reads it — the
-    * UpsertSink carry-forward rule). Orphans from crashed builds —
-    * manifest-less dirs, and anything numbered above the pointer — are
-    * reclaimed once STALE: load can never read them, so "keeping" one
-    * is pure debris, BUT a dir with any tree mtime inside
-    * [[OrphanMinAgeMillis]] may be another process's build in flight —
-    * manifest-less through its whole data write, and (for an instant)
-    * manifest-complete but un-pointed (commit order is data → manifest
-    * → pointer, and this vacuum's pointer read may be stale) — so BOTH
-    * shapes are age-gated like the scratch reap, an unreadable mtime
-    * counting as fresh. Counting committed
+    * UpsertSink carry-forward rule). Everything else — orphans from
+    * crashed builds, committed history outside the keep window — is
+    * reclaimed once STALE: a non-kept dir with any tree mtime inside
+    * [[OrphanMinAgeMillis]] may be another process's build in flight
+    * (manifest-less through its whole data write; manifest-complete
+    * but un-pointed in its final commit window — on EITHER side of the
+    * pointer, since a slow build can be overtaken by a faster publish
+    * minting a higher number), so the age gate applies uniformly, like
+    * the scratch reap, an unreadable mtime counting as fresh. Counting committed
     * versions, not version NUMBERS, matters under gapped numbering:
     * v1,v2 committed + v3 orphaned + v4 committed must keep v2 (the
     * only rollback target) under keep=1, not retain the useless v3
@@ -385,20 +384,19 @@ object AnnIndex {
           val cutoff = now - OrphanMinAgeMillis
           versions.foreach { case (n, p) =>
             if (!keepSet.contains(n)) {
-              // possibly another process's live build — reclaim only
-              // when the whole tree has gone quiet. Two shapes qualify:
-              // a manifest-LESS dir (any number — data still being
-              // written), and ANY dir numbered ABOVE the pointer this
-              // vacuum read (commit order is data → manifest → pointer,
-              // so a cross-process publish sits manifest-complete but
-              // un-pointed in its final window; deleting it bricks the
-              // index the moment the writer flips the pointer). A
-              // manifest-bearing dir BELOW the pointer is committed
-              // history — deletable at any age.
-              val maybeLiveBuild =
-                (parsed(n).isEmpty || n > currentNum.get) &&
-                  LayoutOps.anyMtimeAfter(p, cutoff)
-              if (!maybeLiveBuild) deleteTree(p)
+              // EVERY non-kept dir with recent tree mtime may be
+              // another process's build in flight: manifest-less while
+              // its data writes, manifest-complete but un-pointed in
+              // its final commit window — and that window is not even
+              // confined above the pointer (a slow build minting v5 can
+              // be OVERTAKEN by a faster v6 publish, leaving v5
+              // manifest-complete BELOW the pointer seconds before its
+              // own flip). No pointer-order shortcut is sound, so the
+              // age gate applies uniformly; the cost is only that
+              // committed history outside the keep window survives one
+              // extra [[OrphanMinAgeMillis]].
+              val maybeInFlight = LayoutOps.anyMtimeAfter(p, cutoff)
+              if (!maybeInFlight) deleteTree(p)
             }
           }
         }

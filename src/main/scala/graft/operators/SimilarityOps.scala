@@ -1646,19 +1646,19 @@ object SimilarityOps {
     * the corpus-scan savings it buys. */
   private def probePersisted(emb: DataFrame,
       idx: AnnIndex.Handle): DataFrame = {
-    def assigned: DataFrame = {
-      val scored0 = emb.filter(col("vec_id").between(1, 9))
-        .join(broadcast(idx.centroids), lit(true))
-        .withColumn("cc", round(
-          dotF64(col("vd"), col("cv")) / (col("nrm") * col("cn")), 4))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cc").desc, col("cent_id"))
-      scored0.withColumn("ark", row_number().over(wAssign))
-        .filter(col("ark") <= ivfNprobe)
-        .select(col("vec_id").as("q_id"), col("vd").as("qv"),
-          col("nrm").as("qn"), col("cent_id").as("cell"))
-    }
-    val q = assigned
+    val scored0 = emb.filter(col("vec_id").between(1, 9))
+      .join(broadcast(idx.centroids), lit(true))
+      .withColumn("cc", round(
+        dotF64(col("vd"), col("cv")) / (col("nrm") * col("cn")), 4))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc").desc, col("cent_id"))
+    val assigned = scored0.withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") <= ivfNprobe)
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qn"), col("cent_id").as("cell"))
+    // this collect is its own action, so the O(Q·k) assignment runs
+    // once here and once inside the join below — noise against the
+    // corpus-scan savings the IN filter buys
     val probedCells = assigned.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     val c = idx.postings
@@ -1666,7 +1666,7 @@ object SimilarityOps {
       .filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("vd").as("cv2"),
         col("nrm").as("cn2"), col("cell"))
-    val scored = broadcast(q).join(c, "cell")
+    val scored = broadcast(assigned).join(c, "cell")
       .withColumn("cos_sim", round(
         dotF64(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 4))
     val w = Window.partitionBy(col("q_id"))

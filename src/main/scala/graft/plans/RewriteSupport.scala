@@ -181,9 +181,23 @@ object PreflightLog {
       buf
     }
     def append(bytes: Array[Byte]): Unit = {
+      // crash recovery FIRST: a rewrite that died between its two
+      // renames left the only copy parked at .bak — restore it before
+      // anything else, or this append would recreate `p` with one
+      // record, shadow the parked generation (readLines prefers `p`),
+      // and the next rewrite's bak-delete would erase it for good
+      if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
       if (fs.exists(p) && fs.getFileStatus(p).getLen >= maxBytes) {
         if (fs.exists(rotated)) fs.delete(rotated, false)
-        fs.rename(p, rotated)
+        if (!fs.rename(p, rotated)) {
+          // rename reported failure by RETURNING false: copy-rotate
+          // instead (generation briefly exists twice, never zero) so
+          // the size bound holds even where rename never works —
+          // unbounded growth would eventually trip readFully's Int
+          // bound and silently kill all further spilling
+          writeAll(rotated, readFully(p))
+          fs.delete(p, false)
+        }
       }
       if (!fs.exists(p)) writeAll(p, bytes)
       else try {

@@ -55,8 +55,9 @@ class AnnIndexSpec extends SparkSuite {
     val idx = AnnIndex.load(spark, dir)
     assert(idx.version == "v2" && idx.postings.count() == 12)
     assert(Files.exists(Paths.get(dir, "v1")), "history kept until vacuum")
-    // vacuum keep=0: only the current version survives
-    AnnIndex.vacuum(dir, keep = 0)
+    // vacuum keep=0: only the current version survives (stale clock —
+    // fresh non-kept dirs are age-gated as possible in-flight builds)
+    AnnIndex.vacuum(dir, keep = 0, now = staleClock)
     assert(!Files.exists(Paths.get(dir, "v1")))
     assert(Files.exists(Paths.get(dir, "v2")))
     assert(AnnIndex.load(spark, dir).postings.count() == 12)
@@ -154,7 +155,7 @@ class AnnIndexSpec extends SparkSuite {
     val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
       .toDF("vec_id", "vd", "nrm", "cell")
     AnnIndex.publishDelta(d1, dir) // v2 references v1
-    AnnIndex.vacuum(dir, keep = 0)
+    AnnIndex.vacuum(dir, keep = 0, now = staleClock)
     assert(Files.exists(Paths.get(dir, "v1")),
       "v1 holds the current chain's base postings + centroids")
     assert(AnnIndex.load(spark, dir).postings.count() == 9,
@@ -162,7 +163,7 @@ class AnnIndexSpec extends SparkSuite {
     // a full republish cuts the reference; now v1 and v2 are history
     val (c2, p2) = fixture(6, shift = 0.25)
     AnnIndex.publish(c2, p2, dir, k = 4) // v3, self-contained
-    AnnIndex.vacuum(dir, keep = 0)
+    AnnIndex.vacuum(dir, keep = 0, now = staleClock)
     assert(!Files.exists(Paths.get(dir, "v1")))
     assert(!Files.exists(Paths.get(dir, "v2")))
     assert(AnnIndex.load(spark, dir).postings.count() == 6)

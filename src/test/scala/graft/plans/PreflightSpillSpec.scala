@@ -216,6 +216,16 @@ class PreflightSpillSpec extends AnyFunSuite {
       assert(PreflightLog.loadSpill() >= 2,
         "reload must fall back to the .bak generation")
       assert(PreflightLog.recent().exists(_.worstKey.contains(m2)))
+      // the FIRST post-crash append must restore .bak before writing:
+      // recreating `p` with one record would shadow the parked
+      // generation and the next rewrite's bak-delete would erase it
+      val m3 = "na3-" + System.nanoTime()
+      PreflightLog.record(s"test preflight worst_element=$m3",
+        aborted = false, rule = "overlap-join", kind = "preflight",
+        diagnosis = "ok", worstKey = s"worst_element=$m3")
+      val after = new String(Files.readAllBytes(Paths.get(backing)))
+      assert(after.contains(m1) && after.contains(m2) && after.contains(m3),
+        s"pre-crash audits must survive the first post-crash append:\n$after")
     } finally PreflightLog.clearSpill()
   }
 
