@@ -128,12 +128,15 @@ object AnnIndex {
           "bug, not a commit (an empty scheduled increment belongs to " +
           "publishDelta, which no-ops)")
     }
-    // the PARTITIONED postings dir must be checked structurally — a
-    // 0-row partitioned write leaves no part files and reading it back
-    // throws schema inference, not a useful error. The unpartitioned
-    // centroids dir always gets a schema-bearing part file, so its
-    // emptiness is the count (computed anyway for the manifest).
+    // BOTH dirs are checked structurally before any read-back — a
+    // write that produced no part files (every 0-row partitioned
+    // write; an unpartitioned write of a ZERO-PARTITION frame) throws
+    // schema inference on read, not a useful error, and would skip
+    // refuseEmpty's cleanup. The count check behind it catches the
+    // remaining shape: an unpartitioned write of a 0-row frame with
+    // partitions, which does leave a schema-bearing part file.
     if (!hasParts(s"$vdir/postings")) refuseEmpty("postings")
+    if (!hasParts(s"$vdir/centroids")) refuseEmpty("centroids")
     val spark = centroids.sparkSession
     // metadata-only parquet counts: cheap at any scale
     val nCents = spark.read.parquet(s"$vdir/centroids").count()

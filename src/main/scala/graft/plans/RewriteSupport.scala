@@ -172,10 +172,16 @@ object PreflightLog {
       try chunks.foreach(o.write) finally o.close()
     }
     private def readFully(f: HPath): Array[Byte] = {
-      // bounded by the rotation cap — spillTo clamps maxBytes well
-      // below Int.MaxValue, so the Int cast cannot go negative
-      val len = fs.getFileStatus(f).getLen.toInt
-      val buf = new Array[Byte](len)
+      // the clamp bounds files THIS sink wrote; a pre-existing foreign
+      // multi-GiB file at the same path must not be slurped onto the
+      // driver heap (OutOfMemoryError is not NonFatal — it would escape
+      // every telemetry guard) or wrap getLen.toInt negative. Refuse
+      // loudly; readLines' catch degrades that generation to empty and
+      // append's fallback drops one record — both bounded outcomes.
+      val len = fs.getFileStatus(f).getLen
+      if (len > (128L << 20)) throw new java.io.IOException(
+        s"spill file $f is $len bytes — foreign/oversized, refusing to read")
+      val buf = new Array[Byte](len.toInt)
       val in = fs.open(f)
       try in.readFully(0, buf) finally in.close()
       buf
@@ -185,8 +191,13 @@ object PreflightLog {
       // renames left the only copy parked at .bak — restore it before
       // anything else, or this append would recreate `p` with one
       // record, shadow the parked generation (readLines prefers `p`),
-      // and the next rewrite's bak-delete would erase it for good
+      // and the next rewrite's bak-delete would erase it for good.
+      // A .bak COEXISTING with `p` is the other crash residue (died
+      // after tmp took p's place, before the bak delete) — STALE by
+      // construction; clean it now, or a later rotation crash (p
+      // renamed away, then death) would resurrect the old snapshot.
       if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
+      else if (fs.exists(bak)) fs.delete(bak, false)
       if (fs.exists(p) && fs.getFileStatus(p).getLen >= maxBytes) {
         if (fs.exists(rotated)) fs.delete(rotated, false)
         if (!fs.rename(p, rotated)) {
@@ -279,10 +290,20 @@ object PreflightLog {
           } else Some(new NioSink(
             java.nio.file.Paths.get(path).toAbsolutePath.normalize))
         } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft] preflight spill at '$path' " +
-            s"unresolvable (${e.getClass.getSimpleName}: ${e.getMessage})" +
-            " — continuing with ring-only telemetry")
-          None
+          // a colon-bearing RELATIVE path ('backup:tuesday/spill') trips
+          // the scheme prefix but is a legal local path — when nothing
+          // says URI ('://' absent), degrade to the nio sink the
+          // pre-Hadoop code used rather than refusing
+          val localFallback =
+            if (path.contains("://")) None
+            else try Some(new NioSink(java.nio.file.Paths.get(path)
+              .toAbsolutePath.normalize): Sink)
+            catch { case scala.util.control.NonFatal(_) => None }
+          if (localFallback.isEmpty)
+            System.err.println(s"[graft] preflight spill at '$path' " +
+              s"unresolvable (${e.getClass.getSimpleName}: ${e.getMessage})" +
+              " — continuing with ring-only telemetry")
+          localFallback
         }
       register(sinkOpt, maxBytes)
     }

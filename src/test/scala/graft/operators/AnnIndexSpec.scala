@@ -356,6 +356,16 @@ class AnnIndexSpec extends SparkSuite {
       AnnIndex.publish(c.filter(col("cent_id") < 0), p, dir, k = 4)
     }
     assert(e2.getMessage.contains("EMPTY centroids"), e2.getMessage)
+    // a ZERO-PARTITION empty frame writes no part file at all (unlike
+    // the filtered frame above) — the structural check must catch it
+    // before the count read-back throws schema inference
+    val zeroPart = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], c.schema)
+    val e3 = intercept[IllegalArgumentException] {
+      AnnIndex.publish(zeroPart, p, dir, k = 4)
+    }
+    assert(e3.getMessage.contains("EMPTY centroids"), e3.getMessage)
+    assert(!Files.exists(Paths.get(dir, "v2")), "no orphan dir left")
     assert(AnnIndex.currentVersion(dir).contains("v1"))
     assert(AnnIndex.load(spark, dir).postings.count() == 8,
       "the refused publishes must not perturb the committed version")

@@ -226,6 +226,20 @@ class PreflightSpillSpec extends AnyFunSuite {
       val after = new String(Files.readAllBytes(Paths.get(backing)))
       assert(after.contains(m1) && after.contains(m2) && after.contains(m3),
         s"pre-crash audits must survive the first post-crash append:\n$after")
+      // the OTHER crash residue: .bak left beside a live file (died
+      // after tmp took p's place, before the bak delete) is STALE —
+      // the next append must clean it, or a later rotation crash
+      // would resurrect the old snapshot as the current generation
+      Files.write(Paths.get(s"$dir/.spill.jsonl.bak"),
+        "stale snapshot\n".getBytes)
+      val m4 = "na4-" + System.nanoTime()
+      PreflightLog.record(s"test preflight worst_element=$m4",
+        aborted = false, rule = "overlap-join", kind = "preflight",
+        diagnosis = "ok", worstKey = s"worst_element=$m4")
+      assert(!Files.exists(Paths.get(s"$dir/.spill.jsonl.bak")),
+        "a stale .bak beside a live file must be cleaned on append")
+      assert(new String(Files.readAllBytes(Paths.get(backing)))
+        .contains(m4))
     } finally PreflightLog.clearSpill()
   }
 
@@ -246,6 +260,34 @@ class PreflightSpillSpec extends AnyFunSuite {
       assert(new String(Files.readAllBytes(Paths.get(plain)))
         .contains(marker))
     } finally PreflightLog.clearSpill()
+  }
+
+  test("a colon-bearing RELATIVE path ('backup:tuesday/...') degrades " +
+      "to the nio sink instead of a refusal: it trips the scheme " +
+      "prefix but nothing says URI, and the pre-Hadoop code spilled " +
+      "to it as a plain local path") {
+    // first-segment colon = scheme-shaped; Hadoop resolution fails
+    // ('No FileSystem for scheme'), the '://'-absent fallback must land
+    // on nio, cwd-relative like the old code. Unique name + recursive
+    // cleanup keep the cwd pristine.
+    val seg = s"pfspill-colon:${System.nanoTime()}"
+    val rel = s"$seg/spill.jsonl"
+    try {
+      PreflightLog.clearSpill()
+      assert(PreflightLog.spillTo(rel),
+        "a local path with a scheme-shaped first segment must " +
+          "register via the nio fallback")
+      val marker = "colon-" + System.nanoTime()
+      PreflightLog.record(s"test preflight worst_element=$marker",
+        aborted = false, rule = "overlap-join", kind = "preflight",
+        diagnosis = "ok", worstKey = s"worst_element=$marker")
+      val abs = Paths.get(rel).toAbsolutePath
+      assert(Files.exists(abs) &&
+        new String(Files.readAllBytes(abs)).contains(marker))
+    } finally {
+      PreflightLog.clearSpill()
+      graft.FsTree.delete(Paths.get(seg).toAbsolutePath, bestEffort = true)
+    }
   }
 
   test("a FAILED re-registration detaches the previous sink: audits " +
