@@ -196,18 +196,30 @@ object PreflightLog {
       // after tmp took p's place, before the bak delete) — STALE by
       // construction; clean it now, or a later rotation crash (p
       // renamed away, then death) would resurrect the old snapshot.
-      if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
-      else if (fs.exists(bak)) fs.delete(bak, false)
+      if (!fs.exists(p) && fs.exists(bak) && !fs.rename(bak, p))
+        // restore FAILED (rename-by-false FS): bak still holds the only
+        // copy — drop THIS record rather than recreate `p` beside it
+        // (the stale-delete below would then destroy the parked
+        // generation on the next append); every later append retries
+        throw new java.io.IOException(
+          s"cannot restore parked spill generation $bak")
+      else if (fs.exists(p) && fs.exists(bak)) fs.delete(bak, false)
       if (fs.exists(p) && fs.getFileStatus(p).getLen >= maxBytes) {
         if (fs.exists(rotated)) fs.delete(rotated, false)
         if (!fs.rename(p, rotated)) {
           // rename reported failure by RETURNING false: copy-rotate
           // instead (generation briefly exists twice, never zero) so
           // the size bound holds even where rename never works —
-          // unbounded growth would eventually trip readFully's Int
-          // bound and silently kill all further spilling
-          writeAll(rotated, readFully(p))
-          fs.delete(p, false)
+          // unbounded growth would eventually trip readFully's bound
+          // and silently kill all further spilling
+          try { writeAll(rotated, readFully(p)); fs.delete(p, false) }
+          catch { case scala.util.control.NonFatal(_) =>
+            // un-rotatable (foreign/oversized, unreadable): renaming
+            // failed AND copying can't bound it — delete the blocking
+            // generation outright; losing it beats every future append
+            // dying at this same step (permanent silent spill death)
+            fs.delete(p, false)
+          }
         }
       }
       if (!fs.exists(p)) writeAll(p, bytes)
@@ -290,20 +302,21 @@ object PreflightLog {
           } else Some(new NioSink(
             java.nio.file.Paths.get(path).toAbsolutePath.normalize))
         } catch { case scala.util.control.NonFatal(e) =>
-          // a colon-bearing RELATIVE path ('backup:tuesday/spill') trips
-          // the scheme prefix but is a legal local path — when nothing
-          // says URI ('://' absent), degrade to the nio sink the
-          // pre-Hadoop code used rather than refusing
-          val localFallback =
-            if (path.contains("://")) None
-            else try Some(new NioSink(java.nio.file.Paths.get(path)
-              .toAbsolutePath.normalize): Sink)
-            catch { case scala.util.control.NonFatal(_) => None }
-          if (localFallback.isEmpty)
-            System.err.println(s"[graft] preflight spill at '$path' " +
-              s"unresolvable (${e.getClass.getSimpleName}: ${e.getMessage})" +
-              " — continuing with ring-only telemetry")
-          localFallback
+          // ANY scheme-shaped path that fails FS resolution is a
+          // warn-and-refuse — including single-slash spellings like
+          // 's3a:/bucket/x' and colon-bearing relative paths. A
+          // local-path fallback here was tried (round 14) and
+          // reverted: it silently converted a misspelled REMOTE root
+          // into a bogus local './s3a:…' file with a true return —
+          // the operator believes the spill is on S3 while crash
+          // evidence dies with the driver's disk, the exact hazard
+          // the scheme dispatch exists to prevent. A genuinely local
+          // path with a colon in its first segment must be spelled
+          // './backup:tuesday/…' (no scheme shape) or via file://.
+          System.err.println(s"[graft] preflight spill at '$path' " +
+            s"unresolvable (${e.getClass.getSimpleName}: ${e.getMessage})" +
+            " — continuing with ring-only telemetry")
+          None
         }
       register(sinkOpt, maxBytes)
     }

@@ -262,28 +262,29 @@ class PreflightSpillSpec extends AnyFunSuite {
     } finally PreflightLog.clearSpill()
   }
 
-  test("a colon-bearing RELATIVE path ('backup:tuesday/...') degrades " +
-      "to the nio sink instead of a refusal: it trips the scheme " +
-      "prefix but nothing says URI, and the pre-Hadoop code spilled " +
-      "to it as a plain local path") {
-    // first-segment colon = scheme-shaped; Hadoop resolution fails
-    // ('No FileSystem for scheme'), the '://'-absent fallback must land
-    // on nio, cwd-relative like the old code. Unique name + recursive
-    // cleanup keep the cwd pristine.
+  test("EVERY scheme-shaped path that fails FS resolution is a warn-" +
+      "and-refuse — a misspelled remote root ('s3a:/bucket', single " +
+      "slash) must NEVER silently become a bogus local './s3a:…' file " +
+      "with a true return; a dot-prefixed spelling reaches nio") {
     val seg = s"pfspill-colon:${System.nanoTime()}"
-    val rel = s"$seg/spill.jsonl"
     try {
       PreflightLog.clearSpill()
-      assert(PreflightLog.spillTo(rel),
-        "a local path with a scheme-shaped first segment must " +
-          "register via the nio fallback")
+      // colon-bearing relative path: scheme-shaped, no resolvable FS —
+      // refused (a local-path fallback here was tried and reverted: it
+      // localized misspelled REMOTE roots silently)
+      assert(!PreflightLog.spillTo(s"$seg/spill.jsonl"))
+      assert(!Files.exists(Paths.get(seg).toAbsolutePath),
+        "a refused registration must create nothing in the cwd")
+      // the deliberate local spelling (no scheme shape) reaches nio
+      val dir = tmp("pfspill11")
+      assert(PreflightLog.spillTo(s"$dir/./$seg/spill.jsonl"))
       val marker = "colon-" + System.nanoTime()
       PreflightLog.record(s"test preflight worst_element=$marker",
         aborted = false, rule = "overlap-join", kind = "preflight",
         diagnosis = "ok", worstKey = s"worst_element=$marker")
-      val abs = Paths.get(rel).toAbsolutePath
-      assert(Files.exists(abs) &&
-        new String(Files.readAllBytes(abs)).contains(marker))
+      assert(new String(Files.readAllBytes(
+        Paths.get(s"$dir/$seg/spill.jsonl"))).contains(marker),
+        "a colon inside a NON-first segment is a plain local path")
     } finally {
       PreflightLog.clearSpill()
       graft.FsTree.delete(Paths.get(seg).toAbsolutePath, bestEffort = true)
