@@ -34,10 +34,13 @@ import java.nio.charset.StandardCharsets
   * pointer atomically; [[load]] resolves the pointer and REQUIRES the
   * manifest (a version dir without one is a crashed build, and the
   * pointer still names the previous good version). Orphaned version dirs
-  * are reclaimed by [[vacuum]]. Single-writer per indexDir by convention
-  * (the same convention every scratch/sink in this repo uses); publishes
-  * within one JVM additionally serialize on a per-dir lock so two
-  * concurrent builders cannot mint the same version number.
+  * are reclaimed by [[vacuum]] (age-gated: a fresh dir may be another
+  * process's build in flight). Concurrent publishers are SAFE even
+  * across processes: version minting claims the version dir with an
+  * atomic createDirectory ([[claimNextVersion]]), so two builders can
+  * never write into one dir, and concurrent commits resolve
+  * last-pointer-wins between two COMPLETE versions. Within one JVM a
+  * per-dir lock additionally serializes publish/compact/vacuum.
   */
 object AnnIndex {
 
@@ -64,6 +67,27 @@ object AnnIndex {
     if (!Files.exists(p)) None
     else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
       .filter(v => VersionName.findFirstIn(v).isDefined)
+  }
+
+  /** Mint AND claim the next version: the version dir is created with
+    * an atomic `createDirectory` (fails on exists), retrying upward on
+    * collision — so two publishers, even in DIFFERENT processes where
+    * the per-dir JVM lock cannot serialize them, can never write into
+    * the same version dir (both computing maxVersionOnDisk+1 and
+    * clobbering each other's data files was the one remaining
+    * multi-writer corruption; with atomic claims, concurrent publishes
+    * are safe and the pointer flip is last-writer-wins between two
+    * COMPLETE versions). Starting from maxVersionOnDisk+1 (not the
+    * pointer) also never re-enters an orphaned dir a crashed build
+    * left behind. */
+  private def claimNextVersion(indexDir: String): String = {
+    var n = maxVersionOnDisk(indexDir) + 1
+    while (!{
+      try { Files.createDirectory(Paths.get(s"$indexDir/v$n")); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        n += 1; false }
+    }) ()
+    s"v$n"
   }
 
   /** Highest version number present ON DISK (committed or orphaned) — the
@@ -115,7 +139,7 @@ object AnnIndex {
       indexDir: String, k: Int): String = lockFor(indexDir).synchronized {
     require(k > 0, s"centroid count k must be positive, got $k")
     Files.createDirectories(Paths.get(indexDir))
-    val version = s"v${maxVersionOnDisk(indexDir) + 1}"
+    val version = claimNextVersion(indexDir)
     val vdir = s"$indexDir/$version"
     centroids.write.mode("overwrite").parquet(s"$vdir/centroids")
     postings.write.mode("overwrite").partitionBy("cell")
@@ -167,7 +191,7 @@ object AnnIndex {
           s"no committed ANN index at $indexDir to delta onto: " +
             "publish a full version first"))
       val m = requireManifest(indexDir, base)
-      val version = s"v${maxVersionOnDisk(indexDir) + 1}"
+      val version = claimNextVersion(indexDir)
       val vdir = s"$indexDir/$version"
       postings.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$vdir/postings")

@@ -139,6 +139,27 @@ class AnnIndexSpec extends SparkSuite {
       && ids.exists(_ > 900))
   }
 
+  test("version minting CLAIMS the dir atomically and walks past any " +
+      "existing dirs (gapped or not): concurrent publishers — even " +
+      "cross-process, where the JVM lock cannot serialize — can never " +
+      "write into one version dir") {
+    val dir = tmpDir("annidx18")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    // dirs another process just claimed (no data yet): the next mint
+    // must start ABOVE the highest, never re-enter or fill gaps
+    Files.createDirectories(Paths.get(dir, "v2"))
+    Files.createDirectories(Paths.get(dir, "v5"))
+    assert(AnnIndex.publish(c, p, dir, k = 4) == "v6")
+    assert(AnnIndex.load(spark, dir).version == "v6")
+    val sess = spark
+    import sess.implicits._
+    val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    assert(AnnIndex.publishDelta(d1, dir) == "v7",
+      "delta minting claims through the same atomic rule")
+  }
+
   test("publishDelta without a committed base fails loudly") {
     val dir = tmpDir("annidx8")
     val (_, p) = fixture(4)
