@@ -35,12 +35,17 @@ import java.nio.charset.StandardCharsets
   * manifest (a version dir without one is a crashed build, and the
   * pointer still names the previous good version). Orphaned version dirs
   * are reclaimed by [[vacuum]] (age-gated: a fresh dir may be another
-  * process's build in flight). Concurrent publishers are SAFE even
-  * across processes: version minting claims the version dir with an
-  * atomic createDirectory ([[claimNextVersion]]), so two builders can
-  * never write into one dir, and concurrent commits resolve
-  * last-pointer-wins between two COMPLETE versions. Within one JVM a
-  * per-dir lock additionally serializes publish/compact/vacuum.
+  * process's build in flight). Cross-process concurrency: version
+  * minting claims the version dir with an atomic createDirectory
+  * ([[claimNextVersion]]) so two builders can never write into one
+  * dir; a delta whose pointer moved mid-flight REBASES onto the fresh
+  * chain at commit time (or refuses when a full republish changed the
+  * quantizer — [[rebaseForCommit]]); concurrent FULL publishes resolve
+  * last-pointer-wins between two complete versions. This is a
+  * lease-not-lock protocol: a flip landing inside a delta's
+  * re-check-to-flip window can still shadow one batch — serialize
+  * ingest where strict completeness under concurrency is required.
+  * Within one JVM a per-dir lock serializes publish/compact/vacuum.
   */
 object AnnIndex {
 
@@ -205,14 +210,55 @@ object AnnIndex {
         base
       } else {
         val nNew = spark.read.parquet(s"$vdir/postings").count()
-        commit(indexDir, version, m.k,
-          nCents = m.centroids,
-          nPosts = m.postings + nNew,
-          centroidsDir = m.centroidsDir,
-          postingsDirs = m.postingsDirs :+ s"$version/postings")
+        // re-resolve the pointer AT COMMIT TIME: a concurrent
+        // publisher may have flipped it since our base resolution,
+        // and committing against the stale base would silently shadow
+        // their batch (last-pointer-wins). See [[rebaseForCommit]];
+        // on refusal (concurrent FULL republish changed the
+        // quantizer) the claimed dir is reclaimed before rethrowing.
+        val mNow =
+          try rebaseForCommit(indexDir, base, m)
+          catch { case e: Throwable =>
+            graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
+            throw e
+          }
+        commit(indexDir, version, mNow.k,
+          nCents = mNow.centroids,
+          nPosts = mNow.postings + nNew,
+          centroidsDir = mNow.centroidsDir,
+          postingsDirs = mNow.postingsDirs :+ s"$version/postings")
         version
       }
     }
+
+  /** The manifest a delta should commit AGAINST, re-resolved at commit
+    * time: when the pointer still names `base`, that is `m` verbatim;
+    * when a CONCURRENT DELTA moved it, the fresh chain shares our
+    * inherited centroids (same `centroids_dir`) and the delta REBASES —
+    * committing the fresh manifest's postings list plus its own dir, so
+    * neither batch shadows the other; when a concurrent FULL republish
+    * moved it, the quantizer changed and this batch's cell assignments
+    * are against the OLD centroids — refuse loudly (re-assign and
+    * re-ingest). Best-effort, not a lock (the repo's lease-not-lock
+    * convention): a flip landing inside the re-check-to-flip window can
+    * still shadow one batch — serialize ingest where strict
+    * completeness under concurrency is required. */
+  private[operators] def rebaseForCommit(indexDir: String, base: String,
+      m: Manifest): Manifest = {
+    val baseNow = currentVersion(indexDir).getOrElse(base)
+    if (baseNow == base) m
+    else {
+      val fresh = requireManifest(indexDir, baseNow)
+      if (fresh.centroidsDir != m.centroidsDir)
+        throw new IllegalStateException(
+          s"concurrent FULL republish at $indexDir while this delta " +
+            s"was in flight: the quantizer changed " +
+            s"(${m.centroidsDir} -> ${fresh.centroidsDir}) and the " +
+            "batch's cell assignments are against the old centroids — " +
+            "re-assign against the new version and re-ingest")
+      fresh
+    }
+  }
 
   /** Manifest-then-pointer commit shared by full and delta publishes:
     * the manifest is written LAST inside the version, the pointer flip

@@ -160,6 +160,38 @@ class AnnIndexSpec extends SparkSuite {
       "delta minting claims through the same atomic rule")
   }
 
+  test("a delta REBASES at commit time when the pointer moved under a " +
+      "concurrent delta (same inherited quantizer — neither batch " +
+      "shadows the other) and REFUSES when a concurrent full republish " +
+      "changed the centroids its cells were assigned against") {
+    val dir = tmpDir("annidx19")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val m1 = AnnIndex.Manifest(4, 4L, 8L,
+      "v1/centroids", Seq("v1/postings"))
+    // pointer unchanged: the resolved manifest commits verbatim
+    assert(AnnIndex.rebaseForCommit(dir, "v1", m1) == m1)
+    // a concurrent DELTA moved the pointer to v2 (inherits v1's
+    // centroids): rebase returns the FRESH chain, so committing
+    // fresh.postingsDirs :+ ours keeps both batches visible
+    val sess = spark
+    import sess.implicits._
+    val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    AnnIndex.publishDelta(d1, dir) // v2, centroids_dir still v1's
+    val rebased = AnnIndex.rebaseForCommit(dir, "v1", m1)
+    assert(rebased.centroidsDir == "v1/centroids" &&
+      rebased.postingsDirs.contains("v2/postings"),
+      s"rebase must adopt the fresh chain's postings list; got $rebased")
+    // a concurrent FULL republish retrained the quantizer: refuse
+    val (c2, p2) = fixture(6, shift = 0.5)
+    AnnIndex.publish(c2, p2, dir, k = 4) // v3, own centroids
+    val e = intercept[IllegalStateException] {
+      AnnIndex.rebaseForCommit(dir, "v1", m1)
+    }
+    assert(e.getMessage.contains("quantizer changed"), e.getMessage)
+  }
+
   test("publishDelta without a committed base fails loudly") {
     val dir = tmpDir("annidx8")
     val (_, p) = fixture(4)
