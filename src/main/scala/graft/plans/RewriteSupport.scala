@@ -138,24 +138,53 @@ object PreflightLog {
     def readLines(): Seq[String]
   }
 
+  /** Any file at a spill path larger than this is FOREIGN: maxBytes
+    * clamps to 64 MiB and rotation fires at the cap, so no generation
+    * this code wrote can reach 128 MiB. A foreign file must never be
+    * slurped (OutOfMemoryError is not NonFatal — it escapes every
+    * telemetry guard), deleted, or rotated into a slot a later
+    * rotation would REPLACE away: a misconfigured spill path must not
+    * destroy non-spill data. */
+  private[plans] val ForeignBound: Long = 128L << 20
+
   private final class NioSink(p: java.nio.file.Path) extends Sink {
     import java.nio.file.{Files, StandardOpenOption => O}
     def id: String = s"nio:$p"
     private def rotated = p.resolveSibling(p.getFileName.toString + ".1")
+    private def quarantine =
+      p.resolveSibling(p.getFileName.toString + ".quarantine")
     def prepare(): Unit =
       Option(p.getParent).foreach(Files.createDirectories(_))
     def append(bytes: Array[Byte]): Unit = {
-      if (Files.exists(p) && Files.size(p) >= maxBytes)
-        Files.move(p, rotated,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (Files.exists(p)) {
+        val len = Files.size(p)
+        if (len > ForeignBound) {
+          // foreign data at the spill path: step it aside WITHOUT
+          // replace — the normal `.1` slot gets REPLACE_EXISTING'd by
+          // the next rotation, which would destroy it one generation
+          // later. If a quarantine is already parked, drop this record
+          // (appends stay dead until an operator clears the path)
+          // rather than overwrite what was preserved.
+          if (Files.exists(quarantine)) throw new java.io.IOException(
+            s"foreign file at spill path $p and quarantine occupied")
+          Files.move(p, quarantine)
+        } else if (len >= maxBytes)
+          Files.move(p, rotated,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       Files.write(p, bytes, O.CREATE, O.APPEND, O.WRITE)
     }
     def readLines(): Seq[String] = {
       import scala.jdk.CollectionConverters._
       Seq(rotated, p).filter(Files.exists(_)).flatMap { f =>
-        try Files.readAllLines(f,
-          java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
-        catch { case scala.util.control.NonFatal(_) => Nil }
+        // mirror HadoopSink.readFully's clamp: readAllLines on a huge
+        // foreign file would OOME, which is not NonFatal and would
+        // escape the catch below, failing engine construction
+        try {
+          if (Files.size(f) > ForeignBound) Nil
+          else Files.readAllLines(f,
+            java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+        } catch { case scala.util.control.NonFatal(_) => Nil }
       }
     }
   }
@@ -166,6 +195,8 @@ object PreflightLog {
     def id: String = s"hadoop:$p"
     private def rotated = new HPath(p.getParent, p.getName + ".1")
     private def bak = new HPath(p.getParent, s".${p.getName}.bak")
+    private def quarantine =
+      new HPath(p.getParent, p.getName + ".quarantine")
     def prepare(): Unit = Option(p.getParent).foreach(fs.mkdirs(_))
     private def writeAll(target: HPath, chunks: Array[Byte]*): Unit = {
       val o = fs.create(target, true)
@@ -179,7 +210,7 @@ object PreflightLog {
       // loudly; readLines' catch degrades that generation to empty and
       // append's fallback drops one record — both bounded outcomes.
       val len = fs.getFileStatus(f).getLen
-      if (len > (128L << 20)) throw new java.io.IOException(
+      if (len > ForeignBound) throw new java.io.IOException(
         s"spill file $f is $len bytes — foreign/oversized, refusing to read")
       val buf = new Array[Byte](len.toInt)
       val in = fs.open(f)
@@ -204,21 +235,40 @@ object PreflightLog {
         throw new java.io.IOException(
           s"cannot restore parked spill generation $bak")
       else if (fs.exists(p) && fs.exists(bak)) fs.delete(bak, false)
-      if (fs.exists(p) && fs.getFileStatus(p).getLen >= maxBytes) {
-        if (fs.exists(rotated)) fs.delete(rotated, false)
-        if (!fs.rename(p, rotated)) {
-          // rename reported failure by RETURNING false: copy-rotate
-          // instead (generation briefly exists twice, never zero) so
-          // the size bound holds even where rename never works —
-          // unbounded growth would eventually trip readFully's bound
-          // and silently kill all further spilling
-          try { writeAll(rotated, readFully(p)); fs.delete(p, false) }
-          catch { case scala.util.control.NonFatal(_) =>
-            // un-rotatable (foreign/oversized, unreadable): renaming
-            // failed AND copying can't bound it — delete the blocking
-            // generation outright; losing it beats every future append
-            // dying at this same step (permanent silent spill death)
-            fs.delete(p, false)
+      if (fs.exists(p)) {
+        val len = fs.getFileStatus(p).getLen
+        if (len > ForeignBound) {
+          // foreign data at the spill path (no generation this sink
+          // wrote can reach ForeignBound): step it aside WITHOUT
+          // touching the `.1` slot — rotation deletes that slot, which
+          // would destroy the foreign file one generation later. If
+          // the quarantine slot is occupied or the rename fails, drop
+          // THIS record — appends stay dead at this path until an
+          // operator intervenes, which beats silently destroying
+          // their file.
+          if (fs.exists(quarantine) || !fs.rename(p, quarantine))
+            throw new java.io.IOException(
+              s"foreign file at spill path $p and quarantine " +
+                "unavailable — dropping record")
+        } else if (len >= maxBytes) {
+          if (fs.exists(rotated)) fs.delete(rotated, false)
+          if (!fs.rename(p, rotated)) {
+            // rename reported failure by RETURNING false: copy-rotate
+            // instead (generation briefly exists twice, never zero) so
+            // the size bound holds even where rename never works —
+            // unbounded growth would eventually trip readFully's bound
+            // and silently kill all further spilling
+            try { writeAll(rotated, readFully(p)); fs.delete(p, false) }
+            catch { case scala.util.control.NonFatal(_) =>
+              // un-rotatable (unreadable): renaming failed AND copying
+              // can't bound it — the blocking file may be a
+              // misconfigured operator's DATA, so never delete it;
+              // quarantine it exactly like the foreign case above
+              if (fs.exists(quarantine) || !fs.rename(p, quarantine))
+                throw new java.io.IOException(
+                  s"un-rotatable file at spill path $p and quarantine " +
+                    "unavailable — dropping record")
+            }
           }
         }
       }

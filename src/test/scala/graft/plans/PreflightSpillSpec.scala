@@ -347,6 +347,151 @@ class PreflightSpillSpec extends AnyFunSuite {
     } finally PreflightLog.clearSpill()
   }
 
+  /** A sparse file whose REPORTED size crosses [[PreflightLog.ForeignBound]]
+    * without touching disk — stands in for a misconfigured operator's
+    * multi-GiB data file parked at the spill path. */
+  private def sparseForeign(path: String): Unit = {
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try raf.setLength(PreflightLog.ForeignBound + 1) finally raf.close()
+  }
+
+  test("a FOREIGN file at the nio spill path is quarantined, never " +
+      "slurped (readAllLines would OOME — not NonFatal, escapes every " +
+      "telemetry guard) and never deleted or rotated into the .1 slot " +
+      "a later rotation REPLACEs away") {
+    val dir = tmp("pfspill10")
+    val path = s"$dir/spill.jsonl"
+    sparseForeign(path)
+    val marker = "fq-" + System.nanoTime()
+    try {
+      PreflightLog.clearSpill()
+      PreflightLog.spillTo(path, maxBytes = 4096L)
+      // reload against the foreign file: skipped, never read into heap
+      PreflightLog.clear()
+      assert(PreflightLog.loadSpill() == 0,
+        "a foreign-size generation must be skipped on reload")
+      // first append steps the foreign file aside to .quarantine
+      PreflightLog.record(s"test preflight worst_element=$marker",
+        aborted = false, rule = "overlap-join", kind = "preflight",
+        diagnosis = "ok", worstKey = s"worst_element=$marker")
+      val q = Paths.get(path + ".quarantine")
+      assert(Files.exists(q) &&
+        Files.size(q) > PreflightLog.ForeignBound,
+        "the foreign file must be preserved intact at .quarantine")
+      assert(!Files.exists(Paths.get(path + ".1")),
+        "the foreign file must never land in the rotation slot")
+      assert(new String(Files.readAllBytes(Paths.get(path)))
+        .contains(marker), "spilling must resume after the quarantine")
+    } finally PreflightLog.clearSpill()
+  }
+
+  test("a foreign file with the quarantine slot OCCUPIED drops the " +
+      "record and leaves both files untouched — appends stay dead " +
+      "rather than overwrite preserved data") {
+    val dir = tmp("pfspill11")
+    val path = s"$dir/spill.jsonl"
+    sparseForeign(path)
+    Files.write(Paths.get(path + ".quarantine"), "preserved\n".getBytes)
+    try {
+      PreflightLog.clearSpill()
+      PreflightLog.spillTo(path, maxBytes = 4096L)
+      PreflightLog.record("test preflight dropped", aborted = false,
+        rule = "overlap-join", kind = "preflight", diagnosis = "ok")
+      assert(Files.size(Paths.get(path)) > PreflightLog.ForeignBound,
+        "the foreign file must remain in place, un-appended")
+      assert(new String(Files.readAllBytes(
+        Paths.get(path + ".quarantine"))) == "preserved\n",
+        "the occupied quarantine must not be overwritten")
+    } finally PreflightLog.clearSpill()
+  }
+
+  test("the Hadoop sink quarantines a foreign file before rotation " +
+      "(rename-works FS would otherwise park it at .1 and DELETE it " +
+      "one generation later)") {
+    val dir = tmp("pfspill12")
+    val backing = s"$dir/spill.jsonl"
+    sparseForeign(backing)
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem()
+    raw.initialize(java.net.URI.create("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    val marker = "hfq-" + System.nanoTime()
+    try {
+      PreflightLog.clearSpill()
+      assert(PreflightLog.registerHadoopSink(raw,
+        new org.apache.hadoop.fs.Path(backing), maxBytes = 4096L))
+      PreflightLog.record(s"test preflight worst_element=$marker",
+        aborted = false, rule = "overlap-join", kind = "preflight",
+        diagnosis = "ok", worstKey = s"worst_element=$marker")
+      val q = Paths.get(backing + ".quarantine")
+      assert(Files.exists(q) &&
+        Files.size(q) > PreflightLog.ForeignBound,
+        "the foreign file must be preserved intact at .quarantine")
+      assert(!Files.exists(Paths.get(backing + ".1")))
+      assert(new String(Files.readAllBytes(Paths.get(backing)))
+        .contains(marker))
+    } finally PreflightLog.clearSpill()
+  }
+
+  test("an UN-ROTATABLE blocking file (rename-by-false FS, unreadable) " +
+      "is never deleted: quarantined where the FS allows it, left in " +
+      "place (record dropped) where it does not") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    // rename works EXCEPT into the .1 rotation slot; reads refused —
+    // drives the copy-rotate catch with a quarantinable file
+    class NoRotateFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def rename(src: HPath, dst: HPath): Boolean =
+        if (dst.getName.endsWith(".1")) false else super.rename(src, dst)
+      override def open(f: HPath, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream =
+        throw new java.io.IOException("unreadable")
+    }
+    // rename NEVER works and reads are refused — the fully-bricked FS
+    class BrickFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def rename(src: HPath, dst: HPath): Boolean = false
+      override def open(f: HPath, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream =
+        throw new java.io.IOException("unreadable")
+    }
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir1 = tmp("pfspill13")
+    val b1 = s"$dir1/spill.jsonl"
+    Files.write(Paths.get(b1), ("y" * 5000).getBytes) // >= 4096 cap
+    val fs1 = new NoRotateFs(); fs1.initialize(
+      java.net.URI.create("file:///"), conf)
+    val marker = "ur-" + System.nanoTime()
+    try {
+      PreflightLog.clearSpill()
+      assert(PreflightLog.registerHadoopSink(fs1,
+        new HPath(b1), maxBytes = 4096L))
+      PreflightLog.record(s"test preflight worst_element=$marker",
+        aborted = false, rule = "overlap-join", kind = "preflight",
+        diagnosis = "ok", worstKey = s"worst_element=$marker")
+      val q1 = Paths.get(b1 + ".quarantine")
+      assert(Files.exists(q1) && Files.size(q1) == 5000L,
+        "the unreadable blocking file must be preserved at .quarantine")
+      assert(new String(Files.readAllBytes(Paths.get(b1)))
+        .contains(marker), "spilling must resume after the quarantine")
+
+      // fully-bricked: quarantine rename also fails — the file stays
+      // IN PLACE (the pre-fix code deleted it here)
+      val dir2 = tmp("pfspill14")
+      val b2 = s"$dir2/spill.jsonl"
+      Files.write(Paths.get(b2), ("z" * 5000).getBytes)
+      val fs2 = new BrickFs(); fs2.initialize(
+        java.net.URI.create("file:///"), conf)
+      PreflightLog.clearSpill()
+      assert(PreflightLog.registerHadoopSink(fs2,
+        new HPath(b2), maxBytes = 4096L))
+      PreflightLog.record("test preflight dropped", aborted = false,
+        rule = "overlap-join", kind = "preflight", diagnosis = "ok")
+      assert(Files.exists(Paths.get(b2)) &&
+        Files.size(Paths.get(b2)) == 5000L,
+        "a blocking file the FS can neither rotate nor quarantine " +
+          "must be left untouched, never deleted")
+      assert(!Files.exists(Paths.get(b2 + ".quarantine")))
+    } finally PreflightLog.clearSpill()
+  }
+
   test("malformed spill lines are skipped, valid ones load") {
     val dir = tmp("pfspill3")
     val path = s"$dir/spill.jsonl"
