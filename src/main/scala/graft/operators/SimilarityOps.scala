@@ -1641,9 +1641,11 @@ object SimilarityOps {
     * expression to `true` and the executed scan read all 32 cell
     * partitions (numPartitions=32, pruningTime=0). Static pruning is
     * deterministic, works on every union leg, and is pinned by the
-    * partitions-read metric (PlanSpec s18/s19, AnnIndexSpec). Computing
-    * the cell set re-runs the O(Q·k) assignment once — noise against
-    * the corpus-scan savings it buys. */
+    * partitions-read metric (PlanSpec s18/s19, AnnIndexSpec). The
+    * assignment frame is eagerly localCheckpoint'ed so its O(Q·k) pass
+    * runs exactly once for both consumers (the driver-side cell
+    * collect and the candidate join) — the frame is ≤ Q·nprobe rows,
+    * and the checkpoint needs no unpersist lifecycle. */
   private def probePersisted(emb: DataFrame,
       idx: AnnIndex.Handle): DataFrame = {
     val scored0 = emb.filter(col("vec_id").between(1, 9))
@@ -1656,9 +1658,7 @@ object SimilarityOps {
       .filter(col("ark") <= ivfNprobe)
       .select(col("vec_id").as("q_id"), col("vd").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("cell"))
-    // this collect is its own action, so the O(Q·k) assignment runs
-    // once here and once inside the join below — noise against the
-    // corpus-scan savings the IN filter buys
+      .localCheckpoint(true)
     val probedCells = assigned.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     val c = idx.postings

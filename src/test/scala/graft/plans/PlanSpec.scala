@@ -214,8 +214,14 @@ class PlanSpec extends SparkSuite {
     val df = run("s18_ann_persisted_index")
     val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
     assert(!PlanChecks.usesCartesianProduct(df))
-    assert(ops.exists(_.startsWith("BroadcastNestedLoopJoin")),
-      s"query assignment must broadcast the loaded centroids; got $ops")
+    // the O(Q·k) centroid assignment (a broadcast of the loaded k-row
+    // centroids) runs INSIDE probePersisted's eager localCheckpoint —
+    // exactly once for the cell collect and the join — so the final
+    // plan starts at the checkpointed RDD leaf, not the assignment
+    // subtree
+    assert(ops.exists(s => s.contains("RDDScan") || s.contains("Scan" +
+      "Existing") || s == "RDDScanExec" || s.contains("ExistingRDD")),
+      s"the checkpointed assignment frame must feed the probe; got $ops")
     // the probe side's window ranks only the tiny query batch; the
     // corpus-side candidates arrive via the cell equi-join from the
     // loaded postings, not via any corpus-wide window
