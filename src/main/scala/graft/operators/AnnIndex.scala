@@ -38,14 +38,17 @@ import java.nio.charset.StandardCharsets
   * process's build in flight). Cross-process concurrency: version
   * minting claims the version dir with an atomic createDirectory
   * ([[claimNextVersion]]) so two builders can never write into one
-  * dir; a delta whose pointer moved mid-flight REBASES onto the fresh
-  * chain at commit time (or refuses when a full republish changed the
-  * quantizer — [[rebaseForCommit]]); concurrent FULL publishes resolve
-  * last-pointer-wins between two complete versions. This is a
-  * lease-not-lock protocol: a flip landing inside a delta's
-  * re-check-to-flip window can still shadow one batch — serialize
-  * ingest where strict completeness under concurrency is required.
-  * Within one JVM a per-dir lock serializes publish/compact/vacuum.
+  * dir; every pointer flip happens inside an atomic flip-claim
+  * ([[withCommitLock]] — a `_commit-lock` dir created atomically,
+  * age-leased so a crashed committer cannot wedge the index), so a
+  * delta's commit-time pointer re-check and its own flip are one
+  * atomic step: a delta whose pointer moved since its base resolution
+  * REBASES onto the fresh chain (or refuses when a full republish
+  * changed the quantizer — [[rebaseForCommit]]), and no concurrent
+  * flip can land between that re-check and the flip. Concurrent FULL
+  * publishes still resolve last-pointer-wins between two complete
+  * versions. Within one JVM a per-dir lock serializes
+  * publish/compact/vacuum.
   */
 object AnnIndex {
 
@@ -63,6 +66,65 @@ object AnnIndex {
 
   private def pointerPath(indexDir: String): Path =
     Paths.get(indexDir, "_current")
+
+  private def commitLockPath(indexDir: String): Path =
+    Paths.get(indexDir, "_commit-lock")
+
+  /** Lease age after which another committer's `_commit-lock` is
+    * broken. A commit holds the lock for two small file writes
+    * (manifest + pointer flip) — milliseconds — so a lock older than
+    * this is crash residue, not a slow commit; breaking it keeps a
+    * crashed committer from wedging all ingest. Override with
+    * -Dgraft.annindex.commitLeaseMs. */
+  private[operators] def CommitLeaseMillis: Long =
+    sys.props.get("graft.annindex.commitLeaseMs").flatMap(_.toLongOption)
+      .getOrElse(10L * 60 * 1000)
+
+  /** Test seam: invoked INSIDE the commit lock, before `body` runs —
+    * lets a spec park one committer at the exact re-check-to-flip seam
+    * and drive two interleaved committers deterministically. Keyed by
+    * indexDir so concurrent suites don't interfere. */
+  @volatile private[operators] var commitFence: String => Unit = _ => ()
+
+  /** Run `body` (the pointer-flipping commit step) holding the
+    * cross-process flip-claim: an atomic `createDirectory` on
+    * `_commit-lock`. A lock whose mtime is older than
+    * [[CommitLeaseMillis]] is a crashed committer's residue and is
+    * broken (delete + re-race — two breakers race the createDirectory,
+    * one wins); a live holder is waited out. The wait is bounded by
+    * lease + margin as a loud backstop — with stale-breaking it is
+    * reachable only if live committers continuously hold the lock. */
+  private def withCommitLock[T](indexDir: String)(body: => T): T = {
+    val lock = commitLockPath(indexDir)
+    val deadline = System.currentTimeMillis() + CommitLeaseMillis + 30000L
+    var acquired = false
+    while (!acquired) {
+      try { Files.createDirectory(lock); acquired = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        val stale =
+          try Files.getLastModifiedTime(lock).toMillis <
+            System.currentTimeMillis() - CommitLeaseMillis
+          catch { case _: java.io.IOException => false } // vanished/unreadable: retry
+        if (stale) {
+          try Files.deleteIfExists(lock)
+          catch { case _: java.io.IOException => () } // dir-not-empty/race: retry
+        } else {
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"ANN index commit lock at $lock held past its lease — " +
+                "live committers are continuously holding it, or the " +
+                "filesystem refuses to break a stale claim; ingest is " +
+                "wedged, inspect the lock dir")
+          Thread.sleep(25)
+        }
+      }
+    }
+    try { commitFence(indexDir); body }
+    finally {
+      try Files.deleteIfExists(lock)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   private val VersionName = "^v(\\d+)$".r
 
@@ -171,9 +233,14 @@ object AnnIndex {
     val nCents = spark.read.parquet(s"$vdir/centroids").count()
     if (nCents == 0L) refuseEmpty("centroids")
     val nPosts = spark.read.parquet(s"$vdir/postings").count()
-    commit(indexDir, version, k, nCents, nPosts,
-      centroidsDir = s"$version/centroids",
-      postingsDirs = Seq(s"$version/postings"))
+    // the flip-claim here is what makes a concurrent delta's locked
+    // re-check sound: a full republish can never flip between that
+    // delta's pointer re-resolve and its own flip
+    withCommitLock(indexDir) {
+      commit(indexDir, version, k, nCents, nPosts,
+        centroidsDir = s"$version/centroids",
+        postingsDirs = Seq(s"$version/postings"))
+    }
     version
   }
 
@@ -210,23 +277,28 @@ object AnnIndex {
         base
       } else {
         val nNew = spark.read.parquet(s"$vdir/postings").count()
-        // re-resolve the pointer AT COMMIT TIME: a concurrent
-        // publisher may have flipped it since our base resolution,
-        // and committing against the stale base would silently shadow
-        // their batch (last-pointer-wins). See [[rebaseForCommit]];
-        // on refusal (concurrent FULL republish changed the
-        // quantizer) the claimed dir is reclaimed before rethrowing.
-        val mNow =
-          try rebaseForCommit(indexDir, base, m)
-          catch { case e: Throwable =>
-            graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
-            throw e
-          }
-        commit(indexDir, version, mNow.k,
-          nCents = mNow.centroids,
-          nPosts = mNow.postings + nNew,
-          centroidsDir = mNow.centroidsDir,
-          postingsDirs = mNow.postingsDirs :+ s"$version/postings")
+        // re-resolve the pointer AT COMMIT TIME, inside the atomic
+        // flip-claim: a concurrent publisher may have flipped it since
+        // our base resolution, and committing against the stale base
+        // would silently shadow their batch (last-pointer-wins). The
+        // lock makes re-check-and-flip ONE atomic step — no concurrent
+        // flip can land between them, so the rebase is exact, not
+        // best-effort. See [[rebaseForCommit]]; on refusal (concurrent
+        // FULL republish changed the quantizer) the claimed dir is
+        // reclaimed before rethrowing.
+        withCommitLock(indexDir) {
+          val mNow =
+            try rebaseForCommit(indexDir, base, m)
+            catch { case e: Throwable =>
+              graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
+              throw e
+            }
+          commit(indexDir, version, mNow.k,
+            nCents = mNow.centroids,
+            nPosts = mNow.postings + nNew,
+            centroidsDir = mNow.centroidsDir,
+            postingsDirs = mNow.postingsDirs :+ s"$version/postings")
+        }
         version
       }
     }
@@ -239,10 +311,9 @@ object AnnIndex {
     * neither batch shadows the other; when a concurrent FULL republish
     * moved it, the quantizer changed and this batch's cell assignments
     * are against the OLD centroids — refuse loudly (re-assign and
-    * re-ingest). Best-effort, not a lock (the repo's lease-not-lock
-    * convention): a flip landing inside the re-check-to-flip window can
-    * still shadow one batch — serialize ingest where strict
-    * completeness under concurrency is required. */
+    * re-ingest). Callers run this INSIDE [[withCommitLock]], which
+    * makes the re-check and the caller's flip one atomic step: no
+    * concurrent flip can land between them, so the rebase is exact. */
   private[operators] def rebaseForCommit(indexDir: String, base: String,
       m: Manifest): Manifest = {
     val baseNow = currentVersion(indexDir).getOrElse(base)

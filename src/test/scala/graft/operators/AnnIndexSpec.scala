@@ -192,6 +192,120 @@ class AnnIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("quantizer changed"), e.getMessage)
   }
 
+  test("two INTERLEAVED committers (cross-process shape: a symlinked " +
+      "dir spelling defeats the JVM per-dir lock, exactly like a second " +
+      "driver) serialize on the atomic flip-claim: the second can only " +
+      "flip AFTER the first, its locked re-check sees the first's " +
+      "commit, and NEITHER batch is shadowed") {
+    val dir = tmpDir("annidx20")
+    // a second spelling of the SAME index: different JVM monitor
+    // (lockFor normalizes syntactically, not through symlinks), same
+    // files — the cross-process scenario, driven deterministically
+    val link = Paths.get(tmpDir("annidx20link"), "idx")
+    Files.createSymbolicLink(link, Paths.get(dir))
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val sess = spark
+    import sess.implicits._
+    val dA = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    val dB = Seq((601L, Seq(2.0, 3.0), 3.0, 2L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    val target = Paths.get(dir).toRealPath().toString
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val parkedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    AnnIndex.commitFence = { d =>
+      val real =
+        try Paths.get(d).toRealPath().toString
+        catch { case scala.util.control.NonFatal(_) => d }
+      if (real == target && parkedOnce.compareAndSet(false, true)) {
+        entered.countDown()
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+    }
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      // committer A claims v2, writes its postings, acquires the
+      // flip-claim, and PARKS inside it — pre-re-check, pre-flip
+      val fa = Future(AnnIndex.publishDelta(dA, dir))
+      assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "committer A never reached the commit lock")
+      // committer B (the "other process") claims v3, writes its
+      // postings, and must BLOCK on the flip-claim A holds
+      val fb = Future(AnnIndex.publishDelta(dB, link.toString))
+      val bPosted = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var seen = false
+        while (!seen && System.nanoTime() < deadline) {
+          val pd = Paths.get(dir, "v3", "postings")
+          seen = Files.exists(pd) && {
+            val s = Files.walk(pd)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.exists(
+                _.getFileName.toString.endsWith(".parquet"))
+            } finally s.close()
+          }
+          if (!seen) Thread.sleep(20)
+        }
+        seen
+      }
+      assert(bPosted, "committer B never wrote its claimed postings")
+      // while A holds the claim, NO flip can land: the pointer still
+      // names v1 and B's version has no manifest
+      Thread.sleep(300)
+      assert(AnnIndex.currentVersion(dir).contains("v1"),
+        "no commit may flip the pointer while the claim is held")
+      assert(!Files.exists(Paths.get(dir, "v3", "_manifest.json")),
+        "B must not commit while A holds the flip-claim")
+      release.countDown()
+      val vA = Await.result(fa, 60.seconds)
+      val vB = Await.result(fb, 60.seconds)
+      assert(vA == "v2" && vB == "v3", s"got $vA / $vB")
+      // the deterministic ordering proof: B's locked re-check saw A's
+      // flip, so B REBASED onto A's chain — its manifest references
+      // A's postings dir, which is only possible if B flipped second
+      val mB = new String(Files.readAllBytes(
+        Paths.get(dir, "v3", "_manifest.json")))
+      assert(mB.contains("v2/postings"),
+        s"B must have rebased onto A's committed chain; manifest: $mB")
+      assert(AnnIndex.currentVersion(dir).contains("v3"))
+      val ids = AnnIndex.load(spark, dir).postings
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(501L) && ids.contains(601L),
+        s"neither interleaved batch may be shadowed; got $ids")
+      assert(!Files.exists(Paths.get(dir, "_commit-lock")),
+        "the flip-claim must be released")
+    } finally {
+      AnnIndex.commitFence = _ => ()
+      release.countDown()
+    }
+  }
+
+  test("a crashed committer's stale _commit-lock (older than the " +
+      "lease) is broken — ingest is never wedged by crash residue") {
+    val dir = tmpDir("annidx21")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val lock = Paths.get(dir, "_commit-lock")
+    Files.createDirectory(lock)
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis()
+        - AnnIndex.CommitLeaseMillis - 60000L))
+    val sess = spark
+    import sess.implicits._
+    val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    assert(AnnIndex.publishDelta(d1, dir) == "v2",
+      "a stale claim must be broken, not waited out for the full lease")
+    assert(AnnIndex.currentVersion(dir).contains("v2"))
+    assert(!Files.exists(lock), "the broken claim must not linger")
+  }
+
   test("publishDelta without a committed base fails loudly") {
     val dir = tmpDir("annidx8")
     val (_, p) = fixture(4)
