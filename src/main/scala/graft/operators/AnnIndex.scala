@@ -28,6 +28,8 @@ import java.nio.charset.StandardCharsets
   *   indexDir/v<N>/postings/cell=<id>/ (parquet files)
   *   indexDir/v<N>/_manifest.json   written LAST inside the version
   *   indexDir/_current              pointer "v<N>"; tmp + ATOMIC_MOVE flip
+  *   indexDir/_commit-lock          atomic flip-claim dir, age-leased
+  *   indexDir/_reading-<token>      read lease naming a loaded version
   * }}}
   *
   * [[publish]] writes the next version dir, its manifest, then flips the
@@ -54,9 +56,21 @@ object AnnIndex {
 
   /** A loaded index version: `centroids` is k rows (broadcast it),
     * `postings` one row per indexed vector, `cell` restored to LONG
-    * (partition-column inference would otherwise narrow small ids). */
+    * (partition-column inference would otherwise narrow small ids).
+    * `leaseFile` is the read lease [[load]] dropped — vacuum keeps the
+    * leased version (and everything its manifest references) while the
+    * lease is younger than [[ReadLeaseMillis]], so a long probe over a
+    * since-republished version cannot have its postings reclaimed
+    * mid-read. Call [[Handle.release]] when done with the handle to
+    * free the history immediately; an unreleased lease simply ages out. */
   final case class Handle(version: String, k: Int,
-      centroids: DataFrame, postings: DataFrame)
+      centroids: DataFrame, postings: DataFrame,
+      leaseFile: Option[Path] = None) {
+    def release(): Unit = leaseFile.foreach { p =>
+      try Files.deleteIfExists(p)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -449,8 +463,35 @@ object AnnIndex {
       spark.read.parquet(s"$indexDir/$d")
         .withColumn("cell", col("cell").cast("long"))
     }.reduce(_.unionByName(_))
-    Handle(version, m.k, centroids, postings)
+    // drop a read lease naming the resolved version: vacuum keeps the
+    // version (and its whole referenced chain) while the lease is
+    // fresh, so this handle's lazy postings frame stays readable even
+    // across republishes. Best-effort — a read-only mount must not
+    // fail the load (such a store can't be vacuumed from here either).
+    val lease = Paths.get(indexDir,
+      s"$LeasePrefix${java.util.UUID.randomUUID()}")
+    val leased =
+      try { Files.write(lease, version.getBytes(StandardCharsets.UTF_8))
+        true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    Handle(version, m.k, centroids, postings,
+      if (leased) Some(lease) else None)
   }
+
+  /** Read leases younger than this protect the version they name from
+    * [[vacuum]]: a reader that loaded a `Handle` before several
+    * republishes would otherwise have its postings dirs reclaimed
+    * mid-probe (the orphan age gate protects in-flight BUILDS, not
+    * in-flight READS of old committed history). A lease, not a lock:
+    * a probe outliving the window remains exposed — size this knob (or
+    * `keep`) to the longest reader lifetime, or have long-lived
+    * readers re-[[load]] periodically (each load drops a fresh lease).
+    * Override with -Dgraft.annindex.readLeaseMs. */
+  private[operators] def ReadLeaseMillis: Long =
+    sys.props.get("graft.annindex.readLeaseMs").flatMap(_.toLongOption)
+      .getOrElse(60L * 60 * 1000)
+
+  private val LeasePrefix = "_reading-"
 
   /** Orphan (manifest-less) dirs younger than this survive vacuum: a
     * cross-process vacuum racing another driver's IN-FLIGHT build would
@@ -479,8 +520,13 @@ object AnnIndex {
     * versions, not version NUMBERS, matters under gapped numbering:
     * v1,v2 committed + v3 orphaned + v4 committed must keep v2 (the
     * only rollback target) under keep=1, not retain the useless v3
-    * while deleting v2. Never touches the current version or the
-    * pointer. `now` is injectable for tests. */
+    * while deleting v2. Versions named by a FRESH read lease
+    * (`_reading-*` younger than [[ReadLeaseMillis]], dropped by
+    * [[load]]) join the retained set — a long probe over
+    * since-republished history must not have its postings reclaimed
+    * mid-read; stale lease files are deleted as housekeeping. Never
+    * touches the current version or the pointer. `now` is injectable
+    * for tests. */
   def vacuum(indexDir: String, keep: Int = 1,
       now: Long = System.currentTimeMillis()): Unit =
     lockFor(indexDir).synchronized {
@@ -507,11 +553,43 @@ object AnnIndex {
         val committedBelow = versions.collect {
           case (n, _) if n < currentNum.get && parsed(n).isDefined => n
         }.sorted.takeRight(math.max(keep, 0)).toSet
-        val retained = committedBelow + currentNum.get
-        // a RETAINED version with an unparseable manifest means its
-        // reference list is unknowable — deleting anything could
-        // destroy data its real chain reads (and make hand-repairing
-        // the manifest, the natural recovery, point at deleted data).
+        // fresh read leases pin the version they name (and, through
+        // the retained-manifest reference walk below, its whole
+        // chain); stale ones are crash/forgotten-handle residue —
+        // deleted here so they can't accumulate. A lease naming a
+        // version no longer on disk is ignored (already reclaimed
+        // before this lease existed, or junk).
+        val leaseCutoff = now - ReadLeaseMillis
+        val onDisk = versions.map(_._1).toSet
+        val ls = Files.list(d)
+        val leaseFiles = try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.filter(
+            _.getFileName.toString.startsWith(LeasePrefix)).toSeq
+        } finally ls.close()
+        val leased = leaseFiles.flatMap { p =>
+          val fresh =
+            try Files.getLastModifiedTime(p).toMillis >= leaseCutoff
+            catch { case _: java.io.IOException => true } // vanished/unreadable: fresh
+          if (!fresh) {
+            try Files.deleteIfExists(p)
+            catch { case scala.util.control.NonFatal(_) => () }
+            None
+          } else
+            try new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+              .trim match {
+                case VersionName(n) => Some(n.toLong).filter(onDisk)
+                case _ => None // torn/junk content: ignore until stale
+              }
+            catch { case scala.util.control.NonFatal(_) => None }
+        }.toSet
+        val retained = committedBelow + currentNum.get ++ leased
+        // a RETAINED version (kept history OR fresh-leased) with an
+        // unparseable manifest means its reference list is unknowable —
+        // deleting anything could destroy data its real chain reads
+        // (and make hand-repairing the manifest, the natural recovery,
+        // point at deleted data). For a leased version the damage is
+        // live: load() parsed that manifest when it dropped the lease.
         // Abort the whole vacuum; reclaim nothing until it's repaired
         // or republished over.
         if (retained.forall(n => parsed.getOrElse(n, None).isDefined)) {
@@ -569,7 +647,11 @@ object AnnIndex {
       if (m.postingsDirs.size == 1) version
       else {
         val h = load(spark, indexDir)
-        publish(h.centroids, h.postings, indexDir, m.k)
+        // the internal load dropped a read lease; the rewrite is done
+        // reading the chain once publish returns, so release it rather
+        // than leave one lease file per compaction to age out
+        try publish(h.centroids, h.postings, indexDir, m.k)
+        finally h.release()
       }
     }
 

@@ -306,6 +306,81 @@ class AnnIndexSpec extends SparkSuite {
     assert(!Files.exists(lock), "the broken claim must not linger")
   }
 
+  test("a FRESH read lease pins the loaded version AND its referenced " +
+      "chain through vacuum — a long probe over since-republished " +
+      "history keeps its postings readable; release() frees it") {
+    val dir = tmpDir("annidx22")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val sess = spark
+    import sess.implicits._
+    val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    AnnIndex.publishDelta(d1, dir) // v2 (reads v1's postings)
+    val h = AnnIndex.load(spark, dir) // the long-lived reader, on v2
+    assert(h.leaseFile.exists(Files.exists(_)),
+      "load must drop a read lease naming the loaded version")
+    val (c2, p2) = fixture(6, shift = 0.5)
+    AnnIndex.publish(c2, p2, dir, k = 4) // v3 — h's chain is history now
+    // vacuum uses the injected staleClock, so refresh the lease's
+    // mtime against it (a live reader's lease is fresh by definition)
+    Files.setLastModifiedTime(h.leaseFile.get,
+      java.nio.file.attribute.FileTime.fromMillis(staleClock))
+    AnnIndex.vacuum(dir, keep = 0, now = staleClock)
+    assert(Files.exists(Paths.get(dir, "v2")) &&
+      Files.exists(Paths.get(dir, "v1")),
+      "a fresh lease must pin the leased version AND the chain its " +
+        "manifest references")
+    assert(h.postings.count() == 9,
+      "the leased handle must stay fully readable after vacuum")
+    h.release()
+    assert(!Files.exists(h.leaseFile.get))
+    AnnIndex.vacuum(dir, keep = 0, now = staleClock)
+    assert(!Files.exists(Paths.get(dir, "v1")) &&
+      !Files.exists(Paths.get(dir, "v2")),
+      "a released lease frees the history for the next vacuum")
+    assert(AnnIndex.load(spark, dir).version == "v3")
+  }
+
+  test("a STALE read lease is ignored and deleted: a crashed or " +
+      "forgotten reader cannot pin history forever") {
+    val dir = tmpDir("annidx23")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val h = AnnIndex.load(spark, dir) // lease on v1, real-clock mtime
+    val (c2, p2) = fixture(6, shift = 0.5)
+    AnnIndex.publish(c2, p2, dir, k = 4) // v2
+    // under the injected staleClock the lease's real-now mtime is past
+    // the lease window — exactly a reader that died holding it
+    AnnIndex.vacuum(dir, keep = 0, now = staleClock)
+    assert(!Files.exists(Paths.get(dir, "v1")),
+      "a stale lease must not pin the version it names")
+    assert(h.leaseFile.exists(p0 => !Files.exists(p0)),
+      "vacuum must delete stale lease files as housekeeping")
+  }
+
+  test("vacuum ABORTS when a fresh-LEASED version's manifest is " +
+      "unparseable — load() parsed it when the lease was dropped, so " +
+      "this is live damage and nothing may be reclaimed") {
+    val dir = tmpDir("annidx24")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val h = AnnIndex.load(spark, dir) // lease on v1
+    val (c2, p2) = fixture(6, shift = 0.5)
+    AnnIndex.publish(c2, p2, dir, k = 4) // v2, current
+    Files.write(Paths.get(dir, "v1", "_manifest.json"),
+      "{not json".getBytes)
+    Files.setLastModifiedTime(h.leaseFile.get,
+      java.nio.file.attribute.FileTime.fromMillis(staleClock))
+    // an unrelated stale orphan that an aborted vacuum must NOT touch
+    Files.createDirectories(Paths.get(dir, "v9", "postings"))
+    AnnIndex.vacuum(dir, keep = 0, now = staleClock)
+    assert(Files.exists(Paths.get(dir, "v1")) &&
+      Files.exists(Paths.get(dir, "v9")),
+      "vacuum must reclaim NOTHING while a leased manifest is damaged")
+    h.release()
+  }
+
   test("publishDelta without a committed base fails loudly") {
     val dir = tmpDir("annidx8")
     val (_, p) = fixture(4)
