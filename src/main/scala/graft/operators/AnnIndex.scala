@@ -657,4 +657,55 @@ object AnnIndex {
 
   private def deleteTree(p: Path): Unit =
     graft.FsTree.delete(p, bestEffort = true)
+
+  /** One version's operator-facing summary: `committed` = carries a
+    * fully-parseable manifest; the manifest fields are surfaced flat
+    * (None for orphans) with `chain` = how many postings roots a load
+    * of this version would union — the number compaction collapses. */
+  final case class VersionInfo(name: String, committed: Boolean,
+      k: Option[Int], centroids: Option[Long], postings: Option[Long],
+      chain: Option[Int])
+
+  /** The whole store's operator-facing summary, served by the
+    * management server's `GET /v1/ann`. */
+  final case class IndexInfo(current: Option[String],
+      versions: Seq[VersionInfo], freshLeases: Int, staleLeases: Int)
+
+  /** Inspect the store without loading it: pointer, per-version
+    * manifest summaries (orphans included — they are what vacuum
+    * reclaims), and read-lease counts split fresh/stale by
+    * [[ReadLeaseMillis]]. Read-only: never parses leases' contents,
+    * never deletes, never takes the dir lock. */
+  def describe(indexDir: String,
+      now: Long = System.currentTimeMillis()): IndexInfo = {
+    val d = Paths.get(indexDir)
+    if (!Files.exists(d)) IndexInfo(None, Nil, 0, 0)
+    else {
+      val s = Files.list(d)
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally s.close()
+      val versions = names.flatMap(n =>
+        VersionName.findFirstMatchIn(n).map(m => m.group(1).toLong -> n))
+        .sortBy(_._1).map { case (_, v) =>
+          tryManifest(indexDir, v) match {
+            case Some(m) => VersionInfo(v, committed = true, Some(m.k),
+              Some(m.centroids), Some(m.postings),
+              Some(m.postingsDirs.size))
+            case None => VersionInfo(v, committed = false,
+              None, None, None, None)
+          }
+        }
+      val leaseCutoff = now - ReadLeaseMillis
+      val (fresh, stale) = names.filter(_.startsWith(LeasePrefix))
+        .partition { n =>
+          try Files.getLastModifiedTime(d.resolve(n)).toMillis >=
+            leaseCutoff
+          catch { case _: java.io.IOException => true }
+        }
+      IndexInfo(currentVersion(indexDir), versions,
+        fresh.size, stale.size)
+    }
+  }
 }

@@ -26,6 +26,10 @@ final case class UserRoute(
   *   GET    /metrics                   → Prometheus text exposition (O4,
   *                                       prometheus_exporter.clj:22-44)
   *   GET    /v1/queries                → running streaming queries + status
+  *   GET    /v1/ann?dir=               → ANN index-store summary (versions,
+  *                                       pointer, lease counts)
+  *   POST   /v1/ann/compact?dir=       → rewrite the delta chain as one version
+  *   POST   /v1/ann/vacuum?dir=&keep=  → reclaim unreferenced versions
   *   + any [[UserRoute]]s (actor-routes, server/routes.clj:18-23)
   *
   * Built on the JDK's HttpServer (no extra deps); driver-side only — every
@@ -213,6 +217,79 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
         respond(ex, 500,
           s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
     }
+  })
+
+  // ANN index-store lifecycle (operators/AnnIndex.scala): the engine's
+  // other durable artifacts (dead-set, preflight log, queries) are
+  // inspectable and operable over /v1/* — the ANN store gets the same
+  // discipline (the reference's management-API shape,
+  // resource/dead_set.clj:46-94). GET describes without loading;
+  // compact/vacuum are the two operator actions a serving index needs.
+  private def annError(ex: HttpExchange): PartialFunction[Throwable, Unit] = {
+    case e: IllegalArgumentException =>
+      respond(ex, 400,
+        s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+    case e: Throwable =>
+      respond(ex, 500,
+        s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+  }
+
+  private def annDir(p: Map[String, String]): String = {
+    val dir = p.getOrElse("dir", "")
+    if (dir.isEmpty) throw new IllegalArgumentException("dir required")
+    dir
+  }
+
+  server.createContext("/v1/ann", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      if (ex.getRequestMethod != "GET")
+        respond(ex, 405, """{"error":"GET required"}""")
+      else {
+        val info = graft.operators.AnnIndex.describe(annDir(params(ex)))
+        val vs = info.versions.map { v =>
+          val head = s""""name":"${jsonEscape(v.name)}",""" +
+            s""""committed":${v.committed}"""
+          val m = (v.k, v.centroids, v.postings, v.chain) match {
+            case (Some(k), Some(c), Some(p0), Some(ch)) =>
+              s""","k":$k,"centroids":$c,"postings":$p0,"chain":$ch"""
+            case _ => ""
+          }
+          s"{$head$m}"
+        }.mkString("[", ",", "]")
+        val cur = info.current
+          .map(c => s""""${jsonEscape(c)}"""").getOrElse("null")
+        respond(ex, 200, s"""{"current":$cur,"versions":$vs,""" +
+          s""""fresh_leases":${info.freshLeases},""" +
+          s""""stale_leases":${info.staleLeases}}""")
+      }
+    } catch annError(ex)
+  })
+
+  server.createContext("/v1/ann/compact", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST required"}""")
+      else {
+        val v = graft.operators.AnnIndex.compact(spark, annDir(params(ex)))
+        respond(ex, 200, s"""{"compacted":"${jsonEscape(v)}"}""")
+      }
+    } catch annError(ex)
+  })
+
+  server.createContext("/v1/ann/vacuum", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      val p = params(ex)
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST required"}""")
+      else {
+        val dir = annDir(p)
+        val keep = nonNegIntParam(p, "keep", 1)
+        graft.operators.AnnIndex.vacuum(dir, keep)
+        val left = graft.operators.AnnIndex.describe(dir).versions
+          .map(v => s""""${jsonEscape(v.name)}"""").mkString("[", ",", "]")
+        respond(ex, 200, s"""{"ok":true,"versions":$left}""")
+      }
+    } catch annError(ex)
   })
 
   // O4 Prometheus text exposition (format 0.0.4): counters as

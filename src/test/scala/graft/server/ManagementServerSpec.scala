@@ -331,6 +331,68 @@ class ManagementServerSpec extends SparkSuite {
     }
   }
 
+  test("ANN index-store lifecycle over /v1/ann: GET describes a " +
+      "published index (versions, pointer, lease counts), POST compact " +
+      "collapses the delta chain, POST vacuum runs with the standard " +
+      "400 mapping — the store gets the same operability as the " +
+      "engine's other durable artifacts (resource/dead_set.clj:46-94)") {
+    import graft.operators.AnnIndex
+    withServer { (port, _, _) =>
+      val sess = spark
+      import sess.implicits._
+      val idxDir = s"${tmpDir("mgmtann")}/ivf"
+      // client errors first: missing dir param is a 400 on all three
+      assert(get(port, "/v1/ann")._1 == 400)
+      assert(send(port, "POST", "/v1/ann/compact")._1 == 400)
+      assert(send(port, "POST", "/v1/ann/vacuum")._1 == 400)
+      assert(get(port, "/v1/ann?dir=/no/such/index")
+        == (200, """{"current":null,"versions":[],""" +
+          """"fresh_leases":0,"stale_leases":0}"""))
+      // publish a full version + one delta: a 2-root chain
+      val cents = (1 to 4).map(i =>
+        (i.toLong, Seq(i.toDouble, 1.0), 1.0)).toDF("cent_id", "cv", "cn")
+      val posts = (1 to 8).map(i => (i.toLong + 100,
+        Seq(i.toDouble, 2.0), 2.0, (i % 4 + 1).toLong))
+        .toDF("vec_id", "vd", "nrm", "cell")
+      AnnIndex.publish(cents, posts, idxDir, k = 4)
+      val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+        .toDF("vec_id", "vd", "nrm", "cell")
+      AnnIndex.publishDelta(d1, idxDir)
+      val h = AnnIndex.load(spark, idxDir) // drops one fresh lease
+      val (s1, b1) = get(port, s"/v1/ann?dir=$idxDir")
+      assert(s1 == 200, s"$s1 $b1")
+      assert(b1.contains(""""current":"v2""""), b1)
+      assert(b1.contains(""""name":"v1","committed":true,"k":4,""" +
+        """"centroids":4,"postings":8,"chain":1"""), b1)
+      assert(b1.contains(""""name":"v2","committed":true,"k":4,""" +
+        """"centroids":4,"postings":9,"chain":2"""), b1)
+      assert(b1.contains(""""fresh_leases":1"""), b1)
+      h.release()
+      // compact: the chain collapses to one self-contained version
+      val (s2, b2) = send(port, "POST", s"/v1/ann/compact?dir=$idxDir")
+      assert(s2 == 200 && b2 == """{"compacted":"v3"}""", s"$s2 $b2")
+      val (_, b3) = get(port, s"/v1/ann?dir=$idxDir")
+      assert(b3.contains(""""current":"v3"""") && b3.contains(
+        """"name":"v3","committed":true,"k":4,"centroids":4,""" +
+          """"postings":9,"chain":1"""), b3)
+      assert(b3.contains(""""fresh_leases":0"""),
+        s"compact must release its internal lease; $b3")
+      // vacuum runs (fresh dirs survive the age gate — reclaim
+      // semantics are AnnIndexSpec's); negative keep is a 400
+      val (s4, b4) = send(port, "POST",
+        s"/v1/ann/vacuum?dir=$idxDir&keep=1")
+      assert(s4 == 200 && b4.startsWith("""{"ok":true,"versions":["""),
+        s"$s4 $b4")
+      assert(b4.contains("\"v3\""), b4)
+      val (s5, b5) = send(port, "POST",
+        s"/v1/ann/vacuum?dir=$idxDir&keep=-1")
+      assert(s5 == 400 && b5.contains("keep must be >= 0"), s"$s5 $b5")
+      // wrong methods are 405s
+      assert(send(port, "POST", s"/v1/ann?dir=$idxDir")._1 == 405)
+      assert(get(port, s"/v1/ann/compact?dir=$idxDir")._1 == 405)
+    }
+  }
+
   test("negative dead-set count is a 400 client error, not a 500 from " +
       "DataFrame.limit(-1)'s AnalysisException") {
     withServer { (port, _, _) =>
