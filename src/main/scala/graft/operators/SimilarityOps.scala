@@ -1625,45 +1625,59 @@ object SimilarityOps {
     probePersisted(emb, AnnIndex.load(s, indexDir))
   }
 
-  /** The probe half shared by s18 (full publish) and s19 (delta chain):
-    * assign the query batch against the LOADED centroids, then rank
-    * full-precision candidates from the LOADED postings — the same math
-    * as s03, reading only persisted structures.
-    *
-    * The postings scan is pruned to the PROBED CELLS with a literal
-    * partition predicate: the probed-cell set is bounded by k (the
-    * coarse quantizer's size — never by the query-batch size), so
-    * collecting it is a constant-size driver aggregate at any scale, and
-    * the IN filter prunes EVERY chain root at file-index time. The
-    * tempting alternative — broadcast the probe frame and let dynamic
-    * partition pruning plant a subquery — measurably does NOT hold under
-    * AQE: the result-stage re-planning degraded the planted pruning
-    * expression to `true` and the executed scan read all 32 cell
-    * partitions (numPartitions=32, pruningTime=0). Static pruning is
-    * deterministic, works on every union leg, and is pinned by the
-    * partitions-read metric (PlanSpec s18/s19, AnnIndexSpec). The
-    * assignment frame is eagerly localCheckpoint'ed so its O(Q·k) pass
-    * runs exactly once for both consumers (the driver-side cell
-    * collect and the candidate join) — the frame is ≤ Q·nprobe rows,
-    * and the checkpoint needs no unpersist lifecycle. */
+  /** The fixture adapter shared by s18 (full publish), s19 (delta
+    * chain), and s20 (compacted chain): vectors 1-9 are the query
+    * batch, the rest the candidates — the same math as s03, served by
+    * [[probeIndex]] reading only persisted structures. The
+    * probed-cell partition pruning and its measured DPP dead end are
+    * documented on [[probeIndex]]; pinned by the partitions-read
+    * metric (PlanSpec s18/s19/s20, AnnIndexSpec). */
   private def probePersisted(emb: DataFrame,
-      idx: AnnIndex.Handle): DataFrame = {
-    val scored0 = emb.filter(col("vec_id").between(1, 9))
-      .join(broadcast(idx.centroids), lit(true))
+      idx: AnnIndex.Handle): DataFrame =
+    probeIndex(
+      emb.filter(col("vec_id").between(1, 9))
+        .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+          col("nrm").as("qn")),
+      // the fixture indexes the query vectors too — exclude them from
+      // the candidate side via the handle's postings frame (the copy
+      // keeps probeIndex's API minimal: callers pre-filter candidates)
+      idx.copy(postings = idx.postings.filter(col("vec_id") >= 10)),
+      nprobe = ivfNprobe, topK = 3)
+      .orderBy(col("q_id"), col("rk"))
+
+  /** The SERVING entry point over a loaded persisted index — the probe
+    * half every batch shape reuses, including `foreachBatch`
+    * micro-batch handlers (load once per batch, probe, write; see
+    * AnnIndexStreamSpec for the pattern under concurrent compaction).
+    * `queries` carries (q_id: long, qv: array<double>, qn: double).
+    * Each query is assigned to its `nprobe` nearest centroids (the
+    * k-row quantizer broadcasts; the assignment is eagerly
+    * localCheckpoint'ed so its O(Q·k) pass runs once for both
+    * consumers), the postings scan is pruned to the probed cells with
+    * a literal partition `IN` over the k-bounded cell set (collected
+    * on the driver — constant-size at any corpus scale; measured: DPP
+    * degrades to an unpruned scan under AQE re-planning), and
+    * full-precision candidates are ranked per query. Output:
+    * (q_id, cell, rk, neighbor_id, cos_sim), unordered — sort at the
+    * sink if required. */
+  def probeIndex(queries: DataFrame, idx: AnnIndex.Handle,
+      nprobe: Int, topK: Int): DataFrame = {
+    require(nprobe > 0 && topK > 0,
+      s"nprobe and topK must be positive, got $nprobe/$topK")
+    val scored0 = queries.join(broadcast(idx.centroids), lit(true))
       .withColumn("cc", round(
-        dotF64(col("vd"), col("cv")) / (col("nrm") * col("cn")), 4))
-    val wAssign = Window.partitionBy(col("vec_id"))
+        dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val wAssign = Window.partitionBy(col("q_id"))
       .orderBy(col("cc").desc, col("cent_id"))
     val assigned = scored0.withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") <= ivfNprobe)
-      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
-        col("nrm").as("qn"), col("cent_id").as("cell"))
+      .filter(col("ark") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("cent_id").as("cell"))
       .localCheckpoint(true)
     val probedCells = assigned.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     val c = idx.postings
       .filter(col("cell").isin(probedCells: _*))
-      .filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("vd").as("cv2"),
         col("nrm").as("cn2"), col("cell"))
     val scored = broadcast(assigned).join(c, "cell")
@@ -1672,10 +1686,9 @@ object SimilarityOps {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= topK)
       .select(col("q_id"), col("cell"), col("rk"),
         col("c_id").as("neighbor_id"), col("cos_sim"))
-      .orderBy(col("q_id"), col("rk"))
   }
 
   /** s18 shares s03's oracle verbatim: the persisted-index probe must be
