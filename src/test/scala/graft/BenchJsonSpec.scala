@@ -48,109 +48,170 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(parsed.contains("calibration_sec") && parsed.contains("stream"))
   }
 
+  import Bench.StreamFragment
+
   test("stream fragment: BEST of the measured passes is reported (min " +
-      "seconds), stream_passes carries the pass count, and the main runs " +
-      "the pinned multi-pass count") {
-    val j = Bench.streamJson(500000L, Seq(
-      (4.0, 125000.0), (3.2, 156250.0), (5.1, 98039.0)))
+      "seconds), stream_passes carries the pass count, spread/suspect/" +
+      "reruns ride every fragment, and the main runs the pinned " +
+      "multi-pass count") {
+    val j = Bench.streamJson(Seq(StreamFragment("stream", 500000L, Seq(
+      (4.0, 125000.0), (3.2, 156250.0), (4.1, 121951.0)))))
+    ujson(s"""{"_":0$j}""")
     assert(j.contains("\"sec\":3.200"), j)
     assert(j.contains("\"events_per_sec\":156250"), j)
     assert(j.contains("\"stream_passes\":3"), j)
+    // spread 4.1/3.2 = 1.281 < 1.5: within cold-pass noise, not suspect
+    assert(j.contains("\"spread\":1.281"), j)
+    assert(j.contains("\"suspect\":false"), j)
+    assert(j.contains("\"reruns\":0"), j)
     // the measured-pass count the main loops over — min-of-1 is exactly
     // the round-8 defect (one polluted pass rode the artifact)
     assert(Bench.streamPassCount >= 3,
       "the stream number needs the same min-of-N defense as queries")
-    intercept[IllegalArgumentException] { Bench.streamJson(1L, Nil) }
+    intercept[IllegalArgumentException] { Bench.streamJson(Nil) }
+    intercept[IllegalArgumentException] {
+      Bench.streamJson(Seq(StreamFragment("stream", 1L, Nil)))
+    }
   }
 
-  test("stream_long fragment: BEST of the long-horizon passes rides its " +
-      "own key with a passes count beside the min-of-N short passes, and " +
-      "is omitted when disabled or when every long pass failed") {
-    val withLong = Bench.streamJson(500000L, Seq((3.2, 156250.0)),
-      longN = 5000000L,
-      longRuns = Seq((41.7, 119904.0), (33.1, 151057.0)))
-    val parsed = ujson(s"""{"_":0$withLong}""")
-    assert(parsed.contains("stream") && parsed.contains("stream_long"),
-      withLong)
-    assert(withLong.contains(""""stream_long":{"events":5000000"""),
-      withLong)
+  test("stream_long / stream_long_rocksdb fragments ride their own " +
+      "best-of-N keys with a passes count, and are omitted when " +
+      "disabled or when every pass failed") {
+    val j = Bench.streamJson(Seq(
+      StreamFragment("stream", 500000L, Seq((3.2, 156250.0))),
+      StreamFragment("stream_long", 5000000L,
+        Seq((41.7, 119904.0), (33.1, 151057.0))),
+      StreamFragment("stream_long_rocksdb", 5000000L,
+        Seq((21.4, 233645.0), (18.2, 274725.0)))))
+    ujson(s"""{"_":0$j}""")
+    assert(j.contains(""""stream_long":{"events":5000000"""), j)
     // min-seconds pass wins, same defense as the short fragment
-    assert(withLong.contains("\"sec\":33.100"), withLong)
-    assert(withLong.contains("\"events_per_sec\":151057"), withLong)
-    assert(withLong.contains("\"passes\":2"), withLong)
+    assert(j.contains("\"sec\":33.100"), j)
+    assert(j.contains("\"events_per_sec\":151057"), j)
+    assert(j.contains(""""stream_long_rocksdb":{"events":5000000"""), j)
+    assert(j.contains("\"sec\":18.200"), j)
+    assert(j.contains("\"events_per_sec\":274725"), j)
     // short-horizon fields unchanged by the long passes
-    assert(withLong.contains("\"stream_passes\":1"), withLong)
+    assert(j.contains("\"stream_passes\":1"), j)
     // the main loops the pinned count — one-pass long numbers are the
     // r10 variance defect (766k recorded vs 1.28M clean same-box)
     assert(Bench.longStreamPassCount >= 2,
       "stream_long needs best-of-N, not a single cold pass")
-    val without = Bench.streamJson(500000L, Seq((3.2, 156250.0)))
+    val without = Bench.streamJson(Seq(
+      StreamFragment("stream", 500000L, Seq((3.2, 156250.0))),
+      StreamFragment("stream_long", 5000000L, Nil),
+      StreamFragment("stream_long_rocksdb", 5000000L, Nil)))
     assert(!without.contains("stream_long"), without)
-    val allFailed = Bench.streamJson(500000L, Seq((3.2, 156250.0)),
-      longN = 5000000L, longRuns = Nil)
-    assert(!allFailed.contains("stream_long"), allFailed)
   }
 
-  test("stream_long_rocksdb fragment: the RocksDB-backed STATEFUL long " +
-      "passes ride their own best-of-N key with a passes count, and are " +
-      "omitted when disabled or when every pass failed") {
-    val j = Bench.streamJson(500000L, Seq((3.2, 156250.0)),
-      longN = 5000000L,
-      longRuns = Seq((4.0, 1250000.0)),
-      rocksLongRuns = Seq((21.4, 233645.0), (18.2, 274725.0)))
-    val parsed = ujson(s"""{"_":0$j}""")
-    assert(parsed.contains("stream_long_rocksdb"), j)
-    assert(j.contains(""""stream_long_rocksdb":{"events":5000000"""), j)
-    // best (min-seconds) pass wins, same defense as stream_long
-    assert(j.contains("\"sec\":18.200"), j)
-    assert(j.contains("\"events_per_sec\":274725"), j)
-    // both long fragments coexist, each with its own passes count
-    assert(j.contains(""""stream_long":{"events":5000000,"sec":4.000"""), j)
-    val without = Bench.streamJson(500000L, Seq((3.2, 156250.0)),
-      longN = 5000000L, longRuns = Seq((4.0, 1250000.0)))
-    assert(!without.contains("stream_long_rocksdb"), without)
+  test("per-fragment brackets close the r14 laundering hole: a clean " +
+      "section bracket beside a DIRTY long-fragment bracket flags the " +
+      "long fragment, normalizes it by its OWN ratio, and still flags " +
+      "the section (stream_load_suspect = OR over fragments)") {
+    // section-edge calibrations clean (1.0 = floor); the long fragment's
+    // own bracket reads 5x the floor — r14's section-wide bracket
+    // certified this exact window clean and normalized 215k as-is
+    val j = Bench.streamJson(Seq(
+      StreamFragment("stream", 500000L, Seq((1.0, 500000.0)),
+        calBefore = Some(1.0), calAfter = Some(1.0)),
+      StreamFragment("stream_long", 5000000L, Seq((23.0, 217391.0)),
+        calBefore = Some(1.0), calAfter = Some(5.0)),
+      StreamFragment("stream_long_rocksdb", 5000000L,
+        Seq((9.0, 555555.0)),
+        calBefore = Some(5.0), calAfter = Some(5.1))),
+      idleRef = 1.0)
+    ujson(s"""{"_":0$j}""")
+    // the short fragment is clean: ratio 1, normalized = raw
+    assert(j.contains(""""stream":{"events":500000,"sec":1.000,""" +
+      """"events_per_sec":500000,"events_per_sec_normalized":500000,""" +
+      """"stream_passes":1,"spread":1.000,""" +
+      """"cal_sec":{"before":1.000,"after":1.000},"cal_ratio":1.000,""" +
+      """"suspect":false,"reruns":0"""), j)
+    // the long fragment's own bracket DRIFTED 1->5: suspect, and its
+    // normalization uses ITS best side (ratio 1.0 -> x1), never the
+    // dirty 5x as a multiplier from a section-wide average
+    assert(j.contains(""""stream_long":{"events":5000000,"sec":23.000,""" +
+      """"events_per_sec":217391,"events_per_sec_normalized":217391,""" +
+      """"passes":1,"spread":1.000,""" +
+      """"cal_sec":{"before":1.000,"after":5.000},"cal_ratio":1.000,""" +
+      """"suspect":true"""), j)
+    // the rocksdb fragment ran WHOLLY inside the contention window:
+    // absolute trigger (5/1 > 1.3), normalized UP by its own 5x ratio
+    assert(j.contains(""""stream_long_rocksdb":{"events":5000000,""" +
+      """"sec":9.000,"events_per_sec":555555,""" +
+      """"events_per_sec_normalized":2777775,"passes":1,""" +
+      """"spread":1.000,"cal_sec":{"before":5.000,"after":5.100},""" +
+      """"cal_ratio":5.000,"suspect":true"""), j)
+    // section keys: span = first before -> last after; ratio = best
+    // calibration anywhere; suspect = OR over fragments even though the
+    // section edges (1.0 ... 5.1) drifted too in this fixture
+    assert(j.contains(""""calibration_stream_sec":{"before":1.000,""" +
+      """"after":5.100}"""), j)
+    assert(j.contains(""""calibration_stream_ratio":1.000"""), j)
+    assert(j.contains(""""stream_load_suspect":true"""), j)
   }
 
-  test("stream-shaped calibration: when the (before, after) pass times " +
-      "bracket the section, the fragment carries calibration_stream_* " +
-      "keys, a drift-or-absolute stream_load_suspect, and every " +
-      "fragment an events_per_sec_normalized = eps x max(1, ratio); " +
-      "absent calibration keeps the legacy shape") {
-    val runs = Seq((3.2, 156250.0))
-    val longRuns = Seq((4.0, 1000000.0))
-    // clean host: best pass at the idle floor → ratio 1, normalized ≡ raw
-    val clean = Bench.streamJson(500000L, runs, longN = 5000000L,
-      longRuns = longRuns, streamCal = Some((1.0, 1.05)), idleRef = 1.0)
-    ujson(s"""{"_":0$clean}""")
-    assert(clean.contains(
-      """"calibration_stream_sec":{"before":1.000,"after":1.050}"""), clean)
-    assert(clean.contains(""""calibration_stream_ratio":1.000"""), clean)
+  test("pass SPREAD flags contention that hit some passes even when " +
+      "every calibration ran clean (bursts strictly inside a " +
+      "fragment's window), and a missing bracket side degrades " +
+      "honestly; a clean multi-fragment run is suspect nowhere") {
+    // burst inside the long window: passes 8s vs 20s = 2.5x spread,
+    // both brackets clean
+    val burst = Bench.streamJson(Seq(
+      StreamFragment("stream", 500000L, Seq((1.0, 500000.0)),
+        calBefore = Some(1.0), calAfter = Some(1.0)),
+      StreamFragment("stream_long", 5000000L,
+        Seq((8.0, 625000.0), (20.0, 250000.0), (8.2, 609756.0)),
+        calBefore = Some(1.0), calAfter = Some(1.0), reruns = 1)),
+      idleRef = 1.0)
+    ujson(s"""{"_":0$burst}""")
+    assert(burst.contains("\"spread\":2.500"), burst)
+    assert(burst.contains(""""cal_ratio":1.000,"suspect":true,""" +
+      """"reruns":1"""), burst)
+    assert(burst.contains(""""stream_load_suspect":true"""), burst)
+    // best pass still wins the value: min seconds = 8.0
+    assert(burst.contains(""""stream_long":{"events":5000000,""" +
+      """"sec":8.000"""), burst)
+    // a failed boundary pass leaves one bracket side: cal_sec carries
+    // only the present side, cal_ratio/normalized still computed
+    val oneSided = Bench.streamJson(Seq(
+      StreamFragment("stream", 500000L, Seq((1.0, 500000.0)),
+        calBefore = Some(2.0), calAfter = None)), idleRef = 1.0)
+    ujson(s"""{"_":0$oneSided}""")
+    assert(oneSided.contains(""""cal_sec":{"before":2.000}"""), oneSided)
+    assert(oneSided.contains(""""cal_ratio":2.000"""), oneSided)
+    assert(oneSided.contains(
+      """"events_per_sec_normalized":1000000"""), oneSided)
+    assert(oneSided.contains(""""suspect":true"""), oneSided)
+    // fully clean run: no fragment suspect, section clean, normalized
+    // never flatters (ratio < 1 clamps to 1)
+    val clean = Bench.streamJson(Seq(
+      StreamFragment("stream", 500000L, Seq((1.0, 500000.0)),
+        calBefore = Some(0.9), calAfter = Some(1.0)),
+      StreamFragment("stream_long", 5000000L, Seq((8.0, 625000.0)),
+        calBefore = Some(1.0), calAfter = Some(1.05))), idleRef = 1.0)
+    assert(!clean.contains("\"suspect\":true"), clean)
     assert(clean.contains(""""stream_load_suspect":false"""), clean)
-    assert(clean.contains(""""events_per_sec":156250,""" +
-      """"events_per_sec_normalized":156250"""), clean)
-    // loaded host: best calibration 2x the floor → fragments normalize
-    // UP by 2x and the absolute trigger flags the section
-    val loaded = Bench.streamJson(500000L, runs, longN = 5000000L,
-      longRuns = longRuns, streamCal = Some((2.0, 2.1)), idleRef = 1.0)
-    assert(loaded.contains(""""calibration_stream_ratio":2.000"""), loaded)
-    assert(loaded.contains(""""stream_load_suspect":true"""), loaded)
-    assert(loaded.contains(""""events_per_sec_normalized":312500"""), loaded)
-    assert(loaded.contains(""""events_per_sec":1000000,""" +
-      """"events_per_sec_normalized":2000000"""), loaded)
-    // drift trigger: before/after >1.3x apart flags even below the floor
-    val drifted = Bench.streamJson(500000L, runs,
-      streamCal = Some((0.5, 0.9)), idleRef = 1.0)
-    assert(drifted.contains(""""stream_load_suspect":true"""), drifted)
-    // a FAST host never flatters: ratio < 1 clamps to 1 for normalization
-    val fast = Bench.streamJson(500000L, runs,
-      streamCal = Some((0.5, 0.5)), idleRef = 1.0)
-    assert(fast.contains(""""events_per_sec":156250,""" +
-      """"events_per_sec_normalized":156250"""), fast)
-    // no calibration → legacy shape, no new keys
-    val legacy = Bench.streamJson(500000L, runs)
-    assert(!legacy.contains("calibration_stream") &&
-      !legacy.contains("events_per_sec_normalized") &&
-      !legacy.contains("stream_load_suspect"), legacy)
+    assert(clean.contains(""""events_per_sec":500000,""" +
+      """"events_per_sec_normalized":500000"""), clean)
+    // no calibration anywhere → no calibration_stream/normalized keys,
+    // but spread/suspect/reruns still adjudicate each fragment
+    val noCal = Bench.streamJson(Seq(
+      StreamFragment("stream", 500000L,
+        Seq((1.0, 500000.0), (1.9, 263157.0)))))
+    assert(!noCal.contains("calibration_stream") &&
+      !noCal.contains("events_per_sec_normalized"), noCal)
+    assert(noCal.contains("\"spread\":1.900") &&
+      noCal.contains("\"suspect\":true"), noCal)
+  }
+
+  test("the spread bound is looser than the calibration drift bound " +
+      "(cold-route passes carry natural warmup variance) and passSpread " +
+      "is max/min seconds with 1.0 for a single pass") {
+    assert(Bench.StreamSpreadBound > 1.3 && Bench.StreamSpreadBound <= 2.0)
+    assert(Bench.passSpread(Seq((2.0, 1.0), (3.0, 1.0))) == 1.5)
+    assert(Bench.passSpread(Seq((2.0, 1.0))) == 1.0)
+    assert(Bench.passSpread(Nil) == 1.0)
   }
 
   test("load guard: >1.3x calibration drift in EITHER direction demands " +
