@@ -522,7 +522,9 @@ object Bench {
     *  - `reruns`: spread-triggered extra passes taken
     *
     * Section-wide keys remain for continuity: `calibration_stream_sec`
-    * spans the first fragment's before to the last attempted after,
+    * spans the first fragment's before to the LAST measured fragment's
+    * own after (a side whose boundary pass failed is omitted, never
+    * backfilled from a pre-fragment measurement),
     * `calibration_stream_ratio` is the best calibration anywhere in
     * the section over the floor, and `stream_load_suspect` is the OR
     * of the section bracket's own drift/absolute triggers and every
@@ -542,7 +544,8 @@ object Bench {
     def fragSuspect(f: StreamFragment): Boolean = {
       val drift = (for (b <- f.calBefore; a <- f.calAfter)
         yield loadRerunNeeded(b, a)).getOrElse(false)
-      val absolute = fragRatio(f).exists(_ > 1.3)
+      val absolute =
+        fragCalSides(f).minOption.exists(loadSuspectAbsolute(_, idleRef))
       passSpread(f.runs) > StreamSpreadBound || drift || absolute
     }
     def fragJson(f: StreamFragment): String =
@@ -573,8 +576,14 @@ object Bench {
       if (allCal.isEmpty) ""
       else {
         val first = fragments.head.calBefore
-        val last = measured.flatMap(f => f.calAfter.orElse(f.calBefore))
-          .lastOption
+        // the span's after side is ONLY the last measured fragment's
+        // own after-boundary pass: falling back to a calBefore here
+        // would relabel a pre-fragment measurement as the section's
+        // close — the artifact would show a clean, drift-free closed
+        // bracket that never closed (before == after makes the drift
+        // check structurally false). A failed final boundary pass
+        // degrades the span to its before side, honestly open.
+        val last = measured.lastOption.flatMap(_.calAfter)
         val sectionRatio = allCal.min / idleRef
         val sectionDrift = (for (b <- first; a <- last)
           yield loadRerunNeeded(b, a)).getOrElse(false)

@@ -78,6 +78,22 @@ object AnnIndex {
     publishLocks.computeIfAbsent(
       Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
 
+  /** Index roots this process's API has operated on (publish / delta /
+    * load / compact / vacuum) — the allowlist the management HTTP
+    * endpoints check before acting on a `dir=` parameter. The server
+    * may describe, compact, and vacuum stores the ENGINE owns; an
+    * arbitrary driver-filesystem path named by a network client is
+    * refused as unknown (404, no existence probe) — `/v1/ann` must not
+    * be a remote mutation primitive over the whole filesystem the way
+    * `dead_set`/`queries` endpoints only name engine-owned entities. */
+  private val knownRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerRoot(indexDir: String): Unit =
+    knownRoots.add(Paths.get(indexDir).toAbsolutePath.normalize.toString)
+  def isRegistered(indexDir: String): Boolean =
+    knownRoots.contains(
+      Paths.get(indexDir).toAbsolutePath.normalize.toString)
+
   private def pointerPath(indexDir: String): Path =
     Paths.get(indexDir, "_current")
 
@@ -102,26 +118,54 @@ object AnnIndex {
 
   /** Run `body` (the pointer-flipping commit step) holding the
     * cross-process flip-claim: an atomic `createDirectory` on
-    * `_commit-lock`. A lock whose mtime is older than
-    * [[CommitLeaseMillis]] is a crashed committer's residue and is
-    * broken (delete + re-race — two breakers race the createDirectory,
-    * one wins); a live holder is waited out. The wait is bounded by
-    * lease + margin as a loud backstop — with stale-breaking it is
-    * reachable only if live committers continuously hold the lock. */
+    * `_commit-lock`, stamped inside with this holder's ownership token.
+    * A lock whose mtime is older than [[CommitLeaseMillis]] is a
+    * crashed committer's residue and is broken by RENAMING it aside
+    * (atomic move — exactly one of several would-be breakers wins; a
+    * bare delete raced: two breakers could both judge the lock stale,
+    * and the slower one's delete would destroy the FRESH lock the
+    * faster one had already re-created, admitting two committers into
+    * the critical section). Release deletes the lock only while the
+    * ownership token inside still matches — a holder that stalled past
+    * its lease and was broken must not tear down the lock of whoever
+    * legitimately claimed it since (that holder's own flip is already
+    * outside the lease's protection — inherent to a lease — but its
+    * cleanup must not cascade a THIRD committer in). A live holder is
+    * waited out, bounded by lease + margin as a loud backstop. */
   private def withCommitLock[T](indexDir: String)(body: => T): T = {
     val lock = commitLockPath(indexDir)
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + CommitLeaseMillis + 30000L
     var acquired = false
     while (!acquired) {
-      try { Files.createDirectory(lock); acquired = true }
+      try {
+        Files.createDirectory(lock)
+        try Files.write(lock.resolve("owner"),
+          token.getBytes(StandardCharsets.UTF_8))
+        catch { case e: java.io.IOException =>
+          // claimed but couldn't stamp ownership (disk full, mount
+          // flip): release the half-made lock rather than leaving an
+          // unowned claim that only the stale-breaker could clear
+          try Files.deleteIfExists(lock)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+        }
+        acquired = true
+      }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         val stale =
           try Files.getLastModifiedTime(lock).toMillis <
             System.currentTimeMillis() - CommitLeaseMillis
           catch { case _: java.io.IOException => false } // vanished/unreadable: retry
         if (stale) {
-          try Files.deleteIfExists(lock)
-          catch { case _: java.io.IOException => () } // dir-not-empty/race: retry
+          val aside = lock.resolveSibling(
+            s"_commit-lock.broken-${java.util.UUID.randomUUID()}")
+          try {
+            Files.move(lock, aside,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            graft.FsTree.delete(aside, bestEffort = true)
+          }
+          catch { case _: java.io.IOException => () } // another breaker won: retry
         } else {
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
@@ -135,7 +179,16 @@ object AnnIndex {
     }
     try { commitFence(indexDir); body }
     finally {
-      try Files.deleteIfExists(lock)
+      try {
+        val owner = lock.resolve("owner")
+        val owned = Files.exists(owner) &&
+          new String(Files.readAllBytes(owner),
+            StandardCharsets.UTF_8) == token
+        if (owned) {
+          Files.deleteIfExists(owner)
+          Files.deleteIfExists(lock)
+        }
+      }
       catch { case scala.util.control.NonFatal(_) => () }
     }
   }
@@ -219,6 +272,7 @@ object AnnIndex {
   def publish(centroids: DataFrame, postings: DataFrame,
       indexDir: String, k: Int): String = lockFor(indexDir).synchronized {
     require(k > 0, s"centroid count k must be positive, got $k")
+    registerRoot(indexDir)
     Files.createDirectories(Paths.get(indexDir))
     val version = claimNextVersion(indexDir)
     val vdir = s"$indexDir/$version"
@@ -272,6 +326,7 @@ object AnnIndex {
     * manifest references. */
   def publishDelta(postings: DataFrame, indexDir: String): String =
     lockFor(indexDir).synchronized {
+      registerRoot(indexDir)
       val base = currentVersion(indexDir).getOrElse(throw
         new IllegalStateException(
           s"no committed ANN index at $indexDir to delta onto: " +
@@ -442,41 +497,75 @@ object AnnIndex {
     * pruning applies per root. The dir-reference fields are REQUIRED:
     * a manifest missing them is damage, not a dialect. */
   def load(spark: SparkSession, indexDir: String): Handle = {
-    val version = currentVersion(indexDir).getOrElse(throw
-      new IllegalStateException(
-        s"no committed ANN index at $indexDir (missing/invalid _current " +
-          "pointer): publish one first"))
-    // every field REQUIRED, never defaulted: a fallback could not tell
-    // a legacy manifest from a damaged one, and serving a guessed
-    // subset of a delta chain is silent wrong answers
-    val m = requireManifest(indexDir, version)
-    val centroids = spark.read.parquet(s"$indexDir/${m.centroidsDir}")
-    val actual = centroids.count()
-    require(m.centroids == actual,
-      s"ANN index $indexDir/$version: manifest records ${m.centroids} " +
-        s"centroids, disk has $actual — corrupt version; republish")
-    // one read PER ROOT, unioned: a single multi-path read of several
-    // partitioned roots fails partition inference
-    // (CONFLICTING_DIRECTORY_STRUCTURES) — per-root scans keep cell
-    // pruning on each leg and the union is scan-metadata only
-    val postings = m.postingsDirs.map { d =>
-      spark.read.parquet(s"$indexDir/$d")
-        .withColumn("cell", col("cell").cast("long"))
-    }.reduce(_.unionByName(_))
-    // drop a read lease naming the resolved version: vacuum keeps the
-    // version (and its whole referenced chain) while the lease is
-    // fresh, so this handle's lazy postings frame stays readable even
-    // across republishes. Best-effort — a read-only mount must not
-    // fail the load (such a store can't be vacuumed from here either).
-    val lease = Paths.get(indexDir,
-      s"$LeasePrefix${java.util.UUID.randomUUID()}")
-    val leased =
-      try { Files.write(lease, version.getBytes(StandardCharsets.UTF_8))
-        true }
-      catch { case scala.util.control.NonFatal(_) => false }
-    Handle(version, m.k, centroids, postings,
-      if (leased) Some(lease) else None)
+    registerRoot(indexDir)
+    var attempt = 0
+    while (true) {
+      val version = currentVersion(indexDir).getOrElse(throw
+        new IllegalStateException(
+          s"no committed ANN index at $indexDir (missing/invalid " +
+            "_current pointer): publish one first"))
+      // drop the read lease (and freshen the version dir's mtime —
+      // vacuum's in-flight age gate reads the tree mtime immediately
+      // before each delete, so the touch protects this load even from
+      // a vacuum that snapshotted the lease files before the lease
+      // landed) BEFORE the first manifest/parquet read: writing the
+      // lease after the reads left the whole read window exposed to a
+      // concurrent republish + vacuum reclaiming this version.
+      // Best-effort — a read-only mount must not fail the load (such a
+      // store can't be vacuumed from here either).
+      try Files.setLastModifiedTime(Paths.get(indexDir, version),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis()))
+      catch { case scala.util.control.NonFatal(_) => () }
+      val lease = Paths.get(indexDir,
+        s"$LeasePrefix${java.util.UUID.randomUUID()}")
+      val leased =
+        try { Files.write(lease, version.getBytes(StandardCharsets.UTF_8))
+          true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      loadFence(indexDir)
+      try {
+        // every field REQUIRED, never defaulted: a fallback could not
+        // tell a legacy manifest from a damaged one, and serving a
+        // guessed subset of a delta chain is silent wrong answers
+        val m = requireManifest(indexDir, version)
+        val centroids = spark.read.parquet(s"$indexDir/${m.centroidsDir}")
+        val actual = centroids.count()
+        require(m.centroids == actual,
+          s"ANN index $indexDir/$version: manifest records " +
+            s"${m.centroids} centroids, disk has $actual — corrupt " +
+            "version; republish")
+        // one read PER ROOT, unioned: a single multi-path read of
+        // several partitioned roots fails partition inference
+        // (CONFLICTING_DIRECTORY_STRUCTURES) — per-root scans keep cell
+        // pruning on each leg and the union is scan-metadata only
+        val postings = m.postingsDirs.map { d =>
+          spark.read.parquet(s"$indexDir/$d")
+            .withColumn("cell", col("cell").cast("long"))
+        }.reduce(_.unionByName(_))
+        return Handle(version, m.k, centroids, postings,
+          if (leased) Some(lease) else None)
+      } catch { case scala.util.control.NonFatal(e) =>
+        if (leased)
+          try Files.deleteIfExists(lease)
+          catch { case scala.util.control.NonFatal(_) => () }
+        // a read failure with the pointer MOVED since we resolved it is
+        // the reclaim race (a vacuum that listed leases before ours
+        // landed deleted the old version out from under us) — retry
+        // against the new pointer; an unchanged pointer is genuine
+        // damage (the current version is never vacuumed) — rethrow
+        attempt += 1
+        if (attempt >= 5 ||
+          currentVersion(indexDir).contains(version)) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
+
+  /** Test seam: invoked after [[load]] drops its read lease, before the
+    * first manifest read — lets a spec interleave a republish + vacuum
+    * at the exact reclaim-race seam deterministically. */
+  @volatile private[operators] var loadFence: String => Unit = _ => ()
 
   /** Read leases younger than this protect the version they name from
     * [[vacuum]]: a reader that loaded a `Handle` before several
@@ -530,6 +619,7 @@ object AnnIndex {
   def vacuum(indexDir: String, keep: Int = 1,
       now: Long = System.currentTimeMillis()): Unit =
     lockFor(indexDir).synchronized {
+      registerRoot(indexDir)
       val currentNum = currentVersion(indexDir).flatMap(v =>
         VersionName.findFirstMatchIn(v).map(_.group(1).toLong))
       val d = Paths.get(indexDir)
@@ -639,6 +729,7 @@ object AnnIndex {
     * rules (the new manifest references only its own version). */
   def compact(spark: SparkSession, indexDir: String): String =
     lockFor(indexDir).synchronized {
+      registerRoot(indexDir)
       val version = currentVersion(indexDir).getOrElse(throw
         new IllegalStateException(
           s"no committed ANN index at $indexDir to compact: " +

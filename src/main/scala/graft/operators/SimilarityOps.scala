@@ -1651,9 +1651,15 @@ object SimilarityOps {
     * AnnIndexStreamSpec for the pattern under concurrent compaction).
     * `queries` carries (q_id: long, qv: array<double>, qn: double).
     * Each query is assigned to its `nprobe` nearest centroids (the
-    * k-row quantizer broadcasts; the assignment is eagerly
-    * localCheckpoint'ed so its O(Q·k) pass runs once for both
-    * consumers), the postings scan is pruned to the probed cells with
+    * k-row quantizer broadcasts; the assignment is cached at the RDD
+    * level so its O(Q·k) pass runs once for both consumers — with
+    * lineage PRESERVED, so an executor loss mid-batch recomputes the
+    * tiny plan instead of killing the serving query the way
+    * localCheckpoint's truncation would, and with the blocks cleaned
+    * by the ContextCleaner once the batch's frames go out of scope —
+    * a CacheManager persist() would accumulate an entry per serving
+    * batch for the life of the session), the postings scan is pruned
+    * to the probed cells with
     * a literal partition `IN` over the k-bounded cell set (collected
     * on the driver — constant-size at any corpus scale; measured: DPP
     * degrades to an unpruned scan under AQE re-planning), and
@@ -1664,16 +1670,16 @@ object SimilarityOps {
       nprobe: Int, topK: Int): DataFrame = {
     require(nprobe > 0 && topK > 0,
       s"nprobe and topK must be positive, got $nprobe/$topK")
-    val scored0 = queries.join(broadcast(idx.centroids), lit(true))
-      .withColumn("cc", round(
-        dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
-    val wAssign = Window.partitionBy(col("q_id"))
-      .orderBy(col("cc").desc, col("cent_id"))
-    val assigned = scored0.withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") <= nprobe)
-      .select(col("q_id"), col("qv"), col("qn"),
-        col("cent_id").as("cell"))
-      .localCheckpoint(true)
+    val assignedPlan = probeAssignment(queries, idx, nprobe)
+    // cached ONCE at the RDD level for the two consumers below (the
+    // probed-cell collect and the candidate join) — see the scaladoc
+    // for why neither localCheckpoint nor a CacheManager persist fits
+    // a serving loop
+    val assignedRdd = assignedPlan.rdd
+      .setName("ann-probe-assignment")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = queries.sparkSession.createDataFrame(
+      assignedRdd, assignedPlan.schema)
     val probedCells = assigned.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     val c = idx.postings
@@ -1689,6 +1695,25 @@ object SimilarityOps {
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("cell"), col("rk"),
         col("c_id").as("neighbor_id"), col("cos_sim"))
+  }
+
+  /** The O(Q·k) centroid-assignment subplan of [[probeIndex]]: each
+    * query scored against the BROADCAST k-row quantizer (never a
+    * shuffle — the centroid side is constant-size at any corpus
+    * scale), ranked per query, cut at `nprobe`. Split out so the
+    * broadcast discipline is pinnable on the plan directly (PlanSpec):
+    * inside probeIndex the subplan hides behind the cached-RDD leaf. */
+  private[operators] def probeAssignment(queries: DataFrame,
+      idx: AnnIndex.Handle, nprobe: Int): DataFrame = {
+    val scored0 = queries.join(broadcast(idx.centroids), lit(true))
+      .withColumn("cc", round(
+        dotF64(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val wAssign = Window.partitionBy(col("q_id"))
+      .orderBy(col("cc").desc, col("cent_id"))
+    scored0.withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("cent_id").as("cell"))
   }
 
   /** s18 shares s03's oracle verbatim: the persisted-index probe must be

@@ -226,6 +226,9 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
   // resource/dead_set.clj:46-94). GET describes without loading;
   // compact/vacuum are the two operator actions a serving index needs.
   private def annError(ex: HttpExchange): PartialFunction[Throwable, Unit] = {
+    case e: java.util.NoSuchElementException =>
+      respond(ex, 404,
+        s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
     case e: IllegalArgumentException =>
       respond(ex, 400,
         s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
@@ -237,6 +240,15 @@ final class ManagementServer(spark: SparkSession, engine: GraftEngine,
   private def annDir(p: Map[String, String]): String = {
     val dir = p.getOrElse("dir", "")
     if (dir.isEmpty) throw new IllegalArgumentException("dir required")
+    // allowlist, not path validation: the server operates only on index
+    // roots this process's AnnIndex API has itself touched — an
+    // arbitrary filesystem path named by a network client must not
+    // become a remote describe/compact/vacuum primitive (vacuum
+    // DELETES version dirs). Unknown dir = 404 without touching disk,
+    // so the endpoint is not an existence oracle either.
+    if (!graft.operators.AnnIndex.isRegistered(dir))
+      throw new java.util.NoSuchElementException(
+        s"unknown ANN index dir (not operated on by this engine): $dir")
     dir
   }
 

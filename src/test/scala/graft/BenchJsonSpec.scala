@@ -205,6 +205,29 @@ class BenchJsonSpec extends AnyFunSuite {
       noCal.contains("\"suspect\":true"), noCal)
   }
 
+  test("the section span never fabricates its after side: when the " +
+      "LAST measured fragment's after-boundary pass failed, " +
+      "calibration_stream_sec stays honestly open (before only) — " +
+      "backfilling that fragment's calBefore would relabel a " +
+      "pre-fragment measurement as the section's close and make the " +
+      "section drift check structurally false (before == after)") {
+    val j = Bench.streamJson(Seq(
+      StreamFragment("stream", 500000L, Seq((1.0, 500000.0)),
+        calBefore = Some(1.0), calAfter = Some(1.0)),
+      StreamFragment("stream_long", 5000000L, Seq((8.0, 625000.0)),
+        calBefore = Some(5.0), calAfter = None)), idleRef = 1.0)
+    ujson(s"""{"_":0$j}""")
+    assert(j.contains(""""calibration_stream_sec":{"before":1.000},"""),
+      j)
+    // the dirty long fragment still flags itself (its one bracket side
+    // is 5x the floor) and the OR carries it to the section flag even
+    // with the section drift unknowable
+    assert(j.contains(""""cal_sec":{"before":5.000},"cal_ratio":5.000,""" +
+      """"suspect":true"""), j)
+    assert(j.contains(""""stream_load_suspect":true"""), j)
+    assert(j.contains(""""events_per_sec_normalized":3125000"""), j)
+  }
+
   test("the spread bound is looser than the calibration drift bound " +
       "(cold-route passes carry natural warmup variance) and passSpread " +
       "is max/min seconds with 1.0 for a single pass") {

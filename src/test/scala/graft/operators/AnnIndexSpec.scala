@@ -645,4 +645,151 @@ class AnnIndexSpec extends SparkSuite {
       !Files.exists(Paths.get(dir, "v2")))
     assert(rows(AnnIndex.load(spark, dir).postings) == before)
   }
+
+  test("release only tears down a commit lock the committer still " +
+      "OWNS: a holder stalled past its lease whose claim was broken " +
+      "must not delete the usurper's fresh lock (that would cascade a " +
+      "THIRD committer into the critical section)") {
+    val dir = tmpDir("annidx25")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val lock = Paths.get(dir, "_commit-lock")
+    val target = Paths.get(dir).toAbsolutePath.normalize.toString
+    val usurped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    AnnIndex.commitFence = { d =>
+      val real = Paths.get(d).toAbsolutePath.normalize.toString
+      if (real == target && usurped.compareAndSet(false, true)) {
+        // simulate a breaker that judged this holder stale: the claim
+        // passes to a new owner while the holder sits in its critical
+        // section (the holder's own flip is already outside the
+        // lease's protection — inherent to a lease — but its CLEANUP
+        // must not tear down the new owner's lock)
+        graft.FsTree.delete(lock, bestEffort = true)
+        Files.createDirectory(lock)
+        Files.write(lock.resolve("owner"), "foreign-owner".getBytes)
+      }
+    }
+    try {
+      val sess = spark
+      import sess.implicits._
+      val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+        .toDF("vec_id", "vd", "nrm", "cell")
+      AnnIndex.publishDelta(d1, dir)
+      assert(Files.exists(lock) &&
+        new String(Files.readAllBytes(lock.resolve("owner")))
+          == "foreign-owner",
+        "the stalled holder must leave the usurper's lock untouched")
+    } finally {
+      AnnIndex.commitFence = _ => ()
+      graft.FsTree.delete(lock, bestEffort = true)
+    }
+  }
+
+  test("a stale _commit-lock CONTAINING the crashed holder's ownership " +
+      "stamp is broken promptly via the rename-aside (a bare delete " +
+      "can never clear a non-empty dir — the old breaker would have " +
+      "spun to the deadline and wedged ingest for the whole lease)") {
+    val dir = tmpDir("annidx26")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val lock = Paths.get(dir, "_commit-lock")
+    Files.createDirectory(lock)
+    Files.write(lock.resolve("owner"), "crashed-holder".getBytes)
+    val old = System.currentTimeMillis() -
+      AnnIndex.CommitLeaseMillis - 60000L
+    val ft = java.nio.file.attribute.FileTime.fromMillis(old)
+    Files.setLastModifiedTime(lock.resolve("owner"), ft)
+    Files.setLastModifiedTime(lock, ft)
+    val sess = spark
+    import sess.implicits._
+    val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    assert(AnnIndex.publishDelta(d1, dir) == "v2",
+      "a stale non-empty claim must be broken, not spun on")
+    assert(!Files.exists(lock), "the claim must be released after commit")
+    assert(AnnIndex.currentVersion(dir).contains("v2"))
+  }
+
+  test("load drops its read lease BEFORE the first manifest read and " +
+      "RETRIES against the moved pointer when a racing republish + " +
+      "vacuum (leases listed before ours landed) reclaimed the " +
+      "resolved version mid-load") {
+    val dir = tmpDir("annidx27")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val (c2, p2) = fixture(6, shift = 0.5)
+    val target = Paths.get(dir).toAbsolutePath.normalize.toString
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val leaseSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    AnnIndex.loadFence = { d =>
+      val real = Paths.get(d).toAbsolutePath.normalize.toString
+      if (real == target && raced.compareAndSet(false, true)) {
+        // the lease must already be on disk at this seam — written
+        // BEFORE any read, or the whole read window is exposed
+        val s = Files.list(Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          leaseSeen.set(s.iterator().asScala.exists(
+            _.getFileName.toString.startsWith("_reading-")))
+        } finally s.close()
+        // the race: v2 commits and a vacuum whose lease snapshot
+        // predates ours reclaims v1 out from under this load
+        AnnIndex.publish(c2, p2, dir, k = 4) // v2
+        graft.FsTree.delete(Paths.get(dir, "v1"), bestEffort = false)
+      }
+    }
+    try {
+      val h = AnnIndex.load(spark, dir)
+      assert(leaseSeen.get,
+        "the read lease must land before the first manifest read")
+      assert(h.version == "v2",
+        "load must retry against the new pointer, not die on the " +
+          "reclaimed version")
+      assert(h.postings.count() == 6)
+      h.release()
+    } finally AnnIndex.loadFence = _ => ()
+  }
+
+  test("load freshens the loaded version dir's mtime before reading: " +
+      "vacuum's uniform age gate (read at decision time, directly " +
+      "before each delete) then shields the read window even from a " +
+      "vacuum whose lease snapshot predates this load's lease") {
+    val dir = tmpDir("annidx28")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val vdir = Paths.get(dir, "v1")
+    Files.setLastModifiedTime(vdir,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10L * 60 * 60 * 1000))
+    AnnIndex.load(spark, dir).release()
+    assert(Files.getLastModifiedTime(vdir).toMillis >
+      System.currentTimeMillis() - 60000L,
+      "load must touch the version dir so the age gate sees a live " +
+        "reader")
+  }
+
+  test("probeAssignment broadcasts the k-row centroid side (never a " +
+      "shuffled or sort-merge join — the centroid frame is " +
+      "constant-size at any corpus scale): the O(Q·k) discipline the " +
+      "cached-RDD leaf hides from s18's final plan") {
+    val dir = tmpDir("annidx29")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4)
+    val idx = AnnIndex.load(spark, dir)
+    val sess = spark
+    import sess.implicits._
+    val queries = Seq((1L, Seq(1.0, 2.0), 2.0), (2L, Seq(2.0, 2.0), 2.5))
+      .toDF("q_id", "qv", "qn")
+    val plan = SimilarityOps.probeAssignment(queries, idx, nprobe = 2)
+    val ops = graft.plans.PlanChecks.physical(plan)
+      .map(_.getClass.getSimpleName)
+    assert(ops.exists(_.startsWith("BroadcastNestedLoopJoin")),
+      s"centroid side must broadcast; got $ops")
+    assert(!ops.exists(_.contains("SortMergeJoin")) &&
+      !ops.exists(_.contains("ShuffledHashJoin")),
+      s"assignment must never shuffle; got $ops")
+    assert(plan.count() == 4,
+      "each query assigned to its nprobe nearest centroids")
+    idx.release()
+  }
 }

@@ -215,19 +215,20 @@ class PlanSpec extends SparkSuite {
     val ops = PlanChecks.physical(df).map(_.getClass.getSimpleName)
     assert(!PlanChecks.usesCartesianProduct(df))
     // the O(Q·k) centroid assignment (a broadcast of the loaded k-row
-    // centroids) runs INSIDE probePersisted's eager localCheckpoint —
+    // centroids) runs INSIDE probeIndex's cached-RDD assignment —
     // exactly once for the cell collect and the join — so the final
-    // plan starts at the checkpointed RDD leaf, not the assignment
-    // subtree
+    // plan starts at the RDD leaf, not the assignment subtree (the
+    // assignment subtree's own broadcast discipline is pinned
+    // separately in AnnIndexSpec via probeAssignment)
     assert(ops.exists(s => s.contains("RDDScan") || s.contains("Scan" +
       "Existing") || s == "RDDScanExec" || s.contains("ExistingRDD")),
-      s"the checkpointed assignment frame must feed the probe; got $ops")
+      s"the cached assignment frame must feed the probe; got $ops")
     // the probe side's window ranks only the tiny query batch; the
     // corpus-side candidates arrive via the cell equi-join from the
-    // loaded postings, not via any corpus-wide window
-    assert(PlanChecks.usesBroadcastJoin(df) ||
-      ops.exists(_.contains("HashJoin")),
-      s"cell probe must be a keyed join; got $ops")
+    // loaded postings with the Q·nprobe assignment side BROADCAST —
+    // a shuffled join here would exchange the corpus-scale postings
+    assert(PlanChecks.usesBroadcastJoin(df),
+      s"cell probe must broadcast the assignment side; got $ops")
     // the postings scan must be pruned to the probed cells — the
     // read-side point of the cell-partitioned layout AnnIndex builds.
     // probePersisted plants a literal IN over the k-bounded probed-cell

@@ -345,9 +345,21 @@ class ManagementServerSpec extends SparkSuite {
       assert(get(port, "/v1/ann")._1 == 400)
       assert(send(port, "POST", "/v1/ann/compact")._1 == 400)
       assert(send(port, "POST", "/v1/ann/vacuum")._1 == 400)
-      assert(get(port, "/v1/ann?dir=/no/such/index")
-        == (200, """{"current":null,"versions":[],""" +
-          """"fresh_leases":0,"stale_leases":0}"""))
+      // a dir this engine's AnnIndex API never touched is refused 404
+      // WITHOUT touching disk — the management port must not be a
+      // remote describe/compact/VACUUM primitive over arbitrary driver
+      // filesystem paths a network client names (vacuum deletes dirs),
+      // nor an existence oracle for them
+      val (s0, b0) = get(port, "/v1/ann?dir=/no/such/index")
+      assert(s0 == 404 && b0.contains("unknown ANN index dir"),
+        s"$s0 $b0")
+      assert(send(port, "POST",
+        "/v1/ann/compact?dir=/no/such/index")._1 == 404)
+      assert(send(port, "POST",
+        "/v1/ann/vacuum?dir=/no/such/index&keep=0")._1 == 404)
+      // ... and the dir of THIS test is unknown too until the engine
+      // itself operates on it below
+      assert(get(port, s"/v1/ann?dir=$idxDir")._1 == 404)
       // publish a full version + one delta: a 2-root chain
       val cents = (1 to 4).map(i =>
         (i.toLong, Seq(i.toDouble, 1.0), 1.0)).toDF("cent_id", "cv", "cn")
