@@ -160,12 +160,30 @@ object AnnIndex {
         if (stale) {
           val aside = lock.resolveSibling(
             s"_commit-lock.broken-${java.util.UUID.randomUUID()}")
-          try {
-            Files.move(lock, aside,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            graft.FsTree.delete(aside, bestEffort = true)
+          val broke =
+            try {
+              Files.move(lock, aside,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              graft.FsTree.delete(aside, bestEffort = true)
+              true
+            }
+            catch { case _: java.io.IOException => false }
+          if (!broke) {
+            // another breaker won the move (benign — retry claims the
+            // fresh lock) OR the filesystem refuses the rename outright
+            // (no ATOMIC_MOVE on this mount, rename denied): either
+            // way this path must stay BOUNDED — without the deadline
+            // and pause a permanently refusing mount turns the break
+            // attempt into an unbounded 100% CPU busy-spin and the
+            // loud backstop below is never reached
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"ANN index commit lock at $lock held past its lease — " +
+                  "live committers are continuously holding it, or the " +
+                  "filesystem refuses to break a stale claim; ingest " +
+                  "is wedged, inspect the lock dir")
+            Thread.sleep(25)
           }
-          catch { case _: java.io.IOException => () } // another breaker won: retry
         } else {
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
@@ -529,6 +547,20 @@ object AnnIndex {
         // tell a legacy manifest from a damaged one, and serving a
         // guessed subset of a delta chain is silent wrong answers
         val m = requireManifest(indexDir, version)
+        // freshen EVERY chain member the manifest references, not just
+        // the pointer version: a vacuum whose lease snapshot predates
+        // our lease keeps the pointer version via its freshened mtime
+        // but would reclaim an old-mtime delta BASE (v1 of a v2 chain)
+        // out from under this handle's lazy postings union — the
+        // manifest flattens the full dir list, so one hop reaches all
+        val chainRoots = (m.centroidsDir +: m.postingsDirs)
+          .map(_.takeWhile(_ != '/')).distinct.filterNot(_ == version)
+        chainRoots.foreach { v =>
+          try Files.setLastModifiedTime(Paths.get(indexDir, v),
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
         val centroids = spark.read.parquet(s"$indexDir/${m.centroidsDir}")
         val actual = centroids.count()
         require(m.centroids == actual,

@@ -1633,8 +1633,8 @@ object SimilarityOps {
     * documented on [[probeIndex]]; pinned by the partitions-read
     * metric (PlanSpec s18/s19/s20, AnnIndexSpec). */
   private def probePersisted(emb: DataFrame,
-      idx: AnnIndex.Handle): DataFrame =
-    probeIndex(
+      idx: AnnIndex.Handle): DataFrame = {
+    val out = probeIndex(
       emb.filter(col("vec_id").between(1, 9))
         .select(col("vec_id").as("q_id"), col("vd").as("qv"),
           col("nrm").as("qn")),
@@ -1644,6 +1644,16 @@ object SimilarityOps {
       idx.copy(postings = idx.postings.filter(col("vec_id") >= 10)),
       nprobe = ivfNprobe, topK = 3)
       .orderBy(col("q_id"), col("rk"))
+    // release the read lease eagerly: these queries rebuild their
+    // scratch store per invocation and nothing vacuums it while the
+    // lazy result executes — holding the lease would leak one
+    // hour-long `_reading-*` file per Verify/Bench run, each pinning
+    // the scratch history against any vacuum (a real serving loop
+    // releases in a finally AFTER consuming the frame instead — see
+    // AnnIndexStreamSpec's foreachBatch pattern)
+    idx.release()
+    out
+  }
 
   /** The SERVING entry point over a loaded persisted index — the probe
     * half every batch shape reuses, including `foreachBatch`

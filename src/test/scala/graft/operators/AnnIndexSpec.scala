@@ -750,22 +750,73 @@ class AnnIndexSpec extends SparkSuite {
     } finally AnnIndex.loadFence = _ => ()
   }
 
-  test("load freshens the loaded version dir's mtime before reading: " +
-      "vacuum's uniform age gate (read at decision time, directly " +
-      "before each delete) then shields the read window even from a " +
-      "vacuum whose lease snapshot predates this load's lease") {
+  test("load freshens the mtime of the pointer version AND every chain " +
+      "member its manifest references before reading: vacuum's uniform " +
+      "age gate (read at decision time, directly before each delete) " +
+      "then shields the whole chain's read window even from a vacuum " +
+      "whose lease snapshot predates this load's lease — a fresh v2 " +
+      "with a stale-mtime v1 base would lose its postings mid-probe") {
     val dir = tmpDir("annidx28")
     val (c, p) = fixture(8)
     AnnIndex.publish(c, p, dir, k = 4) // v1
-    val vdir = Paths.get(dir, "v1")
-    Files.setLastModifiedTime(vdir,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 10L * 60 * 60 * 1000))
+    val sess = spark
+    import sess.implicits._
+    val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+      .toDF("vec_id", "vd", "nrm", "cell")
+    AnnIndex.publishDelta(d1, dir) // v2: chain references v1's postings
+    val v1 = Paths.get(dir, "v1")
+    val v2 = Paths.get(dir, "v2")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 60 * 60 * 1000)
+    Files.setLastModifiedTime(v1, old)
+    Files.setLastModifiedTime(v2, old)
     AnnIndex.load(spark, dir).release()
-    assert(Files.getLastModifiedTime(vdir).toMillis >
-      System.currentTimeMillis() - 60000L,
-      "load must touch the version dir so the age gate sees a live " +
-        "reader")
+    val floor = System.currentTimeMillis() - 60000L
+    assert(Files.getLastModifiedTime(v2).toMillis > floor,
+      "load must touch the pointer version so the age gate sees a " +
+        "live reader")
+    assert(Files.getLastModifiedTime(v1).toMillis > floor,
+      "load must touch the referenced delta BASE too — the lease " +
+        "walk protects it only when the lease was seen")
+  }
+
+  test("the s18 fixture probe releases its read lease eagerly: a query " +
+      "run leaves no _reading-* residue pinning the scratch store's " +
+      "history against vacuum (one hour-long lease per Verify/Bench " +
+      "run would otherwise accumulate)") {
+    // a DISTINCT sf-dir spelling (trailing slash) keys a scratch root
+    // no concurrently-running suite shares — scratch() wipes its root
+    // per invocation, so sharing PlanSpec/QueriesSpec's root would race
+    val sf = "/root/testdata/sf0.001/"
+    graft.SparkEntry.queries("s18_ann_persisted_index")(spark, sf)
+      .collect()
+    val base = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft-scratch")
+    // only THIS run's root (keyed by the unique sf spelling's hash):
+    // the shared /tmp scratch base holds roots from other processes'
+    // past Verify/Bench runs, whose pre-fix lease residue must not
+    // fail this pin
+    val marker = s"graft-s18-${Integer.toHexString(sf.hashCode)}-"
+    val s = Files.list(base)
+    val roots = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(
+        _.getFileName.toString.startsWith(marker)).toSeq
+    } finally s.close()
+    assert(roots.nonEmpty, "the s18 scratch root must exist after a run")
+    val leaked = roots.flatMap { r =>
+      val ivf = r.resolve("ivf")
+      if (!Files.exists(ivf)) Nil
+      else {
+        val ls = Files.list(ivf)
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("_reading-")).toList
+        } finally ls.close()
+      }
+    }
+    assert(leaked.isEmpty, s"leaked read leases: $leaked")
   }
 
   test("probeAssignment broadcasts the k-row centroid side (never a " +
