@@ -548,8 +548,9 @@ object Bench {
         fragCalSides(f).minOption.exists(loadSuspectAbsolute(_, idleRef))
       passSpread(f.runs) > StreamSpreadBound || drift || absolute
     }
-    def fragJson(f: StreamFragment): String =
-      if (f.runs.isEmpty) "" else {
+    // only ever called on `measured` below — the filter there is the
+    // one enforcement of fragment omission, not a guard in here
+    def fragJson(f: StreamFragment): String = {
         val (sec, eps) = f.runs.minBy(_._1)
         val passKey = if (f.key == "stream") "stream_passes" else "passes"
         val norm = fragRatio(f).map(r =>

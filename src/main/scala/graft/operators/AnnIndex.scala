@@ -135,7 +135,17 @@ object AnnIndex {
   private def withCommitLock[T](indexDir: String)(body: => T): T = {
     val lock = commitLockPath(indexDir)
     val token = java.util.UUID.randomUUID().toString
-    val deadline = System.currentTimeMillis() + CommitLeaseMillis + 30000L
+    // margin scales with the lease (floor 1 s, cap 30 s): headroom to
+    // wait out a live holder at the default 10-minute lease, and a
+    // short-lease override (specs, fast-ingest tuning) keeps the
+    // backstop reachable in bounded time
+    val deadline = System.currentTimeMillis() + CommitLeaseMillis +
+      math.min(30000L, math.max(1000L, CommitLeaseMillis))
+    def wedged(): Nothing = throw new IllegalStateException(
+      s"ANN index commit lock at $lock held past its lease — live " +
+        "committers are continuously holding it, or the filesystem " +
+        "refuses to break a stale claim; ingest is wedged, inspect " +
+        "the lock dir")
     var acquired = false
     while (!acquired) {
       try {
@@ -175,39 +185,47 @@ object AnnIndex {
             // way this path must stay BOUNDED — without the deadline
             // and pause a permanently refusing mount turns the break
             // attempt into an unbounded 100% CPU busy-spin and the
-            // loud backstop below is never reached
-            if (System.currentTimeMillis() > deadline)
-              throw new IllegalStateException(
-                s"ANN index commit lock at $lock held past its lease — " +
-                  "live committers are continuously holding it, or the " +
-                  "filesystem refuses to break a stale claim; ingest " +
-                  "is wedged, inspect the lock dir")
+            // loud backstop is never reached
+            if (System.currentTimeMillis() > deadline) wedged()
             Thread.sleep(25)
           }
         } else {
-          if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"ANN index commit lock at $lock held past its lease — " +
-                "live committers are continuously holding it, or the " +
-                "filesystem refuses to break a stale claim; ingest is " +
-                "wedged, inspect the lock dir")
+          if (System.currentTimeMillis() > deadline) wedged()
           Thread.sleep(25)
         }
       }
     }
     try { commitFence(indexDir); body }
     finally {
+      // release by atomic CAPTURE-then-inspect: move whatever sits at
+      // the lock path aside, check the captured claim's ownership
+      // stamp, and only then delete. A bare check-then-delete raced —
+      // a holder stalled past its lease could read its own stamp, have
+      // a breaker + successor replace the lock in the gap, and then
+      // delete the successor's claim, cascading a third committer in.
+      // Captured our own claim → delete it (the normal path). Captured
+      // a SUCCESSOR's claim (this holder was broken mid-stall) → put
+      // it back; if a third claimant already re-created the lock in
+      // that instant the captured claim is unwinnable — drop it (its
+      // holder's own release degrades to this no-op path) rather than
+      // leave debris.
+      val trash = lock.resolveSibling(s"_commit-lock.release-$token")
       try {
-        val owner = lock.resolve("owner")
+        Files.move(lock, trash,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val owner = trash.resolve("owner")
         val owned = Files.exists(owner) &&
           new String(Files.readAllBytes(owner),
             StandardCharsets.UTF_8) == token
-        if (owned) {
-          Files.deleteIfExists(owner)
-          Files.deleteIfExists(lock)
-        }
+        if (owned) graft.FsTree.delete(trash, bestEffort = true)
+        else
+          try Files.move(trash, lock,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.io.IOException =>
+            graft.FsTree.delete(trash, bestEffort = true)
+          }
       }
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch { case scala.util.control.NonFatal(_) => () } // already broken + cleaned
     }
   }
 
@@ -288,7 +306,9 @@ object AnnIndex {
     * (the count-back read of an empty partitioned dir throws a
     * schema-inference error, not a useful one). */
   def publish(centroids: DataFrame, postings: DataFrame,
-      indexDir: String, k: Int): String = lockFor(indexDir).synchronized {
+      indexDir: String, k: Int,
+      centroidsOrigin: Option[String] = None): String =
+    lockFor(indexDir).synchronized {
     require(k > 0, s"centroid count k must be positive, got $k")
     registerRoot(indexDir)
     Files.createDirectories(Paths.get(indexDir))
@@ -325,7 +345,12 @@ object AnnIndex {
     withCommitLock(indexDir) {
       commit(indexDir, version, k, nCents, nPosts,
         centroidsDir = s"$version/centroids",
-        postingsDirs = Seq(s"$version/postings"))
+        postingsDirs = Seq(s"$version/postings"),
+        // a fresh full publish IS its own quantizer origin; compact
+        // passes the chain's recorded origin through so a rewrite is
+        // never mistaken for a re-train (see Manifest.centroidsOrigin)
+        centroidsOrigin = centroidsOrigin
+          .getOrElse(s"$version/centroids"))
     }
     version
   }
@@ -370,21 +395,28 @@ object AnnIndex {
         // would silently shadow their batch (last-pointer-wins). The
         // lock makes re-check-and-flip ONE atomic step — no concurrent
         // flip can land between them, so the rebase is exact, not
-        // best-effort. See [[rebaseForCommit]]; on refusal (concurrent
-        // FULL republish changed the quantizer) the claimed dir is
-        // reclaimed before rethrowing.
-        withCommitLock(indexDir) {
-          val mNow =
-            try rebaseForCommit(indexDir, base, m)
-            catch { case e: Throwable =>
-              graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
-              throw e
-            }
+        // best-effort. See [[rebaseForCommit]]. The catch covers BOTH
+        // failure shapes — a rebase refusal (concurrent re-train) AND
+        // withCommitLock itself throwing before the body runs (lock
+        // wedged past its lease, owner-stamp IO failure): either way
+        // the claimed dir holds a full delta's postings, and repeated
+        // scheduled attempts against a wedged lock would otherwise
+        // accumulate one full-size orphan per attempt until a vacuum
+        // ages them out. Nothing here runs after a successful pointer
+        // flip, so reclaiming on any throw never deletes committed
+        // data.
+        try withCommitLock(indexDir) {
+          val mNow = rebaseForCommit(indexDir, base, m)
           commit(indexDir, version, mNow.k,
             nCents = mNow.centroids,
             nPosts = mNow.postings + nNew,
             centroidsDir = mNow.centroidsDir,
-            postingsDirs = mNow.postingsDirs :+ s"$version/postings")
+            postingsDirs = mNow.postingsDirs :+ s"$version/postings",
+            centroidsOrigin = mNow.centroidsOrigin)
+        }
+        catch { case e: Throwable =>
+          graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
+          throw e
         }
         version
       }
@@ -392,28 +424,35 @@ object AnnIndex {
 
   /** The manifest a delta should commit AGAINST, re-resolved at commit
     * time: when the pointer still names `base`, that is `m` verbatim;
-    * when a CONCURRENT DELTA moved it, the fresh chain shares our
-    * inherited centroids (same `centroids_dir`) and the delta REBASES —
-    * committing the fresh manifest's postings list plus its own dir, so
-    * neither batch shadows the other; when a concurrent FULL republish
-    * moved it, the quantizer changed and this batch's cell assignments
-    * are against the OLD centroids — refuse loudly (re-assign and
-    * re-ingest). Callers run this INSIDE [[withCommitLock]], which
-    * makes the re-check and the caller's flip one atomic step: no
-    * concurrent flip can land between them, so the rebase is exact. */
+    * when a concurrent commit moved it but the fresh chain's
+    * QUANTIZER LINEAGE matches ours (`centroids_origin` — a concurrent
+    * DELTA inherits it; a concurrent [[compact]] copies the centroid
+    * values bit-for-bit and carries the origin through, so its new
+    * centroids dir is NOT a quantizer change), the delta REBASES —
+    * committing the fresh manifest's postings list plus its own dir,
+    * so neither batch shadows the other; when a concurrent FULL
+    * republish moved it, the origin differs: this batch's cell
+    * assignments are against the OLD centroid values — refuse loudly
+    * (re-assign and re-ingest). Comparing dirs instead of origins
+    * would make every operator-triggered `POST /v1/ann/compact` during
+    * live ingest abort the in-flight batch for no reason. Callers run
+    * this INSIDE [[withCommitLock]], which makes the re-check and the
+    * caller's flip one atomic step: no concurrent flip can land
+    * between them, so the rebase is exact. */
   private[operators] def rebaseForCommit(indexDir: String, base: String,
       m: Manifest): Manifest = {
     val baseNow = currentVersion(indexDir).getOrElse(base)
     if (baseNow == base) m
     else {
       val fresh = requireManifest(indexDir, baseNow)
-      if (fresh.centroidsDir != m.centroidsDir)
+      if (fresh.centroidsOrigin != m.centroidsOrigin)
         throw new IllegalStateException(
           s"concurrent FULL republish at $indexDir while this delta " +
             s"was in flight: the quantizer changed " +
-            s"(${m.centroidsDir} -> ${fresh.centroidsDir}) and the " +
-            "batch's cell assignments are against the old centroids — " +
-            "re-assign against the new version and re-ingest")
+            s"(${m.centroidsOrigin} -> ${fresh.centroidsOrigin}) and " +
+            "the batch's cell assignments are against the old " +
+            "centroids — re-assign against the new version and " +
+            "re-ingest")
       fresh
     }
   }
@@ -424,11 +463,13 @@ object AnnIndex {
     * pointer; after it, the new version is complete. */
   private def commit(indexDir: String, version: String, k: Int,
       nCents: Long, nPosts: Long, centroidsDir: String,
-      postingsDirs: Seq[String]): Unit = {
+      postingsDirs: Seq[String], centroidsOrigin: String): Unit = {
     val dirsJson = postingsDirs.map(d => s""""$d"""").mkString("[", ",", "]")
     val manifest =
       s"""{"k":$k,"centroids":$nCents,"postings":$nPosts,""" +
-        s""""centroids_dir":"$centroidsDir","postings_dirs":$dirsJson}"""
+        s""""centroids_dir":"$centroidsDir",""" +
+        s""""centroids_origin":"$centroidsOrigin",""" +
+        s""""postings_dirs":$dirsJson}"""
     // the manifest gets the SAME tmp + ATOMIC_MOVE discipline as the
     // pointer: a torn plain write could otherwise leave a file that
     // parses partially — and a half-parseable manifest is worse than a
@@ -469,8 +510,20 @@ object AnnIndex {
     * failing ANY field is damage, and the strict-or-refuse discipline
     * covers counts as well as dirs (a defaulted count would commit a
     * version whose own integrity check then refuses to load). */
+  /** `centroidsOrigin` is quantizer LINEAGE, not a data reference: the
+    * centroids dir of the full publish whose VALUES this version's
+    * cell assignments are against, carried verbatim through deltas AND
+    * through [[compact]] (whose rewrite copies the centroids
+    * bit-for-bit into a new dir). [[rebaseForCommit]] compares origins
+    * — a compaction landing under an in-flight delta must not read as
+    * a quantizer change. Vacuum does NOT retain the origin dir: load
+    * never reads it (compact is self-contained), only the string is
+    * compared. Absent in pre-lineage manifests → defaults to the
+    * version's own centroids dir (no recorded lineage = only an
+    * equal-dir chain matches, the old conservative behavior). */
   private[operators] final case class Manifest(k: Int, centroids: Long,
-      postings: Long, centroidsDir: String, postingsDirs: Seq[String])
+      postings: Long, centroidsDir: String, postingsDirs: Seq[String],
+      centroidsOrigin: String)
 
   private def parseManifest(json: String): Option[Manifest] =
     for {
@@ -479,7 +532,8 @@ object AnnIndex {
       p <- manifestField(json, "postings")
       cd <- manifestDir(json, "centroids_dir")
       pd <- manifestDirs(json, "postings_dirs").filter(_.nonEmpty)
-    } yield Manifest(k.toInt, c, p, cd, pd)
+    } yield Manifest(k.toInt, c, p, cd, pd,
+      manifestDir(json, "centroids_origin").getOrElse(cd))
 
   private def readManifest(indexDir: String, version: String): String = {
     val mPath = Paths.get(s"$indexDir/$version", "_manifest.json")
@@ -656,14 +710,19 @@ object AnnIndex {
         VersionName.findFirstMatchIn(v).map(_.group(1).toLong))
       val d = Paths.get(indexDir)
       if (Files.exists(d) && currentNum.isDefined) {
+        // ONE directory listing feeds both classifications below —
+        // version dirs and lease files — a second Files.list of the
+        // same dir doubles the per-vacuum scan I/O for nothing
+        // (describe() uses the same single-listing shape)
         val s = Files.list(d)
-        val versions = try {
+        val entries = try {
           import scala.jdk.CollectionConverters._
-          s.iterator().asScala.flatMap { p =>
-            VersionName.findFirstMatchIn(p.getFileName.toString)
-              .map(m => m.group(1).toLong -> p)
-          }.toSeq
+          s.iterator().asScala.toSeq
         } finally s.close()
+        val versions = entries.flatMap { p =>
+          VersionName.findFirstMatchIn(p.getFileName.toString)
+            .map(m => m.group(1).toLong -> p)
+        }
         // ONE parse per version (shared strict rule): "committed"
         // requires a fully-parseable manifest, so a damaged one
         // (hand-edited, pre-atomic-write crash) can't consume a keep
@@ -683,12 +742,8 @@ object AnnIndex {
         // before this lease existed, or junk).
         val leaseCutoff = now - ReadLeaseMillis
         val onDisk = versions.map(_._1).toSet
-        val ls = Files.list(d)
-        val leaseFiles = try {
-          import scala.jdk.CollectionConverters._
-          ls.iterator().asScala.filter(
-            _.getFileName.toString.startsWith(LeasePrefix)).toSeq
-        } finally ls.close()
+        val leaseFiles = entries.filter(
+          _.getFileName.toString.startsWith(LeasePrefix))
         val leased = leaseFiles.flatMap { p =>
           val fresh =
             try Files.getLastModifiedTime(p).toMillis >= leaseCutoff
@@ -772,8 +827,13 @@ object AnnIndex {
         val h = load(spark, indexDir)
         // the internal load dropped a read lease; the rewrite is done
         // reading the chain once publish returns, so release it rather
-        // than leave one lease file per compaction to age out
-        try publish(h.centroids, h.postings, indexDir, m.k)
+        // than leave one lease file per compaction to age out. The
+        // chain's quantizer ORIGIN is carried through: the rewrite
+        // copies the centroid values bit-for-bit, so an in-flight
+        // delta rebasing across this compaction must not read it as a
+        // re-train (see rebaseForCommit)
+        try publish(h.centroids, h.postings, indexDir, m.k,
+          centroidsOrigin = Some(m.centroidsOrigin))
         finally h.release()
       }
     }

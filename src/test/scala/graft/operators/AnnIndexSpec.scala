@@ -162,13 +162,15 @@ class AnnIndexSpec extends SparkSuite {
 
   test("a delta REBASES at commit time when the pointer moved under a " +
       "concurrent delta (same inherited quantizer — neither batch " +
-      "shadows the other) and REFUSES when a concurrent full republish " +
-      "changed the centroids its cells were assigned against") {
+      "shadows the other) OR a concurrent COMPACT (bit-identical " +
+      "centroid values under a new dir — origin lineage matches), and " +
+      "REFUSES when a concurrent full republish changed the centroids " +
+      "its cells were assigned against") {
     val dir = tmpDir("annidx19")
     val (c, p) = fixture(8)
     AnnIndex.publish(c, p, dir, k = 4) // v1
     val m1 = AnnIndex.Manifest(4, 4L, 8L,
-      "v1/centroids", Seq("v1/postings"))
+      "v1/centroids", Seq("v1/postings"), "v1/centroids")
     // pointer unchanged: the resolved manifest commits verbatim
     assert(AnnIndex.rebaseForCommit(dir, "v1", m1) == m1)
     // a concurrent DELTA moved the pointer to v2 (inherits v1's
@@ -183,13 +185,76 @@ class AnnIndexSpec extends SparkSuite {
     assert(rebased.centroidsDir == "v1/centroids" &&
       rebased.postingsDirs.contains("v2/postings"),
       s"rebase must adopt the fresh chain's postings list; got $rebased")
-    // a concurrent FULL republish retrained the quantizer: refuse
+    // a concurrent COMPACT rewrote the chain: new centroids DIR but
+    // bit-identical values (origin carried through) — an in-flight
+    // delta, e.g. one racing an operator's POST /v1/ann/compact, must
+    // rebase onto the compacted chain, not abort its batch
+    assert(AnnIndex.compact(spark, dir) == "v3")
+    val m2 = rebased // the delta's view from before the compact
+    val overCompact = AnnIndex.rebaseForCommit(dir, "v2", m2)
+    assert(overCompact.centroidsDir == "v3/centroids" &&
+      overCompact.centroidsOrigin == "v1/centroids" &&
+      overCompact.postingsDirs == Seq("v3/postings"),
+      s"rebase must cross a compaction via origin lineage; " +
+        s"got $overCompact")
+    // a concurrent FULL republish retrained the quantizer: its origin
+    // is its own dir — refuse
     val (c2, p2) = fixture(6, shift = 0.5)
-    AnnIndex.publish(c2, p2, dir, k = 4) // v3, own centroids
+    AnnIndex.publish(c2, p2, dir, k = 4) // v4, own centroids + origin
     val e = intercept[IllegalStateException] {
       AnnIndex.rebaseForCommit(dir, "v1", m1)
     }
     assert(e.getMessage.contains("quantizer changed"), e.getMessage)
+  }
+
+  test("a delta attempt that dies INSIDE the commit-lock acquisition " +
+      "(lock wedged past its lease by live holders) reclaims its " +
+      "claimed version dir — repeated scheduled attempts against a " +
+      "wedged lock must not accumulate one full-size orphan each") {
+    val dir = tmpDir("annidx30")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val lock = Paths.get(dir, "_commit-lock")
+    Files.createDirectory(lock)
+    // a toucher keeps the foreign lock perpetually FRESH (the
+    // live-holders-forever shape); a short lease keeps the deadline
+    // backstop reachable in test time (margin scales with the lease)
+    val prior = sys.props.get("graft.annindex.commitLeaseMs")
+    sys.props("graft.annindex.commitLeaseMs") = "300"
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val toucher = new Thread(() => {
+      while (!stop.get()) {
+        try Files.setLastModifiedTime(lock,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+        catch { case scala.util.control.NonFatal(_) => () }
+        Thread.sleep(50)
+      }
+    })
+    toucher.setDaemon(true)
+    toucher.start()
+    try {
+      val sess = spark
+      import sess.implicits._
+      val d1 = Seq((501L, Seq(1.0, 3.0), 3.0, 1L))
+        .toDF("vec_id", "vd", "nrm", "cell")
+      val e = intercept[IllegalStateException] {
+        AnnIndex.publishDelta(d1, dir)
+      }
+      assert(e.getMessage.contains("wedged"), e.getMessage)
+      // the claimed v2 dir (holding the delta's full postings) must be
+      // reclaimed on the way out, not left to age through vacuum
+      assert(!Files.exists(Paths.get(dir, "v2")),
+        "the wedged attempt must reclaim its claimed version dir")
+      assert(AnnIndex.currentVersion(dir).contains("v1"))
+    } finally {
+      stop.set(true); toucher.join(2000)
+      prior match {
+        case Some(v) => sys.props("graft.annindex.commitLeaseMs") = v
+        case None => sys.props.remove("graft.annindex.commitLeaseMs")
+      }
+      graft.FsTree.delete(lock, bestEffort = true)
+    }
   }
 
   test("two INTERLEAVED committers (cross-process shape: a symlinked " +
