@@ -155,8 +155,12 @@ object AnnIndex {
         catch { case e: java.io.IOException =>
           // claimed but couldn't stamp ownership (disk full, mount
           // flip): release the half-made lock rather than leaving an
-          // unowned claim that only the stale-breaker could clear
-          try Files.deleteIfExists(lock)
+          // unowned claim that only the stale-breaker could clear.
+          // RECURSIVE delete — the failed write can leave a partial
+          // owner file, and a bare deleteIfExists on the then-non-
+          // empty dir would throw DirectoryNotEmpty (swallowed) and
+          // leave a fresh unowned lock wedging committers for a lease
+          try graft.FsTree.delete(lock, bestEffort = true)
           catch { case scala.util.control.NonFatal(_) => () }
           throw e
         }
@@ -197,33 +201,42 @@ object AnnIndex {
     }
     try { commitFence(indexDir); body }
     finally {
-      // release by atomic CAPTURE-then-inspect: move whatever sits at
-      // the lock path aside, check the captured claim's ownership
-      // stamp, and only then delete. A bare check-then-delete raced —
-      // a holder stalled past its lease could read its own stamp, have
-      // a breaker + successor replace the lock in the gap, and then
-      // delete the successor's claim, cascading a third committer in.
-      // Captured our own claim → delete it (the normal path). Captured
-      // a SUCCESSOR's claim (this holder was broken mid-stall) → put
-      // it back; if a third claimant already re-created the lock in
-      // that instant the captured claim is unwinnable — drop it (its
-      // holder's own release degrades to this no-op path) rather than
-      // leave debris.
-      val trash = lock.resolveSibling(s"_commit-lock.release-$token")
+      // Release: PRE-CHECK ownership without touching the lock, then
+      // capture-and-inspect as the atomic double-check. The pre-check
+      // makes the common broken-holder case a pure no-op: a holder
+      // stalled past its lease reads its SUCCESSOR's stamp and walks
+      // away — it never captures that lock (capturing it would open a
+      // lock-path vacancy a third committer could claim, and racing
+      // the successor's own release could resurrect an already-
+      // released ownerless lock that wedges ingest for a lease). The
+      // capture then runs only when the pre-check saw OUR token, so
+      // the inspect-mismatch branch below is reachable only in the
+      // instant between pre-check and move — restore the claim, or
+      // drop it if a third claimant already re-created the lock in
+      // that instant (lease-not-lock: that microsecond pathology atop
+      // a ≥lease stall is the documented residual).
       try {
-        Files.move(lock, trash,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        val owner = trash.resolve("owner")
-        val owned = Files.exists(owner) &&
-          new String(Files.readAllBytes(owner),
+        val pre = lock.resolve("owner")
+        val preOwned = Files.exists(pre) &&
+          new String(Files.readAllBytes(pre),
             StandardCharsets.UTF_8) == token
-        if (owned) graft.FsTree.delete(trash, bestEffort = true)
-        else
-          try Files.move(trash, lock,
+        if (preOwned) {
+          val trash =
+            lock.resolveSibling(s"_commit-lock.release-$token")
+          Files.move(lock, trash,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.io.IOException =>
-            graft.FsTree.delete(trash, bestEffort = true)
-          }
+          val owner = trash.resolve("owner")
+          val owned = Files.exists(owner) &&
+            new String(Files.readAllBytes(owner),
+              StandardCharsets.UTF_8) == token
+          if (owned) graft.FsTree.delete(trash, bestEffort = true)
+          else
+            try Files.move(trash, lock,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.io.IOException =>
+              graft.FsTree.delete(trash, bestEffort = true)
+            }
+        }
       }
       catch { case scala.util.control.NonFatal(_) => () } // already broken + cleaned
     }
@@ -402,9 +415,12 @@ object AnnIndex {
         // the claimed dir holds a full delta's postings, and repeated
         // scheduled attempts against a wedged lock would otherwise
         // accumulate one full-size orphan per attempt until a vacuum
-        // ages them out. Nothing here runs after a successful pointer
-        // flip, so reclaiming on any throw never deletes committed
-        // data.
+        // ages them out. The `committed` flag scopes the reclaim to
+        // strictly PRE-FLIP failures: a fatal error escaping the
+        // lock-release finally (which runs AFTER the pointer flip and
+        // swallows only NonFatal) must never delete the version
+        // _current now names.
+        var committed = false
         try withCommitLock(indexDir) {
           val mNow = rebaseForCommit(indexDir, base, m)
           commit(indexDir, version, mNow.k,
@@ -413,9 +429,11 @@ object AnnIndex {
             centroidsDir = mNow.centroidsDir,
             postingsDirs = mNow.postingsDirs :+ s"$version/postings",
             centroidsOrigin = mNow.centroidsOrigin)
+          committed = true
         }
         catch { case e: Throwable =>
-          graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
+          if (!committed)
+            graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
           throw e
         }
         version

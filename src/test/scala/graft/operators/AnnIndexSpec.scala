@@ -218,9 +218,12 @@ class AnnIndexSpec extends SparkSuite {
     Files.createDirectory(lock)
     // a toucher keeps the foreign lock perpetually FRESH (the
     // live-holders-forever shape); a short lease keeps the deadline
-    // backstop reachable in test time (margin scales with the lease)
+    // backstop reachable in test time (margin scales with the lease).
+    // The 50x lease-to-touch-interval ratio is the flake margin: only
+    // a >1 s toucher stall (not a routine GC pause) could let the
+    // waiter judge the lock stale and commit instead of wedging.
     val prior = sys.props.get("graft.annindex.commitLeaseMs")
-    sys.props("graft.annindex.commitLeaseMs") = "300"
+    sys.props("graft.annindex.commitLeaseMs") = "1000"
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val toucher = new Thread(() => {
       while (!stop.get()) {
@@ -228,7 +231,7 @@ class AnnIndexSpec extends SparkSuite {
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis()))
         catch { case scala.util.control.NonFatal(_) => () }
-        Thread.sleep(50)
+        Thread.sleep(20)
       }
     })
     toucher.setDaemon(true)
