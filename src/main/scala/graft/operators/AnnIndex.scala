@@ -156,12 +156,12 @@ object AnnIndex {
           // claimed but couldn't stamp ownership (disk full, mount
           // flip): release the half-made lock rather than leaving an
           // unowned claim that only the stale-breaker could clear.
-          // RECURSIVE delete — the failed write can leave a partial
-          // owner file, and a bare deleteIfExists on the then-non-
-          // empty dir would throw DirectoryNotEmpty (swallowed) and
-          // leave a fresh unowned lock wedging committers for a lease
-          try graft.FsTree.delete(lock, bestEffort = true)
-          catch { case scala.util.control.NonFatal(_) => () }
+          // RECURSIVE best-effort delete — the failed write can leave
+          // a partial owner file, and a bare deleteIfExists on the
+          // then-non-empty dir would throw DirectoryNotEmpty
+          // (swallowed) and leave a fresh unowned lock wedging
+          // committers for a lease
+          graft.FsTree.delete(lock, bestEffort = true)
           throw e
         }
         acquired = true
@@ -215,21 +215,30 @@ object AnnIndex {
       // drop it if a third claimant already re-created the lock in
       // that instant (lease-not-lock: that microsecond pathology atop
       // a ≥lease stall is the documented residual).
+      // The ONE ownership-stamp reader for both checks: None = missing
+      // or unreadable (NOT a verdict — a transient read failure must
+      // never decide ownership either way).
+      def stamp(d: java.nio.file.Path): Option[String] =
+        try {
+          val o = d.resolve("owner")
+          if (Files.exists(o)) Some(new String(Files.readAllBytes(o),
+            StandardCharsets.UTF_8))
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
       try {
-        val pre = lock.resolve("owner")
-        val preOwned = Files.exists(pre) &&
-          new String(Files.readAllBytes(pre),
-            StandardCharsets.UTF_8) == token
-        if (preOwned) {
+        // only a DEFINITIVE not-ours verdict walks away; an unreadable
+        // or missing stamp proceeds to the capture — skipping release
+        // on a transient read failure would leave our own healthy lock
+        // in place and wedge every committer for a full lease (a
+        // missing lock just makes the capture's move no-op below)
+        val notOurs = stamp(lock).exists(_ != token)
+        if (!notOurs) {
           val trash =
             lock.resolveSibling(s"_commit-lock.release-$token")
           Files.move(lock, trash,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          val owner = trash.resolve("owner")
-          val owned = Files.exists(owner) &&
-            new String(Files.readAllBytes(owner),
-              StandardCharsets.UTF_8) == token
-          if (owned) graft.FsTree.delete(trash, bestEffort = true)
+          if (stamp(trash).contains(token))
+            graft.FsTree.delete(trash, bestEffort = true)
           else
             try Files.move(trash, lock,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -432,7 +441,16 @@ object AnnIndex {
           committed = true
         }
         catch { case e: Throwable =>
-          if (!committed)
+          // double guard: the flag (set right after commit returns)
+          // AND the pointer itself — an async fatal landing in the
+          // instant between commit()'s pointer flip and the flag
+          // assignment must still never delete the version _current
+          // now names
+          val pointsHere =
+            try currentVersion(indexDir).contains(version)
+            catch { case scala.util.control.NonFatal(_) =>
+              true } // unreadable pointer: refuse to delete, keep `e`
+          if (!committed && !pointsHere)
             graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
           throw e
         }
