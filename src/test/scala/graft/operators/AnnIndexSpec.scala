@@ -887,6 +887,88 @@ class AnnIndexSpec extends SparkSuite {
     assert(leaked.isEmpty, s"leaked read leases: $leaked")
   }
 
+  test("STRESS: ten concurrent delta committers across two dir " +
+      "spellings (the symlink defeats the JVM per-dir lock — the " +
+      "cross-process shape) all land under real racing: every batch " +
+      "visible in the final chain, distinct versions, lock released") {
+    val dir = tmpDir("annidx31")
+    val link = Paths.get(tmpDir("annidx31link"), "idx")
+    Files.createSymbolicLink(link, Paths.get(dir))
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val sess = spark
+    import sess.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val futures = (1 to 10).map { i =>
+      Future {
+        val d = Seq((500L + i, Seq(i.toDouble, 3.0), 3.0,
+          (i % 4 + 1).toLong)).toDF("vec_id", "vd", "nrm", "cell")
+        AnnIndex.publishDelta(d,
+          if (i % 2 == 0) dir else link.toString)
+      }
+    }
+    val versions = Await.result(Future.sequence(futures), 180.seconds)
+    assert(versions.distinct.size == 10,
+      s"every delta must mint its own version; got $versions")
+    val ids = AnnIndex.load(spark, dir).postings
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    (1 to 10).foreach(i => assert(ids.contains(500L + i),
+      s"batch ${500 + i} was shadowed under contention; got $ids"))
+    assert(ids.size == 18, s"8 base + 10 deltas; got ${ids.size}")
+    assert(!Files.exists(Paths.get(dir, "_commit-lock")),
+      "the flip-claim must be released after the storm")
+  }
+
+  test("STRESS: loads racing republishes + immediate keep=0 vacuums " +
+      "(orphan age gate disabled, so only the lease/retry machinery " +
+      "protects the read) never fail: every load lands on a committed " +
+      "version with intact centroids") {
+    val dir = tmpDir("annidx32")
+    val (c, p) = fixture(8)
+    AnnIndex.publish(c, p, dir, k = 4) // v1
+    val prior = sys.props.get("graft.annindex.orphanAgeMs")
+    sys.props("graft.annindex.orphanAgeMs") = "0"
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val publisher = Future {
+        (1 to 12).foreach { i =>
+          val (ci, pi) = fixture(6, shift = i * 0.1)
+          AnnIndex.publish(ci, pi, dir, k = 4)
+          // real-clock vacuum: fresh leases protect readers, the
+          // zeroed age gate protects nothing — the reclaim race is
+          // live and load's lease-first + retry must absorb it
+          AnnIndex.vacuum(dir, keep = 0)
+          Thread.sleep(50)
+        }
+      }
+      val readers = (1 to 2).map(_ => Future {
+        (1 to 10).foreach { _ =>
+          // load() itself centroid-counts the version it lands on
+          // (integrity check) — returning at all means the lease-first
+          // + retry machinery absorbed any reclaim race. No post-
+          // return re-read here: with the age gate zeroed, a vacuum
+          // whose lease snapshot predates this lease may reclaim the
+          // version after return (the documented lease-snapshot
+          // residual that the mtime touch normally covers).
+          val h = AnnIndex.load(spark, dir)
+          assert(h.k == 4 && h.version.startsWith("v"))
+          h.release()
+          Thread.sleep(20)
+        }
+      })
+      Await.result(Future.sequence(publisher +: readers), 300.seconds)
+    } finally {
+      prior match {
+        case Some(v) => sys.props("graft.annindex.orphanAgeMs") = v
+        case None => sys.props.remove("graft.annindex.orphanAgeMs")
+      }
+    }
+  }
+
   test("probeAssignment broadcasts the k-row centroid side (never a " +
       "shuffled or sort-merge join — the centroid frame is " +
       "constant-size at any corpus scale): the O(Q·k) discipline the " +
