@@ -145,8 +145,22 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
 
   private def readDirs(m: Manifest): Option[DataFrame] =
     if (m.dirs.isEmpty) None
-    else Some(spark.read.parquet(m.dirs.values.toSeq.sorted
-      .map(d => s"$baseDir/$d"): _*))
+    else {
+      // freshen every referenced bucket dir's mtime BEFORE handing out
+      // the lazy frame: vacuum's reader window (below) reads mtimes at
+      // delete-decision time, so a long-lived current()/asOf frame
+      // keeps its files readable across later merges + vacuums — the
+      // same read-shielding discipline as AnnIndex.load. Best-effort:
+      // a read-only mount must not fail the read (it can't be
+      // vacuumed from here either).
+      m.dirs.values.foreach { d =>
+        try fs.setTimes(new Path(s"$baseDir/$d"),
+          System.currentTimeMillis(), -1)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      Some(spark.read.parquet(m.dirs.values.toSeq.sorted
+        .map(d => s"$baseDir/$d"): _*))
+    }
 
   /** The committed version's manifest — legacy pointers synthesize one
     * pointing at the old flat `v<batchId>` dir (nBuckets = -1 forces the
@@ -272,12 +286,20 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     * dropped versions are deleted (their `asOf` returns None afterwards);
     * bucket data directories are deleted only when NO retained manifest
     * still references them — a retained version that carries an old bucket
-    * forward keeps that bucket's files alive. The pointer's version is
+    * forward keeps that bucket's files alive — AND their mtime has aged
+    * past [[UpsertSink.ReaderWindowMillis]]: `current()`/`asOf` freshen
+    * the dirs they hand out (see `readDirs`), so a recent reader's lazy
+    * frame keeps its files through the vacuum and the unreferenced data
+    * is reclaimed by a LATER vacuum once the window passes (a window, not
+    * a lock: a frame held past it remains exposed — size the knob, or
+    * `keepLast`, to the longest reader lifetime). The pointer's version is
     * always retained and orphaned manifests ABOVE the pointer (a crashed
     * half-commit) are swept as garbage, never counted against `keepLast` —
     * counting them would let vacuum(1) delete the live version.
-    * `current()` and every retained `asOf` are unaffected. */
-  def vacuum(keepLast: Int): Unit = {
+    * `current()` and every retained `asOf` are unaffected. `now` is
+    * injectable for tests. */
+  def vacuum(keepLast: Int,
+      now: Long = System.currentTimeMillis()): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
     val f = fs
     val mdir = new Path(s"$baseDir/manifest")
@@ -291,16 +313,25 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     val committed = vers.filter(_ <= ptrVer).sorted.reverse
     val keep = committed.take(keepLast)
     val drop = committed.drop(keepLast) ++ vers.filter(_ > ptrVer)
-    if (drop.isEmpty) return
     val referenced = keep.flatMap(readManifest).flatMap(_.dirs.values).toSet
     drop.foreach(v => f.delete(manifestPath(v), false))
+    // the data sweep runs even with nothing to drop: dirs DEFERRED by
+    // an earlier vacuum's reader window have no manifest left to drop,
+    // and an early return here would strand them forever
+    val cutoff = now - UpsertSink.ReaderWindowMillis
     val ddir = new Path(s"$baseDir/data")
     if (f.exists(ddir)) {
       f.listStatus(ddir).filter(_.isDirectory).foreach { verDir =>
         val verName = verDir.getPath.getName
         f.listStatus(verDir.getPath).filter(_.isDirectory).foreach { bDir =>
           val rel = s"data/$verName/${bDir.getPath.getName}"
-          if (!referenced(rel)) f.delete(bDir.getPath, true)
+          // an unreadable mtime counts as FRESH (defer), never as
+          // reclaim-eligible — same rule as the AnnIndex age gate
+          val recentlyRead =
+            try f.getFileStatus(bDir.getPath).getModificationTime >= cutoff
+            catch { case scala.util.control.NonFatal(_) => true }
+          if (!referenced(rel) && !recentlyRead)
+            f.delete(bDir.getPath, true)
         }
         // only marker files (_SUCCESS) left → the whole version dir is dead
         if (f.listStatus(verDir.getPath).forall(!_.isDirectory))
@@ -323,4 +354,16 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+}
+
+object UpsertSink {
+  /** Unreferenced bucket dirs read within this window survive vacuum —
+    * `current()`/`asOf` freshen the dirs of the frames they hand out,
+    * so a recent reader keeps its files through a concurrent reclaim
+    * (deferred to a later vacuum). A window, not a lock: a frame held
+    * past it is exposed — size this (or `keepLast`) to the longest
+    * reader lifetime. Override with -Dgraft.upsertsink.readerWindowMs. */
+  private[streaming] def ReaderWindowMillis: Long =
+    sys.props.get("graft.upsertsink.readerWindowMs")
+      .flatMap(_.toLongOption).getOrElse(60L * 60 * 1000)
 }

@@ -184,6 +184,57 @@ class UpsertSinkSpec extends SparkSuite {
     assert(sink.current().get.count() == 50)
   }
 
+  test("vacuum defers unreferenced bucket dirs inside the reader window " +
+      "— current()/asOf freshen the dirs of the frames they hand out, " +
+      "so a recent reader's lazy frame keeps its files through a " +
+      "concurrent reclaim — and reclaims them once aged past it") {
+    val base = tmpDir("upsert13")
+    val sink = new UpsertSink(spark, base, "k", "ord", buckets = 4)
+    assert(sink.apply(df(Seq((1L, "a", 1L), (2L, "b", 1L),
+      (3L, "c", 1L))), 0L))
+    val v0dirs = sink.currentBucketDirs().values.toSeq
+    val held = sink.current().get // the long-lived reader's lazy frame
+    // rewriting the SAME keys touches the same buckets: v1 references
+    // only its own dirs and v0's become pure history
+    assert(sink.apply(df(Seq((1L, "a2", 2L), (2L, "b2", 2L),
+      (3L, "c2", 2L))), 1L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"file:$base"), spark.sessionState.newHadoopConf())
+    val referenced = sink.currentBucketDirs().values.toSet
+    val dead = v0dirs.filterNot(referenced)
+    assert(dead.nonEmpty, "expected v0 buckets to fall out of reference")
+    // real-clock vacuum: the manifest drops (asOf gone) but the data
+    // dirs were just read — deferred inside the reader window
+    sink.vacuum(keepLast = 1)
+    assert(sink.asOf(0L).isEmpty, "dropped version's asOf must be gone")
+    dead.foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/$rel")),
+        s"recently-read bucket $rel must survive the vacuum window")
+    }
+    assert(held.orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b", "c"),
+      "the held frame must stay readable through the vacuum")
+    // aged past the window: the next vacuum reclaims
+    val stale = System.currentTimeMillis() +
+      UpsertSink.ReaderWindowMillis + 60000L
+    sink.vacuum(keepLast = 1, now = stale)
+    dead.foreach { rel =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/$rel")),
+        s"aged unreferenced bucket $rel must be reclaimed")
+    }
+    assert(sink.current().get.orderBy("k").collect()
+      .map(_.getString(1)).toSeq == Seq("a2", "b2", "c2"))
+    // and the freshening itself: an old-mtime referenced dir is touched
+    // by the next read
+    val someRef = referenced.head
+    val p = new org.apache.hadoop.fs.Path(s"$base/$someRef")
+    fs.setTimes(p, System.currentTimeMillis() - 10L * 60 * 60 * 1000, -1)
+    sink.current().get
+    assert(fs.getFileStatus(p).getModificationTime >
+      System.currentTimeMillis() - 60000L,
+      "current() must freshen the dirs it hands out")
+  }
+
   test("multi-writer replay guard: q1's replayed batch arriving AFTER q2's " +
       "commit is still skipped (per-query high-water marks in the pointer)") {
     val base = tmpDir("upsert11")
