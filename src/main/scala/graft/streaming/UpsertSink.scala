@@ -143,21 +143,43 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
+  /** One lease FILE per recent read window: `_reading/<uuid>` lists
+    * the bucket dirs the handed-out frame references (one rel path per
+    * line). Lease files — not directory mtimes — because a file's
+    * mtime is real on every store (`file:`, `hdfs:`, `s3a:`) while
+    * directory `setTimes` is a silent no-op on object stores and their
+    * dir mtimes are synthetic, which would make an mtime-based shield
+    * quietly inert exactly where vacuum-under-reader is most
+    * dangerous. Best-effort (a read-only mount can't be vacuumed from
+    * here either) and memoized per sink instance, so a serving loop
+    * calling current() every micro-batch writes one lease per
+    * half-window, not one per call. */
+  @volatile private var lastLease: (Set[String], Long) = (Set.empty, 0L)
+  private def dropReadLease(m: Manifest): Unit = {
+    val dirs = m.dirs.values.toSet
+    val nowMs = System.currentTimeMillis()
+    val (prevDirs, prevAt) = lastLease
+    if (prevDirs != dirs ||
+      nowMs - prevAt > UpsertSink.ReaderWindowMillis / 2) {
+      try {
+        val p = new Path(
+          s"$baseDir/_reading/${java.util.UUID.randomUUID()}")
+        val out = fs.create(p, true)
+        try out.write(dirs.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        lastLease = (dirs, nowMs)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   private def readDirs(m: Manifest): Option[DataFrame] =
     if (m.dirs.isEmpty) None
     else {
-      // freshen every referenced bucket dir's mtime BEFORE handing out
-      // the lazy frame: vacuum's reader window (below) reads mtimes at
-      // delete-decision time, so a long-lived current()/asOf frame
+      // lease BEFORE handing out the lazy frame: vacuum retains every
+      // dir a fresh lease names, so a recent current()/asOf frame
       // keeps its files readable across later merges + vacuums — the
-      // same read-shielding discipline as AnnIndex.load. Best-effort:
-      // a read-only mount must not fail the read (it can't be
-      // vacuumed from here either).
-      m.dirs.values.foreach { d =>
-        try fs.setTimes(new Path(s"$baseDir/$d"),
-          System.currentTimeMillis(), -1)
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+      // AnnIndex.load read-shielding discipline
+      dropReadLease(m)
       Some(spark.read.parquet(m.dirs.values.toSeq.sorted
         .map(d => s"$baseDir/$d"): _*))
     }
@@ -174,9 +196,25 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
       else None
     } else readManifest(meta.ver)
 
-  /** The current materialized state, if any non-empty batch has committed. */
-  def current(): Option[DataFrame] =
-    currentMeta().flatMap(manifestFor).flatMap(readDirs)
+  /** The current materialized state, if any non-empty batch has
+    * committed. A cold first read can race a concurrent merge + vacuum
+    * (the lease lands only after the manifest resolve): a read failure
+    * with a MOVED pointer retries against the new version — an
+    * unchanged pointer is genuine damage (the current version is never
+    * vacuumed) and rethrows. */
+  def current(): Option[DataFrame] = {
+    var attempt = 0
+    while (true) {
+      val meta = currentMeta()
+      try return meta.flatMap(manifestFor).flatMap(readDirs)
+      catch { case e if scala.util.control.NonFatal(e) =>
+        attempt += 1
+        if (attempt >= 3 ||
+          currentMeta().map(_.ver) == meta.map(_.ver)) throw e
+      }
+    }
+    None // unreachable
+  }
 
   /** Last batchId applied BY THIS QUERY (its replay high-water mark). */
   def lastBatchId: Option[Long] =
@@ -203,9 +241,18 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
       .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
       .filter(_ <= ptrVer)
       .sorted.reverse
-      .flatMap(readManifest)
-      .find(m => m.qid == forQuery && m.batchId == batchId)
-      .flatMap(readDirs)
+      .flatMap(v => readManifest(v).map(v -> _))
+      .find { case (_, m) => m.qid == forQuery && m.batchId == batchId }
+      .flatMap { case (v, m) =>
+        try readDirs(m)
+        catch { case e if scala.util.control.NonFatal(e) =>
+          // raced a vacuum that dropped this version between our
+          // manifest read and the lease landing: a now-GONE manifest
+          // IS the documented dropped state — report None, not a
+          // crash; a manifest still present means real damage
+          if (f.exists(manifestPath(v))) throw e else None
+        }
+      }
   }
 
   /** Merge one micro-batch into the view. Returns false when the batch was
@@ -286,18 +333,19 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     * dropped versions are deleted (their `asOf` returns None afterwards);
     * bucket data directories are deleted only when NO retained manifest
     * still references them — a retained version that carries an old bucket
-    * forward keeps that bucket's files alive — AND their mtime has aged
-    * past [[UpsertSink.ReaderWindowMillis]]: `current()`/`asOf` freshen
-    * the dirs they hand out (see `readDirs`), so a recent reader's lazy
-    * frame keeps its files through the vacuum and the unreferenced data
-    * is reclaimed by a LATER vacuum once the window passes (a window, not
-    * a lock: a frame held past it remains exposed — size the knob, or
-    * `keepLast`, to the longest reader lifetime). The pointer's version is
-    * always retained and orphaned manifests ABOVE the pointer (a crashed
-    * half-commit) are swept as garbage, never counted against `keepLast` —
-    * counting them would let vacuum(1) delete the live version.
-    * `current()` and every retained `asOf` are unaffected. `now` is
-    * injectable for tests. */
+    * forward keeps that bucket's files alive — AND no FRESH read lease
+    * (`_reading` files younger than [[UpsertSink.ReaderWindowMillis]],
+    * dropped by `current()`/`asOf` — see `readDirs`) names them: a
+    * recent reader's lazy frame keeps its files through the vacuum and
+    * the unreferenced data is reclaimed by a LATER vacuum once the
+    * lease ages (a lease, not a lock: a frame held past the window
+    * remains exposed — size the knob, or `keepLast`, to the longest
+    * reader lifetime). Stale lease files are deleted as housekeeping.
+    * The pointer's version is always retained and orphaned manifests
+    * ABOVE the pointer (a crashed half-commit) are swept as garbage,
+    * never counted against `keepLast` — counting them would let
+    * vacuum(1) delete the live version. `current()` and every retained
+    * `asOf` are unaffected. `now` is injectable for tests. */
   def vacuum(keepLast: Int,
       now: Long = System.currentTimeMillis()): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
@@ -315,22 +363,41 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     val drop = committed.drop(keepLast) ++ vers.filter(_ > ptrVer)
     val referenced = keep.flatMap(readManifest).flatMap(_.dirs.values).toSet
     drop.foreach(v => f.delete(manifestPath(v), false))
-    // the data sweep runs even with nothing to drop: dirs DEFERRED by
-    // an earlier vacuum's reader window have no manifest left to drop,
-    // and an early return here would strand them forever
+    // fresh leases pin the dirs they name; stale ones are crash or
+    // forgotten-reader residue, deleted here so they can't accumulate
     val cutoff = now - UpsertSink.ReaderWindowMillis
+    val ldir = new Path(s"$baseDir/_reading")
+    val leased: Set[String] =
+      if (!f.exists(ldir)) Set.empty
+      else f.listStatus(ldir).toSeq.flatMap { st =>
+        if (st.getModificationTime < cutoff) {
+          try f.delete(st.getPath, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          Nil
+        } else
+          try {
+            val in = f.open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().toList.filter(_.nonEmpty)
+            finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => Nil }
+      }.toSet
+    // the data sweep runs even with nothing to drop: dirs DEFERRED by
+    // an earlier vacuum's fresh lease have no manifest left to drop,
+    // and an early return here would strand them forever
     val ddir = new Path(s"$baseDir/data")
     if (f.exists(ddir)) {
       f.listStatus(ddir).filter(_.isDirectory).foreach { verDir =>
         val verName = verDir.getPath.getName
         f.listStatus(verDir.getPath).filter(_.isDirectory).foreach { bDir =>
           val rel = s"data/$verName/${bDir.getPath.getName}"
-          // an unreadable mtime counts as FRESH (defer), never as
-          // reclaim-eligible — same rule as the AnnIndex age gate
-          val recentlyRead =
-            try f.getFileStatus(bDir.getPath).getModificationTime >= cutoff
-            catch { case scala.util.control.NonFatal(_) => true }
-          if (!referenced(rel) && !recentlyRead)
+          // ONLY committed bucket dirs are sweep candidates: an
+          // in-flight write's `_temporary` (and any other job-scratch
+          // entry) belongs to the committer, and deleting it mid-job
+          // would fail the write or commit a manifest over missing
+          // buckets
+          if (bDir.getPath.getName.startsWith("__bucket=") &&
+            !referenced(rel) && !leased(rel))
             f.delete(bDir.getPath, true)
         }
         // only marker files (_SUCCESS) left → the whole version dir is dead

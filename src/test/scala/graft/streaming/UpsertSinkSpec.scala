@@ -184,37 +184,52 @@ class UpsertSinkSpec extends SparkSuite {
     assert(sink.current().get.count() == 50)
   }
 
-  test("vacuum defers unreferenced bucket dirs inside the reader window " +
-      "— current()/asOf freshen the dirs of the frames they hand out, " +
-      "so a recent reader's lazy frame keeps its files through a " +
-      "concurrent reclaim — and reclaims them once aged past it") {
+  test("vacuum defers unreferenced bucket dirs a FRESH read lease names " +
+      "— current()/asOf drop a lease file listing the dirs they hand " +
+      "out (file mtimes are real on every store; directory setTimes is " +
+      "a silent no-op on object stores), so a recent reader's lazy " +
+      "frame keeps its files through a concurrent reclaim — and " +
+      "reclaims them once the lease ages; stale leases are swept") {
     val base = tmpDir("upsert13")
     val sink = new UpsertSink(spark, base, "k", "ord", buckets = 4)
     assert(sink.apply(df(Seq((1L, "a", 1L), (2L, "b", 1L),
       (3L, "c", 1L))), 0L))
     val v0dirs = sink.currentBucketDirs().values.toSeq
     val held = sink.current().get // the long-lived reader's lazy frame
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"file:$base"), spark.sessionState.newHadoopConf())
+    val ldir = new org.apache.hadoop.fs.Path(s"$base/_reading")
+    def leases() =
+      if (!fs.exists(ldir)) Seq.empty
+      else fs.listStatus(ldir).toSeq.map(_.getPath)
+    assert(leases().nonEmpty, "current() must drop a read lease")
+    // the memo: a second read inside the half-window writes NO new
+    // lease (a per-micro-batch serving loop must not flood the dir)
+    val before = leases().size
+    sink.current().get
+    assert(leases().size == before,
+      "a re-read within the half-window must reuse the lease")
     // rewriting the SAME keys touches the same buckets: v1 references
     // only its own dirs and v0's become pure history
     assert(sink.apply(df(Seq((1L, "a2", 2L), (2L, "b2", 2L),
       (3L, "c2", 2L))), 1L))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(s"file:$base"), spark.sessionState.newHadoopConf())
     val referenced = sink.currentBucketDirs().values.toSet
     val dead = v0dirs.filterNot(referenced)
     assert(dead.nonEmpty, "expected v0 buckets to fall out of reference")
-    // real-clock vacuum: the manifest drops (asOf gone) but the data
-    // dirs were just read — deferred inside the reader window
+    // real-clock vacuum: the manifest drops (asOf gone) but the dirs
+    // are named by the reader's fresh lease — deferred
     sink.vacuum(keepLast = 1)
     assert(sink.asOf(0L).isEmpty, "dropped version's asOf must be gone")
     dead.foreach { rel =>
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/$rel")),
-        s"recently-read bucket $rel must survive the vacuum window")
+        s"freshly-leased bucket $rel must survive the vacuum")
     }
     assert(held.orderBy("k").collect().map(_.getString(1)).toSeq
       == Seq("a", "b", "c"),
       "the held frame must stay readable through the vacuum")
-    // aged past the window: the next vacuum reclaims
+    // aged past the window: the lease is stale — swept as housekeeping
+    // — and the deferred dirs reclaim even though THIS vacuum has no
+    // manifest left to drop
     val stale = System.currentTimeMillis() +
       UpsertSink.ReaderWindowMillis + 60000L
     sink.vacuum(keepLast = 1, now = stale)
@@ -222,17 +237,9 @@ class UpsertSinkSpec extends SparkSuite {
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/$rel")),
         s"aged unreferenced bucket $rel must be reclaimed")
     }
+    assert(leases().isEmpty, "stale lease files must be swept")
     assert(sink.current().get.orderBy("k").collect()
       .map(_.getString(1)).toSeq == Seq("a2", "b2", "c2"))
-    // and the freshening itself: an old-mtime referenced dir is touched
-    // by the next read
-    val someRef = referenced.head
-    val p = new org.apache.hadoop.fs.Path(s"$base/$someRef")
-    fs.setTimes(p, System.currentTimeMillis() - 10L * 60 * 60 * 1000, -1)
-    sink.current().get
-    assert(fs.getFileStatus(p).getModificationTime >
-      System.currentTimeMillis() - 60000L,
-      "current() must freshen the dirs it hands out")
   }
 
   test("multi-writer replay guard: q1's replayed batch arriving AFTER q2's " +
