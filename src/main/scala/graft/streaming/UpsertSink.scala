@@ -154,21 +154,48 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     * here either) and memoized per sink instance, so a serving loop
     * calling current() every micro-batch writes one lease per
     * half-window, not one per call. */
-  @volatile private var lastLease: (Set[String], Long) = (Set.empty, 0L)
+  /** Memo keyed by DIR-SET (a loop alternating current() and asOf
+    * would defeat a single slot and write one lease per call); entries
+    * refresh at half the window, so a handed-out frame is protected
+    * for AT LEAST ReaderWindowMillis/2 — size the knob to twice the
+    * longest reader lifetime. Stale entries are pruned opportunistically
+    * (the key space is bounded by the distinct dir-sets read within
+    * one window). */
+  private val leaseMemo =
+    new java.util.concurrent.ConcurrentHashMap[Set[String], java.lang.Long]()
+  @volatile private var lastLeasePath: Option[Path] = None
   private def dropReadLease(m: Manifest): Unit = {
     val dirs = m.dirs.values.toSet
     val nowMs = System.currentTimeMillis()
-    val (prevDirs, prevAt) = lastLease
-    if (prevDirs != dirs ||
-      nowMs - prevAt > UpsertSink.ReaderWindowMillis / 2) {
+    val half = UpsertSink.ReaderWindowMillis / 2
+    val prev = Option(leaseMemo.get(dirs)).map(_.longValue)
+    if (!prev.exists(nowMs - _ <= half)) {
       try {
         val p = new Path(
           s"$baseDir/_reading/${java.util.UUID.randomUUID()}")
         val out = fs.create(p, true)
         try out.write(dirs.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
         finally out.close()
-        lastLease = (dirs, nowMs)
+        leaseMemo.put(dirs, nowMs)
+        lastLeasePath = Some(p)
+        // prune dead memo entries so alternating dir-sets stay bounded
+        val it = leaseMemo.entrySet().iterator()
+        while (it.hasNext) {
+          if (nowMs - it.next().getValue.longValue >
+            UpsertSink.ReaderWindowMillis) it.remove()
+        }
       } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Drop the lease a failed read attempt wrote (best-effort debris
+    * control — a lease left behind ages out on its own) and clear its
+    * memo slot so the retry writes a fresh one. */
+  private def retractLease(dirs: Set[String], p: Option[Path]): Unit = {
+    leaseMemo.remove(dirs)
+    p.foreach { path =>
+      try fs.delete(path, false)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -206,8 +233,17 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     var attempt = 0
     while (true) {
       val meta = currentMeta()
-      try return meta.flatMap(manifestFor).flatMap(readDirs)
+      val leaseBefore = lastLeasePath
+      val m = meta.flatMap(manifestFor)
+      try return m.flatMap(readDirs)
       catch { case e if scala.util.control.NonFatal(e) =>
+        // the failed attempt's lease names a reclaimed version's dirs:
+        // retract it (AnnIndex.load's discipline) so it neither sits
+        // as debris for a window nor memo-suppresses the retry's lease
+        m.foreach { mf =>
+          retractLease(mf.dirs.values.toSet,
+            lastLeasePath.filter(p => !leaseBefore.contains(p)))
+        }
         attempt += 1
         if (attempt >= 3 ||
           currentMeta().map(_.ver) == meta.map(_.ver)) throw e
@@ -237,11 +273,21 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     // manifest from a crash between the version write and the pointer flip
     // must stay invisible to time travel, matching current()'s contract
     val ptrVer = currentMeta().map(_.ver).getOrElse(return None)
+    // manifest reads during the walk tolerate the same vacuum race as
+    // the readDirs leg below: a manifest deleted between the listing
+    // (or readManifest's own exists probe) and its open is the
+    // documented dropped state, skipped — a manifest still on disk
+    // after the failure is real damage and rethrows
+    def walkManifest(v: Long): Option[(Long, Manifest)] =
+      try readManifest(v).map(v -> _)
+      catch { case e if scala.util.control.NonFatal(e) =>
+        if (f.exists(manifestPath(v))) throw e else None
+      }
     f.listStatus(mdir).toSeq
       .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
       .filter(_ <= ptrVer)
       .sorted.reverse
-      .flatMap(v => readManifest(v).map(v -> _))
+      .flatMap(walkManifest)
       .find { case (_, m) => m.qid == forQuery && m.batchId == batchId }
       .flatMap { case (v, m) =>
         try readDirs(m)
@@ -338,9 +384,16 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     * dropped by `current()`/`asOf` — see `readDirs`) names them: a
     * recent reader's lazy frame keeps its files through the vacuum and
     * the unreferenced data is reclaimed by a LATER vacuum once the
-    * lease ages (a lease, not a lock: a frame held past the window
-    * remains exposed — size the knob, or `keepLast`, to the longest
-    * reader lifetime). Stale lease files are deleted as housekeeping.
+    * lease ages. The memo refreshes leases at HALF the window, so a
+    * handed-out frame is guaranteed protection for at least
+    * window/2 — size the knob to TWICE the longest reader lifetime
+    * (or size `keepLast`); a frame held past that remains exposed (a
+    * lease, not a lock). Leases are re-read immediately before the
+    * deletes (a lease landing after the first snapshot still
+    * protects), an unreadable fresh lease defers the whole sweep, and
+    * stale lease files are deleted as housekeeping. Aged job-scratch
+    * (a crashed write's `_temporary`, judged by the newest FILE mtime
+    * in its tree) is reclaimed; live jobs' scratch is never touched.
     * The pointer's version is always retained and orphaned manifests
     * ABOVE the pointer (a crashed half-commit) are swept as garbage,
     * never counted against `keepLast` — counting them would let
@@ -363,47 +416,100 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     val drop = committed.drop(keepLast) ++ vers.filter(_ > ptrVer)
     val referenced = keep.flatMap(readManifest).flatMap(_.dirs.values).toSet
     drop.foreach(v => f.delete(manifestPath(v), false))
-    // fresh leases pin the dirs they name; stale ones are crash or
-    // forgotten-reader residue, deleted here so they can't accumulate
+    // Lease reader shared by the pre-pass and the delete-time
+    // re-check. None = a FRESH lease's content could not be read
+    // (transient IO, torn mid-write read — leases are plain
+    // create+write, not tmp+rename): DEFER the whole sweep rather
+    // than reclaim under a possibly-active reader (fail-safe — the
+    // old error path returned Nil and deleted, inverting the rule).
+    // Some(set) = the dirs every fresh lease names; stale leases are
+    // swept as housekeeping.
     val cutoff = now - UpsertSink.ReaderWindowMillis
-    val ldir = new Path(s"$baseDir/_reading")
-    val leased: Set[String] =
-      if (!f.exists(ldir)) Set.empty
-      else f.listStatus(ldir).toSeq.flatMap { st =>
-        if (st.getModificationTime < cutoff) {
-          try f.delete(st.getPath, false)
-          catch { case scala.util.control.NonFatal(_) => () }
-          Nil
-        } else
-          try {
-            val in = f.open(st.getPath)
-            try scala.io.Source.fromInputStream(in, "UTF-8")
-              .getLines().toList.filter(_.nonEmpty)
-            finally in.close()
-          } catch { case scala.util.control.NonFatal(_) => Nil }
-      }.toSet
+    def readLeases(): Option[Set[String]] = {
+      val ldir = new Path(s"$baseDir/_reading")
+      if (!f.exists(ldir)) Some(Set.empty)
+      else {
+        var failed = false
+        val dirs = f.listStatus(ldir).toSeq.flatMap { st =>
+          if (st.getModificationTime < cutoff) {
+            try f.delete(st.getPath, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+            Nil
+          } else
+            try {
+              val in = f.open(st.getPath)
+              try scala.io.Source.fromInputStream(in, "UTF-8")
+                .getLines().toList.filter(_.nonEmpty)
+              finally in.close()
+            } catch { case scala.util.control.NonFatal(_) =>
+              failed = true; Nil }
+        }
+        if (failed) None else Some(dirs.toSet)
+      }
+    }
+    // Any file inside `p` younger than the window means a possibly
+    // LIVE job (file mtimes are real on every store — the dir's own
+    // mtime is synthetic on object stores); an unreadable listing
+    // counts as fresh. An aged tree (or an aged empty skeleton) is
+    // crash residue.
+    def treeHasFreshFile(p: Path): Boolean =
+      try {
+        val it = f.listFiles(p, true)
+        var fresh = false
+        while (!fresh && it.hasNext)
+          fresh = it.next().getModificationTime >= cutoff
+        fresh
+      } catch { case scala.util.control.NonFatal(_) => true }
     // the data sweep runs even with nothing to drop: dirs DEFERRED by
     // an earlier vacuum's fresh lease have no manifest left to drop,
     // and an early return here would strand them forever
     val ddir = new Path(s"$baseDir/data")
-    if (f.exists(ddir)) {
-      f.listStatus(ddir).filter(_.isDirectory).foreach { verDir =>
-        val verName = verDir.getPath.getName
-        f.listStatus(verDir.getPath).filter(_.isDirectory).foreach { bDir =>
-          val rel = s"data/$verName/${bDir.getPath.getName}"
-          // ONLY committed bucket dirs are sweep candidates: an
-          // in-flight write's `_temporary` (and any other job-scratch
-          // entry) belongs to the committer, and deleting it mid-job
-          // would fail the write or commit a manifest over missing
-          // buckets
-          if (bDir.getPath.getName.startsWith("__bucket=") &&
-            !referenced(rel) && !leased(rel))
-            f.delete(bDir.getPath, true)
+    readLeases() match {
+      case None => () // defer the whole sweep this pass
+      case Some(leased) if f.exists(ddir) =>
+        val verDirs = f.listStatus(ddir).filter(_.isDirectory)
+        val candidates =
+          scala.collection.mutable.ArrayBuffer[(String, Path)]()
+        verDirs.foreach { verDir =>
+          val verName = verDir.getPath.getName
+          f.listStatus(verDir.getPath).filter(_.isDirectory)
+            .foreach { bDir =>
+              val name = bDir.getPath.getName
+              val rel = s"data/$verName/$name"
+              if (name.startsWith("__bucket=")) {
+                if (!referenced(rel) && !leased(rel))
+                  candidates += rel -> bDir.getPath
+              } else if (!treeHasFreshFile(bDir.getPath)) {
+                // job-scratch (`_temporary`) of an IN-FLIGHT write
+                // belongs to the committer — but a CRASHED write's
+                // residue must eventually reclaim, or it leaks and
+                // permanently blocks the version-dir cleanup below
+                try f.delete(bDir.getPath, true)
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
+            }
         }
-        // only marker files (_SUCCESS) left → the whole version dir is dead
-        if (f.listStatus(verDir.getPath).forall(!_.isDirectory))
-          f.delete(verDir.getPath, true)
-      }
+        // delete-time lease RE-CHECK: a reader's lease that landed
+        // after the pre-pass snapshot (its frame resolved against
+        // still-present dirs) must still protect its files — the
+        // residual shrinks to the instant between this re-read and
+        // the deletes (a lease, not a lock). A re-check failure
+        // defers, same as above.
+        if (candidates.nonEmpty) readLeases() match {
+          case None => ()
+          case Some(leased2) =>
+            candidates.foreach { case (rel, p) =>
+              if (!leased2(rel)) f.delete(p, true)
+            }
+        }
+        // only marker files (_SUCCESS) left → the whole version dir
+        // is dead
+        verDirs.foreach { verDir =>
+          if (f.exists(verDir.getPath) &&
+            f.listStatus(verDir.getPath).forall(!_.isDirectory))
+            f.delete(verDir.getPath, true)
+        }
+      case Some(_) => ()
     }
   }
 

@@ -242,6 +242,58 @@ class UpsertSinkSpec extends SparkSuite {
       .map(_.getString(1)).toSeq == Seq("a2", "b2", "c2"))
   }
 
+  test("vacuum fail-safes on an unreadable FRESH lease (whole sweep " +
+      "deferred — reclaiming under it could kill an active reader), " +
+      "reclaims a crashed write's aged _temporary by file-tree age " +
+      "(unblocking the version-dir cleanup), and never touches a live " +
+      "job's scratch") {
+    val base = tmpDir("upsert14")
+    val sink = new UpsertSink(spark, base, "k", "ord", buckets = 4)
+    assert(sink.apply(df(Seq((1L, "a", 1L))), 0L))
+    val v0dirs = sink.currentBucketDirs().values.toSeq
+    assert(sink.apply(df(Seq((1L, "a2", 2L))), 1L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"file:$base"), spark.sessionState.newHadoopConf())
+    val dead = v0dirs.filterNot(sink.currentBucketDirs().values.toSet)
+    assert(dead.nonEmpty, "expected v0 buckets to fall out of reference")
+    val stale = System.currentTimeMillis() +
+      UpsertSink.ReaderWindowMillis + 60000L
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    // crash residue: an aged _temporary under the dropped version and
+    // a LIVE job's scratch under the current one (file mtime pinned
+    // fresh — file mtimes are real on every store)
+    val tOld = hp(s"$base/data/0/_temporary")
+    fs.mkdirs(tOld)
+    val o1 = fs.create(hp(s"$tOld/part-000"), true)
+    o1.write("x".getBytes); o1.close()
+    val tLive = hp(s"$base/data/1/_temporary")
+    fs.mkdirs(tLive)
+    val o2 = fs.create(hp(s"$tLive/part-000"), true)
+    o2.write("y".getBytes); o2.close()
+    fs.setTimes(hp(s"$tLive/part-000"), stale, -1)
+    // an unreadable FRESH lease: a directory at a lease path makes
+    // open() throw while its mtime reads fresh
+    val torn = hp(s"$base/_reading/torn")
+    fs.mkdirs(torn)
+    fs.setTimes(torn, stale, -1)
+    sink.vacuum(1, now = stale)
+    dead.foreach(rel => assert(fs.exists(hp(s"$base/$rel")),
+      "the sweep must be DEFERRED while a fresh lease is unreadable"))
+    assert(fs.exists(tOld), "deferral covers job-scratch too")
+    // lease cleared → the sweep runs: dead buckets + aged scratch go,
+    // the live job's scratch survives
+    fs.delete(torn, true)
+    sink.vacuum(1, now = stale)
+    dead.foreach(rel => assert(!fs.exists(hp(s"$base/$rel")),
+      s"aged unreferenced bucket $rel must be reclaimed"))
+    assert(!fs.exists(tOld), "aged crash residue must reclaim")
+    assert(fs.exists(tLive), "a live job's scratch must survive")
+    assert(!fs.exists(hp(s"$base/data/0")),
+      "reclaiming the aged _temporary unblocks the version-dir cleanup")
+    assert(sink.current().get.collect().map(_.getString(1)).toSeq
+      == Seq("a2"))
+  }
+
   test("multi-writer replay guard: q1's replayed batch arriving AFTER q2's " +
       "commit is still skipped (per-query high-water marks in the pointer)") {
     val base = tmpDir("upsert11")
