@@ -163,13 +163,17 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     * one window). */
   private val leaseMemo =
     new java.util.concurrent.ConcurrentHashMap[Set[String], java.lang.Long]()
-  @volatile private var lastLeasePath: Option[Path] = None
-  private def dropReadLease(m: Manifest): Unit = {
+  /** Returns the lease path ONLY when THIS call wrote one — the
+    * caller's failure cleanup must never delete a lease a concurrent
+    * reader of the same dirs wrote (a shared last-written slot did
+    * exactly that). */
+  private def dropReadLease(m: Manifest): Option[Path] = {
     val dirs = m.dirs.values.toSet
     val nowMs = System.currentTimeMillis()
     val half = UpsertSink.ReaderWindowMillis / 2
     val prev = Option(leaseMemo.get(dirs)).map(_.longValue)
-    if (!prev.exists(nowMs - _ <= half)) {
+    if (prev.exists(nowMs - _ <= half)) None
+    else
       try {
         val p = new Path(
           s"$baseDir/_reading/${java.util.UUID.randomUUID()}")
@@ -177,15 +181,14 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
         try out.write(dirs.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
         finally out.close()
         leaseMemo.put(dirs, nowMs)
-        lastLeasePath = Some(p)
         // prune dead memo entries so alternating dir-sets stay bounded
         val it = leaseMemo.entrySet().iterator()
         while (it.hasNext) {
           if (nowMs - it.next().getValue.longValue >
             UpsertSink.ReaderWindowMillis) it.remove()
         }
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
+        Some(p)
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Drop the lease a failed read attempt wrote (best-effort debris
@@ -199,17 +202,24 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
     }
   }
 
-  private def readDirs(m: Manifest): Option[DataFrame] =
-    if (m.dirs.isEmpty) None
+  /** Like [[readDirs]] but also reports the lease path THIS call
+    * wrote (None when the memo reused one) — current()'s failure
+    * cleanup retracts only its own lease. */
+  private def readDirsLeased(m: Manifest)
+      : (Option[DataFrame], Option[Path]) =
+    if (m.dirs.isEmpty) (None, None)
     else {
       // lease BEFORE handing out the lazy frame: vacuum retains every
       // dir a fresh lease names, so a recent current()/asOf frame
       // keeps its files readable across later merges + vacuums — the
       // AnnIndex.load read-shielding discipline
-      dropReadLease(m)
-      Some(spark.read.parquet(m.dirs.values.toSeq.sorted
-        .map(d => s"$baseDir/$d"): _*))
+      val wrote = dropReadLease(m)
+      (Some(spark.read.parquet(m.dirs.values.toSeq.sorted
+        .map(d => s"$baseDir/$d"): _*)), wrote)
     }
+
+  private def readDirs(m: Manifest): Option[DataFrame] =
+    readDirsLeased(m)._1
 
   /** The committed version's manifest — legacy pointers synthesize one
     * pointing at the old flat `v<batchId>` dir (nBuckets = -1 forces the
@@ -225,25 +235,45 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
 
   /** The current materialized state, if any non-empty batch has
     * committed. A cold first read can race a concurrent merge + vacuum
-    * (the lease lands only after the manifest resolve): a read failure
-    * with a MOVED pointer retries against the new version — an
-    * unchanged pointer is genuine damage (the current version is never
-    * vacuumed) and rethrows. */
+    * (the lease lands only after the manifest resolve), in EITHER
+    * shape — the manifest open throwing, or the manifest vanishing
+    * before its exists probe so the resolve yields None: with a MOVED
+    * pointer both retry against the new version; an unchanged pointer
+    * is genuine damage (the current version is never vacuumed) and
+    * rethrows / reports honestly. */
   def current(): Option[DataFrame] = {
     var attempt = 0
     while (true) {
       val meta = currentMeta()
-      val leaseBefore = lastLeasePath
-      val m = meta.flatMap(manifestFor)
-      try return m.flatMap(readDirs)
-      catch { case e if scala.util.control.NonFatal(e) =>
+      var m: Option[Manifest] = None
+      var wrote: Option[Path] = None
+      try {
+        // the manifest resolve sits INSIDE the try: a vacuum deleting
+        // the manifest between its exists probe and its open must hit
+        // the retry below, not escape current() (the race this
+        // method's contract promises to absorb)
+        m = meta.flatMap(manifestFor)
+        if (m.isEmpty && meta.nonEmpty &&
+          currentMeta().map(_.ver) != meta.map(_.ver)) {
+          // the vanished-manifest (None) leg of the same race: the
+          // version was vacuumed under a moved pointer — retry rather
+          // than transiently serving "no state" while state exists
+          attempt += 1
+          if (attempt >= 3) return None
+        } else
+          return m.flatMap { mf =>
+            val (df, lp) = readDirsLeased(mf)
+            wrote = lp
+            df
+          }
+      } catch { case e if scala.util.control.NonFatal(e) =>
         // the failed attempt's lease names a reclaimed version's dirs:
         // retract it (AnnIndex.load's discipline) so it neither sits
-        // as debris for a window nor memo-suppresses the retry's lease
-        m.foreach { mf =>
-          retractLease(mf.dirs.values.toSet,
-            lastLeasePath.filter(p => !leaseBefore.contains(p)))
-        }
+        // as debris for a window nor memo-suppresses the retry's
+        // lease. ONLY a lease this attempt wrote — deleting one a
+        // concurrent same-dirs reader wrote would strip that reader's
+        // protection.
+        m.foreach(mf => retractLease(mf.dirs.values.toSet, wrote))
         attempt += 1
         if (attempt >= 3 ||
           currentMeta().map(_.ver) == meta.map(_.ver)) throw e
@@ -287,7 +317,8 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
       .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
       .filter(_ <= ptrVer)
       .sorted.reverse
-      .flatMap(walkManifest)
+      .iterator // lazy: find stops at the first hit — the strict walk
+      .flatMap(walkManifest) // opened EVERY retained manifest first
       .find { case (_, m) => m.qid == forQuery && m.batchId == batchId }
       .flatMap { case (v, m) =>
         try readDirs(m)
@@ -447,18 +478,27 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
         if (failed) None else Some(dirs.toSet)
       }
     }
-    // Any file inside `p` younger than the window means a possibly
-    // LIVE job (file mtimes are real on every store — the dir's own
-    // mtime is synthetic on object stores); an unreadable listing
-    // counts as fresh. An aged tree (or an aged empty skeleton) is
-    // crash residue.
+    // Any file inside `p` younger than the SCRATCH age (its own knob —
+    // judging job liveness by the READER window would let a tuned-down
+    // reader knob delete a live write's stragglers mid-job) means a
+    // possibly LIVE job (file mtimes are real on every store — the
+    // dir's own mtime is synthetic on object stores). A FILE-LESS tree
+    // counts as fresh/defer: a just-started job's _temporary holds
+    // only directories for its first instants, and with no file there
+    // is NO age evidence at all — deleting on none would fail that
+    // job at commit (empty skeletons from true crashes are cosmetic
+    // residue, accepted). An unreadable listing counts as fresh.
+    val scratchCutoff = now - UpsertSink.ScratchAgeMillis
     def treeHasFreshFile(p: Path): Boolean =
       try {
         val it = f.listFiles(p, true)
+        var sawFile = false
         var fresh = false
-        while (!fresh && it.hasNext)
-          fresh = it.next().getModificationTime >= cutoff
-        fresh
+        while (!fresh && it.hasNext) {
+          sawFile = true
+          fresh = it.next().getModificationTime >= scratchCutoff
+        }
+        fresh || !sawFile
       } catch { case scala.util.control.NonFatal(_) => true }
     // the data sweep runs even with nothing to drop: dirs DEFERRED by
     // an earlier vacuum's fresh lease have no manifest left to drop,
@@ -502,11 +542,14 @@ final class UpsertSink(spark: SparkSession, baseDir: String,
               if (!leased2(rel)) f.delete(p, true)
             }
         }
-        // only marker files (_SUCCESS) left → the whole version dir
-        // is dead
+        // only marker files (_SUCCESS) left AND nothing fresh in the
+        // tree → the whole version dir is dead. The freshness guard
+        // keeps a write's just-created version dir (pre-_temporary
+        // instants, or a live job's markers) out of the sweep.
         verDirs.foreach { verDir =>
           if (f.exists(verDir.getPath) &&
-            f.listStatus(verDir.getPath).forall(!_.isDirectory))
+            f.listStatus(verDir.getPath).forall(!_.isDirectory) &&
+            !treeHasFreshFile(verDir.getPath))
             f.delete(verDir.getPath, true)
         }
       case Some(_) => ()
@@ -538,5 +581,15 @@ object UpsertSink {
     * reader lifetime. Override with -Dgraft.upsertsink.readerWindowMs. */
   private[streaming] def ReaderWindowMillis: Long =
     sys.props.get("graft.upsertsink.readerWindowMs")
+      .flatMap(_.toLongOption).getOrElse(60L * 60 * 1000)
+
+  /** A write job's scratch (`_temporary`) is crash residue only once
+    * every file in its tree is older than this — its OWN knob, not the
+    * reader window: tuning the reader window down for short-lived
+    * readers must not shrink the grace a long in-flight write's
+    * straggler files get. Override with
+    * -Dgraft.upsertsink.scratchAgeMs. */
+  private[streaming] def ScratchAgeMillis: Long =
+    sys.props.get("graft.upsertsink.scratchAgeMs")
       .flatMap(_.toLongOption).getOrElse(60L * 60 * 1000)
 }
