@@ -336,9 +336,19 @@ object AnnIndex {
     Files.createDirectories(Paths.get(indexDir))
     val version = claimNextVersion(indexDir)
     val vdir = s"$indexDir/$version"
-    centroids.write.mode("overwrite").parquet(s"$vdir/centroids")
-    postings.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$vdir/postings")
+    // REBALANCE before each write (guide §6 file sizing): without it the
+    // partitioned postings write emits one file per (upstream task, cell)
+    // — measured 898 files for a 5,000-row index at sf0.1, each ~8 KB,
+    // taxing the write commit, the count-back, and every later load with
+    // per-file overhead. Rebalancing by `cell` colocates each cell's rows
+    // (one file per small cell) while AQE still SPLITS an oversized hot
+    // cell into multiple part files — correct in both directions at any
+    // scale. Centroids are k rows: a bare rebalance folds them to one
+    // advisory-sized file.
+    centroids.hint("rebalance").write.mode("overwrite")
+      .parquet(s"$vdir/centroids")
+    postings.hint("rebalance", col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$vdir/postings")
     def refuseEmpty(what: String): Nothing = {
       graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
       throw new IllegalArgumentException(
@@ -399,8 +409,10 @@ object AnnIndex {
       val m = requireManifest(indexDir, base)
       val version = claimNextVersion(indexDir)
       val vdir = s"$indexDir/$version"
-      postings.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$vdir/postings")
+      // same rebalance-by-cell as [[publish]] — delta batches are the
+      // path that accumulates files fastest (one ingest per interval)
+      postings.hint("rebalance", col("cell")).write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$vdir/postings")
       val spark = postings.sparkSession
       // an EMPTY increment is routine for a scheduled ingest (quiet
       // interval): commit nothing, reclaim the version number's dir,

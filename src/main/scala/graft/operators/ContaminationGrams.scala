@@ -28,7 +28,16 @@ object ContaminationGrams {
       .select((Seq("doc_id") ++ keep ++ Seq("ghashes")).map(col): _*)
 
   /** Exploded form: one (doc_id, g) row per distinct gram hash — the
-    * join shape (t08/t14's detection, p05's scrub). */
+    * join shape (t08/t14's detection, p05's scrub). The gram expression
+    * feeds the generator INLINE (never through an aliased column):
+    * with an alias, InferFiltersFromGenerate infers `size(g) > 0 AND
+    * isnotnull(g)` on the attribute, PushDownPredicates substitutes the
+    * whole gram-hash transform into that filter and pushes it below the
+    * spread repartition — the 5-gram hashing then runs two EXTRA times
+    * serialized on the pre-shuffle scan task (measured ~6x on this
+    * shape; the round-8 explode trap). */
   def exploded(docs: DataFrame): DataFrame =
-    perDoc(docs).select(col("doc_id"), explode(col("ghashes")).as("g"))
+    docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(gramArray)).as("g"))
 }

@@ -1768,8 +1768,20 @@ object DedupOps {
         """transform(sequence(0, size(toks) - 2),
           |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin))
       .select(col("doc_id") +: extras :+
-        (shiftleft(SimHash32.simhash32(col("toks")), 32)
-          .bitwiseOR(SimHash32.simhash32(col("bi")))).as("sh"): _*)
+        // plan_fence'd VALUE (d04's discipline, applied to the column
+        // instead of a filter): a null-intolerant consumer predicate —
+        // d37's bit_count(a_sh ^ b_sh) spelling, unlike hamming64, which
+        // declares no null intolerance — makes InferFiltersFromConstraints
+        // infer isnotnull(sh), and PushDownPredicates then substitutes the
+        // WHOLE two-channel fingerprint into that filter and drags it
+        // below documentsSpread's repartition: the full simhash of every
+        // document re-runs serialized on the single pre-shuffle scan task
+        // (measured: d37 4.9 s vs its twin d25 1.8 s at sf0.1). The fence
+        // pins every derived predicate above this Project, where
+        // isnotnull(sh) reads the computed column for free.
+        graft.functions.PlanFence.fence(
+          shiftleft(SimHash32.simhash32(col("toks")), 32)
+            .bitwiseOR(SimHash32.simhash32(col("bi")))).as("sh"): _*)
 
   /** Shared naive fingerprint-pair scaffold for d25 and its pure-SQL
     * spelling twin d37 — ONLY the predicate/distance spelling may
@@ -2010,19 +2022,25 @@ object DedupOps {
     * doc into a hash join — the shape that holds when both sides are
     * large. DuckDB computes the same relation by unnest/equi-join. */
   private def d28(s: SparkSession, dir: String): DataFrame = {
-    def bigrams = t(s, dir).documentsSpread
+    def tokenized = t(s, dir).documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
+    val docs = tokenized
       .select(col("doc_id"), expr(
-        """transform(sequence(0, size(toks) - 2),
-          |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin)
+        """array_distinct(transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1])))""".stripMargin)
         .as("bgs"))
-    val docs = bigrams
-      .select(col("doc_id"), expr("array_distinct(bgs)").as("bgs"))
     // global top-520 minus the 20 head bigrams — offset/limit over a
-    // bounded vocab sort (no global window; PlanSpec's sweep bans those)
-    val panel = bigrams
-      .select(explode(col("bgs")).as("bg"))
+    // bounded vocab sort (no global window; PlanSpec's sweep bans those).
+    // The bigram transform feeds the generator INLINE: through an
+    // aliased column, InferFiltersFromGenerate + PushDownPredicates
+    // re-evaluate the whole transform in a filter below the spread
+    // repartition, serialized on the scan task (the round-8 explode
+    // trap — measured ~6x on this panel).
+    val panel = tokenized
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("bg"))
       .offset(20).limit(500)
@@ -2335,17 +2353,21 @@ object DedupOps {
     * O(|bigrams|) per document into a hash join. DuckDB computes the
     * same relation via NOT EXISTS over the unnested bigrams. */
   private def d35(s: SparkSession, dir: String): DataFrame = {
-    def bigrams = t(s, dir).documentsSpread
+    def tokenized = t(s, dir).documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
+    val docs = tokenized
       .select(col("doc_id"), expr(
-        """transform(sequence(0, size(toks) - 2),
-          |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin)
+        """array_distinct(transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1])))""".stripMargin)
         .as("bgs"))
-    val docs = bigrams
-      .select(col("doc_id"), expr("array_distinct(bgs)").as("bgs"))
-    val panel = bigrams
-      .select(explode(col("bgs")).as("bg"))
+    // inline generator input — same round-8 explode-trap avoidance as
+    // d28's panel (aliased, the bigram transform re-runs serialized in
+    // a pushed-down inferred filter)
+    val panel = tokenized
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("bg"))
       .offset(520).limit(200)
