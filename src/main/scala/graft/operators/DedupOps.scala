@@ -2677,7 +2677,7 @@ object DedupOps {
   private def longTrigrams(s: SparkSession, dir: String): DataFrame =
     t(s, dir).documentsSpread
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), expr(
+      .select(col("doc_id"), graft.functions.PlanFence.fence(expr(
         """array_distinct(
           |  CASE WHEN size(toks) >= 3 THEN
           |    transform(
@@ -2685,7 +2685,7 @@ object DedupOps {
           |        length(toks[i]) >= 5 AND length(toks[i+1]) >= 5
           |          AND length(toks[i+2]) >= 5),
           |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-          |  ELSE array() END)""".stripMargin).as("grams"))
+          |  ELSE array() END)""".stripMargin)).as("grams"))
 
   private def d43Ctes =
     """WITH w AS (
