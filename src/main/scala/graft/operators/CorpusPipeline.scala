@@ -35,8 +35,15 @@ object CorpusPipeline {
       .groupBy(md5(lower(col("text"))).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    // cached: feeds both the shingle/LSH branch and the final anti-join
-    val exactKept = docs.join(canonical, "doc_id").cache()
+    // cached: feeds both the shingle/LSH branch and the final anti-join.
+    // Pruned BEFORE caching (p08/t15's discipline): the LSH branch reads
+    // toks and the final projection (doc_id, lang, n_tokens,
+    // quality_score) — caching text + n_stop too would pin the whole
+    // corpus payload for no consumer.
+    val exactKept = docs.join(canonical, "doc_id")
+      .select(col("doc_id"), col("lang"), col("toks"), col("n_tokens"),
+        col("quality_score"))
+      .cache()
 
     // fuzzy dedup: minhash-LSH pairs among exact survivors; greedy drop of
     // every higher-id member of a candidate pair
