@@ -345,9 +345,18 @@ object AnnIndex {
     // cell into multiple part files — correct in both directions at any
     // scale. Centroids are k rows: a bare rebalance folds them to one
     // advisory-sized file.
-    centroids.hint("rebalance").write.mode("overwrite")
+    // row counts ride the writes as OBSERVED metrics instead of two
+    // read-back count() jobs: observe() attaches a CollectMetrics node
+    // whose aggregate is computed by the write action itself, so the
+    // manifest counts cost zero extra jobs (and zero extra file-footer
+    // reads) at any scale
+    val centObs = new org.apache.spark.sql.Observation()
+    val postObs = new org.apache.spark.sql.Observation()
+    centroids.observe(centObs, count(lit(1)).as("n"))
+      .hint("rebalance").write.mode("overwrite")
       .parquet(s"$vdir/centroids")
-    postings.hint("rebalance", col("cell")).write.mode("overwrite")
+    postings.observe(postObs, count(lit(1)).as("n"))
+      .hint("rebalance", col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$vdir/postings")
     def refuseEmpty(what: String): Nothing = {
       graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
@@ -357,20 +366,16 @@ object AnnIndex {
           "bug, not a commit (an empty scheduled increment belongs to " +
           "publishDelta, which no-ops)")
     }
-    // BOTH dirs are checked structurally before any read-back — a
-    // write that produced no part files (every 0-row partitioned
-    // write; an unpartitioned write of a ZERO-PARTITION frame) throws
-    // schema inference on read, not a useful error, and would skip
-    // refuseEmpty's cleanup. The count check behind it catches the
-    // remaining shape: an unpartitioned write of a 0-row frame with
-    // partitions, which does leave a schema-bearing part file.
+    // BOTH dirs are still checked structurally — the observed count
+    // proves rows flowed through the plan, the part-file check proves
+    // the write landed them on disk; refusing on either keeps a
+    // zero-row or file-less version from ever reaching commit.
     if (!hasParts(s"$vdir/postings")) refuseEmpty("postings")
     if (!hasParts(s"$vdir/centroids")) refuseEmpty("centroids")
-    val spark = centroids.sparkSession
-    // metadata-only parquet counts: cheap at any scale
-    val nCents = spark.read.parquet(s"$vdir/centroids").count()
+    val nCents = centObs.get("n").asInstanceOf[Long]
     if (nCents == 0L) refuseEmpty("centroids")
-    val nPosts = spark.read.parquet(s"$vdir/postings").count()
+    val nPosts = postObs.get("n").asInstanceOf[Long]
+    if (nPosts == 0L) refuseEmpty("postings")
     // the flip-claim here is what makes a concurrent delta's locked
     // re-check sound: a full republish can never flip between that
     // delta's pointer re-resolve and its own flip
@@ -410,10 +415,13 @@ object AnnIndex {
       val version = claimNextVersion(indexDir)
       val vdir = s"$indexDir/$version"
       // same rebalance-by-cell as [[publish]] — delta batches are the
-      // path that accumulates files fastest (one ingest per interval)
-      postings.hint("rebalance", col("cell")).write.mode("overwrite")
+      // path that accumulates files fastest (one ingest per interval);
+      // the row count rides the write as an observed metric (no
+      // read-back job), same as publish
+      val obs = new org.apache.spark.sql.Observation()
+      postings.observe(obs, count(lit(1)).as("n"))
+        .hint("rebalance", col("cell")).write.mode("overwrite")
         .partitionBy("cell").parquet(s"$vdir/postings")
-      val spark = postings.sparkSession
       // an EMPTY increment is routine for a scheduled ingest (quiet
       // interval): commit nothing, reclaim the version number's dir,
       // report the base unchanged — see [[hasParts]] for why emptiness
@@ -422,7 +430,7 @@ object AnnIndex {
         graft.FsTree.delete(Paths.get(vdir), bestEffort = true)
         base
       } else {
-        val nNew = spark.read.parquet(s"$vdir/postings").count()
+        val nNew = obs.get("n").asInstanceOf[Long]
         // re-resolve the pointer AT COMMIT TIME, inside the atomic
         // flip-claim: a concurrent publisher may have flipped it since
         // our base resolution, and committing against the stale base
