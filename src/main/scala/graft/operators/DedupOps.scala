@@ -650,7 +650,16 @@ object DedupOps {
     * (same reasoning as d09: per-pair payloads are whole embeddings, which
     * belong in a join, not a collect_list buffer). */
   private def d10(s: SparkSession, dir: String): DataFrame = {
+    // cached: the assignment feeds BOTH sides of the within-cluster
+    // pair join (the d11/d21/s17 fan-out class). The former spelling
+    // leaned on exchange reuse of the final assign pass's min_by
+    // aggregate; with centroid_argmin that pass is a pure map (no
+    // exchange to reuse), so the cache is what keeps the Lloyd
+    // pipeline from running once per join side. Pruned to the four
+    // consumed columns (the p01/exactKept discipline) — cc is not read.
     val a = SimilarityOps.kmeansAssignments(s, dir)
+      .select(col("vec_id"), col("vd"), col("nrm"), col("cid"))
+      .cache()
     val x = a.select(col("vec_id").as("a_id"), col("vd").as("av"),
       col("nrm").as("an"), col("cid"))
     val y = a.select(col("vec_id").as("b_id"), col("vd").as("bv"),

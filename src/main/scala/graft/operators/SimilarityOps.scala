@@ -383,17 +383,25 @@ object SimilarityOps {
       .limit(kmeansK)
       .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
 
-    // rank-1 assignment via min_by on (−cc, cid): map-side partial agg,
-    // shuffle = one row per vector, not one per (vector, centroid)
-    def assign(cents: DataFrame): DataFrame =
-      emb.join(broadcast(cents), lit(true))
-        .withColumn("cc", round(dotF64(col("vd"), col("cv"))
-          / (col("nrm") * col("cn")), 4))
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("vd"), col("nrm"), col("cid"), col("cc")),
-          struct(negate(col("cc")), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.vd").as("vd"), col("m.nrm").as("nrm"),
+    // rank-1 assignment via the native centroid_argmin expression over the
+    // k-row centroid frame gathered into ONE broadcast array row: each
+    // assign pass is a pure map over the cached vector frame — no N·k
+    // joined rows carrying the 64-double payload, no per-candidate struct
+    // construction, no min_by hash-aggregate exchange (the former
+    // spelling paid one exchange per Lloyd pass just to reduce k=8
+    // candidates per vector). Semantics are bit-identical by
+    // construction: CentroidArgmin replicates the in-order dot fold,
+    // RoundBase's 4dp HALF_UP, and the min_by(struct(-cc, cid)) total
+    // order (SQLOrderingUtil.compareDoubles) — see the expression's doc.
+    def assign(cents: DataFrame): DataFrame = {
+      val carr = cents.agg(sort_array(collect_list(
+        struct(col("cid"), col("cv"), col("cn")))).as("cents"))
+      emb.join(broadcast(carr), lit(true))
+        .withColumn("m", graft.functions.CentroidArgmin.centroidArgmin(
+          col("vd"), col("nrm"), col("cents")))
+        .select(col("vec_id"), col("vd"), col("nrm"),
           col("m.cid").as("cid"), col("m.cc").as("cc"))
+    }
 
     def update(assigned: DataFrame): DataFrame =
       assigned
@@ -1702,8 +1710,16 @@ object SimilarityOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = queries.sparkSession.createDataFrame(
       assignedRdd, assignedPlan.schema)
-    val probedCells = assigned.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
+    // the probed-cell set rides the SAME single-stage job that
+    // materializes the RDD cache: per-partition distinct sets collected
+    // to the driver (k-bounded — nprobe cells per query, so the result
+    // is constant-size at any corpus scale). The former
+    // select(cell).distinct().collect() was a second 2-stage job with
+    // its own exchange on the serving path.
+    val cellIdx = assignedPlan.schema.fieldIndex("cell")
+    val probedCells = assignedRdd
+      .mapPartitions(it => it.map(_.getLong(cellIdx)).toSet.iterator)
+      .collect().toSet.toSeq.sorted
     val c = idx.postings
       .filter(col("cell").isin(probedCells: _*))
       .select(col("vec_id").as("c_id"), col("vd").as("cv2"),
