@@ -195,10 +195,29 @@ object Bench {
     // Sleep once, re-calibrate, and re-run the rotated passes — min-of-N
     // then picks the quiet passes. If calibration STILL drifts, flag the
     // artifact itself as load_suspect so no reader trusts the totals.
+    val idleRef0 = calibrationIdleRef
+    val mcIdleRef0 = calibrationMcIdleRef
+    // Retry-until-quiet, BOUNDED (round-16: one rerun was not enough
+    // against a persistent co-tenant — the r15 driver artifact shipped
+    // load_suspect=true after its single rerun and the whole round's
+    // adjudication had to be done by hand through calibration ratios).
+    // Two triggers now: drift across the run (the old condition) OR the
+    // best calibration sitting >1.3x above the idle floor on EITHER
+    // probe (a neighbor present for the entire run shows no drift).
+    // Each retry sleeps 30 s, re-baselines both probes, and re-runs the
+    // rotated passes; min-of-N then picks the quiet passes. If the host
+    // never quiets, the run exhausts its [[MaxLoadReruns]] retries and
+    // ships load_suspect=true — `load_reruns` at the bound tells a
+    // reader the bench did everything it could.
+    def runElevated(): Boolean =
+      loadRerunNeeded(calBefore, calAfter) ||
+        loadSuspectAbsolute(math.min(calBefore, calAfter), idleRef0) ||
+        loadSuspectAbsolute(calMcBefore, mcIdleRef0)
     var loadReruns = 0
-    while (loadRerunNeeded(calBefore, calAfter) && loadReruns < 1) {
-      System.err.println(f"[bench] calibration drifted ${calBefore}%.3f -> " +
-        f"${calAfter}%.3f (host load); sleeping 30s and re-running passes")
+    while (runElevated() && loadReruns < MaxLoadReruns) {
+      System.err.println(f"[bench] calibration elevated (sc ${calBefore}%.3f" +
+        f" -> ${calAfter}%.3f, mc ${calMcBefore}%.3f vs floor); sleeping " +
+        f"30s and re-running passes (retry ${loadReruns + 1}/$MaxLoadReruns)")
       Thread.sleep(30000)
       loadReruns += 1
       calBefore = calibrate()
@@ -216,8 +235,8 @@ object Bench {
     // (the neighbor was there the whole time — drift alone misses it).
     // The MC probe joins both triggers: r12's co-tenant tripled the
     // 32-way stream passes while the single probe read only 1.53x high.
-    val idleRef = calibrationIdleRef
-    val mcIdleRef = calibrationMcIdleRef
+    val idleRef = idleRef0
+    val mcIdleRef = mcIdleRef0
     val calRatio = math.min(calBefore, calAfter) / idleRef
     val mcRatio = math.min(calMcBefore, calMcAfter) / mcIdleRef
     val loadSuspect = loadRerunNeeded(calBefore, calAfter) ||
@@ -395,6 +414,15 @@ object Bench {
     val r = calAfter / calBefore
     math.max(r, 1.0 / r) > 1.3
   }
+
+  /** Bound on the retry-until-quiet loop: each retry is ~30 s of sleep
+    * plus one full set of rotated passes, so 3 retries cost a few
+    * minutes against a run whose numbers would otherwise be
+    * unadjudicable (the r15 round burned its entire perf verdict on a
+    * load-poisoned artifact that a longer wait would likely have
+    * dodged). Exhausting the bound ships load_suspect=true with
+    * load_reruns at the bound — an honest "the host never quieted". */
+  val MaxLoadReruns = 3
 
   /** Idle-host calibration floor (seconds) for the ABSOLUTE load guard:
     * drift-only detection reads a host that is uniformly loaded for the
@@ -624,8 +652,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val normJson = normalizeBy.filter(_ > 0.0)
-      .map(f => f""","normalized_total":${total / f}%.3f""").getOrElse("")
+    // queries_normalized: the per-query twin of normalized_total (each
+    // raw time divided by the same load factor) — ADDITIVE key only;
+    // the raw `queries` map stays byte-identical. The r15 adjudication
+    // had to recompute exactly this table by hand for 24 queries.
+    val normJson = normalizeBy.filter(_ > 0.0).map { f =>
+      val nq = results.map { case (k, v) => "\"" + k + f"""\":${v / f}%.3f""" }
+        .mkString("{", ",", "}")
+      f""","normalized_total":${total / f}%.3f""" +
+        s""","queries_normalized":$nq"""
+    }.getOrElse("")
     val failedJson =
       if (failedWhy.isEmpty) ""
       else names.filter(failedWhy.contains)

@@ -281,6 +281,30 @@ class BenchJsonSpec extends AnyFunSuite {
       normalizeBy = Some(0.0)).contains("normalized_total"))
   }
 
+  test("queries_normalized: per-query normalized twin rides beside the " +
+      "raw queries map (ADDITIVE key — r15's adjudication recomputed " +
+      "this table by hand); raw values stay byte-identical, absent " +
+      "without a factor") {
+    val j = Bench.resultJson(names, timed, Map.empty, "/sf",
+      normalizeBy = Some(2.0))
+    // raw per-query values unchanged
+    assert(j.contains(""""q_a":1.250"""), j)
+    assert(j.contains(""""q_c":2.750"""), j)
+    // normalized twins: min-of-passes / factor
+    assert(j.contains(""""queries_normalized":{"q_a":0.625,"q_b":0.250,"q_c":1.375}"""), j)
+    assert(!Bench.resultJson(names, timed, Map.empty, "/sf")
+      .contains("queries_normalized"))
+    // failed queries are excluded from the normalized map like the raw one
+    val withFail = Bench.resultJson(names, timed, Map("q_b" -> "x"), "/sf",
+      normalizeBy = Some(2.0))
+    assert(!withFail.contains(""""q_b":0.250"""), withFail)
+  }
+
+  test("retry-until-quiet is bounded and real: at least 3 load reruns " +
+      "(one rerun let the r15 artifact ship load-poisoned totals)") {
+    assert(Bench.MaxLoadReruns >= 3)
+  }
+
   test("stream fragments are at least best-of-3: best-of-2 let a 3x " +
       "co-tenant window ride the r12 artifact as 'the' long number " +
       "(both passes landed inside the same contention window)") {
