@@ -18,12 +18,21 @@ object ContaminationGrams {
       |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
       |    toks[i+3], toks[i+4]))))""".stripMargin
 
+  /** THE tokenize spelling (split on single space) — every entry routes
+    * through this one body so detection and decontamination can never
+    * fork on what a token is. */
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+
+  /** THE <5-token gate — docs with no gram are dropped here, once. */
+  private def gated(toksDocs: DataFrame): DataFrame =
+    toksDocs.filter(size(col("toks")) >= 5)
+
   /** Per-doc form: (doc_id, keep..., ghashes) with the distinct 5-gram
     * hash array — the map-side shape (p08/p21's bloom/exact probes,
     * t15's novelty) where the array never explodes. */
   def perDoc(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 5)
+    gated(withToks(docs))
       .withColumn("ghashes", expr(gramArray))
       .select((Seq("doc_id") ++ keep ++ Seq("ghashes")).map(col): _*)
 
@@ -37,7 +46,15 @@ object ContaminationGrams {
     * serialized on the pre-shuffle scan task (measured ~6x on this
     * shape; the round-8 explode trap). */
   def exploded(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 5)
+    explodedFromToks(withToks(docs))
+
+  /** [[exploded]] over a frame that ALREADY carries
+    * `toks = split(text, ' ')` — the shared-scan shape (p05 caches one
+    * scan+spread+tokenize subtree and feeds it to both this and the
+    * quality/curation branch). The caller's toks column MUST be the
+    * [[withToks]] spelling; p05 builds it via QualityScore's shared
+    * tokenizer so the spelling cannot fork. */
+  def explodedFromToks(toksDocs: DataFrame): DataFrame =
+    gated(toksDocs)
       .select(col("doc_id"), explode(expr(gramArray)).as("g"))
 }

@@ -26,9 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  private def p01(s: SparkSession, dir: String): DataFrame = {
-    val docs = QualityScore.scored(Tables(s, dir).documentsSpread)
-      .filter(col("quality_score") >= 0.3)
+  private def p01(s: SparkSession, dir: String): DataFrame =
+    p01From(QualityScore.scored(Tables(s, dir).documentsSpread))
+
+  /** p01 over an already-scored frame (doc_id, lang, text, toks,
+    * n_tokens, quality_score) — split out so p05 can feed the SHARED
+    * scan+spread+tokenize subtree it caches for its contamination
+    * branch instead of re-running the whole stage (the two branches
+    * independently paid scan + repartition + split before). */
+  private def p01From(scoredDocs: DataFrame): DataFrame = {
+    val docs = scoredDocs.filter(col("quality_score") >= 0.3)
 
     // exact dedup: survivors are the canonical (min) id per content hash
     val canonical = docs
@@ -308,7 +315,18 @@ object CorpusPipeline {
     * broadcast semi-join — decontamination adds no shuffle beyond the
     * per-doc distinct-gram collapse already inherent to the check. */
   private def p05(s: SparkSession, dir: String): DataFrame = {
-    val grams = ContaminationGrams.exploded(Tables(s, dir).documentsSpread)
+    // ONE scan + spread + tokenize subtree feeds BOTH branches
+    // (contamination grams AND the p01 curation pipeline): before, each
+    // branch re-ran the whole stage independently — plan-internal
+    // subtree reuse does not exist in Spark (the s17/d11 fan-out
+    // class). Cached pruned to the consumed columns (text for the
+    // exact-dedup md5 + lang for the final projection + the shared
+    // toks). Same clearCache() honesty as every operator cache: the
+    // bench evicts it before every timed pass.
+    val base = QualityScore.tokenize(Tables(s, dir).documentsSpread)
+      .select(col("doc_id"), col("lang"), col("text"), col("toks"))
+      .cache()
+    val grams = ContaminationGrams.explodedFromToks(base)
       // cached: probe-set build and corpus-side contamination join both
       // consume the exploded gram hashes (8-byte rows)
       .cache()
@@ -316,7 +334,7 @@ object CorpusPipeline {
     val contaminated = grams.filter(col("doc_id") >= 20)
       .join(broadcast(probe), Seq("g"))
       .select(col("doc_id")).distinct()
-    p01(s, dir)
+    p01From(QualityScore.scoredFromToks(base))
       .filter(col("doc_id") >= 20)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))

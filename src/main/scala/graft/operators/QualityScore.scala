@@ -12,11 +12,22 @@ import org.apache.spark.sql.functions._
   * twins. */
 object QualityScore {
 
+  /** THE tokenize spelling — exposed so a caller sharing one
+    * scan+tokenize subtree across branches (p05) builds `toks` through
+    * the same single source every scorer uses. */
+  def tokenize(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+
   /** Spark side: adds `toks`, `n_tokens`, `n_stop`, and the score column
     * (rounded to 4 dp) to any frame with a `text` column. */
   def scored(df: DataFrame, scoreCol: String = "quality_score"): DataFrame =
-    df.withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    scoredFromToks(tokenize(df), scoreCol)
+
+  /** [[scored]] over a frame that ALREADY carries `toks` (the
+    * [[tokenize]] spelling) — the shared-scan shape. */
+  def scoredFromToks(df: DataFrame, scoreCol: String = "quality_score")
+      : DataFrame =
+    df.withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop", size(expr(
         s"filter(toks, x -> x IN $stopList)")).cast("long"))
       .withColumn(scoreCol,
