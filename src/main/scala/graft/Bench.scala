@@ -25,7 +25,7 @@ object Bench {
     * backend-throughput probe the stateless base route cannot provide
     * (a state-provider flip over a stateless route measures nothing). */
   private def streamThroughput(spark: SparkSession, n: Long,
-      stateful: Boolean = false): (Double, Double) = {
+      stateful: Boolean = false, warm: Boolean = false): (Double, Double) = {
     import graft.streaming._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -40,7 +40,7 @@ object Bench {
       EngineConfig(streamRoutes = Map("bench" -> route)), topics, s"$base/ckpt")
     // seed distributed (never a driver-side Seq): id % 200 == 199 → business
     // failure (retry); % 200 == 198 → corrupt bytes (deser-failure DLQ, E9)
-    val env = spark.range(n).select(
+    def envelopes(from: Long, until: Long) = spark.range(from, until).select(
       encode(col("id").cast("string"), "UTF-8").as("key"),
       encode(when(col("id") % 200 === 198, lit("corrupt-not-json"))
         .otherwise(concat(lit("{\"amount\": "),
@@ -54,7 +54,7 @@ object Bench {
       lit(null).cast("int").as("retryCount"),
       lit(null).cast("timestamp").as("nextAttemptAt"),
       lit(null).cast("string").as("channel"))
-    topics.append(env, "bench_origin")
+    topics.append(envelopes(0L, n), "bench_origin")
     val schema = StructType(Seq(StructField("amount", IntegerType)))
     val handler = Dispatch.ExprHandler(
       when(col("message").isNull, "dead_letter")
@@ -68,6 +68,21 @@ object Bench {
           .andThen(Pipeline.dedupWithinWatermark(Seq("key")))
       else Middleware.json(schema)
     try {
+      // warm mode (the stream_warm fragment): drain a first n-event batch
+      // UNTIMED through the same route — engine built, route codegen'd,
+      // sinks and checkpoint tree created — then append n more events
+      // (monotone offsets n..2n-1, same failure mix) and time ONLY the
+      // re-started route's AvailableNow drain over the warm
+      // infrastructure. The cold fragments bundle ~1.3 s of fixed
+      // engine/topic setup into every pass (measured round 14: a 150k
+      // calibration probe was rejected for exactly this); this fragment
+      // is the engine's MARGINAL per-event cost a long-lived production
+      // route actually pays, measurable separately from start/stop.
+      if (warm) {
+        engine.startStreamRoute(route, middleware, handler,
+          Trigger.AvailableNow()).awaitTermination()
+        topics.append(envelopes(n, 2L * n), "bench_origin")
+      }
       val t0 = System.nanoTime()
       engine.startStreamRoute(route, middleware, handler,
         Trigger.AvailableNow()).awaitTermination()
@@ -319,9 +334,10 @@ object Bench {
       // discipline) so min-of-N gets a shot at a quiet window; the
       // spread rides the artifact either way.
       def measureFragment(label: String, n: Long, passCount: Int,
-          stateful: Boolean = false): (Seq[(Double, Double)], Int) = {
+          stateful: Boolean = false, warm: Boolean = false)
+          : (Seq[(Double, Double)], Int) = {
         def once(i: Int): Option[(Double, Double)] =
-          try Some(streamThroughput(spark, n, stateful))
+          try Some(streamThroughput(spark, n, stateful, warm))
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(
               s"[bench] $label pass $i failed: ${e.getMessage}")
@@ -340,6 +356,18 @@ object Bench {
       val (runs, shortReruns) =
         measureFragment("stream", streamN, streamPassCount)
       val shortCalAfter = boundaryCal(runs.nonEmpty)
+      // Warm-engine fragment (stream_warm, ADDITIVE key — round 16): the
+      // cold fragments cannot separate the engine's per-event cost from
+      // the ~1.3 s fixed route setup every pass re-pays. Each pass
+      // drains one untimed cold batch, then times a second equal batch
+      // through the SAME engine/route/checkpoint — events/sec of the
+      // timed half is the warm marginal throughput. Same pass/bracket
+      // discipline as every fragment; old keys stay byte-identical.
+      val warmCalBefore = lastCal
+      val (warmRuns, warmReruns) =
+        measureFragment("stream_warm", streamN, streamPassCount,
+          warm = true)
+      val warmCalAfter = boundaryCal(warmRuns.nonEmpty)
       // Long-horizon passes at 10× (override: SPARK_GRAFT_STREAM_LONG_N;
       // 0 disables): their events/s should hold near the short-horizon
       // number — degradation here means O(topic-size) cost crept into
@@ -386,6 +414,8 @@ object Bench {
       } else streamJson(Seq(
         StreamFragment("stream", streamN, runs,
           streamCalStart, shortCalAfter, shortReruns),
+        StreamFragment("stream_warm", streamN, warmRuns,
+          warmCalBefore, warmCalAfter, warmReruns),
         StreamFragment("stream_long", longN, longRuns,
           longCalBefore, longCalAfter, longReruns),
         StreamFragment("stream_long_rocksdb", longN, rocksLongRuns,

@@ -104,6 +104,34 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!without.contains("stream_long"), without)
   }
 
+  test("stream_warm fragment (ADDITIVE, round 16): rides the same " +
+      "per-fragment contract as every fragment — `passes` count, spread, " +
+      "own bracket — and the pre-existing keys stay byte-identical " +
+      "whether it is present, empty, or absent") {
+    val coldOnly = Seq(
+      StreamFragment("stream", 500000L, Seq((3.2, 156250.0))),
+      StreamFragment("stream_long", 5000000L, Seq((33.1, 151057.0))))
+    val before = Bench.streamJson(coldOnly)
+    val withWarm = Bench.streamJson(Seq(coldOnly.head,
+      StreamFragment("stream_warm", 500000L,
+        Seq((0.61, 819672.0), (0.55, 909090.0))), coldOnly(1)))
+    ujson(s"""{"_":0$withWarm}""")
+    assert(withWarm.contains(""""stream_warm":{"events":500000"""), withWarm)
+    assert(withWarm.contains("\"sec\":0.550"), withWarm)
+    assert(withWarm.contains("\"events_per_sec\":909090"), withWarm)
+    assert(withWarm.contains("\"passes\":2"), withWarm)
+    // old fragments' rendered JSON is unchanged by the insertion
+    Seq("stream", "stream_long").foreach { k =>
+      val re = ("\"" + k + "\":\\{[^}]*\\}").r
+      assert(re.findFirstIn(before) == re.findFirstIn(withWarm),
+        s"$k's keys changed when stream_warm joined")
+    }
+    // empty warm fragment is omitted, never rendered as a null object
+    val empty = Bench.streamJson(Seq(coldOnly.head,
+      StreamFragment("stream_warm", 500000L, Nil), coldOnly(1)))
+    assert(!empty.contains("stream_warm"), empty)
+  }
+
   test("per-fragment brackets close the r14 laundering hole: a clean " +
       "section bracket beside a DIRTY long-fragment bracket flags the " +
       "long fragment, normalizes it by its OWN ratio, and still flags " +
