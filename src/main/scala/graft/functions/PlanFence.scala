@@ -26,6 +26,19 @@ import org.apache.spark.sql.types.DataType
   * Runtime cost: zero. Interpreted eval delegates to the child;
   * codegen emits the child's code verbatim. The only effect is the
   * `deterministic = false` flag the optimizer reads.
+  *
+  * BLAST RADIUS — keep uses narrow: the flag disables more than the
+  * targeted pushdown. A fenced VALUE in a Project marks the whole
+  * Project non-deterministic, which also blocks project collapsing,
+  * pushdown of genuinely cheap user filters through it, and
+  * exchange/subtree canonicalization-based reuse for every downstream
+  * consumer of that frame. Every current use (d04's parity filter,
+  * simhash64's fingerprint, longTrigrams' gram array) wraps only a
+  * value computed ONCE above a spreading repartition — where the
+  * substitution it prevents was pure waste at any scale — and was
+  * audited against the executed plans of all its consumers. A new use
+  * needs the same case-by-case plan audit, at the NARROWEST projection
+  * possible.
   */
 case class PlanFence(child: Expression) extends UnaryExpression {
 

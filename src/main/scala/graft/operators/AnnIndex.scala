@@ -376,11 +376,27 @@ object AnnIndex {
     if (nCents == 0L) refuseEmpty("centroids")
     val nPosts = postObs.get("n").asInstanceOf[Long]
     if (nPosts == 0L) refuseEmpty("postings")
+    // The manifest's centroid count doubles as load()'s integrity gate,
+    // so the RECORDED value must be disk truth, not an accumulator:
+    // observed metrics can drift from rows actually landed under stage
+    // retries/speculative execution on a real cluster, and a drifted
+    // value would permanently brick an otherwise-valid version at every
+    // later load ("corrupt version; republish"). The verify read is k
+    // rows from the one rebalanced centroids file — nothing like the
+    // O(index) postings count-back the observe() metrics removed (the
+    // postings count is informational, never an integrity gate).
+    val diskCents =
+      centroids.sparkSession.read.parquet(s"$vdir/centroids").count()
+    if (diskCents == 0L) refuseEmpty("centroids")
+    if (diskCents != nCents)
+      System.err.println(s"[annindex] observed centroid count $nCents " +
+        s"!= disk $diskCents at $vdir (stage retry/speculation drift); " +
+        "manifest records the disk truth")
     // the flip-claim here is what makes a concurrent delta's locked
     // re-check sound: a full republish can never flip between that
     // delta's pointer re-resolve and its own flip
     withCommitLock(indexDir) {
-      commit(indexDir, version, k, nCents, nPosts,
+      commit(indexDir, version, k, diskCents, nPosts,
         centroidsDir = s"$version/centroids",
         postingsDirs = Seq(s"$version/postings"),
         // a fresh full publish IS its own quantizer origin; compact

@@ -1229,7 +1229,14 @@ object SimilarityOps {
       .select(col("vec_id").as("c_id"), col("cell"))
     // cached: consumed by BOTH sweep branches below (recall via gtArk,
     // scanned) — un-cached, each re-ran the whole ivfCells assignment
-    // pipeline (the d11/d21 fix class); Q·candidates rows, tiny
+    // pipeline (the d11/d21 fix class); Q·candidates rows, tiny.
+    // Lifecycle (this and every operator-internal cache on a returned
+    // lineage, incl. s17's short/pairs below): no safe in-operator
+    // unpersist point exists because the caller consumes lazily —
+    // CacheManager plan-dedup + MEMORY_AND_DISK LRU eviction +
+    // ContextCleaner reclaim on plan GC is the INTENDED lifecycle, and
+    // Bench clearCache()s before every timed pass (see the
+    // DedupOps.ngramJaccardFrom note).
     val cand = q.join(c, "cell")
       .groupBy(col("q_id"), col("c_id"))
       .agg(min(col("ark")).as("min_ark"))
