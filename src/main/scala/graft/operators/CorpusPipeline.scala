@@ -57,11 +57,12 @@ object CorpusPipeline {
     // all 16 sigs in one native codegen'd pass (MinHashSig: one md5 digest
     // per shingle + the shared (a_i·x + b_i) mod p universal family) — see
     // DedupOps.minhashPairs / MinHashFamily for construction and bounds
-    val sig = exactKept
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh_arr", array_distinct(expr(
-        """transform(sequence(0, size(toks) - 3),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)))
+    // NO array_distinct before the sigs (round 16, guide §4): the 16
+    // family minimums are idempotent over duplicate shingles (verified
+    // bit-identical on the real corpus) and the per-row string hash set
+    // was half the stage's CPU — DedupOps.shingleStringsFromToks is THE
+    // spelling (shared with the d03/d15 band builder, can't fork).
+    val sig = DedupOps.shingleStringsFromToks(exactKept)
       .withColumn("sigs", MinHashSig.minhashSigs(col("sh_arr")))
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),

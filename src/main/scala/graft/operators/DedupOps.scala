@@ -302,10 +302,27 @@ object DedupOps {
   private[operators] def minhashBands(docs: DataFrame): DataFrame =
     minhashBandsFromToks(tokenized(docs))
 
+  /** Shingle STRINGS for the signature path, WITHOUT the per-doc
+    * distinct (round 16, guide §4): MinHashSig's 16 family minimums are
+    * idempotent over duplicate shingles — sigs verified bit-identical
+    * with and without the distinct on the real corpus — and the
+    * per-row hash set of ~25-char strings was HALF the stage's CPU
+    * (0.57 → 0.31 s warm at sf0.1). Sig consumers ONLY: every
+    * Jaccard/size consumer needs [[shingleArraysFromToks]]'s distinct
+    * arrays (n_sh is a set size there). Shared with CorpusPipeline's
+    * p01 sig branch — ONE spelling, can't fork. */
+  private[operators] def shingleStringsFromToks(toksDocs: DataFrame): DataFrame =
+    toksDocs
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh_arr", expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin))
+      .select(col("doc_id"), col("sh_arr"))
+
   /** [[minhashBands]] over a frame already carrying the [[tokenized]]
     * `toks` column — the shared-scan shape (d15). */
   private def minhashBandsFromToks(toksDocs: DataFrame): DataFrame =
-    shingleArraysFromToks(toksDocs)
+    shingleStringsFromToks(toksDocs)
       .withColumn("sigs", MinHashSig.minhashSigs(col("sh_arr")))
       .select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band"),

@@ -19,6 +19,37 @@ class DedupOpsSpec extends SparkSuite {
     (unrelated :+ dupA :+ dupB).toDF("doc_id", "text", "lang")
   }
 
+  test("minhash sigs are idempotent over duplicate shingles: the sig " +
+      "branches (d03/d15 bands, p01) build shingle strings WITHOUT " +
+      "array_distinct — the 16 family minimums must not change if a " +
+      "shingle repeats (the distinct was half the stage's CPU)") {
+    val sess = spark
+    import org.apache.spark.sql.functions._
+    import sess.implicits._
+    // tiny vocab → heavy repeated trigrams per doc
+    val rnd = new scala.util.Random(3L)
+    val vocab = Vector("a", "b", "c")
+    val dup = (1 to 60).map { i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin))
+    val mismatches = dup
+      .withColumn("a", graft.functions.MinHashSig.minhashSigs(col("sh")))
+      .withColumn("b", graft.functions.MinHashSig.minhashSigs(
+        array_distinct(col("sh"))))
+      .filter(expr("a <> b")).count()
+    assert(mismatches == 0L)
+    // and at least one fixture doc actually HAS duplicate shingles, so
+    // the assertion is not vacuous
+    assert(dup.filter(size(col("sh")) > size(array_distinct(col("sh"))))
+      .count() > 0)
+  }
+
   test("uncapped: the boilerplate shingle manufactures cross-doc candidate " +
       "pairs; capped: only genuinely similar docs remain candidates") {
     val uncapped = DedupOps.ngramCandidates(docs, None).collect()
